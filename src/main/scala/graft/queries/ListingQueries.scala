@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.filters.ScopeFilters
+import graft.operators.Listing
+
+/** Listing / pagination / scope / aggregate coverage (SURVEY §2.6 L1-L8,
+  * §2.4 F11) over the driver's testdata. `documents` plays the Morphik
+  * documents table with a synthesized `folder_path`; `orders` exercises the
+  * sort+offset+limit+projection path.
+  */
+object ListingQueries {
+
+  /** documents with a 2-3 level folder path: /srcN/lang[/big]. */
+  def docsWithFolders(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).withColumn(
+      "folder_path",
+      concat(lit("/"), col("source"), lit("/"), col("lang"),
+        when(col("n_chars") > 300, "/big").otherwise("")))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l1_listing_page" -> ((s, d) => listingPage(s, d)),
+    "l2_listing_hasmore" -> ((s, d) => listingHasMore(s, d)),
+    "l4_status_counts" -> ((s, d) =>
+      Listing.statusCounts(Tables.orders(s, d), "o_orderstatus")),
+    "l5_folder_counts" -> ((s, d) =>
+      Listing.folderCounts(docsWithFolders(s, d).withColumn("folder_name", col("lang")),
+        "folder_path", "folder_name")),
+    "l6_folder_scope_depth" -> ((s, d) => folderScopeDepth(s, d)),
+    "l8_usage_by_source" -> ((s, d) => usageBySource(s, d))
+  )
+
+  /** L1/L2: filter → sort desc nulls-last + tiebreak → offset/limit → project. */
+  def listingPage(spark: SparkSession, dir: String): DataFrame =
+    Listing.list(
+      Tables.orders(spark, dir),
+      where = col("o_orderstatus") === "O",
+      sorts = Seq(Listing.Sort("o_totalprice", desc = true)),
+      tiebreak = "o_orderkey",
+      skip = 100, limit = 50)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"),
+        col("o_orderpriority"))
+
+  /** L1 has-more probe: page rows plus the limit+1 / next_skip cursor fields
+    * (`postgres_database.py:448-622`). */
+  def listingHasMore(spark: SparkSession, dir: String): DataFrame = {
+    val p = Listing.page(
+      Tables.orders(spark, dir),
+      where = col("o_orderstatus") === "P",
+      sorts = Seq(Listing.Sort("o_totalprice", desc = true)),
+      tiebreak = "o_orderkey",
+      skip = 40, limit = 25)
+    p.rows.select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+      .withColumn("has_more", lit(p.hasMore))
+      .withColumn("next_skip", lit(p.nextSkip))
+  }
+
+  /** F11: folder_path_prefix_depth scoping — '/src1' subtree, total depth <=2
+    * (excludes the '/big' third level and does NOT match '/src11/...'). */
+  def folderScopeDepth(spark: SparkSession, dir: String): DataFrame =
+    docsWithFolders(spark, dir)
+      .filter(ScopeFilters.folderPathPrefixDepth(col("folder_path"), "/src1", 2))
+      .select("doc_id", "folder_path").orderBy("doc_id")
+
+  /** L8: per-app storage accounting analog — one shuffle of pre-aggregated
+    * partials on a low-cardinality key. */
+  def usageBySource(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(sum("n_chars").as("total_chars"), count(lit(1)).as("doc_count"))
+      .orderBy("source")
+
+  def oracles: Map[String, String] = Map(
+    "l1_listing_page" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, o_orderpriority
+        |FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_totalprice DESC NULLS LAST, o_orderkey
+        |LIMIT 50 OFFSET 100""".stripMargin,
+    "l2_listing_hasmore" ->
+      """WITH flt AS (SELECT * FROM orders WHERE o_orderstatus = 'P'),
+        |     pg AS (SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        |            FROM flt ORDER BY o_totalprice DESC NULLS LAST, o_orderkey
+        |            LIMIT 25 OFFSET 40)
+        |SELECT pg.*, (SELECT count(*) FROM flt) > 65 AS has_more,
+        |       40 + (SELECT count(*) FROM pg) AS next_skip
+        |FROM pg""".stripMargin,
+    "l4_status_counts" ->
+      """SELECT coalesce(nullif(o_orderstatus, ''), 'unknown') AS status,
+        |       count(*) AS count
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
+    "l5_folder_counts" ->
+      """SELECT '/' || source || '/' || lang ||
+        |         (CASE WHEN n_chars > 300 THEN '/big' ELSE '' END) AS folder,
+        |       count(*) AS count
+        |FROM documents GROUP BY 1 ORDER BY folder""".stripMargin,
+    "l6_folder_scope_depth" ->
+      """WITH d AS (SELECT doc_id, '/' || source || '/' || lang ||
+        |    (CASE WHEN n_chars > 300 THEN '/big' ELSE '' END) AS folder_path
+        |  FROM documents)
+        |SELECT doc_id, folder_path FROM d
+        |WHERE (folder_path = '/src1' OR folder_path LIKE '/src1/%')
+        |  AND len(string_split(trim(folder_path, '/'), '/')) <= 2
+        |ORDER BY doc_id""".stripMargin,
+    "l8_usage_by_source" ->
+      """SELECT source, sum(n_chars) AS total_chars, count(*) AS doc_count
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  )
+}

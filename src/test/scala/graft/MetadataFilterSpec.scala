@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.filters.MetadataFilter
+import graft.filters.MetadataFilter.Ctx
+
+/** Semantics goldens for the filter DSL, mirroring the reference's
+  * `core/tests/unit/test_metadata_filters.py` cases: typed comparisons,
+  * null/missing-key handling, array-awareness, regex/contains, $exists,
+  * $type aliases, reserved-column null-safe ops. */
+class MetadataFilterSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  /** id, metadata, metadata_types, filename. */
+  lazy val docs: DataFrame = {
+    val rows = Seq(
+      // typed number/decimal/datetime/date/bool/array/object
+      (1, Map("year" -> "2024", "dept" -> "finance"),
+        Map("year" -> "number", "dept" -> "string"), "a.pdf"),
+      (2, Map("year" -> "2023", "dept" -> "eng"),
+        Map("year" -> "number", "dept" -> "string"), "b.txt"),
+      (3, Map("price" -> "19.99", "due" -> "2026-03-01T00:00:00Z"),
+        Map("price" -> "decimal", "due" -> "datetime"), null),
+      (4, Map("tags" -> """["a","b"]""", "flag" -> "true"),
+        Map("tags" -> "array", "flag" -> "boolean"), "d.PDF"),
+      (5, Map("year" -> "not-a-number", "dept" -> "Finance"),
+        Map("year" -> "number", "dept" -> "string"), "e.pdf"),
+      (6, Map[String, String](), Map[String, String](), "f.xml"),
+      (7, Map("day" -> "2024-06-15", "year" -> "2024.5"),
+        Map("day" -> "date", "year" -> "number"), "g.pdf")
+    )
+    rows.toDF("id", "metadata", "metadata_types", "filename")
+  }
+
+  def ids(json: String, reserved: Map[String, org.apache.spark.sql.Column] = Map.empty): Set[Int] = {
+    val ctx = Ctx(col("metadata"), col("metadata_types"), reserved)
+    docs.filter(MetadataFilter.compile(json, ctx)).select("id").as[Int].collect().toSet
+  }
+
+  test("implicit equality matches scalar") {
+    assert(ids("""{"dept": "finance"}""") == Set(1))
+  }
+
+  test("implicit equality matches array membership") {
+    assert(ids("""{"tags": "a"}""") == Set(4))
+    assert(ids("""{"tags": "z"}""") == Set.empty)
+  }
+
+  test("typed $gt on number excludes malformed and wrong-typed values") {
+    // id 5 declares number but holds garbage -> try_cast null -> excluded.
+    // id 7 "2024.5" > 2023 -> included.
+    assert(ids("""{"year": {"$gt": 2023}}""") == Set(1, 7))
+  }
+
+  test("typed $gte/$lte range") {
+    assert(ids("""{"year": {"$gte": 2023, "$lte": 2024}}""") == Set(1, 2))
+  }
+
+  test("$eq numeric matches both typed number and string rendering") {
+    assert(ids("""{"year": {"$eq": 2024}}""") == Set(1))
+  }
+
+  test("decimal comparison") {
+    assert(ids("""{"price": {"$gt": 19.5, "$lt": 20}}""") == Set(3))
+  }
+
+  test("datetime comparison") {
+    assert(ids("""{"due": {"$gte": "2026-01-01T00:00:00Z"}}""") == Set(3))
+    assert(ids("""{"due": {"$lt": "2026-01-01T00:00:00Z"}}""") == Set.empty)
+  }
+
+  test("date comparison") {
+    assert(ids("""{"day": {"$gt": "2024-01-01"}}""") == Set(7))
+  }
+
+  test("$ne is null-safe: missing key counts as different") {
+    val got = ids("""{"dept": {"$ne": "finance"}}""")
+    assert(got == Set(2, 3, 4, 5, 6, 7)) // all but id 1; missing keys match
+  }
+
+  test("$in / $nin") {
+    assert(ids("""{"dept": {"$in": ["finance", "eng"]}}""") == Set(1, 2))
+    assert(ids("""{"dept": {"$nin": ["finance", "eng"]}}""") == Set(3, 4, 5, 6, 7))
+  }
+
+  test("$exists with bool coercion") {
+    assert(ids("""{"year": {"$exists": true}}""") == Set(1, 2, 5, 7))
+    assert(ids("""{"year": {"$exists": "yes"}}""") == Set(1, 2, 5, 7))
+    assert(ids("""{"year": {"$exists": false}}""") == Set(3, 4, 6))
+  }
+
+  test("$type with alias canonicalization") {
+    assert(ids("""{"year": {"$type": "int"}}""") == Set(1, 2, 5, 7))
+    assert(ids("""{"tags": {"$type": ["list"]}}""") == Set(4))
+  }
+
+  test("$regex with i flag and array-awareness") {
+    assert(ids("""{"dept": {"$regex": "^fin", "$options": "i"}}""") == Set(1, 5))
+    assert(ids("""{"dept": {"$regex": "^fin"}}""") == Set(1))
+    assert(ids("""{"tags": {"$regex": "^a$"}}""") == Set(4))
+  }
+
+  test("$contains case-insensitive, array-aware") {
+    assert(ids("""{"dept": {"$contains": "FINAN"}}""") == Set(1, 5))
+    assert(ids("""{"tags": {"$contains": "b"}}""") == Set(4))
+  }
+
+  test("boolean combinators incl. $nor and $not") {
+    assert(ids("""{"$or": [{"dept": "finance"}, {"dept": "eng"}]}""") == Set(1, 2))
+    assert(ids("""{"$nor": [{"dept": "finance"}, {"dept": "eng"}]}""") == Set(3, 4, 5, 6, 7))
+    assert(ids("""{"$not": {"dept": "finance"}}""") == Set(2, 3, 4, 5, 6, 7))
+    assert(ids("""{"$and": [{"year": {"$gte": 2024}}, {"dept": "finance"}]}""") == Set(1))
+  }
+
+  test("implicit eq null matches missing key") {
+    assert(ids("""{"nope": null}""") == Set(1, 2, 3, 4, 5, 6, 7))
+  }
+
+  test("reserved column: null-safe $eq/$ne/$in on filename") {
+    val r = Map("filename" -> col("filename"))
+    assert(ids("""{"filename": {"$eq": null}}""", r) == Set(3))
+    assert(ids("""{"filename": {"$ne": "a.pdf"}}""", r) == Set(2, 3, 4, 5, 6, 7))
+    assert(ids("""{"filename": {"$in": ["a.pdf", null]}}""", r) == Set(1, 3))
+    assert(ids("""{"filename": {"$regex": "\\.pdf$"}}""", r) == Set(1, 5, 7))
+    assert(ids("""{"filename": {"$contains": ".pdf"}}""", r) == Set(1, 4, 5, 7))
+  }
+
+  test("$eq boolean") {
+    assert(ids("""{"flag": {"$eq": true}}""") == Set(4))
+  }
+}
