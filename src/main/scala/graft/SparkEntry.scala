@@ -8,9 +8,11 @@ object SparkEntry {
     RelationalQueries.q1Agg(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ FilterQueries.queries ++ ListingQueries.queries
+    RelationalQueries.queries ++ FilterQueries.queries ++ ListingQueries.queries ++
+      VectorQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ FilterQueries.oracles ++ ListingQueries.oracles
+    RelationalQueries.oracles ++ FilterQueries.oracles ++ ListingQueries.oracles ++
+      VectorQueries.oracles
 }

@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.vec
+import graft.operators.{IvfIndex, KnnSearch}
+
+/** Vector search coverage (SURVEY §2.3 E5/E6, §2.5 Q1-Q4, Q11, Q14).
+  * Oracles are exact DuckDB reimplementations over DOUBLE[] casts — the
+  * Spark expressions accumulate float elements in double left-to-right, so
+  * scores agree bit-for-bit before the 6-dp display rounding.
+  */
+object VectorQueries {
+
+  /** The corpus-side query vector (a real request would carry an embedded
+    * query; the driver-shaped testdata uses vec 0 as the probe). */
+  def queryVec(spark: SparkSession, dir: String, vecId: Long = 0): Array[Float] =
+    Tables.embeddings(spark, dir).filter(col("vec_id") === vecId)
+      .select("embedding").head().getSeq[Float](0).toArray
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v1_knn_topk" -> ((s, d) => knnTopK(s, d)),
+    "v2_knn_batch" -> ((s, d) => knnBatch(s, d)),
+    "v3_neardup_pairs" -> ((s, d) => nearDupPairs(s, d)),
+    "v4_quantize_hamming" -> ((s, d) => quantizeHamming(s, d)),
+    "v5_maxsim_float" -> ((s, d) => maxSimFloat(s, d)),
+    "v6_maxsim_binary" -> ((s, d) => maxSimBinary(s, d)),
+    "v7_ivf_knn" -> ((s, d) => ivfKnn(s, d)),
+    "s1_search_docs" -> ((s, d) => searchDocs(s, d))
+  )
+
+  /** Q1: single-query exact top-k (TakeOrderedAndProject — no global sort). */
+  def knnTopK(spark: SparkSession, dir: String): DataFrame = {
+    val q = queryVec(spark, dir)
+    KnnSearch.topK(Tables.embeddings(spark, dir), "embedding", "vec_id", q, 10,
+      where = col("vec_id") =!= 0)
+      .select(col("vec_id"), round(col("score"), 6).as("score"))
+  }
+
+  /** Q1 batch: per-query bounded-heap top-k (map-side partial aggregation). */
+  def knnBatch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    KnnSearch.topKPerQuery(
+      corpus = e.filter(col("vec_id") >= 5),
+      vecCol = "embedding", idCol = "vec_id",
+      queries = e.filter(col("vec_id") < 5),
+      queryVecCol = "embedding", queryIdCol = "vec_id",
+      k = 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("id").as("vec_id"), round(col("score"), 6).as("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (training-data dedup; the
+    * brute-force O(n^2) baseline — the LSH-bucketed scale path is
+    * [[graft.operators.Dedup]]). */
+  def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(
+      col("vec_id"), col("embedding"))
+    val a = e.as("a"); val b = e.as("b")
+    a.join(b, col("a.vec_id") < col("b.vec_id"))
+      .withColumn("score", vec.cosine_sim(col("a.embedding"), col("b.embedding")))
+      .filter(col("score") > 0.3)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(col("score"), 6).as("score"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** E5+E6: binary quantization (packed MSB-first) + Hamming to the probe
+    * vector. The hex output pins the exact bit layout. */
+  def quantizeHamming(spark: SparkSession, dir: String): DataFrame = {
+    val q = queryVec(spark, dir)
+    Tables.embeddings(spark, dir).filter(col("vec_id") < 50)
+      .select(
+        col("vec_id"),
+        lower(hex(vec.binary_quantize(col("embedding")))).as("packed_hex"),
+        vec.hamming(vec.binary_quantize(col("embedding")),
+          vec.binary_quantize(lit(q))).cast("long").as("hamming"))
+      .orderBy("vec_id")
+  }
+
+  /** Multivector per label: embeddings sorted by vec_id. */
+  private def labelMultivectors(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
+        x => x.getField("embedding")).as("vecs"))
+
+  /** Q5 exact rescoring: float MaxSim of each label-doc against label 0. */
+  def maxSimFloat(spark: SparkSession, dir: String): DataFrame = {
+    val mv = labelMultivectors(spark, dir)
+    val q = mv.filter(col("label") === 0).select(col("vecs").as("qvecs"))
+    mv.crossJoin(broadcast(q))
+      .select(col("label").cast("long").as("label"),
+        round(vec.max_sim_float(col("vecs"), col("qvecs")), 4).as("maxsim"))
+      .orderBy("label")
+  }
+
+  /** Q4: binary MaxSim (the in-DB `max_sim` bit[] UDF) against label 0. */
+  def maxSimBinary(spark: SparkSession, dir: String): DataFrame = {
+    val mv = Tables.embeddings(spark, dir)
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
+        x => vec.binary_quantize(x.getField("embedding"))).as("bvecs"))
+    val q = mv.filter(col("label") === 0).select(col("bvecs").as("qvecs"))
+    mv.crossJoin(broadcast(q))
+      .select(col("label").cast("long").as("label"),
+        round(vec.max_sim_binary(col("bvecs"), col("qvecs")), 6).as("maxsim"))
+      .orderBy("label")
+  }
+
+  /** IVF probe-pruned ANN (rows-only gate; exactness vs brute force is
+    * asserted in IvfIndexSpec with nprobe=lists). */
+  def ivfKnn(spark: SparkSession, dir: String): DataFrame = {
+    val q = queryVec(spark, dir)
+    val (indexed, model) = IvfIndex.build(
+      Tables.embeddings(spark, dir), "embedding", lists = 16)
+    IvfIndex.query(indexed, model, "embedding", "vec_id", q, k = 10, nprobe = 8,
+      where = col("vec_id") =!= 0)
+      .select(col("vec_id"), round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+  }
+
+  /** Q2+Q11+Q14 composed: authorized semi-join -> filtered KNN -> doc-level
+    * max-score grouping joined back to documents. */
+  def searchDocs(spark: SparkSession, dir: String): DataFrame = {
+    val q = queryVec(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val authorized = docs.filter(col("lang") === "en").select(col("doc_id"))
+    val corpus = KnnSearch.authorized(
+      Tables.embeddings(spark, dir), "vec_id", authorized, "doc_id")
+    val hits = KnnSearch.topK(corpus, "embedding", "vec_id", q, 20,
+      where = col("vec_id") =!= 0, minScore = -1.0)
+    KnnSearch.docLevel(hits.withColumn("doc_id", col("vec_id")), "doc_id")
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .select(col("doc_id"), round(col("score"), 6).as("score"), col("source"),
+        col("chunk_hits"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  private val qv = "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)"
+
+  def oracles: Map[String, String] = Map(
+    "v1_knn_topk" ->
+      s"""SELECT vec_id,
+         |  round(list_cosine_similarity(embedding::DOUBLE[], $qv), 6) AS score
+         |FROM embeddings WHERE vec_id <> 0
+         |ORDER BY list_cosine_similarity(embedding::DOUBLE[], $qv) DESC, vec_id
+         |LIMIT 10""".stripMargin,
+    "v2_knn_batch" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |     c AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings WHERE vec_id >= 5),
+        |     s AS (SELECT query_id, c.vec_id,
+        |             list_cosine_similarity(v, qv) AS sc,
+        |             row_number() OVER (PARTITION BY query_id
+        |                                ORDER BY list_cosine_similarity(v, qv) DESC, c.vec_id) AS rank
+        |           FROM q, c)
+        |SELECT query_id, rank, vec_id, round(sc, 6) AS score
+        |FROM s WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "v3_neardup_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+    "v4_quantize_hamming" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id,
+         |  lower(list_aggregate(list_transform(range(cast(ceil(len(embedding)/8.0) AS BIGINT)), j ->
+         |    lpad(to_hex(list_sum(list_transform(range(8), i ->
+         |      CASE WHEN j*8+i < len(embedding) AND embedding[j*8+i+1] > 0
+         |           THEN 1<<(7-i) ELSE 0 END))), 2, '0')), 'string_agg', '')) AS packed_hex,
+         |  len(list_filter(range(len(embedding)), i ->
+         |    (embedding[i+1] > 0) <> (qe[i+1] > 0))) AS hamming
+         |FROM embeddings, q WHERE vec_id < 50 ORDER BY vec_id""".stripMargin,
+    "v5_maxsim_float" ->
+      """WITH mv AS (SELECT label, list(embedding::DOUBLE[] ORDER BY vec_id) AS vecs
+        |            FROM embeddings GROUP BY label)
+        |SELECT a.label::BIGINT AS label,
+        |  round(list_sum(list_transform(q.vecs, qv ->
+        |    list_max(list_transform(a.vecs, dv -> list_dot_product(qv, dv))))), 4) AS maxsim
+        |FROM mv a, (SELECT vecs FROM mv WHERE label = 0) q
+        |ORDER BY label""".stripMargin,
+    "v6_maxsim_binary" ->
+      """WITH mv AS (SELECT label, list(embedding ORDER BY vec_id) AS vecs
+        |            FROM embeddings GROUP BY label)
+        |SELECT a.label::BIGINT AS label,
+        |  round(list_sum(list_transform(q.vecs, qv ->
+        |    list_max(list_transform(a.vecs, dv ->
+        |      1.0 - len(list_filter(range(len(qv)), i ->
+        |        (qv[i+1] > 0) <> (dv[i+1] > 0))) / len(qv))))), 6) AS maxsim
+        |FROM mv a, (SELECT vecs FROM mv WHERE label = 0) q
+        |ORDER BY label""".stripMargin,
+    "s1_search_docs" ->
+      s"""WITH hits AS (
+         |  SELECT e.vec_id AS doc_id,
+         |    list_cosine_similarity(e.embedding::DOUBLE[], $qv) AS sc
+         |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+         |  WHERE d.lang = 'en' AND e.vec_id <> 0
+         |  ORDER BY sc DESC, e.vec_id LIMIT 20)
+         |SELECT h.doc_id AS doc_id, round(max(h.sc), 6) AS score,
+         |       any_value(d.source) AS source, count(*) AS chunk_hits
+         |FROM hits h JOIN documents d ON h.doc_id = d.doc_id
+         |GROUP BY h.doc_id
+         |ORDER BY score DESC, h.doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{IvfIndex, KnnSearch}
+import graft.queries.VectorQueries
+
+/** IVF invariants: probing every list is exhaustive (== brute force), and
+  * partial probing returns a correctly-ordered subset of the corpus. */
+class IvfIndexSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("nprobe == lists is exact (matches brute force)") {
+    val e = Tables.embeddings(spark, dir)
+    val q = VectorQueries.queryVec(spark, dir)
+    val (indexed, model) = IvfIndex.build(e, "embedding", lists = 8)
+    val ivf = IvfIndex.query(indexed, model, "embedding", "vec_id", q, 10, nprobe = 8,
+      where = col("vec_id") =!= 0)
+      .select("vec_id", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val bf = KnnSearch.topK(e, "embedding", "vec_id", q, 10, col("vec_id") =!= 0)
+      .select("vec_id", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ivf == bf)
+  }
+
+  test("partial probe returns k valid candidates with scores <= exact best") {
+    val e = Tables.embeddings(spark, dir)
+    val q = VectorQueries.queryVec(spark, dir)
+    val (indexed, model) = IvfIndex.build(e, "embedding", lists = 8)
+    val ivf = IvfIndex.query(indexed, model, "embedding", "vec_id", q, 10, nprobe = 2,
+      where = col("vec_id") =!= 0).select("score").collect().map(_.getDouble(0))
+    assert(ivf.length == 10)
+    val bfBest = KnnSearch.topK(e, "embedding", "vec_id", q, 1, col("vec_id") =!= 0)
+      .select("score").head().getDouble(0)
+    assert(ivf.forall(_ <= bfBest + 1e-12))
+    assert(ivf.sorted.reverse.toSeq == ivf.toSeq) // descending order
+  }
+}

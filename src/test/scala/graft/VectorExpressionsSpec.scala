@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{vec, TopKAggregate}
+
+/** Vector-op goldens mirroring the reference's `test_multivector.py` cases:
+  * quantization (exact zero -> bit 0; non-byte-aligned dims), Hamming,
+  * hand-computed binary MaxSim `sum(max(1 - popcount(xor)/bitlen))`
+  * (`multi_vector_store.py:287-312`), float MaxSim, and the top-k heap. */
+class VectorExpressionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def quantize(v: Seq[Float]): Array[Byte] =
+    Seq(v).toDF("v")
+      .select(vec.binary_quantize(col("v").cast("array<float>")))
+      .head().getAs[Array[Byte]](0)
+
+  test("binary_quantize: v > 0 sets bit, exact zero does not; MSB-first packing") {
+    // 8 dims: [1, -1, 0, 2, -0.5, 3, 0, 0.1] -> bits 10010101 -> 0x95
+    assert(quantize(Seq(1f, -1f, 0f, 2f, -0.5f, 3f, 0f, 0.1f)).toSeq == Seq(0x95.toByte))
+  }
+
+  test("binary_quantize: non-byte-aligned dim pads trailing zero bits") {
+    // 10 dims, all positive -> 11111111 11000000 -> 0xff 0xc0
+    assert(quantize(Seq.fill(10)(1f)).toSeq == Seq(0xff.toByte, 0xc0.toByte))
+  }
+
+  test("hamming distance") {
+    val df = Seq((Seq(1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f), Seq(-1f, 1f, 1f, 1f, 1f, 1f, 1f, -1f)))
+      .toDF("a", "b")
+    val h = df.select(vec.hamming(
+      vec.binary_quantize(col("a").cast("array<float>")),
+      vec.binary_quantize(col("b").cast("array<float>")))).head().getInt(0)
+    assert(h == 2)
+  }
+
+  test("max_sim_binary: hand-computed 2 query x 3 doc vectors") {
+    // 8-bit vectors. doc: d1=[1,1,1,1,1,1,1,1]->0xff, d2=[-..]->0x00, d3 alt 0xaa
+    // query: q1=0xff, q2=0x0f ([- - - - + + + +])
+    // sim(q1,d1)=1, sim(q1,d2)=0, sim(q1,d3)=0.5 -> max 1
+    // sim(q2,d1)=0.5, sim(q2,d2)=0.5, sim(q2,d3)= 1 - popcount(0xa5)/8 = 0.5 -> max 0.5
+    // total = 1.5
+    val pos = Seq(1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f)
+    val neg = pos.map(-_)
+    val alt = Seq(1f, -1f, 1f, -1f, 1f, -1f, 1f, -1f)
+    val q2v = Seq(-1f, -1f, -1f, -1f, 1f, 1f, 1f, 1f)
+    val df = Seq((Seq(pos, neg, alt), Seq(pos, q2v))).toDF("doc", "query")
+    val got2 = df.select(vec.max_sim_binary(
+      transform(col("doc").cast("array<array<float>>"), x => vec.binary_quantize(x)),
+      transform(col("query").cast("array<array<float>>"), x => vec.binary_quantize(x)))
+    ).head().getDouble(0)
+    assert(math.abs(got2 - 1.5) < 1e-12)
+  }
+
+  test("max_sim_float: sum of per-query max dot products") {
+    val d1 = Seq(1f, 0f); val d2 = Seq(0f, 1f)
+    val q1 = Seq(2f, 0f); val q2 = Seq(0f, 3f)
+    // max dot(q1, d*) = 2; max dot(q2, d*) = 3 -> 5
+    val df = Seq((Seq(d1, d2), Seq(q1, q2))).toDF("doc", "query")
+    val got = df.select(vec.max_sim_float(
+      col("doc").cast("array<array<float>>"),
+      col("query").cast("array<array<float>>"))).head().getDouble(0)
+    assert(math.abs(got - 5.0) < 1e-12)
+  }
+
+  test("cosine_sim known values and zero-vector guard") {
+    val df = Seq(
+      (Seq(1f, 0f), Seq(1f, 0f), 1.0),
+      (Seq(1f, 0f), Seq(0f, 1f), 0.0),
+      (Seq(1f, 0f), Seq(-1f, 0f), -1.0),
+      (Seq(0f, 0f), Seq(1f, 1f), 0.0) // zero vector -> 0, not NaN
+    ).toDF("a", "b", "want")
+    val rows = df.select(vec.cosine_sim(col("a").cast("array<float>"),
+      col("b").cast("array<float>")).as("got"), col("want")).collect()
+    rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("top_k aggregate: bounded heap with (score desc, id asc) ties") {
+    val df = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (4L, 0.1), (5L, 0.7))
+      .toDF("id", "score")
+    val hits = df.agg(TopKAggregate.top_k(col("score"), col("id"), 3).as("h"))
+      .select(explode(col("h")).as("e"))
+      .select(col("e.id"), col("e.score")).as[(Long, Double)].collect().toSeq
+    assert(hits == Seq((2L, 0.9), (3L, 0.9), (5L, 0.7)))
+  }
+
+  test("top_k aggregate distributed merge equals local") {
+    val n = 10000
+    val df = spark.range(n).repartition(8)
+      .withColumn("score", (col("id") * 2654435761L % 1000000).cast("double"))
+    val got = df.agg(TopKAggregate.top_k(col("score"), col("id"), 10).as("h"))
+      .select(explode(col("h")).as("e")).select("e.id", "e.score")
+      .as[(Long, Double)].collect().toSeq
+    val want = df.select("id", "score").as[(Long, Double)].collect()
+      .sortBy { case (i, s) => (-s, i) }.take(10).toSeq
+    assert(got == want)
+  }
+}
