@@ -1,0 +1,141 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, fingerprinting, shingles, MinHash signatures, SimHash,
+  * language-ID and quality scoring.
+  *
+  * Everything here is a composition of built-in codegen'd functions
+  * (`split`/`transform`/`aggregate`/`md5`/...) — no UDFs — so the operators
+  * stay inside whole-stage codegen and push through Catalyst untouched.
+  * Hashes are md5-prefix based (not xxhash) so every operator is exactly
+  * reproducible in the DuckDB oracle and in any other engine.
+  */
+object text {
+
+  /** lower + collapse whitespace + trim (the canonical form used by
+    * fingerprinting and dedup; mirrors `fast_ops.py:257-287` normalize). */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Whitespace tokens of the normalized text; empty text -> empty array. */
+  def tokens(c: Column): Column =
+    filter(split(normalize(c), " "), t => length(t) > 0)
+
+  /** Whitespace token count (`fast_ops.py:257-263`). */
+  def token_count(c: Column): Column = size(tokens(c))
+
+  /** Content fingerprint: md5 of the normalized text (exact-dedup key). */
+  def fingerprint(c: Column): Column = md5(normalize(c))
+
+  /** Distinct character n-grams of the normalized text. */
+  def char_shingles(c: Column, n: Int): Column = {
+    val norm = normalize(c)
+    when(length(norm) >= n,
+      array_distinct(transform(sequence(lit(1), length(norm) - (n - 1)),
+        i => norm.substr(i, lit(n)))))
+      .otherwise(array())
+  }
+
+  /** Distinct word n-grams (space-joined) over the token array. */
+  def word_shingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array())
+  }
+
+  /** 32-bit seeded shingle hash: first 8 hex chars of md5("seed:shingle").
+    * Reproducible in any engine with md5. */
+  def shingle_hash(seed: Column, shingle: Column): Column =
+    conv(substring(md5(concat(seed.cast("string"), lit(":"), shingle)), 1, 8), 16, 10)
+      .cast("long")
+
+  /** MinHash signature: k independent permutations approximated by k seeded
+    * hashes; element i = min over shingles of hash_i (the standard
+    * MinHash estimator of Jaccard similarity). Null-safe: empty shingle set
+    * -> all-max sentinel so it never collides with real signatures. */
+  def minhash_signature(shingles: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)), s =>
+      coalesce(array_min(transform(shingles, x => shingle_hash(s, x))),
+        lit(Long.MaxValue)))
+
+  /** LSH band keys: the signature split into `bands` contiguous slices,
+    * each slice hashed; docs sharing any band key become candidate pairs. */
+  def lsh_band_keys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      md5(concat_ws(",", concat(array(b.cast("string")),
+        slice(sig, b * lit(rowsPerBand) + 1, lit(rowsPerBand)).cast("array<string>")))))
+
+  /** 48-bit SimHash over the (frequency-weighted) token stream. Token hash =
+    * first 12 hex chars of md5 (48 bits fits exactly in long/double on every
+    * engine). Bit b (MSB-first) is 1 iff the signed bit-vote sum >= 0. */
+  def simhash48(c: Column): Column = {
+    val hashes = transform(tokens(c), t =>
+      conv(substring(md5(t), 1, 12), 16, 10).cast("long"))
+    // Dynamic right-shift via exact double division (48-bit values < 2^53,
+    // so floor(h / 2^k) is exact): shiftright() only takes literal bit counts.
+    val bits = transform(sequence(lit(0), lit(47)), b =>
+      when(aggregate(hashes, lit(0L), (acc, h) =>
+        acc + when(floor(h / pow(lit(2.0), lit(47) - b)).cast("long") % 2 === 1, 1L)
+          .otherwise(-1L)) >= 0, 1L)
+        .otherwise(0L))
+    aggregate(bits, lit(0L), (acc, x) => acc * 2 + x)
+  }
+
+  /** Hamming distance between two simhash values (64-bit safe). */
+  def simhash_hamming(a: Column, b: Column): Column = {
+    bit_count(a.bitwiseXOR(b))
+  }
+
+  // ------------------------------------------------------------ language ID
+
+  /** Per-language stopword sets for the n-gram/stopword heuristic. Order is
+    * the deterministic tiebreak (alphabetical). */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "it", "that"),
+    "es" -> Seq("el", "la", "los", "de", "que", "es", "un", "una"),
+    "fr" -> Seq("le", "les", "et", "est", "que", "des", "un", "une"))
+
+  /** Stopword hit count for one language. */
+  def lang_score(c: Column, lang: String): Column = {
+    val set = langStopwords.toMap.apply(lang)
+    size(filter(tokens(c), t => t.isin(set.map(lit(_)): _*)))
+  }
+
+  /** Heuristic language ID: argmax stopword hits, ties to the alphabetically
+    * first language, no hits -> 'und'. Deterministic and SQL-reproducible. */
+  def lang_id(c: Column): Column = {
+    val scores = langStopwords.map { case (l, _) => l -> lang_score(c, l) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((l, s), els) =>
+      when(s === best && best > 0, lit(l)).otherwise(els)
+    }
+  }
+
+  // -------------------------------------------------------- quality scoring
+
+  /** Heuristic document quality in [0,1]:
+    * 0.4 * length component (saturates at 50 tokens)
+    * + 0.3 * lexical diversity (distinct/total tokens)
+    * + 0.3 * stopword-ratio fit (ideal ~0.45, linear falloff).
+    * Returned UNROUNDED: both engines evaluate the identical IEEE op
+    * sequence, so raw doubles hash identically, while engine round()
+    * semantics differ (DuckDB rounds the shortest decimal repr, Spark the
+    * exact binary value — they disagree on values like 0.42474999999999996). */
+  def quality_score(c: Column): Column = {
+    val toks = tokens(c)
+    val n = size(toks).cast("double")
+    val enStops = langStopwords.toMap.apply("en")
+    val stopHits = size(filter(toks, t => t.isin(enStops.map(lit(_)): _*))).cast("double")
+    val lenComp = least(lit(1.0), n / 50.0)
+    val diversity = when(n > 0, size(array_distinct(toks)).cast("double") / n).otherwise(0.0)
+    val stopRatio = when(n > 0, stopHits / n).otherwise(0.0)
+    val stopFit = greatest(lit(0.0), lit(1.0) - abs(stopRatio - 0.45) / 0.45)
+    lit(0.4) * lenComp + lit(0.3) * diversity + lit(0.3) * stopFit
+  }
+}

@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{AsOfJoin, Chunker}
+
+/** Temporal + chunking coverage: as-of join (SURVEY Q13), neighbor padding
+  * (Q8), tumbling-window aggregation (the batch twin of the streaming path),
+  * and the chunk exploder (C1). Oracles use DuckDB's native ASOF JOIN and
+  * window functions.
+  */
+object TemporalQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e1_asof_join" -> ((s, d) => asofJoin(s, d)),
+    "e2_padding_neighbors" -> ((s, d) => paddingNeighbors(s, d)),
+    "e3_window_agg" -> ((s, d) => windowAgg(s, d)),
+    "c1_chunks_fixed" -> ((s, d) => chunksFixed(s, d)),
+    "c2_chunks_recursive" -> ((s, d) => chunksRecursive(s, d))
+  )
+
+  /** Q13: for each purchase, the latest error at-or-before it per user.
+    * Right side pre-deduped to one row per (user, ts) for determinism. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val errors = ev.filter(col("event_type") === "error")
+      .groupBy("user_id", "ts").agg(max("value").as("err_value"))
+    AsOfJoin.backward(purchases, errors, "user_id", "ts", Seq("err_value"))
+      .filter(col("asof_ts").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        round(col("value"), 2).as("value"),
+        col("asof_ts"), round(col("asof_err_value"), 2).as("asof_err_value"))
+      .orderBy("event_id")
+  }
+
+  /** Q8 neighbor expansion: previous/next same-user event around each
+    * purchase (lag/lead over one per-user sort — the chunk-padding shape). */
+  def paddingNeighbors(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .withColumn("prev_value", lag("value", 1).over(w))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("prev_type"),
+        round(col("prev_value"), 2).as("prev_value"), col("next_type"))
+      .orderBy("event_id")
+  }
+
+  /** Tumbling 1-hour window aggregate by event type (batch semantics of the
+    * streaming aggregation; same plan shape as `groupBy(window(...))`). */
+  def windowAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total"))
+      .orderBy("window_start", "event_type")
+
+  /** C1 fixed sliding chunks (declarative exploder, no UDF). */
+  def chunksFixed(spark: SparkSession, dir: String): DataFrame =
+    Chunker.fixedChunks(
+      Tables.documents(spark, dir).filter(col("doc_id") < 50),
+      "doc_id", "text", n = 120, overlap = 20)
+      .select(col("doc_id"), col("chunk_number").cast("long").as("chunk_number"),
+        col("chunk"))
+      .orderBy("doc_id", "chunk_number")
+
+  /** C1 recursive splitter (reference-faithful; rows-only gate + goldens in
+    * ChunkerSpec since the recursion isn't reasonably SQL-expressible). */
+  def chunksRecursive(spark: SparkSession, dir: String): DataFrame =
+    Chunker.recursiveChunks(
+      Tables.documents(spark, dir), "doc_id", "text",
+      chunkSize = 200, overlap = 20)
+      .select(col("doc_id"), col("chunk_number").cast("long").as("chunk_number"),
+        md5(col("chunk")).as("chunk_md5"), length(col("chunk")).cast("long").as("chunk_len"))
+      .orderBy("doc_id", "chunk_number")
+
+  def oracles: Map[String, String] = Map(
+    "e1_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |     e AS (SELECT user_id, ts, max(value) AS err_value FROM events
+        |           WHERE event_type = 'error' GROUP BY user_id, ts)
+        |SELECT p.event_id, p.user_id, round(p.value, 2) AS value,
+        |       e.ts AS asof_ts, round(e.err_value, 2) AS asof_err_value
+        |FROM p ASOF JOIN e ON p.user_id = e.user_id AND p.ts >= e.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "e2_padding_neighbors" ->
+      """SELECT event_id, user_id, prev_type, round(prev_value, 2) AS prev_value, next_type
+        |FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    lag(event_type) OVER w AS prev_type,
+        |    lag(value) OVER w AS prev_value,
+        |    lead(event_type) OVER w AS next_type
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "e3_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |       count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "c1_chunks_fixed" ->
+      """SELECT doc_id, (s - 1) // 100 AS chunk_number, substr(text, s::INT, 120) AS chunk
+        |FROM documents, generate_series(1, 100000, 100) AS t(s)
+        |WHERE doc_id < 50 AND s <= greatest(len(text) - 20, 1)
+        |  AND len(substr(text, s::INT, 120)) > 0
+        |ORDER BY doc_id, chunk_number""".stripMargin
+  )
+}

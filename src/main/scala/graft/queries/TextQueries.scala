@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.text
+import graft.operators.Dedup
+
+/** Text-analysis + dedup coverage over the `documents` table: token stats,
+  * language ID, quality scoring, exact dedup, MinHash+LSH, SimHash,
+  * n-gram Jaccard. Every query has a full DuckDB oracle — the hash
+  * constructions are md5-based specifically so the oracle can reproduce
+  * them bit-for-bit.
+  */
+object TextQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_token_stats" -> ((s, d) => tokenStats(s, d)),
+    "t2_lang_quality" -> ((s, d) => langQuality(s, d)),
+    "t3_exact_dups" -> ((s, d) => exactDups(s, d)),
+    "t4_minhash_lsh" -> ((s, d) => minhashLsh(s, d)),
+    "t5_simhash" -> ((s, d) => simhash(s, d)),
+    "t6_simhash_neardups" -> ((s, d) => simhashNearDups(s, d)),
+    "t7_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d))
+  )
+
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      text.token_count(col("text")).cast("long").as("n_tokens"),
+      text.fingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  def langQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      text.lang_id(col("text")).as("lang_guess"),
+      text.quality_score(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  /** Exact dedup on a normalized 60-char prefix key (the full texts are
+    * unique in this corpus; prefix dedup mirrors near-boilerplate removal). */
+  def exactDups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(
+      Tables.documents(spark, dir).withColumn("key_text", substring(col("text"), 1, 60)),
+      "doc_id", "key_text")
+      .orderBy("fp")
+
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text",
+      shingleSize = 5, numHashes = 16, bands = 4)
+      .filter(col("est_jaccard") >= 0.25)
+      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+      .orderBy("id_a", "id_b")
+
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashes(Tables.documents(spark, dir), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("simhash"))
+      .orderBy("doc_id")
+
+  def simhashNearDups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(Tables.documents(spark, dir), "doc_id", "text", maxHamming = 3)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+      .orderBy("id_a", "id_b")
+
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
+      shingleSize = 5, threshold = 0.2, maxId = Some(150L))
+      .orderBy("id_a", "id_b")
+
+  // ----------------------------------------------------------------- oracles
+
+  /** Normalization CTE shared by the oracles (= text.normalize). */
+  private val norm =
+    "SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents"
+
+  private val toks =
+    s"WITH n AS ($norm), tk AS (SELECT doc_id, list_filter(string_split(norm, ' '), t -> len(t) > 0) AS tk FROM n)"
+
+  private def stopSql(langWords: Seq[String]): String =
+    langWords.map(w => s"'$w'").mkString("(", ",", ")")
+
+  private val de = stopSql(text.langStopwords.toMap.apply("de"))
+  private val en = stopSql(text.langStopwords.toMap.apply("en"))
+  private val es = stopSql(text.langStopwords.toMap.apply("es"))
+  private val fr = stopSql(text.langStopwords.toMap.apply("fr"))
+
+  def oracles: Map[String, String] = Map(
+    "t1_token_stats" ->
+      s"""WITH n AS ($norm)
+         |SELECT doc_id,
+         |  CASE WHEN len(norm) = 0 THEN 0
+         |       ELSE len(list_filter(string_split(norm, ' '), t -> len(t) > 0)) END AS n_tokens,
+         |  md5(norm) AS fingerprint
+         |FROM n ORDER BY doc_id""".stripMargin,
+    "t2_lang_quality" ->
+      s"""$toks,
+         |s AS (SELECT doc_id,
+         |  len(list_filter(tk, t -> t IN $de)) AS s_de,
+         |  len(list_filter(tk, t -> t IN $en)) AS s_en,
+         |  len(list_filter(tk, t -> t IN $es)) AS s_es,
+         |  len(list_filter(tk, t -> t IN $fr)) AS s_fr,
+         |  len(tk)::DOUBLE AS n,
+         |  len(list_distinct(tk))::DOUBLE AS nd
+         |  FROM tk)
+         |SELECT doc_id,
+         |  CASE WHEN greatest(s_de,s_en,s_es,s_fr) = 0 THEN 'und'
+         |       WHEN s_de = greatest(s_de,s_en,s_es,s_fr) THEN 'de'
+         |       WHEN s_en = greatest(s_de,s_en,s_es,s_fr) THEN 'en'
+         |       WHEN s_es = greatest(s_de,s_en,s_es,s_fr) THEN 'es'
+         |       ELSE 'fr' END AS lang_guess,
+         |  0.4 * least(1.0, n / 50.0)
+         |      + 0.3 * (CASE WHEN n > 0 THEN nd / n ELSE 0 END)
+         |      + 0.3 * greatest(0.0, 1.0 - abs((CASE WHEN n > 0 THEN s_en / n ELSE 0 END) - 0.45) / 0.45)
+         |    AS quality
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "t3_exact_dups" ->
+      """WITH f AS (SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(substr(text, 1, 60)), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents)
+        |SELECT fp, min(doc_id) AS canonical_id,
+        |       list_sort(list(doc_id)) AS ids, count(*) AS dup_count
+        |FROM f GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin,
+    "t4_minhash_lsh" ->
+      s"""WITH n AS ($norm),
+         |sh AS (SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(norm) - 3), i -> substr(norm, i, 5))) AS sh
+         |  FROM n WHERE len(norm) >= 5),
+         |g AS (SELECT doc_id,
+         |    list_transform(range(16), k ->
+         |      coalesce(list_min(list_transform(sh, x ->
+         |        ('0x' || substr(md5(k || ':' || x), 1, 8))::BIGINT)), 9223372036854775807)) AS sig
+         |  FROM sh WHERE len(sh) > 0),
+         |b AS (SELECT doc_id, sig,
+         |    list_transform(range(4), bb ->
+         |      md5(bb || ',' || array_to_string(list_slice(sig, bb*4 + 1, bb*4 + 4), ','))) AS keys
+         |  FROM g)
+         |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+         |  round(len(list_filter(range(16), i -> a.sig[i+1] = c.sig[i+1])) / 16.0, 4) AS est_jaccard
+         |FROM b a, b c
+         |WHERE a.doc_id < c.doc_id AND len(list_intersect(a.keys, c.keys)) > 0
+         |  AND len(list_filter(range(16), i -> a.sig[i+1] = c.sig[i+1])) / 16.0 >= 0.25
+         |ORDER BY id_a, id_b""".stripMargin,
+    "t5_simhash" ->
+      s"""$toks,
+         |h AS (SELECT doc_id, list_transform(tk, t -> ('0x' || substr(md5(t), 1, 12))::BIGINT) AS hs FROM tk)
+         |SELECT doc_id,
+         |  list_sum(list_transform(range(48), b ->
+         |    CASE WHEN list_sum(list_transform(hs, x ->
+         |           CASE WHEN (x >> (47 - b)) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+         |         THEN (1::BIGINT << (47 - b)) ELSE 0 END))::BIGINT AS simhash
+         |FROM h ORDER BY doc_id""".stripMargin,
+    "t6_simhash_neardups" ->
+      s"""$toks,
+         |h AS (SELECT doc_id, list_transform(tk, t -> ('0x' || substr(md5(t), 1, 12))::BIGINT) AS hs FROM tk),
+         |sh AS (SELECT doc_id,
+         |  list_sum(list_transform(range(48), b ->
+         |    CASE WHEN list_sum(list_transform(hs, x ->
+         |           CASE WHEN (x >> (47 - b)) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+         |         THEN (1::BIGINT << (47 - b)) ELSE 0 END))::BIGINT AS s
+         |  FROM h),
+         |blk AS (SELECT doc_id, s,
+         |  list_transform(range(4), i -> i || ':' || ((s >> (i*12)) & 4095)) AS blocks FROM sh)
+         |SELECT a.doc_id AS id_a, c.doc_id AS id_b, bit_count(xor(a.s, c.s))::BIGINT AS hamming
+         |FROM blk a, blk c
+         |WHERE a.doc_id < c.doc_id
+         |  AND len(list_intersect(a.blocks, c.blocks)) > 0
+         |  AND bit_count(xor(a.s, c.s)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+    "t7_ngram_jaccard" ->
+      s"""WITH n AS ($norm),
+         |sh AS (SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(norm) - 3), i -> substr(norm, i, 5))) AS sh
+         |  FROM n WHERE doc_id < 150),
+         |p AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+         |    len(list_intersect(a.sh, c.sh)) / len(list_distinct(a.sh || c.sh))::DOUBLE AS j
+         |  FROM sh a, sh c WHERE a.doc_id < c.doc_id)
+         |SELECT id_a, id_b, round(j, 6) AS jaccard FROM p
+         |WHERE j >= 0.2 ORDER BY id_a, id_b""".stripMargin
+  )
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.AsOfJoin
+
+/** As-of join semantics (SURVEY Q13, `video.py:41-53` nearest-timestamp):
+  * backward inclusive match, no-match null, and nearest with tolerance
+  * window (binary-search `at_time` equivalent). */
+class AsOfJoinSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  // left: (key, ts); right: (key, ts, content)
+  lazy val left = Seq(("a", 5.0), ("a", 0.5), ("a", 10.0), ("b", 3.0))
+    .toDF("k", "ts")
+  lazy val right = Seq(("a", 1.5, "f1"), ("a", 3.2, "f2"), ("a", 10.0, "f3"))
+    .toDF("k", "ts", "content")
+
+  test("backward: latest right at-or-before each left ts; inclusive; null when none") {
+    val got = AsOfJoin.backward(left, right, "k", "ts", Seq("content"))
+      .select("k", "ts", "asof_ts", "asof_content")
+      .as[(String, Double, Option[Double], Option[String])].collect().toSet
+    assert(got == Set(
+      ("a", 5.0, Some(3.2), Some("f2")),
+      ("a", 0.5, None, None),          // nothing before 0.5
+      ("a", 10.0, Some(10.0), Some("f3")), // inclusive at equality
+      ("b", 3.0, None, None)))         // no right rows for key b
+  }
+
+  test("nearest with tolerance: picks closest either side, ties to earlier") {
+    // at_time(t, padding) semantics (`video.py:41-106`)
+    val got = AsOfJoin.nearest(left, right, "k", "ts", Seq("content"), toleranceSec = 2.0)
+      .select("k", "ts", "near_ts", "near_content")
+      .as[(String, Double, Double, String)].collect().toSet
+    assert(got == Set(
+      ("a", 5.0, 3.2, "f2"),   // dist 1.8 back vs 5.0 fwd
+      ("a", 0.5, 1.5, "f1"),   // only forward within 2.0
+      ("a", 10.0, 10.0, "f3")))
+    // b@3.0 has no right rows; a@0.5 backward none, forward 1.0 away -> kept
+  }
+}
