@@ -1,24 +1,56 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs the headline queries on
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
+  *
+  * Headliners cover every heavy operator family: scan+agg (q1), multi-join
+  * (q2), filter DSL (f5), listing sort+page (l1), KNN single+batch (v1/v2),
+  * O(n^2) near-dup (v3), MaxSim (v5), minhash LSH (t4), simhash (t5),
+  * as-of join (e1), window agg (e3), chunk explode (c1), doc search (s1).
+  */
 object Bench {
+  private val headline = Seq(
+    "q1_agg", "q2_join3", "f5_decimal_exists_ne", "l1_listing_page",
+    "v1_knn_topk", "v2_knn_batch", "v3_neardup_pairs", "v5_maxsim_float",
+    "t4_minhash_lsh", "t5_simhash", "t6_simhash_neardups",
+    "e1_asof_join", "e3_window_agg", "c1_chunks_fixed", "s1_search_docs")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // JIT/codegen warmup on the tiny sf so headline timings measure the
+    // query, not first-run compilation.
+    val warm = "/root/testdata/sf0.001"
+    headline.foreach { n =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try SparkEntry.queries(n)(spark, warm).count()
+      catch { case e: Throwable => System.err.println(s"[bench] warmup $n FAILED: $e") }
+      System.err.println(f"[bench] warmup $n ${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = headline.map { name =>
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: $e"); -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name $dt%.2fs")
+      name -> dt
+    }
+    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

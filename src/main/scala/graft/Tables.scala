@@ -12,6 +12,15 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Fan a (possibly single-row-group) scan out to all cores before a
+    * compute-bound stage. The testdata files are one row group each, so
+    * without this every md5/cosine/simhash loop runs on ONE task — at
+    * cluster scale the input would already be many splits and this becomes a
+    * cheap no-op-ish round robin. Call it only in front of per-row-heavy
+    * work; pure scan→filter→agg paths stay un-shuffled. */
+  def scaled(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "customer")

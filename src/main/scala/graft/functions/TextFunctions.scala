@@ -86,6 +86,20 @@ object text {
     aggregate(bits, lit(0L), (acc, x) => acc * 2 + x)
   }
 
+  /** Single-pass expression forms (preferred at scale — the Column
+    * compositions above re-evaluate subtrees per lambda via
+    * CollapseProject; see TextHashExpressions). Input must already be
+    * normalized. */
+  def minhash_signature_fast(norm: Column, k: Int, shingleSize: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      TextHashExpressions.MinHashSignature(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(norm), k, shingleSize))
+
+  def simhash48_fast(norm: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      TextHashExpressions.SimHash48(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(norm)))
+
   /** Hamming distance between two simhash values (64-bit safe). */
   def simhash_hamming(a: Column, b: Column): Column = {
     bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,106 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass Catalyst expressions for the hash-heavy text operators.
+  *
+  * Why expressions and not Column compositions: Catalyst's CollapseProject
+  * inlines a referenced projection into every consumer, so a composed
+  * `transform(seq(k), s -> min over shingles(md5(...)))` re-evaluates the
+  * shingle/normalize subtree once PER SEED (and normalize once per shingle
+  * position) — quadratic blowup observed live as one 200+ second task.
+  * These expressions evaluate the md5 pipeline exactly once per row in a
+  * tight JVM loop while preserving the md5-prefix semantics the DuckDB
+  * oracles replicate: the value of the first 2k hex chars of md5 equals the
+  * first k digest bytes read big-endian, so no hex strings are built at all.
+  */
+object TextHashExpressions {
+
+  /** Unsigned big-endian value of the first n digest bytes
+    * (== parseLong(hexPrefix(2n), 16)). */
+  @inline private def prefixLong(d: Array[Byte], n: Int): Long = {
+    var v = 0L; var i = 0
+    while (i < n) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v
+  }
+
+  /** min-hash signature over distinct char shingles of an ALREADY-NORMALIZED
+    * text: element s = min over shingles of md5("s:" + shingle) 8-hex-char
+    * prefix, Long.MaxValue sentinel when no shingles. */
+  case class MinHashSignature(child: Expression, numHashes: Int, shingleSize: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_signature"
+
+    @transient private lazy val seedPrefixes: Array[Array[Byte]] =
+      Array.tabulate(numHashes)(k => s"$k:".getBytes(StandardCharsets.UTF_8))
+
+    override def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[UTF8String].toString
+      val out = Array.fill(numHashes)(Long.MaxValue)
+      if (s.length >= shingleSize) {
+        val md = MessageDigest.getInstance("MD5")
+        val seen = new java.util.HashSet[String]()
+        var i = 0
+        val last = s.length - shingleSize
+        while (i <= last) {
+          val sh = s.substring(i, i + shingleSize)
+          if (seen.add(sh)) {
+            val shBytes = sh.getBytes(StandardCharsets.UTF_8)
+            var k = 0
+            while (k < numHashes) {
+              md.reset()
+              md.update(seedPrefixes(k))
+              md.update(shBytes)
+              val h = prefixLong(md.digest(), 4)
+              if (h < out(k)) out(k) = h
+              k += 1
+            }
+          }
+          i += 1
+        }
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** 48-bit SimHash over whitespace tokens of an ALREADY-NORMALIZED text:
+    * token hash = first 12 md5 hex chars (= 6 bytes); bit b (MSB-first) = 1
+    * iff the signed vote sum >= 0. Matches text.simhash48 / the oracle. */
+  case class SimHash48(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash48"
+
+    override def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[UTF8String].toString
+      val votes = new Array[Int](48)
+      val md = MessageDigest.getInstance("MD5")
+      s.split(" ").foreach { tok =>
+        if (tok.nonEmpty) {
+          md.reset()
+          val h = prefixLong(md.digest(tok.getBytes(StandardCharsets.UTF_8)), 6)
+          var b = 0
+          while (b < 48) {
+            if (((h >> (47 - b)) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+        }
+      }
+      var out = 0L; var b = 0
+      while (b < 48) { out = (out << 1) | (if (votes(b) >= 0) 1L else 0L); b += 1 }
+      out
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+}

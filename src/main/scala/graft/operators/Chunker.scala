@@ -86,7 +86,7 @@ object Chunker {
                       chunkSize: Int = 6000, overlap: Int = 300): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(textCol))
+    graft.Tables.scaled(df.select(col(idCol).cast("long"), col(textCol)))
       .as[(Long, String)]
       .flatMap { case (id, t) =>
         splitText(Option(t).getOrElse(""), chunkSize, overlap)

@@ -34,12 +34,16 @@ object Dedup {
     df.select(col(idCol).cast("long").as("id"), text.fingerprint(col(textCol)).as("fp"))
       .groupBy("fp").agg(min("id").as("keep_id"))
 
-  /** MinHash signature table: (id, sig array<long>, shingle count). */
+  /** MinHash signature table: (id, norm, sig array<long>).
+    * normalize (cheap regex) runs before the exchange; the md5-heavy
+    * signature is a single-pass Catalyst expression AFTER it, so the work
+    * parallelizes and never re-evaluates per seed (see
+    * TextHashExpressions). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int, numHashes: Int): DataFrame =
-    df.select(col(idCol).cast("long").as("id"),
-      text.char_shingles(col(textCol), shingleSize).as("shingles"))
-      .withColumn("sig", text.minhash_signature(col("shingles"), numHashes))
+    graft.Tables.scaled(df.select(col(idCol).cast("long").as("id"),
+      text.normalize(col(textCol)).as("norm")))
+      .withColumn("sig", text.minhash_signature_fast(col("norm"), numHashes, shingleSize))
 
   /** LSH candidate pairs + MinHash-estimated Jaccard.
     * Candidates = docs sharing >= 1 band key (equi-join, not cross join);
@@ -50,11 +54,24 @@ object Dedup {
     val rows = numHashes / bands
     // Docs with no shingles (text shorter than the shingle) cannot be
     // near-dups; drop them so the all-sentinel signatures don't cross-match.
-    val sigs = minhashSignatures(df, idCol, textCol, shingleSize, numHashes)
-      .filter(size(col("shingles")) > 0)
-      .withColumn("band_keys", text.lsh_band_keys(col("sig"), bands, rows))
-    val banded = sigs.select(col("id"), col("sig"),
-      explode(col("band_keys")).as("band_key"))
+    // The extra scaled() is an exchange barrier: band_keys reads `sig` as a
+    // materialized attribute instead of re-evaluating the signature per band
+    // (CollapseProject would otherwise inline it 4x).
+    // Explode CONSTANT band indices, not the derived key array: exploding a
+    // derived array makes Catalyst push its implicit `size(arr) > 0` filter
+    // down to the scan, inlining (and serially re-evaluating) the whole
+    // signature expression there — observed live as a 200s one-task stage.
+    val sigs = graft.Tables.scaled(
+      minhashSignatures(df, idCol, textCol, shingleSize, numHashes)
+        .filter(length(col("norm")) >= shingleSize)
+        .select("id", "sig"))
+    val banded = sigs
+      .select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band_idx"))
+      .withColumn("band_key",
+        md5(concat_ws(",", concat(array(col("band_idx").cast("string")),
+          slice(col("sig"), col("band_idx") * lit(rows) + 1, lit(rows))
+            .cast("array<string>")))))
     val a = banded.as("a"); val b = banded.as("b")
     a.join(b, col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -72,8 +89,8 @@ object Dedup {
                         shingleSize: Int, threshold: Double,
                         maxId: Option[Long] = None): DataFrame = {
     val base = maxId.map(m => df.filter(col(idCol) < m)).getOrElse(df)
-    val sh = base.select(col(idCol).cast("long").as("id"),
-      text.char_shingles(col(textCol), shingleSize).as("sh"))
+    val sh = graft.Tables.scaled(base.select(col(idCol).cast("long").as("id"),
+      text.char_shingles(col(textCol), shingleSize).as("sh")))
     val a = sh.as("a"); val b = sh.as("b")
     a.join(b, col("a.id") < col("b.id"))
       .withColumn("jaccard",
@@ -84,10 +101,12 @@ object Dedup {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** SimHash fingerprints (48-bit) for every doc. */
+  /** SimHash fingerprints (48-bit) for every doc (single-pass expression
+    * after the exchange — see TextHashExpressions). */
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).cast("long").as("id"),
-      text.simhash48(col(textCol)).as("simhash"))
+    graft.Tables.scaled(df.select(col(idCol).cast("long").as("id"),
+      text.normalize(col(textCol)).as("norm")))
+      .select(col("id"), text.simhash48_fast(col("norm")).as("simhash"))
 
   /** SimHash near-dup pairs under a Hamming threshold. Blocking: docs must
     * share one of the 4 12-bit prefixes (pigeonhole: any pair within
@@ -95,11 +114,14 @@ object Dedup {
     * candidate generation stays an equi-join. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
-    val sh = simhashes(df, idCol, textCol)
-      .withColumn("blocks", transform(sequence(lit(0), lit(3)), i =>
-        concat(i.cast("string"), lit(":"),
-          floor(col("simhash") / pow(lit(2.0), i * lit(12))).cast("long") % 4096)))
-    val blocked = sh.select(col("id"), col("simhash"), explode(col("blocks")).as("blk"))
+    // Same constant-index explode trick as minhashLshPairs (see above).
+    val blocked = simhashes(df, idCol, textCol)
+      .select(col("id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("block_idx"))
+      .withColumn("blk",
+        concat(col("block_idx").cast("string"), lit(":"),
+          (floor(col("simhash") / pow(lit(2.0), col("block_idx") * lit(12))).cast("long")
+            % 4096).cast("string")))
     val a = blocked.as("a"); val b = blocked.as("b")
     a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

@@ -45,7 +45,7 @@ object KnnSearch {
   def topKPerQuery(corpus: DataFrame, vecCol: String, idCol: String,
                    queries: DataFrame, queryVecCol: String, queryIdCol: String,
                    k: Int, where: Column = lit(true)): DataFrame = {
-    val scored = corpus.filter(where)
+    val scored = graft.Tables.scaled(corpus.filter(where))
       .join(broadcast(queries.select(col(queryIdCol).as("query_id"),
         col(queryVecCol).as("__qvec"))))
       .withColumn("score", vec.cosine_sim(col(vecCol), col("__qvec")))

@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Chunker, HashEmbedder, KnnSearch, Multimodal, Serving}
+
+/** End-to-end pipeline + serving coverage: ingest (chunk→embed) stats,
+  * multimodal decode plumbing, rerank, batch-get, filename search.
+  * (SURVEY §2.1-2.3, Q6, Q10, Q12.)
+  */
+object PipelineQueries {
+
+  /** Static query text shared by Spark and oracle (vocabulary words from the
+    * synthetic corpus). */
+  val RerankQuery = "the fast table scan join merge sort filter"
+  val NameQuery = "src1 7"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p1_ingest_stats" -> ((s, d) => ingestStats(s, d)),
+    "m1_media_decode" -> ((s, d) => mediaDecode(s, d)),
+    "m2_frame_sample" -> ((s, d) => frameSample(s, d)),
+    "r1_rerank" -> ((s, d) => rerank(s, d)),
+    "g1_batch_get" -> ((s, d) => batchGet(s, d)),
+    "n1_filename_search" -> ((s, d) => filenameSearch(s, d))
+  )
+
+  /** Ingest pipeline (fixed chunker + hash embedder, unnormalized so every
+    * statistic is exact integer arithmetic in both engines). */
+  def ingestStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 100)
+    val chunks = Chunker.fixedChunks(docs, "doc_id", "text", n = 200, overlap = 40)
+    val embedded = HashEmbedder(dim = 64, normalize = false)
+      .embed(chunks, "chunk", "embedding")
+    embedded.select(
+      col("doc_id"), col("chunk_number").cast("long").as("chunk_number"),
+      length(col("chunk")).cast("long").as("chunk_len"),
+      aggregate(col("embedding"), lit(0L), (acc, x) => acc + x.cast("long")).as("emb_sum"),
+      aggregate(col("embedding"), lit(0L), (acc, x) => acc + (x * x).cast("long")).as("emb_sq"))
+      .orderBy("doc_id", "chunk_number")
+  }
+
+  /** Multimodal decode + resize planning over synthesized media (bytes =
+    * utf8 text; kind round-robins image/audio/video). The stub codec is
+    * md5-derived, so even this stage has a full oracle. */
+  def media(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id").as("media_id"), col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("bytes"),
+      map(lit("source"), col("source")).as("meta"))
+
+  def mediaDecode(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.resizePlan(Multimodal.decode(media(spark, dir)))
+      .select(col("media_id"), col("kind"), col("width"), col("height"),
+        col("duration_sec"), col("target_width"), col("target_height"))
+      .orderBy("media_id")
+
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(Multimodal.decode(media(spark, dir)), stepSec = 30)
+      .select(col("media_id"), col("frame_number"), col("ts"))
+      .orderBy("media_id", "frame_number")
+
+  /** Q6: KNN oversample (k=5 -> 15 candidates) then cross-encoder-shaped
+    * rerank (deterministic token-overlap stand-in). */
+  def rerank(spark: SparkSession, dir: String): DataFrame = {
+    val q = VectorQueries.queryVec(spark, dir)
+    val hits = KnnSearch.topK(Tables.embeddings(spark, dir), "embedding", "vec_id",
+      q, Serving.oversample(5), where = col("vec_id") =!= 0)
+    val withText = hits.join(Tables.documents(spark, dir),
+      hits("vec_id") === col("doc_id"))
+    Serving.rerank(withText, "doc_id", "text", RerankQuery, 5)
+      .select(col("doc_id"), col("rerank_score"))
+  }
+
+  def batchGet(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = Chunker.fixedChunks(
+      Tables.documents(spark, dir).filter(col("doc_id") < 50),
+      "doc_id", "text", n = 120, overlap = 20)
+    Serving.batchGet(chunks,
+      Seq((3L, 0), (3L, 1), (7L, 2), (11L, 0), (3L, 0)), // dup key dropped
+      "doc_id", "chunk_number")
+      .select(col("doc_id"), col("chunk_number").cast("long").as("chunk_number"),
+        col("chunk"))
+  }
+
+  def filenameSearch(spark: SparkSession, dir: String): DataFrame =
+    Serving.filenameSearch(
+      Tables.documents(spark, dir)
+        .withColumn("filename",
+          concat(concat_ws("_", col("source"), col("doc_id")), lit(".txt"))),
+      "filename", "doc_id", NameQuery, limit = 10)
+      .select(col("doc_id"), col("filename"), col("name_score"))
+
+  def oracles: Map[String, String] = Map(
+    "p1_ingest_stats" ->
+      """WITH ch AS (
+        |  SELECT doc_id, (s - 1) // 160 AS chunk_number, substr(text, s::INT, 200) AS chunk
+        |  FROM documents, generate_series(1, 100000, 160) AS t(s)
+        |  WHERE doc_id < 100 AND s <= greatest(len(text) - 40, 1)
+        |    AND len(substr(text, s::INT, 200)) > 0),
+        |tok AS (
+        |  SELECT doc_id, chunk_number, len(chunk) AS chunk_len, tok
+        |  FROM ch, unnest(list_filter(string_split_regex(lower(chunk), '\s+'), t -> len(t) > 0)) AS u(tok)),
+        |buckets AS (
+        |  SELECT doc_id, chunk_number, any_value(chunk_len) AS chunk_len,
+        |    ('0x' || substr(md5('42:' || tok), 1, 4))::BIGINT % 64 AS idx,
+        |    sum(CASE WHEN ('0x' || substr(md5('42:' || tok), 5, 2))::BIGINT % 2 = 0
+        |             THEN 1 ELSE -1 END) AS s
+        |  FROM tok GROUP BY doc_id, chunk_number,
+        |    ('0x' || substr(md5('42:' || tok), 1, 4))::BIGINT % 64)
+        |SELECT doc_id, chunk_number, any_value(chunk_len) AS chunk_len,
+        |  sum(s) AS emb_sum, sum(s * s) AS emb_sq
+        |FROM buckets GROUP BY doc_id, chunk_number
+        |ORDER BY doc_id, chunk_number""".stripMargin,
+    "m1_media_decode" ->
+      """SELECT doc_id AS media_id,
+        |  ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
+        |  ('0x' || substr(md5(text), 1, 4))::BIGINT % 1920 + 1 AS width,
+        |  ('0x' || substr(md5(text), 5, 4))::BIGINT % 1080 + 1 AS height,
+        |  CASE WHEN doc_id % 3 <> 0
+        |       THEN ('0x' || substr(md5(text), 9, 4))::BIGINT % 600 + 1 END AS duration_sec,
+        |  least(('0x' || substr(md5(text), 1, 4))::BIGINT % 1920 + 1, 256) AS target_width,
+        |  CASE WHEN ('0x' || substr(md5(text), 1, 4))::BIGINT % 1920 + 1 > 256
+        |       THEN greatest(
+        |         ((('0x' || substr(md5(text), 5, 4))::BIGINT % 1080 + 1) * 256
+        |          // (('0x' || substr(md5(text), 1, 4))::BIGINT % 1920 + 1)), 1)
+        |       ELSE ('0x' || substr(md5(text), 5, 4))::BIGINT % 1080 + 1 END AS target_height
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "m2_frame_sample" ->
+      """WITH v AS (SELECT doc_id AS media_id,
+        |    ('0x' || substr(md5(text), 9, 4))::BIGINT % 600 + 1 AS dur
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT media_id, f AS frame_number, (f * 30)::DOUBLE AS ts
+        |FROM v, generate_series(0, 100) AS t(f)
+        |WHERE f <= dur // 30
+        |ORDER BY media_id, frame_number""".stripMargin,
+    "r1_rerank" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+         |hits AS (
+         |  SELECT vec_id FROM embeddings, q WHERE vec_id <> 0
+         |  ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv) DESC, vec_id LIMIT 15),
+         |scored AS (
+         |  SELECT d.doc_id,
+         |    len(list_intersect(
+         |      list_distinct(list_filter(string_split(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g')), ' '), t -> len(t) > 0)),
+         |      ['the','fast','table','scan','join','merge','sort','filter'])) / 8.0 AS rerank_score
+         |  FROM hits h JOIN documents d ON h.vec_id = d.doc_id)
+         |SELECT doc_id, rerank_score FROM scored
+         |ORDER BY rerank_score DESC, doc_id LIMIT 5""".stripMargin,
+    "g1_batch_get" ->
+      """WITH ch AS (
+        |  SELECT doc_id, (s - 1) // 100 AS chunk_number, substr(text, s::INT, 120) AS chunk
+        |  FROM documents, generate_series(1, 100000, 100) AS t(s)
+        |  WHERE doc_id < 50 AND s <= greatest(len(text) - 20, 1)
+        |    AND len(substr(text, s::INT, 120)) > 0)
+        |SELECT ch.doc_id, ch.chunk_number, ch.chunk
+        |FROM ch JOIN (VALUES (3, 0), (3, 1), (7, 2), (11, 0)) AS k(d, c)
+        |  ON ch.doc_id = k.d AND ch.chunk_number = k.c
+        |ORDER BY ch.doc_id, ch.chunk_number""".stripMargin,
+    "n1_filename_search" ->
+      """WITH f AS (SELECT doc_id, source || '_' || doc_id || '.txt' AS filename FROM documents),
+        |s AS (SELECT doc_id, filename,
+        |  len(list_intersect(
+        |    list_distinct(list_filter(string_split(trim(regexp_replace(lower(
+        |      regexp_replace(regexp_replace(filename, '\.[A-Za-z0-9]+$', ''), '[_-]+', ' ', 'g')
+        |    ), '\s+', ' ', 'g')), ' '), t -> len(t) > 0)),
+        |    ['src1','7'])) / 2.0 AS score,
+        |  contains(lower(filename), 'src1 7') AS substr_hit
+        |  FROM f)
+        |SELECT doc_id, filename,
+        |  CASE WHEN substr_hit THEN greatest(score, 0.5) ELSE score END AS name_score
+        |FROM s WHERE (CASE WHEN substr_hit THEN greatest(score, 0.5) ELSE score END) > 0
+        |ORDER BY name_score DESC, doc_id LIMIT 10""".stripMargin
+  )
+}

@@ -15,7 +15,8 @@ import graft.Tables
 object RelationalQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> ((s, dir) => q1Agg(s, dir))
+    "q1_agg" -> ((s, dir) => q1Agg(s, dir)),
+    "q2_join3" -> ((s, dir) => q2Join3(s, dir))
   )
 
   def oracles: Map[String, String] = Map(
@@ -28,7 +29,18 @@ object RelationalQueries {
         |  count(*) AS count_order
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_join3" ->
+      """SELECT c.c_mktsegment, n.n_name,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE o.o_orderstatus <> 'P'
+        |GROUP BY c.c_mktsegment, n.n_name
+        |ORDER BY c.c_mktsegment, n.n_name""".stripMargin
   )
 
   /** TPC-H Q1-shaped pricing summary: single scan, map-side partial agg,
@@ -44,4 +56,22 @@ object RelationalQueries {
         round(avg("l_quantity"), 4).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
+
+  /** 3-way fact-to-dims join: `customer` and `nation` broadcast (dims), so
+    * the only shuffle is lineitem⋈orders on the fact key — at cluster scale
+    * both facts would be bucketed on orderkey to kill that shuffle too. */
+  def q2Join3(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_orderstatus") =!= "P")
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("c_mktsegment", "n_name")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("c_mktsegment", "n_name")
+  }
 }

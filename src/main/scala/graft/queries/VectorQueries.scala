@@ -58,7 +58,7 @@ object VectorQueries {
   def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(
       col("vec_id"), col("embedding"))
-    val a = e.as("a"); val b = e.as("b")
+    val a = Tables.scaled(e).as("a"); val b = e.as("b")
     a.join(b, col("a.vec_id") < col("b.vec_id"))
       .withColumn("score", vec.cosine_sim(col("a.embedding"), col("b.embedding")))
       .filter(col("score") > 0.3)

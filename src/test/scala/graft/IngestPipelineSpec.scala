@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.IngestPipeline
+
+/** End-to-end ingestion: batch pipeline (clean -> chunk -> embed) and the
+  * Structured Streaming form with checkpointed exactly-once file processing
+  * and status accounting (SURVEY S1/S2, §2.8). */
+class IngestPipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  lazy val cfg = IngestPipeline.Config(chunkSize = 100, overlap = 10)
+
+  test("batch pipeline chunks, cleans control chars, and embeds") {
+    val docs = Seq(
+      (1L, ("alpha beta. " * 20).trim),       // long -> multiple chunks
+      (2L, "short\u0000doc\u009f here"),      // control chars stripped
+      (3L, "")                                 // empty -> no chunks
+    ).toDF("doc_id", "text")
+    val chunks = IngestPipeline.processBatch(docs, cfg)
+    val byDoc = chunks.groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(byDoc(1L) > 1)
+    assert(byDoc(2L) == 1)
+    assert(!byDoc.contains(3L))
+    // control chars removed before chunking
+    val c2 = chunks.filter($"doc_id" === 2L).select("chunk").as[String].head()
+    assert(c2 == "shortdoc here")
+    // embeddings present, dim 64, unit norm for nonempty chunks
+    val norms = chunks.select(
+      aggregate($"embedding", lit(0.0), (a, x) => a + x * x)).as[Double].collect()
+    norms.foreach(n => assert(math.abs(n - 1.0) < 1e-5))
+    // status rows
+    val status = IngestPipeline.statusRows(docs, chunks, cfg)
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(status(1L) == "completed" && status(3L) == "no_content_extracted")
+  }
+
+  test("streaming ingest is checkpointed exactly-once and idempotent per doc") {
+    val root = Files.createTempDirectory("graft_stream").toString
+    val (in, idxDir, stDir, ckpt) =
+      (s"$root/in", s"$root/index", s"$root/status", s"$root/ckpt")
+    new java.io.File(in).mkdirs()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+
+    Seq((1L, "one two three. " * 10), (2L, "hello world"))
+      .toDF("doc_id", "text").write.mode("append").parquet(in)
+    val q1 = IngestPipeline.runStreaming(spark, in, schema, idxDir, stDir, ckpt, cfg)
+    q1.awaitTermination()
+    val afterFirst = spark.read.parquet(stDir).count()
+    assert(afterFirst == 2)
+
+    // second batch: only the NEW file is processed (checkpoint skips file 1)
+    Seq((3L, "third doc text here")).toDF("doc_id", "text")
+      .write.mode("append").parquet(in)
+    val q2 = IngestPipeline.runStreaming(spark, in, schema, idxDir, stDir, ckpt, cfg)
+    q2.awaitTermination()
+    val status = spark.read.parquet(stDir)
+    assert(status.count() == 3) // 2 + 1, not 2 + 3 (no reprocessing)
+    val idx = spark.read.parquet(idxDir)
+    assert(idx.select("doc_id").distinct().count() == 3)
+    assert(idx.filter($"doc_id" === 1L).count() ==
+      IngestPipeline.processBatch(
+        Seq((1L, "one two three. " * 10)).toDF("doc_id", "text"), cfg).count())
+  }
+}
