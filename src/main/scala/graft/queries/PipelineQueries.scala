@@ -17,6 +17,7 @@ object PipelineQueries {
   val NameQuery = "src1 7"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q8_padding" -> ((s, d) => padding(s, d)),
     "p1_ingest_stats" -> ((s, d) => ingestStats(s, d)),
     "m1_media_decode" -> ((s, d) => mediaDecode(s, d)),
     "m2_frame_sample" -> ((s, d) => frameSample(s, d)),
@@ -24,6 +25,21 @@ object PipelineQueries {
     "g1_batch_get" -> ((s, d) => batchGet(s, d)),
     "n1_filename_search" -> ((s, d) => filenameSearch(s, d))
   )
+
+  /** Q8 neighbor padding over the chunk table: literal hits expanded ±1,
+    * dedup'd against the hits, padding scored 0.0, reference ordering. */
+  def padding(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val chunks = Chunker.fixedChunks(
+      Tables.documents(spark, dir).filter(col("doc_id") < 50),
+      "doc_id", "text", n = 120, overlap = 20)
+    val hits = Seq((3L, 1, 0.9), (7L, 0, 0.8), (7L, 1, 0.7), (11L, 2, 0.6))
+      .toDF("doc_id", "chunk_number", "score")
+    graft.operators.Padding.expand(hits, chunks, padding = 1,
+      docCol = "doc_id", numCol = "chunk_number")
+      .select(col("doc_id"), col("chunk_number").cast("long").as("chunk_number"),
+        col("score"), col("is_padding"))
+  }
 
   /** Ingest pipeline (fixed chunker + hash embedder, unnormalized so every
     * statistic is exact integer arithmetic in both engines). */
@@ -94,6 +110,27 @@ object PipelineQueries {
       .select(col("doc_id"), col("filename"), col("name_score"))
 
   def oracles: Map[String, String] = Map(
+    "q8_padding" ->
+      """WITH ch AS (
+        |  SELECT doc_id, (s - 1) // 100 AS chunk_number
+        |  FROM documents, generate_series(1, 100000, 100) AS t(s)
+        |  WHERE doc_id < 50 AND s <= greatest(len(text) - 20, 1)
+        |    AND len(substr(text, s::INT, 120)) > 0),
+        |hits(doc_id, chunk_number, score) AS (
+        |  VALUES (3, 1, 0.9), (7, 0, 0.8), (7, 1, 0.7), (11, 2, 0.6)),
+        |pad AS (
+        |  SELECT DISTINCT h.doc_id, h.chunk_number + o AS chunk_number
+        |  FROM hits h, (VALUES (-1), (1)) t(o)),
+        |pad2 AS (
+        |  SELECT p.doc_id, p.chunk_number FROM pad p
+        |  LEFT JOIN hits h ON p.doc_id = h.doc_id AND p.chunk_number = h.chunk_number
+        |  WHERE h.doc_id IS NULL)
+        |SELECT doc_id, chunk_number, score::DOUBLE AS score, is_padding FROM (
+        |  SELECT doc_id, chunk_number, score, false AS is_padding FROM hits
+        |  UNION ALL
+        |  SELECT p.doc_id, p.chunk_number, 0.0, true
+        |  FROM pad2 p JOIN ch ON p.doc_id = ch.doc_id AND p.chunk_number = ch.chunk_number)
+        |ORDER BY score DESC, doc_id, chunk_number""".stripMargin,
     "p1_ingest_stats" ->
       """WITH ch AS (
         |  SELECT doc_id, (s - 1) // 160 AS chunk_number, substr(text, s::INT, 200) AS chunk

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Folders, Mutations, Padding, Serving}
+
+/** Semantics specs for folder-tree ops (L7), upsert/delete (S13/S14),
+  * padding grouping (Q9), and serving helpers. */
+class OperatorsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  def emptyFolders = Seq.empty[(String, String, String, String, Int)]
+    .toDF("app_id", "full_path", "name", "parent_id", "depth")
+    .withColumn("id", lit(null).cast("string"))
+    .withColumn("document_ids", lit(null).cast("array<string>"))
+
+  test("ensurePath creates all missing ancestors exactly once") {
+    val f1 = Folders.ensurePath(emptyFolders, "app1", "/a/b/c")
+    assert(f1.select("full_path").as[String].collect().sorted.toSeq ==
+      Seq("/a", "/a/b", "/a/b/c"))
+    // idempotent + sibling reuses ancestors
+    val f2 = Folders.ensurePath(f1, "app1", "/a/b/d")
+    assert(f2.count() == 4)
+    val f3 = Folders.ensurePath(f2, "app2", "/a")
+    assert(f3.filter($"app_id" === "app2").count() == 1) // app-scoped
+  }
+
+  test("moveSubtree re-paths descendants and recomputes depth; rename = move") {
+    val f = Folders.ensurePath(emptyFolders, "a", "/x/y/z")
+    val moved = Folders.moveSubtree(f, "a", "/x/y", "/q/y")
+    val paths = moved.select("full_path").as[String].collect().toSet
+    assert(paths == Set("/x", "/q/y", "/q/y/z"))
+    val renamed = Folders.rename(f, "a", "/x/y", "w")
+    assert(renamed.select("full_path").as[String].collect().toSet ==
+      Set("/x", "/x/w", "/x/w/z"))
+    val deleted = Folders.deleteSubtree(f, "a", "/x/y")
+    assert(deleted.select("full_path").as[String].collect().toSeq == Seq("/x"))
+  }
+
+  test("add/removeDocument maintain the id list") {
+    val f = Folders.ensurePath(emptyFolders, "a", "/x")
+    val id = f.select("id").as[String].head()
+    val added = Folders.addDocument(Folders.addDocument(f, id, "d1"), id, "d1")
+    assert(added.select("document_ids").as[Seq[String]].head() == Seq("d1"))
+    val removed = Folders.removeDocument(added, id, "d1")
+    assert(removed.select("document_ids").as[Seq[String]].head().isEmpty)
+  }
+
+  test("upsert replaces matched keys and inserts new ones") {
+    val base = Seq((1L, "old", "a"), (2L, "keep", "b")).toDF("id", "v", "w")
+    val updates = Seq((1L, "new", "a2"), (3L, "ins", "c")).toDF("id", "v", "w")
+    val out = Mutations.upsert(base, updates, "id")
+      .orderBy("id").as[(Long, String, String)].collect().toSeq
+    assert(out == Seq((1L, "new", "a2"), (2L, "keep", "b"), (3L, "ins", "c")))
+  }
+
+  test("mergeMetadata merges patch with patch-wins per key") {
+    val docs = Seq((1L, Map("a" -> "1", "b" -> "2")), (2L, Map("a" -> "9")))
+      .toDF("id", "metadata")
+    val out = Mutations.mergeMetadata(docs, col("id") === 1L, Map("b" -> "20", "c" -> "3"))
+      .orderBy("id").as[(Long, Map[String, String])].collect()
+    assert(out(0)._2 == Map("a" -> "1", "b" -> "20", "c" -> "3"))
+    assert(out(1)._2 == Map("a" -> "9"))
+  }
+
+  test("deleteCascade drops docs, chunks, and usage rows") {
+    val docs = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "t")
+    val chunks = Seq((1L, 0), (1L, 1), (2L, 0)).toDF("doc_id", "n")
+    val usage = Seq((1L, 10L), (2L, 20L)).toDF("doc_id", "bytes")
+    val r = Mutations.deleteCascade(docs, chunks, usage, Seq(1L))
+    assert(r.documents.count() == 1 && r.chunks.count() == 1 && r.usage.count() == 1)
+    assert(r.chunks.select("doc_id").as[Long].head() == 2L)
+  }
+
+  test("Padding.group attaches padding to nearest main, ties to lower") {
+    val expanded = Seq(
+      (1L, 2, 0.9, false), (1L, 4, 0.8, false), // mains at 2 and 4
+      (1L, 1, 0.0, true), (1L, 3, 0.0, true), (1L, 5, 0.0, true)
+    ).toDF("document_id", "chunk_number", "score", "is_padding")
+    val g = Padding.group(expanded, padding = 1)
+      .orderBy("main_chunk")
+      .select("main_chunk", "member_chunks")
+      .as[(Int, Seq[Int])].collect().toSeq
+    // chunk 3 is equidistant from mains 2 and 4 -> attaches to 2
+    assert(g == Seq((2, Seq(1, 2, 3)), (4, Seq(4, 5))))
+  }
+
+  test("oversample matches max(k, min(3k, 20))") {
+    assert(Serving.oversample(3) == 9)
+    assert(Serving.oversample(5) == 15)
+    assert(Serving.oversample(10) == 20)
+    assert(Serving.oversample(25) == 25)
+  }
+}
