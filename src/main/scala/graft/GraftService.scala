@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.filters.{MetadataFilter, ScopeFilters}
+import graft.operators.{Embedder, HashEmbedder, KnnSearch, Padding, Serving}
+
+/** The serving-layer planner (SURVEY §3.1/§3.2): a `RetrieveRequest`-shaped
+  * case class compiled to one declarative DataFrame plan — the Spark
+  * equivalent of `document_service.retrieve_chunks`
+  * (`document_service.py:213-505`).
+  *
+  * Plan shape (the v2 pushed-down form, `chunk_v2_store.py:352-431`): every
+  * predicate — tenancy, end-user, folder scope (exact/prefix/depth),
+  * metadata DSL, status — lands BEFORE the scoring/limit, so Catalyst pushes
+  * it into the chunk-table scan; then score -> min_score -> top-k ->
+  * optional rerank (oversampled) -> optional padding -> deterministic order.
+  */
+object GraftService {
+
+  /** Mirror of `core/models/request.py:114-182` (the analytics-relevant
+    * fields; model/output-format knobs live serving-side). */
+  case class RetrieveRequest(
+      queryText: String,
+      k: Int = 20,
+      filters: Option[String] = None,          // metadata DSL JSON
+      minScore: Double = Double.NegativeInfinity,
+      useReranking: Boolean = false,
+      appId: Option[String] = None,
+      endUserId: Option[String] = None,
+      folderPath: Option[String] = None,
+      folderDepth: Int = 0,                    // 0 exact, -1 descendants, n>0 bounded
+      padding: Int = 0)
+
+  /** Chunk-table column contract (the wide v2 layout, FIXTURES A2). */
+  case class ChunkTable(
+      df: DataFrame,
+      docIdCol: String = "document_id",
+      chunkNoCol: String = "chunk_number",
+      contentCol: String = "content",
+      embeddingCol: String = "embedding",
+      metaCol: String = "metadata",
+      metaTypesCol: String = "metadata_types",
+      appIdCol: String = "app_id",
+      endUserCol: String = "end_user_id",
+      folderPathCol: String = "folder_path")
+
+  /** Compile the request's WHERE (everything except the vector part). */
+  def compileScope(req: RetrieveRequest, t: ChunkTable): Column = {
+    val c = t.df
+    val parts = Seq(
+      req.appId.map(a => c(t.appIdCol) === a),
+      req.endUserId.map(u => c(t.endUserCol) === u),
+      req.folderPath.map(p =>
+        ScopeFilters.folderPathPrefixDepth(c(t.folderPathCol), p, req.folderDepth)),
+      req.filters.map(json =>
+        MetadataFilter.compile(json, MetadataFilter.Ctx(
+          c(t.metaCol), c(t.metaTypesCol))))
+    ).flatten
+    parts.reduceOption(_ && _).getOrElse(lit(true))
+  }
+
+  /** retrieve_chunks: the full Q1+Q14(+Q6)(+Q8) pipeline as one plan. */
+  def retrieveChunks(req: RetrieveRequest, chunks: ChunkTable,
+                     embedder: Embedder = HashEmbedder(64)): DataFrame = {
+    val qVec = embedder.asInstanceOf[HashEmbedder].embedText(req.queryText)
+    val fetchK = if (req.useReranking) Serving.oversample(req.k) else req.k
+    val hits = KnnSearch.topK(chunks.df, chunks.embeddingCol, chunks.docIdCol,
+      qVec, fetchK, where = compileScope(req, chunks), minScore = req.minScore)
+    val ranked =
+      if (req.useReranking)
+        Serving.rerank(hits, chunks.docIdCol, chunks.contentCol, req.queryText, req.k)
+          .withColumn("score", col("rerank_score"))
+      else hits
+    if (req.padding > 0)
+      Padding.expand(ranked, chunks.df, req.padding, chunks.docIdCol, chunks.chunkNoCol)
+    else
+      ranked.orderBy(col("score").desc, col(chunks.docIdCol), col(chunks.chunkNoCol))
+  }
+
+  /** Doc-level results (Q11): max chunk score per document. */
+  def retrieveDocs(req: RetrieveRequest, chunks: ChunkTable,
+                   embedder: Embedder = HashEmbedder(64)): DataFrame =
+    KnnSearch.docLevel(retrieveChunks(req, chunks, embedder), chunks.docIdCol)
+
+  /** R1 context assembly: the retrieved chunks concatenated in rank order
+    * into the completion prompt context (`document_service.py:1028-1233` —
+    * the DataFrame-able part of `query`; the LLM call itself is serving). */
+  def assembleContext(hits: DataFrame, contentCol: String, docIdCol: String,
+                      chunkNoCol: String): DataFrame =
+    hits.agg(
+      concat_ws("\n\n",
+        transform(
+          array_sort(collect_list(struct(
+            (-col("score")).as("neg"), col(docIdCol).as("d"),
+            col(chunkNoCol).as("n"), col(contentCol).as("c")))),
+          x => x.getField("c"))).as("context"),
+      count(lit(1)).as("n_chunks"))
+}

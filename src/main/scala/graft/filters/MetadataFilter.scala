@@ -71,6 +71,10 @@ object MetadataFilter {
       case ("$nor", JArray(xs)) => !coalesce(
         xs.map(x => compileNode(asObj(x), ctx)).reduceOption(_ || _).getOrElse(lit(false)), lit(false))
       case ("$not", x)          => !coalesce(compileNode(asObj(x), ctx), lit(false))
+      case (op @ ("$and" | "$or" | "$nor"), bad) =>
+        sys.error(s"$op expects an array of filter objects, got $bad")
+      case (key, value) if key.startsWith("$") =>
+        sys.error(s"unsupported top-level operator $key")
       case (key, value)          => compileField(key, value, ctx)
     }
     parts.reduceOption(_ && _).getOrElse(lit(true))
@@ -96,7 +100,9 @@ object MetadataFilter {
     val v = ctx.meta.getItem(key)
     val t = ctx.types.getItem(key)
     value match {
-      case o: JObject if o.obj.exists(f => opKeys(f._1)) =>
+      // any $-key makes this an operator object; unknown operators then get
+      // a clear error from compileMetaOp instead of falling into implicit-eq
+      case o: JObject if o.obj.exists(f => f._1.startsWith("$")) =>
         val opts = o.obj.collectFirst { case ("$options", JString(s)) => s }.getOrElse("")
         o.obj.collect {
           case (op, rhs) if op != "$options" => compileMetaOp(key, v, t, op, rhs, opts, ctx)
@@ -253,7 +259,7 @@ object MetadataFilter {
     * (`metadata_filters.py:612-856`): NULL-aware $eq/$ne/$in, $regex,
     * $contains, ranges — on a real column, so it partition-prunes. */
   private def compileColumnField(c: Column, value: JValue): Column = value match {
-    case o: JObject if o.obj.exists(f => opKeys(f._1)) =>
+    case o: JObject if o.obj.exists(f => f._1.startsWith("$")) =>
       val opts = o.obj.collectFirst { case ("$options", JString(s)) => s }.getOrElse("")
       o.obj.collect { case (op, rhs) if op != "$options" => columnOp(c, op, rhs, opts) }
         .reduceOption(_ && _).getOrElse(lit(true))

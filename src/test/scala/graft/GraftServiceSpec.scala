@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.GraftService._
+import graft.operators.HashEmbedder
+
+/** End-to-end retrieve over a Morphik-shaped chunk table: scope + DSL
+  * filters push before scoring; min_score, rerank oversampling, padding and
+  * doc-level grouping compose; results are deterministic. */
+class GraftServiceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  lazy val emb = HashEmbedder(64)
+
+  /** 3 docs x 3 chunks across two apps/folders with typed metadata. */
+  lazy val chunkTable: ChunkTable = {
+    val rows = for {
+      d <- 1 to 3
+      n <- 0 until 3
+    } yield {
+      val content = d match {
+        case 1 => s"spark query engine chunk $n"
+        case 2 => s"cooking pasta recipe part $n"
+        case 3 => s"spark cluster tuning note $n"
+      }
+      (d.toLong, n, content,
+        Map("year" -> (2020 + d).toString, "dept" -> (if (d == 2) "food" else "eng")),
+        Map("year" -> "number", "dept" -> "string"),
+        if (d == 3) "app2" else "app1",
+        s"user$d",
+        if (d == 1) "/proj/spark" else if (d == 3) "/proj/spark/deep" else "/other")
+    }
+    val df = rows.toDF("document_id", "chunk_number", "content",
+      "metadata", "metadata_types", "app_id", "end_user_id", "folder_path")
+    ChunkTable(emb.embed(df, "content", "embedding"))
+  }
+
+  test("scope filters restrict the corpus before scoring") {
+    val req = RetrieveRequest("spark query engine chunk 0", k = 10,
+      appId = Some("app1"))
+    val got = retrieveChunks(req, chunkTable)
+    assert(got.select("document_id").distinct().as[Long].collect().toSet == Set(1L, 2L))
+    // unscoped finds doc 3 too
+    val all = retrieveChunks(req.copy(appId = None), chunkTable)
+    assert(all.select("document_id").distinct().count() == 3)
+  }
+
+  test("metadata DSL + folder depth scoping compose") {
+    val req = RetrieveRequest("spark", k = 10,
+      filters = Some("""{"dept": "eng", "year": {"$gte": 2021}}"""),
+      folderPath = Some("/proj/spark"), folderDepth = -1)
+    val got = retrieveChunks(req, chunkTable)
+      .select("document_id").distinct().as[Long].collect().toSet
+    assert(got == Set(1L, 3L)) // doc 2 is dept=food and /other
+    val exact = retrieveChunks(req.copy(folderDepth = 0), chunkTable)
+      .select("document_id").distinct().as[Long].collect().toSet
+    assert(exact == Set(1L)) // depth 0 = exact path only
+  }
+
+  test("top-1 retrieval finds the verbatim chunk; min_score filters") {
+    val req = RetrieveRequest("cooking pasta recipe part 1", k = 1)
+    val top = retrieveChunks(req, chunkTable)
+      .select("document_id", "chunk_number").as[(Long, Int)].head()
+    assert(top == (2L, 1))
+    val none = retrieveChunks(req.copy(minScore = 1.01), chunkTable)
+    assert(none.count() == 0)
+  }
+
+  test("rerank path oversamples then truncates to k with overlap scoring") {
+    val req = RetrieveRequest("spark cluster tuning note 2", k = 2,
+      useReranking = true)
+    val got = retrieveChunks(req, chunkTable)
+    assert(got.count() == 2)
+    val top = got.orderBy(col("score").desc)
+      .select("document_id").as[Long].head()
+    assert(top == 3L)
+  }
+
+  test("padding attaches neighbors with score 0") {
+    val req = RetrieveRequest("spark query engine chunk 1", k = 1, padding = 1)
+    val got = retrieveChunks(req, chunkTable)
+      .select("document_id", "chunk_number", "is_padding")
+      .as[(Long, Int, Boolean)].collect().toSet
+    assert(got == Set((1L, 1, false), (1L, 0, true), (1L, 2, true)))
+  }
+
+  test("doc-level grouping takes max chunk score; context assembly ranks") {
+    val req = RetrieveRequest("spark query engine", k = 6)
+    val docs = retrieveDocs(req, chunkTable)
+    assert(docs.columns.toSet == Set("document_id", "score", "chunk_hits"))
+    val ctx = assembleContext(
+      retrieveChunks(req.copy(k = 3), chunkTable),
+      "content", "document_id", "chunk_number")
+      .select("context", "n_chunks").as[(String, Long)].head()
+    assert(ctx._2 == 3)
+    assert(ctx._1.split("\n\n").length == 3)
+  }
+}
