@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Mutations
+
+/** Oracle-backed coverage for the mutation operators (SURVEY §2.1 S13/S14):
+  * upsert (MERGE-by-key), metadata merge-patch, and delete cascade. The
+  * update sets are derived from the input tables themselves so the DuckDB
+  * oracle can reproduce them exactly.
+  */
+object MutationQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u1_upsert" -> ((s, d) => upsert(s, d)),
+    "u2_merge_metadata" -> ((s, d) => mergeMetadata(s, d)),
+    "u3_delete_cascade" -> ((s, d) => deleteCascade(s, d))
+  )
+
+  /** S13 re-ingest-by-external_id: every doc_id % 50 == 0 row is replaced,
+    * three brand-new rows are inserted; output is the full post-merge state
+    * (so both the anti-join and the union arm are value-checked). */
+  def upsert(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val replaced = docs.filter(col("doc_id") % 50 === 0)
+      .withColumn("text", concat(lit("UPDATED "), col("doc_id")))
+      .withColumn("source", lit("patched"))
+    val inserted = docs.filter(col("doc_id") < 3)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("text", concat(lit("NEW "), col("doc_id") - 1000000L))
+      .withColumn("source", lit("inserted"))
+    Mutations.upsert(docs, replaced.unionByName(inserted), "doc_id")
+      .select(col("doc_id"), col("source"), length(col("text")).cast("long").as("text_len"))
+      .orderBy("doc_id")
+  }
+
+  /** S13 update_metadata: map-valued metadata with a right-wins merge patch
+    * on every doc_id % 100 == 0 row; untouched rows keep their map and have
+    * no `reviewed` key (null on projection). */
+  def mergeMetadata(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("metadata", map(
+        lit("lang"), col("lang"), lit("source"), col("source")))
+    Mutations.mergeMetadata(docs, col("doc_id") % 100 === 0,
+      Map("source" -> "patched", "reviewed" -> "true"))
+      .select(col("doc_id"),
+        element_at(col("metadata"), "source").as("m_source"),
+        element_at(col("metadata"), "reviewed").as("m_reviewed"),
+        element_at(col("metadata"), "lang").as("m_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** S14 delete cascade across three relations keyed by different columns;
+    * output = surviving row count per relation. */
+  def deleteCascade(spark: SparkSession, dir: String): DataFrame = {
+    val r = Mutations.deleteCascade(
+      Tables.documents(spark, dir), Tables.embeddings(spark, dir),
+      Tables.events(spark, dir), docIds = Seq(1L, 2L, 3L),
+      docKey = "doc_id", chunkDocKey = "vec_id", usageDocKey = "user_id")
+    r.documents.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(r.chunks.agg(count(lit(1)).as("n_chunks")))
+      .crossJoin(r.usage.agg(count(lit(1)).as("n_usage")))
+  }
+
+  def oracles: Map[String, String] = Map(
+    "u1_upsert" ->
+      """WITH upd AS (
+        |  SELECT doc_id, 'UPDATED ' || doc_id AS text, lang, 'patched' AS source, n_chars
+        |  FROM documents WHERE doc_id % 50 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'NEW ' || doc_id, lang, 'inserted', n_chars
+        |  FROM documents WHERE doc_id < 3),
+        |merged AS (
+        |  SELECT * FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+        |  UNION ALL SELECT * FROM upd)
+        |SELECT doc_id, source, length(text) AS text_len FROM merged ORDER BY doc_id""".stripMargin,
+    "u2_merge_metadata" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 100 = 0 THEN 'patched' ELSE source END AS m_source,
+        |  CASE WHEN doc_id % 100 = 0 THEN 'true' END AS m_reviewed,
+        |  lang AS m_lang
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "u3_delete_cascade" ->
+      """SELECT
+        |  (SELECT count(*) FROM documents WHERE doc_id NOT IN (1,2,3)) AS n_docs,
+        |  (SELECT count(*) FROM embeddings WHERE vec_id NOT IN (1,2,3)) AS n_chunks,
+        |  (SELECT count(*) FROM events WHERE user_id NOT IN (1,2,3)) AS n_usage""".stripMargin
+  )
+}

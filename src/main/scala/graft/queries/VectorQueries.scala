@@ -27,6 +27,7 @@ object VectorQueries {
     "v5_maxsim_float" -> ((s, d) => maxSimFloat(s, d)),
     "v6_maxsim_binary" -> ((s, d) => maxSimBinary(s, d)),
     "v7_ivf_knn" -> ((s, d) => ivfKnn(s, d)),
+    "v8_ivf_exact" -> ((s, d) => ivfExact(s, d)),
     "s1_search_docs" -> ((s, d) => searchDocs(s, d))
   )
 
@@ -122,6 +123,19 @@ object VectorQueries {
       .orderBy(col("score").desc, col("vec_id"))
   }
 
+  /** IVF with nprobe == lists scans every cluster, so the result must equal
+    * exact brute-force KNN — an oracle-backed end-to-end check of the whole
+    * IVF path (k-means build, cluster assignment, probe selection, pruned
+    * scan, top-k). */
+  def ivfExact(spark: SparkSession, dir: String): DataFrame = {
+    val q = queryVec(spark, dir)
+    val (indexed, model) = IvfIndex.build(
+      Tables.embeddings(spark, dir), "embedding", lists = 16)
+    IvfIndex.query(indexed, model, "embedding", "vec_id", q, k = 10, nprobe = 16,
+      where = col("vec_id") =!= 0)
+      .select(col("vec_id"), round(col("score"), 6).as("score"))
+  }
+
   /** Q2+Q11+Q14 composed: authorized semi-join -> filtered KNN -> doc-level
     * max-score grouping joined back to documents. */
   def searchDocs(spark: SparkSession, dir: String): DataFrame = {
@@ -141,13 +155,17 @@ object VectorQueries {
 
   private val qv = "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)"
 
+  private val exactTop10 =
+    s"""SELECT vec_id,
+       |  round(list_cosine_similarity(embedding::DOUBLE[], $qv), 6) AS score
+       |FROM embeddings WHERE vec_id <> 0
+       |ORDER BY list_cosine_similarity(embedding::DOUBLE[], $qv) DESC, vec_id
+       |LIMIT 10""".stripMargin
+
   def oracles: Map[String, String] = Map(
-    "v1_knn_topk" ->
-      s"""SELECT vec_id,
-         |  round(list_cosine_similarity(embedding::DOUBLE[], $qv), 6) AS score
-         |FROM embeddings WHERE vec_id <> 0
-         |ORDER BY list_cosine_similarity(embedding::DOUBLE[], $qv) DESC, vec_id
-         |LIMIT 10""".stripMargin,
+    "v1_knn_topk" -> exactTop10,
+    // full-probe IVF must reproduce the exact result
+    "v8_ivf_exact" -> exactTop10,
     "v2_knn_batch" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |           FROM embeddings WHERE vec_id < 5),
