@@ -29,8 +29,21 @@ object ListingQueries {
       Listing.folderCounts(docsWithFolders(s, d).withColumn("folder_name", col("lang")),
         "folder_path", "folder_name")),
     "l6_folder_scope_depth" -> ((s, d) => folderScopeDepth(s, d)),
+    "l7_folder_move" -> ((s, d) => folderMove(s, d)),
     "l8_usage_by_source" -> ((s, d) => usageBySource(s, d))
   )
+
+  /** L7 subtree move: the /src1 subtree re-pathed under /archive, with
+    * depth/id/parent_id recomputed — value-checks the whole path-rewrite
+    * (deterministic md5 ids replicate in SQL). */
+  def folderMove(spark: SparkSession, dir: String): DataFrame = {
+    val folders = docsWithFolders(spark, dir)
+      .select(col("folder_path").as("full_path")).distinct()
+      .withColumn("app_id", lit("app"))
+    graft.operators.Folders.moveSubtree(folders, "app", "/src1", "/archive/src1")
+      .select("full_path", "depth", "id", "parent_id")
+      .orderBy("full_path")
+  }
 
   /** L1/L2: filter → sort desc nulls-last + tiebreak → offset/limit → project. */
   def listingPage(spark: SparkSession, dir: String): DataFrame =
@@ -103,6 +116,17 @@ object ListingQueries {
         |WHERE (folder_path = '/src1' OR folder_path LIKE '/src1/%')
         |  AND len(string_split(trim(folder_path, '/'), '/')) <= 2
         |ORDER BY doc_id""".stripMargin,
+    "l7_folder_move" ->
+      """WITH d AS (SELECT DISTINCT '/' || source || '/' || lang ||
+        |    (CASE WHEN n_chars > 300 THEN '/big' ELSE '' END) AS fp FROM documents),
+        |m AS (SELECT CASE WHEN fp = '/src1' OR fp LIKE '/src1/%'
+        |        THEN '/archive/src1' || substring(fp, 6) ELSE fp END AS full_path FROM d)
+        |SELECT full_path,
+        |  len(string_split(trim(full_path, '/'), '/')) AS depth,
+        |  md5('app ' || full_path) AS id,
+        |  CASE WHEN len(string_split(trim(full_path, '/'), '/')) > 1
+        |    THEN md5('app ' || regexp_replace(full_path, '/[^/]+$', '')) END AS parent_id
+        |FROM m ORDER BY full_path""".stripMargin,
     "l8_usage_by_source" ->
       """SELECT source, sum(n_chars) AS total_chars, count(*) AS doc_count
         |FROM documents GROUP BY source ORDER BY source""".stripMargin

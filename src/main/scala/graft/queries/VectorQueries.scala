@@ -28,6 +28,7 @@ object VectorQueries {
     "v6_maxsim_binary" -> ((s, d) => maxSimBinary(s, d)),
     "v7_ivf_knn" -> ((s, d) => ivfKnn(s, d)),
     "v8_ivf_exact" -> ((s, d) => ivfExact(s, d)),
+    "v9_fde_twophase" -> ((s, d) => fdeTwoPhase(s, d)),
     "s1_search_docs" -> ((s, d) => searchDocs(s, d))
   )
 
@@ -136,6 +137,32 @@ object VectorQueries {
       .select(col("vec_id"), round(col("score"), 6).as("score"))
   }
 
+  /** Q5 two-phase FDE retrieval (`fast_multivector_store.py:504-607`):
+    * phase 1 ranks label-docs by dot(doc_fde, query_fde) and keeps the
+    * reference's `min(10k, 75)` oversample; phase 2 rescores candidates with
+    * exact float MaxSim and takes top-k. With 10 labels the oversample covers
+    * the corpus, so the output provably equals exact MaxSim top-k — which the
+    * DuckDB oracle computes directly (the FDE ranking quality itself is
+    * asserted in FdeEncoderSpec). */
+  def fdeTwoPhase(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.FdeEncoder
+    val k = 3
+    val oversample = math.min(10 * k, 75)
+    val mv = labelMultivectors(spark, dir)
+    val enc = FdeEncoder(inputDim = 64, reps = 20, ksim = 5, projDim = 16)
+    val docs = enc.encodeColumn(mv, "vecs", "fde", isQuery = false)
+    val q = enc.encodeColumn(mv.filter(col("label") === 0), "vecs", "qfde", isQuery = true)
+      .select(col("qfde"), col("vecs").as("qvecs"))
+    docs.crossJoin(broadcast(q))
+      .withColumn("fde_score", vec.dot_product(col("fde"), col("qfde")))
+      .orderBy(col("fde_score").desc, col("label"))
+      .limit(oversample)
+      .select(col("label").cast("long").as("label"),
+        round(vec.max_sim_float(col("vecs"), col("qvecs")), 4).as("maxsim"))
+      .orderBy(col("maxsim").desc, col("label"))
+      .limit(k)
+  }
+
   /** Q2+Q11+Q14 composed: authorized semi-join -> filtered KNN -> doc-level
     * max-score grouping joined back to documents. */
   def searchDocs(spark: SparkSession, dir: String): DataFrame = {
@@ -195,6 +222,14 @@ object VectorQueries {
          |  len(list_filter(range(len(embedding)), i ->
          |    (embedding[i+1] > 0) <> (qe[i+1] > 0))) AS hamming
          |FROM embeddings, q WHERE vec_id < 50 ORDER BY vec_id""".stripMargin,
+    "v9_fde_twophase" ->
+      """WITH mv AS (SELECT label, list(embedding::DOUBLE[] ORDER BY vec_id) AS vecs
+        |            FROM embeddings GROUP BY label)
+        |SELECT a.label::BIGINT AS label,
+        |  round(list_sum(list_transform(q.vecs, qv ->
+        |    list_max(list_transform(a.vecs, dv -> list_dot_product(qv, dv))))), 4) AS maxsim
+        |FROM mv a, (SELECT vecs FROM mv WHERE label = 0) q
+        |ORDER BY maxsim DESC, label LIMIT 3""".stripMargin,
     "v5_maxsim_float" ->
       """WITH mv AS (SELECT label, list(embedding::DOUBLE[] ORDER BY vec_id) AS vecs
         |            FROM embeddings GROUP BY label)
