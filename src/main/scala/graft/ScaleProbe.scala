@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: measure how the headline queries scale with data volume.
+  *
+  * Replicates the sf0.1 tables N× into /tmp/graft_scale/x{N} with key
+  * offsets (so key cardinalities grow with the data) and per-replica text
+  * perturbation (so the duplicate structure of the corpus stays like the
+  * original instead of every doc gaining N exact copies), then times each
+  * query at 1×/4×/16×. A scale-linear operator should show ~N× time at N×
+  * data on a fixed 32-core box; anything super-linear is a red flag for the
+  * 100 TB deployment.
+  *
+  * Usage: runMain graft.ScaleProbe [gen|run|all]
+  */
+object ScaleProbe {
+  private val base = "/root/testdata/sf0.1"
+  private val root = "/tmp/graft_scale"
+  private val factors = Seq(4, 16)
+
+  private val probeQueries = Seq(
+    "q1_agg", "q2_join3", "f5_decimal_exists_ne", "l1_listing_page",
+    "v1_knn_topk", "v2_knn_batch", "t4_minhash_lsh", "t5_simhash",
+    "t6_simhash_neardups", "e1_asof_join", "e3_window_agg",
+    "c1_chunks_fixed", "s1_search_docs")
+
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("all")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (mode == "gen" || mode == "all") factors.foreach(f => gen(spark, f))
+    if (mode == "run" || mode == "all") {
+      val dirs = ("x1" -> base) +: factors.map(f => s"x$f" -> s"$root/x$f")
+      val rows = probeQueries.map { name =>
+        val fn = SparkEntry.queries(name)
+        val times = dirs.map { case (_, dir) =>
+          // warm once (plan compile), then best of 2 measured
+          fn(spark, dir).count()
+          (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            fn(spark, dir).count()
+            (System.nanoTime() - t0) / 1e9
+          }.min
+        }
+        println(f"[scale] $name%-22s " +
+          dirs.zip(times).map { case ((lbl, _), t) => f"$lbl=$t%6.2fs" }.mkString(" "))
+        name -> times
+      }
+      println("| query | " + dirs.map(_._1).mkString(" | ") + " | x16/x1 |")
+      println("|---|" + dirs.map(_ => "---|").mkString + "---|")
+      rows.foreach { case (n, ts) =>
+        println(f"| $n | " + ts.map(t => f"$t%.2f").mkString(" | ") +
+          f" | ${ts.last / ts.head}%.1f |")
+      }
+    }
+    spark.stop()
+  }
+
+  /** N× replica with offset keys; replica 0 is the original data. */
+  private def gen(spark: SparkSession, n: Int): Unit = {
+    val out = s"$root/x$n"
+    def reps(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until n).map(i => f(df, i)).reduce(_ unionByName _)
+
+    val maxOrder = Tables.orders(spark, base).agg(max("o_orderkey")).head().getLong(0) + 1
+    val maxDoc = Tables.documents(spark, base).agg(max("doc_id")).head().getLong(0) + 1
+    val maxVec = Tables.embeddings(spark, base).agg(max("vec_id")).head().getLong(0) + 1
+    val maxEvent = Tables.events(spark, base).agg(max("event_id")).head().getLong(0) + 1
+    val maxUser = Tables.events(spark, base).agg(max("user_id")).head().getLong(0) + 1
+
+    def write(name: String, df: DataFrame): Unit =
+      df.repartition(32).write.mode("overwrite").parquet(s"$out/$name.parquet")
+
+    // dims unchanged; facts replicated with shifted keys
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      write(t, Tables.table(spark, base, t)) }
+    write("orders", reps(Tables.orders(spark, base)) { (df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * maxOrder)) })
+    write("lineitem", reps(Tables.lineitem(spark, base)) { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * maxOrder)) })
+    // keep ts as the raw nanos long so Tables.events' read path (nanosAsLong
+    // + div 1000) applies identically to the replica
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    write("events", reps(Tables.table(spark, base, "events")) { (df, i) =>
+      df.withColumn("event_id", col("event_id") + lit(i * maxEvent))
+        .withColumn("user_id", col("user_id") + lit(i * maxUser)) })
+    // per-replica letter rotation makes replica texts genuinely DISTINCT
+    // documents (a suffix tweak would leave them near-dups, which inflates
+    // the near-dup pair space quadratically in N instead of scaling the
+    // corpus) while preserving length and word-shape statistics
+    val alpha = "etaoinshrd"
+    write("documents", reps(Tables.documents(spark, base)) { (df, i) =>
+      val rot = alpha.drop(i % alpha.length) + alpha.take(i % alpha.length)
+      df.withColumn("doc_id", col("doc_id") + lit(i * maxDoc))
+        .withColumn("text",
+          if (i == 0) col("text") else translate(col("text"), alpha, rot)) })
+    write("embeddings", reps(Tables.embeddings(spark, base)) { (df, i) =>
+      df.withColumn("vec_id", col("vec_id") + lit(i * maxVec))
+        .withColumn("label", col("label") + lit(i * 1000)) })
+    println(s"[scale] wrote $out")
+  }
+}
