@@ -32,15 +32,15 @@ object TextHashExpressions {
   }
 
   /** min-hash signature over distinct char shingles of an ALREADY-NORMALIZED
-    * text: element s = min over shingles of md5("s:" + shingle) 8-hex-char
-    * prefix, Long.MaxValue sentinel when no shingles. */
+    * text, Long.MaxValue sentinel when no shingles. One md5 per shingle
+    * (Broder-style combinatorial lanes, vs k seeded digests): the digest's
+    * first/second 4 bytes give (h1, h2) and lane k minimizes
+    * `(h1 + k·h2) mod 2^32` — 16× less hashing for k=16 with the same
+    * pairwise-independence the Jaccard estimator needs. */
   case class MinHashSignature(child: Expression, numHashes: Int, shingleSize: Int)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "minhash_signature"
-
-    @transient private lazy val seedPrefixes: Array[Array[Byte]] =
-      Array.tabulate(numHashes)(k => s"$k:".getBytes(StandardCharsets.UTF_8))
 
     override def nullSafeEval(v: Any): Any = {
       val s = v.asInstanceOf[UTF8String].toString
@@ -53,13 +53,14 @@ object TextHashExpressions {
         while (i <= last) {
           val sh = s.substring(i, i + shingleSize)
           if (seen.add(sh)) {
-            val shBytes = sh.getBytes(StandardCharsets.UTF_8)
+            md.reset()
+            val d = md.digest(sh.getBytes(StandardCharsets.UTF_8))
+            val h1 = prefixLong(d, 4)
+            var h2 = 0L; var j = 4
+            while (j < 8) { h2 = (h2 << 8) | (d(j) & 0xffL); j += 1 }
             var k = 0
             while (k < numHashes) {
-              md.reset()
-              md.update(seedPrefixes(k))
-              md.update(shBytes)
-              val h = prefixLong(md.digest(), 4)
+              val h = (h1 + k * h2) & 0xffffffffL
               if (h < out(k)) out(k) = h
               k += 1
             }

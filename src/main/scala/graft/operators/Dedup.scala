@@ -50,7 +50,7 @@ object Dedup {
     * est_jaccard = fraction of agreeing signature positions. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleSize: Int = 5, numHashes: Int = 16,
-                      bands: Int = 4): DataFrame = {
+                      bands: Int = 4, minEst: Double = 0.0): DataFrame = {
     val rows = numHashes / bands
     // Docs with no shingles (text shorter than the shingle) cannot be
     // near-dups; drop them so the all-sentinel signatures don't cross-match.
@@ -73,14 +73,18 @@ object Dedup {
           slice(col("sig"), col("band_idx") * lit(rows) + 1, lit(rows))
             .cast("array<string>")))))
     val a = banded.as("a"); val b = banded.as("b")
+    // est_jaccard is computed (and minEst-pruned) straight off the join, so
+    // the dedup shuffle behind distinct() carries 3 scalar columns — not two
+    // 16-long signature arrays — and chance band collisions below the
+    // threshold never reach it. A pair matching in m bands appears m (<=
+    // bands) times with the same deterministic estimate; distinct() is the
+    // per-pair dedup.
     a.join(b, col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
+          x => x)).cast("double") / numHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEst)
       .distinct()
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          x => x)).cast("double") / numHashes)
-      .select("id_a", "id_b", "est_jaccard")
   }
 
   /** Exact n-gram Jaccard for given candidate pairs (or brute force when

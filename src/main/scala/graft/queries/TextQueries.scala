@@ -48,8 +48,7 @@ object TextQueries {
 
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text",
-      shingleSize = 5, numHashes = 16, bands = 4)
-      .filter(col("est_jaccard") >= 0.25)
+      shingleSize = 5, numHashes = 16, bands = 4, minEst = 0.25)
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
       .orderBy("id_a", "id_b")
 
@@ -126,11 +125,15 @@ object TextQueries {
          |sh AS (SELECT doc_id,
          |    list_distinct(list_transform(range(1, len(norm) - 3), i -> substr(norm, i, 5))) AS sh
          |  FROM n WHERE len(norm) >= 5),
+         |hh AS (SELECT doc_id,
+         |    list_transform(sh, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS h1s,
+         |    list_transform(sh, x -> ('0x' || substr(md5(x), 9, 8))::BIGINT) AS h2s
+         |  FROM sh WHERE len(sh) > 0),
          |g AS (SELECT doc_id,
          |    list_transform(range(16), k ->
-         |      coalesce(list_min(list_transform(sh, x ->
-         |        ('0x' || substr(md5(k || ':' || x), 1, 8))::BIGINT)), 9223372036854775807)) AS sig
-         |  FROM sh WHERE len(sh) > 0),
+         |      coalesce(list_min(list_transform(range(len(h1s)), i ->
+         |        (h1s[i+1] + k * h2s[i+1]) & 4294967295)), 9223372036854775807)) AS sig
+         |  FROM hh),
          |b AS (SELECT doc_id, sig,
          |    list_transform(range(4), bb ->
          |      md5(bb || ',' || array_to_string(list_slice(sig, bb*4 + 1, bb*4 + 4), ','))) AS keys
