@@ -27,6 +27,15 @@ object text {
   /** Whitespace token count (`fast_ops.py:257-263`). */
   def token_count(c: Column): Column = size(tokens(c))
 
+  /** BPE-ish subword token estimate: greedy regex chunking — letter runs in
+    * <=4-char pieces, digit runs in <=3, one token per other non-space char —
+    * approximates a BPE vocabulary's granularity closely enough for
+    * training-data budgeting, entirely in codegen'd regex (no model). Greedy
+    * quantifiers make the count engine-independent. */
+  val bpeTokenPattern = "[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\\s]"
+  def bpe_token_count(c: Column): Column =
+    size(regexp_extract_all(c, lit(bpeTokenPattern), lit(0)))
+
   /** Content fingerprint: md5 of the normalized text (exact-dedup key). */
   def fingerprint(c: Column): Column = md5(normalize(c))
 

@@ -127,12 +127,13 @@ object Dedup {
           (floor(col("simhash") / pow(lit(2.0), col("block_idx") * lit(12))).cast("long")
             % 4096).cast("string")))
     val a = blocked.as("a"); val b = blocked.as("b")
+    // Hamming is computed and thresholded straight off the block join (an
+    // xor+popcount per collision row), so chance block collisions never
+    // reach the pair-dedup shuffle behind distinct().
     a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
-      .distinct()
-      .withColumn("hamming", text.simhash_hamming(col("sh_a"), col("sh_b")))
+        text.simhash_hamming(col("a.simhash"), col("b.simhash")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      .distinct()
   }
 }

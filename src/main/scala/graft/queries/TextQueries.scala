@@ -21,8 +21,18 @@ object TextQueries {
     "t4_minhash_lsh" -> ((s, d) => minhashLsh(s, d)),
     "t5_simhash" -> ((s, d) => simhash(s, d)),
     "t6_simhash_neardups" -> ((s, d) => simhashNearDups(s, d)),
-    "t7_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d))
+    "t7_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
+    "t8_bpe_tokens" -> ((s, d) => bpeTokens(s, d))
   )
+
+  /** BPE-ish token budgeting over the corpus: per-doc subword estimate plus
+    * the whitespace count it refines. */
+  def bpeTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      text.bpe_token_count(col("text")).cast("long").as("n_bpe"),
+      text.token_count(col("text")).cast("long").as("n_ws"))
+      .orderBy("doc_id")
 
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
@@ -179,6 +189,12 @@ object TextQueries {
          |    len(list_intersect(a.sh, c.sh)) / len(list_distinct(a.sh || c.sh))::DOUBLE AS j
          |  FROM sh a, sh c WHERE a.doc_id < c.doc_id)
          |SELECT id_a, id_b, round(j, 6) AS jaccard FROM p
-         |WHERE j >= 0.2 ORDER BY id_a, id_b""".stripMargin
+         |WHERE j >= 0.2 ORDER BY id_a, id_b""".stripMargin,
+    "t8_bpe_tokens" ->
+      s"""WITH n AS ($norm)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\\s]')) AS n_bpe,
+         |  len(list_filter(string_split(norm, ' '), t -> len(t) > 0)) AS n_ws
+         |FROM documents JOIN n USING (doc_id) ORDER BY doc_id""".stripMargin
   )
 }
