@@ -29,6 +29,26 @@ object Chunker {
       .filter(length(col("chunk")) > 0)
   }
 
+  /** C2 contextual chunker (`morphik_parser.py:110-193`): each chunk gets a
+    * situating context prepended as "{context}; {chunk}". The reference asks
+    * an LLM per chunk; here the context is a deterministic doc-prefix
+    * stand-in (the LLM slot is a `mapPartitions` stage like `Embedder`, and
+    * swapping it in changes no plan shape), so the operator stays
+    * oracle-checkable end to end. */
+  def contextualChunks(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, overlap: Int, contextChars: Int = 40): DataFrame = {
+    val stride = n - overlap
+    require(stride > 0, "overlap must be < chunk size")
+    val t = col(textCol)
+    val starts = sequence(lit(1), greatest(length(t) - (n - stride), lit(1)), lit(stride))
+    df.select(col(idCol), substring(t, 1, contextChars).as("__ctx"),
+        posexplode(transform(starts, s => t.substr(s, lit(n))))
+          .as(Seq("chunk_number", "chunk")))
+      .filter(length(col("chunk")) > 0)
+      .withColumn("chunk", concat(col("__ctx"), lit("; "), col("chunk")))
+      .drop("__ctx")
+  }
+
   /** Reference-faithful recursive character splitter. chunkSize/overlap
     * defaults mirror `morphik.toml:96-97` (6000/300). */
   def splitText(text: String, chunkSize: Int = 6000, overlap: Int = 300): Seq[String] = {

@@ -18,8 +18,37 @@ object TemporalQueries {
     "e2_padding_neighbors" -> ((s, d) => paddingNeighbors(s, d)),
     "e3_window_agg" -> ((s, d) => windowAgg(s, d)),
     "c1_chunks_fixed" -> ((s, d) => chunksFixed(s, d)),
-    "c2_chunks_recursive" -> ((s, d) => chunksRecursive(s, d))
+    "c2_chunks_recursive" -> ((s, d) => chunksRecursive(s, d)),
+    "c3_contextual_chunks" -> ((s, d) => contextualChunks(s, d)),
+    "e4_asof_nearest" -> ((s, d) => asofNearest(s, d))
   )
+
+  /** Q13 `at_time(t, padding)` form: nearest error within ±1 h of each
+    * purchase per user (ties -> earlier), timestamps kept in integer µs so
+    * distances compare exactly across engines. */
+  def asofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("ts", unix_micros(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val errors = ev.filter(col("event_type") === "error")
+      .groupBy("user_id", "ts").agg(max("value").as("err_value"))
+    AsOfJoin.nearest(purchases, errors, "user_id", "ts", Seq("err_value"),
+      toleranceSec = 3600L * 1000000L)
+      .select(col("event_id"), col("user_id"), round(col("value"), 2).as("value"),
+        col("near_ts"), round(col("near_err_value"), 2).as("near_err_value"),
+        col("near_dist"))
+      .orderBy("event_id")
+  }
+
+  /** C2: fixed chunks with the deterministic situating context prepended. */
+  def contextualChunks(spark: SparkSession, dir: String): DataFrame =
+    Chunker.contextualChunks(
+      Tables.documents(spark, dir).filter(col("doc_id") < 50),
+      "doc_id", "text", n = 120, overlap = 20, contextChars = 40)
+      .select(col("doc_id"), col("chunk_number").cast("long").as("chunk_number"),
+        col("chunk"))
+      .orderBy("doc_id", "chunk_number")
 
   /** Q13: for each purchase, the latest error at-or-before it per user.
     * Right side pre-deduped to one row per (user, ts) for determinism. */
@@ -107,6 +136,27 @@ object TemporalQueries {
         |FROM documents, generate_series(1, 100000, 100) AS t(s)
         |WHERE doc_id < 50 AND s <= greatest(len(text) - 20, 1)
         |  AND len(substr(text, s::INT, 120)) > 0
-        |ORDER BY doc_id, chunk_number""".stripMargin
+        |ORDER BY doc_id, chunk_number""".stripMargin,
+    "c3_contextual_chunks" ->
+      """SELECT doc_id, (s - 1) // 100 AS chunk_number,
+        |  substr(text, 1, 40) || '; ' || substr(text, s::INT, 120) AS chunk
+        |FROM documents, generate_series(1, 100000, 100) AS t(s)
+        |WHERE doc_id < 50 AND s <= greatest(len(text) - 20, 1)
+        |  AND len(substr(text, s::INT, 120)) > 0
+        |ORDER BY doc_id, chunk_number""".stripMargin,
+    "e4_asof_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts, value
+        |           FROM events WHERE event_type = 'purchase'),
+        |     e AS (SELECT user_id, epoch_us(ts) AS ts, max(value) AS err_value
+        |           FROM events WHERE event_type = 'error' GROUP BY user_id, ts),
+        |     j AS (SELECT p.event_id, p.user_id, p.value, e.ts AS near_ts,
+        |             e.err_value, abs(e.ts - p.ts) AS near_dist,
+        |             row_number() OVER (PARTITION BY p.event_id
+        |                                ORDER BY abs(e.ts - p.ts), e.ts) AS rn
+        |           FROM p JOIN e ON p.user_id = e.user_id
+        |           WHERE abs(e.ts - p.ts) <= 3600000000)
+        |SELECT event_id, user_id, round(value, 2) AS value, near_ts,
+        |  round(err_value, 2) AS near_err_value, near_dist
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin
   )
 }
