@@ -57,16 +57,19 @@ object RelationalQueries {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
-  /** 3-way fact-to-dims join: `customer` and `nation` broadcast (dims), so
-    * the only shuffle is lineitem⋈orders on the fact key — at cluster scale
-    * both facts would be bucketed on orderkey to kill that shuffle too. */
+  /** 3-way join: only `nation` (a true 25-row dimension) is force-broadcast.
+    * `customer` scales with the data, so its join is left to the planner —
+    * AQE auto-broadcasts it at small SF and shuffle-joins at scale; a
+    * hard-coded broadcast(customer) would OOM a 100 TB deployment. At
+    * cluster scale the fact tables would be bucketed on orderkey to kill
+    * the lineitem⋈orders shuffle too. */
   def q2Join3(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
     val o = Tables.orders(spark, dir).filter(col("o_orderstatus") =!= "P")
     val c = Tables.customer(spark, dir)
     val n = Tables.nation(spark, dir)
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy("c_mktsegment", "n_name")
       .agg(

@@ -99,4 +99,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Serving.oversample(10) == 20)
     assert(Serving.oversample(25) == 25)
   }
+
+  test("contextualChunks prepends the doc-prefix context to every chunk") {
+    val docs = Seq((1L, "abcdefghij" * 5)).toDF("doc_id", "text")  // 50 chars
+    val rows = graft.operators.Chunker
+      .contextualChunks(docs, "doc_id", "text", n = 20, overlap = 5, contextChars = 8)
+      .orderBy("chunk_number")
+      .select("chunk_number", "chunk").as[(Int, String)].collect().toSeq
+    // stride 15, start bound len - overlap = 45: windows at 1, 16, 31
+    assert(rows.map(_._1) == Seq(0, 1, 2))
+    assert(rows.forall(_._2.startsWith("abcdefgh; ")))
+    // chunk payload after the "ctx; " prefix is the raw window
+    assert(rows.head._2 == "abcdefgh; " + ("abcdefghij" * 5).substring(0, 20))
+    assert(rows.last._2 == "abcdefgh; " + ("abcdefghij" * 5).substring(30, 50))
+  }
 }
