@@ -38,8 +38,12 @@ object MetadataFilter {
     "object" -> "object", "dict" -> "object", "map" -> "object",
     "null" -> "null")
 
+  /** Canonicalize a declared type name; unknown names error, as in the
+    * reference ("Unsupported metadata type",
+    * `metadata_filters.py` via `typed_metadata.py:16-42`). */
   def canonicalType(t: String): String =
-    typeAliases.getOrElse(t.toLowerCase, t.toLowerCase)
+    typeAliases.getOrElse(t.toLowerCase,
+      sys.error(s"Unsupported metadata type: $t"))
 
   /** Compilation context.
     * @param meta     the `Map[String,String]` metadata column

@@ -138,4 +138,86 @@ class MetadataFilterSpec extends AnyFunSuite {
   test("$eq boolean") {
     assert(ids("""{"flag": {"$eq": true}}""") == Set(4))
   }
+
+  // ---- edge cases mirroring the reference's TestSecurity/TestEdgeCases
+  // (`test_metadata_filters.py:301-425`), asserted at result-set level
+
+  /** Second fixture for value-edge cases. */
+  lazy val edge: DataFrame = Seq(
+    (1, Map("name" -> "O'Brien", "count" -> "0", "balance" -> "-250.5"),
+      Map("name" -> "string", "count" -> "number", "balance" -> "number")),
+    (2, Map("name" -> "测试用户", "count" -> "7", "large_number" -> "20000000000"),
+      Map("name" -> "string", "count" -> "number", "large_number" -> "number")),
+    (3, Map("amount" -> "999999999999.99", "ts" -> "2024-01-15T06:00:00Z",
+        "day" -> "2024-02-29", "nested.field.name" -> "value", "blank" -> ""),
+      Map("amount" -> "decimal", "ts" -> "datetime", "day" -> "date",
+        "nested.field.name" -> "string", "blank" -> "string"))
+  ).toDF("id", "metadata", "metadata_types")
+
+  def eids(json: String): Set[Int] = {
+    val ctx = Ctx(col("metadata"), col("metadata_types"), Map.empty)
+    edge.filter(MetadataFilter.compile(json, ctx)).select("id").as[Int].collect().toSet
+  }
+
+  test("single-quote values pass through unbroken") {
+    assert(eids("""{"name": "O'Brien"}""") == Set(1))
+  }
+
+  test("sql-looking regex is treated as a literal pattern, no injection") {
+    assert(eids("""{"name": {"$regex": "'; DROP TABLE users; --"}}""") == Set.empty)
+  }
+
+  test("unicode values match exactly") {
+    assert(eids("""{"name": "测试用户"}""") == Set(2))
+  }
+
+  test("empty or null filter objects match everything") {
+    assert(eids("{}") == Set(1, 2, 3))
+    assert(eids("null") == Set(1, 2, 3))
+  }
+
+  test("zero boundary in typed comparison") {
+    assert(eids("""{"count": {"$gt": 0}}""") == Set(2))
+    assert(eids("""{"count": {"$gte": 0}}""") == Set(1, 2))
+  }
+
+  test("negative numbers compare numerically, not lexically") {
+    assert(eids("""{"balance": {"$lt": -100}}""") == Set(1))
+    assert(eids("""{"balance": {"$lt": -300}}""") == Set.empty)
+  }
+
+  test("very large decimal equality") {
+    assert(eids("""{"amount": {"$eq": "999999999999.99"}}""") == Set(3))
+  }
+
+  test("scientific-notation comparison value") {
+    assert(eids("""{"large_number": {"$gt": 1e10}}""") == Set(2))
+    assert(eids("""{"large_number": {"$gt": 3e10}}""") == Set.empty)
+  }
+
+  test("datetime comparison honors timezone offsets") {
+    // 2024-01-15T12:30:00+05:00 == 07:30Z; stored ts is 06:00Z
+    assert(eids("""{"ts": {"$lte": "2024-01-15T12:30:00+05:00"}}""") == Set(3))
+    assert(eids("""{"ts": {"$gte": "2024-01-15T12:30:00+05:00"}}""") == Set.empty)
+  }
+
+  test("leap-year date equality") {
+    assert(eids("""{"day": {"$eq": "2024-02-29"}}""") == Set(3))
+  }
+
+  test("empty-string value is a real equality target") {
+    assert(eids("""{"blank": ""}""") == Set(3))
+  }
+
+  test("field names with dots are plain map keys") {
+    assert(eids("""{"nested.field.name": "value"}""") == Set(3))
+  }
+
+  test("invalid $type name errors") {
+    assertThrows[RuntimeException](eids("""{"x": {"$type": "nonsense"}}"""))
+  }
+
+  test("unsupported top-level operator errors") {
+    assertThrows[RuntimeException](eids("""{"$xor": [{"a": 1}]}"""))
+  }
 }
