@@ -8,15 +8,19 @@ import org.apache.spark.sql.SparkSession
   *
   * Headliners cover every heavy operator family: scan+agg (q1), multi-join
   * (q2), filter DSL (f5), listing sort+page (l1), KNN single+batch (v1/v2),
-  * O(n^2) near-dup (v3), MaxSim (v5), minhash LSH (t4), simhash (t5),
-  * as-of join (e1), window agg (e3), chunk explode (c1), doc search (s1).
+  * O(n^2) near-dup (v3), MaxSim (v5), IVF ANN (v7), FDE two-phase (v9),
+  * minhash LSH (t4), simhash (t5/t6), regex tokenization (t8), as-of joins
+  * (e1/e4), window agg (e3), chunk explode (c1), doc search (s1),
+  * upsert (u1).
   */
 object Bench {
   private val headline = Seq(
     "q1_agg", "q2_join3", "f5_decimal_exists_ne", "l1_listing_page",
     "v1_knn_topk", "v2_knn_batch", "v3_neardup_pairs", "v5_maxsim_float",
-    "t4_minhash_lsh", "t5_simhash", "t6_simhash_neardups",
-    "e1_asof_join", "e3_window_agg", "c1_chunks_fixed", "s1_search_docs")
+    "v7_ivf_knn", "v9_fde_twophase",
+    "t4_minhash_lsh", "t5_simhash", "t6_simhash_neardups", "t8_bpe_tokens",
+    "e1_asof_join", "e3_window_agg", "e4_asof_nearest",
+    "c1_chunks_fixed", "s1_search_docs", "u1_upsert")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -31,6 +31,23 @@ object IngestPipeline {
   def cleanControlChars(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     regexp_replace(c, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f\\x80-\\x9f]", "")
 
+  /** Ingest-time metadata normalization: a raw JSON metadata column becomes
+    * the queryable two-map layout (`metadata`, `metadata_types`) via
+    * [[graft.filters.TypedMetadata]] (`typed_metadata.py:69-95` applied at
+    * `ingestion_service.py:552-704` ingest). A UDF is acceptable here: this
+    * is a once-per-document ingest step, not a query-time filter path. */
+  def normalizeMetadata(df: DataFrame, jsonCol: String = "metadata_json"): DataFrame = {
+    val norm = udf { (json: String) =>
+      val b = graft.filters.TypedMetadata.normalize(
+        Option(json).filter(_.trim.nonEmpty).getOrElse("{}"))
+      (b.values, b.types)
+    }
+    df.withColumn("__m", norm(col(jsonCol)))
+      .withColumn("metadata", col("__m._1"))
+      .withColumn("metadata_types", col("__m._2"))
+      .drop("__m", jsonCol)
+  }
+
   /** The batch pipeline: documents -> chunk index rows
     * (doc_id, chunk_number, chunk, embedding). */
   def processBatch(docs: DataFrame, cfg: Config = Config()): DataFrame = {

@@ -75,4 +75,22 @@ class IngestPipelineSpec extends AnyFunSuite {
       IngestPipeline.processBatch(
         Seq((1L, "one two three. " * 10)).toDF("doc_id", "text"), cfg).count())
   }
+
+  test("normalizeMetadata produces the queryable two-map layout") {
+    val df = Seq(
+      (1L, """{"year": "2024", "tags": ["a","b"], "at": "2024-01-15T10:30:00Z"}"""),
+      (2L, null.asInstanceOf[String])).toDF("doc_id", "metadata_json")
+    val out = IngestPipeline.normalizeMetadata(df).orderBy("doc_id")
+      .select("doc_id", "metadata", "metadata_types")
+      .as[(Long, Map[String, String], Map[String, String])].collect()
+    assert(out(0)._3 == Map("year" -> "string", "tags" -> "array", "at" -> "datetime"))
+    assert(out(0)._2("at") == "2024-01-15T10:30:00+00:00")
+    assert(out(1)._2.isEmpty && out(1)._3.isEmpty)
+    // and the filter DSL can query the result directly
+    val hits = IngestPipeline.normalizeMetadata(df)
+      .filter(graft.filters.MetadataFilter.compile(
+        """{"year": "2024"}""", col("metadata"), col("metadata_types")))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(hits == Seq(1L))
+  }
 }
