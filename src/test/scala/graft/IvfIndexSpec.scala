@@ -42,4 +42,29 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(ivf.forall(_ <= bfBest + 1e-12))
     assert(ivf.sorted.reverse.toSeq == ivf.toSeq) // descending order
   }
+
+  test("cluster-partitioned store: probe-pruned read scans only probed lists") {
+    val e = Tables.embeddings(spark, dir)
+    val q = VectorQueries.queryVec(spark, dir)
+    val (indexed, model) = IvfIndex.build(e, "embedding", lists = 8)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/idx"
+    graft.sources.IndexStore.writePartitioned(indexed, path, "cluster_id")
+    val stored = spark.read.parquet(path)
+    val probed = model.nearestClusters(q, 2)
+    val pruned = stored.filter(col("cluster_id").isin(probed: _*))
+    // directory pruning: only the 2 probed cluster dirs are actually read
+    // (input_file_name() reflects the post-pruning scan, unlike inputFiles)
+    val dirsRead = pruned.select(input_file_name())
+      .as[String](org.apache.spark.sql.Encoders.STRING).collect()
+      .map(_.split("/").init.last).distinct.sorted
+    assert(dirsRead.toSeq == probed.map(c => s"cluster_id=$c").sorted)
+    // and the stored+pruned query equals the in-memory probe-pruned query
+    val fromStore = graft.operators.KnnSearch
+      .topK(pruned, "embedding", "vec_id", q, 10, col("vec_id") =!= 0)
+      .select("vec_id").as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSeq
+    val inMem = IvfIndex.query(indexed, model, "embedding", "vec_id", q, 10, nprobe = 2,
+      where = col("vec_id") =!= 0)
+      .select("vec_id").as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSeq
+    assert(fromStore == inMem)
+  }
 }
