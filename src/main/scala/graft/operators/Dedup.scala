@@ -48,30 +48,36 @@ object Dedup {
   /** LSH candidate pairs + MinHash-estimated Jaccard.
     * Candidates = docs sharing >= 1 band key (equi-join, not cross join);
     * est_jaccard = fraction of agreeing signature positions. */
-  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-                      shingleSize: Int = 5, numHashes: Int = 16,
-                      bands: Int = 4, minEst: Double = 0.0): DataFrame = {
+  /** (id, sig, band_key) rows: one per document per band.
+    * Docs with no shingles (text shorter than the shingle) cannot be
+    * near-dups; drop them so the all-sentinel signatures don't cross-match.
+    * The extra scaled() is an exchange barrier: band_keys reads `sig` as a
+    * materialized attribute instead of re-evaluating the signature per band
+    * (CollapseProject would otherwise inline it 4x).
+    * Explode CONSTANT band indices, not the derived key array: exploding a
+    * derived array makes Catalyst push its implicit `size(arr) > 0` filter
+    * down to the scan, inlining (and serially re-evaluating) the whole
+    * signature expression there — observed live as a 200s one-task stage. */
+  private def bandKeys(df: DataFrame, idCol: String, textCol: String,
+                       shingleSize: Int, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
-    // Docs with no shingles (text shorter than the shingle) cannot be
-    // near-dups; drop them so the all-sentinel signatures don't cross-match.
-    // The extra scaled() is an exchange barrier: band_keys reads `sig` as a
-    // materialized attribute instead of re-evaluating the signature per band
-    // (CollapseProject would otherwise inline it 4x).
-    // Explode CONSTANT band indices, not the derived key array: exploding a
-    // derived array makes Catalyst push its implicit `size(arr) > 0` filter
-    // down to the scan, inlining (and serially re-evaluating) the whole
-    // signature expression there — observed live as a 200s one-task stage.
     val sigs = graft.Tables.scaled(
       minhashSignatures(df, idCol, textCol, shingleSize, numHashes)
         .filter(length(col("norm")) >= shingleSize)
         .select("id", "sig"))
-    val banded = sigs
+    sigs
       .select(col("id"), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band_idx"))
       .withColumn("band_key",
         md5(concat_ws(",", concat(array(col("band_idx").cast("string")),
           slice(col("sig"), col("band_idx") * lit(rows) + 1, lit(rows))
             .cast("array<string>")))))
+  }
+
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      shingleSize: Int = 5, numHashes: Int = 16,
+                      bands: Int = 4, minEst: Double = 0.0): DataFrame = {
+    val banded = bandKeys(df, idCol, textCol, shingleSize, numHashes, bands)
     val a = banded.as("a"); val b = banded.as("b")
     // est_jaccard is computed (and minEst-pruned) straight off the join, so
     // the dedup shuffle behind distinct() carries 3 scalar columns — not two
@@ -85,6 +91,23 @@ object Dedup {
           x => x)).cast("double") / numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEst)
       .distinct()
+  }
+
+  /** LSH dedup keep-list WITHOUT pair materialization: every doc's group
+    * label = min id over all band buckets it belongs to (one min-label
+    * propagation step — the standard LSH dedup output; iterate for full
+    * transitive closure). The whole computation is equi-key groupBys, so a
+    * mega-duplicate-cluster costs O(cluster) rows, never O(cluster²) pairs —
+    * this is the 100 TB-shaped output; [[minhashLshPairs]] is the
+    * pair-level analysis view. Keep = rows where id == keep_id. */
+  def minhashLshKeepList(df: DataFrame, idCol: String, textCol: String,
+                         shingleSize: Int = 5, numHashes: Int = 16,
+                         bands: Int = 4): DataFrame = {
+    val banded = bandKeys(df, idCol, textCol, shingleSize, numHashes, bands)
+      .select("id", "band_key")
+    val bucketMin = banded.groupBy("band_key").agg(min("id").as("bucket_min"))
+    banded.join(bucketMin, "band_key")
+      .groupBy("id").agg(min("bucket_min").as("keep_id"))
   }
 
   /** Exact n-gram Jaccard for given candidate pairs (or brute force when

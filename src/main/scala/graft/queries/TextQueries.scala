@@ -22,8 +22,16 @@ object TextQueries {
     "t5_simhash" -> ((s, d) => simhash(s, d)),
     "t6_simhash_neardups" -> ((s, d) => simhashNearDups(s, d)),
     "t7_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
-    "t8_bpe_tokens" -> ((s, d) => bpeTokens(s, d))
+    "t8_bpe_tokens" -> ((s, d) => bpeTokens(s, d)),
+    "t9_lsh_keeplist" -> ((s, d) => lshKeepList(s, d))
   )
+
+  /** Pair-free LSH dedup: (id, keep_id) via min-label propagation over band
+    * buckets — the scalable keep-list output (no O(cluster²) pair space). */
+  def lshKeepList(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshKeepList(Tables.documents(spark, dir), "doc_id", "text",
+      shingleSize = 5, numHashes = 16, bands = 4)
+      .orderBy("id")
 
   /** BPE-ish token budgeting over the corpus: per-doc subword estimate plus
     * the whitespace count it refines. */
@@ -190,6 +198,28 @@ object TextQueries {
          |  FROM sh a, sh c WHERE a.doc_id < c.doc_id)
          |SELECT id_a, id_b, round(j, 6) AS jaccard FROM p
          |WHERE j >= 0.2 ORDER BY id_a, id_b""".stripMargin,
+    "t9_lsh_keeplist" ->
+      s"""WITH n AS ($norm),
+         |sh AS (SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(norm) - 3), i -> substr(norm, i, 5))) AS sh
+         |  FROM n WHERE len(norm) >= 5),
+         |hh AS (SELECT doc_id,
+         |    list_transform(sh, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS h1s,
+         |    list_transform(sh, x -> ('0x' || substr(md5(x), 9, 8))::BIGINT) AS h2s
+         |  FROM sh WHERE len(sh) > 0),
+         |g AS (SELECT doc_id,
+         |    list_transform(range(16), k ->
+         |      coalesce(list_min(list_transform(range(len(h1s)), i ->
+         |        (h1s[i+1] + k * h2s[i+1]) & 4294967295)), 9223372036854775807)) AS sig
+         |  FROM hh),
+         |b AS (SELECT doc_id,
+         |    list_transform(range(4), bb ->
+         |      md5(bb || ',' || array_to_string(list_slice(sig, bb*4 + 1, bb*4 + 4), ','))) AS keys
+         |  FROM g),
+         |bk AS (SELECT doc_id, unnest(keys) AS k FROM b),
+         |bm AS (SELECT k, min(doc_id) AS m FROM bk GROUP BY k)
+         |SELECT bk.doc_id AS id, min(bm.m) AS keep_id
+         |FROM bk JOIN bm USING (k) GROUP BY 1 ORDER BY 1""".stripMargin,
     "t8_bpe_tokens" ->
       s"""WITH n AS ($norm)
          |SELECT doc_id,
