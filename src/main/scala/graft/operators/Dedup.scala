@@ -128,6 +128,34 @@ object Dedup {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Embedding near-dup pairs, LSH-bucketed (the scale path; brute-force
+    * cosine over all pairs is the oracle view). Blocking: the sign pattern
+    * of the vector's components, split into `blocks` contiguous slices —
+    * near-identical embeddings flip few signs, so they share at least one
+    * unchanged block (same pigeonhole as SimHash blocking). Candidate
+    * generation is an equi-join on (block_idx, sign-slice); exact cosine
+    * runs only within blocks. */
+  def embeddingLshPairs(df: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, blocks: Int = 4,
+                        minCosine: Double = 0.98): DataFrame = {
+    val slice_len = dim / blocks
+    val signs = graft.Tables.scaled(
+      df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")))
+      .select(col("id"), col("v"),
+        explode(sequence(lit(0), lit(blocks - 1))).as("block_idx"))
+      .withColumn("block_key",
+        concat(col("block_idx").cast("string"), lit(":"),
+          concat_ws("", transform(
+            slice(col("v"), col("block_idx") * lit(slice_len) + 1, lit(slice_len)),
+            x => when(x > 0f, "1").otherwise("0")))))
+    val a = signs.as("a"); val b = signs.as("b")
+    a.join(b, col("a.block_key") === col("b.block_key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        graft.functions.vec.cosine_sim(col("a.v"), col("b.v")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+      .distinct()
+  }
+
   /** SimHash fingerprints (48-bit) for every doc (single-pass expression
     * after the exchange — see TextHashExpressions). */
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame =

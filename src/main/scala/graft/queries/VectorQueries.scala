@@ -29,6 +29,7 @@ object VectorQueries {
     "v7_ivf_knn" -> ((s, d) => ivfKnn(s, d)),
     "v8_ivf_exact" -> ((s, d) => ivfExact(s, d)),
     "v9_fde_twophase" -> ((s, d) => fdeTwoPhase(s, d)),
+    "v10_emb_lsh_neardups" -> ((s, d) => embLshNearDups(s, d)),
     "s1_search_docs" -> ((s, d) => searchDocs(s, d))
   )
 
@@ -68,6 +69,18 @@ object VectorQueries {
         round(col("score"), 6).as("score"))
       .orderBy("id_a", "id_b")
   }
+
+  /** Embedding near-dup via sign-block LSH (the scale path for v3):
+    * candidates share a 16-dim sign slice, exact cosine only within blocks.
+    * The synthetic corpus has no true near-dups (max cosine ≈ 0.51), so the
+    * 0.4 threshold exercises block-join + filter equivalence; detection of
+    * planted near-identical vectors is asserted in DedupSpec. */
+  def embLshNearDups(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.embeddingLshPairs(
+      Tables.embeddings(spark, dir), "vec_id", "embedding",
+      dim = 64, blocks = 4, minCosine = 0.4)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("id_a", "id_b")
 
   /** E5+E6: binary quantization (packed MSB-first) + Hamming to the probe
     * vector. The hex output pins the exact bit layout. */
@@ -205,6 +218,19 @@ object VectorQueries {
         |           FROM q, c)
         |SELECT query_id, rank, vec_id, round(sc, 6) AS score
         |FROM s WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "v10_emb_lsh_neardups" ->
+      """WITH s AS (SELECT vec_id, embedding,
+        |    unnest(range(4)) AS block_idx FROM embeddings),
+        |k AS (SELECT vec_id, embedding, block_idx,
+        |    block_idx || ':' || array_to_string(
+        |      list_transform(list_slice(embedding, block_idx*16 + 1, block_idx*16 + 16),
+        |        x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS block_key
+        |  FROM s)
+        |SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+        |FROM k a JOIN k b ON a.block_key = b.block_key AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
     "v3_neardup_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score

@@ -47,4 +47,26 @@ class DedupSpec extends AnyFunSuite {
       .select("canonical_id", "dup_count").as[(Long, Long)].collect().toSeq
     assert(groups == Seq((100L, 2L))) // 100 & 102 exact; 101 differs
   }
+
+  test("embeddingLshPairs surfaces a planted near-identical embedding pair") {
+    val r = new scala.util.Random(11)
+    def vec() = Array.fill(64)(r.nextGaussian().toFloat)
+    val base = vec()
+    val nearDup = base.clone(); nearDup(5) = nearDup(5) + 0.01f
+    val rows = ((0 until 30).map(i => (i.toLong, vec().toSeq)) ++
+      Seq((100L, base.toSeq), (101L, nearDup.toSeq))).toDF("vec_id", "embedding")
+    val pairs = graft.operators.Dedup.embeddingLshPairs(
+      rows, "vec_id", "embedding", dim = 64, blocks = 4, minCosine = 0.98)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((100L, 101L)))
+  }
+
+  test("minhashLshKeepList labels a dup cluster by its min id, pair-free") {
+    val keep = Dedup.minhashLshKeepList(
+      corpus.union(Seq((102L, base)).toDF("doc_id", "text")),
+      "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(keep(100L) == 100L && keep(101L) == 100L && keep(102L) == 100L)
+    assert(keep(3L) == 3L) // unrelated doc keeps itself
+  }
 }
