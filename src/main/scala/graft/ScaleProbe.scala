@@ -22,9 +22,10 @@ object ScaleProbe {
 
   private val probeQueries = Seq(
     "q1_agg", "q2_join3", "f5_decimal_exists_ne", "l1_listing_page",
-    "v1_knn_topk", "v2_knn_batch", "t4_minhash_lsh", "t5_simhash",
-    "t6_simhash_neardups", "e1_asof_join", "e3_window_agg",
-    "c1_chunks_fixed", "s1_search_docs")
+    "v1_knn_topk", "v2_knn_batch", "v10_emb_lsh_neardups",
+    "t4_minhash_lsh", "t5_simhash", "t6_simhash_neardups", "t9_lsh_keeplist",
+    "e1_asof_join", "e3_window_agg", "e4_asof_nearest",
+    "c1_chunks_fixed", "s1_search_docs", "u1_upsert")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("all")
@@ -42,8 +43,9 @@ object ScaleProbe {
       val rows = probeQueries.map { name =>
         val fn = SparkEntry.queries(name)
         val times = dirs.map { case (_, dir) =>
-          // warm once (plan compile), then best of 2 measured
-          fn(spark, dir).count()
+          // warm twice (plan compile + first-touch shuffle/page-cache at the
+          // larger factors), then best of 2 measured
+          fn(spark, dir).count(); fn(spark, dir).count()
           (1 to 2).map { _ =>
             val t0 = System.nanoTime()
             fn(spark, dir).count()
