@@ -20,6 +20,7 @@ object PipelineQueries {
     "q8_padding" -> ((s, d) => padding(s, d)),
     "p1_ingest_stats" -> ((s, d) => ingestStats(s, d)),
     "m1_media_decode" -> ((s, d) => mediaDecode(s, d)),
+    "x1_xml_chunks" -> ((s, d) => xmlChunks(s, d)),
     "m2_frame_sample" -> ((s, d) => frameSample(s, d)),
     "r1_rerank" -> ((s, d) => rerank(s, d)),
     "g1_batch_get" -> ((s, d) => batchGet(s, d)),
@@ -108,6 +109,25 @@ object PipelineQueries {
           concat(concat_ws("_", col("source"), col("doc_id")), lit(".txt"))),
       "filename", "doc_id", NameQuery, limit = 10)
       .select(col("doc_id"), col("filename"), col("name_score"))
+
+  /** S7 XML structural chunker over XML synthesized from the documents
+    * table (escaped text split into sections) — rows-only gate (unit-tag
+    * profiling + token-bounded recursion isn't SQL-expressible; semantics
+    * are golden-tested in XmlChunkerSpec). */
+  def xmlChunks(spark: SparkSession, dir: String): DataFrame = {
+    val esc = (c: org.apache.spark.sql.Column) =>
+      regexp_replace(regexp_replace(regexp_replace(c,
+        "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    val xml = Tables.documents(spark, dir).filter(col("doc_id") < 100)
+      .select(col("doc_id"), concat(
+        lit("<doc><sec><p>"), esc(substring(col("text"), 1, 150)),
+        lit("</p></sec><sec><p>"), esc(substring(col("text"), 151, 100000)),
+        lit("</p></sec></doc>")).as("xml"))
+    graft.operators.XmlChunker.chunkColumn(xml, "doc_id", "xml", maxTokens = 20)
+      .select(col("doc_id"), col("chunk_index"), col("tag"),
+        col("breadcrumbs"), md5(col("content")).as("content_md5"))
+      .orderBy("doc_id", "chunk_index")
+  }
 
   def oracles: Map[String, String] = Map(
     "q8_padding" ->
