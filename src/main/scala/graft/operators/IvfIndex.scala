@@ -46,10 +46,14 @@ object IvfIndex {
 
   /** Assign every row a cluster_id; returns (indexed corpus, model).
     * Deterministic: fixed seed, fixed maxIter. */
-  def build(corpus: DataFrame, vecCol: String, lists: Int, seed: Long = 42L): (DataFrame, Model) = {
+  def build(corpus: DataFrame, vecCol: String, lists: Int, seed: Long = 42L,
+            maxIter: Int = 10): (DataFrame, Model) = {
     val featured = corpus.withColumn("__features", array_to_vector(col(vecCol)))
+    // 10 Lloyd iterations: an IVF coarse quantizer only needs balanced-ish
+    // lists, not converged centroids (recall comes from nprobe, and probing
+    // all lists is exact regardless of clustering quality — v8's gate).
     val km = new KMeans()
-      .setK(lists).setSeed(seed).setMaxIter(20)
+      .setK(lists).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("__features").setPredictionCol("cluster_id")
     val model = km.fit(featured)
     val indexed = model.transform(featured).drop("__features")
