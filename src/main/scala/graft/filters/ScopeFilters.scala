@@ -43,6 +43,27 @@ object ScopeFilters {
   private def trimBoth(c: Column, ch: String): Column =
     regexp_replace(regexp_replace(c, s"^[$ch]+", ""), s"[$ch]+$$", "")
 
+  /** The API's (folder_name, folder_depth) → predicate dispatcher
+    * (`document_service.py:80-134` `_build_folder_scope_filters`): accepts
+    * one or many FULL folder paths (None = unfiled docs, i.e. null/''
+    * folder_path); depth None/0 → exact match per path, -1 → path + all
+    * descendants, n > 0 → descendants at most n levels deeper than each
+    * base path. Paths OR together. */
+  def folderScope(pathCol: Column, paths: Seq[Option[String]],
+                  depth: Option[Int]): Column = {
+    def baseDepth(p: String): Int =
+      if (p == "/") 0 else p.stripPrefix("/").stripSuffix("/").split("/").count(_.nonEmpty)
+    val perPath = paths.map {
+      case None => folderPathExact(pathCol, null)
+      case Some(p) => depth match {
+        case None | Some(0)          => folderPathExact(pathCol, p)
+        case Some(d) if d < 0        => folderPathPrefix(pathCol, p)
+        case Some(d)                 => folderPathPrefixDepth(pathCol, p, baseDepth(p) + d)
+      }
+    }
+    perPath.reduceOption(_ || _).getOrElse(lit(true))
+  }
+
   /** Status filter incl. NULL (`postgres_database.py:485-499,1145-1158`). */
   def status(statusCol: Column, statuses: Seq[String], includeNull: Boolean = false): Column = {
     val in = if (statuses.nonEmpty) statusCol.isin(statuses: _*) else lit(false)

@@ -104,4 +104,22 @@ class GraftServiceSpec extends AnyFunSuite {
     assert(ctx._2 == 3)
     assert(ctx._1.split("\n\n").length == 3)
   }
+
+  test("folderScope dispatcher: exact / -1 descendants / bounded depth / null / multi") {
+    import graft.filters.ScopeFilters
+    val df = Seq(
+      (1L, "/proj"), (2L, "/proj/spark"), (3L, "/proj/spark/deep"),
+      (4L, "/other"), (5L, null.asInstanceOf[String]), (6L, "")
+    ).toDF("id", "folder_path")
+    def ids(paths: Seq[Option[String]], depth: Option[Int]): Set[Long] =
+      df.filter(ScopeFilters.folderScope(col("folder_path"), paths, depth))
+        .select("id").as[Long].collect().toSet
+    assert(ids(Seq(Some("/proj")), None) == Set(1L))                 // exact
+    assert(ids(Seq(Some("/proj")), Some(0)) == Set(1L))              // 0 = exact
+    assert(ids(Seq(Some("/proj")), Some(-1)) == Set(1L, 2L, 3L))     // all descendants
+    assert(ids(Seq(Some("/proj")), Some(1)) == Set(1L, 2L))          // one level deeper
+    assert(ids(Seq(None), None) == Set(5L, 6L))                      // unfiled: null == ''
+    assert(ids(Seq(Some("/proj/spark"), Some("/other")), Some(-1)) == Set(2L, 3L, 4L))
+    assert(ids(Seq.empty, None) == Set(1L, 2L, 3L, 4L, 5L, 6L))      // no scope = all
+  }
 }
