@@ -51,8 +51,12 @@ object GraftService {
     val parts = Seq(
       req.appId.map(a => c(t.appIdCol) === a),
       req.endUserId.map(u => c(t.endUserCol) === u),
+      // reference depth semantics are RELATIVE to the base path (0 exact,
+      // -1 all descendants, n>0 at most n levels deeper) — the dispatcher
+      // adds base_depth, so "/a/b" with depth 1 bounds at total depth 3
       req.folderPath.map(p =>
-        ScopeFilters.folderPathPrefixDepth(c(t.folderPathCol), p, req.folderDepth)),
+        ScopeFilters.folderScope(c(t.folderPathCol), Seq(Some(p)),
+          Some(req.folderDepth))),
       req.filters.map(json =>
         MetadataFilter.compile(json, MetadataFilter.Ctx(
           c(t.metaCol), c(t.metaTypesCol))))
