@@ -113,4 +113,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.head._2 == "abcdefgh; " + ("abcdefghij" * 5).substring(0, 20))
     assert(rows.last._2 == "abcdefgh; " + ("abcdefghij" * 5).substring(30, 50))
   }
+
+  test("saltedCollectList equals plain collect_list up to order, hot key split") {
+    val df = ((1 to 500).map(i => ("hot", i)) ++ (1 to 5).map(i => ("cold", i)))
+      .toDF("k", "v")
+    val salted = graft.operators.Skew.saltedCollectList(df, Seq("k"), "v", salts = 8)
+      .select("k", "values").as[(String, Seq[Int])].collect()
+      .map { case (k, vs) => k -> vs.sorted }.toMap
+    assert(salted("hot") == (1 to 500).toSeq)
+    assert(salted("cold") == (1 to 5).toSeq)
+    // first stage really splits the hot key across salts
+    val stage1 = df.withColumn("__salt",
+      pmod(spark_partition_id() + hash(col("v")), lit(8)))
+      .groupBy("k", "__salt").count()
+    assert(stage1.filter(col("k") === "hot").count() > 1)
+  }
 }
