@@ -30,7 +30,7 @@ object MetadataFilter {
     "string" -> "string", "str" -> "string", "text" -> "string",
     "number" -> "number", "int" -> "number", "integer" -> "number",
     "float" -> "number", "double" -> "number",
-    "decimal" -> "decimal", "numeric" -> "decimal",
+    "decimal" -> "decimal", "numeric" -> "number",
     "boolean" -> "boolean", "bool" -> "boolean",
     "datetime" -> "datetime", "timestamp" -> "datetime",
     "date" -> "date",

@@ -161,6 +161,22 @@ object TypedMetadata {
 
   private val isoLocal = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")
   private val isoOffset = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ssxxx")
+  private val offsetOnly = DateTimeFormatter.ofPattern("xxx")
+
+  /** Python `datetime.isoformat()` rendering: microseconds emitted as six
+    * digits when nonzero, omitted entirely when zero (sub-microsecond
+    * precision truncates like `fromisoformat`). */
+  private def formatLocal(dt: LocalDateTime): String = {
+    val micros = dt.getNano / 1000
+    if (micros == 0) dt.format(isoLocal)
+    else f"${dt.format(isoLocal)}.$micros%06d"
+  }
+
+  private def formatOffset(odt: OffsetDateTime): String = {
+    val micros = odt.getNano / 1000
+    if (micros == 0) odt.format(isoOffset)
+    else f"${odt.toLocalDateTime.format(isoLocal)}.$micros%06d${odt.format(offsetOnly)}"
+  }
 
   /** `_coerce_datetime`/`_parse_datetime_like` (`:283-330`): ISO output,
     * timezone presence preserved; numbers are UTC epoch seconds. */
@@ -184,8 +200,15 @@ object TypedMetadata {
     val text = if (raw.endsWith("Z")) raw.dropRight(1) + "+00:00" else raw
     val spaced = if (text.length > 10 && text.charAt(10) == ' ')
       text.updated(10, 'T') else text
-    try OffsetDateTime.parse(spaced).format(isoOffset)
-    catch { case _: Exception => LocalDateTime.parse(spaced).format(isoLocal) }
+    try formatOffset(OffsetDateTime.parse(spaced))
+    catch {
+      case _: Exception =>
+        try formatLocal(LocalDateTime.parse(spaced))
+        catch {
+          // `datetime.fromisoformat('2024-01-15')` coerces to midnight.
+          case _: Exception => LocalDate.parse(spaced).atStartOfDay.format(isoLocal)
+        }
+    }
   }
 
   /** `_coerce_date` (`:292-308`). */
@@ -205,12 +228,13 @@ object TypedMetadata {
     case _ => fail(s"Metadata field '$field' expects a date value.")
   }
 
-  /** `_sanitize_nested` (`:333-345`): datetime-looking strings inside
-    * arrays/objects normalized; structure preserved. */
+  /** `_sanitize_nested` (`:333-345`): structure-only recursion. The
+    * reference converts only datetime/date/Decimal *objects* (which JSON
+    * input never produces); nested strings pass through verbatim
+    * (`test_array_preservation`). */
   private def sanitizeNested(v: JValue, field: String): JValue = v match {
     case JObject(fields) => JObject(fields.map { case (k, x) => k -> sanitizeNested(x, field) })
     case JArray(xs)      => JArray(xs.map(sanitizeNested(_, field)))
-    case JString(s) if looksLikeIsoDatetime(s) => JString(parseDatetime(s.trim))
     case other           => other
   }
 

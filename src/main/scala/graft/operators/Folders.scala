@@ -26,10 +26,10 @@ object Folders {
       (appId, full, parts(i), parent, i + 1)
     }
     val wanted = rows.toDF("app_id", "full_path", "name", "parent_path", "depth")
-      .withColumn("id", md5(concat_ws(" ", col("app_id"), col("full_path"))))
+      .withColumn("id", md5(concat_ws("\u0000", col("app_id"), col("full_path"))))
       .withColumn("parent_id",
         when(col("parent_path").isNull, lit(null).cast("string"))
-          .otherwise(md5(concat_ws(" ", col("app_id"), col("parent_path")))))
+          .otherwise(md5(concat_ws("\u0000", col("app_id"), col("parent_path")))))
       .drop("parent_path")
     val missing = wanted.join(
       folders.select(col("app_id"), col("full_path")),
@@ -48,9 +48,9 @@ object Folders {
           .otherwise(col("full_path")))
       .withColumn("depth",
         size(split(regexp_replace(col("full_path"), "^/|/$", ""), "/")))
-      .withColumn("id", md5(concat_ws(" ", col("app_id"), col("full_path"))))
+      .withColumn("id", md5(concat_ws("\u0000", col("app_id"), col("full_path"))))
       .withColumn("parent_id",
-        when(col("depth") > 1, md5(concat_ws(" ", col("app_id"),
+        when(col("depth") > 1, md5(concat_ws("\u0000", col("app_id"),
           regexp_replace(col("full_path"), "/[^/]+$", ""))))
           .otherwise(lit(null).cast("string")))
   }

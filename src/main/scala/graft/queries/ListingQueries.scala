@@ -82,7 +82,7 @@ object ListingQueries {
   def usageBySource(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .groupBy("source")
-      .agg(sum("n_chars").as("total_chars"), count(lit(1)).as("doc_count"))
+      .agg(sum("n_chars").cast("long").as("total_chars"), count(lit(1)).as("doc_count"))
       .orderBy("source")
 
   def oracles: Map[String, String] = Map(
@@ -123,12 +123,15 @@ object ListingQueries {
         |        THEN '/archive/src1' || substring(fp, 6) ELSE fp END AS full_path FROM d)
         |SELECT full_path,
         |  len(string_split(trim(full_path, '/'), '/')) AS depth,
-        |  md5('app ' || full_path) AS id,
+        |  md5('app' || chr(0) || full_path) AS id,
         |  CASE WHEN len(string_split(trim(full_path, '/'), '/')) > 1
-        |    THEN md5('app ' || regexp_replace(full_path, '/[^/]+$', '')) END AS parent_id
+        |    THEN md5('app' || chr(0) || regexp_replace(full_path, '/[^/]+$', '')) END AS parent_id
         |FROM m ORDER BY full_path""".stripMargin,
     "l8_usage_by_source" ->
-      """SELECT source, sum(n_chars) AS total_chars, count(*) AS doc_count
+      // sum(INT) is HUGEINT in DuckDB; cast to BIGINT so both engines emit
+      // int64 (the driver hashes the rendered values, and int128 prints
+      // through pandas differently).
+      """SELECT source, sum(n_chars)::BIGINT AS total_chars, count(*) AS doc_count
         |FROM documents GROUP BY source ORDER BY source""".stripMargin
   )
 }

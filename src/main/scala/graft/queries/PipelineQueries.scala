@@ -168,7 +168,7 @@ object PipelineQueries {
         |  FROM tok GROUP BY doc_id, chunk_number,
         |    ('0x' || substr(md5('42:' || tok), 1, 4))::BIGINT % 64)
         |SELECT doc_id, chunk_number, any_value(chunk_len) AS chunk_len,
-        |  sum(s) AS emb_sum, sum(s * s) AS emb_sq
+        |  sum(s)::BIGINT AS emb_sum, sum(s * s)::BIGINT AS emb_sq
         |FROM buckets GROUP BY doc_id, chunk_number
         |ORDER BY doc_id, chunk_number""".stripMargin,
     "m1_media_decode" ->

@@ -57,11 +57,16 @@ object TextQueries {
       .orderBy("doc_id")
 
   /** Exact dedup on a normalized 60-char prefix key (the full texts are
-    * unique in this corpus; prefix dedup mirrors near-boilerplate removal). */
+    * unique in this corpus; prefix dedup mirrors near-boilerplate removal).
+    * `ids` is emitted as a comma-joined string: the driver's pandas-based
+    * comparator cannot hash array cells, and the join keeps the value-level
+    * check exact. */
   def exactDups(spark: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(
       Tables.documents(spark, dir).withColumn("key_text", substring(col("text"), 1, 60)),
       "doc_id", "key_text")
+      .select(col("fp"), col("canonical_id"),
+        array_join(col("ids"), ",").as("ids"), col("dup_count"))
       .orderBy("fp")
 
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
@@ -136,7 +141,8 @@ object TextQueries {
         |    md5(trim(regexp_replace(lower(substr(text, 1, 60)), '\s+', ' ', 'g'))) AS fp
         |  FROM documents)
         |SELECT fp, min(doc_id) AS canonical_id,
-        |       list_sort(list(doc_id)) AS ids, count(*) AS dup_count
+        |       array_to_string(list_sort(list(doc_id)), ',') AS ids,
+        |       count(*) AS dup_count
         |FROM f GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin,
     "t4_minhash_lsh" ->
       s"""WITH n AS ($norm),

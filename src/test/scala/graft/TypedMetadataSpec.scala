@@ -13,7 +13,7 @@ class TypedMetadataSpec extends AnyFunSuite {
     val cases = Map(
       "string" -> "string", "str" -> "string", "text" -> "string",
       "int" -> "number", "integer" -> "number", "float" -> "number",
-      "double" -> "number", "numeric" -> "decimal", "decimal" -> "decimal",
+      "double" -> "number", "numeric" -> "number", "decimal" -> "decimal",
       "bool" -> "boolean", "timestamp" -> "datetime", "DateTime" -> "datetime",
       "LIST" -> "array", "dict" -> "object", "Map" -> "object", "null" -> "null")
     cases.foreach { case (in, want) =>
@@ -88,6 +88,17 @@ class TypedMetadataSpec extends AnyFunSuite {
     assert(dt("\"2024-01-15 10:30:00\"") == "2024-01-15T10:30:00")
   }
 
+  test("datetime coercion preserves fractional seconds; date-only coerces to midnight") {
+    def dt(js: String) = TypedMetadata.normalize(
+      s"""{"x": $js}""", Map("x" -> "datetime")).values("x")
+    // fromisoformat(...).isoformat() keeps microseconds (6 digits when nonzero)
+    assert(dt("\"2024-01-15T10:30:00.123456\"") == "2024-01-15T10:30:00.123456")
+    assert(dt("\"2024-01-15T10:30:00.5Z\"") == "2024-01-15T10:30:00.500000+00:00")
+    assert(dt("\"2024-01-15T10:30:00.000\"") == "2024-01-15T10:30:00")
+    // fromisoformat('2024-01-15') == datetime(2024, 1, 15, 0, 0)
+    assert(dt("\"2024-01-15\"") == "2024-01-15T00:00:00")
+  }
+
   test("date coercion: date string, datetime string truncates") {
     def d(js: String) = TypedMetadata.normalize(
       s"""{"x": $js}""", Map("x" -> "date")).values("x")
@@ -106,12 +117,15 @@ class TypedMetadataSpec extends AnyFunSuite {
       .getMessage.contains("'true' or 'false'"))
   }
 
-  test("array/object preserved as JSON; nested datetimes sanitized") {
+  test("array/object preserved as JSON; nested strings pass through verbatim") {
+    // `_sanitize_nested` converts only datetime/date/Decimal objects — JSON
+    // input never produces those, so strings (even ISO-looking) are kept
+    // as-is (`test_array_preservation`).
     val b = TypedMetadata.normalize(
       """{"arr": [1, "2024-01-15T10:30:00Z", "x"], "obj": {"at": "2024-01-15T10:30:00Z"}}""")
     assert(b.types == Map("arr" -> "array", "obj" -> "object"))
-    assert(b.values("arr") == """[1,"2024-01-15T10:30:00+00:00","x"]""")
-    assert(b.values("obj") == """{"at":"2024-01-15T10:30:00+00:00"}""")
+    assert(b.values("arr") == """[1,"2024-01-15T10:30:00Z","x"]""")
+    assert(b.values("obj") == """{"at":"2024-01-15T10:30:00Z"}""")
   }
 
   test("array/object hints reject scalars") {
