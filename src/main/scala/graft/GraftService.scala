@@ -67,7 +67,7 @@ object GraftService {
   /** retrieve_chunks: the full Q1+Q14(+Q6)(+Q8) pipeline as one plan. */
   def retrieveChunks(req: RetrieveRequest, chunks: ChunkTable,
                      embedder: Embedder = HashEmbedder(64)): DataFrame = {
-    val qVec = embedder.asInstanceOf[HashEmbedder].embedText(req.queryText)
+    val qVec = embedder.embedText(req.queryText)
     val fetchK = if (req.useReranking) Serving.oversample(req.k) else req.k
     val hits = KnnSearch.topK(chunks.df, chunks.embeddingCol, chunks.docIdCol,
       qVec, fetchK, where = compileScope(req, chunks), minScore = req.minScore)

@@ -21,6 +21,10 @@ trait Embedder extends Serializable {
   def dim: Int
   /** Adds `outCol: array<float>` computed from `textCol`. */
   def embed(df: DataFrame, textCol: String, outCol: String): DataFrame
+  /** Query-side single-text embedding (`embed_query`,
+    * `litellm_embedding.py:97-111`) — runs on the driver, so the serving
+    * planner can score against any embedder implementation. */
+  def embedText(s: String): Array[Float]
 }
 
 /** Deterministic seeded hash-embedder (the test/CI stand-in, SURVEY §7.1
