@@ -20,12 +20,18 @@ import graft.functions.text
 object Dedup {
 
   /** Exact duplicate groups by normalized-content fingerprint. Returns one
-    * row per duplicated fingerprint: canonical (min) id, sorted ids, count. */
+    * row per duplicated fingerprint: canonical (min) id, sorted ids, count.
+    * The id list is a holistic agg, so it runs through the two-stage salted
+    * path — a mega-duplicate cluster (one fingerprint covering millions of
+    * rows) lands on `salts` reducers in stage 1 instead of one; the final
+    * sort_array makes the output independent of the salting. */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).cast("long").as("id"), text.fingerprint(col(textCol)).as("fp"))
-      .groupBy("fp")
-      .agg(min("id").as("canonical_id"), sort_array(collect_list("id")).as("ids"),
-        count(lit(1)).as("dup_count"))
+    Skew.saltedCollectList(
+      df.select(col(idCol).cast("long").as("id"), text.fingerprint(col(textCol)).as("fp")),
+      Seq("fp"), "id")
+      .select(col("fp"), array_min(col("values")).as("canonical_id"),
+        sort_array(col("values")).as("ids"),
+        size(col("values")).cast("long").as("dup_count"))
       .filter(col("dup_count") > 1)
 
   /** Exact-dedup keep-list: the min id per fingerprint (what a pipeline
@@ -139,21 +145,33 @@ object Dedup {
                         dim: Int, blocks: Int = 4,
                         minCosine: Double = 0.98): DataFrame = {
     val slice_len = dim / blocks
-    val signs = graft.Tables.scaled(
+    val base = graft.Tables.scaled(
       df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")))
+    // The banded exchange carries (id, block_key) ONLY — the sign key is
+    // computed from the vector in the pre-shuffle projection, then the
+    // vector column is dropped, so the ×blocks explode never multiplies the
+    // float payload (the same slim-shuffle shape as minhashLshPairs).
+    val signs = base
       .select(col("id"), col("v"),
         explode(sequence(lit(0), lit(blocks - 1))).as("block_idx"))
-      .withColumn("block_key",
+      .select(col("id"),
         concat(col("block_idx").cast("string"), lit(":"),
           concat_ws("", transform(
             slice(col("v"), col("block_idx") * lit(slice_len) + 1, lit(slice_len)),
-            x => when(x > 0f, "1").otherwise("0")))))
+            x => when(x > 0f, "1").otherwise("0")))).as("block_key"))
     val a = signs.as("a"); val b = signs.as("b")
-    a.join(b, col("a.block_key") === col("b.block_key") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        graft.functions.vec.cosine_sim(col("a.v"), col("b.v")).as("cosine"))
-      .filter(col("cosine") >= minCosine)
+    // Unique candidate pairs are two longs wide; vectors re-join by id
+    // afterwards, so each is fetched once per id, not once per collision.
+    val cand = a
+      .join(b, col("a.block_key") === col("b.block_key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        graft.functions.vec.cosine_sim(col("va"), col("vb")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
   }
 
   /** SimHash fingerprints (48-bit) for every doc (single-pass expression

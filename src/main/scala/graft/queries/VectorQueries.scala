@@ -95,12 +95,17 @@ object VectorQueries {
       .orderBy("vec_id")
   }
 
-  /** Multivector per label: embeddings sorted by vec_id. */
+  /** Multivector per label: embeddings sorted by vec_id. The per-label
+    * vector list is holistic, so assembly goes through the two-stage salted
+    * collect (a fat label — thousands of page-patch vectors — spreads over
+    * `salts` reducers in stage 1); array_sort restores determinism. */
   private def labelMultivectors(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
-      .groupBy(col("label"))
-      .agg(transform(array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
-        x => x.getField("embedding")).as("vecs"))
+    graft.operators.Skew.saltedCollectList(
+      Tables.embeddings(spark, dir)
+        .select(col("label"), struct(col("vec_id"), col("embedding")).as("sv")),
+      Seq("label"), "sv")
+      .select(col("label"),
+        transform(array_sort(col("values")), x => x.getField("embedding")).as("vecs"))
 
   /** Q5 exact rescoring: float MaxSim of each label-doc against label 0. */
   def maxSimFloat(spark: SparkSession, dir: String): DataFrame = {
@@ -114,10 +119,9 @@ object VectorQueries {
 
   /** Q4: binary MaxSim (the in-DB `max_sim` bit[] UDF) against label 0. */
   def maxSimBinary(spark: SparkSession, dir: String): DataFrame = {
-    val mv = Tables.embeddings(spark, dir)
-      .groupBy(col("label"))
-      .agg(transform(array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
-        x => vec.binary_quantize(x.getField("embedding"))).as("bvecs"))
+    val mv = labelMultivectors(spark, dir)
+      .select(col("label"),
+        transform(col("vecs"), x => vec.binary_quantize(x)).as("bvecs"))
     val q = mv.filter(col("label") === 0).select(col("bvecs").as("qvecs"))
     mv.crossJoin(broadcast(q))
       .select(col("label").cast("long").as("label"),

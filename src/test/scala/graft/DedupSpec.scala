@@ -61,6 +61,43 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Seq((100L, 101L)))
   }
 
+  test("exactGroups handles a planted mega-cluster through the salted path") {
+    // 5,000 copies of one text: the holistic id-list agg would pin one
+    // reducer without salting; the salted two-stage form must still emit
+    // one complete, sorted group.
+    val mega = ((0 until 5000).map(i => (1000L + i, base)) ++
+      (0 until 20).map(i => (i.toLong, randText()))).toDF("doc_id", "text")
+    val groups = Dedup.exactGroups(mega, "doc_id", "text")
+      .select("canonical_id", "ids", "dup_count")
+      .as[(Long, Seq[Long], Long)].collect().toSeq
+    assert(groups.length == 1)
+    val (canon, ids, n) = groups.head
+    assert(canon == 1000L && n == 5000L)
+    assert(ids == (0 until 5000).map(1000L + _)) // complete and sorted
+  }
+
+  test("embeddingLshPairs candidate exchange carries no vector column") {
+    val r = new scala.util.Random(13)
+    val rows = (0 until 16).map(i =>
+      (i.toLong, Array.fill(64)(r.nextGaussian().toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val plan = Dedup.embeddingLshPairs(rows, "vec_id", "embedding", dim = 64)
+      .queryExecution.optimizedPlan
+    // every exchange below the band self-join must ship (id, block_key)
+    // only — find the join on block_key and check its children's output
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val bandJoins = plan.collect {
+      case j: Join if j.condition.exists(_.references.exists(_.name == "block_key")) => j
+    }
+    assert(bandJoins.nonEmpty)
+    bandJoins.foreach { j =>
+      j.children.foreach { side =>
+        assert(side.output.map(_.name).toSet == Set("id", "block_key"),
+          s"band-join input carries extra columns: ${side.output.map(_.name)}")
+      }
+    }
+  }
+
   test("minhashLshKeepList labels a dup cluster by its min id, pair-free") {
     val keep = Dedup.minhashLshKeepList(
       corpus.union(Seq((102L, base)).toDF("doc_id", "text")),
