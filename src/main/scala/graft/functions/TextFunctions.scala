@@ -145,6 +145,46 @@ object text {
     }
   }
 
+  // ---------------------------------------------------- full-text (Q12 FTS)
+
+  /** English FTS stopword list (the classic public Lucene/Postgres subset)
+    * — the terms `plainto_tsquery('english', ...)` drops. */
+  val ftsStopwords: Seq[String] = Seq(
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these", "they", "this",
+    "to", "was", "will", "with")
+
+  /** Light deterministic stemmer standing in for the Snowball 'english'
+    * config: plural collapse (sses→ss, ies→i, s-drop with a length guard)
+    * then gerund/past suffix strip. Deliberately small — the identical rule
+    * set is expressible in the DuckDB oracle (whose fts/stem extension is
+    * unavailable offline); the documented deviation from full Porter is no
+    * measure computation and no consonant undoubling. */
+  def light_stem(t: Column): Column = {
+    val s = when(t.rlike("sses$"), regexp_replace(t, "es$", ""))
+      .when(t.rlike("ies$"), regexp_replace(t, "ies$", "i"))
+      .when(t.rlike("ss$"), t)
+      .when(t.rlike("s$") && length(t) > 3, regexp_replace(t, "s$", ""))
+      .otherwise(t)
+    when(s.rlike("ing$") && length(s) > 5, regexp_replace(s, "ing$", ""))
+      .when(s.rlike("ed$") && length(s) > 4, regexp_replace(s, "ed$", ""))
+      .otherwise(s)
+  }
+
+  /** Driver-side mirror of [[light_stem]] for query-term processing. */
+  def lightStemString(t: String): String = {
+    val s =
+      if (t.endsWith("sses")) t.dropRight(2)
+      else if (t.endsWith("ies")) t.dropRight(3) + "i"
+      else if (t.endsWith("ss")) t
+      else if (t.endsWith("s") && t.length > 3) t.dropRight(1)
+      else t
+    if (s.endsWith("ing") && s.length > 5) s.dropRight(3)
+    else if (s.endsWith("ed") && s.length > 4) s.dropRight(2)
+    else s
+  }
+
   // -------------------------------------------------------- quality scoring
 
   /** Heuristic document quality in [0,1]:

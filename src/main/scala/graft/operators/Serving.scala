@@ -47,27 +47,48 @@ object Serving {
       .drop("__req_order")
   }
 
-  /** Q12 filename search (`postgres_database.py:2700-2802`): 3-way OR of
-    * substring ILIKE and token matches over the normalized name (extension
-    * stripped, [_-]+ -> space); rank by matched-token fraction desc,
-    * tiebreak updated_at desc then id. */
+  /** Q12 filename full-text search (`postgres_database.py:2700-2802`):
+    * the reference's 3-way OR of
+    *   1. `filename ILIKE %query%` (raw substring),
+    *   2. 'english' FTS — to_tsvector of the normalized name (extension
+    *      stripped, [_-]+ → space) @@ plainto_tsquery: ALL stemmed
+    *      non-stopword query lexemes present (AND semantics),
+    *   3. 'simple' FTS — same, unstemmed and stopword-free;
+    * ranked by a ts_rank-shaped score over the 'english' lexemes — each
+    * matched query lexeme contributes `0.1 · tf/(tf+1)` (Postgres's
+    * unlabeled-position weight times its saturating frequency factor) —
+    * then `updated_at DESC NULLS LAST` and id as the final deterministic
+    * tiebreak. Stemming is [[text.light_stem]] (see its deviation note). */
   def filenameSearch(docs: DataFrame, filenameCol: String, idCol: String,
                      query: String, limit: Int,
                      updatedAtCol: Option[String] = None): DataFrame = {
-    val norm = regexp_replace(
-      regexp_replace(col(filenameCol), "\\.[A-Za-z0-9]+$", ""), "[_-]+", " ")
-    val qToks = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
-    val nameToks = array_distinct(text.tokens(norm))
-    val score =
-      if (qToks.isEmpty) lit(0.0)
-      else size(array_intersect(nameToks, array(qToks.map(lit(_)): _*)))
-        .cast("double") / qToks.length
-    val substrHit = lower(col(filenameCol)).contains(query.toLowerCase)
-    val ranked = docs
-      .withColumn("name_score", when(substrHit, greatest(score, lit(0.5))).otherwise(score))
-      .filter(col("name_score") > 0)
-    val ordering = Seq(col("name_score").desc) ++
+    val q = query.trim.toLowerCase
+    val normName = lower(regexp_replace(
+      regexp_replace(col(filenameCol), "\\.[^.]*$", ""), "[_-]+", " "))
+    val rawToks = filter(split(normName, "\\s+"), t => length(t) > 0)
+    val lexemes = transform(
+      filter(rawToks, t => !t.isin(text.ftsStopwords.map(lit(_)): _*)),
+      t => text.light_stem(t))
+    val qRaw = q.split("\\s+").filter(_.nonEmpty).distinct
+    val qLex = qRaw.filterNot(text.ftsStopwords.contains)
+      .map(text.lightStemString).distinct
+    val substrHit = lower(col(filenameCol)).contains(q)
+    val englishHit =
+      if (qLex.isEmpty) lit(false)
+      else qLex.map(l => array_contains(lexemes, l)).reduce(_ && _)
+    val simpleHit =
+      if (qRaw.isEmpty) lit(false)
+      else qRaw.map(t => array_contains(rawToks, t)).reduce(_ && _)
+    val rank =
+      if (qLex.isEmpty) lit(0.0)
+      else qLex.map { l =>
+        val tf = size(filter(lexemes, x => x === lit(l))).cast("double")
+        lit(0.1) * tf / (tf + lit(1.0))
+      }.reduce(_ + _)
+    val matched = docs.filter(substrHit || englishHit || simpleHit)
+      .withColumn("name_rank", rank)
+    val ordering = Seq(col("name_rank").desc) ++
       updatedAtCol.map(c => col(c).desc_nulls_last).toSeq :+ col(idCol).asc
-    ranked.orderBy(ordering: _*).limit(math.max(1, math.min(limit, 100)))
+    matched.orderBy(ordering: _*).limit(math.max(1, math.min(limit, 100)))
   }
 }

@@ -14,7 +14,9 @@ object PipelineQueries {
   /** Static query text shared by Spark and oracle (vocabulary words from the
     * synthetic corpus). */
   val RerankQuery = "the fast table scan join merge sort filter"
-  val NameQuery = "src1 7"
+  // "the" exercises stopword drop (english config keeps [table, scan] after
+  // stemming; simple config keeps all three so it never fires on these names)
+  val NameQuery = "the tables scans"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q8_padding" -> ((s, d) => padding(s, d)),
@@ -102,13 +104,22 @@ object PipelineQueries {
         col("chunk"))
   }
 
-  def filenameSearch(spark: SparkSession, dir: String): DataFrame =
-    Serving.filenameSearch(
-      Tables.documents(spark, dir)
-        .withColumn("filename",
-          concat(concat_ws("_", col("source"), col("doc_id")), lit(".txt"))),
-      "filename", "doc_id", NameQuery, limit = 10)
-      .select(col("doc_id"), col("filename"), col("name_score"))
+  /** Q12 over synthesized inflected filenames ("<src>_<w1>s_<w2>s_<w3>s_
+    * <w4>s_<id>.txt") so stemmed matching is actually load-bearing, with a
+    * deterministic updated_at for the rank tiebreak. */
+  def filenameSearch(spark: SparkSession, dir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val docs = Tables.documents(spark, dir)
+      .withColumn("filename", concat(col("source"), lit("_"),
+        w.getItem(0), lit("s_"), w.getItem(1), lit("s_"),
+        w.getItem(2), lit("s_"), w.getItem(3), lit("s_"),
+        col("doc_id"), lit(".txt")))
+      .withColumn("updated_at",
+        expr("timestamp'2026-01-01 00:00:00' + make_interval(0, 0, 0, cast(doc_id % 7 as int), 0, 0, 0)"))
+    Serving.filenameSearch(docs, "filename", "doc_id", NameQuery, limit = 10,
+      updatedAtCol = Some("updated_at"))
+      .select(col("doc_id"), col("filename"), col("name_rank"))
+  }
 
   /** S7 XML structural chunker over XML synthesized from the documents
     * table (escaped text split into sections) — rows-only gate (unit-tag
@@ -217,18 +228,47 @@ object PipelineQueries {
         |  ON ch.doc_id = k.d AND ch.chunk_number = k.c
         |ORDER BY ch.doc_id, ch.chunk_number""".stripMargin,
     "n1_filename_search" ->
-      """WITH f AS (SELECT doc_id, source || '_' || doc_id || '.txt' AS filename FROM documents),
-        |s AS (SELECT doc_id, filename,
-        |  len(list_intersect(
-        |    list_distinct(list_filter(string_split(trim(regexp_replace(lower(
-        |      regexp_replace(regexp_replace(filename, '\.[A-Za-z0-9]+$', ''), '[_-]+', ' ', 'g')
-        |    ), '\s+', ' ', 'g')), ' '), t -> len(t) > 0)),
-        |    ['src1','7'])) / 2.0 AS score,
-        |  contains(lower(filename), 'src1 7') AS substr_hit
-        |  FROM f)
-        |SELECT doc_id, filename,
-        |  CASE WHEN substr_hit THEN greatest(score, 0.5) ELSE score END AS name_score
-        |FROM s WHERE (CASE WHEN substr_hit THEN greatest(score, 0.5) ELSE score END) > 0
-        |ORDER BY name_score DESC, doc_id LIMIT 10""".stripMargin
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    source || '_' || ws[1] || 's_' || ws[2] || 's_' || ws[3] || 's_'
+        |      || ws[4] || 's_' || doc_id || '.txt' AS filename,
+        |    TIMESTAMP '2026-01-01 00:00:00' + (doc_id % 7) * INTERVAL 1 DAY AS updated_at
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents)),
+        |t AS (SELECT doc_id, filename, updated_at,
+        |  list_filter(string_split_regex(lower(
+        |    regexp_replace(regexp_replace(filename, '\.[^.]*$', ''), '[_-]+', ' ', 'g')
+        |  ), '\s+'), x -> len(x) > 0) AS raw
+        |  FROM f),
+        |lx AS (SELECT doc_id, filename, updated_at, raw,
+        |  list_transform(
+        |    list_transform(
+        |      list_filter(raw, x -> NOT list_contains(
+        |        ['a','an','and','are','as','at','be','but','by','for','if','in',
+        |         'into','is','it','no','not','of','on','or','such','that','the',
+        |         'their','then','there','these','they','this','to','was','will',
+        |         'with'], x)),
+        |      x -> CASE WHEN regexp_matches(x, 'sses$') THEN regexp_replace(x, 'es$', '')
+        |                WHEN regexp_matches(x, 'ies$') THEN regexp_replace(x, 'ies$', 'i')
+        |                WHEN regexp_matches(x, 'ss$') THEN x
+        |                WHEN regexp_matches(x, 's$') AND len(x) > 3 THEN regexp_replace(x, 's$', '')
+        |                ELSE x END),
+        |    s -> CASE WHEN regexp_matches(s, 'ing$') AND len(s) > 5 THEN regexp_replace(s, 'ing$', '')
+        |              WHEN regexp_matches(s, 'ed$') AND len(s) > 4 THEN regexp_replace(s, 'ed$', '')
+        |              ELSE s END) AS lex
+        |  FROM t),
+        |m AS (SELECT doc_id, filename, updated_at,
+        |  0.1 * len(list_filter(lex, x -> x = 'table'))
+        |      / (len(list_filter(lex, x -> x = 'table')) + 1.0)
+        |  + 0.1 * len(list_filter(lex, x -> x = 'scan'))
+        |      / (len(list_filter(lex, x -> x = 'scan')) + 1.0) AS name_rank,
+        |  contains(lower(filename), 'the tables scans') AS substr_hit,
+        |  (list_contains(lex, 'table') AND list_contains(lex, 'scan')) AS english_hit,
+        |  (list_contains(raw, 'the') AND list_contains(raw, 'tables')
+        |    AND list_contains(raw, 'scans')) AS simple_hit
+        |  FROM lx)
+        |SELECT doc_id, filename, name_rank FROM m
+        |WHERE substr_hit OR english_hit OR simple_hit
+        |ORDER BY name_rank DESC, updated_at DESC NULLS LAST, doc_id
+        |LIMIT 10""".stripMargin
   )
 }

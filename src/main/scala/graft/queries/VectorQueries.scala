@@ -30,6 +30,7 @@ object VectorQueries {
     "v8_ivf_exact" -> ((s, d) => ivfExact(s, d)),
     "v9_fde_twophase" -> ((s, d) => fdeTwoPhase(s, d)),
     "v10_emb_lsh_neardups" -> ((s, d) => embLshNearDups(s, d)),
+    "v11_fde_ivf" -> ((s, d) => fdeIvf(s, d)),
     "s1_search_docs" -> ((s, d) => searchDocs(s, d))
   )
 
@@ -180,6 +181,33 @@ object VectorQueries {
       .limit(k)
   }
 
+  /** Q5 at scale: FDE phase 1 riding the IVF index instead of a full corpus
+    * scan (`fast_multivector_store.py:504-607` runs FDE through TurboPuffer
+    * ANN; here the coarse quantizer prunes the FDE table the same way).
+    * Full-probe (nprobe == lists) makes phase 1 provably cover the corpus,
+    * so — like v8's exactness bridge — the output must equal exact MaxSim
+    * top-k, which the oracle computes directly. Dropping nprobe below
+    * lists turns on the pruning without changing any plan shape. */
+  def fdeIvf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.FdeEncoder
+    val k = 3
+    val oversample = math.min(10 * k, 75) // reference fetch cap
+    val mv = labelMultivectors(spark, dir)
+    val enc = FdeEncoder(inputDim = 64, reps = 20, ksim = 5, projDim = 16)
+    val docs = enc.encodeColumn(mv, "vecs", "fde", isQuery = false)
+    val qfde = enc.encodeColumn(mv.filter(col("label") === 0), "vecs", "qfde",
+      isQuery = true).select("qfde").head().getSeq[Float](0).toArray
+    val (indexed, model) = IvfIndex.build(docs, "fde", lists = 4)
+    val cand = IvfIndex.query(indexed, model, "fde", "label", qfde,
+      k = oversample, nprobe = 4)
+    val q = mv.filter(col("label") === 0).select(col("vecs").as("qvecs"))
+    cand.crossJoin(broadcast(q))
+      .select(col("label").cast("long").as("label"),
+        round(vec.max_sim_float(col("vecs"), col("qvecs")), 4).as("maxsim"))
+      .orderBy(col("maxsim").desc, col("label"))
+      .limit(k)
+  }
+
   /** Q2+Q11+Q14 composed: authorized semi-join -> filtered KNN -> doc-level
     * max-score grouping joined back to documents. */
   def searchDocs(spark: SparkSession, dir: String): DataFrame = {
@@ -253,6 +281,15 @@ object VectorQueries {
          |    (embedding[i+1] > 0) <> (qe[i+1] > 0))) AS hamming
          |FROM embeddings, q WHERE vec_id < 50 ORDER BY vec_id""".stripMargin,
     "v9_fde_twophase" ->
+      """WITH mv AS (SELECT label, list(embedding::DOUBLE[] ORDER BY vec_id) AS vecs
+        |            FROM embeddings GROUP BY label)
+        |SELECT a.label::BIGINT AS label,
+        |  round(list_sum(list_transform(q.vecs, qv ->
+        |    list_max(list_transform(a.vecs, dv -> list_dot_product(qv, dv))))), 4) AS maxsim
+        |FROM mv a, (SELECT vecs FROM mv WHERE label = 0) q
+        |ORDER BY maxsim DESC, label LIMIT 3""".stripMargin,
+    // full-probe FDE-over-IVF must reproduce the exact MaxSim top-k
+    "v11_fde_ivf" ->
       """WITH mv AS (SELECT label, list(embedding::DOUBLE[] ORDER BY vec_id) AS vecs
         |            FROM embeddings GROUP BY label)
         |SELECT a.label::BIGINT AS label,

@@ -128,4 +128,36 @@ class OperatorsSpec extends AnyFunSuite {
       .groupBy("k", "__salt").count()
     assert(stage1.filter(col("k") === "hot").count() > 1)
   }
+
+  test("filenameSearch: each of the three FTS OR-branches matches independently") {
+    val docs = Seq(
+      (1L, "annual_reports_2026.txt"),   // english: "reports" stems to "report"
+      (2L, "weekly report draft.txt"),   // simple + english: exact raw token
+      (3L, "misc-thereportfile.bin"),    // substring-only: inside a token run
+      (4L, "unrelated_notes.txt"))
+      .toDF("doc_id", "filename")
+    def ids(q: String) = Serving.filenameSearch(docs, "filename", "doc_id", q, 10)
+      .select("doc_id").as[Long].collect().toSet
+    // stem match (1, 2) plus raw substring hit inside "thereportfile" (3)
+    assert(ids("report") == Set(1L, 2L, 3L))
+    // multi-token AND semantics: both lexemes must be present
+    assert(ids("weekly reports") == Set(2L))
+    // leading stopword is dropped by the english config, kept by simple
+    // (which then can't match) and breaks the substring — stem matches only
+    assert(ids("the reports") == Set(1L, 2L))
+  }
+
+  test("filenameSearch ranks by tf-saturating score then updated_at then id") {
+    val docs = Seq(
+      (1L, "report_report_reports.txt", "2026-01-02 00:00:00"),
+      (2L, "report_summary.txt", "2026-01-03 00:00:00"),
+      (3L, "report_digest.txt", "2026-01-01 00:00:00"))
+      .toDF("doc_id", "filename", "u")
+      .withColumn("updated_at", col("u").cast("timestamp"))
+    val out = Serving.filenameSearch(docs, "filename", "doc_id", "reports", 10,
+      updatedAtCol = Some("updated_at"))
+      .select("doc_id").as[Long].collect().toSeq
+    // doc1 tf=3 -> 0.075 beats tf=1 -> 0.05; docs 2,3 tie on rank, newer first
+    assert(out == Seq(1L, 2L, 3L))
+  }
 }
