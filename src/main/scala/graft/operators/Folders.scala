@@ -68,6 +68,39 @@ object Folders {
       (col("full_path") === p || col("full_path").startsWith(p + "/"))))
   }
 
+  /** L6 folder details/summary (`core/routes/folders.py:149-306`): per
+    * folder — total document count, per-status counts, and an embedded
+    * paginated document-id page with the listing's has_more/next_skip
+    * cursor contract. Status counts are emitted as a sorted
+    * "status:count" string so the row stays scalar (oracle-hashable).
+    *
+    * Shape: two equi-key groupBys joined on the folder key — the page is
+    * bounded by `limit` via a per-folder row_number window, so no folder
+    * ever collects more than `skip+limit` ids. */
+  def folderSummary(docs: DataFrame, folderCol: String, idCol: String,
+                    statusCol: String, limit: Int, skip: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(folderCol)).orderBy(col(idCol))
+    val page = docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > skip && col("__rn") <= skip + limit)
+      .groupBy(col(folderCol))
+      .agg(concat_ws(",", sort_array(collect_list(col(idCol)))).as("page_ids"),
+        count(lit(1)).as("returned_count"))
+    val stats = docs.groupBy(col(folderCol), col(statusCol))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(folderCol))
+      .agg(sum("__c").as("document_count"),
+        concat_ws(",", sort_array(collect_list(
+          concat(col(statusCol), lit(":"), col("__c"))))).as("status_counts"))
+    stats.join(page, Seq(folderCol), "left")
+      .withColumn("page_ids", coalesce(col("page_ids"), lit("")))
+      .withColumn("returned_count", coalesce(col("returned_count"), lit(0L)))
+      .withColumn("has_more", col("document_count") > lit(skip) + col("returned_count"))
+      // -1 = no further page (kept non-null for engine-stable hashing)
+      .withColumn("next_skip",
+        when(col("has_more"), lit(skip) + col("returned_count")).otherwise(lit(-1L)))
+  }
+
   /** Add/remove a document id on a folder row. */
   def addDocument(folders: DataFrame, folderId: String, docId: String): DataFrame =
     folders.withColumn("document_ids",

@@ -30,8 +30,49 @@ object ListingQueries {
         "folder_path", "folder_name")),
     "l6_folder_scope_depth" -> ((s, d) => folderScopeDepth(s, d)),
     "l7_folder_move" -> ((s, d) => folderMove(s, d)),
-    "l8_usage_by_source" -> ((s, d) => usageBySource(s, d))
+    "l8_usage_by_source" -> ((s, d) => usageBySource(s, d)),
+    "l9_folder_summary" -> ((s, d) => folderSummary(s, d)),
+    "l10_usage_fold" -> ((s, d) => usageFold(s, d)),
+    "l11_usage_app" -> ((s, d) => usageApp(s, d))
   )
+
+  /** L6: per-folder stats + embedded first page (skip 0, limit 3) with a
+    * synthesized deterministic status column. */
+  def folderSummary(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Folders.folderSummary(
+      docsWithFolders(spark, dir).withColumn("status",
+        element_at(array(lit("processing"), lit("completed"), lit("failed")),
+          (col("doc_id") % 3 + 1).cast("int"))),
+      "folder_path", "doc_id", "status", limit = 3)
+      .orderBy("folder_path")
+
+  /** L8 write side: two delta waves per document (ingest, then a shrinking
+    * re-ingest plus a multivector write) — clamp-free by construction so
+    * the DuckDB oracle can compute plain per-key sums; the order-dependent
+    * clamping semantics are spec-gated in UsageSpec. */
+  def usageDeltas(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val e1 = d.select(
+      col("doc_id").cast("string").as("document_id"), col("source").as("app_id"),
+      lit(1L).as("seq"), col("n_chars").cast("long").as("raw_delta"),
+      (col("n_chars") * 2).cast("long").as("chunk_delta"), lit(0L).as("mv_delta"))
+    val e2 = d.select(
+      col("doc_id").cast("string").as("document_id"), col("source").as("app_id"),
+      lit(2L).as("seq"), (-floor(col("n_chars") / 2)).cast("long").as("raw_delta"),
+      lit(0L).as("chunk_delta"), (col("n_chars") % 7).cast("long").as("mv_delta"))
+    e1.unionByName(e2)
+  }
+
+  def usageFold(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Usage.foldDocDeltas(usageDeltas(spark, dir))
+      .orderBy("document_id")
+
+  def usageApp(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Usage.foldAppFromDocs(usageDeltas(spark, dir))
+      .select(col("app_id"), col("raw_bytes").cast("long").as("raw_bytes"),
+        col("chunk_bytes").cast("long").as("chunk_bytes"),
+        col("multivector_bytes").cast("long").as("multivector_bytes"))
+      .orderBy("app_id")
 
   /** L7 subtree move: the /src1 subtree re-pathed under /archive, with
     * depth/id/parent_id recomputed — value-checks the whole path-rewrite
@@ -132,6 +173,44 @@ object ListingQueries {
       // int64 (the driver hashes the rendered values, and int128 prints
       // through pandas differently).
       """SELECT source, sum(n_chars)::BIGINT AS total_chars, count(*) AS doc_count
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "l9_folder_summary" ->
+      """WITH d AS (SELECT doc_id,
+        |    '/' || source || '/' || lang ||
+        |      (CASE WHEN n_chars > 300 THEN '/big' ELSE '' END) AS folder_path,
+        |    ['processing','completed','failed'][(doc_id % 3 + 1)::INT] AS status
+        |  FROM documents),
+        |pg AS (SELECT folder_path, doc_id,
+        |    row_number() OVER (PARTITION BY folder_path ORDER BY doc_id) AS rn
+        |  FROM d),
+        |page AS (SELECT folder_path,
+        |    array_to_string(list_sort(list(doc_id)), ',') AS page_ids,
+        |    count(*) AS returned_count
+        |  FROM pg WHERE rn <= 3 GROUP BY folder_path),
+        |sc AS (SELECT folder_path, status, count(*) AS c FROM d GROUP BY 1, 2),
+        |st AS (SELECT folder_path, sum(c)::BIGINT AS document_count,
+        |    array_to_string(list_sort(list(status || ':' || c)), ',') AS status_counts
+        |  FROM sc GROUP BY folder_path)
+        |SELECT st.folder_path, document_count, status_counts,
+        |  coalesce(page_ids, '') AS page_ids,
+        |  coalesce(returned_count, 0) AS returned_count,
+        |  document_count > coalesce(returned_count, 0) AS has_more,
+        |  CASE WHEN document_count > coalesce(returned_count, 0)
+        |       THEN coalesce(returned_count, 0) ELSE -1 END AS next_skip
+        |FROM st LEFT JOIN page USING (folder_path)
+        |ORDER BY st.folder_path""".stripMargin,
+    "l10_usage_fold" ->
+      // clamp-free by construction -> the ordered fold equals plain sums
+      """SELECT doc_id::VARCHAR AS document_id, source AS app_id,
+        |  (n_chars - n_chars // 2)::BIGINT AS raw_bytes,
+        |  (n_chars * 2)::BIGINT AS chunk_bytes,
+        |  (n_chars % 7)::BIGINT AS multivector_bytes
+        |FROM documents ORDER BY document_id""".stripMargin,
+    "l11_usage_app" ->
+      """SELECT source AS app_id,
+        |  sum(n_chars - n_chars // 2)::BIGINT AS raw_bytes,
+        |  sum(n_chars * 2)::BIGINT AS chunk_bytes,
+        |  sum(n_chars % 7)::BIGINT AS multivector_bytes
+        |FROM documents GROUP BY source ORDER BY app_id""".stripMargin
   )
 }
