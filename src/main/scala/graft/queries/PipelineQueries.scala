@@ -21,6 +21,8 @@ object PipelineQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q8_padding" -> ((s, d) => padding(s, d)),
     "p1_ingest_stats" -> ((s, d) => ingestStats(s, d)),
+    "p2_office_ingest" -> ((s, d) => officeIngest(s, d)),
+    "p3_pdf_ingest" -> ((s, d) => pdfIngest(s, d)),
     "m1_media_decode" -> ((s, d) => mediaDecode(s, d)),
     "x1_xml_chunks" -> ((s, d) => xmlChunks(s, d)),
     "m2_frame_sample" -> ((s, d) => frameSample(s, d)),
@@ -57,6 +59,45 @@ object PipelineQueries {
       aggregate(col("embedding"), lit(0L), (acc, x) => acc + x.cast("long")).as("emb_sum"),
       aggregate(col("embedding"), lit(0L), (acc, x) => acc + (x * x).cast("long")).as("emb_sq"))
       .orderBy("doc_id", "chunk_number")
+  }
+
+  /** S5 end-to-end: each document's first six words become a real XLSX
+    * (zip + OOXML worksheet), parsed back to markdown by the native
+    * parser. The oracle reconstructs the exact expected markdown string in
+    * SQL — the md5 gate means any byte drift through the zip/XML round
+    * trip fails. */
+  def officeIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("text"))
+    val withBytes = docs.as[(Long, String)].map { case (id, text) =>
+      val ws = text.split(" ")
+      (id, "doc.xlsx", graft.sources.OfficeFixtures.xlsx(Seq(
+        "Sheet1" -> Seq(Seq(ws(0), ws(1)), Seq(ws(2), ws(3)), Seq(ws(4), ws(5))))))
+    }.toDF("doc_id", "filename", "bytes")
+    graft.operators.DocParser.parseColumn(withBytes, "filename", "bytes", "parsed")
+      .select(col("doc_id"), md5(col("parsed")).as("md_md5"),
+        length(col("parsed")).cast("long").as("md_len"))
+      .orderBy("doc_id")
+  }
+
+  /** S4 end-to-end: two 40-char lines of each document become a real
+    * one-page PDF — Flate-compressed for even ids, raw for odd, so BOTH
+    * stream paths are oracle-gated — and the extracted text is md5-checked
+    * against the SQL-reconstructed expectation. */
+  def pdfIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("text"))
+    val withBytes = docs.as[(Long, String)].map { case (id, text) =>
+      val l1 = text.substring(0, math.min(40, text.length))
+      val l2 = if (text.length > 40) text.substring(40, math.min(80, text.length)) else ""
+      (id, "doc.pdf", graft.sources.OfficeFixtures.pdf(Seq(l1, l2), compress = id % 2 == 0))
+    }.toDF("doc_id", "filename", "bytes")
+    graft.operators.DocParser.parseColumn(withBytes, "filename", "bytes", "parsed")
+      .select(col("doc_id"), md5(col("parsed")).as("txt_md5"),
+        length(col("parsed")).cast("long").as("txt_len"))
+      .orderBy("doc_id")
   }
 
   /** Multimodal decode + resize planning over synthesized media (bytes =
@@ -182,6 +223,27 @@ object PipelineQueries {
         |  sum(s)::BIGINT AS emb_sum, sum(s * s)::BIGINT AS emb_sq
         |FROM buckets GROUP BY doc_id, chunk_number
         |ORDER BY doc_id, chunk_number""".stripMargin,
+    "p2_office_ingest" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents WHERE doc_id < 100),
+        |md AS (SELECT doc_id,
+        |    '## Sheet1' || chr(10) || chr(10) ||
+        |    '| ' || ws[1] || ' | ' || ws[2] || ' |' || chr(10) ||
+        |    '| --- | --- |' || chr(10) ||
+        |    '| ' || ws[3] || ' | ' || ws[4] || ' |' || chr(10) ||
+        |    '| ' || ws[5] || ' | ' || ws[6] || ' |' || chr(10) AS m
+        |  FROM t)
+        |SELECT doc_id, md5(m) AS md_md5, len(m)::BIGINT AS md_len
+        |FROM md ORDER BY doc_id""".stripMargin,
+    "p3_pdf_ingest" ->
+      """WITH t AS (SELECT doc_id,
+        |    substr(text, 1, 40) AS l1, substr(text, 41, 40) AS l2
+        |  FROM documents WHERE doc_id < 100),
+        |x AS (SELECT doc_id,
+        |    l1 || (CASE WHEN len(l2) > 0 THEN chr(10) || l2 ELSE '' END) AS txt
+        |  FROM t)
+        |SELECT doc_id, md5(txt) AS txt_md5, len(txt)::BIGINT AS txt_len
+        |FROM x ORDER BY doc_id""".stripMargin,
     "m1_media_decode" ->
       """SELECT doc_id AS media_id,
         |  ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,

@@ -48,6 +48,20 @@ object IngestPipeline {
       .drop("__m", jsonCol)
   }
 
+  /** S4/S5 front door: raw file rows (idCol, filename, bytes) run through
+    * the native parser dispatch (xlsx/docx/pptx/pdf/plain,
+    * [[graft.operators.DocParser]]) into the batch pipeline — the Spark
+    * form of `_parse_document` feeding the worker
+    * (`morphik_parser.py:586-651`). A different converter (reference:
+    * Docling/parse-API) plugs in via `stage`. */
+  def processFiles(files: DataFrame, cfg: Config = Config(),
+                   stage: graft.operators.DocParser.Stage =
+                     graft.operators.DocParser.NativeStage): DataFrame =
+    processBatch(
+      graft.operators.DocParser.parseColumn(files, "filename", "bytes", cfg.textCol,
+        stage),
+      cfg)
+
   /** The batch pipeline: documents -> chunk index rows
     * (doc_id, chunk_number, chunk, embedding). */
   def processBatch(docs: DataFrame, cfg: Config = Config()): DataFrame = {

@@ -93,4 +93,31 @@ class IngestPipelineSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSeq
     assert(hits == Seq(1L))
   }
+
+  test("processFiles parses real containers (xlsx/pdf/txt) into the chunk pipeline") {
+    val files = Seq(
+      (1L, "a.xlsx", graft.sources.OfficeFixtures.xlsx(Seq(
+        "S" -> Seq(Seq("alpha", "beta"), Seq("gamma", "delta"))))),
+      (2L, "b.pdf", graft.sources.OfficeFixtures.pdf(
+        Seq("pdf line one", "pdf line two"), compress = true)),
+      (3L, "c.txt", "plain text body".getBytes("UTF-8")),
+      (4L, "broken.docx", Array[Byte](9, 9, 9))  // parse failure -> no chunks
+    ).toDF("doc_id", "filename", "bytes")
+    val chunks = IngestPipeline.processFiles(files, cfg)
+    val byDoc = chunks.groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(byDoc.getOrElse(1L, 0L) > 0 && byDoc.getOrElse(2L, 0L) > 0
+      && byDoc.getOrElse(3L, 0L) > 0)
+    assert(!byDoc.contains(4L))
+    val x = chunks.filter(col("doc_id") === 1L).select("chunk")
+      .as[String].collect().mkString
+    assert(x.contains("| alpha | beta |"))
+    val p = chunks.filter(col("doc_id") === 2L).select("chunk")
+      .as[String].collect().mkString
+    assert(p.contains("pdf line one\npdf line two"))
+    // status accounting marks the unparseable file, not just drops it
+    val status = IngestPipeline.statusRows(files, chunks, cfg)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r._3).toMap
+    assert(status(4L) == "no_content_extracted")
+    assert(status(1L) == "completed" && status(2L) == "completed")
+  }
 }
