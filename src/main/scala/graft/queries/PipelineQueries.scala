@@ -23,6 +23,7 @@ object PipelineQueries {
     "p1_ingest_stats" -> ((s, d) => ingestStats(s, d)),
     "p2_office_ingest" -> ((s, d) => officeIngest(s, d)),
     "p3_pdf_ingest" -> ((s, d) => pdfIngest(s, d)),
+    "b1_datauri" -> ((s, d) => dataUri(s, d)),
     "m1_media_decode" -> ((s, d) => mediaDecode(s, d)),
     "x1_xml_chunks" -> ((s, d) => xmlChunks(s, d)),
     "m2_frame_sample" -> ((s, d) => frameSample(s, d)),
@@ -99,6 +100,21 @@ object PipelineQueries {
         length(col("parsed")).cast("long").as("txt_len"))
       .orderBy("doc_id")
   }
+
+  /** C6 base64/data-URI codecs (`fast_ops.py:48-97` bytes_to_data_uri):
+    * encode each document as a data URI with Spark built-ins and prove the
+    * decode round trip — both directions oracle-gated. */
+  def dataUri(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      // Spark's base64 is MIME-wrapped (CRLF per 76 chars); a data URI
+      // wants the canonical unwrapped RFC 4648 form
+      .withColumn("uri", concat(lit("data:text/plain;base64,"),
+        regexp_replace(base64(encode(col("text"), "UTF-8")), "[\\r\\n]", "")))
+      .select(col("doc_id"), md5(col("uri")).as("uri_md5"),
+        length(col("uri")).cast("long").as("uri_len"),
+        (decode(unbase64(regexp_replace(col("uri"), "^data:[^,]*,", "")), "UTF-8")
+          === col("text")).as("roundtrip"))
+      .orderBy("doc_id")
 
   /** Multimodal decode + resize planning over synthesized media (bytes =
     * utf8 text; kind round-robins image/audio/video). The stub codec is
@@ -244,6 +260,13 @@ object PipelineQueries {
         |  FROM t)
         |SELECT doc_id, md5(txt) AS txt_md5, len(txt)::BIGINT AS txt_len
         |FROM x ORDER BY doc_id""".stripMargin,
+    "b1_datauri" ->
+      """WITH u AS (SELECT doc_id, text,
+        |    'data:text/plain;base64,' || to_base64(encode(text)) AS uri
+        |  FROM documents)
+        |SELECT doc_id, md5(uri) AS uri_md5, len(uri)::BIGINT AS uri_len,
+        |  decode(from_base64(regexp_replace(uri, '^data:[^,]*,', ''))) = text AS roundtrip
+        |FROM u ORDER BY doc_id""".stripMargin,
     "m1_media_decode" ->
       """SELECT doc_id AS media_id,
         |  ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
