@@ -22,10 +22,11 @@ object ScaleProbe {
 
   private val probeQueries = Seq(
     "q1_agg", "q2_join3", "f5_decimal_exists_ne", "l1_listing_page",
-    "v1_knn_topk", "v2_knn_batch", "v10_emb_lsh_neardups",
+    "v1_knn_topk", "v2_knn_batch", "v5_maxsim_float", "v10_emb_lsh_neardups",
     "t4_minhash_lsh", "t5_simhash", "t6_simhash_neardups", "t9_lsh_keeplist",
     "e1_asof_join", "e3_window_agg", "e4_asof_nearest",
-    "c1_chunks_fixed", "s1_search_docs", "u1_upsert")
+    "c1_chunks_fixed", "s1_search_docs", "u1_upsert",
+    "n1_filename_search", "l9_folder_summary", "l10_usage_fold")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("all")

@@ -1,0 +1,75 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.util.Base64
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.ImageCodec
+
+/** Real-image S9 path: PNG in, resized JPEG-q70 data URI out, PIL-faithful
+  * geometry, fallback on undecodable bytes, distributed form. */
+class ImageCodecSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Deterministic gradient PNG. */
+  private def png(w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, ((x * 7) % 256 << 16) | ((y * 13) % 256 << 8) | ((x + y) % 256))
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def decodeJpeg(uri: String): BufferedImage = {
+    assert(uri.startsWith("data:image/jpeg;base64,"))
+    ImageIO.read(new ByteArrayInputStream(
+      Base64.getDecoder.decode(uri.stripPrefix("data:image/jpeg;base64,"))))
+  }
+
+  test("wide image resizes to 256px with truncated PIL-style height") {
+    val n = ImageCodec.normalize(png(512, 300), "image/png")
+    assert(n.decoded && n.resized)
+    assert(n.width == 256 && n.height == 150) // int(300 * 256/512)
+    val out = decodeJpeg(n.dataUri)
+    assert(out.getWidth == 256 && out.getHeight == 150)
+  }
+
+  test("narrow image is re-encoded but not resized") {
+    val n = ImageCodec.normalize(png(100, 40), "image/png")
+    assert(n.decoded && !n.resized && n.width == 100 && n.height == 40)
+    val out = decodeJpeg(n.dataUri)
+    assert(out.getWidth == 100 && out.getHeight == 40)
+  }
+
+  test("undecodable bytes fall back to original-bytes data URI") {
+    val junk = Array[Byte](1, 2, 3, 4)
+    val n = ImageCodec.normalize(junk, "image/heic")
+    assert(!n.decoded && n.dataUri ==
+      "data:image/heic;base64," + Base64.getEncoder.encodeToString(junk))
+  }
+
+  test("normalizeColumn runs the codec per partition over binary columns") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "image/png", png(512, 300)),
+      (2L, "image/png", png(64, 64)),
+      (3L, "image/webp", Array[Byte](0, 1, 2)))
+      .toDF("id", "mime", "bytes")
+    val out = ImageCodec.normalizeColumn(df, "bytes", "mime")
+      .select("id", "img_width", "img_height", "img_resized", "img_decoded")
+      .as[(Long, Int, Int, Boolean, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 256, 150, true, true),
+      (2L, 64, 64, false, true),
+      (3L, -1, -1, false, false)))
+  }
+}
