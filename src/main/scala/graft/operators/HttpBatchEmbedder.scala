@@ -1,9 +1,6 @@
 package graft.operators
 
-import java.net.URI
-import java.net.http.{HttpClient, HttpRequest, HttpResponse}
-import java.nio.charset.StandardCharsets
-import java.time.Duration
+import java.net.http.HttpClient
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.types._
@@ -36,19 +33,9 @@ case class HttpBatchEmbedder(endpoint: String, dim: Int, model: String = "defaul
 
   def batchSize: Int = if (localProvider) 5 else 100
 
-  private def jsonEscape(s: String): String = s.flatMap {
-    case '"'  => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  }
-
   private def requestBody(texts: Seq[String]): String =
-    texts.map(t => "\"" + jsonEscape(if (t == null) "" else t) + "\"")
-      .mkString(s"""{"model":"${jsonEscape(model)}","input":[""", ",", "]}")
+    texts.map(t => "\"" + HttpWire.jsonEscape(if (t == null) "" else t) + "\"")
+      .mkString(s"""{"model":"${HttpWire.jsonEscape(model)}","input":[""", ",", "]}")
 
   private def parseResponse(body: String, expected: Int): Seq[Array[Float]] = {
     val data = JsonMethods.parse(body) \ "data" match {
@@ -72,29 +59,11 @@ case class HttpBatchEmbedder(endpoint: String, dim: Int, model: String = "defaul
   }
 
   /** One batch round trip with retry; returns vectors in input order. */
-  private def embedBatch(client: HttpClient, texts: Seq[String]): Seq[Array[Float]] = {
-    val req = HttpRequest.newBuilder(URI.create(endpoint))
-      .timeout(Duration.ofSeconds(timeoutSec))
-      .header("Content-Type", "application/json")
-      .POST(HttpRequest.BodyPublishers.ofString(requestBody(texts), StandardCharsets.UTF_8))
-      .build()
-    var attempt = 0
-    var lastErr: Throwable = null
-    while (attempt <= numRetries) {
-      try {
-        val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
-        if (resp.statusCode() / 100 == 2) return parseResponse(resp.body(), texts.length)
-        lastErr = new RuntimeException(s"embedding endpoint HTTP ${resp.statusCode()}")
-      } catch { case e: Exception => lastErr = e }
-      attempt += 1
-      if (attempt <= numRetries) Thread.sleep(math.min(1000L << (attempt - 1), 4000L))
-    }
-    throw new RuntimeException(
-      s"embedding batch of ${texts.length} failed after $numRetries retries", lastErr)
-  }
+  private def embedBatch(client: HttpClient, texts: Seq[String]): Seq[Array[Float]] =
+    parseResponse(HttpWire.postWithRetry(client, endpoint, requestBody(texts),
+      numRetries, timeoutSec), texts.length)
 
-  private def newClient(): HttpClient =
-    HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(timeoutSec)).build()
+  private def newClient(): HttpClient = HttpWire.newClient(timeoutSec)
 
   override def embed(df: DataFrame, textCol: String, outCol: String): DataFrame = {
     val schema = df.schema.add(outCol, ArrayType(FloatType), nullable = false)

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** E3/E4 multivector (ColPali-style) embedding contract + HTTP client
+  * (`colpali_embedding_model.py:66-218`): one input produces MANY vectors
+  * (one per image patch / text token), so the wire shape is
+  * `{"data":[{"embedding": [[...],[...]]}]}` — each item an
+  * `array<array<float>>`. Batching mirrors the reference's
+  * `colpali_store_batch_size=16` (`morphik.toml:134`). */
+trait MultiVectorEmbedder extends Serializable {
+  def dim: Int
+  /** Adds `outCol: array<array<float>>` from `textCol`. */
+  def embedMulti(df: DataFrame, textCol: String, outCol: String): DataFrame
+  /** Query-side: one multivector for the query text/image. */
+  def embedTextMulti(s: String): Array[Array[Float]]
+}
+
+case class HttpMultiVectorEmbedder(endpoint: String, dim: Int,
+                                   model: String = "colpali",
+                                   batchSize: Int = 16, numRetries: Int = 3,
+                                   timeoutSec: Int = 60)
+    extends MultiVectorEmbedder {
+
+  private def requestBody(texts: Seq[String]): String =
+    texts.map(t => "\"" + HttpWire.jsonEscape(if (t == null) "" else t) + "\"")
+      .mkString(s"""{"model":"${HttpWire.jsonEscape(model)}","input":[""", ",", "]}")
+
+  private def num(v: JValue): Float = v match {
+    case JDouble(d)  => d.toFloat
+    case JInt(i)     => i.toFloat
+    case JLong(l)    => l.toFloat
+    case JDecimal(d) => d.toFloat
+    case other       => sys.error(s"non-numeric embedding component: $other")
+  }
+
+  private def parse(body: String, expected: Int): Seq[Array[Array[Float]]] = {
+    val data = JsonMethods.parse(body) \ "data" match {
+      case JArray(items) => items
+      case other => sys.error(s"embedding response missing 'data': $other")
+    }
+    require(data.length == expected,
+      s"multivector response has ${data.length} items for $expected inputs")
+    data.map { item =>
+      item \ "embedding" match {
+        case JArray(vs) => vs.map {
+          case JArray(xs) => xs.map(num).toArray
+          case other      => sys.error(s"expected vector array, got: $other")
+        }.toArray
+        case other => sys.error(s"item missing 'embedding': $other")
+      }
+    }
+  }
+
+  private def embedBatch(client: java.net.http.HttpClient,
+                         texts: Seq[String]): Seq[Array[Array[Float]]] =
+    parse(HttpWire.postWithRetry(client, endpoint, requestBody(texts),
+      numRetries, timeoutSec), texts.length)
+
+  override def embedMulti(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    val schema = df.schema.add(outCol, ArrayType(ArrayType(FloatType)), nullable = false)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idx = df.schema.fieldIndex(textCol)
+    val bs = batchSize
+    graft.Tables.scaled(df).mapPartitions { rows =>
+      val client = HttpWire.newClient(timeoutSec)
+      rows.grouped(bs).flatMap { batch =>
+        val mvs = embedBatch(client, batch.map(_.getString(idx)))
+        batch.iterator.zip(mvs.iterator).map { case (r, mv) =>
+          Row.fromSeq(r.toSeq :+ mv.map(_.toSeq).toSeq)
+        }
+      }
+    }(enc)
+  }
+
+  /** Query side degrades to an empty multivector on failure (the serving
+    * analog of embed_query's zero vector). */
+  override def embedTextMulti(s: String): Array[Array[Float]] =
+    try embedBatch(HttpWire.newClient(timeoutSec), Seq(s)).head
+    catch { case _: Exception => Array.empty }
+}
