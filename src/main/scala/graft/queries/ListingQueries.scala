@@ -33,8 +33,39 @@ object ListingQueries {
     "l8_usage_by_source" -> ((s, d) => usageBySource(s, d)),
     "l9_folder_summary" -> ((s, d) => folderSummary(s, d)),
     "l10_usage_fold" -> ((s, d) => usageFold(s, d)),
-    "l11_usage_app" -> ((s, d) => usageApp(s, d))
+    "l11_usage_app" -> ((s, d) => usageApp(s, d)),
+    "l12_listing_flexible" -> ((s, d) => listingFlexible(s, d))
   )
+
+  /** The SURVEY §7.1 "minimum slice" composed end to end — the reference's
+    * `list_documents_flexible`: metadata DSL + multi-path folder scope +
+    * status filter → sort desc nulls-last + tiebreak → offset/limit →
+    * projection, all predicates landing before the sort so Catalyst pushes
+    * them into the scan. */
+  def listingFlexible(spark: SparkSession, dir: String): DataFrame = {
+    import graft.filters.MetadataFilter
+    val docs = docsWithFolders(spark, dir)
+      .withColumn("status",
+        element_at(array(lit("processing"), lit("completed"), lit("failed")),
+          (col("doc_id") % 3 + 1).cast("int")))
+      .withColumn("metadata", map(
+        lit("lang"), col("lang"), lit("nchars"), col("n_chars").cast("string")))
+      .withColumn("metadata_types",
+        typedLit(Map("lang" -> "string", "nchars" -> "number")))
+    val scope =
+      MetadataFilter.compile(
+        """{"nchars": {"$gte": 120}, "lang": {"$in": ["en", "de", "fr"]}}""",
+        col("metadata"), col("metadata_types")) &&
+      graft.filters.ScopeFilters.folderScope(col("folder_path"),
+        Seq(Some("/src1"), Some("/src2"), Some("/src3")), Some(-1)) &&
+      col("status") === "completed"
+    Listing.list(docs,
+      where = scope,
+      sorts = Seq(Listing.Sort("n_chars", desc = true)),
+      tiebreak = "doc_id",
+      skip = 10, limit = 20)
+      .select("doc_id", "folder_path", "n_chars")
+  }
 
   /** L6: per-folder stats + embedded first page (skip 0, limit 3) with a
     * synthesized deterministic status column. */
@@ -211,6 +242,20 @@ object ListingQueries {
         |  sum(n_chars - n_chars // 2)::BIGINT AS raw_bytes,
         |  sum(n_chars * 2)::BIGINT AS chunk_bytes,
         |  sum(n_chars % 7)::BIGINT AS multivector_bytes
-        |FROM documents GROUP BY source ORDER BY app_id""".stripMargin
+        |FROM documents GROUP BY source ORDER BY app_id""".stripMargin,
+    "l12_listing_flexible" ->
+      """WITH d AS (SELECT doc_id, n_chars, lang,
+        |    '/' || source || '/' || lang ||
+        |      (CASE WHEN n_chars > 300 THEN '/big' ELSE '' END) AS folder_path,
+        |    ['processing','completed','failed'][(doc_id % 3 + 1)::INT] AS status
+        |  FROM documents)
+        |SELECT doc_id, folder_path, n_chars FROM d
+        |WHERE n_chars >= 120 AND lang IN ('en','de','fr')
+        |  AND status = 'completed'
+        |  AND (folder_path = '/src1' OR folder_path LIKE '/src1/%'
+        |    OR folder_path = '/src2' OR folder_path LIKE '/src2/%'
+        |    OR folder_path = '/src3' OR folder_path LIKE '/src3/%')
+        |ORDER BY n_chars DESC NULLS LAST, doc_id
+        |LIMIT 20 OFFSET 10""".stripMargin
   )
 }
