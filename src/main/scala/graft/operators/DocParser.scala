@@ -369,6 +369,68 @@ object DocParser {
     out.toString.stripSuffix("\n")
   }
 
+  /** Per-page text (S10's page == row explode, for text): walks the object
+    * graph — `N 0 obj` bodies, `/Type /Page` dicts in document order, their
+    * `/Contents N 0 R` streams (single ref or array) — and extracts each
+    * page's text separately. Falls back to single-page [[parsePdf]] output
+    * when the structure is unreadable. */
+  def parsePdfPages(bytes: Array[Byte]): Seq[String] = {
+    val raw = new String(bytes, StandardCharsets.ISO_8859_1)
+    val objPat = java.util.regex.Pattern.compile(
+      "(\\d+)\\s+\\d+\\s+obj\\b", java.util.regex.Pattern.DOTALL)
+    val m = objPat.matcher(raw)
+    val bodies = mutable.LinkedHashMap.empty[Int, String]
+    val starts = mutable.ArrayBuffer.empty[(Int, Int)] // (objNum, bodyStart)
+    while (m.find()) starts += ((m.group(1).toInt, m.end()))
+    starts.zipWithIndex.foreach { case ((num, start), i) =>
+      val end0 = raw.indexOf("endobj", start)
+      val end = if (end0 < 0) raw.length else end0
+      bodies(num) = raw.substring(start, end)
+    }
+    def contentOf(body: String): Option[String] = {
+      val si = body.indexOf("stream")
+      if (si < 0) return None
+      val dict = body.substring(0, si)
+      val dataStart = {
+        var p = si + "stream".length
+        if (p < body.length && body.charAt(p) == '\r') p += 1
+        if (p < body.length && body.charAt(p) == '\n') p += 1
+        p
+      }
+      val se = body.indexOf("endstream", dataStart)
+      if (se < 0) return None
+      val payload = body.substring(dataStart, se).stripSuffix("\n").stripSuffix("\r")
+      if (dict.contains("/FlateDecode"))
+        inflate(payload.getBytes(StandardCharsets.ISO_8859_1))
+          .map(new String(_, StandardCharsets.ISO_8859_1))
+      else Some(payload)
+    }
+    val refPat = java.util.regex.Pattern.compile("(\\d+)\\s+\\d+\\s+R")
+    val pages = bodies.valuesIterator.filter(b =>
+      b.contains("/Type") && b.contains("/Page") && !b.contains("/Pages")).toSeq
+    val texts = pages.flatMap { page =>
+      val ci = page.indexOf("/Contents")
+      if (ci < 0) None
+      else {
+        val tail = page.substring(ci)
+        val rm = refPat.matcher(tail)
+        val refs = mutable.ArrayBuffer.empty[Int]
+        // single ref: take the first; array: take every ref up to the
+        // closing bracket (or the next dict key for the single-ref form)
+        val stop = if (tail.startsWith("/Contents [") || tail.startsWith("/Contents["))
+          tail.indexOf(']') else tail.indexOf('/', 1).max(40)
+        while (rm.find() && rm.start() < math.max(stop, 40)) refs += rm.group(1).toInt
+        val out = new StringBuilder
+        refs.headOption.map { _ =>
+          refs.foreach(r => bodies.get(r).flatMap(contentOf)
+            .foreach(c => extractTextOps(c, out)))
+          out.toString.stripSuffix("\n")
+        }
+      }
+    }
+    if (texts.nonEmpty) texts else Seq(parsePdf(bytes))
+  }
+
   private def inflate(data: Array[Byte]): Option[Array[Byte]] =
     try {
       val inf = new Inflater()

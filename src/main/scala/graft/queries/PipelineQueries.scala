@@ -23,6 +23,7 @@ object PipelineQueries {
     "p1_ingest_stats" -> ((s, d) => ingestStats(s, d)),
     "p2_office_ingest" -> ((s, d) => officeIngest(s, d)),
     "p3_pdf_ingest" -> ((s, d) => pdfIngest(s, d)),
+    "p4_pdf_pages" -> ((s, d) => pdfPages(s, d)),
     "b1_datauri" -> ((s, d) => dataUri(s, d)),
     "m1_media_decode" -> ((s, d) => mediaDecode(s, d)),
     "x1_xml_chunks" -> ((s, d) => xmlChunks(s, d)),
@@ -99,6 +100,29 @@ object PipelineQueries {
       .select(col("doc_id"), md5(col("parsed")).as("txt_md5"),
         length(col("parsed")).cast("long").as("txt_len"))
       .orderBy("doc_id")
+  }
+
+  /** S10's page == row shape on REAL containers: each document becomes a
+    * two-page PDF, `DocParser.parsePdfPages` walks the object graph
+    * (catalog → pages → per-page /Contents) and the page texts explode to
+    * rows, md5-gated per page. */
+  def pdfPages(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("text"))
+    val exploded = docs.as[(Long, String)].flatMap { case (id, text) =>
+      val l1 = text.substring(0, math.min(40, text.length))
+      val l2 = if (text.length > 40) text.substring(40, math.min(80, text.length)) else ""
+      val bytes = graft.sources.OfficeFixtures.pdfPages(
+        Seq(Seq(l1), Seq(l2)), compress = id % 2 == 0)
+      graft.operators.DocParser.parsePdfPages(bytes).zipWithIndex.map {
+        case (t, i) => (id, i.toLong, t)
+      }
+    }.toDF("doc_id", "page_number", "page_text")
+    exploded.select(col("doc_id"), col("page_number"),
+      md5(col("page_text")).as("page_md5"),
+      length(col("page_text")).cast("long").as("page_len"))
+      .orderBy("doc_id", "page_number")
   }
 
   /** C6 base64/data-URI codecs (`fast_ops.py:48-97` bytes_to_data_uri):
@@ -260,6 +284,15 @@ object PipelineQueries {
         |  FROM t)
         |SELECT doc_id, md5(txt) AS txt_md5, len(txt)::BIGINT AS txt_len
         |FROM x ORDER BY doc_id""".stripMargin,
+    "p4_pdf_pages" ->
+      """WITH t AS (SELECT doc_id,
+        |    substr(text, 1, 40) AS l1, substr(text, 41, 40) AS l2
+        |  FROM documents WHERE doc_id < 100),
+        |p AS (SELECT doc_id, 0 AS page_number, l1 AS txt FROM t
+        |      UNION ALL SELECT doc_id, 1, l2 FROM t)
+        |SELECT doc_id, page_number::BIGINT AS page_number, md5(txt) AS page_md5,
+        |  len(txt)::BIGINT AS page_len
+        |FROM p ORDER BY doc_id, page_number""".stripMargin,
     "b1_datauri" ->
       """WITH u AS (SELECT doc_id, text,
         |    'data:text/plain;base64,' || to_base64(encode(text)) AS uri

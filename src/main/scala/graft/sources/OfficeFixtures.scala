@@ -118,6 +118,58 @@ object OfficeFixtures {
           |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="xml" ContentType="application/xml"/></Types>""".stripMargin) ++ slideEntries)
   }
 
+  /** Multi-page PDF: one content stream per page (each line shown with
+    * `Tj`, `T*` line breaks); `compress` Flate-encodes the streams. */
+  def pdfPages(pages: Seq[Seq[String]], compress: Boolean = false): Array[Byte] = {
+    def esc(s: String): String =
+      s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    def streamBytes(lines: Seq[String]): Array[Byte] = {
+      val content = ("BT /F1 12 Tf 14 TL 72 720 Td " +
+        lines.map(l => s"(${esc(l)}) Tj").mkString(" T* ") + " ET")
+        .getBytes(StandardCharsets.ISO_8859_1)
+      if (!compress) content
+      else {
+        val d = new Deflater()
+        d.setInput(content); d.finish()
+        val buf = new ByteArrayOutputStream()
+        val tmp = new Array[Byte](8192)
+        while (!d.finished()) buf.write(tmp, 0, d.deflate(tmp))
+        d.end()
+        buf.toByteArray
+      }
+    }
+    val n = pages.length
+    val fontObj = 3 + 2 * n
+    val filter = if (compress) " /Filter /FlateDecode" else ""
+    val bos = new ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    w("%PDF-1.4\n")
+    offsets += bos.size(); w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    offsets += bos.size()
+    w(s"2 0 obj\n<< /Type /Pages /Kids [${
+      (0 until n).map(i => s"${3 + i} 0 R").mkString(" ")}] /Count $n >>\nendobj\n")
+    (0 until n).foreach { i =>
+      offsets += bos.size()
+      w(s"${3 + i} 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Contents ${3 + n + i} 0 R /Resources << /Font << /F1 $fontObj 0 R >> >> >>\nendobj\n")
+    }
+    pages.zipWithIndex.foreach { case (lines, i) =>
+      val data = streamBytes(lines)
+      offsets += bos.size()
+      w(s"${3 + n + i} 0 obj\n<< /Length ${data.length}$filter >>\nstream\n")
+      bos.write(data)
+      w("\nendstream\nendobj\n")
+    }
+    offsets += bos.size()
+    w(s"$fontObj 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n")
+    val xref = bos.size()
+    w(s"xref\n0 ${offsets.length + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    bos.toByteArray
+  }
+
   /** One-page PDF whose content stream shows each line with `Tj` separated
     * by `T*`; `compress` Flate-encodes the stream (both layouts occur in
     * the wild and both paths must parse). */

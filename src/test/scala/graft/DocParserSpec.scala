@@ -73,4 +73,20 @@ class DocParserSpec extends AnyFunSuite {
     assert(DocParser.parse("broken.xlsx", Array[Byte](1, 2, 3)) == "")
     assert(DocParser.parse("broken.docx", "not a zip".getBytes) == "")
   }
+
+  test("pdf per-page extraction walks the object graph (raw and Flate)") {
+    val pages = Seq(
+      Seq("page one line a", "page one line b"),
+      Seq("page two only"),
+      Seq("page three x", "page three y"))
+    for (compress <- Seq(false, true)) {
+      val got = DocParser.parsePdfPages(OfficeFixtures.pdfPages(pages, compress))
+      assert(got == Seq(
+        "page one line a\npage one line b",
+        "page two only",
+        "page three x\npage three y"), s"compress=$compress")
+    }
+    // single-page builder still yields one page
+    assert(DocParser.parsePdfPages(OfficeFixtures.pdf(Seq("solo"))) == Seq("solo"))
+  }
 }
