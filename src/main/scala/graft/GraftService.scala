@@ -82,6 +82,39 @@ object GraftService {
       ranked.orderBy(col("score").desc, col(chunks.docIdCol), col(chunks.chunkNoCol))
   }
 
+  /** retrieve_chunks, ColPali/multivector branch (Q7's `use_colpali` arm,
+    * `document_service.py:213-229` config dispatch → MaxSim scoring like
+    * `multi_vector_store.query_similar`): identical scope compilation and
+    * plan shape to the dense branch, with the score expression swapped for
+    * float MaxSim against the query's multivector. The query multivector
+    * is a literal (request-sized, broadcast by construction); the chunk
+    * multivector column never enters a shuffle — scoring happens in the
+    * scan projection and only (score, ids) reach the top-k. */
+  def retrieveChunksMultivector(req: RetrieveRequest, chunks: ChunkTable,
+                                mvCol: String,
+                                embedder: operators.MultiVectorEmbedder): DataFrame = {
+    val qmv = embedder.embedTextMulti(req.queryText)
+    require(qmv.nonEmpty, "query multivector is empty (embedder failure)")
+    val qlit = typedLit(qmv.map(_.toSeq).toSeq)
+    val fetchK = if (req.useReranking) Serving.oversample(req.k) else req.k
+    val scored = chunks.df.filter(compileScope(req, chunks))
+      .withColumn("score", graft.functions.vec.max_sim_float(col(mvCol), qlit))
+    val bounded =
+      if (req.minScore.isNegInfinity) scored
+      else scored.filter(col("score") >= req.minScore)
+    val hits = bounded
+      .orderBy(col("score").desc, col(chunks.docIdCol), col(chunks.chunkNoCol))
+      .limit(fetchK)
+    val ranked =
+      if (req.useReranking)
+        Serving.rerank(hits, chunks.docIdCol, chunks.contentCol, req.queryText, req.k)
+          .withColumn("score", col("rerank_score"))
+      else hits
+    if (req.padding > 0)
+      Padding.expand(ranked, chunks.df, req.padding, chunks.docIdCol, chunks.chunkNoCol)
+    else ranked
+  }
+
   /** Doc-level results (Q11): max chunk score per document. */
   def retrieveDocs(req: RetrieveRequest, chunks: ChunkTable,
                    embedder: Embedder = HashEmbedder(64)): DataFrame =

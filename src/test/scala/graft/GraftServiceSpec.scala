@@ -122,4 +122,42 @@ class GraftServiceSpec extends AnyFunSuite {
     assert(ids(Seq(Some("/proj/spark"), Some("/other")), Some(-1)) == Set(2L, 3L, 4L))
     assert(ids(Seq.empty, None) == Set(1L, 2L, 3L, 4L, 5L, 6L))      // no scope = all
   }
+
+  test("multivector (colpali) branch: MaxSim retrieval through the same scope compiler") {
+    import java.nio.charset.StandardCharsets
+    import java.security.MessageDigest
+    // deterministic per-token multivector (one 4-d vector per token)
+    case class TokenMvEmbedder() extends graft.operators.MultiVectorEmbedder {
+      val dim = 4
+      private def one(tok: String): Array[Float] = {
+        val h = MessageDigest.getInstance("MD5")
+          .digest(tok.getBytes(StandardCharsets.UTF_8))
+        val v = Array.tabulate(dim)(i => (h(i) & 0xff).toFloat + 1f)
+        val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+        v.map(_ / n)
+      }
+      def embedTextMulti(s: String): Array[Array[Float]] =
+        s.toLowerCase.split("\\s+").filter(_.nonEmpty).map(one)
+      def embedMulti(df: org.apache.spark.sql.DataFrame, textCol: String,
+                     outCol: String): org.apache.spark.sql.DataFrame = ???
+    }
+    val emb = TokenMvEmbedder()
+    val rows = Seq(
+      ("d1", 0, "alpha beta", "app1"),
+      ("d2", 0, "gamma delta", "app1"),
+      ("d3", 0, "alpha beta", "app2")) // right content, wrong tenant
+      .map { case (d, n, content, app) =>
+        (d, n, content, emb.embedTextMulti(content).map(_.toSeq).toSeq,
+          Map.empty[String, String], Map.empty[String, String], app, "u1", "/f")
+      }
+    val chunks = rows.toDF("document_id", "chunk_number", "content", "mv",
+      "metadata", "metadata_types", "app_id", "end_user_id", "folder_path")
+    val hits = GraftService.retrieveChunksMultivector(
+      RetrieveRequest("alpha beta", k = 2, appId = Some("app1")),
+      ChunkTable(chunks), "mv", emb)
+      .select("document_id", "score").as[(String, Double)].collect().toSeq
+    assert(hits.map(_._1) == Seq("d1", "d2")) // d3 scoped out; d1 exact match first
+    // exact multivector match: every query token finds itself -> score = n_tokens
+    assert(math.abs(hits.head._2 - 2.0) < 1e-5)
+  }
 }
