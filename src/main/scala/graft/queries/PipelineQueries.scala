@@ -29,6 +29,7 @@ object PipelineQueries {
     "x1_xml_chunks" -> ((s, d) => xmlChunks(s, d)),
     "m2_frame_sample" -> ((s, d) => frameSample(s, d)),
     "r1_rerank" -> ((s, d) => rerank(s, d)),
+    "r2_context_assembly" -> ((s, d) => contextAssembly(s, d)),
     "g1_batch_get" -> ((s, d) => batchGet(s, d)),
     "n1_filename_search" -> ((s, d) => filenameSearch(s, d))
   )
@@ -172,6 +173,21 @@ object PipelineQueries {
       hits("vec_id") === col("doc_id"))
     Serving.rerank(withText, "doc_id", "text", RerankQuery, 5)
       .select(col("doc_id"), col("rerank_score"))
+  }
+
+  /** R1 context assembly: ranked hits join their chunk text and collapse
+    * into the completion prompt context in (score desc, doc, chunk) order
+    * — md5-gated so the exact concatenation order is value-checked. */
+  def contextAssembly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val chunks = Chunker.fixedChunks(
+      Tables.documents(spark, dir).filter(col("doc_id") < 50),
+      "doc_id", "text", n = 120, overlap = 20)
+    val hits = Seq((3L, 1, 0.9), (7L, 0, 0.8), (7L, 1, 0.7), (11L, 2, 0.6))
+      .toDF("doc_id", "chunk_number", "score")
+    val withText = hits.join(chunks, Seq("doc_id", "chunk_number"))
+    graft.GraftService.assembleContext(withText, "chunk", "doc_id", "chunk_number")
+      .select(md5(col("context")).as("context_md5"), col("n_chunks"))
   }
 
   def batchGet(spark: SparkSession, dir: String): DataFrame = {
@@ -335,6 +351,20 @@ object PipelineQueries {
          |  FROM hits h JOIN documents d ON h.vec_id = d.doc_id)
          |SELECT doc_id, rerank_score FROM scored
          |ORDER BY rerank_score DESC, doc_id LIMIT 5""".stripMargin,
+    "r2_context_assembly" ->
+      """WITH ch AS (
+        |  SELECT doc_id, (s - 1) // 100 AS chunk_number, substr(text, s::INT, 120) AS chunk
+        |  FROM documents, generate_series(1, 100000, 100) AS t(s)
+        |  WHERE doc_id < 50 AND s <= greatest(len(text) - 20, 1)
+        |    AND len(substr(text, s::INT, 120)) > 0),
+        |hits(doc_id, chunk_number, score) AS (
+        |  VALUES (3, 1, 0.9), (7, 0, 0.8), (7, 1, 0.7), (11, 2, 0.6)),
+        |j AS (SELECT h.doc_id, h.chunk_number, h.score, ch.chunk
+        |      FROM hits h JOIN ch ON h.doc_id = ch.doc_id AND h.chunk_number = ch.chunk_number)
+        |SELECT md5(string_agg(chunk, chr(10) || chr(10)
+        |         ORDER BY score DESC, doc_id, chunk_number)) AS context_md5,
+        |       count(*) AS n_chunks
+        |FROM j""".stripMargin,
     "g1_batch_get" ->
       """WITH ch AS (
         |  SELECT doc_id, (s - 1) // 100 AS chunk_number, substr(text, s::INT, 120) AS chunk
