@@ -30,6 +30,7 @@ object PipelineQueries {
     "m2_frame_sample" -> ((s, d) => frameSample(s, d)),
     "r1_rerank" -> ((s, d) => rerank(s, d)),
     "r2_context_assembly" -> ((s, d) => contextAssembly(s, d)),
+    "r3_augmented_content" -> ((s, d) => augmentedContent(s, d)),
     "g1_batch_get" -> ((s, d) => batchGet(s, d)),
     "n1_filename_search" -> ((s, d) => filenameSearch(s, d))
   )
@@ -188,6 +189,38 @@ object PipelineQueries {
     val withText = hits.join(chunks, Seq("doc_id", "chunk_number"))
     graft.GraftService.assembleContext(withText, "chunk", "doc_id", "chunk_number")
       .select(md5(col("context")).as("context_md5"), col("n_chunks"))
+  }
+
+  /** §3.2 `augmented_content` (`documents.py:113-133`): a video chunk with
+    * a timestamp pulls the nearest frame description AND transcript via
+    * at_time (= as-of nearest, ties to earlier) and renders the exact
+    * reference format string. Frame/transcript series are synthesized from
+    * the same md5-deterministic durations as m2, so the whole composition
+    * — two as-of joins plus formatting — is value-checked. */
+  def augmentedContent(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{AsOfJoin, Multimodal}
+    val decoded = Multimodal.decode(media(spark, dir))
+    val vids = decoded.filter(col("kind") === "video")
+      .select(col("media_id"), col("duration_sec"))
+    val frames = Multimodal.sampleFrames(decoded, stepSec = 30)
+      .select(col("media_id"), col("ts").cast("long").as("ts"),
+        concat_ws(" ", lit("frame"), col("media_id"), col("frame_number")).as("frame_desc"))
+    val speech = vids
+      .select(col("media_id"),
+        explode(sequence(lit(0L), (col("duration_sec") / 20).cast("long"))).as("sidx"))
+      .select(col("media_id"), (col("sidx") * 20).as("ts"),
+        concat_ws(" ", lit("speech"), col("media_id"), col("sidx")).as("speech_txt"))
+    val hits = vids.select(col("media_id"),
+      floor(col("duration_sec") / 2).cast("long").as("ts"))
+    val withFrame = AsOfJoin.nearest(hits, frames, "media_id", "ts",
+      Seq("frame_desc"), toleranceSec = 1e12)
+      .select(col("media_id"), col("ts"), col("near_frame_desc"))
+    AsOfJoin.nearest(withFrame, speech, "media_id", "ts",
+      Seq("speech_txt"), toleranceSec = 1e12)
+      .select(col("media_id"),
+        concat(lit("Frame description: "), col("near_frame_desc"),
+          lit(" \n \n Transcript: "), col("near_speech_txt")).as("augmented"))
+      .orderBy("media_id")
   }
 
   def batchGet(spark: SparkSession, dir: String): DataFrame = {
@@ -365,6 +398,31 @@ object PipelineQueries {
         |         ORDER BY score DESC, doc_id, chunk_number)) AS context_md5,
         |       count(*) AS n_chunks
         |FROM j""".stripMargin,
+    "r3_augmented_content" ->
+      """WITH v AS (SELECT doc_id AS media_id,
+        |    ('0x' || substr(md5(text), 9, 4))::BIGINT % 600 + 1 AS dur
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (SELECT media_id, (f * 30)::BIGINT AS ts,
+        |    'frame ' || media_id || ' ' || f AS frame_desc
+        |  FROM v, generate_series(0, 100) t(f) WHERE f <= dur // 30),
+        |sp AS (SELECT media_id, (s * 20)::BIGINT AS ts,
+        |    'speech ' || media_id || ' ' || s AS speech_txt
+        |  FROM v, generate_series(0, 100) t(s) WHERE s <= dur // 20),
+        |h AS (SELECT media_id, (dur // 2)::BIGINT AS ts FROM v),
+        |jf AS (SELECT h.media_id, fr.frame_desc,
+        |    row_number() OVER (PARTITION BY h.media_id
+        |                       ORDER BY abs(fr.ts - h.ts), fr.ts) AS rn
+        |  FROM h JOIN fr USING (media_id)),
+        |js AS (SELECT h.media_id, sp.speech_txt,
+        |    row_number() OVER (PARTITION BY h.media_id
+        |                       ORDER BY abs(sp.ts - h.ts), sp.ts) AS rn
+        |  FROM h JOIN sp USING (media_id))
+        |SELECT jf.media_id,
+        |  'Frame description: ' || jf.frame_desc || ' ' || chr(10) || ' ' || chr(10)
+        |    || ' Transcript: ' || js.speech_txt AS augmented
+        |FROM jf JOIN js ON jf.media_id = js.media_id
+        |WHERE jf.rn = 1 AND js.rn = 1
+        |ORDER BY jf.media_id""".stripMargin,
     "g1_batch_get" ->
       """WITH ch AS (
         |  SELECT doc_id, (s - 1) // 100 AS chunk_number, substr(text, s::INT, 120) AS chunk
