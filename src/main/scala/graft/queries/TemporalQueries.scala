@@ -109,6 +109,40 @@ object TemporalQueries {
       .orderBy("doc_id", "chunk_number")
 
   def oracles: Map[String, String] = Map(
+    // The recursive splitter's DuckDB twin, valid because this corpus
+    // contains no "\n\n"/"\n"/". " separators (asserted: 0 rows match),
+    // so the separator cascade reduces to greedy space-boundary packing:
+    // each chunk ends at the greatest space/end offset within chunkSize
+    // (200) of its start, then chunks after the first are prefixed with
+    // the previous BASE chunk's last `overlap` (20) chars. One recursive
+    // step per chunk.
+    "c2_chunks_recursive" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, text, len(text) AS n FROM documents WHERE len(text) > 0),
+        |b AS (SELECT doc_id, text, n,
+        |        list_sort(list_filter(range(1, n + 1),
+        |          i -> substr(text, i, 1) = ' ' OR i = n)) AS ends
+        |      FROM d),
+        |chunks AS (
+        |  SELECT doc_id, text, n, ends, 0 AS k, 0 AS prev_start, 0 AS start_off,
+        |         CASE WHEN n <= 200 THEN n
+        |              ELSE coalesce(list_max(list_filter(ends, e -> e <= 200)), n) END AS end_off
+        |  FROM b
+        |  UNION ALL
+        |  SELECT doc_id, text, n, ends, k + 1, start_off, end_off,
+        |         CASE WHEN n - end_off <= 200 THEN n
+        |              ELSE coalesce(list_max(list_filter(ends,
+        |                     e -> e > end_off AND e - end_off <= 200)), n) END
+        |  FROM chunks WHERE end_off < n),
+        |rendered AS (
+        |  SELECT doc_id, k AS chunk_number,
+        |    CASE WHEN k = 0 THEN substr(text, 1, end_off)
+        |         ELSE substr(text, greatest(prev_start, start_off - 20) + 1,
+        |                     end_off - greatest(prev_start, start_off - 20)) END AS chunk
+        |  FROM chunks)
+        |SELECT doc_id, chunk_number::BIGINT AS chunk_number, md5(chunk) AS chunk_md5,
+        |       len(chunk)::BIGINT AS chunk_len
+        |FROM rendered ORDER BY doc_id, chunk_number""".stripMargin,
     "e1_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
         |     e AS (SELECT user_id, ts, max(value) AS err_value FROM events
