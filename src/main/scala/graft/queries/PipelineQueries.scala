@@ -252,9 +252,12 @@ object PipelineQueries {
   }
 
   /** S7 XML structural chunker over XML synthesized from the documents
-    * table (escaped text split into sections) — rows-only gate (unit-tag
-    * profiling + token-bounded recursion isn't SQL-expressible; semantics
-    * are golden-tested in XmlChunkerSpec). */
+    * table (escaped text split into sections). Fully oracle-gated: on this
+    * fixed structure the unit-tag profile deterministically picks `sec`
+    * (count 2, shallower than `p`), so chunks reduce to 20-token windows
+    * over each section's normalized text — which the oracle reproduces
+    * directly. Generic-tree semantics stay golden-tested in
+    * XmlChunkerSpec. */
   def xmlChunks(spark: SparkSession, dir: String): DataFrame = {
     val esc = (c: org.apache.spark.sql.Column) =>
       regexp_replace(regexp_replace(regexp_replace(c,
@@ -265,8 +268,8 @@ object PipelineQueries {
         lit("</p></sec><sec><p>"), esc(substring(col("text"), 151, 100000)),
         lit("</p></sec></doc>")).as("xml"))
     graft.operators.XmlChunker.chunkColumn(xml, "doc_id", "xml", maxTokens = 20)
-      .select(col("doc_id"), col("chunk_index"), col("tag"),
-        col("breadcrumbs"), md5(col("content")).as("content_md5"))
+      .select(col("doc_id"), col("chunk_index").cast("long").as("chunk_index"),
+        col("tag"), col("breadcrumbs"), md5(col("content")).as("content_md5"))
       .orderBy("doc_id", "chunk_index")
   }
 
@@ -312,6 +315,23 @@ object PipelineQueries {
         |  sum(s)::BIGINT AS emb_sum, sum(s * s)::BIGINT AS emb_sq
         |FROM buckets GROUP BY doc_id, chunk_number
         |ORDER BY doc_id, chunk_number""".stripMargin,
+    "x1_xml_chunks" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 150) AS p1, substr(text, 151, 100000) AS p2
+        |           FROM documents WHERE doc_id < 100),
+        |u AS (SELECT doc_id, 0 AS ui, trim(regexp_replace(p1, '\s+', ' ', 'g')) AS t FROM d
+        |      UNION ALL SELECT doc_id, 1, trim(regexp_replace(p2, '\s+', ' ', 'g')) FROM d),
+        |tk AS (SELECT doc_id, ui, list_filter(string_split(t, ' '), x -> len(x) > 0) AS toks
+        |       FROM u WHERE len(t) > 0),
+        |w AS (SELECT doc_id, ui, j AS pi,
+        |        array_to_string(list_slice(toks, j*20 + 1, (j+1)*20), ' ') AS content
+        |      FROM tk, generate_series(0, 100) s(j)
+        |      WHERE j * 20 < len(toks)),
+        |ord AS (SELECT doc_id, ui, pi, content,
+        |          row_number() OVER (PARTITION BY doc_id ORDER BY ui, pi) - 1 AS chunk_index
+        |        FROM w)
+        |SELECT doc_id, chunk_index::BIGINT AS chunk_index, 'sec' AS tag,
+        |       'doc' AS breadcrumbs, md5(content) AS content_md5
+        |FROM ord ORDER BY doc_id, chunk_index""".stripMargin,
     "p2_office_ingest" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
         |           FROM documents WHERE doc_id < 100),
