@@ -67,4 +67,21 @@ class IvfIndexSpec extends AnyFunSuite {
       .select("vec_id").as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSeq
     assert(fromStore == inMem)
   }
+
+  test("half-probe recall@10 on the seeded corpus (the v7 bench configuration)") {
+    // v7 runs lists=16 / nprobe=8 at sf scale; everything is seeded, so the
+    // measured recall is a deterministic property of the index, pinning it
+    // guards against silent quantizer/probe regressions (v7 is the one
+    // registry query the DuckDB oracle cannot replay).
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val q = VectorQueries.queryVec(spark, "/root/testdata/sf0.01")
+    val (indexed, model) = IvfIndex.build(e, "embedding", lists = 16)
+    val ivf = IvfIndex.query(indexed, model, "embedding", "vec_id", q, 10, nprobe = 8,
+      where = col("vec_id") =!= 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = KnnSearch.topK(e, "embedding", "vec_id", q, 10, col("vec_id") =!= 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = ivf.intersect(exact).size / 10.0
+    assert(recall >= 0.8, s"recall@10 = $recall")
+  }
 }
