@@ -139,7 +139,8 @@ class GraftServiceSpec extends AnyFunSuite {
       def embedTextMulti(s: String): Array[Array[Float]] =
         s.toLowerCase.split("\\s+").filter(_.nonEmpty).map(one)
       def embedMulti(df: org.apache.spark.sql.DataFrame, textCol: String,
-                     outCol: String): org.apache.spark.sql.DataFrame = ???
+                     outCol: String): org.apache.spark.sql.DataFrame =
+        sys.error("query-side-only test embedder")
     }
     val emb = TokenMvEmbedder()
     val rows = Seq(
