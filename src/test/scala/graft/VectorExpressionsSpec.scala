@@ -104,4 +104,29 @@ class VectorExpressionsSpec extends AnyFunSuite {
       .sortBy { case (i, s) => (-s, i) }.take(10).toSeq
     assert(got == want)
   }
+
+  test("multi-vector similarity ranking (port of test_multi_vector_similarity)") {
+    // reference `core/tests/unit/test_multivector.py:215-258`: chunk1 =
+    // 3 vectors +1 first half / -1 second half; chunk2 = the inverse;
+    // a query matching chunk1's pattern must rank chunk1 first under
+    // binary MaxSim.
+    import spark.implicits._
+    def pattern(firstHalf: Float): Array[Float] =
+      Array.tabulate(128)(i => if (i < 64) firstHalf else -firstHalf)
+    val mv1 = Seq.fill(3)(pattern(1f).toSeq)
+    val mv2 = Seq.fill(3)(pattern(-1f).toSeq)
+    val docs = Seq(("similarity_test_1", mv1), ("similarity_test_2", mv2))
+      .toDF("document_id", "mv")
+      .withColumn("bv", transform(col("mv"), v => vec.binary_quantize(v)))
+    val qv = Seq(Tuple1(Seq(pattern(1f).toSeq))).toDF("qmv")
+      .withColumn("qbv", transform(col("qmv"), v => vec.binary_quantize(v)))
+      .select("qbv")
+    val ranked = docs.crossJoin(broadcast(qv))
+      .select(col("document_id"), vec.max_sim_binary(col("bv"), col("qbv")).as("s"))
+      .orderBy(col("s").desc)
+      .as[(String, Double)].collect().toSeq
+    assert(ranked.map(_._1) == Seq("similarity_test_1", "similarity_test_2"))
+    // exact-match MaxSim under the 1 - hamming/bits formula: 1.0 vs 0.0
+    assert(ranked(0)._2 == 1.0 && ranked(1)._2 == 0.0)
+  }
 }
