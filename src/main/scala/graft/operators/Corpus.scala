@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.text
+
+/** Corpus-level training-data pipeline operators beyond dedup ([[Dedup]]):
+  * boilerplate detection, Gopher-style repetition quality gates, train/eval
+  * decontamination, deterministic stratified sampling, shard-wise sequence
+  * packing, and per-stratum heavy hitters.
+  *
+  * These are the ops a 100 TB pretraining-data build runs between raw ingest
+  * and tokenized shards (the reference stops at RAG indexing; a training
+  * pipeline additionally curates). Scale design mirrors Dedup's rules: every
+  * operator is an equi-key groupBy / window / broadcast-join — no cross
+  * joins, no driver-side loops, and per-row work is bounded by document
+  * length, never corpus size.
+  */
+object Corpus {
+
+  /** Word n-grams appearing in >= minDocs distinct documents — the
+    * corpus-level boilerplate detector (header/footer/license spans in a web
+    * crawl). Per-doc DISTINCT shingles feed one hash-groupBy, so the shuffle
+    * carries (ngram, 1) rows with map-side combine; at 100 TB the same plan
+    * holds (optionally pre-filtered by a count-min sketch to drop the
+    * singleton long tail before the exchange). */
+  def boilerplateNgrams(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, minDocs: Long): DataFrame =
+    graft.Tables.scaled(
+      df.select(col(idCol).cast("long").as("id"), col(textCol).as("t")))
+      .select(explode(text.word_shingles(col("t"), n)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** Per-document repetition metrics (Gopher-style quality rules over the
+    * token stream). All outputs are exact integer counts — cross-engine
+    * hash-stable — and the keep decision uses cross-multiplied rational
+    * comparisons so no floating point is involved:
+    * keep = top-token fraction <= 0.15 AND distinct-token ratio >= 0.5.
+    * Per-row cost is O(distinct_tokens * tokens), bounded by doc length —
+    * embarrassingly parallel, no shuffle at all. */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String,
+                        ngram: Int = 5): DataFrame = {
+    val toks = text.tokens(col("t"))
+    val withToks = graft.Tables.scaled(
+      df.select(col(idCol).cast("long").as("id"), col(textCol).as("t")))
+      .select(col("id"), toks.as("tk"),
+        text.word_shingles(col("t"), ngram).as("sh"))
+    val n = size(col("tk")).cast("long")
+    val nd = size(array_distinct(col("tk"))).cast("long")
+    val top = coalesce(
+      aggregate(array_distinct(col("tk")), lit(0L),
+        (acc, t) => greatest(acc, size(filter(col("tk"), x => x === t)).cast("long"))),
+      lit(0L))
+    withToks.select(
+      col("id"),
+      n.as("n_tokens"),
+      nd.as("n_distinct"),
+      greatest(n - (ngram - 1), lit(0L)).as("n_ngrams"),
+      size(col("sh")).cast("long").as("n_distinct_ngrams"),
+      top.as("top_token_count"),
+      aggregate(col("tk"), lit(0L), (acc, t) => acc + length(t)).as("sum_token_chars"),
+      (top * 20 <= n * 3 && nd * 2 >= n).as("keep"))
+  }
+
+  /** Train/eval contamination check: train documents sharing any word
+    * n-gram with the eval split, with the shared-distinct-ngram count
+    * (the GPT-3-style n-gram decontamination pass). The eval side of a
+    * training build is tiny relative to the corpus, so its exploded ngram
+    * set is broadcast — the train side streams through map-side without a
+    * shuffle for the join; only the per-doc count aggregates. */
+  def decontaminate(train: DataFrame, eval_ : DataFrame,
+                    idCol: String, textCol: String, n: Int): DataFrame = {
+    def ngrams(df: DataFrame) = graft.Tables.scaled(
+      df.select(col(idCol).cast("long").as("id"), col(textCol).as("t")))
+      .select(col("id"), explode(text.word_shingles(col("t"), n)).as("g"))
+    val evalNgrams = ngrams(eval_).select("g").distinct()
+    ngrams(train)
+      .join(broadcast(evalNgrams), "g")
+      .groupBy("id").agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Deterministic stratified downsampling: a document's sample bucket is a
+    * pure hash of its id (md5 → 0..99), so the decision is reproducible on
+    * any engine and any re-run — no RNG state, no seed plumbing. Rates are
+    * per-stratum (e.g. downweight the majority language). Returns the input
+    * plus (bucket, kept); aggregate for audit counts. Scale: stateless
+    * map-only — the sample decision never shuffles. */
+  def hashSample(df: DataFrame, idCol: String, strataCol: String,
+                 rates: Map[String, Int], defaultRate: Int): DataFrame = {
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 6), 16, 10)
+      .cast("long") % 100
+    val rate = rates.foldRight(lit(defaultRate): Column) { case ((k, r), els) =>
+      when(col(strataCol) === k, lit(r)).otherwise(els)
+    }
+    df.withColumn("bucket", bucket).withColumn("kept", bucket < rate)
+  }
+
+  /** Shard-wise sequence packing (concat-and-chunk): within each shard,
+    * documents are concatenated in id order and cut into fixed token-budget
+    * bins — the standard pretraining sequence construction. Emits each
+    * document's token offset and the first/last bin it lands in. The running
+    * sum windows PER SHARD, so shards pack in parallel (the 100 TB shape:
+    * one task per shard, no global ordering barrier — a global pack would
+    * serialize on a single partition). */
+  def packSequences(df: DataFrame, idCol: String, shardCol: String,
+                    tokenCountCol: Column, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = sum(tokenCountCol).over(w)
+    df.select(col(idCol).cast("long").as("id"), col(shardCol).as("shard"),
+      tokenCountCol.cast("long").as("n_tok"), cum.cast("long").as("cum"))
+      .select(col("id"), col("shard"), col("n_tok"),
+        (col("cum") - col("n_tok")).as("tok_start"),
+        ((col("cum") - col("n_tok")) / budget).cast("long").as("bin_first"),
+        when(col("n_tok") > 0, ((col("cum") - 1) / budget).cast("long"))
+          .otherwise(((col("cum") - col("n_tok")) / budget).cast("long")).as("bin_last"))
+  }
+
+  /** Exact per-stratum heavy hitters: top-k tokens by frequency (count desc,
+    * token asc tiebreak). Explode → hash-groupBy with map-side combine →
+    * per-stratum top-k window. At 100 TB the groupBy output is |vocab| ×
+    * |strata| rows — small — and the window partitions by stratum; a
+    * count-min sketch + candidate verify replaces the exact count only when
+    * the vocabulary itself is unbounded. */
+  def heavyHitters(df: DataFrame, strataCol: String, textCol: String,
+                   k: Int): DataFrame = {
+    val counts = graft.Tables.scaled(
+      df.select(col(strataCol).as("stratum"), col(textCol).as("t")))
+      .select(col("stratum"), explode(text.tokens(col("t"))).as("token"))
+      .groupBy("stratum", "token").agg(count(lit(1)).as("cnt"))
+    counts.withColumn("rank",
+      row_number().over(Window.partitionBy("stratum")
+        .orderBy(col("cnt").desc, col("token").asc)))
+      .filter(col("rank") <= k)
+  }
+
+  /** PII redaction: mask emails, IPv4 addresses and phone-shaped digit runs,
+    * returning the scrubbed text plus per-pattern match counts (the audit
+    * trail a compliance pass needs). Pure regex column expressions — the
+    * patterns are RE2-compatible so the identical rule set runs on any
+    * engine. Stateless map-only at any scale. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val phoneRe = "\\b555-[0-9]{4}\\b"
+
+  def piiScrub(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    // IPs are masked before phones so a phone pass never sees dotted quads;
+    // emails first so their domains are not half-eaten by the IP rule.
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
+    df.withColumn("n_emails", size(regexp_extract_all(t, lit(emailRe), lit(0))).cast("long"))
+      .withColumn("n_ips", size(regexp_extract_all(t, lit(ipv4Re), lit(0))).cast("long"))
+      .withColumn("n_phones", size(regexp_extract_all(t, lit(phoneRe), lit(0))).cast("long"))
+      .withColumn("scrubbed", scrubbed)
+  }
+}

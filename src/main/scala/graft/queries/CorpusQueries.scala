@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.text
+import graft.operators.Corpus
+
+/** Corpus-curation coverage: the training-data pipeline stages between raw
+  * ingest and tokenized shards — boilerplate detection, repetition quality
+  * gates, train/eval decontamination, PII scrubbing, stratified sampling,
+  * sequence packing, vocabulary heavy hitters. Every query has a full DuckDB
+  * oracle; all emitted measures are exact integers (or md5 digests) so the
+  * cross-engine hash gate is airtight — no floating point anywhere.
+  */
+object CorpusQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t10_boilerplate" -> ((s, d) => boilerplate(s, d)),
+    "t11_repetition" -> ((s, d) => repetition(s, d)),
+    "t12_decontaminate" -> ((s, d) => decontaminate(s, d)),
+    "t13_pii_scrub" -> ((s, d) => piiScrub(s, d)),
+    "t14_sample_stratified" -> ((s, d) => sampleStratified(s, d)),
+    "t15_seq_pack" -> ((s, d) => seqPack(s, d)),
+    "t16_heavy_hitters" -> ((s, d) => heavyHitters(s, d))
+  )
+
+  /** Word 4-grams shared by >= 3 documents: the boilerplate span detector. */
+  def boilerplate(spark: SparkSession, dir: String): DataFrame =
+    Corpus.boilerplateNgrams(Tables.documents(spark, dir), "doc_id", "text",
+      n = 4, minDocs = 3)
+      .orderBy("ngram")
+
+  /** Gopher-style per-doc repetition metrics + integer-exact keep gate. */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    Corpus.repetitionMetrics(Tables.documents(spark, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  /** Train/eval 4-gram contamination: eval split = doc_id % 50 == 0. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Corpus.decontaminate(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0),
+      "doc_id", "text", n = 4)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** PII redaction audit over synthetic contact lines derived from events
+    * (the raw tables carry no natural PII; the construction is shared
+    * verbatim with the oracle, so the scrub semantics are what is tested). */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).filter(col("event_id") % 5 === 0)
+    val contact = concat(
+      when(col("event_type").isin("signup", "purchase"),
+        concat(lit("user"), col("user_id").cast("string"), lit("@ex.com ")))
+        .otherwise(lit("")),
+      lit("ip 10."), (col("user_id") % 256).cast("string"),
+      lit("."), (col("event_id") % 256).cast("string"),
+      lit("."), (col("user_id") % 100).cast("string"),
+      lit(" tel 555-"), lpad((col("event_id") % 10000).cast("string"), 4, "0"),
+      lit(" "), col("event_type"))
+    Corpus.piiScrub(e.select(col("event_id"), contact.as("contact")), "contact")
+      .select(col("event_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+        md5(col("scrubbed")).as("scrub_md5"))
+      .orderBy("event_id")
+  }
+
+  /** Deterministic md5-bucket sampling, downweighting the majority language
+    * (en 30%, de/es/fr 60%, rest kept); per-stratum audit counts. */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    Corpus.hashSample(Tables.documents(spark, dir), "doc_id", "lang",
+      Map("en" -> 30, "de" -> 60, "es" -> 60, "fr" -> 60), defaultRate = 100)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("kept").cast("long")).cast("long").as("n_kept"))
+      .orderBy("lang", "source")
+
+  /** Shard-wise (per-source) sequence packing into 1024-token bins over the
+    * BPE-ish token counts. */
+  def seqPack(spark: SparkSession, dir: String): DataFrame =
+    Corpus.packSequences(Tables.documents(spark, dir), "doc_id", "source",
+      text.bpe_token_count(col("text")), budget = 1024L)
+      .withColumnRenamed("id", "doc_id")
+      .withColumnRenamed("shard", "shard")
+      .orderBy("doc_id")
+
+  /** Top-10 tokens per language (count desc, token asc tiebreak). */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    Corpus.heavyHitters(Tables.documents(spark, dir), "lang", "text", k = 10)
+      .withColumnRenamed("stratum", "lang")
+      .select(col("lang"), col("token"), col("cnt"), col("rank").cast("long").as("rank"))
+      .orderBy("lang", "rank")
+
+  // ----------------------------------------------------------------- oracles
+
+  private val norm =
+    "SELECT doc_id, lang, source, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents"
+
+  private val toks =
+    s"WITH n AS ($norm), tk AS (SELECT doc_id, lang, source, list_filter(string_split(norm, ' '), t -> len(t) > 0) AS tk FROM n)"
+
+  /** Distinct word n-grams of the token list (mirror of text.word_shingles). */
+  private def shingleSql(n: Int): String =
+    s"list_distinct(list_transform(range(len(tk) - ${n - 1}), i -> array_to_string(list_slice(tk, i + 1, i + $n), ' ')))"
+
+  def oracles: Map[String, String] = Map(
+    "t10_boilerplate" ->
+      s"""$toks,
+         |sh AS (SELECT doc_id, ${shingleSql(4)} AS sh FROM tk),
+         |e AS (SELECT unnest(sh) AS ngram FROM sh)
+         |SELECT ngram, count(*)::BIGINT AS n_docs FROM e
+         |GROUP BY ngram HAVING count(*) >= 3 ORDER BY ngram""".stripMargin,
+    "t11_repetition" ->
+      s"""$toks,
+         |m AS (SELECT doc_id,
+         |  len(tk)::BIGINT AS n, len(list_distinct(tk))::BIGINT AS nd,
+         |  greatest(len(tk) - 4, 0)::BIGINT AS n5,
+         |  len(${shingleSql(5)})::BIGINT AS nd5,
+         |  coalesce(list_max(list_transform(list_distinct(tk),
+         |    t -> len(list_filter(tk, x -> x = t)))), 0)::BIGINT AS tt,
+         |  coalesce(list_sum(list_transform(tk, t -> len(t))), 0)::BIGINT AS sc
+         |  FROM tk)
+         |SELECT doc_id, n AS n_tokens, nd AS n_distinct, n5 AS n_ngrams,
+         |  nd5 AS n_distinct_ngrams, tt AS top_token_count, sc AS sum_token_chars,
+         |  (tt * 20 <= n * 3 AND nd * 2 >= n) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "t12_decontaminate" ->
+      s"""$toks,
+         |sh AS (SELECT doc_id, ${shingleSql(4)} AS sh FROM tk),
+         |e AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |ev AS (SELECT DISTINCT g FROM e WHERE doc_id % 50 = 0)
+         |SELECT e.doc_id AS doc_id, count(*)::BIGINT AS n_shared
+         |FROM e JOIN ev USING (g) WHERE e.doc_id % 50 <> 0
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t13_pii_scrub" ->
+      s"""WITH c AS (SELECT event_id,
+         |  (CASE WHEN event_type IN ('signup', 'purchase')
+         |        THEN 'user' || user_id || '@ex.com ' ELSE '' END)
+         |  || 'ip 10.' || (user_id % 256) || '.' || (event_id % 256) || '.' || (user_id % 100)
+         |  || ' tel 555-' || lpad((event_id % 10000)::VARCHAR, 4, '0')
+         |  || ' ' || event_type AS contact
+         |  FROM events WHERE event_id % 5 = 0)
+         |SELECT event_id,
+         |  len(regexp_extract_all(contact, '${Corpus.emailRe}'))::BIGINT AS n_emails,
+         |  len(regexp_extract_all(contact, '${Corpus.ipv4Re}'))::BIGINT AS n_ips,
+         |  len(regexp_extract_all(contact, '${Corpus.phoneRe}'))::BIGINT AS n_phones,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(contact,
+         |    '${Corpus.emailRe}', '<EMAIL>', 'g'),
+         |    '${Corpus.ipv4Re}', '<IP>', 'g'),
+         |    '${Corpus.phoneRe}', '<PHONE>', 'g')) AS scrub_md5
+         |FROM c ORDER BY event_id""".stripMargin,
+    "t14_sample_stratified" ->
+      """WITH b AS (SELECT lang, source,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT % 100 AS bucket
+        |  FROM documents),
+        |k AS (SELECT lang, source, bucket,
+        |    CASE WHEN lang = 'en' THEN 30
+        |         WHEN lang IN ('de', 'es', 'fr') THEN 60 ELSE 100 END AS rate
+        |  FROM b)
+        |SELECT lang, source, count(*)::BIGINT AS n_total,
+        |  sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END)::BIGINT AS n_kept
+        |FROM k GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "t15_seq_pack" ->
+      s"""WITH b AS (SELECT doc_id, source,
+         |    len(regexp_extract_all(text, '${text.bpeTokenPattern}'))::BIGINT AS n_tok
+         |  FROM documents),
+         |c AS (SELECT doc_id, source, n_tok,
+         |    (sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum
+         |  FROM b)
+         |SELECT doc_id, source AS shard, n_tok,
+         |  (cum - n_tok) AS tok_start,
+         |  ((cum - n_tok) // 1024)::BIGINT AS bin_first,
+         |  CASE WHEN n_tok > 0 THEN ((cum - 1) // 1024)::BIGINT
+         |       ELSE ((cum - n_tok) // 1024)::BIGINT END AS bin_last
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "t16_heavy_hitters" ->
+      s"""$toks,
+         |e AS (SELECT lang, unnest(tk) AS token FROM tk),
+         |c AS (SELECT lang, token, count(*)::BIGINT AS cnt FROM e GROUP BY 1, 2),
+         |r AS (SELECT lang, token, cnt,
+         |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token ASC) AS rank
+         |  FROM c)
+         |SELECT lang, token, cnt, rank::BIGINT AS rank FROM r
+         |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin
+  )
+}

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Corpus
+
+/** Behavioral tests for the corpus-curation operators: the DuckDB oracles
+  * (t10-t16) prove engine-equivalence; these prove the operators make the
+  * right calls on planted inputs.
+  */
+class CorpusSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("boilerplateNgrams finds the planted shared span only") {
+    val boiler = "all rights reserved contact us"
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta $boiler"),
+      (2L, s"epsilon zeta eta theta $boiler"),
+      (3L, s"iota kappa lambda mu $boiler"),
+      (4L, "nu xi omicron pi rho sigma")).toDF("doc_id", "text")
+    val hits = Corpus.boilerplateNgrams(docs, "doc_id", "text", n = 4, minDocs = 3)
+      .as[(String, Long)].collect().toMap
+    // every 4-gram fully inside the planted span appears in 3 docs
+    assert(hits.keySet == Set("all rights reserved contact", "rights reserved contact us"))
+    assert(hits.values.forall(_ == 3L))
+  }
+
+  test("repetitionMetrics flags the repetitive doc and keeps the diverse one") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam ham"),
+      (2L, "the quick brown fox jumps over a lazy dog")).toDF("doc_id", "text")
+    val m = Corpus.repetitionMetrics(docs, "doc_id", "text")
+      .select("id", "n_tokens", "n_distinct", "top_token_count", "keep")
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(m(0) == ((1L, 9L, 2L, 8L, false)))
+    assert(m(1) == ((2L, 9L, 9L, 1L, true)))
+  }
+
+  test("decontaminate reports the contaminated train doc with its overlap count") {
+    val evalDoc = "one two three four five six"
+    val train = Seq(
+      (10L, s"prefix words here $evalDoc"), // shares all 3 eval 4-grams
+      (11L, "totally unrelated content with different words entirely"))
+      .toDF("doc_id", "text")
+    val eval_ = Seq((1L, evalDoc)).toDF("doc_id", "text")
+    val hits = Corpus.decontaminate(train, eval_, "doc_id", "text", n = 4)
+      .as[(Long, Long)].collect().toSeq
+    assert(hits == Seq((10L, 3L)))
+  }
+
+  test("hashSample is deterministic and kept implies bucket under rate") {
+    val docs = (0L until 200L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
+      .toDF("doc_id", "lang")
+    val s1 = Corpus.hashSample(docs, "doc_id", "lang", Map("en" -> 30), 100)
+      .select("doc_id", "bucket", "kept").as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    val s2 = Corpus.hashSample(docs, "doc_id", "lang", Map("en" -> 30), 100)
+      .select("doc_id", "bucket", "kept").as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(s1.toSeq == s2.toSeq)
+    s1.foreach { case (id, bucket, kept) =>
+      val rate = if (id % 2 == 0) 30 else 100
+      assert(kept == (bucket < rate))
+    }
+    // the en stratum is actually downsampled; zh is fully kept
+    assert(s1.filter(_._1 % 2 == 0).count(_._3) < 100)
+    assert(s1.filter(_._1 % 2 == 1).forall(_._3))
+  }
+
+  test("packSequences packs per shard with contiguous offsets and bin spans") {
+    val docs = Seq(
+      (1L, "a", 600L), (2L, "a", 600L), (3L, "a", 600L), // shard a: 1800 tokens
+      (10L, "b", 100L)).toDF("doc_id", "shard_col", "n")
+    val packed = Corpus.packSequences(docs, "doc_id", "shard_col", col("n"), budget = 1024L)
+      .select("id", "shard", "tok_start", "bin_first", "bin_last")
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // doc 1: [0, 600) -> bin 0; doc 2: [600, 1200) straddles bins 0-1;
+    // doc 3: [1200, 1800) -> bin 1; shard b packs independently from 0.
+    assert(packed == Seq(
+      (1L, "a", 0L, 0L, 0L),
+      (2L, "a", 600L, 0L, 1L),
+      (3L, "a", 1200L, 1L, 1L),
+      (10L, "b", 0L, 0L, 0L)))
+  }
+
+  test("heavyHitters ranks the planted skew first and respects k") {
+    val docs = Seq(
+      ("en", "zzz zzz zzz zzz aaa bbb"),
+      ("en", "zzz zzz ccc ddd eee fff")).toDF("lang", "text")
+    val top = Corpus.heavyHitters(docs, "lang", "text", k = 3)
+      .select("stratum", "token", "cnt", "rank")
+      .as[(String, String, Long, Int)].collect().sortBy(_._4).toSeq
+    assert(top.size == 3)
+    assert(top.head == (("en", "zzz", 6L, 1)))
+    assert(top(1)._3 == 1L) // ties at cnt=1 break alphabetically
+    assert(top(1)._2 == "aaa" && top(2)._2 == "bbb")
+  }
+
+  test("piiScrub masks emails, IPs and phone runs with exact counts") {
+    val df = Seq(
+      (1L, "mail bob@corp.example.org then ip 192.168.2.44 tel 555-0199 done"),
+      (2L, "nothing sensitive here")).toDF("id", "t")
+    val out = Corpus.piiScrub(df, "t")
+      .select("id", "n_emails", "n_ips", "n_phones", "scrubbed")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out(0)._5 == "mail <EMAIL> then ip <IP> tel <PHONE> done")
+    assert((out(0)._2, out(0)._3, out(0)._4) == ((1L, 1L, 1L)))
+    assert(out(1) == ((2L, 0L, 0L, 0L, "nothing sensitive here")))
+  }
+}
