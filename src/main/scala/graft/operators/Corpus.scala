@@ -136,6 +136,43 @@ object Corpus {
       .filter(col("rank") <= k)
   }
 
+  // ------------------------------------------------------------------ URLs
+
+  /** URL normalization for web-corpus curation (the CCNet/RefinedWeb intake
+    * shape): lowercase scheme and host, strip default ports (:80/:443) and a
+    * leading `www.`, drop the fragment, and remove `utm_*` tracking params
+    * while preserving the rest of the query string. Adds `norm_url` plus the
+    * registrable `domain` (last two host labels — public-suffix nuances like
+    * co.uk are a lookup table in production; documented simplification).
+    * RE2-compatible regexes only (no lookbehind), so the identical rule set
+    * runs in any engine. Stateless map-only at any scale. */
+  def urlNormalize(df: DataFrame, urlCol: String): DataFrame = {
+    val u = col(urlCol)
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostRaw = lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = regexp_replace(regexp_replace(hostRaw, ":(443|80)$", ""), "^www\\.", "")
+    val rest = regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    val path = regexp_extract(rest, "^([^?#]*)", 1)
+    val query = regexp_extract(rest, "\\?([^#]*)", 1)
+    val cleanedQ = regexp_replace(regexp_replace(query, "(^|&)utm_[^&]*", ""), "^&", "")
+    df.withColumn("norm_url",
+        concat(scheme, lit("://"), host, path,
+          when(cleanedQ =!= "", concat(lit("?"), cleanedQ)).otherwise(lit(""))))
+      .withColumn("domain", regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
+  }
+
+  /** Per-domain document caps over a [[urlNormalize]]d frame: keep at most
+    * `cap` documents per registrable domain, id-order rank (deterministic —
+    * crawl pipelines cap mega-domains so one forum doesn't dominate the
+    * corpus). One window partitioned by domain; a mega-domain lands on one
+    * reducer only for its rank pass — when a single domain is genuinely
+    * unbounded, pre-filter with a per-domain count and hash-sample down
+    * before the exact window. */
+  def domainCap(df: DataFrame, idCol: String, cap: Int): DataFrame =
+    df.withColumn("rank",
+        row_number().over(Window.partitionBy("domain").orderBy(col(idCol))))
+      .withColumn("kept", col("rank") <= cap)
+
   /** PII redaction: mask emails, IPv4 addresses and phone-shaped digit runs,
     * returning the scrubbed text plus per-pattern match counts (the audit
     * trail a compliance pass needs). Pure regex column expressions — the

@@ -174,6 +174,52 @@ object Dedup {
       .filter(col("cosine") >= minCosine)
   }
 
+  /** Connected components over a candidate-pair edge list — the transitive
+    * closure the one-step keep-lists ([[minhashLshKeepList]], t9) approximate:
+    * near-dup chains a→b→c collapse into ONE cluster labeled by its min id.
+    *
+    * Algorithm: iterative min-label propagation (each round, every node takes
+    * the min label among itself and its neighbors), converging in
+    * O(graph diameter) rounds. Dedup graphs are LSH-bucket star unions, so
+    * the diameter is small; for adversarial long-chain graphs the
+    * large-star/small-star variant (Kiveris et al., "Connected Components in
+    * MapReduce") cuts rounds to O(log n) with the same per-round shape.
+    *
+    * Scale design: each round is one equi-join (labels by node id) + one
+    * hash-groupBy min — never materializing pair-pairs — and the label
+    * frontier is `localCheckpoint`ed every round so the iterative lineage
+    * stays O(1) (on a cluster, a reliable checkpoint dir makes that
+    * fault-tolerant; the convergence count is a cheap job on the
+    * checkpointed frame). Driver holds only loop state, never rows. */
+  def connectedComponents(edges: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val und = edges.select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
+      .union(edges.select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst")))
+      .distinct().cache()
+    var labels = und.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = und
+        .join(labels.select(col("id").as("dst"), col("component").as("dst_comp")), "dst")
+        .groupBy("src").agg(min("dst_comp").as("nbr_comp"))
+        .select(col("src").as("id"), col("nbr_comp"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_comp"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      val changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.component") =!= col("o.component")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    und.unpersist()
+    labels
+  }
+
   /** SimHash fingerprints (48-bit) for every doc (single-pass expression
     * after the exchange — see TextHashExpressions). */
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame =

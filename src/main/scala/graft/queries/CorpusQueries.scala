@@ -22,8 +22,30 @@ object CorpusQueries {
     "t13_pii_scrub" -> ((s, d) => piiScrub(s, d)),
     "t14_sample_stratified" -> ((s, d) => sampleStratified(s, d)),
     "t15_seq_pack" -> ((s, d) => seqPack(s, d)),
-    "t16_heavy_hitters" -> ((s, d) => heavyHitters(s, d))
+    "t16_heavy_hitters" -> ((s, d) => heavyHitters(s, d)),
+    "t18_url_caps" -> ((s, d) => urlCaps(s, d))
   )
+
+  /** URL normalization + per-domain caps over synthetic messy URLs derived
+    * from (source, doc_id, lang) — mixed-case scheme/host, default ports,
+    * www. prefix, utm_ tracking params, fragments; the construction is
+    * shared verbatim with the oracle (the t13 pattern), so what is tested
+    * is the normalization + capping semantics. */
+  def urlCaps(spark: SparkSession, dir: String): DataFrame = {
+    val url = concat(
+      when(col("doc_id") % 2 === 0, lit("HTTPS://WWW.")).otherwise(lit("http://")),
+      col("source"), lit("-"), (col("doc_id") % 7).cast("string"),
+      when(col("doc_id") % 2 === 0, lit(".COM:443")).otherwise(lit(".com:80")),
+      lit("/"), col("lang"), lit("/page"), col("doc_id").cast("string"),
+      lit("?utm_source=feed&id="), (col("doc_id") % 13).cast("string"), lit("#sec"))
+    Corpus.domainCap(
+      Corpus.urlNormalize(
+        Tables.documents(spark, dir).select(col("doc_id"), url.as("url")), "url"),
+      "doc_id", cap = 5)
+      .select(col("doc_id"), col("norm_url"), col("domain"),
+        col("rank").cast("long").as("rank"), col("kept"))
+      .orderBy("doc_id")
+  }
 
   /** Word 4-grams shared by >= 3 documents: the boilerplate span detector. */
   def boilerplate(spark: SparkSession, dir: String): DataFrame =
@@ -177,6 +199,37 @@ object CorpusQueries {
          |  CASE WHEN n_tok > 0 THEN ((cum - 1) // 1024)::BIGINT
          |       ELSE ((cum - n_tok) // 1024)::BIGINT END AS bin_last
          |FROM c ORDER BY doc_id""".stripMargin,
+    "t18_url_caps" ->
+      """WITH u AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0
+        |          THEN 'HTTPS://WWW.' || source || '-' || (doc_id % 7) || '.COM:443'
+        |          ELSE 'http://' || source || '-' || (doc_id % 7) || '.com:80' END)
+        |    || '/' || lang || '/page' || doc_id
+        |    || '?utm_source=feed&id=' || (doc_id % 13) || '#sec' AS url
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+        |      ':(443|80)$', ''), '^www\.', '') AS host,
+        |    regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS rest
+        |  FROM u),
+        |q AS (SELECT doc_id, scheme, host,
+        |    regexp_extract(rest, '^([^?#]*)', 1) AS path,
+        |    regexp_replace(regexp_replace(
+        |      regexp_extract(rest, '\?([^#]*)', 1), '(^|&)utm_[^&]*', '', 'g'),
+        |      '^&', '') AS cq
+        |  FROM p),
+        |r AS (SELECT doc_id,
+        |    scheme || '://' || host || path
+        |      || CASE WHEN cq <> '' THEN '?' || cq ELSE '' END AS norm_url,
+        |    regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
+        |  FROM q),
+        |k AS (SELECT doc_id, norm_url, domain,
+        |    (row_number() OVER (PARTITION BY domain ORDER BY doc_id))::BIGINT AS rank
+        |  FROM r)
+        |SELECT doc_id, norm_url, domain, rank, rank <= 5 AS kept
+        |FROM k ORDER BY doc_id""".stripMargin,
     "t16_heavy_hitters" ->
       s"""$toks,
          |e AS (SELECT lang, unnest(tk) AS token FROM tk),

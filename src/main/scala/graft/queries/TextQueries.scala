@@ -23,8 +23,20 @@ object TextQueries {
     "t6_simhash_neardups" -> ((s, d) => simhashNearDups(s, d)),
     "t7_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
     "t8_bpe_tokens" -> ((s, d) => bpeTokens(s, d)),
-    "t9_lsh_keeplist" -> ((s, d) => lshKeepList(s, d))
+    "t9_lsh_keeplist" -> ((s, d) => lshKeepList(s, d)),
+    "t17_components" -> ((s, d) => components(s, d))
   )
+
+  /** Transitive-closure dedup clusters: connected components (min-label
+    * propagation to fixpoint) over the simhash near-dup edge set — chains
+    * a→b→c collapse into one cluster, which t6's pair view and t9's one-step
+    * keep-list don't. The oracle recomputes true reachability with a
+    * recursive CTE, so an unconverged Spark side would hash-mismatch. */
+  def components(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.simhashNearDups(Tables.documents(spark, dir), "doc_id", "text",
+        maxHamming = 3))
+      .orderBy("id")
 
   /** Pair-free LSH dedup: (id, keep_id) via min-label propagation over band
     * buckets — the scalable keep-list output (no O(cluster²) pair space). */
@@ -231,6 +243,32 @@ object TextQueries {
          |SELECT doc_id,
          |  len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\\s]')) AS n_bpe,
          |  len(list_filter(string_split(norm, ' '), t -> len(t) > 0)) AS n_ws
-         |FROM documents JOIN n USING (doc_id) ORDER BY doc_id""".stripMargin
+         |FROM documents JOIN n USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // True reachability via recursive CTE over the t6 edge set: the UNION
+    // (distinct) bounds the fixpoint; min(reachable id) = component label.
+    "t17_components" ->
+      s"""WITH RECURSIVE n AS ($norm),
+         |tk AS (SELECT doc_id, list_filter(string_split(norm, ' '), t -> len(t) > 0) AS tk FROM n),
+         |h AS (SELECT doc_id, list_transform(tk, t -> ('0x' || substr(md5(t), 1, 12))::BIGINT) AS hs FROM tk),
+         |sh AS (SELECT doc_id,
+         |  list_sum(list_transform(range(48), b ->
+         |    CASE WHEN list_sum(list_transform(hs, x ->
+         |           CASE WHEN (x >> (47 - b)) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+         |         THEN (1::BIGINT << (47 - b)) ELSE 0 END))::BIGINT AS s
+         |  FROM h),
+         |blk AS (SELECT doc_id, s,
+         |  list_transform(range(4), i -> i || ':' || ((s >> (i*12)) & 4095)) AS blocks FROM sh),
+         |edges AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b
+         |  FROM blk a, blk c
+         |  WHERE a.doc_id < c.doc_id
+         |    AND len(list_intersect(a.blocks, c.blocks)) > 0
+         |    AND bit_count(xor(a.s, c.s)) <= 3),
+         |und AS (SELECT id_a AS s, id_b AS d FROM edges
+         |        UNION SELECT id_b, id_a FROM edges),
+         |reach(id, r) AS (
+         |  SELECT s, s FROM und
+         |  UNION
+         |  SELECT u.s, reach.r FROM und u JOIN reach ON reach.id = u.d)
+         |SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin
   )
 }

@@ -113,4 +113,28 @@ class CorpusSpec extends AnyFunSuite {
     assert((out(0)._2, out(0)._3, out(0)._4) == ((1L, 1L, 1L)))
     assert(out(1) == ((2L, 0L, 0L, 0L, "nothing sensitive here")))
   }
+
+  test("urlNormalize lowercases host, strips ports/www/fragments/utm params") {
+    val df = Seq(
+      (1L, "HTTPS://WWW.News.Example.COM:443/World/Story?utm_source=x&id=9#top"),
+      (2L, "http://blog.other.org:80/post?a=1&utm_campaign=c&b=2"),
+      (3L, "https://plain.net/path")).toDF("id", "url")
+    val out = Corpus.urlNormalize(df, "url")
+      .select("id", "norm_url", "domain")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(out(0) == ((1L, "https://news.example.com/World/Story?id=9", "example.com")))
+    assert(out(1) == ((2L, "http://blog.other.org/post?a=1&b=2", "other.org")))
+    assert(out(2) == ((3L, "https://plain.net/path", "plain.net")))
+  }
+
+  test("domainCap keeps the first `cap` docs per domain in id order") {
+    val df = Seq.tabulate(8)(i => (i.toLong, s"https://big.com/p$i")) ++
+      Seq((100L, "https://small.org/x"))
+    val out = Corpus.domainCap(
+      Corpus.urlNormalize(df.toDF("id", "url"), "url"), "id", cap = 3)
+      .select("id", "rank", "kept")
+      .as[(Long, Int, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out.filter(_._3).map(_._1) == Seq(0L, 1L, 2L, 100L))
+    assert(out.find(_._1 == 7L).get._2 == 8)
+  }
 }

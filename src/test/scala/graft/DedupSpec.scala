@@ -106,4 +106,23 @@ class DedupSpec extends AnyFunSuite {
     assert(keep(100L) == 100L && keep(101L) == 100L && keep(102L) == 100L)
     assert(keep(3L) == 3L) // unrelated doc keeps itself
   }
+
+  test("connectedComponents collapses a multi-hop chain to one cluster") {
+    // chain 1-2-3-4 (diameter 3, needs >1 propagation round) + isolated pair
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comp(_) == 1L))
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+    assert(comp.size == 6)
+  }
+
+  test("connectedComponents converges on a long path within maxIter") {
+    // path 0-1-2-...-12: worst-case diameter for min-label propagation
+    val edges = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(edges, maxIter = 20)
+      .as[(Long, Long)].collect().toMap
+    assert((0L to 12L).forall(comp(_) == 0L))
+  }
 }
