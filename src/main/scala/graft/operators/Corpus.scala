@@ -113,9 +113,12 @@ object Corpus {
       tokenCountCol.cast("long").as("n_tok"), cum.cast("long").as("cum"))
       .select(col("id"), col("shard"), col("n_tok"),
         (col("cum") - col("n_tok")).as("tok_start"),
-        ((col("cum") - col("n_tok")) / budget).cast("long").as("bin_first"),
-        when(col("n_tok") > 0, ((col("cum") - 1) / budget).cast("long"))
-          .otherwise(((col("cum") - col("n_tok")) / budget).cast("long")).as("bin_last"))
+        // Integer `div`, not double '/': keeps the pipeline integer-exact
+        // past 2^53 cumulative tokens (offsets are non-negative, so
+        // truncating and flooring division agree with DuckDB's `//`).
+        expr(s"(cum - n_tok) div ${budget}L").as("bin_first"),
+        when(col("n_tok") > 0, expr(s"(cum - 1) div ${budget}L"))
+          .otherwise(expr(s"(cum - n_tok) div ${budget}L")).as("bin_last"))
   }
 
   /** Exact per-stratum heavy hitters: top-k tokens by frequency (count desc,
@@ -150,7 +153,12 @@ object Corpus {
     val u = col(urlCol)
     val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val hostRaw = lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
-    val host = regexp_replace(regexp_replace(hostRaw, ":(443|80)$", ""), "^www\\.", "")
+    // Only the scheme's OWN default port is a no-op to strip: http://h:443 is
+    // a real non-default port and must stay distinct from http://h.
+    val dePorted = when(scheme === "http", regexp_replace(hostRaw, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostRaw, ":443$", ""))
+      .otherwise(hostRaw)
+    val host = regexp_replace(dePorted, "^www\\.", "")
     val rest = regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
     val path = regexp_extract(rest, "^([^?#]*)", 1)
     val query = regexp_extract(rest, "\\?([^#]*)", 1)
@@ -158,7 +166,10 @@ object Corpus {
     df.withColumn("norm_url",
         concat(scheme, lit("://"), host, path,
           when(cleanedQ =!= "", concat(lit("?"), cleanedQ)).otherwise(lit(""))))
-      .withColumn("domain", regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
+      // Registrable domain never includes a port — strip any remaining
+      // (non-default, hence preserved-in-norm_url) port before extraction.
+      .withColumn("domain",
+        regexp_extract(regexp_replace(host, ":[0-9]+$", ""), "([^.]+\\.[^.]+)$", 1))
   }
 
   /** Per-domain document caps over a [[urlNormalize]]d frame: keep at most

@@ -238,6 +238,12 @@ object Dedup {
     }
     und.unpersist()
     System.err.println(s"[graft] connectedComponents converged=$converged rounds=$iter")
+    // Partially-propagated labels are silently WRONG (two nodes of one true
+    // component still carrying different labels) — callers must never see
+    // them, so a non-converged exit is an error, not a warning.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within maxIter=$maxIter rounds; " +
+        "raise maxIter (rounds grow ~log2 of the longest chain)")
     labels
   }
 

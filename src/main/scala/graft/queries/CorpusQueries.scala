@@ -207,13 +207,18 @@ object CorpusQueries {
         |    || '/' || lang || '/page' || doc_id
         |    || '?utm_source=feed&id=' || (doc_id % 13) || '#sec' AS url
         |  FROM documents),
-        |p AS (SELECT doc_id,
+        |p0 AS (SELECT doc_id,
         |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-        |    regexp_replace(regexp_replace(
-        |      lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
-        |      ':(443|80)$', ''), '^www\.', '') AS host,
+        |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostraw,
         |    regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS rest
         |  FROM u),
+        |p AS (SELECT doc_id, scheme,
+        |    regexp_replace(
+        |      CASE WHEN scheme = 'http'  THEN regexp_replace(hostraw, ':80$', '')
+        |           WHEN scheme = 'https' THEN regexp_replace(hostraw, ':443$', '')
+        |           ELSE hostraw END, '^www\.', '') AS host,
+        |    rest
+        |  FROM p0),
         |q AS (SELECT doc_id, scheme, host,
         |    regexp_extract(rest, '^([^?#]*)', 1) AS path,
         |    regexp_replace(regexp_replace(

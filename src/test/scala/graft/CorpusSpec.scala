@@ -89,6 +89,19 @@ class CorpusSpec extends AnyFunSuite {
       (10L, "b", 0L, 0L, 0L)))
   }
 
+  test("packSequences stays integer-exact past 2^53 cumulative tokens") {
+    // (2^53 + 1) is not representable as a double: a '/'-based bin compute
+    // would round it and misplace the second doc's bins.
+    val big = (1L << 53) + 1L
+    val docs = Seq((1L, "a", big), (2L, "a", 3L)).toDF("doc_id", "shard_col", "n")
+    val packed = Corpus.packSequences(docs, "doc_id", "shard_col", col("n"), budget = 2L)
+      .select("id", "tok_start", "bin_first", "bin_last")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(packed == Seq(
+      (1L, 0L, 0L, (big - 1) / 2),
+      (2L, big, big / 2, (big + 2) / 2)))
+  }
+
   test("heavyHitters ranks the planted skew first and respects k") {
     val docs = Seq(
       ("en", "zzz zzz zzz zzz aaa bbb"),
@@ -118,13 +131,19 @@ class CorpusSpec extends AnyFunSuite {
     val df = Seq(
       (1L, "HTTPS://WWW.News.Example.COM:443/World/Story?utm_source=x&id=9#top"),
       (2L, "http://blog.other.org:80/post?a=1&utm_campaign=c&b=2"),
-      (3L, "https://plain.net/path")).toDF("id", "url")
+      (3L, "https://plain.net/path"),
+      // NON-default ports: http on 443 / https on 8080 are real ports and
+      // must survive normalization (distinct URLs stay distinct).
+      (4L, "http://cdn.example.net:443/a"),
+      (5L, "HTTPS://api.Example.net:8080/b")).toDF("id", "url")
     val out = Corpus.urlNormalize(df, "url")
       .select("id", "norm_url", "domain")
       .as[(Long, String, String)].collect().sortBy(_._1).toSeq
     assert(out(0) == ((1L, "https://news.example.com/World/Story?id=9", "example.com")))
     assert(out(1) == ((2L, "http://blog.other.org/post?a=1&b=2", "other.org")))
     assert(out(2) == ((3L, "https://plain.net/path", "plain.net")))
+    assert(out(3) == ((4L, "http://cdn.example.net:443/a", "example.net")))
+    assert(out(4) == ((5L, "https://api.example.net:8080/b", "example.net")))
   }
 
   test("domainCap keeps the first `cap` docs per domain in id order") {

@@ -125,4 +125,14 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert((0L to 12L).forall(comp(_) == 0L))
   }
+
+  test("connectedComponents throws instead of returning unconverged labels") {
+    // diameter-12 path cannot converge in one round: partially-propagated
+    // labels must never be returned silently
+    val edges = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.connectedComponents(edges, maxIter = 1)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
 }
