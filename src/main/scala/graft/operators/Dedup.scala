@@ -178,34 +178,92 @@ object Dedup {
     * closure the one-step keep-lists ([[minhashLshKeepList]], t9) approximate:
     * near-dup chains a→b→c collapse into ONE cluster labeled by its min id.
     *
-    * Algorithm: iterative min-label propagation with pointer jumping — each
-    * round every node takes the min label among itself and its neighbors,
-    * then short-circuits through its label's own label
-    * (`min(l, label(l))`), the hooking+compression scheme that converges in
-    * O(log diameter) rounds (same regime as large-star/small-star, Kiveris
-    * et al., "Connected Components in MapReduce"), measured 13 → 5 rounds
-    * on the sf0.1 near-dup chain graph.
+    * Two regimes, dispatched on the (cached) edge count — the same
+    * size-adaptive pattern as Spark's own broadcast-join threshold:
     *
-    * Scale design: each round is one equi-join (labels by node id) + one
-    * hash-groupBy min — never materializing pair-pairs — and the label
-    * frontier is `localCheckpoint`ed every round so the iterative lineage
-    * stays O(1) (on a cluster, a reliable checkpoint dir makes that
+    *  - edge set fits one task (≤ `smallEdgeThreshold`, default 2M pairs
+    *    ≈ tens of MB of longs): single-task union-find with path
+    *    compression via `mapPartitions` on ONE executor — O(E α(E)), no
+    *    iterative rounds, no driver-side rows. A dedup graph is usually
+    *    orders of magnitude smaller than its corpus (only near-dup nodes
+    *    appear), so even 100 TB corpora often land here.
+    *  - larger: iterative min-label propagation (each round every node takes
+    *    the min label among itself and its neighbors) plus a hash-to-min
+    *    pointer jump through the round's NEW tentative map (`m(m(v))` —
+    *    jumping through the stale pre-round labels saves nothing, the
+    *    propagation join already incorporated them), converging in
+    *    O(log diameter) rounds (Kiveris et al., "Connected Components in
+    *    MapReduce").
+    *
+    * Scale design (iterative path): each round is one equi-join (labels by
+    * node id) + one hash-groupBy min — never materializing pair-pairs — and
+    * the label frontier is `localCheckpoint`ed every round so the iterative
+    * lineage stays O(1) (on a cluster, a reliable checkpoint dir makes that
     * fault-tolerant; the convergence count is a cheap job on the
     * checkpointed frame). Driver holds only loop state, never rows. */
   def connectedComponents(edges: DataFrame, idA: String = "id_a",
-                          idB: String = "id_b", maxIter: Int = 20): DataFrame = {
-    // No edge dedup pass: min-propagation is idempotent to duplicate edges
-    // (both LSH pair producers already emit distinct pairs), so a distinct()
-    // here would only add a full edge shuffle per call. Both directions come
-    // from ONE explode over a single scan — a self-union would materialize
-    // the (possibly expensive) upstream edge pipeline twice.
-    val und = edges
+                          idB: String = "id_b", maxIter: Int = 20,
+                          smallEdgeThreshold: Long = 2L << 20): DataFrame = {
+    // No edge dedup pass: both consumers are idempotent to duplicate edges
+    // (and the LSH pair producers already emit distinct pairs), so a
+    // distinct() here would only add a full edge shuffle per call.
+    val pairs = edges
+      .select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
+      .cache()
+    val nEdges = pairs.count() // materializes the cache; needed for dispatch
+    val out =
+      if (nEdges <= smallEdgeThreshold) componentsSingleTask(pairs)
+      else componentsIterative(pairs, maxIter)
+    out
+  }
+
+  /** Single-task union-find (path compression + union-by-min): the whole
+    * edge list streams through one `mapPartitions` task on an executor.
+    * Emits (id, component=min id of the component), identical semantics to
+    * the iterative path. */
+  private def componentsSingleTask(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val out = pairs.select("src", "dst").as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x0: Long): Long = {
+          var x = x0
+          var p = parent.getOrDefault(x, x)
+          while (p != x) { // path halving
+            val gp = parent.getOrDefault(p, p)
+            parent.put(x, gp); x = gp; p = parent.getOrDefault(x, x)
+          }
+          x
+        }
+        it.foreach { case (a, b) =>
+          parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+          val ra = find(a); val rb = find(b)
+          // union by min: the smaller root stays the root, so the final
+          // label of every component is its min node id
+          if (ra < rb) parent.put(rb, ra)
+          else if (rb < ra) parent.put(ra, rb)
+        }
+        val ids = parent.keySet().toArray(Array.empty[java.lang.Long])
+        ids.iterator.map(id => (id.longValue, find(id.longValue)))
+      }
+      .toDF("id", "component")
+    // materialize BEFORE dropping the pair cache, or the checkpoint job
+    // would re-run the (possibly expensive) upstream edge pipeline
+    val materialized = out.localCheckpoint()
+    pairs.unpersist()
+    materialized
+  }
+
+  private def componentsIterative(pairs: DataFrame, maxIter: Int): DataFrame = {
+    // Both directions from ONE explode over the cached pair set.
+    val und = pairs
       .select(explode(array(
-        struct(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst")),
-        struct(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst"))))
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst"))))
         .as("e"))
       .select("e.src", "e.dst")
-      .cache()
     var labels = und.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("component"))
     var iter = 0
@@ -222,11 +280,11 @@ object Dedup {
         .select(col("id"), col("component").as("__old"),
           least(col("component"), coalesce(col("nbr_comp"), col("component")))
             .as("step"))
-      // Pointer jump: follow the new label to ITS current label, collapsing
-      // chains exponentially (a pure chain of length d resolves in ~log2 d
-      // rounds instead of d).
+      // Hash-to-min pointer jump through the round's NEW tentative map:
+      // path-halving on the current pointers (the parent side re-runs the
+      // stepped DAG — cheap — instead of materializing it twice).
       val next = stepped
-        .join(labels.select(col("id").as("step"), col("component").as("parent")),
+        .join(stepped.select(col("id").as("step"), col("step").as("parent")),
           Seq("step"), "left")
         .select(col("id"), col("__old"),
           least(col("step"), coalesce(col("parent"), col("step"))).as("component"))
@@ -236,7 +294,7 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
-    und.unpersist()
+    pairs.unpersist()
     System.err.println(s"[graft] connectedComponents converged=$converged rounds=$iter")
     // Partially-propagated labels are silently WRONG (two nodes of one true
     // component still carrying different labels) — callers must never see

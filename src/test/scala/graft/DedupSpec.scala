@@ -108,7 +108,8 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("connectedComponents collapses a multi-hop chain to one cluster") {
-    // chain 1-2-3-4 (diameter 3, needs >1 propagation round) + isolated pair
+    // chain 1-2-3-4 (diameter 3) + isolated pair — small graph, so this
+    // exercises the single-task union-find dispatch path
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
       .toDF("id_a", "id_b")
     val comp = Dedup.connectedComponents(edges)
@@ -118,20 +119,25 @@ class DedupSpec extends AnyFunSuite {
     assert(comp.size == 6)
   }
 
-  test("connectedComponents converges on a long path within maxIter") {
-    // path 0-1-2-...-12: worst-case diameter for min-label propagation
+  test("connectedComponents iterative path matches union-find on a long path") {
+    // path 0-1-2-...-12: worst-case diameter for min-label propagation;
+    // threshold 0 forces the distributed rounds, matching the default
+    // union-find answer exactly
     val edges = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val comp = Dedup.connectedComponents(edges, maxIter = 20)
+    val iterative = Dedup.connectedComponents(edges, maxIter = 20,
+      smallEdgeThreshold = 0L).as[(Long, Long)].collect().toMap
+    val unionFind = Dedup.connectedComponents(edges)
       .as[(Long, Long)].collect().toMap
-    assert((0L to 12L).forall(comp(_) == 0L))
+    assert((0L to 12L).forall(iterative(_) == 0L))
+    assert(iterative == unionFind)
   }
 
   test("connectedComponents throws instead of returning unconverged labels") {
     // diameter-12 path cannot converge in one round: partially-propagated
-    // labels must never be returned silently
+    // labels must never be returned silently (iterative path forced)
     val edges = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val ex = intercept[IllegalStateException] {
-      Dedup.connectedComponents(edges, maxIter = 1)
+      Dedup.connectedComponents(edges, maxIter = 1, smallEdgeThreshold = 0L)
     }
     assert(ex.getMessage.contains("did not converge"))
   }
