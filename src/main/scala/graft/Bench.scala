@@ -12,10 +12,12 @@ import org.apache.spark.sql.SparkSession
   * the O(n^2) v3 baseline stays correctness-only), MaxSim (v5), IVF ANN
   * (v7), FDE two-phase (v9) + FDE-over-IVF (v11), minhash LSH (t4),
   * simhash (t5/t6), regex tokenization (t8), as-of joins (e1/e4), window
-  * agg (e3), chunk explode (c1), doc search (s1), upsert (u1), plus the
-  * corpus-curation family: repetition gates (t11), decontamination
-  * broadcast semi-join (t12), heavy hitters (t16), connected-components
-  * transitive dedup (t17), URL normalize + domain caps (t18).
+  * agg (e3), bucketed interval join (e5), chunk explode (c1), doc search
+  * (s1), upsert (u1), plus the corpus-curation family: repetition gates
+  * (t11), decontamination broadcast semi-join (t12) and its Bloom-sketch
+  * no-broadcast twin (t19), heavy hitters (t16), connected-components
+  * transitive dedup (t17), URL normalize + domain caps (t18), deterministic
+  * shard shuffle (t21).
   *
   * v7/v11 time the QUERY only: their coarse-quantizer build (an offline
   * index job at scale) runs once in the prepare phase via the
@@ -27,10 +29,11 @@ object Bench {
     "v1_knn_topk", "v2_knn_batch", "v10_emb_lsh_neardups", "v5_maxsim_float",
     "v7_ivf_knn", "v9_fde_twophase", "v11_fde_ivf",
     "t4_minhash_lsh", "t5_simhash", "t6_simhash_neardups", "t8_bpe_tokens",
-    "e1_asof_join", "e3_window_agg", "e4_asof_nearest",
+    "e1_asof_join", "e3_window_agg", "e4_asof_nearest", "e5_interval_join",
     "c1_chunks_fixed", "s1_search_docs", "u1_upsert",
     "t11_repetition", "t12_decontaminate", "t16_heavy_hitters",
-    "t17_components", "t18_url_caps")
+    "t17_components", "t18_url_caps", "t19_bloom_decontaminate",
+    "t21_shuffle_shards")
 
   /** Index-backed queries: build once, time the probe. */
   private val preparedFactories: Map[String,

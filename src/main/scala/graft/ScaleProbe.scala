@@ -26,7 +26,8 @@ object ScaleProbe {
     "t4_minhash_lsh", "t5_simhash", "t6_simhash_neardups", "t9_lsh_keeplist",
     "e1_asof_join", "e3_window_agg", "e4_asof_nearest",
     "c1_chunks_fixed", "s1_search_docs", "u1_upsert",
-    "n1_filename_search", "l9_folder_summary", "l10_usage_fold")
+    "n1_filename_search", "l9_folder_summary", "l10_usage_fold",
+    "t12_decontaminate", "t16_heavy_hitters", "t17_components", "t18_url_caps")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("all")

@@ -81,6 +81,79 @@ object Corpus {
       .groupBy("id").agg(count(lit(1)).as("n_shared"))
   }
 
+  /** [[decontaminate]] with a Bloom-filter prefilter — the 100 TB shape.
+    * The broadcast semi-join in `decontaminate` assumes the eval n-gram set
+    * broadcasts; when it doesn't (big eval suites × big n), this variant
+    * builds a distributed Bloom sketch over the eval n-grams (Spark's
+    * internal `BloomFilterAggregate`, the runtime-filter machinery), ships
+    * only the sketch bytes (MBs for ~4M n-grams at 1% fpp — the driver holds
+    * a sketch, never rows), and probes it inside whole-stage codegen so
+    * ~`1-fpp` of the train n-gram stream is dropped map-side BEFORE any
+    * join. The surviving candidates flow into an exact equi-join (strategy
+    * left to AQE — the candidate side is now tiny), which removes Bloom
+    * false positives, so the result is IDENTICAL to the exact
+    * [[decontaminate]]: no false negatives by Bloom's contract, no false
+    * positives past the confirm join. */
+  def bloomDecontaminate(train: DataFrame, eval_ : DataFrame,
+                         idCol: String, textCol: String, n: Int,
+                         expectedEvalNgrams: Long = 1L << 22,
+                         fpp: Double = 0.01): DataFrame = {
+    def ngrams(df: DataFrame) = graft.Tables.scaled(
+      df.select(col(idCol).cast("long").as("id"), col(textCol).as("t")))
+      .select(col("id"), explode(text.word_shingles(col("t"), n)).as("g"))
+    val evalNgrams = ngrams(eval_).select("g").distinct()
+    val numBits = math.max(64L,
+      math.ceil(-expectedEvalNgrams.toDouble * math.log(fpp)
+        / (math.log(2) * math.log(2))).toLong)
+    val bfBytes = evalNgrams
+      .agg(org.apache.spark.sql.graftbridge.BloomBridge
+        .bloomAgg(xxhash64(col("g")), expectedEvalNgrams, numBits).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    ngrams(train)
+      .filter(org.apache.spark.sql.graftbridge.BloomBridge
+        .mightContain(xxhash64(col("g")), bfBytes))
+      .join(evalNgrams, "g")
+      .groupBy("id").agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Global deterministic corpus shuffle into training shards: every row
+    * gets a pure-hash shuffle key, a shard assignment, and a within-shard
+    * sequence number — the standard "shuffle once, then stream shards in
+    * order" pretraining layout, reproducible on any engine / any re-run (no
+    * RNG state). Scale: the shard assignment is stateless map-only; the
+    * within-shard ordering is one window per shard, so shards sort in
+    * parallel and `numShards` scales with the corpus (a few million rows
+    * per shard keeps each sort in-memory). */
+  def shuffleShards(df: DataFrame, idCol: String, numShards: Int,
+                    seed: String): DataFrame = {
+    val key = md5(concat(lit(seed), lit(":"), col(idCol).cast("string")))
+    df.withColumn("shuffle_key", key)
+      .withColumn("shard",
+        conv(substring(col("shuffle_key"), 1, 6), 16, 10).cast("long") % numShards)
+      .withColumn("seq", row_number().over(
+        Window.partitionBy("shard").orderBy(col("shuffle_key"), col(idCol))))
+  }
+
+  /** Per-stratum corpus profile: doc counts, token-count sum/min/max and
+    * exact interpolated percentiles (p50/p90/p99) of tokens-per-doc — the
+    * summary a curation run reports per language/source. Exact `percentile`
+    * is a holistic agg whose state is a value-frequency map, bounded by the
+    * distinct token-count range, not the corpus; when even that is too wide,
+    * swap `percentile` for `approx_percentile` (t-digest) with everything
+    * else unchanged. */
+  def profile(df: DataFrame, strataCol: String, textCol: String): DataFrame =
+    graft.Tables.scaled(
+      df.select(col(strataCol).as("stratum"), col(textCol).as("t")))
+      .select(col("stratum"), text.token_count(col("t")).cast("long").as("n_tok"))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").cast("long").as("sum_tokens"),
+        min("n_tok").cast("long").as("min_tokens"),
+        max("n_tok").cast("long").as("max_tokens"),
+        expr("percentile(n_tok, 0.5)").as("p50"),
+        expr("percentile(n_tok, 0.9)").as("p90"),
+        expr("percentile(n_tok, 0.99)").as("p99"))
+
   /** Deterministic stratified downsampling: a document's sample bucket is a
     * pure hash of its id (md5 → 0..99), so the decision is reproducible on
     * any engine and any re-run — no RNG state, no seed plumbing. Rates are

@@ -23,8 +23,40 @@ object CorpusQueries {
     "t14_sample_stratified" -> ((s, d) => sampleStratified(s, d)),
     "t15_seq_pack" -> ((s, d) => seqPack(s, d)),
     "t16_heavy_hitters" -> ((s, d) => heavyHitters(s, d)),
-    "t18_url_caps" -> ((s, d) => urlCaps(s, d))
+    "t18_url_caps" -> ((s, d) => urlCaps(s, d)),
+    "t19_bloom_decontaminate" -> ((s, d) => bloomDecontaminate(s, d)),
+    "t20_profile" -> ((s, d) => profile(s, d)),
+    "t21_shuffle_shards" -> ((s, d) => shuffleShards(s, d))
   )
+
+  /** Bloom-prefiltered decontamination (the no-broadcast-assumption scale
+    * path): result must be IDENTICAL to an exact semi-join — Bloom admits
+    * no false negatives and the confirm join removes false positives — so
+    * the oracle is plain exact SQL. Eval split doc_id % 37 == 0, 5-grams
+    * (distinct from t12's broadcast 4-gram variant). */
+  def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Corpus.bloomDecontaminate(
+      docs.filter(col("doc_id") % 37 =!= 0),
+      docs.filter(col("doc_id") % 37 === 0),
+      "doc_id", "text", n = 5, expectedEvalNgrams = 1L << 20)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** Per-language corpus profile: counts + exact token-count percentiles. */
+  def profile(spark: SparkSession, dir: String): DataFrame =
+    Corpus.profile(Tables.documents(spark, dir), "lang", "text")
+      .withColumnRenamed("stratum", "lang")
+      .orderBy("lang")
+
+  /** Deterministic global shuffle into 8 training shards. */
+  def shuffleShards(spark: SparkSession, dir: String): DataFrame =
+    Corpus.shuffleShards(Tables.documents(spark, dir), "doc_id",
+      numShards = 8, seed = "r4")
+      .select(col("doc_id"), col("shuffle_key"), col("shard"),
+        col("seq").cast("long").as("seq"))
+      .orderBy("doc_id")
 
   /** URL normalization + per-domain caps over synthetic messy URLs derived
     * from (source, doc_id, lang) — mixed-case scheme/host, default ports,
@@ -235,6 +267,29 @@ object CorpusQueries {
         |  FROM r)
         |SELECT doc_id, norm_url, domain, rank, rank <= 5 AS kept
         |FROM k ORDER BY doc_id""".stripMargin,
+    "t19_bloom_decontaminate" ->
+      s"""$toks,
+         |sh AS (SELECT doc_id, ${shingleSql(5)} AS sh FROM tk),
+         |e AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |ev AS (SELECT DISTINCT g FROM e WHERE doc_id % 37 = 0)
+         |SELECT e.doc_id AS doc_id, count(*)::BIGINT AS n_shared
+         |FROM e JOIN ev USING (g) WHERE e.doc_id % 37 <> 0
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t20_profile" ->
+      s"""$toks,
+         |m AS (SELECT lang, len(tk)::BIGINT AS n_tok FROM tk)
+         |SELECT lang, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS sum_tokens,
+         |  min(n_tok)::BIGINT AS min_tokens, max(n_tok)::BIGINT AS max_tokens,
+         |  quantile_cont(n_tok, 0.5) AS p50, quantile_cont(n_tok, 0.9) AS p90,
+         |  quantile_cont(n_tok, 0.99) AS p99
+         |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+    "t21_shuffle_shards" ->
+      """WITH k AS (SELECT doc_id, md5('r4:' || doc_id) AS shuffle_key FROM documents),
+        |s AS (SELECT doc_id, shuffle_key,
+        |    ('0x' || substr(shuffle_key, 1, 6))::BIGINT % 8 AS shard FROM k)
+        |SELECT doc_id, shuffle_key, shard,
+        |  (row_number() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id))::BIGINT AS seq
+        |FROM s ORDER BY doc_id""".stripMargin,
     "t16_heavy_hitters" ->
       s"""$toks,
          |e AS (SELECT lang, unnest(tk) AS token FROM tk),

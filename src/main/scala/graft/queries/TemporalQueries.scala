@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{AsOfJoin, Chunker}
+import graft.operators.{AsOfJoin, Chunker, Intervals}
 
 /** Temporal + chunking coverage: as-of join (SURVEY Q13), neighbor padding
   * (Q8), tumbling-window aggregation (the batch twin of the streaming path),
@@ -20,8 +20,26 @@ object TemporalQueries {
     "c1_chunks_fixed" -> ((s, d) => chunksFixed(s, d)),
     "c2_chunks_recursive" -> ((s, d) => chunksRecursive(s, d)),
     "c3_contextual_chunks" -> ((s, d) => contextualChunks(s, d)),
-    "e4_asof_nearest" -> ((s, d) => asofNearest(s, d))
+    "e4_asof_nearest" -> ((s, d) => asofNearest(s, d)),
+    "e5_interval_join" -> ((s, d) => intervalJoin(s, d))
   )
+
+  /** Range join via bucketed equi-join ([[Intervals]]): purchases landing
+    * inside the 30-minute window after any same-user error. Timestamps in
+    * integer µs; 15-minute buckets bound the interval explode at 3×. */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).withColumn("tus", unix_micros(col("ts")))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("err_id"),
+        col("tus").as("start"), (col("tus") + lit(1800000000L)).as("end"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("tus").as("t"))
+    Intervals.bucketedIntervalJoin(purchases, errors, Seq("user_id"),
+      "t", "start", "end", bucketWidth = 900000000L)
+      .select(col("event_id"), col("err_id"), col("user_id"),
+        (col("t") - col("start")).as("lag_us"))
+      .orderBy("event_id", "err_id")
+  }
 
   /** Q13 `at_time(t, padding)` form: nearest error within ±1 h of each
     * purchase per user (ties -> earlier), timestamps kept in integer µs so
@@ -178,6 +196,14 @@ object TemporalQueries {
         |WHERE doc_id < 50 AND s <= greatest(len(text) - 20, 1)
         |  AND len(substr(text, s::INT, 120)) > 0
         |ORDER BY doc_id, chunk_number""".stripMargin,
+    "e5_interval_join" ->
+      """WITH e AS (SELECT user_id, event_id AS err_id, epoch_us(ts) AS s,
+        |            epoch_us(ts) + 1800000000 AS e FROM events WHERE event_type = 'error'),
+        |     p AS (SELECT user_id, event_id, epoch_us(ts) AS t
+        |           FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, e.err_id, p.user_id, (p.t - e.s) AS lag_us
+        |FROM p JOIN e ON p.user_id = e.user_id AND p.t BETWEEN e.s AND e.e
+        |ORDER BY p.event_id, e.err_id""".stripMargin,
     "e4_asof_nearest" ->
       """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts, value
         |           FROM events WHERE event_type = 'purchase'),

@@ -146,6 +146,55 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(4) == ((5L, "https://api.example.net:8080/b", "example.net")))
   }
 
+  test("bloomDecontaminate returns exactly the exact semi-join result") {
+    val overlap = "one two three four five six"
+    val train = Seq(
+      (1L, s"alpha beta $overlap gamma delta"),
+      (2L, "epsilon zeta eta theta iota kappa lambda"),
+      (3L, s"mu nu $overlap xi omicron")).toDF("doc_id", "text")
+    val eval_ = Seq((100L, s"prefix words $overlap suffix words")).toDF("doc_id", "text")
+    val exact = Corpus.decontaminate(train, eval_, "doc_id", "text", n = 4)
+      .as[(Long, Long)].collect().toSet
+    val bloom = Corpus.bloomDecontaminate(train, eval_, "doc_id", "text", n = 4,
+      expectedEvalNgrams = 1024L)
+      .as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty) // planted overlap actually fires
+    assert(bloom == exact)
+  }
+
+  test("shuffleShards is deterministic with dense per-shard sequences") {
+    val docs = (0L until 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    def run() = Corpus.shuffleShards(docs, "doc_id", numShards = 4, seed = "s1")
+      .select("doc_id", "shard", "seq").as[(Long, Long, Int)].collect().toSet
+    val a = run(); val b = run()
+    assert(a == b) // pure-hash: no RNG state, rerun-stable
+    val byShard = a.groupBy(_._2)
+    assert(byShard.keySet.subsetOf(Set(0L, 1L, 2L, 3L)))
+    // seq is 1..n within each shard, no gaps or dups
+    byShard.values.foreach { rows =>
+      assert(rows.map(_._3).toSeq.sorted == (1 to rows.size))
+    }
+    // a different seed reshuffles
+    val c = Corpus.shuffleShards(docs, "doc_id", numShards = 4, seed = "s2")
+      .select("doc_id", "shard", "seq").as[(Long, Long, Int)].collect().toSet
+    assert(c != a)
+  }
+
+  test("profile computes exact interpolated percentiles per stratum") {
+    // en: token counts 1,2,3,4 -> p50 = 2.5 (interpolated), p90 = 3.7
+    val docs = Seq(
+      ("en", "a"), ("en", "a b"), ("en", "a b c"), ("en", "a b c d"),
+      ("de", "x y z")).toDF("lang", "text")
+    val p = Corpus.profile(docs, "lang", "text")
+      .select("stratum", "n_docs", "sum_tokens", "min_tokens", "max_tokens", "p50", "p90")
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(p("en")._2 == 4L && p("en")._3 == 10L && p("en")._4 == 1L && p("en")._5 == 4L)
+    assert(math.abs(p("en")._6 - 2.5) < 1e-9)
+    assert(math.abs(p("en")._7 - 3.7) < 1e-9)
+    assert(p("de")._2 == 1L && math.abs(p("de")._6 - 3.0) < 1e-9)
+  }
+
   test("domainCap keeps the first `cap` docs per domain in id order") {
     val df = Seq.tabulate(8)(i => (i.toLong, s"https://big.com/p$i")) ++
       Seq((100L, "https://small.org/x"))
