@@ -10,7 +10,8 @@ import org.apache.spark.sql.SparkSession
   * (q1), multi-join (q2), filter DSL (f5), listing sort+page (l1), KNN
   * single+batch (v1/v2), sign-block LSH near-dup (v10 — the scale path;
   * the O(n^2) v3 baseline stays correctness-only), MaxSim (v5), IVF ANN
-  * (v7), FDE two-phase (v9) + FDE-over-IVF (v11), minhash LSH (t4),
+  * (v7), FDE two-phase (v9) + FDE-over-IVF (v11), PQ ADC scan (v12),
+  * minhash LSH (t4),
   * simhash (t5/t6), regex tokenization (t8), as-of joins (e1/e4), window
   * agg (e3), bucketed interval join (e5), chunk explode (c1), doc search
   * (s1), upsert (u1), plus the corpus-curation family: repetition gates
@@ -27,7 +28,7 @@ object Bench {
   private val headline = Seq(
     "q1_agg", "q2_join3", "f5_decimal_exists_ne", "l1_listing_page",
     "v1_knn_topk", "v2_knn_batch", "v10_emb_lsh_neardups", "v5_maxsim_float",
-    "v7_ivf_knn", "v9_fde_twophase", "v11_fde_ivf",
+    "v7_ivf_knn", "v9_fde_twophase", "v11_fde_ivf", "v12_pq_adc",
     "t4_minhash_lsh", "t5_simhash", "t6_simhash_neardups", "t8_bpe_tokens",
     "e1_asof_join", "e3_window_agg", "e4_asof_nearest", "e5_interval_join",
     "c1_chunks_fixed", "s1_search_docs", "u1_upsert",
@@ -39,7 +40,8 @@ object Bench {
   private val preparedFactories: Map[String,
       (SparkSession, String) => () => org.apache.spark.sql.DataFrame] = Map(
     "v7_ivf_knn" -> ((s, d) => graft.queries.VectorQueries.ivfKnnPrepared(s, d)),
-    "v11_fde_ivf" -> ((s, d) => graft.queries.VectorQueries.fdeIvfPrepared(s, d)))
+    "v11_fde_ivf" -> ((s, d) => graft.queries.VectorQueries.fdeIvfPrepared(s, d)),
+    "v12_pq_adc" -> ((s, d) => graft.queries.VectorQueries.pqAdcPrepared(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{AsOfJoin, Chunker, Intervals}
+import graft.operators.{AsOfJoin, Chunker, Intervals, Sessionize}
 
 /** Temporal + chunking coverage: as-of join (SURVEY Q13), neighbor padding
   * (Q8), tumbling-window aggregation (the batch twin of the streaming path),
@@ -21,8 +21,24 @@ object TemporalQueries {
     "c2_chunks_recursive" -> ((s, d) => chunksRecursive(s, d)),
     "c3_contextual_chunks" -> ((s, d) => contextualChunks(s, d)),
     "e4_asof_nearest" -> ((s, d) => asofNearest(s, d)),
-    "e5_interval_join" -> ((s, d) => intervalJoin(s, d))
+    "e5_interval_join" -> ((s, d) => intervalJoin(s, d)),
+    "e6_sessionize" -> ((s, d) => sessionize(s, d))
   )
+
+  /** Gap-based sessionization via Spark's NATIVE session_window, gated
+    * against a first-principles gaps-and-islands oracle (new session when
+    * the gap to the previous same-user event is STRICTLY > 30 min —
+    * boundary-touching windows merge; window end = last event + gap).
+    * Timestamps emitted as integer µs. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    Sessionize.rollup(Tables.events(spark, dir), "user_id", "ts", "30 minutes",
+      Seq("n_events" -> count(lit(1)),
+        "total" -> round(sum("value"), 2)))
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("session_start"),
+        unix_micros(col("session_end")).as("session_end"),
+        col("n_events"), col("total"))
+      .orderBy("user_id", "session_start")
 
   /** Range join via bucketed equi-join ([[Intervals]]): purchases landing
     * inside the 30-minute window after any same-user error. Timestamps in
@@ -196,6 +212,19 @@ object TemporalQueries {
         |WHERE doc_id < 50 AND s <= greatest(len(text) - 20, 1)
         |  AND len(substr(text, s::INT, 120)) > 0
         |ORDER BY doc_id, chunk_number""".stripMargin,
+    "e6_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, value FROM events),
+        |o AS (SELECT user_id, t, value,
+        |    CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+        |         OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800000000
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM e),
+        |s AS (SELECT user_id, t, value,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id, min(t) AS session_start, max(t) + 1800000000 AS session_end,
+        |  count(*)::BIGINT AS n_events, round(sum(value), 2) AS total
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
     "e5_interval_join" ->
       """WITH e AS (SELECT user_id, event_id AS err_id, epoch_us(ts) AS s,
         |            epoch_us(ts) + 1800000000 AS e FROM events WHERE event_type = 'error'),

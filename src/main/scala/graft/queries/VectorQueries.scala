@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.vec
-import graft.operators.{IvfIndex, KnnSearch}
+import graft.operators.{IvfIndex, KnnSearch, PqIndex}
 
 /** Vector search coverage (SURVEY §2.3 E5/E6, §2.5 Q1-Q4, Q11, Q14).
   * Oracles are exact DuckDB reimplementations over DOUBLE[] casts — the
@@ -31,8 +31,27 @@ object VectorQueries {
     "v9_fde_twophase" -> ((s, d) => fdeTwoPhase(s, d)),
     "v10_emb_lsh_neardups" -> ((s, d) => embLshNearDups(s, d)),
     "v11_fde_ivf" -> ((s, d) => fdeIvf(s, d)),
+    "v12_pq_adc" -> ((s, d) => pqAdc(s, d)),
     "s1_search_docs" -> ((s, d) => searchDocs(s, d))
   )
+
+  /** Product-quantization ADC ranking with the SAMPLED codebook (k-means
+    * sampling init, zero Lloyd iterations — every arithmetic step
+    * engine-replayable): the DuckDB oracle recomputes codebook slicing,
+    * nearest-centroid encode (first-index tiebreak) and the ADC fold
+    * bit-for-bit, value-gating the whole PQ pipeline's math. The trained
+    * (Lloyd-refined) codebook only moves centroid VALUES — same encode,
+    * same ADC, same plan — and its recall is PqIndexSpec's gate. */
+  def pqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val model = PqIndex.sampledModel(e, "embedding", "vec_id", m = 8, k = 16)
+    val q = queryVec(spark, dir)
+    PqIndex.topN(
+      PqIndex.encode(e, "embedding", model).filter(col("vec_id") =!= 0),
+      model, "vec_id", q, n = 20)
+      .select(col("vec_id"), array_join(col("pq_code"), ",").as("codes"),
+        col("adc_score"))
+  }
 
   /** Q1: single-query exact top-k (TakeOrderedAndProject — no global sort). */
   def knnTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -225,6 +244,23 @@ object VectorQueries {
         .orderBy(col("score").desc, col("vec_id"))
   }
 
+  /** Bench-only factory: codebook build + corpus encode are index-time
+    * work (offline at scale); the closure times the steady-state ADC scan
+    * over the cached 8-codes-per-row table. */
+  def pqAdcPrepared(spark: SparkSession, dir: String): () => DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val model = PqIndex.sampledModel(e, "embedding", "vec_id", m = 8, k = 16)
+    val q = queryVec(spark, dir)
+    val encoded = PqIndex.encode(e, "embedding", model)
+      .filter(col("vec_id") =!= 0)
+      .select("vec_id", "pq_code").persist()
+    encoded.count()
+    () =>
+      PqIndex.topN(encoded, model, "vec_id", q, n = 20)
+        .select(col("vec_id"), array_join(col("pq_code"), ",").as("codes"),
+          col("adc_score"))
+  }
+
   /** Bench-only factory for the FDE→IVF path: multivector assembly, FDE
     * encoding and the coarse quantizer are index-build work; the returned
     * closure is probe → oversampled candidates → exact MaxSim rescore. */
@@ -277,6 +313,35 @@ object VectorQueries {
        |LIMIT 10""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // Full PQ-pipeline replay: codebook = subvector slices of vec_id 0..15
+    // (row_number order = Spark's orderBy(id).limit(k)), encode = argmin
+    // L2^2 per 8-dim slice with first-index tiebreak, ADC = per-subspace
+    // query·centroid dots folded i=0..7 (list() ORDER BY i keeps the fold
+    // order identical to Spark's aggregate()).
+    "v12_pq_adc" ->
+      """WITH cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+        |    embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 16),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0),
+        |d AS (SELECT e.vec_id, i.i, cb.c,
+        |    list_sum(list_transform(range(8), j ->
+        |      (v[i.i*8 + j + 1] - cv[i.i*8 + j + 1])
+        |      * (v[i.i*8 + j + 1] - cv[i.i*8 + j + 1]))) AS dist
+        |  FROM e, range(8) i(i), cb),
+        |code AS (SELECT vec_id, i, c FROM (
+        |    SELECT vec_id, i, c,
+        |      row_number() OVER (PARTITION BY vec_id, i ORDER BY dist, c) AS rn
+        |    FROM d) WHERE rn = 1),
+        |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |part AS (SELECT code.vec_id, code.i, code.c,
+        |    list_sum(list_transform(range(8), j ->
+        |      qv[code.i*8 + j + 1] * cv[code.i*8 + j + 1])) AS p
+        |  FROM code JOIN cb USING (c), q),
+        |s AS (SELECT vec_id,
+        |    array_to_string(list(c ORDER BY i), ',') AS codes,
+        |    list_sum(list(p ORDER BY i)) AS adc_score
+        |  FROM part GROUP BY vec_id)
+        |SELECT vec_id, codes, adc_score FROM s
+        |ORDER BY adc_score DESC, vec_id LIMIT 20""".stripMargin,
     "v1_knn_topk" -> exactTop10,
     // full-probe IVF must reproduce the exact result
     "v8_ivf_exact" -> exactTop10,
