@@ -116,6 +116,34 @@ object Corpus {
       .groupBy("id").agg(count(lit(1)).as("n_shared"))
   }
 
+  /** [[heavyHitters]]'s unbounded-vocabulary twin: exact heavy tokens via a
+    * count-min-sketch prefilter. The exact groupBy's shuffle carries the
+    * whole vocabulary; when that is unbounded (web-crawl n-grams, URLs),
+    * pass 1 builds a CMS (Spark's `count_min_sketch` aggregate over
+    * xxhash64 keys — fixed KBs of state per partial, any vocab size) and
+    * pass 2 drops every token occurrence whose ESTIMATE is already below
+    * the threshold map-side, so only plausibly-heavy occurrences reach the
+    * exchange. CMS never underestimates (fixed seed → deterministic), so
+    * the candidate set is a superset of the true heavy set and the exact
+    * count + final threshold make the result IDENTICAL to the exact
+    * computation — the oracle is plain exact SQL. */
+  def cmsHeavyTokens(df: DataFrame, textCol: String, threshold: Long,
+                     eps: Double = 1e-4, confidence: Double = 0.99,
+                     seed: Int = 1): DataFrame = {
+    val toks = graft.Tables.scaled(df.select(col(textCol).as("t")))
+      .select(explode(text.tokens(col("t"))).as("token"))
+      .withColumn("h", xxhash64(col("token")))
+    val sketchBytes = toks
+      .agg(expr(s"count_min_sketch(h, CAST($eps AS DOUBLE), " +
+        s"CAST($confidence AS DOUBLE), $seed)"))
+      .head().getAs[Array[Byte]](0)
+    toks
+      .filter(graft.functions.SketchExpressions
+        .cms_estimate(col("h"), sketchBytes) >= threshold)
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= threshold)
+  }
+
   /** Global deterministic corpus shuffle into training shards: every row
     * gets a pure-hash shuffle key, a shard assignment, and a within-shard
     * sequence number — the standard "shuffle once, then stream shards in

@@ -26,8 +26,16 @@ object CorpusQueries {
     "t18_url_caps" -> ((s, d) => urlCaps(s, d)),
     "t19_bloom_decontaminate" -> ((s, d) => bloomDecontaminate(s, d)),
     "t20_profile" -> ((s, d) => profile(s, d)),
-    "t21_shuffle_shards" -> ((s, d) => shuffleShards(s, d))
+    "t21_shuffle_shards" -> ((s, d) => shuffleShards(s, d)),
+    "t22_cms_heavy" -> ((s, d) => cmsHeavy(s, d))
   )
+
+  /** CMS-prefiltered exact heavy tokens (the unbounded-vocabulary path):
+    * the sketch prefilter never drops a true heavy token and the exact
+    * verify removes overestimates, so the oracle is plain exact SQL. */
+  def cmsHeavy(spark: SparkSession, dir: String): DataFrame =
+    Corpus.cmsHeavyTokens(Tables.documents(spark, dir), "text", threshold = 300L)
+      .orderBy("token")
 
   /** Bloom-prefiltered decontamination (the no-broadcast-assumption scale
     * path): result must be IDENTICAL to an exact semi-join — Bloom admits
@@ -290,6 +298,11 @@ object CorpusQueries {
         |SELECT doc_id, shuffle_key, shard,
         |  (row_number() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id))::BIGINT AS seq
         |FROM s ORDER BY doc_id""".stripMargin,
+    "t22_cms_heavy" ->
+      s"""$toks,
+         |e AS (SELECT unnest(tk) AS token FROM tk)
+         |SELECT token, count(*)::BIGINT AS cnt FROM e
+         |GROUP BY token HAVING count(*) >= 300 ORDER BY token""".stripMargin,
     "t16_heavy_hitters" ->
       s"""$toks,
          |e AS (SELECT lang, unnest(tk) AS token FROM tk),

@@ -195,6 +195,20 @@ class CorpusSpec extends AnyFunSuite {
     assert(p("de")._2 == 1L && math.abs(p("de")._6 - 3.0) < 1e-9)
   }
 
+  test("cmsHeavyTokens equals the exact threshold count") {
+    // 'hot' appears 12x (heavy at threshold 10), 'warm' 8x, tail 1x each
+    val docs = Seq(
+      (1L, ("hot " * 6 + "warm " * 4 + "a b c").trim),
+      (2L, ("hot " * 6 + "warm " * 4 + "d e f").trim)).toDF("doc_id", "text")
+    val cms = Corpus.cmsHeavyTokens(docs, "text", threshold = 10L)
+      .as[(String, Long)].collect().toSet
+    assert(cms == Set(("hot", 12L)))
+    // lower threshold admits warm too — exact counts, not estimates
+    val cms2 = Corpus.cmsHeavyTokens(docs, "text", threshold = 8L)
+      .as[(String, Long)].collect().toSet
+    assert(cms2 == Set(("hot", 12L), ("warm", 8L)))
+  }
+
   test("domainCap keeps the first `cap` docs per domain in id order") {
     val df = Seq.tabulate(8)(i => (i.toLong, s"https://big.com/p$i")) ++
       Seq((100L, "https://small.org/x"))
