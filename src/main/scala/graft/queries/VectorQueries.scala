@@ -32,8 +32,32 @@ object VectorQueries {
     "v10_emb_lsh_neardups" -> ((s, d) => embLshNearDups(s, d)),
     "v11_fde_ivf" -> ((s, d) => fdeIvf(s, d)),
     "v12_pq_adc" -> ((s, d) => pqAdc(s, d)),
+    "v13_ivfpq" -> ((s, d) => ivfPq(s, d)),
     "s1_search_docs" -> ((s, d) => searchDocs(s, d))
   )
+
+  /** IVF-PQ composed (the standard large-scale ANN layout: coarse-quantizer
+    * pruning over PQ-compressed codes, exact rerank on the survivors).
+    * Exactness bridge like v8/v9/v11: full probe (nprobe == lists) and a
+    * corpus-covering ADC oversample make the candidate set provably the
+    * whole corpus, so the exact cosine rerank must reproduce exact top-10 —
+    * value-checking every seam of the composition (cluster assignment ∘
+    * encode ∘ ADC ranking ∘ rerank join) against the v1 oracle. Dropping
+    * nprobe/oversample turns on real pruning with no plan change (recall
+    * gates live in IvfIndexSpec/PqIndexSpec). */
+  def ivfPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = queryVec(spark, dir)
+    val pq = PqIndex.sampledModel(e, "embedding", "vec_id", m = 8, k = 16)
+    val (indexed, ivf) = IvfIndex.build(
+      PqIndex.encode(e, "embedding", pq), "embedding", lists = 16)
+    val probed = ivf.nearestClusters(q, nprobe = 16)
+    val cand = PqIndex.topN(
+      indexed.filter(col("cluster_id").isin(probed: _*) && col("vec_id") =!= 0),
+      pq, "vec_id", q, n = 10000)
+    KnnSearch.topK(cand, "embedding", "vec_id", q, 10)
+      .select(col("vec_id"), round(col("score"), 6).as("score"))
+  }
 
   /** Product-quantization ADC ranking with the SAMPLED codebook (k-means
     * sampling init, zero Lloyd iterations — every arithmetic step
@@ -345,6 +369,8 @@ object VectorQueries {
     "v1_knn_topk" -> exactTop10,
     // full-probe IVF must reproduce the exact result
     "v8_ivf_exact" -> exactTop10,
+    // full-probe + corpus-covering oversample IVF-PQ must too
+    "v13_ivfpq" -> exactTop10,
     "v2_knn_batch" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |           FROM embeddings WHERE vec_id < 5),

@@ -42,6 +42,20 @@ class IntervalsSpec extends AnyFunSuite {
     assert(out.distinct.size == 11)
   }
 
+  test("plans as an equi-join, never a nested-loop or cartesian product") {
+    // the whole point of the bucketing: the range predicate must ride an
+    // equi-join on (key, bucket), not force BroadcastNestedLoopJoin
+    val points = (0L until 200L).map(i => (i % 5, i * 10L)).toDF("k", "t")
+    val intervals = (0L until 50L).map(i => (i % 5, i * 40L, i * 40L + 100L))
+      .toDF("k", "s", "e")
+    val joined = Intervals.bucketedIntervalJoin(points, intervals,
+      Seq("k"), "t", "s", "e", bucketWidth = 50L)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join fell back to a non-equi plan:\n$plan")
+    assert(joined.count() > 0)
+  }
+
   test("overlapping intervals each match; column name `end` survives") {
     val points = Seq((1L, 55L)).toDF("k", "t")
     // `end` is a SQL keyword — the operator must backtick it internally
