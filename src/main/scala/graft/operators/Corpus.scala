@@ -101,7 +101,9 @@ object Corpus {
     def ngrams(df: DataFrame) = graft.Tables.scaled(
       df.select(col(idCol).cast("long").as("id"), col(textCol).as("t")))
       .select(col("id"), explode(text.word_shingles(col("t"), n)).as("g"))
-    val evalNgrams = ngrams(eval_).select("g").distinct()
+    // read twice (sketch build now, confirm join later) — cache so the
+    // eval explode+distinct runs once
+    val evalNgrams = ngrams(eval_).select("g").distinct().cache()
     val numBits = math.max(64L,
       math.ceil(-expectedEvalNgrams.toDouble * math.log(fpp)
         / (math.log(2) * math.log(2))).toLong)
