@@ -70,4 +70,109 @@ object Listing {
     df.groupBy(coalesce(col(pathCol), col(nameCol)).as("folder"))
       .agg(count(lit(1)).as("count"))
       .orderBy(col("folder").asc_nulls_first)
+
+  // ------------------------------------------------------------ projection
+
+  /** L2 field projection, porting the reference's resolution semantics
+    * (`postgres_database.py:26-72,647-678`, `routes/utils.py:41-82`):
+    *
+    *  - the id is ALWAYS included;
+    *  - a nested request like `metadata.client` resolves to its root column
+    *    and projects just that subfield;
+    *  - lightweight status keys (`status`, `error`, `created_at`,
+    *    `updated_at`, `progress`, `version`) read a single
+    *    `system_metadata` SUBFIELD, never the full blob (which holds the
+    *    document text) — the reference's `system_metadata->>'key'` JSON
+    *    path is Spark's nested-schema pruning: projecting a struct
+    *    subfield reaches the parquet scan as `ReadSchema:
+    *    struct<system_metadata:struct<status>>` (spec-asserted);
+    *  - `summary_*` keys are derived top-level from the full
+    *    `system_metadata`; `page_count` derives from `chunk_ids`;
+    *  - null container normalization: a null `metadata` map projects as
+    *    empty, null `chunk_ids` as an empty array.
+    */
+  object Projection {
+    /** Public field → real table column (DOCUMENT_PROJECTION_COLUMN_MAP). */
+    val columnFields: Set[String] = Set(
+      "external_id", "content_type", "filename", "metadata",
+      "metadata_types", "storage_info", "system_metadata",
+      "additional_metadata", "chunk_ids", "folder_name", "folder_path",
+      "folder_id", "app_id", "end_user_id")
+    /** Cheap system_metadata scalars (DOCUMENT_STATUS_PROJECTION_KEYS). */
+    val statusKeys: Set[String] = Set(
+      "status", "error", "created_at", "updated_at", "progress", "version")
+    /** Derived from the full system_metadata (SUMMARY_METADATA_KEYS). */
+    val summaryKeys: Set[String] = Set(
+      "summary_storage_key", "summary_version", "summary_bucket",
+      "summary_updated_at")
+
+    /** Field list → required roots; `sm:<key>` marks a cheap subfield read.
+      * None = no projection (caller keeps every column). */
+    def resolve(fields: Seq[String]): Option[Set[String]] = {
+      val roots = Option(fields).getOrElse(Nil)
+        .filter(f => f != null && f.trim.nonEmpty)
+        .map(_.trim.split("\\.", 2)(0)).toSet
+      if (roots.isEmpty) None
+      else Some(roots.foldLeft(Set("external_id")) { (acc, root) =>
+        if (columnFields(root)) acc + root
+        else if (statusKeys(root)) acc + s"sm:$root"
+        else if (summaryKeys(root)) acc + "system_metadata"
+        else if (root == "page_count") acc + "system_metadata" + "chunk_ids"
+        else acc
+      })
+    }
+
+    /** Apply the projection to a documents frame whose `metadata` /
+      * `system_metadata` are struct columns. Missing roots are skipped
+      * (the reference's dict walk does the same). */
+    def project(df: DataFrame, fields: Seq[String],
+                idCol: String = "external_id"): DataFrame =
+      resolve(fields) match {
+        case None => df
+        case Some(roots) =>
+          val has = df.columns.toSet
+          def structKeys(column: String): Set[String] = df.schema(column).dataType match {
+            case s: org.apache.spark.sql.types.StructType => s.fieldNames.toSet
+            case _ => Set.empty
+          }
+          val smSlim = roots.collect { case r if r.startsWith("sm:") => r.drop(3) }
+            .filter(k => has("system_metadata") && structKeys("system_metadata")(k))
+          // subkey-only metadata projection applies unless the bare root was
+          // ALSO requested (then the whole map wins, routes/utils.py:61-77)
+          val metaSub =
+            if (fields.exists(_.trim == "metadata")) Nil
+            else fields.map(_.trim).filter(_.startsWith("metadata."))
+              .map(_.stripPrefix("metadata."))
+              .filter(k => has("metadata") && structKeys("metadata")(k))
+          val cols = Seq.newBuilder[Column]
+          cols += col(idCol)
+          roots.toSeq.sorted.foreach {
+            case "external_id" => // already first
+            case r if r.startsWith("sm:") => // handled as one slim struct below
+            case "metadata" if metaSub.nonEmpty =>
+              cols += struct(metaSub.map(k => col(s"metadata.$k").as(k)): _*)
+                .as("metadata")
+            case "chunk_ids" if has("chunk_ids") =>
+              cols += coalesce(col("chunk_ids"), array()).as("chunk_ids")
+            case r if has(r) => cols += col(r)
+            case _ => // unknown/missing root: reference's dict walk drops it
+          }
+          if (smSlim.nonEmpty)
+            // slim struct of just the cheap keys — nested-schema pruning
+            // keeps the scan from reading system_metadata.content
+            cols += struct(smSlim.toSeq.sorted.map(k =>
+              col(s"system_metadata.$k").as(k)): _*).as("system_metadata")
+          val base = df.select(cols.result(): _*)
+          val withSummary =
+            if (roots("system_metadata") && has("system_metadata"))
+              summaryKeys.toSeq.sorted
+                .filter(structKeys("system_metadata"))
+                .foldLeft(base)((d, k) => d.withColumn(k, col(s"system_metadata.$k")))
+            else base
+          if (fields.exists(_.trim == "page_count") && has("chunk_ids"))
+            withSummary.withColumn("page_count",
+              size(coalesce(col("chunk_ids"), array())).cast("long"))
+          else withSummary
+      }
+  }
 }
