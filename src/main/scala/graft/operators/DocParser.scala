@@ -78,7 +78,7 @@ object DocParser {
 
   // ------------------------------------------------------------------- zip
 
-  private def zipEntries(bytes: Array[Byte]): Map[String, Array[Byte]] = {
+  private[operators] def zipEntries(bytes: Array[Byte]): Map[String, Array[Byte]] = {
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     val out = mutable.Map.empty[String, Array[Byte]]
     var e = zin.getNextEntry
