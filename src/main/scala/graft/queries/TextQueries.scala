@@ -24,8 +24,31 @@ object TextQueries {
     "t7_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
     "t8_bpe_tokens" -> ((s, d) => bpeTokens(s, d)),
     "t9_lsh_keeplist" -> ((s, d) => lshKeepList(s, d)),
-    "t17_components" -> ((s, d) => components(s, d))
+    "t17_components" -> ((s, d) => components(s, d)),
+    "t23_keep_best" -> ((s, d) => keepBest(s, d))
   )
+
+  /** Quality-keeper dedup: within each transitive near-dup cluster (t17's
+    * components) keep the HIGHEST-quality document (quality-desc, id-asc
+    * tiebreak) instead of the min id — the curation policy real corpus
+    * builds use (drop the worse copy, not the newer one). Emits one row per
+    * clustered doc with its keeper; singletons are implicitly kept. */
+  def keepBest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val labels = Dedup.connectedComponents(
+      Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3))
+    val quality = docs.select(col("doc_id").cast("long").as("id"),
+      text.quality_score(col("text")).as("q"))
+    val w = Window.partitionBy("component")
+      .orderBy(col("q").desc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    labels.join(quality, "id")
+      .withColumn("keep_id", first("id").over(w))
+      .select(col("id").as("doc_id"), col("component"), col("keep_id"),
+        (col("id") === col("keep_id")).as("kept"))
+      .orderBy("doc_id")
+  }
 
   /** Transitive-closure dedup clusters: connected components (min-label
     * propagation to fixpoint) over the simhash near-dup edge set — chains
@@ -269,6 +292,50 @@ object TextQueries {
          |  SELECT s, s FROM und
          |  UNION
          |  SELECT u.s, reach.r FROM und u JOIN reach ON reach.id = u.d)
-         |SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin
+         |SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    // t17's reachability CTE composed with t2's quality formula: keeper =
+    // highest quality (id-asc tiebreak) per true component.
+    "t23_keep_best" ->
+      s"""WITH RECURSIVE n AS ($norm),
+         |tk AS (SELECT doc_id, list_filter(string_split(norm, ' '), t -> len(t) > 0) AS tk FROM n),
+         |h AS (SELECT doc_id, list_transform(tk, t -> ('0x' || substr(md5(t), 1, 12))::BIGINT) AS hs FROM tk),
+         |sh AS (SELECT doc_id,
+         |  list_sum(list_transform(range(48), b ->
+         |    CASE WHEN list_sum(list_transform(hs, x ->
+         |           CASE WHEN (x >> (47 - b)) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+         |         THEN (1::BIGINT << (47 - b)) ELSE 0 END))::BIGINT AS s
+         |  FROM h),
+         |blk AS (SELECT doc_id, s,
+         |  list_transform(range(4), i -> i || ':' || ((s >> (i*12)) & 4095)) AS blocks FROM sh),
+         |edges AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b
+         |  FROM blk a, blk c
+         |  WHERE a.doc_id < c.doc_id
+         |    AND len(list_intersect(a.blocks, c.blocks)) > 0
+         |    AND bit_count(xor(a.s, c.s)) <= 3),
+         |und AS (SELECT id_a AS s, id_b AS d FROM edges
+         |        UNION SELECT id_b, id_a FROM edges),
+         |reach(id, r) AS (
+         |  SELECT s, s FROM und
+         |  UNION
+         |  SELECT u.s, reach.r FROM und u JOIN reach ON reach.id = u.d),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         |sq AS (SELECT doc_id,
+         |  len(list_filter(tk, t -> t IN $en)) AS s_en,
+         |  len(tk)::DOUBLE AS nn,
+         |  len(list_distinct(tk))::DOUBLE AS nd
+         |  FROM tk),
+         |q AS (SELECT doc_id,
+         |  0.4 * least(1.0, nn / 50.0)
+         |      + 0.3 * (CASE WHEN nn > 0 THEN nd / nn ELSE 0 END)
+         |      + 0.3 * greatest(0.0, 1.0 - abs((CASE WHEN nn > 0 THEN s_en / nn ELSE 0 END) - 0.45) / 0.45)
+         |    AS q
+         |  FROM sq),
+         |k AS (SELECT comp.id, comp.component, q.q FROM comp JOIN q ON q.doc_id = comp.id)
+         |SELECT id AS doc_id, component,
+         |  first_value(id) OVER (PARTITION BY component ORDER BY q DESC, id ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS keep_id,
+         |  id = first_value(id) OVER (PARTITION BY component ORDER BY q DESC, id ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS kept
+         |FROM k ORDER BY doc_id""".stripMargin
   )
 }
