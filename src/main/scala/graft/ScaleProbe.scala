@@ -27,7 +27,13 @@ object ScaleProbe {
     "e1_asof_join", "e3_window_agg", "e4_asof_nearest",
     "c1_chunks_fixed", "s1_search_docs", "u1_upsert",
     "n1_filename_search", "l9_folder_summary", "l10_usage_fold",
-    "t12_decontaminate", "t16_heavy_hitters", "t17_components", "t18_url_caps")
+    "t12_decontaminate", "t16_heavy_hitters", "t17_components", "t18_url_caps",
+    "e5_interval_join", "e6_sessionize", "t19_bloom_decontaminate",
+    "t21_shuffle_shards", "t22_cms_heavy", "t23_keep_best")
+  // v12_pq_adc is deliberately NOT probed: the registry query rebuilds its
+  // codebook + encodes the corpus per run (index-time work), which would
+  // mismeasure scaling the same way round-1's v7 did — Bench times the
+  // prepared ADC-scan closure instead.
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("all")
