@@ -112,6 +112,26 @@ class HttpModelClientsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(http.head == 3L) // all four query tokens present
   }
 
+  test("reranker edge cases: empty input, [0,1] scores, descending order") {
+    // ports test_reranker.py::test_reranker_empty_and_edge_cases +
+    // test_reranker_score_distribution to the deterministic CI model
+    import spark.implicits._
+    val empty = ModelRerank.rerank(
+      Seq.empty[(Long, String)].toDF("doc_id", "content"),
+      "doc_id", "content", "any query", 5, TokenOverlapModel())
+    assert(empty.count() == 0)
+    val cands = Seq(
+      (1L, "machine learning and data science text here"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "machine learning")).toDF("doc_id", "content")
+    val scores = ModelRerank.rerank(cands, "doc_id", "content",
+      "machine learning data science", 3, TokenOverlapModel())
+      .select("rerank_score").as[Double].collect().toSeq
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+    assert(scores == scores.sorted.reverse)
+    assert(scores.distinct.size > 1)
+  }
+
   test("ModelRerank with TokenOverlapModel matches the Column-based Serving.rerank") {
     import spark.implicits._
     val candidates = Seq(
