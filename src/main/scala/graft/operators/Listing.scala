@@ -157,9 +157,13 @@ object Listing {
             case r if has(r) => cols += col(r)
             case _ => // unknown/missing root: reference's dict walk drops it
           }
-          if (smSlim.nonEmpty)
+          if (smSlim.nonEmpty && !roots("system_metadata"))
             // slim struct of just the cheap keys — nested-schema pruning
-            // keeps the scan from reading system_metadata.content
+            // keeps the scan from reading system_metadata.content. When the
+            // FULL column is also resolved (summary_*/page_count), it
+            // already carries the cheap keys — emitting the slim struct too
+            // would duplicate the column (reference merges the slim dict
+            // into the existing one, same outcome).
             cols += struct(smSlim.toSeq.sorted.map(k =>
               col(s"system_metadata.$k").as(k)): _*).as("system_metadata")
           val base = df.select(cols.result(): _*)

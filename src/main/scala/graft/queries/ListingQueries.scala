@@ -34,8 +34,31 @@ object ListingQueries {
     "l9_folder_summary" -> ((s, d) => folderSummary(s, d)),
     "l10_usage_fold" -> ((s, d) => usageFold(s, d)),
     "l11_usage_app" -> ((s, d) => usageApp(s, d)),
-    "l12_listing_flexible" -> ((s, d) => listingFlexible(s, d))
+    "l12_listing_flexible" -> ((s, d) => listingFlexible(s, d)),
+    "l13_projection" -> ((s, d) => listingProjection(s, d))
   )
+
+  /** L2 field projection end to end over struct-typed document columns:
+    * a cheap status key (slim system_metadata subfield — the scan never
+    * reads the text-bearing `content`), a nested metadata subkey, and the
+    * derived page_count. Flattened to scalars for the gate (the driver's
+    * comparator can't hash struct cells). */
+  def listingProjection(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Listing.Projection
+    val docs = Tables.documents(spark, dir).select(
+      col("doc_id").cast("string").as("external_id"),
+      struct(col("lang"), col("source")).as("metadata"),
+      struct(
+        element_at(array(lit("processing"), lit("completed"), lit("failed")),
+          (col("doc_id") % 3 + 1).cast("int")).as("status"),
+        col("text").as("content")).as("system_metadata"),
+      when(col("doc_id") % 4 === 0, array().cast("array<bigint>"))
+        .otherwise(sequence(lit(1L), col("doc_id") % 4)).as("chunk_ids"))
+    Projection.project(docs, Seq("status", "metadata.lang", "page_count"))
+      .select(col("external_id"), col("metadata.lang").as("lang"),
+        col("system_metadata.status").as("status"), col("page_count"))
+      .orderBy("external_id")
+  }
 
   /** The SURVEY §7.1 "minimum slice" composed end to end — the reference's
     * `list_documents_flexible`: metadata DSL + multi-path folder scope +
@@ -243,6 +266,11 @@ object ListingQueries {
         |  sum(n_chars * 2)::BIGINT AS chunk_bytes,
         |  sum(n_chars % 7)::BIGINT AS multivector_bytes
         |FROM documents GROUP BY source ORDER BY app_id""".stripMargin,
+    "l13_projection" ->
+      """SELECT doc_id::VARCHAR AS external_id, lang,
+        |  ['processing','completed','failed'][(doc_id % 3 + 1)::INT] AS status,
+        |  (doc_id % 4)::BIGINT AS page_count
+        |FROM documents ORDER BY external_id""".stripMargin,
     "l12_listing_flexible" ->
       """WITH d AS (SELECT doc_id, n_chars, lang,
         |    '/' || source || '/' || lang ||

@@ -144,4 +144,14 @@ class ListingProjectionSpec extends AnyFunSuite {
   test("no fields returns every column unchanged") {
     assert(Projection.project(docs, Nil).columns.toSet == docs.columns.toSet)
   }
+
+  test("cheap key plus summary key yields ONE full system_metadata column") {
+    // summary_storage_key resolves the full column; status must ride it
+    // instead of emitting a duplicate slim struct
+    val out = Projection.project(docs, Seq("status", "summary_storage_key"))
+    assert(out.columns.count(_ == "system_metadata") == 1)
+    val d1 = out.filter(col("external_id") === "d1").head()
+    assert(d1.getAs[Row]("system_metadata").getAs[String]("status") == "completed")
+    assert(d1.getAs[String]("summary_storage_key") == "s3://x")
+  }
 }
