@@ -80,6 +80,41 @@ object Dedup {
             .cast("array<string>")))))
   }
 
+  /** The banded corpus as a reusable INDEX table: (id, sig, band_key) —
+    * write it partitioned/bucketed by band_key once, then match any new
+    * batch against it with [[lshMatchAgainst]] without re-hashing the
+    * corpus. */
+  def bandIndex(df: DataFrame, idCol: String, textCol: String,
+                shingleSize: Int = 5, numHashes: Int = 16,
+                bands: Int = 4): DataFrame =
+    bandKeys(df, idCol, textCol, shingleSize, numHashes, bands)
+
+  /** Incoming-vs-corpus near-dup matching — the "new crawl against the
+    * historical index" pass an incremental training-data build runs on
+    * every batch. Incoming docs band with the same parameters and equi-join
+    * the corpus index on band_key (never all-pairs); the per-doc best match
+    * (highest estimate, smallest corpus id tiebreak) survives. Streaming
+    * shape: this is a batch function applied per micro-batch via
+    * `foreachBatch` (design rule 8 — the stream-static join needs no
+    * cross-batch state because the index side is static within a batch);
+    * StreamingCorpusDedupSpec drives exactly that. */
+  def lshMatchAgainst(incoming: DataFrame, index: DataFrame,
+                      idCol: String, textCol: String,
+                      shingleSize: Int = 5, numHashes: Int = 16,
+                      bands: Int = 4, minEst: Double = 0.25): DataFrame = {
+    val q = bandKeys(incoming, idCol, textCol, shingleSize, numHashes, bands).as("q")
+    val hits = q.join(index.as("x"), col("q.band_key") === col("x.band_key"))
+      .select(col("q.id").as("id"), col("x.id").as("corpus_id"),
+        (size(filter(zip_with(col("q.sig"), col("x.sig"), (a, b) => a === b),
+          v => v)).cast("double") / numHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEst)
+      .distinct()
+    hits.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")
+          .orderBy(col("est_jaccard").desc, col("corpus_id").asc)))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleSize: Int = 5, numHashes: Int = 16,
                       bands: Int = 4, minEst: Double = 0.0): DataFrame = {

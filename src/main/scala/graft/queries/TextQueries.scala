@@ -25,8 +25,22 @@ object TextQueries {
     "t8_bpe_tokens" -> ((s, d) => bpeTokens(s, d)),
     "t9_lsh_keeplist" -> ((s, d) => lshKeepList(s, d)),
     "t17_components" -> ((s, d) => components(s, d)),
-    "t23_keep_best" -> ((s, d) => keepBest(s, d))
+    "t23_keep_best" -> ((s, d) => keepBest(s, d)),
+    "t24_lsh_match" -> ((s, d) => lshMatch(s, d))
   )
+
+  /** Incoming-vs-corpus LSH matching (the incremental-crawl dedup pass):
+    * every 10th doc plays the "new batch", the rest are the banded corpus
+    * index; each incoming doc reports its best near-dup match. */
+  def lshMatch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val idx = Dedup.bandIndex(docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+    Dedup.lshMatchAgainst(docs.filter(col("doc_id") % 10 === 0), idx,
+      "doc_id", "text")
+      .select(col("id").as("doc_id"), col("corpus_id"),
+        round(col("est_jaccard"), 4).as("est_jaccard"))
+      .orderBy("doc_id")
+  }
 
   /** Quality-keeper dedup: within each transitive near-dup cluster (t17's
     * components) keep the HIGHEST-quality document (quality-desc, id-asc
@@ -203,6 +217,34 @@ object TextQueries {
          |WHERE a.doc_id < c.doc_id AND len(list_intersect(a.keys, c.keys)) > 0
          |  AND len(list_filter(range(16), i -> a.sig[i+1] = c.sig[i+1])) / 16.0 >= 0.25
          |ORDER BY id_a, id_b""".stripMargin,
+    "t24_lsh_match" ->
+      s"""WITH n AS ($norm),
+         |sh AS (SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(norm) - 3), i -> substr(norm, i, 5))) AS sh
+         |  FROM n WHERE len(norm) >= 5),
+         |hh AS (SELECT doc_id,
+         |    list_transform(sh, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS h1s,
+         |    list_transform(sh, x -> ('0x' || substr(md5(x), 9, 8))::BIGINT) AS h2s
+         |  FROM sh WHERE len(sh) > 0),
+         |g AS (SELECT doc_id,
+         |    list_transform(range(16), k ->
+         |      coalesce(list_min(list_transform(range(len(h1s)), i ->
+         |        (h1s[i+1] + k * h2s[i+1]) & 4294967295)), 9223372036854775807)) AS sig
+         |  FROM hh),
+         |b AS (SELECT doc_id, sig,
+         |    list_transform(range(4), bb ->
+         |      md5(bb || ',' || array_to_string(list_slice(sig, bb*4 + 1, bb*4 + 4), ','))) AS keys
+         |  FROM g),
+         |m AS (SELECT a.doc_id AS doc_id, c.doc_id AS corpus_id,
+         |    len(list_filter(range(16), i -> a.sig[i+1] = c.sig[i+1])) / 16.0 AS est
+         |  FROM b a, b c
+         |  WHERE a.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+         |    AND len(list_intersect(a.keys, c.keys)) > 0),
+         |r AS (SELECT doc_id, corpus_id, est,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY est DESC, corpus_id ASC) AS rn
+         |  FROM m WHERE est >= 0.25)
+         |SELECT doc_id, corpus_id, round(est, 4) AS est_jaccard
+         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "t5_simhash" ->
       s"""$toks,
          |h AS (SELECT doc_id, list_transform(tk, t -> ('0x' || substr(md5(t), 1, 12))::BIGINT) AS hs FROM tk)
