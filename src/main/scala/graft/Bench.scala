@@ -18,7 +18,8 @@ import org.apache.spark.sql.SparkSession
   * (t11), decontamination broadcast semi-join (t12) and its Bloom-sketch
   * no-broadcast twin (t19), heavy hitters (t16), connected-components
   * transitive dedup (t17), URL normalize + domain caps (t18), deterministic
-  * shard shuffle (t21).
+  * shard shuffle (t21), incoming-vs-corpus band-index matching (t24,
+  * prepared: the index build is offline at scale).
   *
   * v7/v11 time the QUERY only: their coarse-quantizer build (an offline
   * index job at scale) runs once in the prepare phase via the
@@ -35,14 +36,15 @@ object Bench {
     "c1_chunks_fixed", "s1_search_docs", "u1_upsert",
     "t11_repetition", "t12_decontaminate", "t16_heavy_hitters",
     "t17_components", "t18_url_caps", "t19_bloom_decontaminate",
-    "t21_shuffle_shards")
+    "t21_shuffle_shards", "t24_lsh_match")
 
   /** Index-backed queries: build once, time the probe. */
   private val preparedFactories: Map[String,
       (SparkSession, String) => () => org.apache.spark.sql.DataFrame] = Map(
     "v7_ivf_knn" -> ((s, d) => graft.queries.VectorQueries.ivfKnnPrepared(s, d)),
     "v11_fde_ivf" -> ((s, d) => graft.queries.VectorQueries.fdeIvfPrepared(s, d)),
-    "v12_pq_adc" -> ((s, d) => graft.queries.VectorQueries.pqAdcPrepared(s, d)))
+    "v12_pq_adc" -> ((s, d) => graft.queries.VectorQueries.pqAdcPrepared(s, d)),
+    "t24_lsh_match" -> ((s, d) => graft.queries.TextQueries.lshMatchPrepared(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -139,6 +139,22 @@ object TextQueries {
       shingleSize = 5, threshold = 0.2, maxId = Some(150L))
       .orderBy("id_a", "id_b")
 
+  /** Bench-only factory: the corpus band index is an offline build at scale
+    * (written partitioned by band_key); the closure times the per-batch
+    * match — banding the incoming docs + the index equi-join. */
+  def lshMatchPrepared(spark: SparkSession, dir: String): () => DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val idx = Dedup.bandIndex(docs.filter(col("doc_id") % 10 =!= 0),
+      "doc_id", "text").persist()
+    idx.count()
+    () =>
+      Dedup.lshMatchAgainst(docs.filter(col("doc_id") % 10 === 0), idx,
+        "doc_id", "text")
+        .select(col("id").as("doc_id"), col("corpus_id"),
+          round(col("est_jaccard"), 4).as("est_jaccard"))
+        .orderBy("doc_id")
+  }
+
   // ----------------------------------------------------------------- oracles
 
   /** Normalization CTE shared by the oracles (= text.normalize). */
