@@ -56,18 +56,44 @@ object ContentType {
 
   private def sniffZip(content: Array[Byte]): String =
     try {
-      val names = DocParser.zipEntries(content).keySet
-      if (names.exists(_.startsWith("word/"))) extMimes("docx")
-      else if (names.exists(_.startsWith("xl/"))) extMimes("xlsx")
-      else if (names.exists(_.startsWith("ppt/"))) extMimes("pptx")
-      else "application/zip"
+      // stream entry HEADERS only — never decompress bodies (a hostile or
+      // merely large container would otherwise cost full decompression just
+      // to learn its flavor), and stop at the first telling prefix
+      val zin = new java.util.zip.ZipInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        var e = zin.getNextEntry
+        while (e != null) {
+          val n = e.getName
+          if (n.startsWith("word/")) return extMimes("docx")
+          if (n.startsWith("xl/")) return extMimes("xlsx")
+          if (n.startsWith("ppt/")) return extMimes("pptx")
+          e = zin.getNextEntry
+        }
+      } finally zin.close()
+      "application/zip"
     } catch { case _: Exception => "application/zip" }
 
   /** `_looks_like_text`: valid UTF-8 with >= 90% printable/space chars in
-    * the first 8 KiB. */
+    * the first 8 KiB. The sample boundary may cut a multi-byte character in
+    * half — trim the incomplete trailing sequence (up to 3 continuation
+    * prefix bytes) before the strict decode, so a Chinese/emoji text file
+    * longer than the sample is not misclassified as binary. */
   def looksLikeText(content: Array[Byte], sampleSize: Int = 8192): Boolean = {
     if (content == null || content.isEmpty) return true
-    val sample = content.take(sampleSize)
+    var sample = content.take(sampleSize)
+    if (content.length > sampleSize) {
+      // walk back over a possibly-incomplete final UTF-8 sequence: at most
+      // 3 continuation bytes (10xxxxxx) plus one lead byte (11xxxxxx)
+      var end = sample.length
+      var back = 0
+      while (back < 3 && end > 0 && (sample(end - 1) & 0xc0) == 0x80) {
+        end -= 1; back += 1
+      }
+      if (end > 0 && (sample(end - 1) & 0xc0) == 0xc0) end -= 1
+      else end = sample.length // last byte is ASCII or a complete sequence
+      sample = sample.take(end)
+    }
     val decoded =
       try {
         val dec = StandardCharsets.UTF_8.newDecoder()
@@ -105,11 +131,19 @@ object ContentType {
   def stripXmlTags(text: String): String = {
     val noTags = text.replaceAll("<[^>]+>", " ")
     val collapsed = noTags.replaceAll("\\s+", " ").trim
-    val numeric = "&#(x?)([0-9a-fA-F]+);".r
+    // hex branch takes hex digits, decimal branch DIGITS ONLY (a stray
+    // "&#ab;" must not reach parseInt), length-capped so oversized values
+    // can't overflow; anything malformed or out of Unicode range passes
+    // through untouched — dirty crawl text must never kill a task
+    val numeric = "&#(?:x([0-9a-fA-F]{1,6})|([0-9]{1,7}));".r
     val unescapedNums = numeric.replaceAllIn(collapsed, m => {
-      val code = if (m.group(1).nonEmpty) Integer.parseInt(m.group(2), 16)
-      else Integer.parseInt(m.group(2))
-      java.util.regex.Matcher.quoteReplacement(new String(Character.toChars(code)))
+      val code =
+        if (m.group(1) != null) Integer.parseInt(m.group(1), 16)
+        else Integer.parseInt(m.group(2))
+      val out = if (Character.isValidCodePoint(code))
+        new String(Character.toChars(code))
+      else m.matched
+      java.util.regex.Matcher.quoteReplacement(out)
     })
     unescapedNums
       .replace("&lt;", "<").replace("&gt;", ">")
@@ -139,7 +173,10 @@ object ContentType {
     * extension appended when the name carries none. */
   def buildStorageKey(filename: Option[String], content: Array[Byte],
                       idHex: String): (String, String) = {
-    val safe0 = filename.map(f => f.split("[/\\\\]").last).filter(_.nonEmpty)
+    // split drops trailing empties, so "/" yields a ZERO-length array —
+    // lastOption, never .last
+    val safe0 = filename.flatMap(f =>
+      f.split("[/\\\\]").lastOption.filter(_.nonEmpty))
       .getOrElse("uploaded_file")
     val hasExt = { val i = safe0.lastIndexOf('.'); i > 0 && i < safe0.length - 1 }
     val mimeToExt = Map(

@@ -101,9 +101,12 @@ object Corpus {
     def ngrams(df: DataFrame) = graft.Tables.scaled(
       df.select(col(idCol).cast("long").as("id"), col(textCol).as("t")))
       .select(col("id"), explode(text.word_shingles(col("t"), n)).as("g"))
-    // read twice (sketch build now, confirm join later) — cache so the
-    // eval explode+distinct runs once
-    val evalNgrams = ngrams(eval_).select("g").distinct().cache()
+    // read twice (sketch build now, confirm join later): localCheckpoint
+    // materializes the explode+distinct once WITHOUT a forever-cache — the
+    // blocks are released by the ContextCleaner when the frame goes out of
+    // scope, where an explicit .cache() would pin executor storage for the
+    // rest of the session
+    val evalNgrams = ngrams(eval_).select("g").distinct().localCheckpoint()
     val numBits = math.max(64L,
       math.ceil(-expectedEvalNgrams.toDouble * math.log(fpp)
         / (math.log(2) * math.log(2))).toLong)
@@ -111,7 +114,13 @@ object Corpus {
       .agg(org.apache.spark.sql.graftbridge.BloomBridge
         .bloomAgg(xxhash64(col("g")), expectedEvalNgrams, numBits).as("bf"))
       .head().getAs[Array[Byte]]("bf")
-    ngrams(train)
+    val confirm = ngrams(train).join(evalNgrams, "g")
+      .groupBy("id").agg(count(lit(1)).as("n_shared"))
+    // zero eval n-grams → the aggregate yields a null sketch; the exact
+    // semantics are "nothing is contaminated", which the (empty) confirm
+    // join already computes — only the prefilter needs the sketch
+    if (bfBytes == null) confirm
+    else ngrams(train)
       .filter(org.apache.spark.sql.graftbridge.BloomBridge
         .mightContain(xxhash64(col("g")), bfBytes))
       .join(evalNgrams, "g")

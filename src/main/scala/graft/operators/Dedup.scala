@@ -216,12 +216,13 @@ object Dedup {
     * Two regimes, dispatched on the (cached) edge count — the same
     * size-adaptive pattern as Spark's own broadcast-join threshold:
     *
-    *  - edge set fits one task (≤ `smallEdgeThreshold`, default 2M pairs
-    *    ≈ tens of MB of longs): single-task union-find with path
-    *    compression via `mapPartitions` on ONE executor — O(E α(E)), no
-    *    iterative rounds, no driver-side rows. A dedup graph is usually
-    *    orders of magnitude smaller than its corpus (only near-dup nodes
-    *    appear), so even 100 TB corpora often land here.
+    *  - edge set fits one task (≤ `smallEdgeThreshold`, default 1M pairs →
+    *    ≤2M nodes ≈ 70 MB of flat parent arrays in the primitive
+    *    open-addressing map): single-task union-find with path compression
+    *    via `mapPartitions` on ONE executor — O(E α(E)), no iterative
+    *    rounds, no driver-side rows. A dedup graph is usually orders of
+    *    magnitude smaller than its corpus (only near-dup nodes appear), so
+    *    even 100 TB corpora often land here.
     *  - larger: iterative min-label propagation (each round every node takes
     *    the min label among itself and its neighbors) plus a hash-to-min
     *    pointer jump through the round's NEW tentative map (`m(m(v))` —
@@ -238,7 +239,7 @@ object Dedup {
     * checkpointed frame). Driver holds only loop state, never rows. */
   def connectedComponents(edges: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 20,
-                          smallEdgeThreshold: Long = 2L << 20): DataFrame = {
+                          smallEdgeThreshold: Long = 1L << 20): DataFrame = {
     // No edge dedup pass: both consumers are idempotent to duplicate edges
     // (and the LSH pair producers already emit distinct pairs), so a
     // distinct() here would only add a full edge shuffle per call.
@@ -252,6 +253,60 @@ object Dedup {
     out
   }
 
+  /** Open-addressing primitive long→long map (linear probing, power-of-2
+    * capacity, ≤50% load): the union-find parent table for 2M nodes costs
+    * ~70 MB of flat arrays where a boxed java.util.HashMap would burn
+    * 300+ MB of Node/Long objects in ONE task — the difference between the
+    * single-task dispatch being safe and it OOMing at its own threshold. */
+  private final class LongLongMap(initialCapacity: Int = 1 << 16) {
+    private var cap = Integer.highestOneBit(math.max(16, initialCapacity))
+    if (cap < initialCapacity) cap <<= 1
+    private var ks = new Array[Long](cap)
+    private var vs = new Array[Long](cap)
+    private var occ = new Array[Boolean](cap)
+    private var n = 0
+    private def slot(k: Long): Int = {
+      var h = (k ^ (k >>> 32)).toInt * 0x9e3779b9
+      h ^= h >>> 16
+      var i = h & (cap - 1)
+      while (occ(i) && ks(i) != k) i = (i + 1) & (cap - 1)
+      i
+    }
+    def getOrDefault(k: Long, d: Long): Long = {
+      val i = slot(k); if (occ(i)) vs(i) else d
+    }
+    def put(k: Long, v: Long): Unit = {
+      val i = slot(k)
+      if (!occ(i)) {
+        occ(i) = true; ks(i) = k; n += 1
+        vs(i) = v
+        if (n * 2 > cap) grow()
+      } else vs(i) = v
+    }
+    def putIfAbsent(k: Long, v: Long): Unit = {
+      val i = slot(k)
+      if (!occ(i)) { occ(i) = true; ks(i) = k; vs(i) = v; n += 1
+        if (n * 2 > cap) grow() }
+    }
+    private def grow(): Unit = {
+      val (oks, ovs, oocc) = (ks, vs, occ)
+      cap <<= 1
+      ks = new Array[Long](cap); vs = new Array[Long](cap)
+      occ = new Array[Boolean](cap)
+      n = 0
+      var i = 0
+      while (i < oks.length) {
+        if (oocc(i)) put(oks(i), ovs(i))
+        i += 1
+      }
+    }
+    /** Safe to interleave with value-overwriting put()s (path compression):
+      * only NEW-key insertion grows the arrays, and the final pass never
+      * inserts. */
+    def keysIterator: Iterator[Long] =
+      (0 until cap).iterator.filter(occ).map(ks)
+  }
+
   /** Single-task union-find (path compression + union-by-min): the whole
     * edge list streams through one `mapPartitions` task on an executor.
     * Emits (id, component=min id of the component), identical semantics to
@@ -262,7 +317,7 @@ object Dedup {
     val out = pairs.select("src", "dst").as[(Long, Long)]
       .coalesce(1)
       .mapPartitions { it =>
-        val parent = new java.util.HashMap[Long, Long]()
+        val parent = new LongLongMap()
         def find(x0: Long): Long = {
           var x = x0
           var p = parent.getOrDefault(x, x)
@@ -280,8 +335,7 @@ object Dedup {
           if (ra < rb) parent.put(rb, ra)
           else if (rb < ra) parent.put(ra, rb)
         }
-        val ids = parent.keySet().toArray(Array.empty[java.lang.Long])
-        ids.iterator.map(id => (id.longValue, find(id.longValue)))
+        parent.keysIterator.map(id => (id, find(id)))
       }
       .toDF("id", "component")
     // materialize BEFORE dropping the pair cache, or the checkpoint job

@@ -88,8 +88,9 @@ object Listing {
     *    struct<system_metadata:struct<status>>` (spec-asserted);
     *  - `summary_*` keys are derived top-level from the full
     *    `system_metadata`; `page_count` derives from `chunk_ids`;
-    *  - null container normalization: a null `metadata` map projects as
-    *    empty, null `chunk_ids` as an empty array.
+    *  - null container normalization: null map/array roots (`metadata` as
+    *    a map, `chunk_ids`) project as empty containers; struct-typed
+    *    roots have no natural empty value and stay null.
     */
   object Projection {
     /** Public field → real table column (DOCUMENT_PROJECTION_COLUMN_MAP). */
@@ -139,22 +140,38 @@ object Listing {
             .filter(k => has("system_metadata") && structKeys("system_metadata")(k))
           // subkey-only metadata projection applies unless the bare root was
           // ALSO requested (then the whole map wins, routes/utils.py:61-77)
+          val bareMetadata = fields.exists(_.trim == "metadata")
+          val metaSubRequested = !bareMetadata &&
+            fields.exists(_.trim.startsWith("metadata."))
           val metaSub =
-            if (fields.exists(_.trim == "metadata")) Nil
+            if (bareMetadata) Nil
             else fields.map(_.trim).filter(_.startsWith("metadata."))
               .map(_.stripPrefix("metadata."))
               .filter(k => has("metadata") && structKeys("metadata")(k))
+          /** null containers normalize to empty like the reference's
+            * row_to_dict (map/array roots only; a struct has no natural
+            * empty value and stays null). */
+          def normalized(r: String): Column = df.schema(r).dataType match {
+            case _: org.apache.spark.sql.types.MapType =>
+              coalesce(col(r), map()).as(r)
+            case _: org.apache.spark.sql.types.ArrayType =>
+              coalesce(col(r), array()).as(r)
+            case _ => col(r)
+          }
           val cols = Seq.newBuilder[Column]
           cols += col(idCol)
           roots.toSeq.sorted.foreach {
             case "external_id" => // already first
             case r if r.startsWith("sm:") => // handled as one slim struct below
-            case "metadata" if metaSub.nonEmpty =>
-              cols += struct(metaSub.map(k => col(s"metadata.$k").as(k)): _*)
-                .as("metadata")
-            case "chunk_ids" if has("chunk_ids") =>
-              cols += coalesce(col("chunk_ids"), array()).as("chunk_ids")
-            case r if has(r) => cols += col(r)
+            case "metadata" if metaSubRequested =>
+              // only the requested subkeys survive; when NONE of them exist
+              // in the schema the root is dropped entirely (the reference's
+              // dict walk sets nothing — emitting the full column here
+              // would leak every other key AND defeat the pruning)
+              if (metaSub.nonEmpty)
+                cols += struct(metaSub.map(k => col(s"metadata.$k").as(k)): _*)
+                  .as("metadata")
+            case r if has(r) => cols += normalized(r)
             case _ => // unknown/missing root: reference's dict walk drops it
           }
           if (smSlim.nonEmpty && !roots("system_metadata"))

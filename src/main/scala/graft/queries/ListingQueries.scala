@@ -39,10 +39,14 @@ object ListingQueries {
   )
 
   /** L2 field projection end to end over struct-typed document columns:
-    * a cheap status key (slim system_metadata subfield — the scan never
-    * reads the text-bearing `content`), a nested metadata subkey, and the
-    * derived page_count. Flattened to scalars for the gate (the driver's
-    * comparator can't hash struct cells). */
+    * a cheap status key, a nested metadata subkey, and the derived
+    * page_count. NOTE page_count deliberately resolves the FULL
+    * system_metadata (the reference's own resolution table does the same,
+    * `postgres_database.py:672-675`), so this query exercises the
+    * full-column + derived path; the content-never-read nested-pruning
+    * claim is the status-only shape, plan-asserted in
+    * ListingProjectionSpec. Flattened to scalars for the gate (the
+    * driver's comparator can't hash struct cells). */
   def listingProjection(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Listing.Projection
     val docs = Tables.documents(spark, dir).select(

@@ -162,6 +162,13 @@ class CorpusSpec extends AnyFunSuite {
     assert(bloom == exact)
   }
 
+  test("bloomDecontaminate with an empty eval side returns empty, not a crash") {
+    val train = Seq((1L, "some training words here")).toDF("doc_id", "text")
+    val eval_ = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Corpus.bloomDecontaminate(train, eval_, "doc_id", "text", n = 4,
+      expectedEvalNgrams = 64L).count() == 0)
+  }
+
   test("shuffleShards is deterministic with dense per-shard sequences") {
     val docs = (0L until 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     def run() = Corpus.shuffleShards(docs, "doc_id", numShards = 4, seed = "s1")

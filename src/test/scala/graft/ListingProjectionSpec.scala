@@ -145,6 +145,13 @@ class ListingProjectionSpec extends AnyFunSuite {
     assert(Projection.project(docs, Nil).columns.toSet == docs.columns.toSet)
   }
 
+  test("requesting only nonexistent metadata subkeys drops the root entirely") {
+    // the reference's dict walk sets nothing for a missing path; emitting
+    // the full column would leak every other key
+    val out = Projection.project(docs, Seq("metadata.zzz"))
+    assert(out.columns.toSet == Set("external_id"))
+  }
+
   test("cheap key plus summary key yields ONE full system_metadata column") {
     // summary_storage_key resolves the full column; status must ride it
     // instead of emitting a duplicate slim struct
