@@ -63,8 +63,13 @@ case class FdeEncoder(inputDim: Int, reps: Int = 20, ksim: Int = 5,
   }
 
   /** Encode one multivector set. `isQuery=true` sums per bucket (queries
-    * keep magnitude); doc side averages (centroid per bucket). */
+    * keep magnitude); doc side averages (centroid per bucket). Every vector
+    * must be exactly `inputDim` long: a longer one would index past the
+    * hyperplane rows mid-job, a shorter one would silently project against
+    * a truncated hyperplane — both are data bugs to surface, not mask. */
   def encode(vectors: Seq[Array[Float]], isQuery: Boolean): Array[Float] = {
+    vectors.foreach(v => require(v.length == inputDim,
+      s"FdeEncoder(inputDim=$inputDim) got a ${v.length}-dim vector"))
     val out = new Array[Float](outputDim)
     val scale = (1.0 / math.sqrt(reps)).toFloat
     var r = 0
@@ -101,8 +106,11 @@ case class FdeEncoder(inputDim: Int, reps: Int = 20, ksim: Int = 5,
     val self = this
     df.mapPartitions { rows =>
       rows.map { r =>
-        val mv = r.getSeq[scala.collection.Seq[Float]](idx)
-          .map(_.toArray).toSeq
+        // null multivector cell (e.g. a doc with no embeddings after a left
+        // join) encodes as the empty set — an all-zero FDE — not an NPE
+        val raw = r.getSeq[scala.collection.Seq[Float]](idx)
+        val mv = if (raw == null) Seq.empty[Array[Float]]
+          else raw.filter(_ != null).map(_.toArray).toSeq
         Row.fromSeq(r.toSeq :+ self.encode(mv, isQuery).toSeq)
       }
     }(enc)

@@ -45,13 +45,25 @@ object TextHashExpressions {
     override def nullSafeEval(v: Any): Any = {
       val s = v.asInstanceOf[UTF8String].toString
       val out = Array.fill(numHashes)(Long.MaxValue)
-      if (s.length >= shingleSize) {
+      // Shingle by CODE POINTS, not UTF-16 units: Spark's substring/length
+      // and DuckDB's substr both count codepoints, so a surrogate-pair char
+      // (emoji) must be one shingle position here too or the fast path
+      // diverges from the Column form and the oracle on non-BMP text.
+      val cpStarts = {
+        val b = new scala.collection.mutable.ArrayBuffer[Int](s.length + 1)
+        var o = 0
+        while (o < s.length) { b += o; o += Character.charCount(s.codePointAt(o)) }
+        b += s.length
+        b
+      }
+      val nCp = cpStarts.length - 1
+      if (nCp >= shingleSize) {
         val md = MessageDigest.getInstance("MD5")
         val seen = new java.util.HashSet[String]()
         var i = 0
-        val last = s.length - shingleSize
+        val last = nCp - shingleSize
         while (i <= last) {
-          val sh = s.substring(i, i + shingleSize)
+          val sh = s.substring(cpStarts(i), cpStarts(i + shingleSize))
           if (seen.add(sh)) {
             md.reset()
             val d = md.digest(sh.getBytes(StandardCharsets.UTF_8))

@@ -26,9 +26,12 @@ case class TopKAggregate(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKBuffer] {
+  extends TypedImperativeAggregate[TopKBuffer] with ImplicitCastInputTypes {
 
   override def children: Seq[Expression] = Seq(scoreExpr, idExpr)
+  // declared input types: a float score / int id column is cast at analysis
+  // instead of the raw asInstanceOf crashing mid-aggregate
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(TopKAggregate.entryType, containsNull = false)
   override def prettyName: String = "topk"
@@ -38,7 +41,10 @@ case class TopKAggregate(
   override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
     val s = scoreExpr.eval(input)
     val i = idExpr.eval(input)
-    if (s != null && i != null)
+    // NaN scores are unordered under < / == — they would never be evicted
+    // from the heap AND break the sort comparator's contract, so they are
+    // excluded like nulls (a NaN similarity can't rank anywhere meaningful)
+    if (s != null && i != null && !java.lang.Double.isNaN(s.asInstanceOf[Double]))
       buf.insert(s.asInstanceOf[Double], i.asInstanceOf[Long])
     buf
   }

@@ -26,9 +26,14 @@ object VectorExpressions {
   /** cosine_sim(Array[Float], Array[Float]) -> Double. Accumulates in double
     * left-to-right (bit-compatible with the DuckDB DOUBLE[] oracle). */
   case class CosineSimilarity(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression with ImplicitCastInputTypes {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "cosine_sim"
+    // declared input types make the SQL surface safe: an array<double>
+    // literal is cast to array<float> at analysis instead of getFloat()
+    // striding over 8-byte slots and returning garbage
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(FloatType), ArrayType(FloatType))
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
@@ -68,9 +73,11 @@ object VectorExpressions {
 
   /** dot_product(Array[Float], Array[Float]) -> Double. */
   case class DotProduct(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression with ImplicitCastInputTypes {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "dot_product"
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(FloatType), ArrayType(FloatType))
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
@@ -102,9 +109,10 @@ object VectorExpressions {
     * zero maps to 0 — `fast_ops.py:163-175`); packed MSB-first like
     * np.packbits, 32x compression (128-d float32 -> 16 B). */
   case class BinaryQuantize(child: Expression)
-      extends UnaryExpression {
+      extends UnaryExpression with ImplicitCastInputTypes {
     override def dataType: DataType = BinaryType
     override def prettyName: String = "binary_quantize"
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
 
     override def nullSafeEval(v: Any): Any = {
       val x = v.asInstanceOf[ArrayData]
@@ -137,9 +145,10 @@ object VectorExpressions {
 
   /** hamming(Binary, Binary) -> Int: XOR + popcount (`fast_ops.py:231-246`). */
   case class HammingDistance(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression with ImplicitCastInputTypes {
     override def dataType: DataType = IntegerType
     override def prettyName: String = "hamming"
+    override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[Array[Byte]]; val y = b.asInstanceOf[Array[Byte]]
@@ -171,9 +180,11 @@ object VectorExpressions {
     * Per query vector: max over doc vectors of `1 - popcount(xor)/bitlen`;
     * summed (the in-DB `max_sim` SQL fn, `multi_vector_store.py:287-312`). */
   case class MaxSimBinary(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with CodegenFallback with ImplicitCastInputTypes {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "max_sim_binary"
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(BinaryType), ArrayType(BinaryType))
 
     override def nullSafeEval(d: Any, q: Any): Any = {
       val doc = d.asInstanceOf[ArrayData]; val qry = q.asInstanceOf[ArrayData]
@@ -182,18 +193,29 @@ object VectorExpressions {
       var total = 0.0; var qi = 0
       while (qi < nq) {
         val qv = qry.getBinary(qi)
-        val bitlen = qv.length * 8.0
-        var best = Double.MinValue; var di = 0
-        while (di < nd) {
-          val dv = doc.getBinary(di)
-          val n = math.min(qv.length, dv.length)
-          var acc = 0; var i = 0
-          while (i < n) { acc += java.lang.Integer.bitCount((qv(i) ^ dv(i)) & 0xff); i += 1 }
-          val sim = 1.0 - acc / bitlen
-          if (sim > best) best = sim
-          di += 1
+        // null/empty query vector: nothing to match, contributes 0 (a 0/0
+        // division would otherwise poison the total with NaN/-MaxValue)
+        if (qv != null && qv.length > 0) {
+          val bitlen = qv.length * 8.0
+          var best = Double.MinValue; var di = 0
+          while (di < nd) {
+            val dv = doc.getBinary(di)
+            // null/empty doc vector is no match (NOT a perfect one: an
+            // unguarded min-length loop scores it acc=0 -> sim=1.0)
+            val sim =
+              if (dv == null || dv.length == 0) 0.0
+              else {
+                val n = math.min(qv.length, dv.length)
+                var acc = 0; var i = 0
+                while (i < n) { acc += java.lang.Integer.bitCount((qv(i) ^ dv(i)) & 0xff); i += 1 }
+                1.0 - acc / bitlen
+              }
+            if (sim > best) best = sim
+            di += 1
+          }
+          total += best
         }
-        total += best; qi += 1
+        qi += 1
       }
       total
     }
@@ -206,9 +228,11 @@ object VectorExpressions {
     * Double. ColPali scoring: sum over query vectors of max dot product
     * (`fast_multivector_store.py:504-607` exact rescoring). */
   case class MaxSimFloat(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with CodegenFallback with ImplicitCastInputTypes {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "max_sim_float"
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(ArrayType(FloatType)), ArrayType(ArrayType(FloatType)))
 
     override def nullSafeEval(d: Any, q: Any): Any = {
       val doc = d.asInstanceOf[ArrayData]; val qry = q.asInstanceOf[ArrayData]
@@ -217,10 +241,15 @@ object VectorExpressions {
       // Materialize doc vectors once per row (reused across query vectors).
       val docVecs = new Array[Array[Float]](nd)
       var di = 0
-      while (di < nd) { docVecs(di) = doc.getArray(di).toFloatArray(); di += 1 }
+      while (di < nd) {
+        val a = doc.getArray(di) // null element -> zero-vector, not an NPE
+        docVecs(di) = if (a == null) Array.emptyFloatArray else a.toFloatArray()
+        di += 1
+      }
       var total = 0.0; var qi = 0
       while (qi < nq) {
-        val qv = qry.getArray(qi).toFloatArray()
+        val qa = qry.getArray(qi)
+        val qv = if (qa == null) Array.emptyFloatArray else qa.toFloatArray()
         var best = Double.MinValue
         di = 0
         while (di < nd) {

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, explode}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Dedup
 
@@ -130,6 +131,25 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert((0L to 12L).forall(iterative(_) == 0L))
     assert(iterative == unionFind)
+  }
+
+  test("text.lsh_band_keys stays in lockstep with Dedup's exploded band keys") {
+    // two implementations of one formula (the Column array form for
+    // composition, Dedup's constant-index explode for the scale path — the
+    // explode dodges the CollapseProject re-evaluation trap, so they can't
+    // share code): this guard makes silent drift a test failure instead of
+    // a recall drop
+    import graft.functions.text
+    val docs = corpus.limit(5)
+    val viaColumn = docs
+      .select(col("doc_id"),
+        explode(text.lsh_band_keys(
+          text.minhash_signature_fast(text.normalize(col("text")), 16, 5),
+          bands = 4, rowsPerBand = 4)).as("band_key"))
+      .as[(Long, String)].collect().toSet
+    val viaDedup = Dedup.bandIndex(docs, "doc_id", "text")
+      .select(col("id"), col("band_key")).as[(Long, String)].collect().toSet
+    assert(viaColumn == viaDedup)
   }
 
   test("connectedComponents throws instead of returning unconverged labels") {
