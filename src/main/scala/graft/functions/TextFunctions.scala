@@ -114,6 +114,15 @@ object text {
       TextHashExpressions.SimHash48(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(norm)))
 
+  /** One-pass lang-ID + quality struct (lang_guess, quality) — the scale
+    * form of [[lang_id]]+[[quality_score]] (each struct-field reference
+    * re-evaluates the single pass once, vs ~20 tokenize re-evaluations for
+    * the Column compositions). */
+  def lang_quality_fast(norm: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      TextHashExpressions.LangQualityProfile(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(norm)))
+
   /** Hamming distance between two simhash values (64-bit safe). */
   def simhash_hamming(a: Column, b: Column): Column = {
     bit_count(a.bitwiseXOR(b))

@@ -86,6 +86,75 @@ object TextHashExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Single-pass language-ID + quality profile over an ALREADY-NORMALIZED
+    * text → struct<lang_guess: string, quality: double>.
+    *
+    * Why an expression: the Column form (`text.lang_id` + `quality_score`)
+    * embeds a stopword-count subtree per when-branch plus a 4-way
+    * greatest(), and CollapseProject inlines the tokenize pipeline into
+    * every consumer — ~20 re-evaluations per row. This walks the token
+    * stream once. Semantics replicate the Column forms exactly (same
+    * stopword tables, same tie order de/en/es/fr, same double op order in
+    * the quality formula), so the t2/t23 oracles gate both. */
+  case class LangQualityProfile(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    import org.apache.spark.sql.catalyst.InternalRow
+    override def dataType: DataType = StructType(Seq(
+      StructField("lang_guess", StringType, nullable = false),
+      StructField("quality", DoubleType, nullable = false)))
+    override def prettyName: String = "lang_quality_profile"
+
+    @transient private lazy val stopSets: Array[(String, java.util.HashSet[String])] =
+      text.langStopwords.map { case (l, ws) =>
+        val s = new java.util.HashSet[String]()
+        ws.foreach(s.add)
+        (l, s)
+      }.toArray
+
+    override def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[UTF8String].toString
+      val hits = new Array[Int](stopSets.length)
+      val distinct = new java.util.HashSet[String]()
+      var n = 0
+      var start = 0
+      val len = s.length
+      while (start <= len) {
+        val sp = s.indexOf(' ', start)
+        val end = if (sp < 0) len else sp
+        if (end > start) {
+          val tok = s.substring(start, end)
+          n += 1
+          distinct.add(tok)
+          var l = 0
+          while (l < stopSets.length) {
+            if (stopSets(l)._2.contains(tok)) hits(l) += 1
+            l += 1
+          }
+        }
+        start = end + 1
+      }
+      // argmax with first-language tie win (de, en, es, fr — the Column
+      // form's foldRight/when order); zero hits -> "und"
+      var best = 0; var bestL = -1; var l = 0
+      while (l < hits.length) {
+        if (hits(l) > best) { best = hits(l); bestL = l }
+        l += 1
+      }
+      val guess = if (bestL < 0) "und" else stopSets(bestL)._1
+      // EXACT op order of text.quality_score: 0.4*least(1, n/50) +
+      // 0.3*(nd/n | 0) + 0.3*greatest(0, 1 - abs(s_en/n - 0.45)/0.45)
+      val nD = n.toDouble
+      val lenComp = math.min(1.0, nD / 50.0)
+      val diversity = if (n > 0) distinct.size.toDouble / nD else 0.0
+      val stopRatio = if (n > 0) hits(1).toDouble / nD else 0.0 // en = index 1
+      val stopFit = math.max(0.0, 1.0 - math.abs(stopRatio - 0.45) / 0.45)
+      val quality = 0.4 * lenComp + 0.3 * diversity + 0.3 * stopFit
+      InternalRow(UTF8String.fromString(guess), quality)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** 48-bit SimHash over whitespace tokens of an ALREADY-NORMALIZED text:
     * token hash = first 12 md5 hex chars (= 6 bytes); bit b (MSB-first) = 1
     * iff the signed vote sum >= 0. Matches text.simhash48 / the oracle. */

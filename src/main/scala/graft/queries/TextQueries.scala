@@ -53,7 +53,8 @@ object TextQueries {
     val labels = Dedup.connectedComponents(
       Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3))
     val quality = docs.select(col("doc_id").cast("long").as("id"),
-      text.quality_score(col("text")).as("q"))
+      text.lang_quality_fast(text.normalize(col("text")))
+        .getField("quality").as("q"))
     val w = Window.partitionBy("component")
       .orderBy(col("q").desc, col("id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -98,12 +99,16 @@ object TextQueries {
       text.fingerprint(col("text")).as("fingerprint"))
       .orderBy("doc_id")
 
-  def langQuality(spark: SparkSession, dir: String): DataFrame =
+  def langQuality(spark: SparkSession, dir: String): DataFrame = {
+    // single-pass expression form; the Column twins lang_id/quality_score
+    // share this oracle (equivalence also spec-asserted in TextHashSpec)
+    val p = text.lang_quality_fast(text.normalize(col("text")))
     Tables.documents(spark, dir).select(
       col("doc_id"),
-      text.lang_id(col("text")).as("lang_guess"),
-      text.quality_score(col("text")).as("quality"))
+      p.getField("lang_guess").as("lang_guess"),
+      p.getField("quality").as("quality"))
       .orderBy("doc_id")
+  }
 
   /** Exact dedup on a normalized 60-char prefix key (the full texts are
     * unique in this corpus; prefix dedup mirrors near-boilerplate removal).

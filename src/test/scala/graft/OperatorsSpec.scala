@@ -160,4 +160,26 @@ class OperatorsSpec extends AnyFunSuite {
     // doc1 tf=3 -> 0.075 beats tf=1 -> 0.05; docs 2,3 tie on rank, newer first
     assert(out == Seq(1L, 2L, 3L))
   }
+
+  test("lang_quality_fast equals the Column lang_id/quality_score forms exactly") {
+    import graft.functions.text
+    val docs = Seq(
+      (1L, "the cat and the dog sat on it and that is that"), // en-heavy
+      (2L, "der Hund und die Katze ist nicht ein zu"),        // de-heavy
+      (3L, "zzz qqq www"),                                    // no stopwords -> und
+      (4L, ""),                                               // empty -> und, n=0
+      (5L, "de la le et est un"),                             // es/fr tie -> first in order
+      (6L, "  spaced   out   THE   and  ")                    // normalize matters
+    ).toDF("doc_id", "text")
+    val p = text.lang_quality_fast(text.normalize(col("text")))
+    val fast = docs.select(col("doc_id"),
+      p.getField("lang_guess").as("g"), p.getField("quality").as("q"))
+      .as[(Long, String, Double)].collect().map { case (i, g, q) => i -> (g, q) }.toMap
+    val slow = docs.select(col("doc_id"),
+      text.lang_id(col("text")).as("g"), text.quality_score(col("text")).as("q"))
+      .as[(Long, String, Double)].collect().map { case (i, g, q) => i -> (g, q) }.toMap
+    // bit-exact: same stopword tables, same tie order, same double op order
+    assert(fast == slow)
+    assert(fast(3L)._1 == "und" && fast(4L)._1 == "und")
+  }
 }
