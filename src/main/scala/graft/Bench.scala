@@ -79,22 +79,44 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] warmup $n FAILED: $e") }
       System.err.println(f"[bench] warmup $n ${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
-    // Steady-state latency: best of two measured runs (GC/JIT noise between
-    // queries in the shared JVM otherwise dominates the small-SF timings).
+    // Steady-state latency: MEDIAN of three measured runs. A single best-of-2
+    // could not reject driver-box contention in round 4 (an unchanged
+    // single-scan aggregate read 13x its quiet-box time); the median plus the
+    // recorded min/median spread makes the artifact self-defending — a
+    // contaminated run shows spread > 2x and a loud CONTENTION? marker
+    // instead of silently reporting load as a regression.
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      catch { case _: Throwable => "unavailable" }
+    val loadBefore = loadavg()
     val results = headline.map { name =>
-      val dt = (1 to 2).map { _ =>
+      val samples = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try run(name) catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: $e"); -1L }
         (System.nanoTime() - t0) / 1e9
-      }.min
-      System.err.println(f"[bench] $name $dt%.2fs")
-      name -> dt
+      }.sorted
+      val median = samples(samples.size / 2)
+      val spread = if (samples.head > 0) median / samples.head else 1.0
+      if (spread > 2.0)
+        System.err.println(f"[bench] CONTENTION? $name median $median%.2fs is " +
+          f"${spread}%.1fx its min ${samples.head}%.2fs — box under load?")
+      System.err.println(f"[bench] $name median $median%.2fs min ${samples.head}%.2fs")
+      (name, median, samples.head)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+    val loadAfter = loadavg()
+    val qs = results.map { case (k, med, _) => "\"" + k + f"""\":$med%.3f""" }
+      .mkString("{", ",", "}")
+    val mins = results.map { case (k, _, mn) => "\"" + k + f"""\":$mn%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val totalMin = results.map(_._3).sum
+    val worstSpread =
+      results.collect { case (_, med, mn) if mn > 0 => med / mn }.foldLeft(1.0)(math.max)
+    if (worstSpread > 2.0)
+      System.err.println(f"[bench] CONTENTION? worst per-query median/min spread " +
+        f"$worstSpread%.1fx — treat totals as upper bounds, compare query_min")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":3,"stat":"median","queries_min":$mins,"total_min":$totalMin%.3f,"worst_spread":$worstSpread%.2f,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}""")
     spark.stop()
   }
 }

@@ -111,6 +111,15 @@ object TextHashExpressions {
         (l, s)
       }.toArray
 
+    /** English index resolved by NAME — the quality formula's stopword
+      * ratio is en-specific and must survive a langStopwords reorder or a
+      * new language being added. */
+    @transient private lazy val enIdx: Int = {
+      val i = stopSets.indexWhere(_._1 == "en")
+      require(i >= 0, "langStopwords must contain an 'en' entry")
+      i
+    }
+
     override def nullSafeEval(v: Any): Any = {
       val s = v.asInstanceOf[UTF8String].toString
       val hits = new Array[Int](stopSets.length)
@@ -146,7 +155,7 @@ object TextHashExpressions {
       val nD = n.toDouble
       val lenComp = math.min(1.0, nD / 50.0)
       val diversity = if (n > 0) distinct.size.toDouble / nD else 0.0
-      val stopRatio = if (n > 0) hits(1).toDouble / nD else 0.0 // en = index 1
+      val stopRatio = if (n > 0) hits(enIdx).toDouble / nD else 0.0
       val stopFit = math.max(0.0, 1.0 - math.abs(stopRatio - 0.45) / 0.45)
       val quality = 0.4 * lenComp + 0.3 * diversity + 0.3 * stopFit
       InternalRow(UTF8String.fromString(guess), quality)

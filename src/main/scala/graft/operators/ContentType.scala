@@ -100,7 +100,19 @@ object ContentType {
         dec.decode(java.nio.ByteBuffer.wrap(sample)).toString
       } catch { case _: Exception => return false }
     if (decoded.isEmpty) return true
-    val printable = decoded.count(ch => !ch.isControl || ch.isWhitespace)
+    // Python `ch.isprintable() or ch.isspace()`: separators (Zs/Zl/Zp) and
+    // whitespace pass via isspace; everything in the Other categories
+    // (Cc control, Cf format — ZWSP/ZWJ/BOM, Cs surrogate, Co private-use,
+    // Cn unassigned) is NOT printable. Java's isControl-only test counted
+    // Cf chars as printable and could flip texts near the 0.9 boundary.
+    val printable = decoded.count { ch =>
+      ch.isWhitespace || Character.isSpaceChar(ch) || {
+        val t = Character.getType(ch)
+        t != Character.CONTROL && t != Character.FORMAT &&
+        t != Character.SURROGATE && t != Character.PRIVATE_USE &&
+        t != Character.UNASSIGNED
+      }
+    }
     printable.toDouble / decoded.length >= 0.9
   }
 
@@ -118,7 +130,9 @@ object ContentType {
         if (i >= 0 && i < f.length - 1) extMimes.get(f.substring(i + 1).toLowerCase)
         else None
       })
-      .orElse(content.filter(looksLikeText(_)).map(_ => "text/plain"))
+      // empty bytes are falsy in the reference's `if content and
+      // _looks_like_text(content)` — they must fall through to octet-stream
+      .orElse(content.filter(_.nonEmpty).filter(looksLikeText(_)).map(_ => "text/plain"))
       .getOrElse("application/octet-stream")
   }
 

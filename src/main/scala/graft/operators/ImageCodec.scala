@@ -51,6 +51,46 @@ object ImageCodec {
       }
     } catch { case _: Exception => fallback(bytes, mime) }
 
+  /** `_is_blank_image` (`ingestion_service.py:1396-1403`): grayscale via
+    * PIL's "L" luma — the EXACT fixed-point integer form PIL's convert.c
+    * uses, `(R·19595 + G·38470 + B·7471) >> 16` (ITU-R 601-2 weights in
+    * 16.16, truncating) — blank iff `lightest - darkest <= tolerance`.
+    * A zero-pixel image (PIL getextrema → None) is blank. Early-exits the
+    * pixel walk the moment the spread exceeds the tolerance — on real page
+    * renders (mostly non-blank) this touches a handful of pixels, not W×H. */
+  def isBlank(img: BufferedImage, tolerance: Int = 2): Boolean = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    if (w == 0 || h == 0) return true
+    var min = 255; var max = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val l = (((rgb >> 16) & 0xff) * 19595 + ((rgb >> 8) & 0xff) * 38470 +
+          (rgb & 0xff) * 7471) >> 16
+        if (l < min) min = l
+        if (l > max) max = l
+        if (max - min > tolerance) return false
+        x += 1
+      }
+      y += 1
+    }
+    true
+  }
+
+  /** `_is_blank_image_bytes` (`ingestion_service.py:1405-1414`): empty
+    * bytes are blank; bytes that fail to decode are NOT blank (the
+    * reference warns and keeps the page rather than silently dropping
+    * content it could not inspect). */
+  def isBlankBytes(bytes: Array[Byte], tolerance: Int = 2): Boolean = {
+    if (bytes == null || bytes.isEmpty) return true
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) false else isBlank(img, tolerance)
+    } catch { case _: Exception => false }
+  }
+
   private def fallback(bytes: Array[Byte], mime: String): Normalized =
     Normalized(s"data:$mime;base64," + Base64.getEncoder.encodeToString(bytes),
       -1, -1, resized = false, decoded = false)
@@ -86,5 +126,27 @@ object ImageCodec {
         Row.fromSeq(r.toSeq ++ Seq(n.dataUri, n.width, n.height, n.resized, n.decoded))
       }
     }(enc)
+  }
+
+  /** Distributed blank-page gate — the ColPali ingest chain's
+    * pre-embedding filter (`ingestion_service.py:1435-1437,1617,1677`:
+    * every rendered page is blank-checked before it reaches the embedder;
+    * a blank page would waste a GPU batch slot AND plant a junk vector in
+    * the index). Adds `is_blank` from a binary column. */
+  def flagBlankColumn(df: DataFrame, bytesCol: String, tolerance: Int = 2): DataFrame = {
+    val schema = df.schema.add("is_blank", BooleanType, nullable = false)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val bIdx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        Row.fromSeq(r.toSeq :+ isBlankBytes(r.getAs[Array[Byte]](bIdx), tolerance))
+      }
+    }(enc)
+  }
+
+  /** Drop-the-blanks form for the S10/S11 page-image chunk path. */
+  def dropBlankPages(df: DataFrame, bytesCol: String, tolerance: Int = 2): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    flagBlankColumn(df, bytesCol, tolerance).filter(!col("is_blank")).drop("is_blank")
   }
 }

@@ -143,11 +143,19 @@ object Listing {
           val bareMetadata = fields.exists(_.trim == "metadata")
           val metaSubRequested = !bareMetadata &&
             fields.exists(_.trim.startsWith("metadata."))
+          val metaIsMap = has("metadata") && (df.schema("metadata").dataType match {
+            case _: org.apache.spark.sql.types.MapType => true
+            case _ => false
+          })
+          // For struct metadata, key existence is a schema fact — filter at
+          // plan time. For MAP metadata it is a per-row fact (the reference
+          // projects the subkey from JSONB regardless); keep every requested
+          // key and let map_filter drop the per-row absentees below.
           val metaSub =
             if (bareMetadata) Nil
             else fields.map(_.trim).filter(_.startsWith("metadata."))
-              .map(_.stripPrefix("metadata."))
-              .filter(k => has("metadata") && structKeys("metadata")(k))
+              .map(_.stripPrefix("metadata.")).filter(_.nonEmpty).distinct
+              .filter(k => has("metadata") && (metaIsMap || structKeys("metadata")(k)))
           /** null containers normalize to empty like the reference's
             * row_to_dict (map/array roots only; a struct has no natural
             * empty value and stays null). */
@@ -168,9 +176,14 @@ object Listing {
               // in the schema the root is dropped entirely (the reference's
               // dict walk sets nothing — emitting the full column here
               // would leak every other key AND defeat the pruning)
-              if (metaSub.nonEmpty)
-                cols += struct(metaSub.map(k => col(s"metadata.$k").as(k)): _*)
-                  .as("metadata")
+              if (metaSub.nonEmpty) {
+                if (metaIsMap)
+                  cols += map_filter(col("metadata"),
+                    (k, _) => k.isin(metaSub: _*)).as("metadata")
+                else
+                  cols += struct(metaSub.map(k => col(s"metadata.$k").as(k)): _*)
+                    .as("metadata")
+              }
             case r if has(r) => cols += normalized(r)
             case _ => // unknown/missing root: reference's dict walk drops it
           }

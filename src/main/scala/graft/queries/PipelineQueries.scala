@@ -28,6 +28,7 @@ object PipelineQueries {
     "m1_media_decode" -> ((s, d) => mediaDecode(s, d)),
     "x1_xml_chunks" -> ((s, d) => xmlChunks(s, d)),
     "m2_frame_sample" -> ((s, d) => frameSample(s, d)),
+    "m3_blank_pages" -> ((s, d) => blankPages(s, d)),
     "r1_rerank" -> ((s, d) => rerank(s, d)),
     "r2_context_assembly" -> ((s, d) => contextAssembly(s, d)),
     "r3_augmented_content" -> ((s, d) => augmentedContent(s, d)),
@@ -163,6 +164,49 @@ object PipelineQueries {
     Multimodal.sampleFrames(Multimodal.decode(media(spark, dir)), stepSec = 30)
       .select(col("media_id"), col("frame_number"), col("ts"))
       .orderBy("media_id", "frame_number")
+
+  /** S10's blank-page gate (`_is_blank_image_bytes`,
+    * `ingestion_service.py:1396-1414`) on REAL rendered bytes: each doc
+    * becomes a tiny PNG checkerboard of luma g = doc_id % 200 and
+    * g + (doc_id % 5), so the grayscale extrema spread IS doc_id % 5 and
+    * "blank" (spread ≤ 2) is an arithmetic fact the oracle reproduces.
+    * doc_id % 7 == 0 plants empty bytes (→ blank) and % 7 == 1 plants
+    * undecodable bytes (→ kept: the reference refuses to drop a page it
+    * could not inspect) — all three reference branches value-checked
+    * through real PNG encode/decode. */
+  def blankPages(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id")).as[Long]
+    val withBytes = docs.map { id =>
+      val bytes: Array[Byte] =
+        if (id % 7 == 0) Array.emptyByteArray
+        else if (id % 7 == 1) Array.fill[Byte](16)(0x2a)
+        else {
+          val g = (id % 200).toInt
+          val s = (id % 5).toInt
+          val img = new java.awt.image.BufferedImage(
+            8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              val v = if ((x + y) % 2 == 0) g else g + s
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          bos.toByteArray
+        }
+      (id, bytes)
+    }.toDF("doc_id", "page_png")
+    graft.operators.ImageCodec.flagBlankColumn(withBytes, "page_png")
+      .select(col("doc_id"), col("is_blank"))
+      .orderBy("doc_id")
+  }
 
   /** Q6: KNN oversample (k=5 -> 15 candidates) then cross-encoder-shaped
     * rerank (deterministic token-overlap stand-in). */
@@ -391,6 +435,12 @@ object PipelineQueries {
         |FROM v, generate_series(0, 100) AS t(f)
         |WHERE f <= dur // 30
         |ORDER BY media_id, frame_number""".stripMargin,
+    "m3_blank_pages" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN true
+        |       WHEN doc_id % 7 = 1 THEN false
+        |       ELSE (doc_id % 5) <= 2 END AS is_blank
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
     "r1_rerank" ->
       s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
          |hits AS (

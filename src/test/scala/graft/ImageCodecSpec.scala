@@ -57,6 +57,58 @@ class ImageCodecSpec extends AnyFunSuite {
       "data:image/heic;base64," + Base64.getEncoder.encodeToString(junk))
   }
 
+  /** Flat PNG with one pixel raised by `spread` luma steps. */
+  private def flatPng(base: Int, spread: Int, w: Int = 6, h: Int = 6): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) {
+      val v = if (x == 0 && y == 0) base + spread else base
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("isBlank: uniform and within-tolerance images are blank, spread 3 is not") {
+    assert(ImageCodec.isBlankBytes(flatPng(200, 0)))
+    assert(ImageCodec.isBlankBytes(flatPng(200, 2)))   // exactly at tolerance
+    assert(!ImageCodec.isBlankBytes(flatPng(200, 3)))  // one past tolerance
+    assert(ImageCodec.isBlankBytes(flatPng(200, 3), tolerance = 5))
+  }
+
+  test("isBlank: luma uses PIL's 16.16 ITU-R 601-2 weights, not channel extrema") {
+    // R=10,G=0,B=0 vs R=0,G=0,B=26: channel spreads are large but the
+    // lumas are (10*19595)>>16 = 2 and (26*7471)>>16 = 2 → blank
+    val img = new BufferedImage(2, 1, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 10 << 16)
+    img.setRGB(1, 0, 26)
+    assert(ImageCodec.isBlank(img))
+    // G=6 alone → luma (6*38470)>>16 = 3 vs 0 → spread 3 → not blank
+    val img2 = new BufferedImage(2, 1, BufferedImage.TYPE_INT_RGB)
+    img2.setRGB(0, 0, 0)
+    img2.setRGB(1, 0, 6 << 8)
+    assert(!ImageCodec.isBlank(img2))
+  }
+
+  test("isBlankBytes: empty bytes blank; undecodable bytes kept (not blank)") {
+    assert(ImageCodec.isBlankBytes(Array.emptyByteArray))
+    assert(ImageCodec.isBlankBytes(null))
+    assert(!ImageCodec.isBlankBytes(Array[Byte](9, 9, 9, 9)))
+  }
+
+  test("dropBlankPages removes blank renders and keeps uninspectable ones") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, flatPng(128, 0)),            // blank
+      (2L, flatPng(128, 4)),            // content
+      (3L, Array.emptyByteArray),       // empty render → blank
+      (4L, Array[Byte](7, 7, 7)))       // undecodable → kept
+      .toDF("page_id", "png")
+    val kept = ImageCodec.dropBlankPages(df, "png")
+      .select("page_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 4L))
+  }
+
   test("normalizeColumn runs the codec per partition over binary columns") {
     import spark.implicits._
     val df = Seq(
