@@ -31,6 +31,7 @@ object Bench {
     "v1_knn_topk", "v2_knn_batch", "v10_emb_lsh_neardups", "v5_maxsim_float",
     "v7_ivf_knn", "v9_fde_twophase", "v11_fde_ivf", "v12_pq_adc",
     "t4_minhash_lsh", "t5_simhash", "t6_simhash_neardups", "t8_bpe_tokens",
+    "t25_bpe_encode",
     "e1_asof_join", "e3_window_agg", "e4_asof_nearest", "e5_interval_join",
     "e6_sessionize",
     "c1_chunks_fixed", "s1_search_docs", "u1_upsert",

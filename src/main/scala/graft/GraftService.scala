@@ -110,8 +110,13 @@ object GraftService {
         Serving.rerank(hits, chunks.docIdCol, chunks.contentCol, req.queryText, req.k)
           .withColumn("score", col("rerank_score"))
       else hits
+    // ColPali padding is image-only (`_apply_padding_to_chunks`,
+    // `document_service.py:554-688`): text hits drop out, padding rows
+    // must be images, matched scores survive, padding scores 0.0, final
+    // order (-score, doc, chunk).
     if (req.padding > 0)
-      Padding.expand(ranked, chunks.df, req.padding, chunks.docIdCol, chunks.chunkNoCol)
+      Padding.expandImages(ranked, chunks.df, req.padding,
+        chunks.docIdCol, chunks.chunkNoCol, chunks.contentCol, chunks.metaCol)
     else ranked
   }
 

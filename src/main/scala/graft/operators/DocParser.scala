@@ -521,6 +521,121 @@ object DocParser {
     (sb.toString, i)
   }
 
+  // ------------------------------------------------- deep-parse fallback
+
+  /** Pluggable deep-parse stage — the reference's EasyOCR/"accurate
+    * tables" Docling slot (`morphik_parser.py:527-651`
+    * `parse_file_to_text_deep`). */
+  trait DeepStage extends Serializable {
+    def parse(filename: String, bytes: Array[Byte]): String
+  }
+
+  /** Default: no deep parser configured (the reference's
+    * `getattr(..., None)` branch — the ladder skips straight to
+    * accept-and-mark). */
+  object NoDeepStage extends DeepStage {
+    def parse(filename: String, bytes: Array[Byte]): String = ""
+  }
+
+  /** Deterministic deep-parse stand-in: extracts printable-ASCII runs of
+    * >= `minRun` bytes (the classic `strings` scan) — the shape of what an
+    * OCR pass recovers from a binary container, without native OCR libs.
+    * Real deployments replace this with an actual OCR/layout stage. */
+  case class StringsDeepStage(minRun: Int = 4) extends DeepStage {
+    def parse(filename: String, bytes: Array[Byte]): String = {
+      val runs = Seq.newBuilder[String]
+      val sb = new StringBuilder
+      var i = 0
+      while (i <= bytes.length) {
+        val printable = i < bytes.length && bytes(i) >= 0x20 && bytes(i) < 0x7f
+        if (printable) sb.append(bytes(i).toChar)
+        else {
+          if (sb.length >= minRun) runs += sb.toString
+          sb.clear()
+        }
+        i += 1
+      }
+      runs.result().mkString("\n")
+    }
+  }
+
+  /** Reference's accept-but-mark warning text (`ingestion_worker.py:883`). */
+  val NoContentWarning: String =
+    "No content chunks (text or image) could be extracted from the document. " +
+      "The document was saved successfully but will not be searchable until " +
+      "content can be extracted."
+
+  /** Ladder outcome: cleaned text + which rung produced it + the
+    * `system_metadata.content_extraction_status` / `_warning` marks the
+    * reference writes. `path` is engine-side observability
+    * (native | text_fallback | deep | none); the reference only persists
+    * the two status marks. */
+  case class ParseResult(text: String, path: String,
+                         extractionStatus: Option[String],
+                         warning: Option[String])
+
+  /** Scalar C4 clean (`clean_control_chars`, `fast_ops.py:289-304`) —
+    * applied to every rung's output like the worker does. */
+  private def cleanChars(s: String): String =
+    s.replaceAll("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f\\x80-\\x9f]", "")
+
+  /** The graded parse ladder (`ingestion_worker.py:777-905`): empty native
+    * parse → text-decode fallback → pluggable deep stage → accept-but-mark
+    * `no_content_extracted`. The text rung is gated on
+    * [[ContentType.looksLikeText]] (strict UTF-8, >=90% printable):
+    * Latin-1 "successfully" decodes any byte string, so an ungated decode
+    * would index mojibake from binary junk — the reference's equivalent
+    * gate is Docling simply failing on non-text bytes. Deep success marks
+    * `deep_fallback_succeeded` (`:853-855`); total failure accepts the doc
+    * with `no_content_extracted` + warning (`:880-895`) rather than
+    * failing the job. */
+  def parseWithFallback(filename: String, bytes: Array[Byte],
+                        deep: DeepStage = NoDeepStage,
+                        stage: Stage = NativeStage): ParseResult = {
+    val native = cleanChars(
+      try stage.parse(filename, bytes) catch { case _: Exception => "" })
+    if (native.trim.nonEmpty) ParseResult(native, "native", None, None)
+    else {
+      val textFb =
+        if (bytes != null && bytes.nonEmpty && ContentType.looksLikeText(bytes))
+          cleanChars(decodeText(bytes))
+        else ""
+      if (textFb.trim.nonEmpty) ParseResult(textFb, "text_fallback", None, None)
+      else {
+        val deepText = cleanChars(
+          try deep.parse(filename, bytes) catch { case _: Exception => "" })
+        if (deepText.trim.nonEmpty)
+          ParseResult(deepText, "deep", Some("deep_fallback_succeeded"), None)
+        else
+          ParseResult("", "none", Some("no_content_extracted"),
+            Some(NoContentWarning))
+      }
+    }
+  }
+
+  /** Distributed ladder: adds (`outCol`, parse_path, extraction_status,
+    * extraction_warning) from (filename, bytes). */
+  def parseColumnWithFallback(df: DataFrame, filenameCol: String,
+                              bytesCol: String, outCol: String,
+                              deep: DeepStage = NoDeepStage,
+                              stage: Stage = NativeStage): DataFrame = {
+    val schema = df.schema.add(outCol, StringType, nullable = false)
+      .add("parse_path", StringType, nullable = false)
+      .add("extraction_status", StringType, nullable = true)
+      .add("extraction_warning", StringType, nullable = true)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val fIdx = df.schema.fieldIndex(filenameCol)
+    val bIdx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val p = parseWithFallback(r.getString(fIdx), r.getAs[Array[Byte]](bIdx),
+          deep, stage)
+        Row.fromSeq(r.toSeq ++ Seq(p.text, p.path,
+          p.extractionStatus.orNull, p.warning.orNull))
+      }
+    }(enc)
+  }
+
   // ---------------------------------------------------------- spark wiring
 
   /** Distributed parse: adds `outCol` string column from (filename, bytes)

@@ -82,3 +82,15 @@ case class HttpMultiVectorEmbedder(endpoint: String, dim: Int,
     try embedBatch(HttpWire.newClient(timeoutSec), Seq(s)).head
     catch { case _: Exception => Array.empty }
 }
+
+/** Deterministic fixture/CI embedder: a fixed query multivector (oracle
+  * queries and specs drive the retrieval pipeline with it — the GPU model
+  * server is external by design). Column embedding attaches the same
+  * literal. */
+case class FixedMultiVectorEmbedder(vecs: Seq[Seq[Float]]) extends MultiVectorEmbedder {
+  override def dim: Int = vecs.headOption.map(_.length).getOrElse(0)
+  override def embedMulti(df: DataFrame, textCol: String, outCol: String): DataFrame =
+    df.withColumn(outCol, org.apache.spark.sql.functions.typedLit(vecs))
+  override def embedTextMulti(s: String): Array[Array[Float]] =
+    vecs.map(_.toArray).toArray
+}

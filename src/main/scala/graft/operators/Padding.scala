@@ -38,28 +38,61 @@ object Padding {
       .orderBy(col("score").desc, col(docCol).asc, col(numCol).asc)
   }
 
-  /** Q9 grouping: attach each padding row to its nearest main hit in the
-    * same doc (reference groups a main match with its ±p neighbors);
-    * emits (doc, main_chunk_number, members sorted by chunk_number). */
+  /** `_is_image_chunk` (`document_service.py:578-589`): an explicit
+    * boolean `is_image` metadata flag wins; otherwise content starting
+    * with "data" (a data URI) counts as an image. (The storage-key
+    * extension branch is serving-side path sniffing; chunk payloads here
+    * are inline.) */
+  def isImageChunk(content: Column, meta: Column): Column = {
+    val flag = meta.getItem("is_image")
+    when(flag.isNotNull, flag === "true")
+      .otherwise(coalesce(content.startsWith("data"), lit(false)))
+  }
+
+  /** `_apply_padding_to_chunks` (`document_service.py:554-688`), the
+    * ColPali arm's padding: padding applies to IMAGE chunks only — text
+    * hits are dropped when padding is on (pages are the padding unit, and
+    * a text chunk has no page neighbors), and padding rows fetched from
+    * the chunk table must themselves be images. No image hits → empty
+    * result, which the filter composition yields naturally. */
+  def expandImages(hits: DataFrame, chunks: DataFrame, padding: Int,
+                   docCol: String = "document_id", numCol: String = "chunk_number",
+                   contentCol: String = "content", metaCol: String = "metadata"): DataFrame =
+    expand(
+      hits.filter(isImageChunk(col(contentCol), col(metaCol))),
+      chunks.filter(isImageChunk(col(contentCol), col(metaCol))),
+      padding, docCol, numCol)
+
+  /** Q9 grouping (`document_service.py:728-763`): each padding chunk is
+    * claimed by the FIRST main hit within ±p in the reference's iteration
+    * order — mains sorted (score desc, chunk asc), i.e. a higher-scored
+    * main wins a contested padding chunk even when another main is nearer.
+    * Mains always head their own group. Emits
+    * (doc, main_chunk, members sorted by chunk_number = before/main/after
+    * display order, score). */
   def group(expanded: DataFrame, padding: Int,
             docCol: String = "document_id", numCol: String = "chunk_number"): DataFrame = {
     val mains = expanded.filter(!col("is_padding"))
-      .select(col(docCol), col(numCol).as("main_chunk"))
-    val members = expanded.alias("e")
+      .select(col(docCol), col(numCol).as("main_chunk"),
+        col("score").as("main_score"))
+    val selfRows = expanded.filter(!col("is_padding"))
+      .select(col(docCol), col(numCol), col(numCol).as("main_chunk"),
+        lit(false).as("is_padding"), col("score"))
+    val padRows = expanded.filter(col("is_padding")).alias("e")
       .join(broadcast(mains).alias("m"),
         col(s"e.$docCol") === col(s"m.$docCol") &&
           abs(col(s"e.$numCol") - col("main_chunk")) <= padding)
-      // a padding chunk between two mains attaches to the nearest (ties ->
-      // lower main_chunk)
-      .withColumn("dist", abs(col(s"e.$numCol") - col("main_chunk")))
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col(s"e.$docCol"), col(s"e.$numCol"))
-          .orderBy(col("dist"), col("main_chunk"))))
+          .orderBy(col("main_score").desc, col("main_chunk").asc)))
       .filter(col("rk") === 1)
-    members
-      .groupBy(col(s"e.$docCol").as(docCol), col("main_chunk"))
-      .agg(sort_array(collect_list(col(s"e.$numCol"))).as("member_chunks"),
+      .select(col(s"e.$docCol").as(docCol), col(s"e.$numCol").as(numCol),
+        col("main_chunk"), lit(true).as("is_padding"),
+        col(s"e.score").as("score"))
+    selfRows.unionByName(padRows)
+      .groupBy(col(docCol), col("main_chunk"))
+      .agg(sort_array(collect_list(col(numCol))).as("member_chunks"),
         max(when(!col("is_padding"), col("score"))).as("score"))
   }
 }

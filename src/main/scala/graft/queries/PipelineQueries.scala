@@ -24,6 +24,7 @@ object PipelineQueries {
     "p2_office_ingest" -> ((s, d) => officeIngest(s, d)),
     "p3_pdf_ingest" -> ((s, d) => pdfIngest(s, d)),
     "p4_pdf_pages" -> ((s, d) => pdfPages(s, d)),
+    "p5_parse_ladder" -> ((s, d) => parseLadder(s, d)),
     "b1_datauri" -> ((s, d) => dataUri(s, d)),
     "m1_media_decode" -> ((s, d) => mediaDecode(s, d)),
     "x1_xml_chunks" -> ((s, d) => xmlChunks(s, d)),
@@ -126,6 +127,41 @@ object PipelineQueries {
       md5(col("page_text")).as("page_md5"),
       length(col("page_text")).cast("long").as("page_len"))
       .orderBy("doc_id", "page_number")
+  }
+
+  /** The deep-parse fallback ladder (`ingestion_worker.py:777-905`) with
+    * every rung planted by doc_id % 4: 0 → a real PDF (native parse wins);
+    * 1 → printable bytes under a .pdf name (native parse empty → text
+    * fallback recovers); 2 → binary junk with an embedded ASCII run (text
+    * gate refuses, the strings-scan deep stage recovers →
+    * `deep_fallback_succeeded`); 3 → pure binary junk (all rungs fail →
+    * accept-but-mark `no_content_extracted` + warning). Texts, statuses,
+    * and warnings are all arithmetic facts of doc_id the oracle
+    * reproduces. */
+  def parseLadder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val withBytes = docs.map { case (id, text) =>
+      val bytes: Array[Byte] = (id % 4) match {
+        case 0 => graft.sources.OfficeFixtures.pdf(
+          Seq(text.substring(0, math.min(40, text.length))), compress = false)
+        case 1 => ("FALLBACK " + text.substring(0, math.min(30, text.length)))
+          .getBytes("UTF-8")
+        case 2 => Array[Byte](-1, 0, -1, 0) ++
+          s"DEEPRECOVERED$id".getBytes("US-ASCII") ++ Array[Byte](0, -1)
+        case _ => Array.tabulate[Byte](16)(i => if (i % 2 == 0) -1 else 0)
+      }
+      (id, "doc.pdf", bytes)
+    }.toDF("doc_id", "filename", "bytes")
+    graft.operators.DocParser.parseColumnWithFallback(
+      withBytes, "filename", "bytes", "parsed",
+      deep = graft.operators.DocParser.StringsDeepStage(4))
+      .select(col("doc_id"), col("parse_path"), col("extraction_status"),
+        col("extraction_warning").isNotNull.as("has_warning"),
+        md5(col("parsed")).as("text_md5"),
+        length(col("parsed")).cast("long").as("text_len"))
+      .orderBy("doc_id")
   }
 
   /** C6 base64/data-URI codecs (`fast_ops.py:48-97` bytes_to_data_uri):
@@ -406,6 +442,23 @@ object PipelineQueries {
         |SELECT doc_id, page_number::BIGINT AS page_number, md5(txt) AS page_md5,
         |  len(txt)::BIGINT AS page_len
         |FROM p ORDER BY doc_id, page_number""".stripMargin,
+    "p5_parse_ladder" ->
+      """WITH t AS (SELECT doc_id, text, doc_id % 4 AS m
+        |           FROM documents WHERE doc_id < 200),
+        |x AS (SELECT doc_id,
+        |  CASE m WHEN 0 THEN 'native' WHEN 1 THEN 'text_fallback'
+        |         WHEN 2 THEN 'deep' ELSE 'none' END AS parse_path,
+        |  CASE m WHEN 2 THEN 'deep_fallback_succeeded'
+        |         WHEN 3 THEN 'no_content_extracted' END AS extraction_status,
+        |  m = 3 AS has_warning,
+        |  CASE m WHEN 0 THEN substr(text, 1, 40)
+        |         WHEN 1 THEN 'FALLBACK ' || substr(text, 1, 30)
+        |         WHEN 2 THEN 'DEEPRECOVERED' || doc_id
+        |         ELSE '' END AS txt
+        |  FROM t)
+        |SELECT doc_id, parse_path, extraction_status, has_warning,
+        |  md5(txt) AS text_md5, len(txt)::BIGINT AS text_len
+        |FROM x ORDER BY doc_id""".stripMargin,
     "b1_datauri" ->
       """WITH u AS (SELECT doc_id, text,
         |    'data:text/plain;base64,' || to_base64(encode(text)) AS uri

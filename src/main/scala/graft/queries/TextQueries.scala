@@ -23,6 +23,7 @@ object TextQueries {
     "t6_simhash_neardups" -> ((s, d) => simhashNearDups(s, d)),
     "t7_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
     "t8_bpe_tokens" -> ((s, d) => bpeTokens(s, d)),
+    "t25_bpe_encode" -> ((s, d) => bpeEncode(s, d)),
     "t9_lsh_keeplist" -> ((s, d) => lshKeepList(s, d)),
     "t17_components" -> ((s, d) => components(s, d)),
     "t23_keep_best" -> ((s, d) => keepBest(s, d)),
@@ -90,6 +91,21 @@ object TextQueries {
       col("doc_id"),
       text.bpe_token_count(col("text")).cast("long").as("n_bpe"),
       text.token_count(col("text")).cast("long").as("n_ws"))
+      .orderBy("doc_id")
+
+  /** REAL greedy BPE (t8's regex estimate upgraded to the actual
+    * merge-table algorithm) over the FULL corpus text, tokenized against
+    * [[graft.functions.BpeTokenizer.FixtureMerges]]. The DuckDB oracle
+    * replays the whole greedy merge loop per word via a recursive CTE
+    * (lowest-rank-present pair each step, all occurrences merged), and the
+    * md5 over the '|'-joined token stream value-checks every merge
+    * decision of every word — not just the counts. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.BpeTokenizer.bpe_encode(lower(col("text"))).as("tokens"))
+      .select(col("doc_id"), size(col("tokens")).cast("long").as("n_tokens"),
+        md5(concat_ws("|", col("tokens"))).as("tok_md5"))
       .orderBy("doc_id")
 
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
@@ -324,6 +340,44 @@ object TextQueries {
          |bm AS (SELECT k, min(doc_id) AS m FROM bk GROUP BY k)
          |SELECT bk.doc_id AS id, min(bm.m) AS keep_id
          |FROM bk JOIN bm USING (k) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t25_bpe_encode" -> {
+      // CASE/OR chains generated from the SAME merges literal the Spark
+      // expression uses — one source of truth for the rule table. The
+      // separator-aware replace (' a  b ' -> ' ab ' on a double-space
+      // joined, space-padded symbol string) merges every non-overlapping
+      // occurrence exactly like the Scala scan (a != b guaranteed by
+      // FixtureMerges), and the CASE order IS the rank order, so each
+      // recursion step merges the lowest-rank pair present — the greedy
+      // BPE loop, replayed.
+      val merges = graft.functions.BpeTokenizer.FixtureMerges
+      val caseExpr = merges.map { case (a, b) =>
+        s"WHEN position(' $a  $b ' IN toks) > 0 THEN replace(toks, ' $a  $b ', ' $a$b ')"
+      }.mkString("CASE ", " ", " ELSE toks END")
+      val anyExpr = merges.map { case (a, b) =>
+        s"position(' $a  $b ' IN toks) > 0"
+      }.mkString("(", " OR ", ")")
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS words
+         |  FROM documents),
+         |w AS (SELECT doc_id, wi, words[wi] AS word
+         |      FROM d, generate_series(1, 4000) s(wi) WHERE wi <= len(words)),
+         |init AS (SELECT doc_id, wi,
+         |    ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS toks
+         |  FROM w),
+         |rec AS (
+         |  SELECT doc_id, wi, toks, 0 AS step FROM init
+         |  UNION ALL
+         |  SELECT doc_id, wi, $caseExpr AS toks, step + 1 FROM rec
+         |  WHERE step < 40 AND $anyExpr),
+         |fin AS (SELECT doc_id, wi, string_split(trim(toks), '  ') AS tl
+         |        FROM rec WHERE NOT $anyExpr),
+         |agg AS (SELECT doc_id, sum(len(tl))::BIGINT AS n_tokens,
+         |          string_agg(array_to_string(tl, '|'), '|' ORDER BY wi) AS tok_str
+         |        FROM fin GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, md5(tok_str) AS tok_md5
+         |FROM agg ORDER BY doc_id""".stripMargin
+    },
     "t8_bpe_tokens" ->
       s"""WITH n AS ($norm)
          |SELECT doc_id,

@@ -33,8 +33,74 @@ object VectorQueries {
     "v11_fde_ivf" -> ((s, d) => fdeIvf(s, d)),
     "v12_pq_adc" -> ((s, d) => pqAdc(s, d)),
     "v13_ivfpq" -> ((s, d) => ivfPq(s, d)),
-    "s1_search_docs" -> ((s, d) => searchDocs(s, d))
+    "s1_search_docs" -> ((s, d) => searchDocs(s, d)),
+    "s2_colpali_padding" -> ((s, d) => colpaliPadding(s, d)),
+    "s3_colpali_groups" -> ((s, d) => colpaliGroups(s, d))
   )
+
+  /** Synthesized ColPali chunk table: label = document, page =
+    * rank-within-label; image-ness is vec_id arithmetic, including the
+    * metadata-flag-overrides-content cases of `_is_image_chunk`
+    * (`document_service.py:578-589`): %11==5 rows are flagged image
+    * despite text content, %11==7 rows are flagged NOT image despite a
+    * data URI. Per-chunk multivector = singleton [embedding] (the MaxSim
+    * machinery itself is value-checked by v5/v6; here the COMPOSITION is
+    * the target) and the query multivector is [vec0, vec1]. */
+  private def colpaliChunkTable(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("label").orderBy("vec_id")
+    Tables.embeddings(spark, dir)
+      .withColumn("chunk_number", row_number().over(w) - 1)
+      .select(col("label").cast("long").as("document_id"),
+        col("chunk_number"),
+        when(col("vec_id") % 11 === 5, map(lit("is_image"), lit("true")))
+          .when(col("vec_id") % 11 === 7, map(lit("is_image"), lit("false")))
+          .otherwise(map().cast("map<string,string>")).as("metadata"),
+        when(col("vec_id") % 3 =!= 2,
+          concat(lit("data:image/png;base64,x"), col("vec_id")))
+          .otherwise(concat(lit("text chunk "), col("vec_id"))).as("content"),
+        array(col("embedding")).as("mv"))
+  }
+
+  /** The composed ColPali retrieve flow (`document_service.py:491-505` →
+    * `_apply_padding_to_chunks` `:554-688`) end-to-end through ONE
+    * GraftService.retrieveChunksMultivector plan: MaxSim score → top-k →
+    * image-only filter → ±1 padding fetch (images only) → dedup → matched
+    * scores kept / padding scored 0.0 / is_padding marked →
+    * (-score, doc, chunk) order. */
+  def colpaliPadding(spark: SparkSession, dir: String): DataFrame = {
+    val qvecs = Tables.embeddings(spark, dir)
+      .filter(col("vec_id").isin(0L, 1L)).orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toSeq).toSeq
+    val req = graft.GraftService.RetrieveRequest("fixture query", k = 8, padding = 1)
+    graft.GraftService.retrieveChunksMultivector(
+      req, graft.GraftService.ChunkTable(colpaliChunkTable(spark, dir)), "mv",
+      graft.operators.FixedMultiVectorEmbedder(qvecs))
+      .select(col("document_id"), col("chunk_number").cast("long").as("chunk_number"),
+        round(col("score"), 4).as("score"), col("is_padding"))
+      .orderBy(col("score").desc, col("document_id"), col("chunk_number"))
+  }
+
+  /** Q9 on s2's output: groups with reference claim order (higher-scored
+    * main wins a contested padding chunk) and before/main/after member
+    * display order, the member list hash-gated via its joined string. */
+  def colpaliGroups(spark: SparkSession, dir: String): DataFrame = {
+    val qvecs = Tables.embeddings(spark, dir)
+      .filter(col("vec_id").isin(0L, 1L)).orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toSeq).toSeq
+    val req = graft.GraftService.RetrieveRequest("fixture query", k = 8, padding = 1)
+    val expanded = graft.GraftService.retrieveChunksMultivector(
+      req, graft.GraftService.ChunkTable(colpaliChunkTable(spark, dir)), "mv",
+      graft.operators.FixedMultiVectorEmbedder(qvecs))
+    graft.operators.Padding.group(expanded, padding = 1)
+      .select(col("document_id"), col("main_chunk").cast("long").as("main_chunk"),
+        concat_ws(",", transform(col("member_chunks"), _.cast("string")))
+          .as("members"),
+        round(col("score"), 4).as("score"))
+      .orderBy("document_id", "main_chunk")
+  }
 
   /** IVF-PQ composed (the standard large-scale ANN layout: coarse-quantizer
     * pruning over PQ-compressed codes, exact rerank on the survivors).
@@ -459,6 +525,69 @@ object VectorQueries {
          |       any_value(d.source) AS source, count(*) AS chunk_hits
          |FROM hits h JOIN documents d ON h.doc_id = d.doc_id
          |GROUP BY h.doc_id
-         |ORDER BY score DESC, h.doc_id""".stripMargin
+         |ORDER BY score DESC, h.doc_id""".stripMargin,
+    "s2_colpali_padding" ->
+      s"""WITH $colpaliOracleBase
+         |flat AS (
+         |  SELECT document_id, chunk_number, score, false AS is_padding FROM ih
+         |  UNION ALL SELECT * FROM padrows)
+         |SELECT document_id, chunk_number, round(score, 4) AS score, is_padding
+         |FROM flat ORDER BY score DESC, document_id, chunk_number""".stripMargin,
+    "s3_colpali_groups" ->
+      s"""WITH $colpaliOracleBase
+         |claims AS (
+         |  SELECT pr.document_id, pr.chunk_number, m.chunk_number AS main_chunk,
+         |    row_number() OVER (PARTITION BY pr.document_id, pr.chunk_number
+         |                       ORDER BY m.score DESC, m.chunk_number) AS rn
+         |  FROM padrows pr JOIN ih m
+         |    ON pr.document_id = m.document_id
+         |   AND abs(pr.chunk_number - m.chunk_number) <= 1),
+         |members AS (
+         |  SELECT document_id, chunk_number AS member, chunk_number AS main_chunk,
+         |         score, false AS is_padding FROM ih
+         |  UNION ALL
+         |  SELECT document_id, chunk_number, main_chunk, 0.0, true
+         |  FROM claims WHERE rn = 1),
+         |g AS (SELECT document_id, main_chunk,
+         |        string_agg(member::VARCHAR, ',' ORDER BY member) AS members,
+         |        max(CASE WHEN NOT is_padding THEN score END) AS score
+         |      FROM members GROUP BY document_id, main_chunk)
+         |SELECT document_id, main_chunk::BIGINT AS main_chunk, members,
+         |       round(score, 4) AS score
+         |FROM g ORDER BY document_id, main_chunk""".stripMargin
   )
+
+  /** Shared s2/s3 oracle prefix: chunk-table synthesis, MaxSim scoring
+    * (double accumulation in the same order as MaxSimFloat → bitwise
+    * equal), top-k, image filter, ±1 padding keys, image-only pad rows. */
+  private def colpaliOracleBase: String =
+    """ch AS (
+      |  SELECT label::BIGINT AS document_id,
+      |    (row_number() OVER (PARTITION BY label ORDER BY vec_id) - 1)::BIGINT
+      |      AS chunk_number,
+      |    vec_id, embedding::DOUBLE[] AS e,
+      |    CASE WHEN vec_id % 11 = 5 THEN true
+      |         WHEN vec_id % 11 = 7 THEN false
+      |         ELSE vec_id % 3 <> 2 END AS is_image
+      |  FROM embeddings),
+      |q AS (SELECT list(embedding::DOUBLE[] ORDER BY vec_id) AS qv
+      |      FROM embeddings WHERE vec_id IN (0, 1)),
+      |scored AS (
+      |  SELECT document_id, chunk_number, is_image,
+      |    list_sum(list_transform(q.qv, v -> list_dot_product(v, e))) AS score
+      |  FROM ch, q),
+      |hits AS (SELECT * FROM scored
+      |         ORDER BY score DESC, document_id, chunk_number LIMIT 8),
+      |ih AS (SELECT * FROM hits WHERE is_image),
+      |pad AS (SELECT DISTINCT h.document_id, h.chunk_number + o AS cn
+      |        FROM ih h, (VALUES (-1), (1)) t(o)),
+      |pad2 AS (SELECT p.document_id, p.cn FROM pad p
+      |         LEFT JOIN ih h
+      |           ON p.document_id = h.document_id AND p.cn = h.chunk_number
+      |         WHERE h.document_id IS NULL),
+      |padrows AS (
+      |  SELECT c.document_id, c.chunk_number, 0.0 AS score, true AS is_padding
+      |  FROM pad2 p JOIN ch c
+      |    ON p.document_id = c.document_id AND p.cn = c.chunk_number
+      |  WHERE c.is_image),""".stripMargin
 }

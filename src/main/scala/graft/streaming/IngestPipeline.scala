@@ -62,6 +62,37 @@ object IngestPipeline {
         stage),
       cfg)
 
+  /** S4 front door with the graded deep-parse ladder
+    * (`ingestion_worker.py:777-905`): parse with fallback rungs
+    * (native → text decode → deep stage → accept-but-mark), run the batch
+    * pipeline on whatever text survived, and emit status rows carrying the
+    * extraction marks. Every document COMPLETES — a no-content doc is
+    * accepted with `content_extraction_status = no_content_extracted` and
+    * the warning, exactly the reference's accept-but-mark contract; it is
+    * simply not searchable (0 chunks).
+    *
+    * Returns (chunks, status). Callers running both outputs should
+    * persist/cache the parsed frame's lineage or write chunks first (as
+    * [[runStreaming]] does) — the ladder re-executes otherwise. */
+  def processFilesWithFallback(files: DataFrame, cfg: Config = Config(),
+      deep: graft.operators.DocParser.DeepStage = graft.operators.DocParser.NoDeepStage,
+      stage: graft.operators.DocParser.Stage = graft.operators.DocParser.NativeStage)
+      : (DataFrame, DataFrame) = {
+    val parsed = graft.operators.DocParser.parseColumnWithFallback(
+      files, "filename", "bytes", cfg.textCol, deep, stage)
+    val chunks = processBatch(parsed.select(col(cfg.idCol), col(cfg.textCol)), cfg)
+    val status = parsed
+      .select(col(cfg.idCol), col("parse_path"), col("extraction_status"),
+        col("extraction_warning"))
+      .join(chunks.groupBy(cfg.idCol).agg(count(lit(1)).as("n_chunks")),
+        Seq(cfg.idCol), "left")
+      .select(col(cfg.idCol), col("parse_path"), col("extraction_status"),
+        col("extraction_warning"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        lit("completed").as("status"))
+    (chunks, status)
+  }
+
   /** The batch pipeline: documents -> chunk index rows
     * (doc_id, chunk_number, chunk, embedding). */
   def processBatch(docs: DataFrame, cfg: Config = Config()): DataFrame = {

@@ -120,4 +120,63 @@ class IngestPipelineSpec extends AnyFunSuite {
     assert(status(4L) == "no_content_extracted")
     assert(status(1L) == "completed" && status(2L) == "completed")
   }
+
+  test("parseWithFallback walks the graded ladder rung by rung") {
+    import graft.operators.DocParser
+    // rung 1: native parse wins, no marks
+    val native = DocParser.parseWithFallback("a.pdf",
+      graft.sources.OfficeFixtures.pdf(Seq("real pdf text")))
+    assert(native.path == "native" && native.text == "real pdf text"
+      && native.extractionStatus.isEmpty && native.warning.isEmpty)
+    // rung 2: .pdf name over plain printable bytes -> text-decode fallback
+    val textFb = DocParser.parseWithFallback("b.pdf",
+      "just some readable bytes".getBytes("UTF-8"))
+    assert(textFb.path == "text_fallback" && textFb.text == "just some readable bytes"
+      && textFb.extractionStatus.isEmpty)
+    // rung 3: binary junk with an embedded ASCII run -> deep stage recovers
+    val deepBytes = Array[Byte](-1, 0, -1) ++ "HIDDEN WORDS".getBytes("US-ASCII") ++
+      Array[Byte](0, -1)
+    val noDeep = DocParser.parseWithFallback("c.pdf", deepBytes)
+    assert(noDeep.path == "none" &&
+      noDeep.extractionStatus.contains("no_content_extracted") &&
+      noDeep.warning.contains(DocParser.NoContentWarning))
+    val deep = DocParser.parseWithFallback("c.pdf", deepBytes,
+      deep = DocParser.StringsDeepStage(4))
+    assert(deep.path == "deep" && deep.text == "HIDDEN WORDS" &&
+      deep.extractionStatus.contains("deep_fallback_succeeded") && deep.warning.isEmpty)
+    // rung 4: nothing recoverable -> accept-but-mark, text stays empty
+    val none = DocParser.parseWithFallback("d.pdf", Array[Byte](-1, 0, -1, 0),
+      deep = DocParser.StringsDeepStage(4))
+    assert(none.path == "none" && none.text.isEmpty &&
+      none.extractionStatus.contains("no_content_extracted"))
+    // the text rung refuses mojibake: Latin-1 would "decode" this junk
+    assert(DocParser.parseWithFallback("e.pdf",
+      Array[Byte](-1, -2, -3, -4, -5, -6, -7, -8)).path == "none")
+    // empty bytes fall through every rung
+    assert(DocParser.parseWithFallback("f.pdf", Array.emptyByteArray).path == "none")
+  }
+
+  test("processFilesWithFallback: every doc completes, marks carried, chunks only for text") {
+    import graft.operators.DocParser
+    val files = Seq(
+      (1L, "a.pdf", graft.sources.OfficeFixtures.pdf(Seq("native content here"))),
+      (2L, "b.pdf", "fallback text body readable".getBytes("UTF-8")),
+      (3L, "c.pdf", Array[Byte](-1, 0) ++ "DEEP CONTENT".getBytes("US-ASCII") ++ Array[Byte](0, -1)),
+      (4L, "d.pdf", Array[Byte](-1, 0, -1, 0))
+    ).toDF("doc_id", "filename", "bytes")
+    val (chunks, status) = IngestPipeline.processFilesWithFallback(
+      files, cfg, deep = DocParser.StringsDeepStage(4))
+    val byDoc = chunks.groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(byDoc.keySet == Set(1L, 2L, 3L))
+    val st = status
+      .select("doc_id", "parse_path", "extraction_status", "n_chunks", "status")
+      .as[(Long, String, Option[String], Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(st.values.forall(_._5 == "completed")) // accept-but-mark: all complete
+    assert(st(1L)._2 == "native" && st(1L)._3.isEmpty)
+    assert(st(2L)._2 == "text_fallback" && st(2L)._3.isEmpty)
+    assert(st(3L)._2 == "deep" && st(3L)._3.contains("deep_fallback_succeeded"))
+    assert(st(4L)._2 == "none" && st(4L)._3.contains("no_content_extracted")
+      && st(4L)._4 == 0L)
+  }
 }

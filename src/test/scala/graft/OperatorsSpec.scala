@@ -80,7 +80,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.chunks.select("doc_id").as[Long].head() == 2L)
   }
 
-  test("Padding.group attaches padding to nearest main, ties to lower") {
+  test("Padding.group: higher-scored main claims contested padding (reference order)") {
     val expanded = Seq(
       (1L, 2, 0.9, false), (1L, 4, 0.8, false), // mains at 2 and 4
       (1L, 1, 0.0, true), (1L, 3, 0.0, true), (1L, 5, 0.0, true)
@@ -89,8 +89,35 @@ class OperatorsSpec extends AnyFunSuite {
       .orderBy("main_chunk")
       .select("main_chunk", "member_chunks")
       .as[(Int, Seq[Int])].collect().toSeq
-    // chunk 3 is equidistant from mains 2 and 4 -> attaches to 2
+    // chunk 3 is reachable from both mains -> higher-scored main 2 claims it
     assert(g == Seq((2, Seq(1, 2, 3)), (4, Seq(4, 5))))
+  }
+
+  test("Padding.group claim order follows score, not distance (document_service.py:736)") {
+    // mains at 2 (0.5) and 5 (0.9), padding 2: chunk 3 is NEARER to 2 but
+    // the reference iterates mains in score order, so 5 claims it first
+    val expanded = Seq(
+      (1L, 2, 0.5, false), (1L, 5, 0.9, false),
+      (1L, 3, 0.0, true), (1L, 4, 0.0, true), (1L, 6, 0.0, true), (1L, 1, 0.0, true)
+    ).toDF("document_id", "chunk_number", "score", "is_padding")
+    val g = Padding.group(expanded, padding = 2)
+      .orderBy("main_chunk")
+      .select("main_chunk", "member_chunks", "score")
+      .as[(Int, Seq[Int], Double)].collect().toSeq
+    assert(g == Seq((2, Seq(1, 2), 0.5), (5, Seq(3, 4, 5, 6), 0.9)))
+  }
+
+  test("Padding.isImageChunk: metadata flag wins over content sniff") {
+    val rows = Seq(
+      ("data:image/png;base64,x", Map.empty[String, String]),      // data URI -> image
+      ("plain text", Map.empty[String, String]),                   // -> not
+      ("plain text", Map("is_image" -> "true")),                   // flag wins
+      ("data:image/png;base64,x", Map("is_image" -> "false"))      // flag wins
+    ).toDF("content", "metadata")
+    val out = rows.select(
+      Padding.isImageChunk(col("content"), col("metadata")).as("img"))
+      .as[Boolean].collect().toSeq
+    assert(out == Seq(true, false, true, false))
   }
 
   test("oversample matches max(k, min(3k, 20))") {
