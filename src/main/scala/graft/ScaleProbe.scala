@@ -13,7 +13,13 @@ import org.apache.spark.sql.functions._
   * data on a fixed 32-core box; anything super-linear is a red flag for the
   * 100 TB deployment.
   *
-  * Usage: runMain graft.ScaleProbe [gen|run|all]
+  * `recall` mode quantifies the IVF approximation as data grows: recall@10
+  * of the v7 bench configuration (lists=16, nprobe=8) vs exact KNN over 20
+  * seeded queries per scale — approximate search stays approximate, but
+  * the approximation is MEASURED, not assumed (floor asserted in
+  * IvfIndexSpec; table in ARCHITECTURE.md).
+  *
+  * Usage: runMain graft.ScaleProbe [gen|run|recall|all]
   */
 object ScaleProbe {
   private val base = "/root/testdata/sf0.1"
@@ -46,6 +52,7 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (mode == "gen" || mode == "all") factors.foreach(f => gen(spark, f))
+    if (mode == "recall" || mode == "all") recallProbe(spark)
     if (mode == "run" || mode == "all") {
       val dirs = ("x1" -> base) +: factors.map(f => s"x$f" -> s"$root/x$f")
       val rows = probeQueries.map { name =>
@@ -72,6 +79,35 @@ object ScaleProbe {
       }
     }
     spark.stop()
+  }
+
+  /** IVF recall@10 vs exact, per scale, over 20 seeded query vectors
+    * (vec_id 0..19 — fixed, so the number is reproducible run to run). */
+  private def recallProbe(spark: SparkSession): Unit = {
+    import graft.operators.{IvfIndex, KnnSearch}
+    val dirs = ("x1" -> base) +: factors.map(f => s"x$f" -> s"$root/x$f")
+      .filter { case (_, d) => new java.io.File(d).exists() }
+    dirs.foreach { case (lbl, dir) =>
+      val emb = Tables.embeddings(spark, dir).cache()
+      val (indexed, model) = IvfIndex.build(emb, "embedding", lists = 16)
+      indexed.cache().count()
+      val queries = emb.filter(col("vec_id") < 20)
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      val recalls = queries.map { case (qid, q) =>
+        val exact = KnnSearch.topK(emb, "embedding", "vec_id", q, 10,
+          where = col("vec_id") =!= qid)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        val approx = IvfIndex.query(indexed, model, "embedding", "vec_id", q,
+          k = 10, nprobe = 8, where = col("vec_id") =!= qid)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        exact.intersect(approx).size / 10.0
+      }
+      println(f"[scale] ivf_recall@10 $lbl%-4s lists=16 nprobe=8 " +
+        f"mean=${recalls.sum / recalls.length}%.3f min=${recalls.min}%.2f " +
+        f"n=${recalls.length} corpus=${emb.count()}")
+      emb.unpersist(); indexed.unpersist()
+    }
   }
 
   /** N× replica with offset keys; replica 0 is the original data. */

@@ -300,10 +300,29 @@ object Corpus {
     * returning the scrubbed text plus per-pattern match counts (the audit
     * trail a compliance pass needs). Pure regex column expressions — the
     * patterns are RE2-compatible so the identical rule set runs on any
-    * engine. Stateless map-only at any scale. */
+    * engine. Stateless map-only at any scale.
+    *
+    * Stated simplifications (the urlNormalize convention — name the rule,
+    * not just the regex): emails are the practical ASCII form (no quoted
+    * local parts / IDN domains); IPs are dotted-quad IPv4 with no octet
+    * range check (no IPv6); phones are NANP-shaped — optional `+1` /
+    * `(areacode)` / `area-` prefix over a `exchange-number` core with
+    * `-`/`.`/space separators — not E.164 international, no extensions
+    * ("x123"), no unseparated 10-digit runs (deliberate: in corpus text
+    * those are overwhelmingly ids, not phones). A production pass swaps in
+    * a full recognizer; the plan shape (map-only regex mask + counts) is
+    * unchanged. */
   val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
-  val phoneRe = "\\b555-[0-9]{4}\\b"
+  // Alternation instead of one anchored pattern: `\b` cannot sit before
+  // `+` or `(` (both non-word chars), so each arm carries its own anchor.
+  // Arm order = most-specific first; leftmost-first matching then takes
+  // the full number, never a suffix.
+  val phoneRe: String =
+    "(\\([0-9]{3}\\) ?[0-9]{3}[-. ][0-9]{4}\\b" +          // (212) 555-0147
+      "|\\+1[-. ][0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b" +  // +1 212-555-0147
+      "|\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b" +        // 212.555.0147
+      "|\\b[0-9]{3}[-. ][0-9]{4}\\b)"                      // 555-0147
 
   def piiScrub(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

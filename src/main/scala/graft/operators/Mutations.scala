@@ -40,6 +40,116 @@ object Mutations {
           e => !map_contains_key(b, e.getField("key"))),
         map_entries(b)))
 
+  /** Reserved-field validation for user-supplied metadata on ingest/update
+    * (`ingestion_service.py:74-214` `_enforce_no_user_mutable_fields` and
+    * helpers; unit table `core/tests/unit/
+    * test_ingestion_service_metadata_update.py`). Pure driver-side request
+    * validation — it guards what reaches [[mergeMetadata]]/[[upsert]]. */
+  object ManagedMetadata {
+
+    /** `_USER_IMMUTABLE_FIELDS`. */
+    val UserImmutableFields: Set[String] = Set(
+      "folder_name", "folder_id", "folder_path", "external_id", "filename",
+      "app_id", "owner_id", "end_user_id")
+
+    /** `_FOLDER_PATH_UPDATE_ERROR`. */
+    val FolderPathUpdateError: String =
+      "folder_path is managed and cannot be changed using the update " +
+        "metadata endpoint. Use the folder endpoints to move the document " +
+        "or folder instead."
+
+    /** The document state the validator compares against. */
+    case class DocState(
+        externalId: String,
+        metadata: Map[String, String] = Map.empty,
+        metadataTypes: Map[String, String] = Map.empty,
+        folderName: Option[String] = None,
+        folderPath: Option[String] = None,
+        folderId: Option[String] = None)
+
+    /** `_current_managed_metadata_values`: managed values as currently
+      * exposed — existing metadata keys win; external_id always present;
+      * the folder metadata value is folder_path-or-folder_name. */
+    def currentManagedValues(doc: DocState): Map[String, String] = {
+      var out = doc.metadata
+      if (!out.contains("external_id")) out += "external_id" -> doc.externalId
+      doc.folderPath.orElse(doc.folderName).foreach { f =>
+        if (!out.contains("folder_name")) out += "folder_name" -> f
+      }
+      doc.folderId.foreach { id =>
+        if (!out.contains("folder_id")) out += "folder_id" -> id
+      }
+      out
+    }
+
+    private def unchangedValue(doc: DocState, key: String, value: String): Boolean =
+      currentManagedValues(doc).get(key).contains(value)
+
+    /** `_is_unchanged_managed_metadata_type`: compare canonicalized type
+      * names, falling back to raw equality for unknown names. */
+    private def unchangedType(doc: DocState, key: String, value: String): Boolean = {
+      var current = doc.metadataTypes
+      if (doc.externalId.nonEmpty && !current.contains("external_id"))
+        current += "external_id" -> "string"
+      currentManagedValues(doc).foreach { case (k, _) =>
+        if (!current.contains(k)) current += k -> "string"
+      }
+      current.get(key) match {
+        case None => false
+        case Some(cur) =>
+          try graft.filters.TypedMetadata.canonicalize(value) ==
+            graft.filters.TypedMetadata.canonicalize(cur)
+          catch { case _: Exception => value == cur }
+      }
+    }
+
+    /** `_enforce_no_user_mutable_fields`: throws IllegalArgumentException
+      * naming the offending fields. `allowUnchangedMetadata` is the
+      * metadata-only-update concession — a managed key may be RESTATED with
+      * its current value (clients echo back what they read), never changed;
+      * content updates keep the strict rule. `folder_path` is rejected
+      * outright in every context with a use-the-folder-endpoints message. */
+    def enforceNoUserMutableFields(
+        metadata: Map[String, String],
+        extraFields: Map[String, String] = Map.empty,
+        metadataTypes: Map[String, String] = Map.empty,
+        context: String = "ingest",
+        existingDoc: Option[DocState] = None,
+        allowUnchangedMetadata: Boolean = false): Unit = {
+      if (metadata.contains("folder_path") || extraFields.contains("folder_path") ||
+          metadataTypes.contains("folder_path")) {
+        if (context == "update")
+          throw new IllegalArgumentException(FolderPathUpdateError)
+        throw new IllegalArgumentException(
+          s"folder_path is managed and cannot be set directly during $context. " +
+            "Use folder parameters or folder endpoints to manage document placement.")
+      }
+      val invalid = scala.collection.mutable.SortedSet.empty[String]
+      metadata.foreach { case (k, v) =>
+        if (UserImmutableFields(k) &&
+            !(allowUnchangedMetadata && existingDoc.exists(unchangedValue(_, k, v))))
+          invalid += k
+      }
+      extraFields.keys.foreach { k => if (UserImmutableFields(k)) invalid += k }
+      metadataTypes.foreach { case (k, v) =>
+        if (UserImmutableFields(k) &&
+            !(allowUnchangedMetadata && existingDoc.exists(unchangedType(_, k, v))))
+          invalid += k
+      }
+      if (invalid.nonEmpty)
+        throw new IllegalArgumentException(
+          s"The following fields are managed and cannot be set during " +
+            s"$context: ${invalid.mkString(", ")}. Remove them from the request.")
+    }
+  }
+
+  /** `IngestTextRequest` content validation (`core/models/request.py`;
+    * unit table `test_request_models.py`): blank or whitespace-only text
+    * is a request error, not an empty document. */
+  def validateIngestText(content: String): Unit =
+    require(content != null && content.trim.nonEmpty,
+      "content must not be empty or whitespace-only")
+
   /** Delete cascade (`document_service.py:1800-1899`): drop documents by id
     * and every dependent chunk/usage row. Returns the surviving relations. */
   case class CascadeResult(documents: DataFrame, chunks: DataFrame, usage: DataFrame)

@@ -122,7 +122,12 @@ object CorpusQueries {
       lit("ip 10."), (col("user_id") % 256).cast("string"),
       lit("."), (col("event_id") % 256).cast("string"),
       lit("."), (col("user_id") % 100).cast("string"),
-      lit(" tel 555-"), lpad((col("event_id") % 10000).cast("string"), 4, "0"),
+      // phone format rotates through all four recognizer arms
+      lit(" tel "),
+      element_at(
+        array(lit("555-"), lit("(212) 555-"), lit("+1 212-555-"), lit("212.555.")),
+        ((col("event_id") % 20) / 5).cast("int") + 1),
+      lpad((col("event_id") % 10000).cast("string"), 4, "0"),
       lit(" "), col("event_type"))
     Corpus.piiScrub(e.select(col("event_id"), contact.as("contact")), "contact")
       .select(col("event_id"), col("n_emails"), col("n_ips"), col("n_phones"),
@@ -202,7 +207,8 @@ object CorpusQueries {
          |  (CASE WHEN event_type IN ('signup', 'purchase')
          |        THEN 'user' || user_id || '@ex.com ' ELSE '' END)
          |  || 'ip 10.' || (user_id % 256) || '.' || (event_id % 256) || '.' || (user_id % 100)
-         |  || ' tel 555-' || lpad((event_id % 10000)::VARCHAR, 4, '0')
+         |  || ' tel ' || ['555-', '(212) 555-', '+1 212-555-', '212.555.'][((event_id % 20) // 5 + 1)::INT]
+         |  || lpad((event_id % 10000)::VARCHAR, 4, '0')
          |  || ' ' || event_type AS contact
          |  FROM events WHERE event_id % 5 = 0)
          |SELECT event_id,

@@ -84,4 +84,31 @@ class IvfIndexSpec extends AnyFunSuite {
     val recall = ivf.intersect(exact).size / 10.0
     assert(recall >= 0.8, s"recall@10 = $recall")
   }
+
+  test("mean recall@10 over 20 seeded queries clears the floor (ScaleProbe's metric)") {
+    // The same measurement ScaleProbe `recall` reports at x1/x4/x16, run at
+    // sf0.01 as a regression gate: mean over the 20 fixed query vectors,
+    // lists=16 / nprobe=8 (the v7 bench configuration). One query may land
+    // near a cluster boundary (min can dip), but the MEAN is a stable
+    // property of the seeded index — a quantizer or probe-selection
+    // regression drags it down immediately.
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.01").cache()
+    val (indexed, model) = IvfIndex.build(e, "embedding", lists = 16)
+    indexed.cache().count()
+    val queries = e.filter(col("vec_id") < 20).select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    assert(queries.length == 20)
+    val recalls = queries.map { case (qid, qv) =>
+      val exact = KnnSearch.topK(e, "embedding", "vec_id", qv, 10,
+        col("vec_id") =!= qid)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val approx = IvfIndex.query(indexed, model, "embedding", "vec_id", qv,
+        10, nprobe = 8, where = col("vec_id") =!= qid)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      exact.intersect(approx).size / 10.0
+    }
+    val mean = recalls.sum / recalls.length
+    indexed.unpersist(); e.unpersist()
+    assert(mean >= 0.75, s"mean recall@10 = $mean (per-query: ${recalls.mkString(",")})")
+  }
 }
