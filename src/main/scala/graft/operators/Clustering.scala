@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.vec
+
+/** Deterministic Lloyd k-means + SemDeDup-style semantic dedup.
+  *
+  * Why a second k-means next to [[IvfIndex]] (which wraps MLlib): MLlib's
+  * trainer is seeded but its init (k-means||) and treeAggregate fold order
+  * are opaque to any other engine, so an IVF assignment can only be
+  * rows-gated (v7) and exactness-bridged (v8). This variant trades
+  * convergence speed for exact replayability — seeded init = the k lowest-id
+  * vectors, a fixed number of Lloyd steps, distance ties broken by centroid
+  * index — so the full clustering is value-checkable in a SQL oracle
+  * (k1/k2/k3), and any engine can reproduce the partition for handoff.
+  *
+  * The dedup half is the SemDeDup recipe (Abbas et al. 2023,
+  * arXiv:2303.09540): cluster the embedding space first, then look for
+  * near-duplicates only WITHIN a cluster — pairwise work drops from O(n²)
+  * to O(Σ|cluster|²), and k is chosen to scale with the corpus so clusters
+  * stay bounded (the paper runs k=50k on LAION). Complements the LSH
+  * near-dup pass ([[Dedup]] v10): LSH catches high-cosine pairs cheaply,
+  * SemDeDup sweeps whole semantic neighborhoods at a lower threshold.
+  *
+  * 100 TB shape: assignment is a narrow map (centroids ride the plan as
+  * literals — no join, no shuffle, stays in whole-stage codegen); each Lloyd
+  * step adds one partially-aggregated (cluster, dim) shuffle whose post-agg
+  * size is k x dim rows regardless of corpus size; the only driver traffic
+  * is that k x dim mean table (sketch-sized, like [[PqIndex]]'s codebook).
+  * The dedup join is an equi-join on cluster_id — never all-pairs.
+  */
+object Clustering {
+
+  case class Model(centroids: Array[Array[Double]]) {
+    require(centroids.nonEmpty, "k-means model needs at least one centroid")
+  }
+
+  /** Squared L2 distance to a literal centroid, accumulated left-to-right in
+    * doubles — bit-matches the oracle's `list_sum(list_transform(...))`. */
+  private def l2sq(v: Column, cen: Seq[Double]): Column =
+    aggregate(
+      zip_with(v, typedLit(cen), (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** `cluster_id` (long) + squared-distance `dist` for every row: argmin over
+    * the centroid set as a sorted literal struct array (sort key = (distance,
+    * index), so ties go to the lowest centroid index, same as the oracle's
+    * `ORDER BY d, cid`). */
+  def assign(df: DataFrame, vecCol: String, model: Model): DataFrame = {
+    val scored = array_sort(array(model.centroids.toSeq.zipWithIndex.map { case (c, i) =>
+      struct(l2sq(col(vecCol), c.toSeq).as("d"), lit(i.toLong).as("i"))
+    }: _*))
+    df.withColumn("__sc", element_at(scored, 1))
+      .withColumn("cluster_id", col("__sc.i"))
+      .withColumn("dist", col("__sc.d"))
+      .drop("__sc")
+  }
+
+  /** Lloyd fit: seeds = the k lowest-id vectors, then `iters` (assign →
+    * recompute-means) steps. A cluster that loses all members keeps its
+    * previous centroid (the oracle mirrors this with a LEFT JOIN back to the
+    * seed set). Each step scans the corpus once; map-side partial aggregation
+    * means the shuffle carries at most tasks x k x dim partial means. */
+  def fit(df: DataFrame, vecCol: String, idCol: String, k: Int, iters: Int): Model = {
+    var cen: Array[Array[Double]] = df.orderBy(col(idCol)).limit(k).select(vecCol)
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    for (_ <- 0 until iters) {
+      val means = assign(df, vecCol, Model(cen))
+        .select(col("cluster_id"), posexplode(col(vecCol)))
+        .groupBy("cluster_id", "pos").agg(avg(col("col").cast("double")).as("m"))
+        .collect()
+      val next = cen.map(_.clone)
+      means.foreach(r => next(r.getLong(0).toInt)(r.getInt(1)) = r.getDouble(2))
+      cen = next
+    }
+    Model(cen)
+  }
+
+  /** SemDeDup keep/drop decision: a row is a semantic duplicate iff some
+    * LOWER-id row in the same cluster has cosine >= `threshold` to it
+    * (deterministic min-id keeper, same policy as [[Dedup.lshKeepList]];
+    * non-transitive by design — the paper's "max similarity to the rest of
+    * the cluster" test). Output = the input plus a boolean `is_dup`. */
+  def semDedup(assigned: DataFrame, vecCol: String, idCol: String,
+               threshold: Double): DataFrame = {
+    val a = assigned.select(col(idCol).as("__ida"), col("cluster_id").as("__cida"),
+      col(vecCol).as("__va"))
+    val b = assigned.select(col(idCol).as("__idb"), col("cluster_id").as("__cidb"),
+      col(vecCol).as("__vb"))
+    val dominated = a.join(b, col("__cida") === col("__cidb") && col("__idb") < col("__ida"))
+      .filter(vec.cosine_sim(col("__va"), col("__vb")) >= threshold)
+      .select(col("__ida").as(idCol)).distinct()
+    assigned.join(dominated.withColumn("__dup", lit(true)), Seq(idCol), "left")
+      .withColumn("is_dup", coalesce(col("__dup"), lit(false)))
+      .drop("__dup")
+  }
+}

@@ -425,4 +425,37 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Duplicate-passage detection: POSITIONAL token n-grams (every window
+    * start, not the distinct shingle set [[text.word_shingles]] uses) hashed
+    * with md5; a span hashed identically in >= `minDocs` distinct documents
+    * is a duplicated passage. Per surviving doc emits how many window
+    * positions are covered by shared spans, how many distinct shared spans,
+    * and the earliest hit position — the signal span-level dedup (Lee et al.
+    * 2022 "Deduplicating Training Data...", arXiv:2107.06499) cuts on.
+    *
+    * 100 TB shape: the explode emits len-n+1 rows per doc (stride=1 is the
+    * exact setting; real corpus passes raise `stride` to trade recall for an
+    * n× smaller span stream), then two hash-partitioned aggregations on the
+    * 32-hex span key with map-side combine. Never all-pairs: co-occurrence
+    * is discovered by groupBy on the span hash, same skeleton as
+    * [[exactGroups]]. */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+               n: Int = 8, minDocs: Int = 2, stride: Int = 1): DataFrame = {
+    val toks = graft.Tables.scaled(
+      docs.select(col(idCol).cast("long").as("id"), text.tokens(col(textCol)).as("tk")))
+    val sp = toks.filter(size(col("tk")) >= n)
+      .select(col("id"), explode(transform(
+        filter(sequence(lit(0), size(col("tk")) - n), p => p % stride === 0),
+        i => struct(i.cast("long").as("pos"),
+          md5(concat_ws(" ", slice(col("tk"), i + 1, lit(n)))).as("h")))).as("s"))
+      .select(col("id"), col("s.pos").as("pos"), col("s.h").as("h"))
+    val shared = sp.groupBy("h").agg(countDistinct("id").as("ndocs"))
+      .filter(col("ndocs") >= minDocs).select("h")
+    sp.join(shared, "h")
+      .groupBy("id")
+      .agg(count(lit(1)).as("dup_spans"),
+        countDistinct("h").as("distinct_dup_spans"),
+        min("pos").as("first_pos"))
+  }
 }

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.text
+
+/** Content full-text scoring + hybrid fusion.
+  *
+  * The reference's keyword arm is Postgres FTS over filenames only
+  * (`postgres_database.py:2700-2790`, ported as Q12/n1); this generalizes it
+  * to BM25 over document CONTENT — the standard keyword side of a hybrid
+  * retrieval stack — plus reciprocal-rank fusion to combine it with the
+  * dense KNN arm ([[KnnSearch]]), the fusion pgvector+FTS deployments use
+  * (Cormack et al. 2009 RRF; k=60 is the canonical constant).
+  *
+  * 100 TB shape: one token-explode pass over the corpus with the term filter
+  * applied BEFORE the (doc, term) groupBy, so the shuffle carries only
+  * query-term hits, not the whole token stream; document frequencies and the
+  * (N, avgdl) scalars are sketch-sized and broadcast back. Scoring is all
+  * built-in codegen'd arithmetic — no UDFs.
+  */
+object FullText {
+
+  /** Okapi BM25 top-k for a bag of query terms over `textCol`.
+    * Tokenization = [[text.tokens]] (lower, whitespace), matching every other
+    * text operator and the oracle. Emits (doc_id, bm25, n_terms) with the
+    * idf form ln(1 + (N - df + 0.5)/(df + 0.5)) — always positive, the
+    * Lucene variant. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+           k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      text.tokens(col(textCol)).as("tk"))
+    val lens = toks.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
+    // one row: corpus size + average doc length (exact: integer sum / count)
+    val global = lens.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    val tf = toks.select(col("doc_id"), explode(col("tk")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(global))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("w",
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(sum("w").as("score"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Reciprocal-rank fusion of two ranked lists (1-based `rank` column each):
+    * rrf = Σ 1/(kRrf + rank), absent arms contribute 0. Both inputs are
+    * top-k slices (user-request sized), so the fusion join is trivially
+    * broadcastable — the expensive work happened in the arms. */
+  def rrfFuse(dense: DataFrame, keyword: DataFrame, idCol: String,
+              k: Int, kRrf: Int = 60): DataFrame = {
+    val d = dense.select(col(idCol).as("doc_id"), col("rank").cast("long").as("dense_rank"))
+    val kw = keyword.select(col(idCol).as("doc_id"), col("rank").cast("long").as("keyword_rank"))
+    d.join(kw, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(kRrf.toLong) + col("dense_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf.toLong) + col("keyword_rank")), lit(0.0)))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Clustering
+
+/** Embedding-space clustering + semantic dedup (SemDeDup) coverage.
+  * The whole Lloyd iteration is value-checked: the oracle replays seeded
+  * init → assign → mean → assign → mean → assign in SQL CTEs and must
+  * reproduce every assignment, distance, and dedup decision. */
+object ClusterQueries {
+
+  private val K = 8
+  private val Iters = 2
+  private val SemThreshold = 0.4
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k1_kmeans_assign" -> ((s, d) => kmeansAssign(s, d)),
+    "k2_semdedup" -> ((s, d) => semDedup(s, d)),
+    "k3_cluster_profile" -> ((s, d) => clusterProfile(s, d))
+  )
+
+  private def fitted(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val model = Clustering.fit(e, "embedding", "vec_id", K, Iters)
+    Clustering.assign(e, "embedding", model)
+  }
+
+  /** Final Lloyd assignment: (vec_id, cluster_id, squared distance). */
+  def kmeansAssign(spark: SparkSession, dir: String): DataFrame =
+    fitted(spark, dir)
+      .select(col("vec_id"), col("cluster_id"), round(col("dist"), 6).as("dist"))
+      .orderBy("vec_id")
+
+  /** SemDeDup decisions over the fitted clustering: is_dup = some lower-id
+    * same-cluster vector has cosine >= 0.4 (min-id keeper). */
+  def semDedup(spark: SparkSession, dir: String): DataFrame =
+    Clustering.semDedup(fitted(spark, dir), "embedding", "vec_id", SemThreshold)
+      .select(col("vec_id"), col("cluster_id"), col("is_dup"))
+      .orderBy("vec_id")
+
+  /** Cluster-level profile: size + mean squared distance (inertia/size). */
+  def clusterProfile(spark: SparkSession, dir: String): DataFrame =
+    fitted(spark, dir)
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("size"), round(avg("dist"), 6).as("avg_dist"))
+      .orderBy("cluster_id")
+
+  /** Shared oracle prefix: exact SQL replay of the seeded Lloyd iteration.
+    * init = k lowest-id vectors; per step: distance to every centroid
+    * (left-to-right list_sum fold = Spark's aggregate fold), argmin with
+    * (distance, cid) tie-break, per-dimension avg rebuilt in dim order, and
+    * a LEFT JOIN back to the seeds so an empty cluster keeps its previous
+    * centroid — the same rule [[Clustering.fit]] applies. */
+  private val lloyd =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+      |         FROM e ORDER BY vec_id LIMIT 8),
+      |d0 AS (SELECT e.vec_id, init.cid,
+      |         list_sum(list_transform(range(64), j ->
+      |           (e.v[j+1]-init.cv[j+1])*(e.v[j+1]-init.cv[j+1]))) AS d
+      |       FROM e, init),
+      |a0 AS (SELECT vec_id, cid FROM (
+      |         SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) rn
+      |         FROM d0) WHERE rn = 1),
+      |m1 AS (SELECT a0.cid, j, avg(e.v[j+1]) AS m
+      |       FROM a0 JOIN e USING (vec_id), range(64) t(j) GROUP BY a0.cid, j),
+      |c1 AS (SELECT init.cid, coalesce(mm.cv, init.cv) AS cv FROM init
+      |       LEFT JOIN (SELECT cid, list(m ORDER BY j) AS cv FROM m1 GROUP BY cid) mm
+      |       USING (cid)),
+      |d1 AS (SELECT e.vec_id, c1.cid,
+      |         list_sum(list_transform(range(64), j ->
+      |           (e.v[j+1]-c1.cv[j+1])*(e.v[j+1]-c1.cv[j+1]))) AS d
+      |       FROM e, c1),
+      |a1 AS (SELECT vec_id, cid FROM (
+      |         SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) rn
+      |         FROM d1) WHERE rn = 1),
+      |m2 AS (SELECT a1.cid, j, avg(e.v[j+1]) AS m
+      |       FROM a1 JOIN e USING (vec_id), range(64) t(j) GROUP BY a1.cid, j),
+      |c2 AS (SELECT init.cid, coalesce(mm.cv, init.cv) AS cv FROM init
+      |       LEFT JOIN (SELECT cid, list(m ORDER BY j) AS cv FROM m2 GROUP BY cid) mm
+      |       USING (cid)),
+      |d2 AS (SELECT e.vec_id, c2.cid,
+      |         list_sum(list_transform(range(64), j ->
+      |           (e.v[j+1]-c2.cv[j+1])*(e.v[j+1]-c2.cv[j+1]))) AS d
+      |       FROM e, c2),
+      |a2 AS (SELECT vec_id, cid, d FROM (
+      |         SELECT vec_id, cid, d, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) rn
+      |         FROM d2) WHERE rn = 1)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "k1_kmeans_assign" ->
+      s"""$lloyd
+         |SELECT vec_id, cid AS cluster_id, round(d, 6) AS dist
+         |FROM a2 ORDER BY vec_id""".stripMargin,
+    "k2_semdedup" ->
+      s"""$lloyd,
+         |dup AS (SELECT DISTINCT a.vec_id FROM a2 a
+         |        JOIN a2 b ON a.cid = b.cid AND b.vec_id < a.vec_id
+         |        JOIN e ea ON ea.vec_id = a.vec_id
+         |        JOIN e eb ON eb.vec_id = b.vec_id
+         |        WHERE list_cosine_similarity(ea.v, eb.v) >= 0.4)
+         |SELECT a2.vec_id, a2.cid AS cluster_id,
+         |  (dup.vec_id IS NOT NULL) AS is_dup
+         |FROM a2 LEFT JOIN dup USING (vec_id) ORDER BY vec_id""".stripMargin,
+    "k3_cluster_profile" ->
+      s"""$lloyd
+         |SELECT cid AS cluster_id, count(*) AS size, round(avg(d), 6) AS avg_dist
+         |FROM a2 GROUP BY cid ORDER BY cid""".stripMargin
+  )
+}

@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{FullText, KnnSearch}
+
+/** Content keyword search (BM25) + hybrid dense/keyword fusion (RRF).
+  * The testdata's vec_id aligns with doc_id, so the dense arm (embeddings)
+  * and the keyword arm (documents) rank the same corpus. */
+object SearchQueries {
+
+  private val Terms = Seq("spark", "vector", "merge", "stream")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "n2_bm25" -> ((s, d) => bm25(s, d)),
+    "n3_hybrid_rrf" -> ((s, d) => hybridRrf(s, d))
+  )
+
+  /** BM25 top-10 for a fixed 4-term query (k1=1.2, b=0.75). */
+  def bm25(spark: SparkSession, dir: String): DataFrame =
+    FullText.bm25(Tables.documents(spark, dir), "doc_id", "text", Terms, k = 10)
+      .select(col("doc_id"), round(col("score"), 6).as("bm25"), col("n_terms"))
+
+  /** Hybrid retrieval: dense top-20 (cosine to vec 0, vec 0 excluded, the v1
+    * arm) fused with BM25 top-20 by reciprocal-rank (k=60), final top-10. */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val qv = VectorQueries.queryVec(spark, dir)
+    val rankW = Window.orderBy(col("score").desc, col("doc_id"))
+    val dense = KnnSearch.topK(Tables.embeddings(spark, dir), "embedding", "vec_id",
+      qv, k = 20, where = col("vec_id") =!= 0)
+      .select(col("vec_id").as("doc_id"), col("score"))
+      .withColumn("rank", row_number().over(rankW))
+    val keyword = FullText.bm25(Tables.documents(spark, dir), "doc_id", "text", Terms, k = 20)
+      .withColumn("rank", row_number().over(rankW))
+    FullText.rrfFuse(dense, keyword, "doc_id", k = 10)
+      .select(col("doc_id"), round(col("rrf"), 6).as("rrf"),
+        col("dense_rank"), col("keyword_rank"))
+  }
+
+  /** Shared BM25 SQL arm: tokenization identical to t1's norm/split, idf =
+    * ln(1 + (N - df + 0.5)/(df + 0.5)), same operation shapes as
+    * [[FullText.bm25]] so doubles agree before the 6-dp rounding. */
+  private def bm25Sql(limit: Int): String =
+    s"""n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+       |       FROM documents),
+       |tk AS (SELECT doc_id, list_filter(string_split(norm, ' '), t -> len(t) > 0) AS tk
+       |       FROM n),
+       |lens AS (SELECT doc_id, len(tk) AS dl FROM tk),
+       |g AS (SELECT count(*) AS n_docs, avg(dl::DOUBLE) AS avgdl FROM lens),
+       |tf AS (SELECT doc_id, t AS term, count(*) AS tf
+       |       FROM (SELECT doc_id, unnest(tk) AS t FROM tk)
+       |       WHERE t IN ('spark','vector','merge','stream') GROUP BY doc_id, t),
+       |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+       |w AS (SELECT tf.doc_id,
+       |        ln(1.0 + (g.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+       |          * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / g.avgdl)) AS w
+       |      FROM tf JOIN dfq USING (term) JOIN lens USING (doc_id), g),
+       |sc AS (SELECT doc_id, sum(w) AS score, count(*) AS n_terms FROM w
+       |       GROUP BY doc_id ORDER BY sum(w) DESC, doc_id LIMIT $limit)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "n2_bm25" ->
+      s"""WITH ${bm25Sql(10)}
+         |SELECT doc_id, round(score, 6) AS bm25, n_terms FROM sc
+         |ORDER BY score DESC, doc_id""".stripMargin,
+    "n3_hybrid_rrf" ->
+      s"""WITH ${bm25Sql(20)},
+         |kw AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+         |       FROM sc),
+         |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+         |dn AS (SELECT doc_id, rank FROM (
+         |         SELECT vec_id AS doc_id,
+         |           row_number() OVER (ORDER BY
+         |             list_cosine_similarity(embedding::DOUBLE[], qv) DESC, vec_id) AS rank
+         |         FROM embeddings, q WHERE vec_id <> 0) WHERE rank <= 20),
+         |f AS (SELECT coalesce(d.doc_id, k.doc_id) AS doc_id,
+         |        d.rank AS dr, k.rank AS kr
+         |      FROM dn d FULL JOIN kw k ON d.doc_id = k.doc_id)
+         |SELECT doc_id,
+         |  round(coalesce(1.0/(60+dr), 0.0) + coalesce(1.0/(60+kr), 0.0), 6) AS rrf,
+         |  dr AS dense_rank, kr AS keyword_rank
+         |FROM f
+         |ORDER BY coalesce(1.0/(60+dr), 0.0) + coalesce(1.0/(60+kr), 0.0) DESC, doc_id
+         |LIMIT 10""".stripMargin
+  )
+}

@@ -27,8 +27,17 @@ object TextQueries {
     "t9_lsh_keeplist" -> ((s, d) => lshKeepList(s, d)),
     "t17_components" -> ((s, d) => components(s, d)),
     "t23_keep_best" -> ((s, d) => keepBest(s, d)),
-    "t24_lsh_match" -> ((s, d) => lshMatch(s, d))
+    "t24_lsh_match" -> ((s, d) => lshMatch(s, d)),
+    "t26_dup_spans" -> ((s, d) => dupSpans(s, d))
   )
+
+  /** Span-level dedup signal: per doc, how many positional 8-token windows
+    * are shared verbatim with at least one other document. */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dupSpans(Tables.documents(spark, dir), "doc_id", "text", n = 8)
+      .select(col("id").as("doc_id"), col("dup_spans"),
+        col("distinct_dup_spans"), col("first_pos"))
+      .orderBy("doc_id")
 
   /** Incoming-vs-corpus LSH matching (the incremental-crawl dedup pass):
     * every 10th doc plays the "new batch", the rest are the banded corpus
@@ -282,6 +291,16 @@ object TextQueries {
          |  FROM m WHERE est >= 0.25)
          |SELECT doc_id, corpus_id, round(est, 4) AS est_jaccard
          |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "t26_dup_spans" ->
+      s"""$toks,
+         |sp0 AS (SELECT doc_id, unnest(range(greatest(len(tk) - 7, 0))) AS pos, tk FROM tk),
+         |sp AS (SELECT doc_id, pos,
+         |         md5(array_to_string(list_slice(tk, pos + 1, pos + 8), ' ')) AS h
+         |       FROM sp0),
+         |sh AS (SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+         |SELECT doc_id, count(*) AS dup_spans, count(DISTINCT sp.h) AS distinct_dup_spans,
+         |  min(pos) AS first_pos
+         |FROM sp JOIN sh USING (h) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t5_simhash" ->
       s"""$toks,
          |h AS (SELECT doc_id, list_transform(tk, t -> ('0x' || substr(md5(t), 1, 12))::BIGINT) AS hs FROM tk)

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Clustering
+
+/** Behavioral properties of the replayable Lloyd k-means + SemDeDup: the
+  * oracle (k1/k2/k3) proves engine-equivalence; this proves the clustering
+  * actually clusters and the dedup actually drops the planted duplicates. */
+class ClusteringSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  // Two tight blobs far apart + ids interleaved so the seeds (lowest ids)
+  // start one-per-blob, plus a planted near-identical pair inside blob A.
+  private def blob(center: Float, ids: Seq[Long]): Seq[(Long, Array[Float])] =
+    ids.zipWithIndex.map { case (id, i) =>
+      (id, Array.tabulate(8)(j => center + (if (j == i % 8) 0.01f else 0f)))
+    }
+  private def corpus = (blob(1f, Seq(0L, 2L, 4L, 6L)) ++ blob(-1f, Seq(1L, 3L, 5L, 7L)) ++
+    Seq((8L, Array.fill(8)(1f)), (9L, Array.fill(8)(1.0001f))))
+    .toDF("vec_id", "embedding")
+
+  test("fit + assign separates the blobs and is deterministic") {
+    val m = Clustering.fit(corpus, "embedding", "vec_id", k = 2, iters = 2)
+    val a = Clustering.assign(corpus, "embedding", m)
+      .select("vec_id", "cluster_id").as[(Long, Long)].collect().toMap
+    val blobA = Seq(0L, 2L, 4L, 6L, 8L, 9L).map(a)
+    val blobB = Seq(1L, 3L, 5L, 7L).map(a)
+    assert(blobA.distinct.size == 1, "blob A lands in one cluster")
+    assert(blobB.distinct.size == 1, "blob B lands in one cluster")
+    assert(blobA.head != blobB.head, "blobs get different clusters")
+    val m2 = Clustering.fit(corpus, "embedding", "vec_id", k = 2, iters = 2)
+    assert(m.centroids.map(_.toSeq).toSeq == m2.centroids.map(_.toSeq).toSeq)
+  }
+
+  test("assign breaks exact-tie distances toward the lower centroid index") {
+    val m = Clustering.Model(Array(Array.fill(8)(0.5), Array.fill(8)(0.5)))
+    val ids = Clustering.assign(corpus, "embedding", m)
+      .select("cluster_id").distinct().as[Long].collect().toSeq
+    assert(ids == Seq(0L))
+  }
+
+  test("an empty cluster keeps its previous centroid through fit") {
+    // seeds = ids 0 and 1; every point sits on 1.0-blob side except seed 1's
+    // own vector, which we move next to seed 0 so cluster 1 empties out.
+    val df = (blob(1f, Seq(0L, 2L, 3L, 4L)) ++ Seq((1L, Array.tabulate(8)(j => 1f + 0.02f * j))))
+      .toDF("vec_id", "embedding")
+    val m = Clustering.fit(df, "embedding", "vec_id", k = 2, iters = 2)
+    // centroid 1 must still be seed 1's vector (never NaN / dropped)
+    assert(m.centroids(1).forall(v => !v.isNaN))
+    assert(math.abs(m.centroids(1)(1) - 1.02) < 1e-6)
+  }
+
+  test("semDedup drops the planted near-identical vector, keeps the rest") {
+    val m = Clustering.fit(corpus, "embedding", "vec_id", k = 2, iters = 2)
+    val flags = Clustering.semDedup(Clustering.assign(corpus, "embedding", m),
+      "embedding", "vec_id", threshold = 0.9999999)
+      .select("vec_id", "is_dup").as[(Long, Boolean)].collect().toMap
+    assert(flags(9L), "higher-id twin is the duplicate")
+    assert(!flags(8L), "lower-id twin is the keeper")
+    assert(Seq(0L, 1L, 2L, 3L).forall(id => !flags(id)))
+  }
+
+  test("semDedup never pairs across clusters") {
+    // the two blobs are anti-parallel (cosine == -1 across, ~1 within), so a
+    // low threshold flags everything above the min id WITHIN each cluster
+    // but nothing across.
+    val m = Clustering.fit(corpus, "embedding", "vec_id", k = 2, iters = 2)
+    val flags = Clustering.semDedup(Clustering.assign(corpus, "embedding", m),
+      "embedding", "vec_id", threshold = 0.5)
+      .select("vec_id", "cluster_id", "is_dup").as[(Long, Long, Boolean)].collect()
+    val keepers = flags.filter(!_._3).map(_._1).sorted.toSeq
+    assert(keepers == Seq(0L, 1L), "one keeper per cluster: the min id")
+  }
+}

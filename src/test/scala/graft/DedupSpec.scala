@@ -161,4 +161,36 @@ class DedupSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("did not converge"))
   }
+
+  test("dupSpans finds the shared passage and counts window positions") {
+    // docs 1 & 2 share an 8-token passage embedded at different offsets;
+    // doc 3 is disjoint. With n=4 the 8-token passage yields 5 shared
+    // 4-token windows in each doc.
+    val passage = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"one two $passage three four"),
+      (2L, s"$passage five six seven"),
+      (3L, "red orange yellow green blue indigo violet purple pink")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpans(docs, "doc_id", "text", n = 4)
+      .select("id", "dup_spans", "first_pos").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 5L, 2L), (2L, 5L, 0L)))
+  }
+
+  test("dupSpans stride subsamples window starts but still hits the passage") {
+    val passage = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"one two $passage three four"),
+      (2L, s"zero $passage five six")
+    ).toDF("doc_id", "text")
+    // stride 2 keeps even window starts only: a window collides only if its
+    // start parity survives in BOTH docs (here the passage offsets differ by
+    // one, so recall drops — the documented stride trade-off)
+    val out = Dedup.dupSpans(docs, "doc_id", "text", n = 4, stride = 2)
+      .select("id", "dup_spans").as[(Long, Long)].collect().toMap
+    val full = Dedup.dupSpans(docs, "doc_id", "text", n = 4)
+      .select("id", "dup_spans").as[(Long, Long)].collect().toMap
+    assert(out.getOrElse(1L, 0L) < full(1L))
+  }
 }

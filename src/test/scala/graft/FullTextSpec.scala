@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.FullText
+
+/** BM25 + RRF behavioral checks against hand-computed values. */
+class FullTextSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "spark spark spark engine"),        // tf=3, dl=4
+    (1L, "spark engine engine engine"),      // tf=1, dl=4
+    (2L, "engine room"),                     // no hit, dl=2
+    (3L, "spark")                            // tf=1, dl=1
+  ).toDF("doc_id", "text")
+
+  test("bm25 matches the hand-computed Okapi scores") {
+    val out = FullText.bm25(docs, "doc_id", "text", Seq("spark"), k = 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    // N=4, df=3 -> idf = ln(1 + 1.5/3.5); avgdl = 11/4 = 2.75
+    val idf = math.log(1.0 + (4 - 3 + 0.5) / 3.5)
+    def w(tf: Long, dl: Long) =
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / 2.75))
+    assert(math.abs(out(0L) - w(3, 4)) < 1e-12)
+    assert(math.abs(out(1L) - w(1, 4)) < 1e-12)
+    assert(math.abs(out(3L) - w(1, 1)) < 1e-12)
+    assert(!out.contains(2L), "doc without any query term is absent")
+  }
+
+  test("bm25 rewards tf and penalizes length; short doc beats long at same tf") {
+    val out = FullText.bm25(docs, "doc_id", "text", Seq("spark"), k = 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    assert(out(0L) > out(1L), "higher tf wins at equal length")
+    assert(out(3L) > out(1L), "shorter doc wins at equal tf")
+  }
+
+  test("rrfFuse sums both arms and ranks a both-arms doc above single-arm") {
+    val dense = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("doc_id", "rank")
+    val kw = Seq((12L, 1), (13L, 2)).toDF("doc_id", "rank")
+    val out = FullText.rrfFuse(dense, kw, "doc_id", k = 10)
+      .select("doc_id", "rrf").as[(Long, Double)].collect().toMap
+    assert(math.abs(out(12L) - (1.0 / 63 + 1.0 / 61)) < 1e-12)
+    assert(math.abs(out(10L) - 1.0 / 61) < 1e-12)
+    assert(math.abs(out(13L) - 1.0 / 62) < 1e-12)
+    assert(out(12L) > out(10L), "doc in both arms outranks rank-1 single-arm")
+  }
+
+  test("rrfFuse keeps absent-arm ranks null and bounds output at k") {
+    val dense = (1L to 30L).map(i => (i, i.toInt)).toDF("doc_id", "rank")
+    val kw = Seq((100L, 1)).toDF("doc_id", "rank")
+    val rows = FullText.rrfFuse(dense, kw, "doc_id", k = 5).collect()
+    assert(rows.length == 5)
+    val solo = rows.find(_.getLong(0) == 100L).get
+    assert(solo.isNullAt(solo.fieldIndex("dense_rank")))
+  }
+}
