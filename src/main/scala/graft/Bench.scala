@@ -19,7 +19,10 @@ import org.apache.spark.sql.SparkSession
   * no-broadcast twin (t19), heavy hitters (t16), connected-components
   * transitive dedup (t17), URL normalize + domain caps (t18), deterministic
   * shard shuffle (t21), incoming-vs-corpus band-index matching (t24,
-  * prepared: the index build is offline at scale).
+  * prepared: the index build is offline at scale), duplicate-passage spans
+  * (t26), SemDeDup clustering+dedup (k2 — the Lloyd fit is timed on purpose:
+  * clustering IS the curation job, unlike v7's query-only probe), BM25
+  * keyword scoring (n2) and hybrid RRF fusion (n3).
   *
   * v7/v11 time the QUERY only: their coarse-quantizer build (an offline
   * index job at scale) runs once in the prepare phase via the
@@ -37,7 +40,8 @@ object Bench {
     "c1_chunks_fixed", "s1_search_docs", "u1_upsert",
     "t11_repetition", "t12_decontaminate", "t16_heavy_hitters",
     "t17_components", "t18_url_caps", "t19_bloom_decontaminate",
-    "t21_shuffle_shards", "t24_lsh_match")
+    "t21_shuffle_shards", "t24_lsh_match", "t26_dup_spans",
+    "k2_semdedup", "n2_bm25", "n3_hybrid_rrf")
 
   /** Index-backed queries: build once, time the probe. */
   private val preparedFactories: Map[String,

@@ -35,7 +35,9 @@ object ScaleProbe {
     "n1_filename_search", "l9_folder_summary", "l10_usage_fold",
     "t12_decontaminate", "t16_heavy_hitters", "t17_components", "t18_url_caps",
     "e5_interval_join", "e6_sessionize", "t19_bloom_decontaminate",
-    "t21_shuffle_shards", "t22_cms_heavy", "t23_keep_best")
+    "t21_shuffle_shards", "t22_cms_heavy", "t23_keep_best",
+    "t26_dup_spans", "k1_kmeans_assign", "k2_semdedup",
+    "n2_bm25", "n3_hybrid_rrf")
   // v12_pq_adc is deliberately NOT probed: the registry query rebuilds its
   // codebook + encodes the corpus per run (index-time work), which would
   // mismeasure scaling the same way round-1's v7 did — Bench times the

@@ -439,7 +439,11 @@ object Dedup {
     * n× smaller span stream), then two hash-partitioned aggregations on the
     * 32-hex span key with map-side combine. Never all-pairs: co-occurrence
     * is discovered by groupBy on the span hash, same skeleton as
-    * [[exactGroups]]. */
+    * [[exactGroups]]. The span stream is deliberately recomputed for the
+    * join-back pass rather than checkpointed — it is ~n×corpus size, so two
+    * md5 passes beat materializing it (same trade as t19's two n-gram
+    * passes); a collect_list single-pass variant would OOM on a virally
+    * duplicated span. */
   def dupSpans(docs: DataFrame, idCol: String, textCol: String,
                n: Int = 8, minDocs: Int = 2, stride: Int = 1): DataFrame = {
     val toks = graft.Tables.scaled(

@@ -34,12 +34,22 @@ object FullText {
     // one row: corpus size + average doc length (exact: integer sum / count)
     val global = lens.agg(count(lit(1)).as("n_docs"),
       avg(col("dl").cast("double")).as("avgdl"))
-    val tf = toks.select(col("doc_id"), explode(col("tk")).as("term"))
+    // dl rides the exploded hit rows as a grouping key (it is functionally
+    // dependent on doc_id), so scoring needs NO join back to a lengths
+    // table — the only shuffle over corpus-sized data is this groupBy, and
+    // it carries query-term hits only: explode + a codegen'd In-filter
+    // beats filtering inside the array with a higher-order function (HOF
+    // lambdas evaluate interpreted, with per-element boxing).
+    // checkpointed: df is derived FROM tf, and without the cut Catalyst
+    // re-derives the whole explode subtree for it — two full corpus passes
+    // instead of one plus a pass over the (tiny) per-doc hit table.
+    val tf = toks.select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        explode(col("tk")).as("term"))
       .filter(col("term").isin(terms: _*))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfreq = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
     tf.join(broadcast(dfreq), "term")
-      .join(lens, "doc_id")
       .crossJoin(broadcast(global))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))

@@ -24,7 +24,12 @@ object ClusterQueries {
   private def fitted(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val model = Clustering.fit(e, "embedding", "vec_id", K, Iters)
-    Clustering.assign(e, "embedding", model)
+    // Materialize the assignment once: k2's self-join and the final project
+    // would otherwise re-evaluate the 8x64-element distance fold per
+    // reference, and the checkpoint keeps the big literal-centroid
+    // expression out of every downstream plan (smaller codegen, stable
+    // run-to-run timing). Same pattern as Dedup's eval-ngram checkpoint.
+    Clustering.assign(e, "embedding", model).localCheckpoint()
   }
 
   /** Final Lloyd assignment: (vec_id, cluster_id, squared distance). */
