@@ -209,6 +209,36 @@ object Corpus {
     df.withColumn("bucket", bucket).withColumn("kept", bucket < rate)
   }
 
+  /** Temperature-weighted source mixing (the pretraining data-mixture
+    * reweighting of T5/LLaMA: sample stratum i with p_i ∝ n_i^α, α<1
+    * upweighting rare strata). α is fixed at 0.5 because IEEE sqrt is
+    * CORRECTLY ROUNDED — pow(x, 0.5) is not — so the per-stratum keep
+    * rates are bit-identical in any engine. Deterministic keep decision =
+    * md5 bucket (basis points) < floor(1e4 · min(1, target·p_i/n_i)), same
+    * keyed-hash scheme as [[hashSample]].
+    *
+    * 100 TB shape: one count aggregation (map-side combined), the
+    * |strata|-row count table folds driver-side in stratum order (the fold
+    * order is part of the contract so the oracle replays it), and the keep
+    * decision is a narrow map with the rates as plan literals — no join,
+    * no second shuffle. */
+  def temperatureMix(df: DataFrame, idCol: String, strataCol: String,
+                     targetTotal: Long): DataFrame = {
+    val counts = df.groupBy(strataCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val sumSqrt = counts.foldLeft(0.0) { case (acc, (_, n)) => acc + math.sqrt(n.toDouble) }
+    val rateBp: Map[String, Long] = counts.map { case (s, n) =>
+      val p = math.sqrt(n.toDouble) / sumSqrt
+      s -> math.floor(math.min(1.0, targetTotal.toDouble * p / n.toDouble) * 10000.0).toLong
+    }.toMap
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 6), 16, 10)
+      .cast("long") % 10000
+    df.withColumn("rate_bp",
+        coalesce(element_at(typedLit(rateBp), col(strataCol)), lit(0L)))
+      .withColumn("bucket", bucket)
+      .withColumn("kept", bucket < col("rate_bp"))
+  }
+
   /** Shard-wise sequence packing (concat-and-chunk): within each shard,
     * documents are concatenated in id order and cut into fixed token-budget
     * bins — the standard pretraining sequence construction. Emits each

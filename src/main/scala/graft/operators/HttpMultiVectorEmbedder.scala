@@ -94,3 +94,32 @@ case class FixedMultiVectorEmbedder(vecs: Seq[Seq[Float]]) extends MultiVectorEm
   override def embedTextMulti(s: String): Array[Array[Float]] =
     vecs.map(_.toArray).toArray
 }
+
+/** Token-shaped deterministic stand-in: one `dim`-wide vector PER
+  * WHITESPACE TOKEN of the input — the shape contract of the real ColPali
+  * model (`colpali_embedding_model.py`: (tokens, 128) per input, more
+  * tokens for longer queries), with md5-derived components so every engine
+  * and every run agrees. Lets specs port the reference's
+  * `test_colpali_embedding.py` shape table without a GPU. */
+case class HashMultiVectorEmbedder(dim: Int = 128) extends MultiVectorEmbedder {
+  private def tokenVec(tok: String): Array[Float] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Array.tabulate(dim)(i => ((md(i % md.length) & 0xff) - 128) / 128f)
+  }
+  override def embedTextMulti(s: String): Array[Array[Float]] = {
+    val toks = Option(s).getOrElse("").trim.split("\\s+").filter(_.nonEmpty)
+    // the real model never returns zero vectors for an input: an empty
+    // string still carries special tokens, so fall back to one vector
+    if (toks.isEmpty) Array(tokenVec("")) else toks.map(tokenVec)
+  }
+  override def embedMulti(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    val schema = df.schema.add(outCol, ArrayType(ArrayType(FloatType)), nullable = false)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { rows =>
+      rows.map(r => Row.fromSeq(
+        r.toSeq :+ embedTextMulti(r.getString(idx)).map(_.toSeq).toSeq))
+    }(enc)
+  }
+}

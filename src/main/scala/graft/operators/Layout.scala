@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Write-side data layout: Z-order (Morton) clustering for multi-dimensional
+  * partition pruning — the Delta/Iceberg `OPTIMIZE ZORDER BY` idea expressed
+  * as plain Spark (the reference delegates layout to Postgres indexes; a
+  * 100 TB parquet lake needs file-level min/max pruning instead).
+  *
+  * Sorting by ONE key gives parquet files tight min/max stats on that key
+  * only; interleaving the bits of two keys gives every file a bounded range
+  * in BOTH dimensions, so predicates on either key (or both) prune files.
+  * The z-key is pure integer bit arithmetic — codegen'd, shuffle-free, and
+  * exactly reproducible in any engine (the z1 oracle replays it bit-for-bit).
+  *
+  * At scale the write is `df.repartitionByRange(nFiles, $"zkey")
+  * .sortWithinPartitions($"zkey").write.parquet(...)`; range boundaries come
+  * from sampling, so for the deterministic oracle path [[zorderBuckets]]
+  * buckets by the z-key's high bits instead (fixed-width ranges — same
+  * pruning geometry, reproducible assignment).
+  */
+object Layout {
+
+  /** Morton interleave of two non-negative long columns, `bits` bits each:
+    * bit i of `a` lands at position 2i+1, bit i of `b` at 2i. */
+  def zkey2(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i))
+    }
+
+  /** The DuckDB-side expression for [[zkey2]] (kept in one place so the
+    * Spark fold and the oracle string cannot drift). */
+  def zkey2Sql(a: String, b: String, bits: Int): String =
+    (0 until bits).map(i =>
+      s"((($a >> $i) & 1) << ${2 * i + 1}) | ((($b >> $i) & 1) << ${2 * i})")
+      .mkString(" | ")
+
+  /** Min-max normalization to an 8-bit rank in EXACT integer arithmetic
+    * (`div`, not floating division — a double quotient landing one ulp
+    * under an integer would flip the floor in one engine and not the
+    * other). Z-ordering assumes comparable bit-widths per dimension;
+    * normalizing first is what Delta's OPTIMIZE does with its range-id
+    * pass. */
+  def byteRank(c: String, minV: Long, maxV: Long): Column =
+    expr(s"(($c - $minV) * 255) div ${math.max(1L, maxV - minV)}")
+
+  /** Assign each row a zkey + a fixed-width z-range bucket (the file id a
+    * writer would target): bucket = zkey >> (2*bits - log2Buckets). */
+  def zorderBuckets(df: DataFrame, aCol: String, bCol: String,
+                    bits: Int, log2Buckets: Int): DataFrame = {
+    require(log2Buckets <= 2 * bits, "more buckets than zkey bits")
+    val z = zkey2(col(aCol), col(bCol), bits)
+    df.withColumn("zkey", z)
+      .withColumn("bucket", shiftright(col("zkey"), 2 * bits - log2Buckets))
+  }
+
+  /** Layout-quality summary per bucket: row count + min/max of each
+    * dimension. Tight per-bucket ranges in BOTH columns are exactly what
+    * lets a scan prune files on either predicate — this is the number a
+    * layout job reports. */
+  def zorderSummary(df: DataFrame, aCol: String, bCol: String,
+                    bits: Int, log2Buckets: Int): DataFrame =
+    zorderBuckets(df, aCol, bCol, bits, log2Buckets)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min(aCol).as("a_min"), max(aCol).as("a_max"),
+        min(bCol).as("b_min"), max(bCol).as("b_max"))
+}

@@ -67,4 +67,62 @@ object Multimodal {
           .as(Seq("frame_number", "step")))
       .select(col("media_id"), col("doc_id"), col("frame_number").cast("long").as("frame_number"),
         (col("step") * stepSec).cast("double").as("ts"))
+
+  /** Page rasterizer slot for the S10/S11 image side (the pyMuPDF /
+    * pdf2image / LibreOffice seat, `ingestion_service.py:1416-1896`). No
+    * pure-JDK renderer exists, so production plugs a real one in here;
+    * tests drive the chain with deterministic fakes. A throw from either
+    * method is PER-PAGE recoverable — see [[pageImageChunks]]. */
+  trait PageRenderer extends Serializable {
+    def pageCount(docBytes: Array[Byte]): Int
+    /** Render one page to encoded image bytes; may throw. */
+    def render(docBytes: Array[Byte], page: Int): Array[Byte]
+  }
+
+  /** The composed ColPali page-image chunk flow
+    * (`_render_pdf_with_pymupdf` / `_process_pdf_for_colpali`,
+    * `ingestion_service.py:1416-1477,1617-1700`, unit table
+    * `test_ingestion_colpali_rendering.py`): explode documents into page
+    * renders and keep only usable ones — a page whose render or encode
+    * THROWS is skipped (logged-and-skipped in the reference, never fatal
+    * to the document), a page whose pixels are blank is skipped, and
+    * survivors become data-URI image chunks with `is_image=true`,
+    * numbered densely over the SURVIVORS (the reference enumerates the
+    * rendered_pages list, so chunk numbers have no holes) with the
+    * original page index kept alongside. A document whose pageCount
+    * itself fails contributes zero pages (the reference falls to the next
+    * rung of the parse ladder).
+    *
+    * Scale shape: one mapPartitions over the docs — render, blank-check,
+    * and JPEG/base64 encode all happen inside the partition with no
+    * shuffle; the output is chunk rows ready for the embed stage. */
+  def pageImageChunks(docs: DataFrame, idCol: String, bytesCol: String,
+                      renderer: PageRenderer, tolerance: Int = 2,
+                      maxWidth: Int = 256): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("chunk_number", IntegerType, nullable = false),
+      StructField("page_index", IntegerType, nullable = false),
+      StructField("content", StringType, nullable = false),
+      StructField("is_image", BooleanType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idIdx = docs.schema.fieldIndex(idCol)
+    val bIdx = docs.schema.fieldIndex(bytesCol)
+    docs.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val docId = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](bIdx)
+        val n = try renderer.pageCount(bytes) catch { case _: Exception => 0 }
+        (0 until n).iterator.flatMap { p =>
+          try {
+            val img = renderer.render(bytes, p)
+            if (ImageCodec.isBlankBytes(img, tolerance)) None
+            else Some((p, ImageCodec.normalize(img, "image/png", maxWidth).dataUri))
+          } catch { case _: Exception => None }
+        }.zipWithIndex.map { case ((p, uri), chunkNo) =>
+          Row(docId, chunkNo, p, uri, true)
+        }
+      }
+    }(enc)
+  }
 }

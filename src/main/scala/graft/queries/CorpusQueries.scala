@@ -27,8 +27,19 @@ object CorpusQueries {
     "t19_bloom_decontaminate" -> ((s, d) => bloomDecontaminate(s, d)),
     "t20_profile" -> ((s, d) => profile(s, d)),
     "t21_shuffle_shards" -> ((s, d) => shuffleShards(s, d)),
-    "t22_cms_heavy" -> ((s, d) => cmsHeavy(s, d))
+    "t22_cms_heavy" -> ((s, d) => cmsHeavy(s, d)),
+    "t27_temperature_mix" -> ((s, d) => temperatureMix(s, d))
   )
+
+  /** Temperature-weighted language mixing toward a 250-doc budget: rare
+    * languages keep a higher fraction than the en majority (α=0.5). */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame =
+    Corpus.temperatureMix(Tables.documents(spark, dir), "doc_id", "lang",
+      targetTotal = 250)
+      .groupBy("lang")
+      .agg(max("rate_bp").as("rate_bp"), count(lit(1)).as("n_total"),
+        sum(col("kept").cast("long")).cast("long").as("n_kept"))
+      .orderBy("lang")
 
   /** CMS-prefiltered exact heavy tokens (the unbounded-vocabulary path):
     * the sketch prefilter never drops a true heavy token and the exact
@@ -317,6 +328,23 @@ object CorpusQueries {
          |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token ASC) AS rank
          |  FROM c)
          |SELECT lang, token, cnt, rank::BIGINT AS rank FROM r
-         |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin
+         |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin,
+    // replays the driver-side rate fold exactly: sqrt is IEEE
+    // correctly-rounded (why α is fixed at 0.5), the Σ√n fold runs in
+    // stratum order on both sides, and the keep decision is integer
+    // arithmetic on the md5 bucket.
+    "t27_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
+        |s AS (SELECT list_sum(list(sqrt(n::DOUBLE) ORDER BY lang)) AS ss FROM c),
+        |r AS (SELECT lang,
+        |    floor(least(1.0, 250.0 * (sqrt(n::DOUBLE) / s.ss) / n::DOUBLE)
+        |          * 10000.0)::BIGINT AS rate_bp
+        |  FROM c, s),
+        |b AS (SELECT doc_id, lang,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT % 10000 AS bucket
+        |  FROM documents)
+        |SELECT b.lang, r.rate_bp, count(*)::BIGINT AS n_total,
+        |  sum(CASE WHEN bucket < rate_bp THEN 1 ELSE 0 END)::BIGINT AS n_kept
+        |FROM b JOIN r USING (lang) GROUP BY b.lang, r.rate_bp ORDER BY lang""".stripMargin
   )
 }

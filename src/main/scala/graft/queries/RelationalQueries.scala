@@ -16,8 +16,32 @@ object RelationalQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> ((s, dir) => q1Agg(s, dir)),
-    "q2_join3" -> ((s, dir) => q2Join3(s, dir))
+    "q2_join3" -> ((s, dir) => q2Join3(s, dir)),
+    "z1_zorder_layout" -> ((s, dir) => zorderLayout(s, dir))
   )
+
+  /** Z-order layout summary over lineitem (l_partkey, l_suppkey): both keys
+    * min-max normalized to 8-bit ranks (integer-exact), Morton-interleaved,
+    * bucketed into 16 z-ranges; per bucket, row count + min/max of BOTH
+    * original dimensions — the bounded-in-both-columns geometry that makes
+    * parquet min/max stats prune on either predicate. The z-key fold and
+    * the oracle string come from the same generator
+    * ([[graft.operators.Layout.zkey2Sql]]), so they cannot drift. */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Layout
+    val l = Tables.lineitem(spark, dir)
+    val r = l.agg(min("l_partkey"), max("l_partkey"),
+      min("l_suppkey"), max("l_suppkey")).head()
+    val n = l
+      .withColumn("na", Layout.byteRank("l_partkey", r.getLong(0), r.getLong(1)))
+      .withColumn("nb", Layout.byteRank("l_suppkey", r.getLong(2), r.getLong(3)))
+    Layout.zorderBuckets(n, "na", "nb", bits = 8, log2Buckets = 4)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("l_partkey").as("a_min"), max("l_partkey").as("a_max"),
+        min("l_suppkey").as("b_min"), max("l_suppkey").as("b_max"))
+      .orderBy("bucket")
+  }
 
   def oracles: Map[String, String] = Map(
     "q1_agg" ->
@@ -40,7 +64,21 @@ object RelationalQueries {
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |WHERE o.o_orderstatus <> 'P'
         |GROUP BY c.c_mktsegment, n.n_name
-        |ORDER BY c.c_mktsegment, n.n_name""".stripMargin
+        |ORDER BY c.c_mktsegment, n.n_name""".stripMargin,
+    "z1_zorder_layout" ->
+      s"""WITH r AS (SELECT min(l_partkey) amin, max(l_partkey) amax,
+         |    min(l_suppkey) bmin, max(l_suppkey) bmax FROM lineitem),
+         |n AS (SELECT l_partkey, l_suppkey,
+         |    ((l_partkey - r.amin) * 255) // greatest(1, r.amax - r.amin) AS na,
+         |    ((l_suppkey - r.bmin) * 255) // greatest(1, r.bmax - r.bmin) AS nb
+         |  FROM lineitem, r),
+         |z AS (SELECT l_partkey, l_suppkey,
+         |    (${graft.operators.Layout.zkey2Sql("na", "nb", 8)}) AS zkey
+         |  FROM n)
+         |SELECT (zkey >> 12) AS bucket, count(*) AS n_rows,
+         |  min(l_partkey) AS a_min, max(l_partkey) AS a_max,
+         |  min(l_suppkey) AS b_min, max(l_suppkey) AS b_max
+         |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
   )
 
   /** TPC-H Q1-shaped pricing summary: single scan, map-side partial agg,

@@ -226,4 +226,35 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.filter(_._3).map(_._1) == Seq(0L, 1L, 2L, 100L))
     assert(out.find(_._1 == 7L).get._2 == 8)
   }
+
+  test("temperatureMix upweights rare strata and respects the target shape") {
+    // 90 majority + 10 minority docs, target 50: α=0.5 keeps the minority
+    // at a HIGHER rate than the majority (the whole point of temperature
+    // sampling), and rates are exact basis points from the count table.
+    val df = (Seq.tabulate(90)(i => (i.toLong, "big")) ++
+      Seq.tabulate(10)(i => (100L + i, "rare"))).toDF("id", "s")
+    val out = Corpus.temperatureMix(df, "id", "s", targetTotal = 50)
+      .select("s", "rate_bp").distinct().as[(String, Long)].collect().toMap
+    val sumSqrt = math.sqrt(90.0) + math.sqrt(10.0)
+    assert(out("big") ==
+      math.floor(math.min(1.0, 50.0 * (math.sqrt(90.0) / sumSqrt) / 90.0) * 10000.0).toLong)
+    assert(out("rare") ==
+      math.floor(math.min(1.0, 50.0 * (math.sqrt(10.0) / sumSqrt) / 10.0) * 10000.0).toLong)
+    assert(out("rare") > out("big"), "rare stratum keeps a higher fraction")
+  }
+
+  test("temperatureMix caps rates at 100% and is deterministic") {
+    // tiny stratum whose fair share exceeds its size -> rate capped at 1.0
+    val df = (Seq.tabulate(99)(i => (i.toLong, "big")) ++ Seq((200L, "one")))
+      .toDF("id", "s")
+    val out = Corpus.temperatureMix(df, "id", "s", targetTotal = 90)
+      .select("s", "rate_bp", "kept")
+    val rates = out.select("s", "rate_bp").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(rates("one") == 10000L, "over-demanded stratum capped at 100%")
+    val k1 = out.filter($"kept").count()
+    val k2 = Corpus.temperatureMix(df, "id", "s", targetTotal = 90)
+      .filter($"kept").count()
+    assert(k1 == k2)
+  }
 }

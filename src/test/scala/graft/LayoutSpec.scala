@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Layout
+
+/** Z-order layout properties: the Morton fold matches a reference bit
+  * interleave, and bucketing actually bounds BOTH dimensions per bucket
+  * (the pruning geometry the operator exists for). */
+class LayoutSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def mortonRef(a: Long, b: Long, bits: Int): Long =
+    (0 until bits).foldLeft(0L) { (acc, i) =>
+      acc | (((a >> i) & 1L) << (2 * i + 1)) | (((b >> i) & 1L) << (2 * i))
+    }
+
+  test("zkey2 equals the reference interleave over a key grid") {
+    val grid = for (a <- 0L to 20L; b <- 0L to 20L) yield (a, b)
+    val out = grid.toDF("a", "b")
+      .withColumn("z", Layout.zkey2(col("a"), col("b"), 8))
+      .as[(Long, Long, Long)].collect()
+    out.foreach { case (a, b, z) => assert(z == mortonRef(a, b, 8), s"($a,$b)") }
+  }
+
+  test("zkey2 is monotone-compatible: equal keys collide, neighbors stay close") {
+    val z00 = mortonRef(0, 0, 8); val z11 = mortonRef(1, 1, 8)
+    assert(z00 == 0 && z11 == 3, "low keys produce low z-keys")
+  }
+
+  test("byteRank maps min->0, max->255, and stays within byte range") {
+    val out = Seq(7L, 100L, 1000L, 2007L).toDF("x")
+      .withColumn("r", Layout.byteRank("x", 7L, 2007L))
+      .select("r").as[Long].collect().toSeq
+    assert(out.head == 0L && out.last == 255L)
+    assert(out.forall(r => r >= 0 && r <= 255))
+  }
+
+  test("zorderBuckets bounds both dimensions within every bucket") {
+    val rows = for (a <- 0L until 64L; b <- 0L until 64L) yield (a, b)
+    val stats = Layout.zorderBuckets(rows.toDF("a", "b"), "a", "b",
+        bits = 6, log2Buckets = 4)
+      .groupBy("bucket")
+      .agg(min("a").as("amin"), max("a").as("amax"),
+        min("b").as("bmin"), max("b").as("bmax"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(stats.length == 16)
+    // 16 buckets over a 64x64 grid -> each bucket spans a 16x16 quadrant
+    stats.foreach { case (_, amin, amax, bmin, bmax) =>
+      assert(amax - amin <= 15 && bmax - bmin <= 15)
+    }
+  }
+}
