@@ -22,7 +22,9 @@ import org.apache.spark.sql.SparkSession
   * prepared: the index build is offline at scale), duplicate-passage spans
   * (t26), SemDeDup clustering+dedup (k2 — the Lloyd fit is timed on purpose:
   * clustering IS the curation job, unlike v7's query-only probe), BM25
-  * keyword scoring (n2) and hybrid RRF fusion (n3).
+  * keyword scoring (n2, prepared: the inverted index is an offline build,
+  * the probe is the term-pruned postings join) and hybrid RRF fusion (n3,
+  * unprepared — it times the composed serving flow end to end).
   *
   * v7/v11 time the QUERY only: their coarse-quantizer build (an offline
   * index job at scale) runs once in the prepare phase via the
@@ -49,7 +51,8 @@ object Bench {
     "v7_ivf_knn" -> ((s, d) => graft.queries.VectorQueries.ivfKnnPrepared(s, d)),
     "v11_fde_ivf" -> ((s, d) => graft.queries.VectorQueries.fdeIvfPrepared(s, d)),
     "v12_pq_adc" -> ((s, d) => graft.queries.VectorQueries.pqAdcPrepared(s, d)),
-    "t24_lsh_match" -> ((s, d) => graft.queries.TextQueries.lshMatchPrepared(s, d)))
+    "t24_lsh_match" -> ((s, d) => graft.queries.TextQueries.lshMatchPrepared(s, d)),
+    "n2_bm25" -> ((s, d) => graft.queries.SearchQueries.bm25Prepared(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -37,7 +37,7 @@ object ScaleProbe {
     "e5_interval_join", "e6_sessionize", "t19_bloom_decontaminate",
     "t21_shuffle_shards", "t22_cms_heavy", "t23_keep_best",
     "t26_dup_spans", "k1_kmeans_assign", "k2_semdedup",
-    "n2_bm25", "n3_hybrid_rrf")
+    "n2_bm25", "n3_hybrid_rrf", "t27_temperature_mix", "z1_zorder_layout")
   // v12_pq_adc is deliberately NOT probed: the registry query rebuilds its
   // codebook + encodes the corpus per run (index-time work), which would
   // mismeasure scaling the same way round-1's v7 did — Bench times the

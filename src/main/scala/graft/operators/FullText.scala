@@ -62,6 +62,45 @@ object FullText {
       .limit(k)
   }
 
+  /** Offline BM25 artifacts: the full-vocabulary postings list
+    * (term, doc_id, tf, dl), per-term document frequencies, and the corpus
+    * stats row — what a serving deployment builds ONCE per corpus snapshot
+    * and queries many times. At scale `postings` is written bucketed/
+    * partitioned by term, so a query's `isin` semi-join prunes to the
+    * query-term partitions instead of scanning the corpus. */
+  case class Bm25Index(postings: DataFrame, dfreq: DataFrame, stats: DataFrame)
+
+  /** One corpus pass: explode → (doc, term) counts (map-side combined). */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String): Bm25Index = {
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      text.tokens(col(textCol)).as("tk"))
+    val postings = toks.select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        explode(col("tk")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = postings.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"),
+      avg(size(col("tk")).cast("double")).as("avgdl"))
+    Bm25Index(postings, dfreq, stats)
+  }
+
+  /** Query the prepared index — value-identical to [[bm25]] (the tf/df
+    * multisets restricted to the query terms are the same), but the only
+    * scan is the term-pruned postings slice. */
+  def queryIndex(idx: Bm25Index, terms: Seq[String], k: Int,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    idx.postings.filter(col("term").isin(terms: _*))
+      .join(broadcast(idx.dfreq.filter(col("term").isin(terms: _*))), "term")
+      .crossJoin(broadcast(idx.stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("w",
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(sum("w").as("score"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+
   /** Reciprocal-rank fusion of two ranked lists (1-based `rank` column each):
     * rrf = Σ 1/(kRrf + rank), absent arms contribute 0. Both inputs are
     * top-k slices (user-request sized), so the fusion join is trivially

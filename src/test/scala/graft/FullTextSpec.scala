@@ -53,6 +53,16 @@ class FullTextSpec extends AnyFunSuite {
     assert(out(12L) > out(10L), "doc in both arms outranks rank-1 single-arm")
   }
 
+  test("queryIndex over the prepared index is value-identical to bm25") {
+    val direct = FullText.bm25(docs, "doc_id", "text", Seq("spark", "room"), k = 10)
+      .select("doc_id", "score", "n_terms").as[(Long, Double, Long)].collect().toSet
+    val viaIndex = FullText.queryIndex(
+      FullText.buildIndex(docs, "doc_id", "text"), Seq("spark", "room"), k = 10)
+      .select("doc_id", "score", "n_terms").as[(Long, Double, Long)].collect().toSet
+    assert(direct == viaIndex)
+    assert(direct.nonEmpty)
+  }
+
   test("rrfFuse keeps absent-arm ranks null and bounds output at k") {
     val dense = (1L to 30L).map(i => (i, i.toInt)).toDF("doc_id", "rank")
     val kw = Seq((100L, 1)).toDF("doc_id", "rank")
