@@ -446,6 +446,8 @@ object Dedup {
     * duplicated span. */
   def dupSpans(docs: DataFrame, idCol: String, textCol: String,
                n: Int = 8, minDocs: Int = 2, stride: Int = 1): DataFrame = {
+    require(n >= 1 && stride >= 1 && minDocs >= 2,
+      s"dupSpans needs n>=1, stride>=1, minDocs>=2 (got $n, $stride, $minDocs)")
     val toks = graft.Tables.scaled(
       docs.select(col(idCol).cast("long").as("id"), text.tokens(col(textCol)).as("tk")))
     val sp = toks.filter(size(col("tk")) >= n)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.text
-import graft.operators.Corpus
+import graft.operators.{Corpus, Dedup}
 
 /** Corpus-curation coverage: the training-data pipeline stages between raw
   * ingest and tokenized shards — boilerplate detection, repetition quality
@@ -28,8 +28,37 @@ object CorpusQueries {
     "t20_profile" -> ((s, d) => profile(s, d)),
     "t21_shuffle_shards" -> ((s, d) => shuffleShards(s, d)),
     "t22_cms_heavy" -> ((s, d) => cmsHeavy(s, d)),
-    "t27_temperature_mix" -> ((s, d) => temperatureMix(s, d))
+    "t27_temperature_mix" -> ((s, d) => temperatureMix(s, d)),
+    "t28_curation_e2e" -> ((s, d) => curationE2e(s, d))
   )
+
+  /** The full curation pipeline as ONE composed dataflow — exact dedup keep
+    * → Gopher repetition gate → temperature-mixed language rebalance →
+    * per-source sequence packing — proving the operator family composes and
+    * stays oracle-able end to end (each stage is individually gated by
+    * t3/t11/t27/t15; this gates the composition seams: which rows flow
+    * between stages and the packing offsets over the survivors). */
+  def curationE2e(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val keepIds = Dedup.exactKeep(docs, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    // Stage cuts: each survivor set is referenced by at least two downstream
+    // consumers (the metrics join reuses the dedup output; the mix's count
+    // fold AND the pack both read the quality output), so without the cut
+    // the dedup+metrics chain executes up to 4x. A real 100 TB curation run
+    // writes stage outputs between passes for exactly this reason — the
+    // checkpoint is the in-process analog.
+    val deduped = docs.join(keepIds, "doc_id").localCheckpoint()
+    val qualityIds = Corpus.repetitionMetrics(deduped, "doc_id", "text")
+      .filter(col("keep")).select(col("id").as("doc_id"))
+    val quality = deduped.join(qualityIds, "doc_id").localCheckpoint()
+    val mixed = Corpus.temperatureMix(quality, "doc_id", "lang", targetTotal = 150)
+      .filter(col("kept"))
+    Corpus.packSequences(mixed, "doc_id", "source",
+      text.bpe_token_count(col("text")), budget = 1024L)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
 
   /** Temperature-weighted language mixing toward a 250-doc budget: rare
     * languages keep a higher fraction than the en majority (α=0.5). */
@@ -345,6 +374,44 @@ object CorpusQueries {
         |  FROM documents)
         |SELECT b.lang, r.rate_bp, count(*)::BIGINT AS n_total,
         |  sum(CASE WHEN bucket < rate_bp THEN 1 ELSE 0 END)::BIGINT AS n_kept
-        |FROM b JOIN r USING (lang) GROUP BY b.lang, r.rate_bp ORDER BY lang""".stripMargin
+        |FROM b JOIN r USING (lang) GROUP BY b.lang, r.rate_bp ORDER BY lang""".stripMargin,
+    // the composed pipeline: each stage's rule is the same as its
+    // standalone oracle (t3 dedup keep, t11 keep predicate, t27 rates,
+    // t15 pack window) — chained over the survivors of the previous stage.
+    "t28_curation_e2e" ->
+      s"""WITH n AS ($norm),
+         |d AS (SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (PARTITION BY md5(norm) ORDER BY doc_id) rn
+         |    FROM n) WHERE rn = 1),
+         |tk AS (SELECT n.doc_id, list_filter(string_split(norm, ' '), t -> len(t) > 0) AS tk
+         |       FROM n JOIN d USING (doc_id)),
+         |q AS (SELECT doc_id FROM (
+         |    SELECT doc_id, len(tk)::BIGINT AS nt, len(list_distinct(tk))::BIGINT AS nd,
+         |      coalesce(list_max(list_transform(list_distinct(tk),
+         |        t -> len(list_filter(tk, x -> x = t)))), 0)::BIGINT AS tt
+         |    FROM tk) WHERE tt * 20 <= nt * 3 AND nd * 2 >= nt),
+         |s AS (SELECT documents.doc_id, lang, source, text
+         |      FROM documents JOIN q ON documents.doc_id = q.doc_id),
+         |c AS (SELECT lang, count(*)::BIGINT AS n FROM s GROUP BY lang),
+         |ssum AS (SELECT list_sum(list(sqrt(n::DOUBLE) ORDER BY lang)) AS ss FROM c),
+         |r AS (SELECT lang,
+         |    floor(least(1.0, 150.0 * (sqrt(n::DOUBLE) / ssum.ss) / n::DOUBLE)
+         |          * 10000.0)::BIGINT AS rate_bp
+         |  FROM c, ssum),
+         |m AS (SELECT s.* FROM s JOIN r USING (lang)
+         |      WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT % 10000
+         |            < rate_bp),
+         |p AS (SELECT doc_id, source,
+         |    len(regexp_extract_all(text, '${text.bpeTokenPattern}'))::BIGINT AS n_tok
+         |  FROM m),
+         |w AS (SELECT doc_id, source AS shard, n_tok,
+         |    (sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum
+         |  FROM p)
+         |SELECT doc_id, shard, n_tok, (cum - n_tok) AS tok_start,
+         |  ((cum - n_tok) // 1024)::BIGINT AS bin_first,
+         |  CASE WHEN n_tok > 0 THEN ((cum - 1) // 1024)::BIGINT
+         |       ELSE ((cum - n_tok) // 1024)::BIGINT END AS bin_last
+         |FROM w ORDER BY doc_id""".stripMargin
   )
 }
