@@ -120,6 +120,40 @@ object GraftService {
     else ranked
   }
 
+  /** Hybrid retrieval: the dense arm fused with an Okapi BM25 keyword arm
+    * by reciprocal rank (the pgvector+FTS deployment shape, generalizing
+    * the reference's filename-only keyword search Q12 to chunk content).
+    * Scope compiles ONCE and lands before BOTH arms' scoring, so each arm
+    * scans only authorized rows; the fusion join runs over two top-`fetchK`
+    * slices (request-sized). Chunks are keyed by a composite doc:chunk
+    * string so fusion is per-chunk; each arm oversamples 2k before the RRF
+    * cut. */
+  def retrieveChunksHybrid(req: RetrieveRequest, chunks: ChunkTable,
+                           embedder: Embedder = HashEmbedder(64),
+                           kRrf: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = chunks.df.filter(compileScope(req, chunks)).withColumn("__cid",
+      concat_ws(":", col(chunks.docIdCol), col(chunks.chunkNoCol)))
+    val fetchK = math.max(req.k * 2, 20)
+    val rankW = Window.orderBy(col("score").desc, col("__cid"))
+    val dense = KnnSearch.topK(keyed, chunks.embeddingCol, "__cid",
+      embedder.embedText(req.queryText), fetchK)
+      .select(col("__cid"), col("score"))
+      .withColumn("rank", row_number().over(rankW))
+    val terms = Option(req.queryText).getOrElse("").toLowerCase
+      .split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    val keyword = operators.FullText.bm25(keyed, "__cid", chunks.contentCol,
+        terms, fetchK)
+      .withColumnRenamed("doc_id", "__cid")
+      .withColumn("rank", row_number().over(rankW))
+    val fused = operators.FullText.rrfFuse(dense, keyword, "__cid", req.k, kRrf)
+      .withColumnRenamed("doc_id", "__cid")
+    fused.join(keyed.drop("score"), "__cid")
+      .withColumn("score", col("rrf"))
+      .drop("__cid")
+      .orderBy(col("score").desc, col(chunks.docIdCol), col(chunks.chunkNoCol))
+  }
+
   /** Doc-level results (Q11): max chunk score per document. */
   def retrieveDocs(req: RetrieveRequest, chunks: ChunkTable,
                    embedder: Embedder = HashEmbedder(64)): DataFrame =

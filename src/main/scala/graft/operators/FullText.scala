@@ -28,7 +28,8 @@ object FullText {
     * Lucene variant. */
   def bm25(docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
            k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+    // id keeps its incoming type (long doc ids, composite chunk keys, ...)
+    val toks = docs.select(col(idCol).as("doc_id"),
       text.tokens(col(textCol)).as("tk"))
     val lens = toks.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
     // one row: corpus size + average doc length (exact: integer sum / count)
@@ -72,7 +73,7 @@ object FullText {
 
   /** One corpus pass: explode → (doc, term) counts (map-side combined). */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String): Bm25Index = {
-    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+    val toks = docs.select(col(idCol).as("doc_id"),
       text.tokens(col(textCol)).as("tk"))
     val postings = toks.select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
         explode(col("tk")).as("term"))

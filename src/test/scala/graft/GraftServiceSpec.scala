@@ -161,4 +161,23 @@ class GraftServiceSpec extends AnyFunSuite {
     // exact multivector match: every query token finds itself -> score = n_tokens
     assert(math.abs(hits.head._2 - 2.0) < 1e-5)
   }
+
+  test("hybrid arm fuses dense + keyword through the same scope compiler") {
+    // "spark" appears in docs 1 and 3; doc 3 is app2. Scoped to app1, the
+    // keyword arm can only surface doc 1 chunks; the dense arm agrees on
+    // the verbatim chunk -> a both-arms chunk outranks single-arm ones.
+    val req = RetrieveRequest("spark query engine chunk 0", k = 5,
+      appId = Some("app1"))
+    val got = retrieveChunksHybrid(req, chunkTable)
+      .select("document_id", "chunk_number", "score", "dense_rank", "keyword_rank")
+      .as[(Long, Int, Double, Option[Long], Option[Long])].collect().toSeq
+    assert(got.nonEmpty && got.forall(_._1 != 3L), "app2 doc never leaks in")
+    val top = got.head
+    assert(top._1 == 1L && top._2 == 0, "verbatim chunk wins the fusion")
+    assert(top._4.nonEmpty && top._5.nonEmpty, "top hit present in BOTH arms")
+    assert(got.map(_._3).sliding(2).forall(p => p.head >= p.last), "rrf desc")
+    // a pure-keyword query term absent from embeddings still contributes:
+    // all doc-1 chunks contain "spark" -> keyword arm ranks them
+    assert(got.count(_._1 == 1L) >= 3)
+  }
 }
