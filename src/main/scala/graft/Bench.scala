@@ -100,9 +100,11 @@ object Bench {
     val results = headline.map { name =>
       val samples = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try run(name) catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: $e"); -1L }
-        (System.nanoTime() - t0) / 1e9
+        // a failed run must surface as -1, NOT as its time-to-failure — a
+        // fast AnalysisException would otherwise read as a 100x speedup
+        try { run(name); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $e"); -1.0 }
       }.sorted
       val median = samples(samples.size / 2)
       val spread = if (samples.head > 0) median / samples.head else 1.0

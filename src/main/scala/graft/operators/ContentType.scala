@@ -102,18 +102,24 @@ object ContentType {
     if (decoded.isEmpty) return true
     // Python `ch.isprintable() or ch.isspace()`: separators (Zs/Zl/Zp) and
     // whitespace pass via isspace; everything in the Other categories
-    // (Cc control, Cf format — ZWSP/ZWJ/BOM, Cs surrogate, Co private-use,
-    // Cn unassigned) is NOT printable. Java's isControl-only test counted
-    // Cf chars as printable and could flip texts near the 0.9 boundary.
-    val printable = decoded.count { ch =>
-      ch.isWhitespace || Character.isSpaceChar(ch) || {
-        val t = Character.getType(ch)
-        t != Character.CONTROL && t != Character.FORMAT &&
-        t != Character.SURROGATE && t != Character.PRIVATE_USE &&
-        t != Character.UNASSIGNED
-      }
+    // (Cc control, Cf format — ZWSP/ZWJ/BOM, Co private-use, Cn unassigned)
+    // is NOT printable. Walk CODE POINTS, not UTF-16 units — Python
+    // iterates code points, so an astral char (emoji) is ONE printable
+    // char, not two SURROGATE units; counting units would misclassify
+    // emoji-heavy text as binary.
+    var printable = 0; var total = 0; var i = 0
+    while (i < decoded.length) {
+      val cp = decoded.codePointAt(i)
+      total += 1
+      val t = Character.getType(cp)
+      val ok = Character.isWhitespace(cp) || Character.isSpaceChar(cp) ||
+        (t != Character.CONTROL && t != Character.FORMAT &&
+          t != Character.SURROGATE && t != Character.PRIVATE_USE &&
+          t != Character.UNASSIGNED)
+      if (ok) printable += 1
+      i += Character.charCount(cp)
     }
-    printable.toDouble / decoded.length >= 0.9
+    printable.toDouble / total >= 0.9
   }
 
   /** `detect_content_type`: sniff → cleaned hint → extension → text

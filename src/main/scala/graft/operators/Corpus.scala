@@ -224,8 +224,13 @@ object Corpus {
     * no second shuffle. */
   def temperatureMix(df: DataFrame, idCol: String, strataCol: String,
                      targetTotal: Long): DataFrame = {
-    val counts = df.groupBy(strataCol).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    // cast-to-string + null filter: a non-string stratum column still mixes
+    // (keyed by its string form), and null-stratum rows never reach the
+    // rate map — they fall to the coalesce(0) below and are dropped, the
+    // safe default for unlabeled rows in a curation pass.
+    val counts = df.groupBy(col(strataCol).cast("string").as("__s")).count()
+      .collect().flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1)))
+      .sortBy(_._1)
     val sumSqrt = counts.foldLeft(0.0) { case (acc, (_, n)) => acc + math.sqrt(n.toDouble) }
     val rateBp: Map[String, Long] = counts.map { case (s, n) =>
       val p = math.sqrt(n.toDouble) / sumSqrt
@@ -234,7 +239,7 @@ object Corpus {
     val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 6), 16, 10)
       .cast("long") % 10000
     df.withColumn("rate_bp",
-        coalesce(element_at(typedLit(rateBp), col(strataCol)), lit(0L)))
+        coalesce(element_at(typedLit(rateBp), col(strataCol).cast("string")), lit(0L)))
       .withColumn("bucket", bucket)
       .withColumn("kept", bucket < col("rate_bp"))
   }

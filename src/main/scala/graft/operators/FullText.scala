@@ -41,14 +41,17 @@ object FullText {
     // it carries query-term hits only: explode + a codegen'd In-filter
     // beats filtering inside the array with a higher-order function (HOF
     // lambdas evaluate interpreted, with per-element boxing).
-    // checkpointed: df is derived FROM tf, and without the cut Catalyst
-    // re-derives the whole explode subtree for it — two full corpus passes
-    // instead of one plus a pass over the (tiny) per-doc hit table.
+    // persisted (LAZILY — this is a plan-construction function and must not
+    // run jobs at build time, serving callers compose/discard plans): df is
+    // derived FROM tf, and without the cut Catalyst re-derives the whole
+    // explode subtree for it — two full corpus passes instead of one plus a
+    // pass over the (tiny) per-doc hit table. Within one action both
+    // consumers share the same InMemoryRelation, so tf computes once.
     val tf = toks.select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
         explode(col("tk")).as("term"))
       .filter(col("term").isin(terms: _*))
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .persist()
     val dfreq = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
     tf.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(global))

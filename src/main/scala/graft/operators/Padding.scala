@@ -45,7 +45,9 @@ object Padding {
     * are inline.) */
   def isImageChunk(content: Column, meta: Column): Column = {
     val flag = meta.getItem("is_image")
-    when(flag.isNotNull, flag === "true")
+    // the reference flag is a JSONB bool; rows ported through a string map
+    // may carry Python's str(True) — accept the common bool serializations
+    when(flag.isNotNull, lower(flag).isin("true", "1"))
       .otherwise(coalesce(content.startsWith("data"), lit(false)))
   }
 

@@ -109,13 +109,28 @@ object TextQueries {
     * (lowest-rank-present pair each step, all occurrences merged), and the
     * md5 over the '|'-joined token stream value-checks every merge
     * decision of every word — not just the counts. */
-  def bpeEncode(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    // The oracle's recursive replay is bounded (4000 words/doc, 40 merge
+    // steps/word). A fixture outgrowing those bounds must fail HERE, loudly,
+    // not as a mystery hash mismatch against a silently-truncating oracle.
+    val docs = Tables.documents(spark, dir)
+    val bounds = docs.select(
+      max(size(split(trim(lower(col("text"))), "\\s+"))),
+      max(array_max(transform(split(trim(lower(col("text"))), "\\s+"), w => length(w)))))
+      .head()
+    val (maxWords, maxWordLen) = (bounds.getInt(0), bounds.getInt(1))
+    require(maxWords <= 4000,
+      s"t25 oracle replays at most 4000 words/doc; corpus has a $maxWords-word doc")
+    // a word of length L needs at most L-1 merges; the oracle caps at 40
+    require(maxWordLen <= 41,
+      s"t25 oracle replays at most 40 merge steps/word; corpus has a $maxWordLen-char word")
+    docs
       .select(col("doc_id"),
         graft.functions.BpeTokenizer.bpe_encode(lower(col("text"))).as("tokens"))
       .select(col("doc_id"), size(col("tokens")).cast("long").as("n_tokens"),
         md5(concat_ws("|", col("tokens"))).as("tok_md5"))
       .orderBy("doc_id")
+  }
 
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(

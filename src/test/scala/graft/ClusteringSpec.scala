@@ -49,14 +49,22 @@ class ClusteringSpec extends AnyFunSuite {
   }
 
   test("an empty cluster keeps its previous centroid through fit") {
-    // seeds = ids 0 and 1; every point sits on 1.0-blob side except seed 1's
-    // own vector, which we move next to seed 0 so cluster 1 empties out.
-    val df = (blob(1f, Seq(0L, 2L, 3L, 4L)) ++ Seq((1L, Array.tabulate(8)(j => 1f + 0.02f * j))))
-      .toDF("vec_id", "embedding")
+    // ALL vectors identical: both seeds coincide, every point is distance 0
+    // to both centroids and tie-breaks to cluster 0 — cluster 1 is
+    // genuinely empty in EVERY round (the mean of identical vectors is
+    // exact, so centroid 0 never moves and nothing re-attracts to 1), and
+    // only the keep-previous-centroid fallback can leave centroid 1
+    // well-formed.
+    val shared = Array.tabulate(8)(j => 1f + 0.02f * j)
+    val df = Seq.tabulate(4)(i => (i.toLong, shared)).toDF("vec_id", "embedding")
     val m = Clustering.fit(df, "embedding", "vec_id", k = 2, iters = 2)
-    // centroid 1 must still be seed 1's vector (never NaN / dropped)
-    assert(m.centroids(1).forall(v => !v.isNaN))
-    assert(math.abs(m.centroids(1)(1) - 1.02) < 1e-6)
+    assert(m.centroids(1).forall(v => !v.isNaN), "no NaN from an empty mean")
+    assert(m.centroids(1).toSeq == shared.map(_.toDouble).toSeq,
+      "empty cluster keeps its seed centroid verbatim")
+    // and nothing was ever assigned to it
+    val a = Clustering.assign(df, "embedding", m)
+      .select("cluster_id").distinct().as[Long].collect().toSeq
+    assert(a == Seq(0L))
   }
 
   test("semDedup drops the planted near-identical vector, keeps the rest") {

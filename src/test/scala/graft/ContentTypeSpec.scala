@@ -71,6 +71,16 @@ class ContentTypeSpec extends AnyFunSuite {
       == "document_text_abc.txt")
   }
 
+  test("emoji/astral-heavy text counts code points like Python isprintable") {
+    // each emoji is TWO UTF-16 units but ONE printable code point; counting
+    // units would put the printable ratio near 0 and misclassify as binary
+    val emoji = ("😀" * 40 + " ok").getBytes("UTF-8")
+    assert(ContentType.detect(Some(emoji), None, None) == "text/plain")
+    // a format char (ZWJ)-rich string still fails the ratio (Cf unprintable)
+    val zwj = ("‍" * 50 + "ab").getBytes("UTF-8")
+    assert(ContentType.detect(Some(zwj), None, None) == "application/octet-stream")
+  }
+
   test("buildStorageKey sanitizes paths and appends the sniffed extension") {
     val (key, safe) = ContentType.buildStorageKey(Some("dir/sub\\report"), pdf, "id9")
     assert(key == "ingest_uploads/id9/report.pdf" && safe == "report.pdf")

@@ -257,4 +257,18 @@ class CorpusSpec extends AnyFunSuite {
       .filter($"kept").count()
     assert(k1 == k2)
   }
+
+  test("temperatureMix drops null-stratum rows and accepts non-string strata") {
+    val df = Seq((1L, Some("a")), (2L, Some("a")), (3L, None))
+      .toDF("id", "s")
+    val out = Corpus.temperatureMix(df, "id", "s", targetTotal = 2)
+      .select("id", "rate_bp", "kept").as[(Long, Long, Boolean)].collect()
+    assert(out.find(_._1 == 3L).get._2 == 0L, "null stratum gets rate 0")
+    assert(!out.find(_._1 == 3L).get._3)
+    // integer strata mix by their string form instead of ClassCastException
+    val ints = Seq((1L, 7), (2L, 7), (3L, 8)).toDF("id", "s")
+    val rates = Corpus.temperatureMix(ints, "id", "s", targetTotal = 2)
+      .select("s", "rate_bp").distinct().collect()
+    assert(rates.length == 2 && rates.forall(_.getLong(1) > 0))
+  }
 }
