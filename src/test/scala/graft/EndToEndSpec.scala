@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.GraftService._
+import graft.operators.HashEmbedder
+import graft.sources.{IndexStore, OfficeFixtures}
+import graft.streaming.IngestPipeline
+
+/** The full product loop in one spec — what "a reference user could
+  * switch" means operationally: raw files (txt + real xlsx + an
+  * unparseable binary) → graded parse ladder → chunk + embed →
+  * partitioned index store on disk → scoped retrieval over the store,
+  * through the dense, hybrid, and status surfaces. Every stage is the
+  * same code the oracle queries gate; this gates the seams between them. */
+class EndToEndSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("files -> parse ladder -> chunk+embed -> store -> scoped retrieval") {
+    val xlsxBytes = OfficeFixtures.xlsx(Seq(
+      ("Sheet1", Seq(Seq("region", "revenue"), Seq("emea", "42")))))
+    val files = Seq(
+      (1L, "notes.txt",
+        "the zebra milkshake protocol synchronizes replicated milkshakes".getBytes("UTF-8"),
+        """{"dept":"eng","year":2024}""", "app1", "u1", "/proj/a"),
+      (2L, "sales.xlsx", xlsxBytes, """{"dept":"sales"}""", "app1", "u2", "/proj/b"),
+      // a broken pdf container: the native parser throws, the text rung's
+      // looksLikeText gate rejects the bytes, no deep stage -> accept+mark
+      (3L, "junk.pdf", Array.tabulate[Byte](64)(i => (i * 7 + 128).toByte),
+        "{}", "app2", "u3", "/other"))
+      .toDF("doc_id", "filename", "bytes", "metadata_json",
+        "app_id", "end_user_id", "folder_path")
+
+    // 1. graded parse ladder + chunk + embed (small chunks to force >1/doc)
+    val cfg = IngestPipeline.Config(chunkSize = 40, overlap = 10)
+    val (chunks, status) = IngestPipeline.processFilesWithFallback(files, cfg)
+
+    // 2. serving-shaped index rows: chunk text + scope + typed metadata
+    val indexed = IngestPipeline.normalizeMetadata(
+      chunks.join(files.select("doc_id", "metadata_json", "app_id",
+        "end_user_id", "folder_path"), "doc_id"))
+      .select(col("doc_id").as("document_id"), col("chunk_number"),
+        col("chunk").as("content"), col("embedding"),
+        col("metadata"), col("metadata_types"),
+        col("app_id"), col("end_user_id"), col("folder_path"))
+
+    // 3. partitioned store write + read-back (scope column prunes dirs)
+    val dir = Files.createTempDirectory("graft_e2e").toString
+    IndexStore.writePartitioned(indexed, dir, "app_id", SaveMode.Overwrite)
+    val store = ChunkTable(spark.read.parquet(dir))
+
+    // 4a. dense retrieval, scoped + metadata-filtered, finds the planted text
+    val req = RetrieveRequest("zebra milkshake protocol", k = 3,
+      appId = Some("app1"), filters = Some("""{"dept":"eng"}"""))
+    val hit = retrieveChunks(req, store).select("document_id", "content")
+      .as[(Long, String)].collect()
+    assert(hit.nonEmpty && hit.head._1 == 1L)
+    assert(hit.head._2.contains("zebra"))
+    assert(hit.forall(_._1 != 3L), "app2's junk never surfaces")
+
+    // 4b. the xlsx round-trips: its markdown chunk is retrievable by content
+    val x = retrieveChunksHybrid(
+      RetrieveRequest("emea revenue", k = 3, appId = Some("app1")), store)
+      .select("document_id").as[Long].collect()
+    assert(x.contains(2L), "spreadsheet content searchable after the loop")
+
+    // 4c. the unparseable doc completed with the accept-but-mark status
+    val marks = status.select("doc_id", "extraction_status", "status")
+      .as[(Long, Option[String], String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(marks(3L)._1.contains("no_content_extracted"))
+    assert(marks.values.forall(_._2 == "completed"), "every doc completes")
+    // ...and contributed zero chunks rather than failing the batch
+    assert(indexed.filter(col("document_id") === 3L).count() == 0)
+  }
+}
