@@ -23,6 +23,15 @@ import graft.functions.vec
   * near-dup pass ([[Dedup]] v10): LSH catches high-cosine pairs cheaply,
   * SemDeDup sweeps whole semantic neighborhoods at a lower threshold.
   *
+  * Why k (not LSH) is the scale lever for the within-cluster pass: at
+  * moderate thresholds (τ≈0.4) per-dimension sign agreement of a
+  * qualifying pair is only ~1−acos(τ)/π ≈ 0.63, so sign-block bucketing
+  * either loses nearly all recall (0.63^16 ≈ 6e-4 per 16-dim block) or,
+  * with blocks narrow enough to keep recall, stops pruning (4-dim blocks
+  * = 16 keys → collision volume ≈ C²). Sign-LSH is the right tool only in
+  * v10's high-cosine regime; here the paper's own answer — clusters of
+  * constant size via k ∝ n — is the one that holds at 100 TB. */
+  *
   * 100 TB shape: assignment is a narrow map (centroids ride the plan as
   * literals — no join, no shuffle, stays in whole-stage codegen); each Lloyd
   * step adds one partially-aggregated (cluster, dim) shuffle whose post-agg
@@ -95,4 +104,5 @@ object Clustering {
       .withColumn("is_dup", coalesce(col("__dup"), lit(false)))
       .drop("__dup")
   }
+
 }
