@@ -30,7 +30,7 @@ import graft.functions.vec
   * with blocks narrow enough to keep recall, stops pruning (4-dim blocks
   * = 16 keys → collision volume ≈ C²). Sign-LSH is the right tool only in
   * v10's high-cosine regime; here the paper's own answer — clusters of
-  * constant size via k ∝ n — is the one that holds at 100 TB. */
+  * constant size via k ∝ n — is the one that holds at 100 TB.
   *
   * 100 TB shape: assignment is a narrow map (centroids ride the plan as
   * literals — no join, no shuffle, stays in whole-stage codegen); each Lloyd
