@@ -55,6 +55,28 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     if (mode == "gen" || mode == "all") factors.foreach(f => gen(spark, f))
     if (mode == "recall" || mode == "all") recallProbe(spark)
+    // one more octave for the heavy tail only: is any super-linear ratio a
+    // trend or an artifact? (x64 ≈ 38M lineitem rows / 320k docs on 32 cores)
+    if (mode == "x64") {
+      if (!new java.io.File(s"$root/x64").exists()) gen(spark, 64)
+      val heavy = Seq("q2_join3", "t4_minhash_lsh", "t12_decontaminate",
+        "t19_bloom_decontaminate", "t17_components", "t26_dup_spans",
+        "k2_semdedup", "n2_bm25", "t28_curation_e2e")
+      val dirs = Seq("x1" -> base, "x64" -> s"$root/x64")
+      heavy.foreach { name =>
+        val fn = SparkEntry.queries(name)
+        val times = dirs.map { case (_, dir) =>
+          fn(spark, dir).count(); fn(spark, dir).count()
+          (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            fn(spark, dir).count()
+            (System.nanoTime() - t0) / 1e9
+          }.min
+        }
+        println(f"[scale] $name%-22s x1=${times.head}%6.2fs x64=${times.last}%7.2fs " +
+          f"ratio=${times.last / times.head}%.1f (data 64x)")
+      }
+    }
     if (mode == "run" || mode == "all") {
       val dirs = ("x1" -> base) +: factors.map(f => s"x$f" -> s"$root/x$f")
       val rows = probeQueries.map { name =>
