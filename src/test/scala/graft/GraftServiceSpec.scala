@@ -162,6 +162,31 @@ class GraftServiceSpec extends AnyFunSuite {
     assert(math.abs(hits.head._2 - 2.0) < 1e-5)
   }
 
+  test("mixed image+text corpus: multivector retrieve surfaces both kinds, deterministically") {
+    // `test_mixed_content_queries` + `test_query_variations_and_consistency`
+    // (reference integration suite): a store holding image chunks (data
+    // URIs) and text chunks answers one query with BOTH kinds, and repeated
+    // runs return identical results.
+    val emb = graft.operators.HashMultiVectorEmbedder(dim = 16)
+    val rows = Seq(
+      (1L, 0, "data:image/png;base64,imgchunkone", Map("is_image" -> "true")),
+      (1L, 1, "signal quality improvement notes", Map.empty[String, String]),
+      (2L, 0, "data:image/png;base64,imgchunktwo", Map("is_image" -> "true")),
+      (2L, 1, "time domain compensation text", Map.empty[String, String]))
+      .toDF("document_id", "chunk_number", "content", "metadata")
+    val chunks = ChunkTable(emb.embedMulti(rows, "content", "mv"))
+    def run() = retrieveChunksMultivector(
+      RetrieveRequest("signal quality improvement", k = 4), chunks, "mv", emb)
+      .select("document_id", "chunk_number", "score")
+      .as[(Long, Int, Double)].collect().toSeq
+    val got = run()
+    assert(got.size == 4, "all chunks scored and returned at k=4")
+    val kinds = got.map { case (d, n, _) => (d, n) }.toSet
+    assert(kinds.contains((1L, 1)) && kinds.contains((1L, 0)),
+      "both text and image chunks surface")
+    assert(got == run(), "repeated identical query returns identical results")
+  }
+
   test("hybrid arm fuses dense + keyword through the same scope compiler") {
     // "spark" appears in docs 1 and 3; doc 3 is app2. Scoped to app1, the
     // keyword arm can only surface doc 1 chunks; the dense arm agrees on
