@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards for the headline queries: the 100 TB
+  * properties (broadcast only the fixed-size side, top-k without global
+  * sort, no accidental nested-loop joins, hit-only shuffles) are asserted
+  * against the EXECUTED plan at sf0.001 — an optimizer or refactor change
+  * that silently degrades a plan fails here, not in a bench regression
+  * three rounds later. Complements IndexStoreSpec's no-Exchange bucketed
+  * join and IntervalsSpec's equi-join guard. */
+class PlanGuardSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect() // AQE finalizes the plan only on execution
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q2_join3: the 25-row nation dim is broadcast; no nested-loop joins") {
+    val p = executedPlan("q2_join3")
+    assert(p.contains("BroadcastHashJoin"), s"nation not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+  }
+
+  test("v1_knn_topk: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = executedPlan("v1_knn_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"global sort instead of heap:\n$p")
+  }
+
+  test("z1_zorder_layout: one narrow map, no joins of any kind") {
+    val p = executedPlan("z1_zorder_layout")
+    assert(!p.contains("Join"), s"zkey computation must be join-free:\n$p")
+  }
+
+  test("t26_dup_spans: span co-occurrence is equi-join shaped, never all-pairs") {
+    val p = executedPlan("t26_dup_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span join degraded to nested loop:\n$p")
+  }
+
+  test("n2_bm25: only the df/stats sketch sides broadcast; term filter precedes the explode's aggregation") {
+    val p = executedPlan("n2_bm25")
+    // the one-row stats table rides a BroadcastNestedLoopJoin cross by
+    // construction; anything beyond sketch-size broadcasting is a bug
+    assert(p.contains("BroadcastExchange"), s"df/stats not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-sized shuffle join appeared:\n$p")
+  }
+
+  test("k2_semdedup: the dedup self-join keys on cluster_id (equi-join)") {
+    val p = executedPlan("k2_semdedup")
+    assert(!p.contains("CartesianProduct"), s"semdedup went all-pairs:\n$p")
+  }
+}
