@@ -20,6 +20,31 @@ object Mutations {
     base.join(updates.select(key), Seq(key), "left_anti")
       .unionByName(updates, allowMissingColumns = true)
 
+  /** Migration ingest (`routes/migrate.py:20-66`): ingest documents
+    * PRESERVING their source ids, with the route's `on_conflict` policy —
+    * "skip" keeps the existing row and marks the incoming one skipped,
+    * "fail" throws if any incoming id already exists (the 409). Returns
+    * (resulting table, per-incoming-id status rows "created"/"skipped").
+    * One anti-join on the key — the bulk-migration shape: at scale the
+    * incoming batch streams against the (bucketed) existing table. */
+  def migrateIngest(existing: DataFrame, incoming: DataFrame, key: String,
+                    onConflict: String = "skip"): (DataFrame, DataFrame) = {
+    require(Set("skip", "fail")(onConflict), s"on_conflict: skip|fail, got $onConflict")
+    val dupes = incoming.select(key).join(existing.select(key), Seq(key), "left_semi")
+    if (onConflict == "fail") {
+      val clash = dupes.limit(20).collect().map(_.get(0)).mkString(", ")
+      if (clash.nonEmpty)
+        throw new IllegalStateException(s"documents already exist in target: $clash")
+    }
+    val created = incoming.join(existing.select(key), Seq(key), "left_anti")
+    val status = incoming.select(col(key))
+      .join(dupes.withColumn("__dup", lit(true)), Seq(key), "left")
+      .select(col(key),
+        when(col("__dup").isNotNull, lit("skipped")).otherwise(lit("created"))
+          .as("status"))
+    (existing.unionByName(created, allowMissingColumns = true), status)
+  }
+
   /** Metadata merge update (`update_metadata` semantics): merge the update
     * map into the existing metadata map (update wins per key), bump
     * updated_at. */

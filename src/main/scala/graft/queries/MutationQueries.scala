@@ -15,8 +15,28 @@ object MutationQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "u1_upsert" -> ((s, d) => upsert(s, d)),
     "u2_merge_metadata" -> ((s, d) => mergeMetadata(s, d)),
-    "u3_delete_cascade" -> ((s, d) => deleteCascade(s, d))
+    "u3_delete_cascade" -> ((s, d) => deleteCascade(s, d)),
+    "u4_migrate_skip" -> ((s, d) => migrateSkip(s, d))
   )
+
+  /** Migration ingest with on_conflict=skip (`routes/migrate.py`): the
+    * incoming batch overlaps the existing corpus on doc_id % 10 == 0 and
+    * carries 5 brand-new ids; output = per-incoming status + the post-state
+    * row count folded in (so both the status join and the union arm are
+    * value-checked). */
+  def migrateSkip(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val incoming = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("text", concat(lit("MIGRATED "), col("doc_id")))
+      .unionByName(docs.filter(col("doc_id") < 5)
+        .withColumn("doc_id", col("doc_id") + 2000000L)
+        .withColumn("text", concat(lit("FRESH "), col("doc_id") - 2000000L)))
+    val (state, status) = Mutations.migrateIngest(docs, incoming, "doc_id")
+    status
+      .crossJoin(broadcast(state.agg(count(lit(1)).as("n_after"))))
+      .select(col("doc_id"), col("status"), col("n_after"))
+      .orderBy("doc_id")
+  }
 
   /** S13 re-ingest-by-external_id: every doc_id % 50 == 0 row is replaced,
     * three brand-new rows are inserted; output is the full post-merge state
@@ -85,6 +105,17 @@ object MutationQueries {
       """SELECT
         |  (SELECT count(*) FROM documents WHERE doc_id NOT IN (1,2,3)) AS n_docs,
         |  (SELECT count(*) FROM embeddings WHERE vec_id NOT IN (1,2,3)) AS n_chunks,
-        |  (SELECT count(*) FROM events WHERE user_id NOT IN (1,2,3)) AS n_usage""".stripMargin
+        |  (SELECT count(*) FROM events WHERE user_id NOT IN (1,2,3)) AS n_usage""".stripMargin,
+    "u4_migrate_skip" ->
+      """WITH inc AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 FROM documents WHERE doc_id < 5),
+        |st AS (SELECT inc.doc_id,
+        |         CASE WHEN d.doc_id IS NOT NULL THEN 'skipped' ELSE 'created' END AS status
+        |       FROM inc LEFT JOIN documents d USING (doc_id)),
+        |n AS (SELECT (SELECT count(*) FROM documents)
+        |           + (SELECT count(*) FROM st WHERE status = 'created') AS n_after)
+        |SELECT st.doc_id, st.status, n.n_after FROM st, n ORDER BY st.doc_id""".stripMargin
   )
 }

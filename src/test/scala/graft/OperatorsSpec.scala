@@ -209,4 +209,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fast == slow)
     assert(fast(3L)._1 == "und" && fast(4L)._1 == "und")
   }
+
+  test("migrateIngest: skip keeps existing rows, fail throws on conflict (migrate.py)") {
+    import graft.operators.Mutations
+    val existing = Seq((1L, "old one"), (2L, "old two")).toDF("doc_id", "text")
+    val incoming = Seq((2L, "migrated two"), (3L, "migrated three")).toDF("doc_id", "text")
+    val (state, status) = Mutations.migrateIngest(existing, incoming, "doc_id")
+    val st = status.as[(Long, String)].collect().toMap
+    assert(st == Map(2L -> "skipped", 3L -> "created"))
+    val texts = state.as[(Long, String)].collect().toMap
+    assert(texts(2L) == "old two", "skip preserves the existing document")
+    assert(texts(3L) == "migrated three")
+    val ex = intercept[IllegalStateException] {
+      Mutations.migrateIngest(existing, incoming, "doc_id", onConflict = "fail")
+    }
+    assert(ex.getMessage.contains("2"))
+  }
 }
