@@ -19,7 +19,9 @@ import org.apache.spark.sql.functions._
   * the approximation is MEASURED, not assumed (floor asserted in
   * IvfIndexSpec; table in ARCHITECTURE.md).
   *
-  * Usage: runMain graft.ScaleProbe [gen|run|recall|all]
+  * Usage: runMain graft.ScaleProbe [gen|run|recall|all|x64]
+  * (`x64` generates-on-demand and times the heavy tail one octave further;
+  * it is not part of `all` because gen64 writes ~64x sf0.1 to /tmp.)
   */
 object ScaleProbe {
   private val base = "/root/testdata/sf0.1"
@@ -58,39 +60,25 @@ object ScaleProbe {
     // one more octave for the heavy tail only: is any super-linear ratio a
     // trend or an artifact? (x64 ≈ 38M lineitem rows / 320k docs on 32 cores)
     if (mode == "x64") {
-      if (!new java.io.File(s"$root/x64").exists()) gen(spark, 64)
+      // completion marker, not bare directory existence: a killed prior gen
+      // leaves a partial table mix that would crash or mis-time the probe
+      if (!new java.io.File(s"$root/x64/_GENOK").exists()) gen(spark, 64)
       val heavy = Seq("q2_join3", "t4_minhash_lsh", "t12_decontaminate",
         "t19_bloom_decontaminate", "t17_components", "t26_dup_spans",
         "k2_semdedup", "n2_bm25", "t28_curation_e2e")
-      val dirs = Seq("x1" -> base, "x64" -> s"$root/x64")
       heavy.foreach { name =>
         val fn = SparkEntry.queries(name)
-        val times = dirs.map { case (_, dir) =>
-          fn(spark, dir).count(); fn(spark, dir).count()
-          (1 to 2).map { _ =>
-            val t0 = System.nanoTime()
-            fn(spark, dir).count()
-            (System.nanoTime() - t0) / 1e9
-          }.min
-        }
-        println(f"[scale] $name%-22s x1=${times.head}%6.2fs x64=${times.last}%7.2fs " +
-          f"ratio=${times.last / times.head}%.1f (data 64x)")
+        val t1x = timeQuery(fn, spark, base)
+        val t64 = timeQuery(fn, spark, s"$root/x64")
+        println(f"[scale] $name%-22s x1=$t1x%6.2fs x64=$t64%7.2fs " +
+          f"ratio=${t64 / t1x}%.1f (data 64x)")
       }
     }
     if (mode == "run" || mode == "all") {
       val dirs = ("x1" -> base) +: factors.map(f => s"x$f" -> s"$root/x$f")
       val rows = probeQueries.map { name =>
         val fn = SparkEntry.queries(name)
-        val times = dirs.map { case (_, dir) =>
-          // warm twice (plan compile + first-touch shuffle/page-cache at the
-          // larger factors), then best of 2 measured
-          fn(spark, dir).count(); fn(spark, dir).count()
-          (1 to 2).map { _ =>
-            val t0 = System.nanoTime()
-            fn(spark, dir).count()
-            (System.nanoTime() - t0) / 1e9
-          }.min
-        }
+        val times = dirs.map { case (_, dir) => timeQuery(fn, spark, dir) }
         println(f"[scale] $name%-22s " +
           dirs.zip(times).map { case ((lbl, _), t) => f"$lbl=$t%6.2fs" }.mkString(" "))
         name -> times
@@ -103,6 +91,19 @@ object ScaleProbe {
       }
     }
     spark.stop()
+  }
+
+  /** ONE timing methodology for every probe mode (run and x64 must stay
+    * comparable): warm twice (plan compile + first-touch shuffle/page-cache
+    * at the larger factors), then best of 2 measured. */
+  private def timeQuery(fn: (SparkSession, String) => DataFrame,
+                        spark: SparkSession, dir: String): Double = {
+    fn(spark, dir).count(); fn(spark, dir).count()
+    (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      fn(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }.min
   }
 
   /** IVF recall@10 vs exact, per scale, over 20 seeded query vectors
@@ -175,6 +176,9 @@ object ScaleProbe {
     write("embeddings", reps(Tables.embeddings(spark, base)) { (df, i) =>
       df.withColumn("vec_id", col("vec_id") + lit(i * maxVec))
         .withColumn("label", col("label") + lit(i * 1000)) })
+    // completion marker: written LAST, so an interrupted gen is re-run
+    // instead of silently probed against a partial table mix
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$out/_GENOK"), "ok")
     println(s"[scale] wrote $out")
   }
 }

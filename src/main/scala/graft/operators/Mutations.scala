@@ -30,14 +30,20 @@ object Mutations {
   def migrateIngest(existing: DataFrame, incoming: DataFrame, key: String,
                     onConflict: String = "skip"): (DataFrame, DataFrame) = {
     require(Set("skip", "fail")(onConflict), s"on_conflict: skip|fail, got $onConflict")
-    val dupes = incoming.select(key).join(existing.select(key), Seq(key), "left_semi")
+    // collapse within-batch duplicate ids first — the route ingests one
+    // document per request so its batches never carry dupes, but a bulk
+    // caller's duplicated id must not break the preserve-source-ids
+    // invariant (two rows with one id) or multiply status rows
+    val batch = incoming.dropDuplicates(key)
+    val dupes = batch.select(key).join(existing.select(key), Seq(key), "left_semi")
+      .distinct()
     if (onConflict == "fail") {
       val clash = dupes.limit(20).collect().map(_.get(0)).mkString(", ")
       if (clash.nonEmpty)
         throw new IllegalStateException(s"documents already exist in target: $clash")
     }
-    val created = incoming.join(existing.select(key), Seq(key), "left_anti")
-    val status = incoming.select(col(key))
+    val created = batch.join(existing.select(key), Seq(key), "left_anti")
+    val status = batch.select(col(key))
       .join(dupes.withColumn("__dup", lit(true)), Seq(key), "left")
       .select(col(key),
         when(col("__dup").isNotNull, lit("skipped")).otherwise(lit("created"))

@@ -41,9 +41,12 @@ class EndToEndSpec extends AnyFunSuite {
       .toDF("doc_id", "filename", "bytes", "metadata_json",
         "app_id", "end_user_id", "folder_path")
 
-    // 1. graded parse ladder + chunk + embed (small chunks to force >1/doc)
+    // 1. graded parse ladder + chunk + embed (small chunks to force >1/doc);
+    // both outputs are consumed, so follow processFilesWithFallback's
+    // documented caveat and cut the shared ladder lineage once
     val cfg = IngestPipeline.Config(chunkSize = 40, overlap = 10)
-    val (chunks, status) = IngestPipeline.processFilesWithFallback(files, cfg)
+    val (chunksRaw, statusRaw) = IngestPipeline.processFilesWithFallback(files, cfg)
+    val (chunks, status) = (chunksRaw.localCheckpoint(), statusRaw.localCheckpoint())
 
     // 2. serving-shaped index rows: chunk text + scope + typed metadata
     val indexed = IngestPipeline.normalizeMetadata(
@@ -80,7 +83,8 @@ class EndToEndSpec extends AnyFunSuite {
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(marks(3L)._1.contains("no_content_extracted"))
     assert(marks.values.forall(_._2 == "completed"), "every doc completes")
-    // ...and contributed zero chunks rather than failing the batch
-    assert(indexed.filter(col("document_id") === 3L).count() == 0)
+    // ...and contributed zero chunks rather than failing the batch (read
+    // from the on-disk store — no pipeline re-execution)
+    assert(store.df.filter(col("document_id") === 3L).count() == 0)
   }
 }

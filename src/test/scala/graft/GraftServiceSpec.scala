@@ -185,6 +185,12 @@ class GraftServiceSpec extends AnyFunSuite {
     assert(kinds.contains((1L, 1)) && kinds.contains((1L, 0)),
       "both text and image chunks surface")
     assert(got == run(), "repeated identical query returns identical results")
+    // and the RANKING is real, not just surface composition: at k=1 the
+    // verbatim-matching text chunk must win the competitive top-k
+    val top = retrieveChunksMultivector(
+      RetrieveRequest("signal quality improvement", k = 1), chunks, "mv", emb)
+      .select("document_id", "chunk_number").as[(Long, Int)].collect().toSeq
+    assert(top == Seq((1L, 1)), "verbatim text chunk outranks the rest")
   }
 
   test("hybrid arm fuses dense + keyword through the same scope compiler") {

@@ -225,4 +225,17 @@ class OperatorsSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("2"))
   }
+
+  test("migrateIngest collapses within-batch duplicate ids: one row, one status") {
+    import graft.operators.Mutations
+    val existing = Seq((1L, "old")).toDF("doc_id", "text")
+    val incoming = Seq((5L, "a"), (5L, "b"), (1L, "x"), (1L, "y"))
+      .toDF("doc_id", "text")
+    val (state, status) = Mutations.migrateIngest(existing, incoming, "doc_id")
+    assert(state.filter($"doc_id" === 5L).count() == 1,
+      "preserve-source-ids invariant holds for a duplicated incoming id")
+    val st = status.as[(Long, String)].collect().toSeq.sorted
+    assert(st.map(_._1) == Seq(1L, 5L), "exactly one status row per id")
+    assert(st == Seq((1L, "skipped"), (5L, "created")))
+  }
 }

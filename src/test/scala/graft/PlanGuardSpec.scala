@@ -48,16 +48,21 @@ class PlanGuardSpec extends AnyFunSuite {
       s"span join degraded to nested loop:\n$p")
   }
 
-  test("n2_bm25: only the df/stats sketch sides broadcast; term filter precedes the explode's aggregation") {
+  test("n2_bm25: the df/stats sketch sides are broadcast") {
+    // NOTE a corpus-sized shuffle-join regression is NOT detectable at this
+    // sf (AQE would broadcast anything this small); what this pins is the
+    // presence of the sketch broadcasts the operator is built around —
+    // absolute cost regressions are Bench's job
     val p = executedPlan("n2_bm25")
-    // the one-row stats table rides a BroadcastNestedLoopJoin cross by
-    // construction; anything beyond sketch-size broadcasting is a bug
     assert(p.contains("BroadcastExchange"), s"df/stats not broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin"), s"corpus-sized shuffle join appeared:\n$p")
   }
 
   test("k2_semdedup: the dedup self-join keys on cluster_id (equi-join)") {
     val p = executedPlan("k2_semdedup")
-    assert(!p.contains("CartesianProduct"), s"semdedup went all-pairs:\n$p")
+    // a lost equi-key degrades to BroadcastNestedLoopJoin at this sf (small
+    // side under the broadcast threshold), CartesianProduct above it —
+    // forbid both
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"semdedup went all-pairs:\n$p")
   }
 }
