@@ -258,6 +258,22 @@ class CorpusSpec extends AnyFunSuite {
     assert(k1 == k2)
   }
 
+  test("temperatureMix kept volume lands near the target (md5 buckets are fair)") {
+    // 3 strata x 2000 rows, target 3000: expected kept = sum n_i*rate_i/1e4;
+    // md5 buckets are uniform enough that the realized count sits within a
+    // few percent of the rate-implied expectation (exact value is pinned by
+    // the t27 oracle; this pins the STATISTICAL contract on fresh data)
+    val df = (0 until 6000).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "s")
+    val out = Corpus.temperatureMix(df, "id", "s", targetTotal = 3000)
+    val rates = out.select("s", "rate_bp").distinct().as[(String, Long)].collect().toMap
+    val expected = rates.values.map(r => 2000.0 * r / 10000.0).sum
+    val kept = out.filter($"kept").count()
+    assert(math.abs(kept - expected) / expected < 0.05,
+      s"kept $kept vs rate-implied $expected")
+    // uniform strata at alpha=0.5 -> equal rates -> kept ~ target
+    assert(math.abs(kept - 3000) < 300)
+  }
+
   test("temperatureMix drops null-stratum rows and accepts non-string strata") {
     val df = Seq((1L, Some("a")), (2L, Some("a")), (3L, None))
       .toDF("id", "s")

@@ -162,6 +162,16 @@ class GraftServiceSpec extends AnyFunSuite {
     assert(math.abs(hits.head._2 - 2.0) < 1e-5)
   }
 
+  test("hybrid arm degrades to dense-only when no query term matches the corpus") {
+    val req = RetrieveRequest("zzzzz qqqqq", k = 3, appId = Some("app1"))
+    val got = retrieveChunksHybrid(req, chunkTable)
+      .select("document_id", "keyword_rank", "rrf")
+      .as[(Long, Option[Long], Double)].collect().toSeq
+    assert(got.nonEmpty, "dense arm alone still returns results")
+    assert(got.forall(_._2.isEmpty), "keyword arm contributed nothing")
+    assert(got.forall(_._3 > 0.0), "rrf carries the dense contribution")
+  }
+
   test("mixed image+text corpus: multivector retrieve surfaces both kinds, deterministically") {
     // `test_mixed_content_queries` + `test_query_variations_and_consistency`
     // (reference integration suite): a store holding image chunks (data
