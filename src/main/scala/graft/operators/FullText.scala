@@ -87,6 +87,29 @@ object FullText {
     Bm25Index(postings, dfreq, stats)
   }
 
+  /** Rebuild the queryable index from ACCUMULATED parts — the incremental
+    * maintenance path: an ingest stream appends each micro-batch's postings
+    * (doc_id, dl, term, tf) and doc lengths (doc_id, dl) to two tables
+    * (disjoint doc ids per batch, the exactly-once contract the streaming
+    * specs gate), and df/N/avgdl are DERIVED from the accumulated parts, so
+    * the result is value-identical to [[buildIndex]] over the union of all
+    * batches — no global rebuild, ever. */
+  def indexFromParts(postings: DataFrame, docLens: DataFrame): Bm25Index = {
+    val dfreq = postings.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val stats = docLens.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    Bm25Index(postings, dfreq, stats)
+  }
+
+  /** The per-batch delta for [[indexFromParts]]: (postings, docLens). */
+  def indexDelta(docs: DataFrame, idCol: String, textCol: String): (DataFrame, DataFrame) = {
+    val toks = docs.select(col(idCol).as("doc_id"), text.tokens(col(textCol)).as("tk"))
+    val postings = toks.select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        explode(col("tk")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    (postings, toks.select(col("doc_id"), size(col("tk")).cast("long").as("dl")))
+  }
+
   /** Query the prepared index — value-identical to [[bm25]] (the tf/df
     * multisets restricted to the query terms are the same), but the only
     * scan is the term-pruned postings slice. */
