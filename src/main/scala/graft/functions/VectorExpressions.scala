@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, CodegenFallback}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
+import org.apache.spark.broadcast.Broadcast
 
 /** Native Catalyst expressions for the vector path (SURVEY §2.9).
   *
@@ -224,6 +225,83 @@ object VectorExpressions {
       copy(left = l, right = r)
   }
 
+  /** nearest_centroid(Array[Float]) -> struct(d: double, i: long): index of
+    * the L2-nearest centroid in a BROADCAST codebook plus its squared
+    * distance, ties to the lowest index (the Lloyd/SemDeDup assignment rule,
+    * matching the oracle's `ORDER BY d, cid`).
+    *
+    * The codebook is NOT part of the expression tree: the plan carries only
+    * a broadcast handle, so plan size, Janino method size, and task-binary
+    * size are all O(1) in k — the SemDeDup operating point is k ∝ n (Abbas
+    * et al. 2023 run k=50k), where a literal-per-centroid plan stops
+    * compiling. Executors fetch the codebook once via the broadcast
+    * mechanism (the same shipping model as [[graft.operators.PqIndex]]'s
+    * ADC LUT, which can stay a literal only because it is m·k entries, not
+    * k·dim). Distance accumulates left-to-right in doubles — bit-compatible
+    * with the DuckDB `list_sum(list_transform(...))` oracle fold — and the
+    * argmin is a single O(k·dim) compiled scan per row. */
+  case class NearestCentroid(child: Expression,
+                             centroids: Broadcast[Array[Array[Double]]])
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def dataType: DataType = StructType(Seq(
+      StructField("d", DoubleType, nullable = false),
+      StructField("i", LongType, nullable = false)))
+    override def prettyName: String = "nearest_centroid"
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+
+    override def nullSafeEval(v: Any): Any = {
+      val x = v.asInstanceOf[ArrayData]
+      val cbs = centroids.value
+      var bestD = 0.0; var bestI = 0L; var first = true
+      var c = 0
+      while (c < cbs.length) {
+        val cent = cbs(c)
+        val n = math.min(x.numElements(), cent.length)
+        var s = 0.0; var j = 0
+        while (j < n) {
+          val diff = x.getFloat(j).toDouble - cent(j)
+          s += diff * diff; j += 1
+        }
+        if (first || s < bestD) { first = false; bestD = s; bestI = c.toLong }
+        c += 1
+      }
+      new GenericInternalRow(Array[Any](bestD, bestI))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bcRef = ctx.addReferenceObj("centroidsBc", centroids,
+        classOf[Broadcast[Array[Array[Double]]]].getName)
+      // resolved once per generated-class instance (per task), cached in a
+      // field — the row loop never touches the broadcast machinery
+      val cbs = ctx.addMutableState("double[][]", "centroidCodebook",
+        v => s"$v = (double[][]) $bcRef.value();")
+      nullSafeCodeGen(ctx, ev, v => {
+        val c = ctx.freshName("c"); val j = ctx.freshName("j")
+        val n = ctx.freshName("n"); val s = ctx.freshName("s")
+        val diff = ctx.freshName("diff"); val cent = ctx.freshName("cent")
+        val bestD = ctx.freshName("bestD"); val bestI = ctx.freshName("bestI")
+        val first = ctx.freshName("first")
+        s"""
+        double $bestD = 0.0; long $bestI = 0L; boolean $first = true;
+        for (int $c = 0; $c < $cbs.length; $c++) {
+          double[] $cent = $cbs[$c];
+          int $n = java.lang.Math.min($v.numElements(), $cent.length);
+          double $s = 0.0;
+          for (int $j = 0; $j < $n; $j++) {
+            double $diff = (double) $v.getFloat($j) - $cent[$j];
+            $s += $diff * $diff;
+          }
+          if ($first || $s < $bestD) { $first = false; $bestD = $s; $bestI = (long) $c; }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          new Object[]{$bestD, $bestI});
+        """
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** max_sim_float(Array[Array[Float]] doc, Array[Array[Float]] query) ->
     * Double. ColPali scoring: sum over query vectors of max dot product
     * (`fast_multivector_store.py:504-607` exact rescoring). */
@@ -280,6 +358,8 @@ object vec {
   def hamming(a: Column, b: Column): Column = toCol(HammingDistance(toExpr(a), toExpr(b)))
   def max_sim_binary(doc: Column, query: Column): Column = toCol(MaxSimBinary(toExpr(doc), toExpr(query)))
   def max_sim_float(doc: Column, query: Column): Column = toCol(MaxSimFloat(toExpr(doc), toExpr(query)))
+  def nearest_centroid(v: Column, centroids: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]): Column =
+    toCol(NearestCentroid(toExpr(v), centroids))
 
   /** pgvector cosine score mapping: score = 1 - distance/2 with distance =
     * 1 - cosine -> score = (1 + cosine) / 2 (`pgvector_store.py:499`). */

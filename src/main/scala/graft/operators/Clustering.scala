@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.vec
 
@@ -32,8 +32,14 @@ import graft.functions.vec
   * v10's high-cosine regime; here the paper's own answer — clusters of
   * constant size via k ∝ n — is the one that holds at 100 TB.
   *
-  * 100 TB shape: assignment is a narrow map (centroids ride the plan as
-  * literals — no join, no shuffle, stays in whole-stage codegen); each Lloyd
+  * 100 TB shape: assignment is a narrow map — no join, no shuffle — whose
+  * centroids ship as a BROADCAST codebook read by a native codegen'd
+  * expression ([[graft.functions.VectorExpressions.NearestCentroid]]), so
+  * plan size, Janino method size, and task-binary size are O(1) in k and the
+  * per-row cost is a single O(k·dim) compiled argmin scan. That matters
+  * because the SemDeDup scale lever is k ∝ n (the paper runs k=50k): a
+  * literal-per-centroid plan stops compiling at k in the low hundreds and an
+  * `array_sort` ranking pays O(k log k) per row for an argmin. Each Lloyd
   * step adds one partially-aggregated (cluster, dim) shuffle whose post-agg
   * size is k x dim rows regardless of corpus size; the only driver traffic
   * is that k x dim mean table (sketch-sized, like [[PqIndex]]'s codebook).
@@ -45,22 +51,13 @@ object Clustering {
     require(centroids.nonEmpty, "k-means model needs at least one centroid")
   }
 
-  /** Squared L2 distance to a literal centroid, accumulated left-to-right in
-    * doubles — bit-matches the oracle's `list_sum(list_transform(...))`. */
-  private def l2sq(v: Column, cen: Seq[Double]): Column =
-    aggregate(
-      zip_with(v, typedLit(cen), (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
-      lit(0.0), (acc, x) => acc + x)
-
   /** `cluster_id` (long) + squared-distance `dist` for every row: argmin over
-    * the centroid set as a sorted literal struct array (sort key = (distance,
-    * index), so ties go to the lowest centroid index, same as the oracle's
-    * `ORDER BY d, cid`). */
+    * the broadcast codebook (distance fold left-to-right in doubles = the
+    * oracle's `list_sum(list_transform(...))`; ties go to the lowest centroid
+    * index, same as the oracle's `ORDER BY d, cid`). */
   def assign(df: DataFrame, vecCol: String, model: Model): DataFrame = {
-    val scored = array_sort(array(model.centroids.toSeq.zipWithIndex.map { case (c, i) =>
-      struct(l2sq(col(vecCol), c.toSeq).as("d"), lit(i.toLong).as("i"))
-    }: _*))
-    df.withColumn("__sc", element_at(scored, 1))
+    val bc = df.sparkSession.sparkContext.broadcast(model.centroids)
+    df.withColumn("__sc", vec.nearest_centroid(col(vecCol), bc))
       .withColumn("cluster_id", col("__sc.i"))
       .withColumn("dist", col("__sc.d"))
       .drop("__sc")
@@ -70,17 +67,33 @@ object Clustering {
     * recompute-means) steps. A cluster that loses all members keeps its
     * previous centroid (the oracle mirrors this with a LEFT JOIN back to the
     * seed set). Each step scans the corpus once; map-side partial aggregation
-    * means the shuffle carries at most tasks x k x dim partial means. */
+    * means the shuffle carries at most tasks x k x dim partial lists.
+    *
+    * The per-(cluster, dim) mean is a DETERMINISTIC fold: member values are
+    * collected, sorted by id, and summed left-to-right, then divided by the
+    * count (÷ is correctly rounded) — a distributed `avg` of doubles folds in
+    * partition order, and an ulp difference in a centroid can flip a near-tie
+    * argmin, breaking the bit-level replayability the k1/k2/k3 oracles gate
+    * (their mirror: `list_sum(list(v ORDER BY vec_id)) / count(*)`). The
+    * per-group list is cluster-sized — bounded, because the operating
+    * contract is k ∝ n (constant cluster size), the same bound the semDedup
+    * within-cluster join relies on. */
   def fit(df: DataFrame, vecCol: String, idCol: String, k: Int, iters: Int): Model = {
     var cen: Array[Array[Double]] = df.orderBy(col(idCol)).limit(k).select(vecCol)
       .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
     for (_ <- 0 until iters) {
-      val means = assign(df, vecCol, Model(cen))
-        .select(col("cluster_id"), posexplode(col(vecCol)))
-        .groupBy("cluster_id", "pos").agg(avg(col("col").cast("double")).as("m"))
+      val sums = assign(df, vecCol, Model(cen))
+        .select(col("cluster_id"), col(idCol).as("__mid"), posexplode(col(vecCol)))
+        .groupBy("cluster_id", "pos")
+        .agg(
+          aggregate(
+            sort_array(collect_list(struct(col("__mid").as("k"),
+              col("col").cast("double").as("v")))),
+            lit(0.0), (acc, x) => acc + x.getField("v")).as("s"),
+          count(lit(1)).as("c"))
         .collect()
       val next = cen.map(_.clone)
-      means.foreach(r => next(r.getLong(0).toInt)(r.getInt(1)) = r.getDouble(2))
+      sums.foreach(r => next(r.getLong(0).toInt)(r.getInt(1)) = r.getDouble(2) / r.getLong(3))
       cen = next
     }
     Model(cen)

@@ -25,10 +25,8 @@ object ClusterQueries {
     val e = Tables.embeddings(spark, dir)
     val model = Clustering.fit(e, "embedding", "vec_id", K, Iters)
     // Materialize the assignment once: k2's self-join and the final project
-    // would otherwise re-evaluate the 8x64-element distance fold per
-    // reference, and the checkpoint keeps the big literal-centroid
-    // expression out of every downstream plan (smaller codegen, stable
-    // run-to-run timing). Same pattern as Dedup's eval-ngram checkpoint.
+    // would otherwise re-run the O(k·dim) argmin scan per reference. Same
+    // pattern as Dedup's eval-ngram checkpoint.
     Clustering.assign(e, "embedding", model).localCheckpoint()
   }
 
@@ -55,9 +53,12 @@ object ClusterQueries {
   /** Shared oracle prefix: exact SQL replay of the seeded Lloyd iteration.
     * init = k lowest-id vectors; per step: distance to every centroid
     * (left-to-right list_sum fold = Spark's aggregate fold), argmin with
-    * (distance, cid) tie-break, per-dimension avg rebuilt in dim order, and
-    * a LEFT JOIN back to the seeds so an empty cluster keeps its previous
-    * centroid — the same rule [[Clustering.fit]] applies. */
+    * (distance, cid) tie-break, per-dimension mean as a DETERMINISTIC
+    * vec_id-ordered fold divided by the count (mirrors [[Clustering.fit]]'s
+    * sorted collect_list fold — a plain avg would fold in partition order on
+    * either engine and could differ by an ulp), and a LEFT JOIN back to the
+    * seeds so an empty cluster keeps its previous centroid — the same rule
+    * [[Clustering.fit]] applies. */
   private val lloyd =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
@@ -69,7 +70,8 @@ object ClusterQueries {
       |a0 AS (SELECT vec_id, cid FROM (
       |         SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) rn
       |         FROM d0) WHERE rn = 1),
-      |m1 AS (SELECT a0.cid, j, avg(e.v[j+1]) AS m
+      |m1 AS (SELECT a0.cid, j,
+      |         list_sum(list(e.v[j+1] ORDER BY e.vec_id)) / count(*) AS m
       |       FROM a0 JOIN e USING (vec_id), range(64) t(j) GROUP BY a0.cid, j),
       |c1 AS (SELECT init.cid, coalesce(mm.cv, init.cv) AS cv FROM init
       |       LEFT JOIN (SELECT cid, list(m ORDER BY j) AS cv FROM m1 GROUP BY cid) mm
@@ -81,7 +83,8 @@ object ClusterQueries {
       |a1 AS (SELECT vec_id, cid FROM (
       |         SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) rn
       |         FROM d1) WHERE rn = 1),
-      |m2 AS (SELECT a1.cid, j, avg(e.v[j+1]) AS m
+      |m2 AS (SELECT a1.cid, j,
+      |         list_sum(list(e.v[j+1] ORDER BY e.vec_id)) / count(*) AS m
       |       FROM a1 JOIN e USING (vec_id), range(64) t(j) GROUP BY a1.cid, j),
       |c2 AS (SELECT init.cid, coalesce(mm.cv, init.cv) AS cv FROM init
       |       LEFT JOIN (SELECT cid, list(m ORDER BY j) AS cv FROM m2 GROUP BY cid) mm

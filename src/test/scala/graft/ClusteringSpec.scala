@@ -77,6 +77,33 @@ class ClusteringSpec extends AnyFunSuite {
     assert(Seq(0L, 1L, 2L, 3L).forall(id => !flags(id)))
   }
 
+  test("assign at k=512: plan size is O(1) in k, result matches brute force") {
+    // the SemDeDup operating point is k ∝ n (the paper runs k=50k); the
+    // broadcast-codebook expression must keep the PLAN constant-sized as k
+    // grows — a literal-per-centroid plan is multi-MB at k=512 and stops
+    // Janino-compiling long before 50k
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val cents = Array.fill(512)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    val vecs = Seq.tabulate(200)(i => (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val assigned = Clustering.assign(df, "embedding", Clustering.Model(cents))
+    val planChars = assigned.queryExecution.executedPlan.toString.length
+    assert(planChars < 20000, s"assign plan grew with k ($planChars chars)")
+    val got = assigned.select("vec_id", "cluster_id", "dist")
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    vecs.foreach { case (id, v) =>
+      // same arithmetic the expression specifies: left-to-right double fold
+      val dists = cents.map { c =>
+        var s = 0.0; var j = 0
+        while (j < dim) { val d = v(j).toDouble - c(j); s += d * d; j += 1 }
+        s
+      }
+      val bi = dists.indices.minBy(i => (dists(i), i))
+      assert(got(id) == ((bi.toLong, dists(bi))), s"row $id mismatch")
+    }
+  }
+
   test("semDedup never pairs across clusters") {
     // the two blobs are anti-parallel (cosine == -1 across, ~1 within), so a
     // low threshold flags everything above the min id WITHIN each cluster
