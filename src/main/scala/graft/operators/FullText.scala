@@ -41,19 +41,20 @@ object FullText {
     // it carries query-term hits only: explode + a codegen'd In-filter
     // beats filtering inside the array with a higher-order function (HOF
     // lambdas evaluate interpreted, with per-element boxing).
-    // persisted (LAZILY — this is a plan-construction function and must not
-    // run jobs at build time, serving callers compose/discard plans): df is
-    // derived FROM tf, and without the cut Catalyst re-derives the whole
-    // explode subtree for it — two full corpus passes instead of one plus a
-    // pass over the (tiny) per-doc hit table. Within one action both
-    // consumers share the same InMemoryRelation, so tf computes once.
     val tf = toks.select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
         explode(col("tk")).as("term"))
       .filter(col("term").isin(terms: _*))
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-      .persist()
-    val dfreq = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
-    tf.join(broadcast(dfreq), "term")
+    // document frequency as a window over the hit table: (doc_id, term) rows
+    // are distinct post-groupBy, so count-per-term-partition == distinct-doc
+    // count. This keeps tf single-consumer — a separate dfreq aggregation
+    // joined back would make the plan a DAG, and the persist() that avoided
+    // re-deriving the explode subtree leaked a pinned InMemoryRelation per
+    // serving call (bm25 builds plans; nothing here may own cache lifetime).
+    // The window shuffles only hit rows on term, the same data volume the
+    // old dfreq aggregation shuffled.
+    tf.withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("term")))
       .crossJoin(broadcast(global))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))

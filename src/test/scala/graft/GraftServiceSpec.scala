@@ -162,6 +162,22 @@ class GraftServiceSpec extends AnyFunSuite {
     assert(math.abs(hits.head._2 - 2.0) < 1e-5)
   }
 
+  test("hybrid retrieve leaves no cached relations behind (serving leak guard)") {
+    // a long-lived server calls retrieveChunksHybrid per request; any
+    // persist() inside the flow would pin an InMemoryRelation per call for
+    // the session lifetime (Dataset cache entries are never GC-cleaned)
+    spark.sharedState.cacheManager.clearCache()
+    // earlier suites' localCheckpoints may legitimately pin RDDs in the
+    // shared session — the serving call must add NOTHING, so compare counts
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.size
+    retrieveChunksHybrid(RetrieveRequest("spark query engine", k = 3,
+      appId = Some("app1")), chunkTable).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "hybrid serving call left a cached relation pinned")
+    assert(spark.sparkContext.getPersistentRDDs.size == rddsBefore,
+      "hybrid serving call left a persisted RDD pinned")
+  }
+
   test("hybrid arm degrades to dense-only when no query term matches the corpus") {
     val req = RetrieveRequest("zzzzz qqqqq", k = 3, appId = Some("app1"))
     val got = retrieveChunksHybrid(req, chunkTable)
