@@ -54,9 +54,29 @@ object Bench {
     "t24_lsh_match" -> ((s, d) => graft.queries.TextQueries.lshMatchPrepared(s, d)),
     "n2_bm25" -> ((s, d) => graft.queries.SearchQueries.bm25Prepared(s, d)))
 
+  private def loadavg1(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+    catch { case _: Throwable => 0.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Pre-flight idle gate: measuring on a loaded box produces contaminated
+    // medians no post-hoc marker can repair (round-5 artifact: worst_spread
+    // 4.07 under loadavg 4.6). Wait — bounded — for the 1-minute loadavg to
+    // drop below threshold before touching Spark, so the whole
+    // prepare/warmup/measure sequence starts from a quiet box.
+    val idleLoad = sys.env.getOrElse("SPARK_GRAFT_IDLE_LOAD", "1.5").toDouble
+    val idleWaitS = sys.env.getOrElse("SPARK_GRAFT_IDLE_WAIT_S", "300").toInt
+    val idleDeadline = System.nanoTime() + idleWaitS * 1000000000L
+    while (loadavg1() > idleLoad && System.nanoTime() < idleDeadline) {
+      System.err.println(f"[bench] idle gate: loadavg ${loadavg1()}%.2f > " +
+        f"$idleLoad%.1f, waiting (bounded ${idleWaitS}s)")
+      Thread.sleep(15000)
+    }
+    if (loadavg1() > idleLoad)
+      System.err.println(f"[bench] idle gate TIMED OUT at loadavg " +
+        f"${loadavg1()}%.2f — measuring anyway, expect contention markers")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -87,46 +107,61 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] warmup $n FAILED: $e") }
       System.err.println(f"[bench] warmup $n ${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
-    // Steady-state latency: MEDIAN of three measured runs. A single best-of-2
-    // could not reject driver-box contention in round 4 (an unchanged
-    // single-scan aggregate read 13x its quiet-box time); the median plus the
-    // recorded min/median spread makes the artifact self-defending — a
-    // contaminated run shows spread > 2x and a loud CONTENTION? marker
-    // instead of silently reporting load as a regression.
+    // Steady-state latency: MEDIAN OF THE 3 FASTEST successful runs. Three
+    // base samples; if median/min spread exceeds 2x (the round-4/5
+    // contention signature) the query is REMEASURED — up to 4 extra runs —
+    // so transient box load is displaced out of the fastest-3 set instead of
+    // shipping as a fake regression. Failed runs (-1) are excluded from all
+    // stats (one AnalysisException must not read as a 100x speedup or a
+    // negative min); a query reports -1 only when EVERY sample failed.
     def loadavg(): String =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
       catch { case _: Throwable => "unavailable" }
     val loadBefore = loadavg()
+    var extraRuns = 0
+    def measureOnce(name: String): Double = {
+      val t0 = System.nanoTime()
+      try { run(name); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: $e"); -1.0 }
+    }
     val results = headline.map { name =>
-      val samples = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        // a failed run must surface as -1, NOT as its time-to-failure — a
-        // fast AnalysisException would otherwise read as a 100x speedup
-        try { run(name); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: $e"); -1.0 }
-      }.sorted
-      val median = samples(samples.size / 2)
-      val spread = if (samples.head > 0) median / samples.head else 1.0
+      val samples = scala.collection.mutable.ArrayBuffer[Double]()
+      (1 to 3).foreach(_ => samples += measureOnce(name))
+      def ok = samples.filter(_ >= 0).sorted
+      def best3 = ok.take(3)
+      def spread = { val b = best3; if (b.isEmpty || b.head <= 0) 1.0 else b(b.size / 2) / b.head }
+      var extra = 0
+      while (ok.nonEmpty && spread > 2.0 && extra < 4) {
+        System.err.println(f"[bench] REMEASURE $name spread $spread%.1fx " +
+          f"(loadavg ${loadavg()})")
+        samples += measureOnce(name); extra += 1; extraRuns += 1
+      }
+      val b = best3
+      val median = if (b.isEmpty) -1.0 else b(b.size / 2)
+      val mn = if (b.isEmpty) -1.0 else b.head
       if (spread > 2.0)
         System.err.println(f"[bench] CONTENTION? $name median $median%.2fs is " +
-          f"${spread}%.1fx its min ${samples.head}%.2fs — box under load?")
-      System.err.println(f"[bench] $name median $median%.2fs min ${samples.head}%.2fs")
-      (name, median, samples.head)
+          f"$spread%.1fx its min $mn%.2fs after $extra remeasures — box under load")
+      System.err.println(f"[bench] $name median $median%.2fs min $mn%.2fs " +
+        f"runs ${samples.size}")
+      (name, median, mn)
     }
     val loadAfter = loadavg()
     val qs = results.map { case (k, med, _) => "\"" + k + f"""\":$med%.3f""" }
       .mkString("{", ",", "}")
     val mins = results.map { case (k, _, mn) => "\"" + k + f"""\":$mn%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val totalMin = results.map(_._3).sum
+    val okResults = results.filter(_._3 > 0)
+    val total = okResults.map(_._2).sum
+    val totalMin = okResults.map(_._3).sum
+    val failed = results.count(_._3 <= 0)
     val worstSpread =
-      results.collect { case (_, med, mn) if mn > 0 => med / mn }.foldLeft(1.0)(math.max)
+      okResults.map { case (_, med, mn) => med / mn }.foldLeft(1.0)(math.max)
     if (worstSpread > 2.0)
       System.err.println(f"[bench] CONTENTION? worst per-query median/min spread " +
-        f"$worstSpread%.1fx — treat totals as upper bounds, compare query_min")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":3,"stat":"median","queries_min":$mins,"total_min":$totalMin%.3f,"worst_spread":$worstSpread%.2f,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}""")
+        f"$worstSpread%.1fx survived remeasuring — treat totals as upper bounds")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":3,"stat":"median_fastest3","queries_min":$mins,"total_min":$totalMin%.3f,"worst_spread":$worstSpread%.2f,"extra_runs":$extraRuns,"failed_queries":$failed,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}""")
     spark.stop()
   }
 }
