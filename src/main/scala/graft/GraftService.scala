@@ -135,6 +135,9 @@ object GraftService {
     val keyed = chunks.df.filter(compileScope(req, chunks)).withColumn("__cid",
       concat_ws(":", col(chunks.docIdCol), col(chunks.chunkNoCol)))
     val fetchK = math.max(req.k * 2, 20)
+    // partition-less Window = single-partition execution: safe here ONLY
+    // because both arms are pre-limited to fetchK rows (request-sized)
+    // before ranking — do NOT reuse this frame over an unbounded input
     val rankW = Window.orderBy(col("score").desc, col("__cid"))
     val dense = KnnSearch.topK(keyed, chunks.embeddingCol, "__cid",
       embedder.embedText(req.queryText), fetchK)

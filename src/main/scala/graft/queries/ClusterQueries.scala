@@ -43,6 +43,20 @@ object ClusterQueries {
       .select(col("vec_id"), col("cluster_id"), col("is_dup"))
       .orderBy("vec_id")
 
+  /** ScaleProbe hook: the fit→assign→semDedup flow at an EXPLICIT k. The
+    * operator's scale contract is k ∝ n (constant cluster size bounds the
+    * within-cluster pairwise join), so a data-factor probe must scale k with
+    * the corpus — probing 64x data at the bench k measures the O(Σ|c|²)
+    * misconfiguration, not the operator. */
+  def semDedupAt(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val model = Clustering.fit(e, "embedding", "vec_id", k, Iters)
+    Clustering.semDedup(Clustering.assign(e, "embedding", model).localCheckpoint(),
+      "embedding", "vec_id", SemThreshold)
+      .select(col("vec_id"), col("cluster_id"), col("is_dup"))
+      .orderBy("vec_id")
+  }
+
   /** Cluster-level profile: size + mean squared distance (inertia/size). */
   def clusterProfile(spark: SparkSession, dir: String): DataFrame =
     fitted(spark, dir)

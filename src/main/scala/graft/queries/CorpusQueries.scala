@@ -65,6 +65,11 @@ object CorpusQueries {
   def temperatureMix(spark: SparkSession, dir: String): DataFrame =
     Corpus.temperatureMix(Tables.documents(spark, dir), "doc_id", "lang",
       targetTotal = 250)
+      // the operator keeps unlabeled rows (rate 0, kept=false) so callers
+      // can audit them; this REGISTRY view drops them to match the oracle's
+      // inner JOIN ... USING (lang), which has no null-lang stratum — the
+      // fixture has no null langs, but the gate must not depend on that
+      .filter(col("lang").isNotNull)
       .groupBy("lang")
       .agg(max("rate_bp").as("rate_bp"), count(lit(1)).as("n_total"),
         sum(col("kept").cast("long")).cast("long").as("n_kept"))
