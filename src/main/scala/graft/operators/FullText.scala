@@ -130,9 +130,12 @@ object FullText {
       .limit(k)
 
   /** Reciprocal-rank fusion of two ranked lists (1-based `rank` column each):
-    * rrf = Σ 1/(kRrf + rank), absent arms contribute 0. Both inputs are
-    * top-k slices (user-request sized), so the fusion join is trivially
-    * broadcastable — the expensive work happened in the arms. */
+    * rrf = Σ 1/(kRrf + rank), absent arms contribute 0. The full-outer join
+    * keeps per-arm ranks in the output (callers and specs read
+    * dense_rank/keyword_rank); Spark has no full-outer broadcast hash join,
+    * so this plans as a sort-merge join — immaterial, because both inputs
+    * are top-k slices (user-request sized, PlanGuard-gated): the expensive
+    * work happened in the arms. */
   def rrfFuse(dense: DataFrame, keyword: DataFrame, idCol: String,
               k: Int, kRrf: Int = 60): DataFrame = {
     val d = dense.select(col(idCol).as("doc_id"), col("rank").cast("long").as("dense_rank"))

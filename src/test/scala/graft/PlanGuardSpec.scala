@@ -57,6 +57,38 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), s"df/stats not broadcast:\n$p")
   }
 
+  test("n3_hybrid_rrf: arms pre-limit with top-k heaps, filters reach the scans, fusion never all-pairs") {
+    val df = SparkEntry.queries("n3_hybrid_rrf")(spark, dir)
+    df.collect()
+    // AQE's toString repeats the tree under "== Initial Plan =="; count
+    // operators in the FINAL section only or every occurrence doubles
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // each arm bounds itself to a request-sized slice with a heap top-k
+    // BEFORE ranking and fusion — the partition-less rank Window and the
+    // full-outer fusion join are safe only under that invariant
+    assert("TakeOrderedAndProject".r.findAllMatchIn(p).size >= 2,
+      s"an arm lost its top-k heap:\n$p")
+    // the dense arm's scan must keep its pushed predicates (scope lands
+    // before scoring); a lost pushdown shows an unfiltered scan here
+    assert(p.contains("PushedFilters: [IsNotNull"),
+      s"arm filter no longer pushed to the parquet scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"fusion went all-pairs:\n$p")
+    // the only tolerated nested-loop is the one-row corpus-stats crossJoin
+    assert("BroadcastNestedLoopJoin".r.findAllMatchIn(p).size <= 1,
+      s"unexpected nested-loop join beyond the one-row stats side:\n$p")
+  }
+
+  test("t28_curation_e2e: stage cuts present — the dedup chain is checkpointed, not re-derived") {
+    val p = executedPlan("t28_curation_e2e")
+    // the composed pipeline localCheckpoints survivor-sized stage outputs;
+    // losing the cut silently re-executes the whole upstream chain once per
+    // downstream consumer (a 4x re-derivation measured in round 5)
+    assert(p.contains("Scan ExistingRDD"),
+      s"stage cut missing — upstream curation chain re-executes per consumer:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"curation pipeline grew an all-pairs join:\n$p")
+  }
+
   test("k2_semdedup: the dedup self-join keys on cluster_id (equi-join)") {
     val p = executedPlan("k2_semdedup")
     // a lost equi-key degrades to BroadcastNestedLoopJoin at this sf (small
