@@ -34,6 +34,45 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(quantize(Seq.fill(10)(1f)).toSeq == Seq(0xff.toByte, 0xc0.toByte))
   }
 
+  test("nearest_centroid: bit-identical to the oracle fold shape, ties to lowest index") {
+    // the k1/k2/k3 oracles rely on the compiled argmin reproducing the
+    // left-to-right double fold of aggregate(zip_with(...)) EXACTLY — pin
+    // it against that fold evaluated by Spark itself, on adversarial
+    // magnitudes where fold order changes the ulp
+    val rnd = new scala.util.Random(11)
+    val dim = 8
+    val cents = Array.tabulate(6, dim)((c, j) =>
+      (rnd.nextDouble() * 2 - 1) * math.pow(10, (c + j) % 4))
+    val rows = Seq.tabulate(50)(i =>
+      (i.toLong, Array.tabulate(dim)(j => ((rnd.nextFloat() * 2 - 1) *
+        math.pow(10, (i + j) % 4)).toFloat)))
+    val df = rows.toDF("id", "v")
+    val bc = spark.sparkContext.broadcast(cents)
+    val got = df.select(col("id"), vec.nearest_centroid(col("v"), bc).as("sc"))
+      .select(col("id"), col("sc.d"), col("sc.i"))
+      .as[(Long, Double, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // reference fold: the HOF pipeline the literal-centroid assign used
+    val folds = cents.indices.map { c =>
+      val cl = cents(c)
+      df.select(col("id"), aggregate(
+        zip_with(col("v"), typedLit(cl.toSeq),
+          (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+        lit(0.0), (acc, x) => acc + x).as("d"))
+        .as[(Long, Double)].collect().toMap
+    }
+    rows.foreach { case (id, _) =>
+      val ds = folds.map(_(id))
+      val bi = ds.indices.minBy(i => (ds(i), i))
+      assert(got(id) == ((ds(bi), bi.toLong)),
+        s"row $id: expression diverged from the HOF fold by an ulp or tie")
+    }
+    // exact-tie property: identical centroids -> index 0 wins
+    val twin = spark.sparkContext.broadcast(Array(cents(3), cents(3)))
+    val ids = df.select(vec.nearest_centroid(col("v"), twin).getField("i"))
+      .distinct().as[Long].collect().toSeq
+    assert(ids == Seq(0L))
+  }
+
   test("hamming distance") {
     val df = Seq((Seq(1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f), Seq(-1f, 1f, 1f, 1f, 1f, 1f, 1f, -1f)))
       .toDF("a", "b")
