@@ -157,6 +157,34 @@ object GraftService {
       .orderBy(col("score").desc, col(chunks.docIdCol), col(chunks.chunkNoCol))
   }
 
+  /** MMR-diversified retrieval: the dense branch oversampled to fetchK,
+    * then greedily re-ranked for diversity ([[operators.Mmr]], λ=0.5 by
+    * default) — the serving answer to a corpus whose top-k fills with
+    * near-copies. Same scope compilation and pushed-down plan as
+    * [[retrieveChunks]]; the diversification runs over the request-sized
+    * candidate slice only. Chunk keys are composite (doc:chunk), so the
+    * greedy step uses a rank surrogate id and joins back (broadcast —
+    * request-sized). */
+  def retrieveChunksDiverse(req: RetrieveRequest, chunks: ChunkTable,
+                            embedder: Embedder = HashEmbedder(64),
+                            lambda: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fetchK = Serving.oversample(req.k)
+    val keyed = chunks.df.filter(compileScope(req, chunks)).withColumn("__cid",
+      concat_ws(":", col(chunks.docIdCol), col(chunks.chunkNoCol)))
+    val hits = KnnSearch.topK(keyed, chunks.embeddingCol, "__cid",
+      embedder.embedText(req.queryText), fetchK, minScore = req.minScore)
+    // partition-less Window: safe ONLY because hits is pre-limited to fetchK
+    val withSid = hits.withColumn("__sid",
+      row_number().over(Window.orderBy(col("score").desc, col("__cid"))).cast("long"))
+    val picked = operators.Mmr.diversify(withSid, "__sid", chunks.embeddingCol,
+      "score", req.k, lambda)
+    withSid.join(broadcast(picked.select(col("__sid"), col("mmr_score"), col("mmr_rank"))),
+        "__sid")
+      .drop("__sid").drop("__cid")
+      .orderBy("mmr_rank")
+  }
+
   /** Doc-level results (Q11): max chunk score per document. */
   def retrieveDocs(req: RetrieveRequest, chunks: ChunkTable,
                    embedder: Embedder = HashEmbedder(64)): DataFrame =

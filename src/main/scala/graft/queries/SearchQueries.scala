@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{FullText, KnnSearch}
+import graft.operators.{FullText, KnnSearch, Mmr}
 
 /** Content keyword search (BM25) + hybrid dense/keyword fusion (RRF).
   * The testdata's vec_id aligns with doc_id, so the dense arm (embeddings)
@@ -15,7 +15,8 @@ object SearchQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n2_bm25" -> ((s, d) => bm25(s, d)),
-    "n3_hybrid_rrf" -> ((s, d) => hybridRrf(s, d))
+    "n3_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)),
+    "s4_mmr_diversify" -> ((s, d) => mmrDiversify(s, d))
   )
 
   /** BM25 top-10 for a fixed 4-term query (k1=1.2, b=0.75). */
@@ -37,6 +38,18 @@ object SearchQueries {
     FullText.rrfFuse(dense, keyword, "doc_id", k = 10)
       .select(col("doc_id"), round(col("rrf"), 6).as("rrf"),
         col("dense_rank"), col("keyword_rank"))
+  }
+
+  /** MMR-diversified retrieval: the v1 dense arm's top-20 (cosine to vec 0,
+    * self excluded) greedily re-ranked to 10 at λ=0.5 — the oracle replays
+    * every greedy step (unrolled CTEs, like the k1 Lloyd replay), so each
+    * pick's penalty, mmr score, and tie-break are value-checked. */
+  def mmrDiversify(spark: SparkSession, dir: String): DataFrame = {
+    val qv = VectorQueries.queryVec(spark, dir)
+    val cand = KnnSearch.topK(Tables.embeddings(spark, dir), "embedding", "vec_id",
+      qv, k = 20, where = col("vec_id") =!= 0)
+    Mmr.diversify(cand, "vec_id", "embedding", "score", k = 10)
+      .orderBy("mmr_rank")
   }
 
   /** Bench-only factory: the inverted index (postings + df + stats) is an
@@ -72,7 +85,44 @@ object SearchQueries {
        |sc AS (SELECT doc_id, sum(w) AS score, count(*) AS n_terms FROM w
        |       GROUP BY doc_id ORDER BY sum(w) DESC, doc_id LIMIT $limit)""".stripMargin
 
+  /** Explicit-fold cosine (dot / (|a|·|b|)) — the same three independent
+    * left-to-right double accumulations as the CosineSimilarity expression
+    * and [[Mmr]]'s driver loop, so the doubles are bit-identical. */
+  private def cosSql(a: String, b: String): String =
+    s"(list_sum(list_transform(range(64), j -> $a[j+1]*$b[j+1])) / " +
+      s"(sqrt(list_sum(list_transform(range(64), j -> $a[j+1]*$a[j+1]))) * " +
+      s"sqrt(list_sum(list_transform(range(64), j -> $b[j+1]*$b[j+1])))))"
+
+  /** Unrolled greedy MMR replay: step i scores every unpicked candidate as
+    * 0.5·rel − 0.5·max(cos to the i−1 picks) and takes the (mmr DESC,
+    * vec_id) winner — the same engine-replay pattern as the Lloyd oracle.
+    * Every CTE is MATERIALIZED: each sel is referenced 3× by the next step
+    * (join side, NOT IN, union), so inlined evaluation grows ~3^k and
+    * re-opens the parquet thousands of times. */
+  private def mmrOracleSql: String = {
+    val steps = (2 to 10).map { i =>
+      s"""step$i AS MATERIALIZED (SELECT c.vec_id, c.v, c.rel,
+         |    0.5*c.rel - 0.5*max(${cosSql("c.v", "s.v")}) AS mmr
+         |  FROM cand c, sel${i - 1} s
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+         |  GROUP BY c.vec_id, c.v, c.rel),
+         |pick$i AS MATERIALIZED (SELECT vec_id, v, rel, mmr, $i AS rk FROM step$i
+         |  ORDER BY mmr DESC, vec_id LIMIT 1),
+         |sel$i AS MATERIALIZED (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM pick$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS MATERIALIZED (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |cand AS MATERIALIZED (SELECT vec_id, v, ${cosSql("v", "qv")} AS rel
+       |  FROM e, q WHERE vec_id <> 0 ORDER BY rel DESC, vec_id LIMIT 20),
+       |sel1 AS MATERIALIZED (SELECT vec_id, v, rel, 0.5*rel AS mmr, 1 AS rk FROM cand
+       |  ORDER BY rel DESC, vec_id LIMIT 1),
+       |$steps
+       |SELECT vec_id, rel AS score, mmr AS mmr_score, rk::BIGINT AS mmr_rank
+       |FROM sel10 ORDER BY rk""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "s4_mmr_diversify" -> mmrOracleSql,
     "n2_bm25" ->
       s"""WITH ${bm25Sql(10)}
          |SELECT doc_id, round(score, 6) AS bm25, n_terms FROM sc

@@ -162,6 +162,26 @@ class GraftServiceSpec extends AnyFunSuite {
     assert(math.abs(hits.head._2 - 2.0) < 1e-5)
   }
 
+  test("diverse retrieve: MMR defers same-doc near-copies, ranks are dense") {
+    // doc 1's three chunks are near-copies of each other under the hash
+    // embedder (shared prefix); pure relevance would cluster them at the
+    // top — at a diversity-leaning λ MMR must interleave another doc into
+    // the top 3 (at λ=0.5 this fixture's penalty exactly offsets its rel
+    // gap; the knob exists precisely to set that trade)
+    val req = RetrieveRequest("spark query engine chunk 0", k = 3,
+      appId = Some("app1"))
+    val got = retrieveChunksDiverse(req, chunkTable, lambda = 0.3)
+      .select("document_id", "mmr_rank").as[(Long, Long)].collect().toSeq
+    assert(got.map(_._2) == Seq(1L, 2L, 3L), "dense 1-based mmr ranks")
+    assert(got.head._1 == 1L, "pure-relevance winner still leads")
+    assert(got.map(_._1).distinct.size > 1,
+      s"MMR failed to diversify away from doc 1's near-copies: $got")
+    // pure-relevance contrast: the plain dense branch top-3 is all doc 1
+    val plain = retrieveChunks(req, chunkTable)
+      .limit(3).select("document_id").as[Long].collect().toSeq
+    assert(plain == Seq(1L, 1L, 1L), "contrast baseline changed - re-plant")
+  }
+
   test("hybrid retrieve leaves no cached relations behind (serving leak guard)") {
     // a long-lived server calls retrieveChunksHybrid per request; any
     // persist() inside the flow would pin an InMemoryRelation per call for
