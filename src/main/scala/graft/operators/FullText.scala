@@ -129,6 +129,46 @@ object FullText {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
 
+  /** Search-result snippets — the Spark-first `ts_headline`-lite (the
+    * reference's keyword arm is Postgres FTS, whose result pages headline
+    * matches; `postgres_database.py:2700-2790` serves the hit rows this
+    * decorates). For each row: find the EARLIEST occurrence of any query
+    * term in the lowercased text (ties between terms at the same position
+    * go to query order), cut a `width`-char window centered on it
+    * (clamped to the text start), and mark truncation with ellipses.
+    * Rows matching no term snippet from the start, with null
+    * matched_term/match_pos.
+    *
+    * Deterministic by construction — ASCII-lowercase matching, 1-based char
+    * positions (Spark `instr` == DuckDB `strpos`, 0 = absent), char-based
+    * substring — so the n4 oracle replays it exactly. Pure built-in string
+    * expressions, applied AFTER retrieval to the request-sized hit slice
+    * (the one HOF filter runs over a |terms|-length array per hit row,
+    * never over the corpus). */
+  def snippets(hits: DataFrame, textCol: String, terms: Seq[String],
+               width: Int = 80): DataFrame = {
+    require(terms.nonEmpty, "snippets needs at least one query term")
+    val hay = lower(col(textCol))
+    val found = filter(
+      array(terms.zipWithIndex.map { case (t, i) =>
+        struct(instr(hay, t.toLowerCase).cast("long").as("pos"), lit(i).as("idx"))
+      }: _*),
+      s => s.getField("pos") > 0)
+    val best = array_min(found) // min by (pos, idx): earliest, then query order
+    val pos = coalesce(best.getField("pos"), lit(1L))
+    val start = greatest(lit(1L), pos - lit((width / 2).toLong))
+    val snip = concat(
+      when(start > 1, lit("…")).otherwise(lit("")),
+      col(textCol).substr(start, lit(width.toLong)),
+      when(start + lit(width.toLong) - 1 < length(col(textCol)), lit("…"))
+        .otherwise(lit("")))
+    hits
+      .withColumn("match_pos", best.getField("pos"))
+      .withColumn("matched_term",
+        element_at(typedLit(terms), (best.getField("idx") + 1).cast("int")))
+      .withColumn("snippet", snip)
+  }
+
   /** Reciprocal-rank fusion of two ranked lists (1-based `rank` column each):
     * rrf = Σ 1/(kRrf + rank), absent arms contribute 0. The full-outer join
     * keeps per-arm ranks in the output (callers and specs read

@@ -16,7 +16,8 @@ object SearchQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n2_bm25" -> ((s, d) => bm25(s, d)),
     "n3_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)),
-    "s4_mmr_diversify" -> ((s, d) => mmrDiversify(s, d))
+    "s4_mmr_diversify" -> ((s, d) => mmrDiversify(s, d)),
+    "n4_snippets" -> ((s, d) => snippets(s, d))
   )
 
   /** BM25 top-10 for a fixed 4-term query (k1=1.2, b=0.75). */
@@ -50,6 +51,19 @@ object SearchQueries {
       qv, k = 20, where = col("vec_id") =!= 0)
     Mmr.diversify(cand, "vec_id", "embedding", "score", k = 10)
       .orderBy("mmr_rank")
+  }
+
+  /** Headlined hits: the n2 BM25 top-10 decorated with ts_headline-lite
+    * snippets (80-char window on the earliest term match, query-order tie
+    * break, ellipsis truncation marks). The hit slice is broadcast back
+    * against the corpus for its text — request-sized join side. */
+  def snippets(spark: SparkSession, dir: String): DataFrame = {
+    val top = FullText.bm25(Tables.documents(spark, dir), "doc_id", "text", Terms, k = 10)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    FullText.snippets(docs.join(broadcast(top), "doc_id"), "text", Terms, width = 80)
+      .select(col("doc_id"), round(col("score"), 6).as("bm25"), col("snippet"),
+        col("matched_term"), col("match_pos"))
+      .orderBy("doc_id")
   }
 
   /** Bench-only factory: the inverted index (postings + df + stats) is an
@@ -121,8 +135,35 @@ object SearchQueries {
        |FROM sel10 ORDER BY rk""".stripMargin
   }
 
+  /** Exact replay of [[FullText.snippets]]: per-term 1-based strpos (0 →
+    * absent → NULL), earliest-match argmin with query-order tie-break via
+    * an ordered CASE, 80-char window clamped at 1, ellipsis when truncated.
+    * All integer/char string ops — no float hazards. */
+  private def snippetOracleSql: String = {
+    val ps = Terms.zipWithIndex.map { case (t, i) =>
+      s"nullif(strpos(lower(text), '$t'), 0) AS p$i" }.mkString(", ")
+    val pCols = Terms.indices.map(i => s"p$i").mkString(", ")
+    val leastArgs = Terms.indices.map(i => s"coalesce(p$i, 9223372036854775807)").mkString(", ")
+    val matchCase = Terms.zipWithIndex.map { case (t, i) =>
+      s"WHEN p$i = mp THEN '$t'" }.mkString(" ")
+    s"""WITH ${bm25Sql(10)},
+       |j AS (SELECT sc.doc_id, sc.score, d.text FROM sc JOIN documents d USING (doc_id)),
+       |p AS (SELECT doc_id, score, text, $ps FROM j),
+       |m AS (SELECT doc_id, score, text, $pCols,
+       |   nullif(least($leastArgs), 9223372036854775807) AS mp FROM p)
+       |SELECT doc_id, round(score, 6) AS bm25,
+       |  (CASE WHEN greatest(1, coalesce(mp, 1) - 40) > 1 THEN '…' ELSE '' END ||
+       |   substr(text, greatest(1, coalesce(mp, 1) - 40), 80) ||
+       |   CASE WHEN greatest(1, coalesce(mp, 1) - 40) + 79 < length(text)
+       |        THEN '…' ELSE '' END) AS snippet,
+       |  CASE $matchCase END AS matched_term,
+       |  mp AS match_pos
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "s4_mmr_diversify" -> mmrOracleSql,
+    "n4_snippets" -> snippetOracleSql,
     "n2_bm25" ->
       s"""WITH ${bm25Sql(10)}
          |SELECT doc_id, round(score, 6) AS bm25, n_terms FROM sc

@@ -63,6 +63,33 @@ class FullTextSpec extends AnyFunSuite {
     assert(direct.nonEmpty)
   }
 
+  test("snippets: window center, start clamp, ellipsis rules, no-match fallback") {
+    val df = Seq(
+      (1L, "A" * 100 + " spark " + "B" * 100),      // mid match: both ellipses
+      (2L, "spark at the very start " + "C" * 100), // clamp at 1: trailing only
+      (3L, "no match here at all"),                 // exactly width chars, no match
+      (4L, "vector spark")                          // earliest term wins
+    ).toDF("doc_id", "text")
+    val out = FullText.snippets(df, "text", Seq("spark", "vector"), width = 20)
+      .select("doc_id", "snippet", "matched_term", "match_pos")
+      .as[(Long, String, Option[String], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L)._3.contains(102L))
+    assert(out(1L)._1.startsWith("…") && out(1L)._1.endsWith("…"))
+    assert(out(1L)._1.contains("spark"))
+    assert(out(2L) == (("spark at the very st…", Some("spark"), Some(1L))))
+    assert(out(3L) == (("no match here at all", None, None)),
+      "no-match row snippets from the start without ellipses")
+    assert(out(4L)._2.contains("vector"), "earliest occurrence wins")
+  }
+
+  test("snippets: terms matching at the same position tie toward query order") {
+    val df = Seq((1L, "spark engine")).toDF("doc_id", "text")
+    val out = FullText.snippets(df, "text", Seq("spark", "spa"), width = 40)
+      .select("matched_term").as[String].head()
+    assert(out == "spark")
+  }
+
   test("rrfFuse keeps absent-arm ranks null and bounds output at k") {
     val dense = (1L to 30L).map(i => (i, i.toInt)).toDF("doc_id", "rank")
     val kw = Seq((100L, 1)).toDF("doc_id", "rank")
