@@ -132,9 +132,13 @@ object Bench {
       def best3 = ok.take(3)
       def spread = { val b = best3; if (b.isEmpty || b.head <= 0) 1.0 else b(b.size / 2) / b.head }
       var extra = 0
-      while (ok.nonEmpty && spread > 2.0 && extra < 4) {
+      // remeasure while contended OR while failures left fewer than 3 good
+      // samples (2 fails + 1 success must not ship a single-sample median
+      // indistinguishable from a clean 3-run measurement); all-failed stops
+      // immediately — rerunning a permanently broken query is waste
+      while (ok.nonEmpty && (ok.size < 3 || spread > 2.0) && extra < 4) {
         System.err.println(f"[bench] REMEASURE $name spread $spread%.1fx " +
-          f"(loadavg ${loadavg()})")
+          f"good ${ok.size}/${samples.size} (loadavg ${loadavg()})")
         samples += measureOnce(name); extra += 1; extraRuns += 1
       }
       val b = best3
@@ -145,23 +149,29 @@ object Bench {
           f"$spread%.1fx its min $mn%.2fs after $extra remeasures — box under load")
       System.err.println(f"[bench] $name median $median%.2fs min $mn%.2fs " +
         f"runs ${samples.size}")
-      (name, median, mn)
+      (name, median, mn, samples.size, samples.count(_ < 0))
     }
     val loadAfter = loadavg()
-    val qs = results.map { case (k, med, _) => "\"" + k + f"""\":$med%.3f""" }
+    val qs = results.map { case (k, med, _, _, _) => "\"" + k + f"""\":$med%.3f""" }
       .mkString("{", ",", "}")
-    val mins = results.map { case (k, _, mn) => "\"" + k + f"""\":$mn%.3f""" }
+    val mins = results.map { case (k, _, mn, _, _) => "\"" + k + f"""\":$mn%.3f""" }
       .mkString("{", ",", "}")
+    // actual per-query run counts (3 base + remeasures) — the JSON must not
+    // claim a fixed 3 when a contended query used up to 7
+    val runs = results.map { case (k, _, _, n, _) => "\"" + k + "\":" + n }
+      .mkString("{", ",", "}")
+    val sampleFails = results.collect { case (k, _, _, _, f) if f > 0 =>
+      "\"" + k + "\":" + f }.mkString("{", ",", "}")
     val okResults = results.filter(_._3 > 0)
     val total = okResults.map(_._2).sum
     val totalMin = okResults.map(_._3).sum
     val failed = results.count(_._3 <= 0)
     val worstSpread =
-      okResults.map { case (_, med, mn) => med / mn }.foldLeft(1.0)(math.max)
+      okResults.map { case (_, med, mn, _, _) => med / mn }.foldLeft(1.0)(math.max)
     if (worstSpread > 2.0)
       System.err.println(f"[bench] CONTENTION? worst per-query median/min spread " +
         f"$worstSpread%.1fx survived remeasuring — treat totals as upper bounds")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":3,"stat":"median_fastest3","queries_min":$mins,"total_min":$totalMin%.3f,"worst_spread":$worstSpread%.2f,"extra_runs":$extraRuns,"failed_queries":$failed,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","base_runs":3,"stat":"median_fastest3","queries_min":$mins,"query_runs":$runs,"sample_failures":$sampleFails,"total_min":$totalMin%.3f,"worst_spread":$worstSpread%.2f,"extra_runs":$extraRuns,"failed_queries":$failed,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}""")
     spark.stop()
   }
 }

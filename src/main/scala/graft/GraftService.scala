@@ -168,21 +168,39 @@ object GraftService {
   def retrieveChunksDiverse(req: RetrieveRequest, chunks: ChunkTable,
                             embedder: Embedder = HashEmbedder(64),
                             lambda: Double = 0.5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val fetchK = Serving.oversample(req.k)
+    // 2k oversample (the hybrid arm's rule, NOT Serving.oversample whose
+    // max(k, min(3k, 20)) cap equals k once k >= 20 — a pool of exactly k
+    // candidates would make diversification a pure reorder with nothing to
+    // swap in)
+    val fetchK = math.max(req.k * 2, 20)
     val keyed = chunks.df.filter(compileScope(req, chunks)).withColumn("__cid",
       concat_ws(":", col(chunks.docIdCol), col(chunks.chunkNoCol)))
     val hits = KnnSearch.topK(keyed, chunks.embeddingCol, "__cid",
       embedder.embedText(req.queryText), fetchK, minScore = req.minScore)
-    // partition-less Window: safe ONLY because hits is pre-limited to fetchK
-    val withSid = hits.withColumn("__sid",
-      row_number().over(Window.orderBy(col("score").desc, col("__cid"))).cast("long"))
-    val picked = operators.Mmr.diversify(withSid, "__sid", chunks.embeddingCol,
-      "score", req.k, lambda)
-    withSid.join(broadcast(picked.select(col("__sid"), col("mmr_score"), col("mmr_rank"))),
-        "__sid")
-      .drop("__sid").drop("__cid")
-      .orderBy("mmr_rank")
+    // ONE execution of the retrieval plan: collect the request-sized slice
+    // (already (score desc, __cid) ordered by topK), greedy-select on it,
+    // and rebuild the result from the same rows — a join back to `hits`
+    // would re-derive the corpus scan a second time per request
+    val spark = hits.sparkSession
+    val rows = hits.drop("__cid").collect()
+    val scoreIdx = rows.headOption.map(_.fieldIndex("score")).getOrElse(0)
+    val embIdx = rows.headOption.map(_.fieldIndex(chunks.embeddingCol)).getOrElse(0)
+    val cand = rows.zipWithIndex.map { case (r, i) =>
+      ((i + 1).toLong, r.getDouble(scoreIdx), r.getSeq[Float](embIdx).toArray)
+    }
+    val picks = operators.Mmr.select(cand.toSeq, req.k, lambda)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      hits.drop("__cid").schema
+        .add("mmr_score", org.apache.spark.sql.types.DoubleType, nullable = false)
+        .add("mmr_rank", org.apache.spark.sql.types.LongType, nullable = false))
+    val outRows = picks.map { case (sid, _, m, rk) =>
+      // Seq[Any], NOT Seq(m, rk): Scala's numeric widening would unify
+      // (Double, Long) to Seq[Double], silently turning the rank into 3.0
+      // and corrupting the LongType slot
+      org.apache.spark.sql.Row.fromSeq(rows(sid.toInt - 1).toSeq ++ Seq[Any](m, rk))
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(outRows.asJava, outSchema).orderBy("mmr_rank")
   }
 
   /** Doc-level results (Q11): max chunk score per document. */

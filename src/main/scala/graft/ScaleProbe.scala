@@ -28,6 +28,15 @@ object ScaleProbe {
   private val root = "/tmp/graft_scale"
   private val factors = Seq(4, 16)
 
+  /** Replica-methodology version, written into the _GENOK marker: bump it
+    * whenever gen()'s data shape changes (v2 = jittered embeddings), so a
+    * stale /tmp from an earlier round is regenerated instead of silently
+    * probed under the new methodology's claims. */
+  private val GenVersion = "v2-jitter"
+  private def genCurrent(dir: String): Boolean =
+    scala.util.Try(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/_GENOK")).trim == GenVersion).getOrElse(false)
+
   private val probeQueries = Seq(
     "q1_agg", "q2_join3", "f5_decimal_exists_ne", "l1_listing_page",
     "v1_knn_topk", "v2_knn_batch", "v5_maxsim_float", "v10_emb_lsh_neardups",
@@ -56,13 +65,18 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (mode == "gen" || mode == "all") factors.foreach(f => gen(spark, f))
-    if (mode == "recall" || mode == "all") recallProbe(spark)
+    if (mode == "recall" || mode == "all") {
+      // regenerate any stale-methodology dir before measuring against it
+      factors.foreach(f => if (!genCurrent(s"$root/x$f")) gen(spark, f))
+      recallProbe(spark)
+    }
     // one more octave for the heavy tail only: is any super-linear ratio a
     // trend or an artifact? (x64 ≈ 38M lineitem rows / 320k docs on 32 cores)
     if (mode == "x64") {
-      // completion marker, not bare directory existence: a killed prior gen
-      // leaves a partial table mix that would crash or mis-time the probe
-      if (!new java.io.File(s"$root/x64/_GENOK").exists()) gen(spark, 64)
+      // versioned completion marker, not bare existence: a killed prior gen
+      // leaves a partial table mix, and a PREVIOUS round's marker means the
+      // data predates the current replica methodology — both must regen
+      if (!genCurrent(s"$root/x64")) gen(spark, 64)
       val heavy = Seq("q2_join3", "t4_minhash_lsh", "t12_decontaminate",
         "t19_bloom_decontaminate", "t17_components", "t26_dup_spans",
         "k2_semdedup", "n2_bm25", "t28_curation_e2e")
@@ -85,6 +99,7 @@ object ScaleProbe {
       }
     }
     if (mode == "run" || mode == "all") {
+      factors.foreach(f => if (!genCurrent(s"$root/x$f")) gen(spark, f))
       val dirs = ("x1" -> base) +: factors.map(f => s"x$f" -> s"$root/x$f")
       val rows = probeQueries.map { name =>
         val fn = SparkEntry.queries(name)
@@ -197,9 +212,10 @@ object ScaleProbe {
         transform(col("embedding"), (x, j) =>
           (x + (pmod(hash(col("vec_id"), lit(i), j), lit(1000)).cast("double")
             / 1000.0 - 0.5) * 0.05).cast("float"))) })
-    // completion marker: written LAST, so an interrupted gen is re-run
-    // instead of silently probed against a partial table mix
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$out/_GENOK"), "ok")
+    // versioned completion marker: written LAST, so an interrupted gen is
+    // re-run instead of silently probed against a partial table mix, and a
+    // methodology bump invalidates data from earlier rounds
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$out/_GENOK"), GenVersion)
     println(s"[scale] wrote $out")
   }
 }

@@ -40,10 +40,15 @@ import graft.functions.vec
   * because the SemDeDup scale lever is k ∝ n (the paper runs k=50k): a
   * literal-per-centroid plan stops compiling at k in the low hundreds and an
   * `array_sort` ranking pays O(k log k) per row for an argmin. Each Lloyd
-  * step adds one partially-aggregated (cluster, dim) shuffle whose post-agg
-  * size is k x dim rows regardless of corpus size; the only driver traffic
-  * is that k x dim mean table (sketch-sized, like [[PqIndex]]'s codebook).
-  * The dedup join is an equi-join on cluster_id — never all-pairs.
+  * step's mean pass shuffles the member VALUES (n x dim rows, grouped per
+  * (cluster, dim)) — that volume is the price of the value-ordered fold
+  * that makes the fit replayable in any engine (see [[fit]]); a deployment
+  * that wants the map-side-combined k x dim-partials shuffle instead of
+  * replayability clusters with [[IvfIndex.build]] (MLlib, seeded but
+  * fold-order-opaque) and feeds the assignment to [[semDedup]], which only
+  * needs SOME deterministic partition. Driver traffic is the k x dim mean
+  * table either way (sketch-sized, like [[PqIndex]]'s codebook). The dedup
+  * join is an equi-join on cluster_id — never all-pairs.
   */
 object Clustering {
 
@@ -66,8 +71,9 @@ object Clustering {
   /** Lloyd fit: seeds = the k lowest-id vectors, then `iters` (assign →
     * recompute-means) steps. A cluster that loses all members keeps its
     * previous centroid (the oracle mirrors this with a LEFT JOIN back to the
-    * seed set). Each step scans the corpus once; map-side partial aggregation
-    * means the shuffle carries at most tasks x k x dim partial lists.
+    * seed set). Each step scans the corpus once; the mean shuffle carries
+    * the member values themselves (no map-side reduction — see the ordered
+    * fold below and the trade-off note in the object scaladoc).
     *
     * The per-(cluster, dim) mean is a DETERMINISTIC fold: member values are
     * collected, sorted by id, and summed left-to-right, then divided by the

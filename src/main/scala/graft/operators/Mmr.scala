@@ -31,22 +31,17 @@ import org.apache.spark.sql.functions._
   * in any engine. */
 object Mmr {
 
-  /** Greedy-diversify `candidates` (already scored + pre-limited) down to
-    * `k` rows. Returns (idCol, scoreCol, mmr_score, mmr_rank), mmr_rank
-    * 1-based in selection order. */
-  def diversify(candidates: DataFrame, idCol: String, vecCol: String,
-                scoreCol: String, k: Int, lambda: Double = 0.5): DataFrame = {
-    val spark = candidates.sparkSession
-    import spark.implicits._
-    val rows = candidates
-      .select(col(idCol).cast("long"), col(scoreCol).cast("double"), col(vecCol))
-      .collect()
-      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Float](2).toArray))
+  /** The greedy core over an ALREADY-COLLECTED candidate slice:
+    * (id, rel, vec) in, (id, rel, mmr_score, 1-based rank) out in selection
+    * order. Callers that hold the collected rows (the serving arm) use this
+    * directly so the retrieval plan executes exactly once. */
+  def select(cands: Seq[(Long, Double, Array[Float])], k: Int,
+             lambda: Double = 0.5): Seq[(Long, Double, Double, Long)] = {
     // deterministic pool order; also fixes scan order for exact-tie argmax
     val pool = scala.collection.mutable.ArrayBuffer(
-      rows.sortBy(t => (-t._2, t._1)): _*)
+      cands.sortBy(t => (-t._2, t._1)): _*)
     val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Array[Float], Double)]
-    while (picked.size < math.min(k, rows.length)) {
+    while (picked.size < math.min(k, cands.length)) {
       var best: (Long, Double, Array[Float], Double) = null
       pool.foreach { case (id, rel, v) =>
         // max cosine to the selected set; 0 for the first pick (no set) —
@@ -62,9 +57,21 @@ object Mmr {
       picked += best
       pool.remove(pool.indexWhere(_._1 == best._1))
     }
-    picked.zipWithIndex
-      .map { case ((id, rel, _, m), i) => (id, rel, m, (i + 1).toLong) }
-      .toSeq.toDF(idCol, scoreCol, "mmr_score", "mmr_rank")
+    picked.zipWithIndex.map { case ((id, rel, _, m), i) => (id, rel, m, (i + 1).toLong) }.toSeq
+  }
+
+  /** Greedy-diversify `candidates` (already scored + pre-limited) down to
+    * `k` rows. Returns (idCol, scoreCol, mmr_score, mmr_rank), mmr_rank
+    * 1-based in selection order. */
+  def diversify(candidates: DataFrame, idCol: String, vecCol: String,
+                scoreCol: String, k: Int, lambda: Double = 0.5): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val rows = candidates
+      .select(col(idCol).cast("long"), col(scoreCol).cast("double"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Float](2).toArray))
+    select(rows.toSeq, k, lambda).toDF(idCol, scoreCol, "mmr_score", "mmr_rank")
   }
 
   /** Driver-side cosine with the SAME accumulation shape as the

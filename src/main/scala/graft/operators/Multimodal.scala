@@ -112,13 +112,25 @@ object Multimodal {
       rows.flatMap { r =>
         val docId = r.getLong(idIdx)
         val bytes = r.getAs[Array[Byte]](bIdx)
-        val n = try renderer.pageCount(bytes) catch { case _: Exception => 0 }
+        // IllegalStateException is the renderer's CONFIGURATION failure
+        // class (e.g. [[PdfboxPageRenderer]] with no jar on this executor)
+        // and must fail the job loudly — swallowing it per-doc would turn a
+        // missing dependency into silent zero output for the whole corpus.
+        // Everything else is a per-document/per-page parse failure (the
+        // reference's fall-to-next-ladder-rung semantics).
+        val n = try renderer.pageCount(bytes) catch {
+          case e: IllegalStateException => throw e
+          case _: Exception => 0
+        }
         (0 until n).iterator.flatMap { p =>
           try {
             val img = renderer.render(bytes, p)
             if (ImageCodec.isBlankBytes(img, tolerance)) None
             else Some((p, ImageCodec.normalize(img, "image/png", maxWidth).dataUri))
-          } catch { case _: Exception => None }
+          } catch {
+            case e: IllegalStateException => throw e
+            case _: Exception => None
+          }
         }.zipWithIndex.map { case ((p, uri), chunkNo) =>
           Row(docId, chunkNo, p, uri, true)
         }

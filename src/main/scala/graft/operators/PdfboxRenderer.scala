@@ -74,6 +74,16 @@ object PdfboxRenderer {
 case class PdfboxPageRenderer(dpi: Float = 96f, format: String = "jpg")
     extends Multimodal.PageRenderer {
 
+  // fail fast at DRIVER construction when no PDFBox is on the classpath —
+  // an absence first noticed per-task would surface as swallowed per-doc
+  // failures. (Java serialization bypasses the constructor, so this does
+  // not re-run on executors; an executor-side classpath gap still throws
+  // IllegalStateException from `bound`, which pageImageChunks rethrows as
+  // a configuration error rather than treating as a parse failure.)
+  require(PdfboxRenderer.available,
+    "PDFBox is not on the classpath: add pdfbox-app (2.x or 3.x) before " +
+      "constructing PdfboxPageRenderer")
+
   override def pageCount(docBytes: Array[Byte]): Int = {
     val b = PdfboxRenderer.bound
     val doc = b.load(docBytes)

@@ -21,9 +21,9 @@ object ClusterQueries {
     "k3_cluster_profile" -> ((s, d) => clusterProfile(s, d))
   )
 
-  private def fitted(spark: SparkSession, dir: String): DataFrame = {
+  private def fitted(spark: SparkSession, dir: String, k: Int = K): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val model = Clustering.fit(e, "embedding", "vec_id", K, Iters)
+    val model = Clustering.fit(e, "embedding", "vec_id", k, Iters)
     // Materialize the assignment once: k2's self-join and the final project
     // would otherwise re-run the O(k·dim) argmin scan per reference. Same
     // pattern as Dedup's eval-ngram checkpoint.
@@ -39,23 +39,17 @@ object ClusterQueries {
   /** SemDeDup decisions over the fitted clustering: is_dup = some lower-id
     * same-cluster vector has cosine >= 0.4 (min-id keeper). */
   def semDedup(spark: SparkSession, dir: String): DataFrame =
-    Clustering.semDedup(fitted(spark, dir), "embedding", "vec_id", SemThreshold)
-      .select(col("vec_id"), col("cluster_id"), col("is_dup"))
-      .orderBy("vec_id")
+    semDedupAt(spark, dir, K)
 
   /** ScaleProbe hook: the fit→assign→semDedup flow at an EXPLICIT k. The
     * operator's scale contract is k ∝ n (constant cluster size bounds the
     * within-cluster pairwise join), so a data-factor probe must scale k with
     * the corpus — probing 64x data at the bench k measures the O(Σ|c|²)
     * misconfiguration, not the operator. */
-  def semDedupAt(spark: SparkSession, dir: String, k: Int): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    val model = Clustering.fit(e, "embedding", "vec_id", k, Iters)
-    Clustering.semDedup(Clustering.assign(e, "embedding", model).localCheckpoint(),
-      "embedding", "vec_id", SemThreshold)
+  def semDedupAt(spark: SparkSession, dir: String, k: Int): DataFrame =
+    Clustering.semDedup(fitted(spark, dir, k), "embedding", "vec_id", SemThreshold)
       .select(col("vec_id"), col("cluster_id"), col("is_dup"))
       .orderBy("vec_id")
-  }
 
   /** Cluster-level profile: size + mean squared distance (inertia/size). */
   def clusterProfile(spark: SparkSession, dir: String): DataFrame =

@@ -24,11 +24,9 @@ class PdfboxRendererSpec extends AnyFunSuite {
   private def twoPagePdf = OfficeFixtures.pdfPages(
     Seq(Seq("page one line a", "page one line b"), Seq("page two only")))
 
-  test("absence is detected up front with an actionable error, not a NoClassDefFoundError") {
+  test("absence is detected at construction with an actionable error, not a NoClassDefFoundError") {
     assume(!PdfboxRenderer.available, "PDFBox present - absence path not testable")
-    assert(!PdfboxRenderer.available)
-    val e = intercept[IllegalStateException](
-      PdfboxPageRenderer().pageCount(twoPagePdf))
+    val e = intercept[IllegalArgumentException](PdfboxPageRenderer())
     assert(e.getMessage.contains("classpath"), s"unhelpful error: ${e.getMessage}")
   }
 

@@ -48,13 +48,16 @@ class PlanGuardSpec extends AnyFunSuite {
       s"span join degraded to nested loop:\n$p")
   }
 
-  test("n2_bm25: the df/stats sketch sides are broadcast") {
+  test("n2_bm25: stats side broadcast, df computed as a window over hits") {
     // NOTE a corpus-sized shuffle-join regression is NOT detectable at this
     // sf (AQE would broadcast anything this small); what this pins is the
-    // presence of the sketch broadcasts the operator is built around —
-    // absolute cost regressions are Bench's job
+    // two shapes the operator is built around: the one-row corpus-stats
+    // crossJoin broadcasts, and document frequency is a count-over-term
+    // Window on the hit table (the single-consumer-tf form that needs no
+    // serving-path persist) — absolute cost regressions are Bench's job
     val p = executedPlan("n2_bm25")
-    assert(p.contains("BroadcastExchange"), s"df/stats not broadcast:\n$p")
+    assert(p.contains("BroadcastExchange"), s"stats not broadcast:\n$p")
+    assert(p.contains("Window"), s"df no longer the window-over-hits shape:\n$p")
   }
 
   test("n3_hybrid_rrf: arms pre-limit with top-k heaps, filters reach the scans, fusion never all-pairs") {
