@@ -20,7 +20,8 @@ import org.apache.spark.sql.SparkSession
   * transitive dedup (t17), URL normalize + domain caps (t18), deterministic
   * shard shuffle (t21), incoming-vs-corpus band-index matching (t24,
   * prepared: the index build is offline at scale), duplicate-passage spans
-  * (t26), SemDeDup clustering+dedup (k2 — the Lloyd fit is timed on purpose:
+  * (t26) and their removal transform (t29), SemDeDup clustering+dedup (k2 —
+  * the Lloyd fit is timed on purpose:
   * clustering IS the curation job, unlike v7's query-only probe), BM25
   * keyword scoring (n2, prepared: the inverted index is an offline build,
   * the probe is the term-pruned postings join) and hybrid RRF fusion (n3,
@@ -43,6 +44,7 @@ object Bench {
     "t11_repetition", "t12_decontaminate", "t16_heavy_hitters",
     "t17_components", "t18_url_caps", "t19_bloom_decontaminate",
     "t21_shuffle_shards", "t24_lsh_match", "t26_dup_spans",
+    "t29_remove_dup_spans",
     "k2_semdedup", "n2_bm25", "n3_hybrid_rrf", "t28_curation_e2e")
 
   /** Index-backed queries: build once, time the probe. */

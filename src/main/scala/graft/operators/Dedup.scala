@@ -464,4 +464,52 @@ object Dedup {
         countDistinct("h").as("distinct_dup_spans"),
         min("pos").as("first_pos"))
   }
+
+  /** Span-level dedup TRANSFORM — the removal half of Lee et al. 2022
+    * (arXiv:2107.06499 §3, "ExactSubstr"): where [[dupSpans]] reports the
+    * signal, this rewrites each document with its duplicated passages cut
+    * out. A positional n-token span duplicated across >= `minDocs` docs is
+    * kept only in its CANONICAL OWNER (the min doc id containing the span
+    * hash — the same min-id-keeper rule as [[lshKeepList]] and
+    * [[Clustering.semDedup]]); every other doc drops all token positions any
+    * such span covers. Output per doc: the rebuilt token text (normalized —
+    * tokens joined by single spaces), token counts before/removed.
+    *
+    * 100 TB shape: the span stream and ownership pass are [[dupSpans]]'s
+    * skeleton (groupBy on the span hash — never all-pairs; recomputed, not
+    * checkpointed). The removal itself joins each doc to its aggregated
+    * covered-position set (doc-bounded, only docs WITH removals carry one)
+    * and filters tokens with one array-membership HOF — O(|tokens| ×
+    * |covered|) per doc worst case, bounded by document length,
+    * embarrassingly parallel, no shuffle beyond the covered aggregation. */
+  def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(n >= 1 && minDocs >= 2, s"removeDupSpans needs n>=1, minDocs>=2 (got $n, $minDocs)")
+    val toks = graft.Tables.scaled(
+      docs.select(col(idCol).cast("long").as("id"), text.tokens(col(textCol)).as("tk")))
+    val sp = toks.filter(size(col("tk")) >= n)
+      .select(col("id"), explode(transform(
+        sequence(lit(0), size(col("tk")) - n),
+        i => struct(i.cast("long").as("pos"),
+          md5(concat_ws(" ", slice(col("tk"), i + 1, lit(n)))).as("h")))).as("s"))
+      .select(col("id"), col("s.pos").as("pos"), col("s.h").as("h"))
+    val owned = sp.groupBy("h")
+      .agg(countDistinct("id").as("ndocs"), min("id").as("owner"))
+      .filter(col("ndocs") >= minDocs)
+      .select("h", "owner")
+    val covered = sp.join(owned, "h")
+      .filter(col("id") =!= col("owner"))
+      .groupBy("id")
+      .agg(array_distinct(flatten(collect_list(
+        sequence(col("pos"), col("pos") + (n - 1))))).as("covered"))
+    toks.join(covered, Seq("id"), "left")
+      .withColumn("covered",
+        coalesce(col("covered"), array().cast("array<bigint>")))
+      .withColumn("kept_tk",
+        filter(col("tk"), (t, j) => !array_contains(col("covered"), j.cast("long"))))
+      .select(col("id"),
+        concat_ws(" ", col("kept_tk")).as("kept_text"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        (size(col("tk")) - size(col("kept_tk"))).cast("long").as("n_removed"))
+  }
 }

@@ -28,7 +28,8 @@ object TextQueries {
     "t17_components" -> ((s, d) => components(s, d)),
     "t23_keep_best" -> ((s, d) => keepBest(s, d)),
     "t24_lsh_match" -> ((s, d) => lshMatch(s, d)),
-    "t26_dup_spans" -> ((s, d) => dupSpans(s, d))
+    "t26_dup_spans" -> ((s, d) => dupSpans(s, d)),
+    "t29_remove_dup_spans" -> ((s, d) => removeDupSpans(s, d))
   )
 
   /** Span-level dedup signal: per doc, how many positional 8-token windows
@@ -37,6 +38,15 @@ object TextQueries {
     Dedup.dupSpans(Tables.documents(spark, dir), "doc_id", "text", n = 8)
       .select(col("id").as("doc_id"), col("dup_spans"),
         col("distinct_dup_spans"), col("first_pos"))
+      .orderBy("doc_id")
+
+  /** Span-level dedup transform (ExactSubstr removal): every doc rewritten
+    * with non-owned duplicated 8-token passages cut out; the artifact hash
+    * gates the full rebuilt text, counts gate the removal volume. */
+  def removeDupSpans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.removeDupSpans(Tables.documents(spark, dir), "doc_id", "text", n = 8)
+      .select(col("id").as("doc_id"), md5(col("kept_text")).as("kept_md5"),
+        col("n_tokens"), col("n_removed"))
       .orderBy("doc_id")
 
   /** Incoming-vs-corpus LSH matching (the incremental-crawl dedup pass):
@@ -316,6 +326,32 @@ object TextQueries {
          |SELECT doc_id, count(*) AS dup_spans, count(DISTINCT sp.h) AS distinct_dup_spans,
          |  min(pos) AS first_pos
          |FROM sp JOIN sh USING (h) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // replay of the removal transform: same span stream as t26, ownership
+    // = min doc_id per shared hash, covered = union of [pos, pos+8) in
+    // non-owners, kept = tokens at uncovered positions in order
+    "t29_remove_dup_spans" ->
+      s"""$toks,
+         |sp0 AS (SELECT doc_id, unnest(range(greatest(len(tk) - 7, 0))) AS pos, tk FROM tk),
+         |sp AS (SELECT doc_id, pos,
+         |         md5(array_to_string(list_slice(tk, pos + 1, pos + 8), ' ')) AS h
+         |       FROM sp0),
+         |own AS (SELECT h, min(doc_id) AS owner FROM sp GROUP BY h
+         |        HAVING count(DISTINCT doc_id) >= 2),
+         |cov AS (SELECT sp.doc_id,
+         |          list_distinct(flatten(list(range(pos, pos + 8)))) AS covered
+         |        FROM sp JOIN own USING (h) WHERE sp.doc_id <> own.owner
+         |        GROUP BY sp.doc_id),
+         |o AS (SELECT tk.doc_id,
+         |        list_transform(
+         |          list_filter(range(len(tk)),
+         |            p -> covered IS NULL OR NOT list_contains(covered, p)),
+         |          p -> tk[p + 1]) AS kept,
+         |        len(tk)::BIGINT AS n_tokens
+         |      FROM tk LEFT JOIN cov USING (doc_id))
+         |SELECT doc_id,
+         |  md5(coalesce(array_to_string(kept, ' '), '')) AS kept_md5, n_tokens,
+         |  (n_tokens - len(kept))::BIGINT AS n_removed
+         |FROM o ORDER BY doc_id""".stripMargin,
     "t5_simhash" ->
       s"""$toks,
          |h AS (SELECT doc_id, list_transform(tk, t -> ('0x' || substr(md5(t), 1, 12))::BIGINT) AS hs FROM tk)

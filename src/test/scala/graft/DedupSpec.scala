@@ -193,4 +193,44 @@ class DedupSpec extends AnyFunSuite {
       .select("id", "dup_spans").as[(Long, Long)].collect().toMap
     assert(out.getOrElse(1L, 0L) < full(1L))
   }
+
+  test("removeDupSpans: owner keeps the shared passage, non-owner loses it verbatim") {
+    val passage = (1 to 8).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha $passage omega"),
+      (2L, s"intro words here $passage tail bits"),
+      (3L, "totally unique content with no shared spans at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDupSpans(docs, "doc_id", "text")
+      .select("id", "kept_text", "n_tokens", "n_removed")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((s"alpha $passage omega", 10L, 0L)),
+      "min-id owner keeps its copy untouched")
+    assert(out(2L) == (("intro words here tail bits", 13L, 8L)),
+      "non-owner drops exactly the shared token positions")
+    assert(out(3L)._3 == 0L, "doc with no shared spans is untouched")
+  }
+
+  test("removeDupSpans: overlapping shared spans union their coverage (no double count)") {
+    // 9 shared tokens = two overlapping shared 8-grams in each non-owner;
+    // covered union is 9 positions, not 16
+    val passage = (1 to 9).map(i => s"common$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a b $passage"),
+      (2L, s"x y z $passage")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDupSpans(docs, "doc_id", "text")
+      .select("id", "kept_text", "n_removed").as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L)._2 == 0L)
+    assert(out(2L) == (("x y z", 9L)))
+  }
+
+  test("removeDupSpans: docs shorter than the span width are never touched") {
+    val docs = Seq((1L, "short doc"), (2L, "short doc")).toDF("doc_id", "text")
+    val out = Dedup.removeDupSpans(docs, "doc_id", "text")
+      .select("id", "n_removed").as[(Long, Long)].collect().toMap
+    assert(out.values.forall(_ == 0L))
+  }
 }
