@@ -47,7 +47,8 @@ object ScaleProbe {
     "t12_decontaminate", "t16_heavy_hitters", "t17_components", "t18_url_caps",
     "e5_interval_join", "e6_sessionize", "t19_bloom_decontaminate",
     "t21_shuffle_shards", "t22_cms_heavy", "t23_keep_best",
-    "t26_dup_spans", "t29_remove_dup_spans", "k1_kmeans_assign", "k2_semdedup",
+    "t26_dup_spans", "t29_remove_dup_spans", "t30_lm_xent",
+    "k1_kmeans_assign", "k2_semdedup",
     "n2_bm25", "n3_hybrid_rrf", "t27_temperature_mix", "z1_zorder_layout")
   // v12_pq_adc is deliberately NOT probed: the registry query rebuilds its
   // codebook + encodes the corpus per run (index-time work), which would

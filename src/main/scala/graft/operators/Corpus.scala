@@ -373,4 +373,53 @@ object Corpus {
       .withColumn("n_phones", size(regexp_extract_all(t, lit(phoneRe), lit(0))).cast("long"))
       .withColumn("scrubbed", scrubbed)
   }
+
+  /** Corpus-trained bigram-LM cross-entropy scoring — the CCNet quality
+    * filter shape (Wenzek et al. 2020, arXiv:1911.00359: score every doc by
+    * LM perplexity, keep the low-perplexity head). The LM here is trained on
+    * the corpus ITSELF (CCNet trains on a clean reference corpus; swap the
+    * count tables to change that): add-one-smoothed bigram probabilities
+    *   p(w2 | w1) = (c(w1,w2) + 1) / (c(w1) + |V|)
+    * and the score is the per-doc mean negative log-probability over its
+    * bigrams in nats (cross-entropy; perplexity = e^xent, monotone — the
+    * filter cuts on either). Docs with < 2 tokens score null (no bigrams).
+    *
+    * 100 TB shape: two count aggregations (unigram, bigram — map-side
+    * combined, vocab-bounded outputs), one |V| scalar broadcast, then the
+    * scoring pass joins the positional bigram stream to the two count
+    * tables on their word keys (hash equi-joins; the count sides are
+    * vocab-sized and AQE-broadcastable per shard). The per-doc sum folds a
+    * sorted doc-bounded list in POSITION order — like [[Clustering.fit]]'s
+    * mean, the value-ordered fold is what lets any engine replay the sum
+    * bit-for-bit (ln itself is within-ulp across libms, absorbed by the
+    * caller's 4-dp rounding; t30's oracle mirrors with
+    * `list_sum(list(lnp ORDER BY pos))`). */
+  def lmCrossEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).cast("long").as("id"),
+      graft.functions.text.tokens(col(textCol)).as("tk"))
+    val uni = toks.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val bg = toks.filter(size(col("tk")) >= 2)
+      .select(col("id"), explode(transform(
+        sequence(lit(0), size(col("tk")) - 2),
+        i => struct(i.cast("long").as("pos"),
+          element_at(col("tk"), i + 1).as("w1"),
+          element_at(col("tk"), i + 2).as("w2")))).as("b"))
+      .select(col("id"), col("b.pos").as("pos"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val scored = bg.join(bc, Seq("w1", "w2"))
+      .join(uni.withColumnRenamed("w", "w1"), "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lnp", log((col("c12") + lit(1.0)) / (col("c1") + col("v"))))
+    val agg = scored.groupBy("id").agg(
+      count(lit(1)).as("n_bigrams"),
+      aggregate(
+        sort_array(collect_list(struct(col("pos").as("k"), col("lnp").as("p")))),
+        lit(0.0), (acc, x) => acc + x.getField("p")).as("s"))
+    toks.join(agg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        (-col("s") / col("n_bigrams")).as("xent"))
+  }
 }

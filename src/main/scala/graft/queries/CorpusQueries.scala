@@ -29,7 +29,8 @@ object CorpusQueries {
     "t21_shuffle_shards" -> ((s, d) => shuffleShards(s, d)),
     "t22_cms_heavy" -> ((s, d) => cmsHeavy(s, d)),
     "t27_temperature_mix" -> ((s, d) => temperatureMix(s, d)),
-    "t28_curation_e2e" -> ((s, d) => curationE2e(s, d))
+    "t28_curation_e2e" -> ((s, d) => curationE2e(s, d)),
+    "t30_lm_xent" -> ((s, d) => lmXent(s, d))
   )
 
   /** The full curation pipeline as ONE composed dataflow — exact dedup keep
@@ -74,6 +75,14 @@ object CorpusQueries {
       .agg(max("rate_bp").as("rate_bp"), count(lit(1)).as("n_total"),
         sum(col("kept").cast("long")).cast("long").as("n_kept"))
       .orderBy("lang")
+
+  /** CCNet-shape LM quality scoring: per-doc bigram cross-entropy (nats)
+    * against the corpus-trained add-one bigram model. */
+  def lmXent(spark: SparkSession, dir: String): DataFrame =
+    Corpus.lmCrossEntropy(Tables.documents(spark, dir), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_bigrams"),
+        round(col("xent"), 4).as("xent"))
+      .orderBy("doc_id")
 
   /** CMS-prefiltered exact heavy tokens (the unbounded-vocabulary path):
     * the sketch prefilter never drops a true heavy token and the exact
@@ -334,6 +343,26 @@ object CorpusQueries {
          |SELECT e.doc_id AS doc_id, count(*)::BIGINT AS n_shared
          |FROM e JOIN ev USING (g) WHERE e.doc_id % 37 <> 0
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // replay of the add-one bigram LM: integer counts -> exact-division
+    // probabilities, ln within-ulp across engines, per-doc sum folded in
+    // POSITION order (list ORDER BY pos = the Spark sorted-struct fold),
+    // 4-dp rounding absorbs the ulp
+    "t30_lm_xent" ->
+      s"""$toks,
+         |u AS (SELECT unnest(tk) AS w FROM tk),
+         |uc AS (SELECT w, count(*) AS c1 FROM u GROUP BY w),
+         |vs AS (SELECT count(*) AS v FROM uc),
+         |bg AS (SELECT doc_id, unnest(range(greatest(len(tk) - 1, 0))) AS pos, tk FROM tk),
+         |b2 AS (SELECT doc_id, pos, tk[pos + 1] AS w1, tk[pos + 2] AS w2 FROM bg),
+         |bc AS (SELECT w1, w2, count(*) AS c12 FROM b2 GROUP BY w1, w2),
+         |sc AS (SELECT b2.doc_id, b2.pos, ln((bc.c12 + 1.0) / (uc.c1 + vs.v)) AS lnp
+         |       FROM b2 JOIN bc USING (w1, w2) JOIN uc ON uc.w = b2.w1, vs),
+         |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+         |          list_sum(list(lnp ORDER BY pos)) AS s
+         |        FROM sc GROUP BY doc_id)
+         |SELECT tk.doc_id, coalesce(agg.n_bigrams, 0)::BIGINT AS n_bigrams,
+         |  round(-agg.s / agg.n_bigrams, 4) AS xent
+         |FROM tk LEFT JOIN agg USING (doc_id) ORDER BY tk.doc_id""".stripMargin,
     "t20_profile" ->
       s"""$toks,
          |m AS (SELECT lang, len(tk)::BIGINT AS n_tok FROM tk)

@@ -274,6 +274,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(math.abs(kept - 3000) < 300)
   }
 
+  test("lmCrossEntropy: formulaic text scores lower than novel text; short docs null") {
+    // five copies of a template make its bigrams high-probability under the
+    // corpus-trained model; the all-unique doc's bigrams are all unseen-ish
+    // singletons — the CCNet cut keeps the low-xent head
+    val common = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = (Seq.tabulate(5)(i => (i.toLong, common)) ++
+      Seq((100L, "zxq wvu tsr qpo nml kji hgf edc ba"), (200L, "solo")))
+      .toDF("doc_id", "text")
+    val out = Corpus.lmCrossEntropy(docs, "doc_id", "text")
+      .select("id", "n_bigrams", "xent")
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(0L)._1 == 11L)
+    assert(out(0L)._2.get < out(100L)._2.get,
+      "repeated phrasing must score lower cross-entropy than novel text")
+    assert(out(200L) == ((0L, None)), "a bigram-less doc scores null, not 0")
+    // identical docs score identically (model is corpus-global)
+    assert(out(1L) == out(0L))
+  }
+
   test("temperatureMix drops null-stratum rows and accepts non-string strata") {
     val df = Seq((1L, Some("a")), (2L, Some("a")), (3L, None))
       .toDF("id", "s")
