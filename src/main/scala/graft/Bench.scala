@@ -20,7 +20,8 @@ import org.apache.spark.sql.SparkSession
   * transitive dedup (t17), URL normalize + domain caps (t18), deterministic
   * shard shuffle (t21), incoming-vs-corpus band-index matching (t24,
   * prepared: the index build is offline at scale), duplicate-passage spans
-  * (t26) and their removal transform (t29), SemDeDup clustering+dedup (k2 —
+  * (t26) and their removal transform (t29), bigram-LM cross-entropy quality
+  * scoring (t30), SemDeDup clustering+dedup (k2 —
   * the Lloyd fit is timed on purpose:
   * clustering IS the curation job, unlike v7's query-only probe), BM25
   * keyword scoring (n2, prepared: the inverted index is an offline build,

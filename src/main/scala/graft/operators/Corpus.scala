@@ -395,8 +395,8 @@ object Corpus {
     * caller's 4-dp rounding; t30's oracle mirrors with
     * `list_sum(list(lnp ORDER BY pos))`). */
   def lmCrossEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).cast("long").as("id"),
-      graft.functions.text.tokens(col(textCol)).as("tk"))
+    val toks = graft.Tables.scaled(df.select(col(idCol).cast("long").as("id"),
+      graft.functions.text.tokens(col(textCol)).as("tk")))
     val uni = toks.select(explode(col("tk")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
     val vocab = uni.agg(count(lit(1)).as("v"))

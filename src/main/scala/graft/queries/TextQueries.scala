@@ -219,6 +219,14 @@ object TextQueries {
   private val toks =
     s"WITH n AS ($norm), tk AS (SELECT doc_id, list_filter(string_split(norm, ' '), t -> len(t) > 0) AS tk FROM n)"
 
+  /** Positional 8-token span stream shared by the t26/t29 oracles — must
+    * stay the single definition, mirroring [[Dedup]]'s shared spanStream. */
+  private val spanSql =
+    """sp0 AS (SELECT doc_id, unnest(range(greatest(len(tk) - 7, 0))) AS pos, tk FROM tk),
+      |sp AS (SELECT doc_id, pos,
+      |         md5(array_to_string(list_slice(tk, pos + 1, pos + 8), ' ')) AS h
+      |       FROM sp0)""".stripMargin
+
   private def stopSql(langWords: Seq[String]): String =
     langWords.map(w => s"'$w'").mkString("(", ",", ")")
 
@@ -318,10 +326,7 @@ object TextQueries {
          |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "t26_dup_spans" ->
       s"""$toks,
-         |sp0 AS (SELECT doc_id, unnest(range(greatest(len(tk) - 7, 0))) AS pos, tk FROM tk),
-         |sp AS (SELECT doc_id, pos,
-         |         md5(array_to_string(list_slice(tk, pos + 1, pos + 8), ' ')) AS h
-         |       FROM sp0),
+         |$spanSql,
          |sh AS (SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
          |SELECT doc_id, count(*) AS dup_spans, count(DISTINCT sp.h) AS distinct_dup_spans,
          |  min(pos) AS first_pos
@@ -331,10 +336,7 @@ object TextQueries {
     // non-owners, kept = tokens at uncovered positions in order
     "t29_remove_dup_spans" ->
       s"""$toks,
-         |sp0 AS (SELECT doc_id, unnest(range(greatest(len(tk) - 7, 0))) AS pos, tk FROM tk),
-         |sp AS (SELECT doc_id, pos,
-         |         md5(array_to_string(list_slice(tk, pos + 1, pos + 8), ' ')) AS h
-         |       FROM sp0),
+         |$spanSql,
          |own AS (SELECT h, min(doc_id) AS owner FROM sp GROUP BY h
          |        HAVING count(DISTINCT doc_id) >= 2),
          |cov AS (SELECT sp.doc_id,
