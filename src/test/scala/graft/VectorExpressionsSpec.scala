@@ -73,6 +73,29 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(ids == Seq(0L))
   }
 
+  test("codegen'd expressions actually compile under CODEGEN_ONLY (no silent fallback)") {
+    // a doGenCode bug normally degrades silently to interpreted eval;
+    // forcing the codegen factory makes Janino errors FAIL the suite.
+    // Exercises every expression in this file that claims doGenCode.
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val df = Seq((1L, Array(0.3f, -0.2f, 0.9f, 0.05f), Array(0.1f, 0.4f, -0.7f, 0.2f)))
+        .toDF("id", "a", "b")
+      val bc = spark.sparkContext.broadcast(
+        Array(Array(0.25, -0.25, 0.8, 0.0), Array(0.0, 0.5, -0.5, 0.25)))
+      val row = df.select(
+        vec.cosine_sim(col("a"), col("b")).as("cos"),
+        vec.dot_product(col("a"), col("b")).as("dot"),
+        vec.binary_quantize(col("a")).as("bq"),
+        vec.hamming(vec.binary_quantize(col("a")), vec.binary_quantize(col("b"))).as("hd"),
+        vec.nearest_centroid(col("a"), bc).getField("i").as("ci")).head()
+      assert(!row.getDouble(0).isNaN && !row.getDouble(1).isNaN)
+      assert(row.getAs[Array[Byte]](2).nonEmpty)
+      assert(row.getInt(3) >= 0)
+      assert(row.getLong(4) == 0L, "centroid 0 is nearer to vector a")
+    } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+  }
+
   test("hamming distance") {
     val df = Seq((Seq(1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f), Seq(-1f, 1f, 1f, 1f, 1f, 1f, 1f, -1f)))
       .toDF("a", "b")
