@@ -77,6 +77,23 @@ class EndToEndSpec extends AnyFunSuite {
       .select("document_id").as[Long].collect()
     assert(x.contains(2L), "spreadsheet content searchable after the loop")
 
+    // 4b2. diversified retrieval over the same store: same scope, MMR rank
+    // is dense 1..k, the pure-relevance winner still leads
+    val div = retrieveChunksDiverse(
+      RetrieveRequest("zebra milkshake protocol", k = 3, appId = Some("app1")),
+      store)
+      .select("document_id", "mmr_rank").as[(Long, Long)].collect().toSeq
+    assert(div.map(_._2) == (1L to div.size).toSeq)
+    assert(div.head._1 == 1L)
+
+    // 4b3. snippet decoration composes on any hit slice: every snippet row
+    // that matched carries the term and a window containing it
+    val snip = operators.FullText.snippets(
+      retrieveChunks(req, store), "content", Seq("zebra", "milkshake"), width = 30)
+      .select("matched_term", "snippet").as[(Option[String], String)].collect()
+    assert(snip.exists(_._1.contains("zebra")))
+    assert(snip.filter(_._1.nonEmpty).forall(s => s._2.contains(s._1.get)))
+
     // 4c. the unparseable doc completed with the accept-but-mark status
     val marks = status.select("doc_id", "extraction_status", "status")
       .as[(Long, Option[String], String)].collect()
