@@ -101,9 +101,15 @@ object Bench {
         System.err.println(f"[bench] prepare $n ${(System.nanoTime() - t0) / 1e9}%.1fs")
         n -> closure
       }
+    // The timed action materializes EVERY output column through the noop
+    // sink. count() is not an honest action for projection-final queries:
+    // Catalyst prunes unreferenced projections, so e.g. t29's rebuilt-text
+    // pipeline timed 0.9s under count() vs ~13s real at x64 — count()
+    // measured the scan, not the operator.
     def run(name: String): Unit =
-      prepared.get(name).map(_.apply().count())
-        .getOrElse(SparkEntry.queries(name)(spark, sfDir).count())
+      prepared.get(name).map(_.apply())
+        .getOrElse(SparkEntry.queries(name)(spark, sfDir))
+        .write.mode("overwrite").format("noop").save()
     headline.foreach { n =>
       val t0 = System.nanoTime()
       try run(n)

@@ -20,8 +20,13 @@ object BenchOne {
     spark.sparkContext.setLogLevel("WARN")
     args.foreach { n =>
       val fn = SparkEntry.queries(n)
+      // noop sink, not count(): materialize every output column (same
+      // rationale as Bench — count() lets Catalyst prune projection-final
+      // operators down to their scan)
       def once(): Double = {
-        val t0 = System.nanoTime(); fn(spark, dir).count(); (System.nanoTime() - t0) / 1e9
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
       }
       val w = once(); val samples = Seq(once(), once(), once()).sorted
       println(f"[benchone] $n warm $w%.2fs median ${samples(1)}%.2fs min ${samples.head}%.2fs")

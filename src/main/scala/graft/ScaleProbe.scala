@@ -80,6 +80,7 @@ object ScaleProbe {
       if (!genCurrent(s"$root/x64")) gen(spark, 64)
       val heavy = Seq("q2_join3", "t4_minhash_lsh", "t12_decontaminate",
         "t19_bloom_decontaminate", "t17_components", "t26_dup_spans",
+        "t29_remove_dup_spans", "t30_lm_xent",
         "k2_semdedup", "n2_bm25", "t28_curation_e2e")
       heavy.foreach { name =>
         val fn = SparkEntry.queries(name)
@@ -121,15 +122,19 @@ object ScaleProbe {
 
   /** ONE timing methodology for every probe mode (run and x64 must stay
     * comparable): warm twice (plan compile + first-touch shuffle/page-cache
-    * at the larger factors), then best of 2 measured. */
+    * at the larger factors), then best of 2 measured. The action is the
+    * noop sink — it materializes every output column, where count() lets
+    * Catalyst prune a projection-final operator down to its scan (same
+    * rationale as Bench). */
   private def timeQuery(fn: (SparkSession, String) => DataFrame,
                         spark: SparkSession, dir: String): Double = {
-    fn(spark, dir).count(); fn(spark, dir).count()
-    (1 to 2).map { _ =>
+    def once(): Double = {
       val t0 = System.nanoTime()
-      fn(spark, dir).count()
+      fn(spark, dir).write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
-    }.min
+    }
+    once(); once()
+    (1 to 2).map(_ => once()).min
   }
 
   /** IVF recall@10 vs exact, per scale, over 20 seeded query vectors
