@@ -448,7 +448,7 @@ object Dedup {
                n: Int = 8, minDocs: Int = 2, stride: Int = 1): DataFrame = {
     require(n >= 1 && stride >= 1 && minDocs >= 2,
       s"dupSpans needs n>=1, stride>=1, minDocs>=2 (got $n, $stride, $minDocs)")
-    val sp = spanStream(docs, idCol, textCol, n, stride)
+    val sp = spanStream(tokStream(docs, idCol, textCol), n, stride)
     val shared = sp.groupBy("h").agg(countDistinct("id").as("ndocs"))
       .filter(col("ndocs") >= minDocs).select("h")
     sp.join(shared, "h")
@@ -458,22 +458,25 @@ object Dedup {
         min("pos").as("first_pos"))
   }
 
+  /** The (id, tk) token stream every span consumer derives from — ONE
+    * definition, so [[removeDupSpans]]' rebuild side can never use a
+    * different tokenization than the span hashes it removes by. */
+  private def tokStream(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.Tables.scaled(
+      docs.select(col(idCol).cast("long").as("id"), text.tokens(col(textCol)).as("tk")))
+
   /** The positional-span stream (id, pos, h) shared by [[dupSpans]] and
     * [[removeDupSpans]]: one row per stride-aligned n-token window, hashed
     * with md5 over the space-joined tokens. The signal (t26) and the
     * removal transform (t29) must agree on this stream HASH-FOR-HASH —
-    * keep the definition in one place. */
-  private def spanStream(docs: DataFrame, idCol: String, textCol: String,
-                         n: Int, stride: Int): DataFrame = {
-    val toks = graft.Tables.scaled(
-      docs.select(col(idCol).cast("long").as("id"), text.tokens(col(textCol)).as("tk")))
+    * keep the definition in one place, fed from [[tokStream]]. */
+  private def spanStream(toks: DataFrame, n: Int, stride: Int): DataFrame =
     toks.filter(size(col("tk")) >= n)
       .select(col("id"), explode(transform(
         filter(sequence(lit(0), size(col("tk")) - n), p => p % stride === 0),
         i => struct(i.cast("long").as("pos"),
           md5(concat_ws(" ", slice(col("tk"), i + 1, lit(n)))).as("h")))).as("s"))
       .select(col("id"), col("s.pos").as("pos"), col("s.h").as("h"))
-  }
 
   /** Span-level dedup TRANSFORM — the removal half of Lee et al. 2022
     * (arXiv:2107.06499 §3, "ExactSubstr"): where [[dupSpans]] reports the
@@ -495,9 +498,8 @@ object Dedup {
   def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
                      n: Int = 8, minDocs: Int = 2): DataFrame = {
     require(n >= 1 && minDocs >= 2, s"removeDupSpans needs n>=1, minDocs>=2 (got $n, $minDocs)")
-    val toks = graft.Tables.scaled(
-      docs.select(col(idCol).cast("long").as("id"), text.tokens(col(textCol)).as("tk")))
-    val sp = spanStream(docs, idCol, textCol, n, stride = 1)
+    val toks = tokStream(docs, idCol, textCol)
+    val sp = spanStream(toks, n, stride = 1)
     val owned = sp.groupBy("h")
       .agg(countDistinct("id").as("ndocs"), min("id").as("owner"))
       .filter(col("ndocs") >= minDocs)

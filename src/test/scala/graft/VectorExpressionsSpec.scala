@@ -76,24 +76,43 @@ class VectorExpressionsSpec extends AnyFunSuite {
   test("codegen'd expressions actually compile under CODEGEN_ONLY (no silent fallback)") {
     // a doGenCode bug normally degrades silently to interpreted eval;
     // forcing the codegen factory makes Janino errors FAIL the suite.
-    // Exercises every expression in this file that claims doGenCode.
+    // ConvertToLocalRelation must be excluded or Catalyst folds the whole
+    // Project at OPTIMIZATION time with interpreted eval and the codegen
+    // path never runs (verified: without the exclusion the plan is a bare
+    // LocalTableScan) — the same reason the input gets a repartition.
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation")
     try {
       val df = Seq((1L, Array(0.3f, -0.2f, 0.9f, 0.05f), Array(0.1f, 0.4f, -0.7f, 0.2f)))
-        .toDF("id", "a", "b")
+        .toDF("id", "a", "b").repartition(1)
       val bc = spark.sparkContext.broadcast(
         Array(Array(0.25, -0.25, 0.8, 0.0), Array(0.0, 0.5, -0.5, 0.25)))
-      val row = df.select(
+      val sel = df.select(
         vec.cosine_sim(col("a"), col("b")).as("cos"),
         vec.dot_product(col("a"), col("b")).as("dot"),
         vec.binary_quantize(col("a")).as("bq"),
         vec.hamming(vec.binary_quantize(col("a")), vec.binary_quantize(col("b"))).as("hd"),
-        vec.nearest_centroid(col("a"), bc).getField("i").as("ci")).head()
+        vec.nearest_centroid(col("a"), bc).getField("i").as("ci"))
+      val row = sel.head()
+      // prove the projection survived to EXECUTION (not constant-folded):
+      // a folded plan is a bare LocalTableScan with no expression left to
+      // codegen. (The AQE toString carries no WholeStageCodegen marker
+      // pre-finalization, so assert on the surviving expression instead —
+      // with the expressions present at runtime, CODEGEN_ONLY guarantees
+      // the generated code actually compiles: sabotaging doGenCode makes
+      // this test throw a Janino CompileException.)
+      assert(sel.queryExecution.executedPlan.toString.contains("cosine_sim"),
+        "projection was folded at optimization time - codegen never ran:\n" +
+          sel.queryExecution.executedPlan)
       assert(!row.getDouble(0).isNaN && !row.getDouble(1).isNaN)
       assert(row.getAs[Array[Byte]](2).nonEmpty)
       assert(row.getInt(3) >= 0)
       assert(row.getLong(4) == 0L, "centroid 0 is nearer to vector a")
-    } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    } finally {
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+      spark.conf.unset("spark.sql.optimizer.excludedRules")
+    }
   }
 
   test("hamming distance") {
