@@ -92,6 +92,21 @@ class PlanGuardSpec extends AnyFunSuite {
       s"curation pipeline grew an all-pairs join:\n$p")
   }
 
+  test("t29_remove_dup_spans: ownership/coverage/rebuild joins stay equi-shaped") {
+    val p = executedPlan("t29_remove_dup_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span-removal join degraded to nested loop:\n$p")
+  }
+
+  test("t30_lm_xent: count-table joins equi-shaped; only the one-row |V| side nests") {
+    val df = SparkEntry.queries("t30_lm_xent")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), s"LM scoring went all-pairs:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllMatchIn(p).size <= 1,
+      s"unexpected nested-loop beyond the one-row vocab crossJoin:\n$p")
+  }
+
   test("k2_semdedup: the dedup self-join keys on cluster_id (equi-join)") {
     val p = executedPlan("k2_semdedup")
     // a lost equi-key degrades to BroadcastNestedLoopJoin at this sf (small
