@@ -80,13 +80,19 @@ class VectorExpressionsSpec extends AnyFunSuite {
     // Project at OPTIMIZATION time with interpreted eval and the codegen
     // path never runs (verified: without the exclusion the plan is a bare
     // LocalTableScan) — the same reason the input gets a repartition.
-    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
-    spark.conf.set("spark.sql.optimizer.excludedRules",
+    // Scoped to a CHILD session: SQL confs are session-local, so the forced
+    // factory mode can never leak into suites sharing this JVM even if the
+    // test dies mid-flight (r6 ADVICE: set/unset on the shared session was
+    // a parallel-suite flake source).
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    s2.conf.set("spark.sql.optimizer.excludedRules",
       "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation")
-    try {
+    locally {
+      import s2.implicits._
       val df = Seq((1L, Array(0.3f, -0.2f, 0.9f, 0.05f), Array(0.1f, 0.4f, -0.7f, 0.2f)))
         .toDF("id", "a", "b").repartition(1)
-      val bc = spark.sparkContext.broadcast(
+      val bc = s2.sparkContext.broadcast(
         Array(Array(0.25, -0.25, 0.8, 0.0), Array(0.0, 0.5, -0.5, 0.25)))
       val sel = df.select(
         vec.cosine_sim(col("a"), col("b")).as("cos"),
@@ -109,9 +115,6 @@ class VectorExpressionsSpec extends AnyFunSuite {
       assert(row.getAs[Array[Byte]](2).nonEmpty)
       assert(row.getInt(3) >= 0)
       assert(row.getLong(4) == 0L, "centroid 0 is nearer to vector a")
-    } finally {
-      spark.conf.unset("spark.sql.codegen.factoryMode")
-      spark.conf.unset("spark.sql.optimizer.excludedRules")
     }
   }
 
