@@ -100,6 +100,31 @@ object ScaleProbe {
           f"ratio=${t64 / t1x}%.1f (data 64x)$note")
       }
     }
+    // doc-LENGTH scaling for the span-removal transform: the r6 verdict's
+    // adversary is one unchunked fully-duplicated crawl doc, where the old
+    // array_contains rebuild was O(len²). Fixed doc count, doubling token
+    // length, full coverage (every doc a copy of the min-id owner) — a
+    // linear rebuild shows time ratio ≈ length ratio (2.0 per octave);
+    // the quadratic one doubled the ratio each octave.
+    if (mode == "longdoc") {
+      import spark.implicits._
+      Seq(12500, 25000, 50000, 100000).foldLeft(Option.empty[Double]) { (prev, len) =>
+        val tok = (0 until len).map(i => s"w${i % 97}").mkString(" ")
+        val docs = (0 until 32).map(i => (i.toLong, if (i == 0) tok else s"pre$i $tok"))
+          .toDF("doc_id", "text").repartition(32)
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          operators.Dedup.removeDupSpans(docs, "doc_id", "text")
+            .write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        once()
+        val t = (1 to 2).map(_ => once()).min
+        val vs = prev.map(p => f" vs_prev_octave=${t / p}%.2fx").getOrElse("")
+        println(f"[longdoc] len=$len%6d tokens x32 docs (full coverage): $t%6.2fs$vs")
+        Some(t)
+      }
+    }
     if (mode == "run" || mode == "all") {
       factors.foreach(f => if (!genCurrent(s"$root/x$f")) gen(spark, f))
       val dirs = ("x1" -> base) +: factors.map(f => s"x$f" -> s"$root/x$f")
