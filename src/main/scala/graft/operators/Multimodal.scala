@@ -79,6 +79,18 @@ object Multimodal {
     def render(docBytes: Array[Byte], page: Int): Array[Byte]
   }
 
+  /** Video decoder slot for the S8 frame side (the ffmpeg/decord seat,
+    * `parse_video.py:91-280`). No pure-JDK video codec exists, so
+    * production plugs a real one in here ([[JCodecFrameDecoder]] is the
+    * shipped optional binding); tests drive the chain with deterministic
+    * fakes. A throw from either method is PER-FRAME / PER-DOC recoverable —
+    * see [[videoFrameChunks]]. */
+  trait FrameDecoder extends Serializable {
+    def durationSec(videoBytes: Array[Byte]): Double
+    /** Seek-decode the frame at `tsSec` to encoded image bytes; may throw. */
+    def frameAt(videoBytes: Array[Byte], tsSec: Double): Array[Byte]
+  }
+
   /** The composed ColPali page-image chunk flow
     * (`_render_pdf_with_pymupdf` / `_process_pdf_for_colpali`,
     * `ingestion_service.py:1416-1477,1617-1700`, unit table
@@ -133,6 +145,66 @@ object Multimodal {
           }
         }.zipWithIndex.map { case ((p, uri), chunkNo) =>
           Row(docId, chunkNo, p, uri, true)
+        }
+      }
+    }(enc)
+  }
+
+  /** The composed REAL-DECODE video frame chunk flow (S8's transform half,
+    * `parse_video.py:91-280` — the reference seeks to evenly-spaced
+    * timestamps and base64s each decoded frame): explode videos into
+    * seek-decoded frames at one per `stepSec` and keep only usable ones —
+    * a frame whose decode or encode THROWS is skipped (the reference's
+    * log-and-continue per frame), a frame whose pixels are blank is
+    * skipped, and survivors become data-URI image chunks numbered densely
+    * over the SURVIVORS with the sampled timestamp kept alongside. A video
+    * whose open/duration probe itself fails contributes zero frames.
+    * [[sampleFrames]] is the PLAN-side half of the same contract (which
+    * timestamps exist, oracle-gated by m2); this is the pixel half, fed by
+    * a [[FrameDecoder]] — [[JCodecFrameDecoder]] when the optional jar is
+    * present, a deterministic fake in CI.
+    *
+    * Scale shape: one mapPartitions over the videos — seek, decode,
+    * blank-check, and JPEG/base64 encode all happen inside the partition
+    * with no shuffle; output rows are chunk-shaped for the embed stage,
+    * exactly like [[pageImageChunks]]. */
+  def videoFrameChunks(videos: DataFrame, idCol: String, bytesCol: String,
+                       decoder: FrameDecoder, stepSec: Int = 30,
+                       tolerance: Int = 2, maxWidth: Int = 256): DataFrame = {
+    require(stepSec >= 1, s"videoFrameChunks needs stepSec>=1 (got $stepSec)")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("chunk_number", IntegerType, nullable = false),
+      StructField("ts", DoubleType, nullable = false),
+      StructField("content", StringType, nullable = false),
+      StructField("is_image", BooleanType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idIdx = videos.schema.fieldIndex(idCol)
+    val bIdx = videos.schema.fieldIndex(bytesCol)
+    videos.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val docId = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](bIdx)
+        // Same error contract as pageImageChunks: IllegalStateException is
+        // the decoder's CONFIGURATION failure class (e.g. JCodecFrameDecoder
+        // with no jar on this executor) and must fail the job loudly;
+        // everything else is a per-video/per-frame decode failure.
+        val dur = try decoder.durationSec(bytes) catch {
+          case e: IllegalStateException => throw e
+          case _: Exception => -1.0
+        }
+        (0 to (if (dur < 0) -1 else (dur / stepSec).toInt)).iterator.flatMap { step =>
+          val ts = step.toDouble * stepSec
+          try {
+            val img = decoder.frameAt(bytes, ts)
+            if (ImageCodec.isBlankBytes(img, tolerance)) None
+            else Some((ts, ImageCodec.normalize(img, "image/png", maxWidth).dataUri))
+          } catch {
+            case e: IllegalStateException => throw e
+            case _: Exception => None
+          }
+        }.zipWithIndex.map { case ((ts, uri), chunkNo) =>
+          Row(docId, chunkNo, ts, uri, true)
         }
       }
     }(enc)
