@@ -602,8 +602,16 @@ object DocParser {
         else ""
       if (textFb.trim.nonEmpty) ParseResult(textFb, "text_fallback", None, None)
       else {
+        // IllegalStateException is a deep stage's CONFIGURATION failure
+        // class (e.g. [[PdfboxDeepStage]] with no jar on this executor) and
+        // must fail loudly — same contract as the Multimodal seats; any
+        // other throw is an ordinary parse failure and falls through to
+        // accept-but-mark.
         val deepText = cleanChars(
-          try deep.parse(filename, bytes) catch { case _: Exception => "" })
+          try deep.parse(filename, bytes) catch {
+            case e: IllegalStateException => throw e
+            case _: Exception => ""
+          })
         if (deepText.trim.nonEmpty)
           ParseResult(deepText, "deep", Some("deep_fallback_succeeded"), None)
         else

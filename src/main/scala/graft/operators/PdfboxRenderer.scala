@@ -67,6 +67,61 @@ object PdfboxRenderer {
   private[operators] def bound: Binding = binding.getOrElse(throw new IllegalStateException(
     "PDFBox is not on the classpath: add pdfbox-app (2.x or 3.x) to the " +
       "driver and executor classpath to use PdfboxPageRenderer"))
+
+  /** The text-extraction half of the same jar:
+    * `org.apache.pdfbox.text.PDFTextStripper.getText(PDDocument)` (same
+    * package in 2.x and 3.x), one fresh stripper per call — PDFTextStripper
+    * instances are stateful and not thread-safe, and a task may run next to
+    * 31 others in this JVM. */
+  @transient private lazy val stripBinding: Option[AnyRef => String] =
+    binding.flatMap { _ =>
+      scala.util.Try {
+        val cls = Class.forName("org.apache.pdfbox.text.PDFTextStripper")
+        val ctor = cls.getConstructor()
+        val getText = cls.getMethods
+          .find(m => m.getName == "getText" && m.getParameterCount == 1).get
+        (doc: AnyRef) => getText.invoke(ctor.newInstance().asInstanceOf[AnyRef], doc)
+          .asInstanceOf[String]
+      }.toOption
+    }
+
+  /** True iff PDFBox including its text stripper is on this classpath. */
+  def textAvailable: Boolean = stripBinding.isDefined
+
+  private[operators] def stripText(doc: AnyRef): String =
+    stripBinding.getOrElse(throw new IllegalStateException(
+      "PDFBox is not on the classpath: add pdfbox-app (2.x or 3.x) to the " +
+        "driver and executor classpath to use PdfboxDeepStage"))(doc)
+}
+
+/** Optional PDFBox-backed binding for the [[DocParser.DeepStage]] seat —
+  * the "accurate" fallback rung of the p5 parse ladder (the reference's
+  * Docling/EasyOCR slot, `morphik_parser.py:527-651`): when the native
+  * extractor comes back empty and the bytes aren't decodable text, a real
+  * PDF text engine gets one more shot before the doc is accepted-but-marked
+  * `no_content_extracted`. PDFBox's stripper handles the layouts, encodings
+  * and font/CMap machinery the pure-JDK extractor deliberately doesn't
+  * (`DocParser` scaladoc states those limits), which is exactly the
+  * strength gap the deep rung exists for.
+  *
+  * Same lifecycle as [[PdfboxPageRenderer]]: reflection-bound optional jar,
+  * fail-fast at DRIVER construction; an executor-side classpath gap throws
+  * IllegalStateException, which [[DocParser.parseWithFallback]] rethrows as
+  * a configuration error instead of treating as a parse failure. Non-PDF
+  * bytes (the deep rung sees arbitrary binary) fail PDF load with an
+  * ordinary exception → the ladder falls through to accept-but-mark, per
+  * its contract. */
+case class PdfboxDeepStage() extends DocParser.DeepStage {
+
+  require(PdfboxRenderer.textAvailable,
+    "PDFBox is not on the classpath: add pdfbox-app (2.x or 3.x) before " +
+      "constructing PdfboxDeepStage")
+
+  override def parse(filename: String, bytes: Array[Byte]): String = {
+    val b = PdfboxRenderer.bound
+    val doc = b.load(bytes)
+    try PdfboxRenderer.stripText(doc) finally b.close(doc)
+  }
 }
 
 /** The pluggable renderer: configuration only (serializable to executors);

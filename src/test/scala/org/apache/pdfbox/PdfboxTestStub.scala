@@ -26,6 +26,16 @@ package pdmodel {
   }
 }
 
+package text {
+
+  class PDFTextStripper {
+    def getText(doc: pdmodel.PDDocument): String = {
+      require(!doc.closed, "getText after close")
+      graft.operators.DocParser.parsePdfPages(doc.bytes).mkString("\n\n")
+    }
+  }
+}
+
 package rendering {
 
   import java.awt.image.BufferedImage
