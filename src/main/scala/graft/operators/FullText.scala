@@ -139,19 +139,44 @@ object FullText {
     * Rows matching no term snippet from the start, with null
     * matched_term/match_pos.
     *
+    * Matching modes: `boundary = true` (the DEFAULT — parity with Postgres
+    * `ts_headline`, which matches LEXEMES, so the term "cat" must not
+    * headline "concatenate") matches the term only where it stands as a
+    * whole word: the haystack is lowercased and every non-[a-z0-9] char is
+    * replaced by a space — a LENGTH-PRESERVING rewrite, so positions in
+    * the normalized string ARE positions in the original text — then the
+    * space-padded haystack is probed for the space-wrapped term;
+    * `instr(' '||norm||' ', ' t ')` is then exactly the 1-based start of
+    * the whole-word match in the original text (the leading pad occupies
+    * index 1, so the hit's space-before lands ON the preceding original
+    * index). `boundary = false` is the raw-substring mode. In both modes
+    * match_pos is the 1-based start of the matched term in the original
+    * text. Terms are folded with Locale.ROOT (matching Spark's
+    * locale-independent `lower`) and, in boundary mode, normalized like
+    * the haystack so multi-word terms keep matching.
+    *
     * Deterministic by construction — ASCII-lowercase matching, 1-based char
-    * positions (Spark `instr` == DuckDB `strpos`, 0 = absent), char-based
+    * positions (Spark `instr` == DuckDB `strpos`, 0 = absent; Spark
+    * `regexp_replace` == DuckDB `regexp_replace(..., 'g')`), char-based
     * substring — so the n4 oracle replays it exactly. Pure built-in string
     * expressions, applied AFTER retrieval to the request-sized hit slice
     * (the one HOF filter runs over a |terms|-length array per hit row,
     * never over the corpus). */
   def snippets(hits: DataFrame, textCol: String, terms: Seq[String],
-               width: Int = 80): DataFrame = {
+               width: Int = 80, boundary: Boolean = true): DataFrame = {
     require(terms.nonEmpty, "snippets needs at least one query term")
-    val hay = lower(col(textCol))
+    val hay =
+      if (boundary)
+        concat(lit(" "),
+          regexp_replace(lower(col(textCol)), "[^a-z0-9]", " "), lit(" "))
+      else lower(col(textCol))
+    def fold(t: String): String = {
+      val tl = t.toLowerCase(java.util.Locale.ROOT)
+      if (boundary) " " + tl.replaceAll("[^a-z0-9]", " ") + " " else tl
+    }
     val found = filter(
       array(terms.zipWithIndex.map { case (t, i) =>
-        struct(instr(hay, t.toLowerCase).cast("long").as("pos"), lit(i).as("idx"))
+        struct(instr(hay, fold(t)).cast("long").as("pos"), lit(i).as("idx"))
       }: _*),
       s => s.getField("pos") > 0)
     val best = array_min(found) // min by (pos, idx): earliest, then query order

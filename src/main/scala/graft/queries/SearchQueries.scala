@@ -17,7 +17,8 @@ object SearchQueries {
     "n2_bm25" -> ((s, d) => bm25(s, d)),
     "n3_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)),
     "s4_mmr_diversify" -> ((s, d) => mmrDiversify(s, d)),
-    "n4_snippets" -> ((s, d) => snippets(s, d))
+    "n4_snippets" -> ((s, d) => snippets(s, d)),
+    "n5_snippets_substring" -> ((s, d) => snippets(s, d, boundary = false))
   )
 
   /** BM25 top-10 for a fixed 4-term query (k1=1.2, b=0.75). */
@@ -55,12 +56,17 @@ object SearchQueries {
 
   /** Headlined hits: the n2 BM25 top-10 decorated with ts_headline-lite
     * snippets (80-char window on the earliest term match, query-order tie
-    * break, ellipsis truncation marks). The hit slice is broadcast back
-    * against the corpus for its text — request-sized join side. */
-  def snippets(spark: SparkSession, dir: String): DataFrame = {
+    * break, ellipsis truncation marks). n4 runs the default word-BOUNDARY
+    * matching (Postgres ts_headline matches lexemes — "stream" must not
+    * headline inside "streaming"); n5 runs the raw-substring mode, so the
+    * two registered results pin the divergence on the same corpus. The hit
+    * slice is broadcast back against the corpus for its text —
+    * request-sized join side. */
+  def snippets(spark: SparkSession, dir: String, boundary: Boolean = true): DataFrame = {
     val top = FullText.bm25(Tables.documents(spark, dir), "doc_id", "text", Terms, k = 10)
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    FullText.snippets(docs.join(broadcast(top), "doc_id"), "text", Terms, width = 80)
+    FullText.snippets(docs.join(broadcast(top), "doc_id"), "text", Terms,
+      width = 80, boundary = boundary)
       .select(col("doc_id"), round(col("score"), 6).as("bm25"), col("snippet"),
         col("matched_term"), col("match_pos"))
       .orderBy("doc_id")
@@ -138,10 +144,16 @@ object SearchQueries {
   /** Exact replay of [[FullText.snippets]]: per-term 1-based strpos (0 →
     * absent → NULL), earliest-match argmin with query-order tie-break via
     * an ordered CASE, 80-char window clamped at 1, ellipsis when truncated.
-    * All integer/char string ops — no float hazards. */
-  private def snippetOracleSql: String = {
+    * All integer/char string ops — no float hazards. In boundary mode the
+    * position probe is the same length-preserving normalize-pad-strpos the
+    * Spark side runs (DuckDB regexp_replace needs the explicit 'g' flag;
+    * Spark's is global by default). */
+  private def snippetOracleSql(boundary: Boolean): String = {
     val ps = Terms.zipWithIndex.map { case (t, i) =>
-      s"nullif(strpos(lower(text), '$t'), 0) AS p$i" }.mkString(", ")
+      if (boundary)
+        s"nullif(strpos(' ' || regexp_replace(lower(text), '[^a-z0-9]', ' ', 'g') || ' ', ' $t '), 0) AS p$i"
+      else
+        s"nullif(strpos(lower(text), '$t'), 0) AS p$i" }.mkString(", ")
     val pCols = Terms.indices.map(i => s"p$i").mkString(", ")
     val leastArgs = Terms.indices.map(i => s"coalesce(p$i, 9223372036854775807)").mkString(", ")
     val matchCase = Terms.zipWithIndex.map { case (t, i) =>
@@ -163,7 +175,8 @@ object SearchQueries {
 
   def oracles: Map[String, String] = Map(
     "s4_mmr_diversify" -> mmrOracleSql,
-    "n4_snippets" -> snippetOracleSql,
+    "n4_snippets" -> snippetOracleSql(boundary = true),
+    "n5_snippets_substring" -> snippetOracleSql(boundary = false),
     "n2_bm25" ->
       s"""WITH ${bm25Sql(10)}
          |SELECT doc_id, round(score, 6) AS bm25, n_terms FROM sc

@@ -84,10 +84,36 @@ class FullTextSpec extends AnyFunSuite {
   }
 
   test("snippets: terms matching at the same position tie toward query order") {
+    // substring mode: a prefix term collides at the same position
     val df = Seq((1L, "spark engine")).toDF("doc_id", "text")
-    val out = FullText.snippets(df, "text", Seq("spark", "spa"), width = 40)
+    val out = FullText.snippets(df, "text", Seq("spark", "spa"), width = 40,
+      boundary = false)
       .select("matched_term").as[String].head()
     assert(out == "spark")
+    // boundary mode: the same tie via two whole-word terms at position 1
+    val out2 = FullText.snippets(df, "text", Seq("spark engine", "spark"), width = 40)
+      .select("matched_term").as[String].head()
+    assert(out2 == "spark engine")
+  }
+
+  test("snippets boundary mode: 'cat' does not headline inside 'concatenate'") {
+    val df = Seq(
+      (1L, "concatenate a cat now"), // inner substring at 4, whole word at 15
+      (2L, "concatenation only"),    // inner substring only -> boundary no-match
+      (3L, "feed the cat.")          // punctuation is a word boundary
+    ).toDF("doc_id", "text")
+    def run(boundary: Boolean) = FullText.snippets(
+      df, "text", Seq("cat"), width = 200, boundary = boundary)
+      .select("doc_id", "matched_term", "match_pos")
+      .as[(Long, Option[String], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val b = run(boundary = true)
+    assert(b(1L) == ((Some("cat"), Some(15L))), "whole-word match, not the inner one")
+    assert(b(2L) == ((None, None)), "inner substring alone must not match")
+    assert(b(3L) == ((Some("cat"), Some(10L))), "'.' delimits a word")
+    val s = run(boundary = false)
+    assert(s(1L)._2.contains(4L) && s(2L)._2.contains(4L),
+      "substring mode keeps the raw-instr semantics")
   }
 
   test("rrfFuse keeps absent-arm ranks null and bounds output at k") {
