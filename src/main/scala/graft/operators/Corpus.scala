@@ -127,6 +127,43 @@ object Corpus {
       .groupBy("id").agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Decontamination FRONT DOOR: measures the eval side and dispatches to
+    * the plan that fits — the same size-adaptive pattern as
+    * [[Dedup.connectedComponents]]. Both arms compute IDENTICAL results
+    * ([[bloomDecontaminate]]'s confirm join removes every Bloom false
+    * positive), so the choice is purely physical:
+    *
+    *  - eval distinct n-grams <= `broadcastNgramThreshold` → exact
+    *    broadcast semi-join ([[decontaminate]]): one corpus pass, zero
+    *    train-side shuffle before the per-doc count.
+    *  - above it → Bloom sketch + confirm ([[bloomDecontaminate]]): the
+    *    eval set no longer belongs in a broadcast (at ~20 B per n-gram the
+    *    default 1M threshold is a ~20 MB ship — the edge of sane; 100×
+    *    that would eat executor memory k times over), so ship a fixed-MB
+    *    sketch instead and let the prefilter drop ~(1−fpp) of the train
+    *    stream map-side before the exact equi-join confirms.
+    *
+    * The dispatch price is one count over the eval side's distinct n-grams
+    * — eval-suite-sized (the tiny side by construction: this is the side
+    * we considered broadcasting), mirroring `connectedComponents`' edge
+    * count, and the measured count then seeds the Bloom sizing instead of
+    * a guess. Threshold overridable per deployment (bigger executors →
+    * raise it). */
+  def decontaminateAuto(train: DataFrame, eval_ : DataFrame,
+                        idCol: String, textCol: String, n: Int,
+                        broadcastNgramThreshold: Long = 1L << 20,
+                        fpp: Double = 0.01): DataFrame = {
+    val evalDistinct = graft.Tables.scaled(
+      eval_.select(col(idCol).cast("long").as("id"), col(textCol).as("t")))
+      .select(explode(text.word_shingles(col("t"), n)).as("g"))
+      .distinct().count()
+    if (evalDistinct <= broadcastNgramThreshold)
+      decontaminate(train, eval_, idCol, textCol, n)
+    else
+      bloomDecontaminate(train, eval_, idCol, textCol, n,
+        expectedEvalNgrams = math.max(evalDistinct, 64L), fpp = fpp)
+  }
+
   /** [[heavyHitters]]'s unbounded-vocabulary twin: exact heavy tokens via a
     * count-min-sketch prefilter. The exact groupBy's shuffle carries the
     * whole vocabulary; when that is unbounded (web-crawl n-grams, URLs),

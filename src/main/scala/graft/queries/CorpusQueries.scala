@@ -25,6 +25,7 @@ object CorpusQueries {
     "t16_heavy_hitters" -> ((s, d) => heavyHitters(s, d)),
     "t18_url_caps" -> ((s, d) => urlCaps(s, d)),
     "t19_bloom_decontaminate" -> ((s, d) => bloomDecontaminate(s, d)),
+    "t31_decontaminate_auto" -> ((s, d) => decontaminateAuto(s, d)),
     "t20_profile" -> ((s, d) => profile(s, d)),
     "t21_shuffle_shards" -> ((s, d) => shuffleShards(s, d)),
     "t22_cms_heavy" -> ((s, d) => cmsHeavy(s, d)),
@@ -164,6 +165,21 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** The size-adaptive front door ([[Corpus.decontaminateAuto]]) on its own
+    * eval split (doc_id % 41): the sf eval side measures far below the 1M
+    * n-gram threshold, so this registers the exact-arm dispatch; the Bloom
+    * arm and the boundary itself are pinned by CorpusDispatchSpec. The
+    * oracle is the plain exact SQL — both arms compute it identically. */
+  def decontaminateAuto(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Corpus.decontaminateAuto(
+      docs.filter(col("doc_id") % 41 =!= 0),
+      docs.filter(col("doc_id") % 41 === 0),
+      "doc_id", "text", n = 4)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** PII redaction audit over synthetic contact lines derived from events
     * (the raw tables carry no natural PII; the construction is shared
     * verbatim with the oracle, so the scrub semantics are what is tested). */
@@ -255,6 +271,14 @@ object CorpusQueries {
          |ev AS (SELECT DISTINCT g FROM e WHERE doc_id % 50 = 0)
          |SELECT e.doc_id AS doc_id, count(*)::BIGINT AS n_shared
          |FROM e JOIN ev USING (g) WHERE e.doc_id % 50 <> 0
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t31_decontaminate_auto" ->
+      s"""$toks,
+         |sh AS (SELECT doc_id, ${shingleSql(4)} AS sh FROM tk),
+         |e AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |ev AS (SELECT DISTINCT g FROM e WHERE doc_id % 41 = 0)
+         |SELECT e.doc_id AS doc_id, count(*)::BIGINT AS n_shared
+         |FROM e JOIN ev USING (g) WHERE e.doc_id % 41 <> 0
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "t13_pii_scrub" ->
       s"""WITH c AS (SELECT event_id,
