@@ -37,27 +37,49 @@ object Mmr {
     * directly so the retrieval plan executes exactly once. */
   def select(cands: Seq[(Long, Double, Array[Float])], k: Int,
              lambda: Double = 0.5): Seq[(Long, Double, Double, Long)] = {
+    // the min-id tie-break and index-keyed removal both assume one row per
+    // id; a duplicated id would silently misorder, so refuse it up front
+    require(cands.iterator.map(_._1).toSet.size == cands.length,
+      "Mmr.select needs distinct candidate ids - dedupe the candidate slice first")
     // deterministic pool order; also fixes scan order for exact-tie argmax
     val pool = scala.collection.mutable.ArrayBuffer(
       cands.sortBy(t => (-t._2, t._1)): _*)
-    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Array[Float], Double)]
+    // Running per-row max-cosine-to-selected, folded in only against the
+    // NEWEST pick each step: O(k·|cand|·dim) total vs O(k²·|cand|·dim) for
+    // recomputing the full max. A running max of doubles IS the full max
+    // (max is exact and order-independent), so selection — and the s4
+    // oracle's unrolled replay — is unchanged bit-for-bit.
+    // seeded at -inf, NOT 0: the running max must be the true max over the
+    // selected set, and an all-negative penalty stays negative
+    val pen = scala.collection.mutable.ArrayBuffer.fill(pool.length)(Double.NegativeInfinity)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    var lastVec: Array[Float] = null
     while (picked.size < math.min(k, cands.length)) {
-      var best: (Long, Double, Array[Float], Double) = null
-      pool.foreach { case (id, rel, v) =>
-        // max cosine to the selected set; 0 for the first pick (no set) —
-        // NOT clamped at 0 otherwise: an all-negative penalty must stay
-        // negative, exactly as the oracle's max() computes it
-        val pen =
-          if (picked.isEmpty) 0.0
-          else picked.iterator.map(s => cosine(v, s._3)).max
-        val m = lambda * rel - (1 - lambda) * pen
-        if (best == null || m > best._4 || (m == best._4 && id < best._1))
-          best = (id, rel, v, m)
+      if (lastVec != null) {
+        var j = 0
+        while (j < pool.length) {
+          pen(j) = math.max(pen(j), cosine(pool(j)._3, lastVec)); j += 1
+        }
       }
-      picked += best
-      pool.remove(pool.indexWhere(_._1 == best._1))
+      // penalty is 0 for the first pick (no selected set) — NOT clamped at
+      // 0 otherwise: an all-negative penalty must stay negative, exactly as
+      // the oracle's max() computes it (pen holds the true max by then)
+      var bestIdx = -1; var bestM = 0.0
+      var j = 0
+      while (j < pool.length) {
+        val (id, rel, _) = pool(j)
+        val m = lambda * rel - (1 - lambda) * (if (picked.isEmpty) 0.0 else pen(j))
+        if (bestIdx < 0 || m > bestM || (m == bestM && id < pool(bestIdx)._1)) {
+          bestIdx = j; bestM = m
+        }
+        j += 1
+      }
+      val (id, rel, v) = pool(bestIdx)
+      picked += ((id, rel, bestM))
+      lastVec = v
+      pool.remove(bestIdx); pen.remove(bestIdx)
     }
-    picked.zipWithIndex.map { case ((id, rel, _, m), i) => (id, rel, m, (i + 1).toLong) }.toSeq
+    picked.zipWithIndex.map { case ((id, rel, m), i) => (id, rel, m, (i + 1).toLong) }.toSeq
   }
 
   /** Greedy-diversify `candidates` (already scored + pre-limited) down to

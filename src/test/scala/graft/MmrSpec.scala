@@ -66,4 +66,45 @@ class MmrSpec extends AnyFunSuite {
       .orderBy("mmr_rank").select("id").as[Long].collect().toSeq
     assert(out == Seq(3L, 5L, 9L))
   }
+
+  test("incremental penalty cache is bit-identical to the full recompute") {
+    // naive reference: recompute max cosine over the WHOLE selected set at
+    // every step (the pre-optimization semantics)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      val d = math.sqrt(na) * math.sqrt(nb); if (d == 0.0) 0.0 else dot / d
+    }
+    def naive(cands: Seq[(Long, Double, Array[Float])], k: Int,
+              lambda: Double): Seq[(Long, Double, Double, Long)] = {
+      val pool = scala.collection.mutable.ArrayBuffer(cands.sortBy(t => (-t._2, t._1)): _*)
+      val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Array[Float], Double)]
+      while (picked.size < math.min(k, cands.length)) {
+        var best: (Long, Double, Array[Float], Double) = null
+        pool.foreach { case (id, rel, v) =>
+          val pen = if (picked.isEmpty) 0.0 else picked.iterator.map(s => cos(v, s._3)).max
+          val m = lambda * rel - (1 - lambda) * pen
+          if (best == null || m > best._4 || (m == best._4 && id < best._1)) best = (id, rel, v, m)
+        }
+        picked += best
+        pool.remove(pool.indexWhere(_._1 == best._1))
+      }
+      picked.zipWithIndex.map { case ((id, rel, _, m), i) => (id, rel, m, (i + 1).toLong) }.toSeq
+    }
+    val rnd = new scala.util.Random(42)
+    val cands = (0L until 40L).map(i =>
+      (i, rnd.nextDouble(), Array.fill(16)(rnd.nextFloat() * 2f - 1f)))
+    assert(Mmr.select(cands, k = 15) == naive(cands, k = 15, lambda = 0.5),
+      "same ids, same ranks, bit-identical mmr scores")
+  }
+
+  test("duplicate candidate ids are refused, not silently misordered") {
+    val v = Array(1f, 0f)
+    val e = intercept[IllegalArgumentException](
+      Mmr.select(Seq((1L, 0.9, v), (1L, 0.8, v)), k = 2))
+    assert(e.getMessage.contains("distinct"))
+  }
 }
