@@ -54,14 +54,38 @@ object Clustering {
 
   case class Model(centroids: Array[Array[Double]]) {
     require(centroids.nonEmpty, "k-means model needs at least one centroid")
+
+    // The model OWNS its codebook broadcast: one block per model lifetime,
+    // lazily created on first assign and reused by every later call (a
+    // serving path assigning per request must not accumulate one broadcast
+    // per call — the repo's serving leak-guard stance), destroyable when
+    // the lifecycle is known ([[fit]] destroys each iteration's). Cleanup
+    // for models that are simply dropped still falls to GC+ContextCleaner,
+    // as for any unreferenced broadcast.
+    @transient private var bc:
+      org.apache.spark.broadcast.Broadcast[Array[Array[Double]]] = _
+
+    private[graft] def codebook(df: DataFrame):
+        org.apache.spark.broadcast.Broadcast[Array[Array[Double]]] = synchronized {
+      if (bc == null) bc = df.sparkSession.sparkContext.broadcast(centroids)
+      bc
+    }
+
+    /** Release the codebook broadcast (blocking). Safe to call more than
+      * once; a later assign re-broadcasts lazily. */
+    def destroy(): Unit = synchronized {
+      if (bc != null) { bc.destroy(); bc = null }
+    }
   }
 
   /** `cluster_id` (long) + squared-distance `dist` for every row: argmin over
     * the broadcast codebook (distance fold left-to-right in doubles = the
     * oracle's `list_sum(list_transform(...))`; ties go to the lowest centroid
-    * index, same as the oracle's `ORDER BY d, cid`). */
+    * index, same as the oracle's `ORDER BY d, cid`). The codebook broadcast
+    * is owned by `model` — reused across calls, released by
+    * [[Model.destroy]]. */
   def assign(df: DataFrame, vecCol: String, model: Model): DataFrame = {
-    val bc = df.sparkSession.sparkContext.broadcast(model.centroids)
+    val bc = model.codebook(df)
     df.withColumn("__sc", vec.nearest_centroid(col(vecCol), bc))
       .withColumn("cluster_id", col("__sc.i"))
       .withColumn("dist", col("__sc.d"))
@@ -88,7 +112,8 @@ object Clustering {
     var cen: Array[Array[Double]] = df.orderBy(col(idCol)).limit(k).select(vecCol)
       .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
     for (_ <- 0 until iters) {
-      val sums = assign(df, vecCol, Model(cen))
+      val step = Model(cen)
+      val sums = assign(df, vecCol, step)
         .select(col("cluster_id"), col(idCol).as("__mid"), posexplode(col(vecCol)))
         .groupBy("cluster_id", "pos")
         .agg(
@@ -98,6 +123,7 @@ object Clustering {
             lit(0.0), (acc, x) => acc + x.getField("v")).as("s"),
           count(lit(1)).as("c"))
         .collect()
+      step.destroy() // the action is done; this iteration's codebook block is dead
       val next = cen.map(_.clone)
       sums.foreach(r => next(r.getLong(0).toInt)(r.getInt(1)) = r.getDouble(2) / r.getLong(3))
       cen = next

@@ -104,6 +104,23 @@ class ClusteringSpec extends AnyFunSuite {
     }
   }
 
+  test("the model owns ONE codebook broadcast: reused across assigns, revivable after destroy") {
+    val m = Clustering.Model(Array(Array(0.0, 0.0), Array(10.0, 10.0)))
+    val df = Seq((1L, Array(0.1f, 0.1f)), (2L, Array(9.9f, 9.9f))).toDF("vec_id", "embedding")
+    def run() = Clustering.assign(df, "embedding", m)
+      .select("vec_id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(run() == Map(1L -> 0L, 2L -> 1L))
+    val first = m.codebook(df)
+    run()
+    assert(m.codebook(df) eq first,
+      "a second assign must reuse the same broadcast block, not accumulate another")
+    m.destroy()
+    m.destroy() // idempotent
+    assert(run() == Map(1L -> 0L, 2L -> 1L), "assign after destroy re-broadcasts lazily")
+    assert(!(m.codebook(df) eq first))
+    m.destroy()
+  }
+
   test("semDedup never pairs across clusters") {
     // the two blobs are anti-parallel (cosine == -1 across, ~1 within), so a
     // low threshold flags everything above the min id WITHIN each cluster
