@@ -180,7 +180,11 @@ object Bench {
     if (worstSpread > 2.0)
       System.err.println(f"[bench] CONTENTION? worst per-query median/min spread " +
         f"$worstSpread%.1fx survived remeasuring — treat totals as upper bounds")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","base_runs":3,"stat":"median_fastest3","queries_min":$mins,"query_runs":$runs,"sample_failures":$sampleFails,"total_min":$totalMin%.3f,"worst_spread":$worstSpread%.2f,"extra_runs":$extraRuns,"failed_queries":$failed,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}""")
+    // timing_basis makes the artifact self-describing across methodology
+    // changes: "noop_sink_v2" = every query timed to a noop-format sink
+    // (count() let Catalyst prune projection-final operators and
+    // under-measured them — r5 artifacts are on that older basis).
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing_basis":"noop_sink_v2","queries":$qs,"sf":"$sfDir","base_runs":3,"stat":"median_fastest3","queries_min":$mins,"query_runs":$runs,"sample_failures":$sampleFails,"total_min":$totalMin%.3f,"worst_spread":$worstSpread%.2f,"extra_runs":$extraRuns,"failed_queries":$failed,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}""")
     spark.stop()
   }
 }
