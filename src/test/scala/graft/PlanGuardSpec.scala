@@ -115,4 +115,27 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"semdedup went all-pairs:\n$p")
   }
+
+  test("n4_snippets: the normalize/regexp decoration runs ABOVE the hit join, never corpus-side") {
+    // boundary matching rewrites the haystack with a regexp — request-sized
+    // when applied to the 10 joined hit rows, a corpus-sized regexp pass if
+    // it ever slid below the join. Plan toString prints parents before
+    // children, so the decoration's offset must precede the join's.
+    val p = executedPlan("n4_snippets")
+    val re = p.indexOf("regexp_replace")
+    val bj = p.indexOf("BroadcastHashJoin")
+    assert(re >= 0, s"boundary normalize missing from the plan:\n$p")
+    assert(bj >= 0, s"hit slice no longer joined broadcast:\n$p")
+    assert(re < bj, s"snippet regexp slid below the hit join (corpus-sided):\n$p")
+  }
+
+  test("t31_decontaminate_auto: the sf eval side dispatches to the exact broadcast arm") {
+    // the dispatch itself is pinned both-sided by CorpusDispatchSpec; this
+    // guards the REGISTERED query's executed shape: exact arm (no bloom
+    // prefilter) with the eval n-gram set broadcast
+    val p = executedPlan("t31_decontaminate_auto")
+    assert(!p.toLowerCase.contains("might_contain"),
+      s"small eval side took the bloom arm:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"eval n-grams not broadcast:\n$p")
+  }
 }
