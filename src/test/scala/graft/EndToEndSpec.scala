@@ -104,4 +104,51 @@ class EndToEndSpec extends AnyFunSuite {
     // from the on-disk store — no pipeline re-execution)
     assert(store.df.filter(col("document_id") === 3L).count() == 0)
   }
+
+  test("videos -> frame decode seat -> multivector embed -> colpali retrieval") {
+    import graft.operators.{HashMultiVectorEmbedder, Multimodal}
+    // deterministic decode seat: each (video, ts) renders distinct pixels,
+    // so every frame chunk gets a distinct data-URI and multivector — the
+    // same role the JCodec binding fills in a deployment
+    object Decoder extends Multimodal.FrameDecoder {
+      override def durationSec(b: Array[Byte]): Double = 40.0 + b.length
+      override def frameAt(b: Array[Byte], ts: Double): Array[Byte] = {
+        val img = new java.awt.image.BufferedImage(64, 64,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        try {
+          g.setColor(java.awt.Color.WHITE); g.fillRect(0, 0, 64, 64)
+          g.setColor(java.awt.Color.BLACK)
+          g.fillRect((b.length * 7 + ts.toInt) % 48 + 4, 8, 8, 8)
+        } finally g.dispose()
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out); out.toByteArray
+      }
+    }
+    val vids = Seq((100L, "va".getBytes), (200L, "video-b".getBytes))
+      .toDF("doc_id", "bytes")
+    // 1. decode seat -> frame chunks (dense numbering, data-URI content)
+    val frames = Multimodal.videoFrameChunks(vids, "doc_id", "bytes",
+      Decoder, stepSec = 30).localCheckpoint()
+    val byDoc = frames.groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(byDoc == Map(100L -> 2L, 200L -> 2L), // durations 42/47 -> ts 0,30
+      s"one frame per stepSec per video: $byDoc")
+
+    // 2. embed each frame like the colpali ingestion arm embeds page images
+    val model = HashMultiVectorEmbedder(dim = 32)
+    val emb = model.embedMulti(frames, "content", "mv")
+      .withColumnRenamed("doc_id", "document_id")
+      .withColumn("metadata", typedLit(Map.empty[String, String]))
+
+    // 3. retrieve by one frame's exact content: maxsim against the same
+    // deterministic embedder must surface exactly that (video, frame)
+    val target = frames.filter(col("doc_id") === 200L && col("ts") === 30.0)
+      .select("content").as[String].head()
+    val top = retrieveChunksMultivector(
+      RetrieveRequest(target, k = 1), ChunkTable(emb), "mv", model)
+      .select("document_id", "chunk_number").as[(Long, Int)].collect().toSeq
+    assert(top == Seq((200L, 1)),
+      s"the decoded frame itself must be the top maxsim hit: $top")
+  }
 }
