@@ -78,10 +78,16 @@ object ScaleProbe {
       // leaves a partial table mix, and a PREVIOUS round's marker means the
       // data predates the current replica methodology — both must regen
       if (!genCurrent(s"$root/x64")) gen(spark, 64)
-      val heavy = Seq("q2_join3", "t4_minhash_lsh", "t12_decontaminate",
-        "t19_bloom_decontaminate", "t17_components", "t26_dup_spans",
-        "t29_remove_dup_spans", "t30_lm_xent",
+      val heavyAll = Seq("q2_join3", "t4_minhash_lsh", "t12_decontaminate",
+        "t19_bloom_decontaminate", "t31_decontaminate_auto", "t17_components",
+        "t26_dup_spans", "t29_remove_dup_spans", "t30_lm_xent",
         "k2_semdedup", "n2_bm25", "t28_curation_e2e")
+      // optional second arg: probe only the named queries (comma-separated) —
+      // re-measuring one changed operator shouldn't cost the full heavy tail
+      val heavy = args.lift(1) match {
+        case Some(list) => heavyAll.filter(list.split(',').toSet)
+        case None       => heavyAll
+      }
       heavy.foreach { name =>
         val fn = SparkEntry.queries(name)
         // k2's scale contract is k ∝ n: the x64 leg runs at k=8·64=512

@@ -71,15 +71,22 @@ object Corpus {
     * set is broadcast — the train side streams through map-side without a
     * shuffle for the join; only the per-doc count aggregates. */
   def decontaminate(train: DataFrame, eval_ : DataFrame,
-                    idCol: String, textCol: String, n: Int): DataFrame = {
-    def ngrams(df: DataFrame) = graft.Tables.scaled(
-      df.select(col(idCol).cast("long").as("id"), col(textCol).as("t")))
-      .select(col("id"), explode(text.word_shingles(col("t"), n)).as("g"))
-    val evalNgrams = ngrams(eval_).select("g").distinct()
-    ngrams(train)
+                    idCol: String, textCol: String, n: Int): DataFrame =
+    exactArm(ngramStream(train, idCol, textCol, n),
+      ngramStream(eval_, idCol, textCol, n).select("g").distinct())
+
+  /** The (id, g) word-n-gram stream every decontamination path derives
+    * from — one definition so the arms and the dispatch count can never
+    * tokenize differently. */
+  private def ngramStream(df: DataFrame, idCol: String, textCol: String,
+                          n: Int): DataFrame = graft.Tables.scaled(
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("t")))
+    .select(col("id"), explode(text.word_shingles(col("t"), n)).as("g"))
+
+  private def exactArm(trainNgrams: DataFrame, evalNgrams: DataFrame): DataFrame =
+    trainNgrams
       .join(broadcast(evalNgrams), "g")
       .groupBy("id").agg(count(lit(1)).as("n_shared"))
-  }
 
   /** [[decontaminate]] with a Bloom-filter prefilter — the 100 TB shape.
     * The broadcast semi-join in `decontaminate` assumes the eval n-gram set
@@ -97,16 +104,21 @@ object Corpus {
   def bloomDecontaminate(train: DataFrame, eval_ : DataFrame,
                          idCol: String, textCol: String, n: Int,
                          expectedEvalNgrams: Long = 1L << 22,
-                         fpp: Double = 0.01): DataFrame = {
-    def ngrams(df: DataFrame) = graft.Tables.scaled(
-      df.select(col(idCol).cast("long").as("id"), col(textCol).as("t")))
-      .select(col("id"), explode(text.word_shingles(col("t"), n)).as("g"))
+                         fpp: Double = 0.01): DataFrame =
     // read twice (sketch build now, confirm join later): localCheckpoint
     // materializes the explode+distinct once WITHOUT a forever-cache — the
     // blocks are released by the ContextCleaner when the frame goes out of
     // scope, where an explicit .cache() would pin executor storage for the
     // rest of the session
-    val evalNgrams = ngrams(eval_).select("g").distinct().localCheckpoint()
+    bloomArm(ngramStream(train, idCol, textCol, n),
+      ngramStream(eval_, idCol, textCol, n).select("g").distinct()
+        .localCheckpoint(),
+      expectedEvalNgrams, fpp)
+
+  /** `evalNgrams` must already be materialized (localCheckpoint) — it is
+    * read twice: sketch build, then confirm join. */
+  private def bloomArm(trainNgrams: DataFrame, evalNgrams: DataFrame,
+                       expectedEvalNgrams: Long, fpp: Double): DataFrame = {
     val numBits = math.max(64L,
       math.ceil(-expectedEvalNgrams.toDouble * math.log(fpp)
         / (math.log(2) * math.log(2))).toLong)
@@ -114,13 +126,13 @@ object Corpus {
       .agg(org.apache.spark.sql.graftbridge.BloomBridge
         .bloomAgg(xxhash64(col("g")), expectedEvalNgrams, numBits).as("bf"))
       .head().getAs[Array[Byte]]("bf")
-    val confirm = ngrams(train).join(evalNgrams, "g")
+    val confirm = trainNgrams.join(evalNgrams, "g")
       .groupBy("id").agg(count(lit(1)).as("n_shared"))
     // zero eval n-grams → the aggregate yields a null sketch; the exact
     // semantics are "nothing is contaminated", which the (empty) confirm
     // join already computes — only the prefilter needs the sketch
     if (bfBytes == null) confirm
-    else ngrams(train)
+    else trainNgrams
       .filter(org.apache.spark.sql.graftbridge.BloomBridge
         .mightContain(xxhash64(col("g")), bfBytes))
       .join(evalNgrams, "g")
@@ -146,21 +158,24 @@ object Corpus {
     * The dispatch price is one count over the eval side's distinct n-grams
     * — eval-suite-sized (the tiny side by construction: this is the side
     * we considered broadcasting), mirroring `connectedComponents`' edge
-    * count, and the measured count then seeds the Bloom sizing instead of
-    * a guess. Threshold overridable per deployment (bigger executors →
+    * count — and the pass is not wasted: the counted set is
+    * localCheckpoint'ed and feeds the chosen arm directly (the count
+    * materializes it), so the eval side is tokenized and deduped exactly
+    * once, and the measured count seeds the Bloom sizing instead of a
+    * guess. Threshold overridable per deployment (bigger executors →
     * raise it). */
   def decontaminateAuto(train: DataFrame, eval_ : DataFrame,
                         idCol: String, textCol: String, n: Int,
                         broadcastNgramThreshold: Long = 1L << 20,
                         fpp: Double = 0.01): DataFrame = {
-    val evalDistinct = graft.Tables.scaled(
-      eval_.select(col(idCol).cast("long").as("id"), col(textCol).as("t")))
-      .select(explode(text.word_shingles(col("t"), n)).as("g"))
-      .distinct().count()
+    val evalNgrams = ngramStream(eval_, idCol, textCol, n)
+      .select("g").distinct().localCheckpoint(eager = false)
+    val evalDistinct = evalNgrams.count()
+    val trainNgrams = ngramStream(train, idCol, textCol, n)
     if (evalDistinct <= broadcastNgramThreshold)
-      decontaminate(train, eval_, idCol, textCol, n)
+      exactArm(trainNgrams, evalNgrams)
     else
-      bloomDecontaminate(train, eval_, idCol, textCol, n,
+      bloomArm(trainNgrams, evalNgrams,
         expectedEvalNgrams = math.max(evalDistinct, 64L), fpp = fpp)
   }
 
