@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.text
 
@@ -149,11 +149,20 @@ object FullText {
     * `instr(' '||norm||' ', ' t ')` is then exactly the 1-based start of
     * the whole-word match in the original text (the leading pad occupies
     * index 1, so the hit's space-before lands ON the preceding original
-    * index). `boundary = false` is the raw-substring mode. In both modes
-    * match_pos is the 1-based start of the matched term in the original
-    * text. Terms are folded with Locale.ROOT (matching Spark's
-    * locale-independent `lower`) and, in boundary mode, normalized like
-    * the haystack so multi-word terms keep matching.
+    * index). A MULTI-WORD term matches with `plainto_tsquery` semantics —
+    * AND of its word lexemes, NOT phrase adjacency (the parity target: the
+    * reference's FTS arm builds its query with plainto_tsquery,
+    * `postgres_database.py:2760-2773`, so "spark engine" must headline
+    * "spark, engine" and "spark ... engine" alike): the term matches iff
+    * EVERY word matches as a whole word, anchored at the earliest of its
+    * words — exactly where ts_headline starts its first fragment. (A naive
+    * single-probe ` spark engine ` would silently demand one-separator
+    * adjacency: "spark, engine" normalizes to two spaces and stops
+    * matching.) `boundary = false` is the raw-substring mode (multi-word
+    * terms are matched as literal substrings). In both modes match_pos is
+    * the 1-based start of the matched term (boundary: its earliest word) in
+    * the original text. Terms are folded with Locale.ROOT (matching Spark's
+    * locale-independent `lower`).
     *
     * Deterministic by construction — ASCII-lowercase matching, 1-based char
     * positions (Spark `instr` == DuckDB `strpos`, 0 = absent; Spark
@@ -170,13 +179,24 @@ object FullText {
         concat(lit(" "),
           regexp_replace(lower(col(textCol)), "[^a-z0-9]", " "), lit(" "))
       else lower(col(textCol))
-    def fold(t: String): String = {
+    def termPos(t: String): Column = {
       val tl = t.toLowerCase(java.util.Locale.ROOT)
-      if (boundary) " " + tl.replaceAll("[^a-z0-9]", " ") + " " else tl
+      if (!boundary) instr(hay, tl).cast("long")
+      else {
+        val words = tl.split("[^a-z0-9]+").filter(_.nonEmpty)
+        if (words.isEmpty) lit(0L)
+        else {
+          val ps = words.map(w => instr(hay, s" $w ").cast("long"))
+          if (ps.length == 1) ps.head
+          else // AND of word lexemes, anchored at the earliest word
+            when(ps.map(_ > 0L).reduce(_ && _), least(ps.toIndexedSeq: _*))
+              .otherwise(lit(0L))
+        }
+      }
     }
     val found = filter(
       array(terms.zipWithIndex.map { case (t, i) =>
-        struct(instr(hay, fold(t)).cast("long").as("pos"), lit(i).as("idx"))
+        struct(termPos(t).as("pos"), lit(i).as("idx"))
       }: _*),
       s => s.getField("pos") > 0)
     val best = array_min(found) // min by (pos, idx): earliest, then query order

@@ -13,6 +13,15 @@ object SearchQueries {
 
   private val Terms = Seq("spark", "vector", "merge", "stream")
 
+  /** Snippet decoration probes one extra MULTI-WORD term: in boundary mode
+    * it matches with plainto_tsquery AND-of-lexemes semantics (both words
+    * present as whole words, anchored at the earlier — adjacency NOT
+    * required), in substring mode as the literal substring — so the n4/n5
+    * pair pins the multi-word divergence on top of the stream/streaming
+    * word-boundary one. Retrieval stays on [[Terms]] (BM25 tokens are
+    * single words by construction). */
+  private val SnippetTerms = Terms :+ "vector merge"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n2_bm25" -> ((s, d) => bm25(s, d)),
     "n3_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)),
@@ -65,7 +74,7 @@ object SearchQueries {
   def snippets(spark: SparkSession, dir: String, boundary: Boolean = true): DataFrame = {
     val top = FullText.bm25(Tables.documents(spark, dir), "doc_id", "text", Terms, k = 10)
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    FullText.snippets(docs.join(broadcast(top), "doc_id"), "text", Terms,
+    FullText.snippets(docs.join(broadcast(top), "doc_id"), "text", SnippetTerms,
       width = 80, boundary = boundary)
       .select(col("doc_id"), round(col("score"), 6).as("bm25"), col("snippet"),
         col("matched_term"), col("match_pos"))
@@ -147,16 +156,23 @@ object SearchQueries {
     * All integer/char string ops — no float hazards. In boundary mode the
     * position probe is the same length-preserving normalize-pad-strpos the
     * Spark side runs (DuckDB regexp_replace needs the explicit 'g' flag;
-    * Spark's is global by default). */
+    * Spark's is global by default), and a multi-word term replays the
+    * AND-of-word-lexemes rule: every word strpos > 0, anchored at least()
+    * of them. */
   private def snippetOracleSql(boundary: Boolean): String = {
-    val ps = Terms.zipWithIndex.map { case (t, i) =>
-      if (boundary)
-        s"nullif(strpos(' ' || regexp_replace(lower(text), '[^a-z0-9]', ' ', 'g') || ' ', ' $t '), 0) AS p$i"
-      else
+    val norm = "' ' || regexp_replace(lower(text), '[^a-z0-9]', ' ', 'g') || ' '"
+    val ps = SnippetTerms.zipWithIndex.map { case (t, i) =>
+      if (boundary) {
+        val probes = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+          .map(w => s"strpos($norm, ' $w ')")
+        if (probes.length == 1) s"nullif(${probes.head}, 0) AS p$i"
+        else s"(CASE WHEN ${probes.map(p => s"$p > 0").mkString(" AND ")} " +
+          s"THEN least(${probes.mkString(", ")}) END) AS p$i"
+      } else
         s"nullif(strpos(lower(text), '$t'), 0) AS p$i" }.mkString(", ")
-    val pCols = Terms.indices.map(i => s"p$i").mkString(", ")
-    val leastArgs = Terms.indices.map(i => s"coalesce(p$i, 9223372036854775807)").mkString(", ")
-    val matchCase = Terms.zipWithIndex.map { case (t, i) =>
+    val pCols = SnippetTerms.indices.map(i => s"p$i").mkString(", ")
+    val leastArgs = SnippetTerms.indices.map(i => s"coalesce(p$i, 9223372036854775807)").mkString(", ")
+    val matchCase = SnippetTerms.zipWithIndex.map { case (t, i) =>
       s"WHEN p$i = mp THEN '$t'" }.mkString(" ")
     s"""WITH ${bm25Sql(10)},
        |j AS (SELECT sc.doc_id, sc.score, d.text FROM sc JOIN documents d USING (doc_id)),

@@ -116,6 +116,27 @@ class FullTextSpec extends AnyFunSuite {
       "substring mode keeps the raw-instr semantics")
   }
 
+  test("snippets boundary mode: multi-word terms are AND-of-lexemes, not phrases") {
+    // parity target: the reference FTS arm uses plainto_tsquery (AND of
+    // word lexemes) — adjacency and separator width must not matter
+    val df = Seq(
+      (1L, "spark, engine ready"),      // comma+space: TWO separator chars
+      (2L, "engine of the spark kind"), // scattered, reverse order
+      (3L, "spark only here"),          // one word absent -> no match
+      (4L, "sparkly engineering")       // substrings only -> no match
+    ).toDF("doc_id", "text")
+    val out = FullText.snippets(df, "text", Seq("spark engine"), width = 200)
+      .select("doc_id", "matched_term", "match_pos")
+      .as[(Long, Option[String], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((Some("spark engine"), Some(1L))),
+      "multi-separator text matches a multi-word term")
+    assert(out(2L) == ((Some("spark engine"), Some(1L))),
+      "scattered words match, anchored at the earliest word")
+    assert(out(3L) == ((None, None)), "every word must be present")
+    assert(out(4L) == ((None, None)), "words match as lexemes, not substrings")
+  }
+
   test("rrfFuse keeps absent-arm ranks null and bounds output at k") {
     val dense = (1L to 30L).map(i => (i, i.toInt)).toDF("doc_id", "rank")
     val kw = Seq((100L, 1)).toDF("doc_id", "rank")
