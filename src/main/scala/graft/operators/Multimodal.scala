@@ -110,45 +110,13 @@ object Multimodal {
     * shuffle; the output is chunk rows ready for the embed stage. */
   def pageImageChunks(docs: DataFrame, idCol: String, bytesCol: String,
                       renderer: PageRenderer, tolerance: Int = 2,
-                      maxWidth: Int = 256): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType, nullable = false),
-      StructField("chunk_number", IntegerType, nullable = false),
-      StructField("page_index", IntegerType, nullable = false),
-      StructField("content", StringType, nullable = false),
-      StructField("is_image", BooleanType, nullable = false)))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    val idIdx = docs.schema.fieldIndex(idCol)
-    val bIdx = docs.schema.fieldIndex(bytesCol)
-    docs.mapPartitions { rows =>
-      rows.flatMap { r =>
-        val docId = r.getLong(idIdx)
-        val bytes = r.getAs[Array[Byte]](bIdx)
-        // IllegalStateException is the renderer's CONFIGURATION failure
-        // class (e.g. [[PdfboxPageRenderer]] with no jar on this executor)
-        // and must fail the job loudly — swallowing it per-doc would turn a
-        // missing dependency into silent zero output for the whole corpus.
-        // Everything else is a per-document/per-page parse failure (the
-        // reference's fall-to-next-ladder-rung semantics).
-        val n = try renderer.pageCount(bytes) catch {
-          case e: IllegalStateException => throw e
-          case _: Exception => 0
-        }
-        (0 until n).iterator.flatMap { p =>
-          try {
-            val img = renderer.render(bytes, p)
-            if (ImageCodec.isBlankBytes(img, tolerance)) None
-            else Some((p, ImageCodec.normalize(img, "image/png", maxWidth).dataUri))
-          } catch {
-            case e: IllegalStateException => throw e
-            case _: Exception => None
-          }
-        }.zipWithIndex.map { case ((p, uri), chunkNo) =>
-          Row(docId, chunkNo, p, uri, true)
-        }
-      }
-    }(enc)
-  }
+                      maxWidth: Int = 256): DataFrame =
+    survivorImageChunks[Int](docs, idCol, bytesCol,
+      keyField = StructField("page_index", IntegerType, nullable = false),
+      probe = bytes => 0 until renderer.pageCount(bytes),
+      renderOne = renderer.render,
+      keyValue = identity[Int],
+      tolerance = tolerance, maxWidth = maxWidth)
 
   /** The composed REAL-DECODE video frame chunk flow (S8's transform half,
     * `parse_video.py:91-280` — the reference seeks to evenly-spaced
@@ -170,41 +138,75 @@ object Multimodal {
     * exactly like [[pageImageChunks]]. */
   def videoFrameChunks(videos: DataFrame, idCol: String, bytesCol: String,
                        decoder: FrameDecoder, stepSec: Int = 30,
-                       tolerance: Int = 2, maxWidth: Int = 256): DataFrame = {
+                       tolerance: Int = 2, maxWidth: Int = 256,
+                       maxFrames: Int = 10000): DataFrame = {
     require(stepSec >= 1, s"videoFrameChunks needs stepSec>=1 (got $stepSec)")
+    require(maxFrames >= 1, s"videoFrameChunks needs maxFrames>=1 (got $maxFrames)")
+    survivorImageChunks[Int](videos, idCol, bytesCol,
+      keyField = StructField("ts", DoubleType, nullable = false),
+      probe = { bytes =>
+        // A corrupt container can report garbage duration (huge, negative,
+        // NaN/Inf) — without a bound, (dur/step).toInt saturates to
+        // Int.MaxValue and one bad video spins its task through billions of
+        // seek-throw cycles. Non-finite/negative durations decode nothing
+        // (same as a failed probe); finite ones are capped at `maxFrames`
+        // samples (default 10k ≈ 83 h of video at the 30 s step).
+        val dur = decoder.durationSec(bytes)
+        val nSteps =
+          if (!java.lang.Double.isFinite(dur) || dur < 0) -1
+          else math.min(dur / stepSec, (maxFrames - 1).toDouble).toInt
+        0 to nSteps
+      },
+      renderOne = (bytes, step) => decoder.frameAt(bytes, step.toDouble * stepSec),
+      keyValue = step => step.toDouble * stepSec,
+      tolerance = tolerance, maxWidth = maxWidth)
+  }
+
+  /** The shared explode-render-survive skeleton behind [[pageImageChunks]]
+    * and [[videoFrameChunks]] — ONE copy of the contract both scaladocs
+    * describe: `probe` lists the candidate keys per doc (pages / frame
+    * steps; a throw = zero candidates), `renderOne` renders one key to
+    * image bytes (a throw = skip that key), blank renders are skipped, and
+    * survivors become normalized data-URI chunks numbered densely with
+    * `keyValue(key)` kept alongside in `keyField`. IllegalStateException is
+    * the seat's CONFIGURATION failure class (e.g. a reflection-bound
+    * renderer/decoder with no jar on this executor) and always rethrows —
+    * swallowing it per-doc would turn a missing dependency into silent zero
+    * output for the whole corpus. Everything else is the reference's
+    * fall-to-next-ladder-rung / log-and-continue semantics. One
+    * mapPartitions, no shuffle. */
+  private def survivorImageChunks[K](docs: DataFrame, idCol: String,
+      bytesCol: String, keyField: StructField, probe: Array[Byte] => Seq[K],
+      renderOne: (Array[Byte], K) => Array[Byte], keyValue: K => Any,
+      tolerance: Int, maxWidth: Int): DataFrame = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("chunk_number", IntegerType, nullable = false),
-      StructField("ts", DoubleType, nullable = false),
+      keyField,
       StructField("content", StringType, nullable = false),
       StructField("is_image", BooleanType, nullable = false)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    val idIdx = videos.schema.fieldIndex(idCol)
-    val bIdx = videos.schema.fieldIndex(bytesCol)
-    videos.mapPartitions { rows =>
+    val idIdx = docs.schema.fieldIndex(idCol)
+    val bIdx = docs.schema.fieldIndex(bytesCol)
+    docs.mapPartitions { rows =>
       rows.flatMap { r =>
         val docId = r.getLong(idIdx)
         val bytes = r.getAs[Array[Byte]](bIdx)
-        // Same error contract as pageImageChunks: IllegalStateException is
-        // the decoder's CONFIGURATION failure class (e.g. JCodecFrameDecoder
-        // with no jar on this executor) and must fail the job loudly;
-        // everything else is a per-video/per-frame decode failure.
-        val dur = try decoder.durationSec(bytes) catch {
+        val keys = try probe(bytes) catch {
           case e: IllegalStateException => throw e
-          case _: Exception => -1.0
+          case _: Exception => Seq.empty[K]
         }
-        (0 to (if (dur < 0) -1 else (dur / stepSec).toInt)).iterator.flatMap { step =>
-          val ts = step.toDouble * stepSec
+        keys.iterator.flatMap { k =>
           try {
-            val img = decoder.frameAt(bytes, ts)
+            val img = renderOne(bytes, k)
             if (ImageCodec.isBlankBytes(img, tolerance)) None
-            else Some((ts, ImageCodec.normalize(img, "image/png", maxWidth).dataUri))
+            else Some((k, ImageCodec.normalize(img, "image/png", maxWidth).dataUri))
           } catch {
             case e: IllegalStateException => throw e
             case _: Exception => None
           }
-        }.zipWithIndex.map { case ((ts, uri), chunkNo) =>
-          Row(docId, chunkNo, ts, uri, true)
+        }.zipWithIndex.map { case ((k, uri), chunkNo) =>
+          Row(docId, chunkNo, keyValue(k), uri, true)
         }
       }
     }(enc)
