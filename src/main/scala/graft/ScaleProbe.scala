@@ -19,9 +19,14 @@ import org.apache.spark.sql.functions._
   * the approximation is MEASURED, not assumed (floor asserted in
   * IvfIndexSpec; table in ARCHITECTURE.md).
   *
-  * Usage: runMain graft.ScaleProbe [gen|run|recall|all|x64]
+  * Usage: runMain graft.ScaleProbe [gen|run|recall|all|x64|longdoc]
   * (`x64` generates-on-demand and times the heavy tail one octave further;
-  * it is not part of `all` because gen64 writes ~64x sf0.1 to /tmp.)
+  * it is not part of `all` because gen64 writes ~64x sf0.1 to /tmp. An
+  * optional second arg to `x64` — comma-separated query names, validated
+  * against the heavy list — probes only those queries, so re-measuring one
+  * changed operator doesn't cost the full tail. `longdoc` times
+  * removeDupSpans against doubling DOC LENGTH at full span coverage — the
+  * linearity probe for the two-pointer rebuild.)
   */
 object ScaleProbe {
   private val base = "/root/testdata/sf0.1"
@@ -57,6 +62,8 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("all")
+    require(Set("gen", "run", "recall", "all", "x64", "longdoc")(mode),
+      s"unknown ScaleProbe mode '$mode' (gen|run|recall|all|x64|longdoc)")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -83,10 +90,18 @@ object ScaleProbe {
         "t26_dup_spans", "t29_remove_dup_spans", "t30_lm_xent",
         "k2_semdedup", "n2_bm25", "t28_curation_e2e")
       // optional second arg: probe only the named queries (comma-separated) —
-      // re-measuring one changed operator shouldn't cost the full heavy tail
+      // re-measuring one changed operator shouldn't cost the full heavy tail.
+      // Unknown names fail loudly: a typo silently probing nothing (and still
+      // exiting 0 after minutes of gen) reads as success.
       val heavy = args.lift(1) match {
-        case Some(list) => heavyAll.filter(list.split(',').toSet)
-        case None       => heavyAll
+        case Some(list) =>
+          val want = list.split(',').filter(_.nonEmpty).toSet
+          val unknown = want -- heavyAll.toSet
+          require(unknown.isEmpty,
+            s"unknown x64 queries: ${unknown.mkString(", ")} " +
+              s"(heavy tail: ${heavyAll.mkString(", ")})")
+          heavyAll.filter(want)
+        case None => heavyAll
       }
       heavy.foreach { name =>
         val fn = SparkEntry.queries(name)

@@ -33,13 +33,18 @@ object ArrayExpressions {
     * -> Array[String]: tokens whose 0-based index does NOT appear in
     * `positions`. REQUIRES `positions` sorted ascending (duplicates are
     * tolerated — the pointer just skips them; out-of-range entries are
-    * ignored). Null-strict; order-preserving. */
+    * ignored). Null-strict; order-preserving. The positions array must be
+    * non-null-ELEMENT typed (containsNull=false) — enforced at analysis,
+    * because a null slot would read as 0 under getLong and, with array_sort
+    * placing nulls LAST, silently break the ascending precondition; the
+    * natural builders (sequence/flatten/array_distinct/array_sort over
+    * sequence output) all produce containsNull=false. */
   case class RemoveAtSortedPositions(left: Expression, right: Expression)
       extends BinaryExpression with ImplicitCastInputTypes {
     override def dataType: DataType = ArrayType(StringType, containsNull = true)
     override def prettyName: String = "remove_at_sorted_positions"
     override def inputTypes: Seq[DataType] =
-      Seq(ArrayType(StringType), ArrayType(LongType))
+      Seq(ArrayType(StringType), ArrayType(LongType, containsNull = false))
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val tok = a.asInstanceOf[ArrayData]

@@ -516,7 +516,7 @@ object Dedup {
         sequence(col("pos"), col("pos") + (n - 1)))))).as("covered"))
     toks.join(covered, Seq("id"), "left")
       .withColumn("covered",
-        coalesce(col("covered"), array().cast("array<bigint>")))
+        coalesce(col("covered"), typedLit(Array.empty[Long])))
       .withColumn("kept_tk",
         graft.functions.ArrayExpressions.removeAtSortedPositions(col("tk"), col("covered")))
       .select(col("id"),
