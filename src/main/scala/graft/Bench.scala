@@ -46,6 +46,7 @@ object Bench {
     "t17_components", "t18_url_caps", "t19_bloom_decontaminate",
     "t21_shuffle_shards", "t24_lsh_match", "t26_dup_spans",
     "t29_remove_dup_spans", "t30_lm_xent", "t31_decontaminate_auto",
+    "t32_dsir_sample",
     "k2_semdedup", "n2_bm25", "n3_hybrid_rrf", "t28_curation_e2e")
 
   /** Index-backed queries: build once, time the probe. */

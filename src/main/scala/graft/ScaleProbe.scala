@@ -88,7 +88,7 @@ object ScaleProbe {
       val heavyAll = Seq("q2_join3", "t4_minhash_lsh", "t12_decontaminate",
         "t19_bloom_decontaminate", "t31_decontaminate_auto", "t17_components",
         "t26_dup_spans", "t29_remove_dup_spans", "t30_lm_xent",
-        "k2_semdedup", "n2_bm25", "t28_curation_e2e")
+        "t32_dsir_sample", "k2_semdedup", "n2_bm25", "t28_curation_e2e")
       // optional second arg: probe only the named queries (comma-separated) —
       // re-measuring one changed operator shouldn't cost the full heavy tail.
       // Unknown names fail loudly: a typo silently probing nothing (and still

@@ -474,4 +474,94 @@ object Corpus {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         (-col("s") / col("n_bigrams")).as("xent"))
   }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169): pick the training subset of a raw corpus that looks
+    * most like a small TARGET corpus. Each doc is featurized as hashed
+    * word-{uni,bi}gram counts over `buckets` buckets (the paper's hashed
+    * n-gram generative model), two add-one bag-of-buckets models are fit —
+    * p from the target slice, q from the raw slice — and every RAW doc gets
+    * the importance log-weight
+    *   log w(x) = Σ_grams [ ln p(h(g)) − ln q(h(g)) ]
+    * Selection is sampling-without-replacement with probability ∝ w via the
+    * Gumbel top-k trick, derandomized exactly like [[shuffleShards]]: the
+    * per-doc uniform comes from an md5 of `seed:id`, so any engine replays
+    * the same sample (no RNG state, re-run stable).
+    *
+    * 100 TB shape: the gram stream is map-only (explode per doc); both
+    * model tables are BOUNDED BY `buckets` rows (4096 default) regardless
+    * of corpus size, so the scoring joins are broadcast equi-joins on the
+    * bucket key and the totals are one broadcast row. The per-doc fold is
+    * doc-bounded and position-ordered (the [[lmCrossEntropy]] replay
+    * trick). Selection is top-k (TakeOrderedAndProject — per-partition
+    * heads, never a global sort) to find the k-th key as a threshold, a
+    * broadcast of that one row, and a map-side `>=`; the only window runs
+    * over the k selected rows. Nothing here is corpus-sized except the two
+    * linear passes.
+    *
+    * Returns one row per RAW doc: `id`, `n_grams`, `logw` (importance
+    * log-weight, 0.0 for gram-less docs — a neutral weight, the Gumbel key
+    * alone decides), `skey` (Gumbel-perturbed key), `selected`, and `rank`
+    * (1..k by key desc, null for unselected). */
+  def dsirResample(df: DataFrame, idCol: String, textCol: String,
+                   isTarget: Column, buckets: Int = 4096, k: Int = 100,
+                   seed: String = "dsir"): DataFrame = {
+    require(buckets >= 2, s"dsirResample needs buckets>=2 (got $buckets)")
+    require(k >= 1, s"dsirResample needs k>=1 (got $k)")
+    val toks = graft.Tables.scaled(df.select(col(idCol).cast("long").as("id"),
+      graft.functions.text.tokens(col(textCol)).as("tk"),
+      isTarget.as("is_target")))
+    // One gram stream, stable within-doc order for the replayable fold:
+    // unigram i at pos i, bigram i at pos n+i. slice(tk,1,n-1) is empty for
+    // n<2, so no sequence(0,-1) descending-step hazard.
+    val n = size(col("tk"))
+    val uniArr = transform(col("tk"),
+      (w, i) => struct(i.cast("long").as("pos"), w.as("g")))
+    val bgArr = transform(slice(col("tk"), lit(1), greatest(n - 1, lit(0))),
+      (w, i) => struct((n + i).cast("long").as("pos"),
+        concat(w, lit(" "), element_at(col("tk"), i + 2)).as("g")))
+    val grams = toks
+      .select(col("id"), col("is_target"), explode(concat(uniArr, bgArr)).as("e"))
+      .select(col("id"), col("is_target"), col("e.pos").as("pos"),
+        (conv(substring(md5(col("e.g")), 1, 6), 16, 10).cast("long")
+          % buckets).as("b"))
+    val ct = grams.filter(col("is_target")).groupBy("b").agg(count(lit(1)).as("ct"))
+    val cr = grams.filter(!col("is_target")).groupBy("b").agg(count(lit(1)).as("cr"))
+    val tot = grams.agg(
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("tt"),
+      sum(when(col("is_target"), 0L).otherwise(1L)).as("tr"))
+    val m = lit(buckets.toDouble)
+    val scored = grams.filter(!col("is_target"))
+      .join(broadcast(ct), Seq("b"), "left")
+      .join(broadcast(cr), Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("lnr",
+        log((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("tt") + m))
+          - log((coalesce(col("cr"), lit(0L)) + lit(1.0)) / (col("tr") + m)))
+    val agg = scored.groupBy("id").agg(
+      count(lit(1)).as("n_grams"),
+      aggregate(
+        sort_array(collect_list(struct(col("pos").as("k"), col("lnr").as("p")))),
+        lit(0.0), (acc, x) => acc + x.getField("p")).as("s"))
+    // u in (0,1]: 24 md5 hex bits + 1 over 2^24+1 — same digest-driven
+    // derandomization as shuffleShards; -ln(-ln u) is the Gumbel quantile.
+    val u = (conv(substring(md5(concat(lit(seed), lit(":"),
+      col("id").cast("string"))), 1, 6), 16, 10).cast("double") + lit(1.0)) /
+      lit(16777217.0)
+    val weighted = toks.filter(!col("is_target"))
+      .join(agg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("s"), lit(0.0)).as("logw"))
+      .withColumn("skey", col("logw") + -log(-log(u)))
+    val top = weighted.select(col("id"), col("skey"))
+      .orderBy(col("skey").desc, col("id")).limit(k)
+    val thresh = broadcast(top.agg(min(col("skey")).as("th")))
+    val ranked = broadcast(top.withColumn("rank", row_number().over(
+      Window.orderBy(col("skey").desc, col("id")))).drop("skey"))
+    weighted.crossJoin(thresh)
+      .withColumn("selected", col("skey") >= col("th"))
+      .drop("th")
+      .join(ranked, Seq("id"), "left")
+  }
 }

@@ -31,7 +31,8 @@ object CorpusQueries {
     "t22_cms_heavy" -> ((s, d) => cmsHeavy(s, d)),
     "t27_temperature_mix" -> ((s, d) => temperatureMix(s, d)),
     "t28_curation_e2e" -> ((s, d) => curationE2e(s, d)),
-    "t30_lm_xent" -> ((s, d) => lmXent(s, d))
+    "t30_lm_xent" -> ((s, d) => lmXent(s, d)),
+    "t32_dsir_sample" -> ((s, d) => dsirSample(s, d))
   )
 
   /** The full curation pipeline as ONE composed dataflow — exact dedup keep
@@ -83,6 +84,18 @@ object CorpusQueries {
     Corpus.lmCrossEntropy(Tables.documents(spark, dir), "doc_id", "text")
       .select(col("id").as("doc_id"), col("n_bigrams"),
         round(col("xent"), 4).as("xent"))
+      .orderBy("doc_id")
+
+  /** DSIR importance resampling: every raw doc weighted by its hashed
+    * {uni,bi}gram LM ratio against the target slice (doc_id % 23 = 0 — the
+    * t19 eval-slice convention), then Gumbel top-100 selection with the
+    * md5-derandomized keys. */
+  def dsirSample(spark: SparkSession, dir: String): DataFrame =
+    Corpus.dsirResample(Tables.documents(spark, dir), "doc_id", "text",
+        col("doc_id") % 23 === 0, buckets = 4096, k = 100, seed = "r7")
+      .select(col("id").as("doc_id"), col("n_grams"),
+        round(col("logw"), 4).as("logw"), round(col("skey"), 4).as("skey"),
+        col("selected"), col("rank").cast("long").as("rank"))
       .orderBy("doc_id")
 
   /** CMS-prefiltered exact heavy tokens (the unbounded-vocabulary path):
@@ -387,6 +400,48 @@ object CorpusQueries {
          |SELECT tk.doc_id, coalesce(agg.n_bigrams, 0)::BIGINT AS n_bigrams,
          |  round(-agg.s / agg.n_bigrams, 4) AS xent
          |FROM tk LEFT JOIN agg USING (doc_id) ORDER BY tk.doc_id""".stripMargin,
+    // replays dsirResample gram-for-gram: same md5 bucket hash as t21's
+    // shard key, add-one bucket models as exact-integer divisions, ln
+    // within-ulp, per-doc sum in POSITION order (unigrams 0..n-1 then
+    // bigrams n..2n-2), Gumbel key from the same md5-uniform, selection as
+    // top-k threshold compare with (skey DESC, doc_id) total order
+    "t32_dsir_sample" ->
+      s"""$toks,
+         |g0 AS (SELECT doc_id, (doc_id % 23 = 0) AS is_target, tk FROM tk),
+         |u1 AS (SELECT doc_id, is_target, unnest(range(len(tk))) AS pos, tk FROM g0),
+         |u2 AS (SELECT doc_id, is_target, pos, tk[pos + 1] AS g FROM u1),
+         |b1 AS (SELECT doc_id, is_target, unnest(range(greatest(len(tk) - 1, 0))) AS i,
+         |         tk, len(tk) AS nn FROM g0),
+         |b2 AS (SELECT doc_id, is_target, nn + i AS pos, tk[i + 1] || ' ' || tk[i + 2] AS g FROM b1),
+         |gr AS (SELECT doc_id, is_target, pos,
+         |    ('0x' || substr(md5(g), 1, 6))::BIGINT % 4096 AS b
+         |  FROM (SELECT * FROM u2 UNION ALL SELECT * FROM b2)),
+         |ct AS (SELECT b, count(*) AS ct FROM gr WHERE is_target GROUP BY b),
+         |cr AS (SELECT b, count(*) AS cr FROM gr WHERE NOT is_target GROUP BY b),
+         |tot AS (SELECT sum(CASE WHEN is_target THEN 1 ELSE 0 END)::BIGINT AS tt,
+         |               sum(CASE WHEN is_target THEN 0 ELSE 1 END)::BIGINT AS tr FROM gr),
+         |sc AS (SELECT gr.doc_id, gr.pos,
+         |    ln((coalesce(ct.ct, 0) + 1.0) / (tot.tt + 4096.0))
+         |      - ln((coalesce(cr.cr, 0) + 1.0) / (tot.tr + 4096.0)) AS lnr
+         |  FROM gr LEFT JOIN ct USING (b) LEFT JOIN cr USING (b), tot
+         |  WHERE NOT gr.is_target),
+         |ag AS (SELECT doc_id, count(*)::BIGINT AS n_grams,
+         |    list_sum(list(lnr ORDER BY pos)) AS s
+         |  FROM sc GROUP BY doc_id),
+         |w AS (SELECT g0.doc_id, coalesce(ag.n_grams, 0)::BIGINT AS n_grams,
+         |    coalesce(ag.s, 0.0) AS logw,
+         |    coalesce(ag.s, 0.0) + -ln(-ln(
+         |      (('0x' || substr(md5('r7:' || g0.doc_id), 1, 6))::BIGINT + 1.0)
+         |        / 16777217.0)) AS skey
+         |  FROM g0 LEFT JOIN ag USING (doc_id) WHERE NOT g0.is_target),
+         |tp AS (SELECT doc_id, skey FROM w ORDER BY skey DESC, doc_id LIMIT 100),
+         |th AS (SELECT min(skey) AS th FROM tp),
+         |r AS (SELECT doc_id,
+         |    (row_number() OVER (ORDER BY skey DESC, doc_id))::BIGINT AS rank FROM tp)
+         |SELECT w.doc_id, w.n_grams, round(w.logw, 4) AS logw,
+         |  round(w.skey, 4) AS skey, w.skey >= th.th AS selected, r.rank
+         |FROM w CROSS JOIN th LEFT JOIN r ON w.doc_id = r.doc_id
+         |ORDER BY w.doc_id""".stripMargin,
     "t20_profile" ->
       s"""$toks,
          |m AS (SELECT lang, len(tk)::BIGINT AS n_tok FROM tk)

@@ -294,6 +294,41 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(1L) == out(0L))
   }
 
+  test("dsirResample weights target-like raw docs above off-target ones") {
+    // target slice = medical-ish phrasing; raw corpus has one doc in the
+    // target register and one far from it — the importance log-weight must
+    // separate them regardless of the Gumbel perturbation (whose spread is
+    // a few nats; the planted gap is much larger)
+    val medical = "patient dose trial clinical outcome patient dose trial"
+    val docs = Seq(
+      (0L, medical), (23L, medical), (46L, medical),        // targets (% 23)
+      (1L, "patient dose trial clinical outcome measured"), // target-like raw
+      (2L, "guitar amplifier pedal reverb tone wood luthier"), // off-target raw
+      (3L, "")                                              // gram-less raw
+    ).toDF("doc_id", "text")
+    val out = Corpus.dsirResample(docs, "doc_id", "text",
+        col("doc_id") % 23 === 0, buckets = 4096, k = 2, seed = "t")
+      .select("id", "n_grams", "logw", "selected", "rank")
+      .as[(Long, Long, Double, Boolean, Option[Int])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), "only raw docs are scored")
+    assert(out(1L)._3 > out(2L)._3 + 5.0,
+      "target-register doc must out-weigh the off-target doc decisively")
+    assert(out(3L)._3 == 0.0 && out(3L)._2 == 0L,
+      "gram-less doc gets the neutral weight")
+    assert(out.values.count(_._4) == 2, "exactly k selected")
+    assert(out.values.filter(_._4).flatMap(_._5).toSet == Set(1, 2),
+      "selected rows carry dense ranks 1..k; unselected rank is null")
+    assert(out.values.filterNot(_._4).forall(_._5.isEmpty))
+    // derandomized: a re-run replays the identical sample
+    val again = Corpus.dsirResample(docs, "doc_id", "text",
+        col("doc_id") % 23 === 0, buckets = 4096, k = 2, seed = "t")
+      .select("id", "n_grams", "logw", "selected", "rank")
+      .as[(Long, Long, Double, Boolean, Option[Int])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(again == out)
+  }
+
   test("temperatureMix drops null-stratum rows and accepts non-string strata") {
     val df = Seq((1L, Some("a")), (2L, Some("a")), (3L, None))
       .toDF("id", "s")
