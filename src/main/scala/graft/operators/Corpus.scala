@@ -493,11 +493,14 @@ object Corpus {
     * of corpus size, so the scoring joins are broadcast equi-joins on the
     * bucket key and the totals are one broadcast row. The per-doc fold is
     * doc-bounded and position-ordered (the [[lmCrossEntropy]] replay
-    * trick). Selection is top-k (TakeOrderedAndProject — per-partition
-    * heads, never a global sort) to find the k-th key as a threshold, a
-    * broadcast of that one row, and a map-side `>=`; the only window runs
-    * over the k selected rows. Nothing here is corpus-sized except the two
-    * linear passes.
+    * trick). The doc-level weighted table is stage-cut (localCheckpoint —
+    * the t28 convention; a real run writes stage outputs between passes)
+    * because THREE consumers read it (threshold, ranks, output): without
+    * the cut the gram-scoring joins execute three times. Selection is
+    * top-k (TakeOrderedAndProject — per-partition heads, never a global
+    * sort) to find the k-th key as a threshold, a broadcast of that one
+    * row, and a map-side `>=`; the only window runs over the k selected
+    * rows. Nothing here is corpus-sized except the linear passes.
     *
     * Returns one row per RAW doc: `id`, `n_grams`, `logw` (importance
     * log-weight, 0.0 for gram-less docs — a neutral weight, the Gumbel key
@@ -506,8 +509,29 @@ object Corpus {
   def dsirResample(df: DataFrame, idCol: String, textCol: String,
                    isTarget: Column, buckets: Int = 4096, k: Int = 100,
                    seed: String = "dsir"): DataFrame = {
-    require(buckets >= 2, s"dsirResample needs buckets>=2 (got $buckets)")
     require(k >= 1, s"dsirResample needs k>=1 (got $k)")
+    // Stage cut: the weighted table is read by three consumers below.
+    val weighted =
+      dsirWeighted(df, idCol, textCol, isTarget, buckets, seed).localCheckpoint()
+    val top = weighted.select(col("id"), col("skey"))
+      .orderBy(col("skey").desc, col("id")).limit(k)
+    val thresh = broadcast(top.agg(min(col("skey")).as("th")))
+    val ranked = broadcast(top.withColumn("rank", row_number().over(
+      Window.orderBy(col("skey").desc, col("id")))).drop("skey"))
+    weighted.crossJoin(thresh)
+      .withColumn("selected", col("skey") >= col("th"))
+      .drop("th")
+      .join(ranked, Seq("id"), "left")
+  }
+
+  /** [[dsirResample]]'s scoring stage, pre-cut: one row per raw doc with
+    * `n_grams`, `logw`, `skey`. Split out so PlanGuardSpec can pin the
+    * broadcast shape of the model joins (the checkpoint in the public
+    * operator hides this stage's lineage from the final plan). */
+  private[graft] def dsirWeighted(df: DataFrame, idCol: String,
+      textCol: String, isTarget: Column, buckets: Int,
+      seed: String): DataFrame = {
+    require(buckets >= 2, s"dsirResample needs buckets>=2 (got $buckets)")
     val toks = graft.Tables.scaled(df.select(col(idCol).cast("long").as("id"),
       graft.functions.text.tokens(col(textCol)).as("tk"),
       isTarget.as("is_target")))
@@ -548,20 +572,11 @@ object Corpus {
     val u = (conv(substring(md5(concat(lit(seed), lit(":"),
       col("id").cast("string"))), 1, 6), 16, 10).cast("double") + lit(1.0)) /
       lit(16777217.0)
-    val weighted = toks.filter(!col("is_target"))
+    toks.filter(!col("is_target"))
       .join(agg, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("s"), lit(0.0)).as("logw"))
       .withColumn("skey", col("logw") + -log(-log(u)))
-    val top = weighted.select(col("id"), col("skey"))
-      .orderBy(col("skey").desc, col("id")).limit(k)
-    val thresh = broadcast(top.agg(min(col("skey")).as("th")))
-    val ranked = broadcast(top.withColumn("rank", row_number().over(
-      Window.orderBy(col("skey").desc, col("id")))).drop("skey"))
-    weighted.crossJoin(thresh)
-      .withColumn("selected", col("skey") >= col("th"))
-      .drop("th")
-      .join(ranked, Seq("id"), "left")
   }
 }

@@ -138,4 +138,42 @@ class PlanGuardSpec extends AnyFunSuite {
       s"small eval side took the bloom arm:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"eval n-grams not broadcast:\n$p")
   }
+
+  test("t32_dsir_sample: model tables broadcast, selection is top-k not global sort") {
+    // the 100 TB contract, pinned stage by stage because the public
+    // operator stage-cuts the weighted table (localCheckpoint — without it
+    // the guard caught the scoring joins executing 3x for the three
+    // selection consumers, exactly the regression class this suite exists
+    // for). Stage 1 (scoring): both bucket-count model tables (≤4096 rows
+    // by construction) broadcast-hash into the gram stream; the only
+    // nested loop is the ONE-ROW totals crossJoin. Stage 2 (selection):
+    // the k-th-key threshold comes from TakeOrderedAndProject
+    // (per-partition heaps, never a corpus global sort), the only nested
+    // loop is the ONE-ROW threshold crossJoin, and the rank attach is a
+    // broadcast hash equi-join; the final ORDER BY doc_id is the oracle's
+    // presentation sort over already-selected rows.
+    val wdf = graft.operators.Corpus.dsirWeighted(
+      graft.Tables.documents(spark, dir), "doc_id", "text",
+      org.apache.spark.sql.functions.col("doc_id") % 23 === 0,
+      buckets = 4096, seed = "r7")
+    wdf.collect()
+    val wp = wdf.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(wp.contains("BroadcastHashJoin"), s"model tables not broadcast:\n$wp")
+    assert(!wp.contains("CartesianProduct"), s"scoring went all-pairs:\n$wp")
+    assert("BroadcastNestedLoopJoin".r.findAllMatchIn(wp).size <= 1,
+      s"nested loop beyond the one-row totals crossJoin:\n$wp")
+
+    val df = SparkEntry.queries("t32_dsir_sample")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("TakeOrderedAndProject"),
+      s"selection lost the top-k heap shape:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"rank attach not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"selection went all-pairs:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllMatchIn(p).size <= 1,
+      s"nested loop beyond the one-row threshold crossJoin:\n$p")
+    assert("Scan ExistingRDD".r.findAllMatchIn(p).nonEmpty || p.contains("LocalTableScan")
+      || !p.contains("FileScan"),
+      s"selection re-derived the scoring stage instead of reading the cut:\n$p")
+  }
 }
