@@ -11,7 +11,8 @@ import org.apache.spark.sql.SparkSession
   * single+batch (v1/v2), sign-block LSH near-dup (v10 — the scale path;
   * the O(n^2) v3 baseline stays correctness-only), MaxSim (v5), IVF ANN
   * (v7), FDE two-phase (v9) + FDE-over-IVF (v11), PQ ADC scan (v12),
-  * minhash LSH (t4),
+  * SQ8 ADC scan (v14 — prepared, like v12), paragraph-level global dedup
+  * (t33), minhash LSH (t4),
   * simhash (t5/t6), regex tokenization (t8), as-of joins (e1/e4), window
   * agg (e3), bucketed interval join (e5), chunk explode (c1), doc search
   * (s1), upsert (u1), plus the corpus-curation family: repetition gates
@@ -46,7 +47,7 @@ object Bench {
     "t17_components", "t18_url_caps", "t19_bloom_decontaminate",
     "t21_shuffle_shards", "t24_lsh_match", "t26_dup_spans",
     "t29_remove_dup_spans", "t30_lm_xent", "t31_decontaminate_auto",
-    "t32_dsir_sample",
+    "t32_dsir_sample", "t33_paragraph_dedup", "v14_sq_adc",
     "k2_semdedup", "n2_bm25", "n3_hybrid_rrf", "t28_curation_e2e")
 
   /** Index-backed queries: build once, time the probe. */
@@ -55,6 +56,7 @@ object Bench {
     "v7_ivf_knn" -> ((s, d) => graft.queries.VectorQueries.ivfKnnPrepared(s, d)),
     "v11_fde_ivf" -> ((s, d) => graft.queries.VectorQueries.fdeIvfPrepared(s, d)),
     "v12_pq_adc" -> ((s, d) => graft.queries.VectorQueries.pqAdcPrepared(s, d)),
+    "v14_sq_adc" -> ((s, d) => graft.queries.VectorQueries.sqAdcPrepared(s, d)),
     "t24_lsh_match" -> ((s, d) => graft.queries.TextQueries.lshMatchPrepared(s, d)),
     "n2_bm25" -> ((s, d) => graft.queries.SearchQueries.bm25Prepared(s, d)))
 

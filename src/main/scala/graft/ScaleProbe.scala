@@ -53,12 +53,13 @@ object ScaleProbe {
     "e5_interval_join", "e6_sessionize", "t19_bloom_decontaminate",
     "t21_shuffle_shards", "t22_cms_heavy", "t23_keep_best",
     "t26_dup_spans", "t29_remove_dup_spans", "t30_lm_xent",
+    "t33_paragraph_dedup",
     "k1_kmeans_assign", "k2_semdedup",
     "n2_bm25", "n3_hybrid_rrf", "t27_temperature_mix", "z1_zorder_layout")
-  // v12_pq_adc is deliberately NOT probed: the registry query rebuilds its
-  // codebook + encodes the corpus per run (index-time work), which would
-  // mismeasure scaling the same way round-1's v7 did — Bench times the
-  // prepared ADC-scan closure instead.
+  // v12_pq_adc / v14_sq_adc are deliberately NOT probed: the registry
+  // queries rebuild their codebook/bounds + encode the corpus per run
+  // (index-time work), which would mismeasure scaling the same way
+  // round-1's v7 did — Bench times the prepared ADC-scan closures instead.
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("all")
@@ -88,7 +89,8 @@ object ScaleProbe {
       val heavyAll = Seq("q2_join3", "t4_minhash_lsh", "t12_decontaminate",
         "t19_bloom_decontaminate", "t31_decontaminate_auto", "t17_components",
         "t26_dup_spans", "t29_remove_dup_spans", "t30_lm_xent",
-        "t32_dsir_sample", "k2_semdedup", "n2_bm25", "t28_curation_e2e")
+        "t32_dsir_sample", "t33_paragraph_dedup",
+        "k2_semdedup", "n2_bm25", "t28_curation_e2e")
       // optional second arg: probe only the named queries (comma-separated) —
       // re-measuring one changed operator shouldn't cost the full heavy tail.
       // Unknown names fail loudly: a typo silently probing nothing (and still

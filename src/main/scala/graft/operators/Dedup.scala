@@ -524,4 +524,67 @@ object Dedup {
         size(col("tk")).cast("long").as("n_tokens"),
         (size(col("tk")) - size(col("kept_tk"))).cast("long").as("n_removed"))
   }
+
+  /** Paragraph-level global dedup (the CCNet pass — Wenzek et al. 2020,
+    * arXiv:1911.00359 §3.1: dedup the corpus at PARAGRAPH granularity,
+    * keeping each distinct paragraph's first occurrence; reference corpus
+    * hygiene lives at document granularity only, `fast_ops.py` fingerprint —
+    * this is the between-the-two granularity every large crawl cleanup
+    * runs). `paras` maps the text column to its array of paragraphs (a real
+    * deployment passes `split(c, "\n{2,}")`; corpora without layout pass a
+    * token-window splitter such as [[tokenWindowParagraphs]]). Empty
+    * paragraphs are dropped before hashing — a blank line must not claim
+    * global ownership of blankness. The first occurrence of each distinct
+    * paragraph — ordered by (doc id, position) — is kept; every later
+    * occurrence, including repeats WITHIN a document, is removed. Output
+    * one row per input doc: `id`, `n_paras` (its non-empty paragraphs),
+    * `n_kept`, and `kept_text` (surviving paragraphs in original order,
+    * `sep`-joined; empty string when everything was removed).
+    *
+    * 100 TB shape: ownership is `groupBy(paragraph md5).agg(min(struct(id,
+    * idx)))` — partial-aggregation (map-side combine), so a boilerplate
+    * paragraph duplicated across 100M pages is combined per-partition and
+    * never concentrates one reducer (the window-function formulation
+    * `row_number over (partition by hash)` would ship every occurrence of
+    * the hottest paragraph to one task — exactly the skewed key this pass
+    * exists to remove). The join-back is an equi-join on the hash; the
+    * rebuild groupBy is doc-bounded. Never all-pairs; shuffle volume is the
+    * paragraph stream, linear in corpus size. */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+                     paras: Column => Column, sep: String = " "): DataFrame = {
+    val base = graft.Tables.scaled(
+      docs.select(col(idCol).cast("long").as("id"),
+        filter(paras(col(textCol)), p => length(p) > 0).as("ps")))
+    val pe = base
+      .select(col("id"), posexplode(col("ps")).as(Seq("idx", "p")))
+      .withColumn("h", md5(col("p")))
+    val own = pe.groupBy("h")
+      .agg(min(struct(col("id"), col("idx"))).as("o"))
+      .select(col("h"), col("o.id").as("oid"), col("o.idx").as("oidx"))
+    val kept = pe.join(own, "h")
+      .filter(col("id") === col("oid") && col("idx") === col("oidx"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(sep, transform(
+          sort_array(collect_list(struct(col("idx"), col("p")))),
+          s => s.getField("p"))).as("kept_text"))
+    base.select(col("id"), size(col("ps")).cast("long").as("n_paras"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
+  /** Token-window paragraph splitter for corpora without layout structure:
+    * non-overlapping `w`-token windows of the normalized token stream
+    * (space-joined), the registry fixture's stand-in for `split(c, "\n{2,}")`.
+    * ceil(n/w) windows; empty text -> empty array. */
+  def tokenWindowParagraphs(c: Column, w: Int): Column = {
+    require(w >= 1, s"tokenWindowParagraphs needs w>=1 (got $w)")
+    val tk = text.tokens(c)
+    when(size(tk) > 0,
+      transform(sequence(lit(0), floor((size(tk) + (w - 1)) / lit(w)).cast("int") - 1),
+        i => concat_ws(" ", slice(tk, i * w + 1, lit(w)))))
+      .otherwise(array().cast("array<string>"))
+  }
 }

@@ -29,8 +29,22 @@ object TextQueries {
     "t23_keep_best" -> ((s, d) => keepBest(s, d)),
     "t24_lsh_match" -> ((s, d) => lshMatch(s, d)),
     "t26_dup_spans" -> ((s, d) => dupSpans(s, d)),
-    "t29_remove_dup_spans" -> ((s, d) => removeDupSpans(s, d))
+    "t29_remove_dup_spans" -> ((s, d) => removeDupSpans(s, d)),
+    "t33_paragraph_dedup" -> ((s, d) => paragraphDedup(s, d))
   )
+
+  /** Paragraph-level global dedup (CCNet §3.1 shape): distinct paragraphs
+    * keep their first occurrence by (doc, position), every later occurrence
+    * is cut, docs rebuilt from survivors. Paragraphs here are 16-token
+    * windows (this corpus has no layout newlines; a real deployment passes
+    * `split(c, "\n{2,}")` — the operator takes the splitter). The md5 gates
+    * the full rebuilt text of every doc. */
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.paragraphDedup(Tables.documents(spark, dir), "doc_id", "text",
+      c => Dedup.tokenWindowParagraphs(c, 16))
+      .select(col("id").as("doc_id"), col("n_paras"), col("n_kept"),
+        md5(col("kept_text")).as("kept_md5"))
+      .orderBy("doc_id")
 
   /** Span-level dedup signal: per doc, how many positional 8-token windows
     * are shared verbatim with at least one other document. */
@@ -354,6 +368,28 @@ object TextQueries {
          |  md5(coalesce(array_to_string(kept, ' '), '')) AS kept_md5, n_tokens,
          |  (n_tokens - len(kept))::BIGINT AS n_removed
          |FROM o ORDER BY doc_id""".stripMargin,
+    // replay of the paragraph-dedup transform: paragraphs = 16-token
+    // windows, global first occurrence by (doc_id, idx) wins (the oracle's
+    // row_number replays Spark's min(struct(id, idx)) ownership), docs
+    // rebuilt from survivors in position order
+    "t33_paragraph_dedup" ->
+      s"""$toks,
+         |pw AS (SELECT doc_id, unnest(range((len(tk) + 15) // 16)) AS idx, tk FROM tk),
+         |p AS (SELECT doc_id, idx,
+         |        array_to_string(list_slice(tk, idx*16 + 1, idx*16 + 16), ' ') AS para
+         |      FROM pw),
+         |k AS (SELECT doc_id, idx, para,
+         |        row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn
+         |      FROM p),
+         |kk AS (SELECT doc_id, count(*) AS n_kept,
+         |         array_to_string(list(para ORDER BY idx), ' ') AS kept
+         |       FROM k WHERE rn = 1 GROUP BY doc_id),
+         |pc AS (SELECT doc_id, count(*) AS n_paras FROM p GROUP BY doc_id)
+         |SELECT tk.doc_id, coalesce(n_paras, 0)::BIGINT AS n_paras,
+         |  coalesce(n_kept, 0)::BIGINT AS n_kept,
+         |  md5(coalesce(kept, '')) AS kept_md5
+         |FROM tk LEFT JOIN pc USING (doc_id) LEFT JOIN kk USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "t5_simhash" ->
       s"""$toks,
          |h AS (SELECT doc_id, list_transform(tk, t -> ('0x' || substr(md5(t), 1, 12))::BIGINT) AS hs FROM tk)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.vec
-import graft.operators.{IvfIndex, KnnSearch, PqIndex}
+import graft.operators.{IvfIndex, KnnSearch, PqIndex, SqIndex}
 
 /** Vector search coverage (SURVEY §2.3 E5/E6, §2.5 Q1-Q4, Q11, Q14).
   * Oracles are exact DuckDB reimplementations over DOUBLE[] casts — the
@@ -33,6 +33,7 @@ object VectorQueries {
     "v11_fde_ivf" -> ((s, d) => fdeIvf(s, d)),
     "v12_pq_adc" -> ((s, d) => pqAdc(s, d)),
     "v13_ivfpq" -> ((s, d) => ivfPq(s, d)),
+    "v14_sq_adc" -> ((s, d) => sqAdc(s, d)),
     "s1_search_docs" -> ((s, d) => searchDocs(s, d)),
     "s2_colpali_padding" -> ((s, d) => colpaliPadding(s, d)),
     "s3_colpali_groups" -> ((s, d) => colpaliGroups(s, d))
@@ -140,6 +141,22 @@ object VectorQueries {
       PqIndex.encode(e, "embedding", model).filter(col("vec_id") =!= 0),
       model, "vec_id", q, n = 20)
       .select(col("vec_id"), array_join(col("pq_code"), ",").as("codes"),
+        col("adc_score"))
+  }
+
+  /** SQ8 scalar quantization + ADC ranking (the [[graft.operators.SqIndex]]
+    * pipeline, v12's sibling at the no-codebook tier): per-dim [min,max]
+    * trained on the full table in one Summarizer pass, floor-clamp 8-bit
+    * encode, bin-center ADC scoring. The oracle replays train + encode +
+    * score bit-for-bit — codes and raw double scores both hash-gated. */
+  def sqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val model = SqIndex.train(e, "embedding")
+    val q = queryVec(spark, dir)
+    SqIndex.topN(
+      SqIndex.encode(e, "embedding", model).filter(col("vec_id") =!= 0),
+      model, "vec_id", q, n = 20)
+      .select(col("vec_id"), array_join(col("sq_code"), ",").as("codes"),
         col("adc_score"))
   }
 
@@ -351,6 +368,22 @@ object VectorQueries {
           col("adc_score"))
   }
 
+  /** Bench-only factory: SQ8 train + encode are index-build work; the
+    * probe is the ADC scan + TakeOrdered over the persisted codes. */
+  def sqAdcPrepared(spark: SparkSession, dir: String): () => DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val model = SqIndex.train(e, "embedding")
+    val q = queryVec(spark, dir)
+    val encoded = SqIndex.encode(e, "embedding", model)
+      .filter(col("vec_id") =!= 0)
+      .select("vec_id", "sq_code").persist()
+    encoded.count()
+    () =>
+      SqIndex.topN(encoded, model, "vec_id", q, n = 20)
+        .select(col("vec_id"), array_join(col("sq_code"), ",").as("codes"),
+          col("adc_score"))
+  }
+
   /** Bench-only factory for the FDE→IVF path: multivector assembly, FDE
     * encoding and the coarse quantizer are index-build work; the returned
     * closure is probe → oversampled candidates → exact MaxSim rescore. */
@@ -430,6 +463,28 @@ object VectorQueries {
         |    array_to_string(list(c ORDER BY i), ',') AS codes,
         |    list_sum(list(p ORDER BY i)) AS adc_score
         |  FROM part GROUP BY vec_id)
+        |SELECT vec_id, codes, adc_score FROM s
+        |ORDER BY adc_score DESC, vec_id LIMIT 20""".stripMargin,
+    // Full SQ8-pipeline replay: per-dim [min,max] over the WHOLE table
+    // (train includes vec 0, matching SqIndex.train on the unfiltered
+    // corpus), floor-clamp 8-bit encode with degenerate-dim guard, ADC =
+    // query · bin-center reconstruction folded j=0..63 (list() ORDER BY j
+    // keeps the fold order identical to Spark's aggregate()).
+    "v14_sq_adc" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |mm AS (SELECT j, min(v[j+1]) AS mn,
+        |         (max(v[j+1]) - min(v[j+1])) / 256.0 AS st
+        |       FROM e, range(64) j(j) GROUP BY j),
+        |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |c AS (SELECT e.vec_id, mm.j, mn, st,
+        |        CASE WHEN st = 0 THEN 0
+        |             ELSE least(255.0, greatest(0.0, floor((v[j+1] - mn) / st)))::INT
+        |        END AS code
+        |      FROM e, mm WHERE e.vec_id <> 0),
+        |s AS (SELECT vec_id,
+        |        array_to_string(list(code ORDER BY j), ',') AS codes,
+        |        list_sum(list(qv[j+1] * (mn + (code + 0.5) * st) ORDER BY j)) AS adc_score
+        |      FROM c, q GROUP BY vec_id)
         |SELECT vec_id, codes, adc_score FROM s
         |ORDER BY adc_score DESC, vec_id LIMIT 20""".stripMargin,
     "v1_knn_topk" -> exactTop10,

@@ -176,4 +176,25 @@ class PlanGuardSpec extends AnyFunSuite {
       || !p.contains("FileScan"),
       s"selection re-derived the scoring stage instead of reading the cut:\n$p")
   }
+
+  test("t33_paragraph_dedup: ownership is partial-aggregated (skew-safe), joins equi-shaped") {
+    val p = executedPlan("t33_paragraph_dedup")
+    // ownership MUST be groupBy(hash).min(struct) — partial aggregation
+    // combines a boilerplate paragraph's 100M occurrences map-side; the
+    // row_number-window formulation would ship them all to one task. A
+    // `partial_min` in the executed plan is the map-side combine itself.
+    assert(p.contains("partial_min"),
+      s"paragraph ownership lost its map-side combine (skewed-key hazard):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"paragraph dedup went all-pairs:\n$p")
+  }
+
+  test("v14_sq_adc: encode+ADC is a join-free narrow map into a top-k heap") {
+    val p = executedPlan("v14_sq_adc")
+    // the SQ8 model rides the plan as two d-length literals — scoring must
+    // never join, and ranking must stay TakeOrderedAndProject (the train
+    // pass is a separate Summarizer job, not part of this plan)
+    assert(!p.contains("Join"), s"SQ8 scoring grew a join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"global sort instead of heap:\n$p")
+  }
 }
