@@ -41,13 +41,13 @@ object Bench {
     "t4_minhash_lsh", "t5_simhash", "t6_simhash_neardups", "t8_bpe_tokens",
     "t25_bpe_encode",
     "e1_asof_join", "e3_window_agg", "e4_asof_nearest", "e5_interval_join",
-    "e6_sessionize",
+    "e6_sessionize", "e7_resample_locf",
     "c1_chunks_fixed", "s1_search_docs", "u1_upsert",
     "t11_repetition", "t12_decontaminate", "t16_heavy_hitters",
     "t17_components", "t18_url_caps", "t19_bloom_decontaminate",
     "t21_shuffle_shards", "t24_lsh_match", "t26_dup_spans",
     "t29_remove_dup_spans", "t30_lm_xent", "t31_decontaminate_auto",
-    "t32_dsir_sample", "t33_paragraph_dedup", "v14_sq_adc",
+    "t32_dsir_sample", "t33_paragraph_dedup", "t34_langid_trained", "v14_sq_adc",
     "k2_semdedup", "n2_bm25", "n3_hybrid_rrf", "t28_curation_e2e")
 
   /** Index-backed queries: build once, time the probe. */

@@ -50,10 +50,11 @@ object ScaleProbe {
     "c1_chunks_fixed", "s1_search_docs", "u1_upsert",
     "n1_filename_search", "l9_folder_summary", "l10_usage_fold",
     "t12_decontaminate", "t16_heavy_hitters", "t17_components", "t18_url_caps",
-    "e5_interval_join", "e6_sessionize", "t19_bloom_decontaminate",
+    "e5_interval_join", "e6_sessionize", "e7_resample_locf",
+    "t19_bloom_decontaminate",
     "t21_shuffle_shards", "t22_cms_heavy", "t23_keep_best",
     "t26_dup_spans", "t29_remove_dup_spans", "t30_lm_xent",
-    "t33_paragraph_dedup",
+    "t33_paragraph_dedup", "t34_langid_trained",
     "k1_kmeans_assign", "k2_semdedup",
     "n2_bm25", "n3_hybrid_rrf", "t27_temperature_mix", "z1_zorder_layout")
   // v12_pq_adc / v14_sq_adc are deliberately NOT probed: the registry
@@ -89,7 +90,7 @@ object ScaleProbe {
       val heavyAll = Seq("q2_join3", "t4_minhash_lsh", "t12_decontaminate",
         "t19_bloom_decontaminate", "t31_decontaminate_auto", "t17_components",
         "t26_dup_spans", "t29_remove_dup_spans", "t30_lm_xent",
-        "t32_dsir_sample", "t33_paragraph_dedup",
+        "t32_dsir_sample", "t33_paragraph_dedup", "t34_langid_trained",
         "k2_semdedup", "n2_bm25", "t28_curation_e2e")
       // optional second arg: probe only the named queries (comma-separated) —
       // re-measuring one changed operator shouldn't cost the full heavy tail.

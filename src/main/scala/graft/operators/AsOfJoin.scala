@@ -76,4 +76,34 @@ object AsOfJoin {
       .drop((Seq("asof_ts", "fwd_ts") ++ valueCols.map(c => s"asof_$c") ++
         valueCols.map(c => s"fwd_$c")): _*)
   }
+
+  /** Regular-grid resample with last-observation-carried-forward (the
+    * pandas `resample().ffill()` / QuestDB `SAMPLE BY ... FILL(PREV)` shape
+    * — what a feature/training pipeline runs to turn irregular event
+    * streams into fixed-rate model inputs). Per key, a tick grid spans
+    * floor(min ts / step) .. floor(max ts / step) (tick timestamps at
+    * integer multiples of `stepSec`, all integer µs arithmetic — engine-
+    * replayable), and each tick carries the latest event at-or-before it
+    * ([[backward]]). Leading ticks before the first event keep null — an
+    * honest gap, not a fabricated fill. `events` must be unique per (key,
+    * ts) — pre-aggregate duplicates — or the carried row among equal
+    * timestamps is nondeterministic (same contract the e1 registry query
+    * satisfies with its max() pre-aggregation).
+    *
+    * 100 TB shape: bounds are one map-side-combined groupBy per key; the
+    * grid explode is bounded by span/step per key (never a range join);
+    * the fill is [[backward]]'s one shuffle + one window sort on the key.
+    * Output: `key`, `ts` (grid tick), `asof_ts`, `asof_<value>`s. */
+  def resampleLocf(events: DataFrame, key: String, ts: String,
+                   valueCols: Seq[String], stepSec: Long): DataFrame = {
+    require(stepSec >= 1, s"resampleLocf needs stepSec>=1 (got $stepSec)")
+    val stepUs = stepSec * 1000000L
+    val tick = expr(s"unix_micros($ts) div ${stepUs}L")
+    val bounds = events.groupBy(col(key))
+      .agg(min(tick).as("__t0"), max(tick).as("__t1"))
+    val grid = bounds
+      .select(col(key), explode(sequence(col("__t0"), col("__t1"))).as("__tick"))
+      .select(col(key), timestamp_micros(col("__tick") * stepUs).as(ts))
+    backward(grid, events, key, ts, valueCols)
+  }
 }

@@ -579,4 +579,67 @@ object Corpus {
         coalesce(col("s"), lit(0.0)).as("logw"))
       .withColumn("skey", col("logw") + -log(-log(u)))
   }
+
+  /** Trained character-n-gram language ID — Cavnar & Trenkle 1994
+    * ("N-Gram-Based Text Categorization"), the rank-order profile method
+    * fastText-era pipelines still fall back to; upgrades
+    * [[graft.functions.text.lang_quality_fast]]'s fixed stopword heuristic
+    * (t2) to a model TRAINED on a labeled seed slice of the corpus itself.
+    *
+    * Training: per label, count every character n-gram occurrence in the
+    * seed docs and keep the top `profileK` by (count desc, gram asc) with
+    * rank 1..profileK. Scoring: each unlabeled doc builds its own top-`docM`
+    * rank profile the same way, and its distance to a label is the
+    * out-of-place measure — Σ over the doc's profile grams of
+    * |docRank − labelRank|, with a gram absent from the label profile
+    * costing the maximum `profileK`. Prediction = argmin distance (label
+    * asc on ties). All-integer arithmetic with deterministic tiebreaks, so
+    * a SQL oracle replays training AND scoring exactly (t34).
+    *
+    * 100 TB shape: the gram stream is map-only; both profile builds
+    * aggregate FIRST (map-side-combined groupBy on (label|id, gram) —
+    * the count table per label is charset^n-bounded, per doc
+    * doc-length-bounded) so the rank windows run over compressed
+    * partitions, never raw occurrence streams. The label-profile table is
+    * ≤ |labels|·profileK rows and broadcasts into the scoring join; the
+    * |labels| cross join is a broadcast of a handful of rows; per-doc cost
+    * is docM·|labels| — corpus-size-independent. Emits one row per
+    * unlabeled doc WITH at least one n-gram: `id`, `pred`, `dist`. */
+  def langIdTrained(df: DataFrame, idCol: String, textCol: String,
+                    labelCol: String, isSeed: Column, n: Int = 3,
+                    profileK: Int = 100, docM: Int = 50): DataFrame = {
+    require(n >= 1 && profileK >= 1 && docM >= 1,
+      s"langIdTrained needs n,profileK,docM >= 1 (got $n, $profileK, $docM)")
+    val base = graft.Tables.scaled(df.select(
+      col(idCol).cast("long").as("id"), col(labelCol).as("label"),
+      isSeed.as("is_seed"), text.normalize(col(textCol)).as("norm")))
+      .filter(length(col("norm")) >= n)
+    val grams = base.select(col("id"), col("label"), col("is_seed"),
+      explode(transform(sequence(lit(1), length(col("norm")) - (n - 1)),
+        i => col("norm").substr(i, lit(n)))).as("gram"))
+    val profile = grams.filter(col("is_seed"))
+      .groupBy("label", "gram").agg(count(lit(1)).as("c"))
+      .withColumn("lrank", row_number().over(
+        Window.partitionBy("label").orderBy(col("c").desc, col("gram"))))
+      .filter(col("lrank") <= profileK)
+      .select("label", "gram", "lrank")
+    val labels = profile.select(col("label").as("pred")).distinct()
+    val docProf = grams.filter(!col("is_seed"))
+      .groupBy("id", "gram").agg(count(lit(1)).as("c"))
+      .withColumn("drank", row_number().over(
+        Window.partitionBy("id").orderBy(col("c").desc, col("gram"))))
+      .filter(col("drank") <= docM)
+      .select("id", "gram", "drank")
+    val scored = docProf
+      .crossJoin(broadcast(labels))
+      .join(broadcast(profile),
+        col("pred") === profile("label") && docProf("gram") === profile("gram"),
+        "left")
+      .groupBy("id", "pred")
+      .agg(sum(when(col("lrank").isNull, profileK.toLong)
+        .otherwise(abs(col("drank") - col("lrank")).cast("long"))).as("dist"))
+    scored.groupBy("id")
+      .agg(min(struct(col("dist"), col("pred"))).as("b"))
+      .select(col("id"), col("b.pred").as("pred"), col("b.dist").as("dist"))
+  }
 }

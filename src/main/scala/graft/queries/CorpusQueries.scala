@@ -32,7 +32,8 @@ object CorpusQueries {
     "t27_temperature_mix" -> ((s, d) => temperatureMix(s, d)),
     "t28_curation_e2e" -> ((s, d) => curationE2e(s, d)),
     "t30_lm_xent" -> ((s, d) => lmXent(s, d)),
-    "t32_dsir_sample" -> ((s, d) => dsirSample(s, d))
+    "t32_dsir_sample" -> ((s, d) => dsirSample(s, d)),
+    "t34_langid_trained" -> ((s, d) => langIdTrained(s, d))
   )
 
   /** The full curation pipeline as ONE composed dataflow — exact dedup keep
@@ -97,6 +98,24 @@ object CorpusQueries {
         round(col("logw"), 4).as("logw"), round(col("skey"), 4).as("skey"),
         col("selected"), col("rank").cast("long").as("rank"))
       .orderBy("doc_id")
+
+  /** Cavnar–Trenkle trained language ID: every 10th doc is the labeled
+    * seed slice, the rest are classified by rank-order trigram profile
+    * distance. This corpus draws all languages from ONE vocabulary, so the
+    * PREDICTIONS are noise by construction — the oracle gates the trained
+    * pipeline's arithmetic (counts, rank tiebreaks, out-of-place distance,
+    * argmin), not model quality; LangIdSpec proves quality on a planted
+    * multilingual fixture. */
+  def langIdTrained(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Corpus.langIdTrained(docs, "doc_id", "text", "lang",
+      col("doc_id") % 10 === 0)
+      .join(docs.select(col("doc_id").cast("long").as("id"), col("lang")), "id")
+      .select(col("id").as("doc_id"), col("lang"),
+        col("pred").as("pred_lang"), col("dist"),
+        (col("lang") === col("pred")).as("correct"))
+      .orderBy("doc_id")
+  }
 
   /** CMS-prefiltered exact heavy tokens (the unbounded-vocabulary path):
     * the sketch prefilter never drops a true heavy token and the exact
@@ -257,6 +276,41 @@ object CorpusQueries {
     s"list_distinct(list_transform(range(len(tk) - ${n - 1}), i -> array_to_string(list_slice(tk, i + 1, i + $n), ' ')))"
 
   def oracles: Map[String, String] = Map(
+    // full replay of Cavnar-Trenkle train + score: per-label top-100
+    // trigram rank profiles from the seed slice (count desc, gram asc
+    // tiebreak), per-doc top-50 profiles, out-of-place distance with the
+    // profileK=100 absent-gram penalty, argmin with label-asc tiebreak
+    "t34_langid_trained" ->
+      s"""WITH n AS ($norm),
+         |g AS (SELECT doc_id, lang,
+         |        unnest(list_transform(range(1, len(norm) - 1), i -> substr(norm, i, 3))) AS gram
+         |      FROM n WHERE len(norm) >= 3),
+         |sp AS (SELECT lang, gram, count(*) AS c FROM g WHERE doc_id % 10 = 0
+         |       GROUP BY lang, gram),
+         |prof AS (SELECT lang, gram, lrank FROM (
+         |           SELECT lang, gram,
+         |             row_number() OVER (PARTITION BY lang ORDER BY c DESC, gram) AS lrank
+         |           FROM sp) WHERE lrank <= 100),
+         |labels AS (SELECT DISTINCT lang AS pred FROM prof),
+         |dg AS (SELECT doc_id, gram, count(*) AS c FROM g WHERE doc_id % 10 <> 0
+         |       GROUP BY doc_id, gram),
+         |dp AS (SELECT doc_id, gram, drank FROM (
+         |         SELECT doc_id, gram,
+         |           row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS drank
+         |         FROM dg) WHERE drank <= 50),
+         |sc AS (SELECT dp.doc_id, labels.pred,
+         |         sum(CASE WHEN prof.lrank IS NULL THEN 100
+         |                  ELSE abs(dp.drank - prof.lrank) END)::BIGINT AS dist
+         |       FROM dp CROSS JOIN labels
+         |       LEFT JOIN prof ON prof.lang = labels.pred AND prof.gram = dp.gram
+         |       GROUP BY dp.doc_id, labels.pred),
+         |best AS (SELECT doc_id, pred, dist,
+         |           row_number() OVER (PARTITION BY doc_id ORDER BY dist, pred) AS rn
+         |         FROM sc)
+         |SELECT b.doc_id, d.lang, b.pred AS pred_lang, b.dist,
+         |  (d.lang = b.pred) AS correct
+         |FROM best b JOIN documents d USING (doc_id)
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "t10_boilerplate" ->
       s"""$toks,
          |sh AS (SELECT doc_id, ${shingleSql(4)} AS sh FROM tk),

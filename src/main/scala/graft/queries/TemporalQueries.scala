@@ -22,8 +22,25 @@ object TemporalQueries {
     "c3_contextual_chunks" -> ((s, d) => contextualChunks(s, d)),
     "e4_asof_nearest" -> ((s, d) => asofNearest(s, d)),
     "e5_interval_join" -> ((s, d) => intervalJoin(s, d)),
-    "e6_sessionize" -> ((s, d) => sessionize(s, d))
+    "e6_sessionize" -> ((s, d) => sessionize(s, d)),
+    "e7_resample_locf" -> ((s, d) => resampleLocf(s, d))
   )
+
+  /** Regular-grid resample + forward fill: each user's purchase stream
+    * sampled onto an hourly tick grid, every tick carrying the latest
+    * purchase at-or-before it (null before the first — honest gaps).
+    * Duplicate (user, ts) events pre-aggregate with max(), the backward
+    * join's determinism contract. */
+  def resampleLocf(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max("value").as("value"))
+    AsOfJoin.resampleLocf(ev, "user_id", "ts", Seq("value"), stepSec = 3600L)
+      .select(col("user_id"), unix_micros(col("ts")).as("tick_us"),
+        unix_micros(col("asof_ts")).as("asof_us"),
+        round(col("asof_value"), 2).as("value"))
+      .orderBy("user_id", "tick_us")
+  }
 
   /** Gap-based sessionization via Spark's NATIVE session_window, gated
     * against a first-principles gaps-and-islands oracle (new session when
@@ -199,6 +216,24 @@ object TemporalQueries {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |       count(*) AS n, round(sum(value), 2) AS total
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // grid replay: per-user hourly ticks floor(min)..floor(max) in integer
+    // µs arithmetic, fill = DuckDB's native ASOF LEFT JOIN (null before
+    // the first event); µs integers on both sides dodge timestamp
+    // formatting entirely (the e6 convention)
+    "e7_resample_locf" ->
+      """WITH p AS (SELECT user_id, ts, max(value) AS value FROM events
+        |           WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |b AS (SELECT user_id, min(epoch_us(ts) // 3600000000) AS t0,
+        |             max(epoch_us(ts) // 3600000000) AS t1
+        |      FROM p GROUP BY user_id),
+        |g AS (SELECT user_id,
+        |        make_timestamp(unnest(range(t0, t1 + 1)) * 3600000000) AS ts
+        |      FROM b),
+        |j AS (SELECT g.user_id, g.ts AS gts, p.ts AS ats, p.value
+        |      FROM g ASOF LEFT JOIN p ON g.user_id = p.user_id AND g.ts >= p.ts)
+        |SELECT user_id, epoch_us(gts) AS tick_us, epoch_us(ats) AS asof_us,
+        |  round(value, 2) AS value
+        |FROM j ORDER BY user_id, tick_us""".stripMargin,
     "c1_chunks_fixed" ->
       """SELECT doc_id, (s - 1) // 100 AS chunk_number, substr(text, s::INT, 120) AS chunk
         |FROM documents, generate_series(1, 100000, 100) AS t(s)

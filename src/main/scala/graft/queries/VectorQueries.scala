@@ -34,6 +34,7 @@ object VectorQueries {
     "v12_pq_adc" -> ((s, d) => pqAdc(s, d)),
     "v13_ivfpq" -> ((s, d) => ivfPq(s, d)),
     "v14_sq_adc" -> ((s, d) => sqAdc(s, d)),
+    "v15_ivfsq" -> ((s, d) => ivfSq(s, d)),
     "s1_search_docs" -> ((s, d) => searchDocs(s, d)),
     "s2_colpali_padding" -> ((s, d) => colpaliPadding(s, d)),
     "s3_colpali_groups" -> ((s, d) => colpaliGroups(s, d))
@@ -122,6 +123,28 @@ object VectorQueries {
     val cand = PqIndex.topN(
       indexed.filter(col("cluster_id").isin(probed: _*) && col("vec_id") =!= 0),
       pq, "vec_id", q, n = 10000)
+    KnnSearch.topK(cand, "embedding", "vec_id", q, 10)
+      .select(col("vec_id"), round(col("score"), 6).as("score"))
+  }
+
+  /** IVF-SQ8 composed (coarse-quantizer pruning over scalar-quantized
+    * codes — the lighter sibling of v13's IVF-PQ, the layout engines pick
+    * when PQ codebook training isn't worth scheduling). Same exactness
+    * bridge: full probe + corpus-covering ADC oversample make the candidate
+    * set the whole corpus, so the exact cosine rerank must reproduce exact
+    * top-10, value-checking cluster assignment ∘ SQ8 encode ∘ ADC ranking ∘
+    * rerank join against the v1 oracle. Dropping nprobe/oversample turns on
+    * real pruning with no plan change. */
+  def ivfSq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = queryVec(spark, dir)
+    val sq = SqIndex.train(e, "embedding")
+    val (indexed, ivf) = IvfIndex.build(
+      SqIndex.encode(e, "embedding", sq), "embedding", lists = 16)
+    val probed = ivf.nearestClusters(q, nprobe = 16)
+    val cand = SqIndex.topN(
+      indexed.filter(col("cluster_id").isin(probed: _*) && col("vec_id") =!= 0),
+      sq, "vec_id", q, n = 10000)
     KnnSearch.topK(cand, "embedding", "vec_id", q, 10)
       .select(col("vec_id"), round(col("score"), 6).as("score"))
   }
@@ -492,6 +515,8 @@ object VectorQueries {
     "v8_ivf_exact" -> exactTop10,
     // full-probe + corpus-covering oversample IVF-PQ must too
     "v13_ivfpq" -> exactTop10,
+    // ... and IVF-SQ8, bridging the v14 quantizer into the pruned layout
+    "v15_ivfsq" -> exactTop10,
     "v2_knn_batch" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |           FROM embeddings WHERE vec_id < 5),

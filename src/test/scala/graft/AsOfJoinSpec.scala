@@ -46,4 +46,21 @@ class AsOfJoinSpec extends AnyFunSuite {
       ("a", 10.0, 10.0, "f3")))
     // b@3.0 has no right rows; a@0.5 backward none, forward 1.0 away -> kept
   }
+
+  test("resampleLocf: hourly grid spans floor(min)..floor(max), fills forward, honest leading gap") {
+    val h = 3600L
+    val ev = Seq(("a", 10 * 60L, 1.0), ("a", 2 * h + 50 * 60L, 2.0), // 00:10, 02:50
+      ("b", h, 7.0)) // exactly on a tick
+      .toDF("k", "sec", "v")
+      .select(col("k"), timestamp_seconds(col("sec")).as("ts"), col("v"))
+    val got = AsOfJoin.resampleLocf(ev, "k", "ts", Seq("v"), stepSec = h)
+      .select(col("k"), unix_micros(col("ts")) / 1000000L,
+        col("asof_v"))
+      .as[(String, Double, Option[Double])].collect().toSet
+    assert(got == Set(
+      ("a", 0.0, None),             // tick 00:00 precedes the first event
+      ("a", h.toDouble, Some(1.0)), // 01:00 carries 00:10
+      ("a", 2.0 * h, Some(1.0)),    // 02:00 still carries it (02:50 is later)
+      ("b", h.toDouble, Some(7.0)))) // an event ON the tick is included
+  }
 }

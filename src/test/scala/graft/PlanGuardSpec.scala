@@ -189,6 +189,20 @@ class PlanGuardSpec extends AnyFunSuite {
       s"paragraph dedup went all-pairs:\n$p")
   }
 
+  test("t34_langid_trained: profile table broadcast; only the |labels| side nests") {
+    val df = SparkEntry.queries("t34_langid_trained")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the ≤ |labels|·profileK profile table must broadcast-hash into the
+    // doc-profile stream; the only nested loop is the handful-of-rows
+    // labels crossJoin — a corpus-sized side in either seat is the
+    // regression this pins against
+    assert(p.contains("BroadcastHashJoin"), s"profile table not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"scoring went all-pairs:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllMatchIn(p).size <= 1,
+      s"nested loop beyond the labels crossJoin:\n$p")
+  }
+
   test("v14_sq_adc: encode+ADC is a join-free narrow map into a top-k heap") {
     val p = executedPlan("v14_sq_adc")
     // the SQ8 model rides the plan as two d-length literals — scoring must
