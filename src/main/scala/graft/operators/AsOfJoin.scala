@@ -106,4 +106,32 @@ object AsOfJoin {
       .select(col(key), timestamp_micros(col("__tick") * stepUs).as(ts))
     backward(grid, events, key, ts, valueCols)
   }
+
+  /** OHLC-bar downsampling (pandas `resample().ohlc()` / QuestDB
+    * `SAMPLE BY` with first/max/min/last — the other half of the
+    * [[resampleLocf]] feature-pipeline pair: LOCF carries state BETWEEN
+    * buckets, OHLC summarizes WITHIN them). Same integer-µs tick grid:
+    * each event lands in bucket floor(ts/step); per (key, bucket) emit
+    * open (value at the earliest ts), high, low, close (latest ts), and
+    * the event count. Same determinism contract as [[resampleLocf]]:
+    * `events` unique per (key, ts) — pre-aggregate duplicates — or
+    * open/close among equal timestamps are nondeterministic.
+    *
+    * 100 TB shape: ONE map-side-combined groupBy — min_by/max_by/min/max/
+    * count all carry constant-size partial state, so a hot key's events
+    * combine per-partition and the shuffle moves one row per (key, bucket,
+    * partition). Empty buckets don't exist by construction (no grid
+    * explode); pair with [[resampleLocf]] when a dense grid is needed. */
+  def ohlcBars(events: DataFrame, key: String, ts: String, valueCol: String,
+               stepSec: Long): DataFrame = {
+    require(stepSec >= 1, s"ohlcBars needs stepSec>=1 (got $stepSec)")
+    val stepUs = stepSec * 1000000L
+    val tick = expr(s"unix_micros($ts) div ${stepUs}L")
+    events.groupBy(col(key), timestamp_micros(tick * stepUs).as("bar_ts"))
+      .agg(min_by(col(valueCol), col(ts)).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), col(ts)).as("close"),
+        count(lit(1)).as("n"))
+  }
 }

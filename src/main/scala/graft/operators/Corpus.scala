@@ -642,4 +642,49 @@ object Corpus {
       .agg(min(struct(col("dist"), col("pred"))).as("b"))
       .select(col("id"), col("b.pred").as("pred"), col("b.dist").as("dist"))
   }
+
+  /** CCNet perplexity buckets — the pipeline's FINAL partitioning step
+    * (Wenzek et al. 2020, arXiv:1911.00359 §3.3: split each language into
+    * head/middle/tail terciles by LM perplexity; downstream training mixes
+    * buckets, it doesn't re-rank). Completes the CCNet trilogy here:
+    * paragraph dedup (t33) → LM scoring (t30 / [[lmCrossEntropy]]) →
+    * THIS. Every doc is scored by [[lmCrossEntropy]]; per-language tercile
+    * cut VALUES are taken from the `isSample` slice only (CCNet computes
+    * its percentile cut points on a sample, not the full corpus): order the
+    * scored sample by (xent, id), cut1 = the xent at rank ceil(n/3), cut2 =
+    * at ceil(2n/3) — element SELECTION, no interpolation arithmetic to
+    * diverge between engines. Bucket: head if xent ≤ cut1, middle if
+    * ≤ cut2, else tail; docs with no bigrams — or in a language absent
+    * from the sample — are `unscored`, never silently dropped.
+    *
+    * 100 TB shape: the scoring pass is t30's (vocab-bounded count joins);
+    * the only window runs over the SAMPLE slice (caller bounds it — the
+    * CCNet contract), cuts are a ≤|langs| row broadcast, and assignment is
+    * a narrow map. The full corpus is never rank-ordered — that global
+    * sort is exactly what the sampled cut points exist to avoid. Ordering
+    * ties (identical xent) land in the same bucket by the ≤ compares, so
+    * cross-engine ln ulp jitter only matters for distinct-but-ulp-equal
+    * docs — the t32 risk profile, accepted there. */
+  def ccnetBuckets(df: DataFrame, idCol: String, textCol: String,
+                   langCol: String, isSample: Column): DataFrame = {
+    val scored = lmCrossEntropy(df, idCol, textCol)
+    val base = graft.Tables.scaled(df.select(
+      col(idCol).cast("long").as("id"), col(langCol).as("lang"),
+      isSample.as("is_sample")))
+    val sx = base.join(scored, "id")
+    val samp = sx.filter(col("is_sample") && col("xent").isNotNull)
+    val ranked = samp
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("xent"), col("id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+    val cuts = ranked.groupBy("lang")
+      .agg(min(when(col("rk") === expr("(n + 2) div 3"), col("xent"))).as("c1"),
+        min(when(col("rk") === expr("(2 * n + 2) div 3"), col("xent"))).as("c2"))
+    sx.join(broadcast(cuts), Seq("lang"), "left")
+      .select(col("id"), col("lang"), col("n_bigrams"), col("xent"),
+        when(col("xent").isNull || col("c1").isNull, "unscored")
+          .when(col("xent") <= col("c1"), "head")
+          .when(col("xent") <= col("c2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
 }

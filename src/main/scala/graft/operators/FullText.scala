@@ -232,4 +232,42 @@ object FullText {
       .orderBy(col("rrf").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Exact phrase search — Postgres `tsquery <->` / Lucene PhraseQuery
+    * semantics (reference search is AND-of-lexemes only,
+    * `postgres_database.py:2700-2802`; n4's multi-word terms deliberately
+    * mirror that — THIS is the adjacency upgrade): a match is the phrase's
+    * tokens CONSECUTIVE in [[text.tokens]] order. Each hit occurrence
+    * votes for the phrase start it would belong to (`pos − qi`); a start
+    * where all `|phrase|` distinct query positions voted is a match —
+    * correct even when the phrase repeats a term ("the cat the"), because
+    * votes are counted per query POSITION, not per term. Emits matching
+    * docs only: `doc_id`, `n_matches`, `first_pos` (top-k by matches).
+    *
+    * 100 TB shape: the In-filter cuts the exploded stream to query-term
+    * hits BEFORE anything shuffles (the n2 discipline); the phrase table
+    * is a ≤|phrase|-row broadcast; vote counting is a map-side-combined
+    * groupBy on (doc, start); ranking is TakeOrderedAndProject. */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String], k: Int): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch needs a non-empty phrase")
+    val terms = phrase.map(_.toLowerCase(java.util.Locale.ROOT))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q = terms.zipWithIndex.toDF("term", "qi")
+    val hits = docs.select(col(idCol).as("doc_id"),
+        posexplode(text.tokens(col(textCol))).as(Seq("pos", "term")))
+      .filter(col("term").isin(terms.distinct: _*))
+    hits.join(broadcast(q), "term")
+      .select(col("doc_id"), (col("pos") - col("qi")).as("start"), col("qi"))
+      .filter(col("start") >= 0)
+      .groupBy("doc_id", "start")
+      .agg(countDistinct("qi").as("nq"))
+      .filter(col("nq") === terms.length)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("start")).cast("long").as("first_pos"))
+      .orderBy(col("n_matches").desc, col("doc_id"))
+      .limit(k)
+  }
 }

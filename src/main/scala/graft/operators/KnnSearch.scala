@@ -39,6 +39,20 @@ object KnnSearch {
     bounded.orderBy(col("score").desc, col(idCol).asc).limit(k)
   }
 
+  /** Range search (FAISS `range_search` / Milvus `radius` — the similarity
+    * API the top-k family doesn't cover: "everything at least this
+    * similar", unbounded result count): all corpus vectors with cosine ≥
+    * `minScore`. A narrow map + filter — NO shuffle, no heap, no sort; the
+    * predicate sits directly on the scan, so at 100 TB this is a pure
+    * embarrassingly-parallel scan emitting only qualifying rows. Callers
+    * wanting ranked output sort the (usually small) result. */
+  def rangeSearch(corpus: DataFrame, vecCol: String, idCol: String,
+                  query: Array[Float], minScore: Double,
+                  where: Column = lit(true)): DataFrame =
+    corpus.filter(where)
+      .withColumn("score", cosineTo(col(vecCol), query))
+      .filter(col("score") >= minScore)
+
   /** Batch top-k: one row per (query, rank) via the bounded-heap aggregate.
     * `queries` must be small enough to broadcast (it is: query batches are
     * user requests, not data). */

@@ -33,7 +33,8 @@ object CorpusQueries {
     "t28_curation_e2e" -> ((s, d) => curationE2e(s, d)),
     "t30_lm_xent" -> ((s, d) => lmXent(s, d)),
     "t32_dsir_sample" -> ((s, d) => dsirSample(s, d)),
-    "t34_langid_trained" -> ((s, d) => langIdTrained(s, d))
+    "t34_langid_trained" -> ((s, d) => langIdTrained(s, d)),
+    "t35_ccnet_buckets" -> ((s, d) => ccnetBuckets(s, d))
   )
 
   /** The full curation pipeline as ONE composed dataflow — exact dedup keep
@@ -116,6 +117,17 @@ object CorpusQueries {
         (col("lang") === col("pred")).as("correct"))
       .orderBy("doc_id")
   }
+
+  /** CCNet head/middle/tail perplexity buckets: per-language tercile cut
+    * values from the doc_id % 10 sample slice (rank-selection, no
+    * interpolation), every doc assigned by comparing its t30 cross-entropy
+    * to its language's cuts. */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame =
+    Corpus.ccnetBuckets(Tables.documents(spark, dir), "doc_id", "text",
+        "lang", col("doc_id") % 10 === 0)
+      .select(col("id").as("doc_id"), col("lang"), col("n_bigrams"),
+        round(col("xent"), 4).as("xent"), col("bucket"))
+      .orderBy("doc_id")
 
   /** CMS-prefiltered exact heavy tokens (the unbounded-vocabulary path):
     * the sketch prefilter never drops a true heavy token and the exact
@@ -454,6 +466,39 @@ object CorpusQueries {
          |SELECT tk.doc_id, coalesce(agg.n_bigrams, 0)::BIGINT AS n_bigrams,
          |  round(-agg.s / agg.n_bigrams, 4) AS xent
          |FROM tk LEFT JOIN agg USING (doc_id) ORDER BY tk.doc_id""".stripMargin,
+    // t30's xent replay + the bucket step: per-language cuts are RANK
+    // SELECTION over the doc_id%10 sample (xent at ceil(n/3), ceil(2n/3)
+    // ordered by raw xent then doc_id — no interpolation arithmetic),
+    // assignment compares raw xent to the cut values; ln ulp jitter only
+    // moves distinct-but-ulp-equal docs (the t32 accepted risk)
+    "t35_ccnet_buckets" ->
+      s"""$toks,
+         |u AS (SELECT unnest(tk) AS w FROM tk),
+         |uc AS (SELECT w, count(*) AS c1 FROM u GROUP BY w),
+         |vs AS (SELECT count(*) AS v FROM uc),
+         |bg AS (SELECT doc_id, unnest(range(greatest(len(tk) - 1, 0))) AS pos, tk FROM tk),
+         |b2 AS (SELECT doc_id, pos, tk[pos + 1] AS w1, tk[pos + 2] AS w2 FROM bg),
+         |bc AS (SELECT w1, w2, count(*) AS c12 FROM b2 GROUP BY w1, w2),
+         |sc AS (SELECT b2.doc_id, b2.pos, ln((bc.c12 + 1.0) / (uc.c1 + vs.v)) AS lnp
+         |       FROM b2 JOIN bc USING (w1, w2) JOIN uc ON uc.w = b2.w1, vs),
+         |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+         |          list_sum(list(lnp ORDER BY pos)) AS s
+         |        FROM sc GROUP BY doc_id),
+         |x AS (SELECT tk.doc_id, d0.lang, coalesce(agg.n_bigrams, 0)::BIGINT AS n_bigrams,
+         |        -agg.s / agg.n_bigrams AS xe
+         |      FROM tk LEFT JOIN agg USING (doc_id) JOIN documents d0 USING (doc_id)),
+         |samp AS (SELECT lang, xe, doc_id,
+         |           row_number() OVER (PARTITION BY lang ORDER BY xe, doc_id) AS rk,
+         |           count(*) OVER (PARTITION BY lang) AS n
+         |         FROM x WHERE doc_id % 10 = 0 AND xe IS NOT NULL),
+         |cuts AS (SELECT lang, min(CASE WHEN rk = (n + 2) // 3 THEN xe END) AS c1,
+         |                min(CASE WHEN rk = (2 * n + 2) // 3 THEN xe END) AS c2
+         |         FROM samp GROUP BY lang)
+         |SELECT x.doc_id, x.lang, x.n_bigrams, round(x.xe, 4) AS xent,
+         |  CASE WHEN x.xe IS NULL OR c1 IS NULL THEN 'unscored'
+         |       WHEN x.xe <= c1 THEN 'head'
+         |       WHEN x.xe <= c2 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM x LEFT JOIN cuts USING (lang) ORDER BY x.doc_id""".stripMargin,
     // replays dsirResample gram-for-gram: same md5 bucket hash as t21's
     // shard key, add-one bucket models as exact-integer divisions, ln
     // within-ulp, per-doc sum in POSITION order (unigrams 0..n-1 then

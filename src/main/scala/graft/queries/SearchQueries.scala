@@ -27,8 +27,16 @@ object SearchQueries {
     "n3_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)),
     "s4_mmr_diversify" -> ((s, d) => mmrDiversify(s, d)),
     "n4_snippets" -> ((s, d) => snippets(s, d)),
-    "n5_snippets_substring" -> ((s, d) => snippets(s, d, boundary = false))
+    "n5_snippets_substring" -> ((s, d) => snippets(s, d, boundary = false)),
+    "n6_phrase" -> ((s, d) => phrase(s, d))
   )
+
+  /** Exact phrase search ("big order scan", adjacency REQUIRED — the
+    * upgrade over n4's AND-of-lexemes multi-word terms): matching docs
+    * with occurrence counts and the earliest start, top-10 by matches. */
+  def phrase(spark: SparkSession, dir: String): DataFrame =
+    FullText.phraseSearch(Tables.documents(spark, dir), "doc_id", "text",
+      Seq("big", "order", "scan"), k = 10)
 
   /** BM25 top-10 for a fixed 4-term query (k1=1.2, b=0.75). */
   def bm25(spark: SparkSession, dir: String): DataFrame =
@@ -190,6 +198,21 @@ object SearchQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    // phrase-start replay: a start s matches where the 3-token slice
+    // equals the phrase; occurrence counts include overlaps (start-based,
+    // same as the Spark vote count)
+    "n6_phrase" ->
+      """WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |           FROM documents),
+        |tk AS (SELECT doc_id, list_filter(string_split(norm, ' '), t -> len(t) > 0) AS tk
+        |       FROM n),
+        |m AS (SELECT doc_id,
+        |        list_filter(range(greatest(len(tk) - 2, 0)),
+        |          s -> tk[s + 1] = 'big' AND tk[s + 2] = 'order' AND tk[s + 3] = 'scan') AS st
+        |      FROM tk)
+        |SELECT doc_id, len(st)::BIGINT AS n_matches, list_min(st)::BIGINT AS first_pos
+        |FROM m WHERE len(st) > 0
+        |ORDER BY n_matches DESC, doc_id LIMIT 10""".stripMargin,
     "s4_mmr_diversify" -> mmrOracleSql,
     "n4_snippets" -> snippetOracleSql(boundary = true),
     "n5_snippets_substring" -> snippetOracleSql(boundary = false),

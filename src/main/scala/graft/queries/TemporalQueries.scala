@@ -23,8 +23,24 @@ object TemporalQueries {
     "e4_asof_nearest" -> ((s, d) => asofNearest(s, d)),
     "e5_interval_join" -> ((s, d) => intervalJoin(s, d)),
     "e6_sessionize" -> ((s, d) => sessionize(s, d)),
-    "e7_resample_locf" -> ((s, d) => resampleLocf(s, d))
+    "e7_resample_locf" -> ((s, d) => resampleLocf(s, d)),
+    "e8_ohlc" -> ((s, d) => ohlc(s, d))
   )
+
+  /** Hourly OHLC bars per user over the purchase stream (same pre-agg
+    * determinism contract as e7; open/close ride min_by/max_by on the
+    * unique-per-(user,ts) stream). */
+  def ohlc(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max("value").as("value"))
+    AsOfJoin.ohlcBars(ev, "user_id", "ts", "value", stepSec = 3600L)
+      .select(col("user_id"), unix_micros(col("bar_ts")).as("bar_us"),
+        round(col("open"), 2).as("open"), round(col("high"), 2).as("high"),
+        round(col("low"), 2).as("low"), round(col("close"), 2).as("close"),
+        col("n"))
+      .orderBy("user_id", "bar_us")
+  }
 
   /** Regular-grid resample + forward fill: each user's purchase stream
     * sampled onto an hourly tick grid, every tick carrying the latest
@@ -234,6 +250,18 @@ object TemporalQueries {
         |SELECT user_id, epoch_us(gts) AS tick_us, epoch_us(ats) AS asof_us,
         |  round(value, 2) AS value
         |FROM j ORDER BY user_id, tick_us""".stripMargin,
+    // bar replay: bucket = epoch-µs // step, open/close via arg_min/arg_max
+    // on the pre-aggregated (unique-ts) stream — the e7 determinism
+    // contract makes them well-defined
+    "e8_ohlc" ->
+      """WITH p AS (SELECT user_id, ts, max(value) AS value FROM events
+        |           WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |b AS (SELECT user_id, epoch_us(ts) // 3600000000 AS tick, ts, value FROM p)
+        |SELECT user_id, tick * 3600000000 AS bar_us,
+        |  round(arg_min(value, ts), 2) AS open, round(max(value), 2) AS high,
+        |  round(min(value), 2) AS low, round(arg_max(value, ts), 2) AS close,
+        |  count(*)::BIGINT AS n
+        |FROM b GROUP BY user_id, tick ORDER BY user_id, bar_us""".stripMargin,
     "c1_chunks_fixed" ->
       """SELECT doc_id, (s - 1) // 100 AS chunk_number, substr(text, s::INT, 120) AS chunk
         |FROM documents, generate_series(1, 100000, 100) AS t(s)

@@ -35,6 +35,7 @@ object VectorQueries {
     "v13_ivfpq" -> ((s, d) => ivfPq(s, d)),
     "v14_sq_adc" -> ((s, d) => sqAdc(s, d)),
     "v15_ivfsq" -> ((s, d) => ivfSq(s, d)),
+    "v16_range_search" -> ((s, d) => rangeSearch(s, d)),
     "s1_search_docs" -> ((s, d) => searchDocs(s, d)),
     "s2_colpali_padding" -> ((s, d) => colpaliPadding(s, d)),
     "s3_colpali_groups" -> ((s, d) => colpaliGroups(s, d))
@@ -181,6 +182,17 @@ object VectorQueries {
       model, "vec_id", q, n = 20)
       .select(col("vec_id"), array_join(col("sq_code"), ",").as("codes"),
         col("adc_score"))
+  }
+
+  /** Range search (FAISS range_search shape): every vector with cosine to
+    * vec 0 ≥ 0.25 — a set, not a ranking, so the deterministic order is
+    * vec_id. Pure scan+filter: the plan has no shuffle at all. */
+  def rangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val q = queryVec(spark, dir)
+    KnnSearch.rangeSearch(Tables.embeddings(spark, dir), "embedding", "vec_id",
+        q, minScore = 0.25, where = col("vec_id") =!= 0)
+      .select(col("vec_id"), round(col("score"), 6).as("score"))
+      .orderBy("vec_id")
   }
 
   /** Q1: single-query exact top-k (TakeOrderedAndProject — no global sort). */
@@ -511,6 +523,14 @@ object VectorQueries {
         |SELECT vec_id, codes, adc_score FROM s
         |ORDER BY adc_score DESC, vec_id LIMIT 20""".stripMargin,
     "v1_knn_topk" -> exactTop10,
+    // the set of vectors at least 0.25-similar to vec 0 (threshold compare
+    // on the raw cosine; the scores round at 6dp like v1)
+    "v16_range_search" ->
+      s"""SELECT vec_id,
+         |  round(list_cosine_similarity(embedding::DOUBLE[], $qv), 6) AS score
+         |FROM embeddings
+         |WHERE vec_id <> 0 AND list_cosine_similarity(embedding::DOUBLE[], $qv) >= 0.25
+         |ORDER BY vec_id""".stripMargin,
     // full-probe IVF must reproduce the exact result
     "v8_ivf_exact" -> exactTop10,
     // full-probe + corpus-covering oversample IVF-PQ must too
