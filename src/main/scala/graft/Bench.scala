@@ -64,6 +64,10 @@ object Bench {
     try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
     catch { case _: Throwable => 0.0 }
 
+  private def loadavg(): String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+    catch { case _: Throwable => "unavailable" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -74,15 +78,32 @@ object Bench {
     // prepare/warmup/measure sequence starts from a quiet box.
     val idleLoad = sys.env.getOrElse("SPARK_GRAFT_IDLE_LOAD", "1.5").toDouble
     val idleWaitS = sys.env.getOrElse("SPARK_GRAFT_IDLE_WAIT_S", "300").toInt
+    // Strict mode: refuse to publish from a busy box instead of stamping.
+    val refuseContaminated =
+      sys.env.getOrElse("SPARK_GRAFT_REFUSE_CONTAMINATED", "false").toBoolean
     val idleDeadline = System.nanoTime() + idleWaitS * 1000000000L
     while (loadavg1() > idleLoad && System.nanoTime() < idleDeadline) {
       System.err.println(f"[bench] idle gate: loadavg ${loadavg1()}%.2f > " +
         f"$idleLoad%.1f, waiting (bounded ${idleWaitS}s)")
       Thread.sleep(15000)
     }
-    if (loadavg1() > idleLoad)
+    // Gate expiry is a CONTAMINATION FACT, not a warning: r7's artifact
+    // started at loadavg 3.30 (gate 1.5), ended 7.81, and published 1.5-7x
+    // inflated medians with no marker. The expiry is recorded here and
+    // stamped into the JSON (or, in strict mode, aborts before Spark spins
+    // up) so a loaded-box artifact can never again read as a regression.
+    val gateExpired = loadavg1() > idleLoad
+    if (gateExpired) {
+      if (refuseContaminated) {
+        System.err.println(f"[bench] idle gate TIMED OUT at loadavg " +
+          f"${loadavg1()}%.2f — REFUSING to publish (strict mode)")
+        println(f"""{"metric":"total","value":-1.0,"unit":"sec","refused":true,"reason":"idle_gate_expired","loadavg":"${loadavg()}"}""")
+        sys.exit(3)
+      }
       System.err.println(f"[bench] idle gate TIMED OUT at loadavg " +
-        f"${loadavg1()}%.2f — measuring anyway, expect contention markers")
+        f"${loadavg1()}%.2f — measuring anyway; artifact will be stamped " +
+        "contaminated:true with per-query loadavg samples")
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -126,9 +147,6 @@ object Bench {
     // shipping as a fake regression. Failed runs (-1) are excluded from all
     // stats (one AnalysisException must not read as a 100x speedup or a
     // negative min); a query reports -1 only when EVERY sample failed.
-    def loadavg(): String =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
-      catch { case _: Throwable => "unavailable" }
     val loadBefore = loadavg()
     var extraRuns = 0
     def measureOnce(name: String): Double = {
@@ -137,7 +155,13 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: $e"); -1.0 }
     }
+    // 1-minute loadavg sampled at the START of each query's measurement —
+    // the per-query contamination evidence VERDICT r7 asked for: a reader
+    // can see exactly which queries ran under load, not just box-level
+    // before/after.
+    val queryLoad = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = headline.map { name =>
+      queryLoad(name) = loadavg1()
       val samples = scala.collection.mutable.ArrayBuffer[Double]()
       (1 to 3).foreach(_ => samples += measureOnce(name))
       def ok = samples.filter(_ >= 0).sorted
