@@ -81,6 +81,11 @@ object Bench {
     // Strict mode: refuse to publish from a busy box instead of stamping.
     val refuseContaminated =
       sys.env.getOrElse("SPARK_GRAFT_REFUSE_CONTAMINATED", "false").toBoolean
+    // the one loadavg sample NOT polluted by the bench's own threads:
+    // taken before Spark exists (post-gate). loadavg_before/after are
+    // sampled mid-run and include self-load — only this field can say
+    // whether the box was idle when measurement began.
+    var loadAtStart = loadavg()
     val idleDeadline = System.nanoTime() + idleWaitS * 1000000000L
     while (loadavg1() > idleLoad && System.nanoTime() < idleDeadline) {
       System.err.println(f"[bench] idle gate: loadavg ${loadavg1()}%.2f > " +
@@ -93,6 +98,7 @@ object Bench {
     // stamped into the JSON (or, in strict mode, aborts before Spark spins
     // up) so a loaded-box artifact can never again read as a regression.
     val gateExpired = loadavg1() > idleLoad
+    loadAtStart = loadavg()
     if (gateExpired) {
       if (refuseContaminated) {
         System.err.println(f"[bench] idle gate TIMED OUT at loadavg " +
@@ -188,6 +194,16 @@ object Bench {
       (name, median, mn, samples.size, samples.count(_ < 0))
     }
     val loadAfter = loadavg()
+    // Contamination verdict for the artifact as a whole: ONLY the pre-Spark
+    // idle-gate expiry can say the BOX was busy — once the bench is running,
+    // its own 32 threads drive the 1-minute loadavg to ~5-11 on a perfectly
+    // idle machine (measured), so mid-run loadavg must never be compared
+    // against the idle threshold. query_loadavg ships as evidence for
+    // RELATIVE spikes (a query whose loadavg jumps far above its neighbors'
+    // ran alongside an intruder), not as an absolute gate.
+    val contaminated = gateExpired
+    val qLoadJson = queryLoad.map { case (k, v) => "\"" + k + f"""\":$v%.2f""" }
+      .mkString("{", ",", "}")
     val qs = results.map { case (k, med, _, _, _) => "\"" + k + f"""\":$med%.3f""" }
       .mkString("{", ",", "}")
     val mins = results.map { case (k, _, mn, _, _) => "\"" + k + f"""\":$mn%.3f""" }
@@ -211,7 +227,7 @@ object Bench {
     // changes: "noop_sink_v2" = every query timed to a noop-format sink
     // (count() let Catalyst prune projection-final operators and
     // under-measured them — r5 artifacts are on that older basis).
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing_basis":"noop_sink_v2","queries":$qs,"sf":"$sfDir","base_runs":3,"stat":"median_fastest3","queries_min":$mins,"query_runs":$runs,"sample_failures":$sampleFails,"total_min":$totalMin%.3f,"worst_spread":$worstSpread%.2f,"extra_runs":$extraRuns,"failed_queries":$failed,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing_basis":"noop_sink_v2","queries":$qs,"sf":"$sfDir","base_runs":3,"stat":"median_fastest3","queries_min":$mins,"query_runs":$runs,"sample_failures":$sampleFails,"total_min":$totalMin%.3f,"worst_spread":$worstSpread%.2f,"extra_runs":$extraRuns,"failed_queries":$failed,"contaminated":$contaminated,"idle_gate_expired":$gateExpired,"query_loadavg":$qLoadJson,"loadavg_at_start":"$loadAtStart","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}""")
     spark.stop()
   }
 }

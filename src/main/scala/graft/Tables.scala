@@ -28,15 +28,24 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark refuses natively;
-    * read as long ns (legacy flag) and convert to a µs timestamp — the
-    * generator emits µs-precision values, so this is lossless. */
+  /** events.ts normalizes to a session-TZ µs timestamp whatever the
+    * generator emitted — the driver has shipped BOTH layouts across rounds:
+    * TIMESTAMP(NANOS) (Spark refuses natively; read as long ns via the
+    * legacy flag, integer-div to µs — `div`, not `/`: epoch-ns ~1.7e18
+    * exceeds double precision) and, since round 8, plain timestamp[us]
+    * (arrives as TIMESTAMP_NTZ; cast is micros-identity under the UTC
+    * session every entrypoint pins). Dispatch on the read schema so a
+    * regenerated testdata layout can't break every e-query again. */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // integer `div`, not `/`: epoch-ns (~1.7e18) exceeds double precision.
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

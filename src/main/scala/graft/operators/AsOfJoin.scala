@@ -1,8 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.IntegralDivide
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** As-of (nearest/backward temporal) join — the relational form of the
   * reference's time-series nearest-timestamp lookup
@@ -91,17 +93,33 @@ object AsOfJoin {
     * satisfies with its max() pre-aggregation).
     *
     * 100 TB shape: bounds are one map-side-combined groupBy per key; the
-    * grid explode is bounded by span/step per key (never a range join);
+    * grid explode is bounded by span/step per key (never a range join) AND
+    * by `maxTicks` — one corrupted timestamp (an epoch-0 default on a 2026
+    * stream spans ~1.8e9 one-second ticks) must fail loudly inside the
+    * bounds row, not silently explode a partition-breaking grid (the same
+    * garbage-value hazard class `videoFrameChunks` caps with `maxFrames`);
     * the fill is [[backward]]'s one shuffle + one window sort on the key.
     * Output: `key`, `ts` (grid tick), `asof_ts`, `asof_<value>`s. */
   def resampleLocf(events: DataFrame, key: String, ts: String,
-                   valueCols: Seq[String], stepSec: Long): DataFrame = {
+                   valueCols: Seq[String], stepSec: Long,
+                   maxTicks: Long = 10000000L): DataFrame = {
     require(stepSec >= 1, s"resampleLocf needs stepSec>=1 (got $stepSec)")
+    require(maxTicks >= 1, s"resampleLocf needs maxTicks>=1 (got $maxTicks)")
     val stepUs = stepSec * 1000000L
-    val tick = expr(s"unix_micros($ts) div ${stepUs}L")
+    val tick = tickOf(ts, stepUs)
     val bounds = events.groupBy(col(key))
       .agg(min(tick).as("__t0"), max(tick).as("__t1"))
+    // assert_true inside a filter: evaluated distributed, per bounds row
+    // (|keys| rows, not |events|), and un-prunable because it gates the
+    // explode. A violating key names itself in the error instead of
+    // emitting a ~span/step-row grid.
     val grid = bounds
+      .where(assert_true(col("__t1") - col("__t0") < lit(maxTicks), concat(
+        lit("resampleLocf: key "), col(key).cast("string"),
+        lit(" spans "), (col("__t1") - col("__t0") + 1).cast("string"),
+        lit(s" ticks at stepSec=$stepSec > maxTicks=$maxTicks — corrupted " +
+          "timestamp or too-fine step; pre-filter the key or raise maxTicks")))
+        .isNull)
       .select(col(key), explode(sequence(col("__t0"), col("__t1"))).as("__tick"))
       .select(col(key), timestamp_micros(col("__tick") * stepUs).as(ts))
     backward(grid, events, key, ts, valueCols)
@@ -126,7 +144,7 @@ object AsOfJoin {
                stepSec: Long): DataFrame = {
     require(stepSec >= 1, s"ohlcBars needs stepSec>=1 (got $stepSec)")
     val stepUs = stepSec * 1000000L
-    val tick = expr(s"unix_micros($ts) div ${stepUs}L")
+    val tick = tickOf(ts, stepUs)
     events.groupBy(col(key), timestamp_micros(tick * stepUs).as("bar_ts"))
       .agg(min_by(col(valueCol), col(ts)).as("open"),
         max(col(valueCol)).as("high"),
@@ -134,4 +152,14 @@ object AsOfJoin {
         max_by(col(valueCol), col(ts)).as("close"),
         count(lit(1)).as("n"))
   }
+
+  /** floor(unix_micros(ts) / stepUs) as a Column — integer `div` semantics
+    * (µs epochs exceed double's 53-bit mantissa headroom too easily for
+    * float division) built on the Catalyst expression directly instead of a
+    * string-interpolated `expr(...)`, so column names needing backtick
+    * escaping resolve like every other Column-based operator here. */
+  private def tickOf(ts: String, stepUs: Long): Column =
+    ColumnBridge.column(IntegralDivide(
+      ColumnBridge.expression(unix_micros(col(ts))),
+      ColumnBridge.expression(lit(stepUs))))
 }

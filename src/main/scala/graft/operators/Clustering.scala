@@ -72,7 +72,15 @@ object Clustering {
     }
 
     /** Release the codebook broadcast (blocking). Safe to call more than
-      * once; a later assign re-broadcasts lazily. */
+      * once; a later assign re-broadcasts lazily.
+      *
+      * LIFECYCLE CONTRACT: destroy only after every ACTION on frames
+      * previously returned by [[assign]] has completed — a lazily-built
+      * plan holding the destroyed broadcast fails at execution with an
+      * opaque "Attempted to use Broadcast after it was destroyed", not a
+      * graft error ([[fit]]'s per-iteration destroy is safe: each
+      * iteration's frames are fully consumed before the next). A frame
+      * built after destroy is fine (assign re-broadcasts). */
     def destroy(): Unit = synchronized {
       if (bc != null) { bc.destroy(); bc = null }
     }

@@ -164,6 +164,15 @@ object FullText {
     * the original text. Terms are folded with Locale.ROOT (matching Spark's
     * locale-independent `lower`).
     *
+    * KNOWN LIMITATION — boundary mode is ASCII-lexeme only: the
+    * `[^a-z0-9]` normalization treats EVERY non-ASCII letter as a
+    * separator, so an accented or non-Latin term ("café", "東京") can never
+    * match in the default mode and falls to the no-match from-the-start
+    * snippet. Callers with non-ASCII query terms should pass
+    * `boundary = false` (substring mode matches them verbatim). Extending
+    * the lexeme class to `\p{L}\p{N}` must happen in lockstep with the n4
+    * oracle's regex or the registered divergence pair starts lying.
+    *
     * Deterministic by construction — ASCII-lowercase matching, 1-based char
     * positions (Spark `instr` == DuckDB `strpos`, 0 = absent; Spark
     * `regexp_replace` == DuckDB `regexp_replace(..., 'g')`), char-based

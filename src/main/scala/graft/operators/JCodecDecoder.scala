@@ -30,11 +30,14 @@ import javax.imageio.ImageIO
   *
   * Scale shape: unchanged from the seat contract — the decoder runs inside
   * [[Multimodal.videoFrameChunks]]'s mapPartitions, one JVM-local
-  * seek-decode per sampled timestamp, no shuffle. Each call opens the
-  * container fresh from the bytes: frame failures stay PER-FRAME
-  * recoverable (a corrupt GOP cannot poison a shared demuxer), the same
-  * error contract as the page-renderer seat; a deployment that needs
-  * per-document demux amortization wraps its own caching decoder.
+  * seek-decode per sampled timestamp, no shuffle. The opened demuxer is
+  * CACHED PER DOCUMENT (single slot, keyed by bytes-array identity — the
+  * chunk flow feeds every frame of one doc the same array instance), so a
+  * 2-hour file sampled at 1 frame/2 s parses its container once, not ~3600
+  * times. Frame failures stay PER-FRAME recoverable: a decode throw evicts
+  * the cached demuxer and retries that frame once on a fresh one (a
+  * corrupt GOP cannot poison later frames — they never see the failed
+  * demuxer), the same error contract as the page-renderer seat.
   */
 object JCodecDecoder {
 
@@ -97,12 +100,41 @@ case class JCodecFrameDecoder(format: String = "jpg")
     "JCodec is not on the classpath: add jcodec + jcodec-javase (0.2.x) " +
       "before constructing JCodecFrameDecoder")
 
+  // Single-slot per-document demux cache. Identity (eq), not content,
+  // keys the slot: videoFrameChunks passes the SAME array instance for
+  // every frame of one doc, and identity comparison is free where a
+  // content hash would re-scan megabytes per frame. @transient — each
+  // deserialized task closure starts with an empty slot, so tasks never
+  // share a demuxer even when they share the JVM (local mode / multiple
+  // executor cores).
+  @transient private var cachedBytes: Array[Byte] = _
+  @transient private var cachedGrab: AnyRef = _
+
+  private def grabFor(bytes: Array[Byte]): AnyRef = {
+    if (cachedGrab == null || !(cachedBytes eq bytes)) {
+      cachedGrab = JCodecDecoder.bound.open(bytes)
+      cachedBytes = bytes
+    }
+    cachedGrab
+  }
+
   override def durationSec(videoBytes: Array[Byte]): Double =
-    JCodecDecoder.bound.duration(JCodecDecoder.bound.open(videoBytes))
+    JCodecDecoder.bound.duration(grabFor(videoBytes))
 
   override def frameAt(videoBytes: Array[Byte], tsSec: Double): Array[Byte] = {
     val b = JCodecDecoder.bound
-    val img = b.frameAt(b.open(videoBytes), tsSec)
+    val img =
+      try b.frameAt(grabFor(videoBytes), tsSec)
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          // per-frame fault contract: evict the possibly-poisoned demuxer
+          // and retry THIS frame once fresh; if the fresh one also fails,
+          // evict again (the next frame reopens) and let the caller's
+          // skip-on-failure semantics take it
+          cachedGrab = null
+          try b.frameAt(grabFor(videoBytes), tsSec)
+          catch { case e2: Throwable => cachedGrab = null; throw e2 }
+      }
     // JPEG writers reject ARGB; repaint onto RGB first (same normalization
     // as PdfboxPageRenderer / ImageCodec before a JPEG encode)
     val rgb =

@@ -63,4 +63,35 @@ class AsOfJoinSpec extends AnyFunSuite {
       ("a", 2.0 * h, Some(1.0)),    // 02:00 still carries it (02:50 is later)
       ("b", h.toDouble, Some(7.0)))) // an event ON the tick is included
   }
+
+  test("resampleLocf: a key spanning more than maxTicks fails loudly, naming the key") {
+    // the garbage-value hazard the cap exists for: one epoch-0 timestamp
+    // on an otherwise-2026 key would explode a ~490k-row hourly grid
+    val ev = Seq(("good", 3600L, 1.0), ("bad", 0L, 2.0), ("bad", 500L * 3600L, 3.0))
+      .toDF("k", "sec", "v")
+      .select(col("k"), timestamp_seconds(col("sec")).as("ts"), col("v"))
+    val e = intercept[Exception] {
+      AsOfJoin.resampleLocf(ev, "k", "ts", Seq("v"), stepSec = 3600L,
+        maxTicks = 100L).collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("maxTicks") && msg.contains("bad"))
+    // under the default cap the same frame resamples fine
+    assert(AsOfJoin.resampleLocf(ev, "k", "ts", Seq("v"), stepSec = 3600L)
+      .count() == 502L)
+  }
+
+  test("resampleLocf/ohlcBars: backtick-hostile column names resolve (Column-based tick)") {
+    val ev = Seq(("a", 3600L, 1.0), ("a", 7200L, 2.0))
+      .toDF("k", "sec", "v")
+      .select(col("k"), timestamp_seconds(col("sec")).as("event ts"), col("v"))
+    // a space in the ts column name broke the old expr(s"unix_micros($ts)...")
+    assert(AsOfJoin.resampleLocf(ev, "k", "event ts", Seq("v"), stepSec = 3600L)
+      .count() == 2L)
+    val bars = AsOfJoin.ohlcBars(ev, "k", "event ts", "v", stepSec = 86400L)
+      .select("open", "high", "low", "close", "n")
+      .as[(Double, Double, Double, Double, Long)].collect().toSet
+    assert(bars == Set((1.0, 2.0, 1.0, 2.0, 2L)))
+  }
 }

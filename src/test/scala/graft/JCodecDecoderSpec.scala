@@ -67,6 +67,36 @@ class JCodecDecoderSpec extends AnyFunSuite {
     assert(out.forall(_._4.startsWith("data:image/jpeg;base64,")))
   }
 
+  test("per-document demux amortization: one container open per doc, not per frame") {
+    assume(JCodecDecoder.available, "JCodec jar not on classpath")
+    // only the STUB exposes the open counter; with a real jar the
+    // amortization is the same code path but uncountable from here
+    val counter = scala.util.Try(
+      Class.forName("org.jcodec.api.FrameGrab")
+        .getMethod("opens").invoke(null)
+        .asInstanceOf[java.util.concurrent.atomic.AtomicInteger]).toOption
+    assume(counter.isDefined, "real JCodec jar (no test counter) - skipping count assert")
+    val c = counter.get
+    val d = JCodecFrameDecoder()
+    val vid = fakeVideo(300.0, "clip") // ONE array instance, like the chunk flow
+    val before = c.get()
+    d.durationSec(vid)
+    (0 until 10).foreach(i => d.frameAt(vid, i * 30.0))
+    assert(c.get() - before == 1,
+      s"probe + 10 frames of one doc should open the container once, opened ${c.get() - before}")
+    // a different document (new array) naturally evicts the slot
+    d.durationSec(fakeVideo(10.0, "other"))
+    assert(c.get() - before == 2)
+    // a failing frame evicts and retries once on a fresh demuxer — the
+    // per-frame fault contract costs exactly the reopens it needs
+    val v2 = fakeVideo(10.0, "clip")
+    d.durationSec(v2)                        // open 3
+    intercept[Exception](d.frameAt(v2, 99.0)) // out-of-range: retry opens 4...
+    assert(c.get() - before == 4, "failed frame = evict + one fresh retry")
+    d.frameAt(v2, 5.0) // cache was evicted after the double failure -> reopen
+    assert(c.get() - before == 5)
+  }
+
   // Seat-independent semantics with a deterministic fake (always runs,
   // jar or not) — the ColpaliRenderingSpec split applied to frames.
   private object FakeDecoder extends Multimodal.FrameDecoder {

@@ -75,7 +75,12 @@ package api {
   }
 
   object FrameGrab {
+    // test-only instrumentation: counts container opens so specs can assert
+    // the per-document demux amortization (one open per doc, not per frame)
+    val opens = new java.util.concurrent.atomic.AtomicInteger(0)
+
     def createFrameGrab(chan: common.io.ByteBufferSeekableByteChannel): FrameGrab = {
+      opens.incrementAndGet()
       val bytes = new Array[Byte](chan.buf.remaining())
       chan.buf.duplicate().get(bytes)
       new String(bytes, StandardCharsets.UTF_8).split("\n", 3) match {
