@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Chunker, HashEmbedder, KnnSearch, Multimodal, Serving}
+import graft.operators.{Chunker, HashEmbedder, HashTranscriber, KnnSearch, Multimodal, Serving, Transcriber}
 
 /** End-to-end pipeline + serving coverage: ingest (chunk→embed) stats,
   * multimodal decode plumbing, rerank, batch-get, filename search.
@@ -30,6 +30,7 @@ object PipelineQueries {
     "x1_xml_chunks" -> ((s, d) => xmlChunks(s, d)),
     "m2_frame_sample" -> ((s, d) => frameSample(s, d)),
     "m3_blank_pages" -> ((s, d) => blankPages(s, d)),
+    "m4_transcript" -> ((s, d) => transcript(s, d)),
     "r1_rerank" -> ((s, d) => rerank(s, d)),
     "r2_context_assembly" -> ((s, d) => contextAssembly(s, d)),
     "r3_augmented_content" -> ((s, d) => augmentedContent(s, d)),
@@ -277,6 +278,20 @@ object PipelineQueries {
     * reference format string. Frame/transcript series are synthesized from
     * the same md5-deterministic durations as m2, so the whole composition
     * — two as-of joins plus formatting — is value-checked. */
+  /** S8's audio half through the REAL seat plumbing: the video slice of the
+    * media fixture (raw binary column) runs through
+    * [[Transcriber.transcriptChunks]]'s mapPartitions with the
+    * deterministic [[HashTranscriber]] stand-in — the same
+    * bytes→seat→rows path [[HttpTranscriber]] takes in production, every
+    * emitted utterance replayable by the DuckDB oracle. */
+  def transcript(spark: SparkSession, dir: String): DataFrame =
+    Transcriber.transcriptChunks(
+      media(spark, dir).filter(col("kind") === "video"),
+      "media_id", "bytes", HashTranscriber(segmentSec = 20))
+      .select(col("media_id"), col("seg_number").cast("long").as("seg_number"),
+        col("ts"), col("text"))
+      .orderBy("media_id", "seg_number")
+
   def augmentedContent(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.{AsOfJoin, Multimodal}
     val decoded = Multimodal.decode(media(spark, dir))
@@ -488,6 +503,15 @@ object PipelineQueries {
         |FROM v, generate_series(0, 100) AS t(f)
         |WHERE f <= dur // 30
         |ORDER BY media_id, frame_number""".stripMargin,
+    "m4_transcript" ->
+      """WITH v AS (SELECT doc_id AS media_id, text,
+        |    ('0x' || substr(md5(text), 9, 4))::BIGINT % 600 + 1 AS dur
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT media_id, s::BIGINT AS seg_number, (s * 20)::DOUBLE AS ts,
+        |  substr(md5(text || ':' || s), 1, 8) AS text
+        |FROM v, generate_series(0, 100) t(s)
+        |WHERE s <= dur // 20
+        |ORDER BY media_id, seg_number""".stripMargin,
     "m3_blank_pages" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 7 = 0 THEN true

@@ -151,4 +151,52 @@ class EndToEndSpec extends AnyFunSuite {
     assert(top == Seq((200L, 1)),
       s"the decoded frame itself must be the top maxsim hit: $top")
   }
+
+  test("videos -> frames + transcript seat -> as-of -> augmented content (S8 both halves)") {
+    import graft.operators.{AsOfJoin, Multimodal, Transcriber}
+    // pixel half: deterministic frame descriptions per (video, step)
+    object Decoder extends Multimodal.FrameDecoder {
+      override def durationSec(b: Array[Byte]): Double = 65.0
+      override def frameAt(b: Array[Byte], ts: Double): Array[Byte] = {
+        val img = new java.awt.image.BufferedImage(32, 32,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        try {
+          g.setColor(java.awt.Color.WHITE); g.fillRect(0, 0, 32, 32)
+          g.setColor(java.awt.Color.BLACK); g.fillRect(ts.toInt % 24 + 2, 4, 6, 6)
+        } finally g.dispose()
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out); out.toByteArray
+      }
+    }
+    // audio half: a seat emitting one utterance per 20s, text tied to (doc, k)
+    object Stt extends Transcriber.SpeechTranscriber {
+      override def transcribe(b: Array[Byte]): Seq[Transcriber.Segment] =
+        (0 to 3).map(k => Transcriber.Segment(k * 20.0, s"utterance ${b.length} $k"))
+    }
+    val vids = Seq((1L, "clip-one".getBytes), (2L, "clip-number-two".getBytes))
+      .toDF("doc_id", "bytes")
+    val frames = Multimodal.videoFrameChunks(vids, "doc_id", "bytes",
+      Decoder, stepSec = 30)
+      .select(col("doc_id").as("media_id"), col("ts").cast("long").as("ts"),
+        concat_ws(" ", lit("frame"), col("doc_id"), col("chunk_number")).as("frame_desc"))
+    val speech = Transcriber.transcriptChunks(
+      vids.withColumnRenamed("doc_id", "media_id"), "media_id", "bytes", Stt)
+      .select(col("media_id"), col("ts").cast("long").as("ts"),
+        col("text").as("speech_txt"))
+    // a retrieval hit at t=31s on video 2: nearest frame is 30s, nearest
+    // utterance is 40s — the r3 augmented-content composition
+    val hits = Seq((2L, 31L)).toDF("media_id", "ts")
+    val withFrame = AsOfJoin.nearest(hits, frames, "media_id", "ts",
+      Seq("frame_desc"), toleranceSec = 1e12)
+      .select(col("media_id"), col("ts"), col("near_frame_desc"))
+    val augmented = AsOfJoin.nearest(withFrame, speech, "media_id", "ts",
+      Seq("speech_txt"), toleranceSec = 1e12)
+      .select(concat(lit("Frame description: "), col("near_frame_desc"),
+        lit(" \n \n Transcript: "), col("near_speech_txt")).as("augmented"))
+      .as[String].collect().toSeq
+    assert(augmented == Seq(
+      "Frame description: frame 2 1 \n \n Transcript: utterance 15 2"),
+      s"nearest frame (30s) + nearest utterance (40s) assemble the r3 format: $augmented")
+  }
 }
