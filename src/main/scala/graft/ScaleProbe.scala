@@ -187,31 +187,61 @@ object ScaleProbe {
   }
 
   /** IVF recall@10 vs exact, per scale, over 20 seeded query vectors
-    * (vec_id 0..19 — fixed, so the number is reproducible run to run). */
+    * (vec_id 0..19 — fixed, so the number is reproducible run to run).
+    *
+    * Two configurations per grown corpus:
+    *  - `v7cfg` (lists=16, nprobe=8 at every scale) — the original drift
+    *    column: how does the BENCH configuration degrade as data grows
+    *    around it;
+    *  - `kpropn` (lists=16·f, nprobe=8·f) — the k ∝ n OPERATING POINT, the
+    *    same scale contract k2's x64 leg runs at (k=512): constant expected
+    *    list occupancy (~125 vectors) and constant probed fraction (half),
+    *    which is how the index would actually be deployed on a 64× corpus.
+    * The x64 leg rides a dedicated embeddings-only replica dir
+    * ([[genEmbeddingsOnly]]): recall needs no 38M-row lineitem, so it
+    * skips the full x64 table gen. */
   private def recallProbe(spark: SparkSession): Unit = {
     import graft.operators.{IvfIndex, KnnSearch}
-    val dirs = ("x1" -> base) +: factors.map(f => s"x$f" -> s"$root/x$f")
-      .filter { case (_, d) => new java.io.File(d).exists() }
-    dirs.foreach { case (lbl, dir) =>
+    // x64: use the full probe dir when present (x64 timing run already paid
+    // for it), else generate just the embeddings replica
+    val x64dir =
+      if (genCurrent(s"$root/x64")) s"$root/x64"
+      else {
+        if (!genCurrent(s"$root/x64emb")) genEmbeddingsOnly(spark, 64)
+        s"$root/x64emb"
+      }
+    val dirs = (("x1", base, 1) +: factors.map(f => (s"x$f", s"$root/x$f", f))
+      .filter { case (_, d, _) => new java.io.File(d).exists() }) :+
+      (("x64", x64dir, 64))
+    dirs.foreach { case (lbl, dir, factor) =>
       val emb = Tables.embeddings(spark, dir).cache()
-      val (indexed, model) = IvfIndex.build(emb, "embedding", lists = 16)
-      indexed.cache().count()
+      val corpusN = emb.count()
       val queries = emb.filter(col("vec_id") < 20)
         .select("vec_id", "embedding").collect()
         .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
-      val recalls = queries.map { case (qid, q) =>
-        val exact = KnnSearch.topK(emb, "embedding", "vec_id", q, 10,
+      // exact top-10 once per (dir, query), shared across configurations
+      val exactSets = queries.map { case (qid, q) =>
+        qid -> KnnSearch.topK(emb, "embedding", "vec_id", q, 10,
           where = col("vec_id") =!= qid)
           .select("vec_id").collect().map(_.getLong(0)).toSet
-        val approx = IvfIndex.query(indexed, model, "embedding", "vec_id", q,
-          k = 10, nprobe = 8, where = col("vec_id") =!= qid)
-          .select("vec_id").collect().map(_.getLong(0)).toSet
-        exact.intersect(approx).size / 10.0
+      }.toMap
+      val configs = Seq(("v7cfg", 16, 8)) ++
+        (if (factor > 1) Seq(("kpropn", 16 * factor, 8 * factor)) else Nil)
+      configs.foreach { case (tag, lists, nprobe) =>
+        val (indexed, model) = IvfIndex.build(emb, "embedding", lists = lists)
+        indexed.cache().count()
+        val recalls = queries.map { case (qid, q) =>
+          val approx = IvfIndex.query(indexed, model, "embedding", "vec_id", q,
+            k = 10, nprobe = nprobe, where = col("vec_id") =!= qid)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          exactSets(qid).intersect(approx).size / 10.0
+        }
+        println(f"[scale] ivf_recall@10 $lbl%-4s $tag%-6s lists=$lists%-5d " +
+          f"nprobe=$nprobe%-4d mean=${recalls.sum / recalls.length}%.3f " +
+          f"min=${recalls.min}%.2f n=${recalls.length} corpus=$corpusN")
+        indexed.unpersist()
       }
-      println(f"[scale] ivf_recall@10 $lbl%-4s lists=16 nprobe=8 " +
-        f"mean=${recalls.sum / recalls.length}%.3f min=${recalls.min}%.2f " +
-        f"n=${recalls.length} corpus=${emb.count()}")
-      emb.unpersist(); indexed.unpersist()
+      emb.unpersist()
     }
   }
 
@@ -223,7 +253,6 @@ object ScaleProbe {
 
     val maxOrder = Tables.orders(spark, base).agg(max("o_orderkey")).head().getLong(0) + 1
     val maxDoc = Tables.documents(spark, base).agg(max("doc_id")).head().getLong(0) + 1
-    val maxVec = Tables.embeddings(spark, base).agg(max("vec_id")).head().getLong(0) + 1
     val maxEvent = Tables.events(spark, base).agg(max("event_id")).head().getLong(0) + 1
     val maxUser = Tables.events(spark, base).agg(max("user_id")).head().getLong(0) + 1
 
@@ -259,18 +288,41 @@ object ScaleProbe {
     // good neighbor in the same IVF list — so large-x recall measured copy
     // structure, not organic corpus growth. hash() is deterministic, so the
     // probe stays reproducible run to run.
-    write("embeddings", reps(Tables.embeddings(spark, base)) { (df, i) =>
-      val shifted = df.withColumn("vec_id", col("vec_id") + lit(i * maxVec))
-        .withColumn("label", col("label") + lit(i * 1000))
-      if (i == 0) shifted
-      else shifted.withColumn("embedding",
-        transform(col("embedding"), (x, j) =>
-          (x + (pmod(hash(col("vec_id"), lit(i), j), lit(1000)).cast("double")
-            / 1000.0 - 0.5) * 0.05).cast("float"))) })
+    write("embeddings", replicaEmbeddings(spark, n))
     // versioned completion marker: written LAST, so an interrupted gen is
     // re-run instead of silently probed against a partial table mix, and a
     // methodology bump invalidates data from earlier rounds
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$out/_GENOK"), GenVersion)
     println(s"[scale] wrote $out")
+  }
+
+  /** The N× embeddings replica (shared by [[gen]] and [[genEmbeddingsOnly]]):
+    * replica 0 is the original; later replicas get seeded per-element jitter
+    * (±0.025, ~20% of the fixture's component stddev) — verbatim copies made
+    * large-x recall measure copy structure instead of corpus growth. */
+  private def replicaEmbeddings(spark: SparkSession, n: Int): DataFrame = {
+    val maxVec = Tables.embeddings(spark, base).agg(max("vec_id")).head().getLong(0) + 1
+    (0 until n).map { i =>
+      val shifted = Tables.embeddings(spark, base)
+        .withColumn("vec_id", col("vec_id") + lit(i * maxVec))
+        .withColumn("label", col("label") + lit(i * 1000))
+      if (i == 0) shifted
+      else shifted.withColumn("embedding",
+        transform(col("embedding"), (x, j) =>
+          (x + (pmod(hash(col("vec_id"), lit(i), j), lit(1000)).cast("double")
+            / 1000.0 - 0.5) * 0.05).cast("float")))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Embeddings-only N× replica into `$root/x${n}emb` — the recall probe's
+    * x64 corpus without the ~38M-row full table gen (recall reads nothing
+    * but the vector table). Same versioned completion marker as [[gen]]. */
+  private def genEmbeddingsOnly(spark: SparkSession, n: Int): Unit = {
+    val out = s"$root/x${n}emb"
+    replicaEmbeddings(spark, n).repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/_GENOK"), GenVersion)
+    println(s"[scale] wrote $out (embeddings only)")
   }
 }

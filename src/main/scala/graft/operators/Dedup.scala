@@ -552,18 +552,33 @@ object Dedup {
     * paragraph stream, linear in corpus size. */
   def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
                      paras: Column => Column, sep: String = " "): DataFrame = {
-    val base = graft.Tables.scaled(
+    val base = paraBase(docs, idCol, textCol, paras)
+    val pe = paraExplode(base)
+    assembleSurvivors(base, pe.join(paraOwnership(pe), "h")
+      .filter(col("id") === col("oid") && col("idx") === col("oidx")), sep)
+  }
+
+  // shared plumbing of the batch and incremental paragraph-dedup arms
+  private def paraBase(docs: DataFrame, idCol: String, textCol: String,
+                       paras: Column => Column): DataFrame =
+    graft.Tables.scaled(
       docs.select(col(idCol).cast("long").as("id"),
         filter(paras(col(textCol)), p => length(p) > 0).as("ps")))
-    val pe = base
-      .select(col("id"), posexplode(col("ps")).as(Seq("idx", "p")))
-      .withColumn("h", md5(col("p")))
-    val own = pe.groupBy("h")
-      .agg(min(struct(col("id"), col("idx"))).as("o"))
-      .select(col("h"), col("o.id").as("oid"), col("o.idx").as("oidx"))
-    val kept = pe.join(own, "h")
-      .filter(col("id") === col("oid") && col("idx") === col("oidx"))
-      .groupBy("id")
+
+  private def paraExplode(base: DataFrame): DataFrame = base
+    .select(col("id"), posexplode(col("ps")).as(Seq("idx", "p")))
+    .withColumn("h", md5(col("p")))
+
+  /** First-occurrence ownership of each distinct paragraph hash:
+    * `(h, oid, oidx)` via map-side-combined min-struct (see
+    * [[paragraphDedup]]'s 100 TB note). */
+  private def paraOwnership(pe: DataFrame): DataFrame = pe.groupBy("h")
+    .agg(min(struct(col("id"), col("idx"))).as("o"))
+    .select(col("h"), col("o.id").as("oid"), col("o.idx").as("oidx"))
+
+  private def assembleSurvivors(base: DataFrame, keptPe: DataFrame,
+                                sep: String): DataFrame = {
+    val kept = keptPe.groupBy("id")
       .agg(count(lit(1)).as("n_kept"),
         concat_ws(sep, transform(
           sort_array(collect_list(struct(col("idx"), col("p")))),
@@ -574,6 +589,49 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
+
+  /** The accumulated paragraph-ownership index of a corpus — `(h, oid,
+    * oidx)`, one row per DISTINCT paragraph — the state an incremental
+    * crawl carries between batches (the t24 band-index shape at paragraph
+    * granularity). Bootstrap it once over the historical corpus; extend it
+    * per shard with [[paragraphIndexDelta]]. */
+  def paragraphIndex(docs: DataFrame, idCol: String, textCol: String,
+                     paras: Column => Column): DataFrame =
+    paraOwnership(paraExplode(paraBase(docs, idCol, textCol, paras)))
+
+  /** Incremental-crawl paragraph dedup: clean one incoming shard against
+    * the accumulated ownership [[paragraphIndex]]. A paragraph already
+    * owned by the index is removed from every shard doc (left_anti
+    * equi-join on the hash — never all-pairs, index side is
+    * hash-partitioned state); among index-novel paragraphs the shard's own
+    * first occurrence wins, the same (id, idx) rule as the batch pass.
+    * Output schema == [[paragraphDedup]].
+    *
+    * Streaming shape: design rule 8 — a batch function applied per
+    * micro-batch via `foreachBatch`, with the index as the cross-batch
+    * state table (append [[paragraphIndexDelta]]'s rows after each batch).
+    * Processing shards in id order with an index accumulated this way is
+    * VALUE-IDENTICAL to one batch [[paragraphDedup]] over the concatenated
+    * corpus (rebuild-equivalence gated by StreamingParagraphDedupSpec):
+    * min-struct ownership ⇔ first-arrival ownership when ids ascend. */
+  def paragraphDedupAgainst(shard: DataFrame, index: DataFrame,
+                            idCol: String, textCol: String,
+                            paras: Column => Column,
+                            sep: String = " "): DataFrame = {
+    val base = paraBase(shard, idCol, textCol, paras)
+    val novel = paraExplode(base).join(index.select("h"), Seq("h"), "left_anti")
+    assembleSurvivors(base, novel.join(paraOwnership(novel), "h")
+      .filter(col("id") === col("oid") && col("idx") === col("oidx")), sep)
+  }
+
+  /** The ownership rows a shard ADDS to the accumulated index: first
+    * occurrences of paragraphs the index has never seen. Append to the
+    * state table after processing the shard. */
+  def paragraphIndexDelta(shard: DataFrame, index: DataFrame,
+                          idCol: String, textCol: String,
+                          paras: Column => Column): DataFrame =
+    paragraphIndex(shard, idCol, textCol, paras)
+      .join(index.select("h"), Seq("h"), "left_anti")
 
   /** Token-window paragraph splitter for corpora without layout structure:
     * non-overlapping `w`-token windows of the normalized token stream

@@ -111,4 +111,41 @@ class IvfIndexSpec extends AnyFunSuite {
     indexed.unpersist(); e.unpersist()
     assert(mean >= 0.75, s"mean recall@10 = $mean (per-query: ${recalls.mkString(",")})")
   }
+
+  test("k-proportional-to-n operating point clears the floor on a grown corpus") {
+    // The ScaleProbe kpropn column's CI regression gate: replicate the
+    // sf0.01 corpus 4x with the probe's jitter methodology (seeded hash,
+    // ±0.025/component on replicas 1+), grow lists with the corpus
+    // (16 -> 64, constant expected occupancy) and keep the half-probe
+    // fraction (nprobe=32). Measured x4 at sf0.1 scale: mean 0.915; this
+    // seeded CI corpus measures its own deterministic value — the floor
+    // guards the quantizer/probe path, not the exact number.
+    val base = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val maxVec = base.agg(max("vec_id")).head().getLong(0) + 1
+    val e = (0 until 4).map { i =>
+      val shifted = base.withColumn("vec_id", col("vec_id") + lit(i * maxVec))
+      if (i == 0) shifted
+      else shifted.withColumn("embedding",
+        transform(col("embedding"), (x, j) =>
+          (x + (pmod(hash(col("vec_id"), lit(i), j), lit(1000)).cast("double")
+            / 1000.0 - 0.5) * 0.05).cast("float")))
+    }.reduce(_ unionByName _).cache()
+    val (indexed, model) = IvfIndex.build(e, "embedding", lists = 64)
+    indexed.cache().count()
+    val queries = e.filter(col("vec_id") < 20).select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val recalls = queries.map { case (qid, qv) =>
+      val exact = KnnSearch.topK(e, "embedding", "vec_id", qv, 10,
+        col("vec_id") =!= qid)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val approx = IvfIndex.query(indexed, model, "embedding", "vec_id", qv,
+        10, nprobe = 32, where = col("vec_id") =!= qid)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      exact.intersect(approx).size / 10.0
+    }
+    val mean = recalls.sum / recalls.length
+    indexed.unpersist(); e.unpersist()
+    assert(mean >= 0.75,
+      s"kpropn mean recall@10 = $mean (per-query: ${recalls.mkString(",")})")
+  }
 }
