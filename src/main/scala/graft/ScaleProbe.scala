@@ -266,8 +266,10 @@ object ScaleProbe {
       df.withColumn("o_orderkey", col("o_orderkey") + lit(i * maxOrder)) })
     write("lineitem", reps(Tables.lineitem(spark, base)) { (df, i) =>
       df.withColumn("l_orderkey", col("l_orderkey") + lit(i * maxOrder)) })
-    // keep ts as the raw nanos long so Tables.events' read path (nanosAsLong
-    // + div 1000) applies identically to the replica
+    // replicate events from the RAW table read (not Tables.events'
+    // normalized view) so the replica keeps the generator's own ts layout —
+    // long-nanos through r7, timestamp[us] since r8 — and Tables.events'
+    // schema dispatch applies identically to base and replica
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     write("events", reps(Tables.table(spark, base, "events")) { (df, i) =>
       df.withColumn("event_id", col("event_id") + lit(i * maxEvent))

@@ -189,6 +189,37 @@ class PlanGuardSpec extends AnyFunSuite {
       s"paragraph dedup went all-pairs:\n$p")
   }
 
+  test("e7_resample_locf: grid explode bounded per key; fill is ONE shuffle, no range join") {
+    val p = executedPlan("e7_resample_locf")
+    // the tick grid must come from a per-key bounds aggregate + explode,
+    // and the LOCF fill from the union-window backward as-of — a range/
+    // theta join here would be the O(grid x events) shape this operator
+    // exists to avoid
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"resample fill went non-equi:\n$p")
+    assert(p.contains("Generate explode"), s"grid explode missing:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_max"),
+      s"per-key bounds lost their map-side combine:\n$p")
+  }
+
+  test("e8_ohlc: one map-side-combined aggregation, join-free") {
+    val p = executedPlan("e8_ohlc")
+    assert(!p.contains("Join"), s"OHLC rollup must not join:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_min_by"),
+      s"OHLC lost its map-side combine (hot keys concentrate):\n$p")
+  }
+
+  test("m4_transcript: seat plumbing is one narrow mapPartitions, shuffle-free scoring path") {
+    val p = executedPlan("m4_transcript")
+    assert(!p.contains("Join"), s"transcript explode must not join:\n$p")
+    // one MapPartitions (or the serialized mapPartitions pair) and the
+    // final presentation sort only — no mid-plan aggregation or shuffle
+    // between bytes and utterance rows
+    assert(p.contains("MapPartitions"), s"transcriber seat not mapPartitions:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"transcript path grew an aggregation it doesn't need:\n$p")
+  }
+
   test("t34_langid_trained: profile table broadcast; only the |labels| side nests") {
     val df = SparkEntry.queries("t34_langid_trained")(spark, dir)
     df.collect()
