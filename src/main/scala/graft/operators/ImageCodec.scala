@@ -91,6 +91,65 @@ object ImageCodec {
     } catch { case _: Exception => false }
   }
 
+  /** Difference hash (dHash) — the standard perceptual fingerprint for
+    * image near-dup detection at corpus scale (the LAION-style dedup pass;
+    * pHash-family, Krawetz 2013): grayscale the image, downsample to 9×8 by
+    * integer AREA AVERAGE (deterministic: no filter kernels, no float
+    * accumulation — sums of integer luma over exact pixel boxes), then one
+    * bit per horizontally-adjacent pair, set iff the right cell is
+    * BRIGHTER. 64 bits; near-duplicates land within a few bits of Hamming
+    * distance regardless of re-encode, resize, or mild brightness shifts.
+    * Luma is the same ITU-R 601-2 16.16 fixed point as [[isBlank]]. A 9×8
+    * input hashes its own pixels (identity downsample) — what pins the m5
+    * oracle. None for undecodable/empty-dimension bytes. */
+  def dHash(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth == 0 || img.getHeight == 0) return None
+    val (w, h) = (img.getWidth, img.getHeight)
+    // integer area-average downsample to 9x8: cell (cx, cy) averages the
+    // pixel box [cx*w/9, (cx+1)*w/9) x [cy*h/8, (cy+1)*h/8)
+    val cell = Array.ofDim[Long](8, 9)
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 9) {
+        val x0 = cx * w / 9; val x1 = math.max((cx + 1) * w / 9, x0 + 1)
+        val y0 = cy * h / 8; val y1 = math.max((cy + 1) * h / 8, y0 + 1)
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += (((rgb >> 16) & 0xff) * 19595 + ((rgb >> 8) & 0xff) * 38470 +
+              (rgb & 0xff) * 7471) >> 16
+            x += 1
+          }
+          y += 1
+        }
+        cell(cy)(cx) = sum / ((x1 - x0).toLong * (y1 - y0))
+        cx += 1
+      }
+      cy += 1
+    }
+    var hash = 0L
+    var k = 0
+    cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        if (cell(cy)(cx + 1) > cell(cy)(cx)) hash |= 1L << k
+        k += 1
+        cx += 1
+      }
+      cy += 1
+    }
+    Some(hash)
+  }
+
   private def fallback(bytes: Array[Byte], mime: String): Normalized =
     Normalized(s"data:$mime;base64," + Base64.getEncoder.encodeToString(bytes),
       -1, -1, resized = false, decoded = false)

@@ -211,4 +211,58 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /** Perceptual-hash fingerprints of an image column: `(id, dhash)` rows
+    * from real pixel decode ([[ImageCodec.dHash]] inside one
+    * mapPartitions — the [[videoFrameChunks]] scale shape, no shuffle);
+    * undecodable bytes contribute no row (the dedup pass cannot judge what
+    * it cannot see — the m3 blank-gate keeps such pages, this drops them
+    * from DEDUP only). */
+  def imageDHashes(images: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("dhash", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idIdx = images.schema.fieldIndex(idCol)
+    val bIdx = images.schema.fieldIndex(bytesCol)
+    images.mapPartitions { rows =>
+      rows.flatMap { r =>
+        ImageCodec.dHash(r.getAs[Array[Byte]](bIdx))
+          .map(h => Row(r.getLong(idIdx), h)).iterator
+      }
+    }(enc)
+  }
+
+  /** Image near-duplicate pairs — the LAION-style image dedup pass: pairs
+    * whose dHashes differ in at most `maxHamming` bits. Blocking is the
+    * SimHash pigeonhole on the 64-bit hash split into 4 16-bit blocks: any
+    * pair within Hamming ≤ 3 agrees on at least one block, so candidates
+    * come from an equi-join on (block index, block value) — never
+    * all-pairs — and the Hamming popcount is computed and thresholded
+    * straight off the collision row (codegen'd `bit_count(a^b)`), so
+    * chance block collisions never reach the pair-dedup shuffle.
+    * Output `(id_a, id_b, hamming)`, id_a < id_b.
+    *
+    * 100 TB shape: decode is map-only; the block explode is a fixed 4× of
+    * the fingerprint stream (8 bytes/row, not pixels); the join keys are
+    * hash-uniform 16-bit blocks. Same envelope as [[Dedup.simhashNearDups]]
+    * (maxHamming > 3 would need more/narrower blocks — `require`d). */
+  def imageNearDups(images: DataFrame, idCol: String, bytesCol: String,
+                    maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit blocking is pigeonhole-complete only to Hamming 3 (got $maxHamming)")
+    val blocked = imageDHashes(images, idCol, bytesCol)
+      .select(col("id"), col("dhash"),
+        explode(sequence(lit(0), lit(3))).as("block_idx"))
+      // arithmetic shift + mask == logical 16-bit block even when bit 63
+      // is set (internal fixed column names, no escaping hazard)
+      .withColumn("blk", expr("shiftright(dhash, 16 * block_idx) & 65535"))
+    val a = blocked.as("a"); val b = blocked.as("b")
+    a.join(b, col("a.block_idx") === col("b.block_idx") &&
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

@@ -31,6 +31,7 @@ object PipelineQueries {
     "m2_frame_sample" -> ((s, d) => frameSample(s, d)),
     "m3_blank_pages" -> ((s, d) => blankPages(s, d)),
     "m4_transcript" -> ((s, d) => transcript(s, d)),
+    "m5_image_dhash" -> ((s, d) => imageNearDups(s, d)),
     "r1_rerank" -> ((s, d) => rerank(s, d)),
     "r2_context_assembly" -> ((s, d) => contextAssembly(s, d)),
     "r3_augmented_content" -> ((s, d) => augmentedContent(s, d)),
@@ -292,6 +293,51 @@ object PipelineQueries {
         col("ts"), col("text"))
       .orderBy("media_id", "seg_number")
 
+  /** Image near-dup dedup (LAION-style) on REAL pixels: each doc < 200
+    * becomes a 9×8 grayscale STAIRCASE PNG that encodes a known 60-bit
+    * pattern in its horizontal brightness comparisons — row y starts at
+    * luma 128 and steps ±10 per cell according to bit (y·8+x) of
+    *   H(doc) = base(doc % 5) XOR (doc % 7 == 0 ? 1 << (doc % 60) : 0),
+    *   base(g) = first 15 md5 hex chars of "g:<g>" (60 bits, positive),
+    * so ImageIO decode → integer-luma dHash recovers H EXACTLY (9×8 input
+    * = identity downsample; r=g=b=v makes the 601-2 luma v itself) and the
+    * oracle replays the whole pass — hashes, pigeonhole blocking, XOR
+    * popcount — in integer SQL. Within a group pairs sit at Hamming 0/1/2
+    * (flip-vs-base/flip-vs-flip); across groups md5-random bases stay far
+    * apart. The pixel path (encode→decode→downsample→compare) is the same
+    * code real scanned images take. */
+  def imageNearDups(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id")).as[Long]
+    val withBytes = docs.map { id =>
+      val g = id % 5
+      val md5hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"g:$g".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      val base = java.lang.Long.parseLong(md5hex.substring(0, 15), 16)
+      val h = if (id % 7 == 0) base ^ (1L << (id % 60).toInt) else base
+      val img = new java.awt.image.BufferedImage(
+        9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 8) {
+        var v = 128
+        img.setRGB(0, y, (v << 16) | (v << 8) | v)
+        var x = 0
+        while (x < 8) {
+          v += (if (((h >> (y * 8 + x)) & 1L) == 1L) 10 else -10)
+          img.setRGB(x + 1, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      (id, out.toByteArray)
+    }.toDF("doc_id", "bytes")
+    Multimodal.imageNearDups(withBytes, "doc_id", "bytes", maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  }
+
   def augmentedContent(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.{AsOfJoin, Multimodal}
     val decoded = Multimodal.decode(media(spark, dir))
@@ -503,6 +549,20 @@ object PipelineQueries {
         |FROM v, generate_series(0, 100) AS t(f)
         |WHERE f <= dur // 30
         |ORDER BY media_id, frame_number""".stripMargin,
+    "m5_image_dhash" ->
+      """WITH d AS (SELECT doc_id,
+        |    ('0x' || substr(md5('g:' || (doc_id % 5)), 1, 15))::BIGINT AS base
+        |  FROM documents WHERE doc_id < 200),
+        |h AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN xor(base, 1::BIGINT << (doc_id % 60)::INT)
+        |         ELSE base END AS dh
+        |  FROM d)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  bit_count(xor(a.dh, b.dh))::BIGINT AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.dh, b.dh)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     "m4_transcript" ->
       """WITH v AS (SELECT doc_id AS media_id, text,
         |    ('0x' || substr(md5(text), 9, 4))::BIGINT % 600 + 1 AS dur

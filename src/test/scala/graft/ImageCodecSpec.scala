@@ -109,6 +109,44 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(kept == Seq(2L, 4L))
   }
 
+  /** 9x8 grayscale staircase encoding `bits` in horizontal comparisons —
+    * the m5 fixture construction, scaled by `scale` to exercise the
+    * area-average downsample. */
+  private def staircase(bits: Long, scale: Int = 1): Array[Byte] = {
+    val img = new BufferedImage(9 * scale, 8 * scale, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8) {
+      var v = 128
+      val vals = Array.tabulate(9) { x =>
+        if (x > 0) v += (if (((bits >> (y * 8 + (x - 1))) & 1L) == 1L) 10 else -10)
+        v
+      }
+      for (x <- 0 until 9; sy <- 0 until scale; sx <- 0 until scale)
+        img.setRGB(x * scale + sx, y * scale + sy,
+          (vals(x) << 16) | (vals(x) << 8) | vals(x))
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("dHash recovers the encoded bit pattern from real PNG round trip") {
+    val bits = 0x0badf00ddeadbeeL // 60-bit pattern
+    assert(ImageCodec.dHash(staircase(bits)) == Some(bits))
+    assert(ImageCodec.dHash(staircase(0L)) == Some(0L))
+  }
+
+  test("dHash is downsample-invariant: a 4x-scaled image hashes identically") {
+    val bits = 0x123456789abcdefL
+    assert(ImageCodec.dHash(staircase(bits, scale = 4)) ==
+      ImageCodec.dHash(staircase(bits)))
+  }
+
+  test("dHash: undecodable or empty bytes hash to None") {
+    assert(ImageCodec.dHash(Array.emptyByteArray).isEmpty)
+    assert(ImageCodec.dHash("not an image".getBytes).isEmpty)
+    assert(ImageCodec.dHash(null).isEmpty)
+  }
+
   test("normalizeColumn runs the codec per partition over binary columns") {
     import spark.implicits._
     val df = Seq(
