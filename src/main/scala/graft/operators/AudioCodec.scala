@@ -1,0 +1,127 @@
+package graft.operators
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.types._
+
+/** Pure-JDK audio container path — the audio-modality analog of
+  * [[ImageCodec]] (S8's ingestion half before the [[Transcriber]] STT
+  * seat; reference `parse_video.py` hands audio to AssemblyAI whole, but a
+  * 100 TB audio corpus needs container-level curation BEFORE paying for
+  * transcription). RIFF/WAVE PCM parsing is a fixed-offset binary format —
+  * no codec library needed — and the two curation signals every audio
+  * pipeline front door runs are:
+  *
+  *  - header metadata (sample rate / channels / bit depth / duration) for
+  *    format gating and cost estimation;
+  *  - windowed MEAN-ABSOLUTE-AMPLITUDE, the silence gate — the exact
+  *    analog of the blank-page gate m3 value-checks ([[ImageCodec.isBlank]]):
+  *    don't transcribe, embed, or store windows of nothing. Integer
+  *    arithmetic end to end (sum of |16-bit samples| over an exact window),
+  *    so the m6 oracle replays it from first principles.
+  *
+  * Scale shape: both run inside mapPartitions over the binary column —
+  * map-only, no shuffle, same envelope as every other codec seat.
+  */
+object AudioCodec {
+
+  /** Parsed RIFF/WAVE header + location of the PCM payload. */
+  case class WavInfo(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                     nSamples: Long, dataOffset: Int, dataLen: Int) {
+    def durationSec: Double =
+      if (sampleRate == 0) 0.0 else nSamples.toDouble / sampleRate
+  }
+
+  /** Parse a RIFF/WAVE header: format chunk + data chunk walk (chunks may
+    * appear in any order, with pad bytes). None for non-WAV/truncated
+    * bytes or non-PCM encodings. */
+  def parseWav(bytes: Array[Byte]): Option[WavInfo] = {
+    if (bytes == null || bytes.length < 44) return None
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    if (bb.getInt(0) != 0x46464952 /* "RIFF" */ ||
+        bb.getInt(8) != 0x45564157 /* "WAVE" */) return None
+    var off = 12
+    var rate = 0; var ch = 0; var bits = 0; var fmt = 0
+    var dOff = -1; var dLen = 0
+    while (off + 8 <= bytes.length) {
+      val id = bb.getInt(off)
+      val len = bb.getInt(off + 4)
+      if (len < 0 || off + 8 + len > bytes.length) return None
+      if (id == 0x20746d66 /* "fmt " */ && len >= 16) {
+        fmt = bb.getShort(off + 8) & 0xffff
+        ch = bb.getShort(off + 10) & 0xffff
+        rate = bb.getInt(off + 12)
+        bits = bb.getShort(off + 22) & 0xffff
+      } else if (id == 0x61746164 /* "data" */) {
+        dOff = off + 8; dLen = len
+      }
+      off += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    if (fmt != 1 /* PCM */ || rate <= 0 || ch <= 0 ||
+        (bits != 8 && bits != 16) || dOff < 0) None
+    else Some(WavInfo(rate, ch, bits,
+      dLen.toLong / (ch * bits / 8), dOff, dLen))
+  }
+
+  /** Mean absolute amplitude of window `w` (0-based, `windowSamples` per
+    * window, last window may be short): integer sum of |sample| over all
+    * channels / sample count. 16-bit signed or 8-bit unsigned (offset-128)
+    * PCM. */
+  private def windowMeanAbs(bytes: Array[Byte], info: WavInfo,
+                            w: Long, windowSamples: Int): Long = {
+    val start = w * windowSamples
+    val end = math.min(start + windowSamples, info.nSamples)
+    var sum = 0L
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    var s = start
+    while (s < end) {
+      var c = 0
+      while (c < info.channels) {
+        val v: Int =
+          if (info.bitsPerSample == 16)
+            bb.getShort(info.dataOffset + ((s * info.channels + c) * 2).toInt).toInt
+          else (bytes(info.dataOffset + (s * info.channels + c).toInt) & 0xff) - 128
+        sum += math.abs(v)
+        c += 1
+      }
+      s += 1
+    }
+    val n = (end - start) * info.channels
+    if (n == 0) 0L else sum / n
+  }
+
+  /** Per-window audio activity rows: `(id, window, mean_abs, is_silence)` —
+    * one row per `windowSec` of audio. Undecodable / non-PCM bytes
+    * contribute no rows (same contract as [[Multimodal.imageDHashes]]:
+    * curation can't judge what it can't parse; a format gate upstream
+    * reports those). `silenceThreshold` is in sample units (16-bit scale;
+    * 8-bit is internally offset to signed). */
+  def activityWindows(audio: DataFrame, idCol: String, bytesCol: String,
+                      windowSec: Double = 1.0,
+                      silenceThreshold: Long = 100L): DataFrame = {
+    require(windowSec > 0, s"activityWindows needs windowSec>0 (got $windowSec)")
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("window", LongType, nullable = false),
+      StructField("mean_abs", LongType, nullable = false),
+      StructField("is_silence", BooleanType, nullable = false)))
+    val enc = RowEncoder.encoderFor(schema)
+    val idIdx = audio.schema.fieldIndex(idCol)
+    val bIdx = audio.schema.fieldIndex(bytesCol)
+    audio.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](bIdx)
+        parseWav(bytes).iterator.flatMap { info =>
+          val ws = math.max(1, (windowSec * info.sampleRate).toLong)
+          val nW = (info.nSamples + ws - 1) / ws
+          (0L until nW).iterator.map { w =>
+            val m = windowMeanAbs(bytes, info, w, ws.toInt)
+            Row(r.getLong(idIdx), w, m, m < silenceThreshold)
+          }
+        }
+      }
+    }(enc)
+  }
+}

@@ -32,6 +32,7 @@ object PipelineQueries {
     "m3_blank_pages" -> ((s, d) => blankPages(s, d)),
     "m4_transcript" -> ((s, d) => transcript(s, d)),
     "m5_image_dhash" -> ((s, d) => imageNearDups(s, d)),
+    "m6_audio_activity" -> ((s, d) => audioActivity(s, d)),
     "r1_rerank" -> ((s, d) => rerank(s, d)),
     "r2_context_assembly" -> ((s, d) => contextAssembly(s, d)),
     "r3_augmented_content" -> ((s, d) => augmentedContent(s, d)),
@@ -338,6 +339,57 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Audio silence-gate curation on REAL RIFF/WAVE bytes: each doc < 200
+    * (except % 11 == 0, which plants non-WAV junk → format-gated, zero
+    * rows) becomes a genuine PCM WAV — 8 kHz mono 16-bit, (doc%3)+1
+    * seconds, a ±(doc%50)·40 square wave on even seconds and digital
+    * silence on odd ones — parsed by the fixed-offset RIFF walk and
+    * windowed into integer mean-absolute-amplitude rows. Every emitted
+    * value is exact integer arithmetic (|±A| = A), so the oracle replays
+    * the whole pass; the silence flag is the m3 blank-gate analog for the
+    * audio modality (don't transcribe/embed windows of nothing). */
+  def audioActivity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id")).as[Long]
+    val withBytes = docs.map { id =>
+      val bytes: Array[Byte] =
+        if (id % 11 == 0) s"junk-not-a-wav-$id".getBytes("UTF-8")
+        else {
+          val rate = 8000
+          val nSec = (id % 3).toInt + 1
+          val amp = ((id % 50) * 40).toInt
+          val n = rate * nSec
+          val dataLen = n * 2
+          val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.putInt(0x46464952); bb.putInt(36 + dataLen); bb.putInt(0x45564157)
+          bb.putInt(0x20746d66); bb.putInt(16)
+          bb.putShort(1); bb.putShort(1)         // PCM, mono
+          bb.putInt(rate); bb.putInt(rate * 2)   // byte rate
+          bb.putShort(2); bb.putShort(16)        // block align, bits
+          bb.putInt(0x61746164); bb.putInt(dataLen)
+          var s = 0
+          while (s < n) {
+            val a = if ((s / rate) % 2 == 1) 0 else amp
+            bb.putShort((if ((s / 4) % 2 == 0) a else -a).toShort)
+            s += 1
+          }
+          bb.array()
+        }
+      (id, bytes)
+    }.toDF("doc_id", "bytes")
+    graft.operators.AudioCodec
+      .activityWindows(withBytes, "doc_id", "bytes",
+        windowSec = 1.0, silenceThreshold = 100L)
+      // `window` is a reserved word in DuckDB and the driver's compare
+      // interpolates column names unquoted — alias it out of the registry
+      // surface
+      .select(col("id"), col("window").as("win"), col("mean_abs"),
+        col("is_silence"))
+      .orderBy("id", "win")
+  }
+
   def augmentedContent(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.{AsOfJoin, Multimodal}
     val decoded = Multimodal.decode(media(spark, dir))
@@ -549,6 +601,17 @@ object PipelineQueries {
         |FROM v, generate_series(0, 100) AS t(f)
         |WHERE f <= dur // 30
         |ORDER BY media_id, frame_number""".stripMargin,
+    "m6_audio_activity" ->
+      """WITH d AS (SELECT doc_id FROM documents
+        |           WHERE doc_id < 200 AND doc_id % 11 <> 0),
+        |w AS (SELECT doc_id, s AS win FROM d, generate_series(0, 2) t(s)
+        |      WHERE s <= doc_id % 3),
+        |m AS (SELECT doc_id, win,
+        |    CASE WHEN win % 2 = 1 THEN 0 ELSE (doc_id % 50) * 40 END AS amp
+        |  FROM w)
+        |SELECT doc_id AS id, win::BIGINT AS win, amp::BIGINT AS mean_abs,
+        |  amp < 100 AS is_silence
+        |FROM m ORDER BY id, win""".stripMargin,
     "m5_image_dhash" ->
       """WITH d AS (SELECT doc_id,
         |    ('0x' || substr(md5('g:' || (doc_id % 5)), 1, 15))::BIGINT AS base

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.AudioCodec
+
+/** RIFF/WAVE parse + windowed activity: header fields, chunk-order and
+  * padding robustness, 8/16-bit paths, malformed-byte rejection. */
+class AudioCodecSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def wav16(rate: Int, channels: Int, samples: Seq[Short],
+                    extraChunkFirst: Boolean = false): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val extra = if (extraChunkFirst) 8 + 4 else 0 // "LIST" chunk with 4 bytes
+    val bb = ByteBuffer.allocate(44 + dataLen + extra).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(0x46464952); bb.putInt(36 + dataLen + extra); bb.putInt(0x45564157)
+    if (extraChunkFirst) { bb.putInt(0x5453494c); bb.putInt(4); bb.putInt(0) }
+    bb.putInt(0x20746d66); bb.putInt(16)
+    bb.putShort(1); bb.putShort(channels.toShort)
+    bb.putInt(rate); bb.putInt(rate * channels * 2)
+    bb.putShort((channels * 2).toShort); bb.putShort(16)
+    bb.putInt(0x61746164); bb.putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  test("parseWav reads rate/channels/bits/duration; tolerates leading chunks") {
+    val w = wav16(8000, 2, Seq.fill(1600)(1000.toShort), extraChunkFirst = true)
+    val info = AudioCodec.parseWav(w).get
+    assert(info.sampleRate == 8000 && info.channels == 2 && info.bitsPerSample == 16)
+    assert(info.nSamples == 800) // 1600 shorts / 2 channels
+    assert(info.durationSec == 0.1)
+  }
+
+  test("parseWav rejects junk, truncated, and non-PCM bytes") {
+    assert(AudioCodec.parseWav("nope".getBytes).isEmpty)
+    assert(AudioCodec.parseWav(null).isEmpty)
+    val good = wav16(8000, 1, Seq.fill(100)(5.toShort))
+    assert(AudioCodec.parseWav(good.take(30)).isEmpty)
+    // declare a float (fmt=3) encoding -> refused
+    val f = good.clone(); f(20) = 3
+    assert(AudioCodec.parseWav(f).isEmpty)
+    // a data chunk whose declared length overruns the bytes -> refused
+    val o = good.clone()
+    ByteBuffer.wrap(o).order(ByteOrder.LITTLE_ENDIAN).putInt(40, 100000)
+    assert(AudioCodec.parseWav(o).isEmpty)
+  }
+
+  test("activityWindows: exact integer means per window, silence flagged, junk dropped") {
+    import spark.implicits._
+    // doc 1: 2 windows at 4 samples/window -> means 100 and 0 (silent)
+    val d1 = wav16(4, 1, Seq[Short](100, -100, 100, -100, 0, 0, 0, 0))
+    // doc 2: stereo, one window, |200|+|50| avg = 125
+    val d2 = wav16(4, 2, Seq[Short](200, 50, -200, -50, 200, 50, -200, -50))
+    val df = Seq((1L, d1), (2L, d2), (3L, "junk".getBytes))
+      .toDF("doc_id", "bytes")
+    val got = AudioCodec.activityWindows(df, "doc_id", "bytes",
+      windowSec = 1.0, silenceThreshold = 50L)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, 0L, 100L, false), (1L, 1L, 0L, true),
+      (2L, 0L, 125L, false)))
+  }
+}
