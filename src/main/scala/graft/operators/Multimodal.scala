@@ -251,12 +251,7 @@ object Multimodal {
                     maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4x16-bit blocking is pigeonhole-complete only to Hamming 3 (got $maxHamming)")
-    val blocked = imageDHashes(images, idCol, bytesCol)
-      .select(col("id"), col("dhash"),
-        explode(sequence(lit(0), lit(3))).as("block_idx"))
-      // arithmetic shift + mask == logical 16-bit block even when bit 63
-      // is set (internal fixed column names, no escaping hazard)
-      .withColumn("blk", expr("shiftright(dhash, 16 * block_idx) & 65535"))
+    val blocked = blockKeys(imageDHashes(images, idCol, bytesCol))
     val a = blocked.as("a"); val b = blocked.as("b")
     a.join(b, col("a.block_idx") === col("b.block_idx") &&
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
@@ -264,5 +259,46 @@ object Multimodal {
         bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  private def blockKeys(hashes: DataFrame): DataFrame = hashes
+    .select(col("id"), col("dhash"),
+      explode(sequence(lit(0), lit(3))).as("block_idx"))
+    // arithmetic shift + mask == logical 16-bit block even when bit 63
+    // is set (internal fixed column names, no escaping hazard)
+    .withColumn("blk", expr("shiftright(dhash, 16 * block_idx) & 65535"))
+
+  /** The accumulated image-fingerprint index — block-exploded dHash rows
+    * of the historical corpus (the t24 band-index shape for images).
+    * Build once over the corpus; incoming batches match against it with
+    * [[imageMatchAgainst]] without re-decoding a pixel of the corpus. */
+  def imageDHashIndex(images: DataFrame, idCol: String,
+                      bytesCol: String): DataFrame =
+    blockKeys(imageDHashes(images, idCol, bytesCol))
+
+  /** Incoming-vs-corpus image near-dup matching — the incremental-crawl
+    * pass for the image modality: decode + hash ONLY the incoming batch,
+    * equi-join the corpus index on (block index, block value), keep the
+    * per-image best match (lowest Hamming, smallest corpus id tiebreak).
+    * Streaming shape: a batch function applied per micro-batch via
+    * `foreachBatch` (design rule 8), index static within a batch —
+    * StreamingImageDedupSpec drives exactly that. Output
+    * `(id, corpus_id, hamming)`, one row per matched incoming image. */
+  def imageMatchAgainst(incoming: DataFrame, index: DataFrame,
+                        idCol: String, bytesCol: String,
+                        maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit blocking is pigeonhole-complete only to Hamming 3 (got $maxHamming)")
+    val q = blockKeys(imageDHashes(incoming, idCol, bytesCol)).as("q")
+    val hits = q.join(index.as("x"),
+        col("q.block_idx") === col("x.block_idx") && col("q.blk") === col("x.blk"))
+      .select(col("q.id").as("id"), col("x.id").as("corpus_id"),
+        bit_count(col("q.dhash").bitwiseXOR(col("x.dhash"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+    hits.groupBy("id")
+      .agg(min(struct(col("hamming"), col("corpus_id"))).as("m"))
+      .select(col("id"), col("m.corpus_id").as("corpus_id"),
+        col("m.hamming").as("hamming"))
   }
 }

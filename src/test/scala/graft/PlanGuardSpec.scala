@@ -220,6 +220,22 @@ class PlanGuardSpec extends AnyFunSuite {
       s"transcript path grew an aggregation it doesn't need:\n$p")
   }
 
+  test("m5_image_dhash: candidates from the block equi-join, never all-pairs") {
+    val p = executedPlan("m5_image_dhash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"image near-dup went all-pairs:\n$p")
+    // the self-join must key on (block_idx, blk) — a SortMergeJoin or
+    // broadcast HASH join on those keys is fine; pixel decode never joins
+    assert(p.contains("block_idx"), s"pigeonhole block key missing from plan:\n$p")
+  }
+
+  test("m6_audio_activity: map-only window stream — no join, no aggregation") {
+    val p = executedPlan("m6_audio_activity")
+    assert(!p.contains("Join"), s"audio windows must not join:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"audio path grew an aggregation it doesn't need:\n$p")
+  }
+
   test("t34_langid_trained: profile table broadcast; only the |labels| side nests") {
     val df = SparkEntry.queries("t34_langid_trained")(spark, dir)
     df.collect()
