@@ -322,17 +322,32 @@ object Corpus {
 
   /** Exact per-stratum heavy hitters: top-k tokens by frequency (count desc,
     * token asc tiebreak). Explode → hash-groupBy with map-side combine →
-    * per-stratum top-k window. At 100 TB the groupBy output is |vocab| ×
-    * |strata| rows — small — and the window partitions by stratum; a
-    * count-min sketch + candidate verify replaces the exact count only when
-    * the vocabulary itself is unbounded. */
+    * SALTED two-phase top-k. The naive single window
+    * `partitionBy(stratum)` is a 100 TB trap when |strata| is small (5
+    * languages): it funnels the ENTIRE vocabulary — billions of distinct
+    * web tokens — through |strata| sort tasks. Instead phase 1 ranks
+    * within (stratum, hash-salt) across `salts` parallel partitions and
+    * keeps k per salt (any global top-k token is top-k within its own
+    * salt, so no candidate is lost); phase 2 ranks the |strata|·salts·k
+    * survivors — a few thousand rows at any corpus size. Results are
+    * bit-identical to the single-window form. A count-min sketch +
+    * candidate verify ([[cmsHeavyTokens]]) replaces the exact count only
+    * when the vocabulary itself must not be materialized. */
   def heavyHitters(df: DataFrame, strataCol: String, textCol: String,
-                   k: Int): DataFrame = {
+                   k: Int, salts: Int = 32): DataFrame = {
+    require(salts >= 1, s"heavyHitters needs salts>=1 (got $salts)")
     val counts = graft.Tables.scaled(
       df.select(col(strataCol).as("stratum"), col(textCol).as("t")))
       .select(col("stratum"), explode(text.tokens(col("t"))).as("token"))
       .groupBy("stratum", "token").agg(count(lit(1)).as("cnt"))
-    counts.withColumn("rank",
+    val localTop = counts
+      .withColumn("__salt", pmod(hash(col("token")), lit(salts)))
+      .withColumn("__lr",
+        row_number().over(Window.partitionBy("stratum", "__salt")
+          .orderBy(col("cnt").desc, col("token").asc)))
+      .filter(col("__lr") <= k)
+      .drop("__salt", "__lr")
+    localTop.withColumn("rank",
       row_number().over(Window.partitionBy("stratum")
         .orderBy(col("cnt").desc, col("token").asc)))
       .filter(col("rank") <= k)
@@ -617,8 +632,17 @@ object Corpus {
     val grams = base.select(col("id"), col("label"), col("is_seed"),
       explode(transform(sequence(lit(1), length(col("norm")) - (n - 1)),
         i => col("norm").substr(i, lit(n)))).as("gram"))
+    // salted two-phase top-profileK (the heavyHitters pattern): a plain
+    // partitionBy(label) window funnels the whole per-label gram table
+    // through |labels| sort tasks — char-n-gram space is charset^n-bounded
+    // so this is survivable, but the salted form keeps the fat sort
+    // parallel and is bit-identical (any top-K gram is top-K in its salt)
     val profile = grams.filter(col("is_seed"))
       .groupBy("label", "gram").agg(count(lit(1)).as("c"))
+      .withColumn("__salt", pmod(hash(col("gram")), lit(32)))
+      .withColumn("__lr", row_number().over(
+        Window.partitionBy("label", "__salt").orderBy(col("c").desc, col("gram"))))
+      .filter(col("__lr") <= profileK)
       .withColumn("lrank", row_number().over(
         Window.partitionBy("label").orderBy(col("c").desc, col("gram"))))
       .filter(col("lrank") <= profileK)

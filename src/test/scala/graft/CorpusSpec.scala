@@ -115,6 +115,21 @@ class CorpusSpec extends AnyFunSuite {
     assert(top(1)._2 == "aaa" && top(2)._2 == "bbb")
   }
 
+  test("heavyHitters salted two-phase top-k == single-window ranking (the 100 TB path)") {
+    // the salted plan must be BIT-IDENTICAL to salts=1 (one global window):
+    // any global top-k token is top-k within its own salt, so phase 1
+    // loses no candidate — including under heavy cnt ties, where the
+    // token-asc tiebreak decides membership
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("lang"), col("text"))
+    def run(salts: Int) = Corpus.heavyHitters(docs, "lang", "text", k = 10,
+        salts = salts)
+      .select("stratum", "token", "cnt", "rank")
+      .as[(String, String, Long, Int)].collect().sortBy(t => (t._1, t._4)).toSeq
+    assert(run(32) == run(1))
+    assert(run(7) == run(1)) // salt count must not matter
+  }
+
   test("piiScrub masks emails, IPs and phone runs with exact counts") {
     val df = Seq(
       (1L, "mail bob@corp.example.org then ip 192.168.2.44 tel 555-0199 done"),
