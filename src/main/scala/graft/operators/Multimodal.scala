@@ -251,7 +251,12 @@ object Multimodal {
                     maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4x16-bit blocking is pigeonhole-complete only to Hamming 3 (got $maxHamming)")
-    val blocked = blockKeys(imageDHashes(images, idCol, bytesCol))
+    // stage-cut the fingerprint table (design rule 14: survivor-sized,
+    // 16 bytes/row): the self-join consumes it twice, and without the cut
+    // BOTH join sides re-decode every pixel of the corpus (two
+    // MapPartitions branches in the executed plan — measured)
+    val blocked = blockKeys(
+      imageDHashes(images, idCol, bytesCol).localCheckpoint())
     val a = blocked.as("a"); val b = blocked.as("b")
     a.join(b, col("a.block_idx") === col("b.block_idx") &&
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
