@@ -225,6 +225,39 @@ object Corpus {
         Window.partitionBy("shard").orderBy(col("shuffle_key"), col(idCol))))
   }
 
+  /** Leakage-safe train/val/test split: the split is decided per GROUP —
+    * URL domain, dedup cluster label (t9/t17/t23 output), or any
+    * contamination boundary — never per document, so near-duplicates and
+    * same-source pages cannot straddle train and eval (the classic
+    * benchmark-leakage pitfall: doc-level random splits put one copy of a
+    * duplicated page in train and its twin in test, and the model is
+    * graded on memorization). Assignment is the [[shuffleShards]]
+    * derandomized rule on the GROUP key: bucket = first 6 md5 hex chars of
+    * `seed:group` mod 10000 basis points, split by cumulative ranges over
+    * `weights` (basis points, must sum to 10000) — deterministic,
+    * engine-replayable, re-run stable, and independent of corpus size or
+    * group enumeration order. Output: input + `split` label.
+    *
+    * 100 TB shape: stateless map-only — the group key is already on the
+    * row (join a cluster-label table first if it is not), the md5 and
+    * range compare are per-row codegen. No shuffle, no group
+    * materialization. */
+  def leakageSafeSplit(df: DataFrame, groupCol: String,
+                       weights: Seq[(String, Int)],
+                       seed: String): DataFrame = {
+    require(weights.nonEmpty && weights.map(_._2).sum == 10000,
+      s"weights must be basis points summing to 10000 (got $weights)")
+    require(weights.forall(_._2 > 0), s"zero-weight split: $weights")
+    val bucket = conv(substring(
+      md5(concat(lit(seed), lit(":"), col(groupCol).cast("string"))),
+      1, 6), 16, 10).cast("long") % 10000
+    val cuts = weights.scanLeft(0) { case (acc, (_, w)) => acc + w }.tail
+    val label = weights.map(_._1).zip(cuts).foldRight(lit(weights.last._1)) {
+      case ((name, hi), rest) => when(bucket < hi, name).otherwise(rest)
+    }
+    df.withColumn("split", label)
+  }
+
   /** Per-stratum corpus profile: doc counts, token-count sum/min/max and
     * exact interpolated percentiles (p50/p90/p99) of tokens-per-doc — the
     * summary a curation run reports per language/source. Exact `percentile`

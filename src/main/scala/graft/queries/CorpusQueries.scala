@@ -34,8 +34,24 @@ object CorpusQueries {
     "t30_lm_xent" -> ((s, d) => lmXent(s, d)),
     "t32_dsir_sample" -> ((s, d) => dsirSample(s, d)),
     "t34_langid_trained" -> ((s, d) => langIdTrained(s, d)),
-    "t35_ccnet_buckets" -> ((s, d) => ccnetBuckets(s, d))
+    "t35_ccnet_buckets" -> ((s, d) => ccnetBuckets(s, d)),
+    "t36_leakage_split" -> ((s, d) => leakageSplit(s, d))
   )
+
+  /** Leakage-safe train/val/test split at the dedup-group boundary: the
+    * group key is the exact-dup fingerprint (md5 of normalized text), so
+    * literal duplicates land in the SAME split by construction — the
+    * doc-level random split would put twins on both sides of the
+    * train/eval fence. 80/10/10 in basis points, derandomized on
+    * `seed:group`. */
+  def leakageSplit(spark: SparkSession, dir: String): DataFrame =
+    Corpus.leakageSafeSplit(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          graft.functions.text.fingerprint(col("text")).as("grp")),
+      "grp", Seq("train" -> 8000, "val" -> 1000, "test" -> 1000), seed = "r8")
+      .select(col("doc_id"), col("grp"), col("split"))
+      .orderBy("doc_id")
 
   /** The full curation pipeline as ONE composed dataflow — exact dedup keep
     * → Gopher repetition gate → temperature-mixed language rebalance →
@@ -466,6 +482,17 @@ object CorpusQueries {
          |SELECT tk.doc_id, coalesce(agg.n_bigrams, 0)::BIGINT AS n_bigrams,
          |  round(-agg.s / agg.n_bigrams, 4) AS xent
          |FROM tk LEFT JOIN agg USING (doc_id) ORDER BY tk.doc_id""".stripMargin,
+    "t36_leakage_split" ->
+      """WITH n AS (SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS grp
+        |  FROM documents),
+        |b AS (SELECT doc_id, grp,
+        |    ('0x' || substr(md5('r8:' || grp), 1, 6))::BIGINT % 10000 AS bp
+        |  FROM n)
+        |SELECT doc_id, grp,
+        |  CASE WHEN bp < 8000 THEN 'train'
+        |       WHEN bp < 9000 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
     // t30's xent replay + the bucket step: per-language cuts are RANK
     // SELECTION over the doc_id%10 sample (xent at ceil(n/3), ceil(2n/3)
     // ordered by raw xent then doc_id — no interpolation arithmetic),

@@ -130,6 +130,39 @@ class CorpusSpec extends AnyFunSuite {
     assert(run(7) == run(1)) // salt count must not matter
   }
 
+  test("leakageSafeSplit: same group -> same split, always; weights validated") {
+    val docs = Seq(
+      (1L, "gA"), (2L, "gA"), (3L, "gA"),     // a dup cluster
+      (4L, "gB"), (5L, "gC"), (6L, "gB"))
+      .toDF("doc_id", "grp")
+    val out = Corpus.leakageSafeSplit(docs, "grp",
+        Seq("train" -> 8000, "val" -> 1000, "test" -> 1000), seed = "s")
+      .select("doc_id", "grp", "split")
+      .as[(Long, String, String)].collect().toSeq
+    val byGroup = out.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(byGroup.forall(_._2.size == 1),
+      s"a group straddled splits: $out")
+    // derandomized: a re-run assigns identically
+    val again = Corpus.leakageSafeSplit(docs, "grp",
+        Seq("train" -> 8000, "val" -> 1000, "test" -> 1000), seed = "s")
+      .select("doc_id", "split").as[(Long, String)].collect().toSeq
+    assert(again.sorted == out.map(t => (t._1, t._3)).sorted)
+    // weights must be basis points summing to 10000
+    intercept[IllegalArgumentException](Corpus.leakageSafeSplit(docs, "grp",
+      Seq("train" -> 9000, "val" -> 500), seed = "s"))
+  }
+
+  test("leakageSafeSplit honors weights across many groups") {
+    val docs = (0 until 5000).map(i => (i.toLong, s"group$i")).toDF("doc_id", "grp")
+    val frac = Corpus.leakageSafeSplit(docs, "grp",
+        Seq("train" -> 8000, "val" -> 1000, "test" -> 1000), seed = "w")
+      .groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(math.abs(frac("train") - 4000) < 200, s"train share off: $frac")
+    assert(math.abs(frac("val") - 500) < 120 && math.abs(frac("test") - 500) < 120,
+      s"val/test share off: $frac")
+  }
+
   test("piiScrub masks emails, IPs and phone runs with exact counts") {
     val df = Seq(
       (1L, "mail bob@corp.example.org then ip 192.168.2.44 tel 555-0199 done"),
