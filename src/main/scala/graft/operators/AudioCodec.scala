@@ -114,7 +114,11 @@ object AudioCodec {
       rows.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](bIdx)
         parseWav(bytes).iterator.flatMap { info =>
-          val ws = math.max(1, (windowSec * info.sampleRate).toLong)
+          // clamp to Int range: a pathological windowSec (1e9 s) must widen
+          // the window to "whole file", not overflow toInt into a negative
+          val ws = math.min(
+            math.max(1L, (windowSec * info.sampleRate).toLong),
+            Int.MaxValue.toLong)
           val nW = (info.nSamples + ws - 1) / ws
           (0L until nW).iterator.map { w =>
             val m = windowMeanAbs(bytes, info, w, ws.toInt)
