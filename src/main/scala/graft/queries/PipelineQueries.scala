@@ -33,6 +33,7 @@ object PipelineQueries {
     "m4_transcript" -> ((s, d) => transcript(s, d)),
     "m5_image_dhash" -> ((s, d) => imageNearDups(s, d)),
     "m6_audio_activity" -> ((s, d) => audioActivity(s, d)),
+    "m7_multimodal_curation" -> ((s, d) => multimodalCuration(s, d)),
     "r1_rerank" -> ((s, d) => rerank(s, d)),
     "r2_context_assembly" -> ((s, d) => contextAssembly(s, d)),
     "r3_augmented_content" -> ((s, d) => augmentedContent(s, d)),
@@ -311,32 +312,37 @@ object PipelineQueries {
     import spark.implicits._
     val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
       .select(col("doc_id")).as[Long]
-    val withBytes = docs.map { id =>
-      val g = id % 5
-      val md5hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"g:$g".getBytes("UTF-8")).map(b => f"$b%02x").mkString
-      val base = java.lang.Long.parseLong(md5hex.substring(0, 15), 16)
-      val h = if (id % 7 == 0) base ^ (1L << (id % 60).toInt) else base
-      val img = new java.awt.image.BufferedImage(
-        9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      var y = 0
-      while (y < 8) {
-        var v = 128
-        img.setRGB(0, y, (v << 16) | (v << 8) | v)
-        var x = 0
-        while (x < 8) {
-          v += (if (((h >> (y * 8 + x)) & 1L) == 1L) 10 else -10)
-          img.setRGB(x + 1, y, (v << 16) | (v << 8) | v)
-          x += 1
-        }
-        y += 1
-      }
-      val out = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", out)
-      (id, out.toByteArray)
-    }.toDF("doc_id", "bytes")
+    val withBytes = docs.map(id => (id, staircasePng(id))).toDF("doc_id", "bytes")
     Multimodal.imageNearDups(withBytes, "doc_id", "bytes", maxHamming = 3)
       .orderBy("id_a", "id_b")
+  }
+
+  /** The m5 fixture: a 9x8 staircase PNG whose dHash is
+    * `base(id % 5) XOR (id % 7 == 0 ? 1 << (id % 60) : 0)` — see
+    * [[imageNearDups]]'s scaladoc for the construction contract. */
+  private def staircasePng(id: Long): Array[Byte] = {
+    val g = id % 5
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"g:$g".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val base = java.lang.Long.parseLong(md5hex.substring(0, 15), 16)
+    val h = if (id % 7 == 0) base ^ (1L << (id % 60).toInt) else base
+    val img = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8) {
+      var v = 128
+      img.setRGB(0, y, (v << 16) | (v << 8) | v)
+      var x = 0
+      while (x < 8) {
+        v += (if (((h >> (y * 8 + x)) & 1L) == 1L) 10 else -10)
+        img.setRGB(x + 1, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
   /** Audio silence-gate curation on REAL RIFF/WAVE bytes: each doc < 200
@@ -352,33 +358,7 @@ object PipelineQueries {
     import spark.implicits._
     val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
       .select(col("doc_id")).as[Long]
-    val withBytes = docs.map { id =>
-      val bytes: Array[Byte] =
-        if (id % 11 == 0) s"junk-not-a-wav-$id".getBytes("UTF-8")
-        else {
-          val rate = 8000
-          val nSec = (id % 3).toInt + 1
-          val amp = ((id % 50) * 40).toInt
-          val n = rate * nSec
-          val dataLen = n * 2
-          val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
-            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          bb.putInt(0x46464952); bb.putInt(36 + dataLen); bb.putInt(0x45564157)
-          bb.putInt(0x20746d66); bb.putInt(16)
-          bb.putShort(1); bb.putShort(1)         // PCM, mono
-          bb.putInt(rate); bb.putInt(rate * 2)   // byte rate
-          bb.putShort(2); bb.putShort(16)        // block align, bits
-          bb.putInt(0x61746164); bb.putInt(dataLen)
-          var s = 0
-          while (s < n) {
-            val a = if ((s / rate) % 2 == 1) 0 else amp
-            bb.putShort((if ((s / 4) % 2 == 0) a else -a).toShort)
-            s += 1
-          }
-          bb.array()
-        }
-      (id, bytes)
-    }.toDF("doc_id", "bytes")
+    val withBytes = docs.map(id => (id, squareWav(id))).toDF("doc_id", "bytes")
     graft.operators.AudioCodec
       .activityWindows(withBytes, "doc_id", "bytes",
         windowSec = 1.0, silenceThreshold = 100L)
@@ -388,6 +368,99 @@ object PipelineQueries {
       .select(col("id"), col("window").as("win"), col("mean_abs"),
         col("is_silence"))
       .orderBy("id", "win")
+  }
+
+  /** The m6 fixture: a real RIFF/WAVE — 8 kHz mono 16-bit, (id%3)+1
+    * seconds, ±(id%50)·40 square wave on even seconds, digital silence on
+    * odd ones; id % 11 == 0 plants non-WAV junk (format-gated). */
+  private def squareWav(id: Long): Array[Byte] =
+    if (id % 11 == 0) s"junk-not-a-wav-$id".getBytes("UTF-8")
+    else {
+      val rate = 8000
+      val nSec = (id % 3).toInt + 1
+      val amp = ((id % 50) * 40).toInt
+      val n = rate * nSec
+      val dataLen = n * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(0x46464952); bb.putInt(36 + dataLen); bb.putInt(0x45564157)
+      bb.putInt(0x20746d66); bb.putInt(16)
+      bb.putShort(1); bb.putShort(1)         // PCM, mono
+      bb.putInt(rate); bb.putInt(rate * 2)   // byte rate
+      bb.putShort(2); bb.putShort(16)        // block align, bits
+      bb.putInt(0x61746164); bb.putInt(dataLen)
+      var s = 0
+      while (s < n) {
+        val a = if ((s / rate) % 2 == 1) 0 else amp
+        bb.putShort((if ((s / 4) % 2 == 0) a else -a).toShort)
+        s += 1
+      }
+      bb.array()
+    }
+
+  /** The COMPOSED multimodal curation pipeline — t28's role for media: one
+    * dataflow routes every media doc through its modality's gate and emits
+    * a per-doc keep/drop verdict with the reason.
+    *  - images (doc%3==0): [[Multimodal.imageNearDups]] keep-list — a doc
+    *    near-dup-matched (Hamming ≤ 3) to any SMALLER id is dropped
+    *    (`image_near_dup`), the deterministic min-id keep rule;
+    *  - audio (doc%3==1): real WAV parse + [[AudioCodec.activityWindows]] —
+    *    unparseable bytes drop (`unparseable`); docs whose non-silent
+    *    window fraction < 1/2 drop (`mostly_silent`);
+    *  - video (doc%3==2): [[Transcriber.transcriptChunks]] utterance
+    *    coverage — fewer than 10 utterances drops (`sparse_transcript`).
+    * Every arm is the REAL operator over real container bytes; the whole
+    * composition replays in the oracle (pairs/silence/utterance arithmetic
+    * are the m4/m5/m6 constructions). */
+  def multimodalCuration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text"))
+    val ids = docs.select("doc_id").as[Long]
+
+    // image arm
+    val imgs = ids.filter(_ % 3 == 0).map(id => (id, staircasePng(id)))
+      .toDF("doc_id", "bytes")
+    val imgDropped = Multimodal.imageNearDups(imgs, "doc_id", "bytes")
+      .select(col("id_b").as("doc_id")).distinct()
+      .withColumn("reason", lit("image_near_dup"))
+
+    // audio arm
+    val auds = ids.filter(_ % 3 == 1).map(id => (id, squareWav(id)))
+      .toDF("doc_id", "bytes")
+    val audWindows = graft.operators.AudioCodec
+      .activityWindows(auds, "doc_id", "bytes",
+        windowSec = 1.0, silenceThreshold = 100L)
+    val audParsed = audWindows.groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_w"),
+        sum(when(col("is_silence"), 0L).otherwise(1L)).as("n_loud"))
+    val audDropped = auds.select("doc_id")
+      .join(audParsed, Seq("doc_id"), "left")
+      .filter(col("n_w").isNull || col("n_loud") * 2 < col("n_w"))
+      .select(col("doc_id"),
+        when(col("n_w").isNull, "unparseable")
+          .otherwise("mostly_silent").as("reason"))
+
+    // video arm
+    val vids = docs.filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("bytes"))
+    val vidDropped = Transcriber
+      .transcriptChunks(vids, "media_id", "bytes", HashTranscriber(20))
+      .groupBy(col("media_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_utt"))
+      .filter(col("n_utt") < 10)
+      .select(col("doc_id"), lit("sparse_transcript").as("reason"))
+
+    val dropped = imgDropped.unionByName(audDropped).unionByName(vidDropped)
+    docs.select(col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"))
+      .join(dropped, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("kind"),
+        col("reason").isNull.as("survived"),
+        coalesce(col("reason"), lit("kept")).as("reason"))
+      .orderBy("doc_id")
   }
 
   def augmentedContent(spark: SparkSession, dir: String): DataFrame = {
@@ -601,6 +674,36 @@ object PipelineQueries {
         |FROM v, generate_series(0, 100) AS t(f)
         |WHERE f <= dur // 30
         |ORDER BY media_id, frame_number""".stripMargin,
+    "m7_multimodal_curation" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |img AS (SELECT doc_id,
+        |    ('0x' || substr(md5('g:' || (doc_id % 5)), 1, 15))::BIGINT AS base
+        |  FROM d WHERE doc_id % 3 = 0),
+        |ih AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN xor(base, 1::BIGINT << (doc_id % 60)::INT)
+        |         ELSE base END AS dh
+        |  FROM img),
+        |idrop AS (SELECT DISTINCT b.doc_id FROM ih a JOIN ih b
+        |  ON a.doc_id < b.doc_id AND bit_count(xor(a.dh, b.dh)) <= 3),
+        |adrop AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN 'unparseable'
+        |         ELSE 'mostly_silent' END AS reason
+        |  FROM d WHERE doc_id % 3 = 1
+        |    AND (doc_id % 11 = 0 OR (doc_id % 50) * 40 < 100)),
+        |vdrop AS (SELECT doc_id, 'sparse_transcript' AS reason FROM d
+        |  WHERE doc_id % 3 = 2
+        |    AND ('0x' || substr(md5(text), 9, 4))::BIGINT % 600 + 1 < 180),
+        |drops AS (SELECT doc_id, 'image_near_dup' AS reason FROM idrop
+        |  UNION ALL SELECT doc_id, reason FROM adrop
+        |  UNION ALL SELECT doc_id, reason FROM vdrop)
+        |SELECT d.doc_id,
+        |  CASE (d.doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |       ELSE 'video' END AS kind,
+        |  dr.doc_id IS NULL AS survived,
+        |  coalesce(dr.reason, 'kept') AS reason
+        |FROM d LEFT JOIN drops dr ON d.doc_id = dr.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "m6_audio_activity" ->
       """WITH d AS (SELECT doc_id FROM documents
         |           WHERE doc_id < 200 AND doc_id % 11 <> 0),
