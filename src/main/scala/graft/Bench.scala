@@ -42,6 +42,7 @@ object Bench {
     "t25_bpe_encode",
     "e1_asof_join", "e3_window_agg", "e4_asof_nearest", "e5_interval_join",
     "e6_sessionize", "e7_resample_locf", "e8_ohlc", "m4_transcript",
+    "m5_image_dhash", "m7_multimodal_curation",
     "c1_chunks_fixed", "s1_search_docs", "u1_upsert",
     "t11_repetition", "t12_decontaminate", "t16_heavy_hitters",
     "t17_components", "t18_url_caps", "t19_bloom_decontaminate",

@@ -229,6 +229,12 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("block_idx"), s"pigeonhole block key missing from plan:\n$p")
   }
 
+  test("m7_multimodal_curation: all three modality arms stay equi-shaped") {
+    val p = executedPlan("m7_multimodal_curation")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"a modality arm went all-pairs:\n$p")
+  }
+
   test("m6_audio_activity: map-only window stream — no join, no aggregation") {
     val p = executedPlan("m6_audio_activity")
     assert(!p.contains("Join"), s"audio windows must not join:\n$p")
