@@ -54,6 +54,31 @@ object Listing {
     Page(out, hasMore, skip + rows.length)
   }
 
+  /** Keyset (cursor) pagination — the scale-correct deep-listing idiom.
+    * OFFSET-based paging (the reference's skip/limit,
+    * `postgres_database.py:624-723`, mirrored by [[list]]) computes and
+    * DISCARDS `skip` rows on every page: page 1,000,000 of a 100 TB corpus
+    * sorts and throws away 50M rows. The keyset predicate
+    * `sort > cs OR (sort == cs AND id > ci)` instead pushes into the scan
+    * (min/max pruning on the sort column) and every page is one top-n,
+    * independent of depth. The cursor is the LAST ROW of the previous page
+    * — opaque to the client, total order pinned by the id tiebreak. Walking
+    * pages by cursor visits exactly the offset-walk's rows in the same
+    * order (spec-gated). Ascending single sort column; descending flips
+    * the comparisons (not needed by the reference's listing surface). */
+  def keysetPage(df: DataFrame, where: Column, sortCol: String,
+                 tiebreak: String, after: Option[(Column, Column)],
+                 limit: Int): DataFrame = {
+    require(limit >= 1, s"keysetPage needs limit>=1 (got $limit)")
+    val base = df.filter(where)
+    val paged = after match {
+      case Some((cs, ci)) => base.filter(
+        col(sortCol) > cs || (col(sortCol) === cs && col(tiebreak) > ci))
+      case None => base
+    }
+    paged.orderBy(col(sortCol).asc, col(tiebreak).asc).limit(limit)
+  }
+
   /** L3: total count under the same WHERE. */
   def totalCount(df: DataFrame, where: Column): Long = df.filter(where).count()
 

@@ -35,8 +35,24 @@ object ListingQueries {
     "l10_usage_fold" -> ((s, d) => usageFold(s, d)),
     "l11_usage_app" -> ((s, d) => usageApp(s, d)),
     "l12_listing_flexible" -> ((s, d) => listingFlexible(s, d)),
-    "l13_projection" -> ((s, d) => listingProjection(s, d))
+    "l13_projection" -> ((s, d) => listingProjection(s, d)),
+    "l14_keyset_page" -> ((s, d) => keysetPage(s, d))
   )
+
+  /** Keyset pagination: one cursor-anchored page of open orders — the
+    * deep-listing idiom whose cost is depth-independent (OFFSET discards
+    * `skip` sorted rows per page; the keyset predicate prunes into the
+    * scan). Cursor planted mid-keyspace; ties on the sort value are
+    * crossed correctly via the (sort, id) tuple compare. */
+  def keysetPage(spark: SparkSession, dir: String): DataFrame =
+    Listing.keysetPage(
+      Tables.orders(spark, dir),
+      where = col("o_orderstatus") === "O",
+      sortCol = "o_orderdate", tiebreak = "o_orderkey",
+      after = Some((lit("1995-06-15"), lit(1000L))),
+      limit = 50)
+      .select(col("o_orderkey"), col("o_orderdate").cast("string").as("o_orderdate"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
 
   /** L2 field projection end to end over struct-typed document columns:
     * a cheap status key, a nested metadata subkey, and the derived
@@ -190,6 +206,14 @@ object ListingQueries {
         |FROM orders WHERE o_orderstatus = 'O'
         |ORDER BY o_totalprice DESC NULLS LAST, o_orderkey
         |LIMIT 50 OFFSET 100""".stripMargin,
+    "l14_keyset_page" ->
+      """SELECT o_orderkey, o_orderdate::VARCHAR AS o_orderdate,
+        |  round(o_totalprice, 2) AS o_totalprice
+        |FROM orders
+        |WHERE o_orderstatus = 'O'
+        |  AND (o_orderdate > DATE '1995-06-15'
+        |       OR (o_orderdate = DATE '1995-06-15' AND o_orderkey > 1000))
+        |ORDER BY o_orderdate, o_orderkey LIMIT 50""".stripMargin,
     "l2_listing_hasmore" ->
       """WITH flt AS (SELECT * FROM orders WHERE o_orderstatus = 'P'),
         |     pg AS (SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
