@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.LinkGraph
+
+/** Link-graph ranking coverage. The host graph is synthesized
+  * deterministically from `documents` (same convention as t18's URL
+  * synthesis: name the rule, apply it identically in both engines), and the
+  * WHOLE power iteration is value-checked — the oracle unrolls all five
+  * fixed-point iterations as SQL CTEs and must reproduce every node's rank
+  * bit-for-bit, which is exactly the reproducibility property the
+  * fixed-point design buys (see [[graft.operators.LinkGraph]]). */
+object GraphQueries {
+
+  private val Iters = 5
+  private val DampPct = 85
+  private val Scale = 1000000000000L
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gr1_pagerank" -> ((s, d) => pagerank(s, d))
+  )
+
+  /** Synthesized host-link edges: each doc's host links to two derived
+    * hosts; self-loops dropped; simple graph (DISTINCT). */
+  private def edges(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def host(src: Column, k: Column): Column =
+      concat(src, lit("-"), k.cast("string"), lit(".com"))
+    val src = host(col("source"), pmod(col("doc_id"), lit(7)))
+    def dst(j: Int): Column = host(
+      concat(lit("src"),
+        (lit(1) + pmod(col("doc_id") + lit(3 * j), lit(20))).cast("string")),
+      pmod(col("doc_id") * lit(j + 1), lit(7)))
+    docs.select(src.as("src"), dst(1).as("dst"))
+      .union(docs.select(src.as("src"), dst(2).as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Host PageRank, 5 iterations, d=0.85, fixed-point 1e-12 units. */
+  def pagerank(spark: SparkSession, dir: String): DataFrame =
+    LinkGraph.pageRank(edges(spark, dir), "src", "dst", Iters, DampPct, Scale)
+      .orderBy(col("rank").desc, col("node"))
+
+  /** ScaleProbe hook: rank at an explicit iteration count over the same
+    * synthesized graph (per-iteration cost is the probe target). */
+  def pagerankAt(spark: SparkSession, dir: String, iters: Int): DataFrame =
+    LinkGraph.pageRank(edges(spark, dir), "src", "dst", iters, DampPct, Scale)
+
+  private val edgeSql: String =
+    """e AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT (source || '-' || (doc_id % 7) || '.com') AS src,
+      |           ('src' || (1 + ((doc_id + 3) % 20)) || '-' ||
+      |            ((doc_id * 2) % 7) || '.com') AS dst
+      |    FROM documents
+      |    UNION ALL
+      |    SELECT (source || '-' || (doc_id % 7) || '.com') AS src,
+      |           ('src' || (1 + ((doc_id + 6) % 20)) || '-' ||
+      |            ((doc_id * 3) % 7) || '.com') AS dst
+      |    FROM documents) u
+      |  WHERE src <> dst)""".stripMargin
+
+  /** One unrolled power-iteration step: r{i} from r{i-1}. Same fixed-point
+    * ops as the engine: truncating integer division at the share, the
+    * dangling split, and the damped update. */
+  private def stepSql(i: Int): String = {
+    val p = s"r${i - 1}"
+    s"""r$i AS (
+       |  SELECT d.node, d.outdeg,
+       |    ((SELECT ((${100 - DampPct} * $Scale) // 100) // n FROM nn)
+       |     + ($DampPct * (coalesce(c.s, 0)
+       |        + (SELECT coalesce(sum(CASE WHEN outdeg = 0 THEN rank END), 0)
+       |           FROM $p) // (SELECT n FROM nn))) // 100)::BIGINT AS rank
+       |  FROM $p d
+       |  LEFT JOIN (SELECT e.dst, sum(r.rank // r.outdeg)::BIGINT AS s
+       |             FROM e JOIN $p r ON e.src = r.node WHERE r.outdeg > 0
+       |             GROUP BY e.dst) c
+       |  ON d.node = c.dst)""".stripMargin
+  }
+
+  def oracles: Map[String, String] = Map(
+    "gr1_pagerank" ->
+      s"""WITH $edgeSql,
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |deg AS (SELECT n.node, coalesce(d.c, 0)::BIGINT AS outdeg
+         |  FROM nodes n
+         |  LEFT JOIN (SELECT src, count(*)::BIGINT AS c FROM e GROUP BY src) d
+         |  ON n.node = d.src),
+         |nn AS (SELECT count(*)::BIGINT AS n FROM deg),
+         |r0 AS (SELECT node, outdeg,
+         |  (SELECT $Scale // n FROM nn)::BIGINT AS rank FROM deg),
+         |${(1 to Iters).map(stepSql).mkString(",\n")}
+         |SELECT node, outdeg, rank FROM r$Iters ORDER BY rank DESC, node""".stripMargin
+  )
+}

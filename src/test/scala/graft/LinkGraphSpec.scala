@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.LinkGraph
+
+/** Semantic properties of the fixed-point PageRank: the gr1 oracle proves
+  * engine-equivalence on the synthesized host graph; this proves the
+  * operator computes PageRank (mass conservation, dangling redistribution,
+  * symmetry, a hub outranking leaves) and that the fixed-point design
+  * delivers its headline property — bit-identical ranks under different
+  * partitionings — via an exact in-test replay of the integer recurrence.
+  */
+class LinkGraphSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private val Scale = 1000000000000L
+
+  /** Naive single-threaded replay of the exact integer recurrence. */
+  private def reference(edges: Seq[(String, String)], iters: Int,
+                        dampPct: Long = 85L): Map[String, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val n = nodes.size.toLong
+    val base = ((100L - dampPct) * Scale / 100L) / n
+    var rank = nodes.map(_ -> Scale / n).toMap
+    for (_ <- 1 to iters) {
+      val dang = nodes.filter(v => !out.contains(v)).map(rank).sum
+      val contrib = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => rank(s) / out(s) }.sum
+      }
+      rank = nodes.map(v => v ->
+        (base + dampPct * (contrib.getOrElse(v, 0L) + dang / n) / 100L)).toMap
+    }
+    rank
+  }
+
+  // a → b, a → c, b → c, c → a, plus dangling d (only a target: c → d)
+  private val g = Seq("a" -> "b", "a" -> "c", "b" -> "c", "c" -> "a", "c" -> "d")
+
+  private def run(edges: Seq[(String, String)], iters: Int,
+                  parts: Int = 4): Map[String, Long] =
+    LinkGraph.pageRank(edges.toDF("s", "d").repartition(parts), "s", "d", iters)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+
+  test("matches the exact integer recurrence on a graph with a dangling node") {
+    for (iters <- Seq(1, 3, 7)) {
+      assert(run(g, iters) == reference(g, iters), s"iters=$iters")
+    }
+  }
+
+  test("rank mass is conserved up to integer-truncation loss") {
+    val ranks = run(g, 5)
+    val mass = ranks.values.sum
+    val n = ranks.size
+    // each node loses <1 unit per division; ≤3 divisions per node-iteration
+    assert(mass <= Scale && mass >= Scale - 5L * 3L * (n + 1L), s"mass=$mass")
+  }
+
+  test("bit-identical ranks under different input partitionings") {
+    val a = run(g ++ Seq("d" -> "a", "b" -> "a"), 6, parts = 1)
+    val b = run(g ++ Seq("d" -> "a", "b" -> "a"), 6, parts = 7)
+    assert(a == b)
+  }
+
+  test("structurally symmetric nodes get identical ranks; hub outranks leaves") {
+    // star: l1..l4 → hub; hub → l1 (so hub isn't dangling)
+    val star = (1 to 4).map(i => s"l$i" -> "hub") :+ ("hub" -> "l1")
+    val ranks = run(star, 8)
+    assert(ranks("l2") == ranks("l3") && ranks("l3") == ranks("l4"))
+    assert(ranks("hub") > ranks("l2"))
+    assert(ranks("l1") > ranks("l2")) // l1 receives the hub's outflow
+  }
+
+  test("rejects empty graphs and bad parameters") {
+    intercept[IllegalArgumentException] {
+      LinkGraph.pageRank(Seq.empty[(String, String)].toDF("s", "d"), "s", "d", 3)
+    }
+    intercept[IllegalArgumentException] {
+      LinkGraph.pageRank(g.toDF("s", "d"), "s", "d", 0)
+    }
+    intercept[IllegalArgumentException] {
+      LinkGraph.pageRank(g.toDF("s", "d"), "s", "d", 3, dampingPct = 101)
+    }
+  }
+}

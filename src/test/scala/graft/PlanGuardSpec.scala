@@ -264,4 +264,21 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"SQ8 scoring grew a join:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"global sort instead of heap:\n$p")
   }
+
+  test("gr1 pagerank step: contribution pass equi-shaped; only the one-row dangling total nests") {
+    // gr1's registered frame is post-checkpoint (the iterative operator
+    // materializes per pass), so pin the iteration body itself: build one
+    // un-checkpointed step over a small graph and execute it.
+    import spark.implicits._
+    val e = Seq("a" -> "b", "a" -> "c", "b" -> "c", "c" -> "a", "c" -> "d")
+      .toDF("src", "dst")
+    val ranks = Seq(("a", 2L, 250L), ("b", 1L, 250L), ("c", 2L, 250L),
+      ("d", 0L, 250L)).toDF("node", "outdeg", "rank")
+    val df = graft.operators.LinkGraph.step(ranks, e, 4L, 37L, 85)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), s"pagerank step went all-pairs:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllMatchIn(p).size <= 1,
+      s"nested loop beyond the one-row dangling crossJoin:\n$p")
+  }
 }
