@@ -386,6 +386,51 @@ object Corpus {
       .filter(col("rank") <= k)
   }
 
+  /** Vocabulary-coverage gate — the OOV-rate filter tokenizer-owning
+    * pipelines run before committing a corpus slice to training: score each
+    * doc by the fraction of its tokens OUTSIDE the corpus's own top-`vocabK`
+    * vocabulary (high OOV ⇒ encoding damage, foreign scripts, or boilerplate
+    * the tokenizer will shatter into bytes). Deterministic vocabulary: the
+    * top-`vocabK` tokens by (count desc, token asc) — the full tiebreak
+    * makes the boundary exact, so the oracle replays it.
+    *
+    * 100 TB shape: token counts are ONE map-side-combined groupBy; the
+    * vocabulary is a k-bounded TakeOrderedAndProject (per-partition heaps,
+    * driver merges 32·k rows — never a global sort) broadcast into the
+    * token stream; the per-doc roll-up is one aggregation; the final left
+    * join restores token-less docs (n_tokens=0, oov_bp=0) instead of
+    * silently dropping them. Output: id, n_tokens, n_oov, oov_bp (basis
+    * points, integer div — exact). */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+              vocabK: Int): DataFrame = {
+    require(vocabK >= 1, s"oovRate needs vocabK>=1 (got $vocabK)")
+    val toks = graft.Tables.scaled(
+      df.select(col(idCol).as("id"), col(textCol).as("t")))
+      .select(col("id"), explode(text.tokens(col("t"))).as("token"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc).limit(vocabK)
+      .select(col("token").as("vtoken"))
+    val perDoc = toks
+      .join(broadcast(vocab), toks("token") === col("vtoken"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("vtoken").isNull, 1L).otherwise(0L)).as("n_oov"))
+    df.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+      .withColumn("oov_bp",
+        when(col("n_tokens") > 0,
+          org.apache.spark.sql.graftbridge.ColumnBridge.column(
+            org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+              org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+                lit(10000L) * col("n_oov")),
+              org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+                col("n_tokens")))))
+          .otherwise(lit(0L)))
+  }
+
   // ------------------------------------------------------------------ URLs
 
   /** URL normalization for web-corpus curation (the CCNet/RefinedWeb intake

@@ -35,7 +35,9 @@ object CorpusQueries {
     "t32_dsir_sample" -> ((s, d) => dsirSample(s, d)),
     "t34_langid_trained" -> ((s, d) => langIdTrained(s, d)),
     "t35_ccnet_buckets" -> ((s, d) => ccnetBuckets(s, d)),
-    "t36_leakage_split" -> ((s, d) => leakageSplit(s, d))
+    "t36_leakage_split" -> ((s, d) => leakageSplit(s, d)),
+    "t37_mojibake" -> ((s, d) => mojibake(s, d)),
+    "t38_oov_rate" -> ((s, d) => oovRateQ(s, d))
   )
 
   /** Leakage-safe train/val/test split at the dedup-group boundary: the
@@ -290,6 +292,29 @@ object CorpusQueries {
       .withColumnRenamed("stratum", "lang")
       .select(col("lang"), col("token"), col("cnt"), col("rank").cast("long").as("rank"))
       .orderBy("lang", "rank")
+
+  /** Planted encoding damage, synthesized per the t18 convention (name the
+    * rule, apply it identically in both engines): every 5th doc gets this
+    * CP1252-mojibake prefix — [[graft.operators.TextRepair.corrupt]] of a
+    * fragment whose every char is in the repair table, so the spec's
+    * round-trip law (repair ∘ corrupt = id) covers exactly this plant. */
+  private val MojiClean = "It’s élite — «naïve» café… "
+  private val MojiBad = graft.operators.TextRepair.corrupt(MojiClean)
+
+  def mojibake(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextRepair.fixMojibake(
+      Tables.documents(spark, dir).withColumn("ctext",
+        when(pmod(col("doc_id"), lit(5)) === 0, concat(lit(MojiBad), col("text")))
+          .otherwise(col("text"))),
+      "ctext")
+      .select(col("doc_id"), col("n_fixed"), (col("n_fixed") > 0).as("is_fixed"),
+        md5(col("repaired")).as("repaired_md5"))
+      .orderBy("doc_id")
+
+  def oovRateQ(spark: SparkSession, dir: String): DataFrame =
+    Corpus.oovRate(Tables.documents(spark, dir), "doc_id", "text", vocabK = 512)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
 
   // ----------------------------------------------------------------- oracles
 
@@ -651,6 +676,37 @@ object CorpusQueries {
          |  ((cum - n_tok) // 1024)::BIGINT AS bin_first,
          |  CASE WHEN n_tok > 0 THEN ((cum - 1) // 1024)::BIGINT
          |       ELSE ((cum - n_tok) // 1024)::BIGINT END AS bin_last
-         |FROM w ORDER BY doc_id""".stripMargin
+         |FROM w ORDER BY doc_id""".stripMargin,
+    // replays the repair fold mechanically (identical pair table, identical
+    // order — both generated from TextRepair.pairs); the SEMANTIC law
+    // (repair ∘ corrupt = id) is TextRepairSpec's job
+    "t37_mojibake" ->
+      s"""WITH c AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0
+         |         THEN '${MojiBad.replace("'", "''")}' || text ELSE text END AS ctext
+         |  FROM documents),
+         |f AS (SELECT doc_id,
+         |    ${graft.operators.TextRepair.countSql("ctext")} AS n_fixed,
+         |    ${graft.operators.TextRepair.repairSql("ctext")} AS rep
+         |  FROM c)
+         |SELECT doc_id, n_fixed, (n_fixed > 0) AS is_fixed,
+         |  md5(rep) AS repaired_md5
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "t38_oov_rate" ->
+      s"""$toks,
+         |e AS (SELECT doc_id, unnest(tk) AS token FROM tk),
+         |vc AS (SELECT token FROM (SELECT token, count(*) AS cnt FROM e
+         |    GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 512)),
+         |pd AS (SELECT e.doc_id, count(*)::BIGINT AS n_tokens,
+         |    sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
+         |  FROM e LEFT JOIN vc v ON e.token = v.token GROUP BY e.doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(pd.n_tokens, 0)::BIGINT AS n_tokens,
+         |  coalesce(pd.n_oov, 0)::BIGINT AS n_oov,
+         |  CASE WHEN coalesce(pd.n_tokens, 0) > 0
+         |       THEN ((10000 * pd.n_oov) // pd.n_tokens)::BIGINT
+         |       ELSE 0 END AS oov_bp
+         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+         |ORDER BY d.doc_id""".stripMargin
   )
 }
