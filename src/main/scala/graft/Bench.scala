@@ -49,7 +49,9 @@ object Bench {
     "t21_shuffle_shards", "t24_lsh_match", "t26_dup_spans",
     "t29_remove_dup_spans", "t30_lm_xent", "t31_decontaminate_auto",
     "t32_dsir_sample", "t33_paragraph_dedup", "t34_langid_trained", "v14_sq_adc",
-    "k2_semdedup", "n2_bm25", "n3_hybrid_rrf", "t28_curation_e2e")
+    "k2_semdedup", "n2_bm25", "n3_hybrid_rrf", "t28_curation_e2e",
+    "gr1_pagerank", "t37_mojibake", "t38_oov_rate",
+    "t39_winnow", "t40_winnow_match")
 
   /** Index-backed queries: build once, time the probe. */
   private val preparedFactories: Map[String,

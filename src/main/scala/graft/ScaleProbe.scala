@@ -92,7 +92,9 @@ object ScaleProbe {
         "t26_dup_spans", "t29_remove_dup_spans", "t30_lm_xent",
         "t32_dsir_sample", "t33_paragraph_dedup", "t34_langid_trained",
         "k2_semdedup", "n2_bm25", "t28_curation_e2e",
-        "e7_resample_locf", "e8_ohlc", "t16_heavy_hitters")
+        "e7_resample_locf", "e8_ohlc", "t16_heavy_hitters",
+        "gr1_pagerank", "t37_mojibake", "t38_oov_rate",
+        "t39_winnow", "t40_winnow_match")
       // optional second arg: probe only the named queries (comma-separated) —
       // re-measuring one changed operator shouldn't cost the full heavy tail.
       // Unknown names fail loudly: a typo silently probing nothing (and still

@@ -30,7 +30,9 @@ object TextQueries {
     "t24_lsh_match" -> ((s, d) => lshMatch(s, d)),
     "t26_dup_spans" -> ((s, d) => dupSpans(s, d)),
     "t29_remove_dup_spans" -> ((s, d) => removeDupSpans(s, d)),
-    "t33_paragraph_dedup" -> ((s, d) => paragraphDedup(s, d))
+    "t33_paragraph_dedup" -> ((s, d) => paragraphDedup(s, d)),
+    "t39_winnow" -> ((s, d) => winnow(s, d)),
+    "t40_winnow_match" -> ((s, d) => winnowMatch(s, d))
   )
 
   /** Paragraph-level global dedup (CCNet §3.1 shape): distinct paragraphs
@@ -224,6 +226,21 @@ object TextQueries {
         .orderBy("doc_id")
   }
 
+  /** Winnowing fingerprints (MOSS local fingerprinting): every selected
+    * (position, 31-bit hash) per doc at k=5 chars, window w=16. */
+  def winnow(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Winnow.fingerprints(
+      Tables.documents(spark, dir), "doc_id", "text", k = 5, w = 16)
+      .orderBy("doc_id", "pos")
+
+  /** Passage-sharing candidates over the winnow fingerprints: pairs with
+    * ≥2 shared rare fingerprints (doc-freq cap 20). */
+  def winnowMatch(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Winnow.matchPairs(
+      Tables.documents(spark, dir), "doc_id", "text",
+      k = 5, w = 16, minShared = 2, maxDocFreq = 20)
+      .orderBy("doc_a", "doc_b")
+
   // ----------------------------------------------------------------- oracles
 
   /** Normalization CTE shared by the oracles (= text.normalize). */
@@ -232,6 +249,38 @@ object TextQueries {
 
   private val toks =
     s"WITH n AS ($norm), tk AS (SELECT doc_id, list_filter(string_split(norm, ' '), t -> len(t) > 0) AS tk FROM n)"
+
+  /** Winnowing replay shared by t39/t40 — O(n·k) list comprehension where
+    * the engine's kernel is O(n), but value-identical: same codepoints
+    * (unicode() per char == Java codePointAt stream), same polynomial hash
+    * mod 2^31−1 (constants read off WinnowExpressions so the two can't
+    * drift), same rightmost-minimum tie rule (max j at the min), same
+    * short-doc one-window arm, and DISTINCT == the kernel's
+    * consecutive-selection dedupe (a position's selecting windows are
+    * contiguous). */
+  private val winnowSql: String = {
+    val B = graft.functions.WinnowExpressions.HashBase
+    val M = graft.functions.WinnowExpressions.HashMod
+    val K = 5; val W = 16
+    val b4 = B * B * B * B; val b3 = B * B * B; val b2 = B * B
+    s"""WITH n AS ($norm),
+       |wc AS (SELECT doc_id, len(norm) AS n,
+       |    list_transform(range(1, len(norm)+1), i -> unicode(norm[i:i])::BIGINT) AS cs
+       |  FROM n),
+       |wh AS (SELECT doc_id, (n - ${K - 1})::BIGINT AS nh,
+       |    list_transform(range(n - ${K - 1}), i ->
+       |      (cs[i+1]*$b4 + cs[i+2]*$b3 + cs[i+3]*$b2 + cs[i+4]*$B + cs[i+5]) % $M) AS hs
+       |  FROM wc WHERE n >= $K),
+       |wwin AS (SELECT doc_id, hs, nh,
+       |    unnest(range(CASE WHEN nh >= $W THEN nh - ${W - 1} ELSE 1 END)) AS t
+       |  FROM wh),
+       |wsel AS (SELECT doc_id,
+       |    (t + list_max(list_transform(range($W), j ->
+       |       CASE WHEN t+j+1 <= nh AND hs[t+j+1] = list_min(hs[t+1:t+$W])
+       |            THEN j END)))::BIGINT AS pos,
+       |    list_min(hs[t+1:t+$W])::BIGINT AS fp
+       |  FROM wwin)""".stripMargin
+  }
 
   /** Positional 8-token span stream shared by the t26/t29 oracles — must
     * stay the single definition, mirroring [[Dedup]]'s shared spanStream. */
@@ -561,6 +610,19 @@ object TextQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS keep_id,
          |  id = first_value(id) OVER (PARTITION BY component ORDER BY q DESC, id ASC
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS kept
-         |FROM k ORDER BY doc_id""".stripMargin
+         |FROM k ORDER BY doc_id""".stripMargin,
+    "t39_winnow" ->
+      s"""$winnowSql
+         |SELECT DISTINCT doc_id, pos, fp FROM wsel ORDER BY doc_id, pos""".stripMargin,
+    "t40_winnow_match" ->
+      s"""$winnowSql,
+         |f AS (SELECT DISTINCT doc_id, fp FROM wsel),
+         |rare AS (SELECT fp FROM f GROUP BY fp HAVING count(*) BETWEEN 2 AND 20),
+         |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |      FROM f a JOIN f b USING (fp) JOIN rare USING (fp)
+         |      WHERE a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, count(*)::BIGINT AS n_shared FROM j
+         |GROUP BY doc_a, doc_b HAVING count(*) >= 2
+         |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

@@ -265,6 +265,12 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"global sort instead of heap:\n$p")
   }
 
+  test("t40_winnow_match: candidate pairs from the fp equi-join, never all-pairs") {
+    val p = executedPlan("t40_winnow_match")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"winnow match degraded to nested loop:\n$p")
+  }
+
   test("gr1 pagerank step: contribution pass equi-shaped; only the one-row dangling total nests") {
     // gr1's registered frame is post-checkpoint (the iterative operator
     // materializes per pass), so pin the iteration body itself: build one
