@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.text
+
+/** Distributed BPE vocabulary TRAINING (Sennrich, Haddow, Birch, "Neural
+  * Machine Translation of Rare Words with Subword Units", ACL 2016 — the
+  * subword-nmt `learn_bpe` loop). t25 replays ENCODING against a fixture
+  * merge table; this learns the table from the corpus — the other half a
+  * tokenizer-owning pipeline needs.
+  *
+  * The scale design is the standard one and the whole point: the ONLY
+  * corpus-sized operation is the initial word-frequency aggregation (one
+  * map-side-combined groupBy over the token stream). Every merge iteration
+  * then runs on the BOUNDED distinct-word table — at 100 TB the corpus has
+  * trillions of tokens but a word-frequency table orders of magnitude
+  * smaller, and per-word cost is independent of how often the word occurs.
+  * Per iteration: adjacent-pair counts weighted by word frequency (one
+  * shuffle over the word table), a ONE-ROW argmax via TakeOrdered (never a
+  * global sort), and a map-only rewrite. Driver state: one (pair, freq)
+  * row per iteration — the merge table itself, N rows total (same bounded
+  * contract as Clustering's k centroids).
+  *
+  * Determinism contract (both engines replay it exactly):
+  * - words = whitespace tokens of text.normalize; symbols start as
+  *   codepoint chars; a word rides as the DOUBLE-SPACED form
+  *   '␣␣s1␣␣s2␣␣…␣␣sn␣␣'. A merge of (l, r) is then the plain built-in
+  *   replace('␣l␣␣r␣' → '␣lr␣'): each match consumes ONE space of each
+  *   boundary, leaving singles that recombine with the neighbors'
+  *   leftovers into doubles — which makes sequential non-overlapping
+  *   replace (identical semantics in Spark's StringReplace and DuckDB's
+  *   replace()) EXACTLY the fold-left BPE merge, including on symbol runs
+  *   ('a a a a' → 'aa aa', where a single-spaced replace would consume
+  *   the shared boundary and yield the wrong 'aa a a'). No regex, no
+  *   lookarounds (RE2 in either engine has none), no custom kernel.
+  * - pair statistics count EVERY adjacent index pair (overlaps included:
+  *   'a a a' counts (a,a) twice), weighted by word frequency.
+  * - the winning pair is max by (freq desc, left asc, right asc) — binary
+  *   UTF-8 string order, no collation — so ties can't diverge.
+  */
+object BpeTrainer {
+
+  /** Double-spaced symbol form of a word: '␣␣h␣␣e␣␣l␣␣l␣␣o␣␣'. */
+  private def spaced(word: Column): Column =
+    concat(lit("  "), array_join(transform(
+      sequence(lit(1), length(word)),
+      i => word.substr(i, lit(1))), "  "), lit("  "))
+
+  /** Adjacent symbol pairs of a spaced word (empty when < 2 symbols). */
+  private def adjacentPairs(sym: Column): Column = {
+    val syms = split(trim(sym), " +")
+    when(size(syms) >= 2,
+      transform(sequence(lit(1), size(syms) - 1),
+        i => struct(element_at(syms, i).as("l"), element_at(syms, i + 1).as("r"))))
+      .otherwise(array().cast("array<struct<l:string,r:string>>"))
+  }
+
+  /** Learn `numMerges` BPE merges from the corpus. Returns the merge table
+    * `(step, left, right, freq)` — step 1-based in learned order, freq the
+    * weighted adjacent-pair count that won the step. Stops early (fewer
+    * rows) if no pair remains. Eager: runs one Spark job per iteration
+    * plus the initial word-frequency aggregation (word table
+    * localCheckpoint()ed per step — the rewrite chain must not re-derive
+    * N replaces against the corpus each iteration). */
+  def train(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    require(numMerges >= 1, s"train needs numMerges>=1 (got $numMerges)")
+    val spark = df.sparkSession
+    var words = graft.Tables.scaled(df.select(col(textCol).as("__t")))
+      .select(explode(text.tokens(col("__t"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(spaced(col("w")).as("sym"), col("cnt"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= numMerges && !done) {
+      val top = words
+        .select(explode(adjacentPairs(col("sym"))).as("p"), col("cnt"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("f"))
+        .orderBy(col("f").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, r, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((step, l, r, f))
+        val prev = words
+        words = words
+          .withColumn("sym", replace(col("sym"), lit(s" $l  $r "), lit(s" $l$r ")))
+          .localCheckpoint()
+        prev.unpersist()
+        step += 1
+      }
+    }
+    words.unpersist()
+    import spark.implicits._
+    merges.toSeq.toDF("step", "left", "right", "freq")
+      .select(col("step").cast("long"), col("left"), col("right"), col("freq"))
+  }
+}

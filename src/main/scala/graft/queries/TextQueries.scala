@@ -32,7 +32,8 @@ object TextQueries {
     "t29_remove_dup_spans" -> ((s, d) => removeDupSpans(s, d)),
     "t33_paragraph_dedup" -> ((s, d) => paragraphDedup(s, d)),
     "t39_winnow" -> ((s, d) => winnow(s, d)),
-    "t40_winnow_match" -> ((s, d) => winnowMatch(s, d))
+    "t40_winnow_match" -> ((s, d) => winnowMatch(s, d)),
+    "t41_bpe_train" -> ((s, d) => bpeTrain(s, d))
   )
 
   /** Paragraph-level global dedup (CCNet §3.1 shape): distinct paragraphs
@@ -241,6 +242,17 @@ object TextQueries {
       k = 5, w = 16, minShared = 2, maxDocFreq = 20)
       .orderBy("doc_a", "doc_b")
 
+  /** Learned BPE merge table (30 merges) — the full training loop is
+    * value-checked: the oracle unrolls every iteration (pair stats →
+    * argmax → doubled-space merge rewrite) and must reproduce each step's
+    * winning pair AND its weighted frequency. `left`/`right` are SQL
+    * reserved words, so the registry aliases them. */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.BpeTrainer.train(Tables.documents(spark, dir), "text", 30)
+      .select(col("step"), col("left").as("lft"), col("right").as("rgt"),
+        col("freq"))
+      .orderBy("step")
+
   // ----------------------------------------------------------------- oracles
 
   /** Normalization CTE shared by the oracles (= text.normalize). */
@@ -280,6 +292,43 @@ object TextQueries {
        |            THEN j END)))::BIGINT AS pos,
        |    list_min(hs[t+1:t+$W])::BIGINT AS fp
        |  FROM wwin)""".stripMargin
+  }
+
+  /** Full unrolled replay of the BPE training loop (30 iterations): per
+    * step, pair stats over the word-frequency table (all adjacent index
+    * pairs, weighted), argmax by (freq desc, l, r), and the doubled-space
+    * merge rewrite — replace('␣l␣␣r␣' → '␣lr␣'), the same built-in
+    * sequential-leftmost replace as the engine (see BpeTrainer's
+    * determinism contract; fold-left-equivalence proven in
+    * BpeTrainerSpec). MATERIALIZED CTEs keep the replay linear in
+    * iterations instead of re-inlining the replace chain per step. */
+  private val bpeTrainSql: String = {
+    val iters = 30
+    val pre =
+      s"""WITH n AS ($norm),
+         |btk AS (SELECT list_filter(string_split(norm, ' '), t -> len(t) > 0) AS tk FROM n),
+         |wf AS (SELECT w, count(*)::BIGINT AS cnt
+         |  FROM (SELECT unnest(tk) AS w FROM btk) GROUP BY w),
+         |w0 AS MATERIALIZED (SELECT '  ' ||
+         |    array_to_string(list_transform(range(len(w)), i -> w[i+1:i+1]), '  ')
+         |    || '  ' AS sym, cnt FROM wf)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      val p = i - 1
+      s"""p$i AS (SELECT l, r, sum(cnt)::BIGINT AS f FROM (
+         |  SELECT cnt, ss[j+1] AS l, ss[j+2] AS r FROM (
+         |    SELECT cnt, string_split(trim(sym, ' '), '  ') AS ss FROM w$p) t,
+         |    unnest(range(len(ss)-1)) AS u(j)) GROUP BY l, r),
+         |m$i AS MATERIALIZED (SELECT l, r, f FROM p$i
+         |  ORDER BY f DESC, l ASC, r ASC LIMIT 1),
+         |w$i AS MATERIALIZED (SELECT replace(sym,
+         |    ' ' || (SELECT l FROM m$i) || '  ' || (SELECT r FROM m$i) || ' ',
+         |    ' ' || (SELECT l FROM m$i) || (SELECT r FROM m$i) || ' ') AS sym,
+         |    cnt FROM w$p)""".stripMargin
+    }
+    val fin = (1 to iters).map(i =>
+      s"SELECT $i::BIGINT AS step, l AS lft, r AS rgt, f AS freq FROM m$i")
+      .mkString(" UNION ALL ")
+    s"$pre,\n${steps.mkString(",\n")}\nSELECT * FROM ($fin) ORDER BY step"
   }
 
   /** Positional 8-token span stream shared by the t26/t29 oracles — must
@@ -614,6 +663,7 @@ object TextQueries {
     "t39_winnow" ->
       s"""$winnowSql
          |SELECT DISTINCT doc_id, pos, fp FROM wsel ORDER BY doc_id, pos""".stripMargin,
+    "t41_bpe_train" -> bpeTrainSql,
     "t40_winnow_match" ->
       s"""$winnowSql,
          |f AS (SELECT DISTINCT doc_id, fp FROM wsel),
