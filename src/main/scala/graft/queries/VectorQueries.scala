@@ -36,6 +36,7 @@ object VectorQueries {
     "v14_sq_adc" -> ((s, d) => sqAdc(s, d)),
     "v15_ivfsq" -> ((s, d) => ivfSq(s, d)),
     "v16_range_search" -> ((s, d) => rangeSearch(s, d)),
+    "v17_ivfpq_residual" -> ((s, d) => ivfPqResidual(s, d)),
     "s1_search_docs" -> ((s, d) => searchDocs(s, d)),
     "s2_colpali_padding" -> ((s, d) => colpaliPadding(s, d)),
     "s3_colpali_groups" -> ((s, d) => colpaliGroups(s, d))
@@ -125,6 +126,42 @@ object VectorQueries {
       indexed.filter(col("cluster_id").isin(probed: _*) && col("vec_id") =!= 0),
       pq, "vec_id", q, n = 10000)
     KnnSearch.topK(cand, "embedding", "vec_id", q, 10)
+      .select(col("vec_id"), round(col("score"), 6).as("score"))
+  }
+
+  /** IVF-PQ with RESIDUAL encoding — the FAISS IndexIVFPQ default layout
+    * (v13 quantizes raw vectors; production IVF-PQ quantizes x − c(x),
+    * whose variance per subspace is smaller, so the same m·k codebook
+    * budget spends its resolution where the coarse quantizer left error).
+    * Inner-product decomposition keeps it rank-correct WITHOUT per-cluster
+    * LUTs: dot(q, x) = dot(q, c) + dot(q, x − c) ≈ [exact per-cluster
+    * scalar, a lists-length literal] + [ONE ADC LUT built from the FULL
+    * query over the residual codebooks]. Same exactness bridge as
+    * v13/v15: full probe + corpus-covering oversample ⇒ the exact rerank
+    * must reproduce exact top-10 (value-checking assign ∘ residual ∘
+    * encode ∘ offset-ADC ∘ rerank); PqIndexSpec gates the quantization-
+    * error win residual encoding exists for. */
+  def ivfPqResidual(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = queryVec(spark, dir)
+    val (indexed, ivf) = IvfIndex.build(e, "embedding", lists = 16)
+    val centLit = typedLit(ivf.centroids.map(_.toSeq).toSeq)
+    val resid = indexed.withColumn("__resid",
+      zip_with(col("embedding"), element_at(centLit, col("cluster_id") + 1),
+        (a, b) => a - b))
+    val pq = PqIndex.sampledModel(resid, "__resid", "vec_id", m = 8, k = 16)
+    val enc = PqIndex.encode(resid, "__resid", pq)
+    val qDotC = ivf.centroids.map { c =>
+      var s = 0.0; var j = 0
+      while (j < c.length) { s += q(j).toDouble * c(j).toDouble; j += 1 }
+      s
+    }
+    val scored = enc.filter(col("vec_id") =!= 0)
+      .withColumn("adc_score",
+        element_at(typedLit(qDotC.toSeq), col("cluster_id") + 1) +
+          PqIndex.adcScore(col("pq_code"), pq.lut(q), pq.k))
+      .orderBy(col("adc_score").desc, col("vec_id")).limit(10000)
+    KnnSearch.topK(scored, "embedding", "vec_id", q, 10)
       .select(col("vec_id"), round(col("score"), 6).as("score"))
   }
 
@@ -535,6 +572,7 @@ object VectorQueries {
     "v8_ivf_exact" -> exactTop10,
     // full-probe + corpus-covering oversample IVF-PQ must too
     "v13_ivfpq" -> exactTop10,
+    "v17_ivfpq_residual" -> exactTop10,
     // ... and IVF-SQ8, bridging the v14 quantizer into the pruned layout
     "v15_ivfsq" -> exactTop10,
     "v2_knn_batch" ->
