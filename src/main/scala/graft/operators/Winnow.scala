@@ -39,6 +39,40 @@ object Winnow {
         shiftright(col("__packed"), 31).as("pos"),
         col("__packed").bitwiseAND(lit(WinnowExpressions.PosPack - 1L)).as("fp"))
 
+  /** The per-doc distinct fingerprint set as a reusable INDEX table
+    * (id, fp) — write it partitioned/bucketed by fp once, then match any
+    * incoming batch against it with [[matchAgainst]] without
+    * re-fingerprinting the corpus (the t24/m5 incremental-crawl shape). */
+  def fingerprintIndex(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 5, w: Int = 16): DataFrame =
+    fingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol).as("id"), col("fp")).distinct()
+
+  /** Incoming-vs-corpus passage matching: incoming docs fingerprint with
+    * the same parameters and equi-join the index on fp; the
+    * stop-fingerprint cap is computed on the INDEX side (the corpus is
+    * what makes a fingerprint viral; an incoming batch is
+    * request-sized). Output: `id` (incoming), `corpus_id`, `n_shared` ≥
+    * `minShared`. Streaming shape: a batch function applied per
+    * micro-batch via foreachBatch — stream-static equi-join, no
+    * cross-batch state (design rule 8); StreamingWinnowSpec drives it and
+    * gates equivalence with the batch [[matchPairs]]. */
+  def matchAgainst(incoming: DataFrame, index: DataFrame,
+                   idCol: String, textCol: String,
+                   k: Int = 5, w: Int = 16,
+                   minShared: Int = 2, maxDocFreq: Int = 50): DataFrame = {
+    require(minShared >= 1, s"matchAgainst needs minShared>=1 (got $minShared)")
+    require(maxDocFreq >= 1, s"matchAgainst needs maxDocFreq>=1 (got $maxDocFreq)")
+    val rare = index.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxDocFreq).select("fp")
+    val inc = fingerprintIndex(incoming, idCol, textCol, k, w)
+      .select(col("id").as("__inc_id"), col("fp"))
+    inc.join(index.join(rare, Seq("fp")), Seq("fp"))
+      .groupBy(col("__inc_id").as("id"), col("id").as("corpus_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Candidate passage-sharing pairs: documents sharing ≥ `minShared`
     * distinct fingerprints, counting only fingerprints present in 2..
     * `maxDocFreq` documents (the stop-fingerprint cap — same role as
