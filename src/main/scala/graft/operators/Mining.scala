@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{vec, TopKAggregate}
+
+/** Training-pair mining for contrastive retrieval/embedding training — the
+  * stage that turns a curated corpus into (query, positive, negatives)
+  * triples. Random negatives teach a model nothing once it separates
+  * topics; what moves retrieval quality is mining the negatives the model
+  * currently confuses (DPR, Karpukhin et al. 2020; ANCE, Xiong et al.
+  * 2021), and the classic semi-hard band (FaceNet, Schroff et al. 2015)
+  * keeps them informative without label-noise poison.
+  *
+  * Label semantics: `labelCol` marks relevance groups (same label = same
+  * topic/positive set — the embeddings table's `label`). A hard negative
+  * is a DIFFERENT-label vector scoring high against the query; the
+  * same-label exclusion is what separates this from plain batch KNN (v2) —
+  * without it the top of every candidate list is positives and near-dup
+  * false negatives.
+  *
+  * 100 TB shape: queries are a training batch — request-sized, broadcast.
+  * [[hardNegatives]] is ONE corpus scan into per-query bounded-heap top-k
+  * (TopKAggregate — never a global sort). [[semiHardNegatives]] is TWO
+  * scans: pass 1 reduces to one pos_score row per query (map-side-combined
+  * max), pass 2 re-broadcasts that |Q|-row table and band-filters into the
+  * same bounded heap. Both stated; nothing quadratic, nothing driver-side
+  * beyond the |Q|-bounded pass-1 result.
+  */
+object Mining {
+
+  /** Top-`k` hardest negatives per query: highest-cosine corpus vectors
+    * with a DIFFERENT label. Output: query_id, rank (1-based), neg_id,
+    * score; ties break (score desc, id asc) — the v2 ordering. */
+  def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, queries: DataFrame, queryIdCol: String,
+                    queryVecCol: String, queryLabelCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"hardNegatives needs k>=1 (got $k)")
+    graft.Tables.scaled(corpus)
+      .join(broadcast(queries.select(col(queryIdCol).as("query_id"),
+        col(queryVecCol).as("__qvec"), col(queryLabelCol).as("__qlabel"))))
+      .filter(col(labelCol) =!= col("__qlabel"))
+      .withColumn("score", vec.cosine_sim(col(vecCol), col("__qvec")))
+      .groupBy("query_id")
+      .agg(TopKAggregate.top_k(col("score"), col(idCol).cast("long"), k).as("hits"))
+      .select(col("query_id"), posexplode(col("hits")).as(Seq("rank", "hit")))
+      .select(col("query_id"), (col("rank") + 1).cast("long").as("rank"),
+        col("hit.id").as("neg_id"), col("hit.score").as("score"))
+  }
+
+  /** Top-`k` SEMI-HARD negatives per query (the FaceNet band): different-
+    * label vectors with pos_score − margin < score < pos_score, where
+    * pos_score is the query's hardest positive (max same-label score,
+    * self excluded). Negatives above the band are likely label noise;
+    * below it, uninformative. Queries with no positive are dropped (no
+    * band exists). Output: query_id, rank, neg_id, score, pos_score. */
+  def semiHardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+                        labelCol: String, queries: DataFrame, queryIdCol: String,
+                        queryVecCol: String, queryLabelCol: String,
+                        k: Int, margin: Double): DataFrame = {
+    require(k >= 1, s"semiHardNegatives needs k>=1 (got $k)")
+    require(margin > 0, s"semiHardNegatives needs margin>0 (got $margin)")
+    val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      col(queryVecCol).as("__qvec"), col(queryLabelCol).as("__qlabel")))
+    val scored = graft.Tables.scaled(corpus).join(q)
+      .withColumn("score", vec.cosine_sim(col(vecCol), col("__qvec")))
+    val pos = scored
+      .filter(col(labelCol) === col("__qlabel") &&
+        col(idCol).cast("long") =!= col("query_id").cast("long"))
+      .groupBy("query_id").agg(max(col("score")).as("pos_score"))
+    scored.filter(col(labelCol) =!= col("__qlabel"))
+      .join(broadcast(pos), Seq("query_id"))
+      .filter(col("score") > col("pos_score") - lit(margin) &&
+        col("score") < col("pos_score"))
+      .groupBy(col("query_id"), col("pos_score"))
+      .agg(TopKAggregate.top_k(col("score"), col(idCol).cast("long"), k).as("hits"))
+      .select(col("query_id"), col("pos_score"),
+        posexplode(col("hits")).as(Seq("rank", "hit")))
+      .select(col("query_id"), (col("rank") + 1).cast("long").as("rank"),
+        col("hit.id").as("neg_id"), col("hit.score").as("score"),
+        col("pos_score"))
+  }
+}

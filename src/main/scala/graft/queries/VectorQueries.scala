@@ -37,6 +37,8 @@ object VectorQueries {
     "v15_ivfsq" -> ((s, d) => ivfSq(s, d)),
     "v16_range_search" -> ((s, d) => rangeSearch(s, d)),
     "v17_ivfpq_residual" -> ((s, d) => ivfPqResidual(s, d)),
+    "tr1_hard_negatives" -> ((s, d) => hardNegativesQ(s, d)),
+    "tr2_semihard" -> ((s, d) => semiHardQ(s, d)),
     "s1_search_docs" -> ((s, d) => searchDocs(s, d)),
     "s2_colpali_padding" -> ((s, d) => colpaliPadding(s, d)),
     "s3_colpali_groups" -> ((s, d) => colpaliGroups(s, d))
@@ -163,6 +165,34 @@ object VectorQueries {
       .orderBy(col("adc_score").desc, col("vec_id")).limit(10000)
     KnnSearch.topK(scored, "embedding", "vec_id", q, 10)
       .select(col("vec_id"), round(col("score"), 6).as("score"))
+  }
+
+  /** Hard-negative mining (DPR/ANCE shape) over the labeled embeddings:
+    * for each of the 20 query vectors, the 5 highest-cosine DIFFERENT-
+    * label vectors — the candidates a contrastive trainer wants in the
+    * batch. See [[graft.operators.Mining]]. */
+  def hardNegativesQ(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    graft.operators.Mining.hardNegatives(
+      e, "vec_id", "embedding", "label",
+      e.filter(col("vec_id") < 20), "vec_id", "embedding", "label", k = 5)
+      .select(col("query_id"), col("rank"), col("neg_id"),
+        round(col("score"), 6).as("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Semi-hard band mining (FaceNet): different-label vectors scoring
+    * within (pos − margin, pos) of each query's hardest positive. */
+  def semiHardQ(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    graft.operators.Mining.semiHardNegatives(
+      e, "vec_id", "embedding", "label",
+      e.filter(col("vec_id") < 20), "vec_id", "embedding", "label",
+      k = 5, margin = 0.05)
+      .select(col("query_id"), col("rank"), col("neg_id"),
+        round(col("score"), 6).as("score"),
+        round(col("pos_score"), 6).as("pos_score"))
+      .orderBy("query_id", "rank")
   }
 
   /** IVF-SQ8 composed (coarse-quantizer pruning over scalar-quantized
@@ -573,6 +603,34 @@ object VectorQueries {
     // full-probe + corpus-covering oversample IVF-PQ must too
     "v13_ivfpq" -> exactTop10,
     "v17_ivfpq_residual" -> exactTop10,
+    "tr1_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+        |           label AS ql FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        |s AS (SELECT query_id, c.vec_id,
+        |        list_cosine_similarity(v, qv) AS sc,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY list_cosine_similarity(v, qv) DESC, c.vec_id) AS rank
+        |      FROM q JOIN c ON c.label <> q.ql)
+        |SELECT query_id, rank::BIGINT AS rank, vec_id AS neg_id,
+        |  round(sc, 6) AS score
+        |FROM s WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "tr2_semihard" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+        |           label AS ql FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        |s AS (SELECT query_id, ql, c.vec_id, c.label,
+        |        list_cosine_similarity(v, qv) AS sc FROM q, c),
+        |p AS (SELECT query_id, max(sc) AS ps FROM s
+        |      WHERE label = ql AND vec_id <> query_id GROUP BY query_id),
+        |b AS (SELECT s.query_id, s.vec_id, s.sc, p.ps,
+        |        row_number() OVER (PARTITION BY s.query_id
+        |          ORDER BY s.sc DESC, s.vec_id) AS rank
+        |      FROM s JOIN p USING (query_id)
+        |      WHERE s.label <> s.ql AND s.sc > p.ps - 0.05 AND s.sc < p.ps)
+        |SELECT query_id, rank::BIGINT AS rank, vec_id AS neg_id,
+        |  round(sc, 6) AS score, round(ps, 6) AS pos_score
+        |FROM b WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // ... and IVF-SQ8, bridging the v14 quantizer into the pruned layout
     "v15_ivfsq" -> exactTop10,
     "v2_knn_batch" ->

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Mining
+
+/** Semantic gates for training-pair mining: the tr1/tr2 oracles prove
+  * engine-equivalence; this proves the mined sets have the properties the
+  * trainer depends on — no same-label leak into negatives, planted hard
+  * negatives surface at rank 1, and the semi-hard band is strict. */
+class MiningSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  // 2D geometry, hand-placed: label 0 around (1,0), label 1 around (0,1),
+  // plus a label-1 vector hugging the label-0 query direction (the planted
+  // hard negative) and a far label-1 outlier.
+  private val data = Seq(
+    (0L, Array(1.0f, 0.0f), 0),    // query
+    (1L, Array(0.99f, 0.14f), 0),  // positive (hardest)
+    (2L, Array(0.9f, 0.43f), 0),   // positive (weaker)
+    (3L, Array(0.97f, 0.24f), 1),  // planted hard negative
+    (4L, Array(0.0f, 1.0f), 1),    // easy negative
+    (5L, Array(-1.0f, 0.0f), 1))   // very easy negative
+  private def df = data.toDF("vec_id", "embedding", "label")
+  private def queries = df.filter($"vec_id" === 0L)
+
+  test("hard negatives exclude the query's label and rank by score") {
+    val out = Mining.hardNegatives(df, "vec_id", "embedding", "label",
+      queries, "vec_id", "embedding", "label", k = 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._2)
+    assert(out.map(_._3).toSeq == Seq(3L, 4L, 5L)) // planted first
+    assert(out.map(_._2).toSeq == Seq(1L, 2L, 3L))
+    val byId = data.map(d => d._1 -> d._3).toMap
+    assert(out.forall(r => byId(r._3) != 0), "same-label leaked into negatives")
+  }
+
+  test("semi-hard band is strict: between pos-margin and pos, noise excluded") {
+    // pos_score = cos(q, v1); v3 scores ABOVE v1? cos(q,v3)=0.971 vs
+    // cos(q,v1)=0.990 -> v3 is inside (pos-margin, pos) for margin=0.05;
+    // v4/v5 are far below the band
+    val out = Mining.semiHardNegatives(df, "vec_id", "embedding", "label",
+      queries, "vec_id", "embedding", "label", k = 3, margin = 0.05)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(out.map(_._3).toSeq == Seq(3L))
+    out.foreach { case (_, _, _, score, pos) =>
+      assert(score < pos && score > pos - 0.05)
+    }
+  }
+
+  test("a negative scoring ABOVE the hardest positive is excluded as noise") {
+    // move the planted negative INSIDE the positive cone, above v1
+    val noisy = (data.filterNot(_._1 == 3L) :+
+      ((3L, Array(0.999f, 0.045f), 1))).toDF("vec_id", "embedding", "label")
+    val out = Mining.semiHardNegatives(noisy, "vec_id", "embedding", "label",
+      noisy.filter($"vec_id" === 0L), "vec_id", "embedding", "label",
+      k = 3, margin = 0.05)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(!out.map(_._3).contains(3L), "above-positive negative must be excluded")
+  }
+
+  test("queries with no positive emit no semi-hard rows") {
+    val lonely = Seq((0L, Array(1.0f, 0.0f), 7), (4L, Array(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Mining.semiHardNegatives(lonely, "vec_id", "embedding", "label",
+      lonely.filter($"vec_id" === 0L), "vec_id", "embedding", "label",
+      k = 3, margin = 0.05).collect()
+    assert(out.isEmpty)
+  }
+}
