@@ -24,6 +24,8 @@ object TemporalQueries {
     "e5_interval_join" -> ((s, d) => intervalJoin(s, d)),
     "e6_sessionize" -> ((s, d) => sessionize(s, d)),
     "e7_resample_locf" -> ((s, d) => resampleLocf(s, d)),
+    "e9_funnel" -> ((s, d) => funnelQ(s, d)),
+    "e10_retention" -> ((s, d) => retentionQ(s, d)),
     "e8_ohlc" -> ((s, d) => ohlc(s, d))
   )
 
@@ -175,7 +177,51 @@ object TemporalQueries {
         md5(col("chunk")).as("chunk_md5"), length(col("chunk")).cast("long").as("chunk_len"))
       .orderBy("doc_id", "chunk_number")
 
+  /** Strict-order view→click→purchase funnel, 72 h journey window. */
+  def funnelQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.funnel(Tables.events(spark, dir),
+      "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"), windowSec = 72 * 3600)
+      .orderBy("step_idx")
+
+  /** Weekly retention cohorts over first-event anchors. */
+  def retentionQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.retention(Tables.events(spark, dir),
+      "user_id", "ts", periodSec = 7 * 86400)
+      .orderBy("cohort", "week_offset")
+
   def oracles: Map[String, String] = Map(
+    "e9_funnel" ->
+      """WITH u1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |u2 AS (SELECT e.user_id, u1.t1, min(epoch_us(ts)) AS tk
+        |       FROM events e JOIN u1 ON e.user_id = u1.user_id
+        |       WHERE event_type = 'click' AND epoch_us(ts) > u1.t1
+        |         AND epoch_us(ts) - u1.t1 <= 259200000000
+        |       GROUP BY e.user_id, u1.t1),
+        |u3 AS (SELECT e.user_id, u2.t1, min(epoch_us(ts)) AS tk
+        |       FROM events e JOIN u2 ON e.user_id = u2.user_id
+        |       WHERE event_type = 'purchase' AND epoch_us(ts) > u2.tk
+        |         AND epoch_us(ts) - u2.t1 <= 259200000000
+        |       GROUP BY e.user_id, u2.t1)
+        |SELECT * FROM (
+        |  SELECT 1::BIGINT AS step_idx, 'view' AS step,
+        |    count(*)::BIGINT AS n_users, 0::BIGINT AS avg_us_from_start FROM u1
+        |  UNION ALL
+        |  SELECT 2::BIGINT, 'click', count(*)::BIGINT,
+        |    coalesce(sum(tk - t1) // count(*), 0)::BIGINT FROM u2
+        |  UNION ALL
+        |  SELECT 3::BIGINT, 'purchase', count(*)::BIGINT,
+        |    coalesce(sum(tk - t1) // count(*), 0)::BIGINT FROM u3)
+        |ORDER BY step_idx""".stripMargin,
+    "e10_retention" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) // 604800000000 AS p FROM events),
+        |ch AS (SELECT user_id, min(p) AS c0 FROM ev GROUP BY user_id),
+        |d AS (SELECT DISTINCT ev.user_id, ch.c0 AS cohort,
+        |        ev.p - ch.c0 AS week_offset
+        |      FROM ev JOIN ch ON ev.user_id = ch.user_id)
+        |SELECT cohort, week_offset, count(*)::BIGINT AS n_users FROM d
+        |GROUP BY cohort, week_offset ORDER BY cohort, week_offset""".stripMargin,
     // The recursive splitter's DuckDB twin, valid because this corpus
     // contains no "\n\n"/"\n"/". " separators (asserted: 0 rows match),
     // so the separator cascade reduces to greedy space-boundary packing:
