@@ -51,7 +51,9 @@ object Bench {
     "t32_dsir_sample", "t33_paragraph_dedup", "t34_langid_trained", "v14_sq_adc",
     "k2_semdedup", "n2_bm25", "n3_hybrid_rrf", "t28_curation_e2e",
     "gr1_pagerank", "t37_mojibake", "t38_oov_rate",
-    "t39_winnow", "t40_winnow_match", "t41_bpe_train")
+    "t39_winnow", "t40_winnow_match", "t41_bpe_train",
+    "v17_ivfpq_residual", "tr1_hard_negatives", "e9_funnel",
+    "t42_curation_v2")
 
   /** Index-backed queries: build once, time the probe. */
   private val preparedFactories: Map[String,

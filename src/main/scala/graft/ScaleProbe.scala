@@ -94,7 +94,8 @@ object ScaleProbe {
         "k2_semdedup", "n2_bm25", "t28_curation_e2e",
         "e7_resample_locf", "e8_ohlc", "t16_heavy_hitters",
         "gr1_pagerank", "t37_mojibake", "t38_oov_rate",
-        "t39_winnow", "t40_winnow_match", "t41_bpe_train")
+        "t39_winnow", "t40_winnow_match", "t41_bpe_train",
+        "t42_curation_v2", "e9_funnel", "tr1_hard_negatives")
       // optional second arg: probe only the named queries (comma-separated) —
       // re-measuring one changed operator shouldn't cost the full heavy tail.
       // Unknown names fail loudly: a typo silently probing nothing (and still

@@ -37,7 +37,8 @@ object CorpusQueries {
     "t35_ccnet_buckets" -> ((s, d) => ccnetBuckets(s, d)),
     "t36_leakage_split" -> ((s, d) => leakageSplit(s, d)),
     "t37_mojibake" -> ((s, d) => mojibake(s, d)),
-    "t38_oov_rate" -> ((s, d) => oovRateQ(s, d))
+    "t38_oov_rate" -> ((s, d) => oovRateQ(s, d)),
+    "t42_curation_v2" -> ((s, d) => curationV2(s, d))
   )
 
   /** Leakage-safe train/val/test split at the dedup-group boundary: the
@@ -312,9 +313,45 @@ object CorpusQueries {
       .orderBy("doc_id")
 
   def oovRateQ(spark: SparkSession, dir: String): DataFrame =
-    Corpus.oovRate(Tables.documents(spark, dir), "doc_id", "text", vocabK = 512)
+    Corpus.oovRate(Tables.documents(spark, dir), "doc_id", "text", vocabK = 16)
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
+
+  private val OovMax = 5000L
+
+  /** The round-8 gates composed as ONE dataflow (t28's role for the new
+    * operators): planted CP1252 corruption → mojibake repair → OOV
+    * vocabulary-coverage gate on the REPAIRED text → winnow passage-dup
+    * keep-list over the gate's survivors → per-doc verdict with reason.
+    * Stage cuts where a stage output feeds two consumers (same rule as
+    * t28). Each stage is individually oracle-gated (t37/t38/t39/t40); this
+    * gates the seams — which rows flow between stages and the verdict
+    * precedence (oov before passage_dup; kept docs report repaired/clean). */
+  def curationV2(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).withColumn("ctext",
+      when(pmod(col("doc_id"), lit(5)) === 0, concat(lit(MojiBad), col("text")))
+        .otherwise(col("text")))
+    val rep = graft.operators.TextRepair.fixMojibake(docs, "ctext")
+      .select(col("doc_id"), col("repaired"), col("n_fixed"))
+      .localCheckpoint()
+    val oov = Corpus.oovRate(rep, "doc_id", "repaired", vocabK = 16)
+      .select(col("id").as("doc_id"), col("oov_bp"))
+      .localCheckpoint()
+    val surv = rep.join(
+      oov.where(col("oov_bp") <= OovMax).select("doc_id"), "doc_id")
+    val dup = graft.operators.Winnow.matchPairs(surv, "doc_id", "repaired",
+        minShared = 2, maxDocFreq = 20)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("__dup", lit(true))
+    rep.join(oov, "doc_id").join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_fixed"), col("oov_bp"),
+        when(col("oov_bp") > OovMax, "drop")
+          .when(col("__dup"), "drop").otherwise("keep").as("verdict"),
+        when(col("oov_bp") > OovMax, "oov")
+          .when(col("__dup"), "passage_dup")
+          .when(col("n_fixed") > 0, "repaired").otherwise("clean").as("reason"))
+      .orderBy("doc_id")
+  }
 
   // ----------------------------------------------------------------- oracles
 
@@ -692,11 +729,56 @@ object CorpusQueries {
          |SELECT doc_id, n_fixed, (n_fixed > 0) AS is_fixed,
          |  md5(rep) AS repaired_md5
          |FROM f ORDER BY doc_id""".stripMargin,
+    "t42_curation_v2" -> {
+      val bad = MojiBad.replace("'", "''")
+      val winnowPart = TextQueries.winnowSqlFrom(
+        "SELECT r.doc_id, trim(regexp_replace(lower(rtext), '\\s+', ' ', 'g')) " +
+          "AS norm FROM rep r JOIN surv USING (doc_id)")
+      s"""WITH c AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN '$bad' || text ELSE text END AS ctext
+         |  FROM documents),
+         |rep AS (SELECT doc_id,
+         |    ${graft.operators.TextRepair.repairSql("ctext")} AS rtext,
+         |    ${graft.operators.TextRepair.countSql("ctext")} AS n_fixed FROM c),
+         |rn AS (SELECT doc_id,
+         |    trim(regexp_replace(lower(rtext), '\\s+', ' ', 'g')) AS rnorm FROM rep),
+         |rtk AS (SELECT doc_id,
+         |    list_filter(string_split(rnorm, ' '), t -> len(t) > 0) AS tk FROM rn),
+         |e AS (SELECT doc_id, unnest(tk) AS token FROM rtk),
+         |vc AS (SELECT token FROM (SELECT token, count(*) AS cnt FROM e
+         |    GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 16)),
+         |pd AS (SELECT e.doc_id, count(*)::BIGINT AS n_tokens,
+         |    sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
+         |  FROM e LEFT JOIN vc v ON e.token = v.token GROUP BY e.doc_id),
+         |ov AS (SELECT r.doc_id,
+         |    CASE WHEN coalesce(pd.n_tokens, 0) > 0
+         |         THEN ((10000 * pd.n_oov) // pd.n_tokens)::BIGINT
+         |         ELSE 0 END AS oov_bp
+         |  FROM rep r LEFT JOIN pd ON r.doc_id = pd.doc_id),
+         |surv AS (SELECT doc_id FROM ov WHERE oov_bp <= $OovMax),
+         |$winnowPart,
+         |wff AS (SELECT DISTINCT doc_id, fp FROM wsel),
+         |wrare AS (SELECT fp FROM wff GROUP BY fp HAVING count(*) BETWEEN 2 AND 20),
+         |wpr AS (SELECT a.doc_id AS da, b.doc_id AS db
+         |        FROM wff a JOIN wff b USING (fp) JOIN wrare USING (fp)
+         |        WHERE a.doc_id < b.doc_id),
+         |dup AS (SELECT DISTINCT db AS doc_id FROM
+         |        (SELECT da, db FROM wpr GROUP BY da, db HAVING count(*) >= 2))
+         |SELECT r.doc_id, r.n_fixed, ov.oov_bp,
+         |  CASE WHEN ov.oov_bp > $OovMax THEN 'drop'
+         |       WHEN d.doc_id IS NOT NULL THEN 'drop' ELSE 'keep' END AS verdict,
+         |  CASE WHEN ov.oov_bp > $OovMax THEN 'oov'
+         |       WHEN d.doc_id IS NOT NULL THEN 'passage_dup'
+         |       WHEN r.n_fixed > 0 THEN 'repaired' ELSE 'clean' END AS reason
+         |FROM rep r JOIN ov ON r.doc_id = ov.doc_id
+         |LEFT JOIN dup d ON r.doc_id = d.doc_id
+         |ORDER BY r.doc_id""".stripMargin
+    },
     "t38_oov_rate" ->
       s"""$toks,
          |e AS (SELECT doc_id, unnest(tk) AS token FROM tk),
          |vc AS (SELECT token FROM (SELECT token, count(*) AS cnt FROM e
-         |    GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 512)),
+         |    GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 16)),
          |pd AS (SELECT e.doc_id, count(*)::BIGINT AS n_tokens,
          |    sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
          |  FROM e LEFT JOIN vc v ON e.token = v.token GROUP BY e.doc_id)

@@ -270,12 +270,12 @@ object TextQueries {
     * short-doc one-window arm, and DISTINCT == the kernel's
     * consecutive-selection dedupe (a position's selecting windows are
     * contiguous). */
-  private val winnowSql: String = {
+  private[queries] def winnowSqlFrom(normSel: String): String = {
     val B = graft.functions.WinnowExpressions.HashBase
     val M = graft.functions.WinnowExpressions.HashMod
     val K = 5; val W = 16
     val b4 = B * B * B * B; val b3 = B * B * B; val b2 = B * B
-    s"""WITH n AS ($norm),
+    s"""n AS ($normSel),
        |wc AS (SELECT doc_id, len(norm) AS n,
        |    list_transform(range(1, len(norm)+1), i -> unicode(norm[i:i])::BIGINT) AS cs
        |  FROM n),
@@ -293,6 +293,8 @@ object TextQueries {
        |    list_min(hs[t+1:t+$W])::BIGINT AS fp
        |  FROM wwin)""".stripMargin
   }
+
+  private val winnowSql: String = "WITH " + winnowSqlFrom(norm)
 
   /** Full unrolled replay of the BPE training loop (30 iterations): per
     * step, pair stats over the word-frequency table (all adjacent index
