@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Numeric feature hygiene for training pipelines — the winsorize/clip
+  * pass that tames heavy-tailed metrics (prices, durations, counts) before
+  * they become model features: per-group percentile fences and the clip
+  * transform, with outlier tallies for the audit trail.
+  *
+  * Twin-arm design (the t12/t19 and t16/t22 pattern):
+  * - [[winsorizeStats]] EXACT arm: `percentile` is a holistic aggregate —
+  *   it buffers each group's values, so it is for BOUNDED groups (a
+  *   metrics table, a per-type summary — fine at any corpus size when
+  *   group cardinality times values-per-group fits a task). This is the
+  *   arm the DuckDB oracle replays (same rank-interpolation definition:
+  *   both engines interpolate at rank (n−1)·p).
+  * - [[winsorizeStatsApprox]] SCALE arm: `approx_percentile` (Greenwald-
+  *   Khanna sketch, bounded state per group) — same output shape, mergeable
+  *   partial state, the arm a 100 TB fact table uses. FeatureSpec pins the
+  *   two arms within the sketch's accuracy bound so swapping them is a
+  *   measured trade, not a leap.
+  *
+  * The counting pass re-broadcasts the |groups|-row fence table and counts
+  * out-of-fence values in one map-side-combined aggregation — two scans
+  * total, both stated.
+  */
+object Features {
+
+  private def statsOf(df: DataFrame, groupCol: String, valueCol: String,
+                      pLo: Double, pHi: Double, fence: (Column, Double) => Column): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(fence(col(valueCol), pLo).as("p_lo"), fence(col(valueCol), pHi).as("p_hi"))
+
+  /** Exact per-group fences + clip tallies: `groupCol`, `p_lo`, `p_hi`,
+    * `n_below`, `n_above`, `n_total`. */
+  def winsorizeStats(df: DataFrame, groupCol: String, valueCol: String,
+                     pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"need 0<=pLo<pHi<=1 (got $pLo, $pHi)")
+    val fences = statsOf(df, groupCol, valueCol, pLo, pHi,
+      (c, p) => call_function("percentile", c, lit(p)))
+    counts(df, fences, groupCol, valueCol)
+  }
+
+  /** Sketch-based fences, same shape — the unbounded-group arm.
+    * `accuracy` is approx_percentile's inverse-error knob. */
+  def winsorizeStatsApprox(df: DataFrame, groupCol: String, valueCol: String,
+                           pLo: Double = 0.01, pHi: Double = 0.99,
+                           accuracy: Int = 10000): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"need 0<=pLo<pHi<=1 (got $pLo, $pHi)")
+    val fences = statsOf(df, groupCol, valueCol, pLo, pHi,
+      (c, p) => approx_percentile(c, lit(p), lit(accuracy)))
+    counts(df, fences, groupCol, valueCol)
+  }
+
+  private def counts(df: DataFrame, fences: DataFrame, groupCol: String,
+                     valueCol: String): DataFrame =
+    df.join(broadcast(fences), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(first(col("p_lo")).as("p_lo"), first(col("p_hi")).as("p_hi"),
+        sum(when(col(valueCol) < col("p_lo"), 1L).otherwise(0L)).as("n_below"),
+        sum(when(col(valueCol) > col("p_hi"), 1L).otherwise(0L)).as("n_above"),
+        count(lit(1)).as("n_total"))
+
+  /** The clip transform itself: adds `<valueCol>_w` clamped into the
+    * group's fences (values in per-group map-only once fences broadcast). */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
+    val fences = statsOf(df, groupCol, valueCol, pLo, pHi,
+      (c, p) => call_function("percentile", c, lit(p)))
+    df.join(broadcast(fences), Seq(groupCol))
+      .withColumn(s"${valueCol}_w",
+        least(greatest(col(valueCol), col("p_lo")), col("p_hi")))
+      .drop("p_lo", "p_hi")
+  }
+}

@@ -26,6 +26,7 @@ object TemporalQueries {
     "e7_resample_locf" -> ((s, d) => resampleLocf(s, d)),
     "e9_funnel" -> ((s, d) => funnelQ(s, d)),
     "e10_retention" -> ((s, d) => retentionQ(s, d)),
+    "e11_winsorize" -> ((s, d) => winsorizeQ(s, d)),
     "e8_ohlc" -> ((s, d) => ohlc(s, d))
   )
 
@@ -190,7 +191,30 @@ object TemporalQueries {
       "user_id", "ts", periodSec = 7 * 86400)
       .orderBy("cohort", "week_offset")
 
+  /** Exact per-type winsorize fences (p01/p99) + outlier tallies over the
+    * event values — both engines interpolate at rank (n−1)·p; fences
+    * rounded at 6dp for the hash gate, tallies exact integers. */
+  def winsorizeQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Features.winsorizeStats(
+      Tables.events(spark, dir), "event_type", "value")
+      .select(col("event_type"), round(col("p_lo"), 6).as("p_lo"),
+        round(col("p_hi"), 6).as("p_hi"),
+        col("n_below"), col("n_above"), col("n_total"))
+      .orderBy("event_type")
+
   def oracles: Map[String, String] = Map(
+    "e11_winsorize" ->
+      """WITH f AS (SELECT event_type,
+        |    quantile_cont(value, 0.01) AS p_lo,
+        |    quantile_cont(value, 0.99) AS p_hi
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, round(f.p_lo, 6) AS p_lo, round(f.p_hi, 6) AS p_hi,
+        |  sum(CASE WHEN e.value < f.p_lo THEN 1 ELSE 0 END)::BIGINT AS n_below,
+        |  sum(CASE WHEN e.value > f.p_hi THEN 1 ELSE 0 END)::BIGINT AS n_above,
+        |  count(*)::BIGINT AS n_total
+        |FROM events e JOIN f USING (event_type)
+        |GROUP BY e.event_type, f.p_lo, f.p_hi
+        |ORDER BY e.event_type""".stripMargin,
     "e9_funnel" ->
       """WITH u1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
         |            WHERE event_type = 'view' GROUP BY user_id),

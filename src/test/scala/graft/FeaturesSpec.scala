@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Features
+
+/** Gates for the winsorize twins: the e11 oracle proves the exact arm's
+  * engine-equivalence; this pins the arms against each other (the scale
+  * trade must be measured), the clip transform, and fence-boundary
+  * semantics. */
+class FeaturesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def df = (1 to 1000).map(i => ("a", i.toDouble)).toDF("g", "v")
+
+  test("exact fences at known ranks; boundary values are NOT outliers") {
+    val r = Features.winsorizeStats(df, "g", "v", 0.1, 0.9)
+      .as[(String, Double, Double, Long, Long, Long)].collect().head
+    // rank (n-1)p over 1..1000: p10 at index 99.9 -> 100.9, p90 -> 900.1
+    assert(math.abs(r._2 - 100.9) < 1e-9 && math.abs(r._3 - 900.1) < 1e-9)
+    assert(r._4 == 100L && r._5 == 100L && r._6 == 1000L)
+  }
+
+  test("approx arm lands within the sketch bound of the exact arm") {
+    val exact = Features.winsorizeStats(df, "g", "v", 0.01, 0.99)
+      .as[(String, Double, Double, Long, Long, Long)].collect().head
+    val approx = Features.winsorizeStatsApprox(df, "g", "v", 0.01, 0.99)
+      .as[(String, Double, Double, Long, Long, Long)].collect().head
+    // accuracy=10000 => rank error <= n/accuracy = 0.1 ranks; allow 2 values
+    assert(math.abs(approx._2 - exact._2) <= 2.0, s"p_lo ${approx._2} vs ${exact._2}")
+    assert(math.abs(approx._3 - exact._3) <= 2.0, s"p_hi ${approx._3} vs ${exact._3}")
+  }
+
+  test("winsorize clamps into the fences and leaves interior values alone") {
+    val out = Features.winsorize(df, "g", "v", 0.1, 0.9)
+      .select("v", "v_w").as[(Double, Double)].collect().toMap
+    assert(out(1.0) == 100.9 && out(1000.0) == 900.1)
+    assert(out(500.0) == 500.0)
+    assert(out.values.forall(v => v >= 100.9 && v <= 900.1))
+  }
+}
