@@ -82,4 +82,43 @@ class BpeTrainerSpec extends AnyFunSuite {
   test("stops early when no pairs remain") {
     assert(train(Seq("a b c d"), 5).isEmpty) // all words single-symbol
   }
+
+  test("roundtrip: encoding with the LEARNED merges matches a reference greedy encode") {
+    // the full tokenizer lifecycle — train on the corpus, then encode the
+    // corpus with the learned table via the t25 expression
+    val corpus = Seq("low low lower lowest", "newer newest new low")
+    val merges = train(corpus, 8).map(m => (m._2, m._3))
+    assert(merges.nonEmpty)
+    val got = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select($"id", graft.functions.BpeTokenizer.bpe_encode($"text", merges).as("tok"))
+      .as[(Long, Seq[String])].collect().toMap
+    // reference greedy encode: per word, repeatedly merge the lowest-rank
+    // adjacent pair present (fold-left application like the trainer)
+    val rank = merges.zipWithIndex.toMap
+    def encodeWord(w: String): Seq[String] = {
+      var syms = w.map(_.toString).toVector
+      var done = false
+      while (!done && syms.size >= 2) {
+        val present = syms.sliding(2).map(s => (s(0), s(1)))
+          .filter(rank.contains).toSeq
+        if (present.isEmpty) done = true
+        else {
+          val (l, r) = present.minBy(rank)
+          val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+          for (s <- syms) {
+            if (acc.nonEmpty && acc.last == l && s == r) acc(acc.size - 1) = l + r
+            else acc += s
+          }
+          syms = acc.toVector
+        }
+      }
+      syms
+    }
+    corpus.zipWithIndex.foreach { case (t, i) =>
+      val expected = t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+        .toSeq.flatMap(encodeWord)
+      assert(got(i.toLong) == expected, s"doc $i")
+    }
+  }
 }

@@ -271,6 +271,18 @@ class PlanGuardSpec extends AnyFunSuite {
       s"winnow match degraded to nested loop:\n$p")
   }
 
+  test("e9_funnel: step chain is user-keyed equi-joins, never nested-loop") {
+    val p = executedPlan("e9_funnel")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"funnel step join degraded:\n$p")
+  }
+
+  test("t42_curation_v2: composed gates stay equi-shaped end to end") {
+    val p = executedPlan("t42_curation_v2")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"curation v2 grew an all-pairs seam:\n$p")
+  }
+
   test("gr1 pagerank step: contribution pass equi-shaped; only the one-row dangling total nests") {
     // gr1's registered frame is post-checkpoint (the iterative operator
     // materializes per pass), so pin the iteration body itself: build one
