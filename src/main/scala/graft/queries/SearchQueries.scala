@@ -28,8 +28,30 @@ object SearchQueries {
     "s4_mmr_diversify" -> ((s, d) => mmrDiversify(s, d)),
     "n4_snippets" -> ((s, d) => snippets(s, d)),
     "n5_snippets_substring" -> ((s, d) => snippets(s, d, boundary = false)),
-    "n6_phrase" -> ((s, d) => phrase(s, d))
+    "n6_phrase" -> ((s, d) => phrase(s, d)),
+    "n7_rm3_expand" -> ((s, d) => rm3Expand(s, d))
   )
+
+  /** Pseudo-relevance-feedback query expansion (the RM3 shape, Lavrenko &
+    * Croft relevance models, counts-only core): pass 1 = BM25 top-10 for
+    * the original terms; expansion = the top-5 non-query terms of those
+    * docs by frequency (cnt desc, term asc — total tiebreak); pass 2 =
+    * BM25 over original ∪ expansion. The 5-term expansion list is a
+    * request-sized driver decision (design rule 17 — it parameterizes the
+    * next plan's term filter, exactly like a user query would). */
+  def rm3Expand(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val top = FullText.bm25(docs, "doc_id", "text", Terms, k = 10)
+      .select("doc_id")
+    val exp = docs.join(broadcast(top), "doc_id")
+      .select(explode(graft.functions.text.tokens(col("text"))).as("term"))
+      .filter(!col("term").isin(Terms: _*))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc).limit(5)
+      .collect().map(_.getString(0)).toSeq
+    FullText.bm25(docs, "doc_id", "text", Terms ++ exp, k = 10)
+      .select(col("doc_id"), round(col("score"), 6).as("bm25"), col("n_terms"))
+  }
 
   /** Exact phrase search ("big order scan", adjacency REQUIRED — the
     * upgrade over n4's AND-of-lexemes multi-word terms): matching docs
@@ -219,6 +241,27 @@ object SearchQueries {
     "n2_bm25" ->
       s"""WITH ${bm25Sql(10)}
          |SELECT doc_id, round(score, 6) AS bm25, n_terms FROM sc
+         |ORDER BY score DESC, doc_id""".stripMargin,
+    "n7_rm3_expand" ->
+      s"""WITH ${bm25Sql(10)},
+         |ex AS (SELECT t AS term FROM (
+         |    SELECT t, count(*) AS cnt
+         |    FROM (SELECT doc_id, unnest(tk) AS t FROM tk) u JOIN sc USING (doc_id)
+         |    WHERE t NOT IN ('spark','vector','merge','stream')
+         |    GROUP BY t ORDER BY cnt DESC, t ASC LIMIT 5)),
+         |qt AS (SELECT unnest(['spark','vector','merge','stream']) AS term
+         |       UNION SELECT term FROM ex),
+         |tf2 AS (SELECT u.doc_id, u.t AS term, count(*) AS tf
+         |        FROM (SELECT doc_id, unnest(tk) AS t FROM tk) u
+         |        JOIN qt ON u.t = qt.term GROUP BY u.doc_id, u.t),
+         |dfq2 AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf2 GROUP BY term),
+         |w2 AS (SELECT tf2.doc_id,
+         |        ln(1.0 + (g.n_docs - dfq2.df + 0.5) / (dfq2.df + 0.5))
+         |          * (tf2.tf * 2.2) / (tf2.tf + 1.2 * (0.25 + 0.75 * lens.dl / g.avgdl)) AS w
+         |       FROM tf2 JOIN dfq2 USING (term) JOIN lens USING (doc_id), g),
+         |sc2 AS (SELECT doc_id, sum(w) AS score, count(*) AS n_terms FROM w2
+         |        GROUP BY doc_id ORDER BY sum(w) DESC, doc_id LIMIT 10)
+         |SELECT doc_id, round(score, 6) AS bm25, n_terms FROM sc2
          |ORDER BY score DESC, doc_id""".stripMargin,
     "n3_hybrid_rrf" ->
       s"""WITH ${bm25Sql(20)},
