@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 import graft.Tables
 import graft.operators.LinkGraph
 
@@ -19,7 +20,8 @@ object GraphQueries {
   private val Scale = 1000000000000L
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "gr1_pagerank" -> ((s, d) => pagerank(s, d))
+    "gr1_pagerank" -> ((s, d) => pagerank(s, d)),
+    "gr2_pagerank_dense" -> ((s, d) => pagerankDense(s, d))
   )
 
   /** Synthesized host-link edges: each doc's host links to two derived
@@ -48,6 +50,31 @@ object GraphQueries {
     * synthesized graph (per-iteration cost is the probe target). */
   def pagerankAt(spark: SparkSession, dir: String, iters: Int): DataFrame =
     LinkGraph.pageRank(edges(spark, dir), "src", "dst", iters, DampPct, Scale)
+
+  /** GROWING-graph edges: node universe ∝ corpus rows (one host per 5
+    * docs; the two derived targets range past the source universe, so
+    * dangling nodes grow too). gr1's host universe is FIXED by its
+    * synthesis rule — this is the arm whose x64 probe shows the iteration
+    * itself scaling with graph size, not just the edge-derivation scan. */
+  private def denseEdges(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def h(c: Column): Column = concat(lit("h"),
+      ColumnBridge.column(
+        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          ColumnBridge.expression(c), ColumnBridge.expression(lit(5L))))
+        .cast("string"))
+    docs.select(h(col("doc_id")).as("src"),
+        h(col("doc_id") * 7 + 3).as("dst"))
+      .union(docs.select(h(col("doc_id")).as("src"),
+        h(col("doc_id") * 11 + 7).as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** PageRank over the growing graph — same iteration count/constants. */
+  def pagerankDense(spark: SparkSession, dir: String): DataFrame =
+    LinkGraph.pageRank(denseEdges(spark, dir), "src", "dst", Iters, DampPct, Scale)
+      .orderBy(col("rank").desc, col("node"))
 
   private val edgeSql: String =
     """e AS (
@@ -81,18 +108,32 @@ object GraphQueries {
        |  ON d.node = c.dst)""".stripMargin
   }
 
+  private val denseEdgeSql: String =
+    """e AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT ('h' || (doc_id // 5)) AS src,
+      |           ('h' || ((doc_id * 7 + 3) // 5)) AS dst FROM documents
+      |    UNION ALL
+      |    SELECT ('h' || (doc_id // 5)) AS src,
+      |           ('h' || ((doc_id * 11 + 7) // 5)) AS dst FROM documents) u
+      |  WHERE src <> dst)""".stripMargin
+
+  /** The full five-iteration replay over a given edge CTE. */
+  private def pagerankOracle(edgeCte: String): String =
+    s"""WITH $edgeCte,
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |deg AS (SELECT n.node, coalesce(d.c, 0)::BIGINT AS outdeg
+       |  FROM nodes n
+       |  LEFT JOIN (SELECT src, count(*)::BIGINT AS c FROM e GROUP BY src) d
+       |  ON n.node = d.src),
+       |nn AS (SELECT count(*)::BIGINT AS n FROM deg),
+       |r0 AS (SELECT node, outdeg,
+       |  (SELECT $Scale // n FROM nn)::BIGINT AS rank FROM deg),
+       |${(1 to Iters).map(stepSql).mkString(",\n")}
+       |SELECT node, outdeg, rank FROM r$Iters ORDER BY rank DESC, node""".stripMargin
+
   def oracles: Map[String, String] = Map(
-    "gr1_pagerank" ->
-      s"""WITH $edgeSql,
-         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-         |deg AS (SELECT n.node, coalesce(d.c, 0)::BIGINT AS outdeg
-         |  FROM nodes n
-         |  LEFT JOIN (SELECT src, count(*)::BIGINT AS c FROM e GROUP BY src) d
-         |  ON n.node = d.src),
-         |nn AS (SELECT count(*)::BIGINT AS n FROM deg),
-         |r0 AS (SELECT node, outdeg,
-         |  (SELECT $Scale // n FROM nn)::BIGINT AS rank FROM deg),
-         |${(1 to Iters).map(stepSql).mkString(",\n")}
-         |SELECT node, outdeg, rank FROM r$Iters ORDER BY rank DESC, node""".stripMargin
+    "gr1_pagerank" -> pagerankOracle(edgeSql),
+    "gr2_pagerank_dense" -> pagerankOracle(denseEdgeSql)
   )
 }
