@@ -20,6 +20,53 @@ object Mutations {
     base.join(updates.select(key), Seq(key), "left_anti")
       .unionByName(updates, allowMissingColumns = true)
 
+  /** SCD Type-2 dimension merge — the lakehouse slowly-changing-dimension
+    * pattern the plain [[upsert]] (Type-1, overwrite) cannot express:
+    * history is KEPT, every version carries a validity interval. Given the
+    * current dimension (`valid_from_us`/`valid_to_us` columns, null
+    * valid_to = current) and an update snapshot keyed by `key` with the
+    * same attribute columns, at effective time `effUs`:
+    * - a key absent from the dimension inserts (valid_from=eff, open);
+    * - a key whose CURRENT attributes differ closes the current row
+    *   (valid_to=eff) and inserts the new version (valid_from=eff, open);
+    * - an unchanged key, a closed historical row, and a non-updated key
+    *   pass through untouched.
+    * Change detection compares the attribute STRUCT with null-safe
+    * equality (<=>), so a null-vs-value flip counts as a change.
+    *
+    * 100 TB shape: ONE equi-join of the current slice against the update
+    * snapshot on the key (historical rows never join — they filter out
+    * map-side), then a union of the four disjoint slices; on Delta/Iceberg
+    * this is the standard two-branch MERGE INTO. Deterministic given
+    * `effUs` (the caller passes the batch's effective time — never a
+    * wall-clock read inside the operator). */
+  def scd2Merge(dim: DataFrame, updates: DataFrame, key: String,
+                attrCols: Seq[String], effUs: Long): DataFrame = {
+    require(attrCols.nonEmpty, "scd2Merge needs at least one attribute column")
+    val attrs = struct(attrCols.map(col): _*)
+    val hist = dim.where(col("valid_to_us").isNotNull)
+    val cur = dim.where(col("valid_to_us").isNull)
+    val upd = updates.select((col(key) +: attrCols.map(col)): _*)
+    val joined = cur.as("c").join(upd.as("u"), col(s"c.$key") === col(s"u.$key"),
+      "full_outer")
+    val curAttrs = struct(attrCols.map(a => col(s"c.$a")): _*)
+    val updAttrs = struct(attrCols.map(a => col(s"u.$a")): _*)
+    val untouchedCur = joined.where(col(s"u.$key").isNull ||
+        (col(s"c.$key").isNotNull && (curAttrs <=> updAttrs)))
+      .select(col("c.*"))
+    val closed = joined.where(col(s"c.$key").isNotNull &&
+        col(s"u.$key").isNotNull && !(curAttrs <=> updAttrs))
+      .select(col("c.*"))
+      .withColumn("valid_to_us", lit(effUs))
+    val opened = joined.where(col(s"u.$key").isNotNull &&
+        (col(s"c.$key").isNull || !(curAttrs <=> updAttrs)))
+      .select((col(s"u.$key").as(key) +: attrCols.map(a => col(s"u.$a").as(a))): _*)
+      .withColumn("valid_from_us", lit(effUs))
+      .withColumn("valid_to_us", lit(null).cast("long"))
+    hist.unionByName(untouchedCur).unionByName(closed)
+      .unionByName(opened.select(hist.columns.map(col): _*))
+  }
+
   /** Migration ingest (`routes/migrate.py:20-66`): ingest documents
     * PRESERVING their source ids, with the route's `on_conflict` policy —
     * "skip" keeps the existing row and marks the incoming one skipped,

@@ -16,8 +16,36 @@ object MutationQueries {
     "u1_upsert" -> ((s, d) => upsert(s, d)),
     "u2_merge_metadata" -> ((s, d) => mergeMetadata(s, d)),
     "u3_delete_cascade" -> ((s, d) => deleteCascade(s, d)),
-    "u4_migrate_skip" -> ((s, d) => migrateSkip(s, d))
+    "u4_migrate_skip" -> ((s, d) => migrateSkip(s, d)),
+    "u5_scd2" -> ((s, d) => scd2(s, d))
   )
+
+  /** SCD Type-2 merge on the customer dimension: v0 = all customers valid
+    * from 0, open-ended; the update snapshot changes mktsegment for
+    * custkey % 7 == 0, keeps custkey % 7 == 1 IDENTICAL (must pass through
+    * untouched, not re-version), and adds three brand-new keys. After the
+    * merge at eff=1,000,000 µs, changed keys carry two versions (closed +
+    * open), unchanged and non-updated keys one, new keys one. */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val dim = cust
+      .withColumn("valid_from_us", lit(0L))
+      .withColumn("valid_to_us", lit(null).cast("long"))
+    val updates = cust.filter(col("c_custkey") % 7 <= 1)
+      .withColumn("c_mktsegment",
+        when(col("c_custkey") % 7 === 0, concat(lit("SEG-"), col("c_custkey") % 3))
+          .otherwise(col("c_mktsegment")))
+      .unionByName(cust.filter(col("c_custkey") < 4)
+        .withColumn("c_custkey", col("c_custkey") + 900000L)
+        .withColumn("c_name", concat(lit("NEW "), col("c_custkey") - 900000L))
+        .withColumn("c_mktsegment", lit("FRESH")))
+    Mutations.scd2Merge(dim, updates, "c_custkey",
+      Seq("c_name", "c_mktsegment"), effUs = 1000000L)
+      .select(col("c_custkey"), col("c_mktsegment"), col("valid_from_us"),
+        col("valid_to_us"))
+      .orderBy(col("c_custkey"), col("valid_from_us"))
+  }
 
   /** Migration ingest with on_conflict=skip (`routes/migrate.py`): the
     * incoming batch overlaps the existing corpus on doc_id % 10 == 0 and
@@ -84,6 +112,35 @@ object MutationQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "u5_scd2" ->
+      """WITH cust AS (SELECT c_custkey, c_name, c_mktsegment FROM customer),
+        |upd AS (
+        |  SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 7 = 0 THEN 'SEG-' || (c_custkey % 3)
+        |         ELSE c_mktsegment END AS c_mktsegment
+        |  FROM cust WHERE c_custkey % 7 <= 1
+        |  UNION ALL
+        |  SELECT c_custkey + 900000, 'NEW ' || c_custkey, 'FRESH'
+        |  FROM cust WHERE c_custkey < 4),
+        |changed AS (SELECT u.c_custkey FROM cust c JOIN upd u USING (c_custkey)
+        |  WHERE c.c_name IS DISTINCT FROM u.c_name
+        |     OR c.c_mktsegment IS DISTINCT FROM u.c_mktsegment),
+        |newkeys AS (SELECT u.c_custkey FROM upd u
+        |  LEFT JOIN cust c USING (c_custkey) WHERE c.c_custkey IS NULL),
+        |fin AS (
+        |  SELECT c.c_custkey, c.c_mktsegment,
+        |    0::BIGINT AS valid_from_us, NULL::BIGINT AS valid_to_us
+        |  FROM cust c WHERE c.c_custkey NOT IN (SELECT c_custkey FROM changed)
+        |  UNION ALL
+        |  SELECT c.c_custkey, c.c_mktsegment, 0::BIGINT, 1000000::BIGINT
+        |  FROM cust c JOIN changed USING (c_custkey)
+        |  UNION ALL
+        |  SELECT u.c_custkey, u.c_mktsegment, 1000000::BIGINT, NULL::BIGINT
+        |  FROM upd u
+        |  WHERE u.c_custkey IN (SELECT c_custkey FROM changed)
+        |     OR u.c_custkey IN (SELECT c_custkey FROM newkeys))
+        |SELECT c_custkey, c_mktsegment, valid_from_us, valid_to_us FROM fin
+        |ORDER BY c_custkey, valid_from_us""".stripMargin,
     "u1_upsert" ->
       """WITH upd AS (
         |  SELECT doc_id, 'UPDATED ' || doc_id AS text, lang, 'patched' AS source, n_chars
