@@ -47,6 +47,54 @@ object Layout {
   def byteRank(c: String, minV: Long, maxV: Long): Column =
     expr(s"(($c - $minV) * 255) div ${math.max(1L, maxV - minV)}")
 
+  /** Hilbert index of two non-negative `bits`-bit columns — the
+    * better-locality sibling of [[zkey2]]: the Hilbert curve has no Morton
+    * "seam jumps" (consecutive indices are always grid-adjacent), so
+    * per-file bounding boxes come out tighter for the same bucket count —
+    * the reason Databricks liquid clustering moved off Z-order. Classic
+    * iterative xy2d (one reflect+swap rotation per level), as the
+    * [[graft.functions.LayoutExpressions.HilbertIndex]] kernel expression
+    * — O(bits) integer loop inside whole-stage codegen (a pure Column fold
+    * here is structurally explosive: each level references the previous
+    * multiply, ~5^bits inlined tree — see LayoutExpressions' scaladoc) —
+    * shuffle-free and replayed bit-for-bit by [[hilbertSqlCtes]]' linear
+    * CTE chain. */
+  def hilbertKey2(a: Column, b: Column, bits: Int): Column =
+    graft.functions.LayoutExpressions.hilbert_index(a, b, bits)
+
+  /** The DuckDB CTE chain replaying [[hilbertKey2]]: `fromCte(xCol, yCol)`
+    * → CTEs `h{bits-1}..h0` each carrying (hx, hy, hd) plus `carry`
+    * columns; the final CTE exposes `hd` as the Hilbert index. */
+  def hilbertSqlCtes(fromCte: String, xCol: String, yCol: String,
+                     bits: Int, carry: Seq[String]): String = {
+    val n = 1L << bits
+    val cols = carry.mkString(", ")
+    val init = s"h$bits AS (SELECT $cols, $xCol::BIGINT AS hx, " +
+      s"$yCol::BIGINT AS hy, 0::BIGINT AS hd FROM $fromCte)"
+    val steps = ((bits - 1) to 0 by -1).map { k =>
+      val s = 1L << k
+      s"""h$k AS (SELECT $cols,
+         |  CASE WHEN ((hy >> $k) & 1) = 0 THEN
+         |    (CASE WHEN ((hx >> $k) & 1) = 1 THEN ${n - 1} - hy ELSE hy END)
+         |  ELSE hx END AS hx,
+         |  CASE WHEN ((hy >> $k) & 1) = 0 THEN
+         |    (CASE WHEN ((hx >> $k) & 1) = 1 THEN ${n - 1} - hx ELSE hx END)
+         |  ELSE hy END AS hy,
+         |  hd + ${s * s} * xor(3 * ((hx >> $k) & 1), (hy >> $k) & 1) AS hd
+         |  FROM h${k + 1})""".stripMargin
+    }
+    (init +: steps).mkString(",\n")
+  }
+
+  /** Hilbert bucket assignment + per-bucket bounds — [[zorderBuckets]] /
+    * [[zorderSummary]]'s shape on the Hilbert index (hkey ∈ [0, 4^bits)). */
+  def hilbertBuckets(df: DataFrame, aCol: String, bCol: String,
+                     bits: Int, log2Buckets: Int): DataFrame = {
+    require(log2Buckets <= 2 * bits, "more buckets than hkey bits")
+    df.withColumn("hkey", hilbertKey2(col(aCol), col(bCol), bits))
+      .withColumn("bucket", shiftright(col("hkey"), 2 * bits - log2Buckets))
+  }
+
   /** Assign each row a zkey + a fixed-width z-range bucket (the file id a
     * writer would target): bucket = zkey >> (2*bits - log2Buckets). */
   def zorderBuckets(df: DataFrame, aCol: String, bCol: String,

@@ -17,8 +17,31 @@ object RelationalQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> ((s, dir) => q1Agg(s, dir)),
     "q2_join3" -> ((s, dir) => q2Join3(s, dir)),
-    "z1_zorder_layout" -> ((s, dir) => zorderLayout(s, dir))
+    "z1_zorder_layout" -> ((s, dir) => zorderLayout(s, dir)),
+    "z2_hilbert_layout" -> ((s, dir) => hilbertLayout(s, dir))
   )
+
+  /** Hilbert layout summary — z1's geometry on the Hilbert index (the
+    * no-seam-jump curve: tighter per-bucket bboxes at the same bucket
+    * count, LayoutSpec measures the win). Same normalization, same
+    * per-bucket bounds shape; the Column fold and the oracle CTE chain
+    * come from the same level schedule
+    * ([[graft.operators.Layout.hilbertSqlCtes]]). */
+  def hilbertLayout(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Layout
+    val l = Tables.lineitem(spark, dir)
+    val r = l.agg(min("l_partkey"), max("l_partkey"),
+      min("l_suppkey"), max("l_suppkey")).head()
+    val n = l
+      .withColumn("na", Layout.byteRank("l_partkey", r.getLong(0), r.getLong(1)))
+      .withColumn("nb", Layout.byteRank("l_suppkey", r.getLong(2), r.getLong(3)))
+    Layout.hilbertBuckets(n, "na", "nb", bits = 8, log2Buckets = 4)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("l_partkey").as("a_min"), max("l_partkey").as("a_max"),
+        min("l_suppkey").as("b_min"), max("l_suppkey").as("b_max"))
+      .orderBy("bucket")
+  }
 
   /** Z-order layout summary over lineitem (l_partkey, l_suppkey): both keys
     * min-max normalized to 8-bit ranks (integer-exact), Morton-interleaved,
@@ -78,7 +101,20 @@ object RelationalQueries {
          |SELECT (zkey >> 12) AS bucket, count(*) AS n_rows,
          |  min(l_partkey) AS a_min, max(l_partkey) AS a_max,
          |  min(l_suppkey) AS b_min, max(l_suppkey) AS b_max
-         |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
+         |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "z2_hilbert_layout" ->
+      s"""WITH r AS (SELECT min(l_partkey) amin, max(l_partkey) amax,
+         |    min(l_suppkey) bmin, max(l_suppkey) bmax FROM lineitem),
+         |n AS (SELECT l_partkey, l_suppkey,
+         |    ((l_partkey - r.amin) * 255) // greatest(1, r.amax - r.amin) AS na,
+         |    ((l_suppkey - r.bmin) * 255) // greatest(1, r.bmax - r.bmin) AS nb
+         |  FROM lineitem, r),
+         |${graft.operators.Layout.hilbertSqlCtes("n", "na", "nb", 8,
+            Seq("l_partkey", "l_suppkey"))}
+         |SELECT (hd >> 12) AS bucket, count(*) AS n_rows,
+         |  min(l_partkey) AS a_min, max(l_partkey) AS a_max,
+         |  min(l_suppkey) AS b_min, max(l_suppkey) AS b_max
+         |FROM h0 GROUP BY 1 ORDER BY bucket""".stripMargin
   )
 
   /** TPC-H Q1-shaped pricing summary: single scan, map-side partial agg,

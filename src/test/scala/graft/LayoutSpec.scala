@@ -58,4 +58,47 @@ class LayoutSpec extends AnyFunSuite {
       assert(amax - amin <= 15 && bmax - bmin <= 15)
     }
   }
+
+  test("hilbert index is a bijection on the full grid") {
+    val bits = 4 // 16x16 grid, 256 cells
+    val grid = for (a <- 0L until 16L; b <- 0L until 16L) yield (a, b)
+    val ds = grid.toDF("a", "b")
+      .withColumn("h", Layout.hilbertKey2(col("a"), col("b"), bits))
+      .as[(Long, Long, Long)].collect()
+    assert(ds.map(_._3).toSet == (0L until 256L).toSet, "not a bijection")
+  }
+
+  test("hilbert consecutive indices are ALWAYS grid-adjacent (Morton is not)") {
+    val bits = 4
+    val grid = for (a <- 0L until 16L; b <- 0L until 16L) yield (a, b)
+    def walk(key: (Long, Long) => Long): Seq[(Long, Long)] =
+      grid.map { case (a, b) => (key(a, b), a, b) }.sortBy(_._1).map(t => (t._2, t._3))
+    val hWalk = walk((a, b) => graft.functions.LayoutExpressions.hilbertXy2d(a, b, bits))
+    val hJumps = hWalk.sliding(2).count { case Seq((x1, y1), (x2, y2)) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2) != 1 }
+    assert(hJumps == 0, s"hilbert walk has $hJumps non-adjacent steps")
+    val mWalk = walk((a, b) => mortonRef(a, b, bits))
+    val mJumps = mWalk.sliding(2).count { case Seq((x1, y1), (x2, y2)) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2) != 1 }
+    assert(mJumps > 0, "morton should seam-jump somewhere — sanity of the comparison")
+  }
+
+  test("hilbert buckets bound at least as tightly as morton on clustered data") {
+    // the locality claim, measured: total per-bucket bbox area over a
+    // correlated key distribution (the layout operator's target workload)
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 4000).map { _ =>
+      val a = rnd.nextInt(256).toLong
+      val b = math.min(255L, math.max(0L, a + rnd.nextInt(41) - 20))
+      (a, b)
+    }
+    val df = rows.toDF("a", "b")
+    def area(frame: org.apache.spark.sql.DataFrame): Long =
+      frame.groupBy("bucket")
+        .agg(((max("a") - min("a") + 1) * (max("b") - min("b") + 1)).as("ar"))
+        .agg(sum("ar")).as[Long].collect().head
+    val hil = area(Layout.hilbertBuckets(df, "a", "b", bits = 8, log2Buckets = 4))
+    val mor = area(Layout.zorderBuckets(df, "a", "b", bits = 8, log2Buckets = 4))
+    assert(hil <= mor, s"hilbert bbox area $hil should be <= morton $mor")
+  }
 }
