@@ -53,7 +53,8 @@ object Bench {
     "gr1_pagerank", "t37_mojibake", "t38_oov_rate",
     "t39_winnow", "t40_winnow_match", "t41_bpe_train",
     "v17_ivfpq_residual", "tr1_hard_negatives", "e9_funnel",
-    "t42_curation_v2")
+    "t42_curation_v2", "n7_rm3_expand", "gr2_pagerank_dense",
+    "e11_winsorize", "z2_hilbert_layout")
 
   /** Index-backed queries: build once, time the probe. */
   private val preparedFactories: Map[String,

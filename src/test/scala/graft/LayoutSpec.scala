@@ -101,4 +101,23 @@ class LayoutSpec extends AnyFunSuite {
     val mor = area(Layout.zorderBuckets(df, "a", "b", bits = 8, log2Buckets = 4))
     assert(hil <= mor, s"hilbert bbox area $hil should be <= morton $mor")
   }
+
+  test("round-8 kernel expressions compile under CODEGEN_ONLY (no silent fallback)") {
+    // same guard as VectorExpressionsSpec: Janino errors in doGenCode must
+    // FAIL here, not degrade silently to interpreted eval
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    s2.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation")
+    locally {
+      import s2.implicits._
+      val df = Seq((3L, 5L, "abcdefghij klmno")).toDF("a", "b", "t").repartition(1)
+      val out = df.select(
+        Layout.hilbertKey2(col("a"), col("b"), 8).as("h"),
+        graft.functions.WinnowExpressions.winnowFingerprints(col("t"), 5, 16).as("w"))
+        .as[(Long, Seq[Long])].collect().head
+      assert(out._1 == graft.functions.LayoutExpressions.hilbertXy2d(3L, 5L, 8))
+      assert(out._2.nonEmpty)
+    }
+  }
 }
