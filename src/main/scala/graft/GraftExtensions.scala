@@ -80,6 +80,19 @@ object GraftExtensions {
     (FunctionIdentifier("simhash48"),
       info("simhash48", "simhash48(normalized_text) - 48-bit SimHash fingerprint as bigint"),
       (args: Seq[Expression]) => { arity("simhash48", args, 1)
-        TextHashExpressions.SimHash48(args(0)) })
+        TextHashExpressions.SimHash48(args(0)) }),
+    (FunctionIdentifier("winnow_fingerprints"),
+      info("winnow_fingerprints",
+        "winnow_fingerprints(text, k, w) - MOSS winnowing fingerprints as array<bigint> of pos*2^31+hash"),
+      (args: Seq[Expression]) => { arity("winnow_fingerprints", args, 3)
+        graft.functions.WinnowExpressions.WinnowFingerprints(args(0),
+          litInt(args(1), "winnow_fingerprints", "k"),
+          litInt(args(2), "winnow_fingerprints", "w")) }),
+    (FunctionIdentifier("hilbert_index"),
+      info("hilbert_index",
+        "hilbert_index(x, y, bits) - Hilbert-curve index of two non-negative bits-bit keys"),
+      (args: Seq[Expression]) => { arity("hilbert_index", args, 3)
+        graft.functions.LayoutExpressions.HilbertIndex(args(0), args(1),
+          litInt(args(2), "hilbert_index", "bits")) })
   )
 }

@@ -90,4 +90,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .asInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit]
     inst(new org.apache.spark.sql.SparkSessionExtensions) // applies cleanly
   }
+
+  test("round-8 kernel functions are callable from SQL and match the Column API") {
+    withExtendedSession { s =>
+      val row = s.sql(
+        """SELECT
+          |  hilbert_index(3L, 5L, 8) AS h,
+          |  winnow_fingerprints('abcdefghij klmno', 5, 16) AS w
+          |""".stripMargin).head()
+      assert(row.getLong(0) ==
+        graft.functions.LayoutExpressions.hilbertXy2d(3L, 5L, 8))
+      assert(row.getSeq[Long](1).nonEmpty)
+      assert(row.getSeq[Long](1) ==
+        graft.functions.WinnowExpressions.winnowPacked(
+          org.apache.spark.unsafe.types.UTF8String.fromString("abcdefghij klmno"),
+          5, 16).toSeq)
+    }
+  }
 }
