@@ -431,6 +431,37 @@ object Corpus {
           .otherwise(lit(0L)))
   }
 
+  /** Exact-QUOTA stratified sampling — the fixed-size companion of
+    * [[hashSample]]'s fixed-RATE sampling: exactly min(k, |stratum|) rows
+    * per stratum (balanced eval sets, per-language probes), selection
+    * derandomized on md5(seed:id) so the same corpus and seed pick the
+    * same rows on any cluster. The smallest-k-by-key selection is the
+    * design-rule-18 salted two-phase window (phase 1 ranks within
+    * (stratum, hash(id) % salts) — any global top-k row is top-k within
+    * its own salt — phase 2 ranks the |strata|·salts·k survivors), so a
+    * handful of strata never funnels the corpus through a few sort tasks.
+    * Output: the kept rows + `rank` (1..k within stratum). */
+  def quotaSample(df: DataFrame, idCol: String, strataCol: String,
+                  k: Int, seed: String, salts: Int = 32): DataFrame = {
+    require(k >= 1, s"quotaSample needs k>=1 (got $k)")
+    require(salts >= 1, s"quotaSample needs salts>=1 (got $salts)")
+    val skey = conv(substring(md5(
+      concat(lit(seed), lit(":"), col(idCol).cast("string"))), 1, 12), 16, 10)
+      .cast("long")
+    val keyed = df.withColumn("__skey", skey)
+    val local = keyed
+      .withColumn("__salt", pmod(hash(col(idCol)), lit(salts)))
+      .withColumn("__lr", row_number().over(
+        Window.partitionBy(col(strataCol), col("__salt"))
+          .orderBy(col("__skey").asc, col(idCol).asc)))
+      .filter(col("__lr") <= k).drop("__salt", "__lr")
+    local.withColumn("rank", row_number().over(
+        Window.partitionBy(col(strataCol))
+          .orderBy(col("__skey").asc, col(idCol).asc)))
+      .filter(col("rank") <= k)
+      .drop("__skey")
+  }
+
   // ------------------------------------------------------------------ URLs
 
   /** URL normalization for web-corpus curation (the CCNet/RefinedWeb intake

@@ -38,8 +38,17 @@ object CorpusQueries {
     "t36_leakage_split" -> ((s, d) => leakageSplit(s, d)),
     "t37_mojibake" -> ((s, d) => mojibake(s, d)),
     "t38_oov_rate" -> ((s, d) => oovRateQ(s, d)),
-    "t42_curation_v2" -> ((s, d) => curationV2(s, d))
+    "t42_curation_v2" -> ((s, d) => curationV2(s, d)),
+    "t43_quota_sample" -> ((s, d) => quotaSample(s, d))
   )
+
+  /** Exact-quota stratified sample: 30 docs per language, derandomized on
+    * md5("r8q:"+doc_id), salted two-phase selection (design rule 18). */
+  def quotaSample(spark: SparkSession, dir: String): DataFrame =
+    Corpus.quotaSample(Tables.documents(spark, dir), "doc_id", "lang",
+      k = 30, seed = "r8q")
+      .select(col("doc_id"), col("lang"), col("rank").cast("long").as("rank"))
+      .orderBy("lang", "rank")
 
   /** Leakage-safe train/val/test split at the dedup-group boundary: the
     * group key is the exact-dup fingerprint (md5 of normalized text), so
@@ -729,6 +738,16 @@ object CorpusQueries {
          |SELECT doc_id, n_fixed, (n_fixed > 0) AS is_fixed,
          |  md5(rep) AS repaired_md5
          |FROM f ORDER BY doc_id""".stripMargin,
+    "t43_quota_sample" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |    ('0x' || substr(md5('r8q:' || doc_id), 1, 12))::BIGINT AS skey
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY skey ASC, doc_id ASC)
+        |      AS rank
+        |  FROM s)
+        |SELECT doc_id, lang, rank::BIGINT AS rank FROM r
+        |WHERE rank <= 30 ORDER BY lang, rank""".stripMargin,
     "t42_curation_v2" -> {
       val bad = MojiBad.replace("'", "''")
       val winnowPart = TextQueries.winnowSqlFrom(

@@ -390,4 +390,20 @@ class CorpusSpec extends AnyFunSuite {
       .select("s", "rate_bp").distinct().collect()
     assert(rates.length == 2 && rates.forall(_.getLong(1) > 0))
   }
+
+  test("quotaSample: exact quotas, bit-identical across salt counts") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (i.toLong, if (i % 3 == 0) "a" else "b"))
+      .toDF("id", "g")
+    def run(salts: Int) = graft.operators.Corpus
+      .quotaSample(df, "id", "g", k = 20, seed = "s", salts = salts)
+      .select("id", "g", "rank").as[(Long, String, Int)].collect().toSet
+    val base = run(1)
+    assert(base == run(7) && base == run(32), "salting changed the selection")
+    assert(base.count(_._2 == "a") == 20 && base.count(_._2 == "b") == 20)
+    // small stratum: quota caps at its size
+    val tiny = (1 to 5).map(i => (i.toLong, "x")).toDF("id", "g")
+    assert(graft.operators.Corpus.quotaSample(tiny, "id", "g", 20, "s")
+      .count() == 5)
+  }
 }
