@@ -62,6 +62,32 @@ object Features {
         sum(when(col(valueCol) > col("p_hi"), 1L).otherwise(0L)).as("n_above"),
         count(lit(1)).as("n_total"))
 
+  /** Point-in-time user-history features — the leak-free window discipline
+    * behind training-set feature generation: every feature at event e is
+    * computed over STRICTLY PRIOR events of the same key (frames end at
+    * `1 PRECEDING`), so a model trained on these rows never peeks at the
+    * label row's own outcome — the classic label-leakage bug this operator
+    * exists to make structurally impossible. Total order (ts, id) makes
+    * same-timestamp rows deterministic.
+    *
+    * Adds: `n_prior` (events before this one), `us_since_prev` (µs gap to
+    * the previous event, null for the first — an honest gap, not 0),
+    * `prev_mean3` (mean value of the up-to-3 prior events, null when no
+    * history). One window shuffle on the key; frames are ROWS-bounded so
+    * state per row is O(1). */
+  def historyFeatures(df: DataFrame, keyCol: String, tsCol: String,
+                      idCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = Window.partitionBy(col(keyCol))
+      .orderBy(unix_micros(col(tsCol)).asc, col(idCol).asc)
+    val prior = order.rowsBetween(Window.unboundedPreceding, -1)
+    val last3 = order.rowsBetween(-3, -1)
+    df.withColumn("n_prior", count(lit(1)).over(prior))
+      .withColumn("us_since_prev",
+        unix_micros(col(tsCol)) - lag(unix_micros(col(tsCol)), 1).over(order))
+      .withColumn("prev_mean3", avg(col(valueCol)).over(last3))
+  }
+
   /** The clip transform itself: adds `<valueCol>_w` clamped into the
     * group's fences (values in per-group map-only once fences broadcast). */
   def winsorize(df: DataFrame, groupCol: String, valueCol: String,

@@ -18,8 +18,22 @@ object RelationalQueries {
     "q1_agg" -> ((s, dir) => q1Agg(s, dir)),
     "q2_join3" -> ((s, dir) => q2Join3(s, dir)),
     "z1_zorder_layout" -> ((s, dir) => zorderLayout(s, dir)),
-    "z2_hilbert_layout" -> ((s, dir) => hilbertLayout(s, dir))
+    "z2_hilbert_layout" -> ((s, dir) => hilbertLayout(s, dir)),
+    "q3_rollup" -> ((s, dir) => rollupAgg(s, dir))
   )
+
+  /** ROLLUP aggregation (multi-level subtotals in ONE pass — Catalyst
+    * expands grouping sets map-side, so the grand total costs no second
+    * scan): per (returnflag, linestatus), per returnflag, and overall,
+    * with grouping_id disambiguating subtotal levels from genuine nulls. */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        round(sum("l_quantity"), 2).as("sum_qty"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("gid").cast("long").as("gid"), col("n"), col("sum_qty"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
 
   /** Hilbert layout summary — z1's geometry on the Hilbert index (the
     * no-seam-jump curve: tighter per-bucket bboxes at the same bucket
@@ -114,7 +128,13 @@ object RelationalQueries {
          |SELECT (hd >> 12) AS bucket, count(*) AS n_rows,
          |  min(l_partkey) AS a_min, max(l_partkey) AS a_max,
          |  min(l_suppkey) AS b_min, max(l_suppkey) AS b_max
-         |FROM h0 GROUP BY 1 ORDER BY bucket""".stripMargin
+         |FROM h0 GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q3_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  grouping(l_returnflag, l_linestatus)::BIGINT AS gid,
+        |  count(*)::BIGINT AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
   )
 
   /** TPC-H Q1-shaped pricing summary: single scan, map-side partial agg,

@@ -27,6 +27,7 @@ object TemporalQueries {
     "e9_funnel" -> ((s, d) => funnelQ(s, d)),
     "e10_retention" -> ((s, d) => retentionQ(s, d)),
     "e11_winsorize" -> ((s, d) => winsorizeQ(s, d)),
+    "e12_history_features" -> ((s, d) => historyFeaturesQ(s, d)),
     "e8_ohlc" -> ((s, d) => ohlc(s, d))
   )
 
@@ -202,7 +203,26 @@ object TemporalQueries {
         col("n_below"), col("n_above"), col("n_total"))
       .orderBy("event_type")
 
+  /** Leak-free per-user history features on the event stream: prior-only
+    * frames, (ts, event_id) total order, integer-µs gaps, 4dp mean. */
+  def historyFeaturesQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Features.historyFeatures(Tables.events(spark, dir),
+      "user_id", "ts", "event_id", "value")
+      .select(col("event_id"), col("user_id"), col("n_prior"),
+        col("us_since_prev"), round(col("prev_mean3"), 4).as("prev_mean3"))
+      .orderBy("event_id")
+
   def oracles: Map[String, String] = Map(
+    "e12_history_features" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n_prior,
+        |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) AS us_since_prev,
+        |  round(avg(value) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 4) AS prev_mean3
+        |FROM events ORDER BY event_id""".stripMargin,
     "e11_winsorize" ->
       """WITH f AS (SELECT event_type,
         |    quantile_cont(value, 0.01) AS p_lo,
