@@ -88,6 +88,53 @@ object Features {
       .withColumn("prev_mean3", avg(col(valueCol)).over(last3))
   }
 
+  /** Per-key fixed-point EWMA — the sequential-fold feature (smoothed
+    * baseline / drift signal) that is NOT window-expressible: s_t depends
+    * on every prior value, so it runs as an ordered fold per key. Two
+    * deliberate choices:
+    * - FIXED-POINT: values scale to integers (×`scale`), the update is
+    *   s ← (num·s) div den + (den−num)·x div den — exact integer
+    *   arithmetic, so the fold replays bit-for-bit in any engine (the
+    *   [[graft.operators.LinkGraph]] reproducibility rule; a double EWMA
+    *   drifts with summation associativity).
+    * - FOLD SHAPE: events collect per key into a (ts, id)-sorted array and
+    *   fold via the `aggregate` HOF. The per-key history must fit a task
+    *   (same bounded-group contract as the exact [[winsorizeStats]] arm);
+    *   the unbounded-stream form is the Structured Streaming state-machine
+    *   pattern ([[graft.streaming.StreamingFunnel]]'s shape), carrying s
+    *   as one long of keyed state.
+    * Output per key: `n`, `ewma_fp` (scaled integer), with α = 1 −
+    * num/den (num=7, den=8 ⇒ α=1/8), seeded at the first value. */
+  def ewmaFixedPoint(df: DataFrame, keyCol: String, tsCol: String,
+                     idCol: String, valueCol: String,
+                     scale: Long = 1000000L, num: Long = 7L,
+                     den: Long = 8L): DataFrame = {
+    require(den >= 1 && num >= 0 && num < den,
+      s"ewma needs 0<=num<den (got $num/$den)")
+    require(scale >= 1, s"ewma needs scale>=1 (got $scale)")
+    val xs = df.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(
+        unix_micros(col(tsCol)).as("us"), col(idCol).as("id"),
+        // floor, not cast: DuckDB's double→BIGINT cast ROUNDS where
+        // Spark's truncates — floor is the one op both agree on
+        floor(col(valueCol) * scale).cast("long").as("x")))).as("evs"))
+    xs.select(col(keyCol), size(col("evs")).cast("long").as("n"),
+      aggregate(
+        expr("slice(evs, 2, size(evs) - 1)"),
+        element_at(col("evs"), 1).getField("x"),
+        (acc, e) => org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+              lit(num) * acc),
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(lit(den))))
+          + org.apache.spark.sql.graftbridge.ColumnBridge.column(
+            org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+              org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+                lit(den - num) * e.getField("x")),
+              org.apache.spark.sql.graftbridge.ColumnBridge.expression(lit(den)))))
+        .as("ewma_fp"))
+  }
+
   /** The clip transform itself: adds `<valueCol>_w` clamped into the
     * group's fences (values in per-group map-only once fences broadcast). */
   def winsorize(df: DataFrame, groupCol: String, valueCol: String,

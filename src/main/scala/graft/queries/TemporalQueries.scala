@@ -28,6 +28,7 @@ object TemporalQueries {
     "e10_retention" -> ((s, d) => retentionQ(s, d)),
     "e11_winsorize" -> ((s, d) => winsorizeQ(s, d)),
     "e12_history_features" -> ((s, d) => historyFeaturesQ(s, d)),
+    "e13_ewma" -> ((s, d) => ewmaQ(s, d)),
     "e8_ohlc" -> ((s, d) => ohlc(s, d))
   )
 
@@ -212,7 +213,26 @@ object TemporalQueries {
         col("us_since_prev"), round(col("prev_mean3"), 4).as("prev_mean3"))
       .orderBy("event_id")
 
+  /** Per-user fixed-point EWMA (α=1/8, ×1e6 scale) over the full ordered
+    * event history — the oracle replays the identical integer fold via
+    * list_reduce, value-checking every step's truncation. */
+  def ewmaQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Features.ewmaFixedPoint(Tables.events(spark, dir),
+      "user_id", "ts", "event_id", "value")
+      .select(col("user_id"), col("n"), col("ewma_fp"))
+      .orderBy("user_id")
+
   def oracles: Map[String, String] = Map(
+    "e13_ewma" ->
+      """WITH s AS (SELECT user_id,
+        |    list_transform(
+        |      list_sort(list([epoch_us(ts), event_id,
+        |                      floor(value * 1000000)::BIGINT])),
+        |      e -> e[3]) AS xs
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, len(xs)::BIGINT AS n,
+        |  list_reduce(xs, (acc, x) -> (7 * acc) // 8 + x // 8) AS ewma_fp
+        |FROM s ORDER BY user_id""".stripMargin,
     "e12_history_features" ->
       """SELECT event_id, user_id,
         |  count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
