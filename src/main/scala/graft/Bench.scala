@@ -54,7 +54,8 @@ object Bench {
     "t39_winnow", "t40_winnow_match", "t41_bpe_train",
     "v17_ivfpq_residual", "tr1_hard_negatives", "e9_funnel",
     "t42_curation_v2", "n7_rm3_expand", "gr2_pagerank_dense",
-    "e11_winsorize", "z2_hilbert_layout")
+    "e11_winsorize", "z2_hilbert_layout", "q3_rollup",
+    "e12_history_features", "e13_ewma", "t43_quota_sample", "u5_scd2")
 
   /** Index-backed queries: build once, time the probe. */
   private val preparedFactories: Map[String,

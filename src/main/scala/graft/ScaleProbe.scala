@@ -96,7 +96,8 @@ object ScaleProbe {
         "gr1_pagerank", "t37_mojibake", "t38_oov_rate",
         "t39_winnow", "t40_winnow_match", "t41_bpe_train",
         "t42_curation_v2", "e9_funnel", "tr1_hard_negatives",
-        "gr2_pagerank_dense", "n7_rm3_expand", "z2_hilbert_layout")
+        "gr2_pagerank_dense", "n7_rm3_expand", "z2_hilbert_layout",
+        "e12_history_features", "e13_ewma", "t43_quota_sample")
       // optional second arg: probe only the named queries (comma-separated) —
       // re-measuring one changed operator shouldn't cost the full heavy tail.
       // Unknown names fail loudly: a typo silently probing nothing (and still
