@@ -45,4 +45,21 @@ class FeaturesSpec extends AnyFunSuite {
     assert(out(500.0) == 500.0)
     assert(out.values.forall(v => v >= 100.9 && v <= 900.1))
   }
+
+  test("ewmaFixedPoint: seeds at the first value, exact fold, single-event keys") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val ev = Seq(
+      (1L, 1L, ts(10), 8.0),   // k=1: 8 -> then 16: s = 7*8e6/8 + 16e6/8 = 9e6
+      (1L, 2L, ts(20), 16.0),
+      (2L, 3L, ts(10), 3.5)    // single event: ewma == floor(3.5e6)
+    ).toDF("k", "id", "ts", "v")
+    val rows = Features.ewmaFixedPoint(ev, "k", "ts", "id", "v")
+      .select("k", "n", "ewma_fp").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // key 1: seed 8e6, then 7*8e6/8 + 16e6/8 = 9e6
+    assert(rows(1L) == (2L, 9000000L))
+    // single-event key: ewma is the seeded first value
+    assert(rows(2L) == (1L, 3500000L))
+  }
 }
