@@ -431,6 +431,31 @@ object Corpus {
           .otherwise(lit(0L)))
   }
 
+  /** First-fit-decreasing sequence packing per shard — the utilization
+    * upgrade over [[packSequences]]' cumulative-offset form (which wastes
+    * every bin tail a long doc straddles): items sort (len desc, id asc)
+    * and each takes the FIRST bin with room (the classic 11/9·OPT
+    * guarantee), via the [[graft.functions.PackExpressions.FfdPack]]
+    * kernel. Inherently sequential per shard, so each shard's items
+    * collect into one task (the bounded-per-shard contract [[Features]]'
+    * EWMA fold states — a shard IS a unit a packing job sizes to fit).
+    * Output: one row per item — id, shard, `len`, `bin` (0-based). */
+  def packFfd(df: DataFrame, idCol: String, shardCol: String,
+              lenExpr: Column, budget: Long): DataFrame = {
+    require(budget >= 1, s"packFfd needs budget>=1 (got $budget)")
+    val items = df.select(col(shardCol).as("shard"), col(idCol).as("id"),
+      lenExpr.cast("long").as("len"))
+    val sorted = items.groupBy("shard")
+      .agg(sort_array(collect_list(struct(
+        (-col("len")).as("negl"), col("id"), col("len")))).as("evs"))
+    sorted.select(col("shard"), posexplode(arrays_zip(
+        col("evs"),
+        graft.functions.PackExpressions.ffd_pack(
+          transform(col("evs"), e => e.getField("len")), budget).as("bins"))))
+      .select(col("shard"), col("col.evs.id").as("id"),
+        col("col.evs.len").as("len"), col("col.bins").as("bin"))
+  }
+
   /** Exact-QUOTA stratified sampling — the fixed-size companion of
     * [[hashSample]]'s fixed-RATE sampling: exactly min(k, |stratum|) rows
     * per stratum (balanced eval sets, per-language probes), selection

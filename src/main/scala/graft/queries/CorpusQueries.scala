@@ -39,8 +39,19 @@ object CorpusQueries {
     "t37_mojibake" -> ((s, d) => mojibake(s, d)),
     "t38_oov_rate" -> ((s, d) => oovRateQ(s, d)),
     "t42_curation_v2" -> ((s, d) => curationV2(s, d)),
-    "t43_quota_sample" -> ((s, d) => quotaSample(s, d))
+    "t43_quota_sample" -> ((s, d) => quotaSample(s, d)),
+    "t44_ffd_pack" -> ((s, d) => ffdPack(s, d))
   )
+
+  /** First-fit-decreasing packing per source shard, 1024-token budget —
+    * t15's sequential-packing sibling with the utilization guarantee; the
+    * oracle replays every placement via a recursive CTE carrying bin-load
+    * list state. */
+  def ffdPack(spark: SparkSession, dir: String): DataFrame =
+    Corpus.packFfd(Tables.documents(spark, dir), "doc_id", "source",
+      text.bpe_token_count(col("text")), budget = 1024L)
+      .select(col("id").as("doc_id"), col("shard"), col("len"), col("bin"))
+      .orderBy("doc_id")
 
   /** Exact-quota stratified sample: 30 docs per language, derandomized on
     * md5("r8q:"+doc_id), salted two-phase selection (design rule 18). */
@@ -748,6 +759,37 @@ object CorpusQueries {
         |  FROM s)
         |SELECT doc_id, lang, rank::BIGINT AS rank FROM r
         |WHERE rank <= 30 ORDER BY lang, rank""".stripMargin,
+    "t44_ffd_pack" ->
+      s"""WITH RECURSIVE it AS (SELECT source AS shard, doc_id,
+         |    len(regexp_extract_all(text, '${text.bpeTokenPattern}'))::BIGINT AS len
+         |  FROM documents),
+         |ord AS (SELECT shard, doc_id, len,
+         |    row_number() OVER (PARTITION BY shard ORDER BY len DESC, doc_id) AS rn
+         |  FROM it),
+         |cnt AS (SELECT shard, count(*)::BIGINT AS n FROM ord GROUP BY shard),
+         |rec(shard, i, loads, assigns) AS (
+         |  SELECT shard, 0::BIGINT, []::BIGINT[], []::BIGINT[] FROM cnt
+         |  UNION ALL
+         |  SELECT r.shard, r.i + 1,
+         |    CASE WHEN o.len <= 1024 AND coalesce(list_position(
+         |           list_transform(r.loads, l -> l + o.len <= 1024), true), 0) > 0
+         |      THEN list_transform(range(1, len(r.loads) + 1), j ->
+         |        CASE WHEN j = list_position(
+         |               list_transform(r.loads, l -> l + o.len <= 1024), true)
+         |          THEN r.loads[j] + o.len ELSE r.loads[j] END)
+         |      ELSE list_append(r.loads, o.len) END,
+         |    list_append(r.assigns,
+         |      CASE WHEN o.len <= 1024 AND coalesce(list_position(
+         |             list_transform(r.loads, l -> l + o.len <= 1024), true), 0) > 0
+         |        THEN list_position(
+         |               list_transform(r.loads, l -> l + o.len <= 1024), true) - 1
+         |        ELSE len(r.loads) END)
+         |  FROM rec r JOIN ord o ON o.shard = r.shard AND o.rn = r.i + 1)
+         |SELECT o.doc_id, o.shard, o.len, f.assigns[o.rn]::BIGINT AS bin
+         |FROM ord o JOIN (SELECT r.shard, r.assigns FROM rec r JOIN cnt c
+         |                 ON r.shard = c.shard AND r.i = c.n) f
+         |  ON o.shard = f.shard
+         |ORDER BY o.doc_id""".stripMargin,
     "t42_curation_v2" -> {
       val bad = MojiBad.replace("'", "''")
       val winnowPart = TextQueries.winnowSqlFrom(

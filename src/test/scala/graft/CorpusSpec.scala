@@ -406,4 +406,31 @@ class CorpusSpec extends AnyFunSuite {
     assert(graft.operators.Corpus.quotaSample(tiny, "id", "g", 20, "s")
       .count() == 5)
   }
+
+  test("packFfd: budget respected, oversize isolated, beats-or-ties naive packing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(37)
+    val items = (1 to 200).map(i =>
+      (i.toLong, "s" + (i % 3), 50L + rnd.nextInt(700))) :+
+      ((201L, "s0", 5000L)) // oversize: must sit alone
+    val df = items.toDF("id", "shard", "len")
+    val out = graft.operators.Corpus.packFfd(df, "id", "shard", col("len"), 1024L)
+      .select("shard", "id", "len", "bin").as[(String, Long, Long, Long)]
+      .collect().toSeq
+    val byBin = out.groupBy(r => (r._1, r._4))
+    // every non-oversize bin within budget; the oversize item alone
+    byBin.foreach { case ((_, _), rows) =>
+      if (rows.exists(_._3 > 1024L)) assert(rows.size == 1, "oversize not isolated")
+      else assert(rows.map(_._3).sum <= 1024L, s"bin overflow: $rows")
+    }
+    // utilization: FFD bins <= naive sequential bins per shard
+    items.groupBy(_._2).foreach { case (sh, its) =>
+      val ffdBins = out.filter(_._1 == sh).map(_._4).distinct.size
+      var load = 0L; var naive = 1
+      its.sortBy(_._1).foreach { case (_, _, l) =>
+        if (load + l > 1024L) { naive += 1; load = l } else load += l }
+      assert(ffdBins <= naive, s"$sh: ffd $ffdBins > naive $naive")
+    }
+  }
 }
