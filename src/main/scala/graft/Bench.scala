@@ -55,7 +55,8 @@ object Bench {
     "v17_ivfpq_residual", "tr1_hard_negatives", "e9_funnel",
     "t42_curation_v2", "n7_rm3_expand", "gr2_pagerank_dense",
     "e11_winsorize", "z2_hilbert_layout", "q3_rollup",
-    "e12_history_features", "e13_ewma", "t43_quota_sample", "u5_scd2")
+    "e12_history_features", "e13_ewma", "t43_quota_sample", "u5_scd2",
+    "t44_ffd_pack")
 
   /** Index-backed queries: build once, time the probe. */
   private val preparedFactories: Map[String,
