@@ -278,6 +278,62 @@ object Corpus {
         expr("percentile(n_tok, 0.9)").as("p90"),
         expr("percentile(n_tok, 0.99)").as("p99"))
 
+  /** Per-stratum distinct-cardinality profile — vocabulary size (distinct
+    * tokens), total token volume, and doc counts per language/source: the
+    * type/token statistics a corpus card reports and the input to
+    * vocabulary-growth (Heaps' law) monitoring across crawl snapshots.
+    *
+    * EXACT arm of the rule-21 twin (HLL sibling:
+    * [[distinctProfileApprox]]). Distinct counting is holistic, but this
+    * arm never buffers values: it runs as TWO algebraic aggregations —
+    * a map-side-combined (stratum, token) count (the shuffle carries one
+    * row per distinct (stratum, token), the vocabulary, not the token
+    * stream) and a |vocab|-sized rollup. That is the exact-distinct shape
+    * that survives 100 TB when the vocabulary itself fits an exchange
+    * (it grows sub-linearly — the t16 x64 evidence); when even the
+    * vocabulary is too wide, swap in the HLL arm unchanged. */
+  def distinctProfile(df: DataFrame, strataCol: String,
+                      textCol: String): DataFrame = {
+    val vocab = tokenStream(df, strataCol, textCol)
+      .groupBy("stratum", "token").agg(count(lit(1)).as("cnt"))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("vocab"), sum("cnt").cast("long").as("n_tokens"))
+    profileShape(df, strataCol, vocab)
+  }
+
+  /** SCALE arm: HyperLogLog++ distinct counts (`approx_count_distinct`,
+    * relative standard deviation `rsd`) — ONE corpus pass, mergeable
+    * bounded sketch state per stratum, no (stratum, token) exchange at
+    * all. Same output shape as [[distinctProfile]]; CorpusProfileSpec pins
+    * the arms within the sketch bound (and HLL++'s sparse mode makes them
+    * EQUAL below ~rsd⁻² distinct values), so a 100 TB deployment swaps
+    * arms as a measured trade, not a semantic change (design rule 21). */
+  def distinctProfileApprox(df: DataFrame, strataCol: String,
+                            textCol: String, rsd: Double = 0.01): DataFrame = {
+    val vocab = tokenStream(df, strataCol, textCol)
+      .groupBy("stratum")
+      .agg(approx_count_distinct(col("token"), rsd).as("vocab"),
+        count(lit(1)).as("n_tokens"))
+    profileShape(df, strataCol, vocab)
+  }
+
+  private def tokenStream(df: DataFrame, strataCol: String,
+                          textCol: String): DataFrame =
+    graft.Tables.scaled(
+      df.select(col(strataCol).as("stratum"), col(textCol).as("t")))
+      .select(col("stratum"), explode(text.tokens(col("t"))).as("token"))
+
+  /** Doc counts from the un-exploded frame + left join of the (token-less
+    * strata keep honest zeros, not dropped rows) |strata|-sized vocab
+    * rollup — both sides broadcast-sized by construction. */
+  private def profileShape(df: DataFrame, strataCol: String,
+                           vocab: DataFrame): DataFrame =
+    df.groupBy(col(strataCol).as("stratum")).agg(count(lit(1)).as("n_docs"))
+      .join(vocab, Seq("stratum"), "left")
+      .select(col("stratum"), col("n_docs"),
+        coalesce(col("vocab"), lit(0L)).as("vocab"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+
   /** Deterministic stratified downsampling: a document's sample bucket is a
     * pure hash of its id (md5 → 0..99), so the decision is reproducible on
     * any engine and any re-run — no RNG state, no seed plumbing. Rates are

@@ -129,6 +129,51 @@ object FullText {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
 
+  /** More-Like-This document similarity (the Lucene `MoreLikeThis` shape —
+    * find documents resembling ONE seed document without an embedding):
+    * the seed's "interesting terms" are extracted and run as a BM25 query
+    * against the rest of the corpus.
+    *
+    * Term selection mirrors Lucene's defaults made integer-deterministic
+    * (design rule 13): candidate terms occur ≥ `minTf` times in the seed
+    * (min_term_freq) at length ≥ `minLen`, ranked by
+    * `interest = tf · N div df` — tf·idf's "frequent here, rare there"
+    * ordering in exact integer arithmetic (div, not a float log, so the
+    * top-`m` cut is replayable in any engine; total tiebreak interest ↓,
+    * tf ↓, term ↑). The selected terms are a request-sized driver decision
+    * (design rule 17, the n7 RM3 convention — they parameterize the next
+    * plan's term filter exactly like a user query would).
+    *
+    * 100 TB shape: the seed profile is a one-document slice (the id filter
+    * pushes into the scan); corpus document frequencies come from one
+    * explode pass semi-joined against the broadcast seed-term list BEFORE
+    * the groupBy, so the only corpus-sized shuffle carries seed-term hits
+    * only (the [[bm25]] discipline); the final scoring pass IS [[bm25]]
+    * over the corpus minus the seed. */
+  def moreLikeThis(docs: DataFrame, idCol: String, textCol: String,
+                   seedId: Long, m: Int = 10, k: Int = 10,
+                   minTf: Long = 2, minLen: Int = 3): DataFrame = {
+    require(m >= 1 && k >= 1, s"moreLikeThis needs m>=1, k>=1 (got $m, $k)")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      text.tokens(col(textCol)).as("tk"))
+    val seedTf = toks.filter(col("doc_id") === seedId)
+      .select(explode(col("tk")).as("term"))
+      .filter(length(col("term")) >= minLen)
+      .groupBy("term").agg(count(lit(1)).as("tf"))
+      .filter(col("tf") >= minTf)
+    val global = toks.agg(count(lit(1)).as("n_docs"))
+    val dfreq = toks.select(col("doc_id"), explode(col("tk")).as("term"))
+      .join(broadcast(seedTf.select("term")), Seq("term"), "left_semi")
+      .groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val terms = seedTf.join(dfreq, "term")
+      .crossJoin(broadcast(global))
+      .withColumn("interest", expr("tf * n_docs div df"))
+      .orderBy(col("interest").desc, col("tf").desc, col("term").asc)
+      .limit(m)
+      .collect().map(_.getString(0)).toSeq
+    bm25(docs.filter(col(idCol) =!= seedId), idCol, textCol, terms, k)
+  }
+
   /** Search-result snippets — the Spark-first `ts_headline`-lite (the
     * reference's keyword arm is Postgres FTS, whose result pages headline
     * matches; `postgres_database.py:2700-2790` serves the hit rows this

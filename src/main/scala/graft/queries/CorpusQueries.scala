@@ -40,7 +40,8 @@ object CorpusQueries {
     "t38_oov_rate" -> ((s, d) => oovRateQ(s, d)),
     "t42_curation_v2" -> ((s, d) => curationV2(s, d)),
     "t43_quota_sample" -> ((s, d) => quotaSample(s, d)),
-    "t44_ffd_pack" -> ((s, d) => ffdPack(s, d))
+    "t44_ffd_pack" -> ((s, d) => ffdPack(s, d)),
+    "t45_distinct_profile" -> ((s, d) => distinctProfileQ(s, d))
   )
 
   /** First-fit-decreasing packing per source shard, 1024-token budget —
@@ -193,6 +194,13 @@ object CorpusQueries {
   /** Per-language corpus profile: counts + exact token-count percentiles. */
   def profile(spark: SparkSession, dir: String): DataFrame =
     Corpus.profile(Tables.documents(spark, dir), "lang", "text")
+      .withColumnRenamed("stratum", "lang")
+      .orderBy("lang")
+
+  /** Per-language distinct-cardinality profile (vocabulary size), exact
+    * arm — the HLL twin is spec-pinned in CorpusProfileSpec. */
+  def distinctProfileQ(spark: SparkSession, dir: String): DataFrame =
+    Corpus.distinctProfile(Tables.documents(spark, dir), "lang", "text")
       .withColumnRenamed("stratum", "lang")
       .orderBy("lang")
 
@@ -650,6 +658,15 @@ object CorpusQueries {
          |  round(w.skey, 4) AS skey, w.skey >= th.th AS selected, r.rank
          |FROM w CROSS JOIN th LEFT JOIN r ON w.doc_id = r.doc_id
          |ORDER BY w.doc_id""".stripMargin,
+    "t45_distinct_profile" ->
+      s"""$toks,
+         |e AS (SELECT lang, unnest(tk) AS token FROM tk),
+         |v AS (SELECT lang, count(DISTINCT token)::BIGINT AS vocab,
+         |        count(*)::BIGINT AS n_tokens FROM e GROUP BY lang),
+         |d AS (SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang)
+         |SELECT d.lang, d.n_docs, coalesce(v.vocab, 0)::BIGINT AS vocab,
+         |  coalesce(v.n_tokens, 0)::BIGINT AS n_tokens
+         |FROM d LEFT JOIN v USING (lang) ORDER BY lang""".stripMargin,
     "t20_profile" ->
       s"""$toks,
          |m AS (SELECT lang, len(tk)::BIGINT AS n_tok FROM tk)

@@ -29,8 +29,18 @@ object SearchQueries {
     "n4_snippets" -> ((s, d) => snippets(s, d)),
     "n5_snippets_substring" -> ((s, d) => snippets(s, d, boundary = false)),
     "n6_phrase" -> ((s, d) => phrase(s, d)),
-    "n7_rm3_expand" -> ((s, d) => rm3Expand(s, d))
+    "n7_rm3_expand" -> ((s, d) => rm3Expand(s, d)),
+    "n8_more_like_this" -> ((s, d) => moreLikeThis(s, d))
   )
+
+  /** More-Like-This: docs most similar to seed doc 3 by its interesting
+    * terms (tf≥2, len≥3, top-10 by integer tf·N div df), scored with BM25
+    * over the corpus minus the seed — the find-similar-documents serving
+    * call that needs no embedding. */
+  def moreLikeThis(spark: SparkSession, dir: String): DataFrame =
+    FullText.moreLikeThis(Tables.documents(spark, dir), "doc_id", "text",
+      seedId = 3L, m = 10, k = 10)
+      .select(col("doc_id"), round(col("score"), 6).as("bm25"), col("n_terms"))
 
   /** Pseudo-relevance-feedback query expansion (the RM3 shape, Lavrenko &
     * Croft relevance models, counts-only core): pass 1 = BM25 top-10 for
@@ -263,6 +273,40 @@ object SearchQueries {
          |        GROUP BY doc_id ORDER BY sum(w) DESC, doc_id LIMIT 10)
          |SELECT doc_id, round(score, 6) AS bm25, n_terms FROM sc2
          |ORDER BY score DESC, doc_id""".stripMargin,
+    // full replay of the MLT two-pass: seed term profile (tf>=2, len>=3),
+    // corpus df restricted to those terms, the INTEGER interest ranking
+    // tf*N div df (interest desc, tf desc, term asc — total tiebreak),
+    // then the n2 BM25 formula over the corpus minus the seed
+    "n8_more_like_this" ->
+      """WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |       FROM documents),
+        |tk AS (SELECT doc_id, list_filter(string_split(norm, ' '), t -> len(t) > 0) AS tk
+        |       FROM n),
+        |st AS (SELECT t AS term, count(*)::BIGINT AS tf
+        |       FROM (SELECT unnest(tk) AS t FROM tk WHERE doc_id = 3)
+        |       WHERE len(t) >= 3 GROUP BY t HAVING count(*) >= 2),
+        |g0 AS (SELECT count(*)::BIGINT AS n_docs FROM tk),
+        |hits AS (SELECT u.t AS term, count(DISTINCT u.doc_id)::BIGINT AS df
+        |         FROM (SELECT doc_id, unnest(tk) AS t FROM tk) u JOIN st ON u.t = st.term
+        |         GROUP BY u.t),
+        |mt AS (SELECT st.term FROM st JOIN hits USING (term), g0
+        |       ORDER BY (st.tf * g0.n_docs) // hits.df DESC, st.tf DESC, st.term ASC
+        |       LIMIT 10),
+        |tk2 AS (SELECT doc_id, tk FROM tk WHERE doc_id <> 3),
+        |lens AS (SELECT doc_id, len(tk) AS dl FROM tk2),
+        |g AS (SELECT count(*) AS n_docs, avg(dl::DOUBLE) AS avgdl FROM lens),
+        |tf2 AS (SELECT u.doc_id, u.t AS term, count(*) AS tf
+        |        FROM (SELECT doc_id, unnest(tk) AS t FROM tk2) u JOIN mt ON u.t = mt.term
+        |        GROUP BY u.doc_id, u.t),
+        |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf2 GROUP BY term),
+        |w AS (SELECT tf2.doc_id,
+        |        ln(1.0 + (g.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+        |          * (tf2.tf * 2.2) / (tf2.tf + 1.2 * (0.25 + 0.75 * lens.dl / g.avgdl)) AS w
+        |      FROM tf2 JOIN dfq USING (term) JOIN lens USING (doc_id), g),
+        |sc AS (SELECT doc_id, sum(w) AS score, count(*) AS n_terms FROM w
+        |       GROUP BY doc_id ORDER BY sum(w) DESC, doc_id LIMIT 10)
+        |SELECT doc_id, round(score, 6) AS bm25, n_terms FROM sc
+        |ORDER BY score DESC, doc_id""".stripMargin,
     "n3_hybrid_rrf" ->
       s"""WITH ${bm25Sql(20)},
          |kw AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank

@@ -145,4 +145,41 @@ class FullTextSpec extends AnyFunSuite {
     val solo = rows.find(_.getLong(0) == 100L).get
     assert(solo.isNullAt(solo.fieldIndex("dense_rank")))
   }
+
+  // N=7; seed 1 term profile: zebra tf3, quartz tf2, common tf2 survive
+  // (nebula tf1 < minTf, "ab" len<3); df zebra=3, quartz=2, common=7 ->
+  // interest zebra 3*7div3=7, quartz 2*7div2=7, common 2*7div7=2 — the
+  // integer tf·N div df ranking kills the ubiquitous term exactly like idf
+  private def mltDocs = Seq(
+    (1L, "zebra quartz zebra quartz zebra nebula common common ab ab ab"),
+    (2L, "zebra quartz zebra common filler filler"),
+    (7L, "zebra common filler filler filler"),
+    (3L, "filler words only common"),
+    (4L, "unrelated stuff common"),
+    (5L, "nebula nebula nebula common"),
+    (6L, "ab ab common")
+  ).toDF("doc_id", "text")
+
+  test("moreLikeThis: rare shared terms rank similar docs; seed, ubiquitous," +
+    " sub-minTf and sub-minLen terms are all excluded") {
+    val out = FullText.moreLikeThis(mltDocs, "doc_id", "text",
+      seedId = 1L, m = 2, k = 10)
+      .select("doc_id", "n_terms").as[(Long, Long)].collect()
+    // m=2 keeps {zebra, quartz} (common loses on interest 2 vs 7): only
+    // docs 2 and 7 match; 2 (both terms, higher tf) outranks 7
+    assert(out.map(_._1).toSeq == Seq(2L, 7L), out.mkString(","))
+    assert(out.toMap == Map(2L -> 2L, 7L -> 1L), "n_terms per doc")
+    val ids = out.map(_._1).toSet
+    assert(!ids.contains(1L), "seed doc never returned")
+    assert(!ids.contains(5L), "nebula (seed tf 1 < minTf) never selected")
+    assert(!ids.contains(6L), "'ab' (len < minLen) never selected")
+  }
+
+  test("moreLikeThis honors m: with m=3 the ubiquitous term re-enters") {
+    val ids = FullText.moreLikeThis(mltDocs, "doc_id", "text",
+      seedId = 1L, m = 3, k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    // third term is common (df=N) -> every other doc now matches
+    assert(ids == Set(2L, 3L, 4L, 5L, 6L, 7L))
+  }
 }

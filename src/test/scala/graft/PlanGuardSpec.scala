@@ -299,4 +299,20 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("BroadcastNestedLoopJoin".r.findAllMatchIn(p).size <= 1,
       s"nested loop beyond the one-row dangling crossJoin:\n$p")
   }
+
+  test("t45_distinct_profile: two algebraic aggregations, joins stay |strata|-sized") {
+    val p = executedPlan("t45_distinct_profile")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"profile join degraded:\n$p")
+    // exact-distinct as two-level groupBy: partial aggregation must appear
+    // (map-side combine on the (stratum, token) exchange)
+    assert(p.contains("HashAggregate"), s"lost the aggregate shape:\n$p")
+  }
+
+  test("n8_more_like_this: final pass keeps the n2 shape (broadcast stats, window df)") {
+    val p = executedPlan("n8_more_like_this")
+    assert(p.contains("BroadcastExchange"), s"stats not broadcast:\n$p")
+    assert(p.contains("Window"), s"df no longer the window-over-hits shape:\n$p")
+    assert(!p.contains("CartesianProduct"), s"all-pairs seam:\n$p")
+  }
 }
