@@ -423,12 +423,35 @@ object Corpus {
     * candidate verify ([[cmsHeavyTokens]]) replaces the exact count only
     * when the vocabulary itself must not be materialized. */
   def heavyHitters(df: DataFrame, strataCol: String, textCol: String,
-                   k: Int, salts: Int = 32): DataFrame = {
-    require(salts >= 1, s"heavyHitters needs salts>=1 (got $salts)")
-    val counts = graft.Tables.scaled(
+                   k: Int, salts: Int = 32): DataFrame =
+    saltedTopK(heavyHittersDelta(df, strataCol, textCol), k, salts)
+
+  /** The per-batch delta for [[heavyHittersFromCounts]]: partial
+    * (stratum, token, cnt) counts — ONE map-side-combined aggregation over
+    * the batch, appended to an accumulated parts table by an ingest stream
+    * (the [[graft.operators.FullText.indexDelta]] incremental-maintenance
+    * shape). The batch [[heavyHitters]] is literally this delta fed to the
+    * ranking tail, so the two arms cannot drift. */
+  def heavyHittersDelta(df: DataFrame, strataCol: String,
+                        textCol: String): DataFrame =
+    graft.Tables.scaled(
       df.select(col(strataCol).as("stratum"), col(textCol).as("t")))
       .select(col("stratum"), explode(text.tokens(col("t"))).as("token"))
       .groupBy("stratum", "token").agg(count(lit(1)).as("cnt"))
+
+  /** Top-k over an ACCUMULATED counts table whose (stratum, token) keys
+    * repeat across appended parts: re-sum (map-side combined — each part
+    * is already one row per key), then the identical salted ranking tail.
+    * Rebuild-equivalence (streamed parts == batch rerun over everything
+    * ingested) is gated by StreamingHeavyHittersSpec. */
+  def heavyHittersFromCounts(counts: DataFrame, k: Int,
+                             salts: Int = 32): DataFrame =
+    saltedTopK(counts.groupBy("stratum", "token")
+      .agg(sum("cnt").cast("long").as("cnt")), k, salts)
+
+  /** The design-rule-18 salted two-phase top-k tail shared by both arms. */
+  private def saltedTopK(counts: DataFrame, k: Int, salts: Int): DataFrame = {
+    require(salts >= 1, s"heavyHitters needs salts>=1 (got $salts)")
     val localTop = counts
       .withColumn("__salt", pmod(hash(col("token")), lit(salts)))
       .withColumn("__lr",
