@@ -56,7 +56,8 @@ object Bench {
     "t42_curation_v2", "n7_rm3_expand", "gr2_pagerank_dense",
     "e11_winsorize", "z2_hilbert_layout", "q3_rollup",
     "e12_history_features", "e13_ewma", "t43_quota_sample", "u5_scd2",
-    "t44_ffd_pack", "t45_distinct_profile", "n8_more_like_this")
+    "t44_ffd_pack", "t45_distinct_profile", "n8_more_like_this",
+    "v18_jl_project")
 
   /** Index-backed queries: build once, time the probe. */
   private val preparedFactories: Map[String,

@@ -23,7 +23,8 @@ import graft.functions.{TextHashExpressions, VectorExpressions}
   * §2.9): cosine_sim, dot_product, binary_quantize, hamming,
   * max_sim_binary (`multi_vector_store.py:287-312` semantics),
   * max_sim_float (`fast_multivector_store.py:504-607` rescoring),
-  * minhash_signature, simhash48.
+  * minhash_signature, simhash48, winnow_fingerprints, hilbert_index,
+  * jl_project.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -93,6 +94,12 @@ object GraftExtensions {
         "hilbert_index(x, y, bits) - Hilbert-curve index of two non-negative bits-bit keys"),
       (args: Seq[Expression]) => { arity("hilbert_index", args, 3)
         graft.functions.LayoutExpressions.HilbertIndex(args(0), args(1),
-          litInt(args(2), "hilbert_index", "bits")) })
+          litInt(args(2), "hilbert_index", "bits")) }),
+    (FunctionIdentifier("jl_project"),
+      info("jl_project",
+        "jl_project(array<float>, out_dims) - fixed-point +/-1 Johnson-Lindenstrauss projection as array<bigint>"),
+      (args: Seq[Expression]) => { arity("jl_project", args, 2)
+        VectorExpressions.JlProject(args(0),
+          litInt(args(1), "jl_project", "out_dims")) })
   )
 }

@@ -98,7 +98,8 @@ object ScaleProbe {
         "t42_curation_v2", "e9_funnel", "tr1_hard_negatives",
         "gr2_pagerank_dense", "n7_rm3_expand", "z2_hilbert_layout",
         "e12_history_features", "e13_ewma", "t43_quota_sample",
-        "t44_ffd_pack", "t45_distinct_profile", "n8_more_like_this")
+        "t44_ffd_pack", "t45_distinct_profile", "n8_more_like_this",
+        "v18_jl_project")
       // optional second arg: probe only the named queries (comma-separated) —
       // re-measuring one changed operator shouldn't cost the full heavy tail.
       // Unknown names fail loudly: a typo silently probing nothing (and still

@@ -346,6 +346,92 @@ object VectorExpressions {
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
   }
+
+  /** Lazily-built ±1 sign matrix for [[JlProject]], keyed by (seed, out,
+    * in): entry (j, i) is the parity of the first hex digit of
+    * md5("seed:j:i") — 0 → +1, 1 → −1 — the derandomized Achlioptas draw
+    * any engine can replay from the same md5. Bounded by construction
+    * (out·in bytes; 16·768 = 12 KB at production dims — the PQ-LUT class),
+    * cached per JVM so the kernel never re-hashes. Stored as the parity
+    * byte itself (0 = +, 1 = −). */
+  private val jlSignCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Array[Byte]]()
+  def jlSigns(seed: String, out: Int, in: Int): Array[Byte] =
+    jlSignCache.computeIfAbsent((seed, out, in), _ => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val a = new Array[Byte](out * in)
+      var j = 0
+      while (j < out) {
+        var i = 0
+        while (i < in) {
+          md.reset()
+          val d = md.digest(s"$seed:$j:$i".getBytes("UTF-8"))
+          a(j * in + i) = ((d(0) >> 4) & 1).toByte
+          i += 1
+        }
+        j += 1
+      }
+      a
+    })
+
+  /** The [[JlProject]] inner loop as a static kernel (the
+    * [[graft.functions.LayoutExpressions]] pattern): quantize once
+    * (floor(x·10⁶) — floor, not cast: both engines' one agreed float→int
+    * op), then out_dims exact integer sign-sums. */
+  def jlProjectKernel(x: ArrayData, out: Int, seed: String): ArrayData = {
+    val in = x.numElements()
+    val s = jlSigns(seed, out, in)
+    val q = new Array[Long](in)
+    var i = 0
+    while (i < in) {
+      q(i) = math.floor(x.getFloat(i).toDouble * 1e6).toLong
+      i += 1
+    }
+    val y = new Array[Long](out)
+    var j = 0
+    while (j < out) {
+      val off = j * in
+      var acc = 0L
+      var i2 = 0
+      while (i2 < in) {
+        acc += (if (s(off + i2) == 0) q(i2) else -q(i2))
+        i2 += 1
+      }
+      y(j) = acc
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(y)
+  }
+
+  /** jl_project(Array[Float]) -> Array[Long]: Johnson–Lindenstrauss signed
+    * random projection (Achlioptas 2003's ±1 database-friendly draw) in
+    * FIXED POINT — components floor-scale to 10⁻⁶ integer units and each
+    * output is an exact integer Σ ±qᵢ, so the projection replays
+    * bit-for-bit in any engine (design rule 13; a float matrix-multiply
+    * drifts with accumulation order). The dimensionality-reduction front
+    * end for clustering / LSH / near-dup at 100 TB: a 768-d corpus
+    * projects to `outDims` preserving pairwise distances within the JL
+    * bound, and every downstream op touches outDims/768 of the data.
+    * Deterministic: the sign matrix derives from md5(seed:j:i). */
+  case class JlProject(child: Expression, outDims: Int, seed: String = "jl")
+      extends UnaryExpression with ImplicitCastInputTypes {
+    require(outDims >= 1 && outDims <= 4096,
+      s"jl_project needs outDims in [1,4096] (got $outDims)")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "jl_project"
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+
+    override def nullSafeEval(v: Any): Any =
+      jlProjectKernel(v.asInstanceOf[ArrayData], outDims, seed)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => s"""
+        ${ev.value} = graft.functions.VectorExpressions.jlProjectKernel($a, $outDims, "$seed");
+        """)
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
 }
 
 /** Column-API wrappers + SQL registration for the vector expressions. */
@@ -360,6 +446,8 @@ object vec {
   def max_sim_float(doc: Column, query: Column): Column = toCol(MaxSimFloat(toExpr(doc), toExpr(query)))
   def nearest_centroid(v: Column, centroids: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]): Column =
     toCol(NearestCentroid(toExpr(v), centroids))
+  def jl_project(v: Column, outDims: Int, seed: String = "jl"): Column =
+    toCol(JlProject(toExpr(v), outDims, seed))
 
   /** pgvector cosine score mapping: score = 1 - distance/2 with distance =
     * 1 - cosine -> score = (1 + cosine) / 2 (`pgvector_store.py:499`). */

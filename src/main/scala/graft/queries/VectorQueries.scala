@@ -37,6 +37,7 @@ object VectorQueries {
     "v15_ivfsq" -> ((s, d) => ivfSq(s, d)),
     "v16_range_search" -> ((s, d) => rangeSearch(s, d)),
     "v17_ivfpq_residual" -> ((s, d) => ivfPqResidual(s, d)),
+    "v18_jl_project" -> ((s, d) => jlProject(s, d)),
     "tr1_hard_negatives" -> ((s, d) => hardNegativesQ(s, d)),
     "tr2_semihard" -> ((s, d) => semiHardQ(s, d)),
     "s1_search_docs" -> ((s, d) => searchDocs(s, d)),
@@ -166,6 +167,15 @@ object VectorQueries {
     KnnSearch.topK(scored, "embedding", "vec_id", q, 10)
       .select(col("vec_id"), round(col("score"), 6).as("score"))
   }
+
+  /** Johnson–Lindenstrauss fixed-point projection 64→16: the
+    * dimensionality-reduction front end for clustering/LSH at scale. A
+    * narrow codegen'd map — no shuffle, no join; the oracle replays the
+    * md5-derived ±1 sign matrix and the exact integer sums. */
+  def jlProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vec.jl_project(col("embedding"), 16).as("proj"))
+      .orderBy("vec_id")
 
   /** Hard-negative mining (DPR/ANCE shape) over the labeled embeddings:
     * for each of the 20 query vectors, the 5 highest-cosine DIFFERENT-
@@ -598,6 +608,20 @@ object VectorQueries {
          |FROM embeddings
          |WHERE vec_id <> 0 AND list_cosine_similarity(embedding::DOUBLE[], $qv) >= 0.25
          |ORDER BY vec_id""".stripMargin,
+    // replay of the derandomized JL draw: sign (j,i) = parity of the
+    // first hex digit of md5('jl:j:i'); components floor-scale to 1e-6
+    // units so every output is an exact integer sum in both engines
+    "v18_jl_project" ->
+      """WITH s AS (SELECT r1.j, r2.i,
+        |    CASE WHEN ('0x' || substr(md5('jl:' || r1.j || ':' || r2.i), 1, 1))::BIGINT % 2 = 0
+        |         THEN 1 ELSE -1 END AS sgn
+        |  FROM range(16) r1(j), range(64) r2(i)),
+        |q AS (SELECT vec_id, r.i, floor(embedding[r.i + 1]::DOUBLE * 1000000)::BIGINT AS qv
+        |      FROM embeddings, range(64) r(i)),
+        |y AS (SELECT q.vec_id, s.j, sum(s.sgn * q.qv)::BIGINT AS yv
+        |      FROM q JOIN s ON q.i = s.i GROUP BY q.vec_id, s.j)
+        |SELECT vec_id, list(yv ORDER BY j) AS proj FROM y
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     // full-probe IVF must reproduce the exact result
     "v8_ivf_exact" -> exactTop10,
     // full-probe + corpus-covering oversample IVF-PQ must too

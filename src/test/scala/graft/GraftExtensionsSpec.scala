@@ -96,7 +96,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val row = s.sql(
         """SELECT
           |  hilbert_index(3L, 5L, 8) AS h,
-          |  winnow_fingerprints('abcdefghij klmno', 5, 16) AS w
+          |  winnow_fingerprints('abcdefghij klmno', 5, 16) AS w,
+          |  jl_project(array(0.5F, -0.25F, 1.0F), 4) AS p
           |""".stripMargin).head()
       assert(row.getLong(0) ==
         graft.functions.LayoutExpressions.hilbertXy2d(3L, 5L, 8))
@@ -105,6 +106,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
         graft.functions.WinnowExpressions.winnowPacked(
           org.apache.spark.unsafe.types.UTF8String.fromString("abcdefghij klmno"),
           5, 16).toSeq)
+      assert(row.getSeq[Long](2) ==
+        graft.functions.VectorExpressions.jlProjectKernel(
+          org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+            Array(0.5f, -0.25f, 1.0f)), 4, "jl").toLongArray().toSeq)
     }
   }
 }

@@ -99,7 +99,8 @@ class VectorExpressionsSpec extends AnyFunSuite {
         vec.dot_product(col("a"), col("b")).as("dot"),
         vec.binary_quantize(col("a")).as("bq"),
         vec.hamming(vec.binary_quantize(col("a")), vec.binary_quantize(col("b"))).as("hd"),
-        vec.nearest_centroid(col("a"), bc).getField("i").as("ci"))
+        vec.nearest_centroid(col("a"), bc).getField("i").as("ci"),
+        vec.jl_project(col("a"), 4).as("jl"))
       val row = sel.head()
       // prove the projection survived to EXECUTION (not constant-folded):
       // a folded plan is a bare LocalTableScan with no expression left to
@@ -115,7 +116,43 @@ class VectorExpressionsSpec extends AnyFunSuite {
       assert(row.getAs[Array[Byte]](2).nonEmpty)
       assert(row.getInt(3) >= 0)
       assert(row.getLong(4) == 0L, "centroid 0 is nearer to vector a")
+      assert(row.getSeq[Long](5).length == 4, "jl_project emits out_dims sums")
     }
+  }
+
+  test("jl_project matches an independent md5-sign replay, exactly") {
+    val v = Array(0.75f, -1.5f, 0.001f, 2f, -0.25f, 0.5f)
+    val got = Seq(Tuple1(v)).toDF("v")
+      .select(vec.jl_project(col("v"), 3, "jl")).head().getSeq[Long](0)
+    // re-derive signs + sums from scratch (MessageDigest, not the kernel)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Int, i: Int): Long = {
+      md.reset()
+      if (((md.digest(s"jl:$j:$i".getBytes("UTF-8"))(0) >> 4) & 1) == 0) 1L else -1L
+    }
+    val q = v.map(x => math.floor(x.toDouble * 1e6).toLong)
+    val want = (0 until 3).map(j =>
+      q.indices.map(i => sign(j, i) * q(i)).sum)
+    assert(got == want, s"$got vs $want")
+  }
+
+  test("jl_project preserves relative similarity on a planted near/far pair") {
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+    val near = base.zipWithIndex.map { case (x, i) =>
+      if (i % 16 == 0) x + 0.01f else x }
+    val far = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+    def cos(a: Seq[Long], b: Seq[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    val rows = Seq((0L, base), (1L, near), (2L, far)).toDF("id", "v")
+      .select(col("id"), vec.jl_project(col("v"), 16).as("p"))
+      .orderBy("id").as[(Long, Seq[Long])].collect().map(_._2)
+    assert(cos(rows(0), rows(1)) > 0.9, "near pair stays near after projection")
+    assert(cos(rows(0), rows(1)) > cos(rows(0), rows(2)) + 0.2,
+      "near pair stays closer than the random far vector")
   }
 
   test("hamming distance") {
