@@ -324,4 +324,57 @@ object FullText {
       .orderBy(col("n_matches").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Proximity search — the general form between [[bm25]]'s bag-of-words
+    * AND and [[phraseSearch]]'s strict adjacency: docs containing EVERY
+    * query term, ranked by the MINIMAL token window covering all of them
+    * (Clarke et al.'s cover-density intuition: "spark … merge" two tokens
+    * apart beats two mentions 900 tokens apart).
+    *
+    * The minimal cover is computed WITHOUT a per-doc two-pointer loop, as
+    * pure windowed SQL both engines replay identically: over the hit rows
+    * ordered by position, carry one running `max(pos) so far` PER TERM
+    * (|terms| window columns — query-sized, not corpus-sized); at each hit
+    * the candidate window is `pos − least(latest₁..latestₙ) + 1`, defined
+    * once every term has appeared, and the per-doc `min` of candidates IS
+    * the minimal cover (the windowing equivalent of the classic shrink
+    * step: the best window ending at `pos` starts at the stalest term's
+    * latest occurrence).
+    *
+    * 100 TB shape: the explode is term-filtered before any shuffle (the
+    * [[bm25]] discipline), the running maxes and the final min share ONE
+    * doc-keyed exchange, and per-row state is |terms| longs. Output:
+    * (doc_id, n_hits, min_window), all-terms docs only, ranked
+    * min_window ↑, n_hits ↓, doc_id ↑ — total integer tiebreak. */
+  def proximitySearch(docs: DataFrame, idCol: String, textCol: String,
+                      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "proximitySearch needs at least one term")
+    val t = terms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val latest = t.zipWithIndex.map { case (term, i) =>
+      max(when(col("term") === term, col("pos"))).over(byPos).as(s"__l$i")
+    }
+    val ls = t.indices.map(i => col(s"__l$i"))
+    // coverage is an EXPLICIT conjunction, not least()'s null behavior
+    // (Spark's least skips nulls — an uncovered prefix would otherwise
+    // yield bogus windows; the oracle states the same CASE WHEN)
+    val covered = ls.map(_.isNotNull).reduce(_ && _)
+    val cand = when(covered,
+      col("pos") - ls.reduce((a, b) => least(a, b)) + lit(1))
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(text.tokens(col(textCol))).as(Seq("pos", "term")))
+      .filter(col("term").isin(t: _*))
+      .select(col("doc_id") +: col("pos") +: latest: _*)
+      .select(col("doc_id"), cand.cast("long").as("cand"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_hits"),
+        min("cand").as("min_window"))
+      // min() skips the null pre-coverage candidates; an all-null doc is
+      // missing a term entirely and drops here
+      .filter(col("min_window").isNotNull)
+      .orderBy(col("min_window").asc, col("n_hits").desc, col("doc_id"))
+      .limit(k)
+  }
 }

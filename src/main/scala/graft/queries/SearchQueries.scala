@@ -30,8 +30,17 @@ object SearchQueries {
     "n5_snippets_substring" -> ((s, d) => snippets(s, d, boundary = false)),
     "n6_phrase" -> ((s, d) => phrase(s, d)),
     "n7_rm3_expand" -> ((s, d) => rm3Expand(s, d)),
-    "n8_more_like_this" -> ((s, d) => moreLikeThis(s, d))
+    "n8_more_like_this" -> ((s, d) => moreLikeThis(s, d)),
+    "n9_proximity" -> ((s, d) => proximity(s, d))
   )
+
+  /** Proximity search: all four query terms required, ranked by the
+    * minimal token window covering them (then n_hits desc, doc_id) — the
+    * cover-density middle ground between n2's bag-of-words and n6's
+    * strict adjacency. */
+  def proximity(spark: SparkSession, dir: String): DataFrame =
+    FullText.proximitySearch(Tables.documents(spark, dir), "doc_id", "text",
+      Terms, k = 10)
 
   /** More-Like-This: docs most similar to seed doc 3 by its interesting
     * terms (tf≥2, len≥3, top-10 by integer tf·N div df), scored with BM25
@@ -273,6 +282,35 @@ object SearchQueries {
          |        GROUP BY doc_id ORDER BY sum(w) DESC, doc_id LIMIT 10)
          |SELECT doc_id, round(score, 6) AS bm25, n_terms FROM sc2
          |ORDER BY score DESC, doc_id""".stripMargin,
+    // replay of the windowed minimal-cover: per-term running max over the
+    // position-ordered hit rows, candidate = pos - least(latests) + 1
+    // under an explicit all-covered guard, per-doc min — identical window
+    // semantics in both engines (integer positions, total tiebreak)
+    "n9_proximity" ->
+      """WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |       FROM documents),
+        |tk AS (SELECT doc_id, list_filter(string_split(norm, ' '), t -> len(t) > 0) AS tk
+        |       FROM n),
+        |e AS (SELECT doc_id,
+        |        unnest(list_transform(tk, (x, i) -> struct_pack(term := x, pos := i - 1))) AS u
+        |      FROM tk),
+        |h AS (SELECT doc_id, u.pos AS pos, u.term AS term FROM e
+        |      WHERE u.term IN ('spark','vector','merge','stream')),
+        |l AS (SELECT doc_id, pos,
+        |        max(CASE WHEN term = 'spark' THEN pos END) OVER w AS l0,
+        |        max(CASE WHEN term = 'vector' THEN pos END) OVER w AS l1,
+        |        max(CASE WHEN term = 'merge' THEN pos END) OVER w AS l2,
+        |        max(CASE WHEN term = 'stream' THEN pos END) OVER w AS l3
+        |      FROM h
+        |      WINDOW w AS (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)),
+        |c AS (SELECT doc_id,
+        |        CASE WHEN l0 IS NOT NULL AND l1 IS NOT NULL AND l2 IS NOT NULL AND l3 IS NOT NULL
+        |             THEN pos - least(l0, l1, l2, l3) + 1 END AS cand
+        |      FROM l),
+        |m AS (SELECT doc_id, count(*)::BIGINT AS n_hits, min(cand)::BIGINT AS min_window
+        |      FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_hits, min_window FROM m WHERE min_window IS NOT NULL
+        |ORDER BY min_window ASC, n_hits DESC, doc_id LIMIT 10""".stripMargin,
     // full replay of the MLT two-pass: seed term profile (tf>=2, len>=3),
     // corpus df restricted to those terms, the INTEGER interest ranking
     // tf*N div df (interest desc, tf desc, term asc — total tiebreak),

@@ -175,6 +175,27 @@ class FullTextSpec extends AnyFunSuite {
     assert(!ids.contains(6L), "'ab' (len < minLen) never selected")
   }
 
+  test("proximitySearch: minimal cover windows, hand-computed; missing-term docs drop") {
+    val pdocs = Seq(
+      // positions:        0 1    2    3  4    5
+      (1L, "a b spark c merge x"),          // spark@2 merge@4 -> window 3
+      (2L, "spark merge"),                  // adjacent -> window 2
+      (3L, "merge y y y spark y merge"),    // best = spark@4..merge@6 -> 3
+      (4L, "spark only here"),              // merge missing -> dropped
+      (5L, "spark x x x x x x x x merge")   // window 10
+    ).toDF("doc_id", "text")
+    val out = FullText.proximitySearch(pdocs, "doc_id", "text",
+      Seq("spark", "merge"), k = 10)
+      .as[(Long, Long, Long)].collect()
+    // doc 3 ties doc 1 at window 3; its 3 hits beat doc 1's 2 on the
+    // n_hits-desc tiebreak — and doc 4 (no merge) never appears
+    assert(out.map(_._1).toSeq == Seq(2L, 3L, 1L, 5L), out.mkString(","))
+    val win = out.map(r => r._1 -> r._3).toMap
+    assert(win == Map(2L -> 2L, 1L -> 3L, 3L -> 3L, 5L -> 10L))
+    assert(out.map(r => r._1 -> r._2).toMap ==
+      Map(2L -> 2L, 3L -> 3L, 1L -> 2L, 5L -> 2L), "hit counts")
+  }
+
   test("moreLikeThis honors m: with m=3 the ubiquitous term re-enters") {
     val ids = FullText.moreLikeThis(mltDocs, "doc_id", "text",
       seedId = 1L, m = 3, k = 10)
