@@ -315,4 +315,17 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("Window"), s"df no longer the window-over-hits shape:\n$p")
     assert(!p.contains("CartesianProduct"), s"all-pairs seam:\n$p")
   }
+
+  test("v18_jl_project: a join-free narrow kernel map") {
+    val p = executedPlan("v18_jl_project")
+    assert(!p.contains("Join"), s"projection must be join-free:\n$p")
+    assert(p.contains("jl_project"), s"kernel expression folded away:\n$p")
+  }
+
+  test("n9_proximity: hit-filtered explode into one windowed doc exchange, top-k heap") {
+    val p = executedPlan("n9_proximity")
+    assert(!p.contains("Join"), s"proximity needs no join at all:\n$p")
+    assert(p.contains("Window"), s"running maxes lost the window shape:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"global sort instead of heap:\n$p")
+  }
 }
