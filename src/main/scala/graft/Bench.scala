@@ -57,7 +57,7 @@ object Bench {
     "e11_winsorize", "z2_hilbert_layout", "q3_rollup",
     "e12_history_features", "e13_ewma", "t43_quota_sample", "u5_scd2",
     "t44_ffd_pack", "t45_distinct_profile", "n8_more_like_this",
-    "v18_jl_project", "n9_proximity")
+    "v18_jl_project", "n9_proximity", "m8_scene_cuts")
 
   /** Index-backed queries: build once, time the probe. */
   private val preparedFactories: Map[String,

@@ -233,6 +233,51 @@ object Multimodal {
     }(enc)
   }
 
+  /** Shot/scene-boundary detection over sampled video frames — the
+    * curation signal that segments a video corpus into shots before
+    * per-shot sampling/captioning (and the cheap dedup unit: one frame per
+    * shot instead of one per second): consecutive-frame perceptual-hash
+    * distance, a cut where it exceeds `maxHamming` bits (within-shot
+    * frames hash near-identically; a hard cut re-randomizes the hash).
+    *
+    * Pixels are touched ONCE, map-only ([[ImageCodec.dHash]] inside
+    * mapPartitions, the [[imageDHashes]] shape); the timeline then rides
+    * one (video, ts)-windowed exchange of 8-byte fingerprints — the lag
+    * and the XOR popcount are built-in codegen'd exprs. Undecodable
+    * frames KEEP their timeline row with a null hash (the m3/m5 split:
+    * the timeline must stay complete for downstream as-of joins) — their
+    * transitions score null hamming / is_cut=false, never a fabricated
+    * cut. Output: (video_id, ts, hamming, is_cut); the first frame of
+    * each video has null hamming. */
+  def sceneCuts(frames: DataFrame, videoCol: String, tsCol: String,
+                bytesCol: String, maxHamming: Int = 10): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"sceneCuts needs maxHamming in [0,64) (got $maxHamming)")
+    val schema = StructType(Seq(
+      StructField("video_id", LongType, nullable = false),
+      StructField("ts", LongType, nullable = false),
+      StructField("dhash", LongType, nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val vIdx = frames.schema.fieldIndex(videoCol)
+    val tIdx = frames.schema.fieldIndex(tsCol)
+    val bIdx = frames.schema.fieldIndex(bytesCol)
+    val hashed = frames.mapPartitions { rows =>
+      rows.map { r =>
+        Row(r.getLong(vIdx), r.getLong(tIdx),
+          ImageCodec.dHash(r.getAs[Array[Byte]](bIdx)).map(Long.box).orNull)
+      }
+    }(enc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("video_id").orderBy("ts")
+    hashed
+      .withColumn("__prev", lag(col("dhash"), 1).over(w))
+      .withColumn("hamming",
+        when(col("dhash").isNotNull && col("__prev").isNotNull,
+          bit_count(col("dhash").bitwiseXOR(col("__prev"))).cast("long")))
+      .withColumn("is_cut", coalesce(col("hamming") > maxHamming, lit(false)))
+      .select("video_id", "ts", "hamming", "is_cut")
+  }
+
   /** Image near-duplicate pairs — the LAION-style image dedup pass: pairs
     * whose dHashes differ in at most `maxHamming` bits. Blocking is the
     * SimHash pigeonhole on the 64-bit hash split into 4 16-bit blocks: any

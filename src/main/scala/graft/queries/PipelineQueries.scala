@@ -34,6 +34,7 @@ object PipelineQueries {
     "m5_image_dhash" -> ((s, d) => imageNearDups(s, d)),
     "m6_audio_activity" -> ((s, d) => audioActivity(s, d)),
     "m7_multimodal_curation" -> ((s, d) => multimodalCuration(s, d)),
+    "m8_scene_cuts" -> ((s, d) => sceneCutsQ(s, d)),
     "r1_rerank" -> ((s, d) => rerank(s, d)),
     "r2_context_assembly" -> ((s, d) => contextAssembly(s, d)),
     "r3_augmented_content" -> ((s, d) => augmentedContent(s, d)),
@@ -317,15 +318,50 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Scene-cut detection over synthesized frame timelines: video = doc <
+    * 120, frames at ts = 2f for f in 0..(doc%6+3); a new SCENE starts at
+    * every frame f ≥ 1 with (doc+f) % 3 == 0, and each frame renders the
+    * staircase of md5("v:doc:scene") — so within-scene transitions hash
+    * identically (hamming 0) and cross-scene ones re-randomize the 60-bit
+    * hash (≫ the 10-bit threshold). The oracle replays hash, lag, and
+    * popcount; SceneCutsSpec proves cuts land exactly on the scene
+    * boundaries and undecodable frames stay on the timeline uncut. */
+  def sceneCutsQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 120)
+      .select(col("doc_id")).as[Long]
+    val frames = docs.flatMap { id =>
+      val n = (id % 6 + 3).toInt
+      var scene = 0L
+      (0 to n).map { f =>
+        if (f >= 1 && (id + f) % 3 == 0) scene += 1
+        (id, f * 2L, staircaseFromHash(md5Hash60(s"v:$id:$scene")))
+      }
+    }.toDF("video_id", "ts", "bytes")
+    Multimodal.sceneCuts(frames, "video_id", "ts", "bytes", maxHamming = 10)
+      .orderBy("video_id", "ts")
+  }
+
   /** The m5 fixture: a 9x8 staircase PNG whose dHash is
     * `base(id % 5) XOR (id % 7 == 0 ? 1 << (id % 60) : 0)` — see
     * [[imageNearDups]]'s scaladoc for the construction contract. */
   private def staircasePng(id: Long): Array[Byte] = {
     val g = id % 5
-    val md5hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"g:$g".getBytes("UTF-8")).map(b => f"$b%02x").mkString
-    val base = java.lang.Long.parseLong(md5hex.substring(0, 15), 16)
-    val h = if (id % 7 == 0) base ^ (1L << (id % 60).toInt) else base
+    val base = md5Hash60(s"g:$g")
+    staircaseFromHash(if (id % 7 == 0) base ^ (1L << (id % 60).toInt) else base)
+  }
+
+  /** First 15 hex digits of md5(key) as a 60-bit long — the oracle's
+    * `('0x' || substr(md5(key), 1, 15))::BIGINT`. */
+  private def md5Hash60(key: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        .substring(0, 15), 16)
+
+  /** Render a 9x8 staircase PNG whose [[graft.operators.ImageCodec.dHash]]
+    * is exactly `h` (bit y·8+x = right-pixel > left-pixel). */
+  private def staircaseFromHash(h: Long): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -704,6 +740,26 @@ object PipelineQueries {
         |  coalesce(dr.reason, 'kept') AS reason
         |FROM d LEFT JOIN drops dr ON d.doc_id = dr.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // replays the fixture contract (scene = running cut count, hash =
+    // md5-derived 60-bit staircase dHash) and the operator's lag +
+    // XOR-popcount + threshold over the (video, ts) timeline
+    "m8_scene_cuts" ->
+      """WITH v AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+        |f AS (SELECT doc_id, s AS f FROM v, generate_series(0, 8) t(s)
+        |      WHERE s <= doc_id % 6 + 3),
+        |sc AS (SELECT doc_id, f,
+        |    sum(CASE WHEN f >= 1 AND (doc_id + f) % 3 = 0 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY f) AS scene
+        |  FROM f),
+        |h AS (SELECT doc_id, f, (f * 2)::BIGINT AS ts,
+        |    ('0x' || substr(md5('v:' || doc_id || ':' || scene), 1, 15))::BIGINT AS dh
+        |  FROM sc),
+        |l AS (SELECT doc_id, ts, dh,
+        |    lag(dh) OVER (PARTITION BY doc_id ORDER BY ts) AS prev FROM h)
+        |SELECT doc_id AS video_id, ts,
+        |  CASE WHEN prev IS NOT NULL THEN bit_count(xor(dh, prev))::BIGINT END AS hamming,
+        |  coalesce(bit_count(xor(dh, prev)) > 10, false) AS is_cut
+        |FROM l ORDER BY video_id, ts""".stripMargin,
     "m6_audio_activity" ->
       """WITH d AS (SELECT doc_id FROM documents
         |           WHERE doc_id < 200 AND doc_id % 11 <> 0),
