@@ -328,4 +328,10 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("Window"), s"running maxes lost the window shape:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"global sort instead of heap:\n$p")
   }
+
+  test("m8_scene_cuts: map-only decode into one windowed timeline, join-free") {
+    val p = executedPlan("m8_scene_cuts")
+    assert(!p.contains("Join"), s"scene cuts need no join:\n$p")
+    assert(p.contains("Window"), s"lag lost the window shape:\n$p")
+  }
 }
