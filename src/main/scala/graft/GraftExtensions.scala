@@ -97,9 +97,10 @@ object GraftExtensions {
           litInt(args(2), "hilbert_index", "bits")) }),
     (FunctionIdentifier("jl_project"),
       info("jl_project",
-        "jl_project(array<float>, out_dims) - fixed-point +/-1 Johnson-Lindenstrauss projection as array<bigint>"),
-      (args: Seq[Expression]) => { arity("jl_project", args, 2)
+        "jl_project(array<float>, out_dims, in_dims) - fixed-point +/-1 Johnson-Lindenstrauss projection as array<bigint>; in_dims pins the single input dimensionality (ragged inputs fail loudly)"),
+      (args: Seq[Expression]) => { arity("jl_project", args, 3)
         VectorExpressions.JlProject(args(0),
-          litInt(args(1), "jl_project", "out_dims")) })
+          litInt(args(1), "jl_project", "out_dims"),
+          litInt(args(2), "jl_project", "in_dims")) })
   )
 }

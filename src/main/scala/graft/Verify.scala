@@ -4,6 +4,30 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Driver-compat schema guard: the driver's oracle comparison
+    * canonicalizes results with pandas, which cannot sort/hash
+    * array-typed cells (round 8's v18 red row: `sort_values` dies with
+    * "unhashable type: numpy.ndarray"). Registered outputs must
+    * therefore be scalar-only at the top level — a kernel that naturally
+    * emits an array registers its unnested (id, pos, value) shape
+    * instead (what v18 now does). Maps/structs hit the same wall, so
+    * they are banned alongside. */
+  def assertDriverSafe(name: String,
+                       schema: org.apache.spark.sql.types.StructType): Unit =
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.ArrayType
+           | _: org.apache.spark.sql.types.MapType
+           | _: org.apache.spark.sql.types.StructType =>
+          throw new IllegalStateException(
+            s"registered query $name column '${f.name}' is " +
+              s"${f.dataType.simpleString}: the driver's pandas " +
+              "canonicalizer cannot sort non-scalar cells - register an " +
+              "unnested scalar shape (e.g. posexplode to (id, pos, value))")
+        case _ => ()
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rest @ _*) = args
     // Optional extra args = query-name prefixes to run (local iteration
@@ -20,8 +44,11 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => wanted(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        assertDriverSafe(name, df.schema)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

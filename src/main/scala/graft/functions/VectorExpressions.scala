@@ -356,7 +356,16 @@ object VectorExpressions {
     * byte itself (0 = +, 1 = −). */
   private val jlSignCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Array[Byte]]()
-  def jlSigns(seed: String, out: Int, in: Int): Array[Byte] =
+  /** Cache bound: each (seed, out, in) pins out·in bytes; distinct keys
+    * come from distinct EXPRESSION INSTANCES (in is validated per
+    * instance, never per row), so growth tracks the number of distinct
+    * jl_project configurations in the application — small by construction.
+    * The bound is a backstop against a pathological seed-per-query caller,
+    * not a working-set eviction (entries are immutable and equal for equal
+    * keys, so clearing is always safe). */
+  private val jlSignCacheMax = 64
+  def jlSigns(seed: String, out: Int, in: Int): Array[Byte] = {
+    if (jlSignCache.size > jlSignCacheMax) jlSignCache.clear()
     jlSignCache.computeIfAbsent((seed, out, in), _ => {
       val md = java.security.MessageDigest.getInstance("MD5")
       val a = new Array[Byte](out * in)
@@ -373,13 +382,22 @@ object VectorExpressions {
       }
       a
     })
+  }
 
   /** The [[JlProject]] inner loop as a static kernel (the
     * [[graft.functions.LayoutExpressions]] pattern): quantize once
     * (floor(x·10⁶) — floor, not cast: both engines' one agreed float→int
-    * op), then out_dims exact integer sign-sums. */
-  def jlProjectKernel(x: ArrayData, out: Int, seed: String): ArrayData = {
+    * op), then out_dims exact integer sign-sums. `expectedIn` pins the
+    * single input dimensionality the projection is defined over: a ragged
+    * vector would otherwise silently draw a DIFFERENT sign matrix (outputs
+    * incomparable across rows), so a mismatch fails loudly instead. */
+  def jlProjectKernel(x: ArrayData, out: Int, expectedIn: Int,
+                      seed: String): ArrayData = {
     val in = x.numElements()
+    if (in != expectedIn) throw new IllegalArgumentException(
+      s"jl_project: input vector has $in dims, expected $expectedIn — " +
+        "ragged vectors would project with different sign matrices; fix " +
+        "the input or construct jl_project with the right inDims")
     val s = jlSigns(seed, out, in)
     val q = new Array[Long](in)
     var i = 0
@@ -413,21 +431,29 @@ object VectorExpressions {
     * projects to `outDims` preserving pairwise distances within the JL
     * bound, and every downstream op touches outDims/768 of the data.
     * Deterministic: the sign matrix derives from md5(seed:j:i). */
-  case class JlProject(child: Expression, outDims: Int, seed: String = "jl")
+  case class JlProject(child: Expression, outDims: Int, inDims: Int,
+                       seed: String = "jl")
       extends UnaryExpression with ImplicitCastInputTypes {
     require(outDims >= 1 && outDims <= 4096,
       s"jl_project needs outDims in [1,4096] (got $outDims)")
+    require(inDims >= 1 && inDims <= 65536,
+      s"jl_project needs inDims in [1,65536] (got $inDims)")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "jl_project"
     override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
 
     override def nullSafeEval(v: Any): Any =
-      jlProjectKernel(v.asInstanceOf[ArrayData], outDims, seed)
+      jlProjectKernel(v.asInstanceOf[ArrayData], outDims, inDims, seed)
 
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // seed travels as a referenced object, never spliced into the
+    // generated Java source — a quote/backslash in a caller-chosen seed
+    // must not be able to break (or worse, steer) codegen compilation
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val seedRef = ctx.addReferenceObj("jlSeed", seed, "java.lang.String")
       nullSafeCodeGen(ctx, ev, a => s"""
-        ${ev.value} = graft.functions.VectorExpressions.jlProjectKernel($a, $outDims, "$seed");
+        ${ev.value} = graft.functions.VectorExpressions.jlProjectKernel($a, $outDims, $inDims, $seedRef);
         """)
+    }
 
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)
@@ -446,8 +472,9 @@ object vec {
   def max_sim_float(doc: Column, query: Column): Column = toCol(MaxSimFloat(toExpr(doc), toExpr(query)))
   def nearest_centroid(v: Column, centroids: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]): Column =
     toCol(NearestCentroid(toExpr(v), centroids))
-  def jl_project(v: Column, outDims: Int, seed: String = "jl"): Column =
-    toCol(JlProject(toExpr(v), outDims, seed))
+  def jl_project(v: Column, outDims: Int, inDims: Int,
+                 seed: String = "jl"): Column =
+    toCol(JlProject(toExpr(v), outDims, inDims, seed))
 
   /** pgvector cosine score mapping: score = 1 - distance/2 with distance =
     * 1 - cosine -> score = (1 + cosine) / 2 (`pgvector_store.py:499`). */

@@ -431,7 +431,16 @@ object Corpus {
     * the batch, appended to an accumulated parts table by an ingest stream
     * (the [[graft.operators.FullText.indexDelta]] incremental-maintenance
     * shape). The batch [[heavyHitters]] is literally this delta fed to the
-    * ranking tail, so the two arms cannot drift. */
+    * ranking tail, so the two arms cannot drift.
+    *
+    * SINK CONTRACT (exactly-once): foreachBatch may REPLAY a micro-batch
+    * after a failure, and a plain `append` of this delta would then
+    * double-count the batch's tokens. Stamp each part with the sink's
+    * `batchId` and write `mode("overwrite")` partitioned by that stamp
+    * with `partitionOverwriteMode=dynamic`, so a replayed batch replaces
+    * its own partition instead of appending a second copy —
+    * StreamingHeavyHittersSpec gates exactly this pattern, replay
+    * included. */
   def heavyHittersDelta(df: DataFrame, strataCol: String,
                         textCol: String): DataFrame =
     graft.Tables.scaled(

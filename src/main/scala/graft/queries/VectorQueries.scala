@@ -171,11 +171,16 @@ object VectorQueries {
   /** Johnson–Lindenstrauss fixed-point projection 64→16: the
     * dimensionality-reduction front end for clustering/LSH at scale. A
     * narrow codegen'd map — no shuffle, no join; the oracle replays the
-    * md5-derived ±1 sign matrix and the exact integer sums. */
+    * md5-derived ±1 sign matrix and the exact integer sums. Registered
+    * shape is the unnested (vec_id, j, component) — scalar rows only, so
+    * the driver's pandas canonicalizer can sort/hash them (arrays in a
+    * registered output are a harness wall; Verify enforces the ban). */
   def jlProject(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
-      .select(col("vec_id"), vec.jl_project(col("embedding"), 16).as("proj"))
-      .orderBy("vec_id")
+      .select(col("vec_id"),
+        posexplode(vec.jl_project(col("embedding"), 16, inDims = 64))
+          .as(Seq("j", "component")))
+      .orderBy("vec_id", "j")
 
   /** Hard-negative mining (DPR/ANCE shape) over the labeled embeddings:
     * for each of the 20 query vectors, the 5 highest-cosine DIFFERENT-
@@ -610,18 +615,21 @@ object VectorQueries {
          |ORDER BY vec_id""".stripMargin,
     // replay of the derandomized JL draw: sign (j,i) = parity of the
     // first hex digit of md5('jl:j:i'); components floor-scale to 1e-6
-    // units so every output is an exact integer sum in both engines
+    // units so every output is an exact integer sum in both engines.
+    // Output is one (vec_id, j, component) row per projected dimension —
+    // driver-sortable scalars, never a top-level array column (the r8
+    // harness wall: pandas cannot canonicalize array cells; Verify now
+    // rejects such schemas outright).
     "v18_jl_project" ->
       """WITH s AS (SELECT r1.j, r2.i,
         |    CASE WHEN ('0x' || substr(md5('jl:' || r1.j || ':' || r2.i), 1, 1))::BIGINT % 2 = 0
         |         THEN 1 ELSE -1 END AS sgn
         |  FROM range(16) r1(j), range(64) r2(i)),
         |q AS (SELECT vec_id, r.i, floor(embedding[r.i + 1]::DOUBLE * 1000000)::BIGINT AS qv
-        |      FROM embeddings, range(64) r(i)),
-        |y AS (SELECT q.vec_id, s.j, sum(s.sgn * q.qv)::BIGINT AS yv
-        |      FROM q JOIN s ON q.i = s.i GROUP BY q.vec_id, s.j)
-        |SELECT vec_id, list(yv ORDER BY j) AS proj FROM y
-        |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+        |      FROM embeddings, range(64) r(i))
+        |SELECT q.vec_id, s.j, sum(s.sgn * q.qv)::BIGINT AS component
+        |FROM q JOIN s ON q.i = s.i GROUP BY q.vec_id, s.j
+        |ORDER BY vec_id, j""".stripMargin,
     // full-probe IVF must reproduce the exact result
     "v8_ivf_exact" -> exactTop10,
     // full-probe + corpus-covering oversample IVF-PQ must too

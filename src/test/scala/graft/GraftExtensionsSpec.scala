@@ -97,7 +97,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
         """SELECT
           |  hilbert_index(3L, 5L, 8) AS h,
           |  winnow_fingerprints('abcdefghij klmno', 5, 16) AS w,
-          |  jl_project(array(0.5F, -0.25F, 1.0F), 4) AS p
+          |  jl_project(array(0.5F, -0.25F, 1.0F), 4, 3) AS p
           |""".stripMargin).head()
       assert(row.getLong(0) ==
         graft.functions.LayoutExpressions.hilbertXy2d(3L, 5L, 8))
@@ -109,7 +109,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(row.getSeq[Long](2) ==
         graft.functions.VectorExpressions.jlProjectKernel(
           org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
-            Array(0.5f, -0.25f, 1.0f)), 4, "jl").toLongArray().toSeq)
+            Array(0.5f, -0.25f, 1.0f)), 4, 3, "jl").toLongArray().toSeq)
     }
   }
 }

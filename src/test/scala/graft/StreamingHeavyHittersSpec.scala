@@ -13,7 +13,11 @@ import graft.operators.Corpus
   * from the accumulated parts ([[Corpus.heavyHittersFromCounts]]) — never
   * a re-tokenization of the corpus. Gated by REBUILD EQUIVALENCE: the
   * parts-derived top-k must equal the batch [[Corpus.heavyHitters]] over
-  * everything ingested so far, rank for rank. */
+  * everything ingested so far, rank for rank. Parts are written
+  * batchId-partitioned with dynamic overwrite (heavyHittersDelta's sink
+  * contract) so a REPLAYED micro-batch — foreachBatch's failure semantics
+  * — replaces its own partition instead of double-counting; the replay
+  * case is exercised explicitly below. */
 class StreamingHeavyHittersSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -29,15 +33,21 @@ class StreamingHeavyHittersSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft_incr_hh").toString
     val base = Seq(("en", "spark spark engine"), ("de", "daten daten bank"))
       .toDF("lang", "text")
-    Corpus.heavyHittersDelta(base, "lang", "text")
-      .write.mode("overwrite").parquet(s"$dir/counts")
+    // the idempotent sink shape from heavyHittersDelta's scaladoc: one
+    // partition per batch, dynamic overwrite — a replay rewrites in place
+    def writePart(df: DataFrame, batchId: Long): Unit =
+      Corpus.heavyHittersDelta(df, "lang", "text")
+        .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(s"$dir/counts")
+    writePart(base, -1L) // the pre-stream backfill part
 
     val input = MemoryStream[(String, String)]
     val q = input.toDF().toDF("lang", "text").writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        Corpus.heavyHittersDelta(batch, "lang", "text")
-          .write.mode("append").parquet(s"$dir/counts")
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writePart(batch, batchId)
       }.start()
     val all = try {
       input.addData(("en", "engine engine engine room"), ("de", "bank bank"))
@@ -51,14 +61,21 @@ class StreamingHeavyHittersSpec extends AnyFunSuite {
         ("en", "spark spark spark spark cluster")).toDF("lang", "text"))
     } finally q.stop()
 
-    val streamed = Corpus.heavyHittersFromCounts(
-      spark.read.parquet(s"$dir/counts"), k = 3)
+    def top3: Set[(String, String, Long, Int)] = Corpus.heavyHittersFromCounts(
+      spark.read.parquet(s"$dir/counts").drop("batch_id"), k = 3)
       .as[(String, String, Long, Int)].collect().toSet
+    val streamed = top3
     val rebuilt = Corpus.heavyHitters(all, "lang", "text", k = 3)
       .as[(String, String, Long, Int)].collect().toSet
     assert(streamed == rebuilt, "parts-derived top-k == batch rerun")
     // cross-batch sum: spark = 2 (base) + 4 (last batch) = 6, en rank 1
     assert(streamed.contains(("en", "spark", 6L, 1)),
       s"cross-batch counts must merge: $streamed")
+    // REPLAY: foreachBatch re-delivers batch 1 after a simulated failure;
+    // the dynamic-overwrite part write must leave the totals unchanged
+    // (a plain append would have pushed en/spark to 10 here)
+    writePart(Seq(("en", "spark spark spark spark cluster"))
+      .toDF("lang", "text"), 1L)
+    assert(top3 == streamed, "a replayed micro-batch must not double-count")
   }
 }

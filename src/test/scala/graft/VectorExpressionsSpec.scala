@@ -100,7 +100,7 @@ class VectorExpressionsSpec extends AnyFunSuite {
         vec.binary_quantize(col("a")).as("bq"),
         vec.hamming(vec.binary_quantize(col("a")), vec.binary_quantize(col("b"))).as("hd"),
         vec.nearest_centroid(col("a"), bc).getField("i").as("ci"),
-        vec.jl_project(col("a"), 4).as("jl"))
+        vec.jl_project(col("a"), 4, inDims = 4).as("jl"))
       val row = sel.head()
       // prove the projection survived to EXECUTION (not constant-folded):
       // a folded plan is a bare LocalTableScan with no expression left to
@@ -123,7 +123,8 @@ class VectorExpressionsSpec extends AnyFunSuite {
   test("jl_project matches an independent md5-sign replay, exactly") {
     val v = Array(0.75f, -1.5f, 0.001f, 2f, -0.25f, 0.5f)
     val got = Seq(Tuple1(v)).toDF("v")
-      .select(vec.jl_project(col("v"), 3, "jl")).head().getSeq[Long](0)
+      .select(vec.jl_project(col("v"), 3, inDims = 6, seed = "jl"))
+      .head().getSeq[Long](0)
     // re-derive signs + sums from scratch (MessageDigest, not the kernel)
     val md = java.security.MessageDigest.getInstance("MD5")
     def sign(j: Int, i: Int): Long = {
@@ -134,6 +135,32 @@ class VectorExpressionsSpec extends AnyFunSuite {
     val want = (0 until 3).map(j =>
       q.indices.map(i => sign(j, i) * q(i)).sum)
     assert(got == want, s"$got vs $want")
+  }
+
+  test("jl_project survives a hostile seed under codegen (quote/backslash)") {
+    // the seed travels via ctx.addReferenceObj, never spliced into the
+    // generated Java source — a seed like `a"b\c` must neither break
+    // Janino compilation nor change semantics vs the interpreted kernel
+    val hostile = "a\"b\\c*/;//"
+    val got = Seq(Tuple1(Array(0.5f, -0.25f, 1.0f))).toDF("v")
+      .select(vec.jl_project(col("v"), 4, inDims = 3, seed = hostile))
+      .head().getSeq[Long](0)
+    val want = graft.functions.VectorExpressions.jlProjectKernel(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array(0.5f, -0.25f, 1.0f)), 4, 3, hostile).toLongArray().toSeq
+    assert(got == want, s"$got vs $want")
+  }
+
+  test("jl_project fails loudly on a ragged input dimension") {
+    // a 5-dim row in a declared-4-dim projection would draw a DIFFERENT
+    // sign matrix (incomparable outputs); the kernel refuses instead
+    val e = intercept[Exception] {
+      Seq(Tuple1(Array(1f, 2f, 3f, 4f, 5f))).toDF("v")
+        .select(vec.jl_project(col("v"), 2, inDims = 4)).collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("expected 4"), s"unhelpful error: $e")
   }
 
   test("jl_project preserves relative similarity on a planted near/far pair") {
@@ -148,7 +175,7 @@ class VectorExpressionsSpec extends AnyFunSuite {
         math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
     }
     val rows = Seq((0L, base), (1L, near), (2L, far)).toDF("id", "v")
-      .select(col("id"), vec.jl_project(col("v"), 16).as("p"))
+      .select(col("id"), vec.jl_project(col("v"), 16, inDims = 64).as("p"))
       .orderBy("id").as[(Long, Seq[Long])].collect().map(_._2)
     assert(cos(rows(0), rows(1)) > 0.9, "near pair stays near after projection")
     assert(cos(rows(0), rows(1)) > cos(rows(0), rows(2)) + 0.2,
