@@ -57,7 +57,10 @@ object Bench {
     "e11_winsorize", "z2_hilbert_layout", "q3_rollup",
     "e12_history_features", "e13_ewma", "t43_quota_sample", "u5_scd2",
     "t44_ffd_pack", "t45_distinct_profile", "n8_more_like_this",
-    "v18_jl_project", "n9_proximity", "m8_scene_cuts")
+    "v18_jl_project", "n9_proximity", "m8_scene_cuts",
+    "s5_dispatcher_rerank", "v19_ivf_recall", "p7_index_layout",
+    "l15_total_count", "p6_clean_control", "m9_scene_cuts_dense",
+    "t46_context_windows")
 
   /** Index-backed queries: build once, time the probe. */
   private val preparedFactories: Map[String,

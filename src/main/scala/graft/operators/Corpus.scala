@@ -409,6 +409,51 @@ object Corpus {
           .otherwise(expr(s"(cum - n_tok) div ${budget}L")).as("bin_last"))
   }
 
+  /** GPT-style pretraining CONTEXT-WINDOW construction (the final stage of
+    * an LLM data pipeline, and the one [[packSequences]] deliberately is
+    * not): documents are tokenized, terminated with an `eos` sentinel,
+    * concatenated per shard in doc-id order, and SLICED into fixed
+    * `blockTokens`-token blocks — documents split across block boundaries
+    * (GPT-2/3 data prep), where t15/t44 pack WHOLE docs into budgets.
+    * Emits one row per (shard, block): token count (== blockTokens except
+    * each shard's tail block), covering doc span, and the md5 of the
+    * block's space-joined token stream — the content hash a downstream
+    * writer can use for block-level dedup/verification.
+    *
+    * 100 TB shape: the only per-shard-ordered state is the window
+    * cumulative sum over DOC rows (one row per doc, the t15 discipline —
+    * shards are bounded by the sharding policy, e.g. id div S keeps shard
+    * size constant as the corpus grows, and blocks never cross shards
+    * because training shards are independent files); the token stream then
+    * explodes map-only into ONE (shard, block) aggregation whose per-group
+    * state is bounded by `blockTokens` itself. No corpus-sized sort, no
+    * join. Determinism: doc-id order + integer `div` offsets (exact past
+    * 2^53), array_sort on (pos, token) structs before the hash fold. */
+  def contextWindows(df: DataFrame, idCol: String, shardCol: String,
+                     textCol: String, blockTokens: Long,
+                     eos: String = "</s>"): DataFrame = {
+    require(blockTokens >= 1, s"contextWindows needs blockTokens>=1 (got $blockTokens)")
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val toks = graft.Tables.scaled(df)
+      .withColumn("__tk",
+        concat(graft.functions.text.tokens(col(textCol)), array(lit(eos))))
+      .withColumn("__n", size(col("__tk")).cast("long"))
+    val stream = toks
+      .withColumn("__start", sum(col("__n")).over(w) - col("__n"))
+      .select(col(shardCol).cast("long").as("shard"),
+        col(idCol).cast("long").as("doc"), col("__start"),
+        posexplode(col("__tk")).as(Seq("__i", "token")))
+      .withColumn("pos", col("__start") + col("__i"))
+      .withColumn("block_id", expr(s"pos div ${blockTokens}L"))
+    stream.groupBy("shard", "block_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        min("doc").as("first_doc"), max("doc").as("last_doc"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("token")))),
+            x => x.getField("token")))).as("tok_md5"))
+  }
+
   /** Exact per-stratum heavy hitters: top-k tokens by frequency (count desc,
     * token asc tiebreak). Explode → hash-groupBy with map-side combine →
     * SALTED two-phase top-k. The naive single window

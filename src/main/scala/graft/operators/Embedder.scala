@@ -64,3 +64,15 @@ case class HashEmbedder(dim: Int = 64, seed: Int = 42,
     }(enc)
   }
 }
+
+/** Fixture embedder: every text embeds to one fixed vector (the dense
+  * sibling of [[FixedMultiVectorEmbedder]]). Lets an oracle-gated query
+  * drive the full serving dispatcher with a corpus-side probe vector the
+  * DuckDB replay can read straight from the embeddings table — the model
+  * call is out-of-plan by the [[Embedder]] contract either way. */
+case class FixedEmbedder(vec: Seq[Float]) extends Embedder {
+  def dim: Int = vec.length
+  def embedText(s: String): Array[Float] = vec.toArray
+  override def embed(df: DataFrame, textCol: String, outCol: String): DataFrame =
+    df.withColumn(outCol, typedLit(vec))
+}

@@ -23,6 +23,12 @@ import org.apache.spark.sql.types._
 object ImageCodec {
 
   System.setProperty("java.awt.headless", "true")
+  // ImageIO's DEFAULT stream cache is a temp FILE per read/write — at
+  // millions of frames per executor that is one disk round-trip per image
+  // and a measured order-of-magnitude drag on the decode-heavy operators
+  // (m9's 2M-frame x64 probe surfaced it). All our sources are in-memory
+  // byte arrays; cache in memory. JVM-global, set once at class load.
+  ImageIO.setUseCache(false)
 
   case class Normalized(dataUri: String, width: Int, height: Int,
                         resized: Boolean, decoded: Boolean)

@@ -41,8 +41,21 @@ object CorpusQueries {
     "t42_curation_v2" -> ((s, d) => curationV2(s, d)),
     "t43_quota_sample" -> ((s, d) => quotaSample(s, d)),
     "t44_ffd_pack" -> ((s, d) => ffdPack(s, d)),
-    "t45_distinct_profile" -> ((s, d) => distinctProfileQ(s, d))
+    "t45_distinct_profile" -> ((s, d) => distinctProfileQ(s, d)),
+    "t46_context_windows" -> ((s, d) => contextWindowsQ(s, d))
   )
+
+  /** GPT-style fixed-length context-window construction: 25-doc shards
+    * (`doc_id div 25` — shard COUNT grows with the corpus while shard
+    * SIZE stays constant, the scale-correct policy), whitespace tokens +
+    * `</s>` per doc, 64-token blocks. The md5 gate pins every block's
+    * exact token stream, so a one-token offset error anywhere in the
+    * shard flips every downstream block. */
+  def contextWindowsQ(spark: SparkSession, dir: String): DataFrame =
+    Corpus.contextWindows(
+      Tables.documents(spark, dir).withColumn("shard", expr("doc_id div 25")),
+      "doc_id", "shard", "text", blockTokens = 64L)
+      .orderBy("shard", "block_id")
 
   /** First-fit-decreasing packing per source shard, 1024-token budget —
     * t15's sequential-packing sibling with the utilization guarantee; the
@@ -508,6 +521,29 @@ object CorpusQueries {
          |  CASE WHEN n_tok > 0 THEN ((cum - 1) // 1024)::BIGINT
          |       ELSE ((cum - n_tok) // 1024)::BIGINT END AS bin_last
          |FROM c ORDER BY doc_id""".stripMargin,
+    // t46 replay: same normalize→tokens→append-EOS, per-shard window
+    // cumsum offsets (doc-id order), 1-based unnest index → 0-based global
+    // position, block = pos // 64, md5 over the pos-ordered token join
+    "t46_context_windows" ->
+      """WITH n AS (SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |tk AS (SELECT doc_id, list_append(
+        |    list_filter(string_split(norm, ' '), t -> len(t) > 0), '</s>') AS tk
+        |  FROM n),
+        |d AS (SELECT doc_id, doc_id // 25 AS shard, tk, len(tk)::BIGINT AS n FROM tk),
+        |o AS (SELECT doc_id, shard, tk,
+        |        (sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT - n
+        |          AS tok_start
+        |      FROM d),
+        |s AS (SELECT shard, doc_id, u.t AS token, tok_start + u.i - 1 AS pos
+        |      FROM o, unnest(list_transform(tk,
+        |        (x, i) -> struct_pack(t := x, i := i))) w(u))
+        |SELECT shard, pos // 64 AS block_id, count(*)::BIGINT AS n_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        |  md5(string_agg(token, ' ' ORDER BY pos)) AS tok_md5
+        |FROM s GROUP BY shard, block_id ORDER BY shard, block_id""".stripMargin,
     "t18_url_caps" ->
       """WITH u AS (SELECT doc_id,
         |    (CASE WHEN doc_id % 2 = 0

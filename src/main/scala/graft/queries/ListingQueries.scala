@@ -36,8 +36,29 @@ object ListingQueries {
     "l11_usage_app" -> ((s, d) => usageApp(s, d)),
     "l12_listing_flexible" -> ((s, d) => listingFlexible(s, d)),
     "l13_projection" -> ((s, d) => listingProjection(s, d)),
-    "l14_keyset_page" -> ((s, d) => keysetPage(s, d))
+    "l14_keyset_page" -> ((s, d) => keysetPage(s, d)),
+    "l15_total_count" -> ((s, d) => totalCounts(s, d))
   )
+
+  /** L3 oracle-gated: the listing's companion COUNT — every filtered page
+    * the reference serves carries a total alongside has_more, computed
+    * with the SAME compiled predicate as the page scan. Three
+    * request-shaped scopes ([[Listing.totalCount]] each): unscoped, a
+    * field filter, and a folder-descendants scope via
+    * [[ScopeFilters.folderScope]] (depth −1) — so the count path is gated
+    * against the identical scope compiler the listing gate (l6) uses.
+    * Driver-side state is three Longs (design rule 17). */
+  def totalCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = docsWithFolders(spark, dir)
+    Seq(
+      ("all", Listing.totalCount(docs, lit(true))),
+      ("en_big", Listing.totalCount(docs,
+        col("lang") === "en" && col("n_chars") > 300)),
+      ("folder_src1", Listing.totalCount(docs, ScopeFilters.folderScope(
+        col("folder_path"), Seq(Some("/src1")), Some(-1)))))
+      .toDF("scope", "total").orderBy("scope")
+  }
 
   /** Keyset pagination: one cursor-anchored page of open orders — the
     * deep-listing idiom whose cost is depth-independent (OFFSET discards
@@ -201,6 +222,19 @@ object ListingQueries {
       .orderBy("source")
 
   def oracles: Map[String, String] = Map(
+    // L3: totals re-derived from the raw table, the folder scope replayed
+    // as exact-or-descendant path match on the synthesized folder_path
+    "l15_total_count" ->
+      """WITH f AS (SELECT lang, n_chars,
+        |  '/' || source || '/' || lang ||
+        |    CASE WHEN n_chars > 300 THEN '/big' ELSE '' END AS fp
+        |  FROM documents)
+        |SELECT 'all' AS scope, count(*)::BIGINT AS total FROM f
+        |UNION ALL SELECT 'en_big', count(*)::BIGINT FROM f
+        |  WHERE lang = 'en' AND n_chars > 300
+        |UNION ALL SELECT 'folder_src1', count(*)::BIGINT FROM f
+        |  WHERE fp = '/src1' OR fp LIKE '/src1/%'
+        |ORDER BY scope""".stripMargin,
     "l1_listing_page" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, o_orderpriority
         |FROM orders WHERE o_orderstatus = 'O'

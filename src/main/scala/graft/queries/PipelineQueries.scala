@@ -11,6 +11,11 @@ import graft.operators.{Chunker, HashEmbedder, HashTranscriber, KnnSearch, Multi
   */
 object PipelineQueries {
 
+  // the media fixtures ImageIO-encode frames inside executor closures;
+  // memory-backed stream cache there too (see ImageCodec's rationale) —
+  // object init runs wherever the fixture closure first executes
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Static query text shared by Spark and oracle (vocabulary words from the
     * synthetic corpus). */
   val RerankQuery = "the fast table scan join merge sort filter"
@@ -35,12 +40,57 @@ object PipelineQueries {
     "m6_audio_activity" -> ((s, d) => audioActivity(s, d)),
     "m7_multimodal_curation" -> ((s, d) => multimodalCuration(s, d)),
     "m8_scene_cuts" -> ((s, d) => sceneCutsQ(s, d)),
+    "m9_scene_cuts_dense" -> ((s, d) => sceneCutsDense(s, d)),
     "r1_rerank" -> ((s, d) => rerank(s, d)),
     "r2_context_assembly" -> ((s, d) => contextAssembly(s, d)),
     "r3_augmented_content" -> ((s, d) => augmentedContent(s, d)),
     "g1_batch_get" -> ((s, d) => batchGet(s, d)),
-    "n1_filename_search" -> ((s, d) => filenameSearch(s, d))
+    "n1_filename_search" -> ((s, d) => filenameSearch(s, d)),
+    "p6_clean_control" -> ((s, d) => cleanControl(s, d)),
+    "p7_index_layout" -> ((s, d) => indexLayout(s, d))
   )
+
+  /** C4 oracle-gated: the ingest control-char cleaner over documents whose
+    * text is salted with one representative of every class boundary the
+    * regex draws — C0 (\\u0001), kept whitespace (\t), DEL, the C1
+    * range ends (\\u0080, \\u009F), and \\u000B — so the gate pins the char
+    * class, not just "no-op on clean text". Output: per-doc raw/clean
+    * lengths plus the cleaned text's md5. */
+  def cleanControl(spark: SparkSession, dir: String): DataFrame = {
+    val dirty = concat(col("text"), lit("\u0001\t\u007F\u0080\u009F\u000BX"))
+    val clean = graft.streaming.IngestPipeline.cleanControlChars(dirty)
+    Tables.documents(spark, dir).select(col("doc_id"),
+        length(dirty).cast("long").as("len_raw"),
+        length(clean).cast("long").as("len_clean"),
+        md5(clean).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** S12 oracle-gated: the partitioned index LAYOUT round-trips — write
+    * the doc index via [[graft.sources.IndexStore.writePartitioned]]
+    * (directory-partitioned on the scope column), then answer a scoped
+    * aggregate THROUGH the written layout with a partition filter (the
+    * read plans a pruned scan: only the lang=en/de directories are
+    * listed). The oracle computes the same aggregate from the source
+    * table, so any write-path loss/dup/misroute — a row in the wrong
+    * partition directory changes the pruned counts — goes red. The
+    * partition column round-trips as a directory name (string), hence the
+    * explicit cast back. */
+  def indexLayout(spark: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_p7_index_layout").toString
+    graft.sources.IndexStore.writePartitioned(
+      Tables.documents(spark, dir).select(
+        col("doc_id"), col("source"), col("n_chars"), col("lang")),
+      out, "lang")
+    spark.read.parquet(out)
+      .filter(col("lang").isin("en", "de"))
+      .groupBy(col("lang").cast("string").as("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("sum_chars"),
+        countDistinct("source").cast("long").as("n_sources"))
+      .orderBy("lang")
+  }
 
   /** Q8 neighbor padding over the chunk table: literal hits expanded ±1,
     * dedup'd against the hits, padding scored 0.0, reference ordering. */
@@ -342,6 +392,34 @@ object PipelineQueries {
       .orderBy("video_id", "ts")
   }
 
+  /** The GROWING-timeline arm of m8 (the gr1→gr2 pattern): EVERY document
+    * row becomes a video — the timeline scales with the corpus where m8's
+    * fixture pins a fixed 120-video budget — so the x64 probe measures the
+    * windowed-exchange growth law itself, not constant-work stability.
+    * Identical synthesis and operator; the gate row is a per-video rollup
+    * (frames, cuts, hamming mass) so the registered output stays one row
+    * per video. Plan: the same map-only decode + one (video,ts) window,
+    * plus one map-side-combined rollup on the already-exchanged key. */
+  def sceneCutsDense(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.Tables.scaled(
+      Tables.documents(spark, dir).select(col("doc_id"))).as[Long]
+    val frames = docs.flatMap { id =>
+      val n = (id % 6 + 3).toInt
+      var scene = 0L
+      (0 to n).map { f =>
+        if (f >= 1 && (id + f) % 3 == 0) scene += 1
+        (id, f * 2L, staircaseFromHash(md5Hash60(s"v:$id:$scene")))
+      }
+    }.toDF("video_id", "ts", "bytes")
+    Multimodal.sceneCuts(frames, "video_id", "ts", "bytes", maxHamming = 10)
+      .groupBy("video_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("is_cut"), 1L).otherwise(0L)).as("n_cuts"),
+        sum(coalesce(col("hamming"), lit(0L))).as("hamming_sum"))
+      .orderBy("video_id")
+  }
+
   /** The m5 fixture: a 9x8 staircase PNG whose dHash is
     * `base(id % 5) XOR (id % 7 == 0 ? 1 << (id % 60) : 0)` — see
     * [[imageNearDups]]'s scaladoc for the construction contract. */
@@ -576,6 +654,30 @@ object PipelineQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    // C4 replay: same salt chars appended (chr() keeps the JSON transport
+    // clean), same RE2/Java char class, then length + md5 of the cleaned
+    // text — a class-boundary drift (e.g. \x9f excluded) flips both.
+    "p6_clean_control" ->
+      """WITH dirty AS (SELECT doc_id,
+        |  text || chr(1) || chr(9) || chr(127) || chr(128) || chr(159)
+        |       || chr(11) || 'X' AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id, t,
+        |  regexp_replace(t, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f\x80-\x9f]', '', 'g') AS clean
+        |  FROM dirty)
+        |SELECT doc_id, length(t)::BIGINT AS len_raw,
+        |  length(clean)::BIGINT AS len_clean, md5(clean) AS clean_md5
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // S12 layout gate: the same scoped aggregate computed from the SOURCE
+    // table — the Spark side answers it through the freshly written
+    // partitioned layout with a partition-pruned scan, so write-path
+    // loss/dup/misroute diverges here.
+    "p7_index_layout" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs,
+        |  sum(n_chars)::BIGINT AS sum_chars,
+        |  count(DISTINCT source)::BIGINT AS n_sources
+        |FROM documents WHERE lang IN ('en', 'de')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q8_padding" ->
       """WITH ch AS (
         |  SELECT doc_id, (s - 1) // 100 AS chunk_number
@@ -760,6 +862,27 @@ object PipelineQueries {
         |  CASE WHEN prev IS NOT NULL THEN bit_count(xor(dh, prev))::BIGINT END AS hamming,
         |  coalesce(bit_count(xor(dh, prev)) > 10, false) AS is_cut
         |FROM l ORDER BY video_id, ts""".stripMargin,
+    // the growing-timeline arm: the same replay over EVERY doc, rolled up
+    // per video (every synthesized video has >= 4 frames, so prev always
+    // exists past the first row and the hamming mass is well-defined)
+    "m9_scene_cuts_dense" ->
+      """WITH f AS (SELECT doc_id, s AS f FROM documents, generate_series(0, 8) t(s)
+        |      WHERE s <= doc_id % 6 + 3),
+        |sc AS (SELECT doc_id, f,
+        |    sum(CASE WHEN f >= 1 AND (doc_id + f) % 3 = 0 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY f) AS scene
+        |  FROM f),
+        |h AS (SELECT doc_id, (f * 2)::BIGINT AS ts,
+        |    ('0x' || substr(md5('v:' || doc_id || ':' || scene), 1, 15))::BIGINT AS dh
+        |  FROM sc),
+        |l AS (SELECT doc_id, ts, dh,
+        |    lag(dh) OVER (PARTITION BY doc_id ORDER BY ts) AS prev FROM h)
+        |SELECT doc_id AS video_id, count(*)::BIGINT AS n_frames,
+        |  sum(CASE WHEN coalesce(bit_count(xor(dh, prev)) > 10, false)
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_cuts,
+        |  coalesce(sum(CASE WHEN prev IS NOT NULL
+        |      THEN bit_count(xor(dh, prev)) END), 0)::BIGINT AS hamming_sum
+        |FROM l GROUP BY doc_id ORDER BY video_id""".stripMargin,
     "m6_audio_activity" ->
       """WITH d AS (SELECT doc_id FROM documents
         |           WHERE doc_id < 200 AND doc_id % 11 <> 0),

@@ -334,4 +334,32 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"scene cuts need no join:\n$p")
     assert(p.contains("Window"), s"lag lost the window shape:\n$p")
   }
+
+  test("m9_scene_cuts_dense: the growing arm keeps m8's join-free windowed shape") {
+    val p = executedPlan("m9_scene_cuts_dense")
+    assert(!p.contains("Join"), s"dense scene cuts need no join:\n$p")
+    assert(p.contains("Window"), s"lag lost the window shape:\n$p")
+    assert(p.contains("HashAggregate"), s"rollup lost partial aggregation:\n$p")
+  }
+
+  test("t46_context_windows: doc-level window + map-only explode into one agg, join-free") {
+    val p = executedPlan("t46_context_windows")
+    assert(!p.contains("Join"), s"block construction needs no join:\n$p")
+    assert(p.contains("Window"), s"per-shard offsets lost the window shape:\n$p")
+    assert(p.contains("Generate"), s"token explode vanished:\n$p")
+  }
+
+  test("s5_dispatcher_rerank: composed serving plan keeps heap top-k, no nested loops") {
+    val p = executedPlan("s5_dispatcher_rerank")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"oversample/rerank truncation lost the heap shape:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"dispatcher composition degraded to a nested loop:\n$p")
+  }
+
+  test("p7_index_layout: the post-write scan is partition-pruned on the scope column") {
+    val p = executedPlan("p7_index_layout")
+    assert(p.contains("PartitionFilters: [") && p.contains("lang"),
+      s"read of the partitioned layout lost its partition filter:\n$p")
+  }
 }
