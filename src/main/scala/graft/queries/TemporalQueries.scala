@@ -29,8 +29,26 @@ object TemporalQueries {
     "e11_winsorize" -> ((s, d) => winsorizeQ(s, d)),
     "e12_history_features" -> ((s, d) => historyFeaturesQ(s, d)),
     "e13_ewma" -> ((s, d) => ewmaQ(s, d)),
-    "e8_ohlc" -> ((s, d) => ohlc(s, d))
+    "e8_ohlc" -> ((s, d) => ohlc(s, d)),
+    "e14_resample_interp" -> ((s, d) => resampleInterpQ(s, d))
   )
+
+  /** Hourly linear-interpolation resample of the purchase stream (e7's
+    * FILL(LINEAR) sibling): exact-hit ticks take their event value,
+    * bracketed ticks take the line between neighbors — the double
+    * arithmetic shares its op order with the oracle so raw values hash
+    * identically — and leading ticks before the first event stay null. */
+  def resampleInterpQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max("value").as("value"))
+    AsOfJoin.resampleInterp(ev, "user_id", "ts", "value", stepSec = 3600L)
+      .select(col("user_id"), unix_micros(col("ts")).as("tick_us"),
+        unix_micros(col("prev_ts")).as("prev_us"),
+        unix_micros(col("next_ts")).as("next_us"),
+        col("value"))
+      .orderBy("user_id", "tick_us")
+  }
 
   /** Hourly OHLC bars per user over the purchase stream (same pre-agg
     * determinism contract as e7; open/close ride min_by/max_by on the
@@ -359,6 +377,33 @@ object TemporalQueries {
         |      FROM g ASOF LEFT JOIN p ON g.user_id = p.user_id AND g.ts >= p.ts)
         |SELECT user_id, epoch_us(gts) AS tick_us, epoch_us(ats) AS asof_us,
         |  round(value, 2) AS value
+        |FROM j ORDER BY user_id, tick_us""".stripMargin,
+    // linear-interp replay: the same grid, bracketing via TWO ASOF joins
+    // (backward >=, forward strict <), and the interpolation in the
+    // IDENTICAL double op order — (Δt::DOUBLE / span::DOUBLE) scaled onto
+    // (v1−v0) then added to v0 — so raw values hash equal bit-for-bit
+    "e14_resample_interp" ->
+      """WITH p AS (SELECT user_id, ts, max(value) AS value FROM events
+        |           WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |b AS (SELECT user_id, min(epoch_us(ts) // 3600000000) AS t0,
+        |             max(epoch_us(ts) // 3600000000) AS t1
+        |      FROM p GROUP BY user_id),
+        |g AS (SELECT user_id,
+        |        make_timestamp(unnest(range(t0, t1 + 1)) * 3600000000) AS ts
+        |      FROM b),
+        |bk AS (SELECT g.user_id, g.ts AS gts, p.ts AS pts, p.value AS pv
+        |       FROM g ASOF LEFT JOIN p ON g.user_id = p.user_id AND g.ts >= p.ts),
+        |fw AS (SELECT g.user_id, g.ts AS gts, p.ts AS nts, p.value AS nv
+        |       FROM g ASOF LEFT JOIN p ON g.user_id = p.user_id AND g.ts < p.ts),
+        |j AS (SELECT bk.user_id, bk.gts, pts, pv, nts, nv
+        |      FROM bk JOIN fw ON bk.user_id = fw.user_id AND bk.gts = fw.gts)
+        |SELECT user_id, epoch_us(gts) AS tick_us, epoch_us(pts) AS prev_us,
+        |  epoch_us(nts) AS next_us,
+        |  CASE WHEN pts = gts THEN pv
+        |       WHEN pts IS NOT NULL AND nts IS NOT NULL THEN
+        |         pv + (nv - pv) * ((epoch_us(gts) - epoch_us(pts))::DOUBLE
+        |                           / (epoch_us(nts) - epoch_us(pts))::DOUBLE)
+        |  END AS value
         |FROM j ORDER BY user_id, tick_us""".stripMargin,
     // bar replay: bucket = epoch-µs // step, open/close via arg_min/arg_max
     // on the pre-aggregated (unique-ts) stream — the e7 determinism

@@ -64,6 +64,39 @@ class AsOfJoinSpec extends AnyFunSuite {
       ("b", h.toDouble, Some(7.0)))) // an event ON the tick is included
   }
 
+  test("resampleInterp: exact hit takes its value, bracketed ticks take the line, edges stay null") {
+    val h = 3600L
+    // key a: events at 00:30 (v=10) and 03:30 (v=40) — ticks 01:00 and
+    // 02:00 sit 1/6 and 3/6 of the way along the 3 h span
+    val ev = Seq(("a", 30 * 60L, 10.0), ("a", 3 * h + 30 * 60L, 40.0),
+      ("b", h, 7.0)) // exactly on a tick, no later event
+      .toDF("k", "sec", "v")
+      .select(col("k"), timestamp_seconds(col("sec")).as("ts"), col("v"))
+    val got = AsOfJoin.resampleInterp(ev, "k", "ts", "v", stepSec = h)
+      .select(col("k"), unix_micros(col("ts")) / 1000000L, col("v"))
+      .as[(String, Double, Option[Double])].collect().toSet
+    assert(got == Set(
+      ("a", 0.0, None),                        // before the first event
+      ("a", h.toDouble, Some(10.0 + 30.0 * (1800.0 / 10800.0))), // 15.0
+      ("a", 2.0 * h, Some(10.0 + 30.0 * (5400.0 / 10800.0))),    // 25.0
+      ("a", 3.0 * h, Some(10.0 + 30.0 * (9000.0 / 10800.0))),    // 35.0
+      ("b", h.toDouble, Some(7.0))), // exact hit needs no next neighbor
+      s"got $got")
+  }
+
+  test("resampleInterp: shares the maxTicks guard") {
+    val ev = Seq(("bad", 0L, 2.0), ("bad", 500L * 3600L, 3.0))
+      .toDF("k", "sec", "v")
+      .select(col("k"), timestamp_seconds(col("sec")).as("ts"), col("v"))
+    val e = intercept[Exception] {
+      AsOfJoin.resampleInterp(ev, "k", "ts", "v", stepSec = 3600L,
+        maxTicks = 100L).collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("maxTicks") && msg.contains("resampleInterp"))
+  }
+
   test("resampleLocf: a key spanning more than maxTicks fails loudly, naming the key") {
     // the garbage-value hazard the cap exists for: one epoch-0 timestamp
     // on an otherwise-2026 key would explode a ~490k-row hourly grid

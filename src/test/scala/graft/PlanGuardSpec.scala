@@ -342,6 +342,12 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), s"rollup lost partial aggregation:\n$p")
   }
 
+  test("e14_resample_interp: both bracketing directions ride ONE window sort, no join") {
+    val p = executedPlan("e14_resample_interp")
+    assert(!p.contains("Join"), s"interp must not join backward+forward passes:\n$p")
+    assert(p.contains("Window"), s"bracketing lost the window shape:\n$p")
+  }
+
   test("t46_context_windows: doc-level window + map-only explode into one agg, join-free") {
     val p = executedPlan("t46_context_windows")
     assert(!p.contains("Join"), s"block construction needs no join:\n$p")
