@@ -60,7 +60,8 @@ object Bench {
     "v18_jl_project", "n9_proximity", "m8_scene_cuts",
     "s5_dispatcher_rerank", "v19_ivf_recall", "p7_index_layout",
     "l15_total_count", "p6_clean_control", "m9_scene_cuts_dense",
-    "t46_context_windows", "e14_resample_interp")
+    "t46_context_windows", "e14_resample_interp",
+    "s6_dispatcher_colpali_rerank", "c4_cdc_chunks")
 
   /** Index-backed queries: build once, time the probe. */
   private val preparedFactories: Map[String,

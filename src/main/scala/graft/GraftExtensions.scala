@@ -95,6 +95,14 @@ object GraftExtensions {
       (args: Seq[Expression]) => { arity("hilbert_index", args, 3)
         graft.functions.LayoutExpressions.HilbertIndex(args(0), args(1),
           litInt(args(2), "hilbert_index", "bits")) }),
+    (FunctionIdentifier("cdc_chunks"),
+      info("cdc_chunks",
+        "cdc_chunks(text, k, divisor, max_len) - content-defined chunking: rolling-hash boundary spans as array<string>"),
+      (args: Seq[Expression]) => { arity("cdc_chunks", args, 4)
+        graft.functions.CdcExpressions.CdcChunks(args(0),
+          litInt(args(1), "cdc_chunks", "k"),
+          litInt(args(2), "cdc_chunks", "divisor").toLong,
+          litInt(args(3), "cdc_chunks", "max_len")) }),
     (FunctionIdentifier("jl_project"),
       info("jl_project",
         "jl_project(array<float>, out_dims, in_dims) - fixed-point +/-1 Johnson-Lindenstrauss projection as array<bigint>; in_dims pins the single input dimensionality (ragged inputs fail loudly)"),

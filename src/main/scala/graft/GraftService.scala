@@ -73,7 +73,8 @@ object GraftService {
       qVec, fetchK, where = compileScope(req, chunks), minScore = req.minScore)
     val ranked =
       if (req.useReranking)
-        Serving.rerank(hits, chunks.docIdCol, chunks.contentCol, req.queryText, req.k)
+        Serving.rerank(hits, chunks.docIdCol, chunks.contentCol, req.queryText, req.k,
+          tiebreak = Seq(chunks.chunkNoCol))
           .withColumn("score", col("rerank_score"))
       else hits
     if (req.padding > 0)
@@ -107,7 +108,8 @@ object GraftService {
       .limit(fetchK)
     val ranked =
       if (req.useReranking)
-        Serving.rerank(hits, chunks.docIdCol, chunks.contentCol, req.queryText, req.k)
+        Serving.rerank(hits, chunks.docIdCol, chunks.contentCol, req.queryText, req.k,
+          tiebreak = Seq(chunks.chunkNoCol))
           .withColumn("score", col("rerank_score"))
       else hits
     // ColPali padding is image-only (`_apply_padding_to_chunks`,

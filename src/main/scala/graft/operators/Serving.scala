@@ -24,12 +24,19 @@ object Serving {
       array(qToks.map(lit(_)): _*))).cast("double") / qToks.length
   }
 
-  /** Rerank: attach score, keep top k by (score desc, id asc). */
+  /** Rerank: attach score, keep top k by (score desc, id asc, tiebreak…).
+    * The reference's reranker sort is STABLE on the already-score-ordered
+    * candidate list, so ties resolve deterministically there; engine-side
+    * the caller supplies whatever extra columns (e.g. chunk number)
+    * complete a total order when `idCol` alone doesn't — a tied cut at
+    * rank k must never be partitioning-dependent. */
   def rerank(candidates: DataFrame, idCol: String, passageCol: String,
-             queryText: String, k: Int): DataFrame =
+             queryText: String, k: Int,
+             tiebreak: Seq[String] = Nil): DataFrame =
     candidates
       .withColumn("rerank_score", tokenOverlapScore(queryText, col(passageCol)))
-      .orderBy(col("rerank_score").desc, col(idCol).asc)
+      .orderBy(col("rerank_score").desc +: col(idCol).asc +:
+        tiebreak.map(col(_).asc): _*)
       .limit(k)
 
   /** Q10 batch get by composite id: join against a literal key set with

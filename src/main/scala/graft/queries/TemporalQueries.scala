@@ -30,8 +30,25 @@ object TemporalQueries {
     "e12_history_features" -> ((s, d) => historyFeaturesQ(s, d)),
     "e13_ewma" -> ((s, d) => ewmaQ(s, d)),
     "e8_ohlc" -> ((s, d) => ohlc(s, d)),
-    "e14_resample_interp" -> ((s, d) => resampleInterpQ(s, d))
+    "e14_resample_interp" -> ((s, d) => resampleInterpQ(s, d)),
+    "c4_cdc_chunks" -> ((s, d) => cdcChunksQ(s, d))
   )
+
+  /** Content-defined chunking over the corpus (k=5, divisor 64 → ~64-char
+    * expected chunks, maxLen 192 backstop): the dedup-friendly chunk
+    * layout whose boundaries survive edits that shift every c1
+    * fixed-width chunk. One narrow kernel map + posexplode; the md5 gate
+    * pins every chunk's exact byte span. */
+  def cdcChunksQ(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(graft.functions.CdcExpressions.cdc_chunks(
+          col("text"), k = 5, divisor = 64L, maxLen = 192))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        length(col("chunk")).cast("long").as("n_chars"),
+        md5(col("chunk")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
 
   /** Hourly linear-interpolation resample of the purchase stream (e7's
     * FILL(LINEAR) sibling): exact-hit ticks take their event value,
@@ -417,6 +434,38 @@ object TemporalQueries {
         |  round(min(value), 2) AS low, round(arg_max(value, ts), 2) AS close,
         |  count(*)::BIGINT AS n
         |FROM b GROUP BY user_id, tick ORDER BY user_id, bar_us""".stripMargin,
+    // CDC replay: per-char codepoints, the k=5 winnow-constant polynomial
+    // hash unrolled (term-wise coefficients stay inside BIGINT for any
+    // codepoint — the reason the kernel caps k at 5), content cuts where
+    // h % 64 = 0, closed-form maxLen=192 fill per boundary-free run, then
+    // chunk spans via lead() and codepoint slicing
+    "c4_cdc_chunks" ->
+      """WITH c AS (SELECT doc_id, text, len(text)::BIGINT AS n,
+        |    list_transform(range(1, len(text)+1), i -> unicode(text[i:i])::BIGINT) AS cs
+        |  FROM documents),
+        |h AS (SELECT doc_id, text, n,
+        |    CASE WHEN n >= 5 THEN list_filter(
+        |      list_transform(range(n - 4), i ->
+        |        CASE WHEN (cs[i+1]*294499921 + cs[i+2]*2248091 + cs[i+3]*17161
+        |                   + cs[i+4]*131 + cs[i+5]) % 2147483647 % 64 = 0
+        |             AND i + 5 < n THEN i + 5 END),
+        |      x -> x IS NOT NULL)
+        |    ELSE []::BIGINT[] END AS cuts
+        |  FROM c),
+        |b AS (SELECT doc_id, text, n,
+        |    list_prepend(0::BIGINT, list_append(cuts, n)) AS bs
+        |  FROM h),
+        |pairs AS (SELECT doc_id, text, n, bs[i+1] AS p, bs[i+2] AS q
+        |          FROM b, unnest(range(len(bs)-1)) u(i)),
+        |st AS (SELECT doc_id, text, n, p + 192*t AS s
+        |       FROM pairs, unnest(range((q - p - 1) // 192 + 1)) v(t)),
+        |ord AS (SELECT doc_id, text, s,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS chunk_idx,
+        |         lead(s, 1, n) OVER (PARTITION BY doc_id ORDER BY s) AS e
+        |       FROM st)
+        |SELECT doc_id, chunk_idx::BIGINT AS chunk_idx, (e - s)::BIGINT AS n_chars,
+        |  md5(text[(s+1)::INT:e::INT]) AS chunk_md5
+        |FROM ord ORDER BY doc_id, chunk_idx""".stripMargin,
     "c1_chunks_fixed" ->
       """SELECT doc_id, (s - 1) // 100 AS chunk_number, substr(text, s::INT, 120) AS chunk
         |FROM documents, generate_series(1, 100000, 100) AS t(s)

@@ -44,8 +44,36 @@ object VectorQueries {
     "s1_search_docs" -> ((s, d) => searchDocs(s, d)),
     "s2_colpali_padding" -> ((s, d) => colpaliPadding(s, d)),
     "s3_colpali_groups" -> ((s, d) => colpaliGroups(s, d)),
-    "s5_dispatcher_rerank" -> ((s, d) => dispatcherRerank(s, d))
+    "s5_dispatcher_rerank" -> ((s, d) => dispatcherRerank(s, d)),
+    "s6_dispatcher_colpali_rerank" -> ((s, d) => dispatcherColpaliRerank(s, d))
   )
+
+  /** Q7 config 4 — the last of the dispatcher's four reference configs
+    * ({rerank?}×{colpali?}, `document_service.py:213-229`) to get its own
+    * CORRECTNESS row: ColPali MaxSim scoring AND reranking in ONE
+    * [[graft.GraftService.retrieveChunksMultivector]] plan — MaxSim
+    * top-fetchK (oversample 18) → deterministic token-overlap rerank →
+    * truncate to k=6. The query "text chunk" inverts the ranking: data-URI
+    * image chunks (single token, overlap 0) dominate phase 1's MaxSim
+    * order but text chunks (overlap 1.0) win the rerank — so the row
+    * catches a dispatcher that skips or misorders either stage. Rank ties
+    * at the cut resolve on (doc, chunk), the total order
+    * [[graft.operators.Serving.rerank]]'s tiebreak argument exists for. */
+  def dispatcherColpaliRerank(spark: SparkSession, dir: String): DataFrame = {
+    val qvecs = Tables.embeddings(spark, dir)
+      .filter(col("vec_id").isin(0L, 1L)).orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toSeq).toSeq
+    val req = graft.GraftService.RetrieveRequest(
+      "text chunk", k = 6, useReranking = true)
+    graft.GraftService.retrieveChunksMultivector(
+      req, graft.GraftService.ChunkTable(colpaliChunkTable(spark, dir)), "mv",
+      graft.operators.FixedMultiVectorEmbedder(qvecs))
+      .select(col("document_id"),
+        col("chunk_number").cast("long").as("chunk_number"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("document_id"), col("chunk_number"))
+  }
 
   /** Q7 driven END-TO-END through the serving dispatcher on its rerank
     * config (`document_service.py:213-217,378-475` config 3: oversample
@@ -896,7 +924,44 @@ object VectorQueries {
         |FROM (SELECT document_id, rscore,
         |        row_number() OVER (ORDER BY rscore DESC, document_id) AS rn
         |      FROM rr)
-        |WHERE rn <= 5 ORDER BY score DESC, document_id""".stripMargin
+        |WHERE rn <= 5 ORDER BY score DESC, document_id""".stripMargin,
+    // Config 4 replay: MaxSim top-18 over the synthesized colpali chunk
+    // table (scores fold in the MaxSimFloat op order), then the
+    // token-overlap rerank over the synthesized content — text chunks
+    // overlap 1.0 and leapfrog every image data-URI (overlap 0), the cut
+    // at 6 resolving ties on (doc, chunk).
+    "s6_dispatcher_colpali_rerank" ->
+      """WITH ch AS (
+        |  SELECT label::BIGINT AS document_id,
+        |    (row_number() OVER (PARTITION BY label ORDER BY vec_id) - 1)::BIGINT
+        |      AS chunk_number,
+        |    vec_id, embedding::DOUBLE[] AS e,
+        |    CASE WHEN vec_id % 3 <> 2 THEN 'data:image/png;base64,x' || vec_id
+        |         ELSE 'text chunk ' || vec_id END AS content
+        |  FROM embeddings),
+        |q AS (SELECT list(embedding::DOUBLE[] ORDER BY vec_id) AS qv
+        |      FROM embeddings WHERE vec_id IN (0, 1)),
+        |scored AS (
+        |  SELECT document_id, chunk_number, content,
+        |    list_sum(list_transform(q.qv, v -> list_dot_product(v, e))) AS score
+        |  FROM ch, q),
+        |hits AS (SELECT * FROM scored
+        |         ORDER BY score DESC, document_id, chunk_number LIMIT 18),
+        |tok AS (SELECT document_id, chunk_number,
+        |         list_distinct(list_filter(string_split(
+        |           trim(regexp_replace(lower(content), '\s+', ' ', 'g')), ' '),
+        |           t -> len(t) > 0)) AS tk
+        |       FROM hits),
+        |rr AS (SELECT document_id, chunk_number,
+        |        len(list_filter(tk, t -> t IN ('text', 'chunk'))) / 2.0 AS rscore
+        |       FROM tok),
+        |sel AS (SELECT document_id, chunk_number, rscore,
+        |         row_number() OVER (ORDER BY rscore DESC, document_id,
+        |           chunk_number) AS rn
+        |       FROM rr)
+        |SELECT document_id, chunk_number, round(rscore, 6) AS score
+        |FROM sel WHERE rn <= 6
+        |ORDER BY score DESC, document_id, chunk_number""".stripMargin
   )
 
   /** Shared s2/s3 oracle prefix: chunk-table synthesis, MaxSim scoring

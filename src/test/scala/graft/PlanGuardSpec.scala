@@ -363,6 +363,19 @@ class PlanGuardSpec extends AnyFunSuite {
       s"dispatcher composition degraded to a nested loop:\n$p")
   }
 
+  test("c4_cdc_chunks: a join-free narrow kernel map + explode") {
+    val p = executedPlan("c4_cdc_chunks")
+    assert(!p.contains("Join"), s"CDC chunking needs no join:\n$p")
+    assert(p.contains("cdc_chunks"), s"kernel expression folded away:\n$p")
+  }
+
+  test("s6_dispatcher_colpali_rerank: multivector scoring stays in the scan projection, no nested loops") {
+    val p = executedPlan("s6_dispatcher_colpali_rerank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"colpali+rerank composition degraded to a nested loop:\n$p")
+    assert(p.contains("max_sim_float"), s"MaxSim folded away:\n$p")
+  }
+
   test("p7_index_layout: the post-write scan is partition-pruned on the scope column") {
     val p = executedPlan("p7_index_layout")
     assert(p.contains("PartitionFilters: [") && p.contains("lang"),
