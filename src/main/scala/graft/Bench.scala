@@ -61,7 +61,8 @@ object Bench {
     "s5_dispatcher_rerank", "v19_ivf_recall", "p7_index_layout",
     "l15_total_count", "p6_clean_control", "m9_scene_cuts_dense",
     "t46_context_windows", "e14_resample_interp",
-    "s6_dispatcher_colpali_rerank", "c4_cdc_chunks")
+    "s6_dispatcher_colpali_rerank", "c4_cdc_chunks", "v20_matryoshka",
+    "v21_binary_rescore")
 
   /** Index-backed queries: build once, time the probe. */
   private val preparedFactories: Map[String,

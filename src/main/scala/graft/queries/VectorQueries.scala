@@ -39,6 +39,8 @@ object VectorQueries {
     "v17_ivfpq_residual" -> ((s, d) => ivfPqResidual(s, d)),
     "v18_jl_project" -> ((s, d) => jlProject(s, d)),
     "v19_ivf_recall" -> ((s, d) => ivfRecall(s, d)),
+    "v20_matryoshka" -> ((s, d) => matryoshka(s, d)),
+    "v21_binary_rescore" -> ((s, d) => binaryRescore(s, d)),
     "tr1_hard_negatives" -> ((s, d) => hardNegativesQ(s, d)),
     "tr2_semihard" -> ((s, d) => semiHardQ(s, d)),
     "s1_search_docs" -> ((s, d) => searchDocs(s, d)),
@@ -482,6 +484,44 @@ object VectorQueries {
     } finally { cached.unpersist(); () }
   }
 
+  /** Matryoshka/adaptive retrieval (MRL, Kusupati et al. 2022 — the
+    * modern two-phase ANN rung engines ship alongside PQ/SQ8): phase 1
+    * ranks on the FIRST 16 of 64 dims (an MRL-trained embedding front-
+    * loads information, so the prefix is a usable coarse score at 1/4 the
+    * memory traffic), keeps a 5k oversample; phase 2 reranks the
+    * survivors with the full-dimension cosine. BOTH phases are plain SQL
+    * over array slices, so the oracle replays the whole pipeline exactly
+    * — no bridge needed, and a truncation-offset error (the classic
+    * 1-vs-0-based slice bug) flips the candidate set. Same plan shape as
+    * v13's tail: narrow scored scan → top-k heap → rerank heap. */
+  def matryoshka(spark: SparkSession, dir: String): DataFrame = {
+    val q = queryVec(spark, dir)
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("__prefix", slice(col("embedding"), 1, 16))
+    val cand = KnnSearch.topK(e, "__prefix", "vec_id", q.take(16), 50,
+      where = col("vec_id") =!= 0)
+    KnnSearch.topK(cand.drop("score"), "embedding", "vec_id", q, 10)
+      .select(col("vec_id"), round(col("score"), 6).as("score"))
+  }
+
+  /** The binary-quantization TWO-PHASE flow (E5∘E6∘Q1 composed — the
+    * 32×-compressed serving path binary codes exist for, pgvector's
+    * `binary_quantize` + exact-rerank recipe): phase 1 ranks by Hamming
+    * distance over the packed sign bits (codegen'd XOR popcount on 8
+    * bytes/vector), keeps a 5k oversample; phase 2 reranks survivors
+    * with full float cosine. Both phases replay in SQL (the v4 unpacked
+    * bit-compare fragment + the v1 cosine), so the oracle value-checks
+    * quantize ∘ pack ∘ Hamming ranking ∘ rerank as one pipeline. */
+  def binaryRescore(spark: SparkSession, dir: String): DataFrame = {
+    val q = queryVec(spark, dir)
+    val cand = Tables.embeddings(spark, dir).filter(col("vec_id") =!= 0)
+      .withColumn("__ham", vec.hamming(vec.binary_quantize(col("embedding")),
+        vec.binary_quantize(lit(q))))
+      .orderBy(col("__ham").asc, col("vec_id").asc).limit(50)
+    KnnSearch.topK(cand, "embedding", "vec_id", q, 10)
+      .select(col("vec_id"), round(col("score"), 6).as("score"))
+  }
+
   /** IVF with nprobe == lists scans every cluster, so the result must equal
     * exact brute-force KNN — an oracle-backed end-to-end check of the whole
     * IVF path (k-means build, cluster assignment, probe selection, pruned
@@ -729,6 +769,31 @@ object VectorQueries {
         |ORDER BY vec_id, j""".stripMargin,
     // full-probe IVF must reproduce the exact result
     "v8_ivf_exact" -> exactTop10,
+    // binary two-phase replay: Hamming over sign bits (the v4 unpacked
+    // compare) top-50, full cosine rerank top-10
+    "v21_binary_rescore" ->
+      s"""WITH q AS (SELECT embedding AS qe, embedding::DOUBLE[] AS qv
+        |          FROM embeddings WHERE vec_id = 0),
+        |c AS (SELECT vec_id, embedding AS e, embedding::DOUBLE[] AS v
+        |      FROM embeddings WHERE vec_id <> 0),
+        |p1 AS (SELECT vec_id, v FROM c, q
+        |       ORDER BY len(list_filter(range(len(e)), i ->
+        |         (e[i+1] > 0) <> (qe[i+1] > 0))) ASC, vec_id
+        |       LIMIT 50)
+        |SELECT vec_id, round(list_cosine_similarity(v, qv), 6) AS score
+        |FROM p1, q
+        |ORDER BY list_cosine_similarity(v, qv) DESC, vec_id LIMIT 10""".stripMargin,
+    // MRL two-phase replay: prefix-16 cosine top-50, full-dim rerank
+    // top-10 — both phases exact SQL over array slices
+    "v20_matryoshka" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0),
+        |p1 AS (SELECT vec_id, v FROM c, q
+        |       ORDER BY list_cosine_similarity(v[1:16], qv[1:16]) DESC, vec_id
+        |       LIMIT 50)
+        |SELECT vec_id, round(list_cosine_similarity(v, qv), 6) AS score
+        |FROM p1, q
+        |ORDER BY list_cosine_similarity(v, qv) DESC, vec_id LIMIT 10""".stripMargin,
     // The nprobe recall curve is a FIXTURE CONSTANT (seeded k-means +
     // integer probe selection, design rule 13), re-derived by the engine
     // on every gate run and pinned here: nprobe=16 MUST be 10/1.0 (full
