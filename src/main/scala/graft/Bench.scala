@@ -62,7 +62,7 @@ object Bench {
     "l15_total_count", "p6_clean_control", "m9_scene_cuts_dense",
     "t46_context_windows", "e14_resample_interp",
     "s6_dispatcher_colpali_rerank", "c4_cdc_chunks", "v20_matryoshka",
-    "v21_binary_rescore")
+    "v21_binary_rescore", "tr3_triplets", "u6_changelog_apply")
 
   /** Index-backed queries: build once, time the probe. */
   private val preparedFactories: Map[String,

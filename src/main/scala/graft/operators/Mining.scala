@@ -81,4 +81,41 @@ object Mining {
         col("hit.id").as("neg_id"), col("hit.score").as("score"),
         col("pos_score"))
   }
+
+  /** Contrastive training TRIPLETS (anchor, hardest positive, top-k hard
+    * negatives) — the tuple a DPR/SimCSE/InfoNCE trainer actually
+    * consumes, assembled from the two mining arms: the positive anchors
+    * the similarity target, the [[hardNegatives]] rows make the batch
+    * informative. ONE broadcast-join corpus scan serves both sides (the
+    * per-anchor positive is the k=1 bounded heap over same-label,
+    * self-excluded — deterministic (score desc, id asc) ties like every
+    * top-k here); anchors with no positive drop (no triplet exists, the
+    * [[semiHardNegatives]] contract). Output: anchor_id, pos_id,
+    * pos_score, rank, neg_id, neg_score. */
+  def triplets(corpus: DataFrame, idCol: String, vecCol: String,
+               labelCol: String, queries: DataFrame, queryIdCol: String,
+               queryVecCol: String, queryLabelCol: String,
+               k: Int): DataFrame = {
+    require(k >= 1, s"triplets needs k>=1 (got $k)")
+    val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      col(queryVecCol).as("__qvec"), col(queryLabelCol).as("__qlabel")))
+    val scored = graft.Tables.scaled(corpus).join(q)
+      .withColumn("score", vec.cosine_sim(col(vecCol), col("__qvec")))
+    val pos = scored
+      .filter(col(labelCol) === col("__qlabel") &&
+        col(idCol).cast("long") =!= col("query_id").cast("long"))
+      .groupBy("query_id")
+      .agg(TopKAggregate.top_k(col("score"), col(idCol).cast("long"), 1).as("p"))
+      .select(col("query_id"), col("p")(0).getField("id").as("pos_id"),
+        col("p")(0).getField("score").as("pos_score"))
+    val negs = scored.filter(col(labelCol) =!= col("__qlabel"))
+      .groupBy("query_id")
+      .agg(TopKAggregate.top_k(col("score"), col(idCol).cast("long"), k).as("hits"))
+      .select(col("query_id"), posexplode(col("hits")).as(Seq("rank", "hit")))
+      .select(col("query_id"), (col("rank") + 1).cast("long").as("rank"),
+        col("hit.id").as("neg_id"), col("hit.score").as("neg_score"))
+    pos.join(negs, Seq("query_id"))
+      .select(col("query_id").as("anchor_id"), col("pos_id"), col("pos_score"),
+        col("rank"), col("neg_id"), col("neg_score"))
+  }
 }

@@ -20,6 +20,33 @@ object Mutations {
     base.join(updates.select(key), Seq(key), "left_anti")
       .unionByName(updates, allowMissingColumns = true)
 
+  /** Ordered change-log application — the "apply a CDC feed" merge every
+    * lakehouse replication path runs (Delta CDF / Hudi deltastreamer /
+    * Debezium→table): given a base snapshot and a changelog of
+    * (key, seq, op ∈ I/U/D, payload…), produce the snapshot AFTER the log,
+    * with per-key last-writer-wins — semantically a row-by-row fold in
+    * `seq` order, computed WITHOUT a fold: each key's final outcome
+    * depends only on its highest-seq row (D ⇒ absent; I/U ⇒ that
+    * payload), so ONE key-partitioned window over the LOG (log-sized,
+    * never snapshot-sized) picks the survivor, then the [[upsert]]-shaped
+    * anti-join + union applies it. Contract: (key, seq) unique — a feed
+    * with seq ties has no defined order (same class as [[AsOfJoin]]'s
+    * unique-(key,ts) contract); resurrection (D then I at higher seq)
+    * works by construction. Payload columns of D rows are ignored.
+    *
+    * 100 TB shape: window over the log, one equi anti-join on the base,
+    * one union — the two-branch MERGE INTO on Delta/Iceberg. */
+  def applyChangelog(base: DataFrame, log: DataFrame, key: String,
+                     seqCol: String, opCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(seqCol).desc)
+    val last = log.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val ups = last.filter(col(opCol) =!= "D").drop("__rn", seqCol, opCol)
+    base.join(last.select(key), Seq(key), "left_anti")
+      .unionByName(ups)
+  }
+
   /** SCD Type-2 dimension merge — the lakehouse slowly-changing-dimension
     * pattern the plain [[upsert]] (Type-1, overwrite) cannot express:
     * history is KEPT, every version carries a validity interval. Given the

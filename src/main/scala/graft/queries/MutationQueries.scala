@@ -17,8 +17,34 @@ object MutationQueries {
     "u2_merge_metadata" -> ((s, d) => mergeMetadata(s, d)),
     "u3_delete_cascade" -> ((s, d) => deleteCascade(s, d)),
     "u4_migrate_skip" -> ((s, d) => migrateSkip(s, d)),
-    "u5_scd2" -> ((s, d) => scd2(s, d))
+    "u5_scd2" -> ((s, d) => scd2(s, d)),
+    "u6_changelog_apply" -> ((s, d) => changelogApply(s, d))
   )
+
+  /** Ordered CDC-feed application over the documents snapshot: the log
+    * carries an Update (seq 1) for every doc_id % 5 == 0 (+1000 chars), a
+    * Delete (seq 2) for every doc_id % 7 == 0 — so keys divisible by 35
+    * see BOTH and the delete must win by seq order, the
+    * last-writer-wins fact this query exists to pin — and Inserts (seq 3)
+    * of brand-new keys. The oracle states the EXPECTED FINAL SNAPSHOT
+    * from first principles (set algebra over the modulo classes), fully
+    * independent of the window+anti-join mechanism. */
+  def changelogApply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val ups = docs.filter(col("doc_id") % 5 === 0)
+      .withColumn("n_chars", col("n_chars") + 1000L)
+      .withColumn("seq", lit(1L)).withColumn("op", lit("U"))
+    val dels = docs.filter(col("doc_id") % 7 === 0)
+      .withColumn("seq", lit(2L)).withColumn("op", lit("D"))
+    val ins = docs.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), lit("xx").as("lang"),
+        lit("srcnew").as("source"), lit(42L).as("n_chars"),
+        lit(3L).as("seq"), lit("I").as("op"))
+    val log = ups.unionByName(dels).unionByName(ins)
+    Mutations.applyChangelog(docs, log, "doc_id", "seq", "op")
+      .orderBy("doc_id")
+  }
 
   /** SCD Type-2 merge on the customer dimension: v0 = all customers valid
     * from 0, open-ended; the update snapshot changes mktsegment for
@@ -112,6 +138,19 @@ object MutationQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    // the final snapshot from first principles: %7 keys are gone (the
+    // seq-2 delete outranks the seq-1 update — LWW), surviving %5 keys
+    // carry the update, everything else passes through, inserts appear
+    "u6_changelog_apply" ->
+      """WITH keep AS (SELECT doc_id, lang, source, n_chars FROM documents
+        |             WHERE doc_id % 5 <> 0 AND doc_id % 7 <> 0),
+        |up AS (SELECT doc_id, lang, source, n_chars + 1000 AS n_chars
+        |       FROM documents WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0),
+        |ins AS (SELECT doc_id + 100000 AS doc_id, 'xx' AS lang,
+        |          'srcnew' AS source, 42::BIGINT AS n_chars
+        |        FROM documents WHERE doc_id % 50 = 0)
+        |SELECT * FROM keep UNION ALL SELECT * FROM up UNION ALL
+        |SELECT * FROM ins ORDER BY doc_id""".stripMargin,
     "u5_scd2" ->
       """WITH cust AS (SELECT c_custkey, c_name, c_mktsegment FROM customer),
         |upd AS (

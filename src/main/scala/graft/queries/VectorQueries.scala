@@ -43,6 +43,7 @@ object VectorQueries {
     "v21_binary_rescore" -> ((s, d) => binaryRescore(s, d)),
     "tr1_hard_negatives" -> ((s, d) => hardNegativesQ(s, d)),
     "tr2_semihard" -> ((s, d) => semiHardQ(s, d)),
+    "tr3_triplets" -> ((s, d) => tripletsQ(s, d)),
     "s1_search_docs" -> ((s, d) => searchDocs(s, d)),
     "s2_colpali_padding" -> ((s, d) => colpaliPadding(s, d)),
     "s3_colpali_groups" -> ((s, d) => colpaliGroups(s, d)),
@@ -260,6 +261,21 @@ object VectorQueries {
       .select(col("query_id"), col("rank"), col("neg_id"),
         round(col("score"), 6).as("score"))
       .orderBy("query_id", "rank")
+  }
+
+  /** Contrastive training triplets over the labeled embeddings: for each
+    * of the 20 anchors, the hardest same-label positive plus the 3
+    * hardest different-label negatives — the (a, p, n) tuples a
+    * DPR/SimCSE trainer consumes. See [[graft.operators.Mining.triplets]]. */
+  def tripletsQ(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    graft.operators.Mining.triplets(
+      e, "vec_id", "embedding", "label",
+      e.filter(col("vec_id") < 20), "vec_id", "embedding", "label", k = 3)
+      .select(col("anchor_id"), col("pos_id"),
+        round(col("pos_score"), 6).as("pos_score"), col("rank"),
+        col("neg_id"), round(col("neg_score"), 6).as("neg_score"))
+      .orderBy("anchor_id", "rank")
   }
 
   /** Semi-hard band mining (FaceNet): different-label vectors scoring
@@ -823,6 +839,26 @@ object VectorQueries {
         |SELECT query_id, rank::BIGINT AS rank, vec_id AS neg_id,
         |  round(sc, 6) AS score
         |FROM s WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // triplet replay: positive = same-label rank 1 (self excluded),
+    // negatives = the tr1 fragment at k=3, joined per anchor
+    "tr3_triplets" ->
+      """WITH q AS (SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS qv,
+        |           label AS ql FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        |p AS (SELECT anchor_id, vec_id AS pos_id, sc AS pos_score FROM (
+        |    SELECT q.anchor_id, c.vec_id, list_cosine_similarity(v, qv) AS sc,
+        |      row_number() OVER (PARTITION BY anchor_id
+        |        ORDER BY list_cosine_similarity(v, qv) DESC, c.vec_id) AS rn
+        |    FROM q JOIN c ON c.label = q.ql AND c.vec_id <> q.anchor_id)
+        |  WHERE rn = 1),
+        |n AS (SELECT anchor_id, rank, vec_id AS neg_id, sc AS neg_score FROM (
+        |    SELECT q.anchor_id, c.vec_id, list_cosine_similarity(v, qv) AS sc,
+        |      row_number() OVER (PARTITION BY anchor_id
+        |        ORDER BY list_cosine_similarity(v, qv) DESC, c.vec_id) AS rank
+        |    FROM q JOIN c ON c.label <> q.ql) WHERE rank <= 3)
+        |SELECT p.anchor_id, pos_id, round(pos_score, 6) AS pos_score,
+        |  rank::BIGINT AS rank, neg_id, round(neg_score, 6) AS neg_score
+        |FROM p JOIN n USING (anchor_id) ORDER BY anchor_id, rank""".stripMargin,
     "tr2_semihard" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
         |           label AS ql FROM embeddings WHERE vec_id < 20),

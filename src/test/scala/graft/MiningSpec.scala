@@ -73,4 +73,22 @@ class MiningSpec extends AnyFunSuite {
       k = 3, margin = 0.05).collect()
     assert(out.isEmpty)
   }
+
+  test("triplets: hardest positive + ranked negatives per anchor; no-positive anchors drop") {
+    val out = Mining.triplets(df, "vec_id", "embedding", "label",
+      queries, "vec_id", "embedding", "label", k = 2)
+      .as[(Long, Long, Double, Long, Long, Double)].collect().sortBy(_._4)
+    assert(out.length == 2, s"k=2 negatives for the one anchor: ${out.toSeq}")
+    assert(out.forall(r => r._1 == 0L && r._2 == 1L),
+      "positive is the hardest same-label (v1), never self")
+    assert(out.map(_._5).toSeq == Seq(3L, 4L), "negatives in hard order")
+    assert(out.forall(r => r._3 > r._6),
+      "planted geometry: positive outranks every mined negative")
+    // an anchor whose label has no other member yields no triplet
+    val lone = (data :+ ((6L, Array(0.5f, 0.5f), 2))).toDF("vec_id", "embedding", "label")
+    val got = Mining.triplets(lone, "vec_id", "embedding", "label",
+      lone.filter($"vec_id" === 6L), "vec_id", "embedding", "label", k = 2)
+      .count()
+    assert(got == 0L, "no positive exists -> no triplet")
+  }
 }
