@@ -18,8 +18,23 @@ object ClusterQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k1_kmeans_assign" -> ((s, d) => kmeansAssign(s, d)),
     "k2_semdedup" -> ((s, d) => semDedup(s, d)),
-    "k3_cluster_profile" -> ((s, d) => clusterProfile(s, d))
+    "k3_cluster_profile" -> ((s, d) => clusterProfile(s, d)),
+    "k4_cluster_sample" -> ((s, d) => clusterSample(s, d))
   )
+
+  /** Diversity-aware subset selection — the curation move SemDeDup's
+    * paper pairs with its dedup: sample a FIXED QUOTA per embedding
+    * cluster (md5-derandomized, t43's salted smallest-k machinery with
+    * the cluster id as the stratum), so the kept slice spans the
+    * embedding space instead of following the corpus's density skew.
+    * Composition of the replayable Lloyd fit and exact-quota sampling —
+    * the oracle replays BOTH (full k-means iteration ∘ md5 rank cut). */
+  def clusterSample(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.quotaSample(
+      fitted(spark, dir), "vec_id", "cluster_id", k = 5, seed = "k4")
+      .select(col("cluster_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"))
+      .orderBy("cluster_id", "rank")
 
   private def fitted(spark: SparkSession, dir: String, k: Int = K): DataFrame = {
     val e = Tables.embeddings(spark, dir)
@@ -106,6 +121,17 @@ object ClusterQueries {
       |         FROM d2) WHERE rn = 1)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // full Lloyd replay ∘ the t43 md5-rank cut at quota 5 per cluster
+    "k4_cluster_sample" ->
+      s"""$lloyd,
+         |sk AS (SELECT vec_id, cid,
+         |        ('0x' || substr(md5('k4:' || vec_id), 1, 12))::BIGINT AS skey
+         |       FROM a2),
+         |r AS (SELECT cid AS cluster_id, vec_id,
+         |        row_number() OVER (PARTITION BY cid ORDER BY skey, vec_id) AS rank
+         |      FROM sk)
+         |SELECT cluster_id, rank::BIGINT AS rank, vec_id FROM r
+         |WHERE rank <= 5 ORDER BY cluster_id, rank""".stripMargin,
     "k1_kmeans_assign" ->
       s"""$lloyd
          |SELECT vec_id, cid AS cluster_id, round(d, 6) AS dist

@@ -42,8 +42,34 @@ object CorpusQueries {
     "t43_quota_sample" -> ((s, d) => quotaSample(s, d)),
     "t44_ffd_pack" -> ((s, d) => ffdPack(s, d)),
     "t45_distinct_profile" -> ((s, d) => distinctProfileQ(s, d)),
-    "t46_context_windows" -> ((s, d) => contextWindowsQ(s, d))
+    "t46_context_windows" -> ((s, d) => contextWindowsQ(s, d)),
+    "t47_pretrain_e2e" -> ((s, d) => pretrainE2e(s, d))
   )
+
+  /** The PRETRAINING DATA BUILD composed end-to-end (the t28/t42 role for
+    * the block pipeline): exact-dedup keep-list (min-id per prefix-60
+    * fingerprint) → OOV vocabulary-coverage gate TRAINED ON THE SURVIVORS
+    * (vocab must not see dropped dups — the order of these stages is a
+    * real pipeline decision this row pins) → fixed-length context windows
+    * over what's left. Stage cut where a stage feeds two consumers (the
+    * t28 rule). Each stage is individually oracle-gated (t3/t38/t46);
+    * this gates the seams: which docs reach the tokenizer, and that every
+    * downstream block shifts if the gate's survivor set is wrong. */
+  def pretrainE2e(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val keep = graft.operators.Dedup.exactKeep(
+      docs.withColumn("key_text", substring(col("text"), 1, 60)),
+      "doc_id", "key_text")
+      .select(col("keep_id").as("doc_id"))
+    val kept = docs.join(keep, "doc_id").localCheckpoint()
+    val oov = Corpus.oovRate(kept, "doc_id", "text", vocabK = 16)
+    val good = kept.join(
+      oov.filter(col("oov_bp") <= OovMax).select(col("id").as("doc_id")),
+      "doc_id")
+    Corpus.contextWindows(good.withColumn("shard", expr("doc_id div 25")),
+      "doc_id", "shard", "text", blockTokens = 64L)
+      .orderBy("shard", "block_id")
+  }
 
   /** GPT-style fixed-length context-window construction: 25-doc shards
     * (`doc_id div 25` — shard COUNT grows with the corpus while shard
@@ -539,6 +565,41 @@ object CorpusQueries {
         |      FROM d),
         |s AS (SELECT shard, doc_id, u.t AS token, tok_start + u.i - 1 AS pos
         |      FROM o, unnest(list_transform(tk,
+        |        (x, i) -> struct_pack(t := x, i := i))) w(u))
+        |SELECT shard, pos // 64 AS block_id, count(*)::BIGINT AS n_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        |  md5(string_agg(token, ' ' ORDER BY pos)) AS tok_md5
+        |FROM s GROUP BY shard, block_id ORDER BY shard, block_id""".stripMargin,
+    // t47 replay: min-id keep per prefix-60 fingerprint → survivor-trained
+    // vocab + OOV cut → the t46 block fragment over the gated set
+    "t47_pretrain_e2e" ->
+      """WITH fp AS (SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text[1:60]), '\s+', ' ', 'g'))) AS f
+        |  FROM documents),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+        |kd AS (SELECT d.doc_id, d.text FROM documents d JOIN keep USING (doc_id)),
+        |tk AS (SELECT doc_id, list_filter(string_split(
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |    t -> len(t) > 0) AS tk FROM kd),
+        |e AS (SELECT doc_id, unnest(tk) AS token FROM tk),
+        |vc AS (SELECT token FROM (SELECT token, count(*) AS cnt FROM e
+        |    GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 16)),
+        |pd AS (SELECT e.doc_id, count(*)::BIGINT AS n_tokens,
+        |    sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
+        |  FROM e LEFT JOIN vc v ON e.token = v.token GROUP BY e.doc_id),
+        |good AS (SELECT tk.doc_id, tk.tk FROM tk LEFT JOIN pd USING (doc_id)
+        |  WHERE CASE WHEN coalesce(pd.n_tokens, 0) > 0
+        |             THEN (10000 * pd.n_oov) // pd.n_tokens ELSE 0 END <= 5000),
+        |g AS (SELECT doc_id, doc_id // 25 AS shard,
+        |        list_append(tk, '</s>') AS tk2, (len(tk) + 1)::BIGINT AS nn
+        |      FROM good),
+        |o AS (SELECT doc_id, shard, tk2,
+        |        (sum(nn) OVER (PARTITION BY shard ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT - nn
+        |          AS tok_start
+        |      FROM g),
+        |s AS (SELECT shard, doc_id, u.t AS token, tok_start + u.i - 1 AS pos
+        |      FROM o, unnest(list_transform(tk2,
         |        (x, i) -> struct_pack(t := x, i := i))) w(u))
         |SELECT shard, pos // 64 AS block_id, count(*)::BIGINT AS n_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,

@@ -348,6 +348,15 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("Window"), s"bracketing lost the window shape:\n$p")
   }
 
+  test("t47_pretrain_e2e: stage cut present, gates stay equi-shaped into the block window") {
+    val p = executedPlan("t47_pretrain_e2e")
+    assert(p.contains("Scan ExistingRDD"),
+      s"stage cut missing — dedup keep-list re-executes per consumer:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pretrain pipeline grew an all-pairs join:\n$p")
+    assert(p.contains("Window"), s"block offsets lost the window shape:\n$p")
+  }
+
   test("t46_context_windows: doc-level window + map-only explode into one agg, join-free") {
     val p = executedPlan("t46_context_windows")
     assert(!p.contains("Join"), s"block construction needs no join:\n$p")
