@@ -19,8 +19,30 @@ object ClusterQueries {
     "k1_kmeans_assign" -> ((s, d) => kmeansAssign(s, d)),
     "k2_semdedup" -> ((s, d) => semDedup(s, d)),
     "k3_cluster_profile" -> ((s, d) => clusterProfile(s, d)),
-    "k4_cluster_sample" -> ((s, d) => clusterSample(s, d))
+    "k4_cluster_sample" -> ((s, d) => clusterSample(s, d)),
+    "k5_incremental_assign" -> ((s, d) => incrementalAssign(s, d))
   )
+
+  /** Incremental index maintenance, oracle-gated (the S12 story beyond
+    * the bucketed write): the codebook is FROZEN on the old generation
+    * (vec_id < 400), the incoming generation assigns against it with the
+    * same broadcast-argmin narrow map — no refit, the nightly-index
+    * operational mode — and the output is the per-cluster drift profile
+    * (counts + mean squared distance per generation) an operator watches
+    * to decide when retraining is due: incoming mass crowding few lists
+    * or scoring systematically farther means the codebook has aged. */
+  def incrementalAssign(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val old = e.filter(col("vec_id") < 400)
+    val model = Clustering.fit(old, "embedding", "vec_id", K, Iters)
+    val aOld = Clustering.assign(old, "embedding", model)
+      .withColumn("gen", lit("old"))
+    val aNew = Clustering.assign(e.filter(col("vec_id") >= 400),
+      "embedding", model).withColumn("gen", lit("new"))
+    aOld.unionByName(aNew).groupBy("cluster_id", "gen")
+      .agg(count(lit(1)).as("n"), round(avg("dist"), 6).as("avg_dist"))
+      .orderBy("cluster_id", "gen")
+  }
 
   /** Diversity-aware subset selection — the curation move SemDeDup's
     * paper pairs with its dedup: sample a FIXED QUOTA per embedding
@@ -120,7 +142,33 @@ object ClusterQueries {
       |         SELECT vec_id, cid, d, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) rn
       |         FROM d2) WHERE rn = 1)""".stripMargin
 
+  /** The Lloyd replay refit to the OLD slice only (k5's frozen codebook):
+    * same CTE chain, corpus CTE filtered. */
+  private val lloydOld =
+    lloyd.replace("FROM embeddings),", "FROM embeddings WHERE vec_id < 400),")
+
   def oracles: Map[String, String] = Map(
+    // frozen-codebook incremental assign: old-slice Lloyd replay; the
+    // incoming slice scores against the FINAL centroids (c2) with the
+    // same argmin/tiebreak; drift profile = per (cluster, generation)
+    // count + mean squared distance
+    "k5_incremental_assign" ->
+      s"""$lloydOld,
+         |inc AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |        WHERE vec_id >= 400),
+         |di AS (SELECT inc.vec_id, c2.cid,
+         |         list_sum(list_transform(range(64), j ->
+         |           (inc.v[j+1]-c2.cv[j+1])*(inc.v[j+1]-c2.cv[j+1]))) AS d
+         |       FROM inc, c2),
+         |ai AS (SELECT vec_id, cid, d FROM (
+         |         SELECT vec_id, cid, d,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) rn
+         |         FROM di) WHERE rn = 1),
+         |u AS (SELECT cid, 'old' AS gen, d FROM a2
+         |      UNION ALL SELECT cid, 'new', d FROM ai)
+         |SELECT cid AS cluster_id, gen, count(*)::BIGINT AS n,
+         |  round(avg(d), 6) AS avg_dist
+         |FROM u GROUP BY cid, gen ORDER BY cluster_id, gen""".stripMargin,
     // full Lloyd replay ∘ the t43 md5-rank cut at quota 5 per cluster
     "k4_cluster_sample" ->
       s"""$lloyd,
