@@ -63,7 +63,8 @@ object Bench {
     "t46_context_windows", "e14_resample_interp",
     "s6_dispatcher_colpali_rerank", "c4_cdc_chunks", "v20_matryoshka",
     "v21_binary_rescore", "tr3_triplets", "u6_changelog_apply",
-    "k4_cluster_sample", "t47_pretrain_e2e", "k5_incremental_assign")
+    "k4_cluster_sample", "t47_pretrain_e2e", "k5_incremental_assign",
+    "m10_caption_frames", "t48_fuzzy_pairs")
 
   /** Index-backed queries: build once, time the probe. */
   private val preparedFactories: Map[String,

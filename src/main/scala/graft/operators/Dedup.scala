@@ -176,6 +176,38 @@ object Dedup {
     * unchanged block (same pigeonhole as SimHash blocking). Candidate
     * generation is an equi-join on (block_idx, sign-slice); exact cosine
     * runs only within blocks. */
+  /** Fuzzy near-duplicate pairs by BOUNDED EDIT DISTANCE — the
+    * entity-resolution / title-dedup arm the token-set family (MinHash,
+    * SimHash) can't express: "colour" vs "color" is one edit but a
+    * different token. Candidates share an exact (normalized prefix,
+    * length-bucket) blocking key — the standard Fellegi–Sunter-style
+    * candidate generator; an edit INSIDE the first `prefixLen` chars
+    * escapes the block, the stated recall trade every production blocker
+    * makes (run with a second, suffix-keyed pass when that matters) —
+    * then exact Levenshtein ≤ `maxDist` over the `fieldLen`-char
+    * normalized field, computed ONLY on block collisions. 100 TB shape:
+    * one equi-join on the block key, never all-pairs; the O(fieldLen²)
+    * distance runs on collision rows only and fieldLen is a constant. */
+  def fuzzyPairs(df: DataFrame, idCol: String, textCol: String,
+                 fieldLen: Int = 40, prefixLen: Int = 8,
+                 maxDist: Int = 18): DataFrame = {
+    require(fieldLen >= prefixLen && prefixLen >= 1,
+      s"fuzzyPairs needs fieldLen >= prefixLen >= 1 (got $fieldLen/$prefixLen)")
+    require(maxDist >= 0, s"fuzzyPairs needs maxDist>=0 (got $maxDist)")
+    val keyed = graft.Tables.scaled(
+      df.select(col(idCol).cast("long").as("id"),
+        substring(text.normalize(col(textCol)), 1, fieldLen).as("t")))
+      .withColumn("blk", substring(col("t"), 1, prefixLen))
+      .withColumn("lb", expr(s"length(t) div $prefixLen"))
+    val a = keyed.as("a"); val b = keyed.as("b")
+    a.join(b, col("a.blk") === col("b.blk") && col("a.lb") === col("b.lb") &&
+        col("a.id") < col("b.id"))
+      .withColumn("dist", levenshtein(col("a.t"), col("b.t")))
+      .filter(col("dist") <= maxDist)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("dist").cast("long").as("dist"))
+  }
+
   def embeddingLshPairs(df: DataFrame, idCol: String, vecCol: String,
                         dim: Int, blocks: Int = 4,
                         minCosine: Double = 0.98): DataFrame = {

@@ -41,6 +41,7 @@ object PipelineQueries {
     "m7_multimodal_curation" -> ((s, d) => multimodalCuration(s, d)),
     "m8_scene_cuts" -> ((s, d) => sceneCutsQ(s, d)),
     "m9_scene_cuts_dense" -> ((s, d) => sceneCutsDense(s, d)),
+    "m10_caption_frames" -> ((s, d) => captionFrames(s, d)),
     "r1_rerank" -> ((s, d) => rerank(s, d)),
     "r2_context_assembly" -> ((s, d) => contextAssembly(s, d)),
     "r3_augmented_content" -> ((s, d) => augmentedContent(s, d)),
@@ -418,6 +419,47 @@ object PipelineQueries {
         sum(when(col("is_cut"), 1L).otherwise(0L)).as("n_cuts"),
         sum(coalesce(col("hamming"), lit(0L))).as("hamming_sum"))
       .orderBy("video_id")
+  }
+
+  /** VLM caption↔frame PAIR CONSTRUCTION — the training-tuple join a
+    * video-language pipeline runs after m2/m4/m8 have done their jobs:
+    * each transcript utterance pairs with the nearest sampled frame
+    * AT-OR-BEFORE its timestamp (the as-of discipline: a caption
+    * describes what is ON SCREEN — the last rendered frame, never a
+    * future one). Frames are the m8 scene-hash staircases at a 30 s
+    * cadence, REALLY decoded (pixels → dHash) before the join;
+    * utterances are the m4 deterministic transcriber segments at 20 s,
+    * so the two timelines interleave and the bracketing is exercised,
+    * not degenerate. One [[graft.operators.AsOfJoin.backward]] = one
+    * keyed shuffle; decode stays map-only before it. */
+  def captionFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vids = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 2 && col("doc_id") < 120)
+      .select(col("doc_id")).as[Long]
+    val frames = vids.flatMap { id =>
+      val n = (id % 6 + 3).toInt
+      var scene = 0L
+      (0 to n).map { f =>
+        if (f >= 1 && (id + f) % 3 == 0) scene += 1
+        (id, f * 30L, staircaseFromHash(md5Hash60(s"v:$id:$scene")))
+      }
+    }.toDF("video_id", "ts", "bytes")
+    val hashed = frames.as[(Long, Long, Array[Byte])]
+      .map { case (v, ts, b) =>
+        (v, ts.toDouble, graft.operators.ImageCodec.dHash(b).getOrElse(-1L))
+      }.toDF("video_id", "ts", "frame_hash")
+    val utter = Transcriber.transcriptChunks(
+      media(spark, dir).filter(col("kind") === "video" && col("media_id") < 120),
+      "media_id", "bytes", HashTranscriber(segmentSec = 20))
+      .select(col("media_id").as("video_id"),
+        col("seg_number").cast("long").as("seg_number"), col("ts"), col("text"))
+    graft.operators.AsOfJoin.backward(utter, hashed, "video_id", "ts",
+        Seq("frame_hash"))
+      .select(col("video_id"), col("seg_number"), col("ts"), col("text"),
+        col("asof_ts").as("frame_ts"),
+        col("asof_frame_hash").as("frame_hash"))
+      .orderBy("video_id", "seg_number")
   }
 
   /** The m5 fixture: a 9x8 staircase PNG whose dHash is
@@ -917,6 +959,29 @@ object PipelineQueries {
         |FROM v, generate_series(0, 100) t(s)
         |WHERE s <= dur // 20
         |ORDER BY media_id, seg_number""".stripMargin,
+    // caption↔frame replay: m4's segment grid (20 s) ASOF-joined to the
+    // 30 s scene-hash frame timeline — backward (>=), so every caption
+    // sees the last frame rendered at-or-before it
+    "m10_caption_frames" ->
+      """WITH v AS (SELECT doc_id AS media_id, text,
+        |    ('0x' || substr(md5(text), 9, 4))::BIGINT % 600 + 1 AS dur
+        |  FROM documents WHERE doc_id % 3 = 2 AND doc_id < 120),
+        |u AS (SELECT media_id AS video_id, s::BIGINT AS seg_number,
+        |        (s * 20)::DOUBLE AS ts, substr(md5(text || ':' || s), 1, 8) AS text
+        |      FROM v, generate_series(0, 100) t(s) WHERE s <= dur // 20),
+        |f0 AS (SELECT doc_id, s AS f FROM documents, generate_series(0, 8) t(s)
+        |       WHERE doc_id % 3 = 2 AND doc_id < 120 AND s <= doc_id % 6 + 3),
+        |sc AS (SELECT doc_id, f,
+        |    sum(CASE WHEN f >= 1 AND (doc_id + f) % 3 = 0 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY f) AS scene FROM f0),
+        |fr AS (SELECT doc_id AS video_id, (f * 30)::DOUBLE AS ts,
+        |    ('0x' || substr(md5('v:' || doc_id || ':' || scene), 1, 15))::BIGINT AS fh
+        |  FROM sc)
+        |SELECT u.video_id, u.seg_number, u.ts, u.text,
+        |  fr.ts AS frame_ts, fr.fh AS frame_hash
+        |FROM u ASOF LEFT JOIN fr
+        |  ON u.video_id = fr.video_id AND u.ts >= fr.ts
+        |ORDER BY u.video_id, seg_number""".stripMargin,
     "m3_blank_pages" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 7 = 0 THEN true

@@ -22,6 +22,7 @@ object TextQueries {
     "t5_simhash" -> ((s, d) => simhash(s, d)),
     "t6_simhash_neardups" -> ((s, d) => simhashNearDups(s, d)),
     "t7_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
+    "t48_fuzzy_pairs" -> ((s, d) => fuzzyPairsQ(s, d)),
     "t8_bpe_tokens" -> ((s, d) => bpeTokens(s, d)),
     "t25_bpe_encode" -> ((s, d) => bpeEncode(s, d)),
     "t9_lsh_keeplist" -> ((s, d) => lshKeepList(s, d)),
@@ -190,6 +191,15 @@ object TextQueries {
         array_join(col("ids"), ",").as("ids"), col("dup_count"))
       .orderBy("fp")
 
+  /** Edit-distance near-dup pairs over the 40-char normalized field
+    * (title-dedup shape): (prefix-8, length-bucket) blocking, exact
+    * Levenshtein ≤ 18 on collisions — the corpus yields both exact
+    * (dist 0) and genuinely fuzzy (16–18) pairs, so the distance
+    * arithmetic is value-checked, not just the blocking. */
+  def fuzzyPairsQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.fuzzyPairs(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("id_a", "id_b")
+
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text",
       shingleSize = 5, numHashes = 16, bands = 4, minEst = 0.25)
@@ -350,6 +360,19 @@ object TextQueries {
   private val fr = stopSql(text.langStopwords.toMap.apply("fr"))
 
   def oracles: Map[String, String] = Map(
+    // fuzzy-pair replay: identical normalize/slice/blocking, DuckDB's
+    // levenshtein == Spark's (plain Levenshtein, unit costs)
+    "t48_fuzzy_pairs" ->
+      """WITH n AS (SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g'))[1:40] AS t
+        |  FROM documents),
+        |b AS (SELECT doc_id, t, t[1:8] AS blk, len(t) // 8 AS lb FROM n)
+        |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+        |  levenshtein(a.t, c.t)::BIGINT AS dist
+        |FROM b a JOIN b c
+        |  ON a.blk = c.blk AND a.lb = c.lb AND a.doc_id < c.doc_id
+        |WHERE levenshtein(a.t, c.t) <= 18
+        |ORDER BY id_a, id_b""".stripMargin,
     "t1_token_stats" ->
       s"""WITH n AS ($norm)
          |SELECT doc_id,

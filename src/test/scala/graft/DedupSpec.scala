@@ -233,4 +233,18 @@ class DedupSpec extends AnyFunSuite {
       .select("id", "n_removed").as[(Long, Long)].collect().toMap
     assert(out.values.forall(_ == 0L))
   }
+
+  test("fuzzyPairs: a planted one-edit typo pair is found; distant same-block text is cut") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brwon fox jumps over the lazy dog near the river bank today"), // transposition (2 edits) after the blocking prefix, inside the 40-char field
+      (3L, "the quick brown cat that is nothing like the others in any way at all xyzw"),
+      (4L, "completely different text that shares no prefix with anything here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.fuzzyPairs(docs, "doc_id", "text", maxDist = 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(p => (p._1, p._2)) == Seq((1L, 2L)),
+      s"only the typo pair qualifies: $got")
+    assert(got.head._3 == 2L, s"transposition = 2 unit edits: $got")
+  }
 }

@@ -357,6 +357,18 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("Window"), s"block offsets lost the window shape:\n$p")
   }
 
+  test("t48_fuzzy_pairs: candidates from the block equi-join, never all-pairs") {
+    val p = executedPlan("t48_fuzzy_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy matching degraded to all-pairs:\n$p")
+  }
+
+  test("m10_caption_frames: the pair join is the union+window as-of, join-free") {
+    val p = executedPlan("m10_caption_frames")
+    assert(!p.contains("Join"), s"as-of must not plan a join:\n$p")
+    assert(p.contains("Window"), s"as-of lost its window shape:\n$p")
+  }
+
   test("t46_context_windows: doc-level window + map-only explode into one agg, join-free") {
     val p = executedPlan("t46_context_windows")
     assert(!p.contains("Join"), s"block construction needs no join:\n$p")
