@@ -41,6 +41,7 @@ object VectorQueries {
     "v19_ivf_recall" -> ((s, d) => ivfRecall(s, d)),
     "v20_matryoshka" -> ((s, d) => matryoshka(s, d)),
     "v21_binary_rescore" -> ((s, d) => binaryRescore(s, d)),
+    "v22_mv_pq_maxsim" -> ((s, d) => mvPqMaxSim(s, d)),
     "tr1_hard_negatives" -> ((s, d) => hardNegativesQ(s, d)),
     "tr2_semihard" -> ((s, d) => semiHardQ(s, d)),
     "tr3_triplets" -> ((s, d) => tripletsQ(s, d)),
@@ -520,6 +521,31 @@ object VectorQueries {
       .select(col("vec_id"), round(col("score"), 6).as("score"))
   }
 
+  /** PQ-compressed MULTIVECTOR MaxSim — the other scale path for
+    * ColPali-style late interaction (FDE/MUVERA compresses the SET into
+    * one vector; this keeps the set and compresses each MEMBER to m PQ
+    * codes, the PLAID/ColBERTv2 storage recipe): per query vector one
+    * ADC LUT, per label MaxSim ≈ Σ_q max over its doc vectors of the ADC
+    * dot product — 8 bytes per patch vector instead of 256, and the
+    * per-row work is table lookups, no float dot products. One narrow
+    * encode scan + one map-side-combined per-label max aggregation; the
+    * oracle replays codebook ∘ encode ∘ both LUT folds ∘ max/sum
+    * bit-for-bit (the v12 replay, lifted to the multivector composition). */
+  def mvPqMaxSim(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val pq = PqIndex.sampledModel(e, "embedding", "vec_id", m = 8, k = 16)
+    val enc = PqIndex.encode(e, "embedding", pq)
+    val q0 = queryVec(spark, dir, 0); val q1 = queryVec(spark, dir, 1)
+    enc
+      .withColumn("s0", PqIndex.adcScore(col("pq_code"), pq.lut(q0), pq.k))
+      .withColumn("s1", PqIndex.adcScore(col("pq_code"), pq.lut(q1), pq.k))
+      .groupBy("label")
+      .agg(max("s0").as("m0"), max("s1").as("m1"))
+      .select(col("label").cast("long").as("label"),
+        round(col("m0") + col("m1"), 4).as("adc_maxsim"))
+      .orderBy(col("adc_maxsim").desc, col("label"))
+  }
+
   /** The binary-quantization TWO-PHASE flow (E5∘E6∘Q1 composed — the
     * 32×-compressed serving path binary codes exist for, pgvector's
     * `binary_quantize` + exact-rerank recipe): phase 1 ranks by Hamming
@@ -785,6 +811,35 @@ object VectorQueries {
         |ORDER BY vec_id, j""".stripMargin,
     // full-probe IVF must reproduce the exact result
     "v8_ivf_exact" -> exactTop10,
+    // the v12 PQ replay lifted to the multivector composition: sampled
+    // codebook, argmin encode, TWO query LUT folds, per-label max + sum
+    "v22_mv_pq_maxsim" ->
+      """WITH cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+        |    embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 16),
+        |e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |d AS (SELECT e.vec_id, e.label, i.i, cb.c,
+        |    list_sum(list_transform(range(8), j ->
+        |      (v[i.i*8 + j + 1] - cv[i.i*8 + j + 1])
+        |      * (v[i.i*8 + j + 1] - cv[i.i*8 + j + 1]))) AS dist
+        |  FROM e, range(8) i(i), cb),
+        |code AS (SELECT vec_id, label, i, c FROM (
+        |    SELECT vec_id, label, i, c,
+        |      row_number() OVER (PARTITION BY vec_id, i ORDER BY dist, c) AS rn
+        |    FROM d) WHERE rn = 1),
+        |q0 AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |q1 AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 1),
+        |part AS (SELECT code.vec_id, code.label, code.i,
+        |    list_sum(list_transform(range(8), j ->
+        |      q0.qv[code.i*8 + j + 1] * cv[code.i*8 + j + 1])) AS p0,
+        |    list_sum(list_transform(range(8), j ->
+        |      q1.qv[code.i*8 + j + 1] * cv[code.i*8 + j + 1])) AS p1
+        |  FROM code JOIN cb USING (c), q0, q1),
+        |s AS (SELECT vec_id, label,
+        |    list_sum(list(p0 ORDER BY i)) AS s0,
+        |    list_sum(list(p1 ORDER BY i)) AS s1
+        |  FROM part GROUP BY vec_id, label)
+        |SELECT label::BIGINT AS label, round(max(s0) + max(s1), 4) AS adc_maxsim
+        |FROM s GROUP BY label ORDER BY adc_maxsim DESC, label""".stripMargin,
     // binary two-phase replay: Hamming over sign bits (the v4 unpacked
     // compare) top-50, full cosine rerank top-10
     "v21_binary_rescore" ->
