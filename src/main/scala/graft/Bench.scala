@@ -64,7 +64,8 @@ object Bench {
     "s6_dispatcher_colpali_rerank", "c4_cdc_chunks", "v20_matryoshka",
     "v21_binary_rescore", "tr3_triplets", "u6_changelog_apply",
     "k4_cluster_sample", "t47_pretrain_e2e", "k5_incremental_assign",
-    "m10_caption_frames", "t48_fuzzy_pairs", "v22_mv_pq_maxsim")
+    "m10_caption_frames", "t48_fuzzy_pairs", "v22_mv_pq_maxsim",
+    "t49_fuzzy_match")
 
   /** Index-backed queries: build once, time the probe. */
   private val preparedFactories: Map[String,

@@ -191,20 +191,49 @@ object Dedup {
   def fuzzyPairs(df: DataFrame, idCol: String, textCol: String,
                  fieldLen: Int = 40, prefixLen: Int = 8,
                  maxDist: Int = 18): DataFrame = {
-    require(fieldLen >= prefixLen && prefixLen >= 1,
-      s"fuzzyPairs needs fieldLen >= prefixLen >= 1 (got $fieldLen/$prefixLen)")
     require(maxDist >= 0, s"fuzzyPairs needs maxDist>=0 (got $maxDist)")
-    val keyed = graft.Tables.scaled(
-      df.select(col(idCol).cast("long").as("id"),
-        substring(text.normalize(col(textCol)), 1, fieldLen).as("t")))
-      .withColumn("blk", substring(col("t"), 1, prefixLen))
-      .withColumn("lb", expr(s"length(t) div $prefixLen"))
+    val keyed = fuzzyIndex(df, idCol, textCol, fieldLen, prefixLen)
     val a = keyed.as("a"); val b = keyed.as("b")
     a.join(b, col("a.blk") === col("b.blk") && col("a.lb") === col("b.lb") &&
         col("a.id") < col("b.id"))
       .withColumn("dist", levenshtein(col("a.t"), col("b.t")))
       .filter(col("dist") <= maxDist)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("dist").cast("long").as("dist"))
+  }
+
+  /** The fuzzy-matching BLOCKING INDEX — (id, normalized field, prefix
+    * block, length bucket), ~fieldLen bytes per doc: what an incremental
+    * crawl persists so incoming batches never re-normalize the corpus
+    * (the t24/t40 incremental-index shape for edit distance). Appending a
+    * batch's own index rows keeps it current. */
+  def fuzzyIndex(df: DataFrame, idCol: String, textCol: String,
+                 fieldLen: Int = 40, prefixLen: Int = 8): DataFrame = {
+    require(fieldLen >= prefixLen && prefixLen >= 1,
+      s"fuzzyIndex needs fieldLen >= prefixLen >= 1 (got $fieldLen/$prefixLen)")
+    graft.Tables.scaled(
+      df.select(col(idCol).cast("long").as("id"),
+        substring(text.normalize(col(textCol)), 1, fieldLen).as("t")))
+      .withColumn("blk", substring(col("t"), 1, prefixLen))
+      .withColumn("lb", expr(s"length(t) div $prefixLen"))
+  }
+
+  /** Incoming-vs-corpus fuzzy matching: normalize ONLY the incoming
+    * batch, equi-join the persisted [[fuzzyIndex]] on the (block,
+    * length-bucket) key, score exact Levenshtein on collisions. Same
+    * blocking recall trade as [[fuzzyPairs]]; never all-pairs, and the
+    * corpus side is read, not recomputed. Output: (corpus_id, inc_id,
+    * dist), dist ≤ maxDist. */
+  def fuzzyMatchAgainst(incoming: DataFrame, idCol: String, textCol: String,
+                        index: DataFrame, fieldLen: Int = 40,
+                        prefixLen: Int = 8, maxDist: Int = 18): DataFrame = {
+    require(maxDist >= 0, s"fuzzyMatchAgainst needs maxDist>=0 (got $maxDist)")
+    val inc = fuzzyIndex(incoming, idCol, textCol, fieldLen, prefixLen).as("b")
+    index.as("a")
+      .join(inc, col("a.blk") === col("b.blk") && col("a.lb") === col("b.lb"))
+      .withColumn("dist", levenshtein(col("a.t"), col("b.t")))
+      .filter(col("dist") <= maxDist)
+      .select(col("a.id").as("corpus_id"), col("b.id").as("inc_id"),
         col("dist").cast("long").as("dist"))
   }
 

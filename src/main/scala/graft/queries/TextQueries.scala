@@ -23,6 +23,7 @@ object TextQueries {
     "t6_simhash_neardups" -> ((s, d) => simhashNearDups(s, d)),
     "t7_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
     "t48_fuzzy_pairs" -> ((s, d) => fuzzyPairsQ(s, d)),
+    "t49_fuzzy_match" -> ((s, d) => fuzzyMatchQ(s, d)),
     "t8_bpe_tokens" -> ((s, d) => bpeTokens(s, d)),
     "t25_bpe_encode" -> ((s, d) => bpeEncode(s, d)),
     "t9_lsh_keeplist" -> ((s, d) => lshKeepList(s, d)),
@@ -200,6 +201,19 @@ object TextQueries {
     Dedup.fuzzyPairs(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy("id_a", "id_b")
 
+  /** The incremental-crawl arm of t48 (the t24 pattern for edit
+    * distance): doc_id < 400 is the CORPUS whose blocking index is
+    * persisted; the incoming batch (doc_id ≥ 400) normalizes only itself
+    * and matches against the index. */
+  def fuzzyMatchQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val index = Dedup.fuzzyIndex(docs.filter(col("doc_id") < 400),
+      "doc_id", "text")
+    Dedup.fuzzyMatchAgainst(docs.filter(col("doc_id") >= 400),
+        "doc_id", "text", index)
+      .orderBy("corpus_id", "inc_id")
+  }
+
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text",
       shingleSize = 5, numHashes = 16, bands = 4, minEst = 0.25)
@@ -373,6 +387,20 @@ object TextQueries {
         |  ON a.blk = c.blk AND a.lb = c.lb AND a.doc_id < c.doc_id
         |WHERE levenshtein(a.t, c.t) <= 18
         |ORDER BY id_a, id_b""".stripMargin,
+    // incremental arm: corpus side < 400, incoming side >= 400, same
+    // blocking + distance — cross-set matches only
+    "t49_fuzzy_match" ->
+      """WITH n AS (SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g'))[1:40] AS t
+        |  FROM documents),
+        |b AS (SELECT doc_id, t, t[1:8] AS blk, len(t) // 8 AS lb FROM n)
+        |SELECT a.doc_id AS corpus_id, c.doc_id AS inc_id,
+        |  levenshtein(a.t, c.t)::BIGINT AS dist
+        |FROM b a JOIN b c
+        |  ON a.blk = c.blk AND a.lb = c.lb
+        | AND a.doc_id < 400 AND c.doc_id >= 400
+        |WHERE levenshtein(a.t, c.t) <= 18
+        |ORDER BY corpus_id, inc_id""".stripMargin,
     "t1_token_stats" ->
       s"""WITH n AS ($norm)
          |SELECT doc_id,

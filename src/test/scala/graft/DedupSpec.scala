@@ -247,4 +247,22 @@ class DedupSpec extends AnyFunSuite {
       s"only the typo pair qualifies: $got")
     assert(got.head._3 == 2L, s"transposition = 2 unit edits: $got")
   }
+
+  test("fuzzyMatchAgainst equals the cross-set slice of fuzzyPairs (no corpus recompute)") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (9L, "the quick brwon fox jumps over the lazy dog near the river bank today"),
+      (2L, "some other corpus text that matches nothing incoming at this distance"),
+      (8L, "fresh incoming text that matches nothing in the corpus either way ok")
+    ).toDF("doc_id", "text")
+    val corpus = docs.filter($"doc_id" < 5); val inc = docs.filter($"doc_id" >= 5)
+    val idx = Dedup.fuzzyIndex(corpus, "doc_id", "text")
+    val got = Dedup.fuzzyMatchAgainst(inc, "doc_id", "text", idx, maxDist = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    val full = Dedup.fuzzyPairs(docs, "doc_id", "text", maxDist = 4)
+      .as[(Long, Long, Long)].collect().toSet
+      .filter(p => p._1 < 5 && p._2 >= 5)
+    assert(got == full, s"incremental $got vs batch cross-slice $full")
+    assert(got == Set((1L, 9L, 2L)), s"the planted cross-set typo pair: $got")
+  }
 }
