@@ -377,4 +377,36 @@ object FullText {
       .orderBy(col("min_window").asc, col("n_hits").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** "Did you mean" — query-token spell correction against the corpus's
+    * OWN vocabulary (the serving feature keyword engines bolt onto BM25:
+    * a misspelled term otherwise just misses the postings): per query
+    * token, the minimum-edit-distance vocabulary term within `maxDist`,
+    * ties to the HIGHER document frequency then lexicographic — common
+    * words win, hapax noise loses. Vocabulary = one map-side-combined
+    * token count; candidates gate on |length difference| ≤ maxDist (a
+    * Levenshtein lower bound, so the gate loses nothing). The non-equi
+    * join deliberately broadcasts the REQUEST-SIZED side (the query's
+    * tokens) against one vocabulary scan — a broadcast-query nested loop
+    * is the honest plan here, never vocab × vocab. Tokens with no
+    * candidate emit nothing (serving falls back to the raw token). */
+  def spellSuggest(docs: DataFrame, textCol: String,
+                   queryTokens: Seq[String], maxDist: Int = 2): DataFrame = {
+    require(maxDist >= 0, s"spellSuggest needs maxDist>=0 (got $maxDist)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = graft.Tables.scaled(
+      docs.select(explode(text.tokens(col(textCol))).as("vterm")))
+      .groupBy("vterm").agg(count(lit(1)).as("df"))
+    val q = broadcast(queryTokens.distinct.toDF("qt"))
+    vocab.join(q, abs(length(col("vterm")) - length(col("qt"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("qt"), col("vterm")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qt")
+          .orderBy(col("dist").asc, col("df").desc, col("vterm").asc)))
+      .filter(col("__rn") === 1)
+      .select(col("qt").as("token"), col("vterm").as("suggestion"),
+        col("dist"), col("df"))
+  }
 }

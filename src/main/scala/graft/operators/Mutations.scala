@@ -47,6 +47,29 @@ object Mutations {
       .unionByName(ups)
   }
 
+  /** Crawl-snapshot DIFF — the delta report a data-ops team reads after
+    * each crawl/ingest cycle (and the input to incremental downstream
+    * work: only `added`/`changed` keys re-chunk, re-embed, re-index):
+    * full outer join of two snapshots on the key with content compared
+    * BY FINGERPRINT — md5 of the normalized text, so 16 bytes per row
+    * cross the shuffle, never document bodies — each key labeled
+    * added / removed / changed / same. One equi-join of two
+    * fingerprint tables; both sides are one map-side fingerprint scan. */
+  def snapshotDiff(before: DataFrame, after: DataFrame, key: String,
+                   textCol: String): DataFrame = {
+    val a = before.select(col(key).cast("long").as(key),
+      graft.functions.text.fingerprint(col(textCol)).as("__fa"))
+    val b = after.select(col(key).cast("long").as(key),
+      graft.functions.text.fingerprint(col(textCol)).as("__fb"))
+    a.join(b, Seq(key), "full_outer")
+      .withColumn("status",
+        when(col("__fa").isNull, "added")
+          .when(col("__fb").isNull, "removed")
+          .when(col("__fa") === col("__fb"), "same")
+          .otherwise("changed"))
+      .select(col(key), col("status"))
+  }
+
   /** SCD Type-2 dimension merge — the lakehouse slowly-changing-dimension
     * pattern the plain [[upsert]] (Type-1, overwrite) cannot express:
     * history is KEPT, every version carries a validity interval. Given the

@@ -18,8 +18,25 @@ object MutationQueries {
     "u3_delete_cascade" -> ((s, d) => deleteCascade(s, d)),
     "u4_migrate_skip" -> ((s, d) => migrateSkip(s, d)),
     "u5_scd2" -> ((s, d) => scd2(s, d)),
-    "u6_changelog_apply" -> ((s, d) => changelogApply(s, d))
+    "u6_changelog_apply" -> ((s, d) => changelogApply(s, d)),
+    "t50_snapshot_diff" -> ((s, d) => snapshotDiff(s, d))
   )
+
+  /** Snapshot diff on a simulated next crawl (the u6 modulo fixture
+    * style): %7 keys vanish, surviving %5 keys change text, %50 keys
+    * reappear under new ids — the oracle states every key's expected
+    * status from first principles, independent of the join mechanism. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val after = docs.filter(col("doc_id") % 7 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" updated")))
+          .otherwise(col("text")))
+      .unionByName(docs.filter(col("doc_id") % 50 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L))
+    Mutations.snapshotDiff(docs, after, "doc_id", "text")
+      .orderBy("doc_id")
+  }
 
   /** Ordered CDC-feed application over the documents snapshot: the log
     * carries an Update (seq 1) for every doc_id % 5 == 0 (+1000 chars), a
@@ -138,6 +155,19 @@ object MutationQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    // every key's status from first principles: %7 removed (their %50
+    // members reappear under NEW ids — 'added'), surviving %5 changed,
+    // the rest same
+    "t50_snapshot_diff" ->
+      """SELECT doc_id, CASE
+        |    WHEN doc_id % 7 = 0 THEN 'removed'
+        |    WHEN doc_id % 5 = 0 THEN 'changed'
+        |    ELSE 'same' END AS status
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id + 100000 AS doc_id, 'added' AS status
+        |FROM documents WHERE doc_id % 50 = 0
+        |ORDER BY doc_id""".stripMargin,
     // the final snapshot from first principles: %7 keys are gone (the
     // seq-2 delete outranks the seq-1 update — LWW), surviving %5 keys
     // carry the update, everything else passes through, inserts appear

@@ -31,7 +31,8 @@ object SearchQueries {
     "n6_phrase" -> ((s, d) => phrase(s, d)),
     "n7_rm3_expand" -> ((s, d) => rm3Expand(s, d)),
     "n8_more_like_this" -> ((s, d) => moreLikeThis(s, d)),
-    "n9_proximity" -> ((s, d) => proximity(s, d))
+    "n9_proximity" -> ((s, d) => proximity(s, d)),
+    "n10_spell_suggest" -> ((s, d) => spellSuggest(s, d))
   )
 
   /** Proximity search: all four query terms required, ranked by the
@@ -41,6 +42,14 @@ object SearchQueries {
   def proximity(spark: SparkSession, dir: String): DataFrame =
     FullText.proximitySearch(Tables.documents(spark, dir), "doc_id", "text",
       Terms, k = 10)
+
+  /** Did-you-mean over the corpus vocabulary: three planted misspellings
+    * correct to real corpus terms, an exact term maps to itself, and a
+    * no-candidate token emits nothing (serving falls back to it raw). */
+  def spellSuggest(spark: SparkSession, dir: String): DataFrame =
+    FullText.spellSuggest(Tables.documents(spark, dir), "text",
+      Seq("spakr", "tabel", "wnidow", "xqzw", "join"))
+      .orderBy("token")
 
   /** More-Like-This: docs most similar to seed doc 3 by its interesting
     * terms (tf≥2, len≥3, top-10 by integer tf·N div df), scored with BM25
@@ -286,6 +295,24 @@ object SearchQueries {
     // position-ordered hit rows, candidate = pos - least(latests) + 1
     // under an explicit all-covered guard, per-doc min — identical window
     // semantics in both engines (integer positions, total tiebreak)
+    // did-you-mean replay: corpus vocabulary with df, |len diff| gate
+    // (a Levenshtein lower bound), min-dist with (df desc, term) ties
+    "n10_spell_suggest" ->
+      """WITH n AS (SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |e AS (SELECT unnest(list_filter(string_split(norm, ' '),
+        |        t -> len(t) > 0)) AS vterm FROM n),
+        |vc AS (SELECT vterm, count(*)::BIGINT AS df FROM e GROUP BY vterm),
+        |q AS (SELECT unnest(['spakr', 'tabel', 'wnidow', 'xqzw', 'join']) AS qt),
+        |cand AS (SELECT qt, vterm, df, levenshtein(qt, vterm)::BIGINT AS dist
+        |         FROM q JOIN vc ON abs(len(qt) - len(vterm)) <= 2
+        |         WHERE levenshtein(qt, vterm) <= 2),
+        |best AS (SELECT qt, vterm, dist, df,
+        |           row_number() OVER (PARTITION BY qt
+        |             ORDER BY dist, df DESC, vterm) AS rn
+        |         FROM cand)
+        |SELECT qt AS token, vterm AS suggestion, dist, df FROM best
+        |WHERE rn = 1 ORDER BY token""".stripMargin,
     "n9_proximity" ->
       """WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
         |       FROM documents),
