@@ -357,6 +357,13 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("Window"), s"block offsets lost the window shape:\n$p")
   }
 
+  test("t50_snapshot_diff: fingerprint tables meet in an equi full-outer join, never nested-loop") {
+    val p = executedPlan("t50_snapshot_diff")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"snapshot diff degraded to a nested loop:\n$p")
+    assert(p.contains("FullOuter"), s"diff lost its full-outer shape:\n$p")
+  }
+
   test("t48_fuzzy_pairs: candidates from the block equi-join, never all-pairs") {
     val p = executedPlan("t48_fuzzy_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
