@@ -133,6 +133,39 @@ object AsOfJoin {
       .select(col(key), timestamp_micros(col("__tick") * stepUs).as(ts))
   }
 
+  /** Tick-coverage report — the data-quality gate a feature pipeline runs
+    * BEFORE trusting [[resampleLocf]]/[[resampleInterp]] output (a fill
+    * over a 90%-missing stream is fabrication, not resampling): per key,
+    * how many grid ticks exist in its span vs how many carry at least one
+    * event, plus the longest gap in ticks — all exact integers. No grid
+    * EXPLODE at all: expected ticks = t1 − t0 + 1 is arithmetic on the
+    * bounds row, present ticks is one distinct-tick aggregation, and the
+    * longest gap is a lag window over the (key, tick) stream — so unlike
+    * the resamplers this report is safe to run on arbitrarily corrupted
+    * spans (no maxTicks needed; a 490k-tick gap is one subtraction).
+    * Output: `key`, `n_expected`, `n_present`, `coverage_bp` (integer
+    * basis points), `max_gap` (ticks between consecutive present ticks,
+    * minus 1; 0 when nothing is missing between events). */
+  def tickCoverage(events: DataFrame, key: String, ts: String,
+                   stepSec: Long): DataFrame = {
+    require(stepSec >= 1, s"tickCoverage needs stepSec>=1 (got $stepSec)")
+    val stepUs = stepSec * 1000000L
+    val tick = tickOf(ts, stepUs)
+    val ticks = events.select(col(key), tick.as("__tick")).distinct()
+    val w = Window.partitionBy(col(key)).orderBy(col("__tick"))
+    ticks
+      .withColumn("__gap", col("__tick") - lag(col("__tick"), 1).over(w) - 1L)
+      .groupBy(col(key))
+      .agg(
+        (max(col("__tick")) - min(col("__tick")) + 1L).as("n_expected"),
+        count(lit(1)).as("n_present"),
+        coalesce(max(col("__gap")), lit(0L)).as("max_gap"))
+      .withColumn("coverage_bp",
+        expr("(10000 * n_present) div n_expected"))
+      .select(col(key), col("n_expected"), col("n_present"),
+        col("coverage_bp"), col("max_gap"))
+  }
+
   /** Regular-grid resample with LINEAR interpolation (pandas
     * `resample().interpolate('time')` / QuestDB `SAMPLE BY ... FILL(LINEAR)`
     * — the signal-reconstruction sibling of [[resampleLocf]]: LOCF carries

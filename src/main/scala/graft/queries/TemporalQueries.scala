@@ -31,8 +31,19 @@ object TemporalQueries {
     "e13_ewma" -> ((s, d) => ewmaQ(s, d)),
     "e8_ohlc" -> ((s, d) => ohlc(s, d)),
     "e14_resample_interp" -> ((s, d) => resampleInterpQ(s, d)),
-    "c4_cdc_chunks" -> ((s, d) => cdcChunksQ(s, d))
+    "c4_cdc_chunks" -> ((s, d) => cdcChunksQ(s, d)),
+    "e15_tick_coverage" -> ((s, d) => tickCoverageQ(s, d))
   )
+
+  /** Hourly tick-coverage data-quality report over the purchase stream —
+    * the gate that decides whether e7/e14's fills are resampling or
+    * fabrication. No grid explode: bounds arithmetic + one distinct-tick
+    * aggregation + one lag window, safe on corrupted spans. */
+  def tickCoverageQ(spark: SparkSession, dir: String): DataFrame =
+    AsOfJoin.tickCoverage(
+      Tables.events(spark, dir).filter(col("event_type") === "purchase"),
+      "user_id", "ts", stepSec = 3600L)
+      .orderBy("user_id")
 
   /** Content-defined chunking over the corpus (k=5, divisor 64 → ~64-char
     * expected chunks, maxLen 192 backstop): the dedup-friendly chunk
@@ -395,6 +406,18 @@ object TemporalQueries {
         |SELECT user_id, epoch_us(gts) AS tick_us, epoch_us(ats) AS asof_us,
         |  round(value, 2) AS value
         |FROM j ORDER BY user_id, tick_us""".stripMargin,
+    // coverage replay: distinct hourly ticks, bounds arithmetic, lag gaps
+    "e15_tick_coverage" ->
+      """WITH t AS (SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS tick
+        |           FROM events WHERE event_type = 'purchase'),
+        |g AS (SELECT user_id, tick,
+        |        tick - lag(tick) OVER (PARTITION BY user_id ORDER BY tick) - 1 AS gap
+        |      FROM t)
+        |SELECT user_id, (max(tick) - min(tick) + 1)::BIGINT AS n_expected,
+        |  count(*)::BIGINT AS n_present,
+        |  ((10000 * count(*)) // (max(tick) - min(tick) + 1))::BIGINT AS coverage_bp,
+        |  coalesce(max(gap), 0)::BIGINT AS max_gap
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     // linear-interp replay: the same grid, bracketing via TWO ASOF joins
     // (backward >=, forward strict <), and the interpolation in the
     // IDENTICAL double op order — (Δt::DOUBLE / span::DOUBLE) scaled onto

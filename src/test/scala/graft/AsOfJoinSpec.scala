@@ -64,6 +64,21 @@ class AsOfJoinSpec extends AnyFunSuite {
       ("b", h.toDouble, Some(7.0)))) // an event ON the tick is included
   }
 
+  test("tickCoverage: full, gappy, and corrupted-span keys — no explode, no cap needed") {
+    val h = 3600L
+    val ev = Seq(("full", 600L), ("full", h + 1), ("full", 2 * h),
+      ("gap", 0L), ("gap", 4 * h),
+      ("bad", 0L), ("bad", 500L * h)) // the resamplers' maxTicks hazard — fine here
+      .toDF("k", "sec")
+      .select(col("k"), timestamp_seconds(col("sec")).as("ts"))
+    val got = AsOfJoin.tickCoverage(ev, "k", "ts", stepSec = h)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("full", 3L, 3L, 10000L, 0L),
+      ("gap", 5L, 2L, 4000L, 3L),
+      ("bad", 501L, 2L, 39L, 499L)), s"got $got")
+  }
+
   test("resampleInterp: exact hit takes its value, bracketed ticks take the line, edges stay null") {
     val h = 3600L
     // key a: events at 00:30 (v=10) and 03:30 (v=40) — ticks 01:00 and
