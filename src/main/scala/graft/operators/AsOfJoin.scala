@@ -207,14 +207,14 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, 0)
     val evTs = when(col("__side") === 0, col(ts))
     val evV = when(col("__side") === 0, col(valueCol))
-    val braketed = unioned
+    val bracketed = unioned
       .withColumn("prev_ts", last(evTs, ignoreNulls = true).over(wPrev))
       .withColumn("__pv", last(evV, ignoreNulls = true).over(wPrev))
       .withColumn("next_ts", last(evTs, ignoreNulls = true).over(wNext))
       .withColumn("__nv", last(evV, ignoreNulls = true).over(wNext))
     val t = unix_micros(col(ts)); val t0 = unix_micros(col("prev_ts"))
     val t1 = unix_micros(col("next_ts"))
-    braketed.filter(col("__side") === 1)
+    bracketed.filter(col("__side") === 1)
       .withColumn(valueCol,
         when(col("prev_ts") === col(ts), col("__pv"))
           .when(col("prev_ts").isNotNull && col("next_ts").isNotNull,

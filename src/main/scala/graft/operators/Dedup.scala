@@ -179,34 +179,62 @@ object Dedup {
   /** Fuzzy near-duplicate pairs by BOUNDED EDIT DISTANCE — the
     * entity-resolution / title-dedup arm the token-set family (MinHash,
     * SimHash) can't express: "colour" vs "color" is one edit but a
-    * different token. Candidates share an exact (normalized prefix,
-    * length-bucket) blocking key — the standard Fellegi–Sunter-style
-    * candidate generator; an edit INSIDE the first `prefixLen` chars
-    * escapes the block, the stated recall trade every production blocker
-    * makes (run with a second, suffix-keyed pass when that matters) —
-    * then exact Levenshtein ≤ `maxDist` over the `fieldLen`-char
-    * normalized field, computed ONLY on block collisions. 100 TB shape:
-    * one equi-join on the block key, never all-pairs; the O(fieldLen²)
-    * distance runs on collision rows only and fieldLen is a constant. */
+    * different token. Candidates share an exact normalized-prefix
+    * blocking key — the standard Fellegi–Sunter-style candidate
+    * generator; an edit INSIDE the first `prefixLen` chars escapes the
+    * block, the stated recall trade every production blocker makes (run
+    * with a second, suffix-keyed pass when that matters) — gated by the
+    * Levenshtein length lower bound (|len(a)−len(b)| ≤ maxDist, so no
+    * length-based recall loss), then exact Levenshtein ≤ `maxDist` over
+    * the `fieldLen`-char normalized field, computed ONLY on block
+    * collisions.
+    *
+    * 100 TB shape: one equi-join on the block key, never all-pairs; the
+    * O(fieldLen²) distance runs on collision rows only and fieldLen is a
+    * constant. Block SKEW is bounded by `maxBlock`: a viral prefix (a
+    * boilerplate header shared by half the corpus) would otherwise cost
+    * O(block²) pairs on one shuffle key — blocks with more than
+    * `maxBlock` members are dropped entirely (the t40 stop-fingerprint
+    * discipline; a block that common is boilerplate, not a near-dup
+    * signal — route it through exactGroups/minhash instead). The cap is
+    * NOT silent: [[fuzzyStopBlocks]] is the auditable view of exactly
+    * which blocks were dropped and how many members each had. */
   def fuzzyPairs(df: DataFrame, idCol: String, textCol: String,
                  fieldLen: Int = 40, prefixLen: Int = 8,
-                 maxDist: Int = 18): DataFrame = {
+                 maxDist: Int = 18, maxBlock: Int = 256): DataFrame = {
     require(maxDist >= 0, s"fuzzyPairs needs maxDist>=0 (got $maxDist)")
+    require(maxBlock >= 2, s"fuzzyPairs needs maxBlock>=2 (got $maxBlock)")
     val keyed = fuzzyIndex(df, idCol, textCol, fieldLen, prefixLen)
-    val a = keyed.as("a"); val b = keyed.as("b")
-    a.join(b, col("a.blk") === col("b.blk") && col("a.lb") === col("b.lb") &&
-        col("a.id") < col("b.id"))
+    val kept = keyed.groupBy("blk").agg(count(lit(1)).as("__bn"))
+      .where(col("__bn") <= maxBlock).select("blk")
+    val pruned = keyed.join(kept, Seq("blk"))
+    val a = pruned.as("a"); val b = pruned.as("b")
+    a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id") &&
+        abs(col("a.tl") - col("b.tl")) <= maxDist)
       .withColumn("dist", levenshtein(col("a.t"), col("b.t")))
       .filter(col("dist") <= maxDist)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("dist").cast("long").as("dist"))
   }
 
-  /** The fuzzy-matching BLOCKING INDEX — (id, normalized field, prefix
-    * block, length bucket), ~fieldLen bytes per doc: what an incremental
-    * crawl persists so incoming batches never re-normalize the corpus
-    * (the t24/t40 incremental-index shape for edit distance). Appending a
-    * batch's own index rows keeps it current. */
+  /** The blocks [[fuzzyPairs]]'s `maxBlock` cap DROPS, with their member
+    * counts — the no-silent-caps audit view. Empty ⇔ the cap changed
+    * nothing. At scale, persist this next to the pair output so a recall
+    * review can see what boilerplate was excluded. */
+  def fuzzyStopBlocks(df: DataFrame, idCol: String, textCol: String,
+                      fieldLen: Int = 40, prefixLen: Int = 8,
+                      maxBlock: Int = 256): DataFrame =
+    fuzzyIndex(df, idCol, textCol, fieldLen, prefixLen)
+      .groupBy("blk").agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") > maxBlock)
+
+  /** The fuzzy-matching BLOCKING INDEX — (id, normalized field `t`,
+    * prefix block `blk`, field length `tl`), ~fieldLen bytes per doc:
+    * what an incremental crawl persists so incoming batches never
+    * re-normalize the corpus (the t24/t40 incremental-index shape for
+    * edit distance). Appending a batch's own index rows keeps it
+    * current. `tl` feeds the |Δlen| ≤ maxDist Levenshtein lower-bound
+    * gate at match time. */
   def fuzzyIndex(df: DataFrame, idCol: String, textCol: String,
                  fieldLen: Int = 40, prefixLen: Int = 8): DataFrame = {
     require(fieldLen >= prefixLen && prefixLen >= 1,
@@ -215,22 +243,30 @@ object Dedup {
       df.select(col(idCol).cast("long").as("id"),
         substring(text.normalize(col(textCol)), 1, fieldLen).as("t")))
       .withColumn("blk", substring(col("t"), 1, prefixLen))
-      .withColumn("lb", expr(s"length(t) div $prefixLen"))
+      .withColumn("tl", length(col("t")))
   }
 
   /** Incoming-vs-corpus fuzzy matching: normalize ONLY the incoming
-    * batch, equi-join the persisted [[fuzzyIndex]] on the (block,
-    * length-bucket) key, score exact Levenshtein on collisions. Same
-    * blocking recall trade as [[fuzzyPairs]]; never all-pairs, and the
-    * corpus side is read, not recomputed. Output: (corpus_id, inc_id,
-    * dist), dist ≤ maxDist. */
+    * batch, equi-join the persisted [[fuzzyIndex]] on the prefix block
+    * (gated by the |Δlen| ≤ maxDist lower bound), score exact
+    * Levenshtein on collisions. Same blocking recall trade and
+    * `maxBlock` stop-block cap as [[fuzzyPairs]] — the cap is computed
+    * on the INDEX side (the corpus is what makes a block viral; an
+    * incoming batch is request-sized), same as Winnow.matchAgainst.
+    * Never all-pairs, and the corpus side is read, not recomputed.
+    * Output: (corpus_id, inc_id, dist), dist ≤ maxDist. */
   def fuzzyMatchAgainst(incoming: DataFrame, idCol: String, textCol: String,
                         index: DataFrame, fieldLen: Int = 40,
-                        prefixLen: Int = 8, maxDist: Int = 18): DataFrame = {
+                        prefixLen: Int = 8, maxDist: Int = 18,
+                        maxBlock: Int = 256): DataFrame = {
     require(maxDist >= 0, s"fuzzyMatchAgainst needs maxDist>=0 (got $maxDist)")
+    require(maxBlock >= 1, s"fuzzyMatchAgainst needs maxBlock>=1 (got $maxBlock)")
+    val kept = index.groupBy("blk").agg(count(lit(1)).as("__bn"))
+      .where(col("__bn") <= maxBlock).select("blk")
     val inc = fuzzyIndex(incoming, idCol, textCol, fieldLen, prefixLen).as("b")
-    index.as("a")
-      .join(inc, col("a.blk") === col("b.blk") && col("a.lb") === col("b.lb"))
+    index.join(kept, Seq("blk")).as("a")
+      .join(inc, col("a.blk") === col("b.blk") &&
+        abs(col("a.tl") - col("b.tl")) <= maxDist)
       .withColumn("dist", levenshtein(col("a.t"), col("b.t")))
       .filter(col("dist") <= maxDist)
       .select(col("a.id").as("corpus_id"), col("b.id").as("inc_id"),

@@ -389,7 +389,12 @@ object FullText {
     * join deliberately broadcasts the REQUEST-SIZED side (the query's
     * tokens) against one vocabulary scan — a broadcast-query nested loop
     * is the honest plan here, never vocab × vocab. Tokens with no
-    * candidate emit nothing (serving falls back to the raw token). */
+    * candidate emit nothing (serving falls back to the raw token).
+    * Query tokens are canonicalized (lowercase + trim, the same
+    * `text.normalize` form the vocabulary is built from) before the
+    * join — a mixed-case query token would otherwise see inflated edit
+    * distances against the lowercased vocabulary and silently miss its
+    * correction; the output `token` column is the canonical form. */
   def spellSuggest(docs: DataFrame, textCol: String,
                    queryTokens: Seq[String], maxDist: Int = 2): DataFrame = {
     require(maxDist >= 0, s"spellSuggest needs maxDist>=0 (got $maxDist)")
@@ -398,7 +403,9 @@ object FullText {
     val vocab = graft.Tables.scaled(
       docs.select(explode(text.tokens(col(textCol))).as("vterm")))
       .groupBy("vterm").agg(count(lit(1)).as("df"))
-    val q = broadcast(queryTokens.distinct.toDF("qt"))
+    val canonical = queryTokens.map(_.trim.toLowerCase)
+      .filter(_.nonEmpty).distinct
+    val q = broadcast(canonical.toDF("qt"))
     vocab.join(q, abs(length(col("vterm")) - length(col("qt"))) <= maxDist)
       .withColumn("dist", levenshtein(col("qt"), col("vterm")).cast("long"))
       .filter(col("dist") <= maxDist)

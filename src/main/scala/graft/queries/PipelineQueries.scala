@@ -78,8 +78,10 @@ object PipelineQueries {
     * partition column round-trips as a directory name (string), hence the
     * explicit cast back. */
   def indexLayout(spark: SparkSession, dir: String): DataFrame = {
-    val out = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_p7_index_layout").toString
+    // unique per invocation: a fixed shared tmp name let two concurrent
+    // verify/bench runs on one host interleave overwrite and read-back
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_p7_index_layout").toString
     graft.sources.IndexStore.writePartitioned(
       Tables.documents(spark, dir).select(
         col("doc_id"), col("source"), col("n_chars"), col("lang")),

@@ -193,10 +193,13 @@ object TextQueries {
       .orderBy("fp")
 
   /** Edit-distance near-dup pairs over the 40-char normalized field
-    * (title-dedup shape): (prefix-8, length-bucket) blocking, exact
-    * Levenshtein ≤ 18 on collisions — the corpus yields both exact
-    * (dist 0) and genuinely fuzzy (16–18) pairs, so the distance
-    * arithmetic is value-checked, not just the blocking. */
+    * (title-dedup shape): prefix-8 blocking with a 256-member stop-block
+    * cap (no block at this sf reaches it — the cap is exercised by
+    * DedupSpec's planted mega-block), the |Δlen| ≤ 18 Levenshtein lower
+    * bound as the join gate, exact Levenshtein ≤ 18 on collisions — the
+    * corpus yields both exact (dist 0) and genuinely fuzzy (16–18)
+    * pairs, so the distance arithmetic is value-checked, not just the
+    * blocking. */
   def fuzzyPairsQ(spark: SparkSession, dir: String): DataFrame =
     Dedup.fuzzyPairs(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy("id_a", "id_b")
@@ -374,30 +377,36 @@ object TextQueries {
   private val fr = stopSql(text.langStopwords.toMap.apply("fr"))
 
   def oracles: Map[String, String] = Map(
-    // fuzzy-pair replay: identical normalize/slice/blocking, DuckDB's
-    // levenshtein == Spark's (plain Levenshtein, unit costs)
+    // fuzzy-pair replay: identical normalize/slice/blocking (prefix-8
+    // block, stop-blocks > 256 members dropped, |Δlen| <= 18 gate),
+    // DuckDB's levenshtein == Spark's (plain Levenshtein, unit costs)
     "t48_fuzzy_pairs" ->
       """WITH n AS (SELECT doc_id,
         |    trim(regexp_replace(lower(text), '\s+', ' ', 'g'))[1:40] AS t
         |  FROM documents),
-        |b AS (SELECT doc_id, t, t[1:8] AS blk, len(t) // 8 AS lb FROM n)
+        |b AS (SELECT doc_id, t, t[1:8] AS blk, len(t) AS tl FROM n),
+        |k AS (SELECT blk FROM b GROUP BY blk HAVING count(*) <= 256)
         |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
         |  levenshtein(a.t, c.t)::BIGINT AS dist
-        |FROM b a JOIN b c
-        |  ON a.blk = c.blk AND a.lb = c.lb AND a.doc_id < c.doc_id
+        |FROM b a JOIN k USING (blk) JOIN b c
+        |  ON a.blk = c.blk AND abs(a.tl - c.tl) <= 18
+        | AND a.doc_id < c.doc_id
         |WHERE levenshtein(a.t, c.t) <= 18
         |ORDER BY id_a, id_b""".stripMargin,
     // incremental arm: corpus side < 400, incoming side >= 400, same
-    // blocking + distance — cross-set matches only
+    // blocking + distance; the stop-block cap counts CORPUS membership
+    // only (the index side), matching fuzzyMatchAgainst
     "t49_fuzzy_match" ->
       """WITH n AS (SELECT doc_id,
         |    trim(regexp_replace(lower(text), '\s+', ' ', 'g'))[1:40] AS t
         |  FROM documents),
-        |b AS (SELECT doc_id, t, t[1:8] AS blk, len(t) // 8 AS lb FROM n)
+        |b AS (SELECT doc_id, t, t[1:8] AS blk, len(t) AS tl FROM n),
+        |k AS (SELECT blk FROM b WHERE doc_id < 400
+        |      GROUP BY blk HAVING count(*) <= 256)
         |SELECT a.doc_id AS corpus_id, c.doc_id AS inc_id,
         |  levenshtein(a.t, c.t)::BIGINT AS dist
-        |FROM b a JOIN b c
-        |  ON a.blk = c.blk AND a.lb = c.lb
+        |FROM b a JOIN k USING (blk) JOIN b c
+        |  ON a.blk = c.blk AND abs(a.tl - c.tl) <= 18
         | AND a.doc_id < 400 AND c.doc_id >= 400
         |WHERE levenshtein(a.t, c.t) <= 18
         |ORDER BY corpus_id, inc_id""".stripMargin,

@@ -478,11 +478,22 @@ object VectorQueries {
     * are the measured seeded values, re-derived on every gate run — a
     * k-means/probe/scoring change that moves recall goes red here instead
     * of silently degrading ANN quality. Driver-side state is request-sized
-    * (rule 17): 10 exact ids + 10 ids per probe depth. */
+    * (rule 17): 10 exact ids + 10 ids per probe depth.
+    *
+    * The partial-probe constants are FIXTURE-VERSIONED in-band: every
+    * row carries [[fixtureTag]] (an exact integer hash of the embeddings
+    * table) and the oracle pins the tag measured at the gate sf. A
+    * regenerated fixture flips the row red AT THE TAG COLUMN — naming
+    * fixture drift as the cause, not a phantom ANN regression — while
+    * the nprobe=16 row's 10/1.0 stays pinned unconditionally (full probe
+    * == exact holds on ANY data, the v8 bridge). A tag check inside the
+    * engine would instead throw at bench sf (v19 is a headliner at
+    * sf0.1), so the versioning deliberately lives in the compared rows. */
   def ivfRecall(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val q = queryVec(spark, dir)
     val e = Tables.embeddings(spark, dir)
+    val tag = fixtureTag(e)
     val exact = KnnSearch.topK(e, "embedding", "vec_id", q, 10,
         where = col("vec_id") =!= 0)
       .select("vec_id").as[Long].collect().toSet
@@ -497,8 +508,25 @@ object VectorQueries {
       }
       rows.toDF("nprobe", "hits")
         .withColumn("recall", col("hits") / 10.0)
+        .withColumn("fixture", lit(tag))
         .orderBy("nprobe")
     } finally { cached.unpersist(); () }
+  }
+
+  /** Deterministic 8-hex tag of an embeddings fixture: md5 over
+    * (row count, Σ floor(first component · 10⁶) as exact longs) — order-
+    * independent integer arithmetic, so partitioning can't move it, and
+    * any value-level regen of the vectors does. Pinned into the
+    * recall-curve oracles to fixture-version their measured constants. */
+  private[queries] def fixtureTag(e: DataFrame): String = {
+    import e.sparkSession.implicits._
+    val (n, s) = e.agg(
+      count(lit(1)).cast("long"),
+      sum(floor(element_at(col("embedding"), 1) * lit(1e6)).cast("long")))
+      .as[(Long, Long)].head()
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$n:$s".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(8)
   }
 
   /** Matryoshka/adaptive retrieval (MRL, Kusupati et al. 2022 — the
@@ -869,15 +897,26 @@ object VectorQueries {
     // integer probe selection, design rule 13), re-derived by the engine
     // on every gate run and pinned here: nprobe=16 MUST be 10/1.0 (full
     // probe == exact, the v8 bridge); the partial-probe rows are the
-    // measured seeded values at this sf. Any k-means/probe/scoring drift
-    // that moves ANN quality flips this row red.
+    // measured seeded values at this sf, FIXTURE-VERSIONED by deriving
+    // the tag from the live parquet (count + exact component-sum hash,
+    // the same integer arithmetic as VectorQueries.fixtureTag) — a
+    // regenerated fixture flips the row red at the tag column, naming
+    // fixture drift, not a phantom ANN regression. Any k-means/probe/
+    // scoring drift that moves recall still flips hits/recall red.
     "v19_ivf_recall" ->
-      """SELECT nprobe, hits, recall::DOUBLE AS recall FROM (VALUES
+      """WITH ft AS (SELECT md5(count(*) || ':' ||
+        |    sum(floor(embedding[1]*1e6)::BIGINT))[1:8] AS fixture
+        |  FROM embeddings)
+        |SELECT nprobe, hits, recall::DOUBLE AS recall,
+        |  CASE WHEN fixture = 'd731e9e0' THEN fixture
+        |       ELSE 'REGENERATED-FIXTURE(' || fixture ||
+        |            ')-REMEASURE-PARTIAL-PROBE-ROWS' END AS fixture
+        |FROM (VALUES
         |  (1::BIGINT, 1::BIGINT, 0.1),
         |  (2::BIGINT, 4::BIGINT, 0.4),
         |  (4::BIGINT, 4::BIGINT, 0.4),
         |  (8::BIGINT, 10::BIGINT, 1.0),
-        |  (16::BIGINT, 10::BIGINT, 1.0)) t(nprobe, hits, recall)
+        |  (16::BIGINT, 10::BIGINT, 1.0)) t(nprobe, hits, recall), ft
         |ORDER BY nprobe""".stripMargin,
     // full-probe + corpus-covering oversample IVF-PQ must too
     "v13_ivfpq" -> exactTop10,

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, explode}
+import org.apache.spark.sql.functions.{col, concat, explode, lit}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Dedup
 
@@ -264,5 +264,50 @@ class DedupSpec extends AnyFunSuite {
       .filter(p => p._1 < 5 && p._2 >= 5)
     assert(got == full, s"incremental $got vs batch cross-slice $full")
     assert(got == Set((1L, 9L, 2L)), s"the planted cross-set typo pair: $got")
+  }
+
+  test("fuzzyPairs: lengths straddling the old div-8 bucket boundary still pair (|Δlen| gate)") {
+    // 22 vs 24 normalized chars — old length-buckets 2 vs 3 would have
+    // silently dropped this 2-edit pair; the |Δlen| <= maxDist lower
+    // bound keeps it (the round-9 ADVICE recall fix, pinned here).
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta x")
+    ).toDF("doc_id", "text")
+    val got = Dedup.fuzzyPairs(docs, "doc_id", "text", maxDist = 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 2L)), s"boundary-straddling pair found: $got")
+  }
+
+  test("fuzzyPairs/fuzzyMatchAgainst: a planted 10k-doc mega-block is capped, not joined") {
+    // 10_000 docs share the blocking prefix — uncapped that is ~5·10⁷
+    // Levenshtein candidates on ONE shuffle key; the maxBlock stop-block
+    // cap drops the block (boilerplate, not near-dup signal) so the job
+    // stays bounded, and fuzzyStopBlocks reports exactly what was cut.
+    val mega = spark.range(10L, 10010L)
+      .select($"id".as("doc_id"),
+        concat(lit("boilerplate header shared by all docs no "),
+          $"id".cast("string")).as("text"))
+    val pair = Seq(
+      (1L, "unique needle text one with a small typo"),
+      (2L, "unique needle text one with a smal typo")).toDF("doc_id", "text")
+    val docs = mega.unionByName(pair)
+    val got = Dedup.fuzzyPairs(docs, "doc_id", "text", maxDist = 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(p => (p._1, p._2)) == Seq((1L, 2L)),
+      s"only the out-of-block pair survives the cap: ${got.take(5)}")
+    val stops = Dedup.fuzzyStopBlocks(docs, "doc_id", "text")
+      .as[(String, Long)].collect().toSeq
+    assert(stops == Seq(("boilerpl", 10000L)),
+      s"the audit view names the dropped block + size: $stops")
+    // incremental arm: same cap, computed on the index (corpus) side
+    val idx = Dedup.fuzzyIndex(docs, "doc_id", "text")
+    val inc = Seq((20001L, "boilerplate header shared by all docs no 42"),
+      (20002L, "unique needle text one with a small typo!"))
+      .toDF("doc_id", "text")
+    val m = Dedup.fuzzyMatchAgainst(inc, "doc_id", "text", idx, maxDist = 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(m.forall(_._2 != 20001L) && m.exists(r => r._1 == 1L && r._2 == 20002L),
+      s"mega-block incoming matches nothing; needle matches: ${m.take(5)}")
   }
 }

@@ -203,4 +203,16 @@ class FullTextSpec extends AnyFunSuite {
     // third term is common (df=N) -> every other doc now matches
     assert(ids == Set(2L, 3L, 4L, 5L, 6L, 7L))
   }
+
+  test("spellSuggest canonicalizes query tokens: mixed case finds the same correction") {
+    val docs = Seq((1L, "spark spark merge"), (2L, "spark shuffle")).toDF("doc_id", "text")
+    def run(qs: Seq[String]) =
+      FullText.spellSuggest(docs, "text", qs, maxDist = 2)
+        .select("token", "suggestion", "dist")
+        .as[(String, String, Long)].collect().toSet
+    val lower = run(Seq("sparc"))
+    assert(lower == Set(("sparc", "spark", 1L)), lower.toString)
+    // mixed case + padding canonicalize to the same token -> same row
+    assert(run(Seq("  SpArC ")) == lower, "mixed-case query must not miss")
+  }
 }
