@@ -19,7 +19,12 @@ import graft.operators.{Embedder, HashEmbedder, KnnSearch, Padding, Serving}
 object GraftService {
 
   /** Mirror of `core/models/request.py:114-182` (the analytics-relevant
-    * fields; model/output-format knobs live serving-side). */
+    * fields; model/output-format knobs live serving-side). `queryImage`
+    * is the visual-search arm (`request.py:122-125`): raw image bytes,
+    * mutually exclusive with a non-empty `queryText`
+    * (`request.py:175-179`), only valid on the multivector branch
+    * (`document_service.py:234-238`), at most [[MaxQueryImageBytes]]
+    * (`document_service.py:241-246`). */
   case class RetrieveRequest(
       queryText: String,
       k: Int = 20,
@@ -30,7 +35,22 @@ object GraftService {
       endUserId: Option[String] = None,
       folderPath: Option[String] = None,
       folderDepth: Int = 0,                    // 0 exact, -1 descendants, n>0 bounded
-      padding: Int = 0)
+      padding: Int = 0,
+      queryImage: Option[Array[Byte]] = None)
+
+  /** The reference's 10 MB query-image gate (`document_service.py:241`). */
+  val MaxQueryImageBytes: Int = 10 * 1024 * 1024
+
+  /** `request.py:175-179` + `document_service.py:241-246`, applied at the
+    * dispatch point every arm shares. */
+  private def validateQueryImage(req: RetrieveRequest): Unit =
+    req.queryImage.foreach { img =>
+      require(req.queryText == null || req.queryText.isEmpty,
+        "Provide either queryText or queryImage, not both (request.py:175-179)")
+      require(img.length <= MaxQueryImageBytes,
+        f"query image exceeds the 10MB gate (got ${img.length / 1048576.0}%.1fMB," +
+          " document_service.py:241-246)")
+    }
 
   /** Chunk-table column contract (the wide v2 layout, FIXTURES A2). */
   case class ChunkTable(
@@ -67,6 +87,9 @@ object GraftService {
   /** retrieve_chunks: the full Q1+Q14(+Q6)(+Q8) pipeline as one plan. */
   def retrieveChunks(req: RetrieveRequest, chunks: ChunkTable,
                      embedder: Embedder = HashEmbedder(64)): DataFrame = {
+    require(req.queryImage.isEmpty,
+      "image queries require the multivector arm — use " +
+        "retrieveChunksMultivector (document_service.py:234-238)")
     val qVec = embedder.embedText(req.queryText)
     val fetchK = if (req.useReranking) Serving.oversample(req.k) else req.k
     val hits = KnnSearch.topK(chunks.df, chunks.embeddingCol, chunks.docIdCol,
@@ -94,8 +117,18 @@ object GraftService {
   def retrieveChunksMultivector(req: RetrieveRequest, chunks: ChunkTable,
                                 mvCol: String,
                                 embedder: operators.MultiVectorEmbedder): DataFrame = {
-    val qmv = embedder.embedTextMulti(req.queryText)
+    validateQueryImage(req)
+    // `document_service.py:278-296`: an image query embeds through the
+    // model's image path, a text query through embed_for_query — then the
+    // two share every downstream stage.
+    val qmv = req.queryImage match {
+      case Some(img) => embedder.embedImageMulti(img)
+      case None      => embedder.embedTextMulti(req.queryText)
+    }
     require(qmv.nonEmpty, "query multivector is empty (embedder failure)")
+    require(req.queryImage.isEmpty || !req.useReranking,
+      "reranking is text-queried; image queries run unreranked " +
+        "(the cross-encoder scores (queryText, content) pairs)")
     val qlit = typedLit(qmv.map(_.toSeq).toSeq)
     val fetchK = if (req.useReranking) Serving.oversample(req.k) else req.k
     val scored = chunks.df.filter(compileScope(req, chunks))
@@ -133,6 +166,8 @@ object GraftService {
   def retrieveChunksHybrid(req: RetrieveRequest, chunks: ChunkTable,
                            embedder: Embedder = HashEmbedder(64),
                            kRrf: Int = 60): DataFrame = {
+    require(req.queryImage.isEmpty,
+      "image queries require the multivector arm (document_service.py:234-238)")
     import org.apache.spark.sql.expressions.Window
     val keyed = chunks.df.filter(compileScope(req, chunks)).withColumn("__cid",
       concat_ws(":", col(chunks.docIdCol), col(chunks.chunkNoCol)))
@@ -170,6 +205,8 @@ object GraftService {
   def retrieveChunksDiverse(req: RetrieveRequest, chunks: ChunkTable,
                             embedder: Embedder = HashEmbedder(64),
                             lambda: Double = 0.5): DataFrame = {
+    require(req.queryImage.isEmpty,
+      "image queries require the multivector arm (document_service.py:234-238)")
     // 2k oversample (the hybrid arm's rule, NOT Serving.oversample whose
     // max(k, min(3k, 20)) cap equals k once k >= 20 — a pool of exactly k
     // candidates would make diversification a pure reorder with nothing to

@@ -105,7 +105,8 @@ object ScaleProbe {
         "e14_resample_interp", "s6_dispatcher_colpali_rerank",
         "c4_cdc_chunks", "tr3_triplets", "u6_changelog_apply",
         "t47_pretrain_e2e", "t48_fuzzy_pairs", "t49_fuzzy_match",
-        "t50_snapshot_diff", "n10_spell_suggest", "m10_caption_frames")
+        "t50_snapshot_diff", "n10_spell_suggest", "m10_caption_frames",
+        "s7_image_retrieve")
       // optional second arg: probe only the named queries (comma-separated) —
       // re-measuring one changed operator shouldn't cost the full heavy tail.
       // Unknown names fail loudly: a typo silently probing nothing (and still

@@ -17,6 +17,12 @@ trait MultiVectorEmbedder extends Serializable {
   def embedMulti(df: DataFrame, textCol: String, outCol: String): DataFrame
   /** Query-side: one multivector for the query text/image. */
   def embedTextMulti(s: String): Array[Array[Float]]
+  /** Query-side IMAGE embedding — the `query_image` retrieval arm
+    * (`request.py:114-182` `query_image`; `document_service.py:278-296`
+    * dispatches image queries to the ColPali model's image path instead
+    * of `embed_for_query`). One multivector (one vector per patch) for
+    * the raw encoded image bytes. */
+  def embedImageMulti(bytes: Array[Byte]): Array[Array[Float]]
 }
 
 case class HttpMultiVectorEmbedder(endpoint: String, dim: Int,
@@ -81,6 +87,20 @@ case class HttpMultiVectorEmbedder(endpoint: String, dim: Int,
   override def embedTextMulti(s: String): Array[Array[Float]] =
     try embedBatch(HttpWire.newClient(timeoutSec), Seq(s)).head
     catch { case _: Exception => Array.empty }
+
+  /** Image query wire shape (`colpali_api_embedding_model.py:286`:
+    * `{"input_type": "image", "inputs": [<base64>, ...]}` — the payload
+    * is the base64 of the raw encoded image): same response parse as the
+    * text path, same empty-on-failure degradation. */
+  override def embedImageMulti(bytes: Array[Byte]): Array[Array[Float]] = {
+    val b64 = java.util.Base64.getEncoder.encodeToString(
+      if (bytes == null) Array.emptyByteArray else bytes)
+    val body =
+      s"""{"model":"${HttpWire.jsonEscape(model)}","input_type":"image","input":["$b64"]}"""
+    try parse(HttpWire.postWithRetry(HttpWire.newClient(timeoutSec), endpoint,
+      body, numRetries, timeoutSec), 1).head
+    catch { case _: Exception => Array.empty }
+  }
 }
 
 /** Deterministic fixture/CI embedder: a fixed query multivector (oracle
@@ -92,6 +112,8 @@ case class FixedMultiVectorEmbedder(vecs: Seq[Seq[Float]]) extends MultiVectorEm
   override def embedMulti(df: DataFrame, textCol: String, outCol: String): DataFrame =
     df.withColumn(outCol, org.apache.spark.sql.functions.typedLit(vecs))
   override def embedTextMulti(s: String): Array[Array[Float]] =
+    vecs.map(_.toArray).toArray
+  override def embedImageMulti(bytes: Array[Byte]): Array[Array[Float]] =
     vecs.map(_.toArray).toArray
 }
 
@@ -122,4 +144,23 @@ case class HashMultiVectorEmbedder(dim: Int = 128) extends MultiVectorEmbedder {
         r.toSeq :+ embedTextMulti(r.getString(idx)).map(_.toSeq).toSeq))
     }(enc)
   }
+
+  /** Image stand-in, patch-shaped like the real model ((patches, dim)
+    * per image): REALLY decode the bytes, integer area-average to a 4×4
+    * luma grid ([[ImageCodec.lumaCells]] — the dHash kernel), then one
+    * md5-derived vector per cell from the token `px:<cell>:<luma>` — so
+    * the vectors respond to pixel CONTENT deterministically, the image
+    * analog of the per-token text hash above. Undecodable bytes fall
+    * back to one vector hashing the raw bytes (never empty, matching the
+    * text path's contract). */
+  override def embedImageMulti(bytes: Array[Byte]): Array[Array[Float]] =
+    ImageCodec.lumaGrid(bytes, cols = 4, rows = 4) match {
+      case Some(cells) =>
+        cells.zipWithIndex.map { case (l, i) => tokenVec(s"px:$i:$l") }
+      case None =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(if (bytes == null) Array.emptyByteArray else bytes)
+          .map(b => f"$b%02x").mkString
+        Array(tokenVec(s"img:$hex"))
+    }
 }

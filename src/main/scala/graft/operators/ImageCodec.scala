@@ -109,21 +109,44 @@ object ImageCodec {
     * input hashes its own pixels (identity downsample) — what pins the m5
     * oracle. None for undecodable/empty-dimension bytes. */
   def dHash(bytes: Array[Byte]): Option[Long] = {
-    if (bytes == null || bytes.isEmpty) return None
     val img =
-      try ImageIO.read(new ByteArrayInputStream(bytes))
-      catch { case _: Exception => null }
+      if (bytes == null || bytes.isEmpty) null
+      else
+        try ImageIO.read(new ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
     if (img == null || img.getWidth == 0 || img.getHeight == 0) return None
-    val (w, h) = (img.getWidth, img.getHeight)
-    // integer area-average downsample to 9x8: cell (cx, cy) averages the
-    // pixel box [cx*w/9, (cx+1)*w/9) x [cy*h/8, (cy+1)*h/8)
-    val cell = Array.ofDim[Long](8, 9)
+    val cell = lumaCells(img, cols = 9, rows = 8)
+    var hash = 0L
+    var k = 0
     var cy = 0
     while (cy < 8) {
       var cx = 0
-      while (cx < 9) {
-        val x0 = cx * w / 9; val x1 = math.max((cx + 1) * w / 9, x0 + 1)
-        val y0 = cy * h / 8; val y1 = math.max((cy + 1) * h / 8, y0 + 1)
+      while (cx < 8) {
+        if (cell(cy * 9 + cx + 1) > cell(cy * 9 + cx)) hash |= 1L << k
+        k += 1
+        cx += 1
+      }
+      cy += 1
+    }
+    Some(hash)
+  }
+
+  /** Integer area-average luma downsample to a `cols`×`rows` grid,
+    * row-major — the dHash kernel's arithmetic, exposed for the
+    * patch-shaped image embedders (a CI stand-in derives one vector per
+    * grid cell). Cell (cx, cy) averages the pixel box
+    * [cx·w/cols, (cx+1)·w/cols) × [cy·h/rows, (cy+1)·h/rows); luma is the
+    * ITU-R 601-2 16.16 fixed point shared with [[isBlank]]/[[dHash]] —
+    * all integer, so the grid is bit-deterministic across JVMs. */
+  def lumaCells(img: BufferedImage, cols: Int, rows: Int): Array[Long] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val cell = new Array[Long](rows * cols)
+    var cy = 0
+    while (cy < rows) {
+      var cx = 0
+      while (cx < cols) {
+        val x0 = cx * w / cols; val x1 = math.max((cx + 1) * w / cols, x0 + 1)
+        val y0 = cy * h / rows; val y1 = math.max((cy + 1) * h / rows, y0 + 1)
         var sum = 0L
         var y = y0
         while (y < y1) {
@@ -136,24 +159,22 @@ object ImageCodec {
           }
           y += 1
         }
-        cell(cy)(cx) = sum / ((x1 - x0).toLong * (y1 - y0))
+        cell(cy * cols + cx) = sum / ((x1 - x0).toLong * (y1 - y0))
         cx += 1
       }
       cy += 1
     }
-    var hash = 0L
-    var k = 0
-    cy = 0
-    while (cy < 8) {
-      var cx = 0
-      while (cx < 8) {
-        if (cell(cy)(cx + 1) > cell(cy)(cx)) hash |= 1L << k
-        k += 1
-        cx += 1
-      }
-      cy += 1
-    }
-    Some(hash)
+    cell
+  }
+
+  /** [[lumaCells]] from raw encoded bytes; None when undecodable. */
+  def lumaGrid(bytes: Array[Byte], cols: Int, rows: Int): Option[Array[Long]] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth == 0 || img.getHeight == 0) None
+    else Some(lumaCells(img, cols, rows))
   }
 
   private def fallback(bytes: Array[Byte], mime: String): Normalized =

@@ -49,8 +49,52 @@ object VectorQueries {
     "s2_colpali_padding" -> ((s, d) => colpaliPadding(s, d)),
     "s3_colpali_groups" -> ((s, d) => colpaliGroups(s, d)),
     "s5_dispatcher_rerank" -> ((s, d) => dispatcherRerank(s, d)),
-    "s6_dispatcher_colpali_rerank" -> ((s, d) => dispatcherColpaliRerank(s, d))
+    "s6_dispatcher_colpali_rerank" -> ((s, d) => dispatcherColpaliRerank(s, d)),
+    "s7_image_retrieve" -> ((s, d) => dispatcherImageQuery(s, d))
   )
+
+  /** The `query_image` retrieval arm END-TO-END (`request.py:114-182`
+    * `query_image` → `document_service.py:278-296` image-embed dispatch →
+    * the MaxSim branch): a REAL 32×32 PNG is decoded by the serving
+    * pipeline (ImageIO), area-averaged to the 4×4 patch grid, embedded to
+    * 16 md5-derived patch vectors by the deterministic
+    * [[graft.operators.HashMultiVectorEmbedder]] CI stand-in, and scored
+    * against the colpali chunk table. The probe image is UNIFORM gray
+    * (luma 77): any area average of a constant is that constant, so the
+    * oracle re-derives the 16 patch vectors from `md5('px:<i>:77')`
+    * symbolically — the decode and grid actually RUN in the engine (a
+    * decode/grid failure changes every token and flips the row red),
+    * while the grid arithmetic on non-uniform pixels is pinned by
+    * ImageCodecSpec/GraftServiceSpec. Scoring, top-k, and ordering are
+    * the s6 plan with rerank off (image queries are unreranked — the
+    * cross-encoder scores text pairs). */
+  def dispatcherImageQuery(spark: SparkSession, dir: String): DataFrame = {
+    val req = graft.GraftService.RetrieveRequest(
+      "", k = 6, queryImage = Some(grayPng(32, 32, 77)))
+    graft.GraftService.retrieveChunksMultivector(
+      req, graft.GraftService.ChunkTable(colpaliChunkTable(spark, dir)), "mv",
+      graft.operators.HashMultiVectorEmbedder(64))
+      .select(col("document_id"),
+        col("chunk_number").cast("long").as("chunk_number"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("document_id"), col("chunk_number"))
+  }
+
+  /** Uniform-gray PNG probe (real encode; ImageIO round-trips it). */
+  private[graft] def grayPng(w: Int, h: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
 
   /** Q7 config 4 — the last of the dispatcher's four reference configs
     * ({rerank?}×{colpali?}, `document_service.py:213-229`) to get its own
@@ -1156,7 +1200,37 @@ object VectorQueries {
         |       FROM rr)
         |SELECT document_id, chunk_number, round(rscore, 6) AS score
         |FROM sel WHERE rn <= 6
-        |ORDER BY score DESC, document_id, chunk_number""".stripMargin
+        |ORDER BY score DESC, document_id, chunk_number""".stripMargin,
+    // image-query replay: the probe is uniform gray (luma 77), so the
+    // engine's decode→4×4 area-average grid provably yields 16 cells of
+    // exactly 77, and the HashMultiVectorEmbedder patch vectors are
+    // re-derivable symbolically from md5('px:<cell>:77') — component j is
+    // md5 byte j%16, mapped ((b-128)/128, exact in binary). MaxSim over
+    // singleton chunk multivectors = the ordered dot-product sum
+    // (list_sum over a list ORDER BY qi = MaxSimFloat's qi loop order,
+    // double accumulation both sides).
+    "s7_image_retrieve" ->
+      """WITH hexmap AS (SELECT printf('%02x', i) AS hx, i AS bv
+        |  FROM range(256) t(i)),
+        |qtok AS (SELECT i AS qi, md5('px:' || i || ':77') AS h
+        |  FROM range(16) t(i)),
+        |qcomp AS (SELECT qi, j, (bv - 128) / 128.0 AS c
+        |  FROM qtok CROSS JOIN range(64) r(j)
+        |  JOIN hexmap ON hx = substr(h, ((j % 16) * 2) + 1, 2)),
+        |qv0 AS (SELECT qi, list(c ORDER BY j) AS v FROM qcomp GROUP BY qi),
+        |q AS (SELECT list(v ORDER BY qi) AS qv FROM qv0),
+        |ch AS (
+        |  SELECT label::BIGINT AS document_id,
+        |    (row_number() OVER (PARTITION BY label ORDER BY vec_id) - 1)::BIGINT
+        |      AS chunk_number,
+        |    embedding::DOUBLE[] AS e
+        |  FROM embeddings),
+        |scored AS (SELECT document_id, chunk_number,
+        |    list_sum(list_transform(q.qv, v -> list_dot_product(v, e))) AS score
+        |  FROM ch, q)
+        |SELECT document_id, chunk_number, round(score, 6) AS score
+        |FROM scored ORDER BY score DESC, document_id, chunk_number
+        |LIMIT 6""".stripMargin
   )
 
   /** Shared s2/s3 oracle prefix: chunk-table synthesis, MaxSim scoring

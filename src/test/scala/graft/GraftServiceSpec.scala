@@ -141,6 +141,8 @@ class GraftServiceSpec extends AnyFunSuite {
       def embedMulti(df: org.apache.spark.sql.DataFrame, textCol: String,
                      outCol: String): org.apache.spark.sql.DataFrame =
         sys.error("query-side-only test embedder")
+      def embedImageMulti(bytes: Array[Byte]): Array[Array[Float]] =
+        sys.error("text-only test embedder")
     }
     val emb = TokenMvEmbedder()
     val rows = Seq(
@@ -256,5 +258,79 @@ class GraftServiceSpec extends AnyFunSuite {
     // a pure-keyword query term absent from embeddings still contributes:
     // all doc-1 chunks contain "spark" -> keyword arm ranks them
     assert(got.count(_._1 == 1L) >= 3)
+  }
+
+  test("image query: request gates mirror the reference (mutual exclusion, 10MB, arm)") {
+    val img = graft.queries.VectorQueries.grayPng(8, 8, 100)
+    val emb = graft.operators.HashMultiVectorEmbedder(dim = 16)
+    val rows = Seq((1L, 0, "alpha", Map.empty[String, String]))
+      .toDF("document_id", "chunk_number", "content", "metadata")
+    val chunks = ChunkTable(emb.embedMulti(rows, "content", "mv"))
+    // both query text and image -> reject (request.py:175-179)
+    val both = intercept[IllegalArgumentException] {
+      retrieveChunksMultivector(
+        RetrieveRequest("text too", queryImage = Some(img)), chunks, "mv", emb)
+    }
+    assert(both.getMessage.contains("not both"))
+    // over the 10MB gate -> reject (document_service.py:241-246)
+    val big = intercept[IllegalArgumentException] {
+      retrieveChunksMultivector(
+        RetrieveRequest("", queryImage = Some(new Array[Byte](MaxQueryImageBytes + 1))),
+        chunks, "mv", emb)
+    }
+    assert(big.getMessage.contains("10MB"))
+    // image queries need the multivector arm (document_service.py:234-238)
+    val dense = intercept[IllegalArgumentException] {
+      retrieveChunks(RetrieveRequest("", queryImage = Some(img)), chunkTable)
+    }
+    assert(dense.getMessage.contains("multivector"))
+    // reranking is text-paired -> rejected with an image query
+    val rr = intercept[IllegalArgumentException] {
+      retrieveChunksMultivector(
+        RetrieveRequest("", queryImage = Some(img), useReranking = true),
+        chunks, "mv", emb)
+    }
+    assert(rr.getMessage.contains("rerank"))
+  }
+
+  test("image query retrieves end-to-end and responds to pixel content") {
+    val emb = graft.operators.HashMultiVectorEmbedder(dim = 16)
+    // chunk multivectors ARE image patch embeddings of two distinct images
+    val imgA = graft.queries.VectorQueries.grayPng(16, 16, 40)
+    val imgB = graft.queries.VectorQueries.grayPng(16, 16, 200)
+    val rows = Seq(
+      (1L, 0, "data:image/png;base64,a", imgA),
+      (2L, 0, "data:image/png;base64,b", imgB))
+      .map { case (d, n, c, img) =>
+        (d, n, c, emb.embedImageMulti(img).map(_.toSeq).toSeq) }
+      .toDF("document_id", "chunk_number", "content", "mv")
+    val chunks = ChunkTable(rows)
+    def top(img: Array[Byte]) = retrieveChunksMultivector(
+      RetrieveRequest("", k = 1, queryImage = Some(img)), chunks, "mv", emb)
+      .select("document_id").as[Long].collect().toSeq
+    // querying BY each image finds itself (16 identical patch vectors ->
+    // MaxSim is maximal against its own patches)
+    assert(top(imgA) == Seq(1L) && top(imgB) == Seq(2L),
+      "image query must rank its own image first")
+    // determinism: same bytes, same multivector
+    val mv1 = emb.embedImageMulti(imgA).map(_.toSeq).toSeq
+    assert(mv1 == emb.embedImageMulti(imgA).map(_.toSeq).toSeq)
+    assert(mv1.size == 16 && mv1.forall(_.size == 16), "4x4 patches x dim")
+    // undecodable bytes degrade to a single raw-bytes-hash vector
+    val junk = emb.embedImageMulti(Array[Byte](1, 2, 3))
+    assert(junk.length == 1 && junk.head.length == 16)
+  }
+
+  test("lumaCells: non-uniform 2x2-block image gives the hand-computed 2x2 grid") {
+    // 4x4 image of four uniform 2x2 quadrants -> area averages are exact
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    def fill(x0: Int, y0: Int, v: Int): Unit =
+      for (y <- y0 until y0 + 2; x <- x0 until x0 + 2)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    fill(0, 0, 10); fill(2, 0, 60); fill(0, 2, 110); fill(2, 2, 250)
+    val cells = graft.operators.ImageCodec.lumaCells(img, cols = 2, rows = 2)
+    assert(cells.toSeq == Seq(10L, 60L, 110L, 250L),
+      s"row-major quadrant means: ${cells.toSeq}")
   }
 }
