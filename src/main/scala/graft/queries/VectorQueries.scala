@@ -50,7 +50,8 @@ object VectorQueries {
     "s3_colpali_groups" -> ((s, d) => colpaliGroups(s, d)),
     "s5_dispatcher_rerank" -> ((s, d) => dispatcherRerank(s, d)),
     "s6_dispatcher_colpali_rerank" -> ((s, d) => dispatcherColpaliRerank(s, d)),
-    "s7_image_retrieve" -> ((s, d) => dispatcherImageQuery(s, d))
+    "s7_image_retrieve" -> ((s, d) => dispatcherImageQuery(s, d)),
+    "v23_ann_recall" -> ((s, d) => annRecall(s, d))
   )
 
   /** The `query_image` retrieval arm END-TO-END (`request.py:114-182`
@@ -555,6 +556,135 @@ object VectorQueries {
         .withColumn("fixture", lit(tag))
         .orderBy("nprobe")
     } finally { cached.unpersist(); () }
+  }
+
+  /** The quality rows for every OTHER compression rung's PRUNED operating
+    * point — the v19 pattern generalized (round-9 verdict ask #3). Each
+    * rung is proven EXACT at covering settings by its own oracle row
+    * (v12/v14 replay the arithmetic bit-for-bit; v13/v15/v17/v20/v21 ride
+    * the full-probe/corpus-covering-oversample bridge); what a 100 TB
+    * deployment actually runs is the pruned configuration, so each gets a
+    * recall row here at a realistic setting:
+    *  - v12 PQ-ADC and v14 SQ8-ADC ranked raw at top-10 (32× / 4×
+    *    compression, no rerank) — the quantizer's own fidelity;
+    *  - v13 IVF-PQ, v15 IVF-SQ8, v17 residual IVF-PQ at nprobe 2/16
+    *    (12.5% of lists) with a 50-candidate ADC oversample (10% of the
+    *    corpus) before exact rerank — the two-phase oversample semantics
+    *    of `fast_multivector_store.py:526-556`;
+    *  - v20 matryoshka and v21 binary-rescore at a 20-candidate phase-1
+    *    cut (4% of corpus) before full-precision rerank;
+    *  - v22 multivector PQ MaxSim: top-5 LABELS by ADC MaxSim vs top-5 by
+    *    exact float MaxSim (k=5 of 10 labels).
+    * Every path is seeded/deterministic (rule 13), so the recalls are
+    * fixture constants, pinned in the oracle VALUES and fixture-versioned
+    * in-band exactly like v19 ([[fixtureTag]]). A quantizer/probe/rerank
+    * regression moves hits; a testdata regen moves the tag column — the
+    * red row names its own cause.
+    *
+    * Honest readings of the pinned values: v12's 0.2 is the SAMPLED
+    * (zero-Lloyd) codebook the oracle can replay — the trained codebook's
+    * better recall is PqIndexSpec's gate, not an oracle row; v20's 0.1
+    * reflects that the fixture's hash embeddings are NOT MRL-trained
+    * (nothing front-loads information into the prefix), so the row pins
+    * the mechanism's behavior on untrained vectors, the worst case. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val q = queryVec(spark, dir)
+    val tag = fixtureTag(e)
+    val exact = KnnSearch.topK(e, "embedding", "vec_id", q, 10,
+        where = col("vec_id") =!= 0)
+      .select("vec_id").as[Long].collect().toSet
+    def hits10(df: DataFrame): Long =
+      df.select("vec_id").as[Long].collect().count(exact).toLong
+
+    val pq = PqIndex.sampledModel(e, "embedding", "vec_id", m = 8, k = 16)
+    val sq = SqIndex.train(e, "embedding")
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+
+    rows += (("v12_pq_adc", hits10(PqIndex.topN(
+      PqIndex.encode(e, "embedding", pq).filter(col("vec_id") =!= 0),
+      pq, "vec_id", q, n = 10)), 10L))
+    rows += (("v14_sq_adc", hits10(SqIndex.topN(
+      SqIndex.encode(e, "embedding", sq).filter(col("vec_id") =!= 0),
+      sq, "vec_id", q, n = 10)), 10L))
+
+    locally { // v13 pruned: nprobe 2, oversample 50, exact rerank
+      val (indexed, ivf) = IvfIndex.build(
+        PqIndex.encode(e, "embedding", pq), "embedding", lists = 16)
+      val probed = ivf.nearestClusters(q, nprobe = 2)
+      val cand = PqIndex.topN(
+        indexed.filter(col("cluster_id").isin(probed: _*) && col("vec_id") =!= 0),
+        pq, "vec_id", q, n = 50)
+      rows += (("v13_ivfpq", hits10(KnnSearch.topK(cand, "embedding", "vec_id", q, 10)), 10L))
+    }
+    locally { // v15 pruned: nprobe 2, oversample 50, exact rerank
+      val (indexed, ivf) = IvfIndex.build(
+        SqIndex.encode(e, "embedding", sq), "embedding", lists = 16)
+      val probed = ivf.nearestClusters(q, nprobe = 2)
+      val cand = SqIndex.topN(
+        indexed.filter(col("cluster_id").isin(probed: _*) && col("vec_id") =!= 0),
+        sq, "vec_id", q, n = 50)
+      rows += (("v15_ivfsq", hits10(KnnSearch.topK(cand, "embedding", "vec_id", q, 10)), 10L))
+    }
+    locally { // v17 pruned: residual codebooks, nprobe 2, oversample 50
+      val (indexed, ivf) = IvfIndex.build(e, "embedding", lists = 16)
+      val centLit = typedLit(ivf.centroids.map(_.toSeq).toSeq)
+      val resid = indexed.withColumn("__resid",
+        zip_with(col("embedding"), element_at(centLit, col("cluster_id") + 1),
+          (a, b) => a - b))
+      val rpq = PqIndex.sampledModel(resid, "__resid", "vec_id", m = 8, k = 16)
+      val enc = PqIndex.encode(resid, "__resid", rpq)
+      val qDotC = ivf.centroids.map { c =>
+        var s = 0.0; var j = 0
+        while (j < c.length) { s += q(j).toDouble * c(j).toDouble; j += 1 }
+        s
+      }
+      val probed = ivf.nearestClusters(q, nprobe = 2)
+      val cand = enc
+        .filter(col("cluster_id").isin(probed: _*) && col("vec_id") =!= 0)
+        .withColumn("adc_score",
+          element_at(typedLit(qDotC.toSeq), col("cluster_id") + 1) +
+            PqIndex.adcScore(col("pq_code"), rpq.lut(q), rpq.k))
+        .orderBy(col("adc_score").desc, col("vec_id")).limit(50)
+      rows += (("v17_ivfpq_residual", hits10(KnnSearch.topK(cand, "embedding", "vec_id", q, 10)), 10L))
+    }
+    locally { // v20 pruned: 16-dim prefix phase 1, 20-candidate cut
+      val pref = e.withColumn("__prefix", slice(col("embedding"), 1, 16))
+      val cand = KnnSearch.topK(pref, "__prefix", "vec_id", q.take(16), 20,
+        where = col("vec_id") =!= 0)
+      rows += (("v20_matryoshka", hits10(KnnSearch.topK(cand.drop("score"), "embedding", "vec_id", q, 10)), 10L))
+    }
+    locally { // v21 pruned: Hamming phase 1 at a 20-candidate cut
+      val cand = e.filter(col("vec_id") =!= 0)
+        .withColumn("__ham", vec.hamming(vec.binary_quantize(col("embedding")),
+          vec.binary_quantize(lit(q))))
+        .orderBy(col("__ham").asc, col("vec_id").asc).limit(20)
+      rows += (("v21_binary_rescore", hits10(KnnSearch.topK(cand, "embedding", "vec_id", q, 10)), 10L))
+    }
+    locally { // v22: top-5 labels, ADC MaxSim vs exact float MaxSim
+      val enc = PqIndex.encode(e, "embedding", pq)
+      val q0 = queryVec(spark, dir, 0); val q1 = queryVec(spark, dir, 1)
+      def top5(df: DataFrame, s0: org.apache.spark.sql.Column,
+               s1: org.apache.spark.sql.Column): Seq[Long] =
+        df.withColumn("__s0", s0).withColumn("__s1", s1)
+          .groupBy("label")
+          .agg((max(col("__s0")) + max(col("__s1"))).as("__m"))
+          .orderBy(col("__m").desc, col("label"))
+          .limit(5).select(col("label").cast("long")).as[Long].collect().toSeq
+      val adc = top5(enc,
+        PqIndex.adcScore(col("pq_code"), pq.lut(q0), pq.k),
+        PqIndex.adcScore(col("pq_code"), pq.lut(q1), pq.k))
+      val ex = top5(e,
+        vec.dot_product(col("embedding"), lit(q0)),
+        vec.dot_product(col("embedding"), lit(q1))).toSet
+      rows += (("v22_mv_pq_maxsim", adc.count(ex).toLong, 5L))
+    }
+
+    rows.toSeq.toDF("rung", "hits", "k")
+      .withColumn("recall", col("hits") / col("k").cast("double"))
+      .withColumn("fixture", lit(tag))
+      .orderBy("rung")
   }
 
   /** Deterministic 8-hex tag of an embeddings fixture: md5 over
@@ -1230,7 +1360,30 @@ object VectorQueries {
         |  FROM ch, q)
         |SELECT document_id, chunk_number, round(score, 6) AS score
         |FROM scored ORDER BY score DESC, document_id, chunk_number
-        |LIMIT 6""".stripMargin
+        |LIMIT 6""".stripMargin,
+    // pruned-configuration recall constants, fixture-versioned exactly
+    // like v19 (same derived-tag CTE): a quantizer/probe/rerank change
+    // moves hits red; a testdata regen moves the tag column red with an
+    // explanatory value.
+    "v23_ann_recall" ->
+      """WITH ft AS (SELECT md5(count(*) || ':' ||
+        |    sum(floor(embedding[1]*1e6)::BIGINT))[1:8] AS fx
+        |  FROM embeddings)
+        |SELECT rung, hits, k, recall::DOUBLE AS recall,
+        |  CASE WHEN fx = 'd731e9e0' THEN fx
+        |       ELSE 'REGENERATED-FIXTURE(' || fx ||
+        |            ')-REMEASURE-RECALL-ROWS' END AS fixture
+        |FROM (VALUES
+        |  ('v12_pq_adc', 2::BIGINT, 10::BIGINT, 0.2),
+        |  ('v13_ivfpq', 4::BIGINT, 10::BIGINT, 0.4),
+        |  ('v14_sq_adc', 10::BIGINT, 10::BIGINT, 1.0),
+        |  ('v15_ivfsq', 4::BIGINT, 10::BIGINT, 0.4),
+        |  ('v17_ivfpq_residual', 4::BIGINT, 10::BIGINT, 0.4),
+        |  ('v20_matryoshka', 1::BIGINT, 10::BIGINT, 0.1),
+        |  ('v21_binary_rescore', 5::BIGINT, 10::BIGINT, 0.5),
+        |  ('v22_mv_pq_maxsim', 3::BIGINT, 5::BIGINT, 0.6))
+        |  t(rung, hits, k, recall), ft
+        |ORDER BY rung""".stripMargin
   )
 
   /** Shared s2/s3 oracle prefix: chunk-table synthesis, MaxSim scoring
