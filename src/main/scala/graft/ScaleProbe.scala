@@ -64,11 +64,16 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("all")
-    require(Set("gen", "run", "recall", "all", "x64", "longdoc")(mode),
-      s"unknown ScaleProbe mode '$mode' (gen|run|recall|all|x64|longdoc)")
+    require(Set("gen", "run", "recall", "all", "x64", "longdoc", "lowmem")(mode),
+      s"unknown ScaleProbe mode '$mode' (gen|run|recall|all|x64|longdoc|lowmem)")
+    // lowmem models ONE small executor (8 cores at whatever -Xmx the
+    // SPARK_DRIVER_MEM env set — the probe is meant to run at 4g); the
+    // scaling modes use the full box
+    val cpus = if (mode == "lowmem") sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+               else "32"
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -137,6 +142,73 @@ object ScaleProbe {
         val note = if (name == "k2_semdedup") " [k scaled 8->512]" else ""
         println(f"[scale] $name%-22s x1=$t1x%6.2fs x64=$t64%7.2fs " +
           f"ratio=${t64 / t1x}%.1f (data 64x)$note")
+      }
+    }
+    // CONSTRAINED-MEMORY probe (round-10 verdict ask #5): run the
+    // memory-heavy tail on the x64 replica under a deliberately small heap
+    // (SPARK_DRIVER_MEM=4g) and report completed-with-spill vs OOM — the
+    // "would it survive a bad day at 100×" evidence wall-clock probes
+    // don't give. Sorts/aggregations must degrade to external spill, not
+    // to executor death. Each query runs ONCE (completion evidence, not a
+    // timing methodology); per-query spill bytes come from task metrics.
+    if (mode == "lowmem") {
+      require(genCurrent(s"$root/x64"),
+        "lowmem probes the x64 replica - run `ScaleProbe x64` at full heap " +
+          "first to generate it")
+      val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
+      val memSpill = new java.util.concurrent.atomic.AtomicLong
+      val diskSpill = new java.util.concurrent.atomic.AtomicLong
+      val peakTaskMem = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = e.taskMetrics
+            if (m != null) {
+              memSpill.addAndGet(m.memoryBytesSpilled)
+              diskSpill.addAndGet(m.diskBytesSpilled)
+              peakTaskMem.accumulateAndGet(m.peakExecutionMemory, Math.max(_, _))
+            }
+          }
+        })
+      val lowmemAll = Seq(
+        "q2_join3", "t4_minhash_lsh", "t17_components", "t33_paragraph_dedup",
+        "n2_bm25", "e7_resample_locf", "e8_ohlc", "e14_resample_interp",
+        "u6_changelog_apply", "m9_scene_cuts_dense", "t41_bpe_train",
+        "gr2_pagerank_dense", "t16_heavy_hitters", "t44_ffd_pack")
+      val picked = args.lift(1) match {
+        case Some(list) =>
+          val want = list.split(',').filter(_.nonEmpty).toSet
+          val unknown = want -- lowmemAll.toSet
+          require(unknown.isEmpty, s"unknown lowmem queries: " +
+            s"${unknown.mkString(", ")} (set: ${lowmemAll.mkString(", ")})")
+          lowmemAll.filter(want)
+        case None => lowmemAll
+      }
+      picked.foreach { name =>
+        memSpill.set(0); diskSpill.set(0); peakTaskMem.set(0)
+        val fn: (SparkSession, String) => DataFrame =
+          if (name == "k2_semdedup")
+            (s, d) => graft.queries.ClusterQueries.semDedupAt(s, d, k = 512)
+          else SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        val outcome =
+          try {
+            fn(spark, s"$root/x64").write.mode("overwrite").format("noop").save()
+            "completed"
+          } catch {
+            case e: Throwable =>
+              val root = { var c: Throwable = e
+                while (c.getCause != null) c = c.getCause; c }
+              s"FAILED(${root.getClass.getSimpleName})"
+          }
+        val secs = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500) // let the async listener bus drain task metrics
+        println(f"[lowmem] $name%-22s $outcome%-10s t=$secs%7.1fs " +
+          f"spill_mem=${memSpill.get / 1048576}%6dMB " +
+          f"spill_disk=${diskSpill.get / 1048576}%6dMB " +
+          f"peak_task=${peakTaskMem.get / 1048576}%5dMB heap=${heapMb}MB " +
+          f"cores=$cpus")
       }
     }
     // doc-LENGTH scaling for the span-removal transform: the r6 verdict's
