@@ -757,6 +757,70 @@ object Corpus {
         (-col("s") / col("n_bigrams")).as("xent"))
   }
 
+  /** Interpolated Kneser–Ney smoothed bigram LM scoring (Kneser & Ney
+    * 1995; Chen & Goodman 1999 §2.7 — THE production n-gram smoothing,
+    * what the CCNet/KenLM perplexity filters actually run, upgrading
+    * [[lmCrossEntropy]]'s pedagogical add-one):
+    *
+    *   P(w2|w1) = max(c(w1w2) − D, 0)/c(w1·)
+    *            + (D · N1+(w1·)/c(w1·)) · (N1+(·w2)/B)
+    *
+    * where c(w1·) = Σ_x c(w1 x), N1+(w1·) = |{x : c(w1 x) > 0}|,
+    * N1+(·w2) = |{x : c(x w2) > 0}| (the CONTINUATION count — "how many
+    * contexts does w2 complete", the insight that makes "Francisco"
+    * cheap despite high frequency), B = distinct bigram types, D the
+    * absolute discount. Per-doc output is cross-entropy in nats over the
+    * doc's bigrams, the [[lmCrossEntropy]] shape.
+    *
+    * Determinism: every count is an exact integer; each bigram's
+    * probability is a PURE FUNCTION of five counts (no cross-row float
+    * accumulation), evaluated in a fixed parenthesization the oracle
+    * states verbatim; the per-doc ln-sum folds in position order (the
+    * t30 replay trick) and rounds at 4 dp.
+    *
+    * 100 TB shape: all four model tables are token-type-bounded (uni/bi
+    * vocabulary), built by map-side-combined groupBys; scoring is three
+    * equi-joins on word keys + one broadcast scalar. Nothing corpus-sized
+    * except the linear bigram pass. */
+  def kneserNeyXent(df: DataFrame, idCol: String, textCol: String,
+                    discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"kneserNeyXent needs discount in (0,1) (got $discount)")
+    val toks = graft.Tables.scaled(df.select(col(idCol).cast("long").as("id"),
+      graft.functions.text.tokens(col(textCol)).as("tk")))
+    val bg = toks.filter(size(col("tk")) >= 2)
+      .select(col("id"), explode(transform(
+        sequence(lit(0), size(col("tk")) - 2),
+        i => struct(i.cast("long").as("pos"),
+          element_at(col("tk"), i + 1).as("w1"),
+          element_at(col("tk"), i + 2).as("w2")))).as("b"))
+      .select(col("id"), col("b.pos").as("pos"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // forward table: context total + distinct-continuation count, both off
+    // the TYPE table (bounded), not the token stream
+    val fw = bc.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("n1fw"))
+    val bw = bc.groupBy("w2").agg(count(lit(1)).as("n1bw"))
+    val btypes = bc.agg(count(lit(1)).as("bt"))
+    val d = lit(discount)
+    val scored = bg.join(bc, Seq("w1", "w2"))
+      .join(fw, "w1").join(bw, "w2")
+      .crossJoin(broadcast(btypes))
+      .withColumn("lnp", log(
+        greatest(col("c12") - d, lit(0.0)) / col("c1") +
+          (d * col("n1fw") / col("c1")) * (col("n1bw") / col("bt"))))
+    val agg = scored.groupBy("id").agg(
+      count(lit(1)).as("n_bigrams"),
+      aggregate(
+        sort_array(collect_list(struct(col("pos").as("k"), col("lnp").as("p")))),
+        lit(0.0), (acc, x) => acc + x.getField("p")).as("s"))
+    toks.join(agg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        (-col("s") / col("n_bigrams")).as("xent"))
+  }
+
   /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
     * arXiv:2302.03169): pick the training subset of a raw corpus that looks
     * most like a small TARGET corpus. Each doc is featurized as hashed

@@ -32,6 +32,7 @@ object CorpusQueries {
     "t27_temperature_mix" -> ((s, d) => temperatureMix(s, d)),
     "t28_curation_e2e" -> ((s, d) => curationE2e(s, d)),
     "t30_lm_xent" -> ((s, d) => lmXent(s, d)),
+    "t51_kn_lm" -> ((s, d) => knXent(s, d)),
     "t32_dsir_sample" -> ((s, d) => dsirSample(s, d)),
     "t34_langid_trained" -> ((s, d) => langIdTrained(s, d)),
     "t35_ccnet_buckets" -> ((s, d) => ccnetBuckets(s, d)),
@@ -163,6 +164,20 @@ object CorpusQueries {
     * against the corpus-trained add-one bigram model. */
   def lmXent(spark: SparkSession, dir: String): DataFrame =
     Corpus.lmCrossEntropy(Tables.documents(spark, dir), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_bigrams"),
+        round(col("xent"), 4).as("xent"))
+      .orderBy("doc_id")
+
+  /** Interpolated Kneser–Ney bigram LM scoring — the production n-gram
+    * smoothing (what KenLM-backed CCNet perplexity filters run), t30's
+    * add-one pedagogy upgraded: absolute discount D=0.75 with the
+    * continuation-count backoff. Trained on this corpus, scored on every
+    * doc; each probability is a pure function of five exact integer
+    * counts in a stated parenthesization, so the oracle replays the model
+    * verbatim (the unseen-bigram pure-continuation path is spec-gated in
+    * CorpusSpec — train==score means every scored bigram is seen here). */
+  def knXent(spark: SparkSession, dir: String): DataFrame =
+    Corpus.kneserNeyXent(Tables.documents(spark, dir), "doc_id", "text")
       .select(col("id").as("doc_id"), col("n_bigrams"),
         round(col("xent"), 4).as("xent"))
       .orderBy("doc_id")
@@ -663,6 +678,29 @@ object CorpusQueries {
          |bc AS (SELECT w1, w2, count(*) AS c12 FROM b2 GROUP BY w1, w2),
          |sc AS (SELECT b2.doc_id, b2.pos, ln((bc.c12 + 1.0) / (uc.c1 + vs.v)) AS lnp
          |       FROM b2 JOIN bc USING (w1, w2) JOIN uc ON uc.w = b2.w1, vs),
+         |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+         |          list_sum(list(lnp ORDER BY pos)) AS s
+         |        FROM sc GROUP BY doc_id)
+         |SELECT tk.doc_id, coalesce(agg.n_bigrams, 0)::BIGINT AS n_bigrams,
+         |  round(-agg.s / agg.n_bigrams, 4) AS xent
+         |FROM tk LEFT JOIN agg USING (doc_id) ORDER BY tk.doc_id""".stripMargin,
+    // Kneser–Ney replay: the same exact-integer count tables as t30 plus
+    // the continuation counts; the probability's parenthesization matches
+    // the engine token for token (greatest(c12-D,0)/c1 + ((D*n1fw)/c1) *
+    // (n1bw/bt)), ln within-ulp, per-doc fold in position order, 4 dp
+    "t51_kn_lm" ->
+      s"""$toks,
+         |bg AS (SELECT doc_id, unnest(range(greatest(len(tk) - 1, 0))) AS pos, tk FROM tk),
+         |b2 AS (SELECT doc_id, pos, tk[pos + 1] AS w1, tk[pos + 2] AS w2 FROM bg),
+         |bc AS (SELECT w1, w2, count(*) AS c12 FROM b2 GROUP BY w1, w2),
+         |fw AS (SELECT w1, sum(c12) AS c1, count(*) AS n1fw FROM bc GROUP BY w1),
+         |bw AS (SELECT w2, count(*) AS n1bw FROM bc GROUP BY w2),
+         |bt AS (SELECT count(*) AS bt FROM bc),
+         |sc AS (SELECT b2.doc_id, b2.pos,
+         |    ln(greatest(c12 - 0.75::DOUBLE, 0.0::DOUBLE) / c1
+         |       + ((0.75::DOUBLE * n1fw) / c1) * (n1bw / bt)) AS lnp
+         |  FROM b2 JOIN bc USING (w1, w2) JOIN fw USING (w1)
+         |  JOIN bw USING (w2), bt),
          |agg AS (SELECT doc_id, count(*) AS n_bigrams,
          |          list_sum(list(lnp ORDER BY pos)) AS s
          |        FROM sc GROUP BY doc_id)

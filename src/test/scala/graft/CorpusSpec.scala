@@ -342,6 +342,37 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(1L) == out(0L))
   }
 
+  test("kneserNeyXent: hand-computed probabilities and the sum-to-one property") {
+    // d1 = "a b a b": bigrams ab, ba, ab; d2 = "a c": ac.
+    // c(ab)=2 c(ba)=1 c(ac)=1; fw: a→(c1=3,n1fw=2), b→(1,1);
+    // bw: n1bw(a)=n1bw(b)=n1bw(c)=1; B=3; D=0.75.
+    //  P(b|a) = 1.25/3 + (1.5/3)(1/3) = 0.58333…
+    //  P(a|b) = 0.25   + 0.75·(1/3)   = 0.5
+    //  P(c|a) = 0.25/3 + (1.5/3)(1/3) = 0.25
+    //  d1 xent = −(2·ln P(b|a) + ln P(a|b))/3;  d2 xent = −ln P(c|a)
+    val docs = Seq((1L, "a b a b"), (2L, "a c"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val out = Corpus.kneserNeyXent(docs, "doc_id", "text")
+      .select("id", "n_bigrams", "xent")
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val pba = 1.25 / 3 + (0.75 * 2 / 3) * (1.0 / 3)
+    val pab = 0.25 + 0.75 * (1.0 / 3)
+    val pca = 0.25 / 3 + (0.75 * 2 / 3) * (1.0 / 3)
+    assert(out(1L)._1 == 3L)
+    assert(math.abs(out(1L)._2.get - (-(2 * math.log(pba) + math.log(pab)) / 3)) < 1e-9)
+    assert(math.abs(out(2L)._2.get - (-math.log(pca))) < 1e-9)
+    assert(out(3L) == ((0L, None)), "bigram-less doc scores null")
+    // KN is a proper distribution: over context 'a', seen-continuation
+    // discounted mass + redistributed continuation mass totals exactly 1
+    // (Σ_w2 P(w2|a) over the vocab = (c1 − D·n1fw)/c1 + (D·n1fw/c1)·(Σ n1bw/B))
+    assert(math.abs((pba + pca +
+      (0.75 * 2 / 3) * (1.0 / 3) /* P(a|a): unseen, pure continuation */) - 1.0) < 1e-12)
+    // the unseen-bigram pure-continuation path: P(a|a) has c12=0 — the
+    // engine never scores it with train==score, but the formula's
+    // discount branch (greatest(c12−D, 0) = 0) is what the sum above pins
+  }
+
   test("dsirResample weights target-like raw docs above off-target ones") {
     // target slice = medical-ish phrasing; raw corpus has one doc in the
     // target register and one far from it — the importance log-weight must
