@@ -111,7 +111,8 @@ object ScaleProbe {
         "c4_cdc_chunks", "tr3_triplets", "u6_changelog_apply",
         "t47_pretrain_e2e", "t48_fuzzy_pairs", "t49_fuzzy_match",
         "t50_snapshot_diff", "n10_spell_suggest", "m10_caption_frames",
-        "s7_image_retrieve", "v23_ann_recall", "t51_kn_lm")
+        "s7_image_retrieve", "v23_ann_recall", "t51_kn_lm",
+        "e16_interval_union")
       // optional second arg: probe only the named queries (comma-separated) —
       // re-measuring one changed operator shouldn't cost the full heavy tail.
       // Unknown names fail loudly: a typo silently probing nothing (and still

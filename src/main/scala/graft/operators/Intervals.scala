@@ -39,4 +39,41 @@ object Intervals {
       .filter(col(startCol) <= col(tCol) && col(tCol) <= col(endCol))
       .drop("__bucket")
   }
+
+  /** Per-key interval UNION — merge overlapping-or-touching [start, end]
+    * spans into maximal islands (the classic gaps-and-islands formulation
+    * every warehouse runs for "total active/covered time": SLA uptime,
+    * user activity coverage, sensor validity windows). Two spans merge
+    * when the later one starts at or before the running maximum end of
+    * everything before it (inclusive ends ⇒ touching merges).
+    *
+    * Pure windowed SQL both engines replay identically: per key, ordered
+    * by (start, end), carry `max(end)` over the PRECEDING rows (a running
+    * frame — rule 22: never unbounded-FOLLOWING); a row opens a new
+    * island iff its start exceeds that carry; the island id is the
+    * running count of opens. One keyed exchange, O(1) carried state after
+    * the sort — the e7/e14 skew class (see ARCHITECTURE "Skew notes").
+    * Tie rows (identical start AND end) are value-identical, so the
+    * ROWS-frame tie order cannot move any result. Output: one row per
+    * merged island — key cols, `span_id` (1-based per key in start
+    * order), `start`, `end`, `n_merged`. Time columns must be integral
+    * (epoch µs) so comparisons are exact. */
+  def intervalUnion(intervals: DataFrame, keyCols: Seq[String],
+                    startCol: String, endCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "intervalUnion needs at least one key column")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(startCol).asc, col(endCol).asc)
+    val prevMax = max(col(endCol))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val opens = when(prevMax.isNull || col(startCol) > prevMax, 1L)
+      .otherwise(0L)
+    intervals
+      .withColumn("__open", opens)
+      .withColumn("span_id",
+        sum(col("__open")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy((keyCols.map(col) :+ col("span_id")): _*)
+      .agg(min(col(startCol)).as(startCol), max(col(endCol)).as(endCol),
+        count(lit(1)).as("n_merged"))
+  }
 }

@@ -32,7 +32,8 @@ object TemporalQueries {
     "e8_ohlc" -> ((s, d) => ohlc(s, d)),
     "e14_resample_interp" -> ((s, d) => resampleInterpQ(s, d)),
     "c4_cdc_chunks" -> ((s, d) => cdcChunksQ(s, d)),
-    "e15_tick_coverage" -> ((s, d) => tickCoverageQ(s, d))
+    "e15_tick_coverage" -> ((s, d) => tickCoverageQ(s, d)),
+    "e16_interval_union" -> ((s, d) => intervalUnionQ(s, d))
   )
 
   /** Hourly tick-coverage data-quality report over the purchase stream —
@@ -139,6 +140,22 @@ object TemporalQueries {
       .select(col("event_id"), col("err_id"), col("user_id"),
         (col("t") - col("start")).as("lag_us"))
       .orderBy("event_id", "err_id")
+  }
+
+  /** Per-user interval UNION ("total active time"): every event opens a
+    * 30-minute activity span; overlapping-or-touching spans merge into
+    * maximal islands ([[Intervals.intervalUnion]] gaps-and-islands).
+    * Registered shape is the island rows themselves — start/end/merge
+    * count all value-checked, not just totals. Integer-µs timestamps
+    * keep the comparisons exact across engines. */
+  def intervalUnionQ(spark: SparkSession, dir: String): DataFrame = {
+    val spans = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("start_us"),
+        (unix_micros(col("ts")) + lit(1800000000L)).as("end_us"))
+    Intervals.intervalUnion(spans, Seq("user_id"), "start_us", "end_us")
+      .select(col("user_id"), col("span_id"), col("start_us"),
+        col("end_us"), col("n_merged"))
+      .orderBy("user_id", "span_id")
   }
 
   /** Q13 `at_time(t, padding)` form: nearest error within ±1 h of each
@@ -407,6 +424,26 @@ object TemporalQueries {
         |  round(value, 2) AS value
         |FROM j ORDER BY user_id, tick_us""".stripMargin,
     // coverage replay: distinct hourly ticks, bounds arithmetic, lag gaps
+    // gaps-and-islands replay: the same running-max / open-flag / running
+    // count windows (ROWS frames; tie rows are value-identical so tie
+    // order cannot move results), exact integer µs throughout
+    "e16_interval_union" ->
+      """WITH i AS (SELECT user_id, epoch_us(ts) AS s,
+        |         epoch_us(ts) + 1800000000 AS e FROM events),
+        |l AS (SELECT user_id, s, e,
+        |    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM i),
+        |fl AS (SELECT user_id, s, e,
+        |    CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS op FROM l),
+        |isl AS (SELECT user_id, s, e,
+        |    sum(op) OVER (PARTITION BY user_id ORDER BY s, e
+        |                  ROWS UNBOUNDED PRECEDING) AS span_id
+        |  FROM fl)
+        |SELECT user_id, span_id::BIGINT AS span_id, min(s)::BIGINT AS start_us,
+        |  max(e)::BIGINT AS end_us, count(*)::BIGINT AS n_merged
+        |FROM isl GROUP BY user_id, span_id
+        |ORDER BY user_id, span_id""".stripMargin,
     "e15_tick_coverage" ->
       """WITH t AS (SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS tick
         |           FROM events WHERE event_type = 'purchase'),

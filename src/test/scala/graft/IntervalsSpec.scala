@@ -66,4 +66,22 @@ class IntervalsSpec extends AnyFunSuite {
       .select("tag").as[String].collect().toSet
     assert(out == Set("a", "b"))
   }
+
+  test("intervalUnion: overlap merges, touching merges, gaps split; keys independent") {
+    val spans = Seq(
+      // key 1: [0,10] ∪ [5,20] overlap; [20,30] touches (inclusive ends);
+      // [40,50] gapped; contained [42,45] merges into it
+      (1L, 0L, 10L), (1L, 5L, 20L), (1L, 20L, 30L),
+      (1L, 40L, 50L), (1L, 42L, 45L),
+      // key 2: one lone span overlapping key 1's gap — keys never mix
+      (2L, 25L, 45L)
+    ).toDF("k", "s", "e")
+    val out = Intervals.intervalUnion(spans, Seq("k"), "s", "e")
+      .select("k", "span_id", "s", "e", "n_merged")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 1L, 0L, 30L, 3L),
+      (1L, 2L, 40L, 50L, 2L),
+      (2L, 1L, 25L, 45L, 1L)), out.toString)
+  }
 }
