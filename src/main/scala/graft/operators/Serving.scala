@@ -98,4 +98,63 @@ object Serving {
       updatedAtCol.map(c => col(c).desc_nulls_last).toSeq :+ col(idCol).asc
     matched.orderBy(ordering: _*).limit(math.max(1, math.min(limit, 100)))
   }
+
+  /** The pg_trgm word-trigram SET of a string, as a Column — Postgres's
+    * `show_trgm` semantics (pg_trgm docs): lowercase, words = alphanumeric
+    * runs, each word padded with two leading and one trailing blank, all
+    * 3-char windows, de-duplicated across the whole string. */
+  def trgmColumn(c: Column): Column = {
+    val words = filter(
+      split(regexp_replace(lower(c), "[^a-z0-9]+", " "), " "),
+      w => length(w) > 0)
+    array_distinct(flatten(transform(words, w => {
+      val padded = concat(lit("  "), w, lit(" "))
+      transform(sequence(lit(1), length(padded) - lit(2)),
+        i => padded.substr(i, lit(3)))
+    })))
+  }
+
+  /** Driver-side mirror of [[trgmColumn]] for the request string. */
+  def trgmSet(s: String): Set[String] =
+    s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      .flatMap { w =>
+        val p = "  " + w + " "
+        (0 to p.length - 3).map(i => p.substring(i, i + 3))
+      }.toSet
+
+  /** Fuzzy string search by pg_trgm SIMILARITY — the production upgrade
+    * of [[filenameSearch]]'s ILIKE substring arm (Postgres deployments
+    * back it with a GIN trigram index; `similarity(a,b) = |A∩B|/|A∪B|`
+    * over the padded word-trigram sets): typo-tolerant filename/title
+    * lookup where FTS stemming and exact substrings both miss.
+    *
+    * 100 TB shape: the corpus side explodes to (id, trigram) rows with
+    * the QUERY-trigram In-filter applied before anything shuffles (the
+    * bm25 discipline — a request has tens of trigrams, so the shuffle
+    * carries only candidate hits); shared counts are one map-side-
+    * combined groupBy; the union size needs no join back because the
+    * per-doc trigram count rides the exploded rows as a grouping key.
+    * At scale the (trigram → ids) postings table is the precomputed GIN
+    * analog ([[FullText.buildIndex]] pattern). Docs sharing NO trigram
+    * never appear (similarity 0 — exactly pg_trgm's index behavior).
+    * Output: `id`, `shared`, `similarity`, top-k by (similarity desc,
+    * id). */
+  def trgmSimilaritySearch(docs: DataFrame, strCol: String, idCol: String,
+                           query: String, k: Int,
+                           minSim: Double = 0.0): DataFrame = {
+    val qg = trgmSet(query)
+    require(qg.nonEmpty, s"query '$query' yields no trigrams")
+    require(k >= 1, s"trgmSimilaritySearch needs k>=1 (got $k)")
+    val tg = docs.select(col(idCol).as("id"), trgmColumn(col(strCol)).as("__tg"))
+    tg.select(col("id"), size(col("__tg")).as("n_tg"),
+        explode(col("__tg")).as("g"))
+      .filter(col("g").isin(qg.toSeq: _*))
+      .groupBy("id", "n_tg").agg(count(lit(1)).as("shared"))
+      .withColumn("similarity",
+        col("shared") / (col("n_tg") + lit(qg.size) - col("shared")))
+      .filter(col("similarity") >= minSim)
+      .select(col("id"), col("shared"), col("similarity"))
+      .orderBy(col("similarity").desc, col("id"))
+      .limit(k)
+  }
 }

@@ -47,6 +47,7 @@ object PipelineQueries {
     "r3_augmented_content" -> ((s, d) => augmentedContent(s, d)),
     "g1_batch_get" -> ((s, d) => batchGet(s, d)),
     "n1_filename_search" -> ((s, d) => filenameSearch(s, d)),
+    "n12_trgm_fuzzy" -> ((s, d) => trgmFuzzy(s, d)),
     "p6_clean_control" -> ((s, d) => cleanControl(s, d)),
     "p7_index_layout" -> ((s, d) => indexLayout(s, d))
   )
@@ -675,6 +676,25 @@ object PipelineQueries {
       .select(col("doc_id"), col("filename"), col("name_rank"))
   }
 
+  /** pg_trgm fuzzy filename lookup over the same synthesized inflected
+    * filenames as n1: the query misspells two words ("kye" for "key",
+    * "scna" for "scan") so neither the substring nor the FTS arm of Q12
+    * could match — trigram similarity is what survives typos. Top-10 by
+    * (similarity desc, id); similarity is an exact integer ratio, so the
+    * doubles compare identically across engines. */
+  def trgmFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val docs = Tables.documents(spark, dir)
+      .withColumn("filename", concat(col("source"), lit("_"),
+        w.getItem(0), lit("s_"), w.getItem(1), lit("s_"),
+        w.getItem(2), lit("s_"), w.getItem(3), lit("s_"),
+        col("doc_id"), lit(".txt")))
+    Serving.trgmSimilaritySearch(docs, "filename", "doc_id",
+        "web_kye_scna_slow_fast.txt", k = 10)
+      .select(col("id").as("doc_id"), col("shared"),
+        round(col("similarity"), 6).as("similarity"))
+  }
+
   /** S7 XML structural chunker over XML synthesized from the documents
     * table (escaped text split into sections). Fully oracle-gated: on this
     * fixed structure the unit-tag profile deterministically picks `sec`
@@ -1052,6 +1072,37 @@ object PipelineQueries {
         |FROM ch JOIN (VALUES (3, 0), (3, 1), (7, 2), (11, 0)) AS k(d, c)
         |  ON ch.doc_id = k.d AND ch.chunk_number = k.c
         |ORDER BY ch.doc_id, ch.chunk_number""".stripMargin,
+    // pg_trgm replay: identical padded word-trigram sets on both sides
+    // (two leading + one trailing blank per word, distinct across the
+    // string), Jaccard as an exact integer ratio
+    "n12_trgm_fuzzy" ->
+      """WITH f AS (SELECT doc_id,
+        |    source || '_' || string_split(text,' ')[1] || 's_'
+        |      || string_split(text,' ')[2] || 's_' || string_split(text,' ')[3]
+        |      || 's_' || string_split(text,' ')[4] || 's_' || doc_id
+        |      || '.txt' AS filename
+        |  FROM documents),
+        |qw AS (SELECT unnest(list_filter(string_split(regexp_replace(
+        |    lower('web_kye_scna_slow_fast.txt'), '[^a-z0-9]+', ' ', 'g'), ' '),
+        |    x -> len(x) > 0)) AS w),
+        |qg AS (SELECT DISTINCT unnest(list_transform(
+        |    range(1, len('  ' || w || ' ') - 1),
+        |    i -> substr('  ' || w || ' ', i, 3))) AS g FROM qw),
+        |nq AS (SELECT count(*) AS n_q FROM qg),
+        |dw AS (SELECT doc_id, unnest(list_filter(string_split(regexp_replace(
+        |    lower(filename), '[^a-z0-9]+', ' ', 'g'), ' '),
+        |    x -> len(x) > 0)) AS w FROM f),
+        |dg AS (SELECT DISTINCT doc_id, unnest(list_transform(
+        |    range(1, len('  ' || w || ' ') - 1),
+        |    i -> substr('  ' || w || ' ', i, 3))) AS g FROM dw),
+        |dn AS (SELECT doc_id, count(*) AS n_tg FROM dg GROUP BY doc_id),
+        |sh AS (SELECT doc_id, count(*) AS shared FROM dg JOIN qg USING (g)
+        |       GROUP BY doc_id)
+        |SELECT sh.doc_id, shared::BIGINT AS shared,
+        |  round(shared / (n_tg + n_q - shared), 6) AS similarity
+        |FROM sh JOIN dn USING (doc_id), nq
+        |ORDER BY shared / (n_tg + n_q - shared) DESC, sh.doc_id
+        |LIMIT 10""".stripMargin,
     "n1_filename_search" ->
       """WITH f AS (
         |  SELECT doc_id,

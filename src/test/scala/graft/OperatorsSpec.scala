@@ -238,4 +238,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(st.map(_._1) == Seq(1L, 5L), "exactly one status row per id")
     assert(st == Seq((1L, "skipped"), (5L, "created")))
   }
+
+  test("trgm: pg_trgm trigram set matches the documented show_trgm example") {
+    // Postgres docs: show_trgm('cat') = {"  c"," ca","at ","cat"}
+    assert(Serving.trgmSet("cat") == Set("  c", " ca", "cat", "at "))
+    // multi-word, punctuation-split, case-folded, de-duplicated
+    assert(Serving.trgmSet("Cat-CAT") == Set("  c", " ca", "cat", "at "))
+    // Column form agrees with the driver mirror on a mixed fixture
+    val rows = Seq("Report_Q3-final.txt", "cat", "", "a")
+      .toDF("s")
+      .select(graft.operators.Serving.trgmColumn($"s").as("tg"))
+      .as[Seq[String]].collect()
+    assert(rows(0).toSet == Serving.trgmSet("Report_Q3-final.txt"))
+    assert(rows(1).toSet == Serving.trgmSet("cat"))
+    assert(rows(2).isEmpty)
+    assert(rows(3).toSet == Serving.trgmSet("a"))
+  }
+
+  test("trgmSimilaritySearch: typo'd query ranks the near-name first; no-overlap docs absent") {
+    val docs = Seq(
+      (1L, "quarterly_report_2024.pdf"),
+      (2L, "quartely_reprot_2024.pdf"), // two typos of doc 1's name
+      (3L, "zzz_unrelated_xyz.bin"))
+      .toDF("doc_id", "filename")
+    val out = Serving.trgmSimilaritySearch(docs, "filename", "doc_id",
+      "quarterly report 2024", k = 10)
+      .select("id", "similarity").as[(Long, Double)].collect().toSeq
+    assert(out.map(_._1).take(2) == Seq(1L, 2L),
+      s"exact-ish name first, typo'd second: $out")
+    assert(out.head._2 > out(1)._2 && out(1)._2 > 0.3)
+    assert(!out.map(_._1).contains(3L), "zero-overlap doc never surfaces")
+  }
 }
