@@ -48,6 +48,7 @@ object PipelineQueries {
     "g1_batch_get" -> ((s, d) => batchGet(s, d)),
     "n1_filename_search" -> ((s, d) => filenameSearch(s, d)),
     "n12_trgm_fuzzy" -> ((s, d) => trgmFuzzy(s, d)),
+    "p8_incremental_reembed" -> ((s, d) => incrementalReembed(s, d)),
     "p6_clean_control" -> ((s, d) => cleanControl(s, d)),
     "p7_index_layout" -> ((s, d) => indexLayout(s, d))
   )
@@ -676,6 +677,52 @@ object PipelineQueries {
       .select(col("doc_id"), col("filename"), col("name_rank"))
   }
 
+  /** Incremental RE-EMBED PLANNING — the composed crawl-delta pipeline
+    * that makes a 100 TB index affordable to keep fresh (and the reason
+    * c4's content-defined chunking exists): snapshot diff (t50) finds the
+    * added/changed docs, CDC chunking (c4) re-chunks ONLY those, and a
+    * per-doc anti-join against the previous crawl's chunk fingerprints
+    * yields exactly the chunks whose embeddings must be computed —
+    * boundaries re-synchronize after an edit, so a changed doc re-embeds
+    * its edited chunks, not its whole body (~39% of work-doc chunks reuse
+    * on this fixture's prepend edit; an added doc embeds everything).
+    * Fixture: BEFORE = docs with doc_id % 19 ≠ 3; AFTER = all docs, text
+    * prepend-edited when doc_id % 17 = 0.
+    *
+    * Plan: two fingerprint scans into one full-outer (t50's shape), the
+    * CDC kernel map over the ~10% work slice only, one (doc, md5)
+    * anti-join of survivor-sized chunk tables, map-side-combined rollups.
+    * The work list is stage-cut (three consumers — rule 14). */
+  def incrementalReembed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val before = docs.filter(col("doc_id") % 19 =!= 3)
+      .select(col("doc_id"), col("text"))
+    val after = docs.select(col("doc_id"),
+      when(col("doc_id") % 17 === 0, concat(lit("edited! "), col("text")))
+        .otherwise(col("text")).as("text"))
+    val work = graft.operators.Mutations
+      .snapshotDiff(before, after, "doc_id", "text")
+      .filter(col("status").isin("added", "changed"))
+      .localCheckpoint()
+    def chunkSet(df: DataFrame): DataFrame = df
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode(graft.functions.CdcExpressions.cdc_chunks(
+          col("text"), k = 5, divisor = 64L, maxLen = 192)).as("chunk"))
+      .select(col("doc_id"), md5(col("chunk")).as("h")).distinct()
+    val wIds = work.select("doc_id")
+    val ac = chunkSet(after.join(wIds, "doc_id"))
+    val bc = chunkSet(before.join(wIds, "doc_id"))
+    val toEmbed = ac.join(bc, Seq("doc_id", "h"), "left_anti")
+    ac.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      .join(toEmbed.groupBy("doc_id").agg(count(lit(1)).as("n_embed")),
+        Seq("doc_id"), "left")
+      .join(work, "doc_id")
+      .select(col("doc_id"), col("status"), col("n_chunks"),
+        coalesce(col("n_embed"), lit(0L)).as("n_embed"),
+        (col("n_chunks") - coalesce(col("n_embed"), lit(0L))).as("n_reused"))
+      .orderBy("doc_id")
+  }
+
   /** pg_trgm fuzzy filename lookup over the same synthesized inflected
     * filenames as n1: the query misspells two words ("kye" for "key",
     * "scna" for "scan") so neither the substring nor the FTS arm of Q12
@@ -717,7 +764,65 @@ object PipelineQueries {
       .orderBy("doc_id", "chunk_index")
   }
 
+  /** The c4 CDC-chunk replay as a reusable CTE chain over a (doc_id,
+    * text) relation `src`, prefixed `p` — p8 needs it twice (before/
+    * after crawls). Ends with `${p}ch` = per-doc DISTINCT chunk md5s. */
+  private def cdcChunkCte(src: String, p: String): String =
+    s"""${p}c AS (SELECT doc_id, text, len(text)::BIGINT AS n,
+       |    list_transform(range(1, len(text)+1), i -> unicode(text[i:i])::BIGINT) AS cs
+       |  FROM $src),
+       |${p}h AS (SELECT doc_id, text, n,
+       |    CASE WHEN n >= 5 THEN list_filter(
+       |      list_transform(range(n - 4), i ->
+       |        CASE WHEN (cs[i+1]*294499921 + cs[i+2]*2248091 + cs[i+3]*17161
+       |                   + cs[i+4]*131 + cs[i+5]) % 2147483647 % 64 = 0
+       |             AND i + 5 < n THEN i + 5 END),
+       |      x -> x IS NOT NULL)
+       |    ELSE []::BIGINT[] END AS cuts
+       |  FROM ${p}c),
+       |${p}b AS (SELECT doc_id, text, n,
+       |    list_prepend(0::BIGINT, list_append(cuts, n)) AS bs
+       |  FROM ${p}h),
+       |${p}pairs AS (SELECT doc_id, text, n, bs[i+1] AS pp, bs[i+2] AS q
+       |          FROM ${p}b, unnest(range(len(bs)-1)) u(i)),
+       |${p}st AS (SELECT doc_id, text, n, pp + 192*t AS s
+       |       FROM ${p}pairs, unnest(range((q - pp - 1) // 192 + 1)) v(t)),
+       |${p}ord AS (SELECT doc_id, text, s,
+       |         lead(s, 1, n) OVER (PARTITION BY doc_id ORDER BY s) AS e
+       |       FROM ${p}st),
+       |${p}ch AS (SELECT DISTINCT doc_id, md5(text[(s+1)::INT:e::INT]) AS h
+       |       FROM ${p}ord)""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    // composed diff ∘ CDC ∘ anti-join replay: t50's fingerprint diff
+    // selects the work docs, the c4 chunk chain runs over before/after
+    // work slices, reuse = per-doc chunk-md5 intersection
+    "p8_incremental_reembed" ->
+      s"""WITH ba AS (SELECT doc_id, text FROM documents WHERE doc_id % 19 <> 3),
+         |aa AS (SELECT doc_id, CASE WHEN doc_id % 17 = 0 THEN 'edited! ' || text
+         |                           ELSE text END AS text FROM documents),
+         |fa AS (SELECT doc_id, md5(trim(regexp_replace(lower(text),'\\s+',' ','g'))) AS f FROM ba),
+         |fb AS (SELECT doc_id, md5(trim(regexp_replace(lower(text),'\\s+',' ','g'))) AS f FROM aa),
+         |d AS (SELECT coalesce(fa.doc_id, fb.doc_id) AS doc_id,
+         |        CASE WHEN fa.f IS NULL THEN 'added'
+         |             WHEN fb.f IS NULL THEN 'removed'
+         |             WHEN fa.f = fb.f THEN 'same' ELSE 'changed' END AS status
+         |      FROM fa FULL OUTER JOIN fb ON fa.doc_id = fb.doc_id),
+         |work AS (SELECT doc_id, status FROM d WHERE status IN ('added','changed')),
+         |wa AS (SELECT aa.doc_id, aa.text FROM aa JOIN work USING (doc_id)),
+         |wb AS (SELECT ba.doc_id, ba.text FROM ba JOIN work USING (doc_id)),
+         |${cdcChunkCte("wa", "a")},
+         |${cdcChunkCte("wb", "r")},
+         |te AS (SELECT ach.doc_id, ach.h FROM ach
+         |       LEFT JOIN rch ON ach.doc_id = rch.doc_id AND ach.h = rch.h
+         |       WHERE rch.h IS NULL),
+         |na AS (SELECT doc_id, count(*) AS n_chunks FROM ach GROUP BY doc_id),
+         |ne AS (SELECT doc_id, count(*) AS n_embed FROM te GROUP BY doc_id)
+         |SELECT work.doc_id, status, n_chunks::BIGINT AS n_chunks,
+         |  coalesce(n_embed, 0)::BIGINT AS n_embed,
+         |  (n_chunks - coalesce(n_embed, 0))::BIGINT AS n_reused
+         |FROM work JOIN na USING (doc_id) LEFT JOIN ne USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     // C4 replay: same salt chars appended (chr() keeps the JSON transport
     // clean), same RE2/Java char class, then length + md5 of the cleaned
     // text — a class-boundary drift (e.g. \x9f excluded) flips both.

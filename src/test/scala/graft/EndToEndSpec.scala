@@ -199,4 +199,25 @@ class EndToEndSpec extends AnyFunSuite {
       "Frame description: frame 2 1 \n \n Transcript: utterance 15 2"),
       s"nearest frame (30s) + nearest utterance (40s) assemble the r3 format: $augmented")
   }
+
+  test("incremental re-embed plan: added docs embed everything, edits reuse chunks") {
+    val out = graft.queries.PipelineQueries
+      .incrementalReembed(spark, "/root/testdata/sf0.001")
+      .select("status", "n_chunks", "n_embed", "n_reused")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    assert(out.forall { case (_, c, e, r) => e + r == c && e >= 0 && r >= 0 })
+    val added = out.filter(_._1 == "added")
+    assert(added.nonEmpty && added.forall(r => r._3 == r._2),
+      "an added doc has no previous chunks to reuse")
+    val changed = out.filter(_._1 == "changed")
+    assert(changed.nonEmpty)
+    // content-defined boundaries re-synchronize after a prepend edit, so
+    // edits reuse a substantial share of their chunks — the c4 payoff
+    val reuse = changed.map(_._4).sum.toDouble /
+      math.max(changed.map(_._2).sum, 1L)
+    assert(reuse > 0.2, f"changed-doc chunk reuse $reuse%.2f should be material")
+    // and an edit is never free: every changed doc re-embeds something
+    assert(changed.forall(_._3 >= 1))
+  }
 }
