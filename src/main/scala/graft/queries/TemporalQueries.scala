@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{AsOfJoin, Chunker, Intervals, Sessionize}
+import graft.operators.{AsOfJoin, Chunker, Features, Intervals, Sessionize}
 
 /** Temporal + chunking coverage: as-of join (SURVEY Q13), neighbor padding
   * (Q8), tumbling-window aggregation (the batch twin of the streaming path),
@@ -33,7 +33,8 @@ object TemporalQueries {
     "e14_resample_interp" -> ((s, d) => resampleInterpQ(s, d)),
     "c4_cdc_chunks" -> ((s, d) => cdcChunksQ(s, d)),
     "e15_tick_coverage" -> ((s, d) => tickCoverageQ(s, d)),
-    "e16_interval_union" -> ((s, d) => intervalUnionQ(s, d))
+    "e16_interval_union" -> ((s, d) => intervalUnionQ(s, d)),
+    "e17_target_encode" -> ((s, d) => targetEncodeQ(s, d))
   )
 
   /** Hourly tick-coverage data-quality report over the purchase stream —
@@ -157,6 +158,22 @@ object TemporalQueries {
         col("end_us"), col("n_merged"))
       .orderBy("user_id", "span_id")
   }
+
+  /** Out-of-fold target encoding over lineitem: category = supplier
+    * bucket (100 cats), fold = order-key mod 5, label = quantity > 25.
+    * Every encoding is exact integer counts + one global ratio in a
+    * stated parenthesization; FeatureSpec pins the no-self-leak prior
+    * fallback. */
+  def targetEncodeQ(spark: SparkSession, dir: String): DataFrame =
+    Features.targetEncode(
+      Tables.lineitem(spark, dir)
+        .select((col("l_suppkey") % 100).as("cat"),
+          (col("l_orderkey") % 5).as("fold"),
+          (col("l_quantity") > 25).cast("int").as("y")),
+      "cat", "y", "fold", smoothing = 20.0)
+      .select(col("category"), col("fold"), col("n_out"), col("pos_out"),
+        round(col("encoding"), 6).as("encoding"))
+      .orderBy("category", "fold")
 
   /** Q13 `at_time(t, padding)` form: nearest error within ±1 h of each
     * purchase per user (ties -> earlier), timestamps kept in integer µs so
@@ -424,6 +441,23 @@ object TemporalQueries {
         |  round(value, 2) AS value
         |FROM j ORDER BY user_id, tick_us""".stripMargin,
     // coverage replay: distinct hourly ticks, bounds arithmetic, lag gaps
+    // out-of-fold target-encoding replay: exact integer count tables,
+    // identical parenthesization ((pos_out) + (a·prior)) / (n_out + a)
+    "e17_target_encode" ->
+      """WITH b AS (SELECT l_suppkey % 100 AS category, l_orderkey % 5 AS fold,
+        |    CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS y FROM lineitem),
+        |pf AS (SELECT category, fold, sum(y)::BIGINT AS pos_f,
+        |         count(*)::BIGINT AS n_f
+        |       FROM b GROUP BY category, fold),
+        |pc AS (SELECT category, sum(pos_f) AS pos_t, sum(n_f) AS n_t
+        |       FROM pf GROUP BY category),
+        |g AS (SELECT sum(y)::DOUBLE / count(*) AS prior FROM b)
+        |SELECT category, fold, (n_t - n_f)::BIGINT AS n_out,
+        |  (pos_t - pos_f)::BIGINT AS pos_out,
+        |  round((pos_t - pos_f + 20.0::DOUBLE * prior)
+        |        / (n_t - n_f + 20.0::DOUBLE), 6) AS encoding
+        |FROM pf JOIN pc USING (category), g
+        |ORDER BY category, fold""".stripMargin,
     // gaps-and-islands replay: the same running-max / open-flag / running
     // count windows (ROWS frames; tie rows are value-identical so tie
     // order cannot move results), exact integer µs throughout

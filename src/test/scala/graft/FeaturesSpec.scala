@@ -62,4 +62,29 @@ class FeaturesSpec extends AnyFunSuite {
     // single-event key: ewma is the seeded first value
     assert(rows(2L) == (1L, 3500000L))
   }
+
+  test("targetEncode: out-of-fold counts, smoothing, and the no-self-leak prior fallback") {
+    // category "a": fold 0 has 2 rows (1 pos), fold 1 has 2 rows (2 pos)
+    // category "b": ONLY fold 0 (3 rows, all pos) -> fold-0 encoding must
+    // ignore them entirely and fall back to exactly the prior
+    val rows = Seq(
+      ("a", 0L, 1), ("a", 0L, 0), ("a", 1L, 1), ("a", 1L, 1),
+      ("b", 0L, 1), ("b", 0L, 1), ("b", 0L, 1)
+    ).toDF("cat", "fold", "y")
+    val prior = 6.0 / 7.0 // 6 positive labels of 7 rows
+    val a = 20.0
+    val out = graft.operators.Features.targetEncode(rows, "cat", "y", "fold", a)
+      .select("category", "fold", "n_out", "pos_out", "encoding")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // a/fold0 sees only fold1's counts: (2 + a·prior)/(2 + a)
+    assert(out(("a", 0L))._1 == 2L && out(("a", 0L))._2 == 2L)
+    assert(math.abs(out(("a", 0L))._3 - (2 + a * prior) / (2 + a)) < 1e-12)
+    // a/fold1 sees only fold0's: (1 + a·prior)/(2 + a)
+    assert(math.abs(out(("a", 1L))._3 - (1 + a * prior) / (2 + a)) < 1e-12)
+    // b/fold0: n_out = 0 -> pure prior (the no-self-leak property);
+    // a naive mean encoding would give 1.0 here and leak the labels
+    assert(out(("b", 0L))._1 == 0L)
+    assert(math.abs(out(("b", 0L))._3 - prior) < 1e-12)
+  }
 }
