@@ -51,8 +51,37 @@ object VectorQueries {
     "s5_dispatcher_rerank" -> ((s, d) => dispatcherRerank(s, d)),
     "s6_dispatcher_colpali_rerank" -> ((s, d) => dispatcherColpaliRerank(s, d)),
     "s7_image_retrieve" -> ((s, d) => dispatcherImageQuery(s, d)),
-    "v23_ann_recall" -> ((s, d) => annRecall(s, d))
+    "v23_ann_recall" -> ((s, d) => annRecall(s, d)),
+    "v24_ranking_metrics" -> ((s, d) => rankingMetricsQ(s, d))
   )
+
+  /** In-engine retrieval evaluation ([[graft.operators.Evals]]): exact
+    * KNN over the disjoint corpus slice (vec_id ≥ 20) for the 20 query
+    * vectors, judged against label-match relevance — recall@10, MRR and
+    * NDCG@10 per query. The fixture's hash embeddings give a LOW, spread
+    * curve (including a zero-hit query), so every metric branch is
+    * value-exercised: the fold order, the first-relevant rank, the
+    * no-hits zero, the min(n_rel, k) denominators. */
+  def rankingMetricsQ(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val corpus = e.filter(col("vec_id") >= 20)
+    val ranked = KnnSearch.topKPerQuery(corpus, "embedding", "vec_id",
+      queries, "qv", "qid", k = 10)
+    val rel = corpus.select(col("vec_id").cast("long").as("id"), col("label"))
+      .join(broadcast(queries.select(col("qid").as("query_id"), col("qlabel"))),
+        col("label") === col("qlabel"))
+      .select(col("query_id"), col("id"))
+    graft.operators.Evals.rankingMetrics(
+      ranked.select(col("query_id"), col("rank"), col("id")), rel, k = 10)
+      .select(col("query_id"), col("n_rel"), col("hits"),
+        round(col("recall_at_k"), 6).as("recall_at_k"),
+        round(col("mrr"), 6).as("mrr"),
+        round(col("ndcg_at_k"), 6).as("ndcg_at_k"))
+      .orderBy("query_id")
+  }
 
   /** The `query_image` retrieval arm END-TO-END (`request.py:114-182`
     * `query_image` → `document_service.py:278-296` image-embed dispatch →
@@ -1383,7 +1412,38 @@ object VectorQueries {
         |  ('v21_binary_rescore', 5::BIGINT, 10::BIGINT, 0.5),
         |  ('v22_mv_pq_maxsim', 3::BIGINT, 5::BIGINT, 0.6))
         |  t(rung, hits, k, recall), ft
-        |ORDER BY rung""".stripMargin
+        |ORDER BY rung""".stripMargin,
+    // full metric replay: the v2 per-query ranking CTE at rank<=10,
+    // binary label relevance, DCG folded in RANK order (list ORDER BY
+    // rank = the engine's sorted-struct fold), IDCG over a literal range
+    "v24_ranking_metrics" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+        |       label AS ql FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+        |      FROM embeddings WHERE vec_id >= 20),
+        |s AS (SELECT query_id, c.vec_id, c.label, ql,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY list_cosine_similarity(v, qv) DESC, c.vec_id) AS rank
+        |      FROM q, c),
+        |r10 AS (SELECT query_id, rank,
+        |         CASE WHEN label = ql THEN 1 ELSE 0 END AS rel
+        |        FROM s WHERE rank <= 10),
+        |nr AS (SELECT query_id, count(*) AS n_rel FROM q
+        |       JOIN c ON c.label = q.ql GROUP BY query_id),
+        |m AS (SELECT query_id, sum(rel)::BIGINT AS hits,
+        |        min(CASE WHEN rel = 1 THEN rank END) AS fr,
+        |        list_sum(list(rel / log2(rank + 1.0) ORDER BY rank)) AS dcg
+        |      FROM r10 GROUP BY query_id),
+        |f AS (SELECT m.query_id, n_rel, hits, least(n_rel, 10) AS ideal,
+        |        list_sum(list_transform(range(1, least(n_rel, 10)+1),
+        |          i -> 1.0/log2(i + 1.0))) AS idcg,
+        |        dcg, fr
+        |      FROM m JOIN nr USING (query_id))
+        |SELECT query_id, n_rel::BIGINT AS n_rel, hits,
+        |  round(hits / ideal, 6) AS recall_at_k,
+        |  round(coalesce(1.0 / fr, 0.0), 6) AS mrr,
+        |  round(dcg / idcg, 6) AS ndcg_at_k
+        |FROM f ORDER BY query_id""".stripMargin
   )
 
   /** Shared s2/s3 oracle prefix: chunk-table synthesis, MaxSim scoring
