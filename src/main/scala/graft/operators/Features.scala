@@ -168,6 +168,54 @@ object Features {
     * broadcast scalar — output is |categories|×|folds| rows, never
     * data-sized; the training-time application is a broadcast join of
     * this table back onto the rows. */
+  /** Rolling z-score ANOMALY flags — the streaming-metrics outlier gate
+    * every feature/monitoring pipeline runs (fraud spikes, sensor
+    * glitches, data-drift tripwires): each event scored against the
+    * trailing `window` events of ITS OWN key, using only PRECEDING rows
+    * (the e12 leak-free discipline — the current value never inflates its
+    * own baseline, which would mask exactly the spikes being hunted).
+    *
+    * Determinism: values are fixed-point scaled to integers
+    * (`floor(value·scale)`), so the rolling count/sum/sum-of-squares are
+    * EXACT integer window aggregates — summation order cannot move them —
+    * and z is a per-row pure function of three integers in a stated
+    * parenthesization (mean = s/n; var = ss/n − mean², clamped ≥ 0;
+    * z = (x − mean)/√var). The scale factor cancels in z, so fixed-point
+    * costs no fidelity in the score. Window ordering is (ts, idCol) — a
+    * total order, because a ts tie under a ROWS frame would otherwise
+    * make the trailing sums engine-dependent. Rows with fewer than
+    * `minPrev` trailing events emit nothing (no baseline); a zero-
+    * variance baseline emits a null z (flat history says nothing about
+    * spikes), never a fabricated flag.
+    *
+    * 100 TB shape: one keyed window exchange of (key, ts, long) rows;
+    * after the spillable per-key sort everything is an O(1)-state running
+    * pass — the e7/e14 skew class (ARCHITECTURE "Skew notes"). */
+  def rollingAnomaly(df: DataFrame, keyCol: String, tsCol: String,
+                     idCol: String, valueCol: String, window: Int = 24,
+                     minPrev: Int = 8, zThresh: Double = 3.0,
+                     scale: Long = 100L): DataFrame = {
+    require(window >= 2 && minPrev >= 2 && minPrev <= window,
+      s"rollingAnomaly needs 2 <= minPrev <= window (got $minPrev/$window)")
+    import org.apache.spark.sql.expressions.Window
+    val fr = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+      .rowsBetween(-window, -1)
+    df.withColumn("__iv", floor(col(valueCol) * lit(scale)).cast("long"))
+      .withColumn("n_prev", count(lit(1)).over(fr))
+      .withColumn("__s", sum(col("__iv")).over(fr))
+      .withColumn("__ss", sum(col("__iv") * col("__iv")).over(fr))
+      .filter(col("n_prev") >= minPrev)
+      .withColumn("__mean", col("__s").cast("double") / col("n_prev"))
+      .withColumn("__var", greatest(
+        col("__ss").cast("double") / col("n_prev") -
+          col("__mean") * col("__mean"), lit(0.0)))
+      .withColumn("z", when(col("__var") > 0,
+        (col("__iv") - col("__mean")) / sqrt(col("__var"))))
+      .withColumn("is_anomaly", coalesce(abs(col("z")) > zThresh, lit(false)))
+      .drop("__iv", "__s", "__ss", "__mean", "__var")
+  }
+
   def targetEncode(df: DataFrame, catCol: String, labelCol: String,
                    foldCol: String, smoothing: Double = 20.0): DataFrame = {
     require(smoothing > 0, s"targetEncode needs smoothing>0 (got $smoothing)")

@@ -34,7 +34,8 @@ object TemporalQueries {
     "c4_cdc_chunks" -> ((s, d) => cdcChunksQ(s, d)),
     "e15_tick_coverage" -> ((s, d) => tickCoverageQ(s, d)),
     "e16_interval_union" -> ((s, d) => intervalUnionQ(s, d)),
-    "e17_target_encode" -> ((s, d) => targetEncodeQ(s, d))
+    "e17_target_encode" -> ((s, d) => targetEncodeQ(s, d)),
+    "e18_rolling_anomaly" -> ((s, d) => rollingAnomalyQ(s, d))
   )
 
   /** Hourly tick-coverage data-quality report over the purchase stream —
@@ -174,6 +175,18 @@ object TemporalQueries {
       .select(col("category"), col("fold"), col("n_out"), col("pos_out"),
         round(col("encoding"), 6).as("encoding"))
       .orderBy("category", "fold")
+
+  /** Rolling z-score anomaly flags over per-user purchase values:
+    * trailing-24 leak-free baseline, fixed-point integer sums, minPrev 8
+    * — the fixture yields hundreds of scored rows and dozens of genuine
+    * |z|>3 spikes, so the flag logic is value-checked, not vacuous. */
+  def rollingAnomalyQ(spark: SparkSession, dir: String): DataFrame =
+    Features.rollingAnomaly(
+      Tables.events(spark, dir).filter(col("event_type") === "purchase"),
+      "user_id", "ts", "event_id", "value")
+      .select(col("event_id"), col("user_id"), col("n_prev"),
+        round(col("z"), 4).as("z"), col("is_anomaly"))
+      .orderBy("event_id")
 
   /** Q13 `at_time(t, padding)` form: nearest error within ±1 h of each
     * purchase per user (ties -> earlier), timestamps kept in integer µs so
@@ -441,6 +454,28 @@ object TemporalQueries {
         |  round(value, 2) AS value
         |FROM j ORDER BY user_id, tick_us""".stripMargin,
     // coverage replay: distinct hourly ticks, bounds arithmetic, lag gaps
+    // rolling-anomaly replay: exact fixed-point integer window sums
+    // (order-immune), z a per-row pure function in the engine's stated
+    // parenthesization, (ts, event_id) total window order
+    "e18_rolling_anomaly" ->
+      """WITH b AS (SELECT event_id, user_id, epoch_us(ts) AS tus,
+        |    floor(value * 100)::BIGINT AS iv
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (SELECT event_id, user_id, iv,
+        |    count(*) OVER fr AS n, sum(iv) OVER fr AS s,
+        |    sum(iv*iv) OVER fr AS ss
+        |  FROM b WINDOW fr AS (PARTITION BY user_id ORDER BY tus, event_id
+        |                       ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |f AS (SELECT event_id, user_id, n, iv, s, ss,
+        |    s / n AS mean FROM w WHERE n >= 8),
+        |g AS (SELECT event_id, user_id, n,
+        |    CASE WHEN greatest(ss / n - mean * mean, 0.0) > 0
+        |         THEN (iv - mean) / sqrt(greatest(ss / n - mean * mean, 0.0))
+        |    END AS z
+        |  FROM f)
+        |SELECT event_id, user_id, n::BIGINT AS n_prev, round(z, 4) AS z,
+        |  coalesce(abs(z) > 3.0, false) AS is_anomaly
+        |FROM g ORDER BY event_id""".stripMargin,
     // out-of-fold target-encoding replay: exact integer count tables,
     // identical parenthesization ((pos_out) + (a·prior)) / (n_out + a)
     "e17_target_encode" ->

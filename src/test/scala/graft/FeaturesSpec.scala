@@ -87,4 +87,28 @@ class FeaturesSpec extends AnyFunSuite {
     assert(out(("b", 0L))._1 == 0L)
     assert(math.abs(out(("b", 0L))._3 - prior) < 1e-12)
   }
+
+  test("rollingAnomaly: hand-computed z on a planted spike; flat history nulls; leak-free") {
+    // key 1: 8 alternating values 10/20 (mean 15, pop std 5), then a 40
+    // spike -> z = (40-15)/5 = 5 exactly (fixed-point scale cancels).
+    // If the window leaked the current row into its own baseline the
+    // mean/std would shift and z would NOT be 5.
+    val k1 = (0 until 8).map(i => (1L, i.toLong, 100L + i,
+      if (i % 2 == 0) 10.0 else 20.0)) :+ (1L, 8L, 108L, 40.0)
+    // key 2: flat history then a spike -> zero variance, z null, no flag
+    val k2 = (0 until 8).map(i => (2L, i.toLong, 200L + i, 7.0)) :+
+      (2L, 8L, 208L, 99.0)
+    val df = (k1 ++ k2).toDF("k", "ts", "eid", "v")
+    val out = graft.operators.Features.rollingAnomaly(
+      df, "k", "ts", "eid", "v", window = 24, minPrev = 8, zThresh = 3.0)
+      .select("eid", "n_prev", "z", "is_anomaly")
+      .as[(Long, Long, Option[Double], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out.keySet == Set(108L, 208L), "only rows with a full baseline emit")
+    assert(out(108L)._1 == 8L)
+    assert(math.abs(out(108L)._2.get - 5.0) < 1e-9, s"z=5 exactly: ${out(108L)}")
+    assert(out(108L)._3, "|z|=5 > 3 flags")
+    assert(out(208L)._2.isEmpty && !out(208L)._3,
+      "flat baseline -> null z, never a fabricated flag")
+  }
 }
