@@ -20,8 +20,55 @@ object ClusterQueries {
     "k2_semdedup" -> ((s, d) => semDedup(s, d)),
     "k3_cluster_profile" -> ((s, d) => clusterProfile(s, d)),
     "k4_cluster_sample" -> ((s, d) => clusterSample(s, d)),
-    "k5_incremental_assign" -> ((s, d) => incrementalAssign(s, d))
+    "k5_incremental_assign" -> ((s, d) => incrementalAssign(s, d)),
+    "k6_cluster_quality" -> ((s, d) => clusterQuality(s, d))
   )
+
+  /** Davies–Bouldin cluster-quality evaluation over the fitted Lloyd
+    * clustering — the metric a curation pipeline reads before trusting
+    * k2's SemDeDup or k4's cluster sampling (a bad k shows up as DB
+    * ratios ≫ 1 long before the dedup quality silently degrades). Per
+    * cluster: size, mean Euclidean distance to centroid (`scatter`), and
+    * the Davies–Bouldin ratio `max_{j≠i} (s_i + s_j) / d(c_i, c_j)`.
+    *
+    * Determinism: per-row distances are pure functions k1 already gates
+    * bit-for-bit; scatter sums them FIXED-POINT (floor(√d·10⁶) as longs —
+    * the e18 trick, summation-order-immune); the k×k centroid-distance
+    * table is a driver-side request-sized computation (rule 17) whose
+    * index-ascending fold matches the oracle's list fold; the DB
+    * reduction is a max, not a sum. */
+  def clusterQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val model = Clustering.fit(e, "embedding", "vec_id", K, Iters)
+    val s = Clustering.assign(e, "embedding", model)
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("size"),
+        sum(floor(sqrt(col("dist")) * lit(1e6)).cast("long")).as("__ssum"))
+      .withColumn("scatter",
+        (col("__ssum").cast("double") / lit(1e6)) / col("size"))
+    val cents = model.centroids
+    val pairs = for {
+      i <- cents.indices; j <- cents.indices if i != j
+    } yield {
+      var sqd = 0.0; var d = 0
+      while (d < cents(i).length) {
+        val x = cents(i)(d) - cents(j)(d); sqd += x * x; d += 1
+      }
+      (i.toLong, j.toLong, math.sqrt(sqd))
+    }
+    val dij = broadcast(pairs.toDF("ci", "cj", "dij"))
+    val db = dij
+      .join(s.select(col("cluster_id").as("ci"), col("scatter").as("si")), "ci")
+      .join(s.select(col("cluster_id").as("cj"), col("scatter").as("sj")), "cj")
+      .groupBy("ci")
+      .agg(max((col("si") + col("sj")) / col("dij")).as("db_ratio"))
+    s.join(db, s("cluster_id") === db("ci"))
+      .select(col("cluster_id"), col("size"),
+        round(col("scatter"), 6).as("scatter"),
+        round(col("db_ratio"), 6).as("db_ratio"))
+      .orderBy("cluster_id")
+  }
 
   /** Incremental index maintenance, oracle-gated (the S12 story beyond
     * the bucketed write): the codebook is FROZEN on the old generation
@@ -152,6 +199,27 @@ object ClusterQueries {
     // incoming slice scores against the FINAL centroids (c2) with the
     // same argmin/tiebreak; drift profile = per (cluster, generation)
     // count + mean squared distance
+    // Davies–Bouldin replay: scatter from FIXED-POINT sums of the a2
+    // distances (order-immune), centroid pairwise distances from c2 in
+    // the same index-ascending fold as the driver loop, DB = a max
+    "k6_cluster_quality" ->
+      s"""$lloyd,
+         |sc AS (SELECT cid, count(*) AS size,
+         |         sum(floor(sqrt(d) * 1e6)::BIGINT) AS ssum
+         |       FROM a2 GROUP BY cid),
+         |s AS (SELECT cid, size, (ssum::DOUBLE / 1e6) / size AS scatter FROM sc),
+         |cd AS (SELECT a.cid AS ci, b.cid AS cj,
+         |         sqrt(list_sum(list_transform(range(64), j ->
+         |           (a.cv[j+1]-b.cv[j+1])*(a.cv[j+1]-b.cv[j+1])))) AS dij
+         |       FROM c2 a JOIN c2 b ON a.cid <> b.cid),
+         |r AS (SELECT ci, max((si.scatter + sj.scatter) / dij) AS db_ratio
+         |      FROM cd JOIN s si ON si.cid = cd.ci
+         |      JOIN s sj ON sj.cid = cd.cj
+         |      GROUP BY ci)
+         |SELECT s.cid AS cluster_id, size, round(scatter, 6) AS scatter,
+         |  round(db_ratio, 6) AS db_ratio
+         |FROM s JOIN r ON r.ci = s.cid
+         |ORDER BY cluster_id""".stripMargin,
     "k5_incremental_assign" ->
       s"""$lloydOld,
          |inc AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

@@ -132,4 +132,27 @@ class ClusteringSpec extends AnyFunSuite {
     val keepers = flags.filter(!_._3).map(_._1).sorted.toSeq
     assert(keepers == Seq(0L, 1L), "one keeper per cluster: the min id")
   }
+
+  test("Davies-Bouldin pieces: hand-computed scatter and ratio on planted separated clusters") {
+    // cluster A: (±1, 0, ...) around centroid (0,0,...); cluster B the
+    // same shape shifted by +10 on dim 0 -> scatter 1.0 each, centroid
+    // distance 10, DB ratio (1+1)/10 = 0.2 for BOTH clusters, exactly.
+    def v(x: Float): Array[Float] = x +: Array.fill(7)(0f)
+    val pts = Seq((1L, v(1f)), (2L, v(-1f)), (3L, v(11f)), (4L, v(9f)))
+      .toDF("vec_id", "embedding")
+    val m = Clustering.fit(pts, "embedding", "vec_id", k = 2, iters = 2)
+    val s = Clustering.assign(pts, "embedding", m)
+      .groupBy("cluster_id")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("size"),
+        org.apache.spark.sql.functions.avg(
+          org.apache.spark.sql.functions.sqrt($"dist")).as("scatter"))
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(s.map(_._2).toSeq == Seq(2L, 2L), "two balanced clusters")
+    assert(s.forall(r => math.abs(r._3 - 1.0) < 1e-9), s"unit scatter: ${s.toSeq}")
+    val c = m.centroids
+    val dij = math.sqrt(c(0).zip(c(1)).map { case (a, b) => (a - b) * (a - b) }.sum)
+    assert(math.abs(dij - 10.0) < 1e-9, s"centroid distance 10: $dij")
+    assert(math.abs((s(0)._3 + s(1)._3) / dij - 0.2) < 1e-9, "DB ratio 0.2")
+  }
 }
