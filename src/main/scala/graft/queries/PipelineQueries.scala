@@ -37,6 +37,7 @@ object PipelineQueries {
     "m3_blank_pages" -> ((s, d) => blankPages(s, d)),
     "m4_transcript" -> ((s, d) => transcript(s, d)),
     "m5_image_dhash" -> ((s, d) => imageNearDups(s, d)),
+    "m11_image_keeplist" -> ((s, d) => imageKeepList(s, d)),
     "m6_audio_activity" -> ((s, d) => audioActivity(s, d)),
     "m7_multimodal_curation" -> ((s, d) => multimodalCuration(s, d)),
     "m8_scene_cuts" -> ((s, d) => sceneCutsQ(s, d)),
@@ -371,6 +372,27 @@ object PipelineQueries {
     val withBytes = docs.map(id => (id, staircasePng(id))).toDF("doc_id", "bytes")
     Multimodal.imageNearDups(withBytes, "doc_id", "bytes", maxHamming = 3)
       .orderBy("id_a", "id_b")
+  }
+
+  /** The image-dedup KEEP LIST — m5's pair view taken to its curation
+    * decision (the LAION pass: one keeper per perceptual-hash cluster):
+    * dHash near-dup pairs → size-adaptive connected components → min-id
+    * keeper, singletons keeping themselves. Output (id, keep_id,
+    * is_dup) for EVERY image — the t9/t23 keep-list shape for the image
+    * modality; keep = rows where id == keep_id. */
+  def imageKeepList(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id")).as[Long]
+    val withBytes = docs.map(id => (id, staircasePng(id))).toDF("doc_id", "bytes")
+    val comp = graft.operators.Dedup.connectedComponents(
+      Multimodal.imageNearDups(withBytes, "doc_id", "bytes", maxHamming = 3))
+    withBytes.select(col("doc_id").cast("long").as("id"))
+      .join(comp, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("keep_id"))
+      .withColumn("is_dup", col("keep_id") =!= col("id"))
+      .orderBy("id")
   }
 
   /** Scene-cut detection over synthesized frame timelines: video = doc <
@@ -1063,6 +1085,32 @@ object PipelineQueries {
         |SELECT doc_id AS id, win::BIGINT AS win, amp::BIGINT AS mean_abs,
         |  amp < 100 AS is_silence
         |FROM m ORDER BY id, win""".stripMargin,
+    // m5's hash synthesis + the t17 recursive-reachability pattern, with
+    // singletons (no edges) keeping themselves via the left join
+    "m11_image_keeplist" ->
+      """WITH RECURSIVE d AS (SELECT doc_id,
+        |    ('0x' || substr(md5('g:' || (doc_id % 5)), 1, 15))::BIGINT AS base
+        |  FROM documents WHERE doc_id < 200),
+        |h AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN xor(base, 1::BIGINT << (doc_id % 60)::INT)
+        |         ELSE base END AS dh
+        |  FROM d),
+        |e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |      FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |      WHERE bit_count(xor(a.dh, b.dh)) <= 3),
+        |und AS (SELECT id_a AS s, id_b AS t FROM e
+        |        UNION SELECT id_b, id_a FROM e),
+        |reach(id, r) AS (
+        |  SELECT s, s FROM und
+        |  UNION
+        |  SELECT u.s, reach.r FROM und u JOIN reach ON reach.id = u.t),
+        |comp AS (SELECT id, min(r) AS keep FROM reach GROUP BY id)
+        |SELECT h.doc_id AS id,
+        |  coalesce(comp.keep, h.doc_id)::BIGINT AS keep_id,
+        |  (coalesce(comp.keep, h.doc_id) <> h.doc_id) AS is_dup
+        |FROM h LEFT JOIN comp ON comp.id = h.doc_id
+        |ORDER BY id""".stripMargin,
     "m5_image_dhash" ->
       """WITH d AS (SELECT doc_id,
         |    ('0x' || substr(md5('g:' || (doc_id % 5)), 1, 15))::BIGINT AS base
