@@ -177,7 +177,8 @@ object ScaleProbe {
         "q2_join3", "t4_minhash_lsh", "t17_components", "t33_paragraph_dedup",
         "n2_bm25", "e7_resample_locf", "e8_ohlc", "e14_resample_interp",
         "u6_changelog_apply", "m9_scene_cuts_dense", "t41_bpe_train",
-        "gr2_pagerank_dense", "t16_heavy_hitters", "t44_ffd_pack")
+        "gr2_pagerank_dense", "t16_heavy_hitters", "t44_ffd_pack",
+        "k2_semdedup")
       val picked = args.lift(1) match {
         case Some(list) =>
           val want = list.split(',').filter(_.nonEmpty).toSet

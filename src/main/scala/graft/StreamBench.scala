@@ -28,13 +28,26 @@ import org.apache.spark.sql.streaming.Trigger
   *    (grows with novelty, not with ingest volume; the bench's planted
   *    ~1/3 duplicate ratio shows index rows < paragraph rows).
   *
-  * Usage: runMain graft.StreamBench [durationSecPerArm] — defaults to 12.
-  * Prints one JSON line per arm; redirect to STREAMBENCH_r{N}.json.
+  * Usage: runMain graft.StreamBench [durationSecPerArm] [arms-csv] —
+  * defaults to 12 s and all four arms. Prints one JSON line per arm;
+  * redirect to STREAMBENCH_r{N}.json.
   */
 object StreamBench {
 
+  private val allArms =
+    Seq("context_windows", "changelog", "scene_cuts", "paragraph_dedup")
+
   def main(args: Array[String]): Unit = {
     val durSec = args.headOption.map(_.toInt).getOrElse(12)
+    val arms: Set[String] = args.lift(1) match {
+      case Some(csv) =>
+        val want = csv.split(',').filter(_.nonEmpty).toSet
+        val unknown = want -- allArms.toSet
+        require(unknown.isEmpty, s"unknown StreamBench arms: " +
+          s"${unknown.mkString(", ")} (set: ${allArms.mkString(", ")})")
+        want
+      case None => allArms.toSet
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -44,6 +57,7 @@ object StreamBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    if (arms("context_windows"))
     runStateful(spark, "context_windows", durSec, rowsPerSec = 20000,
       build = src => {
         val docs = src.select((col("value") % 64).as("shard"),
@@ -54,6 +68,7 @@ object StreamBench {
           docs, "doc_id", "shard", "text", blockTokens = 512)
       }, outputMode = "append")
 
+    if (arms("changelog"))
     runStateful(spark, "changelog", durSec, rowsPerSec = 50000,
       build = src => {
         val log = src.select(pmod(col("value"), lit(200000)).as("key"),
@@ -65,6 +80,7 @@ object StreamBench {
       }, outputMode = "update")
 
     val sceneA = twoTonePng(10, 200); val sceneB = twoTonePng(200, 10)
+    if (arms("scene_cuts"))
     runStateful(spark, "scene_cuts", durSec, rowsPerSec = 10000,
       build = src => {
         val frames = src.select(
@@ -76,7 +92,7 @@ object StreamBench {
           frames, "video_id", "ts", "bytes", maxHamming = 3)
       }, outputMode = "append")
 
-    runParagraphDedup(spark, durSec)
+    if (arms("paragraph_dedup")) runParagraphDedup(spark, durSec)
     spark.stop()
   }
 
@@ -113,9 +129,27 @@ object StreamBench {
   }
 
   /** The foreachBatch paragraph-dedup arm: per micro-batch, dedup the
-    * shard against the accumulated ownership index, extend the index by
-    * the shard's novel paragraphs, checkpoint the lineage. State = the
-    * index table itself. */
+    * shard against the accumulated ownership index and extend the index
+    * by the shard's novel paragraphs. State = the index table itself.
+    *
+    * Throughput design (round-10 verdict #1 — the r10 artifact measured
+    * 17.0k processed vs 20k input rows/s): the r10 arm re-materialized
+    * the ENTIRE index every micro-batch (`union.localCheckpoint()` —
+    * O(index) per batch, quadratic over the run). Now the per-batch write
+    * is DELTA-ONLY ([[operators.Dedup.paragraphShardStep]]: one shared
+    * novel-ownership pass, `localCheckpoint` pins only the
+    * batch-novelty-sized delta) with the index held as base ∪ deltas and
+    * COMPACTED every 16 batches — amortized O(index/16) per batch, the
+    * same append-then-compact law an LSM state store runs at scale.
+    *
+    * Reported: `mean_processed_rows_per_s` (whole window, startup
+    * included) and `steady_rows_per_s` — processing CAPACITY over the
+    * post-warmup batches (rows ÷ in-batch processing time, first 3
+    * batches excluded), the number the "arm must sustain its input rate"
+    * sanity bound is checked against. `state_bytes_est` is an ESTIMATE
+    * ((32-hex md5) + two longs + row overhead per index row), not the
+    * measured `memoryUsedBytes` the stateful arms report — hence the
+    * distinct key + `"estimated":true`. */
   private def runParagraphDedup(spark: SparkSession, durSec: Int): Unit = {
     import graft.operators.Dedup
     val paras = (c: org.apache.spark.sql.Column) => split(c, "\n")
@@ -127,7 +161,7 @@ object StreamBench {
         lit("the shared viral boilerplate paragraph\nshard paragraph "),
         expr("value div 100").cast("string"),
         lit("\nunique paragraph "), col("value").cast("string")).as("text"))
-    var index = Dedup.paragraphIndex(
+    var base = Dedup.paragraphIndex(
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("doc_id",
@@ -135,21 +169,31 @@ object StreamBench {
           org.apache.spark.sql.types.StructField("text",
             org.apache.spark.sql.types.StringType)))),
       "doc_id", "text", paras).localCheckpoint()
-    val totals = new java.util.concurrent.atomic.AtomicLong
-    val batches = new java.util.concurrent.atomic.AtomicLong
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val compactEvery = 16
+    // per-batch (rows, in-batch processing seconds) for the steady-state
+    // capacity metric; ConcurrentLinkedQueue — foreachBatch runs off-thread
+    val perBatch =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double)]
     val q = docs.writeStream
       .trigger(Trigger.ProcessingTime("1 second"))
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("graft_sb_paradedup").toString)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bt0 = System.nanoTime()
         val b = batch.localCheckpoint()
-        Dedup.paragraphDedupAgainst(b, index, "doc_id", "text", paras)
-          .write.mode("overwrite").format("noop").save()
-        index = index.unionByName(
-          Dedup.paragraphIndexDelta(b, index, "doc_id", "text", paras))
-          .localCheckpoint()
-        totals.addAndGet(b.count())
-        batches.incrementAndGet()
+        val index = deltas.foldLeft(base)(_ unionByName _)
+        val (deduped, delta) = Dedup.paragraphShardStep(
+          b, index, "doc_id", "text", paras,
+          materialize = _.localCheckpoint())
+        deduped.write.mode("overwrite").format("noop").save()
+        deltas += delta
+        if (deltas.size >= compactEvery) {
+          base = deltas.foldLeft(base)(_ unionByName _)
+            .repartition(col("h")).localCheckpoint()
+          deltas.clear()
+        }
+        perBatch.add((b.count(), (System.nanoTime() - bt0) / 1e9))
         ()
       }
       .start()
@@ -157,13 +201,20 @@ object StreamBench {
     Thread.sleep(durSec * 1000L)
     q.stop()
     val wall = (System.nanoTime() - t0) / 1e9
-    val idxRows = index.count()
-    // (32-hex md5) + two longs per index row, plus row overhead
-    val rows = totals.get()
+    val idxRows = deltas.foldLeft(base)(_ unionByName _).count()
+    import scala.jdk.CollectionConverters._
+    val bs = perBatch.asScala.toVector
+    val rows = bs.map(_._1).sum
+    val steady = bs.drop(3)
+    val steadyRate =
+      if (steady.isEmpty) 0.0
+      else steady.map(_._1).sum / math.max(steady.map(_._2).sum, 0.001)
     println(f"""{"arm":"paragraph_dedup","rows":$rows,"wall_s":$wall%.1f,""" +
       f""""mean_processed_rows_per_s":${rows / math.max(wall, 0.001)}%.0f,""" +
-      f""""batches":${batches.get()},"state_rows":$idxRows,""" +
-      f""""state_bytes":${idxRows * 56},"input_rows_per_s":20000}""")
+      f""""steady_rows_per_s":$steadyRate%.0f,""" +
+      f""""batches":${bs.size},"state_rows":$idxRows,""" +
+      f""""state_bytes_est":${idxRows * 56},"estimated":true,""" +
+      f""""input_rows_per_s":20000}""")
   }
 
   private def twoTonePng(l: Int, r: Int): Array[Byte] = {

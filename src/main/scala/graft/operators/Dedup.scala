@@ -730,6 +730,32 @@ object Dedup {
     paragraphIndex(shard, idCol, textCol, paras)
       .join(index.select("h"), Seq("h"), "left_anti")
 
+  /** One incremental-crawl micro-batch step, computing BOTH the deduped
+    * shard and the index delta from a single novel-ownership pass —
+    * `(deduped, delta)` with `deduped == paragraphDedupAgainst(shard,
+    * index)` and `delta == paragraphIndexDelta(shard, index)` (the
+    * anti-join by `h` commutes with the per-`h` min-struct ownership, so
+    * ownership-of-novel ≡ ownership-anti-index; gated by
+    * StreamingParagraphDedupSpec). `materialize` is applied to the shared
+    * ownership frame before fan-out — a streaming caller passes
+    * `_.localCheckpoint()` so the novel-paragraph scan runs ONCE per
+    * micro-batch instead of once per consumer (the delta is
+    * batch-novelty-sized, so this is cheap to pin; the [[paragraphIndex]]
+    * state table stays disk/lineage-resident, never executor memory). */
+  def paragraphShardStep(shard: DataFrame, index: DataFrame,
+                         idCol: String, textCol: String,
+                         paras: Column => Column, sep: String = " ",
+                         materialize: DataFrame => DataFrame = identity)
+      : (DataFrame, DataFrame) = {
+    val base = paraBase(shard, idCol, textCol, paras)
+    val exploded = paraExplode(base)
+    val novel = exploded.join(index.select("h"), Seq("h"), "left_anti")
+    val own = materialize(paraOwnership(novel))
+    val deduped = assembleSurvivors(base, exploded.join(own, "h")
+      .filter(col("id") === col("oid") && col("idx") === col("oidx")), sep)
+    (deduped, own)
+  }
+
   /** Token-window paragraph splitter for corpora without layout structure:
     * non-overlapping `w`-token windows of the normalized token stream
     * (space-joined), the registry fixture's stand-in for `split(c, "\n{2,}")`.

@@ -33,7 +33,11 @@ object Evals {
   /** `ranked`: (`query_id`, `rank` 1-based, `id`); `relevant`:
     * (`query_id`, `id`) ground truth. Output per query: `n_rel`, `hits`,
     * `recall_at_k`, `mrr`, `ndcg_at_k`. Queries with NO relevant docs are
-    * omitted (their metrics are undefined). */
+    * omitted (their metrics are undefined). Queries WITH relevant docs but
+    * no ranked rows within the cutoff are NOT omitted: they score zero on
+    * every metric — the per-query frame is anchored on the ground-truth
+    * side, so a retrieval regression that returns nothing for a query
+    * drags the aggregate down instead of silently vanishing from it. */
   def rankingMetrics(ranked: DataFrame, relevant: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"rankingMetrics needs k>=1 (got $k)")
     val rel = relevant.select(col("query_id"), col("id"), lit(1L).as("__rel"))
@@ -50,7 +54,11 @@ object Evals {
           x.getField("v").cast("double") / log2(x.getField("r") + lit(1.0)))
         .as("__dcg"))
     val nRel = rel.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
-    perQuery.join(nRel, "query_id")
+    // anchor on nRel (left join), not perQuery: a query the retriever
+    // returned nothing for must score 0, not disappear from the eval
+    nRel.join(perQuery, Seq("query_id"), "left")
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      .withColumn("__dcg", coalesce(col("__dcg"), lit(0.0)))
       .withColumn("__ideal", least(col("n_rel"), lit(k.toLong)))
       .withColumn("__idcg",
         aggregate(sequence(lit(1L), col("__ideal")), lit(0.0),

@@ -147,27 +147,6 @@ object Features {
       .drop("p_lo", "p_hi")
   }
 
-  /** Leakage-safe (out-of-fold) TARGET ENCODING of a categorical column —
-    * the CatBoost/"mean encoding done right" featurization every tabular
-    * trainer runs on high-cardinality categoricals: per (category, fold),
-    * the smoothed target rate computed from the OTHER folds only,
-    *
-    *   enc(c, f) = (pos_out + a · prior) / (n_out + a)
-    *
-    * with `pos_out`/`n_out` the category's positive/total counts
-    * excluding fold f, `prior` the global positive rate, and `a` the
-    * additive-smoothing pseudo-count. A category seen ONLY inside fold f
-    * has n_out = 0 and encodes to exactly the prior — the no-self-leak
-    * property (a naive mean encoding would leak the row's own label and
-    * overfit precisely the rare categories that matter). Deterministic:
-    * every encoding is a pure function of exact integer counts and one
-    * global ratio, in this stated parenthesization.
-    *
-    * 100 TB shape: one map-side-combined (category, fold) count pass, a
-    * category-level rollup of the (already tiny) count table, one
-    * broadcast scalar — output is |categories|×|folds| rows, never
-    * data-sized; the training-time application is a broadcast join of
-    * this table back onto the rows. */
   /** Rolling z-score ANOMALY flags — the streaming-metrics outlier gate
     * every feature/monitoring pipeline runs (fraud spikes, sensor
     * glitches, data-drift tripwires): each event scored against the
@@ -216,6 +195,27 @@ object Features {
       .drop("__iv", "__s", "__ss", "__mean", "__var")
   }
 
+  /** Leakage-safe (out-of-fold) TARGET ENCODING of a categorical column —
+    * the CatBoost/"mean encoding done right" featurization every tabular
+    * trainer runs on high-cardinality categoricals: per (category, fold),
+    * the smoothed target rate computed from the OTHER folds only,
+    *
+    *   enc(c, f) = (pos_out + a · prior) / (n_out + a)
+    *
+    * with `pos_out`/`n_out` the category's positive/total counts
+    * excluding fold f, `prior` the global positive rate, and `a` the
+    * additive-smoothing pseudo-count. A category seen ONLY inside fold f
+    * has n_out = 0 and encodes to exactly the prior — the no-self-leak
+    * property (a naive mean encoding would leak the row's own label and
+    * overfit precisely the rare categories that matter). Deterministic:
+    * every encoding is a pure function of exact integer counts and one
+    * global ratio, in this stated parenthesization.
+    *
+    * 100 TB shape: one map-side-combined (category, fold) count pass, a
+    * category-level rollup of the (already tiny) count table, one
+    * broadcast scalar — output is |categories|×|folds| rows, never
+    * data-sized; the training-time application is a broadcast join of
+    * this table back onto the rows. */
   def targetEncode(df: DataFrame, catCol: String, labelCol: String,
                    foldCol: String, smoothing: Double = 20.0): DataFrame = {
     require(smoothing > 0, s"targetEncode needs smoothing>0 (got $smoothing)")

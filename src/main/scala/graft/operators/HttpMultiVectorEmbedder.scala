@@ -88,10 +88,16 @@ case class HttpMultiVectorEmbedder(endpoint: String, dim: Int,
     try embedBatch(HttpWire.newClient(timeoutSec), Seq(s)).head
     catch { case _: Exception => Array.empty }
 
-  /** Image query wire shape (`colpali_api_embedding_model.py:286`:
-    * `{"input_type": "image", "inputs": [<base64>, ...]}` — the payload
-    * is the base64 of the raw encoded image): same response parse as the
-    * text path, same empty-on-failure degradation. */
+  /** Image query embedding. The reference's image path
+    * (`colpali_api_embedding_model.py:286`) posts
+    * `{"input_type": "image", "inputs": [<base64>, ...]}` and parses an
+    * `.npz` binary back; this engine instead keeps its OWN uniform wire
+    * protocol — the text path's OpenAI-style
+    * `{"model", "input_type", "input": [...]}` request with a JSON
+    * `{"data":[{"embedding": [[...]]}]}` response — so one server shape
+    * (and one CI stub) serves both modalities. The payload is the base64
+    * of the raw encoded image; same response parse as the text path, same
+    * empty-on-failure degradation. */
   override def embedImageMulti(bytes: Array[Byte]): Array[Array[Float]] = {
     val b64 = java.util.Base64.getEncoder.encodeToString(
       if (bytes == null) Array.emptyByteArray else bytes)

@@ -37,4 +37,22 @@ class EvalsSpec extends AnyFunSuite {
     val (_, n2, h2, rec2, mrr2, ndcg2) = out(2L)
     assert(n2 == 1L && h2 == 0L && rec2 == 0.0 && mrr2 == 0.0 && ndcg2 == 0.0)
   }
+
+  test("query with relevant docs but NO ranked rows scores zero, not omitted") {
+    // the regression the eval layer exists to surface: the retriever
+    // returned nothing for query 3 — it must drag the aggregate down
+    val ranked = Seq((1L, 1L, 10L)).toDF("query_id", "rank", "id")
+    val relevant = Seq((1L, 10L), (3L, 30L), (3L, 31L)).toDF("query_id", "id")
+    val out = Evals.rankingMetrics(ranked, relevant, k = 5)
+      .select("query_id", "n_rel", "hits", "recall_at_k", "mrr", "ndcg_at_k")
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.contains(3L), "no-result query must not vanish from the eval")
+    val (_, n3, h3, rec3, mrr3, ndcg3) = out(3L)
+    assert(n3 == 2L && h3 == 0L && rec3 == 0.0 && mrr3 == 0.0 && ndcg3 == 0.0)
+    // query with ranked rows is unaffected by the outer-join anchor
+    assert(out(1L)._3 == 1L && out(1L)._5 == 1.0)
+    // a query with NO relevant docs is still omitted (metrics undefined)
+    assert(!out.contains(2L))
+  }
 }

@@ -97,4 +97,29 @@ class StreamingParagraphDedupSpec extends AnyFunSuite {
     assert(results.sortBy(_.head.asInstanceOf[Long].toString).toSeq == batchRun,
       s"foreachBatch-accumulated results diverged:\n$results\nvs\n$batchRun")
   }
+
+  test("paragraphShardStep == (paragraphDedupAgainst, paragraphIndexDelta)") {
+    val shard1 = df(docs.filter(_._1 <= 2))
+    val shard2 = df(docs.filter(_._1 > 2))
+    val empty = Dedup.paragraphIndex(df(Nil), "doc_id", "text", paras)
+    val idx1 = empty.unionByName(
+      Dedup.paragraphIndexDelta(shard1, empty, "doc_id", "text", paras))
+      .localCheckpoint()
+    // the non-empty-index step is the interesting one: ownership-of-novel
+    // must equal ownership-anti-index even when the shard repeats
+    // index-owned paragraphs (docs 3-5 repeat P1/P2/P3 owned by shard 1)
+    for ((shard, idx) <- Seq((shard1, empty), (shard2, idx1))) {
+      val (deduped, delta) = Dedup.paragraphShardStep(
+        shard, idx, "doc_id", "text", paras,
+        materialize = _.localCheckpoint())
+      val wantDedup = Dedup.paragraphDedupAgainst(shard, idx, "doc_id", "text", paras)
+        .orderBy("id").collect().map(_.toSeq).toSeq
+      val wantDelta = Dedup.paragraphIndexDelta(shard, idx, "doc_id", "text", paras)
+        .orderBy("h").collect().map(_.toSeq).toSeq
+      assert(deduped.orderBy("id").collect().map(_.toSeq).toSeq == wantDedup,
+        "shard-step deduped output diverged from paragraphDedupAgainst")
+      assert(delta.orderBy("h").collect().map(_.toSeq).toSeq == wantDelta,
+        "shard-step delta diverged from paragraphIndexDelta")
+    }
+  }
 }
