@@ -152,13 +152,45 @@ object MetadataFilter {
   private val dateRe = "^\\d{4}-\\d{2}-\\d{2}$".r
   private val dateTimeRe = "^\\d{4}-\\d{2}-\\d{2}[T ].*".r
 
+  /** A string operand that parses as a number — the reference accepts
+    * numeric STRINGS for numeric/decimal comparisons
+    * (`metadata_filters.py:537-560` `_format_numeric_literal`: str →
+    * Decimal), e.g. `{"price": {"$lte": "99.99"}}`. */
+  private def numericString(s: String): Option[java.math.BigDecimal] =
+    try {
+      val t = s.trim
+      if (t.isEmpty) None else Some(new java.math.BigDecimal(t))
+    } catch { case _: NumberFormatException => None }
+
+  private def numericJString(v: JValue): Boolean = v match {
+    case JString(s) => numericString(s).isDefined
+    case _          => false
+  }
+
+  private def dateJString(v: JValue): Boolean = v match {
+    case JString(s) => dateRe.findFirstIn(s).isDefined ||
+      dateTimeRe.findFirstIn(s).isDefined
+    case _ => false
+  }
+
   /** Typed comparison (`metadata_filters.py:233-337`): one clause per
     * candidate type inferred from the literal, each gated on the declared
     * type; clauses OR together. try_cast keeps malformed stored values as
-    * NULL (excluded) instead of erroring under ANSI mode. */
+    * NULL (excluded) instead of erroring under ANSI mode. An operand no
+    * candidate type accepts — an ORDERING comparison against a plain
+    * non-numeric non-date string, a bool, null — errors, as in the
+    * reference ("requires a numeric, decimal, ISO8601 date/datetime, or
+    * string value", `metadata_filters.py:263-266`; the string clause is
+    * $eq/$ne-only, `metadata_filters.py:257-260`). */
   private def typedCmp(v: Column, t: Column, rhs: JValue, cmp: (Column, Column) => Column,
                        includeString: Boolean): Column = {
     val branches = scala.collection.mutable.ListBuffer[Column]()
+    def numericBranches(d: Double, bd: java.math.BigDecimal): Unit = {
+      branches += (t === "number") && cmp(v.try_cast(DoubleType), lit(d))
+      branches += (t === "decimal") && cmp(v.try_cast(DecimalType(38, 18)), lit(bd))
+      // Untyped stores still compare numerically (try_cast null-excludes).
+      branches += t.isNull && cmp(v.try_cast(DoubleType), lit(d))
+    }
     if (isNumeric(rhs)) {
       val d = rhs match {
         case JInt(i) => i.toDouble
@@ -167,25 +199,25 @@ object MetadataFilter {
         case JDecimal(x) => x.toDouble
         case _ => 0.0
       }
-      branches += (t === "number") && cmp(v.try_cast(DoubleType), lit(d))
-      branches += (t === "decimal") && cmp(v.try_cast(DecimalType(38, 18)),
-        lit(new java.math.BigDecimal(scalarString(rhs))))
-      // Untyped stores still compare numerically (try_cast null-excludes).
-      branches += t.isNull && cmp(v.try_cast(DoubleType), lit(d))
+      numericBranches(d, new java.math.BigDecimal(scalarString(rhs)))
     } else rhs match {
       case JString(s) if dateTimeRe.findFirstIn(s).isDefined =>
         branches += (t === "datetime") && cmp(v.try_cast(TimestampType), lit(s).cast(TimestampType))
       case JString(s) if dateRe.findFirstIn(s).isDefined =>
         branches += (t === "date") && cmp(v.try_cast(DateType), lit(s).cast(DateType))
         branches += (t === "datetime") && cmp(v.try_cast(TimestampType), lit(s).cast(TimestampType))
-      case JString(s) =>
+      case JString(s) if numericString(s).isDefined =>
+        val bd = numericString(s).get
+        numericBranches(bd.doubleValue, bd)
+      case JString(s) if includeString =>
         branches += (t === "string" || t.isNull) && cmp(v, lit(s))
-      case JBool(b) =>
-        branches += cmp(v, lit(b.toString))
-      case _ => ()
+      case other =>
+        sys.error("comparison requires a numeric, decimal, ISO8601 " +
+          s"date/datetime, or string value, got $other")
     }
     if (includeString) rhs match {
-      case JString(s) if dateTimeRe.findFirstIn(s).isDefined || dateRe.findFirstIn(s).isDefined =>
+      case JString(s) if dateTimeRe.findFirstIn(s).isDefined || dateRe.findFirstIn(s).isDefined ||
+          numericString(s).isDefined =>
         branches += (t === "string") && cmp(v, lit(s))
       case _ => ()
     }
@@ -196,13 +228,19 @@ object MetadataFilter {
                             rhs: JValue, opts: String, ctx: Ctx): Column = op match {
     case "$eq" => rhs match {
       case JNull => v.isNull
-      case r if isNumeric(r) => typedCmp(v, t, r, _ === _, includeString = true) || implicitEq(v, t, r)
+      case r if isNumeric(r) || numericJString(r) || dateJString(r) =>
+        typedCmp(v, t, r, _ === _, includeString = true) || implicitEq(v, t, r)
       case r => implicitEq(v, t, r)
     }
     // $ne is null-safe (IS DISTINCT FROM, `metadata_filters.py:138-151`):
-    // a missing key IS different from the literal.
+    // a missing key IS different from the literal. Numeric operands also
+    // negate the TYPED equality, so "2024.0" (number) is not-equal-safe
+    // against 2024 the same way $eq matches it.
     case "$ne" => rhs match {
       case JNull => v.isNotNull
+      case r if isNumeric(r) || numericJString(r) =>
+        !coalesce(implicitEq(v, t, r) ||
+          typedCmp(v, t, r, _ === _, includeString = false), lit(false))
       case r     => !coalesce(implicitEq(v, t, r), lit(false))
     }
     case "$gt"  => typedCmp(v, t, rhs, _ > _, includeString = false)

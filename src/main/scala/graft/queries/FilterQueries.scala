@@ -51,7 +51,13 @@ object FilterQueries {
     "f5_decimal_exists_ne" -> ((s, d) => filtered(s, d,
       """{"retail": {"$gt": 950.5}, "name": {"$exists": true}, "brand": {"$ne": "Brand#7"}}""")),
     "f6_not_nin_type" -> ((s, d) => filtered(s, d,
-      """{"$not": {"type": {"$nin": ["SMALL", "PROMO"]}}, "size": {"$type": "number"}}"""))
+      """{"$not": {"type": {"$nin": ["SMALL", "PROMO"]}}, "size": {"$type": "number"}}""")),
+    // numeric-STRING operands (round-11 reference alignment,
+    // `metadata_filters.py:537-560`: str operands parse to Decimal and hit
+    // the number/decimal branches — "99.99"-style filters from JSON
+    // clients must compare numerically, not lexically)
+    "f7_numeric_string_cmp" -> ((s, d) => filtered(s, d,
+      """{"retail": {"$gte": "950.50", "$lt": "1200"}, "size": {"$ne": "25.0"}}"""))
   )
 
   def oracles: Map[String, String] = Map(
@@ -77,6 +83,11 @@ object FilterQueries {
     "f6_not_nin_type" ->
       """SELECT p_partkey FROM part
         |WHERE NOT (p_type NOT IN ('SMALL','PROMO'))
+        |ORDER BY p_partkey""".stripMargin,
+    "f7_numeric_string_cmp" ->
+      """SELECT p_partkey FROM part
+        |WHERE p_retailprice >= 950.50 AND p_retailprice < 1200
+        |  AND p_size <> 25
         |ORDER BY p_partkey""".stripMargin
   )
 }

@@ -220,4 +220,86 @@ class MetadataFilterSpec extends AnyFunSuite {
   test("unsupported top-level operator errors") {
     assertThrows[RuntimeException](eids("""{"$xor": [{"a": 1}]}"""))
   }
+
+  // ---- round-11 additions: the remaining reference cases
+  // (`test_metadata_filters.py`), result-set asserted
+
+  test("decimal-string operand compares numerically, not lexically") {
+    // test_comparison_with_decimal_string: {"price": {"$lte": "99.99"}} —
+    // a numeric STRING must hit the number/decimal branches
+    assert(ids("""{"price": {"$lte": "99.99"}}""") == Set(3))
+    assert(ids("""{"price": {"$lte": "19.5"}}""") == Set.empty)
+    // lexical would put "19.99" < "2.5"; numeric must not
+    assert(ids("""{"price": {"$lt": "2.5"}}""") == Set.empty)
+    assert(eids("""{"amount": {"$gte": "1000000"}}""") == Set(3))
+  }
+
+  test("$eq with numeric string matches typed values numerically") {
+    // "2024.0" as a numeric string must match the number-typed 2024 store
+    assert(ids("""{"year": {"$eq": "2024.0"}}""") == Set(1))
+    assert(ids("""{"year": {"$ne": "2024.0"}}""") == Set(2, 3, 4, 5, 6, 7))
+  }
+
+  test("ordering comparison on a plain non-numeric string errors") {
+    // the reference raises InvalidMetadataFilterError: the string clause
+    // is $eq/$ne-only (`metadata_filters.py:257-266`)
+    assertThrows[RuntimeException](ids("""{"dept": {"$lt": "m"}}"""))
+    assertThrows[RuntimeException](ids("""{"dept": {"$gte": "a"}}"""))
+  }
+
+  test("ordering comparison on a bool or null operand errors") {
+    assertThrows[RuntimeException](ids("""{"flag": {"$gt": true}}"""))
+    assertThrows[RuntimeException](ids("""{"year": {"$lt": null}}"""))
+  }
+
+  test("field-level $not with an operator object") {
+    // test_not_operator: {"status": {"$not": {"$eq": "deleted"}}}
+    assert(ids("""{"dept": {"$not": {"$eq": "finance"}}}""") == Set(2, 3, 4, 5, 6, 7))
+    assert(ids("""{"year": {"$not": {"$gt": 2023}}}""") == Set(2, 3, 4, 5, 6))
+  }
+
+  test("$or composes a reserved filename filter with a metadata filter") {
+    // test_filename_or_metadata: {"$or": [{"filename": {"$regex": ...}},
+    // {"status": ...}]}
+    val r = Map("filename" -> col("filename"))
+    assert(ids("""{"$or": [{"filename": {"$regex": "\\.txt$"}}, {"dept": "finance"}]}""", r)
+      == Set(1, 2))
+  }
+
+  test("$type with a non-string operand errors") {
+    // test_type_operator_requires_string_or_list: {"value": {"$type": 123}}
+    assertThrows[RuntimeException](ids("""{"year": {"$type": 123}}"""))
+  }
+
+  test("complex nested $and/$or") {
+    // test_complex_nested_and_or
+    assert(ids(
+      """{"$and": [
+        |  {"dept": {"$regex": "finance", "$options": "i"}},
+        |  {"$or": [{"year": {"$gte": 2024}}, {"price": {"$gt": 10}}]},
+        |  {"filename": {"$exists": true}}
+        |]}""".stripMargin, Map("filename" -> col("filename"))) == Set(1))
+  }
+
+  test("mixed $type gate and comparison on the same field") {
+    // test_mixed_type_and_comparison_filters: only rows DECLARED number
+    // and numerically > pass — id 7 (2024.5 number) yes, id 5 (garbage
+    // number-typed) no, id 3 (decimal-typed) no
+    assert(ids(
+      """{"$and": [{"year": {"$type": "number"}}, {"year": {"$gt": 2023}}]}""")
+      == Set(1, 7))
+  }
+
+  test("datetime object rendering (space separator) compares as datetime") {
+    // test_comparison_with_datetime_object: datetime(2024,1,1,12,0,0)
+    // serializes with a space separator; dateTimeRe accepts [T ]
+    assert(eids("""{"ts": {"$gte": "2024-01-01 12:00:00"}}""") == Set(3))
+    assert(eids("""{"ts": {"$gte": "2024-01-16 00:00:00"}}""") == Set.empty)
+  }
+
+  test("date object comparison with $gte") {
+    // test_comparison_with_date_object: date(2024,6,15)
+    assert(ids("""{"day": {"$gte": "2024-06-15"}}""") == Set(7))
+    assert(ids("""{"day": {"$gte": "2024-06-16"}}""") == Set.empty)
+  }
 }
