@@ -28,12 +28,33 @@ object Verify {
       }
     }
 
+  /** The scale-sensitive heavy tail for the sf0.1 oracle gate (round-11
+    * verdict #3): the registry rows where a 10× data step could surface
+    * long overflow, float-summation drift, or tie instability under more
+    * duplicates — the composed pipelines, iterative/trained arms, and
+    * sort/window-heavy operators. Run as
+    * `runMain graft.Verify /root/testdata/sf0.1 <out> @heavy`, then
+    * `scripts/check.py <out> /root/testdata/sf0.1` →
+    * CORRECTNESS_sf01_r{N}.json. (v19/v23's fixture-tagged VALUES oracles
+    * are sf0.01-pinned by design and stay out.) */
+  val heavyGate: Seq[String] = Seq(
+    "t4_minhash_lsh", "t17_components", "t29_remove_dup_spans",
+    "t33_paragraph_dedup", "e7_resample_locf", "e14_resample_interp",
+    "t51_kn_lm", "gr2_pagerank_dense", "v17_ivfpq_residual",
+    "t28_curation_e2e", "t42_curation_v2", "t47_pretrain_e2e",
+    "t41_bpe_train", "v22_mv_pq_maxsim", "k2_semdedup", "n2_bm25",
+    "t30_lm_xent", "t16_heavy_hitters", "e8_ohlc", "u6_changelog_apply",
+    "m9_scene_cuts_dense", "t32_dsir_sample")
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rest @ _*) = args
     // Optional extra args = query-name prefixes to run (local iteration
-    // helper; the driver's 2-arg invocation runs everything).
+    // helper; the driver's 2-arg invocation runs everything). The single
+    // selector `@heavy` expands to the curated scale-gate list above.
+    val prefixes =
+      if (rest == Seq("@heavy")) heavyGate else rest
     val wanted: String => Boolean =
-      if (rest.isEmpty) _ => true else n => rest.exists(n.startsWith)
+      if (prefixes.isEmpty) _ => true else n => prefixes.exists(n.startsWith)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
