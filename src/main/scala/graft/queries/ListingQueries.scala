@@ -30,6 +30,7 @@ object ListingQueries {
         "folder_path", "folder_name")),
     "l6_folder_scope_depth" -> ((s, d) => folderScopeDepth(s, d)),
     "l7_folder_move" -> ((s, d) => folderMove(s, d)),
+    "l16_folder_tree_ops" -> ((s, d) => folderTreeOps(s, d)),
     "l8_usage_by_source" -> ((s, d) => usageBySource(s, d)),
     "l9_folder_summary" -> ((s, d) => folderSummary(s, d)),
     "l10_usage_fold" -> ((s, d) => usageFold(s, d)),
@@ -172,6 +173,39 @@ object ListingQueries {
   /** L7 subtree move: the /src1 subtree re-pathed under /archive, with
     * depth/id/parent_id recomputed — value-checks the whole path-rewrite
     * (deterministic md5 ids replicate in SQL). */
+  /** L7's remaining tree ops in ONE composed dataflow (round-11 verdict
+    * #5; reference `postgres_database.py:1437-2296`, only move was
+    * oracle-gated before): ensure-with-parents creates `/new` →
+    * `/new/reports` → `/new/reports/q3` (three ancestors, deterministic
+    * md5(app, path) ids), rename re-paths the `/src2` subtree to
+    * `/legacy` (ids/depths/parent links recomputed), then add-doc twice +
+    * remove-doc once leave exactly `doc-7` on the q3 folder — so every
+    * mutation's final state (paths, depths, id graph, membership) is
+    * hash-gated. All four ops are pure DataFrame transforms: path-prefix
+    * predicates and per-row column edits, never recursion — subtree
+    * renames at 100 TB are one scan with a prefix filter. */
+  def folderTreeOps(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Folders
+    val base = docsWithFolders(spark, dir)
+      .select(col("folder_path").as("full_path")).distinct()
+      .withColumn("app_id", lit("app"))
+      .withColumn("document_ids", array().cast("array<string>"))
+    val ensured = Folders.ensurePath(base, "app", "/new/reports/q3")
+    val renamed = Folders.rename(ensured, "app", "/src2", "legacy")
+    val q3id = java.security.MessageDigest.getInstance("MD5")
+      .digest("app\u0000/new/reports/q3".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val mutated = Folders.removeDocument(
+      Folders.addDocument(
+        Folders.addDocument(renamed, q3id, "doc-42"), q3id, "doc-7"),
+      q3id, "doc-42")
+    mutated.select(col("full_path"), col("depth").cast("long").as("depth"),
+      col("id"), col("parent_id"),
+      concat_ws(",", coalesce(col("document_ids"),
+        array().cast("array<string>"))).as("doc_ids"))
+      .orderBy("full_path")
+  }
+
   def folderMove(spark: SparkSession, dir: String): DataFrame = {
     val folders = docsWithFolders(spark, dir)
       .select(col("folder_path").as("full_path")).distinct()
@@ -273,6 +307,21 @@ object ListingQueries {
         |WHERE (folder_path = '/src1' OR folder_path LIKE '/src1/%')
         |  AND len(string_split(trim(folder_path, '/'), '/')) <= 2
         |ORDER BY doc_id""".stripMargin,
+    "l16_folder_tree_ops" ->
+      """WITH d AS (SELECT DISTINCT '/' || source || '/' || lang ||
+        |    (CASE WHEN n_chars > 300 THEN '/big' ELSE '' END) AS fp FROM documents),
+        |ens AS (SELECT fp FROM (VALUES ('/new'), ('/new/reports'), ('/new/reports/q3')) v(fp)
+        |        WHERE fp NOT IN (SELECT fp FROM d)),
+        |allf AS (SELECT fp FROM d UNION ALL SELECT fp FROM ens),
+        |ren AS (SELECT CASE WHEN fp = '/src2' OR fp LIKE '/src2/%'
+        |         THEN '/legacy' || substring(fp, 6) ELSE fp END AS full_path FROM allf)
+        |SELECT full_path,
+        |  len(string_split(trim(full_path, '/'), '/')) AS depth,
+        |  md5('app' || chr(0) || full_path) AS id,
+        |  CASE WHEN len(string_split(trim(full_path, '/'), '/')) > 1
+        |    THEN md5('app' || chr(0) || regexp_replace(full_path, '/[^/]+$', '')) END AS parent_id,
+        |  CASE WHEN full_path = '/new/reports/q3' THEN 'doc-7' ELSE '' END AS doc_ids
+        |FROM ren ORDER BY full_path""".stripMargin,
     "l7_folder_move" ->
       """WITH d AS (SELECT DISTINCT '/' || source || '/' || lang ||
         |    (CASE WHEN n_chars > 300 THEN '/big' ELSE '' END) AS fp FROM documents),
