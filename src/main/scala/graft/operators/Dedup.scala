@@ -65,15 +65,23 @@ object Dedup {
     * down to the scan, inlining (and serially re-evaluating) the whole
     * signature expression there — observed live as a 200s one-task stage. */
   private def bandKeys(df: DataFrame, idCol: String, textCol: String,
-                       shingleSize: Int, numHashes: Int, bands: Int): DataFrame = {
-    val rows = numHashes / bands
-    val sigs = graft.Tables.scaled(
+                       shingleSize: Int, numHashes: Int, bands: Int): DataFrame =
+    bandKeysFromSigs(filteredSigs(df, idCol, textCol, shingleSize, numHashes),
+      numHashes, bands)
+
+  /** (id, sig) rows for docs long enough to shingle (see [[bandKeys]]). */
+  private def filteredSigs(df: DataFrame, idCol: String, textCol: String,
+                           shingleSize: Int, numHashes: Int): DataFrame =
+    graft.Tables.scaled(
       minhashSignatures(df, idCol, textCol, shingleSize, numHashes)
         .filter(length(col("norm")) >= shingleSize)
         .select("id", "sig"))
+
+  private def bandKeysFromSigs(sigs: DataFrame, numHashes: Int,
+                               bands: Int): DataFrame = {
+    val rows = numHashes / bands
     sigs
-      .select(col("id"), col("sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band_idx"))
+      .select(col("*"), explode(sequence(lit(0), lit(bands - 1))).as("band_idx"))
       .withColumn("band_key",
         md5(concat_ws(",", concat(array(col("band_idx").cast("string")),
           slice(col("sig"), col("band_idx") * lit(rows) + 1, lit(rows))
@@ -118,20 +126,54 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleSize: Int = 5, numHashes: Int = 16,
                       bands: Int = 4, minEst: Double = 0.0): DataFrame = {
-    val banded = bandKeys(df, idCol, textCol, shingleSize, numHashes, bands)
+    // IDENTICAL-SIGNATURE PRE-REDUCTION (round-11 lowmem finding): the
+    // banded self-join's distinct() was t4's only 4 GiB-heap spill source
+    // (7.6 GB at x64 — the raw join emission itself spills nothing),
+    // because exact-duplicate groups of g docs cross the distinct as
+    // g²/2·bands rows and band-keyed partitioning defeats map-side partial
+    // dedup (a pair's m band repeats live in m different partitions). So:
+    // collapse identical signatures FIRST (one groupBy), run the banded
+    // join + distinct over one REPRESENTATIVE per distinct signature, and
+    // expand group members back afterwards as pure streaming equi-joins —
+    // no aggregation state ever sees the quadratic pair volume. Exact:
+    // same-sig docs share every band (est 1.0 by definition); a cross pair
+    // (x, y) shares a band iff its reps do, with the identical estimate.
+    // The OUTPUT stays pair-quadratic on duplicate groups — that is the
+    // operator's contract ([[minhashLshKeepList]] is the linear-output
+    // form) — but the quadratic part is now generate-and-stream, never
+    // sort/hash state.
+    val members = filteredSigs(df, idCol, textCol, shingleSize, numHashes)
+      .withColumn("sig_key", md5(concat_ws(",", col("sig").cast("array<string>"))))
+    val reps = members.groupBy("sig_key")
+      .agg(min(struct(col("id"), col("sig"))).as("r"))
+      .select(col("sig_key"), col("r.id").as("id"), col("r.sig").as("sig"))
+    val banded = bandKeysFromSigs(graft.Tables.scaled(reps), numHashes, bands)
     val a = banded.as("a"); val b = banded.as("b")
     // est_jaccard is computed (and minEst-pruned) straight off the join, so
     // the dedup shuffle behind distinct() carries 3 scalar columns — not two
     // 16-long signature arrays — and chance band collisions below the
-    // threshold never reach it. A pair matching in m bands appears m (<=
-    // bands) times with the same deterministic estimate; distinct() is the
-    // per-pair dedup.
-    a.join(b, col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+    // threshold never reach it. A rep pair matching in m bands appears m
+    // (<= bands) times with the same deterministic estimate; distinct() is
+    // the per-pair dedup.
+    val repPairs = a.join(b,
+        col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
+      .select(col("a.sig_key").as("ka"), col("b.sig_key").as("kb"),
         (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
           x => x)).cast("double") / numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEst)
       .distinct()
+    val mx = members.select(col("sig_key"), col("id"))
+    val within = mx.as("x").join(mx.as("y"),
+        col("x.sig_key") === col("y.sig_key") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        lit(1.0).as("est_jaccard"))
+      .filter(lit(1.0) >= minEst)
+    val cross = repPairs
+      .join(mx.select(col("sig_key").as("ka"), col("id").as("__ia")), "ka")
+      .join(mx.select(col("sig_key").as("kb"), col("id").as("__ib")), "kb")
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col("est_jaccard"))
+    within.unionByName(cross)
   }
 
   /** LSH dedup keep-list WITHOUT pair materialization: every doc's group

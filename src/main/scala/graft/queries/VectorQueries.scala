@@ -53,7 +53,8 @@ object VectorQueries {
     "s7_image_retrieve" -> ((s, d) => dispatcherImageQuery(s, d)),
     "v23_ann_recall" -> ((s, d) => annRecall(s, d)),
     "v24_ranking_metrics" -> ((s, d) => rankingMetricsQ(s, d)),
-    "s8_e2e_quality" -> ((s, d) => e2eQuality(s, d))
+    "s8_e2e_quality" -> ((s, d) => e2eQuality(s, d)),
+    "s9_e2e_quality_rerank" -> ((s, d) => e2eQualityRerank(s, d))
   )
 
   /** Round-11 verdict #4: the deterministic END-TO-END retrieval-quality
@@ -76,7 +77,20 @@ object VectorQueries {
     * shape-gated. Cosine scores divide exact integer dot/norm sums in the
     * stated parenthesization (dot / (√nq·√nc)), so ranks are
     * bit-reproducible in the DuckDB replay. */
-  def e2eQuality(spark: SparkSession, dir: String): DataFrame = {
+  def e2eQuality(spark: SparkSession, dir: String): DataFrame =
+    e2eQualityArm(spark, dir, useReranking = false)
+
+  /** Config-3 sibling of [[e2eQuality]]: same golden fixture, same stack,
+    * but the dispatcher runs its RERANK arm (oversample 20 by cosine →
+    * deterministic token-overlap rerank → truncate to 10), so the quality
+    * gate covers both retrieval configs the dense path serves — a rerank
+    * regression moves THESE metrics while s8's stay green, isolating the
+    * stage. */
+  def e2eQualityRerank(spark: SparkSession, dir: String): DataFrame =
+    e2eQualityArm(spark, dir, useReranking = true)
+
+  private def e2eQualityArm(spark: SparkSession, dir: String,
+                            useReranking: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir).filter(col("doc_id") < 100)
     val embedder = graft.operators.HashEmbedder(dim = 64, normalize = false)
@@ -94,7 +108,8 @@ object VectorQueries {
     val ct = graft.GraftService.ChunkTable(table)
     val perQuery = golden.map { r =>
       graft.GraftService.retrieveDocs(
-        graft.GraftService.RetrieveRequest(r.getString(1), k = 10), ct, embedder)
+        graft.GraftService.RetrieveRequest(r.getString(1), k = 10,
+          useReranking = useReranking), ct, embedder)
         .withColumn("query_id", lit(r.getLong(0)))
     }.reduce(_ unionByName _)
     val w = Window.partitionBy("query_id")
@@ -1537,11 +1552,14 @@ object VectorQueries {
         |  FROM qb JOIN cb ON qb.idx = cb.idx
         |  GROUP BY 1, 2, 3),
         |scored AS (
+        |  -- LEFT JOIN qn + coalesce: a token-less query embeds to the zero
+        |  -- vector and scores 0.0 against EVERY chunk (the engine's
+        |  -- denom==0 rule) -- it must still rank docs, not vanish
         |  SELECT q.query_id, cn.doc_id, cn.chunk_number,
-        |    CASE WHEN sqrt(qn.nq::DOUBLE) * sqrt(cn.nc::DOUBLE) = 0 THEN 0.0
+        |    CASE WHEN sqrt(coalesce(qn.nq, 0)::DOUBLE) * sqrt(cn.nc::DOUBLE) = 0 THEN 0.0
         |         ELSE coalesce(dots.dot, 0)::DOUBLE / (sqrt(qn.nq::DOUBLE) * sqrt(cn.nc::DOUBLE))
         |    END AS score
-        |  FROM q JOIN qn ON q.query_id = qn.query_id
+        |  FROM q LEFT JOIN qn ON q.query_id = qn.query_id
         |  CROSS JOIN cn
         |  LEFT JOIN dots ON dots.query_id = q.query_id
         |    AND dots.doc_id = cn.doc_id AND dots.chunk_number = cn.chunk_number),
@@ -1553,6 +1571,105 @@ object VectorQueries {
         |dl AS (
         |  SELECT query_id, doc_id, max(score) AS dscore
         |  FROM hits WHERE crank <= 10 GROUP BY query_id, doc_id),
+        |ranked AS (
+        |  SELECT query_id, doc_id AS id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY dscore DESC, doc_id) AS rank
+        |  FROM dl),
+        |rel AS (
+        |  SELECT q.query_id, d.doc_id AS id
+        |  FROM (SELECT doc_id AS query_id, lang, source FROM docs WHERE doc_id < 10) q
+        |  JOIN docs d ON d.lang = q.lang AND d.source = q.source),
+        |r10 AS (
+        |  SELECT r.query_id, r.rank,
+        |    CASE WHEN rel.id IS NOT NULL THEN 1 ELSE 0 END AS relv
+        |  FROM ranked r LEFT JOIN rel ON r.query_id = rel.query_id AND r.id = rel.id
+        |  WHERE r.rank <= 10),
+        |nr AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY query_id),
+        |m AS (SELECT query_id, sum(relv)::BIGINT AS hits,
+        |        min(CASE WHEN relv = 1 THEN rank END) AS fr,
+        |        list_sum(list(relv / log2(rank + 1.0) ORDER BY rank)) AS dcg
+        |      FROM r10 GROUP BY query_id),
+        |f AS (SELECT nr.query_id, n_rel, coalesce(hits, 0) AS hits, least(n_rel, 10) AS ideal,
+        |        list_sum(list_transform(range(1, least(n_rel, 10) + 1),
+        |          i -> 1.0 / log2(i + 1.0))) AS idcg,
+        |        coalesce(dcg, 0.0) AS dcg, fr
+        |      FROM nr LEFT JOIN m ON nr.query_id = m.query_id)
+        |SELECT query_id, n_rel::BIGINT AS n_rel, hits,
+        |  round(hits / ideal, 6) AS recall_at_k,
+        |  round(coalesce(1.0 / fr, 0.0), 6) AS mrr,
+        |  round(dcg / idcg, 6) AS ndcg_at_k
+        |FROM f ORDER BY query_id""".stripMargin,
+    // s8's replay with the config-3 stages spliced in: cosine top-20
+    // (oversample max(k, min(3k, 20))) -> token-overlap rerank (distinct
+    // passage tokens ∩ distinct query tokens / |query tokens|) -> cut 10
+    // on the (rscore, doc, chunk) total order -> doc-level max
+    "s9_e2e_quality_rerank" ->
+      """WITH docs AS (SELECT doc_id, text, lang, source FROM documents WHERE doc_id < 100),
+        |ch AS (
+        |  SELECT doc_id, (s - 1) // 160 AS chunk_number, substr(text, s::INT, 200) AS chunk
+        |  FROM docs, generate_series(1, 100000, 160) AS t(s)
+        |  WHERE s <= greatest(len(text) - 40, 1)
+        |    AND len(substr(text, s::INT, 200)) > 0),
+        |cb AS (
+        |  SELECT doc_id, chunk_number,
+        |    ('0x' || substr(md5('42:' || tok), 1, 4))::BIGINT % 64 AS idx,
+        |    sum(CASE WHEN ('0x' || substr(md5('42:' || tok), 5, 2))::BIGINT % 2 = 0
+        |             THEN 1 ELSE -1 END) AS s
+        |  FROM ch, unnest(list_filter(string_split_regex(lower(chunk), '\s+'), t -> len(t) > 0)) AS u(tok)
+        |  GROUP BY doc_id, chunk_number, idx),
+        |q AS (SELECT doc_id AS query_id, substr(text, 81, 80) AS qtext FROM docs WHERE doc_id < 10),
+        |qb AS (
+        |  SELECT query_id,
+        |    ('0x' || substr(md5('42:' || tok), 1, 4))::BIGINT % 64 AS idx,
+        |    sum(CASE WHEN ('0x' || substr(md5('42:' || tok), 5, 2))::BIGINT % 2 = 0
+        |             THEN 1 ELSE -1 END) AS s
+        |  FROM q, unnest(list_filter(string_split_regex(lower(qtext), '\s+'), t -> len(t) > 0)) AS u(tok)
+        |  GROUP BY query_id, idx),
+        |qn AS (SELECT query_id, sum(s * s) AS nq FROM qb GROUP BY query_id),
+        |cn AS (SELECT doc_id, chunk_number, sum(s * s) AS nc FROM cb GROUP BY doc_id, chunk_number),
+        |dots AS (
+        |  SELECT qb.query_id, cb.doc_id, cb.chunk_number, sum(qb.s * cb.s) AS dot
+        |  FROM qb JOIN cb ON qb.idx = cb.idx
+        |  GROUP BY 1, 2, 3),
+        |scored AS (
+        |  SELECT q.query_id, cn.doc_id, cn.chunk_number,
+        |    CASE WHEN sqrt(coalesce(qn.nq, 0)::DOUBLE) * sqrt(cn.nc::DOUBLE) = 0 THEN 0.0
+        |         ELSE coalesce(dots.dot, 0)::DOUBLE / (sqrt(qn.nq::DOUBLE) * sqrt(cn.nc::DOUBLE))
+        |    END AS score
+        |  FROM q LEFT JOIN qn ON q.query_id = qn.query_id
+        |  CROSS JOIN cn
+        |  LEFT JOIN dots ON dots.query_id = q.query_id
+        |    AND dots.doc_id = cn.doc_id AND dots.chunk_number = cn.chunk_number),
+        |cand AS (
+        |  SELECT query_id, doc_id, chunk_number FROM (
+        |    SELECT query_id, doc_id, chunk_number,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY score DESC, doc_id) AS crank
+        |    FROM scored) WHERE crank <= 20),
+        |qtk AS (SELECT query_id,
+        |    list_distinct(list_filter(string_split_regex(lower(qtext), '\s+'),
+        |      t -> len(t) > 0)) AS qt FROM q),
+        |rr AS (
+        |  SELECT c.query_id, c.doc_id, c.chunk_number,
+        |    CASE WHEN len(qt) = 0 THEN 0.0
+        |         ELSE len(list_filter(
+        |            list_distinct(list_filter(
+        |              string_split(trim(regexp_replace(lower(ch.chunk), '\s+', ' ', 'g')), ' '),
+        |              t -> len(t) > 0)),
+        |            t -> list_contains(qt, t)))::DOUBLE / len(qt)
+        |    END AS rscore
+        |  FROM cand c
+        |  JOIN ch ON ch.doc_id = c.doc_id AND ch.chunk_number = c.chunk_number
+        |  JOIN qtk ON qtk.query_id = c.query_id),
+        |kept AS (
+        |  SELECT query_id, doc_id, rscore FROM (
+        |    SELECT query_id, doc_id, rscore,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY rscore DESC, doc_id, chunk_number) AS rk
+        |    FROM rr) WHERE rk <= 10),
+        |dl AS (
+        |  SELECT query_id, doc_id, max(rscore) AS dscore
+        |  FROM kept GROUP BY query_id, doc_id),
         |ranked AS (
         |  SELECT query_id, doc_id AS id,
         |    row_number() OVER (PARTITION BY query_id ORDER BY dscore DESC, doc_id) AS rank
