@@ -45,11 +45,22 @@ object TypedMetadata {
   }
 
   /** `merge_metadata` (`typed_metadata.py:97-122`): normalize updates, then
-    * overlay on the existing maps (update wins per key). */
+    * overlay on the existing maps (update wins per key). `externalId`
+    * mirrors the reference's `with_external_id` setdefault
+    * (`typed_metadata.py:52-57`): stamped as a string field only when the
+    * merged maps don't already carry one — an update can never clobber the
+    * document's identity key. */
   def merge(existing: Bundle, updatesJson: String,
-            updateTypeHints: Map[String, String] = Map.empty): Bundle = {
+            updateTypeHints: Map[String, String] = Map.empty,
+            externalId: Option[String] = None): Bundle = {
     val u = normalize(updatesJson, updateTypeHints)
-    Bundle(existing.values ++ u.values, existing.types ++ u.types)
+    val merged = Bundle(existing.values ++ u.values, existing.types ++ u.types)
+    externalId match {
+      case Some(id) if !merged.values.contains("external_id") =>
+        Bundle(merged.values + ("external_id" -> id),
+          merged.types + ("external_id" -> "string"))
+      case _ => merged
+    }
   }
 
   private def normalizeValue(v: JValue, declared: Option[String],
@@ -118,7 +129,17 @@ object TypedMetadata {
       try {
         if (!plain.contains('.') && plain.forall(c => c.isDigit || c == '+' || c == '-'))
           BigInt(plain).toString
-        else render(plain.toDouble)
+        else {
+          val d = plain.toDouble
+          // deliberate tightening vs the reference: its string path has no
+          // post-parse gate, so float("1e999")/float("inf") would store
+          // infinity — a numeric field holding "inf" is unfilterable
+          // damage, so overflowing/inf literals are rejected here like the
+          // float-input path rejects them
+          if (d.isNaN || d.isInfinite)
+            fail(s"Metadata field '$field' cannot store NaN or infinite values.")
+          render(d)
+        }
       } catch { case _: NumberFormatException =>
         fail(s"Metadata field '$field' expects a numeric value.") }
     case _ => fail(s"Metadata field '$field' expects a numeric value.")
@@ -248,5 +269,26 @@ object TypedMetadata {
     case other       => JsonMethods.compact(JsonMethods.render(other))
   }
 
-  private def render(d: Double): String = d.toString
+  /** Python-`repr(float)`-shaped rendering (the reference's normalized
+    * number form): fixed-point for decimal exponents in [-4, 16) — where
+    * Java's `Double.toString` would flip to E-notation from 1e7 — and
+    * `1e+16`/`1e-05`-style scientific outside it. Keeps stored numeric
+    * strings comparable with what a Python writer would have stored. */
+  private def render(d: Double): String = {
+    val s = java.lang.Double.toString(d)
+    if (!s.contains('E')) s
+    else {
+      val bd = new java.math.BigDecimal(s)
+      val unscaled = bd.stripTrailingZeros
+      val exp = unscaled.precision - unscaled.scale - 1
+      if (exp >= -4 && exp < 16) {
+        val plain = unscaled.toPlainString
+        if (plain.contains('.')) plain else plain + ".0"
+      } else {
+        val m = unscaled.movePointLeft(exp).toPlainString
+        val sign = if (exp < 0) "-" else "+"
+        f"${m}e$sign${math.abs(exp)}%02d"
+      }
+    }
+  }
 }

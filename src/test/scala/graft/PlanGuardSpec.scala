@@ -409,4 +409,25 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("PartitionFilters: [") && p.contains("lang"),
       s"read of the partitioned layout lost its partition filter:\n$p")
   }
+
+  test("t4_minhash_lsh: equi-joins only, and the dedup aggregate sits on rep pairs") {
+    // the round-11 identical-signature pre-reduction: every join stays an
+    // equi-join (band_key / sig_key), and the HashAggregate that dedups
+    // band multiplicity must run BEFORE the member-expansion joins — an
+    // aggregate over the expanded (quadratic) pair stream is exactly the
+    // 12 GB lowmem spill this plan shape removed
+    val p = executedPlan("t4_minhash_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"LSH pairing degraded to all-pairs:\n$p")
+    val lines = p.linesIterator.toVector
+    val aggIdx = lines.indexWhere(l =>
+      l.contains("HashAggregate") && l.contains("ka") && l.contains("kb"))
+    assert(aggIdx >= 0, s"rep-pair distinct vanished from the plan:\n$p")
+    // below (deeper in the tree = further down the string) the distinct
+    // there must be no join producing id_a/id_b expansion ABOVE it other
+    // than the two member-expansion joins, which carry no aggregate
+    val aboveAgg = lines.take(aggIdx).mkString("\n")
+    assert(!aboveAgg.contains("HashAggregate(keys=[id_a"),
+      s"a distinct over the expanded pair stream crept back in:\n$p")
+  }
 }

@@ -145,6 +145,63 @@ class TypedMetadataSpec extends AnyFunSuite {
     assert(m.values("b") == null && m.types("b") == "null")
   }
 
+  // ---- round-11 additions: remaining reference cases
+  // (`test_typed_metadata.py`)
+
+  test("merge stamps external_id only when missing") {
+    // test_merge_preserves_external_id / test_merge_sets_external_id_if_missing
+    val withId = TypedMetadata.normalize("""{"external_id": "doc-123"}""")
+    val kept = TypedMetadata.merge(withId, """{"key": "value"}""",
+      externalId = Some("doc-123"))
+    assert(kept.values("external_id") == "doc-123")
+    val without = TypedMetadata.normalize("""{"key": "value"}""")
+    val stamped = TypedMetadata.merge(without, "{}", externalId = Some("doc-456"))
+    assert(stamped.values("external_id") == "doc-456")
+    assert(stamped.types("external_id") == "string")
+    // an update carrying its own external_id wins over the setdefault
+    val updated = TypedMetadata.merge(without, """{"external_id": "doc-789"}""",
+      externalId = Some("doc-456"))
+    assert(updated.values("external_id") == "doc-789")
+  }
+
+  test("merge of empty updates is the identity") {
+    val base = TypedMetadata.normalize("""{"a": 1}""")
+    val m = TypedMetadata.merge(base, "{}")
+    assert(m.values == base.values && m.types == base.types)
+  }
+
+  test("scientific notation renders Python-style fixed point") {
+    // test_scientific_notation: "1.23e10" -> 1.23e10; the normalized
+    // string form is repr(float)-shaped, never Java E-notation
+    def num(js: String) = TypedMetadata.normalize(
+      s"""{"x": $js}""", Map("x" -> "number")).values("x")
+    assert(num("\"1.23e10\"") == "12300000000.0")
+    assert(num("\"1e10\"") == "10000000000.0")
+    assert(num("\"2.5e-3\"") == "0.0025")
+    assert(num("\"1e16\"") == "1e+16")
+    assert(num("\"1e-5\"") == "1e-05")
+    assert(num("\"-1.23e10\"") == "-12300000000.0")
+  }
+
+  test("number coercion rejects infinity") {
+    // test_number_coercion_rejects_nan_and_infinity (JSON cannot spell
+    // NaN; an overflowing literal parses to +inf and must be rejected)
+    val e = intercept[TypedMetadataError](
+      TypedMetadata.normalize("""{"x": "1e999"}""", Map("x" -> "number")))
+    assert(e.getMessage.contains("NaN or infinite"))
+  }
+
+  test("datetime/date coercion from epoch numbers (the from-object analog)") {
+    // test_datetime_coercion_from_datetime_object / date_object arrive as
+    // Python objects in the reference; the engine's analog input is an
+    // epoch-seconds number
+    val b = TypedMetadata.normalize(
+      """{"dt": 1705314600, "d": 1705314600}""",
+      Map("dt" -> "datetime", "d" -> "date"))
+    assert(b.values("dt") == "2024-01-15T10:30:00+00:00")
+    assert(b.values("d") == "2024-01-15")
+  }
+
   test("empty-string datetime/date coercions error") {
     assert(intercept[TypedMetadataError](
       TypedMetadata.normalize("""{"x": ""}""", Map("x" -> "datetime")))
