@@ -810,4 +810,63 @@ object Dedup {
         i => concat_ws(" ", slice(tk, i * w + 1, lit(w)))))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Corpus-pair OVERLAP MATRIX — dataset-level near-dup accounting (the
+    * "how much of corpus B is already inside corpus A" measurement that
+    * decides mixing weights and dedup ordering before a training run;
+    * MinHash at corpus granularity, the datasketch use case the reference's
+    * per-document `fast_ops.py` fingerprints stop short of). Per group, the
+    * MinHash signature OF THE GROUP'S SHINGLE UNION: min over a group's
+    * docs of per-doc lane minima ≡ the lane minimum over the union set, so
+    * the group signature is one elementwise-min aggregation of the per-doc
+    * signatures the dedup ladder already computes — map-side combined,
+    * 16 longs per group out. Estimated Jaccard = agreeing-lane fraction.
+    *
+    * Twin arms (design rule 21): the EXACT arm distincts (group,
+    * shingle-hash) rows and counts pairwise intersections via one
+    * equi-join on the hash — its shuffle carries the corpus's distinct
+    * shingle vocabulary, the test-scale gate; the sketch arm ships
+    * 16 longs per group REGARDLESS of corpus size, the 100 TB path. Pair
+    * enumeration is |groups|² rows (sources are dozens, not data — the
+    * non-equi `grp < grp` join is over a broadcast-sized relation by
+    * construction, rule 17).
+    *
+    * Output (all integers — cross-engine hash-stable without rounding):
+    * `n_a`/`n_b` distinct shingles, `n_common` intersection,
+    * `jaccard_ppm` = ⌊10⁶·|∩|/|∪|⌋ in integer arithmetic, `sig_agree` =
+    * agreeing signature lanes (0..numHashes; est. Jaccard =
+    * sig_agree/numHashes). */
+  def corpusOverlap(df: DataFrame, groupCol: String, textCol: String,
+                    shingleSize: Int = 5, numHashes: Int = 16): DataFrame = {
+    val base = graft.Tables.scaled(df.select(col(groupCol).as("grp"),
+        text.normalize(col(textCol)).as("norm")))
+      .filter(length(col("norm")) >= shingleSize)
+    val sigs = base.withColumn("sig",
+      text.minhash_signature_fast(col("norm"), numHashes, shingleSize))
+    val gsig = sigs.select(col("grp"), posexplode(col("sig")).as(Seq("pos", "v")))
+      .groupBy("grp", "pos").agg(min("v").as("v"))
+      .groupBy("grp").agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+          s => s.getField("v")).as("sig"))
+    val shingles = base.select(col("grp"), explode(expr(
+        s"transform(sequence(1, length(norm) - ${shingleSize - 1}), " +
+          s"i -> substring(norm, i, $shingleSize))")).as("sh"))
+      .select(col("grp"), md5(col("sh")).as("h")).distinct()
+    val sizes = shingles.groupBy("grp").agg(count(lit(1)).as("n"))
+    val inter = shingles.as("x").join(shingles.as("y"),
+        col("x.h") === col("y.h") && col("x.grp") < col("y.grp"))
+      .groupBy(col("x.grp").as("source_a"), col("y.grp").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val est = gsig.as("a").join(gsig.as("b"), col("a.grp") < col("b.grp"))
+      .select(col("a.grp").as("source_a"), col("b.grp").as("source_b"),
+        size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
+          v => v)).cast("long").as("sig_agree"))
+    est
+      .join(sizes.select(col("grp").as("source_a"), col("n").as("n_a")), "source_a")
+      .join(sizes.select(col("grp").as("source_b"), col("n").as("n_b")), "source_b")
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .withColumn("jaccard_ppm",
+        expr("n_common * 1000000 div (n_a + n_b - n_common)"))
+  }
 }

@@ -19,6 +19,7 @@ object TextQueries {
     "t2_lang_quality" -> ((s, d) => langQuality(s, d)),
     "t3_exact_dups" -> ((s, d) => exactDups(s, d)),
     "t4_minhash_lsh" -> ((s, d) => minhashLsh(s, d)),
+    "t52_source_overlap" -> ((s, d) => sourceOverlap(s, d)),
     "t5_simhash" -> ((s, d) => simhash(s, d)),
     "t6_simhash_neardups" -> ((s, d) => simhashNearDups(s, d)),
     "t7_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
@@ -222,6 +223,17 @@ object TextQueries {
       shingleSize = 5, numHashes = 16, bands = 4, minEst = 0.25)
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
       .orderBy("id_a", "id_b")
+
+  /** [[Dedup.corpusOverlap]] over the per-source slices: the 20×20 source
+    * overlap matrix, both arms (exact shingle-set Jaccard in ppm, MinHash
+    * lane agreement) — all-integer output, so the gate needs no float
+    * rounding at all. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    Dedup.corpusOverlap(Tables.documents(spark, dir), "source", "text",
+      shingleSize = 5, numHashes = 16)
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_common"), col("jaccard_ppm"), col("sig_agree"))
+      .orderBy("source_a", "source_b")
 
   def simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashes(Tables.documents(spark, dir), "doc_id", "text")
@@ -446,6 +458,40 @@ object TextQueries {
         |       array_to_string(list_sort(list(doc_id)), ',') AS ids,
         |       count(*) AS dup_count
         |FROM f GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin,
+    // both arms replayed: per-doc minhash (t4's fragment) -> per-group
+    // elementwise lane min == union-set signature; exact arm from DISTINCT
+    // (group, shingle-md5) rows; all-integer output, no rounding
+    "t52_source_overlap" ->
+      """WITH n AS (SELECT source AS grp, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
+        |f AS (SELECT grp, norm FROM n WHERE len(norm) >= 5),
+        |sh AS (SELECT grp, norm, list_distinct(list_transform(range(1, len(norm) - 3), i -> substr(norm, i, 5))) AS shl FROM f),
+        |hh AS (SELECT grp,
+        |    list_transform(shl, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS h1s,
+        |    list_transform(shl, x -> ('0x' || substr(md5(x), 9, 8))::BIGINT) AS h2s
+        |  FROM sh WHERE len(shl) > 0),
+        |g AS (SELECT grp,
+        |    list_transform(range(16), k ->
+        |      coalesce(list_min(list_transform(range(len(h1s)), i ->
+        |        (h1s[i+1] + k * h2s[i+1]) & 4294967295)), 9223372036854775807)) AS sig
+        |  FROM hh),
+        |gp AS (SELECT grp, pos, min(sig[pos+1]) AS v FROM g, unnest(range(16)) AS u(pos) GROUP BY grp, pos),
+        |gs AS (SELECT grp, list(v ORDER BY pos) AS sig FROM gp GROUP BY grp),
+        |ds AS (SELECT DISTINCT grp, md5(x.s2) AS h FROM sh, unnest(shl) AS x(s2)),
+        |sz AS (SELECT grp, count(*) AS n FROM ds GROUP BY grp),
+        |itr AS (SELECT x.grp AS source_a, y.grp AS source_b, count(*) AS n_common
+        |        FROM ds x JOIN ds y ON x.h = y.h AND x.grp < y.grp GROUP BY 1, 2),
+        |est AS (SELECT a.grp AS source_a, b.grp AS source_b,
+        |         len(list_filter(range(16), i -> a.sig[i+1] = b.sig[i+1]))::BIGINT AS sig_agree
+        |        FROM gs a, gs b WHERE a.grp < b.grp)
+        |SELECT e.source_a AS source_a, e.source_b AS source_b, sa.n AS n_a, sb.n AS n_b,
+        |  coalesce(i.n_common, 0) AS n_common,
+        |  (coalesce(i.n_common, 0) * 1000000) // (sa.n + sb.n - coalesce(i.n_common, 0)) AS jaccard_ppm,
+        |  e.sig_agree AS sig_agree
+        |FROM est e
+        |JOIN sz sa ON sa.grp = e.source_a
+        |JOIN sz sb ON sb.grp = e.source_b
+        |LEFT JOIN itr i ON i.source_a = e.source_a AND i.source_b = e.source_b
+        |ORDER BY source_a, source_b""".stripMargin,
     "t4_minhash_lsh" ->
       s"""WITH n AS ($norm),
          |sh AS (SELECT doc_id,

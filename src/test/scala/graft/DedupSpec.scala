@@ -310,4 +310,26 @@ class DedupSpec extends AnyFunSuite {
     assert(m.forall(_._2 != 20001L) && m.exists(r => r._1 == 1L && r._2 == 20002L),
       s"mega-block incoming matches nothing; needle matches: ${m.take(5)}")
   }
+
+  test("corpusOverlap: planted half-overlap exact ppm; identical corpora agree on every lane") {
+    // A and C are textually identical corpora; B shares exactly the first
+    // 6 of 11 distinct 5-gram shingles with each (union 16 -> 375000 ppm)
+    val rows = Seq(
+      (1L, "A", "aaaaabbbbbccccc"),
+      (2L, "B", "aaaaabbbbbddddd"),
+      (3L, "C", "aaaaabbbbbccccc")
+    ).toDF("doc_id", "grp", "text")
+    val out = Dedup.corpusOverlap(rows, "grp", "text")
+      .orderBy("source_a", "source_b")
+      .select("source_a", "source_b", "n_a", "n_b", "n_common", "jaccard_ppm", "sig_agree")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(out.map(t => (t._1, t._2)) == Seq(("A","B"), ("A","C"), ("B","C")))
+    val ab = out(0); val ac = out(1); val bc = out(2)
+    assert(ab._3 == 11 && ab._4 == 11 && ab._5 == 6 && ab._6 == 375000, ab)
+    // identical shingle sets: full intersection, full lane agreement
+    assert(ac._5 == 11 && ac._6 == 1000000 && ac._7 == 16, ac)
+    // B-vs-C mirrors B-vs-A exactly (C == A)
+    assert(bc._5 == ab._5 && bc._6 == ab._6 && bc._7 == ab._7, (ab, bc))
+  }
 }
