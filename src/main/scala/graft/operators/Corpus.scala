@@ -1042,4 +1042,49 @@ object Corpus {
           .when(col("xent") <= col("c2"), "middle")
           .otherwise("tail").as("bucket"))
   }
+
+  /** Fill-in-the-middle (FIM) TRANSFORMATION — the code-model pretraining
+    * staple (Bavarian et al. 2022, arXiv:2207.14255; applied char-level as
+    * in SantaCoder, arXiv:2301.03988 §4): a `rateBp`/10000 fraction of
+    * documents is rewritten from `text` to the PSM form
+    * `<PRE>prefix<SUF>suffix<MID>middle`, teaching an autoregressive model
+    * to infill. Derandomized the t21/t36/t43 way — the FIM coin and both
+    * cut points are md5 functions of the DOCUMENT ID, so the transform is
+    * a pure per-row map any engine replays: coin = md5("fim:"+id) mod 10⁴
+    * < rateBp; cuts = 1 + md5("fimc{1,2}:"+id) mod (len+1), low/high
+    * ordered; prefix = [1, lo), middle = [lo, hi), suffix = [hi, end].
+    * Length conservation (n_prefix + n_middle + n_suffix == len) holds by
+    * construction and is spec-gated.
+    *
+    * 100 TB shape: stateless map-only — no shuffle, no state; the sentinel
+    * strings are the trainer's token vocabulary concern, not the engine's.
+    * Untransformed docs pass through verbatim with `is_fim = false`. */
+  def fimTransform(df: DataFrame, idCol: String, textCol: String,
+                   rateBp: Int = 9000,
+                   preTok: String = "<PRE>", sufTok: String = "<SUF>",
+                   midTok: String = "<MID>"): DataFrame = {
+    require(rateBp >= 0 && rateBp <= 10000, s"rateBp in [0,10000] (got $rateBp)")
+    def h(prefix: String): Column =
+      conv(substring(md5(concat(lit(prefix), col(idCol).cast("string"))), 1, 8),
+        16, 10).cast("long")
+    val len = length(col(textCol))
+    val c1 = lit(1) + (h("fimc1:") % (len + 1)).cast("int")
+    val c2 = lit(1) + (h("fimc2:") % (len + 1)).cast("int")
+    df.withColumn("is_fim", h("fim:") % 10000 < rateBp)
+      .withColumn("__lo", least(c1, c2))
+      .withColumn("__hi", greatest(c1, c2))
+      .withColumn("n_prefix",
+        when(col("is_fim"), col("__lo") - 1).otherwise(len).cast("long"))
+      .withColumn("n_middle",
+        when(col("is_fim"), col("__hi") - col("__lo")).otherwise(0).cast("long"))
+      .withColumn("n_suffix",
+        when(col("is_fim"), len - col("__hi") + 1).otherwise(0).cast("long"))
+      .withColumn("fim_text",
+        when(col("is_fim"), concat(
+          lit(preTok), substring(col(textCol), lit(1), col("__lo") - 1),
+          lit(sufTok), substring(col(textCol), col("__hi"), len - col("__hi") + 1),
+          lit(midTok), substring(col(textCol), col("__lo"), col("__hi") - col("__lo"))))
+          .otherwise(col(textCol)))
+      .drop("__lo", "__hi")
+  }
 }

@@ -33,6 +33,7 @@ object CorpusQueries {
     "t28_curation_e2e" -> ((s, d) => curationE2e(s, d)),
     "t30_lm_xent" -> ((s, d) => lmXent(s, d)),
     "t51_kn_lm" -> ((s, d) => knXent(s, d)),
+    "t53_fim_transform" -> ((s, d) => fimTransformQ(s, d)),
     "t32_dsir_sample" -> ((s, d) => dsirSample(s, d)),
     "t34_langid_trained" -> ((s, d) => langIdTrained(s, d)),
     "t35_ccnet_buckets" -> ((s, d) => ccnetBuckets(s, d)),
@@ -176,6 +177,17 @@ object CorpusQueries {
     * counts in a stated parenthesization, so the oracle replays the model
     * verbatim (the unseen-bigram pure-continuation path is spec-gated in
     * CorpusSpec — train==score means every scored bigram is seen here). */
+  /** [[graft.operators.Corpus.fimTransform]] over the corpus: per-doc FIM
+    * verdict, the three segment lengths (conservation by construction),
+    * and the md5 of the rewritten text — the hash gate means both engines
+    * must agree on every cut point and every emitted byte. */
+  def fimTransformQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.fimTransform(
+      Tables.documents(spark, dir), "doc_id", "text")
+      .select(col("doc_id"), col("is_fim"), col("n_prefix"), col("n_middle"),
+        col("n_suffix"), md5(col("fim_text")).as("fim_md5"))
+      .orderBy("doc_id")
+
   def knXent(spark: SparkSession, dir: String): DataFrame =
     Corpus.kneserNeyXent(Tables.documents(spark, dir), "doc_id", "text")
       .select(col("id").as("doc_id"), col("n_bigrams"),
@@ -688,6 +700,25 @@ object CorpusQueries {
     // the continuation counts; the probability's parenthesization matches
     // the engine token for token (greatest(c12-D,0)/c1 + ((D*n1fw)/c1) *
     // (n1bw/bt)), ln within-ulp, per-doc fold in position order, 4 dp
+    // md5-derandomized coin + cut points replayed verbatim; the fim_md5
+    // hash gate pins every emitted byte of the PSM rewrite
+    "t53_fim_transform" ->
+      """WITH h AS (SELECT doc_id, text, len(text) AS l,
+        |    ('0x' || substr(md5('fim:' || doc_id), 1, 8))::BIGINT % 10000 < 9000 AS is_fim,
+        |    1 + ('0x' || substr(md5('fimc1:' || doc_id), 1, 8))::BIGINT % (len(text) + 1) AS c1,
+        |    1 + ('0x' || substr(md5('fimc2:' || doc_id), 1, 8))::BIGINT % (len(text) + 1) AS c2
+        |  FROM documents),
+        |c AS (SELECT doc_id, text, l, is_fim,
+        |        least(c1, c2) AS lo, greatest(c1, c2) AS hi FROM h)
+        |SELECT doc_id, is_fim,
+        |  (CASE WHEN is_fim THEN lo - 1 ELSE l END)::BIGINT AS n_prefix,
+        |  (CASE WHEN is_fim THEN hi - lo ELSE 0 END)::BIGINT AS n_middle,
+        |  (CASE WHEN is_fim THEN l - hi + 1 ELSE 0 END)::BIGINT AS n_suffix,
+        |  md5(CASE WHEN is_fim THEN '<PRE>' || substr(text, 1, (lo - 1)::INT)
+        |        || '<SUF>' || substr(text, hi::INT, (l - hi + 1)::INT)
+        |        || '<MID>' || substr(text, lo::INT, (hi - lo)::INT)
+        |      ELSE text END) AS fim_md5
+        |FROM c ORDER BY doc_id""".stripMargin,
     "t51_kn_lm" ->
       s"""$toks,
          |bg AS (SELECT doc_id, unnest(range(greatest(len(tk) - 1, 0))) AS pos, tk FROM tk),

@@ -464,4 +464,37 @@ class CorpusSpec extends AnyFunSuite {
       assert(ffdBins <= naive, s"$sh: ffd $ffdBins > naive $naive")
     }
   }
+
+  test("fimTransform: segments reassemble the original; conservation; rate honored") {
+    val docs = (0L until 200L).map(i => (i, s"doc $i body " + ("x" * (i % 37).toInt)))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Corpus.fimTransform(docs, "doc_id", "text")
+      .select("doc_id", "text", "is_fim", "n_prefix", "n_middle", "n_suffix", "fim_text")
+      .collect()
+    out.foreach { r =>
+      val (text, fim) = (r.getString(1), r.getString(6))
+      val (np, nm, ns) = (r.getLong(3).toInt, r.getLong(4).toInt, r.getLong(5).toInt)
+      assert(np + nm + ns == text.length, s"conservation broke on ${r.getLong(0)}")
+      if (r.getBoolean(2)) {
+        // <PRE>prefix<SUF>suffix<MID>middle reassembles prefix+middle+suffix
+        assert(fim.startsWith("<PRE>"))
+        val afterPre = fim.drop(5)
+        val prefix = afterPre.take(np)
+        assert(afterPre.slice(np, np + 5) == "<SUF>")
+        val suffix = afterPre.slice(np + 5, np + 5 + ns)
+        assert(afterPre.slice(np + 5 + ns, np + 10 + ns) == "<MID>")
+        val middle = afterPre.drop(np + 10 + ns)
+        assert(middle.length == nm)
+        assert(prefix + middle + suffix == text, s"reassembly broke on ${r.getLong(0)}")
+      } else {
+        assert(fim == text, "non-FIM doc must pass through verbatim")
+      }
+    }
+    val rate = out.count(_.getBoolean(2)).toDouble / out.length
+    assert(rate > 0.8 && rate < 0.97, s"fim rate $rate far from 0.9")
+    // rate 0 disables the transform entirely
+    val off = graft.operators.Corpus.fimTransform(docs, "doc_id", "text", rateBp = 0)
+      .filter(org.apache.spark.sql.functions.col("is_fim")).count()
+    assert(off == 0L)
+  }
 }
