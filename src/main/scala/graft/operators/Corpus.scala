@@ -1087,4 +1087,64 @@ object Corpus {
           .otherwise(col(textCol)))
       .drop("__lo", "__hi")
   }
+
+  /** T5/UL2 SPAN-CORRUPTION example construction (Raffel et al. 2020,
+    * arXiv:1910.10683 §3.1.4) — the denoising sibling of [[contextWindows]]
+    * (GPT causal blocks) and [[fimTransform]] (code infill): each token is
+    * independently masked with probability `noiseBp`/10⁴ (md5-derandomized
+    * per (doc, position) — the t21/t36/t43 discipline, so both engines
+    * replay the exact mask), maximal masked RUNS collapse to `<extra_id_k>`
+    * sentinels in the input, and the target emits each sentinel followed by
+    * its masked tokens plus a terminal sentinel — the exact T5 example
+    * format.
+    *
+    * 100 TB shape: posexplode → ONE doc-keyed window (lag + running sum —
+    * the e16 gaps-and-islands machinery — span ids in O(1) state per row)
+    * → one doc-keyed ordered-fold aggregation assembling input/target.
+    * Per-doc cost is linear in tokens; the exchange is the token stream
+    * keyed by doc — the e7/e14 spillable class, skew bounded by document
+    * length. */
+  def spanCorrupt(df: DataFrame, idCol: String, textCol: String,
+                  noiseBp: Int = 1500): DataFrame = {
+    require(noiseBp >= 0 && noiseBp <= 10000, s"noiseBp in [0,10000] (got $noiseBp)")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).cast("long").as("id"),
+        posexplode(graft.functions.text.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("masked",
+        conv(substring(md5(concat(lit("sc:"), col("id"), lit(":"), col("pos"))),
+          1, 8), 16, 10).cast("long") % 10000 < noiseBp)
+    val w = Window.partitionBy("id").orderBy("pos")
+    val spans = toks
+      .withColumn("__start",
+        (col("masked") && !coalesce(lag(col("masked"), 1).over(w), lit(false)))
+          .cast("long"))
+      .withColumn("span_id",
+        when(col("masked"), sum(col("__start")).over(w) - 1))
+    spans.groupBy("id").agg(
+      count(lit(1)).as("n_tokens"),
+      sum(col("masked").cast("long")).as("n_masked"),
+      sum(col("__start")).as("n_spans"),
+      // input: unmasked tokens verbatim; each span contributes its
+      // sentinel ONCE (at the run start)
+      concat_ws(" ", transform(filter(
+        array_sort(collect_list(struct(col("pos"), col("tok"), col("masked"),
+          col("__start"), col("span_id")))),
+        s => !s.getField("masked") || s.getField("__start") === 1),
+        s => when(s.getField("masked"),
+          concat(lit("<extra_id_"), s.getField("span_id"), lit(">")))
+          .otherwise(s.getField("tok")))).as("input_text"),
+      // target: per span, sentinel + its tokens; terminal sentinel closes
+      concat(concat_ws(" ", flatten(transform(filter(
+        array_sort(collect_list(struct(col("pos"), col("tok"), col("masked"),
+          col("__start"), col("span_id")))),
+        s => s.getField("masked")),
+        s => when(s.getField("__start") === 1,
+          array(concat(lit("<extra_id_"), s.getField("span_id"), lit(">")),
+            s.getField("tok")))
+          .otherwise(array(s.getField("tok")))))),
+        when(sum(col("__start")) > 0,
+          concat(lit(" <extra_id_"), sum(col("__start")), lit(">")))
+          .otherwise(concat(lit("<extra_id_"), lit(0), lit(">"))))
+        .as("target_text"))
+  }
 }

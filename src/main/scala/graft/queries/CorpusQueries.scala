@@ -34,6 +34,7 @@ object CorpusQueries {
     "t30_lm_xent" -> ((s, d) => lmXent(s, d)),
     "t51_kn_lm" -> ((s, d) => knXent(s, d)),
     "t53_fim_transform" -> ((s, d) => fimTransformQ(s, d)),
+    "t54_span_corrupt" -> ((s, d) => spanCorruptQ(s, d)),
     "t32_dsir_sample" -> ((s, d) => dsirSample(s, d)),
     "t34_langid_trained" -> ((s, d) => langIdTrained(s, d)),
     "t35_ccnet_buckets" -> ((s, d) => ccnetBuckets(s, d)),
@@ -186,6 +187,18 @@ object CorpusQueries {
       Tables.documents(spark, dir), "doc_id", "text")
       .select(col("doc_id"), col("is_fim"), col("n_prefix"), col("n_middle"),
         col("n_suffix"), md5(col("fim_text")).as("fim_md5"))
+      .orderBy("doc_id")
+
+  /** [[graft.operators.Corpus.spanCorrupt]] over the corpus: mask/span
+    * counts plus md5 gates over BOTH emitted sequences — the input with
+    * sentinel-collapsed spans and the T5-format target. Tokenless docs
+    * carry no denoising example and are excluded (posexplode semantics). */
+  def spanCorruptQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.spanCorrupt(
+      Tables.documents(spark, dir), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_masked"),
+        col("n_spans"), md5(col("input_text")).as("input_md5"),
+        md5(col("target_text")).as("target_md5"))
       .orderBy("doc_id")
 
   def knXent(spark: SparkSession, dir: String): DataFrame =
@@ -700,6 +713,36 @@ object CorpusQueries {
     // the continuation counts; the probability's parenthesization matches
     // the engine token for token (greatest(c12-D,0)/c1 + ((D*n1fw)/c1) *
     // (n1bw/bt)), ln within-ulp, per-doc fold in position order, 4 dp
+    // per-(doc, position) md5 mask replayed with list lambdas; span ids via
+    // prefix-counted run starts; both emitted sequences md5-gated
+    "t54_span_corrupt" ->
+      s"""$toks,
+         |m AS (SELECT doc_id, tk, list_transform(range(len(tk)), p ->
+         |    ('0x' || substr(md5('sc:' || doc_id || ':' || p), 1, 8))::BIGINT % 10000 < 1500) AS mask
+         |  FROM tk WHERE len(tk) > 0),
+         |sp AS (SELECT doc_id, tk, mask,
+         |    list_transform(range(len(tk)), p -> mask[p+1] AND (p = 0 OR NOT mask[p])) AS starts
+         |  FROM m),
+         |sid AS (SELECT doc_id, tk, mask, starts,
+         |    list_transform(range(len(tk)), p ->
+         |      len(list_filter(range(p+1), i -> starts[i+1])) - 1) AS sid,
+         |    len(list_filter(starts, x -> x)) AS nsp
+         |  FROM sp)
+         |SELECT doc_id,
+         |  len(tk)::BIGINT AS n_tokens,
+         |  len(list_filter(mask, x -> x))::BIGINT AS n_masked,
+         |  nsp::BIGINT AS n_spans,
+         |  md5(array_to_string(list_transform(
+         |    list_filter(range(len(tk)), p -> NOT mask[p+1] OR starts[p+1]),
+         |    p -> CASE WHEN mask[p+1] THEN '<extra_id_' || sid[p+1] || '>' ELSE tk[p+1] END), ' ')) AS input_md5,
+         |  -- coalesce: DuckDB flatten([]) yields NULL, not [] -- a
+         |  -- zero-span doc's target must still be the lone terminator
+         |  md5(coalesce(array_to_string(flatten(list_transform(
+         |      list_filter(range(len(tk)), p -> mask[p+1]),
+         |      p -> CASE WHEN starts[p+1] THEN ['<extra_id_' || sid[p+1] || '>', tk[p+1]]
+         |           ELSE [tk[p+1]] END)), ' '), '')
+         |    || CASE WHEN nsp > 0 THEN ' <extra_id_' || nsp || '>' ELSE '<extra_id_0>' END) AS target_md5
+         |FROM sid ORDER BY doc_id""".stripMargin,
     // md5-derandomized coin + cut points replayed verbatim; the fim_md5
     // hash gate pins every emitted byte of the PSM rewrite
     "t53_fim_transform" ->

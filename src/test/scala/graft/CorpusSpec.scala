@@ -497,4 +497,38 @@ class CorpusSpec extends AnyFunSuite {
       .filter(org.apache.spark.sql.functions.col("is_fim")).count()
     assert(off == 0L)
   }
+
+  test("spanCorrupt: T5 example format at the rate extremes + structural laws") {
+    val one = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    // rate 0: identity input, lone-terminator target
+    val off = graft.operators.Corpus.spanCorrupt(one, "doc_id", "text", noiseBp = 0)
+      .select("n_masked", "n_spans", "input_text", "target_text").head()
+    assert(off.getLong(0) == 0 && off.getLong(1) == 0)
+    assert(off.getString(2) == "alpha beta gamma delta epsilon zeta eta theta")
+    assert(off.getString(3) == "<extra_id_0>")
+    // rate 10000: one all-covering span, the exact T5 target format
+    val full = graft.operators.Corpus.spanCorrupt(one, "doc_id", "text", noiseBp = 10000)
+      .select("n_masked", "n_spans", "input_text", "target_text").head()
+    assert(full.getLong(0) == 8 && full.getLong(1) == 1)
+    assert(full.getString(2) == "<extra_id_0>")
+    assert(full.getString(3) ==
+      "<extra_id_0> alpha beta gamma delta epsilon zeta eta theta <extra_id_1>")
+    // default rate over a corpus: sentinels are contiguous-increasing in
+    // the input, and target length = n_masked + n_spans + 1 tokens
+    val docs = (0L until 50L)
+      .map(i => (i, (0 until 40).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Corpus.spanCorrupt(docs, "doc_id", "text")
+      .select("n_masked", "n_spans", "input_text", "target_text").collect()
+    val sentinelRe = "<extra_id_(\\d+)>".r
+    out.foreach { r =>
+      val (nm, nsp) = (r.getLong(0), r.getLong(1))
+      val ids = sentinelRe.findAllMatchIn(r.getString(2)).map(_.group(1).toInt).toSeq
+      assert(ids == (0 until nsp.toInt), s"input sentinels not 0..${nsp - 1}: $ids")
+      assert(r.getString(3).split(" ").length == nm + nsp + 1,
+        "target must hold every masked token + one sentinel per span + terminator")
+    }
+    assert(out.map(_.getLong(0)).sum > 0, "default rate must mask something")
+  }
 }
