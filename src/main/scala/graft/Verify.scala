@@ -44,7 +44,10 @@ object Verify {
     "t28_curation_e2e", "t42_curation_v2", "t47_pretrain_e2e",
     "t41_bpe_train", "v22_mv_pq_maxsim", "k2_semdedup", "n2_bm25",
     "t30_lm_xent", "t16_heavy_hitters", "e8_ohlc", "u6_changelog_apply",
-    "m9_scene_cuts_dense", "t32_dsir_sample")
+    "m9_scene_cuts_dense", "t32_dsir_sample",
+    // round-11 additions with scale-sensitive shapes: the overlap matrix's
+    // vocabulary join and the span-corruption window folds
+    "t52_source_overlap", "t54_span_corrupt")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rest @ _*) = args
