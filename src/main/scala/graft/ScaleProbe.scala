@@ -115,7 +115,8 @@ object ScaleProbe {
         "e16_interval_union", "n12_trgm_fuzzy", "p8_incremental_reembed", "e17_target_encode", "v24_ranking_metrics",
         "e18_rolling_anomaly", "k6_cluster_quality", "m11_image_keeplist",
         "s8_e2e_quality", "s9_e2e_quality_rerank", "t52_source_overlap",
-        "t53_fim_transform", "t54_span_corrupt")
+        "t53_fim_transform", "t54_span_corrupt", "t55_gopher_quality",
+        "t56_c4_line_filters")
       // optional second arg: probe only the named queries (comma-separated) —
       // re-measuring one changed operator shouldn't cost the full heavy tail.
       // Unknown names fail loudly: a typo silently probing nothing (and still

@@ -1147,4 +1147,109 @@ object Corpus {
           .otherwise(concat(lit("<extra_id_"), lit(0), lit(">"))))
         .as("target_text"))
   }
+
+  /** The eight "required words" of the Gopher stopword rule (Rae et al.
+    * 2021, appendix A1.1): a document must contain at least two. */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Full Gopher document-quality rule set (Rae et al. 2021, Table A1 —
+    * the FILTER half; the repetition half is [[repetitionMetrics]]/t11):
+    * word-count bounds, mean word length in [3,10] chars, symbol-to-word
+    * ratio ('#' characters + '...' runs) <= 10%, <= 10% of lines starting
+    * with a bullet, <= 30% of lines ending in an ellipsis, >= 80% of words
+    * containing an alphabetic character, and >= 2 of the eight required
+    * stopwords present. The verdict reports the FIRST failing rule in that
+    * stated precedence (the DataTrove/Dolma convention of attributing each
+    * drop to one named rule), so drop accounting sums to the doc count.
+    *
+    * Every ratio test is an integer cross-multiplication (never a rounded
+    * ratio — engine round() of arbitrary doubles is cross-engine-unsafe),
+    * so the gate replays exactly in any engine. Map-only over the raw text:
+    * no shuffle, no join, per-row cost linear in document length — the plan
+    * is identical at 100 TB. Lines are '\n'-delimited in the RAW text
+    * (bullet/ellipsis structure lives there); words are the normalized
+    * whitespace tokens. */
+  def gopherQuality(df: DataFrame, idCol: String, textCol: String,
+                    minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+    val base = graft.Tables.scaled(
+      df.select(col(idCol).cast("long").as("id"), col(textCol).as("t")))
+      .select(col("id"), col("t"),
+        split(col("t"), "\n").as("lines"), text.tokens(col("t")).as("wd"))
+    val nWords = size(col("wd")).cast("long")
+    val sumChars = coalesce(
+      aggregate(col("wd"), lit(0L), (a, t) => a + length(t)), lit(0L))
+    val nSym = (length(col("t")) -
+      length(translate(col("t"), "#", ""))).cast("long") +
+      regexp_count(col("t"), lit("\\.\\.\\.")).cast("long")
+    val nAlpha = size(filter(col("wd"), t => t.rlike("[a-z]"))).cast("long")
+    val nStop = size(filter(
+      array(gopherStopwords.map(lit(_)): _*),
+      s => array_contains(col("wd"), s))).cast("long")
+    val nLines = size(col("lines")).cast("long")
+    val nBullet = size(filter(col("lines"),
+      l => l.startsWith("•"))).cast("long")
+    val nEll = size(filter(col("lines"), l => l.endsWith("..."))).cast("long")
+    val m = base.select(col("id"),
+      nWords.as("n_words"), sumChars.as("sum_word_chars"),
+      nSym.as("n_symbols"), nAlpha.as("n_alpha_words"),
+      nStop.as("n_stopwords"), nLines.as("n_lines"),
+      nBullet.as("n_bullet_lines"), nEll.as("n_ellipsis_lines"))
+    m.withColumn("reason",
+        when(col("n_words") < minWords || col("n_words") > maxWords,
+          "word_count")
+          .when(col("sum_word_chars") < col("n_words") * 3 ||
+            col("sum_word_chars") > col("n_words") * 10, "mean_word_len")
+          .when(col("n_symbols") * 10 > col("n_words"), "symbol_ratio")
+          .when(col("n_bullet_lines") * 10 > col("n_lines"), "bullet_lines")
+          .when(col("n_ellipsis_lines") * 10 > col("n_lines") * 3,
+            "ellipsis_lines")
+          .when(col("n_alpha_words") * 5 < col("n_words") * 4, "alpha_words")
+          .when(col("n_stopwords") < 2, "stopwords")
+          .otherwise("clean"))
+      .withColumn("keep", col("reason") === "clean")
+  }
+
+  /** C4 line-level cleaning rules (Raffel et al. 2020 §2.2): a line
+    * survives iff it ends in terminal punctuation (. ! ? "), carries at
+    * least five words, and does not mention "javascript"; the PAGE is then
+    * dropped wholesale if it contains "lorem ipsum" or a curly brace, or
+    * if fewer than `minSentences` lines survive. Emits the per-rule drop
+    * tallies (no silent filtering — every dropped line is attributed to
+    * exactly one rule in the stated precedence: punctuation, then length,
+    * then javascript), the page verdict with its own reason precedence
+    * (lorem_ipsum → brace → too_few_sentences → kept), and the cleaned
+    * text (surviving lines re-joined) for kept pages.
+    *
+    * Map-only over raw '\n'-structured text: no shuffle, no join, per-row
+    * cost linear in document length — identical plan at 100 TB. All
+    * tallies are exact integers; the cleaned text is hash-gated at the
+    * query layer. */
+  def c4LineFilters(df: DataFrame, idCol: String, textCol: String,
+                    minSentences: Long = 3L): DataFrame = {
+    val punct = (l: Column) => l.endsWith(".") || l.endsWith("!") ||
+      l.endsWith("?") || l.endsWith("\"")
+    val nw = (l: Column) => size(filter(split(l, " "), t => length(t) > 0))
+    val js = (l: Column) => l.contains("javascript")
+    val keepLine = (l: Column) => punct(l) && nw(l) >= 5 && !js(l)
+    val base = graft.Tables.scaled(
+      df.select(col(idCol).cast("long").as("id"), col(textCol).as("t")))
+      .select(col("id"), col("t"), split(col("t"), "\n").as("lines"))
+    base.select(col("id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(filter(col("lines"), l => !punct(l))).cast("long")
+          .as("n_no_punct"),
+        size(filter(col("lines"), l => punct(l) && nw(l) < 5)).cast("long")
+          .as("n_short"),
+        size(filter(col("lines"), l => punct(l) && nw(l) >= 5 && js(l)))
+          .cast("long").as("n_js"),
+        size(filter(col("lines"), keepLine)).cast("long").as("n_kept"),
+        when(col("t").contains("lorem ipsum"), "lorem_ipsum")
+          .when(col("t").contains("{"), "brace")
+          .when(size(filter(col("lines"), keepLine)) < minSentences,
+            "too_few_sentences")
+          .otherwise("kept").as("reason"),
+        array_join(filter(col("lines"), keepLine), "\n").as("cleaned"))
+      .withColumn("keep", col("reason") === "kept")
+  }
 }

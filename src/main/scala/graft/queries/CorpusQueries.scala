@@ -46,8 +46,114 @@ object CorpusQueries {
     "t44_ffd_pack" -> ((s, d) => ffdPack(s, d)),
     "t45_distinct_profile" -> ((s, d) => distinctProfileQ(s, d)),
     "t46_context_windows" -> ((s, d) => contextWindowsQ(s, d)),
-    "t47_pretrain_e2e" -> ((s, d) => pretrainE2e(s, d))
+    "t47_pretrain_e2e" -> ((s, d) => pretrainE2e(s, d)),
+    "t55_gopher_quality" -> ((s, d) => gopherQualityQ(s, d)),
+    "t56_c4_line_filters" -> ((s, d) => c4LineFiltersQ(s, d))
   )
+
+  /** Planted C4-structure synthesis (t18/t37 convention): lines of
+    * 6+doc_id%3 words; per line (doc_id*19+j)%13 picks no-punct /
+    * '!' / trailing "javascript." / 3-word-short / normal '.'; docs at
+    * %31 / %37 additionally get a "lorem ipsum" / curly-brace line. Both
+    * engines derive the same ctext. */
+  private def c4Synth(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val emptyArr = array().cast("array<string>")
+    docs.select(d, text.tokens(col("text")).as("tk"))
+      .withColumn("ll", lit(6L) + d % 3)
+      .withColumn("n_w", size(col("tk")).cast("long"))
+      .withColumn("nl", when(col("n_w") === 0, lit(0L))
+        .otherwise(expr("(n_w + ll - 1) div ll")))
+      .withColumn("plines", when(col("nl") === 0, emptyArr)
+        .otherwise(transform(sequence(lit(0L), col("nl") - 1), j => {
+          val m = (d * 19 + j) % 13
+          val seg = array_join(slice(col("tk"),
+            (j * col("ll") + 1).cast("int"), col("ll").cast("int")), " ")
+          val short3 = array_join(slice(col("tk"),
+            (j * col("ll") + 1).cast("int"), lit(3)), " ")
+          when(m === 0, seg)
+            .when(m === 1, concat(seg, lit("!")))
+            .when(m === 2, concat(seg, lit(" javascript.")))
+            .when(m === 3, concat(short3, lit(".")))
+            .otherwise(concat(seg, lit(".")))
+        })))
+      .withColumn("plines", concat(col("plines"),
+        when(d % 31 === 0,
+          array(lit("as seen on tv lorem ipsum dolor sit amet.")))
+          .otherwise(emptyArr),
+        when(d % 37 === 0, array(lit("var cfg = { mode: 1 };")))
+          .otherwise(emptyArr)))
+      .select(d, array_join(col("plines"), "\n").as("ctext"))
+  }
+
+  /** C4 line filters over the planted corpus: all four page verdicts
+    * populate at sf0.01 (kept 393 / too_few_sentences 77 / lorem 17 /
+    * brace 13); the cleaned text is md5-gated for kept pages. */
+  def c4LineFiltersQ(spark: SparkSession, dir: String): DataFrame =
+    Corpus.c4LineFilters(c4Synth(Tables.documents(spark, dir)),
+        "doc_id", "ctext")
+      .select(col("id").as("doc_id"), col("n_lines"), col("n_no_punct"),
+        col("n_short"), col("n_js"), col("n_kept"), col("reason"),
+        col("keep"), when(col("keep"), md5(col("cleaned"))).as("cleaned_md5"))
+      .orderBy("doc_id")
+
+  /** Planted Gopher-structure synthesis (the t18/t37 planted-input
+    * convention): the generator's word soup carries no lines, bullets,
+    * symbols, numerals, or English stopwords, so every rule of the Gopher
+    * gate would vacuously pass. Each doc is rewritten by pure integer
+    * functions of (doc_id, word position) — seven per-doc profiles (p =
+    * doc_id%7: untouched/symbol-heavy/numeral-heavy/long-word/standard)
+    * so each rule fails somewhere — then grouped into '\n'-delimited lines
+    * of 5+doc_id%4 words with '•' prefixes and '...' suffixes on
+    * arithmetically chosen lines. Both engines derive the SAME ctext; the
+    * measure half then runs on raw text only, exactly as it would on a
+    * real crawl. */
+  private def gopherSynth(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val longWord = "pneumonoultramicroscopicsilicovolcanoconiosis"
+    val w = transform(text.tokens(col("text")), (t, i) => {
+      val m = (d * 31 + i) % 23
+      when(d % 7 === 0, t)
+        .when(d % 7 === 1,
+          when(m % 9 === 0, "#").when(m === 1, "the")
+            .when(m === 2, "and").otherwise(t))
+        .when(d % 7 === 2,
+          when(m % 4 === 0, "42").when(m === 1, "the")
+            .when(m === 2, "and").otherwise(t))
+        .when(d % 7 === 3,
+          when(m % 3 === 0, longWord).when(m === 1, "the")
+            .when(m === 2, "and").otherwise(t))
+        .otherwise(
+          when(m === 0, "the").when(m === 1, "and").when(m === 2, "of")
+            .when(m === 3, "to").when(m === 4, "42").when(m === 5, "#")
+            .otherwise(t))
+    })
+    docs.select(d, w.as("w"))
+      .withColumn("ll", lit(5L) + d % 4)
+      .withColumn("n_w", size(col("w")).cast("long"))
+      .withColumn("nl", when(col("n_w") === 0, lit(0L))
+        .otherwise(expr("(n_w + ll - 1) div ll")))
+      .withColumn("ctext", when(col("nl") === 0, lit(""))
+        .otherwise(array_join(
+          transform(sequence(lit(0L), col("nl") - 1), j =>
+            concat(
+              when((d * 17 + j) % 11 === 0, lit("•")).otherwise(lit("")),
+              array_join(slice(col("w"),
+                (j * col("ll") + 1).cast("int"), col("ll").cast("int")), " "),
+              when(((d * 17 + j) % 11).isin(1L, 2L), lit("..."))
+                .otherwise(lit("")))),
+          "\n")))
+      .select(col("doc_id"), col("ctext"))
+  }
+
+  /** Full Gopher quality gate over the planted-structure corpus: all eight
+    * verdict paths (7 rules + clean) populate at sf0.01. minWords=20 (the
+    * paper's 50 floor would drown the later rules on 10–99-word docs). */
+  def gopherQualityQ(spark: SparkSession, dir: String): DataFrame =
+    Corpus.gopherQuality(gopherSynth(Tables.documents(spark, dir)),
+        "doc_id", "ctext", minWords = 20L)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
 
   /** The PRETRAINING DATA BUILD composed end-to-end (the t28/t42 role for
     * the block pipeline): exact-dedup keep-list (min-id per prefix-60
@@ -975,6 +1081,138 @@ object CorpusQueries {
          |SELECT doc_id, n_fixed, (n_fixed > 0) AS is_fixed,
          |  md5(rep) AS repaired_md5
          |FROM f ORDER BY doc_id""".stripMargin,
+    // full replay: planted C4 line structure (lockstep with c4Synth), then
+    // the measure half reads raw ctext only — per-line rule tallies with
+    // stated precedence, page verdict, md5 of the surviving lines.
+    "t56_c4_line_filters" ->
+      s"""$toks,
+         |ln AS (SELECT doc_id, tk, (6 + doc_id % 3)::BIGINT AS ll,
+         |  CASE WHEN len(tk) = 0 THEN 0
+         |       ELSE (len(tk) + (6 + doc_id % 3) - 1) // (6 + doc_id % 3)
+         |  END::BIGINT AS nl FROM tk),
+         |base AS (SELECT doc_id,
+         |  list_transform(range(nl), j ->
+         |    CASE WHEN (doc_id * 19 + j) % 13 = 0
+         |         THEN array_to_string(list_slice(tk, j * ll + 1, j * ll + ll), ' ')
+         |         WHEN (doc_id * 19 + j) % 13 = 1
+         |         THEN array_to_string(list_slice(tk, j * ll + 1, j * ll + ll), ' ') || '!'
+         |         WHEN (doc_id * 19 + j) % 13 = 2
+         |         THEN array_to_string(list_slice(tk, j * ll + 1, j * ll + ll), ' ') || ' javascript.'
+         |         WHEN (doc_id * 19 + j) % 13 = 3
+         |         THEN array_to_string(list_slice(tk, j * ll + 1, j * ll + 3), ' ') || '.'
+         |         ELSE array_to_string(list_slice(tk, j * ll + 1, j * ll + ll), ' ') || '.'
+         |    END) AS plines
+         |  FROM ln),
+         |ext AS (SELECT doc_id,
+         |  list_concat(plines, list_concat(
+         |    CASE WHEN doc_id % 31 = 0
+         |         THEN ['as seen on tv lorem ipsum dolor sit amet.'] ELSE [] END,
+         |    CASE WHEN doc_id % 37 = 0
+         |         THEN ['var cfg = { mode: 1 };'] ELSE [] END)) AS plines
+         |  FROM base),
+         |ct AS (SELECT doc_id, array_to_string(plines, chr(10)) AS ctext FROM ext),
+         |ls AS (SELECT doc_id, ctext, string_split(ctext, chr(10)) AS lines FROM ct),
+         |m AS (SELECT doc_id, ctext, lines,
+         |  len(lines)::BIGINT AS n_lines,
+         |  len(list_filter(lines, l -> NOT (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')))::BIGINT AS n_no_punct,
+         |  len(list_filter(lines, l ->
+         |    (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
+         |    AND len(list_filter(string_split(l, ' '), t -> len(t) > 0)) < 5))::BIGINT AS n_short,
+         |  len(list_filter(lines, l ->
+         |    (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
+         |    AND len(list_filter(string_split(l, ' '), t -> len(t) > 0)) >= 5
+         |    AND contains(l, 'javascript')))::BIGINT AS n_js,
+         |  list_filter(lines, l ->
+         |    (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
+         |    AND len(list_filter(string_split(l, ' '), t -> len(t) > 0)) >= 5
+         |    AND NOT contains(l, 'javascript')) AS kept
+         |  FROM ls),
+         |v AS (SELECT doc_id, n_lines, n_no_punct, n_short, n_js,
+         |  len(kept)::BIGINT AS n_kept,
+         |  CASE WHEN contains(ctext, 'lorem ipsum') THEN 'lorem_ipsum'
+         |       WHEN contains(ctext, '{') THEN 'brace'
+         |       WHEN len(kept) < 3 THEN 'too_few_sentences'
+         |       ELSE 'kept' END AS reason,
+         |  array_to_string(kept, chr(10)) AS cleaned
+         |  FROM m)
+         |SELECT doc_id, n_lines, n_no_punct, n_short, n_js, n_kept, reason,
+         |  (reason = 'kept') AS keep,
+         |  CASE WHEN reason = 'kept' THEN md5(cleaned) END AS cleaned_md5
+         |FROM v ORDER BY doc_id""".stripMargin,
+    // full replay: planted-structure synthesis (pure integer functions of
+    // doc_id × position — MUST stay in lockstep with gopherSynth) builds the
+    // same ctext, then the measure half reads raw text only. Every ratio
+    // rule is an integer cross-multiplication; reason = first failing rule.
+    "t55_gopher_quality" ->
+      s"""$toks,
+         |sub AS (SELECT doc_id,
+         |  list_transform(range(len(tk)), i ->
+         |    CASE
+         |      WHEN doc_id % 7 = 0 THEN tk[i + 1]
+         |      WHEN doc_id % 7 = 1 THEN
+         |        CASE WHEN (doc_id * 31 + i) % 23 % 9 = 0 THEN '#'
+         |             WHEN (doc_id * 31 + i) % 23 = 1 THEN 'the'
+         |             WHEN (doc_id * 31 + i) % 23 = 2 THEN 'and'
+         |             ELSE tk[i + 1] END
+         |      WHEN doc_id % 7 = 2 THEN
+         |        CASE WHEN (doc_id * 31 + i) % 23 % 4 = 0 THEN '42'
+         |             WHEN (doc_id * 31 + i) % 23 = 1 THEN 'the'
+         |             WHEN (doc_id * 31 + i) % 23 = 2 THEN 'and'
+         |             ELSE tk[i + 1] END
+         |      WHEN doc_id % 7 = 3 THEN
+         |        CASE WHEN (doc_id * 31 + i) % 23 % 3 = 0
+         |             THEN 'pneumonoultramicroscopicsilicovolcanoconiosis'
+         |             WHEN (doc_id * 31 + i) % 23 = 1 THEN 'the'
+         |             WHEN (doc_id * 31 + i) % 23 = 2 THEN 'and'
+         |             ELSE tk[i + 1] END
+         |      ELSE
+         |        CASE (doc_id * 31 + i) % 23
+         |          WHEN 0 THEN 'the' WHEN 1 THEN 'and' WHEN 2 THEN 'of'
+         |          WHEN 3 THEN 'to' WHEN 4 THEN '42' WHEN 5 THEN '#'
+         |          ELSE tk[i + 1] END
+         |    END) AS w
+         |  FROM tk),
+         |ln AS (SELECT doc_id, w, (5 + doc_id % 4)::BIGINT AS ll,
+         |  CASE WHEN len(w) = 0 THEN 0
+         |       ELSE (len(w) + (5 + doc_id % 4) - 1) // (5 + doc_id % 4)
+         |  END::BIGINT AS nl FROM sub),
+         |ct AS (SELECT doc_id, CASE WHEN nl = 0 THEN '' ELSE array_to_string(
+         |    list_transform(range(nl), j ->
+         |      (CASE WHEN (doc_id * 17 + j) % 11 = 0 THEN chr(8226) ELSE '' END)
+         |      || array_to_string(list_slice(w, j * ll + 1, j * ll + ll), ' ')
+         |      || (CASE WHEN (doc_id * 17 + j) % 11 IN (1, 2) THEN '...' ELSE '' END)),
+         |    chr(10)) END AS ctext
+         |  FROM ln),
+         |ls AS (SELECT doc_id, ctext, string_split(ctext, chr(10)) AS lines,
+         |  list_filter(string_split(trim(regexp_replace(lower(ctext), '\\s+', ' ', 'g')), ' '),
+         |    t -> len(t) > 0) AS wd
+         |  FROM ct),
+         |m AS (SELECT doc_id,
+         |  len(wd)::BIGINT AS n_words,
+         |  coalesce(list_sum(list_transform(wd, t -> len(t))), 0)::BIGINT AS sum_word_chars,
+         |  ((len(ctext) - len(replace(ctext, '#', '')))
+         |    + len(regexp_extract_all(ctext, '\\.\\.\\.')))::BIGINT AS n_symbols,
+         |  len(list_filter(wd, t -> regexp_matches(t, '[a-z]')))::BIGINT AS n_alpha_words,
+         |  len(list_filter(['the','be','to','of','and','that','have','with'],
+         |      s -> list_contains(wd, s)))::BIGINT AS n_stopwords,
+         |  len(lines)::BIGINT AS n_lines,
+         |  len(list_filter(lines, l -> l LIKE chr(8226) || '%'))::BIGINT AS n_bullet_lines,
+         |  len(list_filter(lines, l -> l LIKE '%...'))::BIGINT AS n_ellipsis_lines
+         |  FROM ls),
+         |v AS (SELECT *,
+         |  CASE WHEN n_words < 20 OR n_words > 100000 THEN 'word_count'
+         |       WHEN sum_word_chars < 3 * n_words OR sum_word_chars > 10 * n_words THEN 'mean_word_len'
+         |       WHEN 10 * n_symbols > n_words THEN 'symbol_ratio'
+         |       WHEN 10 * n_bullet_lines > n_lines THEN 'bullet_lines'
+         |       WHEN 10 * n_ellipsis_lines > 3 * n_lines THEN 'ellipsis_lines'
+         |       WHEN 5 * n_alpha_words < 4 * n_words THEN 'alpha_words'
+         |       WHEN n_stopwords < 2 THEN 'stopwords'
+         |       ELSE 'clean' END AS reason
+         |  FROM m)
+         |SELECT doc_id, n_words, sum_word_chars, n_symbols, n_alpha_words,
+         |  n_stopwords, n_lines, n_bullet_lines, n_ellipsis_lines, reason,
+         |  (reason = 'clean') AS keep
+         |FROM v ORDER BY doc_id""".stripMargin,
     "t43_quota_sample" ->
       """WITH s AS (SELECT doc_id, lang,
         |    ('0x' || substr(md5('r8q:' || doc_id), 1, 12))::BIGINT AS skey

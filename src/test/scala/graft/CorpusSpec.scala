@@ -531,4 +531,73 @@ class CorpusSpec extends AnyFunSuite {
     }
     assert(out.map(_.getLong(0)).sum > 0, "default rate must mask something")
   }
+
+  test("gopherQuality: every rule fires in the stated precedence; exact tallies") {
+    val w18 = (1 to 18).map(_ => "word").mkString(" ")
+    val w12 = (1 to 12).map(_ => "word").mkString(" ")
+    val docs = Seq(
+      (0L, s"$w18 the and"),                                   // clean
+      (1L, "the and word"),                                    // word_count
+      (2L, (1 to 20).map(_ => "ab").mkString(" ") + " the and"), // mean_word_len (46 chars / 22 words < 3)
+      (3L, s"$w18 the and # # #"),                             // symbol_ratio (3*10 > 23+2? no: 25 words... see below)
+      (4L, s"•$w12\n•$w12"),                         // bullet_lines (2/2)
+      (5L, s"$w12...\n$w12..."),                               // ellipsis_lines (2/2)
+      (6L, w12 + " " + (1 to 12).map(_ => "42").mkString(" ")), // alpha_words (12/24 < 80%)
+      (7L, (1 to 24).map(_ => "word").mkString(" "))           // stopwords (0 < 2)
+    ).toDF("doc_id", "text")
+    val out = Corpus.gopherQuality(docs, "doc_id", "text", minWords = 20L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val reasons = (0L to 7L).map(i => out(i).getAs[String]("reason"))
+    assert(reasons == Seq("clean", "word_count", "mean_word_len",
+      "symbol_ratio", "bullet_lines", "ellipsis_lines", "alpha_words",
+      "stopwords"), s"got $reasons")
+    // exact tallies on the clean doc: 20 words of 18*4+3+3 chars, 1 line
+    val c = out(0L)
+    assert(c.getAs[Long]("n_words") == 20L)
+    assert(c.getAs[Long]("sum_word_chars") == 78L)
+    assert(c.getAs[Long]("n_symbols") == 0L)
+    assert(c.getAs[Long]("n_alpha_words") == 20L)
+    assert(c.getAs[Long]("n_stopwords") == 2L)
+    assert(c.getAs[Long]("n_lines") == 1L)
+    assert(c.getAs[Boolean]("keep"))
+    // the ellipsis doc's '...' also tallies as symbols but passes the
+    // symbol rule (2*10 <= 26 words... ) — attribution lands on ellipsis
+    assert(out(5L).getAs[Long]("n_symbols") == 2L)
+    // paper default floor: a 30-word doc fails word_count at minWords=50
+    val thirty = Seq((9L, (1 to 28).map(_ => "word").mkString(" ") + " the and"))
+      .toDF("doc_id", "text")
+    assert(Corpus.gopherQuality(thirty, "doc_id", "text")
+      .head().getAs[String]("reason") == "word_count")
+  }
+
+  test("c4LineFilters: line-rule attribution, page verdicts, cleaned text") {
+    val k = "alpha beta gamma delta epsilon."
+    val docs = Seq(
+      (0L, s"$k\n$k\n$k"),                                     // kept
+      (1L, s"$k\nno terminal punct line here\n$k\n$k"),        // kept, 1 no-punct
+      (2L, s"$k\ntiny line.\n$k\n$k"),                         // kept, 1 short
+      (3L, s"$k\nthis line mentions javascript today ok.\n$k\n$k"), // kept, 1 js
+      (4L, s"$k\n$k"),                                         // too_few_sentences
+      (5L, s"$k\n$k\n$k\nlorem ipsum dolor."),                 // lorem_ipsum
+      (6L, s"$k\n$k\n$k\nx = { }.")                            // brace
+    ).toDF("doc_id", "text")
+    val out = Corpus.c4LineFilters(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert((0L to 6L).map(i => out(i).getAs[String]("reason")) ==
+      Seq("kept", "kept", "kept", "kept", "too_few_sentences",
+        "lorem_ipsum", "brace"))
+    assert(out(1L).getAs[Long]("n_no_punct") == 1L &&
+      out(1L).getAs[Long]("n_kept") == 3L)
+    assert(out(2L).getAs[Long]("n_short") == 1L)
+    assert(out(3L).getAs[Long]("n_js") == 1L)
+    // every dropped line attributed to exactly one rule
+    (0L to 6L).foreach { i =>
+      val r = out(i)
+      assert(r.getAs[Long]("n_no_punct") + r.getAs[Long]("n_short") +
+        r.getAs[Long]("n_js") + r.getAs[Long]("n_kept") ==
+        r.getAs[Long]("n_lines"), s"attribution gap on doc $i")
+    }
+    assert(out(1L).getAs[String]("cleaned") == s"$k\n$k\n$k")
+    assert(!out(4L).getAs[Boolean]("keep"))
+  }
 }
