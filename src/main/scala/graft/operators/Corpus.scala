@@ -1252,4 +1252,72 @@ object Corpus {
         array_join(filter(col("lines"), keepLine), "\n").as("cleaned"))
       .withColumn("keep", col("reason") === "kept")
   }
+
+  /** Multinomial Naive Bayes text classifier, trained in-engine on a
+    * labeled seed slice (id % seedMod == 0) and scoring every other
+    * document — the supervised-classifier seat of a pretraining pipeline
+    * (the GPT-3/LLaMA "wiki-vs-crawl" quality filter, CCNet's fastText
+    * language ID; [[langIdTrained]] is the rank-profile alternative, this
+    * is the probabilistic one). Add-one smoothing over the seed
+    * vocabulary:
+    *
+    *   score(d,c) = ln(n_c/n_docs)
+    *              + Σ_w n_dw · ln((cnt(w,c)+1)/(tot_c+V))
+    *
+    * with the sum folded in WORD order (the t30 position-fold discipline
+    * lifted to doc-term counts: fewer float ops, same bit-reproducible
+    * stated order), prediction = argmax with label-asc tie-break. Every
+    * ln argument is a pure function of exact integer counts and the
+    * emitted score is floor(score·1e6) — floor of bit-identical doubles
+    * is an exact integer in any engine (round() is not).
+    *
+    * 100 TB shape: all model tables are (vocab × classes)-bounded
+    * map-side-combined groupBys, broadcast into scoring; the only
+    * corpus-sized exchange is the doc-term count build (token stream
+    * keyed by (doc, word) with map-side combine). The per-doc fold state
+    * is the doc's distinct-term list × |classes| — document-bounded,
+    * never corpus-bounded. Token-less documents are not classifiable and
+    * are omitted (the caller's gate decides their fate, not a fabricated
+    * uniform prior). */
+  def nbClassifier(df: DataFrame, idCol: String, textCol: String,
+                   labelCol: String, seedMod: Int = 10): DataFrame = {
+    require(seedMod >= 2, s"seedMod >= 2 (got $seedMod)")
+    val base = graft.Tables.scaled(df.select(col(idCol).cast("long").as("id"),
+      col(labelCol).as("label"),
+      graft.functions.text.tokens(col(textCol)).as("tk")))
+    val seed = base.filter(col("id") % seedMod === 0)
+    val rest = base.filter(col("id") % seedMod =!= 0)
+    val cnt = seed.select(col("label").as("cls"), explode(col("tk")).as("w"))
+      .groupBy("cls", "w").agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy("cls").agg(sum("c").as("tot"))
+    val vocab = cnt.select("w").distinct().agg(count(lit(1)).as("v"))
+    val prior = seed.groupBy(col("label").as("cls"))
+      .agg(count(lit(1)).as("n_c"))
+    val nDocs = seed.agg(count(lit(1)).as("n_docs"))
+    val classes = prior.join(tot, "cls").crossJoin(vocab).crossJoin(nDocs)
+    val dt = rest.select(col("id"), explode(col("tk")).as("w"))
+      .groupBy("id", "w").agg(count(lit(1)).as("n"))
+    val scored = dt.crossJoin(broadcast(classes))
+      .join(cnt, Seq("cls", "w"), "left")
+      .withColumn("lnp", log((coalesce(col("c"), lit(0L)) + lit(1.0)) /
+        (col("tot") + col("v"))))
+    val perClass = scored.groupBy("id", "cls").agg(
+      first(col("n_c")).as("n_c"), first(col("n_docs")).as("n_docs"),
+      sum(col("n")).as("n_tokens"),
+      aggregate(
+        sort_array(collect_list(struct(col("w").as("k"),
+          (col("n") * col("lnp")).as("p")))),
+        lit(0.0), (acc, x) => acc + x.getField("p")).as("s"))
+      .withColumn("score",
+        log(col("n_c").cast("double") / col("n_docs").cast("double")) +
+          col("s"))
+    val w = Window.partitionBy("id")
+      .orderBy(col("score").desc, col("cls").asc)
+    perClass.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(rest.select(col("id"), col("label")), "id")
+      .select(col("id"), col("label"), col("cls").as("pred"),
+        col("n_tokens"),
+        floor(col("score") * lit(1000000.0)).cast("long").as("score_fp"),
+        (col("label") === col("cls")).as("correct"))
+  }
 }

@@ -48,8 +48,22 @@ object CorpusQueries {
     "t46_context_windows" -> ((s, d) => contextWindowsQ(s, d)),
     "t47_pretrain_e2e" -> ((s, d) => pretrainE2e(s, d)),
     "t55_gopher_quality" -> ((s, d) => gopherQualityQ(s, d)),
-    "t56_c4_line_filters" -> ((s, d) => c4LineFiltersQ(s, d))
+    "t56_c4_line_filters" -> ((s, d) => c4LineFiltersQ(s, d)),
+    "t57_nb_classifier" -> ((s, d) => nbClassifierQ(s, d))
   )
+
+  /** Multinomial NB classifier over lang labels, trained on the doc_id%10
+    * seed slice (the t34 split), scoring the other 450 docs. The corpus's
+    * lang signal is deliberately weak (max token lift ~1.2), so corpus
+    * accuracy is a fixture property — the CLASSIFIER's quality is pinned
+    * by CorpusSpec's planted-vocabulary fixture; this row pins the full
+    * train+score+argmax replay. */
+  def nbClassifierQ(spark: SparkSession, dir: String): DataFrame =
+    Corpus.nbClassifier(Tables.documents(spark, dir), "doc_id", "text",
+        "lang", seedMod = 10)
+      .select(col("id").as("doc_id"), col("label").as("lang"), col("pred"),
+        col("n_tokens"), col("score_fp"), col("correct"))
+      .orderBy("doc_id")
 
   /** Planted C4-structure synthesis (t18/t37 convention): lines of
     * 6+doc_id%3 words; per line (doc_id*19+j)%13 picks no-punct /
@@ -1081,6 +1095,39 @@ object CorpusQueries {
          |SELECT doc_id, n_fixed, (n_fixed > 0) AS is_fixed,
          |  md5(rep) AS repaired_md5
          |FROM f ORDER BY doc_id""".stripMargin,
+    // full NB replay: integer count tables from the seed slice, per-(doc,
+    // class) ln-sum folded in WORD order (the t30 fold over doc-term
+    // counts), prior ratio in the stated cast order, argmax with cls-asc
+    // tiebreak, score emitted as floor(·1e6) — an exact integer
+    "t57_nb_classifier" ->
+      s"""$toks,
+         |sd AS (SELECT doc_id, lang, tk FROM tk WHERE doc_id % 10 = 0),
+         |rest AS (SELECT doc_id, lang, tk FROM tk WHERE doc_id % 10 <> 0),
+         |cnt AS (SELECT lang AS cls, w, count(*) AS c
+         |        FROM (SELECT lang, unnest(tk) AS w FROM sd) GROUP BY 1, 2),
+         |tot AS (SELECT cls, sum(c) AS tot FROM cnt GROUP BY 1),
+         |vs AS (SELECT count(DISTINCT w) AS v FROM cnt),
+         |pr AS (SELECT lang AS cls, count(*) AS n_c FROM sd GROUP BY 1),
+         |nd AS (SELECT count(*) AS n_docs FROM sd),
+         |dt AS (SELECT doc_id, w, count(*) AS n
+         |       FROM (SELECT doc_id, unnest(tk) AS w FROM rest) GROUP BY 1, 2),
+         |sc AS (SELECT dt.doc_id, pr.cls, dt.w, dt.n,
+         |         coalesce(cnt.c, 0) AS c, tot.tot, vs.v, pr.n_c, nd.n_docs
+         |       FROM dt CROSS JOIN pr JOIN tot ON tot.cls = pr.cls
+         |       CROSS JOIN vs CROSS JOIN nd
+         |       LEFT JOIN cnt ON cnt.cls = pr.cls AND cnt.w = dt.w),
+         |agg AS (SELECT doc_id, cls, sum(n)::BIGINT AS n_tokens,
+         |          ln(any_value(n_c)::DOUBLE / any_value(n_docs)::DOUBLE)
+         |            + list_sum(list(n * ln((c + 1.0) / (tot + v)) ORDER BY w))
+         |            AS score
+         |        FROM sc GROUP BY 1, 2),
+         |best AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY score DESC, cls) AS rn FROM agg)
+         |SELECT b.doc_id, r.lang, b.cls AS pred, b.n_tokens,
+         |  floor(b.score * 1000000.0)::BIGINT AS score_fp,
+         |  (r.lang = b.cls) AS correct
+         |FROM best b JOIN rest r USING (doc_id) WHERE rn = 1
+         |ORDER BY b.doc_id""".stripMargin,
     // full replay: planted C4 line structure (lockstep with c4Synth), then
     // the measure half reads raw ctext only — per-line rule tallies with
     // stated precedence, page verdict, md5 of the surviving lines.

@@ -600,4 +600,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(1L).getAs[String]("cleaned") == s"$k\n$k\n$k")
     assert(!out(4L).getAs[Boolean]("keep"))
   }
+
+  test("nbClassifier: planted separable vocab classifies perfectly; exact score") {
+    // 3 classes with disjoint vocabularies; ids 0..59 → seed slice
+    // (id%10==0) holds exactly 2 docs of each class
+    val vocabByCls = Seq("alpha", "beta", "gamma")
+    val docs = (0L until 60L).map { i =>
+      val c = (i % 3).toInt
+      (i, s"c$c", (1 to 10).map(_ => vocabByCls(c)).mkString(" "))
+    }.toDF("doc_id", "label", "text")
+    val rows = Corpus.nbClassifier(docs, "doc_id", "text", "label").collect()
+    assert(rows.length == 54, "6 seed docs must be excluded from scoring")
+    assert(rows.forall(_.getAs[Boolean]("correct")), "separable vocab must classify 100%")
+    // hand-computed score for doc 3 (class c0, 10× alpha): seed has
+    // cnt(alpha,c0)=20, tot_c0=20, V=3, prior 2/6 →
+    // score = ln(2/6) + 10·ln(21/23), emitted as floor(·1e6)
+    val expected = math.floor(
+      (math.log(2.0 / 6.0) + 10 * math.log(21.0 / 23.0)) * 1000000.0).toLong
+    val r3 = rows.find(_.getLong(0) == 3L).get
+    assert(r3.getAs[Long]("score_fp") == expected,
+      s"got ${r3.getAs[Long]("score_fp")}, want $expected")
+    assert(r3.getAs[Long]("n_tokens") == 10L)
+  }
 }
