@@ -64,6 +64,11 @@ object DocParser {
         case ".docx"           => parseDocx(bytes)
         case ".pptx"           => parsePptx(bytes)
         case ".pdf"            => parsePdf(bytes)
+        // engine-side stand-in for the reference's HTML→PDF render seat
+        // (ingestion_worker.py:507-520): boilerplate-aware main-text
+        // extraction instead of a print layout
+        case ".html" | ".htm" | ".xhtml" =>
+          HtmlExtract.mainTextString(decodeText(bytes))
         case _                 => decodeText(bytes)
       }
     } catch { case _: Exception => "" }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Chunker, HashEmbedder, HashTranscriber, KnnSearch, Multimodal, Serving, Transcriber}
+import graft.operators.{Chunker, HashEmbedder, HashTranscriber, HtmlExtract, KnnSearch, Multimodal, Serving, Transcriber}
 
 /** End-to-end pipeline + serving coverage: ingest (chunk→embed) stats,
   * multimodal decode plumbing, rerank, batch-get, filename search.
@@ -51,7 +51,9 @@ object PipelineQueries {
     "n12_trgm_fuzzy" -> ((s, d) => trgmFuzzy(s, d)),
     "p8_incremental_reembed" -> ((s, d) => incrementalReembed(s, d)),
     "p6_clean_control" -> ((s, d) => cleanControl(s, d)),
-    "p7_index_layout" -> ((s, d) => indexLayout(s, d))
+    "p7_index_layout" -> ((s, d) => indexLayout(s, d)),
+    "h1_html_blocks" -> ((s, d) => htmlBlocksQ(s, d)),
+    "h2_html_main" -> ((s, d) => htmlMainQ(s, d))
   )
 
   /** C4 oracle-gated: the ingest control-char cleaner over documents whose
@@ -815,7 +817,139 @@ object PipelineQueries {
        |${p}ch AS (SELECT DISTINCT doc_id, md5(text[(s+1)::INT:e::INT]) AS h
        |       FROM ${p}ord)""".stripMargin
 
+  /** Planted-HTML synthesis (t18/t37 convention): real markup derived from
+    * the word soup by pure integer functions of (doc_id, 6-word block
+    * index) — nav link-farms, script junk, entity escapes, short <li>
+    * crumbs, inline anchors, plain paragraphs — so the extractor's every
+    * branch exercises at sf0.01. Lockstep with the h1/h2 oracles. */
+  private def htmlSynth(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    def seg(j: org.apache.spark.sql.Column, a: Int, b: Int) =
+      array_join(slice(col("tk"), (j * 6 + a).cast("int"), lit(b - a + 1)),
+        " ")
+    docs.select(d, graft.functions.text.tokens(col("text")).as("tk"))
+      .withColumn("n_w", size(col("tk")).cast("long"))
+      .withColumn("nl", when(col("n_w") === 0, lit(0L))
+        .otherwise(expr("(n_w + 5) div 6")))
+      .withColumn("body", when(col("nl") === 0, lit(""))
+        .otherwise(array_join(
+          transform(sequence(lit(0L), col("nl") - 1), j => {
+            val m = (d * 23 + j) % 7
+            when(m === 0, concat(lit("<div class=\"m\"><a href=\"/x\">"),
+              seg(j, 1, 2), lit("</a> <a href=\"/y\">"), seg(j, 3, 4),
+              lit("</a> <a href=\"/z\">"), seg(j, 5, 6), lit("</a></div>")))
+              .when(m === 1, concat(lit("<script>var x = 1; // "),
+                seg(j, 1, 6), lit("</script>")))
+              .when(m === 2, concat(lit("<p>"), seg(j, 1, 2),
+                lit(" &amp; "), seg(j, 3, 4), lit(" &lt;"), seg(j, 5, 5),
+                lit("&gt; "), seg(j, 6, 6), lit("</p>")))
+              .when(m === 3, concat(lit("<li>"), seg(j, 1, 2), lit("</li>")))
+              .when(m === 4, concat(lit("<p>"), seg(j, 1, 3),
+                lit(" <a href=\"#\">"), seg(j, 4, 4), lit("</a> "),
+                seg(j, 5, 6), lit("</p>")))
+              .otherwise(concat(lit("<p>"), seg(j, 1, 6), lit("</p>")))
+          }), "")))
+      .select(d, concat(lit("<html><body><h1>"),
+        array_join(slice(col("tk"), 1, 3), " "), lit("</h1>"),
+        col("body"), lit("</body></html>")).as("html"))
+  }
+
+  /** Per-block extraction rows over the planted HTML: position, char and
+    * link-char tallies, the boilerplate verdict, and the block text md5. */
+  def htmlBlocksQ(spark: SparkSession, dir: String): DataFrame =
+    HtmlExtract.blocks(htmlSynth(Tables.documents(spark, dir)),
+        "doc_id", "html")
+      .select(col("id").as("doc_id"), col("pos"), col("n_chars"),
+        col("link_chars"), col("is_boiler"), md5(col("btext")).as("block_md5"))
+      .orderBy("doc_id", "pos")
+
+  /** Doc-level main-text view: tallies + md5 of the reassembled main
+    * text (the string that would feed the chunker on a text/html upload). */
+  def htmlMainQ(spark: SparkSession, dir: String): DataFrame =
+    HtmlExtract.mainText(htmlSynth(Tables.documents(spark, dir)),
+        "doc_id", "html")
+      .select(col("id").as("doc_id"), col("n_blocks"), col("n_main"),
+        col("n_boiler"), col("total_chars"), col("total_link_chars"),
+        md5(col("main_text")).as("main_md5"))
+      .orderBy("doc_id")
+
+  /** Shared oracle chain for h1/h2: planted-HTML synthesis (lockstep with
+    * htmlSynth) + the extractor's stated op order — script/style/comment
+    * strip, block-tag split, per-block anchor text, tag strip, entity
+    * decode (amp LAST), whitespace collapse, link-density classify. */
+  private val htmlOracleCtes: String = {
+    val ent = (c: String) =>
+      "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+        "regexp_replace(regexp_replace(regexp_replace(" + c +
+        ", '<[^>]*>', ' ', 'g'), '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), " +
+        "'&gt;', '>', 'g'), '&quot;', '\"', 'g'), '&#39;', chr(39), 'g'), " +
+        "'&amp;', '&', 'g'))"
+    s"""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents),
+       |tk AS (SELECT doc_id, list_filter(string_split(norm, ' '), t -> len(t) > 0) AS tk FROM n),
+       |ln AS (SELECT doc_id, tk, 6::BIGINT AS ll,
+       |  CASE WHEN len(tk) = 0 THEN 0 ELSE (len(tk) + 5) // 6 END::BIGINT AS nl FROM tk),
+       |hb AS (SELECT doc_id,
+       |  '<html><body><h1>' || coalesce(array_to_string(list_slice(tk, 1, 3), ' '), '') || '</h1>' ||
+       |  (CASE WHEN nl = 0 THEN '' ELSE array_to_string(list_transform(range(nl), j ->
+       |    CASE (doc_id * 23 + j) % 7
+       |      WHEN 0 THEN '<div class="m"><a href="/x">' || coalesce(array_to_string(list_slice(tk, j*ll+1, j*ll+2), ' '), '')
+       |        || '</a> <a href="/y">' || coalesce(array_to_string(list_slice(tk, j*ll+3, j*ll+4), ' '), '')
+       |        || '</a> <a href="/z">' || coalesce(array_to_string(list_slice(tk, j*ll+5, j*ll+6), ' '), '') || '</a></div>'
+       |      WHEN 1 THEN '<script>var x = 1; // ' || coalesce(array_to_string(list_slice(tk, j*ll+1, j*ll+6), ' '), '') || '</script>'
+       |      WHEN 2 THEN '<p>' || coalesce(array_to_string(list_slice(tk, j*ll+1, j*ll+2), ' '), '') || ' &amp; '
+       |        || coalesce(array_to_string(list_slice(tk, j*ll+3, j*ll+4), ' '), '') || ' &lt;'
+       |        || coalesce(array_to_string(list_slice(tk, j*ll+5, j*ll+5), ' '), '') || '&gt; '
+       |        || coalesce(array_to_string(list_slice(tk, j*ll+6, j*ll+6), ' '), '') || '</p>'
+       |      WHEN 3 THEN '<li>' || coalesce(array_to_string(list_slice(tk, j*ll+1, j*ll+2), ' '), '') || '</li>'
+       |      WHEN 4 THEN '<p>' || coalesce(array_to_string(list_slice(tk, j*ll+1, j*ll+3), ' '), '')
+       |        || ' <a href="#">' || coalesce(array_to_string(list_slice(tk, j*ll+4, j*ll+4), ' '), '') || '</a> '
+       |        || coalesce(array_to_string(list_slice(tk, j*ll+5, j*ll+6), ' '), '') || '</p>'
+       |      ELSE '<p>' || coalesce(array_to_string(list_slice(tk, j*ll+1, j*ll+ll), ' '), '') || '</p>'
+       |    END), '') END) || '</body></html>' AS html
+       |  FROM ln),
+       |s1 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
+       |  '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+       |  '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+       |  '(?s)<!--.*?-->', ' ', 'g') AS h FROM s1src),
+       |s2 AS (SELECT doc_id, string_split(regexp_replace(h,
+       |  '(?i)</?(p|div|h[1-6]|li|ul|ol|br|tr|td|th|table|section|article|header|footer|nav|blockquote)\\b[^>]*>',
+       |  chr(1), 'g'), chr(1)) AS blocks FROM s1),
+       |b AS (SELECT doc_id, unnest(list_transform(blocks, (x, i) -> struct_pack(raw := x, pos := i - 1))) AS bk FROM s2),
+       |t AS (SELECT doc_id, bk.pos::BIGINT AS pos,
+       |  ${ent("bk.raw")} AS rawtext,
+       |  ${ent("coalesce(array_to_string(regexp_extract_all(bk.raw, '(?is)<a\\b[^>]*>(.*?)</a>', 1), ' '), '')")} AS rawlink
+       |  FROM b),
+       |c AS (SELECT doc_id, pos,
+       |  trim(regexp_replace(rawtext, '\\s+', ' ', 'g')) AS btext,
+       |  len(trim(regexp_replace(rawtext, '\\s+', ' ', 'g')))::BIGINT AS n_chars,
+       |  len(trim(regexp_replace(rawlink, '\\s+', ' ', 'g')))::BIGINT AS link_chars
+       |  FROM t),
+       |f AS (SELECT doc_id, pos, btext, n_chars, link_chars,
+       |  (2 * link_chars > n_chars OR n_chars < 15) AS is_boiler
+       |  FROM c WHERE n_chars > 0)""".stripMargin
+      .replace("FROM s1src", "FROM hb")
+  }
+
   def oracles: Map[String, String] = Map(
+    // NOTE plain concatenation, not an interpolated stripMargin template:
+    // the inner CTE block carries `||` continuation lines that a second
+    // stripMargin pass would truncate to a single `|`
+    "h1_html_blocks" ->
+      (htmlOracleCtes +
+        "\nSELECT doc_id, pos, n_chars, link_chars, is_boiler," +
+        "\n  md5(btext) AS block_md5" +
+        "\nFROM f ORDER BY doc_id, pos"),
+    "h2_html_main" ->
+      (htmlOracleCtes +
+        "\nSELECT doc_id, count(*)::BIGINT AS n_blocks," +
+        "\n  sum(CASE WHEN is_boiler THEN 0 ELSE 1 END)::BIGINT AS n_main," +
+        "\n  sum(CASE WHEN is_boiler THEN 1 ELSE 0 END)::BIGINT AS n_boiler," +
+        "\n  sum(n_chars)::BIGINT AS total_chars," +
+        "\n  sum(link_chars)::BIGINT AS total_link_chars," +
+        "\n  md5(coalesce(array_to_string(" +
+        "\n    list(btext ORDER BY pos) FILTER (WHERE NOT is_boiler)," +
+        "\n    chr(10)), '')) AS main_md5" +
+        "\nFROM f GROUP BY doc_id ORDER BY doc_id"),
     // composed diff ∘ CDC ∘ anti-join replay: t50's fingerprint diff
     // selects the work docs, the c4 chunk chain runs over before/after
     // work slices, reuse = per-doc chunk-md5 intersection
