@@ -1253,6 +1253,74 @@ object Corpus {
       .withColumn("keep", col("reason") === "kept")
   }
 
+  /** SFT chat-template rendering with assistant-span loss masks — the
+    * objective-prep stage for instruction tuning, completing the family
+    * ([[contextWindows]] causal blocks, [[fimTransform]] infill,
+    * [[spanCorrupt]] denoising): each (user, assistant) turn pair renders
+    * into the ChatML wire format
+    *
+    *   `<|im_start|>role\ncontent\n<|im_end|>`
+    *
+    * with a fixed system turn first, and each ASSISTANT turn emits one
+    * mask row [mask_start, mask_end] — the whitespace-token positions of
+    * its content plus the closing `<|im_end|>` (the standard convention:
+    * the model learns to emit the stop tag; prompts and user turns stay
+    * loss-free). Turn contents are canonicalized to single-space joins of
+    * their own tokens before rendering, so every mask boundary is pure
+    * integer arithmetic over per-turn token counts: sys = 7 tokens, each
+    * turn = k+2 (open tag, k words, close tag). n_tokens = 15 + Σk for
+    * the two-turn shape.
+    *
+    * Map-only: no shuffle at any scale; per-row cost linear in turn
+    * lengths. The rendered string is md5-gated; a one-token mask drift
+    * anywhere flips the row. */
+  def sftRender(df: DataFrame, idCol: String,
+                turns: Seq[(String, String)],
+                systemPrompt: String = "you are a helpful assistant")
+      : DataFrame = {
+    require(turns.nonEmpty, "at least one (user, assistant) turn pair")
+    val sysToks = graft.functions.text.tokens(lit(systemPrompt))
+    def turnText(c: String) =
+      array_join(graft.functions.text.tokens(col(c)), " ")
+    def seg(role: String, c: String) =
+      concat(lit(s"<|im_start|>$role\n"), turnText(c), lit("\n<|im_end|>"))
+    val rendered = concat(
+      Seq(concat(lit("<|im_start|>system\n"), lit(systemPrompt),
+        lit("\n<|im_end|>"))) ++
+        turns.flatMap { case (u, a) => Seq(seg("user", u), seg("assistant", a)) }
+          .map(s => concat(lit("\n"), s)): _*)
+    // token-count columns per turn; mask arithmetic folds over them
+    val withCounts = df.select(
+      (col(idCol).cast("long").as("id") +: (size(sysToks) + 2).as("n_sys") +:
+        turns.zipWithIndex.flatMap { case ((u, a), i) =>
+          Seq(size(graft.functions.text.tokens(col(u))).cast("long")
+            .as(s"q$i"),
+            size(graft.functions.text.tokens(col(a))).cast("long")
+              .as(s"a$i"))
+        }) :+ md5(rendered).as("sft_md5"): _*)
+    val total = turns.indices.foldLeft(col("n_sys").cast("long")) {
+      case (acc, i) => acc + col(s"q$i") + col(s"a$i") + lit(4L)
+    }
+    // offset of turn pair i = n_sys + Σ_{j<i} (q_j + a_j + 4)
+    def offset(i: Int) = (0 until i).foldLeft(col("n_sys").cast("long")) {
+      case (acc, j) => acc + col(s"q$j") + col(s"a$j") + lit(4L)
+    }
+    val maskRows = array(turns.indices.map { i =>
+      val asstMarker = offset(i) + col(s"q$i") + lit(2L)
+      struct(lit(i + 1).cast("long").as("turn"),
+        (asstMarker + 1).as("mask_start"),
+        (asstMarker + 1 + col(s"a$i")).as("mask_end"))
+    }: _*)
+    withCounts
+      .withColumn("n_tokens", total)
+      .select(col("id"), col("n_tokens"), col("sft_md5"),
+        explode(maskRows).as("m"))
+      .select(col("id"), col("m.turn").as("turn"),
+        col("m.mask_start").as("mask_start"),
+        col("m.mask_end").as("mask_end"),
+        col("n_tokens"), col("sft_md5"))
+  }
+
   /** Multinomial Naive Bayes text classifier, trained in-engine on a
     * labeled seed slice (id % seedMod == 0) and scoring every other
     * document — the supervised-classifier seat of a pretraining pipeline

@@ -49,8 +49,34 @@ object CorpusQueries {
     "t47_pretrain_e2e" -> ((s, d) => pretrainE2e(s, d)),
     "t55_gopher_quality" -> ((s, d) => gopherQualityQ(s, d)),
     "t56_c4_line_filters" -> ((s, d) => c4LineFiltersQ(s, d)),
-    "t57_nb_classifier" -> ((s, d) => nbClassifierQ(s, d))
+    "t57_nb_classifier" -> ((s, d) => nbClassifierQ(s, d)),
+    "t58_sft_render" -> ((s, d) => sftRenderQ(s, d))
   )
+
+  /** SFT chat-template rendering over synthesized two-turn conversations:
+    * each doc's token stream splits into quarters (u1|a1|u2|a2, q = n div
+    * 4), renders as ChatML with a fixed system turn, and emits one
+    * loss-mask row per assistant turn. The md5 gates every rendered byte;
+    * the mask bounds are pure integer arithmetic over the quarter sizes. */
+  def sftRenderQ(spark: SparkSession, dir: String): DataFrame = {
+    val synth = Tables.documents(spark, dir)
+      .select(col("doc_id"), text.tokens(col("text")).as("tk"))
+      .withColumn("n", size(col("tk")).cast("long"))
+      .filter(col("n") >= 4)
+      .withColumn("q", expr("n div 4"))
+      .select(col("doc_id"),
+        array_join(slice(col("tk"), lit(1), col("q").cast("int")), " ")
+          .as("u1"),
+        array_join(slice(col("tk"), (col("q") + 1).cast("int"),
+          col("q").cast("int")), " ").as("a1"),
+        array_join(slice(col("tk"), (col("q") * 2 + 1).cast("int"),
+          col("q").cast("int")), " ").as("u2"),
+        array_join(slice(col("tk"), (col("q") * 3 + 1).cast("int"),
+          (col("n") - col("q") * 3).cast("int")), " ").as("a2"))
+    Corpus.sftRender(synth, "doc_id", Seq(("u1", "a1"), ("u2", "a2")))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "turn")
+  }
 
   /** Multinomial NB classifier over lang labels, trained on the doc_id%10
     * seed slice (the t34 split), scoring the other 450 docs. The corpus's
@@ -1095,6 +1121,36 @@ object CorpusQueries {
          |SELECT doc_id, n_fixed, (n_fixed > 0) AS is_fixed,
          |  md5(rep) AS repaired_md5
          |FROM f ORDER BY doc_id""".stripMargin,
+    // full replay: quarter split + ChatML assembly byte-for-byte (md5) +
+    // mask bounds as pure integer arithmetic over quarter sizes — sys=7
+    // tokens, each turn k+2, mask = assistant content + closing <|im_end|>
+    "t58_sft_render" ->
+      s"""$toks,
+         |p AS (SELECT doc_id, tk, len(tk)::BIGINT AS n, (len(tk) // 4)::BIGINT AS q
+         |      FROM tk WHERE len(tk) >= 4),
+         |seg AS (SELECT doc_id, n, q,
+         |  coalesce(array_to_string(list_slice(tk, 1, q), ' '), '') AS u1,
+         |  coalesce(array_to_string(list_slice(tk, q + 1, 2 * q), ' '), '') AS a1,
+         |  coalesce(array_to_string(list_slice(tk, 2 * q + 1, 3 * q), ' '), '') AS u2,
+         |  coalesce(array_to_string(list_slice(tk, 3 * q + 1, n), ' '), '') AS a2
+         |  FROM p),
+         |r AS (SELECT doc_id, q AS q1, q AS a1len, q AS q2, (n - 3 * q) AS a2len,
+         |  md5('<|im_start|>system' || chr(10) || 'you are a helpful assistant'
+         |    || chr(10) || '<|im_end|>'
+         |    || chr(10) || '<|im_start|>user' || chr(10) || u1 || chr(10) || '<|im_end|>'
+         |    || chr(10) || '<|im_start|>assistant' || chr(10) || a1 || chr(10) || '<|im_end|>'
+         |    || chr(10) || '<|im_start|>user' || chr(10) || u2 || chr(10) || '<|im_end|>'
+         |    || chr(10) || '<|im_start|>assistant' || chr(10) || a2 || chr(10) || '<|im_end|>')
+         |    AS sft_md5
+         |  FROM seg)
+         |SELECT doc_id, t.turn::BIGINT AS turn,
+         |  CASE WHEN t.turn = 1 THEN 10 + q1
+         |       ELSE 14 + q1 + a1len + q2 END::BIGINT AS mask_start,
+         |  CASE WHEN t.turn = 1 THEN 10 + q1 + a1len
+         |       ELSE 14 + q1 + a1len + q2 + a2len END::BIGINT AS mask_end,
+         |  (15 + q1 + a1len + q2 + a2len)::BIGINT AS n_tokens, sft_md5
+         |FROM r CROSS JOIN (VALUES (1), (2)) t(turn)
+         |ORDER BY doc_id, turn""".stripMargin,
     // full NB replay: integer count tables from the seed slice, per-(doc,
     // class) ln-sum folded in WORD order (the t30 fold over doc-term
     // counts), prior ratio in the stated cast order, argmax with cls-asc

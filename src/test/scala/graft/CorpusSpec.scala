@@ -622,4 +622,35 @@ class CorpusSpec extends AnyFunSuite {
       s"got ${r3.getAs[Long]("score_fp")}, want $expected")
     assert(r3.getAs[Long]("n_tokens") == 10L)
   }
+
+  test("sftRender: exact ChatML bytes and hand-computed mask bounds") {
+    val docs = Seq((1L, "hello there", "hi", "bye", "see you later"))
+      .toDF("doc_id", "u1", "a1", "u2", "a2")
+    val rows = Corpus.sftRender(docs, "doc_id",
+      Seq(("u1", "a1"), ("u2", "a2"))).orderBy("turn").collect()
+    assert(rows.length == 2)
+    val expected =
+      "<|im_start|>system\nyou are a helpful assistant\n<|im_end|>" +
+        "\n<|im_start|>user\nhello there\n<|im_end|>" +
+        "\n<|im_start|>assistant\nhi\n<|im_end|>" +
+        "\n<|im_start|>user\nbye\n<|im_end|>" +
+        "\n<|im_start|>assistant\nsee you later\n<|im_end|>"
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(rows.forall(_.getAs[String]("sft_md5") == md),
+      "rendered bytes must match the hand-built ChatML string")
+    // whitespace tokens: sys 7 | user 4 | asst 3 | user 3 | asst 5 = 22
+    assert(rows.forall(_.getAs[Long]("n_tokens") == 22L))
+    // turn 1: assistant marker at 11 → mask covers 'hi' + close = [12,13]
+    assert(rows(0).getAs[Long]("mask_start") == 12L &&
+      rows(0).getAs[Long]("mask_end") == 13L)
+    // turn 2: marker at 17 → mask covers 'see you later' + close = [18,21]
+    assert(rows(1).getAs[Long]("mask_start") == 18L &&
+      rows(1).getAs[Long]("mask_end") == 21L)
+    // the mask really lands on assistant tokens in the rendered stream
+    val toks = expected.split("\\s+")
+    assert(toks(12) == "hi" && toks(13) == "<|im_end|>")
+    assert(toks.slice(18, 21).mkString(" ") == "see you later" &&
+      toks(21) == "<|im_end|>")
+  }
 }
