@@ -67,6 +67,71 @@ object FullText {
       .limit(k)
   }
 
+  /** BM25F fielded ranking (Robertson & Zaragoza 2009 §3.3 — the
+    * Lucene/Elasticsearch multi-field convention): per-term contributions
+    * combine ACROSS fields BEFORE saturation,
+    *
+    *   tf~(t,d) = Σ_f w_f · tf_f / ((1−b_f) + b_f · dl_f/avgdl_f)
+    *   score(d) = Σ_t idf(t) · tf~ / (k1 + tf~)
+    *
+    * so a term hitting both title and body saturates once — the property
+    * a naive sum of per-field BM25 scores lacks. idf uses whole-document
+    * df (a doc counts once however many fields hit). The Σ_f fold runs in
+    * declaration order over a full-outer-joined per-field frame (never a
+    * union + groupBy sum, whose float order is partition-dependent), so
+    * the doubles replay exactly; the Σ_t term sum follows n2's convention
+    * (4-term sums, 6-dp rounding downstream).
+    *
+    * Plan: n2's discipline per field — explode + codegen'd In-filter so
+    * every exchange carries query-term hits only; the (N, avgdl_f)
+    * scalars ride ONE broadcast row. At 100 TB each field's hit table is
+    * the same bounded shape n2 ships. */
+  def bm25f(docs: DataFrame, idCol: String,
+            fields: Seq[(String, Double, Double)],
+            terms: Seq[String], k: Int, k1: Double = 1.2): DataFrame = {
+    require(fields.nonEmpty, "bm25f needs at least one (col, weight, b) field")
+    val base = docs.select(
+      (col(idCol).as("doc_id") +: fields.zipWithIndex.map { case ((c, _, _), i) =>
+        text.tokens(col(c)).as(s"tk$i")
+      }): _*)
+    val global = base.agg(
+      count(lit(1)).as("n_docs"),
+      fields.indices.map(i =>
+        avg(size(col(s"tk$i")).cast("double")).as(s"avgdl$i")): _*)
+    val perField = fields.zipWithIndex.map { case ((_, w, b), i) =>
+      base.select(col("doc_id"), size(col(s"tk$i")).cast("long").as("dl"),
+          explode(col(s"tk$i")).as("term"))
+        .filter(col("term").isin(terms: _*))
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+        .crossJoin(broadcast(global.select(col(s"avgdl$i"))))
+        .select(col("doc_id"), col("term"),
+          (lit(w) * col("tf") /
+            (lit(1.0 - b) + lit(b) * col("dl") / col(s"avgdl$i")))
+            .as(s"c$i"))
+    }
+    val joined = perField.zipWithIndex
+      .map { case (f, i) => (f, i) }
+      .reduceLeft[(DataFrame, Int)] { case ((acc, _), (f, i)) =>
+        (acc.join(f, Seq("doc_id", "term"), "full"), i)
+      }._1
+    val tfc = fields.indices
+      .map(i => coalesce(col(s"c$i"), lit(0.0)))
+      .reduceLeft(_ + _)
+    joined
+      .withColumn("tfc", tfc)
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("term")))
+      .crossJoin(broadcast(global.select(col("n_docs"))))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))))
+      .withColumn("w", col("idf") * col("tfc") / (lit(k1) + col("tfc")))
+      .groupBy("doc_id")
+      .agg(sum("w").as("score"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Offline BM25 artifacts: the full-vocabulary postings list
     * (term, doc_id, tf, dl), per-term document frequencies, and the corpus
     * stats row — what a serving deployment builds ONCE per corpus snapshot

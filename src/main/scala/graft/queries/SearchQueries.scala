@@ -24,6 +24,7 @@ object SearchQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n2_bm25" -> ((s, d) => bm25(s, d)),
+    "n13_bm25f" -> ((s, d) => bm25fQ(s, d)),
     "n3_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)),
     "s4_mmr_diversify" -> ((s, d) => mmrDiversify(s, d)),
     "n4_snippets" -> ((s, d) => snippets(s, d)),
@@ -92,6 +93,22 @@ object SearchQueries {
   def bm25(spark: SparkSession, dir: String): DataFrame =
     FullText.bm25(Tables.documents(spark, dir), "doc_id", "text", Terms, k = 10)
       .select(col("doc_id"), round(col("score"), 6).as("bm25"), col("n_terms"))
+
+  /** BM25F fielded top-10: title = the doc's first three tokens at weight
+    * 2.0, body = the rest at 1.0 (both b=0.75) — per-term contributions
+    * combine across fields BEFORE saturation, idf on whole-document df. */
+  def bm25fQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.functions.text.tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        array_join(slice(col("tk"), 1, 3), " ").as("title"),
+        array_join(slice(col("tk"), lit(4),
+          greatest(size(col("tk")) - 3, lit(0))), " ").as("body"))
+    FullText.bm25f(docs, "doc_id",
+        Seq(("title", 2.0, 0.75), ("body", 1.0, 0.75)), Terms, k = 10)
+      .select(col("doc_id"), round(col("score"), 6).as("bm25f"),
+        col("n_terms"))
+  }
 
   /** Hybrid retrieval: dense top-20 (cosine to vec 0, vec 0 excluded, the v1
     * arm) fused with BM25 top-20 by reciprocal-rank (k=60), final top-10. */
@@ -266,6 +283,45 @@ object SearchQueries {
     "s4_mmr_diversify" -> mmrOracleSql,
     "n4_snippets" -> snippetOracleSql(boundary = true),
     "n5_snippets_substring" -> snippetOracleSql(boundary = false),
+    // BM25F replay: per-field tf/dl/avgdl, field fold over a FULL JOIN in
+    // declaration order (title then body — the engine's coalesce(+) order),
+    // whole-doc df via window, identical float parenthesization, 6-dp round
+    "n13_bm25f" ->
+      s"""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+         |       FROM documents),
+         |tk AS (SELECT doc_id, list_filter(string_split(norm, ' '), t -> len(t) > 0) AS tk
+         |       FROM n),
+         |g AS (SELECT count(*) AS n_docs,
+         |        avg(len(list_slice(tk, 1, 3))::DOUBLE) AS avgdl0,
+         |        avg(len(list_slice(tk, 4, len(tk)))::DOUBLE) AS avgdl1 FROM tk),
+         |tf0 AS (SELECT doc_id, dl, term, count(*) AS tf FROM (
+         |        SELECT doc_id, len(list_slice(tk, 1, 3))::BIGINT AS dl,
+         |               unnest(list_slice(tk, 1, 3)) AS term FROM tk)
+         |        WHERE term IN ('spark','vector','merge','stream')
+         |        GROUP BY doc_id, dl, term),
+         |tf1 AS (SELECT doc_id, dl, term, count(*) AS tf FROM (
+         |        SELECT doc_id, len(list_slice(tk, 4, len(tk)))::BIGINT AS dl,
+         |               unnest(list_slice(tk, 4, len(tk))) AS term FROM tk)
+         |        WHERE term IN ('spark','vector','merge','stream')
+         |        GROUP BY doc_id, dl, term),
+         |c0 AS (SELECT doc_id, term,
+         |         (2.0 * tf) / (0.25 + 0.75 * dl / g.avgdl0) AS c0 FROM tf0, g),
+         |c1 AS (SELECT doc_id, term,
+         |         (1.0 * tf) / (0.25 + 0.75 * dl / g.avgdl1) AS c1 FROM tf1, g),
+         |j AS (SELECT coalesce(c0.doc_id, c1.doc_id) AS doc_id,
+         |        coalesce(c0.term, c1.term) AS term,
+         |        coalesce(c0.c0, 0.0) + coalesce(c1.c1, 0.0) AS tfc
+         |      FROM c0 FULL JOIN c1 ON c0.doc_id = c1.doc_id AND c0.term = c1.term),
+         |d AS (SELECT doc_id, term, tfc,
+         |        count(*) OVER (PARTITION BY term) AS df FROM j),
+         |w AS (SELECT doc_id,
+         |        ln(1.0 + (g.n_docs - d.df + 0.5) / (d.df + 0.5)) * d.tfc
+         |          / (1.2 + d.tfc) AS w
+         |      FROM d, g),
+         |sc AS (SELECT doc_id, sum(w) AS score, count(*) AS n_terms
+         |       FROM w GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10)
+         |SELECT doc_id, round(score, 6) AS bm25f, n_terms FROM sc
+         |ORDER BY score DESC, doc_id""".stripMargin,
     "n2_bm25" ->
       s"""WITH ${bm25Sql(10)}
          |SELECT doc_id, round(score, 6) AS bm25, n_terms FROM sc

@@ -215,4 +215,30 @@ class FullTextSpec extends AnyFunSuite {
     // mixed case + padding canonicalize to the same token -> same row
     assert(run(Seq("  SpArC ")) == lower, "mixed-case query must not miss")
   }
+
+  test("bm25f: hand-computed fielded scores; cross-field saturation") {
+    val docs = Seq(
+      (1L, "spark alpha", "beta gamma"),
+      (2L, "alpha beta", "spark spark gamma delta"),
+      (3L, "spark zeta", "spark eta theta iota")
+    ).toDF("doc_id", "title", "body")
+    val out = FullText.bm25f(docs, "doc_id",
+        Seq(("title", 2.0, 0.75), ("body", 1.0, 0.75)), Seq("spark"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // avgdl: title (2+2+2)/3 = 2, body (2+4+4)/3 ≈ 3.333...; df = 3, N = 3
+    val avgdl0 = (2.0 + 2.0 + 2.0) / 3.0
+    val avgdl1 = (2.0 + 4.0 + 4.0) / 3.0
+    val idf = math.log(1.0 + (3L - 3L + 0.5) / (3L + 0.5))
+    def cT(tf: Long, dl: Long) = 2.0 * tf / (0.25 + 0.75 * dl / avgdl0)
+    def cB(tf: Long, dl: Long) = 1.0 * tf / (0.25 + 0.75 * dl / avgdl1)
+    def w(tfc: Double) = idf * tfc / (1.2 + tfc)
+    assert(out(1L) == w(cT(1, 2) + 0.0), "title-only doc")
+    assert(out(2L) == w(0.0 + cB(2, 4)), "body-only doc")
+    assert(out(3L) == w(cT(1, 2) + cB(1, 4)), "both-fields doc")
+    // saturation: combining fields BEFORE the k1 saturation scores LESS
+    // than a naive sum of per-field BM25F scores (the BM25F point)
+    assert(w(cT(1, 2) + cB(1, 4)) < w(cT(1, 2)) + w(cB(1, 4)))
+    // title weight dominates: one title hit outranks two body hits
+    assert(out(1L) > out(2L))
+  }
 }
