@@ -117,6 +117,17 @@ object Mutations {
       .unionByName(opened.select(hist.columns.map(col): _*))
   }
 
+  /** Time-travel read over an SCD2 dimension: the table's state as of
+    * `asOfUs` — rows whose validity interval covers the instant, with the
+    * half-open [valid_from, valid_to) convention [[scd2Merge]] writes: at
+    * exactly the merge's effective time the NEW version is visible and
+    * the closed one is not. A pure partition-prunable filter — on a
+    * valid_to-partitioned (or deletion-vectored) layout the scan touches
+    * only segments whose intervals can cover the instant; no shuffle. */
+  def asOfSnapshot(dim: DataFrame, asOfUs: Long): DataFrame =
+    dim.where(col("valid_from_us") <= asOfUs &&
+      (col("valid_to_us").isNull || col("valid_to_us") > asOfUs))
+
   /** Migration ingest (`routes/migrate.py:20-66`): ingest documents
     * PRESERVING their source ids, with the route's `on_conflict` policy —
     * "skip" keeps the existing row and marks the incoming one skipped,

@@ -19,6 +19,7 @@ object MutationQueries {
     "u4_migrate_skip" -> ((s, d) => migrateSkip(s, d)),
     "u5_scd2" -> ((s, d) => scd2(s, d)),
     "u6_changelog_apply" -> ((s, d) => changelogApply(s, d)),
+    "u7_time_travel" -> ((s, d) => timeTravel(s, d)),
     "t50_snapshot_diff" -> ((s, d) => snapshotDiff(s, d))
   )
 
@@ -61,6 +62,41 @@ object MutationQueries {
     val log = ups.unionByName(dels).unionByName(ins)
     Mutations.applyChangelog(docs, log, "doc_id", "seq", "op")
       .orderBy("doc_id")
+  }
+
+  /** Time travel over a TWICE-merged SCD2 dimension: u5's update wave at
+    * eff=1,000,000 µs, then a second wave at 2,000,000 µs re-versioning
+    * custkey % 14 == 0 (keys that already carry two versions gain a
+    * third). Three as-of reads — before, between, after — must equal the
+    * sequentially-applied upsert states: the oracle computes each state by
+    * DIRECT application, the engine by interval reads over the merged
+    * history, so the row gates that interval arithmetic == replayed
+    * history, not one implementation against itself. */
+  def timeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val dim0 = cust
+      .withColumn("valid_from_us", lit(0L))
+      .withColumn("valid_to_us", lit(null).cast("long"))
+    val upd1 = cust.filter(col("c_custkey") % 7 <= 1)
+      .withColumn("c_mktsegment",
+        when(col("c_custkey") % 7 === 0, concat(lit("SEG-"), col("c_custkey") % 3))
+          .otherwise(col("c_mktsegment")))
+      .unionByName(cust.filter(col("c_custkey") < 4)
+        .withColumn("c_custkey", col("c_custkey") + 900000L)
+        .withColumn("c_name", concat(lit("NEW "), col("c_custkey") - 900000L))
+        .withColumn("c_mktsegment", lit("FRESH")))
+    val dim1 = Mutations.scd2Merge(dim0, upd1, "c_custkey",
+      Seq("c_name", "c_mktsegment"), effUs = 1000000L).localCheckpoint()
+    val upd2 = cust.filter(col("c_custkey") % 14 === 0)
+      .withColumn("c_mktsegment", concat(lit("SEG2-"), col("c_custkey") % 5))
+    val dim2 = Mutations.scd2Merge(dim1, upd2, "c_custkey",
+      Seq("c_name", "c_mktsegment"), effUs = 2000000L).localCheckpoint()
+    Seq(500000L, 1500000L, 2500000L)
+      .map(t => Mutations.asOfSnapshot(dim2, t).withColumn("snap_us", lit(t)))
+      .reduce(_ unionByName _)
+      .select(col("snap_us"), col("c_custkey"), col("c_mktsegment"))
+      .orderBy("snap_us", "c_custkey")
   }
 
   /** SCD Type-2 merge on the customer dimension: v0 = all customers valid
@@ -181,6 +217,37 @@ object MutationQueries {
         |        FROM documents WHERE doc_id % 50 = 0)
         |SELECT * FROM keep UNION ALL SELECT * FROM up UNION ALL
         |SELECT * FROM ins ORDER BY doc_id""".stripMargin,
+    // each snapshot computed by DIRECT sequential application of the two
+    // update waves (upsert semantics), never via interval logic - the
+    // engine's interval reads must land on exactly these states
+    "u7_time_travel" ->
+      """WITH cust AS (SELECT c_custkey, c_name, c_mktsegment FROM customer),
+        |upd1 AS (
+        |  SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 7 = 0 THEN 'SEG-' || (c_custkey % 3)
+        |         ELSE c_mktsegment END AS c_mktsegment
+        |  FROM cust WHERE c_custkey % 7 <= 1
+        |  UNION ALL
+        |  SELECT c_custkey + 900000, 'NEW ' || c_custkey, 'FRESH'
+        |  FROM cust WHERE c_custkey < 4),
+        |s1 AS (
+        |  SELECT c_custkey, c_mktsegment FROM upd1
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment FROM cust
+        |  WHERE c_custkey NOT IN (SELECT c_custkey FROM upd1)),
+        |upd2 AS (SELECT c_custkey, 'SEG2-' || (c_custkey % 5) AS c_mktsegment
+        |         FROM cust WHERE c_custkey % 14 = 0),
+        |s2 AS (
+        |  SELECT c_custkey, c_mktsegment FROM upd2
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment FROM s1
+        |  WHERE c_custkey NOT IN (SELECT c_custkey FROM upd2))
+        |SELECT 500000::BIGINT AS snap_us, c_custkey, c_mktsegment FROM cust
+        |UNION ALL
+        |SELECT 1500000::BIGINT, c_custkey, c_mktsegment FROM s1
+        |UNION ALL
+        |SELECT 2500000::BIGINT, c_custkey, c_mktsegment FROM s2
+        |ORDER BY snap_us, c_custkey""".stripMargin,
     "u5_scd2" ->
       """WITH cust AS (SELECT c_custkey, c_name, c_mktsegment FROM customer),
         |upd AS (

@@ -63,4 +63,17 @@ class Scd2Spec extends AnyFunSuite {
       (1L, None, 0L, Some(50L)),
       (1L, Some("x"), 50L, None)))
   }
+
+  test("asOfSnapshot: half-open intervals — at the merge instant the new version wins") {
+    val dim = Seq((1L, "old", 0L, Some(100L)), (1L, "new", 100L, None),
+      (2L, "only", 0L, None), (3L, "late", 200L, None))
+      .toDF("k", "attr", "valid_from_us", "valid_to_us")
+    def snap(t: Long) = Mutations.asOfSnapshot(dim, t)
+      .select("k", "attr").as[(Long, String)].collect().toSet
+    assert(snap(99L) == Set((1L, "old"), (2L, "only")))
+    // exactly at eff: closed row excluded (valid_to > t is false), new
+    // row included (valid_from <= t) — one version per key, never zero/two
+    assert(snap(100L) == Set((1L, "new"), (2L, "only")))
+    assert(snap(250L) == Set((1L, "new"), (2L, "only"), (3L, "late")))
+  }
 }
