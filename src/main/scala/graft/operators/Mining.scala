@@ -118,4 +118,74 @@ object Mining {
       .select(col("query_id").as("anchor_id"), col("pos_id"), col("pos_score"),
         col("rank"), col("neg_id"), col("neg_score"))
   }
+
+  /** Bradley–Terry strength fitting from pairwise preference outcomes —
+    * the preference-data aggregation math of RLHF reward modeling and
+    * LLM-judge eval (Chatbot-Arena-style rankings): P(i beats j) =
+    * p_i/(p_i+p_j), fit by Hunter's MM iteration (Hunter 2004, eq. 1.4;
+    * Jacobi form — every update reads the PREVIOUS vector):
+    *
+    *   p'_i = W_i / Σ_{j≠i} n_ij/(p_i + p_j),  then p''_i = p'_i / Σ p'
+    *
+    * for `iters` rounds from p = 1. Comparison counts are smoothed with
+    * half a win per direction on every observed pair (w±0.5, n+1) so a
+    * shutout item keeps a finite strength.
+    *
+    * Determinism: the corpus-sized half is ONE map-side-combined groupBy
+    * on the unordered item pair; the fit runs DRIVER-SIDE on the k×k pair
+    * table (items = models/policies — request-sized by nature; rule-17
+    * pull, the k6 centroid-distance precedent) with every float sum an
+    * ascending-index left fold the oracle replays verbatim. Strengths are
+    * emitted as floor(p·1e6) exact integers.
+    *
+    * Input rows: one comparison each — (aCol, bCol item ids, winACol
+    * boolean). Returns (item, n_wins, n_comps, strength_fp). */
+  def btStrengths(comparisons: DataFrame, aCol: String, bCol: String,
+                  winACol: String, iters: Int = 20): DataFrame = {
+    require(iters >= 1, s"iters >= 1 (got $iters)")
+    val spark = comparisons.sparkSession
+    import spark.implicits._
+    val stats = comparisons.select(
+        least(col(aCol), col(bCol)).cast("long").as("lo"),
+        greatest(col(aCol), col(bCol)).cast("long").as("hi"),
+        (col(winACol) === (col(aCol) < col(bCol))).as("lo_won"))
+      .filter(col("lo") =!= col("hi"))
+      .groupBy("lo", "hi").agg(count(lit(1)).as("n"),
+        sum(col("lo_won").cast("long")).as("w_lo"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3))))
+    val items = stats.flatMap { case ((l, h), _) => Seq(l, h) }
+      .distinct.sorted
+    val idx = items.zipWithIndex.toMap
+    val m = items.length
+    val nRaw = Array.ofDim[Long](m, m)
+    val wRaw = Array.ofDim[Long](m, m)
+    stats.foreach { case ((l, h), (n, wLo)) =>
+      val (i, j) = (idx(l), idx(h))
+      nRaw(i)(j) = n; nRaw(j)(i) = n
+      wRaw(i)(j) = wLo; wRaw(j)(i) = n - wLo
+    }
+    // smoothed double matrices (the stated fit inputs)
+    val nS = Array.tabulate(m, m)((i, j) =>
+      if (nRaw(i)(j) > 0) nRaw(i)(j) + 1.0 else 0.0)
+    val wS = Array.tabulate(m, m)((i, j) =>
+      if (nRaw(i)(j) > 0) wRaw(i)(j) + 0.5 else 0.0)
+    // W_i: ascending-j left fold
+    val bigW = Array.tabulate(m)(i => wS(i).foldLeft(0.0)(_ + _))
+    var p = Array.fill(m)(1.0)
+    for (_ <- 1 to iters) {
+      val pNew = Array.tabulate(m) { i =>
+        val denom = (0 until m).foldLeft(0.0) { (acc, j) =>
+          if (j == i) acc else acc + nS(i)(j) / (p(i) + p(j))
+        }
+        bigW(i) / denom
+      }
+      val s = pNew.foldLeft(0.0)(_ + _)
+      p = pNew.map(_ / s)
+    }
+    items.indices.map { i =>
+      (items(i), wRaw(i).sum, nRaw(i).sum,
+        math.floor(p(i) * 1000000.0).toLong)
+    }.toDF("item", "n_wins", "n_comps", "strength_fp")
+  }
 }

@@ -45,6 +45,7 @@ object VectorQueries {
     "tr1_hard_negatives" -> ((s, d) => hardNegativesQ(s, d)),
     "tr2_semihard" -> ((s, d) => semiHardQ(s, d)),
     "tr3_triplets" -> ((s, d) => tripletsQ(s, d)),
+    "tr4_bt_strengths" -> ((s, d) => btStrengthsQ(s, d)),
     "s1_search_docs" -> ((s, d) => searchDocs(s, d)),
     "s2_colpali_padding" -> ((s, d) => colpaliPadding(s, d)),
     "s3_colpali_groups" -> ((s, d) => colpaliGroups(s, d)),
@@ -1038,7 +1039,76 @@ object VectorQueries {
        |ORDER BY list_cosine_similarity(embedding::DOUBLE[], $qv) DESC, vec_id
        |LIMIT 10""".stripMargin
 
+  /** Bradley-Terry preference-strength fit over synthesized pairwise
+    * outcomes: 8 "policies" (doc_id % 8 vs doc_id div 8 % 8), winner
+    * md5-derandomized with a planted ordering (lower index wins more:
+    * threshold 50 + 6*(b-a)), 20 MM iterations. The oracle replays the
+    * whole fit - pair aggregation, half-win smoothing, every Jacobi
+    * update and normalization as ascending-index list folds - via a
+    * recursive CTE carrying the strength vector (the gr2/k1 fixed-point
+    * discipline). */
+  def btStrengthsQ(spark: SparkSession, dir: String): DataFrame = {
+    val cmp = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (col("doc_id") % 8).as("a"),
+        (expr("doc_id div 8") % 8).as("b"))
+      .filter(col("a") =!= col("b"))
+      .withColumn("r", conv(substring(md5(concat(lit("bt:"), col("doc_id"))),
+        1, 6), 16, 10).cast("long") % 100)
+      .withColumn("win_a", col("r") < lit(50) + lit(6) * (col("b") - col("a")))
+    graft.operators.Mining.btStrengths(cmp, "a", "b", "win_a", iters = 20)
+      .orderBy("item")
+  }
+
   def oracles: Map[String, String] = Map(
+    // full fit replay: pair aggregation, half-win smoothing (every literal
+    // ::DOUBLE — bare decimals type as DECIMAL and quantize the fit), MM
+    // iterations + normalization as ascending-index list folds in a
+    // recursive CTE carrying the strength vector (gr2/k1 discipline)
+    "tr4_bt_strengths" ->
+      """WITH RECURSIVE c AS (SELECT doc_id, doc_id % 8 AS a, (doc_id // 8) % 8 AS b,
+        |  ('0x' || substr(md5('bt:' || doc_id), 1, 6))::BIGINT % 100 AS r
+        |  FROM documents WHERE doc_id % 8 <> (doc_id // 8) % 8),
+        |o AS (SELECT a, b, (r < 50 + 6 * (b - a)) AS win_a FROM c),
+        |st AS (SELECT least(a, b) AS lo, greatest(a, b) AS hi,
+        |         count(*) AS n,
+        |         sum(CASE WHEN win_a = (a < b) THEN 1 ELSE 0 END) AS w_lo
+        |       FROM o GROUP BY 1, 2),
+        |items AS (SELECT DISTINCT i FROM (SELECT lo AS i FROM st UNION ALL SELECT hi FROM st)),
+        |idx AS (SELECT i, (row_number() OVER (ORDER BY i) - 1)::BIGINT AS ix FROM items),
+        |grid AS (SELECT ai.ix AS i, bj.ix AS j, ai.i AS item_i, bj.i AS item_j
+        |         FROM idx ai CROSS JOIN idx bj),
+        |pairs AS (SELECT g.i, g.j,
+        |    CASE WHEN g.i = g.j OR st.n IS NULL THEN 0.0::DOUBLE
+        |         ELSE (st.n + 1)::DOUBLE END AS ns,
+        |    CASE WHEN g.i = g.j OR st.n IS NULL THEN 0.0::DOUBLE
+        |         ELSE (CASE WHEN g.item_i < g.item_j THEN st.w_lo ELSE st.n - st.w_lo END)::DOUBLE + 0.5::DOUBLE END AS ws,
+        |    CASE WHEN g.i = g.j OR st.n IS NULL THEN 0
+        |         ELSE (CASE WHEN g.item_i < g.item_j THEN st.w_lo ELSE st.n - st.w_lo END) END AS wraw,
+        |    CASE WHEN g.i = g.j OR st.n IS NULL THEN 0 ELSE st.n END AS nraw
+        |  FROM grid g LEFT JOIN st
+        |    ON st.lo = least(g.item_i, g.item_j) AND st.hi = greatest(g.item_i, g.item_j)),
+        |rws AS (SELECT i, list(ns ORDER BY j) AS nrow, list(ws ORDER BY j) AS wrow,
+        |          sum(wraw)::BIGINT AS n_wins, sum(nraw)::BIGINT AS n_comps
+        |        FROM pairs GROUP BY i),
+        |one AS (SELECT list(nrow ORDER BY i) AS nmat,
+        |          list(list_sum(wrow) ORDER BY i) AS bigw,
+        |          count(*)::BIGINT AS m FROM rws),
+        |rec(t, p) AS (
+        |  SELECT 0, list_transform(range(m), x -> 1.0::DOUBLE) FROM one
+        |  UNION ALL
+        |  SELECT sub.t + 1, list_transform(sub.p2, x -> x / list_sum(sub.p2))
+        |  FROM (SELECT r.t,
+        |          list_transform(range(o.m), i ->
+        |            o.bigw[i + 1] / list_sum(list_transform(range(o.m), j ->
+        |              CASE WHEN j = i THEN 0.0::DOUBLE
+        |                   ELSE o.nmat[i + 1][j + 1] / (r.p[i + 1] + r.p[j + 1]) END)))
+        |            AS p2
+        |        FROM rec r, one o WHERE r.t < 20) sub)
+        |SELECT idx.i AS item, rws.n_wins, rws.n_comps,
+        |  floor(rec.p[idx.ix + 1] * 1000000.0)::BIGINT AS strength_fp
+        |FROM rec, idx JOIN rws ON rws.i = idx.ix
+        |WHERE rec.t = 20 ORDER BY item""".stripMargin,
     // Full PQ-pipeline replay: codebook = subvector slices of vec_id 0..15
     // (row_number order = Spark's orderBy(id).limit(k)), encode = argmin
     // L2^2 per 8-dim slice with first-index tiebreak, ADC = per-subspace

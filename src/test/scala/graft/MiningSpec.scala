@@ -91,4 +91,27 @@ class MiningSpec extends AnyFunSuite {
       .count()
     assert(got == 0L, "no positive exists -> no triplet")
   }
+
+  test("btStrengths: 2-item closed form; planted dominance ordering; shutout survives") {
+    // two items: MM converges in one step to W_a/(W_a+W_b) with the
+    // half-win smoothing -> floor((7.5/11)*1e6)
+    val two = (1 to 10).map(i => (0L, 1L, i <= 7)).toDF("a", "b", "win_a")
+    val out2 = Mining.btStrengths(two, "a", "b", "win_a")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out2(0L).getAs[Long]("n_wins") == 7L &&
+      out2(0L).getAs[Long]("n_comps") == 10L)
+    assert(out2(0L).getAs[Long]("strength_fp") ==
+      math.floor(7.5 / 11.0 * 1000000.0).toLong)
+    assert(out2(1L).getAs[Long]("strength_fp") ==
+      math.floor(3.5 / 11.0 * 1000000.0).toLong)
+    // planted total order 0 > 1 > 2: 0 beats everyone, 1 beats 2
+    val dom = ((1 to 8).map(_ => (0L, 1L, true)) ++
+      (1 to 8).map(_ => (0L, 2L, true)) ++
+      (1 to 8).map(_ => (1L, 2L, true))).toDF("a", "b", "win_a")
+    val s = Mining.btStrengths(dom, "a", "b", "win_a")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("strength_fp")).toMap
+    assert(s(0L) > s(1L) && s(1L) > s(2L), s.toString)
+    // the shutout loser keeps a finite positive strength (smoothing)
+    assert(s(2L) > 0L)
+  }
 }
