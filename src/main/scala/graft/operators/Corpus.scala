@@ -1321,6 +1321,55 @@ object Corpus {
         col("n_tokens"), col("sft_md5"))
   }
 
+  /** DPO preference-pair assembly with quality gates — the
+    * (prompt, chosen, rejected) construction every preference-tuning run
+    * (DPO, Rafailov et al. 2023; RLHF reward-model data prep) performs
+    * between raw A/B outcomes and the trainer, with the standard QC
+    * drops, each attributed to ONE reason in stated precedence:
+    *
+    *   too_short (either response under `minRespTokens`) → identical
+    *   (chosen == rejected teaches nothing) → length_ratio (token counts
+    *   differing beyond `maxRatio`× teach length, not preference;
+    *   integer cross-multiplied) → dup_prompt (same normalized prompt as
+    *   a lower-id row — prompt-level exact dedup, first writer kept;
+    *   judged on ALL rows so the keep-list is stable under upstream gate
+    *   changes) → kept.
+    *
+    * Shape: one map pass + ONE window on the prompt fingerprint (hash-
+    * partitioned equi-key, the t3 dedup class); no other exchange. The
+    * kept pair is md5-gated over prompt ⊕ chosen ⊕ rejected. */
+  def dpoPairs(df: DataFrame, idCol: String, promptCol: String,
+               respACol: String, respBCol: String, winACol: String,
+               minRespTokens: Long = 2L, maxRatio: Long = 2L): DataFrame = {
+    val nA = size(graft.functions.text.tokens(col("ra"))).cast("long")
+    val nB = size(graft.functions.text.tokens(col("rb"))).cast("long")
+    val base = graft.Tables.scaled(df.select(
+        col(idCol).cast("long").as("id"), col(promptCol).as("p"),
+        col(respACol).as("ra"), col(respBCol).as("rb"),
+        col(winACol).as("win_a")))
+      .withColumn("n_prompt",
+        size(graft.functions.text.tokens(col("p"))).cast("long"))
+      .withColumn("n_a", nA).withColumn("n_b", nB)
+      .withColumn("fp", md5(graft.functions.text.normalize(col("p"))))
+    val w = Window.partitionBy("fp").orderBy("id")
+    base.withColumn("rn", row_number().over(w))
+      .withColumn("reason",
+        when(col("n_a") < minRespTokens || col("n_b") < minRespTokens,
+          "too_short")
+          .when(col("ra") === col("rb"), "identical")
+          .when(greatest(col("n_a"), col("n_b")) >
+            least(col("n_a"), col("n_b")) * maxRatio, "length_ratio")
+          .when(col("rn") > 1, "dup_prompt")
+          .otherwise("kept"))
+      .withColumn("keep", col("reason") === "kept")
+      .select(col("id"), col("n_prompt"), col("n_a"), col("n_b"),
+        col("reason"), col("keep"),
+        when(col("keep"), md5(concat(col("p"), lit("\u0001"),
+          when(col("win_a"), col("ra")).otherwise(col("rb")), lit("\u0001"),
+          when(col("win_a"), col("rb")).otherwise(col("ra")))))
+          .as("pair_md5"))
+  }
+
   /** Multinomial Naive Bayes text classifier, trained in-engine on a
     * labeled seed slice (id % seedMod == 0) and scoring every other
     * document — the supervised-classifier seat of a pretraining pipeline

@@ -50,8 +50,41 @@ object CorpusQueries {
     "t55_gopher_quality" -> ((s, d) => gopherQualityQ(s, d)),
     "t56_c4_line_filters" -> ((s, d) => c4LineFiltersQ(s, d)),
     "t57_nb_classifier" -> ((s, d) => nbClassifierQ(s, d)),
-    "t58_sft_render" -> ((s, d) => sftRenderQ(s, d))
+    "t58_sft_render" -> ((s, d) => sftRenderQ(s, d)),
+    "t59_dpo_pairs" -> ((s, d) => dpoPairsQ(s, d))
   )
+
+  /** DPO pair assembly over synthesized A/B outcomes: prompt = first six
+    * tokens, responses = the remainder halved, winner md5-derandomized;
+    * planted empty (%47), identical (%41), and truncated (%43) B
+    * responses plus natural 6-token prompt collisions populate all five
+    * verdict paths at sf0.01 (kept 444 / dup 22 / identical 12 / ratio 11
+    * / short 11). */
+  def dpoPairsQ(spark: SparkSession, dir: String): DataFrame = {
+    val synth = Tables.documents(spark, dir)
+      .select(col("doc_id"), text.tokens(col("text")).as("tk"))
+      .withColumn("n", size(col("tk")).cast("long"))
+      .withColumn("rem", col("n") - 6)
+      .filter(col("rem") >= 2)
+      .withColumn("ha", expr("rem div 2"))
+      .withColumn("p", array_join(slice(col("tk"), lit(1), lit(6)), " "))
+      .withColumn("ra", array_join(
+        slice(col("tk"), lit(7), col("ha").cast("int")), " "))
+      .withColumn("rb0", array_join(
+        slice(col("tk"), (col("ha") + 7).cast("int"),
+          (col("rem") - col("ha")).cast("int")), " "))
+      .withColumn("rb", when(col("doc_id") % 47 === 0, lit(""))
+        .when(col("doc_id") % 41 === 0, col("ra"))
+        .when(col("doc_id") % 43 === 0,
+          array_join(slice(split(col("rb0"), " "), 1, 2), " "))
+        .otherwise(col("rb0")))
+      .withColumn("win_a",
+        conv(substring(md5(concat(lit("dpo:"), col("doc_id"))), 1, 6),
+          16, 10).cast("long") % 2 === 0)
+    Corpus.dpoPairs(synth, "doc_id", "p", "ra", "rb", "win_a")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
 
   /** SFT chat-template rendering over synthesized two-turn conversations:
     * each doc's token stream splits into quarters (u1|a1|u2|a2, q = n div
@@ -1121,6 +1154,43 @@ object CorpusQueries {
          |SELECT doc_id, n_fixed, (n_fixed > 0) AS is_fixed,
          |  md5(rep) AS repaired_md5
          |FROM f ORDER BY doc_id""".stripMargin,
+    // full replay: synthesis (lockstep with dpoPairsQ), QC gates in stated
+    // precedence, prompt-fingerprint dedup window, winner-ordered pair md5
+    "t59_dpo_pairs" ->
+      s"""$toks,
+         |pp AS (SELECT doc_id, tk, len(tk)::BIGINT AS n, (len(tk) - 6)::BIGINT AS rem FROM tk
+         |       WHERE len(tk) - 6 >= 2),
+         |q AS (SELECT doc_id, n, rem, rem // 2 AS ha,
+         |  coalesce(array_to_string(list_slice(tk, 1, 6), ' '), '') AS p,
+         |  coalesce(array_to_string(list_slice(tk, 7, 6 + rem // 2), ' '), '') AS ra,
+         |  coalesce(array_to_string(list_slice(tk, 7 + rem // 2, n), ' '), '') AS rb0
+         |  FROM pp),
+         |r AS (SELECT doc_id, p, ra,
+         |  CASE WHEN doc_id % 47 = 0 THEN ''
+         |       WHEN doc_id % 41 = 0 THEN ra
+         |       WHEN doc_id % 43 = 0 THEN coalesce(array_to_string(list_slice(string_split(rb0, ' '), 1, 2), ' '), '')
+         |       ELSE rb0 END AS rb,
+         |  ('0x' || substr(md5('dpo:' || doc_id), 1, 6))::BIGINT % 2 = 0 AS win_a
+         |  FROM q),
+         |m AS (SELECT doc_id, p, ra, rb, win_a,
+         |  len(list_filter(string_split(p, ' '), t -> len(t) > 0))::BIGINT AS n_prompt,
+         |  len(list_filter(string_split(ra, ' '), t -> len(t) > 0))::BIGINT AS n_a,
+         |  len(list_filter(string_split(rb, ' '), t -> len(t) > 0))::BIGINT AS n_b,
+         |  md5(trim(regexp_replace(lower(p), '\\s+', ' ', 'g'))) AS fp
+         |  FROM r),
+         |w AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM m),
+         |v AS (SELECT doc_id, n_prompt, n_a, n_b, p, ra, rb, win_a,
+         |  CASE WHEN n_a < 2 OR n_b < 2 THEN 'too_short'
+         |       WHEN ra = rb THEN 'identical'
+         |       WHEN greatest(n_a, n_b) > least(n_a, n_b) * 2 THEN 'length_ratio'
+         |       WHEN rn > 1 THEN 'dup_prompt'
+         |       ELSE 'kept' END AS reason
+         |  FROM w)
+         |SELECT doc_id, n_prompt, n_a, n_b, reason, (reason = 'kept') AS keep,
+         |  CASE WHEN reason = 'kept' THEN md5(p || chr(1)
+         |    || (CASE WHEN win_a THEN ra ELSE rb END) || chr(1)
+         |    || (CASE WHEN win_a THEN rb ELSE ra END)) END AS pair_md5
+         |FROM v ORDER BY doc_id""".stripMargin,
     // full replay: quarter split + ChatML assembly byte-for-byte (md5) +
     // mask bounds as pure integer arithmetic over quarter sizes — sys=7
     // tokens, each turn k+2, mask = assistant content + closing <|im_end|>

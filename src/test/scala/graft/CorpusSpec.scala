@@ -653,4 +653,29 @@ class CorpusSpec extends AnyFunSuite {
     assert(toks.slice(18, 21).mkString(" ") == "see you later" &&
       toks(21) == "<|im_end|>")
   }
+
+  test("dpoPairs: QC gates in stated precedence; winner orders the pair") {
+    val docs = Seq(
+      (1L, "Prompt One", "good answer here", "bad answer text", true),
+      (2L, "prompt two", "good answer here", "bad answer text", false),
+      (3L, "prompt one", "another a", "another b", true), // dup of 1 (case-insensitive fp)
+      (4L, "prompt x", "a", "long answer here", true),
+      (5L, "prompt y", "same words here", "same words here", true),
+      (6L, "prompt z", "two words", "one two three four five", true)
+    ).toDF("doc_id", "p", "ra", "rb", "win_a")
+    val out = Corpus.dpoPairs(docs, "doc_id", "p", "ra", "rb", "win_a")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert((1L to 6L).map(i => out(i).getAs[String]("reason")) ==
+      Seq("kept", "kept", "dup_prompt", "too_short", "identical",
+        "length_ratio"))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // win_a=true → chosen=ra; the RAW prompt feeds the pair bytes
+    assert(out(1L).getAs[String]("pair_md5") ==
+      md5hex("Prompt Onegood answer herebad answer text"))
+    // win_a=false → responses swap
+    assert(out(2L).getAs[String]("pair_md5") ==
+      md5hex("prompt twobad answer textgood answer here"))
+    assert(out(4L).getAs[String]("pair_md5") == null)
+  }
 }
