@@ -27,6 +27,7 @@ object TextQueries {
     "t49_fuzzy_match" -> ((s, d) => fuzzyMatchQ(s, d)),
     "t8_bpe_tokens" -> ((s, d) => bpeTokens(s, d)),
     "t25_bpe_encode" -> ((s, d) => bpeEncode(s, d)),
+    "t60_wordpiece" -> ((s, d) => wordpieceQ(s, d)),
     "t9_lsh_keeplist" -> ((s, d) => lshKeepList(s, d)),
     "t17_components" -> ((s, d) => components(s, d)),
     "t23_keep_best" -> ((s, d) => keepBest(s, d)),
@@ -388,7 +389,78 @@ object TextQueries {
   private val es = stopSql(text.langStopwords.toMap.apply("es"))
   private val fr = stopSql(text.langStopwords.toMap.apply("fr"))
 
+  /** WordPiece segmentation of the corpus vocabulary (+ planted words):
+    * greedy longest-prefix with ## continuations against the fixture
+    * vocab; planted z/x words hit the all-or-nothing [UNK] rule, planted
+    * compounds exercise continuation chains and char fallback. n_occ
+    * carries each word's corpus frequency (planted = 0) so the row also
+    * gates the count join. */
+  def wordpieceQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.documents(spark, dir)
+      .select(explode(text.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n_occ"))
+    val planted = Seq("zebra", "xenon", "tablescan", "windowframe")
+      .toDF("word").withColumn("n_occ", lit(0L))
+    val pieces = graft.functions.WordPieceTokenizer.wordpiece_encode(col("word"))
+    counts.unionByName(planted)
+      .groupBy("word").agg(sum("n_occ").as("n_occ"))
+      .withColumn("pieces", pieces)
+      .select(col("word"), col("n_occ"),
+        array_join(col("pieces"), " ").as("wp"),
+        size(col("pieces")).cast("long").as("n_pieces"))
+      .withColumn("is_unk", col("wp") === graft.functions.WordPieceTokenizer.Unk)
+      .orderBy("word")
+  }
+
   def oracles: Map[String, String] = Map(
+    // greedy longest-prefix replay: a per-(word,pos) STEP table (longest
+    // matching piece via one window) + a recursive walk following it;
+    // all-or-nothing [UNK] via bool_or(dead); vocab VALUES generated from
+    // the SAME Scala fixture so the two sides cannot drift
+    "t60_wordpiece" -> {
+      val vocabVals = graft.functions.WordPieceTokenizer.FixtureVocab
+        .map(p => s"('$p')").mkString(", ")
+      s"""WITH RECURSIVE n AS ($norm),
+         |ws AS (SELECT word, count(*)::BIGINT AS n_occ FROM (
+         |    SELECT unnest(list_filter(string_split(norm, ' '), t -> len(t) > 0)) AS word FROM n)
+         |  GROUP BY word),
+         |words AS (SELECT word, sum(n_occ)::BIGINT AS n_occ FROM (
+         |    SELECT word, n_occ FROM ws
+         |    UNION ALL SELECT w, 0 FROM (VALUES ('zebra'), ('xenon'),
+         |      ('tablescan'), ('windowframe')) p(w))
+         |  GROUP BY word),
+         |vocab AS (SELECT piece,
+         |    CASE WHEN piece LIKE '##%' THEN substr(piece, 3) ELSE piece END AS core,
+         |    (piece LIKE '##%') AS iscont
+         |  FROM (VALUES $vocabVals) v(piece)),
+         |posg AS (SELECT word, unnest(range(len(word))) AS pos FROM words),
+         |cand AS (SELECT p.word, p.pos, v.piece, len(v.core) AS clen
+         |  FROM posg p JOIN vocab v
+         |    ON v.iscont = (p.pos > 0)
+         |   AND p.pos + len(v.core) <= len(p.word)
+         |   AND substr(p.word, p.pos + 1, len(v.core)) = v.core),
+         |step AS (SELECT word, pos, piece, pos + clen AS nextpos FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY word, pos ORDER BY clen DESC) AS rn
+         |    FROM cand) WHERE rn = 1),
+         |walk(word, t, pos, piece, dead) AS (
+         |  SELECT word, 0::BIGINT, 0::BIGINT, NULL::VARCHAR, false FROM words
+         |  UNION ALL
+         |  SELECT w.word, w.t + 1,
+         |    coalesce(s.nextpos, len(w.word))::BIGINT, s.piece, (s.piece IS NULL)
+         |  FROM walk w LEFT JOIN step s ON s.word = w.word AND s.pos = w.pos
+         |  WHERE NOT w.dead AND w.pos < len(w.word)),
+         |seg AS (SELECT word, bool_or(dead) AS is_unk,
+         |    coalesce(array_to_string(list(piece ORDER BY t)
+         |      FILTER (WHERE piece IS NOT NULL), ' '), '') AS wp0,
+         |    (count(*) FILTER (WHERE piece IS NOT NULL))::BIGINT AS np0
+         |  FROM walk WHERE t > 0 GROUP BY word)
+         |SELECT w.word, w.n_occ,
+         |  CASE WHEN s.is_unk THEN '[UNK]' ELSE s.wp0 END AS wp,
+         |  (CASE WHEN s.is_unk THEN 1 ELSE s.np0 END)::BIGINT AS n_pieces,
+         |  s.is_unk
+         |FROM words w JOIN seg s USING (word) ORDER BY w.word""".stripMargin
+    },
     // fuzzy-pair replay: identical normalize/slice/blocking (prefix-8
     // block, stop-blocks > 256 members dropped, |Δlen| <= 18 gate),
     // DuckDB's levenshtein == Spark's (plain Levenshtein, unit costs)

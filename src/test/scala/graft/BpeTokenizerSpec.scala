@@ -101,4 +101,28 @@ class BpeTokenizerSpec extends AnyFunSuite {
       assert(n1 <= n0, s"extended table grew count for '$w'")
     }
   }
+
+  test("wordpiece: greedy longest-prefix, ## chains, all-or-nothing [UNK]") {
+    import graft.functions.WordPieceTokenizer._
+    val v = FixtureVocab.toSet
+    assert(tokenizeWord("table", v) == List("tab", "##le"))
+    assert(tokenizeWord("tablescan", v) == List("tab", "##le", "##scan"))
+    // greedy takes the LONGEST prefix, not the first char
+    assert(tokenizeWord("stream", v) == List("st", "##ream"))
+    assert(tokenizeWord("spark", v) == List("spa", "##rk"))
+    // char fallback keeps unknown-stem words segmentable
+    assert(tokenizeWord("dup", v) == List("d", "##u", "##p"))
+    // all-or-nothing: one uncoverable char kills the WHOLE word
+    assert(tokenizeWord("zebra", v) == List(Unk))
+    assert(tokenizeWord("size", v) == List(Unk), "z mid-word must also UNK")
+    // lossless law: stripping ## reconstructs the word (non-UNK)
+    Seq("table", "customer", "windowframe", "query", "agg").foreach { w =>
+      val ps = tokenizeWord(w, v)
+      assert(ps.head + ps.tail.map(_.drop(2)).mkString == w, s"$w: $ps")
+    }
+    // maxChars guard
+    assert(tokenizeWord("a" * 101, v) == List(Unk))
+    assert(encode("table  stream", v) ==
+      List("tab", "##le", "st", "##ream"))
+  }
 }

@@ -430,4 +430,36 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!aboveAgg.contains("HashAggregate(keys=[id_a"),
       s"a distinct over the expanded pair stream crept back in:\n$p")
   }
+
+  test("t55/t56/t58: map-only gates — no join, no keyed exchange anywhere") {
+    Seq("t55_gopher_quality", "t56_c4_line_filters", "t58_sft_render")
+      .foreach { q =>
+        val p = executedPlan(q)
+        assert(!p.contains("Join"), s"$q planned a join:\n$p")
+        // the only exchanges allowed are the scaled() round-robin fan-out
+        // and the presentation sort's range partitioning
+        assert(!p.contains("hashpartitioning"),
+          s"$q grew a keyed shuffle:\n$p")
+      }
+  }
+
+  test("h1_html_blocks: regex chain is join-free with no keyed exchange") {
+    val p = executedPlan("h1_html_blocks")
+    assert(!p.contains("Join"), s"h1 planned a join:\n$p")
+    assert(!p.contains("hashpartitioning"), s"h1 grew a keyed shuffle:\n$p")
+  }
+
+  test("t59_dpo_pairs: one fingerprint window, join-free") {
+    val p = executedPlan("t59_dpo_pairs")
+    assert(!p.contains("Join"), s"t59 planned a join:\n$p")
+    assert(p.contains("Window"), s"t59 lost the dedup window:\n$p")
+  }
+
+  test("n13_bm25f: hit-bounded field join, heap top-k, no nested loops") {
+    val p = executedPlan("n13_bm25f")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k lost the heap shape:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"field combination degraded to cartesian:\n$p")
+  }
 }
