@@ -1321,6 +1321,54 @@ object Corpus {
         col("n_tokens"), col("sft_md5"))
   }
 
+  /** Per-EVAL-document contamination report — the direction [[decontaminate]]
+    * (t12, which flags TRAIN docs) does not give: for each eval/benchmark
+    * document, what fraction of its distinct word n-grams appears anywhere
+    * in the training corpus (the GPT-3 appendix-C "dirtiness" accounting;
+    * what an eval-integrity report publishes per benchmark item). Basis
+    * points via exact integer division; verdict thresholds stated as
+    * parameters with contaminated > suspect precedence. Shingle-less docs
+    * (shorter than the n-gram) report honest zeros, never drop (t38's
+    * convention).
+    *
+    * Plan: the eval side is benchmark-sized — its distinct shingle set
+    * broadcasts; the train stream semi-joins against it map-side, so the
+    * only shuffled rows are MATCHED shingles (deduplicated by one
+    * map-side-combined distinct), then one broadcast join back onto the
+    * per-eval-doc shingle table. The train corpus is never exchanged. */
+  def contaminationReport(train: DataFrame, eval_ : DataFrame,
+                          idCol: String, textCol: String, ngram: Int = 4,
+                          suspectBp: Long = 500L,
+                          contaminatedBp: Long = 5000L): DataFrame = {
+    require(suspectBp <= contaminatedBp,
+      "suspect threshold must not exceed contaminated")
+    val evalSh = eval_.select(col(idCol).cast("long").as("eval_id"),
+        explode(graft.functions.text.word_shingles(col(textCol), ngram))
+          .as("g"))
+    val trainHits = graft.Tables.scaled(
+        train.select(explode(
+          graft.functions.text.word_shingles(col(textCol), ngram)).as("g")))
+      .join(broadcast(evalSh.select("g").distinct()), Seq("g"), "left_semi")
+      .distinct()
+    val perDoc = evalSh
+      .join(broadcast(trainHits.withColumn("hit", lit(1L))), Seq("g"), "left")
+      .groupBy("eval_id").agg(
+        count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
+    eval_.select(col(idCol).cast("long").as("eval_id"))
+      .join(perDoc, Seq("eval_id"), "left")
+      .select(col("eval_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("contamination_bp",
+        when(col("n_shingles") > 0,
+          expr("(10000 * n_shared) div n_shingles")).otherwise(0L))
+      .withColumn("verdict",
+        when(col("contamination_bp") >= contaminatedBp, "contaminated")
+          .when(col("contamination_bp") >= suspectBp, "suspect")
+          .otherwise("clean"))
+  }
+
   /** DPO preference-pair assembly with quality gates — the
     * (prompt, chosen, rejected) construction every preference-tuning run
     * (DPO, Rafailov et al. 2023; RLHF reward-model data prep) performs

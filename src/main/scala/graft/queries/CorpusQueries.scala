@@ -51,8 +51,22 @@ object CorpusQueries {
     "t56_c4_line_filters" -> ((s, d) => c4LineFiltersQ(s, d)),
     "t57_nb_classifier" -> ((s, d) => nbClassifierQ(s, d)),
     "t58_sft_render" -> ((s, d) => sftRenderQ(s, d)),
-    "t59_dpo_pairs" -> ((s, d) => dpoPairsQ(s, d))
+    "t59_dpo_pairs" -> ((s, d) => dpoPairsQ(s, d)),
+    "t61_contamination_report" -> ((s, d) => contaminationReportQ(s, d))
   )
+
+  /** Per-eval-doc contamination accounting over the t12 split (eval =
+    * doc_id % 50): distinct 4-gram coverage against the train corpus in
+    * exact basis points, verdicts at 500/5000 bp. */
+  def contaminationReportQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Corpus.contaminationReport(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text")
+      .withColumnRenamed("eval_id", "doc_id")
+      .orderBy("doc_id")
+  }
 
   /** DPO pair assembly over synthesized A/B outcomes: prompt = first six
     * tokens, responses = the remainder halved, winner md5-derandomized;
@@ -1154,6 +1168,29 @@ object CorpusQueries {
          |SELECT doc_id, n_fixed, (n_fixed > 0) AS is_fixed,
          |  md5(rep) AS repaired_md5
          |FROM f ORDER BY doc_id""".stripMargin,
+    // set-algebra replay: eval-side distinct shingles vs the train-side
+    // distinct shingle universe, integer-division basis points
+    "t61_contamination_report" ->
+      s"""$toks,
+         |sh AS (SELECT doc_id, ${shingleSql(4)} AS sh FROM tk),
+         |ev AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 50 = 0),
+         |tr AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 50 <> 0),
+         |pd AS (SELECT ev.doc_id, count(*)::BIGINT AS n_shingles,
+         |         sum(CASE WHEN tr.g IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_shared
+         |       FROM ev LEFT JOIN tr USING (g) GROUP BY ev.doc_id),
+         |base AS (SELECT doc_id FROM documents WHERE doc_id % 50 = 0)
+         |SELECT b.doc_id,
+         |  coalesce(pd.n_shingles, 0)::BIGINT AS n_shingles,
+         |  coalesce(pd.n_shared, 0)::BIGINT AS n_shared,
+         |  CASE WHEN coalesce(pd.n_shingles, 0) > 0
+         |       THEN (10000 * pd.n_shared) // pd.n_shingles ELSE 0 END::BIGINT
+         |    AS contamination_bp,
+         |  CASE WHEN coalesce(pd.n_shingles, 0) > 0
+         |        AND (10000 * pd.n_shared) // pd.n_shingles >= 5000 THEN 'contaminated'
+         |       WHEN coalesce(pd.n_shingles, 0) > 0
+         |        AND (10000 * pd.n_shared) // pd.n_shingles >= 500 THEN 'suspect'
+         |       ELSE 'clean' END AS verdict
+         |FROM base b LEFT JOIN pd USING (doc_id) ORDER BY b.doc_id""".stripMargin,
     // full replay: synthesis (lockstep with dpoPairsQ), QC gates in stated
     // precedence, prompt-fingerprint dedup window, winner-ordered pair md5
     "t59_dpo_pairs" ->

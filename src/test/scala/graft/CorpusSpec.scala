@@ -678,4 +678,30 @@ class CorpusSpec extends AnyFunSuite {
       md5hex("prompt twobad answer textgood answer here"))
     assert(out(4L).getAs[String]("pair_md5") == null)
   }
+
+  test("contaminationReport: exact per-eval-doc basis points and verdicts") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four")).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // full dup: 3/3 shingles
+      (11L, "totally different words here now"),    // disjoint: 0/2
+      (12L, "alpha beta gamma delta new words here also"), // 1/5 shared
+      (13L, "tiny doc")                             // shingle-less: zeros
+    ).toDF("doc_id", "text")
+    val out = Corpus.contaminationReport(train, eval_, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(10L).getAs[Long]("contamination_bp") == 10000L &&
+      out(10L).getAs[String]("verdict") == "contaminated")
+    assert(out(11L).getAs[Long]("n_shared") == 0L &&
+      out(11L).getAs[String]("verdict") == "clean")
+    assert(out(12L).getAs[Long]("n_shingles") == 5L &&
+      out(12L).getAs[Long]("n_shared") == 1L &&
+      out(12L).getAs[Long]("contamination_bp") == 2000L &&
+      out(12L).getAs[String]("verdict") == "suspect")
+    assert(out(13L).getAs[Long]("n_shingles") == 0L &&
+      out(13L).getAs[Long]("contamination_bp") == 0L &&
+      out(13L).getAs[String]("verdict") == "clean",
+      "shingle-less eval docs report zeros, never drop")
+  }
 }
