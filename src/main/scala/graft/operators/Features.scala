@@ -237,4 +237,40 @@ object Features {
       .select(col("category"), col("fold"), col("n_out"), col("pos_out"),
         col("encoding"))
   }
+
+  /** A/B experiment readout over an event stream: md5-derandomized 50/50
+    * user assignment (the t21/t36 bucketing discipline — assignment is a
+    * pure function of the user id, reproducible by any engine), per-event-
+    * type user-conversion rates per arm in exact basis points, the uplift
+    * delta, and a sample-ratio-mismatch guard (|n_A − n_B| beyond
+    * `srmTolBp` of the total flags the experiment as unsound — the FIRST
+    * check any experimentation platform runs, integer cross-multiplied).
+    *
+    * Plan: one distinct on users (map-side combined), one distinct on
+    * (user, event_type), one broadcast join of the user→arm table, then
+    * metric-keyed aggregation — nothing is ever collected and no exchange
+    * carries more than the distinct (user, metric) stream. */
+  def abUplift(df: DataFrame, userCol: String, typeCol: String,
+               seed: String = "ab", srmTolBp: Long = 500L): DataFrame = {
+    val users = df.select(col(userCol).cast("long").as("u")).distinct()
+      .withColumn("arm",
+        when(conv(substring(md5(concat(lit(seed + ":"), col("u"))), 1, 6),
+          16, 10).cast("long") % 2 === 0, "A").otherwise("B"))
+    val sizes = users.groupBy().agg(
+      sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_users_a"),
+      sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_users_b"))
+    val convs = df.select(col(userCol).cast("long").as("u"),
+        col(typeCol).as("metric")).distinct()
+      .join(broadcast(users), "u")
+      .groupBy("metric").agg(
+        sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_conv_a"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_conv_b"))
+    convs.crossJoin(broadcast(sizes))
+      .withColumn("conv_bp_a", expr("(10000 * n_conv_a) div n_users_a"))
+      .withColumn("conv_bp_b", expr("(10000 * n_conv_b) div n_users_b"))
+      .withColumn("uplift_bp", col("conv_bp_b") - col("conv_bp_a"))
+      .withColumn("srm_flag",
+        abs(col("n_users_a") - col("n_users_b")) * 10000 >
+          (col("n_users_a") + col("n_users_b")) * srmTolBp)
+  }
 }

@@ -19,8 +19,26 @@ object RelationalQueries {
     "q2_join3" -> ((s, dir) => q2Join3(s, dir)),
     "z1_zorder_layout" -> ((s, dir) => zorderLayout(s, dir)),
     "z2_hilbert_layout" -> ((s, dir) => hilbertLayout(s, dir)),
-    "q3_rollup" -> ((s, dir) => rollupAgg(s, dir))
+    "q3_rollup" -> ((s, dir) => rollupAgg(s, dir)),
+    "q4_skew_report" -> ((s, dir) => skewReportQ(s, dir))
   )
+
+  /** Join-key skew diagnostic over the events stream with a PLANTED hot
+    * key (every user_id % 3 == 0 collapses to key 0 — one key carrying a
+    * third of all rows): top-10 hottest keys + exact nearest-rank
+    * p50/p99 of the count distribution + the suggested salt factor.
+    * Output columns avoid SQL keywords (top_rank/ukey) — the driver
+    * interpolates names unquoted. */
+  def skewReportQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.skewReport(
+        Tables.events(spark, dir).select(
+          when(col("user_id") % 3 === 0, 0L).otherwise(col("user_id"))
+            .as("ukey")),
+        "ukey", k = 10)
+      .select(col("rank").as("top_rank"), col("key").as("ukey"), col("cnt"),
+        col("n_keys"), col("n_rows"), col("max_count"),
+        col("p50_count"), col("p99_count"), col("suggested_salt"))
+      .orderBy("top_rank")
 
   /** ROLLUP aggregation (multi-level subtotals in ONE pass — Catalyst
     * expands grouping sets map-side, so the grand total costs no second
@@ -81,6 +99,25 @@ object RelationalQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "q4_skew_report" ->
+      """WITH e AS (SELECT CASE WHEN user_id % 3 = 0 THEN 0 ELSE user_id END AS ukey
+        |           FROM events),
+        |c AS (SELECT ukey, count(*) AS cnt FROM e GROUP BY ukey),
+        |n AS (SELECT count(*)::BIGINT AS n_keys, sum(cnt)::BIGINT AS n_rows,
+        |        max(cnt)::BIGINT AS max_count FROM c),
+        |r AS (SELECT ukey, cnt,
+        |        row_number() OVER (ORDER BY cnt ASC, ukey ASC) - 1 AS rn FROM c),
+        |qs AS (SELECT
+        |    min(CASE WHEN rn = (n.n_keys - 1) // 2 THEN cnt END)::BIGINT AS p50_count,
+        |    min(CASE WHEN rn = ((n.n_keys - 1) * 99) // 100 THEN cnt END)::BIGINT AS p99_count
+        |  FROM r, n),
+        |top AS (SELECT ukey, cnt,
+        |          row_number() OVER (ORDER BY cnt DESC, ukey ASC) AS top_rank
+        |        FROM c ORDER BY cnt DESC, ukey ASC LIMIT 10)
+        |SELECT t.top_rank::BIGINT AS top_rank, t.ukey, t.cnt::BIGINT AS cnt,
+        |  n.n_keys, n.n_rows, n.max_count, qs.p50_count, qs.p99_count,
+        |  ((n.max_count * n.n_keys + n.n_rows - 1) // n.n_rows)::BIGINT AS suggested_salt
+        |FROM top t, n, qs ORDER BY t.top_rank""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

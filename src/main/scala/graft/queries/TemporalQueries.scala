@@ -35,7 +35,8 @@ object TemporalQueries {
     "e15_tick_coverage" -> ((s, d) => tickCoverageQ(s, d)),
     "e16_interval_union" -> ((s, d) => intervalUnionQ(s, d)),
     "e17_target_encode" -> ((s, d) => targetEncodeQ(s, d)),
-    "e18_rolling_anomaly" -> ((s, d) => rollingAnomalyQ(s, d))
+    "e18_rolling_anomaly" -> ((s, d) => rollingAnomalyQ(s, d)),
+    "e19_ab_uplift" -> ((s, d) => abUpliftQ(s, d))
   )
 
   /** Hourly tick-coverage data-quality report over the purchase stream —
@@ -315,7 +316,34 @@ object TemporalQueries {
       .select(col("user_id"), col("n"), col("ewma_fp"))
       .orderBy("user_id")
 
+  /** A/B readout over the events stream: md5 50/50 user assignment, one
+    * conversion row per event type, exact-bp rates + uplift, SRM guard at
+    * 500 bp tolerance. */
+  def abUpliftQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Features.abUplift(Tables.events(spark, dir),
+        "user_id", "event_type")
+      .orderBy("metric")
+
   def oracles: Map[String, String] = Map(
+    "e19_ab_uplift" ->
+      """WITH u AS (SELECT DISTINCT user_id AS u FROM events),
+        |ua AS (SELECT u, CASE WHEN ('0x' || substr(md5('ab:' || u), 1, 6))::BIGINT % 2 = 0
+        |                      THEN 'A' ELSE 'B' END AS arm FROM u),
+        |sz AS (SELECT sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)::BIGINT AS n_users_a,
+        |         sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)::BIGINT AS n_users_b FROM ua),
+        |c AS (SELECT DISTINCT user_id AS u, event_type AS metric FROM events),
+        |cv AS (SELECT c.metric,
+        |         sum(CASE WHEN ua.arm = 'A' THEN 1 ELSE 0 END)::BIGINT AS n_conv_a,
+        |         sum(CASE WHEN ua.arm = 'B' THEN 1 ELSE 0 END)::BIGINT AS n_conv_b
+        |       FROM c JOIN ua USING (u) GROUP BY c.metric)
+        |SELECT cv.metric, cv.n_conv_a, cv.n_conv_b, sz.n_users_a, sz.n_users_b,
+        |  ((10000 * cv.n_conv_a) // sz.n_users_a)::BIGINT AS conv_bp_a,
+        |  ((10000 * cv.n_conv_b) // sz.n_users_b)::BIGINT AS conv_bp_b,
+        |  (((10000 * cv.n_conv_b) // sz.n_users_b)
+        |    - ((10000 * cv.n_conv_a) // sz.n_users_a))::BIGINT AS uplift_bp,
+        |  (abs(sz.n_users_a - sz.n_users_b) * 10000
+        |    > (sz.n_users_a + sz.n_users_b) * 500) AS srm_flag
+        |FROM cv, sz ORDER BY cv.metric""".stripMargin,
     "e13_ewma" ->
       """WITH s AS (SELECT user_id,
         |    list_transform(

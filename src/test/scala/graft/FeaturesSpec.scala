@@ -111,4 +111,52 @@ class FeaturesSpec extends AnyFunSuite {
     assert(out(208L)._2.isEmpty && !out(208L)._3,
       "flat baseline -> null z, never a fabricated flag")
   }
+
+  test("abUplift: exact per-arm conversion bp against a mirrored assignment") {
+    // mirror the operator's md5 assignment so expectations are exact
+    def arm(u: Long): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ab:$u".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex.take(6), 16) % 2 == 0) "A" else "B"
+    }
+    val users = (1L to 40L)
+    // every user views; only users <= 10 buy
+    val events = users.map(u => (u, "view")) ++
+      users.filter(_ <= 10).map(u => (u, "buy"))
+    val df = events.toDF("user_id", "event_type")
+    val out = graft.operators.Features.abUplift(df, "user_id", "event_type")
+      .collect().map(r => r.getAs[String]("metric") -> r).toMap
+    val nA = users.count(arm(_) == "A"); val nB = users.size - nA
+    val buyA = users.filter(_ <= 10).count(arm(_) == "A")
+    val buyB = 10 - buyA
+    val v = out("view")
+    assert(v.getAs[Long]("n_users_a") == nA && v.getAs[Long]("n_users_b") == nB)
+    assert(v.getAs[Long]("conv_bp_a") == 10000L && v.getAs[Long]("conv_bp_b") == 10000L)
+    assert(v.getAs[Long]("uplift_bp") == 0L)
+    val b = out("buy")
+    assert(b.getAs[Long]("n_conv_a") == buyA && b.getAs[Long]("n_conv_b") == buyB)
+    assert(b.getAs[Long]("conv_bp_a") == 10000L * buyA / nA)
+    assert(b.getAs[Long]("uplift_bp") ==
+      10000L * buyB / nB - 10000L * buyA / nA)
+    // srm flag fires exactly when imbalance exceeds the stated tolerance
+    assert(v.getAs[Boolean]("srm_flag") ==
+      (math.abs(nA - nB) * 10000L > (nA + nB) * 500L))
+  }
+
+  test("skewReport: exact nearest-rank quantiles and salt suggestion") {
+    val rows = Seq.fill(8)(1L) ++ Seq.fill(2)(2L) ++ Seq.fill(2)(3L)
+    val out = graft.operators.Skew.skewReport(rows.toDF("k"), "k")
+      .orderBy("rank").collect()
+    assert(out.length == 3)
+    val top = out.head
+    assert(top.getAs[Long]("key") == 1L && top.getAs[Long]("cnt") == 8L)
+    assert(top.getAs[Long]("n_keys") == 3L && top.getAs[Long]("n_rows") == 12L)
+    // counts sorted [2,2,8]: p50 at idx 1 → 2; p99 at idx (2*99)div100=1 → 2
+    assert(top.getAs[Long]("p50_count") == 2L &&
+      top.getAs[Long]("p99_count") == 2L)
+    // ceil(8·3/12) = 2 — split the hot key in two
+    assert(top.getAs[Long]("suggested_salt") == 2L)
+    assert(out(1).getAs[Long]("key") == 2L && out(2).getAs[Long]("key") == 3L,
+      "tie on cnt breaks by key ascending")
+  }
 }
