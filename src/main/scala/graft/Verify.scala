@@ -47,7 +47,11 @@ object Verify {
     "m9_scene_cuts_dense", "t32_dsir_sample",
     // round-11 additions with scale-sensitive shapes: the overlap matrix's
     // vocabulary join and the span-corruption window folds
-    "t52_source_overlap", "t54_span_corrupt")
+    "t52_source_overlap", "t54_span_corrupt",
+    // second-session round-11 additions with float or md5-chain shapes:
+    // NB's per-class ln folds, the BT fit, BM25F's fielded scores, and
+    // the HTML main-text md5 chain
+    "t57_nb_classifier", "tr4_bt_strengths", "n13_bm25f", "h2_html_main")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rest @ _*) = args
