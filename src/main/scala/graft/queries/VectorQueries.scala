@@ -46,6 +46,7 @@ object VectorQueries {
     "tr2_semihard" -> ((s, d) => semiHardQ(s, d)),
     "tr3_triplets" -> ((s, d) => tripletsQ(s, d)),
     "tr4_bt_strengths" -> ((s, d) => btStrengthsQ(s, d)),
+    "v25_abtt_projection" -> ((s, d) => abttProjectionQ(s, d)),
     "s1_search_docs" -> ((s, d) => searchDocs(s, d)),
     "s2_colpali_padding" -> ((s, d) => colpaliPadding(s, d)),
     "s3_colpali_groups" -> ((s, d) => colpaliGroups(s, d)),
@@ -1060,7 +1061,57 @@ object VectorQueries {
       .orderBy("item")
   }
 
+  /** All-but-the-Top fit + per-vector top-PC projection (Mu & Viswanath
+    * 2018): fixed-point integer S/Gram passes, driver-side 30-iteration
+    * power fit (rule 17), projections as floor(p*1000) — the full
+    * data->Gram->eigenvector->projection chain is one oracle row, so a
+    * single ulp of drift anywhere flips 500 values. NOT a bench headliner
+    * (offline index-build-priced fit, the v23 convention). */
+  def abttProjectionQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EmbeddingPostProcess.abtTopProjection(
+        graft.Tables.embeddings(spark, dir), "vec_id", "embedding", dim = 64)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy("vec_id")
+
   def oracles: Map[String, String] = Map(
+    // full matrix-fit replay: integer S/Gram, centered C = G - n*mu*mu^T,
+    // 30 power iterations from the exact 0.125 start, largest-|u| sign fix,
+    // ascending-index folds throughout (every literal ::DOUBLE)
+    "v25_abtt_projection" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings),
+        |xb AS (SELECT vec_id, unnest(list_transform(range(64), jj ->
+        |         struct_pack(j := jj,
+        |           xv := floor(embedding[jj + 1]::DOUBLE * 1000.0::DOUBLE)::BIGINT)))
+        |         AS bk FROM e),
+        |x AS (SELECT vec_id AS i, bk.j AS j, bk.xv AS xv FROM xb),
+        |s AS (SELECT j, sum(xv)::BIGINT AS s FROM x GROUP BY j),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM e),
+        |g AS (SELECT a.j AS j, b.j AS k, sum(a.xv * b.xv)::BIGINT AS g
+        |      FROM x a JOIN x b ON a.i = b.i GROUP BY a.j, b.j),
+        |mu AS (SELECT list(s.s::DOUBLE / nn.n ORDER BY j) AS mu FROM s, nn),
+        |cm0 AS (SELECT g.j,
+        |          list(g.g::DOUBLE - nn.n::DOUBLE * mu.mu[g.j + 1] * mu.mu[g.k + 1]
+        |               ORDER BY g.k) AS row
+        |        FROM g, nn, mu GROUP BY g.j),
+        |cm AS (SELECT list(row ORDER BY j) AS c FROM cm0),
+        |it(t, u) AS (
+        |  SELECT 0, list_transform(range(64), z -> 0.125::DOUBLE)
+        |  UNION ALL
+        |  SELECT s2.t + 1,
+        |    list_transform(s2.w, y -> y / sqrt(list_sum(list_transform(s2.w, y2 -> y2 * y2))))
+        |  FROM (SELECT it.t,
+        |          list_transform(range(64), j ->
+        |            list_sum(list_transform(range(64), k ->
+        |              cm.c[j + 1][k + 1] * it.u[k + 1]))) AS w
+        |        FROM it, cm WHERE it.t < 30) s2),
+        |fin AS (SELECT u FROM it WHERE t = 30),
+        |mx AS (SELECT u, list_max(list_transform(u, y -> abs(y))) AS amax FROM fin),
+        |sgn AS (SELECT CASE WHEN u[list_position(list_transform(u, y -> abs(y)), amax)] < 0
+        |               THEN list_transform(u, y -> -y) ELSE u END AS u FROM mx)
+        |SELECT x.i AS vec_id,
+        |  floor(list_sum(list((x.xv::DOUBLE - mu.mu[x.j + 1]) * sgn.u[x.j + 1]
+        |    ORDER BY x.j)) * 1000.0)::BIGINT AS proj_fp
+        |FROM x, mu, sgn GROUP BY x.i ORDER BY vec_id""".stripMargin,
     // full fit replay: pair aggregation, half-win smoothing (every literal
     // ::DOUBLE — bare decimals type as DECIMAL and quantize the fit), MM
     // iterations + normalization as ascending-index list folds in a
