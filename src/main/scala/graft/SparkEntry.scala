@@ -11,12 +11,14 @@ object SparkEntry {
     RelationalQueries.queries ++ FilterQueries.queries ++ ListingQueries.queries ++
       VectorQueries.queries ++ TextQueries.queries ++ TemporalQueries.queries ++
       PipelineQueries.queries ++ MutationQueries.queries ++ CorpusQueries.queries ++
-      ClusterQueries.queries ++ SearchQueries.queries ++ GraphQueries.queries
+      ClusterQueries.queries ++ SearchQueries.queries ++ GraphQueries.queries ++
+      EvalQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ FilterQueries.oracles ++ ListingQueries.oracles ++
       VectorQueries.oracles ++ TextQueries.oracles ++ TemporalQueries.oracles ++
       PipelineQueries.oracles ++ MutationQueries.oracles ++ CorpusQueries.oracles ++
-      ClusterQueries.oracles ++ SearchQueries.oracles ++ GraphQueries.oracles
+      ClusterQueries.oracles ++ SearchQueries.oracles ++ GraphQueries.oracles ++
+      EvalQueries.oracles
 }

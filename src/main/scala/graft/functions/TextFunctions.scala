@@ -39,6 +39,17 @@ object text {
   /** Content fingerprint: md5 of the normalized text (exact-dedup key). */
   def fingerprint(c: Column): Column = md5(normalize(c))
 
+  /** Clipped overlap count Σ_g min(count_a(g), count_b(g)) between two
+    * array columns, computed IN-ROW (O(distinct·len) per row — both sides
+    * live in the same row, so the statistic costs no shuffle). This is the
+    * BLEU modified-precision numerator, the ROUGE-N overlap, and the
+    * TextTiling block-cohesion numerator — one primitive, three operators. */
+  def clipped_overlap(a: Column, b: Column): Column =
+    aggregate(array_distinct(a), lit(0L),
+      (acc, g) => acc + least(
+        size(filter(a, x => x === g)),
+        size(filter(b, x => x === g))).cast("long"))
+
   /** Distinct character n-grams of the normalized text. */
   def char_shingles(c: Column, n: Int): Column = {
     val norm = normalize(c)

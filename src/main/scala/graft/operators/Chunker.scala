@@ -114,4 +114,98 @@ object Chunker {
       }
       .toDF(idCol, "chunk_number", "chunk")
   }
+
+  /** TextTiling topic segmentation (Hearst 1997, CL 23(1)) — the
+    * SEMANTIC chunk-boundary signal the size-driven splitters above lack:
+    * chunk where the topic shifts, not where a byte budget fills. Used as
+    * the boundary stage of a RAG chunker and as a topic-drift diagnostic
+    * over long documents.
+    *
+    * Shape, per document (all IN-ROW — the token list, the cohesion
+    * profile, and the depth scoring never leave the row, so the operator
+    * is map-only with zero shuffles):
+    *  1. tokens group into pseudo-sentences of `w` tokens; `nb` blocks.
+    *  2. at each inter-block gap g, cohesion = Dice overlap of the `k`
+    *     blocks either side: sim_ppm = 2·Σ_t min(cnt_l, cnt_r)·10⁶ /
+    *     (|left|+|right|) — the clipped-overlap primitive, EXACT integer
+    *     (Hearst's cosine is replaced by Dice so no sqrt enters; the
+    *     substitution is stated, standard, and keeps the whole profile
+    *     oracle-replayable).
+    *  3. depth(g) = max(0, peakL−sim) + max(0, peakR−sim) with peaks the
+    *     windowed maxima over the `radius` gaps either side — the
+    *     fixed-radius variant of Hearst's hill climb (a pure array slice;
+    *     the climb variant needs unbounded scan state).
+    *  4. boundary where depth_ppm ≥ `thresholdPpm` (Hearst's mean−σ/2 cut
+    *     is corpus-relative; a fixed cut keeps rows independent — the
+    *     caller can re-threshold from the emitted depths at will).
+    *
+    * Docs shorter than `w`+1 tokens carry no gap and emit nothing.
+    * Integer-div is expressed as (a − pmod(a,b))/b: exact long arithmetic
+    * into an exactly-representable quotient (numerators ≤ 2·k·w·10⁶). */
+  def textTileGaps(df: DataFrame, idCol: String, textCol: String,
+                   w: Int = 8, k: Int = 2, radius: Int = 3,
+                   thresholdPpm: Long = 250000L): DataFrame = {
+    require(w >= 2 && k >= 1 && radius >= 1, s"bad TextTiling params ($w,$k,$radius)")
+    def idiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    val base = df
+      .select(col(idCol), graft.functions.text.tokens(col(textCol)).as("__tk"))
+      .where(size(col("__tk")) >= w + 1)
+      .withColumn("__nb", idiv((size(col("__tk")) + lit(w - 1)).cast("long"), lit(w.toLong)))
+    val sims = transform(sequence(lit(1L), col("__nb") - 1), g => {
+      val lo = greatest(g - k, lit(0L))
+      val lft = slice(col("__tk"), (lo * w + 1).cast("int"), ((g - lo) * w).cast("int"))
+      val rgt = slice(col("__tk"), (g * w + 1).cast("int"),
+        ((least(col("__nb"), g + k) - g) * w).cast("int"))
+      val m = graft.functions.text.clipped_overlap(lft, rgt)
+      idiv(m * lit(2000000L), (size(lft) + size(rgt)).cast("long"))
+    })
+    base.withColumn("__sims", sims)
+      .withColumn("__r", explode(
+        transform(sequence(lit(1), size(col("__sims"))), i => {
+          val s = element_at(col("__sims"), i)
+          val ml = coalesce(array_max(slice(col("__sims"),
+            greatest(i - radius, lit(1)), i - greatest(i - radius, lit(1)))), s)
+          val mr = coalesce(array_max(slice(col("__sims"), i + 1, lit(radius))), s)
+          val depth = greatest(ml - s, lit(0L)) + greatest(mr - s, lit(0L))
+          struct(i.cast("long").as("gap"), s.as("sim_ppm"), depth.as("depth_ppm"))
+        })))
+      .select(col(idCol), col("__r.gap"), col("__r.sim_ppm"), col("__r.depth_ppm"),
+        (col("__r.depth_ppm") >= thresholdPpm).as("is_boundary"))
+  }
+
+  /** The chunks TextTiling exists to produce: token spans between
+    * boundary gaps (chunk c = tokens (g_{c-1}·w, g_c·w]). Emits
+    * (id, chunk_number 0-based, n_tokens, chunk) — chunk text is the
+    * space-join of the span, so concatenating a doc's chunks with single
+    * spaces reconstructs its normalized token stream exactly (spec-gated).
+    * Same map-only shape as [[textTileGaps]]; short docs (< w+1 tokens,
+    * no gaps) emit their whole token stream as chunk 0. */
+  def textTileChunks(df: DataFrame, idCol: String, textCol: String,
+                     w: Int = 8, k: Int = 2, radius: Int = 3,
+                     thresholdPpm: Long = 250000L): DataFrame = {
+    val gaps = textTileGaps(df, idCol, textCol, w, k, radius, thresholdPpm)
+      .where(col("is_boundary"))
+      .groupBy(col(idCol)).agg(sort_array(collect_list(col("gap"))).as("__bnd"))
+    df.select(col(idCol), graft.functions.text.tokens(col(textCol)).as("__tk"))
+      .where(size(col("__tk")) >= 1)
+      .join(gaps, Seq(idCol), "left")
+      .withColumn("__bnd", coalesce(col("__bnd"), array().cast("array<long>")))
+      .withColumn("__cuts", concat(array(lit(0L)), col("__bnd"),
+        array(size(col("__tk")).cast("long"))))
+      .withColumn("__r", explode(
+        transform(sequence(lit(1), size(col("__cuts")) - 1), c => {
+          val from = element_at(col("__cuts"), c) * w
+          val cap = size(col("__tk")).cast("long")
+          val start = least(from, cap)
+          val until = when(c === size(col("__cuts")) - 1, cap)
+            .otherwise(least(element_at(col("__cuts"), c + 1) * w, cap))
+          struct((c - 1).cast("long").as("chunk_number"),
+            (until - start).as("n_tokens"),
+            concat_ws(" ", slice(col("__tk"), (start + 1).cast("int"),
+              (until - start).cast("int"))).as("chunk"))
+        })))
+      .where(col("__r.n_tokens") > 0)
+      .select(col(idCol), col("__r.chunk_number"), col("__r.n_tokens"),
+        col("__r.chunk"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Retrieval-quality evaluation at corpus scale — the metric layer the
@@ -67,5 +67,188 @@ object Evals {
         (col("hits").cast("double") / col("__ideal")).as("recall_at_k"),
         coalesce(lit(1.0) / col("__first_rel"), lit(0.0)).as("mrr"),
         (col("__dcg") / col("__idcg")).as("ndcg_at_k"))
+  }
+
+  /** Positional word n-grams (NOT distinct — BLEU/ROUGE count multiplicity;
+    * `text.word_shingles` dedups, which is the wrong statistic here).
+    * Shorter-than-n token lists yield an empty array. */
+  private def posNgrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Clipped match count Σ_g min(count_cand(g), count_ref(g)) — the
+    * modified-precision numerator of Papineni et al. 2002 §2.1, and
+    * simultaneously the ROUGE-N overlap numerator (the statistic is
+    * symmetric in which side it's clipped against). Shared with
+    * TextTiling's block cohesion — see [[graft.functions.text.clipped_overlap]]. */
+  private def clippedMatches(cg: Column, rg: Column): Column =
+    graft.functions.text.clipped_overlap(cg, rg)
+
+  /** Generation-quality metrics over (candidate, reference) token pairs —
+    * the distillation / summarization / translation QC gate a training-data
+    * pipeline runs over model outputs at corpus scale (the reference's
+    * eval layer is LLM-judge accuracy, `evaluations/custom_eval/
+    * evaluate.py`; these are the classical deterministic complements).
+    *
+    * Per pair:
+    *  - BLEU-4 in LOG space (Papineni et al. 2002), smoothing-1
+    *    (`(m_n+1)/(c_n+1)` for every order): `log_bleu_ppm` =
+    *    ⌊1e6·(min(0, 1−r/c) + ¼·Σ_{n=1..4} ln p_n)⌋. Log space keeps the
+    *    cross-engine surface to `ln` alone (the t30-proven primitive) —
+    *    no `exp`, and the brevity-penalty term is exact IEEE division.
+    *    The four-term sum folds in ascending-n order with explicit
+    *    parenthesization.
+    *  - ROUGE-1/2 (Lin 2004) precision/recall/F1 as EXACT integer ppm:
+    *    with m clipped matches, c candidate grams, r reference grams,
+    *    P=m/c, R=m/r, F1=2m/(c+r) — all emitted via integer `div`, no
+    *    float in the pipeline at all.
+    *
+    * 100 TB shape: candidate and reference live in the SAME row, so every
+    * count is an in-row array fold — the operator is map-only with ZERO
+    * shuffles; a corpus-level roll-up afterwards is one map-side-combined
+    * aggregation. Nothing here beats that plan. */
+  def genMetrics(pairs: DataFrame, idCol: String,
+                 candCol: String, refCol: String): DataFrame = {
+    val withCounts = (1 to 4).foldLeft(
+      pairs.withColumn("c_len", size(col(candCol)).cast("long"))
+           .withColumn("r_len", size(col(refCol)).cast("long"))) {
+      case (df, n) =>
+        df.withColumn(s"m$n",
+            clippedMatches(posNgrams(col(candCol), n), posNgrams(col(refCol), n)))
+          .withColumn(s"c$n",
+            greatest(size(col(candCol)).cast("long") - lit(n - 1L), lit(0L)))
+    }
+    def lnP(n: Int): Column =
+      log((col(s"m$n") + lit(1.0)) / (col(s"c$n") + lit(1.0)))
+    val logBleu =
+      least(lit(0.0), lit(1.0) - col("r_len").cast("double") / col("c_len").cast("double")) +
+        lit(0.25) * (((lnP(1) + lnP(2)) + lnP(3)) + lnP(4))
+    withCounts
+      .withColumn("log_bleu_ppm", floor(lit(1000000.0) * logBleu).cast("long"))
+      .withColumn("rouge1_f_ppm", expr("(2 * m1 * 1000000) div (c_len + r_len)"))
+      .withColumn("rouge2_f_ppm",
+        when(col("c_len") >= 2 && col("r_len") >= 2,
+          expr("(2 * m2 * 1000000) div ((c_len - 1) + (r_len - 1))"))
+          .otherwise(lit(0L)))
+      .withColumn("rouge1_p_ppm", expr("(m1 * 1000000) div c_len"))
+      .withColumn("rouge1_r_ppm", expr("(m1 * 1000000) div r_len"))
+      .select(col(idCol), col("r_len"), col("c_len"),
+        col("m1"), col("m2"), col("m3"), col("m4"),
+        col("log_bleu_ppm"), col("rouge1_f_ppm"), col("rouge2_f_ppm"),
+        col("rouge1_p_ppm"), col("rouge1_r_ppm"))
+  }
+
+  /** Classifier-confidence CALIBRATION over (score, label) pairs — the
+    * readout consulted before trusting a quality/toxicity/LLM-judge score
+    * as a keep-drop gate (t57's NB, t2's quality, tr4's judge strengths
+    * all emit scores; this is whether those scores MEAN their number):
+    * reliability diagram (per-bin confidence vs accuracy), expected
+    * calibration error (Guo et al. 2017), Brier score, and the isotonic
+    * (PAV) recalibration curve (Zadrozny & Elkan 2002) every serving
+    * stack applies before thresholding.
+    *
+    * Inputs: `scoreCol` an integer ppm confidence in [0, 1e6), `labelCol`
+    * a 0/1 long. One row out per NON-EMPTY equal-width score bin:
+    * `n`, `pos`, `conf_ppm` (mean confidence, exact integer div),
+    * `acc_ppm` (empirical accuracy), `iso_ppm` (isotonic fit), plus the
+    * corpus-constant `ece_ppm` and `brier_ppm`.
+    *
+    * Determinism: everything corpus-sized is EXACT integer arithmetic
+    * (sums accumulate as decimal(38,0) so no silent long overflow at
+    * 10¹² rows). The isotonic fit uses the MINIMAX closed form
+    * ŷᵢ = max_{j≤i} min_{k≥i} mean(pos, n over j..k) instead of the PAV
+    * stack: each candidate mean is ONE IEEE division of exact integers
+    * and min/max of identical double sets is bit-identical in any engine,
+    * where a stack-PAV's merge-order comparisons of near-equal rationals
+    * could resolve differently under a replaying engine's rounding. The
+    * two forms provably fit the same function (Robertson, Wright & Dykstra
+    * 1988 §1.2); minimax is O(bins³) on a request-sized table — free.
+    *
+    * 100 TB shape: ONE map-side-combined groupBy into ≤ `bins` cells;
+    * every downstream step is a rule-17 driver decision on that
+    * request-sized table. Nothing here beats that plan. */
+  def calibration(scored: DataFrame, scoreCol: String, labelCol: String,
+                  bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1024, s"calibration needs 2<=bins<=1024 (got $bins)")
+    val spark = scored.sparkSession
+    val agg = scored
+      .select(
+        expr(s"least($bins - 1, ($scoreCol * $bins) div 1000000)").as("bin"),
+        col(scoreCol).cast("long").as("s"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"),
+        sum(col("s").cast("decimal(38,0)")).as("confsum"),
+        sum(((col("s") - col("y") * lit(1000000L)) *
+             (col("s") - col("y") * lit(1000000L))).cast("decimal(38,0)"))
+          .as("bsum"))
+      .orderBy("bin")
+    val rows = agg.collect()
+    val bin = rows.map(_.getLong(0)); val n = rows.map(_.getLong(1))
+    val pos = rows.map(_.getLong(2))
+    val confsum = rows.map(r => BigInt(r.getDecimal(3).toBigInteger))
+    val bsum = rows.map(r => BigInt(r.getDecimal(4).toBigInteger))
+    val m = rows.length
+    val nTot = BigInt(n.sum)
+    val accPpm = (0 until m).map(i => BigInt(pos(i)) * 1000000 / n(i))
+    val confPpm = (0 until m).map(i => confsum(i) / n(i))
+    val ecePpm = ((0 until m).map(i => BigInt(n(i)) * (accPpm(i) - confPpm(i)).abs)
+      .foldLeft(BigInt(0))(_ + _) / nTot).toLong
+    val brierPpm = (bsum.foldLeft(BigInt(0))(_ + _) / (nTot * 1000000)).toLong
+    // prefix sums for the minimax block means (exact integers; the ONLY
+    // float is the final block-mean division, mirrored in the oracle)
+    val cp = pos.scanLeft(0L)(_ + _); val cn = n.scanLeft(0L)(_ + _)
+    def mean(j: Int, k: Int): Double = // block j..k inclusive, 0-based
+      (cp(k + 1) - cp(j)).toDouble / (cn(k + 1) - cn(j)).toDouble
+    val isoPpm = (0 until m).map { i =>
+      val v = (0 to i).map(j => (i until m).map(k => mean(j, k)).min).max
+      math.floor(1000000.0 * v).toLong
+    }
+    val out = (0 until m).map(i => (bin(i), n(i), pos(i), confPpm(i).toLong,
+      accPpm(i).toLong, isoPpm(i), ecePpm, brierPpm))
+    import spark.implicits._
+    out.toDF("bin", "n", "pos", "conf_ppm", "acc_ppm", "iso_ppm",
+      "ece_ppm", "brier_ppm")
+  }
+
+  /** pass@k — the code/math-eval metric (Chen et al. 2021, Codex §2.1):
+    * given `n` samples per task of which `c` passed, the UNBIASED
+    * estimator pass@k = 1 − C(n−c,k)/C(n,k) (the naive (c/n)ᵏ-style
+    * plug-ins are biased; this is the paper's numerically-stable form).
+    * Computed as EXACT integer ppm: the binomial ratio collapses to
+    * Π_{i<k}(n−c−i) / Π_{i<k}(n−i) (the k! cancels, and floor division
+    * is invariant under the common factor), so each metric is one integer
+    * product pair + one integer div — no floats anywhere, and the n−c<k
+    * case (every k-subset contains a pass) is the explicit 1.0 branch.
+    *
+    * Bounds: products peak at n!/(n−k)! — n ≤ 20 keeps num·10⁶ inside a
+    * long (6.7e17 at n=20, k=10); enforced, not assumed. Per-row map-only;
+    * aggregate pass@k over tasks is the caller's one-line mean. */
+  def passAtK(df: DataFrame, idCol: String, nCol: String, cCol: String,
+              ks: Seq[Int] = Seq(1, 5, 10)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(k => k >= 1 && k <= 20), s"bad ks $ks")
+    val n = col(nCol).cast("long"); val c = col(cCol).cast("long")
+    def prod(top: Column, k: Int): Column =
+      aggregate(sequence(lit(0L), lit(k - 1L)), lit(1L),
+        (acc, i) => acc * (top - i))
+    def idiv(a: Column, b: Column): Column =
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
+    ks.foldLeft(df) { (d, k) =>
+      d.withColumn(s"pass${k}_ppm",
+        // the domain guard lives INSIDE the output column so Catalyst
+        // can't dead-code it away: bad (n, c) fails the job, not silently
+        when(n > 20 || n < 1 || c < 0 || c > n,
+          raise_error(concat(lit("passAtK needs 1<=n<=20, 0<=c<=n; got n="),
+            n, lit(" c="), c)).cast("long"))
+          .when(n - c < k, lit(1000000L))
+          .otherwise(lit(1000000L) -
+            idiv(prod(n - c, k) * lit(1000000L), prod(n, k))))
+    }.select(col(idCol) +: col(nCol) +: col(cCol) +:
+      ks.map(k => col(s"pass${k}_ppm")): _*)
   }
 }

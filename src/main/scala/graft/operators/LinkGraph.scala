@@ -121,4 +121,70 @@ object LinkGraph {
           (coalesce(col("__c"), lit(0L)) + idiv(col("__dang"), lit(n))),
           lit(100L))).as("rank"))
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999, JACM 46(5)) — PageRank's
+    * complement for crawl curation: PageRank scores global endorsement,
+    * HITS separates DIRECTORY hosts (hubs — link to many good sources)
+    * from SOURCE hosts (authorities — linked by many good directories).
+    * A crawl scheduler seeds from hubs and a corpus keeps authorities, so
+    * the two columns answer different curation questions than gr1's one.
+    *
+    * Same determinism contract as [[pageRank]]: fixed-point BIGINT ranks
+    * in 1/`scale` units, bit-reproducible under any partitioning, the
+    * whole iteration replayable by an engine-independent oracle. One
+    * deliberate deviation, stated: Kleinberg normalizes by the L2 norm,
+    * which drags an irrational sqrt through every iteration — this uses
+    * the L1 norm (ranks sum to ~`scale` each step), which preserves the
+    * RANKING (normalization only rescales) and keeps every step exact
+    * integer arithmetic: a'(v) = Σ_{u→v} h(u) then ·scale div total. The
+    * multiply runs in decimal(38,0): raw sums reach scale·maxdeg, so
+    * raw·scale overflows a long by construction, silently in non-ANSI
+    * Spark — the decimal hop is correctness, not caution.
+    *
+    * Per iteration TWO edge-sized equi-shuffles (h ⋈ edges on src, groupBy
+    * dst; a ⋈ edges on dst, groupBy src — both map-side-combined), two
+    * one-row total broadcasts, and node-sized re-joins against the node
+    * frame (|V| ≪ |E| rows); state localCheckpoint()ed (same lineage
+    * argument as pageRank's). */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iterations: Int, scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1, s"hits needs iterations>=1 (got $iterations)")
+    require(scale >= 1000, s"hits needs scale>=1e3 (got $scale)")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    require(n > 0, "hits: empty graph")
+    def normalize(raw: DataFrame, keyCol: String, outCol: String): DataFrame = {
+      // raw: (keyCol, __s); total is a one-row broadcast, never a collect
+      val tot = raw.agg(sum(col("__s")).as("__t"))
+      nodes.join(raw, col("node") === col(keyCol), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("node"),
+          coalesce(idiv(col("__s").cast("decimal(38,0)") * lit(scale),
+            col("__t")), lit(0L)).cast("long").as(outCol))
+    }
+    var state = nodes.select(col("node"), lit(scale / n).as("hub"),
+      lit(scale / n).as("auth")).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val prev = state
+      val auth = normalize(
+        prev.join(e, prev("node") === e("src"))
+          .groupBy(col("dst")).agg(sum(col("hub")).as("__s")),
+        "dst", "auth")
+      val hub = normalize(
+        auth.join(e, auth("node") === e("dst"))
+          .groupBy(col("src")).agg(sum(col("auth")).as("__s")),
+        "src", "hub")
+      state = auth.join(hub.withColumnRenamed("node", "__hn"),
+          col("node") === col("__hn"))
+        .select(col("node"), col("hub"), col("auth"))
+        .localCheckpoint()
+      prev.unpersist()
+    }
+    e.unpersist(); nodes.unpersist()
+    state.select(col("node"), col("auth"), col("hub"))
+  }
 }

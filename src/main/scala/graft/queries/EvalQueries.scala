@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.text
+import graft.operators.Evals
+
+/** Generation-eval coverage (the deterministic complement of the
+  * reference's LLM-judge layer, `evaluations/custom_eval/evaluate.py` —
+  * answer-accuracy over golden Q&A). The (candidate, reference) pairs are
+  * synthesized from `documents` by a pure integer rule of (doc_id, pos)
+  * (the t18/t37 planted-input convention) so both engines construct
+  * byte-identical pairs: the reference is the doc's first 48 tokens, the
+  * candidate drops every token at (pos+doc_id)%7==0 and doubles every
+  * token at (pos+doc_id)%11==3 — giving real brevity-penalty variation
+  * AND real clipping (the doubled tokens over-count on the candidate
+  * side), so the metric arithmetic is value-checked, not just shaped. */
+object EvalQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev1_bleu_rouge" -> ((s, d) => bleuRouge(s, d)),
+    "ev2_calibration" -> ((s, d) => calibrationQ(s, d)),
+    "ev3_pass_at_k" -> ((s, d) => passAtKQ(s, d))
+  )
+
+  /** [[graft.operators.Evals.passAtK]] over synthesized per-task sample
+    * outcomes (each doc = one eval task, n = 10 + md5%11 samples,
+    * c = md5%(n+1) passes — both ends of c's range occur, so the 0.0 and
+    * the n−c<k ⇒ 1.0 branches are value-exercised alongside the generic
+    * binomial-ratio path). Map-only; every metric exact integer ppm. */
+  def passAtKQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def u(prefix: String): Column =
+      conv(substring(md5(concat(lit(prefix), col("doc_id"))), 1, 6), 16, 10)
+        .cast("long")
+    val tasks = docs.select(col("doc_id"),
+        (lit(10L) + u("pn:") % 11L).as("n_samples"))
+      .withColumn("n_correct", u("pc:") % (col("n_samples") + 1L))
+    Evals.passAtK(tasks, "doc_id", "n_samples", "n_correct", Seq(1, 5, 10))
+      .orderBy("doc_id")
+  }
+
+  /** (doc_id, ref, cand) token-array pairs per the synthesis rule; docs
+    * with < 8 tokens carry no pair (too short for a 4-gram statistic to
+    * mean anything — stated, not silent). */
+  private def pairs(spark: SparkSession, dir: String): DataFrame = {
+    // rule 7: the metric kernel is per-row-heavy and map-only — fan the
+    // single-row-group scan out to all cores (a no-op on pre-split input)
+    val docs = Tables.scaled(Tables.documents(spark, dir))
+    val base = docs
+      .select(col("doc_id"), slice(text.tokens(col("text")), 1, 48).as("ref"))
+      .where(size(col("ref")) >= 8)
+    val cand: Column = flatten(transform(col("ref"), (tok, i) => {
+      val pos = i.cast("long") + lit(1L) + col("doc_id")
+      when(pos % 7 === 0, array().cast("array<string>"))
+        .when(pos % 11 === 3, array(tok, tok))
+        .otherwise(array(tok))
+    }))
+    base.withColumn("cand", cand)
+  }
+
+  /** [[graft.operators.Evals.genMetrics]] over the synthesized pairs:
+    * per-doc BLEU-4 (log space, smoothing-1) + ROUGE-1/2 exact-integer
+    * ppm. Map-only — zero shuffles before the output sort. */
+  def bleuRouge(spark: SparkSession, dir: String): DataFrame =
+    Evals.genMetrics(pairs(spark, dir), "doc_id", "cand", "ref")
+      .orderBy("doc_id")
+
+  /** [[graft.operators.Evals.calibration]] over a synthesized OVERCONFIDENT
+    * scorer: score u ~ md5-uniform ppm, P(label=1 | score s) = (s/1e6)² —
+    * true accuracy sits below confidence everywhere (the post-softmax
+    * overconfidence shape of Guo et al. 2017), and per-bin sampling noise
+    * plants real monotonicity violations so the isotonic fit actually
+    * POOLS (sf0.01: bins 4/5 merge) rather than passing accuracy through.
+    * Both md5 draws and the label rule are exact integer comparisons. */
+  def calibrationQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def u(prefix: String): Column =
+      conv(substring(md5(concat(lit(prefix), col("doc_id"))), 1, 6), 16, 10)
+        .cast("long") % 1000000L
+    val scored = docs.select(
+      u("cals:").as("score_ppm"),
+      when(u("call:") * 1000000L < u("cals:") * u("cals:"), 1L)
+        .otherwise(0L).as("label"))
+    Evals.calibration(scored, "score_ppm", "label", bins = 10)
+  }
+
+  // ----------------------------------------------------------------- oracles
+
+  def oracles: Map[String, String] = Map(
+    "ev1_bleu_rouge" ->
+      ("""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
+         |tk AS (SELECT doc_id, list_filter(string_split(norm, ' '), t -> len(t) > 0) AS tk FROM n),
+         |base AS (SELECT doc_id, list_slice(tk, 1, 48) AS ref FROM tk WHERE len(tk) >= 8),
+         |rp AS (SELECT doc_id, generate_subscripts(ref, 1) AS pos, unnest(ref) AS tok FROM base),
+         |cnd AS (
+         |  SELECT doc_id, flatten(list(
+         |    CASE WHEN (pos + doc_id) % 7 = 0 THEN []
+         |         WHEN (pos + doc_id) % 11 = 3 THEN [tok, tok]
+         |         ELSE [tok] END ORDER BY pos)) AS cand
+         |  FROM rp GROUP BY doc_id),
+         |pair AS (SELECT b.doc_id, b.ref, c.cand FROM base b JOIN cnd c USING (doc_id)),
+         |ns AS (SELECT unnest([1, 2, 3, 4]) AS ng),
+         |cg AS (SELECT doc_id, ng, array_to_string(list_slice(cand, i, i + ng - 1), ' ') AS gram
+         |       FROM pair, ns, (SELECT unnest(range(1, 97)) AS i) r
+         |       WHERE i <= len(cand) - ng + 1),
+         |rg AS (SELECT doc_id, ng, array_to_string(list_slice(ref, i, i + ng - 1), ' ') AS gram
+         |       FROM pair, ns, (SELECT unnest(range(1, 49)) AS i) r
+         |       WHERE i <= len(ref) - ng + 1),
+         |cc AS (SELECT doc_id, ng, gram, count(*) AS c FROM cg GROUP BY 1, 2, 3),
+         |rc AS (SELECT doc_id, ng, gram, count(*) AS c FROM rg GROUP BY 1, 2, 3),
+         |mm AS (SELECT cc.doc_id, cc.ng, sum(least(cc.c, coalesce(rc.c, 0))) AS m
+         |       FROM cc LEFT JOIN rc ON cc.doc_id = rc.doc_id AND cc.ng = rc.ng AND cc.gram = rc.gram
+         |       GROUP BY 1, 2),
+         |wide AS (SELECT doc_id,
+         |    coalesce(max(CASE WHEN ng = 1 THEN m END), 0)::BIGINT AS m1,
+         |    coalesce(max(CASE WHEN ng = 2 THEN m END), 0)::BIGINT AS m2,
+         |    coalesce(max(CASE WHEN ng = 3 THEN m END), 0)::BIGINT AS m3,
+         |    coalesce(max(CASE WHEN ng = 4 THEN m END), 0)::BIGINT AS m4
+         |  FROM mm GROUP BY doc_id)
+         |SELECT p.doc_id, len(p.ref)::BIGINT AS r_len, len(p.cand)::BIGINT AS c_len,
+         |  w.m1, w.m2, w.m3, w.m4,
+         |  floor(1000000.0::DOUBLE * (
+         |    least(0.0::DOUBLE, 1.0::DOUBLE - len(p.ref)::DOUBLE / len(p.cand)::DOUBLE)
+         |    + 0.25::DOUBLE * (((ln((w.m1 + 1.0::DOUBLE) / (greatest(len(p.cand) - 0, 0) + 1.0::DOUBLE))
+         |                      + ln((w.m2 + 1.0::DOUBLE) / (greatest(len(p.cand) - 1, 0) + 1.0::DOUBLE)))
+         |                      + ln((w.m3 + 1.0::DOUBLE) / (greatest(len(p.cand) - 2, 0) + 1.0::DOUBLE)))
+         |                      + ln((w.m4 + 1.0::DOUBLE) / (greatest(len(p.cand) - 3, 0) + 1.0::DOUBLE)))))::BIGINT AS log_bleu_ppm,
+         |  ((2 * w.m1 * 1000000) // (len(p.cand) + len(p.ref)))::BIGINT AS rouge1_f_ppm,
+         |  (CASE WHEN len(p.cand) >= 2 AND len(p.ref) >= 2
+         |    THEN (2 * w.m2 * 1000000) // ((len(p.cand) - 1) + (len(p.ref) - 1)) ELSE 0 END)::BIGINT AS rouge2_f_ppm,
+         |  ((w.m1 * 1000000) // len(p.cand))::BIGINT AS rouge1_p_ppm,
+         |  ((w.m1 * 1000000) // len(p.ref))::BIGINT AS rouge1_r_ppm
+         |FROM pair p JOIN wide w USING (doc_id)
+         |ORDER BY doc_id""").stripMargin,
+
+    "ev2_calibration" ->
+      ("""WITH s AS (SELECT doc_id,
+         |    ('0x' || substr(md5('cals:' || doc_id), 1, 6))::BIGINT % 1000000 AS score_ppm,
+         |    ('0x' || substr(md5('call:' || doc_id), 1, 6))::BIGINT % 1000000 AS u2
+         |  FROM documents),
+         |l AS (SELECT doc_id, score_ppm,
+         |    CASE WHEN u2 * 1000000 < score_ppm * score_ppm THEN 1 ELSE 0 END AS label FROM s),
+         |b AS (SELECT least(9, (score_ppm * 10) // 1000000) AS bin, count(*) AS n, sum(label) AS pos,
+         |         sum(score_ppm) AS confsum,
+         |         sum((score_ppm - label * 1000000) * (score_ppm - label * 1000000)) AS bsum
+         |      FROM l GROUP BY 1),
+         |ord AS (SELECT bin, n, pos, confsum, bsum, row_number() OVER (ORDER BY bin) AS i FROM b),
+         |pre AS (SELECT i, bin, n, pos, confsum, bsum,
+         |         sum(n) OVER (ORDER BY i) AS cn, sum(pos) OVER (ORDER BY i) AS cp FROM ord),
+         |tot AS (SELECT sum(n) AS nn, sum(bsum) AS bs,
+         |          sum(n * abs((pos * 1000000) // n - confsum // n)) AS ecen FROM ord),
+         |pairs AS (SELECT j.i AS j, k.i AS k,
+         |     (k.cp - j.cp + j.pos)::DOUBLE / (k.cn - j.cn + j.n)::DOUBLE AS m
+         |   FROM pre j JOIN pre k ON j.i <= k.i),
+         |im AS (SELECT p.j, o.i, min(p.m) AS mn FROM pairs p JOIN ord o ON p.j <= o.i AND p.k >= o.i GROUP BY 1, 2),
+         |iso AS (SELECT i, max(mn) AS v FROM im GROUP BY 1)
+         |SELECT o.bin, o.n::BIGINT AS n, o.pos::BIGINT AS pos,
+         |  (o.confsum // o.n)::BIGINT AS conf_ppm,
+         |  ((o.pos * 1000000) // o.n)::BIGINT AS acc_ppm,
+         |  floor(1000000.0::DOUBLE * iso.v)::BIGINT AS iso_ppm,
+         |  (SELECT (ecen // nn)::BIGINT FROM tot) AS ece_ppm,
+         |  (SELECT (bs // (nn * 1000000))::BIGINT FROM tot) AS brier_ppm
+         |FROM ord o JOIN iso USING (i) ORDER BY bin""").stripMargin,
+
+    "ev3_pass_at_k" ->
+      ("""WITH s AS (SELECT doc_id,
+         |    10 + ('0x' || substr(md5('pn:' || doc_id), 1, 6))::BIGINT % 11 AS n_samples
+         |  FROM documents),
+         |sc AS (SELECT doc_id, n_samples,
+         |    ('0x' || substr(md5('pc:' || doc_id), 1, 6))::BIGINT % (n_samples + 1) AS n_correct FROM s),
+         |k AS (SELECT unnest([1, 5, 10]) AS k),
+         |p AS (SELECT sc.doc_id, sc.n_samples AS n, sc.n_correct AS c, k.k,
+         |    CASE WHEN sc.n_samples - sc.n_correct < k.k THEN 1000000
+         |         ELSE 1000000 - (
+         |           (list_product(list_transform(range(0, k.k), i -> (sc.n_samples - sc.n_correct - i)::DOUBLE)))::BIGINT * 1000000
+         |           // (list_product(list_transform(range(0, k.k), i -> (sc.n_samples - i)::DOUBLE)))::BIGINT)
+         |    END AS pass_ppm
+         |  FROM sc, k)
+         |SELECT doc_id, n AS n_samples, c AS n_correct,
+         |  max(CASE WHEN k = 1 THEN pass_ppm END)::BIGINT AS pass1_ppm,
+         |  max(CASE WHEN k = 5 THEN pass_ppm END)::BIGINT AS pass5_ppm,
+         |  max(CASE WHEN k = 10 THEN pass_ppm END)::BIGINT AS pass10_ppm
+         |FROM p GROUP BY doc_id, n, c ORDER BY doc_id""").stripMargin
+  )
+}

@@ -21,7 +21,8 @@ object GraphQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gr1_pagerank" -> ((s, d) => pagerank(s, d)),
-    "gr2_pagerank_dense" -> ((s, d) => pagerankDense(s, d))
+    "gr2_pagerank_dense" -> ((s, d) => pagerankDense(s, d)),
+    "gr3_hits" -> ((s, d) => hitsQ(s, d))
   )
 
   /** Synthesized host-link edges: each doc's host links to two derived
@@ -75,6 +76,15 @@ object GraphQueries {
   def pagerankDense(spark: SparkSession, dir: String): DataFrame =
     LinkGraph.pageRank(denseEdges(spark, dir), "src", "dst", Iters, DampPct, Scale)
       .orderBy(col("rank").desc, col("node"))
+
+  /** HITS over the same host graph, 5 L1-normalized iterations — the
+    * hub/authority split gr1's single endorsement score can't express
+    * (see [[graft.operators.LinkGraph.hits]]). The oracle unrolls all
+    * five double-steps (auth pass, L1 renorm, hub pass, L1 renorm) in
+    * HUGEINT — both engines floor-divide the identical exact integers. */
+  def hitsQ(spark: SparkSession, dir: String): DataFrame =
+    LinkGraph.hits(edges(spark, dir), "src", "dst", Iters, Scale)
+      .orderBy(col("auth").desc, col("hub").desc, col("node"))
 
   private val edgeSql: String =
     """e AS (
@@ -132,8 +142,36 @@ object GraphQueries {
        |${(1 to Iters).map(stepSql).mkString(",\n")}
        |SELECT node, outdeg, rank FROM r$Iters ORDER BY rank DESC, node""".stripMargin
 
+  /** One unrolled HITS double-step: a{i}/h{i} from h{i-1}. The raw sums
+    * run in BIGINT (bounded by scale·maxdeg), the ·scale renormalization
+    * multiply in HUGEINT — the same widening the engine side gets from
+    * decimal(38,0). */
+  private def hitsStepSql(i: Int): String =
+    s"""a${i}raw AS MATERIALIZED (SELECT e.dst AS node, sum(h.hub)::BIGINT AS s
+       |  FROM e JOIN h${i - 1} h ON e.src = h.node GROUP BY e.dst),
+       |at$i AS MATERIALIZED (SELECT sum(s)::BIGINT AS t FROM a${i}raw),
+       |a$i AS MATERIALIZED (SELECT n.node,
+       |  coalesce(((r.s::HUGEINT * $Scale) // (SELECT t FROM at$i))::BIGINT, 0) AS auth
+       |  FROM nodes n LEFT JOIN a${i}raw r ON n.node = r.node),
+       |h${i}raw AS MATERIALIZED (SELECT e.src AS node, sum(a.auth)::BIGINT AS s
+       |  FROM e JOIN a$i a ON e.dst = a.node GROUP BY e.src),
+       |ht$i AS MATERIALIZED (SELECT sum(s)::BIGINT AS t FROM h${i}raw),
+       |h$i AS MATERIALIZED (SELECT n.node,
+       |  coalesce(((r.s::HUGEINT * $Scale) // (SELECT t FROM ht$i))::BIGINT, 0) AS hub
+       |  FROM nodes n LEFT JOIN h${i}raw r ON n.node = r.node)""".stripMargin
+
+  private def hitsOracle(edgeCte: String): String =
+    s"""WITH ${edgeCte.replace("e AS (", "e AS MATERIALIZED (")},
+       |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+       |h0 AS MATERIALIZED (SELECT node, (SELECT $Scale // n FROM nn)::BIGINT AS hub FROM nodes),
+       |${(1 to Iters).map(hitsStepSql).mkString(",\n")}
+       |SELECT a.node, a.auth, h.hub FROM a$Iters a JOIN h$Iters h ON a.node = h.node
+       |ORDER BY a.auth DESC, h.hub DESC, a.node""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "gr1_pagerank" -> pagerankOracle(edgeSql),
-    "gr2_pagerank_dense" -> pagerankOracle(denseEdgeSql)
+    "gr2_pagerank_dense" -> pagerankOracle(denseEdgeSql),
+    "gr3_hits" -> hitsOracle(edgeSql)
   )
 }

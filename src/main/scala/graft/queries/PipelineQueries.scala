@@ -53,8 +53,58 @@ object PipelineQueries {
     "p6_clean_control" -> ((s, d) => cleanControl(s, d)),
     "p7_index_layout" -> ((s, d) => indexLayout(s, d)),
     "h1_html_blocks" -> ((s, d) => htmlBlocksQ(s, d)),
-    "h2_html_main" -> ((s, d) => htmlMainQ(s, d))
+    "h2_html_main" -> ((s, d) => htmlMainQ(s, d)),
+    "p9_md_tables" -> ((s, d) => mdTablesQ(s, d))
   )
+
+  /** [[graft.operators.MarkdownTables.extract]] over PLANTED markdown
+    * (t18/t37 convention — structure from pure integer functions of
+    * (doc_id, position), constructed identically in both engines' heads):
+    * each ≥9-token doc renders prose + a 3-col pipe table (1 + doc_id%3
+    * data rows) + every-4th doc a second 2×2 table + every-3rd doc a
+    * single-line pipe TRAP with no separator (must parse as prose — the
+    * naive line-filter failure) + every-5th doc an escaped `\|` inside a
+    * cell (must round-trip to a literal pipe). The oracle never parses:
+    * it derives the EXPECTED cells straight from the planting rule, so
+    * extract(render(cells)) == cells is the gate — block segmentation,
+    * separator validation, trap rejection, escape handling and cell
+    * arithmetic all value-checked. */
+  def mdTablesQ(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    // rule 7: render+parse is per-row-heavy and map-only — fan out the scan
+    val docs = Tables.scaled(Tables.documents(spark, dir))
+    val tk = graft.functions.text.tokens(col("text"))
+    val base = docs.select(col("doc_id"), tk.as("tk"))
+      .withColumn("ntok", size(col("tk"))).where(col("ntok") >= 9)
+      .withColumn("nrows", (col("doc_id") % 3 + 1).cast("int"))
+    def tkAt(i: Column): Column = element_at(col("tk"), (i + 1).cast("int"))
+    def cell1(r: Column, c: Column): Column = {
+      val v = tkAt(((r * 3 + c) * 7) % col("ntok"))
+      when(r === 1 && c === 1 && col("doc_id") % 5 === 0,
+        concat(v, lit("\\|"), element_at(col("tk"), 1))).otherwise(v)
+    }
+    def cell2(r: Column, c: Column): Column = tkAt(((r * 2 + c) * 5) % col("ntok"))
+    def row1(r: Column): Column = concat(lit("| "), cell1(r, lit(0)),
+      lit(" | "), cell1(r, lit(1)), lit(" | "), cell1(r, lit(2)), lit(" |"))
+    def row2(r: Column): Column = concat(lit("| "), cell2(r, lit(0)),
+      lit(" | "), cell2(r, lit(1)), lit(" |"))
+    val noLines = array().cast("array<string>")
+    val md = concat_ws("\n", concat(
+      array(concat(lit("intro "), element_at(col("tk"), 1))),
+      when(col("doc_id") % 3 === 0,
+        array(lit("| fake | pipe |"),
+          concat(lit("mid "), element_at(col("tk"), 2)))).otherwise(noLines),
+      array(row1(lit(0)), lit("| --- | --- | --- |")),
+      transform(sequence(lit(1), col("nrows")), r => row1(r)),
+      array(concat(lit("after "), element_at(col("tk"), 3))),
+      when(col("doc_id") % 4 === 0,
+        array(row2(lit(0)), lit("| --- | --- |"), row2(lit(1))))
+        .otherwise(noLines),
+      array(lit("tail"))))
+    graft.operators.MarkdownTables.extract(
+        base.withColumn("md", md), "doc_id", "md")
+      .orderBy("doc_id", "tbl", "row_idx", "col_idx")
+  }
 
   /** C4 oracle-gated: the ingest control-char cleaner over documents whose
     * text is salted with one representative of every class boundary the
@@ -982,6 +1032,23 @@ object PipelineQueries {
     // C4 replay: same salt chars appended (chr() keeps the JSON transport
     // clean), same RE2/Java char class, then length + md5 of the cleaned
     // text — a class-boundary drift (e.g. \x9f excluded) flips both.
+    "p9_md_tables" ->
+      ("""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
+         |tk0 AS (SELECT doc_id, list_filter(string_split(norm, ' '), t -> len(t) > 0) AS tk FROM n),
+         |base AS (SELECT doc_id, tk, len(tk) AS ntok, (doc_id % 3 + 1) AS nrows FROM tk0 WHERE len(tk) >= 9),
+         |c1 AS (SELECT doc_id, 1::BIGINT AS tbl, r.r::BIGINT AS row_idx, c.c::BIGINT AS col_idx,
+         |    CASE WHEN r.r = 1 AND c.c = 1 AND doc_id % 5 = 0
+         |         THEN tk[((r.r * 3 + c.c) * 7) % ntok + 1] || '|' || tk[1]
+         |         ELSE tk[((r.r * 3 + c.c) * 7) % ntok + 1] END AS cell
+         |  FROM base, (SELECT unnest(range(0, 4)) AS r) r, (SELECT unnest(range(0, 3)) AS c) c
+         |  WHERE r.r <= nrows),
+         |c2 AS (SELECT doc_id, 2::BIGINT AS tbl, r.r::BIGINT AS row_idx, c.c::BIGINT AS col_idx,
+         |    tk[((r.r * 2 + c.c) * 5) % ntok + 1] AS cell
+         |  FROM base, (SELECT unnest(range(0, 2)) AS r) r, (SELECT unnest(range(0, 2)) AS c) c
+         |  WHERE doc_id % 4 = 0)
+         |SELECT doc_id, tbl, row_idx, col_idx, cell
+         |FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2)
+         |ORDER BY doc_id, tbl, row_idx, col_idx""").stripMargin,
     "p6_clean_control" ->
       """WITH dirty AS (SELECT doc_id,
         |  text || chr(1) || chr(9) || chr(127) || chr(128) || chr(159)

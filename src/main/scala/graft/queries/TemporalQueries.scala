@@ -36,8 +36,24 @@ object TemporalQueries {
     "e16_interval_union" -> ((s, d) => intervalUnionQ(s, d)),
     "e17_target_encode" -> ((s, d) => targetEncodeQ(s, d)),
     "e18_rolling_anomaly" -> ((s, d) => rollingAnomalyQ(s, d)),
-    "e19_ab_uplift" -> ((s, d) => abUpliftQ(s, d))
+    "e19_ab_uplift" -> ((s, d) => abUpliftQ(s, d)),
+    "c5_texttile" -> ((s, d) => textTileQ(s, d))
   )
+
+  /** [[graft.operators.Chunker.textTileGaps]] over the corpus — the
+    * TextTiling cohesion profile at w=8/k=2/radius=3/threshold 0.25: one
+    * row per inter-block gap with its Dice cohesion, depth score, and
+    * boundary verdict. This corpus is topic-less word soup, so the
+    * VERDICTS are noise by design — the oracle gates the pipeline's
+    * arithmetic (overlap counts, exact integer Dice, windowed peaks,
+    * threshold), the t34 convention; segmentation QUALITY on a planted
+    * two-topic fixture is ChunkerSpec's job. sf0.01 yields both verdicts
+    * (899 true / 2210 false), so the cut discriminates. */
+  def textTileQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunker.textTileGaps(
+      graft.Tables.scaled(graft.Tables.documents(spark, dir)),
+      "doc_id", "text")
+      .orderBy("doc_id", "gap")
 
   /** Hourly tick-coverage data-quality report over the purchase stream —
     * the gate that decides whether e7/e14's fills are resampling or
@@ -325,6 +341,28 @@ object TemporalQueries {
       .orderBy("metric")
 
   def oracles: Map[String, String] = Map(
+    "c5_texttile" ->
+      ("""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
+         |tk0 AS (SELECT doc_id, list_filter(string_split(norm, ' '), t -> len(t) > 0) AS tk FROM n),
+         |base AS (SELECT doc_id, tk, ((len(tk) + 7) // 8)::BIGINT AS nb FROM tk0 WHERE len(tk) >= 9),
+         |gaps AS (SELECT doc_id, g,
+         |    list_slice(tk, greatest(g - 2, 0) * 8 + 1, g * 8) AS lft,
+         |    list_slice(tk, g * 8 + 1, least(nb, g + 2) * 8) AS rgt
+         |  FROM base, (SELECT unnest(range(1, 64)) AS g) r WHERE g <= nb - 1),
+         |lt AS (SELECT doc_id, g, tok, count(*) AS c FROM (SELECT doc_id, g, unnest(lft) AS tok FROM gaps) GROUP BY 1, 2, 3),
+         |rt AS (SELECT doc_id, g, tok, count(*) AS c FROM (SELECT doc_id, g, unnest(rgt) AS tok FROM gaps) GROUP BY 1, 2, 3),
+         |ov AS (SELECT lt.doc_id, lt.g, sum(least(lt.c, coalesce(rt.c, 0))) AS m
+         |  FROM lt LEFT JOIN rt ON lt.doc_id = rt.doc_id AND lt.g = rt.g AND lt.tok = rt.tok GROUP BY 1, 2),
+         |sims AS (SELECT gp.doc_id, gp.g, ((2 * coalesce(ov.m, 0) * 1000000) // (len(gp.lft) + len(gp.rgt)))::BIGINT AS sim
+         |  FROM gaps gp LEFT JOIN ov ON gp.doc_id = ov.doc_id AND gp.g = ov.g),
+         |d AS (SELECT doc_id, g, sim,
+         |  coalesce(max(sim) OVER (PARTITION BY doc_id ORDER BY g ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), sim) AS ml,
+         |  coalesce(max(sim) OVER (PARTITION BY doc_id ORDER BY g ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING), sim) AS mr
+         |  FROM sims)
+         |SELECT doc_id, g AS gap, sim AS sim_ppm,
+         |  (greatest(ml - sim, 0) + greatest(mr - sim, 0))::BIGINT AS depth_ppm,
+         |  (greatest(ml - sim, 0) + greatest(mr - sim, 0)) >= 250000 AS is_boundary
+         |FROM d ORDER BY doc_id, gap""").stripMargin,
     "e19_ab_uplift" ->
       """WITH u AS (SELECT DISTINCT user_id AS u FROM events),
         |ua AS (SELECT u, CASE WHEN ('0x' || substr(md5('ab:' || u), 1, 6))::BIGINT % 2 = 0

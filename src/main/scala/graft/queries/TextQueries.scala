@@ -37,8 +37,22 @@ object TextQueries {
     "t33_paragraph_dedup" -> ((s, d) => paragraphDedup(s, d)),
     "t39_winnow" -> ((s, d) => winnow(s, d)),
     "t40_winnow_match" -> ((s, d) => winnowMatch(s, d)),
-    "t41_bpe_train" -> ((s, d) => bpeTrain(s, d))
+    "t41_bpe_train" -> ((s, d) => bpeTrain(s, d)),
+    "t62_unigram_train" -> ((s, d) => unigramTrain(s, d))
   )
+
+  /** [[graft.operators.UnigramTrainer.train]] at the default ladder
+    * constants (pieces ≤ 6 chars, 150-candidate multi-char seed, keep 64):
+    * the full hard-EM round — seed counts, fixed-point log-prob model,
+    * Viterbi usage counts, prune verdict — value-checked piece by piece.
+    * The oracle replays the ENTIRE round: the same grid seeding, the same
+    * ⌊1e9·ln p⌋ model, the Viterbi DP as a recursive CTE carrying the
+    * (best, backpointer) lists (tr4/gr2 list-state discipline), the
+    * backtrace as a second recursive walk, and the rank-cut prune. */
+  def unigramTrain(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.UnigramTrainer.train(
+      graft.Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("piece")
 
   /** Paragraph-level global dedup (CCNet §3.1 shape): distinct paragraphs
     * keep their first occurrence by (doc, position), every later occurrence
@@ -844,6 +858,63 @@ object TextQueries {
       s"""$winnowSql
          |SELECT DISTINCT doc_id, pos, fp FROM wsel ORDER BY doc_id, pos""".stripMargin,
     "t41_bpe_train" -> bpeTrainSql,
+    "t62_unigram_train" ->
+      ("""WITH RECURSIVE
+         |nrm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
+         |alltok AS (SELECT unnest(list_filter(string_split(norm, ' '), t -> len(t) > 0)) AS word FROM nrm),
+         |w AS MATERIALIZED (SELECT word, count(*)::BIGINT AS freq FROM alltok WHERE len(word) <= 12 GROUP BY word),
+         |sub AS (SELECT substr(w.word, j.j + 1, l.l) AS piece, sum(w.freq)::BIGINT AS seed_count
+         |  FROM w, (SELECT unnest(range(0, 12)) AS j) j, (SELECT unnest(range(1, 7)) AS l) l
+         |  WHERE j.j + l.l <= len(w.word) GROUP BY 1),
+         |sel AS MATERIALIZED (
+         |  SELECT piece, seed_count FROM sub WHERE len(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, seed_count FROM (
+         |    SELECT piece, seed_count, row_number() OVER (ORDER BY seed_count DESC, piece) AS rk
+         |    FROM sub WHERE len(piece) > 1) WHERE rk <= 150),
+         |tot AS (SELECT sum(seed_count)::BIGINT AS t FROM sel),
+         |lp AS MATERIALIZED (SELECT piece, seed_count,
+         |  floor(1000000000.0::DOUBLE * ln(seed_count::DOUBLE / (SELECT t FROM tot)::DOUBLE))::BIGINT AS lnp
+         |  FROM sel),
+         |grid AS (SELECT w.word, j.j, l.l, substr(w.word, j.j + 1, l.l) AS pc
+         |  FROM w, (SELECT unnest(range(0, 12)) AS j) j, (SELECT unnest(range(1, 7)) AS l) l),
+         |lut AS MATERIALIZED (SELECT g.word,
+         |    list(CASE WHEN g.j + g.l <= len(g.word) THEN p.lnp END ORDER BY g.j, g.l) AS lut
+         |  FROM grid g LEFT JOIN lp p ON g.pc = p.piece GROUP BY g.word),
+         |rec AS (
+         |  SELECT w.word, w.freq, len(w.word) AS n, l.lut, 0 AS i,
+         |         [0::BIGINT] AS best, [0] AS bp
+         |  FROM w JOIN lut l USING (word)
+         |  UNION ALL
+         |  SELECT word, freq, n, lut, i + 1,
+         |         list_append(best, bv), list_append(bp, bj)
+         |  FROM (
+         |    SELECT word, freq, n, lut, i, best, bp,
+         |      list_max(list_filter(list_transform(range(greatest(i - 5, 0), i + 1),
+         |        j -> best[j + 1] + lut[j * 6 + (i + 1 - j)]), x -> x IS NOT NULL)) AS bv,
+         |      list_min(list_filter(range(greatest(i - 5, 0), i + 1),
+         |        j -> best[j + 1] + lut[j * 6 + (i + 1 - j)] =
+         |          list_max(list_filter(list_transform(range(greatest(i - 5, 0), i + 1),
+         |            k -> best[k + 1] + lut[k * 6 + (i + 1 - k)]), x -> x IS NOT NULL)))) AS bj
+         |    FROM rec WHERE i < n) t),
+         |fin AS MATERIALIZED (SELECT word, freq, n, bp FROM rec WHERE i = n),
+         |bt AS (
+         |  SELECT word, freq, bp, n AS pos FROM fin
+         |  UNION ALL
+         |  SELECT word, freq, bp, bp[pos + 1] FROM bt WHERE pos > 0),
+         |used AS MATERIALIZED (
+         |  SELECT substr(word, bp[pos + 1] + 1, pos - bp[pos + 1]) AS piece,
+         |         sum(freq)::BIGINT AS used_count
+         |  FROM bt WHERE pos > 0 GROUP BY 1),
+         |ranked AS (SELECT p.piece, row_number() OVER (ORDER BY u.used_count DESC, p.piece) AS rk
+         |  FROM lp p JOIN used u ON p.piece = u.piece
+         |  WHERE len(p.piece) > 1 AND u.used_count > 0)
+         |SELECT p.piece, p.seed_count, p.lnp AS lnp_fp,
+         |  coalesce(u.used_count, 0)::BIGINT AS used_count,
+         |  (len(p.piece) = 1 OR coalesce(r.rk, 99999) <= 64) AS kept
+         |FROM lp p LEFT JOIN used u ON p.piece = u.piece
+         |LEFT JOIN ranked r ON p.piece = r.piece
+         |ORDER BY p.piece""").stripMargin,
     "t40_winnow_match" ->
       s"""$winnowSql,
          |f AS (SELECT DISTINCT doc_id, fp FROM wsel),

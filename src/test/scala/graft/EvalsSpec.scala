@@ -55,4 +55,108 @@ class EvalsSpec extends AnyFunSuite {
     // a query with NO relevant docs is still omitted (metrics undefined)
     assert(!out.contains(2L))
   }
+
+  private def gen(cand: Seq[String], ref: Seq[String]) = {
+    val df = Seq((1L, cand, ref)).toDF("id", "cand", "ref")
+    Evals.genMetrics(df, "id", "cand", "ref")
+      .select("r_len", "c_len", "m1", "m2", "m3", "m4",
+        "log_bleu_ppm", "rouge1_f_ppm", "rouge2_f_ppm",
+        "rouge1_p_ppm", "rouge1_r_ppm")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().head
+  }
+
+  test("genMetrics: Papineni clipping example — the degenerate candidate") {
+    // the canonical BLEU §2.1 case: 'the'×7 vs 'the cat is on the mat'.
+    // unigram precision clips at ref count 2; every higher order is 0.
+    val out = gen(Seq.fill(7)("the"), "the cat is on the mat".split(" ").toSeq)
+    val (rl, cl, m1, m2, m3, m4, bleu, r1f, r2f, r1p, r1r) = out
+    assert(rl == 6L && cl == 7L)
+    assert(m1 == 2L && m2 == 0L && m3 == 0L && m4 == 0L)
+    // BP = min(0, 1-6/7) = 0; ln p = ln(3/8)+ln(1/7)+ln(1/6)+ln(1/5)
+    val lb = 0.25 * (((math.log(3.0 / 8) + math.log(1.0 / 7)) +
+      math.log(1.0 / 6)) + math.log(1.0 / 5))
+    assert(bleu == math.floor(1e6 * lb).toLong, s"$bleu vs $lb")
+    assert(r1f == 2L * 2 * 1000000 / 13)      // 2m/(c+r) = 4/13
+    assert(r2f == 0L)
+    assert(r1p == 2L * 1000000 / 7 && r1r == 2L * 1000000 / 6)
+  }
+
+  test("genMetrics: identical pair scores log-BLEU 0 and ROUGE-1 F1 = 1e6") {
+    val toks = "a b c d e".split(" ").toSeq
+    val (rl, cl, m1, m2, m3, m4, bleu, r1f, r2f, _, _) = gen(toks, toks)
+    assert(rl == 5L && cl == 5L)
+    assert(m1 == 5L && m2 == 4L && m3 == 3L && m4 == 2L)
+    assert(bleu == 0L, "perfect match: BP=0 and every smoothed p_n = 1")
+    assert(r1f == 1000000L && r2f == 1000000L)
+  }
+
+  test("genMetrics: brevity penalty fires on a short candidate; n>len orders are neutral") {
+    // candidate of 2 tokens: no 3/4-grams exist — (0+1)/(0+1) keeps those
+    // ln terms at 0 instead of poisoning the sum
+    val (rl, cl, m1, m2, _, _, bleu, _, r2f, _, _) =
+      gen(Seq("a", "b"), Seq("a", "b", "c", "d"))
+    assert(rl == 4L && cl == 2L && m1 == 2L && m2 == 1L)
+    val lb = (1.0 - 4.0 / 2.0) +
+      0.25 * (((math.log(3.0 / 3) + math.log(2.0 / 2)) + 0.0) + 0.0)
+    assert(bleu == math.floor(1e6 * lb).toLong)
+    assert(r2f == 2L * 1 * 1000000 / (1 + 3))
+  }
+
+  test("calibration: planted violation pools; ECE/Brier match hand computation; empty bins absent") {
+    // bins=4: bin0 acc 1.0 > bin1 acc 0.0 is a monotonicity violation the
+    // isotonic fit must POOL to (2+0)/(2+2)=0.5; bin2 is empty and must
+    // not appear; bin3 is already isotone above the pooled pair.
+    val scored = Seq(
+      (100000L, 1L), (100000L, 1L),
+      (300000L, 0L), (300000L, 0L),
+      (900000L, 1L)
+    ).toDF("score_ppm", "label")
+    val out = Evals.calibration(scored, "score_ppm", "label", bins = 4)
+      .select("bin", "n", "pos", "conf_ppm", "acc_ppm", "iso_ppm",
+        "ece_ppm", "brier_ppm")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 3L), "empty bin 2 must vanish")
+    val Array(b0, b1, b3) = out
+    assert(b0 == ((0L, 2L, 2L, 100000L, 1000000L, 500000L, 500000L, 362000L)))
+    assert(b1 == ((1L, 2L, 0L, 300000L, 0L, 500000L, 500000L, 362000L)))
+    assert(b3 == ((3L, 1L, 1L, 900000L, 1000000L, 1000000L, 500000L, 362000L)))
+  }
+
+  test("passAtK: matches hand-computed binomial ratios; edge branches exact") {
+    val tasks = Seq(
+      (1L, 5L, 2L),   // pass@1 = 1 - 3/5 = 0.4; pass@5: n-c=3<5 -> 1.0
+      (2L, 10L, 0L),  // no passes -> 0 at every k <= n
+      (3L, 20L, 20L), // all pass -> 1.0 everywhere
+      (4L, 10L, 1L)   // pass@10: n-c=9<10 -> 1.0; pass@5 = 1 - C(9,5)/C(10,5)
+    ).toDF("task", "n", "c")
+    val out = Evals.passAtK(tasks, "task", "n", "c", Seq(1, 5, 10))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._4, r._5, r._6)).toMap
+    assert(out(1L) == ((400000L, 1000000L, 1000000L)))
+    assert(out(2L) == ((0L, 0L, 0L)))
+    assert(out(3L) == ((1000000L, 1000000L, 1000000L)))
+    // C(9,5)=126, C(10,5)=252 -> pass@5 = 1 - 1/2
+    assert(out(4L) == ((100000L, 500000L, 1000000L)))
+  }
+
+  test("passAtK: out-of-domain n fails loudly instead of overflowing") {
+    val bad = Seq((1L, 25L, 3L)).toDF("task", "n", "c")
+    val e = intercept[Exception] {
+      Evals.passAtK(bad, "task", "n", "c", Seq(1)).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("calibration: already-isotone accuracies pass through the fit unchanged") {
+    val scored = Seq(
+      (100000L, 0L), (100000L, 0L), (100000L, 1L), (100000L, 1L),
+      (600000L, 0L), (600000L, 1L), (600000L, 1L), (600000L, 1L)
+    ).toDF("score_ppm", "label")
+    val out = Evals.calibration(scored, "score_ppm", "label", bins = 2)
+      .select("bin", "acc_ppm", "iso_ppm")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((0L, 500000L, 500000L), (1L, 750000L, 750000L)))
+  }
 }

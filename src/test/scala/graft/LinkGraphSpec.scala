@@ -90,4 +90,60 @@ class LinkGraphSpec extends AnyFunSuite {
       LinkGraph.pageRank(g.toDF("s", "d"), "s", "d", 3, dampingPct = 101)
     }
   }
+
+  /** Naive single-threaded replay of the exact HITS integer recurrence
+    * (L1-normalized fixed point, BigInt for the ·scale renorm multiply —
+    * the same widening the engine gets from decimal(38,0)). */
+  private def hitsReference(edges: Seq[(String, String)],
+                            iters: Int): Map[String, (Long, Long)] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    var hub = nodes.map(_ -> Scale / nodes.size).toMap
+    var auth = Map.empty[String, Long].withDefaultValue(0L)
+    for (_ <- 1 to iters) {
+      val araw = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => hub(s) }.sum }
+      val at = araw.values.sum
+      auth = nodes.map(v => v -> araw.get(v)
+        .map(r => (BigInt(r) * Scale / at).toLong).getOrElse(0L)).toMap
+      val hraw = edges.groupBy(_._1).map { case (s, es) =>
+        s -> es.map { case (_, d) => auth(d) }.sum }
+      val ht = hraw.values.sum
+      hub = nodes.map(v => v -> hraw.get(v)
+        .map(r => (BigInt(r) * Scale / ht).toLong).getOrElse(0L)).toMap
+    }
+    nodes.map(v => v -> (auth(v), hub(v))).toMap
+  }
+
+  // two directories pointing at shared sources, one off-topic page:
+  // h1 -> {a1,a2,a3}, h2 -> {a1,a2}, a1 -> x
+  private val hg = Seq("h1" -> "a1", "h1" -> "a2", "h1" -> "a3",
+    "h2" -> "a1", "h2" -> "a2", "a1" -> "x")
+
+  private def runHits(edges: Seq[(String, String)], iters: Int,
+                      parts: Int = 4): Map[String, (Long, Long)] =
+    LinkGraph.hits(edges.toDF("s", "d").repartition(parts), "s", "d", iters)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+  test("hits matches the exact integer recurrence") {
+    for (iters <- Seq(1, 3, 5)) {
+      assert(runHits(hg, iters) == hitsReference(hg, iters), s"iters=$iters")
+    }
+  }
+
+  test("hits separates hubs from authorities; the split PageRank can't make") {
+    val r = runHits(hg, 5)
+    // a1 and a2 share identical in-link structure — symmetric authorities
+    // to the bit (a1's extra OUT-link must not leak into its auth score);
+    // a3 (one directory) ranks below; the bigger directory h1 is the top
+    // hub; pure hubs have zero authority and pure sinks zero hub score
+    assert(r("a1")._1 == r("a2")._1 && r("a2")._1 > r("a3")._1)
+    assert(r("a3")._1 > 0L)
+    assert(r("h1")._2 > r("h2")._2)
+    assert(r("h1")._1 == 0L && r("h2")._1 == 0L, "nothing links to the hubs")
+    assert(r("a2")._2 == 0L && r("x")._2 == 0L, "sinks curate nothing")
+  }
+
+  test("hits is bit-identical under different input partitionings") {
+    assert(runHits(hg, 5, parts = 1) == runHits(hg, 5, parts = 7))
+  }
 }

@@ -462,4 +462,30 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       s"field combination degraded to cartesian:\n$p")
   }
+
+  test("ev1/ev3/c5/p9: in-row metric kernels are map-only — no join, no keyed exchange") {
+    Seq("ev1_bleu_rouge", "ev3_pass_at_k", "c5_texttile", "p9_md_tables")
+      .foreach { q =>
+        val p = executedPlan(q)
+        assert(!p.contains("Join"), s"$q planned a join:\n$p")
+        assert(!p.contains("hashpartitioning"),
+          s"$q grew a keyed shuffle:\n$p")
+      }
+  }
+
+  // ev2_calibration has no external plan to guard: the corpus-sized groupBy
+  // executes INSIDE Evals.calibration (rule-17 driver fit) and the returned
+  // frame is the request-sized local result — its shape is pinned by
+  // EvalsSpec's value fixtures instead.
+
+  test("gr3_hits: contribution joins stay equi-shaped; totals broadcast as one row") {
+    val p = executedPlan("gr3_hits")
+    assert(!p.contains("CartesianProduct"), s"gr3 degraded to cartesian:\n$p")
+  }
+
+  test("t62_unigram_train: corpus-sized stage is the one word groupBy; DP is join-free") {
+    val p = executedPlan("t62_unigram_train")
+    assert(!p.contains("CartesianProduct"), s"t62 degraded to cartesian:\n$p")
+    assert(p.contains("HashAggregate"), s"t62 lost the aggregation shape:\n$p")
+  }
 }
