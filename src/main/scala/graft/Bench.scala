@@ -73,7 +73,9 @@ object Bench {
     "t53_fim_transform", "t54_span_corrupt", "t55_gopher_quality",
     "t56_c4_line_filters", "t57_nb_classifier", "h1_html_blocks",
     "h2_html_main", "t58_sft_render", "n13_bm25f", "u7_time_travel", "tr4_bt_strengths", "t59_dpo_pairs", "t60_wordpiece", "t61_contamination_report", "q4_skew_report",
-    "e19_ab_uplift", "ev1_bleu_rouge", "ev2_calibration", "c5_texttile")
+    "e19_ab_uplift", "ev1_bleu_rouge", "ev2_calibration", "c5_texttile",
+    "ev3_pass_at_k", "gr3_hits", "t62_unigram_train", "p9_md_tables",
+    "tr5_pl_strengths")
   // v23_ann_recall is deliberately NOT a headliner: it is a QUALITY gate
   // (eight recall measurements, each paying an index-build arm the bench
   // already times individually via v12/v13/v15/v17/v22) — benching it

@@ -71,11 +71,15 @@ object Evals {
 
   /** Positional word n-grams (NOT distinct — BLEU/ROUGE count multiplicity;
     * `text.word_shingles` dedups, which is the wrong statistic here).
-    * Shorter-than-n token lists yield an empty array. */
+    * Shorter-than-n token lists yield an empty array. Grams assemble from
+    * n `element_at` reads + one concat — NOT `slice` + `concat_ws`, whose
+    * per-gram ArrayData copy was the x64 probe's measured hot spot. */
   private def posNgrams(toks: Column, n: Int): Column =
     when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      transform(sequence(lit(0), size(toks) - n), i =>
+        (2 to n).foldLeft(element_at(toks, i + 1)) { (acc, o) =>
+          concat(acc, lit(" "), element_at(toks, i + o))
+        }))
       .otherwise(array().cast("array<string>"))
 
   /** Clipped match count Σ_g min(count_cand(g), count_ref(g)) — the

@@ -188,4 +188,93 @@ object Mining {
         math.floor(p(i) * 1000000.0).toLong)
     }.toDF("item", "n_wins", "n_comps", "strength_fp")
   }
+
+  /** Plackett–Luce strength fitting from LISTWISE rankings — the K-wise
+    * generalization of [[btStrengths]] and the model the InstructGPT-style
+    * RLHF pipelines fit when annotators rank K completions per prompt
+    * instead of judging pairs: P(ranking) = Π_p γ_{r_p} / Σ_{j ∈
+    * suffix(p)} γ_j. Fit by Hunter's MM (Hunter 2004 §2, Jacobi form):
+    *
+    *   γ'_i = W_i / Σ_{lists, positions q<K : i ∈ suffix(q)} 1/S(q),
+    *   S(q) = Σ_{t ≥ q} γ_{r_t},   then normalize γ'' = γ'/Σγ'
+    *
+    * with W_i = #appearances of i in a NON-LAST position (the last choice
+    * is from a singleton and carries no information). No smoothing (tr4's
+    * half-win trick is pairwise-specific — stated): an item that never
+    * wins fits γ → 0, which is the honest answer.
+    *
+    * Determinism: the corpus reduces to (ranking-pattern, count) — ONE
+    * keyed groupBy per list then ONE bounded pattern groupBy; the fit runs
+    * DRIVER-SIDE over patterns in LEXICOGRAPHIC pattern order (stated, and
+    * the order the oracle's `list(... ORDER BY pi)` replays), every float
+    * sum an ascending left fold: patterns outer, positions q ascending,
+    * suffix t ascending. Strengths emit as floor(γ·1e6).
+    *
+    * 100 TB shape: rankings of the SAME item universe collapse to at most
+    * |universe|! patterns (24 for 4 models) — request-sized by nature for
+    * the model-eval use; the guard fails loudly if the pattern table
+    * stops being request-sized rather than silently collecting a corpus.
+    *
+    * Input rows: (listIdCol, itemCol, posCol 1-based rank). Returns
+    * (item, n_lists, n_wins, strength_fp). */
+  def plStrengths(rankings: DataFrame, listIdCol: String, itemCol: String,
+                  posCol: String, iters: Int = 20): DataFrame = {
+    require(iters >= 1, s"iters >= 1 (got $iters)")
+    val spark = rankings.sparkSession
+    import spark.implicits._
+    val perms: Array[(Vector[Int], Long)] = {
+      val raw = rankings.groupBy(col(listIdCol))
+        .agg(sort_array(collect_list(struct(col(posCol).cast("long").as("p"),
+          col(itemCol).cast("long").as("it")))).as("s"))
+        .select(transform(col("s"), x => x.getField("it")).as("perm"))
+        .groupBy("perm").agg(count(lit(1)).as("cnt"))
+        .as[(Seq[Long], Long)].collect()
+      require(raw.nonEmpty, "plStrengths: empty input")
+      require(raw.length <= 100000, s"plStrengths: ${raw.length} distinct " +
+        "ranking patterns - item universe too large for the rule-17 driver fit")
+      val items = raw.flatMap(_._1).distinct.sorted
+      val idx = items.zipWithIndex.toMap
+      raw.map { case (p, c) => (p.iterator.map(idx).toVector, c) }
+    }
+    val itemsSorted = rankings.select(col(itemCol).cast("long")).distinct()
+      .as[Long].collect().sorted
+    val m = itemsSorted.length
+    // lexicographic pattern order — the shared fold order (oracle: ORDER BY pi)
+    val ps = perms.sortWith { case ((a, _), (b, _)) =>
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n && a(i) == b(i)) i += 1
+      if (i < n) a(i) < b(i) else a.length < b.length
+    }
+    require(ps.exists(_._1.length >= 2),
+      "plStrengths: need at least one ranking of length >= 2")
+    val nLists = Array.tabulate(m)(i =>
+      ps.collect { case (p, c) if p.contains(i) => c }.sum)
+    val nWins = Array.tabulate(m)(i =>
+      ps.collect { case (p, c) if p.dropRight(1).contains(i) => c }.sum)
+    val bigW = Array.tabulate(m)(i => ps.foldLeft(0.0) { case (acc, (p, c)) =>
+      if (p.dropRight(1).contains(i)) acc + c.toDouble else acc })
+    var g = Array.fill(m)(1.0)
+    for (_ <- 1 to iters) {
+      val g2 = Array.tabulate(m) { i =>
+        val den = ps.foldLeft(0.0) { case (acc, (p, c)) =>
+          val k = p.length
+          val posI = p.indexOf(i) + 1 // 0 when absent
+          val inner = (1 until k).foldLeft(0.0) { (a, q) =>
+            if (posI >= 1 && q <= posI) {
+              val s = (q - 1 until k).foldLeft(0.0)((ss, t) => ss + g(p(t)))
+              a + 1.0 / s
+            } else a
+          }
+          acc + c.toDouble * inner
+        }
+        bigW(i) / den
+      }
+      val s = g2.foldLeft(0.0)(_ + _)
+      g = g2.map(_ / s)
+    }
+    itemsSorted.indices.map(i => (itemsSorted(i), nLists(i), nWins(i),
+      math.floor(g(i) * 1000000.0).toLong))
+      .toDF("item", "n_lists", "n_wins", "strength_fp")
+  }
 }

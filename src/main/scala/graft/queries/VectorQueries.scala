@@ -46,6 +46,7 @@ object VectorQueries {
     "tr2_semihard" -> ((s, d) => semiHardQ(s, d)),
     "tr3_triplets" -> ((s, d) => tripletsQ(s, d)),
     "tr4_bt_strengths" -> ((s, d) => btStrengthsQ(s, d)),
+    "tr5_pl_strengths" -> ((s, d) => plStrengthsQ(s, d)),
     "v25_abtt_projection" -> ((s, d) => abttProjectionQ(s, d)),
     "s1_search_docs" -> ((s, d) => searchDocs(s, d)),
     "s2_colpali_padding" -> ((s, d) => colpaliPadding(s, d)),
@@ -1061,6 +1062,28 @@ object VectorQueries {
       .orderBy("item")
   }
 
+  /** [[graft.operators.Mining.plStrengths]] over synthesized 4-way
+    * rankings: each doc ranks judges 0..3 by score md5%1000 + 120·item
+    * (descending, ties to the lower item id) — the additive bias makes
+    * item 3 the usual winner so the fitted ordering is meaningful, while
+    * md5 noise keeps all 24 patterns populated. The oracle replays the
+    * ENTIRE fit — pattern reduction, lexicographic pattern order, 20
+    * Jacobi MM updates with the identical suffix-sum fold order — via a
+    * recursive CTE carrying the strength vector (tr4 discipline). */
+  def plStrengthsQ(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sc = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(sequence(lit(0L), lit(3L))).as("item"))
+      .withColumn("score",
+        conv(substring(md5(concat(lit("pl:"), col("doc_id"), lit(":"),
+          col("item"))), 1, 6), 16, 10).cast("long") % 1000L +
+          lit(120L) * col("item"))
+    val rk = sc.withColumn("pos", row_number().over(
+      Window.partitionBy("doc_id").orderBy(col("score").desc, col("item"))))
+    graft.operators.Mining.plStrengths(rk, "doc_id", "item", "pos", iters = 20)
+      .orderBy("item")
+  }
+
   /** All-but-the-Top fit + per-vector top-PC projection (Mu & Viswanath
     * 2018): fixed-point integer S/Gram passes, driver-side 30-iteration
     * power fit (rule 17), projections as floor(p*1000) — the full
@@ -1116,6 +1139,51 @@ object VectorQueries {
     // ::DOUBLE — bare decimals type as DECIMAL and quantize the fit), MM
     // iterations + normalization as ascending-index list folds in a
     // recursive CTE carrying the strength vector (gr2/k1 discipline)
+    "tr5_pl_strengths" ->
+      ("""WITH RECURSIVE it AS (SELECT unnest(range(0, 4)) AS item),
+         |sc AS (SELECT d.doc_id, it.item,
+         |    ('0x' || substr(md5('pl:' || d.doc_id || ':' || it.item), 1, 6))::BIGINT % 1000
+         |      + 120 * it.item AS score
+         |  FROM documents d, it),
+         |rk AS (SELECT doc_id, item,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, item) AS pos FROM sc),
+         |pm AS (SELECT doc_id, list(item ORDER BY pos) AS perm FROM rk GROUP BY doc_id),
+         |pc AS (SELECT perm, count(*)::BIGINT AS cnt FROM pm GROUP BY perm),
+         |items AS (SELECT DISTINCT unnest(perm) AS i FROM pc),
+         |imt AS (SELECT list(i ORDER BY i) AS im FROM items),
+         |pidx AS (SELECT list_transform(perm, x -> (list_position(imt.im, x) - 1)::BIGINT) AS pi, cnt
+         |         FROM pc, imt),
+         |one AS (SELECT list(struct_pack(pi := pi, cnt := cnt) ORDER BY pi) AS ps,
+         |         (SELECT count(*) FROM items)::BIGINT AS m FROM pidx),
+         |rec(t, g) AS (
+         |  SELECT 0, list_transform(range(m), x -> 1.0::DOUBLE) FROM one
+         |  UNION ALL
+         |  SELECT sub.t + 1, list_transform(sub.g2, x -> x / list_sum(sub.g2))
+         |  FROM (SELECT r.t,
+         |      list_transform(range(o.m), i ->
+         |        list_sum(list_transform(o.ps, pr ->
+         |          CASE WHEN list_position(pr.pi, i::BIGINT) IS NOT NULL
+         |                AND list_position(pr.pi, i::BIGINT) <= len(pr.pi) - 1
+         |               THEN pr.cnt::DOUBLE ELSE 0.0::DOUBLE END))
+         |        /
+         |        list_sum(list_transform(o.ps, pr ->
+         |          pr.cnt::DOUBLE * list_sum(list_transform(range(1, len(pr.pi)), q ->
+         |            CASE WHEN list_position(pr.pi, i::BIGINT) IS NOT NULL
+         |                  AND q <= list_position(pr.pi, i::BIGINT)
+         |                 THEN 1.0::DOUBLE / list_sum(list_transform(range(q, len(pr.pi) + 1), tt ->
+         |                        r.g[pr.pi[tt] + 1]))
+         |                 ELSE 0.0::DOUBLE END))))) AS g2
+         |    FROM rec r, one o WHERE r.t < 20) sub),
+         |wins AS (SELECT ix.i AS item, ix.ix,
+         |    (SELECT sum(CASE WHEN list_position(p.pi, ix.ix) IS NOT NULL THEN p.cnt ELSE 0 END)
+         |     FROM pidx p)::BIGINT AS n_lists,
+         |    (SELECT sum(CASE WHEN list_position(p.pi, ix.ix) IS NOT NULL
+         |                      AND list_position(p.pi, ix.ix) <= len(p.pi) - 1 THEN p.cnt ELSE 0 END)
+         |     FROM pidx p)::BIGINT AS n_wins
+         |  FROM (SELECT i, (row_number() OVER (ORDER BY i) - 1)::BIGINT AS ix FROM items) ix)
+         |SELECT w.item, w.n_lists, w.n_wins,
+         |  floor(rec.g[w.ix + 1] * 1000000.0)::BIGINT AS strength_fp
+         |FROM rec, wins w WHERE rec.t = 20 ORDER BY w.item""").stripMargin,
     "tr4_bt_strengths" ->
       """WITH RECURSIVE c AS (SELECT doc_id, doc_id % 8 AS a, (doc_id // 8) % 8 AS b,
         |  ('0x' || substr(md5('bt:' || doc_id), 1, 6))::BIGINT % 100 AS r

@@ -114,4 +114,51 @@ class MiningSpec extends AnyFunSuite {
     // the shutout loser keeps a finite positive strength (smoothing)
     assert(s(2L) > 0L)
   }
+
+  private def plOf(lists: Seq[Seq[Long]], iters: Int = 20) = {
+    val rows = lists.zipWithIndex.flatMap { case (l, li) =>
+      l.zipWithIndex.map { case (it, p) => (li.toLong, it, (p + 1).toLong) }
+    }
+    Mining.plStrengths(rows.toDF("list_id", "item", "pos"),
+        "list_id", "item", "pos", iters)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+  }
+
+  test("plStrengths: 2-item lists reduce to the exact Bradley-Terry split") {
+    // 3 rankings a>b, 1 ranking b>a: the MM fixed point is gamma_a = 3/4
+    // exactly (unsmoothed, unlike btStrengths — stated difference)
+    val out = plOf(Seq(Seq(0L, 1L), Seq(0L, 1L), Seq(0L, 1L), Seq(1L, 0L)))
+    assert(out(0L) == ((4L, 3L, 750000L)), out.toString)
+    assert(out(1L) == ((4L, 1L, 250000L)))
+  }
+
+  test("plStrengths: planted listwise dominance recovers the order; shutout fits to zero") {
+    // every list ranks 2 > 1 > 0: item 0 never wins a choice
+    val out = plOf(Seq.fill(6)(Seq(2L, 1L, 0L)))
+    assert(out(2L)._3 > out(1L)._3 && out(1L)._3 > out(0L)._3)
+    assert(out(0L)._2 == 0L && out(0L)._3 == 0L,
+      "an item that never wins fits gamma -> 0 (no pairwise smoothing here)")
+    assert(out(2L)._2 == 6L && out(1L)._2 == 6L)
+  }
+
+  test("plStrengths: mixed-length rankings compose; win = any non-last position") {
+    val out = plOf(Seq(Seq(0L, 1L, 2L), Seq(1L, 0L)))
+    assert(out(0L)._1 == 2L && out(0L)._2 == 1L, "0: two lists, one win")
+    assert(out(1L)._1 == 2L && out(1L)._2 == 2L, "1: wins in both")
+    assert(out(2L)._1 == 1L && out(2L)._2 == 0L, "2: always last")
+  }
+
+  test("plStrengths: bit-identical under different input partitionings") {
+    val lists = (0 until 40).map(i =>
+      if (i % 5 == 0) Seq(1L, 0L, 2L) else Seq(2L, 1L, 0L))
+    val rows = lists.zipWithIndex.flatMap { case (l, li) =>
+      l.zipWithIndex.map { case (it, p) => (li.toLong, it, (p + 1).toLong) }
+    }
+    def run(parts: Int) = Mining.plStrengths(
+      rows.toDF("list_id", "item", "pos").repartition(parts),
+      "list_id", "item", "pos", 20).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(run(1) == run(7))
+  }
 }
