@@ -51,7 +51,12 @@ object Verify {
     // second-session round-11 additions with float or md5-chain shapes:
     // NB's per-class ln folds, the BT fit, BM25F's fielded scores, and
     // the HTML main-text md5 chain
-    "t57_nb_classifier", "tr4_bt_strengths", "n13_bm25f", "h2_html_main")
+    "t57_nb_classifier", "tr4_bt_strengths", "n13_bm25f", "h2_html_main",
+    // third-session round-11 additions with float/iterative shapes: ev1's
+    // ln-space BLEU, t62's ln model + Viterbi ties, tr5's listwise MM,
+    // gr3's fixed-point double-normalization, c5's windowed-peak ties
+    "ev1_bleu_rouge", "t62_unigram_train", "tr5_pl_strengths", "gr3_hits",
+    "c5_texttile")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rest @ _*) = args

@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels for the token-overlap statistics behind BLEU/ROUGE (ev1)
+  * and TextTiling cohesion (c5). These counts were first written as
+  * higher-order-function folds; HOFs evaluate INTERPRETED with no common
+  * subexpression elimination, and the x64 probe measured the per-row cost
+  * dominating the whole query (~95 s at sf0.1 for ev1). Same cure as the
+  * winnow/CDC kernels: one plain-JVM pass per row behind a codegen'd
+  * static call — the statistic is a pure integer count, so the oracle's
+  * SQL replay is untouched.
+  *
+  * [[clippedCount]] is Σ_g min(count_a(g), count_b(g)) — the multiset
+  * intersection size. [[bleuClipped]] computes it for word n-grams of
+  * order 1..4 in ONE pass over the two token arrays (grams keyed by a
+  * string join, counts in an open JDK HashMap), returning [m1, m2, m3,
+  * m4] — the BLEU modified-precision / ROUGE-N numerators. */
+object GenEvalExpressions {
+
+  /** Multiset intersection size of two UTF8String arrays. O(|a|+|b|). */
+  def clippedCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na == 0 || nb == 0) return 0L
+    val counts = new java.util.HashMap[UTF8String, Integer](na * 2)
+    var i = 0
+    while (i < na) {
+      val s = a.getUTF8String(i)
+      val c = counts.get(s)
+      counts.put(s, if (c == null) 1 else c + 1)
+      i += 1
+    }
+    var m = 0L; var j = 0
+    while (j < nb) {
+      val s = b.getUTF8String(j)
+      val c = counts.get(s)
+      if (c != null && c > 0) { m += 1L; counts.put(s, c - 1) }
+      j += 1
+    }
+    m
+  }
+
+  /** Clipped n-gram matches for n = 1..4 between candidate and reference
+    * token arrays, one pass each. Grams are space-joined token windows —
+    * the same gram identity the oracle's `array_to_string(list_slice)`
+    * builds. */
+  def bleuClipped(cand: ArrayData, ref: ArrayData): ArrayData = {
+    val out = new Array[Any](4)
+    var n = 1
+    while (n <= 4) {
+      out(n - 1) = clippedCount(grams(cand, n), grams(ref, n))
+      n += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private def grams(toks: ArrayData, n: Int): ArrayData = {
+    val len = toks.numElements()
+    if (len < n) return new GenericArrayData(new Array[Any](0))
+    if (n == 1) return toks
+    val out = new Array[Any](len - n + 1)
+    var i = 0
+    while (i + n <= len) {
+      val sb = new java.lang.StringBuilder()
+      var o = 0
+      while (o < n) {
+        if (o > 0) sb.append(' ')
+        sb.append(toks.getUTF8String(i + o).toString)
+        o += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  case class ClippedOverlap(left: Expression, right: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "clipped_overlap"
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(StringType), ArrayType(StringType))
+    override def nullSafeEval(a: Any, b: Any): Any =
+      clippedCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        ${ev.value} = graft.functions.GenEvalExpressions.clippedCount($a, $b);
+        """)
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  case class BleuClipped(left: Expression, right: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "bleu_clipped"
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(StringType), ArrayType(StringType))
+    override def nullSafeEval(a: Any, b: Any): Any =
+      bleuClipped(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        ${ev.value} = graft.functions.GenEvalExpressions.bleuClipped($a, $b);
+        """)
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  def clipped_overlap_kernel(a: Column, b: Column): Column =
+    toCol(ClippedOverlap(toExpr(a), toExpr(b)))
+
+  def bleu_clipped(cand: Column, ref: Column): Column =
+    toCol(BleuClipped(toExpr(cand), toExpr(ref)))
+}

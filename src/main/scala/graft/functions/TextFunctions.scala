@@ -43,44 +43,12 @@ object text {
     * array columns, computed IN-ROW (both sides live in the same row, so
     * the statistic costs no shuffle). This is the BLEU modified-precision
     * numerator, the ROUGE-N overlap, and the TextTiling block-cohesion
-    * numerator — one primitive, three operators.
-    *
-    * Implementation is a SORTED two-pointer merge (multiset intersection):
-    * O((|a|+|b|)·log) with zero intermediate array allocations, where the
-    * naive per-distinct-gram `filter` scan is O(distinct·(|a|+|b|)) and
-    * allocates two result arrays per gram — the x64 probe showed that
-    * shape burning its time in GenericArrayData churn, not comparisons.
-    * Sort order only has to agree with `<` INSIDE the engine, so the
-    * count is collation-independent across engines. */
-  def clipped_overlap(a: Column, b: Column): Column = {
-    // bind the sorted arrays through ONE struct so the merge lambda reads
-    // materialized values: higher-order functions run interpreted with no
-    // common-subexpression elimination, so referencing `array_sort(a)`
-    // inside the per-step lambda would re-sort (and re-BUILD `a`'s whole
-    // subtree) on every merge step — the measured x64 pathology.
-    val bound = transform(array(struct(array_sort(a).as("a"), array_sort(b).as("b"))),
-      p => clipped_overlap_sorted(p.getField("a"), p.getField("b")))
-    element_at(bound, 1)
-  }
-
-  /** The two-pointer multiset-intersection merge over PRE-SORTED arrays.
-    * Callers must pass already-materialized columns (or lambda-bound
-    * values) — every reference here is evaluated per merge step. */
-  def clipped_overlap_sorted(sa: Column, sb: Column): Column =
-    aggregate(
-      sequence(lit(1), size(sa) + size(sb)),
-      struct(lit(1).as("i"), lit(1).as("j"), lit(0L).as("cnt")),
-      (acc, _) => {
-        val i = acc.getField("i"); val j = acc.getField("j")
-        val cnt = acc.getField("cnt")
-        val ea = element_at(sa, i); val eb = element_at(sb, j)
-        when(i > size(sa) || j > size(sb), acc)
-          .when(ea === eb,
-            struct((i + 1).as("i"), (j + 1).as("j"), (cnt + 1L).as("cnt")))
-          .when(ea < eb, struct((i + 1).as("i"), j.as("j"), cnt.as("cnt")))
-          .otherwise(struct(i.as("i"), (j + 1).as("j"), cnt.as("cnt")))
-      },
-      acc => acc.getField("cnt"))
+    * numerator — one primitive, three operators. Backed by the codegen'd
+    * O(|a|+|b|) static kernel in [[graft.functions.GenEvalExpressions]] —
+    * the HOF-fold formulation re-evaluated its input subtrees per step
+    * (interpreted, no CSE) and dominated the x64 probe. */
+  def clipped_overlap(a: Column, b: Column): Column =
+    graft.functions.GenEvalExpressions.clipped_overlap_kernel(a, b)
 
   /** Distinct character n-grams of the normalized text. */
   def char_shingles(c: Column, n: Int): Column = {

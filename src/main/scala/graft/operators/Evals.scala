@@ -69,26 +69,11 @@ object Evals {
         (col("__dcg") / col("__idcg")).as("ndcg_at_k"))
   }
 
-  /** Positional word n-grams (NOT distinct — BLEU/ROUGE count multiplicity;
-    * `text.word_shingles` dedups, which is the wrong statistic here).
-    * Shorter-than-n token lists yield an empty array. Grams assemble from
-    * n `element_at` reads + one concat — NOT `slice` + `concat_ws`, whose
-    * per-gram ArrayData copy was the x64 probe's measured hot spot. */
-  private def posNgrams(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n), i =>
-        (2 to n).foldLeft(element_at(toks, i + 1)) { (acc, o) =>
-          concat(acc, lit(" "), element_at(toks, i + o))
-        }))
-      .otherwise(array().cast("array<string>"))
-
-  /** Clipped match count Σ_g min(count_cand(g), count_ref(g)) — the
-    * modified-precision numerator of Papineni et al. 2002 §2.1, and
-    * simultaneously the ROUGE-N overlap numerator (the statistic is
-    * symmetric in which side it's clipped against). Shared with
-    * TextTiling's block cohesion — see [[graft.functions.text.clipped_overlap]]. */
-  private def clippedMatches(cg: Column, rg: Column): Column =
-    graft.functions.text.clipped_overlap(cg, rg)
+  // Clipped n-gram matches Σ_g min(count_cand(g), count_ref(g)) for
+  // n = 1..4 — the modified-precision numerator of Papineni et al. 2002
+  // §2.1 and simultaneously the ROUGE-N overlap (the statistic is
+  // symmetric in which side it's clipped against). Computed by the
+  // codegen'd one-pass kernel [[graft.functions.GenEvalExpressions]].
 
   /** Generation-quality metrics over (candidate, reference) token pairs —
     * the distillation / summarization / translation QC gate a training-data
@@ -117,10 +102,11 @@ object Evals {
                  candCol: String, refCol: String): DataFrame = {
     val withCounts = (1 to 4).foldLeft(
       pairs.withColumn("c_len", size(col(candCol)).cast("long"))
-           .withColumn("r_len", size(col(refCol)).cast("long"))) {
+           .withColumn("r_len", size(col(refCol)).cast("long"))
+           .withColumn("__bm", graft.functions.GenEvalExpressions
+             .bleu_clipped(col(candCol), col(refCol)))) {
       case (df, n) =>
-        df.withColumn(s"m$n",
-            clippedMatches(posNgrams(col(candCol), n), posNgrams(col(refCol), n)))
+        df.withColumn(s"m$n", element_at(col("__bm"), n))
           .withColumn(s"c$n",
             greatest(size(col(candCol)).cast("long") - lit(n - 1L), lit(0L)))
     }

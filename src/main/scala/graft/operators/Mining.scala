@@ -222,22 +222,21 @@ object Mining {
     require(iters >= 1, s"iters >= 1 (got $iters)")
     val spark = rankings.sparkSession
     import spark.implicits._
-    val perms: Array[(Vector[Int], Long)] = {
-      val raw = rankings.groupBy(col(listIdCol))
-        .agg(sort_array(collect_list(struct(col(posCol).cast("long").as("p"),
-          col(itemCol).cast("long").as("it")))).as("s"))
-        .select(transform(col("s"), x => x.getField("it")).as("perm"))
-        .groupBy("perm").agg(count(lit(1)).as("cnt"))
-        .as[(Seq[Long], Long)].collect()
-      require(raw.nonEmpty, "plStrengths: empty input")
-      require(raw.length <= 100000, s"plStrengths: ${raw.length} distinct " +
-        "ranking patterns - item universe too large for the rule-17 driver fit")
-      val items = raw.flatMap(_._1).distinct.sorted
-      val idx = items.zipWithIndex.toMap
+    val raw = rankings.groupBy(col(listIdCol))
+      .agg(sort_array(collect_list(struct(col(posCol).cast("long").as("p"),
+        col(itemCol).cast("long").as("it")))).as("s"))
+      .select(transform(col("s"), x => x.getField("it")).as("perm"))
+      .groupBy("perm").agg(count(lit(1)).as("cnt"))
+      .as[(Seq[Long], Long)].collect()
+    require(raw.nonEmpty, "plStrengths: empty input")
+    require(raw.length <= 100000, s"plStrengths: ${raw.length} distinct " +
+      "ranking patterns - item universe too large for the rule-17 driver fit")
+    // the item universe is recoverable from the collected patterns — no
+    // second corpus job for a distinct()
+    val itemsSorted = raw.flatMap(_._1).distinct.sorted
+    val idx = itemsSorted.zipWithIndex.toMap
+    val perms: Array[(Vector[Int], Long)] =
       raw.map { case (p, c) => (p.iterator.map(idx).toVector, c) }
-    }
-    val itemsSorted = rankings.select(col(itemCol).cast("long")).distinct()
-      .as[Long].collect().sorted
     val m = itemsSorted.length
     // lexicographic pattern order — the shared fold order (oracle: ORDER BY pi)
     val ps = perms.sortWith { case ((a, _), (b, _)) =>
