@@ -120,7 +120,8 @@ object ScaleProbe {
         "h2_html_main", "t58_sft_render", "n13_bm25f", "u7_time_travel", "tr4_bt_strengths", "t59_dpo_pairs", "t60_wordpiece", "t61_contamination_report", "q4_skew_report",
         "e19_ab_uplift", "v25_abtt_projection", "ev1_bleu_rouge",
         "ev2_calibration", "c5_texttile", "ev3_pass_at_k", "gr3_hits",
-        "t62_unigram_train", "p9_md_tables", "tr5_pl_strengths")
+        "t62_unigram_train", "p9_md_tables", "tr5_pl_strengths",
+        "ev4_fleiss_kappa")
       // optional second arg: probe only the named queries (comma-separated) —
       // re-measuring one changed operator shouldn't cost the full heavy tail.
       // Unknown names fail loudly: a typo silently probing nothing (and still

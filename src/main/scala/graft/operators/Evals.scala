@@ -241,4 +241,65 @@ object Evals {
     }.select(col(idCol) +: col(nCol) +: col(cCol) +:
       ks.map(k => col(s"pass${k}_ppm")): _*)
   }
+
+  /** Fleiss' κ — chance-corrected inter-rater agreement over `n` raters
+    * per item (Fleiss 1971): the QC readout consulted before TRUSTING an
+    * LLM-judge ensemble or annotator pool whose labels feed tr4/tr5's
+    * preference fits — high strength estimates mean nothing if the judges
+    * don't agree above chance.
+    *
+    *   P̄  = Σ_i Σ_c n_ic(n_ic−1) / (N·n·(n−1))   (observed agreement)
+    *   P̄e = Σ_c m_c² / (N·n)²                     (chance agreement)
+    *   κ  = (P̄ − P̄e) / (1 − P̄e)
+    *
+    * Every quantity is a RATIONAL of exact integer sums, so the emitted
+    * ppm values are pure integer floor-divisions (BigInt driver-side —
+    * Σ m_c²·D₁ reaches ~N³, past a long at ~10⁶ items; the oracle's
+    * HUGEINT is the same widening). Output: one row per category
+    * (`category`, `n_labels`, `marginal_ppm`) with the corpus-constant
+    * `p_bar_ppm`, `p_e_ppm`, `kappa_ppm` replicated.
+    *
+    * 100 TB shape: TWO map-side-combined groupBys ((item, cat) counts →
+    * per-item reduction + category marginals); the κ arithmetic is a
+    * rule-17 driver decision over ≤|categories| rows. Requires the same
+    * rater count on every item (fails loudly otherwise — a ragged panel
+    * silently biases P̄). κ can be negative (worse-than-chance); this side
+    * emits true mathematical FLOOR, so a replaying engine whose integer
+    * division truncates toward zero only matches on κ ≥ 0 — the ev4
+    * synthesis keeps the oracle in that regime and the spec covers the
+    * negative branch engine-side. */
+  def fleissKappa(labels: DataFrame, itemCol: String, catCol: String): DataFrame = {
+    val spark = labels.sparkSession
+    import spark.implicits._
+    val ic = labels
+      .groupBy(col(itemCol).as("__it"), col(catCol).cast("long").as("category"))
+      .agg(count(lit(1)).as("c"))
+    val perItem = ic.groupBy("__it")
+      .agg(sum(col("c")).as("n"), sum(expr("c * (c - 1)")).as("s"))
+    val head = perItem
+      .agg(countDistinct(col("n")).as("dn"), count(lit(1)).as("items"),
+        sum(col("s")).as("ssum"), min(col("n")).as("n"))
+      .as[(Long, Long, Long, Long)].collect().head
+    val (dn, items, ssum, n) = head
+    require(dn == 1 && n >= 2,
+      s"fleissKappa needs a constant rater count >= 2 per item (saw $dn distinct counts, n=$n)")
+    val marg = ic.groupBy("category").agg(sum(col("c")).as("m"))
+      .orderBy("category").as[(Long, Long)].collect()
+    val bigN = BigInt(items); val bn = BigInt(n)
+    val d1 = bigN * bn * (bn - 1)
+    val d2 = (bigN * bn) * (bigN * bn)
+    val m2 = marg.map(m => BigInt(m._2) * m._2).sum
+    val s = BigInt(ssum)
+    def floorDiv(a: BigInt, b: BigInt): Long = {
+      val q = a / b
+      (if (a % b != 0 && (a < 0) != (b < 0)) q - 1 else q).toLong
+    }
+    val pBarPpm = floorDiv(s * 1000000, d1)
+    val pEPpm = floorDiv(m2 * 1000000, d2)
+    val kappaPpm = floorDiv((s * d2 - m2 * d1) * 1000000, d1 * (d2 - m2))
+    marg.toSeq.map { case (cat, m) =>
+      (cat, m, floorDiv(BigInt(m) * 1000000, bigN * bn), pBarPpm, pEPpm, kappaPpm)
+    }.toDF("category", "n_labels", "marginal_ppm",
+      "p_bar_ppm", "p_e_ppm", "kappa_ppm")
+  }
 }

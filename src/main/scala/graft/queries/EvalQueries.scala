@@ -21,8 +21,27 @@ object EvalQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev1_bleu_rouge" -> ((s, d) => bleuRouge(s, d)),
     "ev2_calibration" -> ((s, d) => calibrationQ(s, d)),
-    "ev3_pass_at_k" -> ((s, d) => passAtKQ(s, d))
+    "ev3_pass_at_k" -> ((s, d) => passAtKQ(s, d)),
+    "ev4_fleiss_kappa" -> ((s, d) => fleissKappaQ(s, d))
   )
+
+  /** [[graft.operators.Evals.fleissKappa]] over a synthesized 3-judge
+    * panel: each judge reports the item's true category (doc_id % 4) with
+    * 70% probability and an md5-uniform category otherwise — agreement is
+    * real but imperfect (κ ≈ 0.5 at sf0.01), so the chance correction
+    * actually corrects. All label draws are exact integer md5 rules. */
+  def fleissKappaQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val labels = docs
+      .select(col("doc_id"), explode(sequence(lit(0L), lit(2L))).as("rater"))
+      .withColumn("cat",
+        when(conv(substring(md5(concat(lit("ag:"), col("doc_id"), lit(":"),
+            col("rater"))), 1, 6), 16, 10).cast("long") % 100 < 70,
+          col("doc_id") % 4)
+          .otherwise(conv(substring(md5(concat(lit("agn:"), col("doc_id"),
+            lit(":"), col("rater"))), 1, 6), 16, 10).cast("long") % 4))
+    Evals.fleissKappa(labels, "doc_id", "cat").orderBy("category")
+  }
 
   /** [[graft.operators.Evals.passAtK]] over synthesized per-task sample
     * outcomes (each doc = one eval task, n = 10 + md5%11 samples,
@@ -182,6 +201,30 @@ object EvalQueries {
          |  max(CASE WHEN k = 1 THEN pass_ppm END)::BIGINT AS pass1_ppm,
          |  max(CASE WHEN k = 5 THEN pass_ppm END)::BIGINT AS pass5_ppm,
          |  max(CASE WHEN k = 10 THEN pass_ppm END)::BIGINT AS pass10_ppm
-         |FROM p GROUP BY doc_id, n, c ORDER BY doc_id""").stripMargin
+         |FROM p GROUP BY doc_id, n, c ORDER BY doc_id""").stripMargin,
+
+    "ev4_fleiss_kappa" ->
+      ("""WITH r AS (SELECT unnest(range(0, 3)) AS rater),
+         |lab AS (SELECT d.doc_id, r.rater,
+         |    CASE WHEN ('0x' || substr(md5('ag:' || d.doc_id || ':' || r.rater), 1, 6))::BIGINT % 100 < 70
+         |         THEN d.doc_id % 4
+         |         ELSE ('0x' || substr(md5('agn:' || d.doc_id || ':' || r.rater), 1, 6))::BIGINT % 4 END AS cat
+         |  FROM documents d, r),
+         |ic AS (SELECT doc_id, cat, count(*)::BIGINT AS c FROM lab GROUP BY 1, 2),
+         |ssum AS (SELECT sum(c * (c - 1))::HUGEINT AS s FROM ic),
+         |marg AS (SELECT cat, sum(c)::BIGINT AS m FROM ic GROUP BY cat),
+         |scal AS (SELECT (SELECT count(*)::HUGEINT FROM documents) AS nn,
+         |                (SELECT s FROM ssum) AS s,
+         |                (SELECT sum(m::HUGEINT * m) FROM marg) AS m2),
+         |kap AS (SELECT
+         |    ((s * 1000000) // (nn * 3 * 2))::BIGINT AS p_bar_ppm,
+         |    ((m2 * 1000000) // ((nn * 3) * (nn * 3)))::BIGINT AS p_e_ppm,
+         |    (((s * ((nn * 3) * (nn * 3)) - m2 * (nn * 3 * 2)) * 1000000)
+         |      // ((nn * 3 * 2) * ((nn * 3) * (nn * 3) - m2)))::BIGINT AS kappa_ppm
+         |  FROM scal)
+         |SELECT mg.cat AS category, mg.m AS n_labels,
+         |  ((mg.m::HUGEINT * 1000000) // (sc.nn * 3))::BIGINT AS marginal_ppm,
+         |  k.p_bar_ppm, k.p_e_ppm, k.kappa_ppm
+         |FROM marg mg, scal sc, kap k ORDER BY mg.cat""").stripMargin
   )
 }

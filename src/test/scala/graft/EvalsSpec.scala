@@ -149,6 +149,33 @@ class EvalsSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("fleissKappa: hand-computed fixture; perfect and negative agreement extremes") {
+    // 2 raters, 2 items: item 1 agrees on cat 0, item 2 splits 0/1.
+    // S = 2+0 = 2; P = 2/(2*2*1) = 0.5; marginals m0=3, m1=1;
+    // Pe = (9+1)/16 = 0.625; kappa = (0.5-0.625)/0.375 = -1/3
+    val lab = Seq((1L, 0L), (1L, 0L), (2L, 0L), (2L, 1L)).toDF("item", "cat")
+    val out = Evals.fleissKappa(lab, "item", "cat")
+      .select("category", "n_labels", "marginal_ppm", "p_bar_ppm",
+        "p_e_ppm", "kappa_ppm")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((0L, 3L, 750000L, 500000L, 625000L, -333334L)))
+    assert(out(1)._1 == 1L && out(1)._2 == 1L && out(1)._3 == 250000L)
+    // floor of -1/3 ppm is -333334, NOT -333333: true floor semantics
+
+    // unanimous panel: kappa = 1 exactly
+    val perfect = Seq((1L, 2L), (1L, 2L), (2L, 3L), (2L, 3L)).toDF("item", "cat")
+    val k1 = Evals.fleissKappa(perfect, "item", "cat")
+      .select("kappa_ppm").as[Long].collect().head
+    assert(k1 == 1000000L)
+  }
+
+  test("fleissKappa: ragged rater counts fail loudly") {
+    val lab = Seq((1L, 0L), (1L, 0L), (2L, 1L)).toDF("item", "cat")
+    intercept[IllegalArgumentException] {
+      Evals.fleissKappa(lab, "item", "cat").collect()
+    }
+  }
+
   test("calibration: already-isotone accuracies pass through the fit unchanged") {
     val scored = Seq(
       (100000L, 0L), (100000L, 0L), (100000L, 1L), (100000L, 1L),
