@@ -38,8 +38,61 @@ object TextQueries {
     "t39_winnow" -> ((s, d) => winnow(s, d)),
     "t40_winnow_match" -> ((s, d) => winnowMatch(s, d)),
     "t41_bpe_train" -> ((s, d) => bpeTrain(s, d)),
-    "t62_unigram_train" -> ((s, d) => unigramTrain(s, d))
+    "t62_unigram_train" -> ((s, d) => unigramTrain(s, d)),
+    "t63_dedup_recall" -> ((s, d) => dedupRecallQ(s, d))
   )
+
+  /** Dedup-pipeline QUALITY regression — the t4 MinHash-LSH pipeline run
+    * against PLANTED ground truth (the v19/s8 pattern lifted to the dedup
+    * family, which until now was only shape- and equivalence-gated, never
+    * precision/recall-gated): every 4th doc is a cluster base and spawns
+    * three variants by a deterministic token-drop rule ((pos + 3k) % 9,
+    * ~11% of tokens each, different tokens per variant), so same-cluster
+    * pairs are TRUE near-dups and cross-cluster pairs are word-soup
+    * baseline. Pair precision/recall at two lane thresholds (6/16 and
+    * 10/16 signature agreement) emit as exact integer ppm — at sf0.01 the
+    * operating points are P≈0.79/R≈0.68 and P≈0.98/R≈0.62, a REAL
+    * tradeoff curve, so a banding/hashing regression moves the row, not
+    * just a spec. Truth counts only docs the pipeline itself admits
+    * (norm ≥ shingle size — the guard never binds on this corpus but the
+    * rule is mirrored, not assumed). One extra exchange beyond t4: the
+    * base-slice self-explode that synthesizes the variants. */
+  def dedupRecallQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val mut = docs.where(col("doc_id") % 4 === 0)
+      .select(col("doc_id").as("base_id"),
+        graft.functions.text.tokens(col("text")).as("tk"))
+      .withColumn("k", explode(sequence(lit(0L), lit(3L))))
+      .where(col("base_id") + col("k") <= maxId)
+      .select((col("base_id") + col("k")).as("doc_id"),
+        concat_ws(" ", filter(col("tk"), (t, i) =>
+          col("k") === 0 || (i.cast("long") + 1L + col("k") * 3L) % 9 =!= 0))
+          .as("text"))
+      .where(length(col("text")) >= 5)
+    val pairs = Dedup.minhashLshPairs(mut, "doc_id", "text",
+      shingleSize = 5, numHashes = 16, bands = 4, minEst = 0.0)
+    val truth = mut
+      .groupBy((col("doc_id") - pmod(col("doc_id"), lit(4L))).as("b"))
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(expr("(c * (c - 1)) div 2")).as("n_truth"))
+    val th = spark.createDataFrame(Seq(Tuple1(6L), Tuple1(10L)))
+      .toDF("th_lanes")
+    pairs
+      .select(col("est_jaccard"),
+        (expr("id_a div 4") === expr("id_b div 4")).as("is_true"))
+      .crossJoin(broadcast(th))
+      .where(col("est_jaccard") >= col("th_lanes").cast("double") / 16.0)
+      .groupBy("th_lanes")
+      .agg(count(lit(1)).as("n_found"),
+        sum(when(col("is_true"), 1L).otherwise(0L)).as("n_tp"))
+      .crossJoin(broadcast(truth))
+      .select(col("th_lanes"), col("n_truth"), col("n_found"), col("n_tp"),
+        when(col("n_found") === 0, 0L)
+          .otherwise(expr("(n_tp * 1000000) div n_found")).as("precision_ppm"),
+        expr("(n_tp * 1000000) div n_truth").as("recall_ppm"))
+      .orderBy("th_lanes")
+  }
 
   /** [[graft.operators.UnigramTrainer.train]] at the default ladder
     * constants (pieces ≤ 6 chars, 150-candidate multi-char seed, keep 64):
@@ -578,6 +631,47 @@ object TextQueries {
         |JOIN sz sb ON sb.grp = e.source_b
         |LEFT JOIN itr i ON i.source_a = e.source_a AND i.source_b = e.source_b
         |ORDER BY source_a, source_b""".stripMargin,
+    "t63_dedup_recall" ->
+      ("""WITH n0 AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
+         |base AS (SELECT doc_id AS base_id, list_filter(string_split(norm, ' '), t -> len(t) > 0) AS tk
+         |  FROM n0 WHERE doc_id % 4 = 0),
+         |mut AS (SELECT b.base_id + k.k AS doc_id, b.base_id,
+         |    array_to_string(list_filter(b.tk, (t, p) -> k.k = 0 OR (p + k.k * 3) % 9 <> 0), ' ') AS norm
+         |  FROM base b, (SELECT unnest(range(0, 4)) AS k) k
+         |  WHERE b.base_id + k.k <= (SELECT max(doc_id) FROM documents)),
+         |mok AS (SELECT doc_id, base_id, norm FROM mut WHERE len(norm) >= 5),
+         |sh AS (SELECT doc_id, base_id,
+         |    list_distinct(list_transform(range(1, len(norm) - 3), i -> substr(norm, i, 5))) AS sh
+         |  FROM mok),
+         |hh AS (SELECT doc_id, base_id,
+         |    list_transform(sh, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS h1s,
+         |    list_transform(sh, x -> ('0x' || substr(md5(x), 9, 8))::BIGINT) AS h2s
+         |  FROM sh WHERE len(sh) > 0),
+         |g AS (SELECT doc_id, base_id,
+         |    list_transform(range(16), kk ->
+         |      coalesce(list_min(list_transform(range(len(h1s)), i ->
+         |        (h1s[i+1] + kk * h2s[i+1]) & 4294967295)), 9223372036854775807)) AS sig
+         |  FROM hh),
+         |b2 AS (SELECT doc_id, base_id, sig,
+         |    list_transform(range(4), bb ->
+         |      md5(bb || ',' || array_to_string(list_slice(sig, bb*4 + 1, bb*4 + 4), ','))) AS keys
+         |  FROM g),
+         |cand AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+         |    (a.base_id = c.base_id) AS is_true,
+         |    len(list_filter(range(16), i -> a.sig[i+1] = c.sig[i+1])) AS lanes
+         |  FROM b2 a, b2 c
+         |  WHERE a.doc_id < c.doc_id AND len(list_intersect(a.keys, c.keys)) > 0),
+         |truth AS (SELECT sum((cnt * (cnt - 1)) // 2)::BIGINT AS n_truth
+         |  FROM (SELECT base_id, count(*) AS cnt FROM mok GROUP BY base_id)),
+         |th AS (SELECT unnest([6, 10]) AS th_lanes),
+         |m AS (SELECT th.th_lanes,
+         |    count(*) FILTER (WHERE lanes >= th.th_lanes)::BIGINT AS n_found,
+         |    count(*) FILTER (WHERE lanes >= th.th_lanes AND is_true)::BIGINT AS n_tp
+         |  FROM cand, th GROUP BY th.th_lanes)
+         |SELECT m.th_lanes::BIGINT AS th_lanes, t.n_truth, m.n_found, m.n_tp,
+         |  (CASE WHEN m.n_found = 0 THEN 0 ELSE (m.n_tp * 1000000) // m.n_found END)::BIGINT AS precision_ppm,
+         |  ((m.n_tp * 1000000) // t.n_truth)::BIGINT AS recall_ppm
+         |FROM m, truth t ORDER BY m.th_lanes""").stripMargin,
     "t4_minhash_lsh" ->
       s"""WITH n AS ($norm),
          |sh AS (SELECT doc_id,

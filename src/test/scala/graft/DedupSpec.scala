@@ -332,4 +332,25 @@ class DedupSpec extends AnyFunSuite {
     // B-vs-C mirrors B-vs-A exactly (C == A)
     assert(bc._5 == ab._5 && bc._6 == ab._6 && bc._7 == ab._7, (ab, bc))
   }
+
+  test("t63 dedup-recall row: metric invariants on the planted-cluster corpus") {
+    val out = graft.queries.TextQueries
+      .dedupRecallQ(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(6L, 10L))
+    val Array(lo, hi) = out
+    // (th, n_truth, n_found, n_tp, precision_ppm, recall_ppm)
+    assert(lo._2 == hi._2 && lo._2 > 0, "one ground truth, both thresholds")
+    assert(hi._3 <= lo._3, "raising the lane threshold can only shrink found")
+    assert(hi._4 <= lo._4 && lo._4 <= math.min(lo._2, lo._3))
+    for (r <- out) {
+      assert(r._5 >= 0 && r._5 <= 1000000L && r._6 >= 0 && r._6 <= 1000000L)
+      assert(r._5 == (if (r._3 == 0) 0L else r._4 * 1000000L / r._3))
+      assert(r._6 == r._4 * 1000000L / r._2)
+    }
+    // the planted variants are findable at all: recall is material, and
+    // the strict threshold buys precision on this corpus
+    assert(lo._6 > 300000L, s"recall collapsed: $lo")
+    assert(hi._5 >= lo._5, s"precision did not improve with the threshold: $out")
+  }
 }
