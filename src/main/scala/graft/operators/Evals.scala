@@ -116,14 +116,27 @@ object Evals {
       least(lit(0.0), lit(1.0) - col("r_len").cast("double") / col("c_len").cast("double")) +
         lit(0.25) * (((lnP(1) + lnP(2)) + lnP(3)) + lnP(4))
     withCounts
-      .withColumn("log_bleu_ppm", floor(lit(1000000.0) * logBleu).cast("long"))
-      .withColumn("rouge1_f_ppm", expr("(2 * m1 * 1000000) div (c_len + r_len)"))
+      // degenerate sides (an empty model output is a REALISTIC row, not a
+      // data bug): BLEU of an empty candidate is -inf in log space — emit
+      // NULL (undefined), never a NaN/-Infinity that poisons a roll-up;
+      // each ROUGE ratio zero-guards its own denominator like rouge2 always
+      // did (0 matches over 0 grams reads as 0, the honest QC verdict)
+      .withColumn("log_bleu_ppm",
+        when(col("c_len") === 0, lit(null).cast("long"))
+          .otherwise(floor(lit(1000000.0) * logBleu).cast("long")))
+      .withColumn("rouge1_f_ppm",
+        when(col("c_len") + col("r_len") === 0, lit(0L))
+          .otherwise(expr("(2 * m1 * 1000000) div (c_len + r_len)")))
       .withColumn("rouge2_f_ppm",
         when(col("c_len") >= 2 && col("r_len") >= 2,
           expr("(2 * m2 * 1000000) div ((c_len - 1) + (r_len - 1))"))
           .otherwise(lit(0L)))
-      .withColumn("rouge1_p_ppm", expr("(m1 * 1000000) div c_len"))
-      .withColumn("rouge1_r_ppm", expr("(m1 * 1000000) div r_len"))
+      .withColumn("rouge1_p_ppm",
+        when(col("c_len") === 0, lit(0L))
+          .otherwise(expr("(m1 * 1000000) div c_len")))
+      .withColumn("rouge1_r_ppm",
+        when(col("r_len") === 0, lit(0L))
+          .otherwise(expr("(m1 * 1000000) div r_len")))
       .select(col(idCol), col("r_len"), col("c_len"),
         col("m1"), col("m2"), col("m3"), col("m4"),
         col("log_bleu_ppm"), col("rouge1_f_ppm"), col("rouge2_f_ppm"),
@@ -213,12 +226,15 @@ object Evals {
     * product pair + one integer div — no floats anywhere, and the n−c<k
     * case (every k-subset contains a pass) is the explicit 1.0 branch.
     *
-    * Bounds: products peak at n!/(n−k)! — n ≤ 20 keeps num·10⁶ inside a
-    * long (6.7e17 at n=20, k=10); enforced, not assumed. Per-row map-only;
-    * aggregate pass@k over tasks is the caller's one-line mean. */
+    * Bounds: products peak at n!/(n−k)! — n ≤ 20 AND k ≤ 11 keep num·10⁶
+    * inside a long (6.7e18 at n=20, k=11; k=12 would reach 6.0e19 and
+    * silently wrap in non-ANSI Spark); both enforced, not assumed. Per-row
+    * map-only; aggregate pass@k over tasks is the caller's one-line mean. */
   def passAtK(df: DataFrame, idCol: String, nCol: String, cCol: String,
               ks: Seq[Int] = Seq(1, 5, 10)): DataFrame = {
-    require(ks.nonEmpty && ks.forall(k => k >= 1 && k <= 20), s"bad ks $ks")
+    require(ks.nonEmpty && ks.forall(k => k >= 1 && k <= 11),
+      s"passAtK needs 1<=k<=11 (prod(n,k)*1e6 overflows a long past k=11 " +
+        s"at the permitted n=20); got ks=$ks")
     val n = col(nCol).cast("long"); val c = col(cCol).cast("long")
     def prod(top: Column, k: Int): Column =
       aggregate(sequence(lit(0L), lit(k - 1L)), lit(1L),
@@ -296,6 +312,12 @@ object Evals {
     }
     val pBarPpm = floorDiv(s * 1000000, d1)
     val pEPpm = floorDiv(m2 * 1000000, d2)
+    // unanimous single-category panels give P̄e = 1 (m2 == d2) and the
+    // kappa denominator vanishes — fail with the statistics, not a bare
+    // BigInt ArithmeticException
+    require(d2 != m2,
+      "fleissKappa: kappa undefined - chance agreement is 1 (every rater " +
+        "used a single category); the panel carries no agreement signal")
     val kappaPpm = floorDiv((s * d2 - m2 * d1) * 1000000, d1 * (d2 - m2))
     marg.toSeq.map { case (cat, m) =>
       (cat, m, floorDiv(BigInt(m) * 1000000, bigN * bn), pBarPpm, pEPpm, kappaPpm)

@@ -246,22 +246,27 @@ object Features {
     * `srmTolBp` of the total flags the experiment as unsound — the FIRST
     * check any experimentation platform runs, integer cross-multiplied).
     *
-    * Plan: one distinct on users (map-side combined), one distinct on
-    * (user, event_type), one broadcast join of the user→arm table, then
-    * metric-keyed aggregation — nothing is ever collected and no exchange
-    * carries more than the distinct (user, metric) stream. */
+    * Plan: the arm is a PURE FUNCTION of the user id, so it is recomputed
+    * inline on every side that needs it — no user→arm table is ever
+    * joined, broadcast, or collected (at the 100 TB event-stream shape the
+    * user universe is NOT broadcast-sized, so a materialized assignment
+    * table would be the plan's one scale hazard). The whole readout is one
+    * distinct on users and one distinct on (user, event_type), both
+    * map-side combined; no exchange carries more than the distinct
+    * (user, metric) stream. */
   def abUplift(df: DataFrame, userCol: String, typeCol: String,
                seed: String = "ab", srmTolBp: Long = 500L): DataFrame = {
+    def armOf(u: Column): Column =
+      when(conv(substring(md5(concat(lit(seed + ":"), u)), 1, 6),
+        16, 10).cast("long") % 2 === 0, "A").otherwise("B")
     val users = df.select(col(userCol).cast("long").as("u")).distinct()
-      .withColumn("arm",
-        when(conv(substring(md5(concat(lit(seed + ":"), col("u"))), 1, 6),
-          16, 10).cast("long") % 2 === 0, "A").otherwise("B"))
+      .withColumn("arm", armOf(col("u")))
     val sizes = users.groupBy().agg(
       sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_users_a"),
       sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_users_b"))
     val convs = df.select(col(userCol).cast("long").as("u"),
         col(typeCol).as("metric")).distinct()
-      .join(broadcast(users), "u")
+      .withColumn("arm", armOf(col("u")))
       .groupBy("metric").agg(
         sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_conv_a"),
         sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_conv_b"))

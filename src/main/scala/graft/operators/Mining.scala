@@ -145,6 +145,11 @@ object Mining {
     require(iters >= 1, s"iters >= 1 (got $iters)")
     val spark = comparisons.sparkSession
     import spark.implicits._
+    // rule-17 guard, probed with limit(cap+1) so the DRIVER never holds
+    // more than cap+1 rows even on the failing path (plStrengths' sibling
+    // guard; a k-item universe makes up to k(k-1)/2 pairs, so cap=100k
+    // admits ~450 items — far past any model/policy-eval panel)
+    val pairCap = 100000
     val stats = comparisons.select(
         least(col(aCol), col(bCol)).cast("long").as("lo"),
         greatest(col(aCol), col(bCol)).cast("long").as("hi"),
@@ -152,8 +157,13 @@ object Mining {
       .filter(col("lo") =!= col("hi"))
       .groupBy("lo", "hi").agg(count(lit(1)).as("n"),
         sum(col("lo_won").cast("long")).as("w_lo"))
+      .limit(pairCap + 1)
       .collect().map(r => ((r.getLong(0), r.getLong(1)),
         (r.getLong(2), r.getLong(3))))
+    require(stats.length <= pairCap, s"btStrengths: more than $pairCap " +
+      "distinct comparison pairs (item universe >~ " +
+      s"${math.sqrt(2.0 * pairCap).toInt} items) - too large for the " +
+      "rule-17 driver fit; pre-aggregate or shard the panel")
     val items = stats.flatMap { case ((l, h), _) => Seq(l, h) }
       .distinct.sorted
     val idx = items.zipWithIndex.toMap

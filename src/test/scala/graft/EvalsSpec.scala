@@ -103,6 +103,53 @@ class EvalsSpec extends AnyFunSuite {
     assert(r2f == 2L * 1 * 1000000 / (1 + 3))
   }
 
+  test("genMetrics: empty candidate/reference sides are null/zero, never NaN or a /0 error") {
+    // an empty model output is a REALISTIC degenerate row (round-11
+    // advice): BLEU of an empty candidate is -inf in log space -> NULL;
+    // every ROUGE ratio zero-guards its own denominator
+    val df = Seq(
+      (1L, Seq.empty[String], Seq("a", "b")),
+      (2L, Seq("a", "b"), Seq.empty[String]),
+      (3L, Seq.empty[String], Seq.empty[String])
+    ).toDF("id", "cand", "ref")
+    val out = Evals.genMetrics(df, "id", "cand", "ref")
+      .select("id", "log_bleu_ppm", "rouge1_f_ppm", "rouge1_p_ppm",
+        "rouge1_r_ppm")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).isNullAt(1), "empty candidate: BLEU undefined -> null")
+    assert(out(1L).getLong(2) == 0L && out(1L).getLong(3) == 0L &&
+      out(1L).getLong(4) == 0L)
+    assert(!out(2L).isNullAt(1), "empty REFERENCE keeps a finite log-BLEU " +
+      "(BP caps at 0; smoothed p_n stay positive)")
+    assert(out(2L).getLong(2) == 0L && out(2L).getLong(3) == 0L &&
+      out(2L).getLong(4) == 0L)
+    assert(out(3L).isNullAt(1) && out(3L).getLong(2) == 0L &&
+      out(3L).getLong(3) == 0L && out(3L).getLong(4) == 0L)
+  }
+
+  test("passAtK: k past the long-safe bound is rejected up front; k=11 worst case exact") {
+    val t = Seq((1L, 20L, 0L)).toDF("task", "n", "c")
+    val e = intercept[IllegalArgumentException] {
+      Evals.passAtK(t, "task", "n", "c", Seq(12))
+    }
+    assert(e.getMessage.contains("k<=11"),
+      s"guard must name the bound: ${e.getMessage}")
+    // the worst permitted case (n=20, c=0, k=11): prod(20,11)*1e6 = 6.7e18
+    // — inside a long by 27%; c=0 makes the ratio exactly 1 -> pass 0
+    val out = Evals.passAtK(t, "task", "n", "c", Seq(11))
+      .select("pass11_ppm").as[Long].collect().head
+    assert(out == 0L)
+  }
+
+  test("fleissKappa: single-category unanimity is undefined and fails with the statistics") {
+    val lab = Seq((1L, 0L), (1L, 0L), (2L, 0L), (2L, 0L)).toDF("item", "cat")
+    val e = intercept[IllegalArgumentException] {
+      Evals.fleissKappa(lab, "item", "cat")
+    }
+    assert(e.getMessage.contains("kappa undefined"),
+      s"must explain WHY, not throw a bare ArithmeticException: ${e.getMessage}")
+  }
+
   test("calibration: planted violation pools; ECE/Brier match hand computation; empty bins absent") {
     // bins=4: bin0 acc 1.0 > bin1 acc 0.0 is a monotonicity violation the
     // isotonic fit must POOL to (2+0)/(2+2)=0.5; bin2 is empty and must

@@ -115,6 +115,19 @@ class MiningSpec extends AnyFunSuite {
     assert(s(2L) > 0L)
   }
 
+  test("btStrengths: a pair universe past the driver cap fails loudly " +
+    "(probe collects cap+1 rows, never the corpus)") {
+    // 100001 DISTINCT pairs — one past the rule-17 cap; the limit-probe
+    // must reject with an actionable message instead of OOMing the driver
+    val big = spark.range(100001L)
+      .selectExpr("id AS a", "id + 200000 AS b", "true AS win_a")
+    val e = intercept[IllegalArgumentException] {
+      Mining.btStrengths(big, "a", "b", "win_a")
+    }
+    assert(e.getMessage.contains("distinct comparison pairs"),
+      s"guard must name the cause: ${e.getMessage}")
+  }
+
   private def plOf(lists: Seq[Seq[Long]], iters: Int = 20) = {
     val rows = lists.zipWithIndex.flatMap { case (l, li) =>
       l.zipWithIndex.map { case (it, p) => (li.toLong, it, (p + 1).toLong) }
