@@ -141,17 +141,84 @@ object LinkGraph {
     * raw·scale overflows a long by construction, silently in non-ANSI
     * Spark — the decimal hop is correctness, not caution.
     *
-    * Per iteration TWO edge-sized equi-shuffles (h ⋈ edges on src, groupBy
-    * dst; a ⋈ edges on dst, groupBy src — both map-side-combined), two
-    * one-row total broadcasts, and node-sized re-joins against the node
-    * frame (|V| ≪ |E| rows); state localCheckpoint()ed (same lineage
-    * argument as pageRank's). */
+    * Execution splits on graph size (stated threshold, probed — not
+    * assumed): a HOST-granularity graph is usually request-sized (the web
+    * has ~10⁸ hosts; a curated corpus's host universe is far smaller), and
+    * a Spark fixed-point loop costs ~0.2 s of pure job scheduling per
+    * iteration regardless of data — ~6 s of overhead for a graph that fits
+    * in a few KB. So: ONE job aggregates edges to a weighted (src, dst, w)
+    * table probed with `limit(cap+1)`; when it fits under
+    * `driverEdgeCap` (100k distinct edges) the whole iteration replays
+    * DRIVER-SIDE in BigInt under rule 17 (the tr4/tr5 fit pattern) —
+    * exact integer arithmetic is associative, so the driver replay is
+    * bit-identical to the distributed loop and to the oracle. Past the
+    * cap, the distributed path: per iteration TWO edge-sized equi-shuffles
+    * (h ⋈ edges on src, groupBy dst; a ⋈ edges on dst, groupBy src — both
+    * map-side-combined), two one-row total broadcasts, and node-sized
+    * re-joins against the node frame (|V| ≪ |E| rows); state
+    * localCheckpoint()ed (same lineage argument as pageRank's). */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
-           iterations: Int, scale: Long = 1000000000000L): DataFrame = {
+           iterations: Int, scale: Long = 1000000000000L,
+           driverEdgeCap: Int = 100000): DataFrame = {
     require(iterations >= 1, s"hits needs iterations>=1 (got $iterations)")
     require(scale >= 1000, s"hits needs scale>=1e3 (got $scale)")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val probe = e0.groupBy("src", "dst").agg(count(lit(1)).as("__w"))
+      .limit(driverEdgeCap + 1).collect()
+    if (probe.length <= driverEdgeCap)
+      hitsDriver(edges.sparkSession, e0.schema.fields(0).dataType,
+        probe.map(r => (r.get(0), r.get(1), r.getLong(2))), iterations, scale)
+    else hitsDistributed(e0, iterations, scale)
+  }
+
+  /** Rule-17 replay of the L1-normalized fixed-point iteration over a
+    * collected weighted edge list — value-identical to [[hitsDistributed]]
+    * by exactness (all sums are BigInt; all divisions are floor over
+    * non-negative operands, as IntegralDivide is). Multiplicity is carried
+    * by the edge weight, matching the distributed join-against-raw-edges
+    * semantics. */
+  private def hitsDriver(spark: org.apache.spark.sql.SparkSession,
+                         nodeType: org.apache.spark.sql.types.DataType,
+                         es: Array[(Any, Any, Long)], iterations: Int,
+                         scale: Long): DataFrame = {
+    val nodes: Array[Any] = (es.map(_._1) ++ es.map(_._2)).distinct
+    val n = nodes.length
+    require(n > 0, "hits: empty graph")
+    val bScale = BigInt(scale)
+    var hub: Map[Any, BigInt] = nodes.map(v => v -> BigInt(scale / n)).toMap
+    var auth: Map[Any, BigInt] = hub
+    def normalize(raw: Map[Any, BigInt]): Map[Any, BigInt] = {
+      val t = raw.values.foldLeft(BigInt(0))(_ + _)
+      nodes.map { v =>
+        v -> (if (t == 0) BigInt(0)
+              else raw.getOrElse(v, BigInt(0)) * bScale / t)
+      }.toMap
+    }
+    for (_ <- 1 to iterations) {
+      auth = normalize(es.groupBy(_._2).map { case (v, g) =>
+        v -> g.foldLeft(BigInt(0)) { case (acc, (u, _, w)) =>
+          acc + hub(u) * w }
+      })
+      hub = normalize(es.groupBy(_._1).map { case (u, g) =>
+        u -> g.foldLeft(BigInt(0)) { case (acc, (_, v, w)) =>
+          acc + auth(v) * w }
+      })
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", nodeType, nullable = true),
+      org.apache.spark.sql.types.StructField("auth",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("hub",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(nodes.map(v =>
+        org.apache.spark.sql.Row(v, auth(v).toLong, hub(v).toLong)): _*)
+    spark.createDataFrame(rows, schema)
+  }
+
+  private def hitsDistributed(e0: DataFrame, iterations: Int,
+                              scale: Long): DataFrame = {
+    val e = e0.persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)

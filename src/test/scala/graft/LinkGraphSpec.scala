@@ -146,4 +146,17 @@ class LinkGraphSpec extends AnyFunSuite {
   test("hits is bit-identical under different input partitionings") {
     assert(runHits(hg, 5, parts = 1) == runHits(hg, 5, parts = 7))
   }
+
+  test("hits rule-17 driver fast path == distributed loop == reference, " +
+    "parallel edges counting multiply") {
+    // parallel h2->a1 edges: the driver path carries them as weight 2, the
+    // distributed path joins the raw duplicated rows — must agree to the bit
+    val mg = hg ++ Seq("h2" -> "a1", "h2" -> "a1")
+    val driver = runHits(mg, 5) // |edges| far under the default cap
+    val dist = LinkGraph.hits(mg.toDF("s", "d"), "s", "d", 5,
+        driverEdgeCap = 0) // cap 0 forces the distributed loop
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(driver == dist, "driver fit diverged from the distributed loop")
+    assert(driver == hitsReference(mg, 5))
+  }
 }
