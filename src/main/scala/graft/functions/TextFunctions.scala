@@ -50,23 +50,41 @@ object text {
   def clipped_overlap(a: Column, b: Column): Column =
     graft.functions.GenEvalExpressions.clipped_overlap_kernel(a, b)
 
-  /** Distinct character n-grams of the normalized text. */
-  def char_shingles(c: Column, n: Int): Column = {
-    val norm = normalize(c)
-    when(length(norm) >= n,
-      array_distinct(transform(sequence(lit(1), length(norm) - (n - 1)),
-        i => norm.substr(i, lit(n)))))
-      .otherwise(array())
-  }
+  /** Distinct character n-grams of the normalized text.
+    *
+    * Cost note (round 12): `norm` is BOUND ONCE through a one-element
+    * struct transform before the per-position lambda reads it. The HOF
+    * interpreter re-evaluates any outer expression referenced inside a
+    * lambda on EVERY step (the measured ev1 pathology — ARCHITECTURE
+    * "Higher-order-function interpreter pathology"), so the previous
+    * direct reference re-ran the full regex normalize of the document
+    * once PER GRAM POSITION. Output is value-identical. */
+  def char_shingles(c: Column, n: Int): Column =
+    element_at(transform(array(struct(normalize(c).as("s"))), p => {
+      val norm = p.getField("s")
+      when(length(norm) >= n,
+        array_distinct(transform(sequence(lit(1), length(norm) - (n - 1)),
+          i => norm.substr(i, lit(n)))))
+        .otherwise(array())
+    }), 1)
 
-  /** Distinct word n-grams (space-joined) over the token array. */
-  def word_shingles(c: Column, n: Int): Column = {
-    val toks = tokens(c)
-    when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-      .otherwise(array())
-  }
+  /** Distinct word n-grams (space-joined) over the token array.
+    *
+    * Cost note (round 12): same bind-once cure as [[char_shingles]] — the
+    * direct `toks` reference re-ran the regex tokenize once per shingle
+    * position (t61's train-corpus pass was ~6× slower than this plan);
+    * the gram join is an unrolled element_at chain instead of
+    * slice+concat_ws (no per-gram ArrayData copy — the ev1 kernel
+    * lesson). Output is value-identical. */
+  def word_shingles(c: Column, n: Int): Column =
+    element_at(transform(array(struct(tokens(c).as("t"))), p => {
+      val toks = p.getField("t")
+      when(size(toks) >= n,
+        array_distinct(transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", (0 until n).map(j =>
+            element_at(toks, (i + lit(j + 1)).cast("int"))): _*))))
+        .otherwise(array())
+    }), 1)
 
   /** 32-bit seeded shingle hash, Broder-style: one md5 per shingle; lane
     * `seed` combines the digest's two 4-byte halves as
