@@ -75,7 +75,8 @@ object Bench {
     "h2_html_main", "t58_sft_render", "n13_bm25f", "u7_time_travel", "tr4_bt_strengths", "t59_dpo_pairs", "t60_wordpiece", "t61_contamination_report", "q4_skew_report",
     "e19_ab_uplift", "ev1_bleu_rouge", "ev2_calibration", "c5_texttile",
     "ev3_pass_at_k", "gr3_hits", "t62_unigram_train", "p9_md_tables",
-    "tr5_pl_strengths", "ev4_fleiss_kappa", "t63_dedup_recall")
+    "tr5_pl_strengths", "ev4_fleiss_kappa", "t63_dedup_recall",
+    "s10_office_colpali")
   // v23_ann_recall is deliberately NOT a headliner: it is a QUALITY gate
   // (eight recall measurements, each paying an index-build arm the bench
   // already times individually via v12/v13/v15/v17/v22) — benching it

@@ -139,6 +139,24 @@ object DocParser {
     parts.mkString("\n")
   }
 
+  /** Per-sheet cell matrices of a real xlsx container (nulls → "") — the
+    * S11 office→images probe: the render chain treats sheet == page (the
+    * reference's LibreOffice rung paginates the converted PDF the same
+    * way, `ingestion_service.py:1698-1896`), so a page renderer's
+    * `pageCount`/`render` walk the REAL OOXML package (workbook →
+    * rels → worksheet parts → shared strings), not a stub count. */
+  def xlsxSheetCells(bytes: Array[Byte]): Seq[Seq[Seq[String]]] = {
+    val entries = zipEntries(bytes)
+    val shared = entries.get("xl/sharedStrings.xml").map(parseSharedStrings)
+      .getOrElse(IndexedSeq.empty)
+    sheetTargets(entries).flatMap { case (_, target) =>
+      entries.get(target).map { sheetXml =>
+        parseSheetRows(sheetXml, shared)
+          .map(_.map(v => if (v == null) "" else v).toSeq)
+      }
+    }
+  }
+
   /** workbook.xml sheet order resolved through workbook.xml.rels to
     * worksheet part names. */
   private def sheetTargets(entries: Map[String, Array[Byte]]): Seq[(String, String)] = {

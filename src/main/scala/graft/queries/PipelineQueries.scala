@@ -54,8 +54,95 @@ object PipelineQueries {
     "p7_index_layout" -> ((s, d) => indexLayout(s, d)),
     "h1_html_blocks" -> ((s, d) => htmlBlocksQ(s, d)),
     "h2_html_main" -> ((s, d) => htmlMainQ(s, d)),
-    "p9_md_tables" -> ((s, d) => mdTablesQ(s, d))
+    "p9_md_tables" -> ((s, d) => mdTablesQ(s, d)),
+    "s10_office_colpali" -> ((s, d) => officeColpali(s, d))
   )
+
+  /** Deterministic S11 page renderer over REAL xlsx containers: pageCount
+    * and per-page cell text come from genuine OOXML package walking
+    * ([[graft.operators.DocParser.xlsxSheetCells]] — sheet == page, the
+    * reference's LibreOffice→PDF rung paginates the same way); the PIXELS
+    * are the clearly-marked stub half (no office rasterizer exists in a
+    * pure JVM): planted arithmetic of the sheet's total cell length, so
+    * render failures ((tot·3+page)%5==0 throws), blank pages
+    * ((tot+page)%4==0 renders uniform), and the decoded width
+    * (8+(tot·7+page)%56) are all facts an oracle reconstructs from the
+    * same planted words — extract(render(cells)) round-trip gating, the
+    * p9 convention lifted to the image chain. */
+  object XlsxSheetRenderer extends Multimodal.PageRenderer {
+    private def totLen(doc: Array[Byte], page: Int): Int =
+      graft.operators.DocParser.xlsxSheetCells(doc)(page)
+        .flatten.map(_.length).sum
+    def pageCount(doc: Array[Byte]): Int =
+      graft.operators.DocParser.xlsxSheetCells(doc).length
+    def render(doc: Array[Byte], page: Int): Array[Byte] = {
+      val tot = totLen(doc, page)
+      if ((tot * 3 + page) % 5 == 0)
+        throw new RuntimeException(s"planted render failure page=$page")
+      val blank = (tot + page) % 4 == 0
+      val w = 8 + ((tot * 7 + page) % 56)
+      val g = 40 + tot % 150
+      val img = new java.awt.image.BufferedImage(
+        w, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < w) {
+          val v = if (blank || (x + y) % 2 == 0) g else g + 16
+          img.setRGB(x, y, (v << 16) | (v << 8) | v); x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** S11 end-to-end (round-11 verdict #6 — the one §2 component that was
+    * spec-only): office ingest → rendered page images → C3 multivector
+    * chunk dispatch as ONE row (`ingestion_service.py:1698-1896`). Each
+    * doc becomes a REAL xlsx with 1+doc_id%3 sheets (both shared-string
+    * and inline-string layouts, alternating by id); [[XlsxSheetRenderer]]
+    * walks the real container per page; the [[Multimodal.pageImageChunks]]
+    * skeleton skips planted render-failures and blank pages and numbers
+    * survivors densely; each surviving data-URI chunk is decoded BACK
+    * (b1's codec direction) and dispatched to the image multivector model
+    * ([[graft.operators.HashMultiVectorEmbedder.embedImageMulti]], the
+    * ColPali patch-shaped stand-in) — emitted per chunk: the decoded
+    * width (value-ties the xlsx parse → render → normalize → data-URI →
+    * decode chain to the planted words) and the multivector shape
+    * (n_vecs×dim = the 4×4 luma patch grid × 128). */
+  def officeColpali(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val withBytes = docs.map { case (id, text) =>
+      val ws = text.split(" ")
+      val n = ws.length
+      val sheets = (0 until (1 + id % 3).toInt).map { s =>
+        (s"S$s", Seq(Seq(ws((2 * s) % n), ws((2 * s + 1) % n))))
+      }
+      (id, graft.sources.OfficeFixtures.xlsx(sheets,
+        sharedStrings = id % 2 == 0))
+    }.toDF("doc_id", "bytes")
+    val chunks = Multimodal.pageImageChunks(
+      withBytes, "doc_id", "bytes", XlsxSheetRenderer)
+    val emb = graft.operators.HashMultiVectorEmbedder(dim = 128)
+    chunks.as[(Long, Int, Int, String, Boolean)].map {
+      case (id, chunkNo, page, uri, isImage) =>
+        val bytes = java.util.Base64.getDecoder
+          .decode(uri.substring(uri.indexOf(',') + 1))
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        val mv = emb.embedImageMulti(bytes)
+        (id, chunkNo.toLong, page.toLong, isImage,
+          uri.startsWith("data:image/"), img.getWidth.toLong,
+          mv.length.toLong, mv.head.length.toLong)
+    }.toDF("doc_id", "chunk_number", "page_index", "is_image", "mime_ok",
+      "width", "n_vecs", "dim")
+      .orderBy("doc_id", "page_index")
+  }
 
   /** [[graft.operators.MarkdownTables.extract]] over PLANTED markdown
     * (t18/t37 convention — structure from pure integer functions of
@@ -1049,6 +1136,35 @@ object PipelineQueries {
          |SELECT doc_id, tbl, row_idx, col_idx, cell
          |FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2)
          |ORDER BY doc_id, tbl, row_idx, col_idx""").stripMargin,
+    // S11 chain replay from the planting rule alone: sheet s of doc d
+    // carries words ws[(2s)%n], ws[(2s+1)%n]; tot = their length sum drives
+    // the renderer's planted failure/blank/width arithmetic (see
+    // XlsxSheetRenderer). The oracle never touches a container or a pixel —
+    // it derives which pages survive and what width the decoded image must
+    // have; the engine earns equality only if the real OOXML write→walk,
+    // render, blank-gate, data-URI encode→decode, and survivor numbering
+    // all land exactly.
+    "s10_office_colpali" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws,
+        |             len(string_split(text, ' ')) AS n
+        |           FROM documents WHERE doc_id < 100),
+        |p AS (SELECT doc_id, s AS page_index,
+        |        len(ws[((2*s) % n) + 1]) + len(ws[((2*s+1) % n) + 1]) AS tot
+        |      FROM d, generate_series(0, 2) t(s)
+        |      WHERE s < 1 + doc_id % 3),
+        |surv AS (SELECT doc_id, page_index, tot FROM p
+        |         WHERE (tot * 3 + page_index) % 5 <> 0
+        |           AND (tot + page_index) % 4 <> 0),
+        |ord AS (SELECT doc_id, page_index,
+        |          row_number() OVER (PARTITION BY doc_id
+        |            ORDER BY page_index) - 1 AS chunk_number,
+        |          8 + ((tot * 7 + page_index) % 56) AS width
+        |        FROM surv)
+        |SELECT doc_id, chunk_number::BIGINT AS chunk_number,
+        |  page_index::BIGINT AS page_index, true AS is_image,
+        |  true AS mime_ok, width::BIGINT AS width,
+        |  16::BIGINT AS n_vecs, 128::BIGINT AS dim
+        |FROM ord ORDER BY doc_id, page_index""".stripMargin,
     "p6_clean_control" ->
       """WITH dirty AS (SELECT doc_id,
         |  text || chr(1) || chr(9) || chr(127) || chr(128) || chr(159)
