@@ -142,11 +142,17 @@ object StreamBench {
     * COMPACTED every 16 batches — amortized O(index/16) per batch, the
     * same append-then-compact law an LSM state store runs at scale.
     *
-    * Reported: `mean_processed_rows_per_s` (whole window, startup
-    * included) and `steady_rows_per_s` — processing CAPACITY over the
-    * post-warmup batches (rows ÷ in-batch processing time, first 3
-    * batches excluded), the number the "arm must sustain its input rate"
-    * sanity bound is checked against. `state_bytes_est` is an ESTIMATE
+    * Reported: `mean_processed_rows_per_s` — rows consumed AFTER the first
+    * micro-batch ÷ that window's wall seconds (round-11 verdict #7). The
+    * first batch carries the one-time query-planning cost (~3-5 s in a
+    * cold JVM) and is excluded from BOTH numerator and denominator — an
+    * explicit `startup_s` field states how much was cut, so the exclusion
+    * is a reported quantity, not a footnote. Rows GENERATED during startup
+    * still count: the rate source backlogs them and the arm consumes them
+    * inside the measured window, which is exactly the catch-up behavior a
+    * sustained-rate claim must include. `steady_rows_per_s` stays as the
+    * per-batch processing CAPACITY (rows ÷ in-batch processing time, first
+    * 3 batches excluded). `state_bytes_est` is an ESTIMATE
     * ((32-hex md5) + two longs + row overhead per index row), not the
     * measured `memoryUsedBytes` the stateful arms report — hence the
     * distinct key + `"estimated":true`. */
@@ -171,10 +177,11 @@ object StreamBench {
       "doc_id", "text", paras).localCheckpoint()
     val deltas = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val compactEvery = 16
-    // per-batch (rows, in-batch processing seconds) for the steady-state
-    // capacity metric; ConcurrentLinkedQueue — foreachBatch runs off-thread
+    // per-batch (rows, in-batch processing seconds, batch-end nanos) for
+    // the steady-state capacity metric and the post-startup window;
+    // ConcurrentLinkedQueue — foreachBatch runs off-thread
     val perBatch =
-      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double)]
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double, Long)]
     val q = docs.writeStream
       .trigger(Trigger.ProcessingTime("1 second"))
       .option("checkpointLocation",
@@ -193,7 +200,8 @@ object StreamBench {
             .repartition(col("h")).localCheckpoint()
           deltas.clear()
         }
-        perBatch.add((b.count(), (System.nanoTime() - bt0) / 1e9))
+        perBatch.add((b.count(), (System.nanoTime() - bt0) / 1e9,
+          System.nanoTime()))
         ()
       }
       .start()
@@ -209,8 +217,16 @@ object StreamBench {
     val steadyRate =
       if (steady.isEmpty) 0.0
       else steady.map(_._1).sum / math.max(steady.map(_._2).sum, 0.001)
+    // post-startup window: batch 0 (one-time query planning) excluded from
+    // numerator and denominator; startup_s reports the cut (see scaladoc)
+    val startupS = bs.headOption.map(b => (b._3 - t0) / 1e9).getOrElse(0.0)
+    val postRows = bs.drop(1).map(_._1).sum
+    val postWall =
+      if (bs.size >= 2) (bs.last._3 - bs.head._3) / 1e9 else 0.0
+    val meanRate = postRows / math.max(postWall, 0.001)
     println(f"""{"arm":"paragraph_dedup","rows":$rows,"wall_s":$wall%.1f,""" +
-      f""""mean_processed_rows_per_s":${rows / math.max(wall, 0.001)}%.0f,""" +
+      f""""mean_processed_rows_per_s":$meanRate%.0f,""" +
+      f""""startup_s":$startupS%.1f,""" +
       f""""steady_rows_per_s":$steadyRate%.0f,""" +
       f""""batches":${bs.size},"state_rows":$idxRows,""" +
       f""""state_bytes_est":${idxRows * 56},"estimated":true,""" +

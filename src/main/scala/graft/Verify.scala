@@ -56,7 +56,13 @@ object Verify {
     // ln-space BLEU, t62's ln model + Viterbi ties, tr5's listwise MM,
     // gr3's fixed-point double-normalization, c5's windowed-peak ties
     "ev1_bleu_rouge", "t62_unigram_train", "tr5_pl_strengths", "gr3_hits",
-    "c5_texttile")
+    "c5_texttile",
+    // round-12 additions (round-11 verdict #2): the remaining high-x64-ratio
+    // rows — h1's block extraction (x64 14.3), p9's table round-trip (5.6),
+    // v25's Gram/power fit (5.2), t63's planted-recall pipeline (4.0),
+    // t55's Gopher rule set (3.7), t61's contamination semi-join (3.1)
+    "h1_html_blocks", "p9_md_tables", "v25_abtt_projection",
+    "t63_dedup_recall", "t55_gopher_quality", "t61_contamination_report")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rest @ _*) = args
