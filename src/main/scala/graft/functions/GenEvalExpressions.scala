@@ -117,4 +117,110 @@ object GenEvalExpressions {
 
   def bleu_clipped(cand: Column, ref: Column): Column =
     toCol(BleuClipped(toExpr(cand), toExpr(ref)))
+
+  /** Longest common subsequence LENGTH of two token arrays — the ROUGE-L
+    * statistic (Lin 2004 §3). Classic two-row DP, O(|a|·|b|) time and
+    * O(|b|) space; the reference side is pre-extracted once so the inner
+    * cell does one UTF8String equality, never an ArrayData fetch. Same
+    * kernel rationale as [[clippedCount]]: a HOF-fold formulation would
+    * re-evaluate its input subtrees per DP cell (interpreted, no CSE). */
+  def lcsLength(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements(); val m = b.numElements()
+    if (n == 0 || m == 0) return 0L
+    val bs = new Array[UTF8String](m)
+    var k = 0
+    while (k < m) { bs(k) = b.getUTF8String(k); k += 1 }
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    var i = 1
+    while (i <= n) {
+      val ai = a.getUTF8String(i - 1)
+      var j = 1
+      while (j <= m) {
+        cur(j) =
+          if (ai.equals(bs(j - 1))) prev(j - 1) + 1
+          else math.max(prev(j), cur(j - 1))
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(m).toLong
+  }
+
+  /** chrF statistics (Popović 2015): over the SPACE-STRIPPED character
+    * sequences of candidate and reference, the clipped char-n-gram match
+    * count for n = 1..6. Returns [c_chars, r_chars, m1..m6] — the
+    * denominators max(len−n+1, 0) are derivable from the two lengths, so
+    * eight longs carry the whole statistic. One HashMap pass per order. */
+  def chrfStats(cand: UTF8String, ref: UTF8String): ArrayData = {
+    val cs = cand.toString.replace(" ", "")
+    val rs = ref.toString.replace(" ", "")
+    val out = new Array[Any](8)
+    out(0) = cs.length.toLong
+    out(1) = rs.length.toLong
+    var n = 1
+    while (n <= 6) {
+      out(1 + n) = clippedChars(cs, rs, n)
+      n += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private def clippedChars(a: String, b: String, n: Int): Long = {
+    if (a.length < n || b.length < n) return 0L
+    val counts = new java.util.HashMap[String, Integer](a.length * 2)
+    var i = 0
+    while (i + n <= a.length) {
+      val g = a.substring(i, i + n)
+      val c = counts.get(g)
+      counts.put(g, if (c == null) 1 else c + 1)
+      i += 1
+    }
+    var m = 0L; var j = 0
+    while (j + n <= b.length) {
+      val g = b.substring(j, j + n)
+      val c = counts.get(g)
+      if (c != null && c > 0) { m += 1L; counts.put(g, c - 1) }
+      j += 1
+    }
+    m
+  }
+
+  case class LcsLength(left: Expression, right: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "lcs_length"
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(StringType), ArrayType(StringType))
+    override def nullSafeEval(a: Any, b: Any): Any =
+      lcsLength(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        ${ev.value} = graft.functions.GenEvalExpressions.lcsLength($a, $b);
+        """)
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  case class ChrfStats(left: Expression, right: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "chrf_stats"
+    override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+    override def nullSafeEval(a: Any, b: Any): Any =
+      chrfStats(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        ${ev.value} = graft.functions.GenEvalExpressions.chrfStats($a, $b);
+        """)
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  def lcs_length(a: Column, b: Column): Column =
+    toCol(LcsLength(toExpr(a), toExpr(b)))
+
+  def chrf_stats(cand: Column, ref: Column): Column =
+    toCol(ChrfStats(toExpr(cand), toExpr(ref)))
 }

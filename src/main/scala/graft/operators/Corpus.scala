@@ -1369,6 +1369,62 @@ object Corpus {
           .otherwise("clean"))
   }
 
+  /** Ladder-length MEMORIZATION report — the Carlini-style "is this model
+    * output (or eval document) a verbatim copy of training data, and how
+    * long a copy" probe, the length dimension [[contaminationReport]]'s
+    * single-n dirtiness ratio does not give (GPT-3's appendix C uses one
+    * 13-gram rule; memorization audits need the RUN LENGTH: a 4-gram
+    * match is idiom, a 32-gram match is a copied passage). For each eval
+    * doc and each rung length in `rungs` (default 4/8/16/32): how many
+    * distinct rung-length word n-grams it has, how many appear ANYWHERE
+    * in the training corpus, and the per-doc maximum rung with at least
+    * one match — a binary-search-style lower bound on the longest
+    * verbatim run, exact at the probed lengths.
+    *
+    * Plan (the [[contaminationReport]] shape generalized by a rung
+    * dimension): the eval side is benchmark-sized — its distinct
+    * (rung, gram) set broadcasts; the train corpus is scanned ONCE,
+    * exploding all rung grams in one pass (the gram stream is |rungs|×
+    * the token stream, but map-side semi-joined so only MATCHED
+    * (rung, gram) rows are ever exchanged); one broadcast join back onto
+    * the per-doc gram table. Docs shorter than a rung report honest zeros
+    * for it (t38's convention), never drop. */
+  def memorizationReport(train: DataFrame, eval_ : DataFrame,
+                         idCol: String, textCol: String,
+                         rungs: Seq[Int] = Seq(4, 8, 16, 32)): DataFrame = {
+    require(rungs.nonEmpty && rungs.forall(_ >= 1) &&
+      rungs.distinct.length == rungs.length,
+      s"memorizationReport needs distinct rungs >= 1 (got $rungs)")
+    def rungGrams(df: DataFrame): Column = explode(array(rungs.map(n =>
+      struct(lit(n.toLong).as("rung"),
+        graft.functions.text.word_shingles(col(textCol), n).as("gs"))): _*))
+    val evalG = eval_
+      .select(col(idCol).cast("long").as("eval_id"), rungGrams(eval_).as("rg"))
+      .select(col("eval_id"), col("rg.rung").as("rung"),
+        explode(col("rg.gs")).as("g"))
+    val trainHits = graft.Tables.scaled(
+        train.select(rungGrams(train).as("rg"))
+          .select(col("rg.rung").as("rung"), explode(col("rg.gs")).as("g")))
+      .join(broadcast(evalG.select("rung", "g").distinct()),
+        Seq("rung", "g"), "left_semi")
+      .distinct()
+    val perRung = evalG
+      .join(broadcast(trainHits.withColumn("hit", lit(1L))),
+        Seq("rung", "g"), "left")
+      .groupBy("eval_id", "rung")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_matched"))
+    val grid = eval_.select(col(idCol).cast("long").as("eval_id"),
+      explode(array(rungs.map(n => lit(n.toLong)): _*)).as("rung"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("eval_id")
+    grid.join(perRung, Seq("eval_id", "rung"), "left")
+      .select(col("eval_id"), col("rung"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"))
+      .withColumn("max_matched_rung",
+        coalesce(max(when(col("n_matched") > 0, col("rung"))).over(w), lit(0L)))
+  }
+
   /** DPO preference-pair assembly with quality gates — the
     * (prompt, chosen, rejected) construction every preference-tuning run
     * (DPO, Rafailov et al. 2023; RLHF reward-model data prep) performs

@@ -143,6 +143,79 @@ object Evals {
         col("rouge1_p_ppm"), col("rouge1_r_ppm"))
   }
 
+  /** ROUGE-L over (candidate, reference) token pairs — the LCS-based
+    * member of the ROUGE family (Lin 2004 §3), sensitive to ORDER where
+    * ROUGE-N's bag-of-grams is not: a candidate with every reference word
+    * in scrambled order scores full ROUGE-1 but low ROUGE-L. With
+    * L = |LCS|, c, r the token counts: P = L/c, R = L/r, and the F1 form
+    * 2PR/(P+R) = 2L/(c+r) — so every emitted metric is EXACT integer ppm
+    * (one integer div each), no float anywhere. The LCS itself is the
+    * codegen'd O(c·r) two-row DP kernel
+    * [[graft.functions.GenEvalExpressions.lcsLength]].
+    *
+    * 100 TB shape: candidate and reference live in the same row — map-only,
+    * zero shuffles, like [[genMetrics]]. Degenerate sides follow its
+    * convention: a zero denominator emits 0, never an error. */
+  def rougeL(pairs: DataFrame, idCol: String,
+             candCol: String, refCol: String): DataFrame =
+    pairs
+      .withColumn("c_len", size(col(candCol)).cast("long"))
+      .withColumn("r_len", size(col(refCol)).cast("long"))
+      .withColumn("lcs", graft.functions.GenEvalExpressions
+        .lcs_length(col(candCol), col(refCol)))
+      .withColumn("rouge_l_f_ppm",
+        when(col("c_len") + col("r_len") === 0, lit(0L))
+          .otherwise(expr("(2 * lcs * 1000000) div (c_len + r_len)")))
+      .withColumn("rouge_l_p_ppm",
+        when(col("c_len") === 0, lit(0L))
+          .otherwise(expr("(lcs * 1000000) div c_len")))
+      .withColumn("rouge_l_r_ppm",
+        when(col("r_len") === 0, lit(0L))
+          .otherwise(expr("(lcs * 1000000) div r_len")))
+      .select(col(idCol), col("r_len"), col("c_len"), col("lcs"),
+        col("rouge_l_f_ppm"), col("rouge_l_p_ppm"), col("rouge_l_r_ppm"))
+
+  /** chrF over (candidate, reference) STRING pairs — the character-n-gram
+    * F-score (Popović 2015), the WMT-standard metric that survives
+    * tokenizer and morphology differences BLEU is blind to (a stem match
+    * scores partial credit instead of zero). Statistics are clipped char
+    * n-gram matches for n = 1..6 over the space-stripped texts (the
+    * sacrebleu whitespace convention), computed by the one-pass kernel
+    * [[graft.functions.GenEvalExpressions.chrfStats]].
+    *
+    * Deterministic quantization (stated deviation from sacrebleu's float
+    * averaging): per-order precision/recall are EXACT integer ppm
+    * (m·10⁶ div denom, 0 when the order has no grams), the order average
+    * divides the ppm SUM by the fixed 6, and F_β=2 =
+    * (5·P·R) div (4·P + R) in ppm — every stage an integer division of
+    * exact integers, so any engine replays it bit-for-bit. Products peak
+    * at 5·10¹² — far inside a long. Map-only, zero shuffles. */
+  def chrF(pairs: DataFrame, idCol: String,
+           candCol: String, refCol: String): DataFrame = {
+    val withStats = pairs.withColumn("__st", graft.functions
+      .GenEvalExpressions.chrf_stats(col(candCol), col(refCol)))
+      .withColumn("c_chars", element_at(col("__st"), 1))
+      .withColumn("r_chars", element_at(col("__st"), 2))
+    def ordPpm(n: Int, lenCol: String): Column = {
+      val denom = col(lenCol) - lit(n - 1L)
+      when(denom > 0,
+        expr(s"(element_at(__st, ${2 + n}) * 1000000) div " +
+          s"($lenCol - ${n - 1L})")).otherwise(lit(0L))
+    }
+    val psum = (1 to 6).map(ordPpm(_, "c_chars")).reduce(_ + _)
+    val rsum = (1 to 6).map(ordPpm(_, "r_chars")).reduce(_ + _)
+    withStats
+      .withColumn("__psum", psum).withColumn("__rsum", rsum)
+      .withColumn("chrp_ppm", expr("__psum div 6"))
+      .withColumn("chrr_ppm", expr("__rsum div 6"))
+      .withColumn("chrf_ppm",
+        when(lit(4L) * col("chrp_ppm") + col("chrr_ppm") === 0, lit(0L))
+          .otherwise(expr(
+            "(5 * chrp_ppm * chrr_ppm) div (4 * chrp_ppm + chrr_ppm)")))
+      .select(col(idCol), col("c_chars"), col("r_chars"),
+        col("chrp_ppm"), col("chrr_ppm"), col("chrf_ppm"))
+  }
+
   /** Classifier-confidence CALIBRATION over (score, label) pairs — the
     * readout consulted before trusting a quality/toxicity/LLM-judge score
     * as a keep-drop gate (t57's NB, t2's quality, tr4's judge strengths

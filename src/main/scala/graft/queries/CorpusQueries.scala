@@ -52,8 +52,43 @@ object CorpusQueries {
     "t57_nb_classifier" -> ((s, d) => nbClassifierQ(s, d)),
     "t58_sft_render" -> ((s, d) => sftRenderQ(s, d)),
     "t59_dpo_pairs" -> ((s, d) => dpoPairsQ(s, d)),
-    "t61_contamination_report" -> ((s, d) => contaminationReportQ(s, d))
+    "t61_contamination_report" -> ((s, d) => contaminationReportQ(s, d)),
+    "t64_memorization" -> ((s, d) => memorizationQ(s, d))
   )
+
+  /** [[graft.operators.Corpus.memorizationReport]] over the t61 split with
+    * PLANTED contamination (t18 convention — both engines construct the
+    * eval texts from the same pure integer rule): eval doc e
+    * (doc_id % 50 == 0) takes, by (doc_id div 50) % 4 —
+    * 0: its own text (the natural-overlap arm); 1: the first 40 tokens of
+    * train doc e+1 plus 8 unique filler tokens (a copied passage — matches
+    * through rung 32 when the donor is long enough, honestly less when
+    * not); 2: the first 10 donor tokens (matches rungs 4/8, never 16);
+    * 3: the first 5 donor tokens (matches rung 4 only). max_matched_rung
+    * spans {0, 4, 8, 16, 32} at sf0.01 (oracle-prototyped), so every rung
+    * branch and the max logic discriminate. */
+  def memorizationQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tk = docs.select(col("doc_id"), text.tokens(col("text")).as("tk"))
+    val donors = tk.select((col("doc_id") - 1).as("doc_id"),
+      col("tk").as("dtk"))
+    val uniq = transform(sequence(lit(0L), lit(7L)), j =>
+      concat(lit("u"), col("doc_id").cast("string"), lit("x"),
+        j.cast("string")))
+    val ev = tk.filter(col("doc_id") % 50 === 0)
+      .join(donors, Seq("doc_id"))
+      .withColumn("pcase", expr("(doc_id div 50) % 4"))
+      .withColumn("etk",
+        when(col("pcase") === 0, col("tk"))
+          .when(col("pcase") === 1, concat(slice(col("dtk"), 1, 40), uniq))
+          .when(col("pcase") === 2, concat(slice(col("dtk"), 1, 10), uniq))
+          .otherwise(concat(slice(col("dtk"), 1, 5), uniq)))
+      .select(col("doc_id"), concat_ws(" ", col("etk")).as("text"))
+    Corpus.memorizationReport(
+        docs.filter(col("doc_id") % 50 =!= 0), ev, "doc_id", "text")
+      .withColumnRenamed("eval_id", "doc_id")
+      .orderBy("doc_id", "rung")
+  }
 
   /** Per-eval-doc contamination accounting over the t12 split (eval =
     * doc_id % 50): distinct 4-gram coverage against the train corpus in
@@ -1191,6 +1226,39 @@ object CorpusQueries {
          |        AND (10000 * pd.n_shared) // pd.n_shingles >= 500 THEN 'suspect'
          |       ELSE 'clean' END AS verdict
          |FROM base b LEFT JOIN pd USING (doc_id) ORDER BY b.doc_id""".stripMargin,
+    // planted-eval replay (rule stated at memorizationQ) + per-rung
+    // distinct-gram membership against the train universe + the windowed
+    // max-matched-rung — the whole ladder recomputed from first principles
+    "t64_memorization" ->
+      s"""$toks,
+         |uniq AS (SELECT doc_id, list_transform(range(0, 8), j -> 'u' || doc_id || 'x' || j) AS uq
+         |         FROM tk WHERE doc_id % 50 = 0),
+         |ev AS (SELECT e.doc_id,
+         |    CASE ((e.doc_id // 50) % 4)
+         |      WHEN 0 THEN e.tk
+         |      WHEN 1 THEN list_concat(list_slice(d.tk, 1, 40), u.uq)
+         |      WHEN 2 THEN list_concat(list_slice(d.tk, 1, 10), u.uq)
+         |      ELSE        list_concat(list_slice(d.tk, 1, 5), u.uq)
+         |    END AS etk
+         |  FROM tk e JOIN tk d ON d.doc_id = e.doc_id + 1 JOIN uniq u ON u.doc_id = e.doc_id
+         |  WHERE e.doc_id % 50 = 0),
+         |rungs AS (SELECT unnest([4, 8, 16, 32]) AS rung),
+         |eg AS (SELECT doc_id, rung, unnest(list_distinct(list_transform(range(len(etk) - (rung - 1)),
+         |         i -> array_to_string(list_slice(etk, i + 1, i + rung), ' ')))) AS g
+         |       FROM ev, rungs),
+         |tg AS (SELECT DISTINCT rung, array_to_string(list_slice(tk, i + 1, i + rung), ' ') AS g
+         |       FROM tk, rungs, unnest(range(len(tk) - (rung - 1))) t(i)
+         |       WHERE doc_id % 50 <> 0),
+         |pr AS (SELECT e.doc_id, e.rung, count(*)::BIGINT AS n_grams,
+         |         sum(CASE WHEN t.g IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_matched
+         |       FROM eg e LEFT JOIN tg t USING (rung, g) GROUP BY 1, 2),
+         |grid AS (SELECT e.doc_id, r.rung FROM ev e, rungs r),
+         |fil AS (SELECT g.doc_id, g.rung, coalesce(p.n_grams, 0)::BIGINT AS n_grams,
+         |          coalesce(p.n_matched, 0)::BIGINT AS n_matched
+         |        FROM grid g LEFT JOIN pr p USING (doc_id, rung))
+         |SELECT doc_id, rung::BIGINT AS rung, n_grams, n_matched,
+         |  coalesce(max(CASE WHEN n_matched > 0 THEN rung END) OVER (PARTITION BY doc_id), 0)::BIGINT AS max_matched_rung
+         |FROM fil ORDER BY doc_id, rung""".stripMargin,
     // full replay: synthesis (lockstep with dpoPairsQ), QC gates in stated
     // precedence, prompt-fingerprint dedup window, winner-ordered pair md5
     "t59_dpo_pairs" ->

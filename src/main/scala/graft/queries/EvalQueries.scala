@@ -22,7 +22,9 @@ object EvalQueries {
     "ev1_bleu_rouge" -> ((s, d) => bleuRouge(s, d)),
     "ev2_calibration" -> ((s, d) => calibrationQ(s, d)),
     "ev3_pass_at_k" -> ((s, d) => passAtKQ(s, d)),
-    "ev4_fleiss_kappa" -> ((s, d) => fleissKappaQ(s, d))
+    "ev4_fleiss_kappa" -> ((s, d) => fleissKappaQ(s, d)),
+    "ev5_rouge_l" -> ((s, d) => rougeLQ(s, d)),
+    "ev6_chrf" -> ((s, d) => chrfQ(s, d))
   )
 
   /** [[graft.operators.Evals.fleissKappa]] over a synthesized 3-judge
@@ -63,12 +65,13 @@ object EvalQueries {
   /** (doc_id, ref, cand) token-array pairs per the synthesis rule; docs
     * with < 8 tokens carry no pair (too short for a 4-gram statistic to
     * mean anything — stated, not silent). */
-  private def pairs(spark: SparkSession, dir: String): DataFrame = {
+  private def pairs(spark: SparkSession, dir: String,
+                    cap: Int = 48): DataFrame = {
     // rule 7: the metric kernel is per-row-heavy and map-only — fan the
     // single-row-group scan out to all cores (a no-op on pre-split input)
     val docs = Tables.scaled(Tables.documents(spark, dir))
     val base = docs
-      .select(col("doc_id"), slice(text.tokens(col("text")), 1, 48).as("ref"))
+      .select(col("doc_id"), slice(text.tokens(col("text")), 1, cap).as("ref"))
       .where(size(col("ref")) >= 8)
     val cand: Column = flatten(transform(col("ref"), (tok, i) => {
       val pos = i.cast("long") + lit(1L) + col("doc_id")
@@ -84,6 +87,30 @@ object EvalQueries {
     * ppm. Map-only — zero shuffles before the output sort. */
   def bleuRouge(spark: SparkSession, dir: String): DataFrame =
     Evals.genMetrics(pairs(spark, dir), "doc_id", "cand", "ref")
+      .orderBy("doc_id")
+
+  /** [[graft.operators.Evals.rougeL]] over the same synthesis CAPPED at
+    * 24 reference tokens: the oracle replays the full O(c·r) LCS DP as a
+    * doubly-recursive CTE (i outer, j inner, carrying the two DP rows),
+    * and 24 tokens bounds it at ~600 recursive steps per doc — the gate
+    * stays seconds while every DP cell is still value-checked. The drop/
+    * double rules make the LCS genuinely shorter than min(c, r) (dropped
+    * tokens break runs; doubled tokens pad the candidate), so the order
+    * sensitivity ROUGE-L exists for is exercised, not vacuous. */
+  def rougeLQ(spark: SparkSession, dir: String): DataFrame =
+    Evals.rougeL(pairs(spark, dir, cap = 24), "doc_id", "cand", "ref")
+      .orderBy("doc_id")
+
+  /** [[graft.operators.Evals.chrF]] over the space-joined pair texts (the
+    * kernel strips spaces per the sacrebleu convention, so the statistic
+    * is over the concatenated token characters — a stem-level match earns
+    * partial credit where ev1's word grams score zero). */
+  def chrfQ(spark: SparkSession, dir: String): DataFrame =
+    Evals.chrF(
+      pairs(spark, dir)
+        .withColumn("cs", concat_ws(" ", col("cand")))
+        .withColumn("rs", concat_ws(" ", col("ref"))),
+      "doc_id", "cs", "rs")
       .orderBy("doc_id")
 
   /** [[graft.operators.Evals.calibration]] over a synthesized OVERCONFIDENT
@@ -153,6 +180,97 @@ object EvalQueries {
          |  ((w.m1 * 1000000) // len(p.ref))::BIGINT AS rouge1_r_ppm
          |FROM pair p JOIN wide w USING (doc_id)
          |ORDER BY doc_id""").stripMargin,
+
+    // the full LCS dynamic program replayed as a doubly-recursive CTE:
+    // outer index i walks candidate tokens, inner index j walks reference
+    // tokens, state carries the previous and the growing current DP row;
+    // when j wraps (j+1 = m) the appended row rolls into prev — every DP
+    // cell the engine kernel computes is recomputed here
+    "ev5_rouge_l" ->
+      ("""WITH RECURSIVE
+         |n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
+         |tk AS (SELECT doc_id, list_filter(string_split(norm, ' '), t -> len(t) > 0) AS tk FROM n),
+         |base AS MATERIALIZED (SELECT doc_id, list_slice(tk, 1, 24) AS ref FROM tk WHERE len(tk) >= 8),
+         |rp AS (SELECT doc_id, generate_subscripts(ref, 1) AS pos, unnest(ref) AS tok FROM base),
+         |cnd AS (
+         |  SELECT doc_id, flatten(list(
+         |    CASE WHEN (pos + doc_id) % 7 = 0 THEN []
+         |         WHEN (pos + doc_id) % 11 = 3 THEN [tok, tok]
+         |         ELSE [tok] END ORDER BY pos)) AS cand
+         |  FROM rp GROUP BY doc_id),
+         |pair AS MATERIALIZED (SELECT b.doc_id, b.ref, c.cand, len(c.cand) AS cn, len(b.ref) AS rm
+         |        FROM base b JOIN cnd c USING (doc_id)),
+         |dp AS (
+         |  SELECT doc_id, 1 AS i, 0 AS j,
+         |         list_transform(range(0, rm + 1), x -> 0::BIGINT) AS prev,
+         |         [0::BIGINT] AS cur
+         |  FROM pair WHERE cn > 0 AND rm > 0
+         |  UNION ALL
+         |  SELECT s.doc_id,
+         |    CASE WHEN s.j + 1 = p.rm AND s.i < p.cn THEN s.i + 1 ELSE s.i END,
+         |    CASE WHEN s.j + 1 = p.rm AND s.i < p.cn THEN 0 ELSE s.j + 1 END,
+         |    CASE WHEN s.j + 1 = p.rm AND s.i < p.cn
+         |         THEN list_append(s.cur, CASE WHEN p.cand[s.i] = p.ref[s.j + 1]
+         |              THEN s.prev[s.j + 1] + 1 ELSE greatest(s.prev[s.j + 2], s.cur[s.j + 1]) END)
+         |         ELSE s.prev END,
+         |    CASE WHEN s.j + 1 = p.rm AND s.i < p.cn
+         |         THEN [0::BIGINT]
+         |         ELSE list_append(s.cur, CASE WHEN p.cand[s.i] = p.ref[s.j + 1]
+         |              THEN s.prev[s.j + 1] + 1 ELSE greatest(s.prev[s.j + 2], s.cur[s.j + 1]) END) END
+         |  FROM dp s JOIN pair p USING (doc_id)
+         |  WHERE NOT (s.i = p.cn AND s.j = p.rm)),
+         |lcs AS (SELECT s.doc_id, s.cur[p.rm + 1] AS lcs
+         |        FROM dp s JOIN pair p USING (doc_id) WHERE s.i = p.cn AND s.j = p.rm)
+         |SELECT p.doc_id, p.rm::BIGINT AS r_len, p.cn::BIGINT AS c_len, l.lcs::BIGINT AS lcs,
+         |  ((2 * l.lcs * 1000000) // (p.cn + p.rm))::BIGINT AS rouge_l_f_ppm,
+         |  ((l.lcs * 1000000) // p.cn)::BIGINT AS rouge_l_p_ppm,
+         |  ((l.lcs * 1000000) // p.rm)::BIGINT AS rouge_l_r_ppm
+         |FROM pair p JOIN lcs l USING (doc_id) ORDER BY p.doc_id""").stripMargin,
+
+    // per-order clipped char-gram counts over the space-stripped texts,
+    // then the stated ppm quantization: per-order integer-div ppm, sum
+    // div 6, F_beta=2 as one more integer div
+    "ev6_chrf" ->
+      ("""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
+         |tk AS (SELECT doc_id, list_filter(string_split(norm, ' '), t -> len(t) > 0) AS tk FROM n),
+         |base AS (SELECT doc_id, list_slice(tk, 1, 48) AS ref FROM tk WHERE len(tk) >= 8),
+         |rp AS (SELECT doc_id, generate_subscripts(ref, 1) AS pos, unnest(ref) AS tok FROM base),
+         |cnd AS (SELECT doc_id, flatten(list(
+         |    CASE WHEN (pos + doc_id) % 7 = 0 THEN []
+         |         WHEN (pos + doc_id) % 11 = 3 THEN [tok, tok]
+         |         ELSE [tok] END ORDER BY pos)) AS cand
+         |  FROM rp GROUP BY doc_id),
+         |pair AS MATERIALIZED (SELECT b.doc_id,
+         |    array_to_string(cand, '') AS cs, array_to_string(ref, '') AS rs
+         |  FROM base b JOIN cnd USING (doc_id)),
+         |ns AS (SELECT unnest(range(1, 7)) AS ng),
+         |cg AS (SELECT doc_id, ng, substr(cs, i, ng::INT) AS g
+         |       FROM pair, ns, (SELECT unnest(range(1, 1601)) AS i) r
+         |       WHERE i <= len(cs) - ng + 1),
+         |rg AS (SELECT doc_id, ng, substr(rs, i, ng::INT) AS g
+         |       FROM pair, ns, (SELECT unnest(range(1, 1601)) AS i) r
+         |       WHERE i <= len(rs) - ng + 1),
+         |cc AS (SELECT doc_id, ng, g, count(*) AS c FROM cg GROUP BY 1, 2, 3),
+         |rc AS (SELECT doc_id, ng, g, count(*) AS c FROM rg GROUP BY 1, 2, 3),
+         |mm AS (SELECT cc.doc_id, cc.ng, sum(least(cc.c, coalesce(rc.c, 0)))::BIGINT AS m
+         |       FROM cc LEFT JOIN rc USING (doc_id, ng, g) GROUP BY 1, 2),
+         |grid AS (SELECT p.doc_id, n.ng, len(p.cs) AS lc, len(p.rs) AS lr FROM pair p, ns n),
+         |per AS (SELECT g.doc_id, g.ng,
+         |    greatest(g.lc - g.ng + 1, 0)::BIGINT AS cnn,
+         |    greatest(g.lr - g.ng + 1, 0)::BIGINT AS rnn,
+         |    coalesce(m.m, 0)::BIGINT AS m
+         |  FROM grid g LEFT JOIN mm m USING (doc_id, ng)),
+         |ppm AS (SELECT doc_id,
+         |    sum(CASE WHEN cnn > 0 THEN (m * 1000000) // cnn ELSE 0 END)::BIGINT AS psum,
+         |    sum(CASE WHEN rnn > 0 THEN (m * 1000000) // rnn ELSE 0 END)::BIGINT AS rsum
+         |  FROM per GROUP BY doc_id),
+         |fin AS (SELECT p.doc_id, len(p.cs)::BIGINT AS c_chars, len(p.rs)::BIGINT AS r_chars,
+         |    (psum // 6)::BIGINT AS chrp_ppm, (rsum // 6)::BIGINT AS chrr_ppm
+         |  FROM pair p JOIN ppm USING (doc_id))
+         |SELECT doc_id, c_chars, r_chars, chrp_ppm, chrr_ppm,
+         |  (CASE WHEN 4 * chrp_ppm + chrr_ppm = 0 THEN 0
+         |        ELSE (5 * chrp_ppm * chrr_ppm) // (4 * chrp_ppm + chrr_ppm) END)::BIGINT AS chrf_ppm
+         |FROM fin ORDER BY doc_id""").stripMargin,
 
     "ev2_calibration" ->
       ("""WITH s AS (SELECT doc_id,

@@ -704,4 +704,30 @@ class CorpusSpec extends AnyFunSuite {
       out(13L).getAs[String]("verdict") == "clean",
       "shingle-less eval docs report zeros, never drop")
   }
+
+  test("memorizationReport: planted copy lengths bound max_matched_rung exactly") {
+    // train = one 16-token doc; eval plants a full copy (matches through
+    // rung 16, honestly has zero 32-grams), a 5-token run (rung 4 only),
+    // and a disjoint doc (all zeros)
+    val train = Seq((1L, "a b c d e f g h i j k l m n o p"))
+      .toDF("doc_id", "text")
+    val eval_ = Seq(
+      (100L, "a b c d e f g h i j k l m n o p"),
+      (101L, "a b c d e x1 x2 x3 x4 x5 x6 x7 x8"),
+      (102L, "z1 z2 z3 z4 z5 z6 z7 z8")
+    ).toDF("doc_id", "text")
+    val out = Corpus.memorizationReport(train, eval_, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.size == 12, "full grid: 3 docs x 4 rungs, short docs kept")
+    assert(out((100L, 4L)) == ((13L, 13L, 16L)))
+    assert(out((100L, 16L)) == ((1L, 1L, 16L)))
+    assert(out((100L, 32L)) == ((0L, 0L, 16L)),
+      "a 16-token doc HAS no 32-grams - honest zeros, max stays 16")
+    assert(out((101L, 4L)) == ((10L, 2L, 4L)),
+      "the 5-token run contributes exactly two matched 4-grams")
+    assert(out((101L, 8L))._2 == 0L, "no 8-token run exists")
+    assert(out((102L, 4L)) == ((5L, 0L, 0L)))
+    assert(out((102L, 32L)) == ((0L, 0L, 0L)))
+  }
 }

@@ -127,6 +127,52 @@ class EvalsSpec extends AnyFunSuite {
       out(3L).getLong(3) == 0L && out(3L).getLong(4) == 0L)
   }
 
+  test("rougeL: CLRS LCS fixture exact; order sensitivity ROUGE-1 lacks; degenerate zeros") {
+    val df = Seq(
+      // the classic CLRS 15.4 fixture: X=ABCBDAB, Y=BDCABA -> LCS 4
+      (1L, "a b c b d a b".split(" ").toSeq, "b d c a b a".split(" ").toSeq),
+      // same multiset, reversed order: ROUGE-1 scores this perfect
+      (2L, "e d c b a".split(" ").toSeq, "a b c d e".split(" ").toSeq),
+      (3L, Seq.empty[String], Seq("a"))
+    ).toDF("id", "cand", "ref")
+    val out = Evals.rougeL(df, "id", "cand", "ref").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("lcs") == 4L)
+    assert(out(1L).getAs[Long]("rouge_l_f_ppm") == 2L * 4 * 1000000 / 13)
+    assert(out(1L).getAs[Long]("rouge_l_p_ppm") == 4L * 1000000 / 7)
+    assert(out(1L).getAs[Long]("rouge_l_r_ppm") == 4L * 1000000 / 6)
+    assert(out(2L).getAs[Long]("lcs") == 1L,
+      "reversal collapses the LCS to 1 - the order signal ROUGE-N cannot see")
+    assert(out(3L).getAs[Long]("lcs") == 0L &&
+      out(3L).getAs[Long]("rouge_l_p_ppm") == 0L &&
+      out(3L).getAs[Long]("rouge_l_f_ppm") == 0L)
+  }
+
+  test("chrF: perfect/disjoint extremes; asymmetric case matches the stated integer formula") {
+    val df = Seq(
+      (1L, "abc abc", "abc abc"), // identical after the space strip
+      (2L, "ab", "xy"),           // fully disjoint
+      (3L, "ab", "abcd")          // candidate a strict prefix
+    ).toDF("id", "cand", "ref")
+    val out = Evals.chrF(df, "id", "cand", "ref").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("c_chars") == 6L)
+    assert(out(1L).getAs[Long]("chrf_ppm") == 1000000L,
+      "every order P=R=1 on an identical pair")
+    assert(out(2L).getAs[Long]("chrf_ppm") == 0L)
+    // hand replay of the stated quantization for cand="ab", ref="abcd":
+    // p1=1e6, p2=1e6 (orders 3..6 have no candidate grams -> 0);
+    // r1=2e6/4, r2=1e6/3, orders 3..6 match nothing -> 0
+    val chrp = (1000000L + 1000000L) / 6
+    val chrr = (2000000L / 4 + 1000000L / 3) / 6
+    val chrf = (5 * chrp * chrr) / (4 * chrp + chrr)
+    assert(out(3L).getAs[Long]("chrp_ppm") == chrp)
+    assert(out(3L).getAs[Long]("chrr_ppm") == chrr)
+    assert(out(3L).getAs[Long]("chrf_ppm") == chrf)
+    assert(chrf < chrp && chrf > chrr,
+      "beta=2 pulls the F-score toward recall - the chrF weighting")
+  }
+
   test("passAtK: k past the long-safe bound is rejected up front; k=11 worst case exact") {
     val t = Seq((1L, 20L, 0L)).toDF("task", "n", "c")
     val e = intercept[IllegalArgumentException] {
