@@ -122,7 +122,8 @@ object ScaleProbe {
         "ev2_calibration", "c5_texttile", "ev3_pass_at_k", "gr3_hits",
         "t62_unigram_train", "p9_md_tables", "tr5_pl_strengths",
         "ev4_fleiss_kappa", "t63_dedup_recall", "s10_office_colpali",
-        "ev5_rouge_l", "ev6_chrf", "t64_memorization")
+        "ev5_rouge_l", "ev6_chrf", "t64_memorization", "ev7_psi",
+        "e20_cuped")
       // optional second arg: probe only the named queries (comma-separated) —
       // re-measuring one changed operator shouldn't cost the full heavy tail.
       // Unknown names fail loudly: a typo silently probing nothing (and still

@@ -238,6 +238,127 @@ object Features {
         col("encoding"))
   }
 
+  /** Population Stability Index between a REFERENCE and a CURRENT score
+    * window — the standard production drift monitor (banking scorecard
+    * lineage; the first alarm any deployed quality/toxicity/relevance
+    * scorer wires up): PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i) with p the
+    * reference share and q the current share. Conventional reading:
+    * < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted.
+    *
+    * Inputs are integer ppm scores in [0, `maxPpm`); `bins` equal-width
+    * bins. Determinism discipline: bin shares are EXACT integer ppm
+    * (count·10⁶ div total), clamped at ≥ 1 ppm so an empty bin
+    * contributes a finite penalty instead of ±∞ (the Laplace-style floor,
+    * stated); the ONLY float is `ln` of a ratio of exact integers (the
+    * t30-proven primitive) and the per-bin contribution is
+    * floor((p_ppm − q_ppm)·ln(p_ppm/q_ppm)) — an integer (ppm·nat
+    * fixed-point) whose SUM is order-independent, so the corpus-constant
+    * `psi_total_fp` replays bit-for-bit in any engine.
+    *
+    * 100 TB shape: one map-side-combined groupBy per window into ≤ `bins`
+    * cells, a bins-sized full outer join, and one one-row total broadcast
+    * (the scalar-broadcast pattern) — nothing corpus-sized is ever
+    * exchanged or collected. */
+  def psiReport(ref: DataFrame, cur: DataFrame, scoreCol: String,
+                bins: Int = 10, maxPpm: Long = 1000000L): DataFrame = {
+    require(bins >= 2 && bins <= 1024, s"psiReport needs 2<=bins<=1024 (got $bins)")
+    require(maxPpm >= bins, s"psiReport needs maxPpm>=bins (got $maxPpm)")
+    def binned(df: DataFrame, name: String): DataFrame = df
+      .select(expr(s"least($bins - 1, ($scoreCol * $bins) div $maxPpm)").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as(name))
+    val joined = binned(ref, "n_ref")
+      .join(binned(cur, "n_cur"), Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = joined.agg(sum("n_ref").as("__tr"), sum("n_cur").as("__tc"))
+    val perBin = joined.crossJoin(broadcast(tot))
+      .withColumn("ref_ppm", greatest(expr("(n_ref * 1000000) div __tr"), lit(1L)))
+      .withColumn("cur_ppm", greatest(expr("(n_cur * 1000000) div __tc"), lit(1L)))
+      .withColumn("psi_contrib_fp",
+        floor((col("ref_ppm") - col("cur_ppm")).cast("double") *
+          log(col("ref_ppm").cast("double") / col("cur_ppm").cast("double")))
+          .cast("long"))
+      .select("bin", "n_ref", "n_cur", "ref_ppm", "cur_ppm", "psi_contrib_fp")
+    val total = perBin.agg(sum("psi_contrib_fp").as("psi_total_fp"))
+    perBin.crossJoin(broadcast(total))
+  }
+
+  /** Shared md5 50/50 arm assignment — a pure function of the user id
+    * (the t21/t36 derandomization), recomputed inline wherever needed so
+    * NO user→arm table ever materializes (see [[abUplift]]'s plan note). */
+  private def md5Arm(seed: String, u: Column): Column =
+    when(conv(substring(md5(concat(lit(seed + ":"), u)), 1, 6),
+      16, 10).cast("long") % 2 === 0, "A").otherwise("B")
+
+  /** CUPED variance-reduced A/B readout (Deng et al., WSDM 2013) — the
+    * pre-experiment-covariate adjustment every mature experimentation
+    * platform applies before reading [[abUplift]]'s delta: per user,
+    * X = pre-period value sum (the covariate), Y = experiment-period value
+    * sum; the POOLED θ = cov(X,Y)/var(X) shifts each arm's mean to
+    * Ȳ − θ·(X̄_arm − X̄), removing the X-explained variance — the same
+    * experiment reads significant with θ·corr²·var fewer samples.
+    *
+    * Determinism discipline: values enter as floor(value·100) fixed-point
+    * (floor of bit-identical doubles is engine-safe; round is not), every
+    * sum/product accumulates EXACT (decimal(38,0) — Σx² at 10¹² users
+    * passes a long), and the only floats are the stated final divisions
+    * and the θ/adjustment arithmetic in one stated parenthesization, then
+    * floor(·10⁶). `var_reduction_bp` = floor(10⁴·θ·cov/var(Y)) — the
+    * realized variance-reduction fraction (= corr²(X,Y)).
+    *
+    * 100 TB shape: ONE map-side-combined per-user groupBy (the only
+    * corpus-sized exchange), one five-moment one-row aggregate, one
+    * two-row per-arm aggregate, scalar broadcasts — nothing collected. */
+  def cuped(df: DataFrame, userCol: String, tsCol: String, valueCol: String,
+            cutoffTs: String, seed: String = "ab"): DataFrame = {
+    val cutoff = lit(cutoffTs).cast("timestamp")
+    val perUser = df.groupBy(col(userCol).cast("long").as("u"))
+      .agg(
+        coalesce(sum(when(col(tsCol) < cutoff,
+          floor(col(valueCol) * 100).cast("long"))), lit(0L)).as("x_fp"),
+        coalesce(sum(when(col(tsCol) >= cutoff,
+          floor(col(valueCol) * 100).cast("long"))), lit(0L)).as("y_fp"))
+      .withColumn("arm", md5Arm(seed, col("u")))
+    val d = "cast(x_fp as decimal(19,0))"
+    val dy = "cast(y_fp as decimal(19,0))"
+    val g = perUser.agg(
+      count(lit(1)).as("n"),
+      sum(col("x_fp").cast("decimal(38,0)")).as("sx"),
+      sum(col("y_fp").cast("decimal(38,0)")).as("sy"),
+      sum(expr(s"$d * $d")).as("sxx"),
+      sum(expr(s"$d * $dy")).as("sxy"),
+      sum(expr(s"$dy * $dy")).as("syy"))
+      .withColumn("theta",
+        when(expr("n * sxx - sx * sx") === 0, lit(0.0))
+          .otherwise(expr("cast(n * sxy - sx * sy as double) / " +
+            "cast(n * sxx - sx * sx as double)")))
+      .withColumn("mean_x_all", expr("cast(sx as double) / cast(n as double)"))
+      .withColumn("rho2",
+        when(expr("n * syy - sy * sy") === 0, lit(0.0))
+          .otherwise(expr("theta * cast(n * sxy - sx * sy as double) / " +
+            "cast(n * syy - sy * sy as double)")))
+      .select("theta", "mean_x_all", "rho2")
+    val byArm = perUser.groupBy("arm").agg(
+      count(lit(1)).as("n_users"),
+      sum("x_fp").as("sx_fp"), sum("y_fp").as("sy_fp"))
+    byArm.crossJoin(broadcast(g))
+      .withColumn("mean_y_fp", floor(lit(1000000.0) *
+        (col("sy_fp").cast("double") / col("n_users").cast("double")))
+        .cast("long"))
+      .withColumn("mean_adj_fp", floor(lit(1000000.0) *
+        (col("sy_fp").cast("double") / col("n_users").cast("double") -
+          col("theta") * (col("sx_fp").cast("double") /
+            col("n_users").cast("double") - col("mean_x_all"))))
+        .cast("long"))
+      .withColumn("theta_fp",
+        floor(lit(1000000.0) * col("theta")).cast("long"))
+      .withColumn("var_reduction_bp",
+        floor(lit(10000.0) * col("rho2")).cast("long"))
+      .select("arm", "n_users", "sx_fp", "sy_fp", "mean_y_fp",
+        "mean_adj_fp", "theta_fp", "var_reduction_bp")
+  }
+
   /** A/B experiment readout over an event stream: md5-derandomized 50/50
     * user assignment (the t21/t36 bucketing discipline — assignment is a
     * pure function of the user id, reproducible by any engine), per-event-
@@ -256,17 +377,14 @@ object Features {
     * (user, metric) stream. */
   def abUplift(df: DataFrame, userCol: String, typeCol: String,
                seed: String = "ab", srmTolBp: Long = 500L): DataFrame = {
-    def armOf(u: Column): Column =
-      when(conv(substring(md5(concat(lit(seed + ":"), u)), 1, 6),
-        16, 10).cast("long") % 2 === 0, "A").otherwise("B")
     val users = df.select(col(userCol).cast("long").as("u")).distinct()
-      .withColumn("arm", armOf(col("u")))
+      .withColumn("arm", md5Arm(seed, col("u")))
     val sizes = users.groupBy().agg(
       sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_users_a"),
       sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_users_b"))
     val convs = df.select(col(userCol).cast("long").as("u"),
         col(typeCol).as("metric")).distinct()
-      .withColumn("arm", armOf(col("u")))
+      .withColumn("arm", md5Arm(seed, col("u")))
       .groupBy("metric").agg(
         sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_conv_a"),
         sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_conv_b"))

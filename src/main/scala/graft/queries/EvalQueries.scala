@@ -24,8 +24,28 @@ object EvalQueries {
     "ev3_pass_at_k" -> ((s, d) => passAtKQ(s, d)),
     "ev4_fleiss_kappa" -> ((s, d) => fleissKappaQ(s, d)),
     "ev5_rouge_l" -> ((s, d) => rougeLQ(s, d)),
-    "ev6_chrf" -> ((s, d) => chrfQ(s, d))
+    "ev6_chrf" -> ((s, d) => chrfQ(s, d)),
+    "ev7_psi" -> ((s, d) => psiQ(s, d))
   )
+
+  /** [[graft.operators.Features.psiReport]] between an md5-uniform
+    * reference score window (even doc ids) and a genuinely SHIFTED current
+    * window (odd ids, score = u²/10⁶ — mass pushed toward the low bins; a
+    * modular shift would stay uniform and vacuously read stable): PSI
+    * ≈ 0.58 nats at sf0.01, well past the conventional 0.25 "shifted"
+    * alarm, so the row pins a monitor that actually FIRES. */
+  def psiQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val u = conv(substring(md5(concat(lit("psi:"), col("doc_id"))), 1, 6),
+      16, 10).cast("long") % 1000000L
+    val scored = docs.select(col("doc_id"), u.as("u"))
+    val ref = scored.filter(col("doc_id") % 2 === 0)
+      .select(col("u").as("score"))
+    val cur = scored.filter(col("doc_id") % 2 === 1)
+      .select(expr("(u * u) div 1000000").as("score"))
+    graft.operators.Features.psiReport(ref, cur, "score", bins = 10)
+      .orderBy("bin")
+  }
 
   /** [[graft.operators.Evals.fleissKappa]] over a synthesized 3-judge
     * panel: each judge reports the item's true category (doc_id % 4) with
@@ -180,6 +200,31 @@ object EvalQueries {
          |  ((w.m1 * 1000000) // len(p.ref))::BIGINT AS rouge1_r_ppm
          |FROM pair p JOIN wide w USING (doc_id)
          |ORDER BY doc_id""").stripMargin,
+
+    // exact-integer bin shares (1-ppm empty-bin clamp) + the one ln float,
+    // both windows' synthesis and the whole quantization chain replayed
+    "ev7_psi" ->
+      ("""WITH s AS (SELECT doc_id,
+         |    ('0x' || substr(md5('psi:' || doc_id), 1, 6))::BIGINT % 1000000 AS u
+         |  FROM documents),
+         |r AS (SELECT u AS score FROM s WHERE doc_id % 2 = 0),
+         |c AS (SELECT (u * u) // 1000000 AS score FROM s WHERE doc_id % 2 = 1),
+         |rb AS (SELECT least(9, (score * 10) // 1000000) AS bin, count(*) AS n_ref FROM r GROUP BY 1),
+         |cb AS (SELECT least(9, (score * 10) // 1000000) AS bin, count(*) AS n_cur FROM c GROUP BY 1),
+         |j AS (SELECT bin, coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+         |      FROM rb FULL JOIN cb USING (bin)),
+         |t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j),
+         |p AS (SELECT bin, n_ref, n_cur,
+         |        greatest((n_ref * 1000000) // tr, 1) AS ref_ppm,
+         |        greatest((n_cur * 1000000) // tc, 1) AS cur_ppm
+         |      FROM j, t),
+         |w AS (SELECT bin, n_ref, n_cur, ref_ppm, cur_ppm,
+         |        floor((ref_ppm - cur_ppm)::DOUBLE * ln(ref_ppm::DOUBLE / cur_ppm::DOUBLE))::BIGINT AS psi_contrib_fp
+         |      FROM p)
+         |SELECT bin::BIGINT AS bin, n_ref::BIGINT AS n_ref, n_cur::BIGINT AS n_cur,
+         |  ref_ppm::BIGINT AS ref_ppm, cur_ppm::BIGINT AS cur_ppm, psi_contrib_fp,
+         |  (SELECT sum(psi_contrib_fp) FROM w)::BIGINT AS psi_total_fp
+         |FROM w ORDER BY bin""").stripMargin,
 
     // the full LCS dynamic program replayed as a doubly-recursive CTE:
     // outer index i walks candidate tokens, inner index j walks reference

@@ -37,8 +37,21 @@ object TemporalQueries {
     "e17_target_encode" -> ((s, d) => targetEncodeQ(s, d)),
     "e18_rolling_anomaly" -> ((s, d) => rollingAnomalyQ(s, d)),
     "e19_ab_uplift" -> ((s, d) => abUpliftQ(s, d)),
+    "e20_cuped" -> ((s, d) => cupedQ(s, d)),
     "c5_texttile" -> ((s, d) => textTileQ(s, d))
   )
+
+  /** [[graft.operators.Features.cuped]] over the event stream with the
+    * month split at Jan 16 (pre-period covariate = each user's first-half
+    * value sum, experiment metric = second-half sum; e19's md5 arms).
+    * Per-user X and Y correlate through activity rate, so θ and the
+    * realized variance-reduction fraction are genuinely nonzero and the
+    * adjusted means actually move — the whole five-moment + θ +
+    * adjustment float chain is value-gated in one stated op order. */
+  def cupedQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Features.cuped(Tables.events(spark, dir),
+      "user_id", "ts", "value", "2024-01-16 00:00:00")
+      .orderBy("arm")
 
   /** [[graft.operators.Chunker.textTileGaps]] over the corpus — the
     * TextTiling cohesion profile at w=8/k=2/radius=3/threshold 0.25: one
@@ -382,6 +395,42 @@ object TemporalQueries {
         |  (abs(sz.n_users_a - sz.n_users_b) * 10000
         |    > (sz.n_users_a + sz.n_users_b) * 500) AS srm_flag
         |FROM cv, sz ORDER BY cv.metric""".stripMargin,
+    // per-user fixed-point pre/post sums -> exact HUGEINT moments -> the
+    // stated float chain (theta, pooled mean, adjustment, rho2), floored
+    "e20_cuped" ->
+      """WITH pu AS (
+        |  SELECT user_id AS u,
+        |    coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN floor(value * 100)::BIGINT END), 0) AS x_fp,
+        |    coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN floor(value * 100)::BIGINT END), 0) AS y_fp
+        |  FROM events GROUP BY 1),
+        |pa AS (SELECT u, x_fp, y_fp,
+        |    CASE WHEN ('0x' || substr(md5('ab:' || u), 1, 6))::BIGINT % 2 = 0
+        |         THEN 'A' ELSE 'B' END AS arm FROM pu),
+        |g AS (SELECT count(*)::HUGEINT AS n, sum(x_fp)::HUGEINT AS sx,
+        |    sum(y_fp)::HUGEINT AS sy,
+        |    sum(x_fp::HUGEINT * x_fp)::HUGEINT AS sxx,
+        |    sum(x_fp::HUGEINT * y_fp)::HUGEINT AS sxy,
+        |    sum(y_fp::HUGEINT * y_fp)::HUGEINT AS syy FROM pa),
+        |th AS (SELECT
+        |    CASE WHEN n * sxx - sx * sx = 0 THEN 0.0::DOUBLE
+        |         ELSE (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE END AS theta,
+        |    sx::DOUBLE / n::DOUBLE AS mean_x_all,
+        |    CASE WHEN n * syy - sy * sy = 0 THEN 0.0::DOUBLE
+        |         ELSE (CASE WHEN n * sxx - sx * sx = 0 THEN 0.0::DOUBLE
+        |               ELSE (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE END)
+        |              * (n * sxy - sx * sy)::DOUBLE / (n * syy - sy * sy)::DOUBLE END AS rho2
+        |  FROM g),
+        |ba AS (SELECT arm, count(*)::BIGINT AS n_users, sum(x_fp)::BIGINT AS sx_fp,
+        |         sum(y_fp)::BIGINT AS sy_fp FROM pa GROUP BY arm)
+        |SELECT b.arm, b.n_users, b.sx_fp, b.sy_fp,
+        |  floor(1000000.0::DOUBLE * (b.sy_fp::DOUBLE / b.n_users::DOUBLE))::BIGINT AS mean_y_fp,
+        |  floor(1000000.0::DOUBLE * (b.sy_fp::DOUBLE / b.n_users::DOUBLE
+        |    - t.theta * (b.sx_fp::DOUBLE / b.n_users::DOUBLE - t.mean_x_all)))::BIGINT AS mean_adj_fp,
+        |  floor(1000000.0::DOUBLE * t.theta)::BIGINT AS theta_fp,
+        |  floor(10000.0::DOUBLE * t.rho2)::BIGINT AS var_reduction_bp
+        |FROM ba b, th t ORDER BY b.arm""".stripMargin,
     "e13_ewma" ->
       """WITH s AS (SELECT user_id,
         |    list_transform(

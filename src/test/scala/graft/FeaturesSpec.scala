@@ -143,6 +143,80 @@ class FeaturesSpec extends AnyFunSuite {
       (math.abs(nA - nB) * 10000L > (nA + nB) * 500L))
   }
 
+  test("psiReport: hand-computed contributions; empty-bin clamp; identical windows read zero") {
+    // bins=2: ref splits 1/1, cur lands entirely in bin 0 — bin 1 empties
+    // on the current side and must take the 1-ppm clamp, not divide by 0
+    val ref = Seq(200000L, 700000L).toDF("score")
+    val cur = Seq(100000L, 300000L).toDF("score")
+    val out = graft.operators.Features.psiReport(ref, cur, "score", bins = 2)
+      .orderBy("bin").collect()
+    assert(out.length == 2)
+    val b0 = out(0); val b1 = out(1)
+    assert(b0.getAs[Long]("ref_ppm") == 500000L &&
+      b0.getAs[Long]("cur_ppm") == 1000000L)
+    assert(b1.getAs[Long]("cur_ppm") == 1L, "empty bin takes the stated clamp")
+    val c0 = math.floor((500000.0 - 1000000.0) *
+      math.log(500000.0 / 1000000.0)).toLong
+    val c1 = math.floor((500000.0 - 1.0) *
+      math.log(500000.0 / 1.0)).toLong
+    assert(b0.getAs[Long]("psi_contrib_fp") == c0)
+    assert(b1.getAs[Long]("psi_contrib_fp") == c1)
+    assert(b0.getAs[Long]("psi_total_fp") == c0 + c1)
+    // identical windows: every p = q, every ln ratio of 1 -> PSI exactly 0
+    val same = graft.operators.Features.psiReport(ref, ref, "score", bins = 2)
+      .select("psi_total_fp").collect().map(_.getLong(0))
+    assert(same.forall(_ == 0L))
+  }
+
+  test("cuped: mirrored-arithmetic fixture exact; adjustment moves toward the pooled mean") {
+    import java.sql.Timestamp
+    def arm(u: Long): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ab:$u".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex.take(6), 16) % 2 == 0) "A" else "B"
+    }
+    val pre = Timestamp.valueOf("2024-01-10 00:00:00")
+    val post = Timestamp.valueOf("2024-01-20 00:00:00")
+    // (user, preValue, postValue): correlated X/Y so theta is nonzero
+    val fix = Seq((1L, 10.00, 12.00), (2L, 20.00, 21.00),
+      (3L, 30.00, 33.00), (4L, 40.00, 39.00))
+    val events = fix.flatMap { case (u, x, y) =>
+      Seq((u, pre, x), (u, post, y)) }
+    val out = graft.operators.Features.cuped(
+        events.toDF("user_id", "ts", "value"),
+        "user_id", "ts", "value", "2024-01-16 00:00:00")
+      .collect().map(r => r.getAs[String]("arm") -> r).toMap
+    // mirror the whole stated chain in doubles
+    val xs = fix.map(f => math.floor(f._2 * 100).toLong)
+    val ys = fix.map(f => math.floor(f._3 * 100).toLong)
+    val n = 4L
+    val (sx, sy) = (xs.sum, ys.sum)
+    val (sxx, sxy, syy) = (xs.map(v => v * v).sum,
+      xs.zip(ys).map { case (a, b) => a * b }.sum, ys.map(v => v * v).sum)
+    val theta = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    val meanXAll = sx.toDouble / n.toDouble
+    val rho2 = theta * (n * sxy - sx * sy).toDouble / (n * syy - sy * sy).toDouble
+    val byArm = fix.groupBy(f => arm(f._1))
+    byArm.foreach { case (a, rows) =>
+      val na = rows.size.toLong
+      val sxa = rows.map(f => math.floor(f._2 * 100).toLong).sum
+      val sya = rows.map(f => math.floor(f._3 * 100).toLong).sum
+      val adj = sya.toDouble / na.toDouble -
+        theta * (sxa.toDouble / na.toDouble - meanXAll)
+      val r = out(a)
+      assert(r.getAs[Long]("n_users") == na && r.getAs[Long]("sx_fp") == sxa)
+      assert(r.getAs[Long]("mean_y_fp") ==
+        math.floor(1000000.0 * (sya.toDouble / na.toDouble)).toLong)
+      assert(r.getAs[Long]("mean_adj_fp") ==
+        math.floor(1000000.0 * adj).toLong)
+      assert(r.getAs[Long]("theta_fp") == math.floor(1000000.0 * theta).toLong)
+      assert(r.getAs[Long]("var_reduction_bp") ==
+        math.floor(10000.0 * rho2).toLong)
+    }
+    assert(math.floor(1000000.0 * theta).toLong != 0L,
+      "fixture must exercise a nonzero adjustment")
+  }
+
   test("skewReport: exact nearest-rank quantiles and salt suggestion") {
     val rows = Seq.fill(8)(1L) ++ Seq.fill(2)(2L) ++ Seq.fill(2)(3L)
     val out = graft.operators.Skew.skewReport(rows.toDF("k"), "k")
