@@ -71,14 +71,74 @@ object LinkGraph {
     * (see scaladoc). */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int, dampingPct: Int = 85,
-               scale: Long = 1000000000000L): DataFrame = {
+               scale: Long = 1000000000000L,
+               driverEdgeCap: Int = 100000): DataFrame = {
     require(iterations >= 1, s"pageRank needs iterations>=1 (got $iterations)")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"pageRank needs dampingPct in [0,100] (got $dampingPct)")
     require(scale >= 1000 && scale <= Long.MaxValue / 100,
       s"pageRank needs scale in [1e3, Long.Max/100] (got $scale)")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // the [[hits]] execution split (round 12, same rationale and probe):
+    // a request-sized graph's whole fixed-point iteration replays
+    // DRIVER-SIDE after one weighted-edge probe job — exact integer
+    // arithmetic makes the replay bit-identical to the distributed loop
+    // and the unrolled-CTE oracle; past the cap, the distributed loop.
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val probe = e0.groupBy("src", "dst").agg(count(lit(1)).as("__w"))
+      .limit(driverEdgeCap + 1).collect()
+    if (probe.length <= driverEdgeCap)
+      pageRankDriver(edges.sparkSession, e0.schema.fields(0).dataType,
+        probe.map(r => (r.get(0), r.get(1), r.getLong(2))),
+        iterations, dampingPct, scale)
+    else pageRankDistributed(e0, iterations, dampingPct, scale)
+  }
+
+  /** Rule-17 replay of the damped fixed-point iteration over a collected
+    * weighted edge list — value-identical to [[pageRankDistributed]] by
+    * exactness: every operation is a Long floor-division or sum over
+    * non-negative operands (dampingPct·scale fits by the `require`), in
+    * the same order-free integer algebra the distributed `step` runs. */
+  private def pageRankDriver(spark: org.apache.spark.sql.SparkSession,
+                             nodeType: org.apache.spark.sql.types.DataType,
+                             es: Array[(Any, Any, Long)], iterations: Int,
+                             dampingPct: Int, scale: Long): DataFrame = {
+    val nodes: Array[Any] = (es.map(_._1) ++ es.map(_._2)).distinct
+    val n = nodes.length.toLong
+    require(n > 0, "pageRank: empty graph")
+    val outdeg: Map[Any, Long] =
+      es.groupBy(_._1).map { case (u, g) => u -> g.map(_._3).sum }
+        .withDefaultValue(0L)
+    val base = ((100L - dampingPct) * scale / 100L) / n
+    var rank: Map[Any, Long] = nodes.map(v => v -> scale / n).toMap
+    for (_ <- 1 to iterations) {
+      // each raw edge contributes floor(rank/outdeg); weight w carries the
+      // multiplicity, matching the distributed join-against-raw-edges sum
+      val contribs: Map[Any, Long] = es
+        .filter { case (u, _, _) => outdeg(u) > 0 }
+        .groupBy(_._2).map { case (v, g) =>
+          v -> g.map { case (u, _, w) => w * (rank(u) / outdeg(u)) }.sum }
+      val dang = nodes.iterator
+        .filter(v => outdeg(v) == 0).map(rank).sum
+      rank = nodes.map { v =>
+        v -> (base + (dampingPct.toLong *
+          (contribs.getOrElse(v, 0L) + dang / n)) / 100L)
+      }.toMap
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", nodeType, nullable = true),
+      org.apache.spark.sql.types.StructField("outdeg",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(nodes.map(v =>
+        org.apache.spark.sql.Row(v, outdeg(v), rank(v))): _*)
+    spark.createDataFrame(rows, schema)
+  }
+
+  private def pageRankDistributed(e0: DataFrame, iterations: Int,
+                                  dampingPct: Int, scale: Long): DataFrame = {
+    val e = e0.persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val deg = nodes

@@ -79,6 +79,17 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(ranks("l1") > ranks("l2")) // l1 receives the hub's outflow
   }
 
+  test("pageRank rule-17 driver fast path == distributed loop == reference, " +
+    "parallel edges counting multiply") {
+    val mg = g ++ Seq("a" -> "b", "a" -> "b") // a->b carries weight 3
+    val driver = run(mg, 5) // |edges| far under the default cap
+    val dist = LinkGraph.pageRank(mg.toDF("s", "d"), "s", "d", 5,
+        driverEdgeCap = 0) // cap 0 forces the distributed loop
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(driver == dist, "driver fit diverged from the distributed loop")
+    assert(driver == reference(mg, 5))
+  }
+
   test("rejects empty graphs and bad parameters") {
     intercept[IllegalArgumentException] {
       LinkGraph.pageRank(Seq.empty[(String, String)].toDF("s", "d"), "s", "d", 3)
