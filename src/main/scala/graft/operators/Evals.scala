@@ -216,6 +216,65 @@ object Evals {
         col("chrp_ppm"), col("chrr_ppm"), col("chrf_ppm"))
   }
 
+  /** Exact-rational coefficients for truncated RBO at depth `k` with
+    * persistence p = pNum/pDen: returns (C_1..C_k, D) such that
+    * RBO·10⁶ = (Σ_d C_d·|A_{1..d} ∩ B_{1..d}|) / D EXACTLY —
+    * C_d = 10⁶·(pDen−pNum)·pNum^{d−1}·D/(pDen^d·d) with
+    * D = pDen^k·lcm(1..k), so every term is an integer (d | lcm) and the
+    * whole score is one integer division. Shared by [[rbo]] and the
+    * registry oracle (interpolated into the SQL from THIS function, the
+    * t60 convention — the two sides cannot drift). */
+  def rboCoefficients(k: Int, pNum: Long, pDen: Long): (Seq[BigInt], BigInt) = {
+    require(k >= 1 && pNum >= 1 && pNum < pDen,
+      s"rbo needs k>=1 and 1<=pNum<pDen (got k=$k, p=$pNum/$pDen)")
+    val lcm = (1 to k).foldLeft(BigInt(1))((a, d) => a * d / a.gcd(d))
+    val dd = BigInt(pDen).pow(k) * lcm
+    val cs = (1 to k).map { d =>
+      BigInt(1000000) * (pDen - pNum) * BigInt(pNum).pow(d - 1) *
+        (dd / (BigInt(pDen).pow(d) * d))
+    }
+    (cs, dd)
+  }
+
+  /** Rank-Biased Overlap (Webber, Moffat & Zobel 2010, truncated at depth
+    * `k`) between two per-query rankings — the LABEL-FREE system-comparison
+    * metric v24's relevance-anchored family can't give: when two retrieval
+    * configurations (exact vs quantized, old index vs new) are compared
+    * over millions of queries with no ground truth, RBO says how much the
+    * RANKINGS moved, top-weighted by the persistence p (a rank-1 swap
+    * costs far more than a rank-10 swap — the property plain overlap@k
+    * lacks).
+    *
+    * RBO@k = Σ_{d=1..k} (1−p)·p^{d−1}·|A_{1..d} ∩ B_{1..d}|/d, emitted as
+    * EXACT integer ppm via [[rboCoefficients]] — the depth-d overlaps are
+    * the only inputs, each term is one integer multiply, and the score is
+    * one integral division of a decimal(38,0) sum (Σ C_d·ov_d peaks near
+    * 10⁶·D ≈ 2.5·10¹⁹ at the default p=0.9, k=10 — past a long, inside
+    * decimal). No float exists anywhere in the metric.
+    *
+    * Inputs: one row per query with BOTH rankings as id arrays of length
+    * ≥ k (the caller's serving operators produce these — at scale via
+    * their bounded-heap top-k paths; this metric itself is MAP-ONLY on
+    * |queries| rows, zero shuffles). */
+  def rbo(pairs: DataFrame, idCol: String, aCol: String, bCol: String,
+          k: Int = 10, pNum: Long = 9, pDen: Long = 10): DataFrame = {
+    val (cs, dd) = rboCoefficients(k, pNum, pDen)
+    val withOv = (1 to k).foldLeft(pairs) { (df, d) =>
+      df.withColumn(s"__ov$d",
+        size(array_intersect(slice(col(aCol), 1, d), slice(col(bCol), 1, d)))
+          .cast("long"))
+    }
+    val num = (1 to k).map(d =>
+      lit(new java.math.BigDecimal(cs(d - 1).bigInteger)) * col(s"__ov$d"))
+      .reduce(_ + _)
+    withOv
+      .withColumn("__num", num.cast("decimal(38,0)"))
+      .withColumn("rbo_ppm",
+        expr(s"__num div cast('$dd' as decimal(38,0))"))
+      .withColumn("overlap_at_k", col(s"__ov$k"))
+      .select(col(idCol), col("overlap_at_k"), col("rbo_ppm"))
+  }
+
   /** Classifier-confidence CALIBRATION over (score, label) pairs — the
     * readout consulted before trusting a quality/toxicity/LLM-judge score
     * as a keep-drop gate (t57's NB, t2's quality, tr4's judge strengths

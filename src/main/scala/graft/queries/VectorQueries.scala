@@ -56,6 +56,7 @@ object VectorQueries {
     "s7_image_retrieve" -> ((s, d) => dispatcherImageQuery(s, d)),
     "v23_ann_recall" -> ((s, d) => annRecall(s, d)),
     "v24_ranking_metrics" -> ((s, d) => rankingMetricsQ(s, d)),
+    "v26_rbo" -> ((s, d) => rboQ(s, d)),
     "s8_e2e_quality" -> ((s, d) => e2eQuality(s, d)),
     "s9_e2e_quality_rerank" -> ((s, d) => e2eQualityRerank(s, d))
   )
@@ -872,6 +873,46 @@ object VectorQueries {
       .orderBy(col("__ham").asc, col("vec_id").asc).limit(50)
     KnnSearch.topK(cand, "embedding", "vec_id", q, 10)
       .select(col("vec_id"), round(col("score"), 6).as("score"))
+  }
+
+  /** [[graft.operators.Evals.rbo]] between the EXACT cosine top-10 and the
+    * binary-quantized Hamming top-10 for 20 queries — the label-free
+    * "how much does 32× compression distort the RANKING" readout, beside
+    * v23's relevance-anchored recall (RBO sees a rank-1↔rank-3 swap recall
+    * is blind to). Both rankings ride ONE query-broadcast scored pass with
+    * two row_number orderings (deterministic (score, id) total orders);
+    * the metric itself is map-only on 20 rows. At scale the rankings come
+    * from the serving operators' bounded-heap paths (v1/v21) — this row's
+    * window formulation is the oracle-replayable arm. */
+  def rboQ(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        vec.binary_quantize(col("embedding")).as("qcode"))
+    val scored = e.filter(col("vec_id") >= 20)
+      .withColumn("code", vec.binary_quantize(col("embedding")))
+      .crossJoin(broadcast(queries))
+      .withColumn("cos", vec.cosine_sim(col("embedding"), col("qv")))
+      .withColumn("ham", vec.hamming(col("code"), col("qcode")))
+    val wA = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val wB = Window.partitionBy("query_id")
+      .orderBy(col("ham").asc, col("vec_id").asc)
+    val lists = scored
+      .select(col("query_id"), col("vec_id"),
+        row_number().over(wA).as("ra"), row_number().over(wB).as("rb"))
+      .filter(col("ra") <= 10 || col("rb") <= 10)
+      .groupBy("query_id")
+      .agg(
+        transform(sort_array(collect_list(when(col("ra") <= 10,
+          struct(col("ra").as("r"), col("vec_id").as("id"))))),
+          x => x.getField("id")).as("a"),
+        transform(sort_array(collect_list(when(col("rb") <= 10,
+          struct(col("rb").as("r"), col("vec_id").as("id"))))),
+          x => x.getField("id")).as("b"))
+    graft.operators.Evals.rbo(lists, "query_id", "a", "b", k = 10)
+      .orderBy("query_id")
   }
 
   /** IVF with nprobe == lists scans every cluster, so the result must equal
@@ -1709,6 +1750,34 @@ object VectorQueries {
         |  round(coalesce(1.0 / fr, 0.0), 6) AS mrr,
         |  round(dcg / idcg, 6) AS ndcg_at_k
         |FROM f ORDER BY query_id""".stripMargin,
+    // both rankings replayed (v2's cosine order + v21's sign-bit Hamming
+    // order), then the EXACT-rational RBO: coefficients interpolated from
+    // Evals.rboCoefficients — the identical integers the engine multiplies
+    "v26_rbo" -> {
+      val (cs, dd) = graft.operators.Evals.rboCoefficients(10, 9, 10)
+      val terms = (1 to 10).map(d =>
+        s"${cs(d - 1)}::HUGEINT * len(list_intersect(a[1:$d], b[1:$d]))")
+        .mkString(" + ")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+         |           embedding AS qe FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT vec_id, embedding::DOUBLE[] AS v, embedding AS e
+         |      FROM embeddings WHERE vec_id >= 20),
+         |s AS (SELECT query_id, c.vec_id,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY list_cosine_similarity(v, qv) DESC, c.vec_id) AS ra,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY len(list_filter(range(len(e)), i ->
+         |            (e[i+1] > 0) <> (qe[i+1] > 0))) ASC, c.vec_id) AS rb
+         |      FROM q, c),
+         |la AS (SELECT query_id, list(vec_id ORDER BY ra) AS a FROM s
+         |       WHERE ra <= 10 GROUP BY query_id),
+         |lb AS (SELECT query_id, list(vec_id ORDER BY rb) AS b FROM s
+         |       WHERE rb <= 10 GROUP BY query_id),
+         |j AS (SELECT query_id, a, b FROM la JOIN lb USING (query_id))
+         |SELECT query_id, len(list_intersect(a, b))::BIGINT AS overlap_at_k,
+         |  (($terms) // $dd::HUGEINT)::BIGINT AS rbo_ppm
+         |FROM j ORDER BY query_id""".stripMargin
+    },
     // full-stack replay: p1's chunk+hash-bucket CTEs -> exact-integer
     // cosine (dot / (sqrt(nq)*sqrt(nc)), the engine's parenthesization) ->
     // chunk top-10 per query -> doc-level max -> v24's metric fold

@@ -148,6 +148,30 @@ class EvalsSpec extends AnyFunSuite {
       out(3L).getAs[Long]("rouge_l_f_ppm") == 0L)
   }
 
+  test("rbo: identical lists hit the exact truncated mass; reversal collapses top-weightedly") {
+    val a = (1L to 10L).toSeq
+    val df = Seq(
+      (1L, a, a),
+      (2L, a, a.reverse),
+      (3L, a, (11L to 20L).toSeq)
+    ).toDF("id", "a", "b")
+    val out = Evals.rbo(df, "id", "a", "b").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // identical lists: RBO@10 = 1 - 0.9^10 = 6513215599/10^10 EXACTLY
+    assert(out(1L) == ((10L, 651321L)))
+    assert(out(3L) == ((0L, 0L)), "disjoint lists score zero")
+    val (ov2, rbo2) = out(2L)
+    assert(ov2 == 10L && rbo2 < 651321L / 2,
+      "a reversed ranking keeps overlap@k=10 yet loses most top-weighted " +
+        "mass - the signal plain overlap lacks")
+    // mirrored BigInt replay of the reversal case, cell by cell
+    val (cs, dd) = Evals.rboCoefficients(10, 9, 10)
+    val rev = a.reverse
+    val ovs = (1 to 10).map(d => a.take(d).toSet.intersect(rev.take(d).toSet).size)
+    val expected = (cs.zip(ovs).map { case (c, o) => c * o }.sum / dd).toLong
+    assert(rbo2 == expected)
+  }
+
   test("chrF: perfect/disjoint extremes; asymmetric case matches the stated integer formula") {
     val df = Seq(
       (1L, "abc abc", "abc abc"), // identical after the space strip
