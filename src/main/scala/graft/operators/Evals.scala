@@ -216,6 +216,66 @@ object Evals {
         col("chrp_ppm"), col("chrr_ppm"), col("chrf_ppm"))
   }
 
+  /** Quantized Poisson(1) CDF thresholds in ppm — floor(10⁶·P(X ≤ n)) for
+    * n = 0..7 (≥ 8 is the tail bucket). These LITERALS are the sampling
+    * definition (stated quantization, not an approximation of one): a
+    * uniform ppm draw u maps to the weight whose threshold it falls under,
+    * identically in any engine. */
+  val poissonPpmThresholds: Seq[Long] =
+    Seq(367879L, 735758L, 919698L, 981011L, 996340L, 999405L, 999916L, 999989L)
+
+  /** Poisson-bootstrap confidence interval for a corpus mean (Chamandy et
+    * al. 2012, Google's "Estimating uncertainty for massive data streams")
+    * — the ONE-PASS bootstrap: classic resampling shuffles the corpus B
+    * times; the Poisson bootstrap gives every (row, replicate) an
+    * independent Poisson(1) weight, so all B replicates ride a single
+    * map-side-combined pass and the method is exactly as distributed as a
+    * groupBy. The per-(row, replicate) draw is md5-derandomized through
+    * [[poissonPpmThresholds]] (the t21/t36 discipline), so the whole
+    * interval is a pure function of the corpus — reproducible anywhere.
+    *
+    * Per replicate: n_eff = Σw, and the replicate mean of `valueCol` as
+    * EXACT integer fp — (Σw·x · 10⁶) div Σw (decimal(38,0) so the product
+    * survives 10¹² rows). The CI is the nearest-rank 2.5%/97.5% selection
+    * over the B replicate means (ceil(q·B) ranks, the t20 percentile
+    * convention; (mean, replicate) total order breaks ties) — a rule-17
+    * decision over B rows, broadcast back onto every row.
+    *
+    * 100 TB shape: ONE explode (B× the value stream — 16 bytes/row, the
+    * stated trade for one-pass-ness) into a B-cell map-side-combined
+    * groupBy; everything after runs on B rows. */
+  def poissonBootstrap(df: DataFrame, idCol: String, valueCol: String,
+                       b: Int = 40, seed: String = "boot"): DataFrame = {
+    require(b >= 4 && b <= 1024, s"poissonBootstrap needs 4<=b<=1024 (got $b)")
+    val u = conv(substring(md5(concat(lit(seed + ":"), col(idCol),
+      lit(":"), col("replicate"))), 1, 6), 16, 10).cast("long") % 1000000L
+    val w = poissonPpmThresholds.zipWithIndex
+      .foldRight(lit(poissonPpmThresholds.length.toLong)) {
+        case ((t, i), acc) => when(u < t, i.toLong).otherwise(acc)
+      }
+    val perRep = df
+      .select(col(idCol), col(valueCol).cast("long").as("__x"),
+        explode(sequence(lit(1L), lit(b.toLong))).as("replicate"))
+      .withColumn("__w", w)
+      .groupBy("replicate")
+      .agg(sum("__w").as("n_eff"),
+        sum(expr("__w * __x").cast("decimal(38,0)")).as("__wx"))
+      .withColumn("mean_fp",
+        when(col("n_eff") > 0,
+          expr("(__wx * 1000000) div n_eff")).otherwise(lit(0L)))
+      .select("replicate", "n_eff", "mean_fp")
+    val rkLo = math.max(1, math.ceil(0.025 * b).toInt)
+    val rkHi = math.ceil(0.975 * b).toInt
+    val w0 = org.apache.spark.sql.expressions.Window
+      .orderBy(col("mean_fp"), col("replicate"))
+    val ranked = perRep.withColumn("__rk", row_number().over(w0))
+    val lo = ranked.filter(col("__rk") === rkLo)
+      .select(col("mean_fp").as("ci_lo_fp"))
+    val hi = ranked.filter(col("__rk") === rkHi)
+      .select(col("mean_fp").as("ci_hi_fp"))
+    perRep.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+  }
+
   /** Exact-rational coefficients for truncated RBO at depth `k` with
     * persistence p = pNum/pDen: returns (C_1..C_k, D) such that
     * RBO·10⁶ = (Σ_d C_d·|A_{1..d} ∩ B_{1..d}|) / D EXACTLY —

@@ -25,8 +25,18 @@ object EvalQueries {
     "ev4_fleiss_kappa" -> ((s, d) => fleissKappaQ(s, d)),
     "ev5_rouge_l" -> ((s, d) => rougeLQ(s, d)),
     "ev6_chrf" -> ((s, d) => chrfQ(s, d)),
-    "ev7_psi" -> ((s, d) => psiQ(s, d))
+    "ev7_psi" -> ((s, d) => psiQ(s, d)),
+    "ev8_bootstrap" -> ((s, d) => bootstrapQ(s, d))
   )
+
+  /** [[graft.operators.Evals.poissonBootstrap]] of the corpus mean of
+    * `n_chars` at B = 40 replicates: the CI brackets the true mean
+    * (≈298.3 at sf0.01, CI ≈ [282.7, 307.3]) and every replicate mean,
+    * weight draw, and the nearest-rank selection replays exactly. */
+  def bootstrapQ(spark: SparkSession, dir: String): DataFrame =
+    Evals.poissonBootstrap(Tables.documents(spark, dir),
+      "doc_id", "n_chars", b = 40)
+      .orderBy("replicate")
 
   /** [[graft.operators.Features.psiReport]] between an md5-uniform
     * reference score window (even doc ids) and a genuinely SHIFTED current
@@ -200,6 +210,28 @@ object EvalQueries {
          |  ((w.m1 * 1000000) // len(p.ref))::BIGINT AS rouge1_r_ppm
          |FROM pair p JOIN wide w USING (doc_id)
          |ORDER BY doc_id""").stripMargin,
+
+    // md5-derandomized Poisson(1) weights through the quantized-CDF
+    // thresholds, exact integer replicate means, nearest-rank CI selection
+    "ev8_bootstrap" ->
+      ("""WITH reps AS (SELECT unnest(range(1, 41)) AS replicate),
+         |wx AS (SELECT r.replicate, d.doc_id, d.n_chars,
+         |   ('0x' || substr(md5('boot:' || d.doc_id || ':' || r.replicate), 1, 6))::BIGINT % 1000000 AS u
+         | FROM documents d, reps r),
+         |ww AS (SELECT replicate, n_chars,
+         |   CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1 WHEN u < 919698 THEN 2
+         |        WHEN u < 981011 THEN 3 WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5
+         |        WHEN u < 999916 THEN 6 WHEN u < 999989 THEN 7 ELSE 8 END AS w FROM wx),
+         |pr AS (SELECT replicate, sum(w)::BIGINT AS n_eff,
+         |   CASE WHEN sum(w) > 0 THEN (sum(w::HUGEINT * n_chars) * 1000000) // sum(w) ELSE 0 END AS mean_fp
+         | FROM ww GROUP BY replicate),
+         |rk AS (SELECT replicate, n_eff, mean_fp::BIGINT AS mean_fp,
+         |   row_number() OVER (ORDER BY mean_fp, replicate) AS rk FROM pr),
+         |ci AS (SELECT max(CASE WHEN rk = 1 THEN mean_fp END) AS lo,
+         |              max(CASE WHEN rk = 39 THEN mean_fp END) AS hi FROM rk)
+         |SELECT r.replicate::BIGINT AS replicate, r.n_eff, r.mean_fp,
+         |  ci.lo::BIGINT AS ci_lo_fp, ci.hi::BIGINT AS ci_hi_fp
+         |FROM rk r, ci ORDER BY replicate""").stripMargin,
 
     // exact-integer bin shares (1-ppm empty-bin clamp) + the one ln float,
     // both windows' synthesis and the whole quantization chain replayed

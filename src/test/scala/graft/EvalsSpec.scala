@@ -148,6 +148,34 @@ class EvalsSpec extends AnyFunSuite {
       out(3L).getAs[Long]("rouge_l_f_ppm") == 0L)
   }
 
+  test("poissonBootstrap: mirrored md5 weights reproduce every replicate; CI is the stated selection") {
+    val docs = (1L to 50L).map(i => (i, i * 10L)).toDF("id", "x")
+    val out = Evals.poissonBootstrap(docs, "id", "x", b = 8, seed = "s")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def u(i: Long, rep: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"s:$i:$rep".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(6), 16) % 1000000L
+    }
+    def w(uu: Long): Long = {
+      val i = Evals.poissonPpmThresholds.indexWhere(uu < _)
+      if (i < 0) Evals.poissonPpmThresholds.length.toLong else i.toLong
+    }
+    val means = (1L to 8L).map { rep =>
+      val ws = (1L to 50L).map(i => (w(u(i, rep)), i * 10L))
+      val neff = ws.map(_._1).sum
+      val mean = (BigInt(ws.map { case (wt, x) => wt * x }.sum) *
+        1000000 / neff).toLong
+      assert(out(rep).getAs[Long]("n_eff") == neff, s"rep $rep n_eff")
+      assert(out(rep).getAs[Long]("mean_fp") == mean, s"rep $rep mean")
+      mean
+    }
+    // b=8: nearest-rank 2.5%/97.5% = ranks 1 and 8 of the sorted means
+    assert(out(1L).getAs[Long]("ci_lo_fp") == means.min)
+    assert(out(1L).getAs[Long]("ci_hi_fp") == means.max)
+    assert(means.min < means.max, "fixture must yield a real interval")
+  }
+
   test("rbo: identical lists hit the exact truncated mass; reversal collapses top-weightedly") {
     val a = (1L to 10L).toSeq
     val df = Seq(
