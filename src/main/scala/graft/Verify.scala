@@ -62,7 +62,11 @@ object Verify {
     // v25's Gram/power fit (5.2), t63's planted-recall pipeline (4.0),
     // t55's Gopher rule set (3.7), t61's contamination semi-join (3.1)
     "h1_html_blocks", "p9_md_tables", "v25_abtt_projection",
-    "t63_dedup_recall", "t55_gopher_quality", "t61_contamination_report")
+    "t63_dedup_recall", "t55_gopher_quality", "t61_contamination_report",
+    // round-12 additions with scale-sensitive shapes: t64's train-corpus
+    // rung semi-join (x64 3.6), ev6's char-gram folds (4.1), ev5's
+    // recursive-DP oracle replay (3.7)
+    "t64_memorization", "ev6_chrf", "ev5_rouge_l")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rest @ _*) = args

@@ -100,11 +100,30 @@ object text {
     * combinatorial hash lanes; element i = min over shingles of hash_i (the
     * standard MinHash estimator of Jaccard similarity). Null-safe: empty
     * shingle set -> all-max sentinel so it never collides with real
-    * signatures. */
+    * signatures.
+    *
+    * Cost note (round 12): the digest halves (h1, h2) are computed ONCE
+    * per shingle and bound through the one-element-struct idiom before the
+    * k-lane fold reads them — the previous form referenced the shingle
+    * array inside the per-lane lambda (rebuilding it k times) and called
+    * md5 twice per (lane, shingle): 2k digests per shingle instead of 1.
+    * Output is value-identical ((h1 + s·h2) & 2³²−1 per lane, unchanged
+    * algebra). */
   def minhash_signature(shingles: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)), s =>
-      coalesce(array_min(transform(shingles, x => shingle_hash(s, x))),
-        lit(Long.MaxValue)))
+    element_at(transform(array(struct(
+      transform(shingles, x =>
+        element_at(transform(array(struct(md5(x).as("m"))), q => struct(
+          conv(substring(q.getField("m"), 1, 8), 16, 10).cast("long").as("h1"),
+          conv(substring(q.getField("m"), 9, 8), 16, 10).cast("long").as("h2"))),
+          1))
+        .as("hs"))), p => {
+      val hs = p.getField("hs")
+      transform(sequence(lit(0), lit(k - 1)), s =>
+        coalesce(array_min(transform(hs, h =>
+          (h.getField("h1") + s.cast("long") * h.getField("h2"))
+            .bitwiseAND(lit(4294967295L)))),
+          lit(Long.MaxValue)))
+    }), 1)
 
   /** LSH band keys: the signature split into `bands` contiguous slices,
     * each slice hashed; docs sharing any band key become candidate pairs. */
