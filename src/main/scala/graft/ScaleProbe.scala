@@ -188,7 +188,10 @@ object ScaleProbe {
         "n2_bm25", "e7_resample_locf", "e8_ohlc", "e14_resample_interp",
         "u6_changelog_apply", "m9_scene_cuts_dense", "t41_bpe_train",
         "gr2_pagerank_dense", "t16_heavy_hitters", "t44_ffd_pack",
-        "k2_semdedup")
+        "k2_semdedup",
+        // round 12: the two train-corpus gram-explode ops — their broadcast
+        // semi-joins must degrade to spill, never to executor death
+        "t61_contamination_report", "t64_memorization")
       val picked = args.lift(1) match {
         case Some(list) =>
           val want = list.split(',').filter(_.nonEmpty).toSet
