@@ -58,8 +58,106 @@ object VectorQueries {
     "v24_ranking_metrics" -> ((s, d) => rankingMetricsQ(s, d)),
     "v26_rbo" -> ((s, d) => rboQ(s, d)),
     "s8_e2e_quality" -> ((s, d) => e2eQuality(s, d)),
-    "s9_e2e_quality_rerank" -> ((s, d) => e2eQualityRerank(s, d))
+    "s9_e2e_quality_rerank" -> ((s, d) => e2eQualityRerank(s, d)),
+    "s11_colpali_e2e_quality" -> ((s, d) => colpaliE2eQuality(s, d))
   )
+
+  /** Planted page/query images for [[colpaliE2eQuality]] — 16×16 px of
+    * 4×4-px UNIFORM gray blocks, so each of the embedder's 4×4 luma cells
+    * equals its block value EXACTLY (integer mean of 16 equal pixels; PIL
+    * luma of gray (v,v,v) is v) and the whole patch-vector table is
+    * derivable in SQL from the planting rule alone. Blocks 0..13 carry
+    * the GROUP identity (g = doc_id % 10 — all pages of a group share
+    * them), blocks 14..15 carry doc/page identity; a query carries group
+    * g's identity blocks plus its own salt in 14..15, so it matches 14/16
+    * patches on every page of its group and ~0 elsewhere — md5 patch
+    * vectors have no geometry, so similarity is CELL-IDENTITY locality,
+    * the honest analog of patch matching for the hash stand-in. */
+  private object S11Pages {
+    private def render16(luma: Int => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 16) {
+        var x = 0
+        while (x < 16) {
+          val v = luma((y / 4) * 4 + (x / 4))
+          img.setRGB(x, y, (v << 16) | (v << 8) | v); x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def pagePng(d: Long, p: Long): Array[Byte] = render16 { i =>
+      if (i < 14) (40L + ((d % 10) * 13 + i * 7) % 150).toInt
+      else (40L + (d * 11 + p * 3 + i) % 150).toInt
+    }
+    def queryPng(g: Int): Array[Byte] = render16 { i =>
+      if (i < 14) 40 + (g * 13 + i * 7) % 150
+      else 40 + (g * 17 + i) % 150
+    }
+  }
+
+  /** The ColPali/VISUAL arm of the s8/s9 end-to-end retrieval-quality
+    * family — the sandbox-checkable analog of the reference's ColPali
+    * benchmark itself (BASELINE's 95.56% financial eval runs page-image
+    * retrieval through a GPU ColPali; `colpali_embedding_model.py`). The
+    * FULL visual stack runs in-engine: 100 docs render to 1–2 planted
+    * page images each ([[S11Pages]]) → REAL PNG decode → 4×4 patch grid →
+    * md5 patch multivectors (HashMultiVectorEmbedder dim=16, the image
+    * stand-in) → chunk table → TEN real
+    * [[graft.GraftService.retrieveChunksMultivector]] calls with
+    * `query_image` requests (one per group — the request-at-a-time
+    * serving path, rule 17) → MaxSim top-10 chunks → doc-level ranking
+    * (best chunk per doc, (score, doc) order) →
+    * [[graft.operators.Evals.rankingMetrics]] against group relevance
+    * (n_rel = 10 per query). A query matches 14/16 patches on every page
+    * of its group, so group docs dominate the ranking with real score
+    * texture from the salt patches' max-dots; recall varies with the
+    * 1-vs-2-page mix inside the top-10 chunk budget. Any renderer/
+    * decoder/patch-grid/MaxSim/dispatcher/metric change that moves visual
+    * retrieval quality flips the row red. The oracle derives every patch
+    * vector symbolically from the planting rule (the s7 machinery) and
+    * replays scoring, both rankings, and the metric fold. */
+  def colpaliE2eQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = graft.operators.HashMultiVectorEmbedder(dim = 16)
+    val chunks = Tables.documents(spark, dir).filter(col("doc_id") < 100)
+      .select("doc_id").as[Long]
+      .flatMap { d =>
+        (0 until (1 + d % 2).toInt).map { p =>
+          val png = S11Pages.pagePng(d, p)
+          (d, p.toLong, "data:image/png;base64," +
+            java.util.Base64.getEncoder.encodeToString(png),
+            emb.embedImageMulti(png).map(_.toSeq).toSeq)
+        }
+      }.toDF("document_id", "chunk_number", "content", "mv")
+      .withColumn("metadata", map(lit("is_image"), lit("true")))
+    val table = graft.GraftService.ChunkTable(chunks)
+    val perQuery = (0 until 10).map { g =>
+      val req = graft.GraftService.RetrieveRequest("", k = 10,
+        queryImage = Some(S11Pages.queryPng(g)))
+      graft.GraftService.retrieveChunksMultivector(req, table, "mv", emb)
+        .select(lit(g.toLong).as("query_id"), col("document_id"),
+          col("score"))
+    }.reduce(_ unionByName _)
+    val docRanked = perQuery.groupBy("query_id", "document_id")
+      .agg(max("score").as("ds"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("ds").desc, col("document_id"))).cast("long"))
+      .select(col("query_id"), col("rank"), col("document_id").as("id"))
+    val relevant = Tables.documents(spark, dir).filter(col("doc_id") < 100)
+      .select((col("doc_id") % 10).as("query_id"), col("doc_id").as("id"))
+    graft.operators.Evals.rankingMetrics(docRanked, relevant, k = 10)
+      .select(col("query_id"), col("n_rel"), col("hits"),
+        round(col("recall_at_k"), 6).as("recall_at_k"),
+        round(col("mrr"), 6).as("mrr"),
+        round(col("ndcg_at_k"), 6).as("ndcg_at_k"))
+      .orderBy("query_id")
+  }
 
   /** Round-11 verdict #4: the deterministic END-TO-END retrieval-quality
     * regression row — the engine-side analog of the reference's golden-Q&A
@@ -1750,6 +1848,62 @@ object VectorQueries {
         |  round(coalesce(1.0 / fr, 0.0), 6) AS mrr,
         |  round(dcg / idcg, 6) AS ndcg_at_k
         |FROM f ORDER BY query_id""".stripMargin,
+    // the visual stack replayed symbolically from the planting rule: block
+    // lumas -> md5 patch vectors (the s7 machinery) -> MaxSim -> chunk
+    // top-10 -> doc ranking -> the v24 metric fold
+    "s11_colpali_e2e_quality" ->
+      """WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+        |pages AS (SELECT doc_id, p FROM docs, range(2) t(p) WHERE p < 1 + doc_id % 2),
+        |pb AS (SELECT doc_id, p, i,
+        |    CASE WHEN i < 14 THEN 40 + ((doc_id % 10) * 13 + i * 7) % 150
+        |         ELSE 40 + (doc_id * 11 + p * 3 + i) % 150 END AS v
+        |  FROM pages, range(16) b(i)),
+        |hexmap AS (SELECT printf('%02x', i) AS hx, i AS bv FROM range(256) t(i)),
+        |ph AS (SELECT doc_id, p, i, md5('px:' || i || ':' || v) AS h FROM pb),
+        |pc AS (SELECT doc_id, p, i, j, (bv - 128) / 128.0 AS c
+        |  FROM ph CROSS JOIN range(16) r(j) JOIN hexmap ON hx = substr(h, (j * 2) + 1, 2)),
+        |pvv AS (SELECT doc_id, p, i, list(c ORDER BY j) AS v FROM pc GROUP BY 1, 2, 3),
+        |pg AS (SELECT doc_id, p, list(v ORDER BY i) AS pv FROM pvv GROUP BY 1, 2),
+        |qb AS (SELECT g, i,
+        |    CASE WHEN i < 14 THEN 40 + (g * 13 + i * 7) % 150
+        |         ELSE 40 + (g * 17 + i) % 150 END AS v
+        |  FROM range(10) q(g), range(16) b(i)),
+        |qh AS (SELECT g, i, md5('px:' || i || ':' || v) AS h FROM qb),
+        |qc AS (SELECT g, i, j, (bv - 128) / 128.0 AS c
+        |  FROM qh CROSS JOIN range(16) r(j) JOIN hexmap ON hx = substr(h, (j * 2) + 1, 2)),
+        |qvv AS (SELECT g, i, list(c ORDER BY j) AS v FROM qc GROUP BY 1, 2),
+        |qg AS (SELECT g, list(v ORDER BY i) AS qv FROM qvv GROUP BY 1),
+        |sc AS (SELECT g, doc_id, p,
+        |    list_sum(list_transform(qv, q ->
+        |      list_max(list_transform(pv, e -> list_dot_product(q, e))))) AS score
+        |  FROM qg, pg),
+        |top AS (SELECT g, doc_id, score,
+        |    row_number() OVER (PARTITION BY g ORDER BY score DESC, doc_id, p) AS cr
+        |  FROM sc),
+        |dr AS (SELECT g, doc_id, max(score) AS ds FROM top WHERE cr <= 10 GROUP BY 1, 2),
+        |rk AS (SELECT g, doc_id,
+        |    row_number() OVER (PARTITION BY g ORDER BY ds DESC, doc_id) AS rank FROM dr),
+        |rel AS (SELECT (doc_id % 10) AS g, doc_id FROM docs),
+        |r10 AS (SELECT rk.g, rank,
+        |    CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_rel
+        |  FROM rk LEFT JOIN rel ON rel.g = rk.g AND rel.doc_id = rk.doc_id
+        |  WHERE rank <= 10),
+        |nr AS (SELECT g, count(*) AS n_rel FROM rel GROUP BY g),
+        |m AS (SELECT g, sum(is_rel)::BIGINT AS hits,
+        |    min(CASE WHEN is_rel = 1 THEN rank END) AS fr,
+        |    list_sum(list(is_rel / log2(rank + 1.0) ORDER BY rank)) AS dcg
+        |  FROM r10 GROUP BY g),
+        |f AS (SELECT m.g, n_rel, hits, least(n_rel, 10) AS ideal,
+        |    list_sum(list_transform(range(1, least(n_rel, 10) + 1),
+        |      i -> 1.0/log2(i + 1.0))) AS idcg,
+        |    dcg, fr
+        |  FROM m JOIN nr USING (g))
+        |SELECT g::BIGINT AS query_id, n_rel::BIGINT AS n_rel, hits,
+        |  round(hits / ideal, 6) AS recall_at_k,
+        |  round(coalesce(1.0 / fr, 0.0), 6) AS mrr,
+        |  round(dcg / idcg, 6) AS ndcg_at_k
+        |FROM f ORDER BY query_id""".stripMargin,
+
     // both rankings replayed (v2's cosine order + v21's sign-bit Hamming
     // order), then the EXACT-rational RBO: coefficients interpolated from
     // Evals.rboCoefficients — the identical integers the engine multiplies
