@@ -329,8 +329,15 @@ object Evals {
       .reduce(_ + _)
     withOv
       .withColumn("__num", num.cast("decimal(38,0)"))
+      // precondition enforced IN the output column (the passAtK style, so
+      // Catalyst can't dead-code it): truncated RBO over lists shorter
+      // than k would silently repeat the last overlap — fail loudly
       .withColumn("rbo_ppm",
-        expr(s"__num div cast('$dd' as decimal(38,0))"))
+        when(size(col(aCol)) < k || size(col(bCol)) < k,
+          raise_error(concat(lit(s"rbo needs both rankings to have >= $k "),
+            lit("entries; got "), size(col(aCol)), lit(" and "),
+            size(col(bCol)))).cast("long"))
+          .otherwise(expr(s"__num div cast('$dd' as decimal(38,0))")))
       .withColumn("overlap_at_k", col(s"__ov$k"))
       .select(col(idCol), col("overlap_at_k"), col("rbo_ppm"))
   }

@@ -263,8 +263,12 @@ object Features {
                 bins: Int = 10, maxPpm: Long = 1000000L): DataFrame = {
     require(bins >= 2 && bins <= 1024, s"psiReport needs 2<=bins<=1024 (got $bins)")
     require(maxPpm >= bins, s"psiReport needs maxPpm>=bins (got $maxPpm)")
+    // clamp BOTH ends: an out-of-domain score (negative, or >= maxPpm)
+    // lands in the edge bin instead of fabricating a phantom bin id that
+    // would silently skew every share
     def binned(df: DataFrame, name: String): DataFrame = df
-      .select(expr(s"least($bins - 1, ($scoreCol * $bins) div $maxPpm)").as("bin"))
+      .select(expr(s"greatest(0, least($bins - 1, " +
+        s"($scoreCol * $bins) div $maxPpm))").as("bin"))
       .groupBy("bin").agg(count(lit(1)).as(name))
     val joined = binned(ref, "n_ref")
       .join(binned(cur, "n_cur"), Seq("bin"), "full_outer")

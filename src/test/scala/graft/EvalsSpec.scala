@@ -198,6 +198,14 @@ class EvalsSpec extends AnyFunSuite {
     val ovs = (1 to 10).map(d => a.take(d).toSet.intersect(rev.take(d).toSet).size)
     val expected = (cs.zip(ovs).map { case (c, o) => c * o }.sum / dd).toLong
     assert(rbo2 == expected)
+
+    // a too-short ranking fails loudly instead of silently repeating the
+    // last overlap
+    val short = Seq((1L, (1L to 5L).toSeq, a)).toDF("id", "a", "b")
+    val e = intercept[Exception] {
+      Evals.rbo(short, "id", "a", "b").collect()
+    }
+    assert(e.getMessage != null)
   }
 
   test("chrF: perfect/disjoint extremes; asymmetric case matches the stated integer formula") {

@@ -166,6 +166,11 @@ class FeaturesSpec extends AnyFunSuite {
     val same = graft.operators.Features.psiReport(ref, ref, "score", bins = 2)
       .select("psi_total_fp").collect().map(_.getLong(0))
     assert(same.forall(_ == 0L))
+    // out-of-domain scores clamp to the edge bins, never a phantom bin id
+    val wild = Seq(-50000L, 2000000L).toDF("score")
+    val bins = graft.operators.Features.psiReport(wild, wild, "score", bins = 2)
+      .select("bin").collect().map(_.getLong(0)).sorted
+    assert(bins.toSeq == Seq(0L, 1L))
   }
 
   test("cuped: mirrored-arithmetic fixture exact; adjustment moves toward the pooled mean") {
