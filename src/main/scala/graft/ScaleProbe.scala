@@ -123,7 +123,8 @@ object ScaleProbe {
         "t62_unigram_train", "p9_md_tables", "tr5_pl_strengths",
         "ev4_fleiss_kappa", "t63_dedup_recall", "s10_office_colpali",
         "ev5_rouge_l", "ev6_chrf", "t64_memorization", "ev7_psi",
-        "e20_cuped", "v26_rbo", "ev8_bootstrap", "s11_colpali_e2e_quality")
+        "e20_cuped", "v26_rbo", "ev8_bootstrap", "s11_colpali_e2e_quality",
+        "t65_soft_dedup")
       // optional second arg: probe only the named queries (comma-separated) —
       // re-measuring one changed operator shouldn't cost the full heavy tail.
       // Unknown names fail loudly: a typo silently probing nothing (and still

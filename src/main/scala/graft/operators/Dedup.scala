@@ -40,6 +40,38 @@ object Dedup {
     df.select(col(idCol).cast("long").as("id"), text.fingerprint(col(textCol)).as("fp"))
       .groupBy("fp").agg(min("id").as("keep_id"))
 
+  /** SOFT dedup — duplication-aware sampling instead of hard dropping
+    * (the SlimPajama-DC / "soft deduplication" reweighting family): hard
+    * dedup ([[exactKeep]]) throws away the DUPLICATION SIGNAL itself —
+    * a passage repeated 10 000× is usually boilerplate, but sometimes it
+    * is a license text or a catechism a model should weight highly once.
+    * Soft dedup keeps every doc and emits its duplication-corrected
+    * sampling weight w = 10⁶/dup_count ppm, plus an md5-DERANDOMIZED
+    * accept decision (kept iff u·dup_count < 10⁶, u uniform ppm — the
+    * t21/t36/t43 discipline): each cluster keeps ONE doc in expectation
+    * while the realized keep set stays a pure function of the corpus
+    * (reproducible anywhere) and singletons are always kept (u < 10⁶ by
+    * construction). A trainer can consume either column: `weight_ppm`
+    * for loss-weighting / sampling-rate schedules, `kept` for a
+    * materialized subset.
+    *
+    * 100 TB shape: ONE map-side-combined fingerprint count groupBy (the
+    * t3 exchange — counts only, never id lists), one equi-join back on
+    * the fingerprint; the decision is a per-row pure function. */
+  def softDedup(df: DataFrame, idCol: String, textCol: String,
+                seed: String = "sdd"): DataFrame = {
+    val fp = df.select(col(idCol).cast("long").as("id"),
+      text.fingerprint(col(textCol)).as("fp"))
+    val counts = fp.groupBy("fp").agg(count(lit(1)).as("dup_count"))
+    val u = conv(substring(md5(concat(lit(seed + ":"), col("id"))), 1, 6),
+      16, 10).cast("long") % 1000000L
+    fp.join(counts, Seq("fp"))
+      .withColumn("weight_ppm", expr("1000000 div dup_count"))
+      .withColumn("__u", u)
+      .withColumn("kept", col("__u") * col("dup_count") < 1000000L)
+      .select(col("id"), col("dup_count"), col("weight_ppm"), col("kept"))
+  }
+
   /** MinHash signature table: (id, norm, sig array<long>).
     * normalize (cheap regex) runs before the exchange; the md5-heavy
     * signature is a single-pass Catalyst expression AFTER it, so the work

@@ -18,6 +18,7 @@ object TextQueries {
     "t1_token_stats" -> ((s, d) => tokenStats(s, d)),
     "t2_lang_quality" -> ((s, d) => langQuality(s, d)),
     "t3_exact_dups" -> ((s, d) => exactDups(s, d)),
+    "t65_soft_dedup" -> ((s, d) => softDedupQ(s, d)),
     "t4_minhash_lsh" -> ((s, d) => minhashLsh(s, d)),
     "t52_source_overlap" -> ((s, d) => sourceOverlap(s, d)),
     "t5_simhash" -> ((s, d) => simhash(s, d)),
@@ -253,6 +254,18 @@ object TextQueries {
     * `ids` is emitted as a comma-joined string: the driver's pandas-based
     * comparator cannot hash array cells, and the join keeps the value-level
     * check exact. */
+  /** [[graft.operators.Dedup.softDedup]] over the t3 fingerprint domain
+    * (60-char-prefix normalized fingerprints, where this corpus has real
+    * duplicate clusters — 22 pairs + 1 triple at sf0.01): every doc keeps
+    * its duplication-corrected sampling weight and the derandomized
+    * accept bit; singletons are all kept, cluster keeps average one. */
+  def softDedupQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.softDedup(
+      Tables.documents(spark, dir)
+        .withColumn("key_text", substring(col("text"), 1, 60)),
+      "doc_id", "key_text")
+      .orderBy("id")
+
   def exactDups(spark: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(
       Tables.documents(spark, dir).withColumn("key_text", substring(col("text"), 1, 60)),
@@ -597,6 +610,19 @@ object TextQueries {
         |       array_to_string(list_sort(list(doc_id)), ',') AS ids,
         |       count(*) AS dup_count
         |FROM f GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin,
+    // t3's fingerprint domain -> per-doc dup counts -> the stated
+    // weight/accept arithmetic (pure integer; md5-derandomized accept)
+    "t65_soft_dedup" ->
+      """WITH f AS (SELECT doc_id AS id,
+        |    md5(trim(regexp_replace(lower(substr(text, 1, 60)), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |c AS (SELECT fp, count(*) AS dup_count FROM f GROUP BY fp),
+        |j AS (SELECT f.id, c.dup_count FROM f JOIN c USING (fp))
+        |SELECT id, dup_count::BIGINT AS dup_count,
+        |  (1000000 // dup_count)::BIGINT AS weight_ppm,
+        |  (('0x' || substr(md5('sdd:' || id), 1, 6))::BIGINT % 1000000)
+        |    * dup_count < 1000000 AS kept
+        |FROM j ORDER BY id""".stripMargin,
     // both arms replayed: per-doc minhash (t4's fragment) -> per-group
     // elementwise lane min == union-set signature; exact arm from DISTINCT
     // (group, shingle-md5) rows; all-integer output, no rounding

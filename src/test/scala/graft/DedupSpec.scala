@@ -28,6 +28,30 @@ class DedupSpec extends AnyFunSuite {
   private def corpus = ((0 until 20).map(i => (i.toLong, randText())) ++
     Seq((100L, base), (101L, base.replaceFirst(" ", " EDIT ")))).toDF("doc_id", "text")
 
+  test("softDedup: weight = 1/dup_count ppm; mirrored draws pin the exact keep set") {
+    def u(i: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"sdd:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(6), 16) % 1000000L
+    }
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "same text"),
+      (4L, "same text"), (9L, "unique")).toDF("doc_id", "text")
+    val out = Dedup.softDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(9L).getAs[Long]("dup_count") == 1L &&
+      out(9L).getAs[Long]("weight_ppm") == 1000000L &&
+      out(9L).getAs[Boolean]("kept"), "singletons always keep full weight")
+    (1L to 4L).foreach { i =>
+      assert(out(i).getAs[Long]("dup_count") == 4L)
+      assert(out(i).getAs[Long]("weight_ppm") == 250000L)
+      assert(out(i).getAs[Boolean]("kept") == (u(i) * 4 < 1000000L),
+        s"doc $i accept bit must equal the mirrored md5 draw")
+    }
+    // weights, not the keep bits, carry the expectation law exactly:
+    // each cluster's total weight is ~1e6 regardless of realized keeps
+    assert((1L to 4L).map(i => out(i).getAs[Long]("weight_ppm")).sum == 1000000L)
+  }
+
   test("minhashLshPairs surfaces the planted near-dup, not random pairs") {
     val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
       shingleSize = 5, numHashes = 16, bands = 4, minEst = 0.5)
