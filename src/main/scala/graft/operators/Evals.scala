@@ -247,6 +247,20 @@ object Evals {
   def poissonBootstrap(df: DataFrame, idCol: String, valueCol: String,
                        b: Int = 40, seed: String = "boot"): DataFrame = {
     require(b >= 4 && b <= 1024, s"poissonBootstrap needs 4<=b<=1024 (got $b)")
+    // The replicate mean is exact integer fp, so the input must already be
+    // integral — a fractional metric silently cast('long') would truncate
+    // to 0/1 and the CI would be computed over garbage. Callers fixed-point
+    // first (floor(value*10^d), the cuped convention).
+    df.schema(valueCol).dataType match {
+      case org.apache.spark.sql.types.LongType
+         | org.apache.spark.sql.types.IntegerType
+         | org.apache.spark.sql.types.ShortType
+         | org.apache.spark.sql.types.ByteType => ()
+      case other => throw new IllegalArgumentException(
+        s"poissonBootstrap valueCol '$valueCol' is ${other.simpleString}: " +
+          "pass an integral column (fixed-point fractional metrics first, " +
+          "e.g. floor(value*1e6) ppm — the cuped convention)")
+    }
     val u = conv(substring(md5(concat(lit(seed + ":"), col(idCol),
       lit(":"), col("replicate"))), 1, 6), 16, 10).cast("long") % 1000000L
     val w = poissonPpmThresholds.zipWithIndex
@@ -327,18 +341,22 @@ object Evals {
     val num = (1 to k).map(d =>
       lit(new java.math.BigDecimal(cs(d - 1).bigInteger)) * col(s"__ov$d"))
       .reduce(_ + _)
+    // precondition enforced IN each output column (the passAtK style, so
+    // Catalyst can't dead-code it): truncated RBO over lists shorter than
+    // k would silently repeat the last overlap — fail loudly. The guard
+    // wraps BOTH rbo_ppm and overlap_at_k: a downstream projection keeping
+    // only one of them must not let column pruning drop the check.
+    def guarded(out: Column): Column =
+      when(size(col(aCol)) < k || size(col(bCol)) < k,
+        raise_error(concat(lit(s"rbo needs both rankings to have >= $k "),
+          lit("entries; got "), size(col(aCol)), lit(" and "),
+          size(col(bCol)))).cast("long"))
+        .otherwise(out)
     withOv
       .withColumn("__num", num.cast("decimal(38,0)"))
-      // precondition enforced IN the output column (the passAtK style, so
-      // Catalyst can't dead-code it): truncated RBO over lists shorter
-      // than k would silently repeat the last overlap — fail loudly
       .withColumn("rbo_ppm",
-        when(size(col(aCol)) < k || size(col(bCol)) < k,
-          raise_error(concat(lit(s"rbo needs both rankings to have >= $k "),
-            lit("entries; got "), size(col(aCol)), lit(" and "),
-            size(col(bCol)))).cast("long"))
-          .otherwise(expr(s"__num div cast('$dd' as decimal(38,0))")))
-      .withColumn("overlap_at_k", col(s"__ov$k"))
+        guarded(expr(s"__num div cast('$dd' as decimal(38,0))")))
+      .withColumn("overlap_at_k", guarded(col(s"__ov$k")))
       .select(col(idCol), col("overlap_at_k"), col("rbo_ppm"))
   }
 

@@ -276,9 +276,20 @@ object Features {
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
     val tot = joined.agg(sum("n_ref").as("__tr"), sum("n_cur").as("__tc"))
+    // an EMPTY window must fail loudly, not read out: (n*1e6) div 0 is
+    // NULL and greatest(NULL, 1) would clamp every share to 1 ppm — a
+    // drift monitor quietly reporting a nonsense PSI on a dead pipeline.
+    // The guard lives IN the share columns (the rbo convention) so
+    // column pruning cannot drop it.
+    def share(n: String, t: String, win: String): Column =
+      when(coalesce(col(t), lit(0L)) <= 0L,
+        raise_error(lit(s"psiReport: $win score window is empty - " +
+          "PSI is undefined; fix the upstream feed instead of reading " +
+          "a clamped share")).cast("long"))
+        .otherwise(greatest(expr(s"($n * 1000000) div $t"), lit(1L)))
     val perBin = joined.crossJoin(broadcast(tot))
-      .withColumn("ref_ppm", greatest(expr("(n_ref * 1000000) div __tr"), lit(1L)))
-      .withColumn("cur_ppm", greatest(expr("(n_cur * 1000000) div __tc"), lit(1L)))
+      .withColumn("ref_ppm", share("n_ref", "__tr", "reference"))
+      .withColumn("cur_ppm", share("n_cur", "__tc", "current"))
       .withColumn("psi_contrib_fp",
         floor((col("ref_ppm") - col("cur_ppm")).cast("double") *
           log(col("ref_ppm").cast("double") / col("cur_ppm").cast("double")))

@@ -83,7 +83,7 @@ object LinkGraph {
     // DRIVER-SIDE after one weighted-edge probe job — exact integer
     // arithmetic makes the replay bit-identical to the distributed loop
     // and the unrolled-CTE oracle; past the cap, the distributed loop.
-    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e0 = widenedEdges(edges, srcCol, dstCol)
     val probe = e0.groupBy("src", "dst").agg(count(lit(1)).as("__w"))
       .limit(driverEdgeCap + 1).collect()
     if (probe.length <= driverEdgeCap)
@@ -91,6 +91,29 @@ object LinkGraph {
         probe.map(r => (r.get(0), r.get(1), r.getLong(2))),
         iterations, dampingPct, scale)
     else pageRankDistributed(e0, iterations, dampingPct, scale)
+  }
+
+  /** Normalized (src, dst) edge frame with BOTH columns cast to their
+    * widened common type. Without this, an int src beside a long dst
+    * would hand the driver path a schema taken from src alone while the
+    * probe rows carry mixed-width values (runtime encode failure), even
+    * though the distributed path's union widens fine — the two arms must
+    * see one node type. */
+  private def widenedEdges(edges: DataFrame, srcCol: String,
+                           dstCol: String): DataFrame = {
+    val srcT = edges.select(col(srcCol)).schema.head.dataType
+    val dstT = edges.select(col(dstCol)).schema.head.dataType
+    if (srcT == dstT)
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    else {
+      val common = org.apache.spark.sql.catalyst.analysis.TypeCoercion
+        .findTightestCommonType(srcT, dstT)
+        .getOrElse(throw new IllegalArgumentException(
+          s"graph edge columns have incompatible types: $srcCol is " +
+            s"${srcT.simpleString}, $dstCol is ${dstT.simpleString}"))
+      edges.select(col(srcCol).cast(common).as("src"),
+        col(dstCol).cast(common).as("dst"))
+    }
   }
 
   /** Rule-17 replay of the damped fixed-point iteration over a collected
@@ -222,7 +245,7 @@ object LinkGraph {
            driverEdgeCap: Int = 100000): DataFrame = {
     require(iterations >= 1, s"hits needs iterations>=1 (got $iterations)")
     require(scale >= 1000, s"hits needs scale>=1e3 (got $scale)")
-    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e0 = widenedEdges(edges, srcCol, dstCol)
     val probe = e0.groupBy("src", "dst").agg(count(lit(1)).as("__w"))
       .limit(driverEdgeCap + 1).collect()
     if (probe.length <= driverEdgeCap)

@@ -321,12 +321,14 @@ object EvalQueries {
          |    array_to_string(cand, '') AS cs, array_to_string(ref, '') AS rs
          |  FROM base b JOIN cnd USING (doc_id)),
          |ns AS (SELECT unnest(range(1, 7)) AS ng),
-         |cg AS (SELECT doc_id, ng, substr(cs, i, ng::INT) AS g
-         |       FROM pair, ns, (SELECT unnest(range(1, 1601)) AS i) r
-         |       WHERE i <= len(cs) - ng + 1),
-         |rg AS (SELECT doc_id, ng, substr(rs, i, ng::INT) AS g
-         |       FROM pair, ns, (SELECT unnest(range(1, 1601)) AS i) r
-         |       WHERE i <= len(rs) - ng + 1),
+         |cg AS (SELECT doc_id, ng, unnest(list_transform(
+         |         range(greatest(len(cs) - ng + 1, 0)),
+         |         i -> substr(cs, (i + 1)::INT, ng::INT))) AS g
+         |       FROM pair, ns),
+         |rg AS (SELECT doc_id, ng, unnest(list_transform(
+         |         range(greatest(len(rs) - ng + 1, 0)),
+         |         i -> substr(rs, (i + 1)::INT, ng::INT))) AS g
+         |       FROM pair, ns),
          |cc AS (SELECT doc_id, ng, g, count(*) AS c FROM cg GROUP BY 1, 2, 3),
          |rc AS (SELECT doc_id, ng, g, count(*) AS c FROM rg GROUP BY 1, 2, 3),
          |mm AS (SELECT cc.doc_id, cc.ng, sum(least(cc.c, coalesce(rc.c, 0)))::BIGINT AS m

@@ -206,6 +206,21 @@ class EvalsSpec extends AnyFunSuite {
       Evals.rbo(short, "id", "a", "b").collect()
     }
     assert(e.getMessage != null)
+
+    // the guard must survive column pruning: a projection keeping ONLY
+    // overlap_at_k (rbo_ppm dropped) still fails on short rankings
+    val e2 = intercept[Exception] {
+      Evals.rbo(short, "id", "a", "b").select("id", "overlap_at_k").collect()
+    }
+    assert(e2.getMessage != null)
+  }
+
+  test("poissonBootstrap: fractional valueCol is rejected, not truncated") {
+    val frac = Seq((1L, 0.5), (2L, 0.7)).toDF("id", "x")
+    val e = intercept[IllegalArgumentException] {
+      Evals.poissonBootstrap(frac, "id", "x", b = 8)
+    }
+    assert(e.getMessage.contains("integral"))
   }
 
   test("chrF: perfect/disjoint extremes; asymmetric case matches the stated integer formula") {

@@ -90,6 +90,23 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(driver == reference(mg, 5))
   }
 
+  test("mixed-width edge columns widen: int src + long dst runs both arms " +
+    "and matches the all-long graph") {
+    val mixed = Seq((1, 2L), (2, 3L), (3, 1L), (1, 3L)).toDF("s", "d")
+    val asLong = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("s", "d")
+    def ranks(df: org.apache.spark.sql.DataFrame, cap: Int) =
+      LinkGraph.pageRank(df, "s", "d", 4, driverEdgeCap = cap)
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    val driverMixed = ranks(mixed, 100000) // driver arm: would fail to
+    // encode pre-widening (int src schema vs long dst values)
+    assert(driverMixed == ranks(asLong, 100000))
+    assert(driverMixed == ranks(mixed, 0), "distributed arm agrees")
+    // incompatible node types fail loudly, not at encode time
+    intercept[IllegalArgumentException] {
+      LinkGraph.pageRank(Seq((1, "x")).toDF("s", "d"), "s", "d", 2)
+    }
+  }
+
   test("rejects empty graphs and bad parameters") {
     intercept[IllegalArgumentException] {
       LinkGraph.pageRank(Seq.empty[(String, String)].toDF("s", "d"), "s", "d", 3)
