@@ -70,4 +70,38 @@ object IvfIndex {
       indexed.filter(col("cluster_id").isin(probed: _*)),
       vecCol, idCol, queryVec, k, where)
   }
+
+  /** Zero-Lloyd seeded coarse quantizer: the `lists` lowest-id vectors ARE
+    * the centroids (the [[Clustering.fit]] seed / v12 sampled-codebook
+    * convention). An IVF coarse quantizer needs only SOME deterministic
+    * partition of the space (recall comes from nprobe; full probe is exact
+    * regardless — the v8 bridge), and skipping Lloyd buys full
+    * engine-agnostic replayability: seeds, the squared-L2 argmin
+    * assignment (ties to the lower index — [[Clustering.assign]]'s
+    * codegen'd broadcast-codebook kernel), and the probe choice are all
+    * expressible in plain SQL, which is what gives the probe-pruned query
+    * its oracle row (v7). The trained-KMeans build ([[build]]) remains the
+    * quality path, gated by IvfIndexSpec + the v19 recall curve.
+    * Driver state: `lists` × dim doubles (codebook-sized, rule 17). */
+  def buildSeeded(corpus: DataFrame, vecCol: String, idCol: String,
+                  lists: Int): (DataFrame, Clustering.Model) = {
+    val seeds = corpus.orderBy(col(idCol)).limit(lists)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val model = Clustering.Model(seeds)
+    (Clustering.assign(corpus, vecCol, model).drop("dist"), model)
+  }
+
+  /** The `nprobe` centroids nearest to `query` under the SAME metric and
+    * fold order the assignment uses (squared L2, left-to-right double
+    * accumulation, ties to the lower index) — bit-identical to the
+    * oracle's `list_sum(list_transform(...))` over the codebook CTE. */
+  def probeSeeded(model: Clustering.Model, query: Array[Float],
+                  nprobe: Int): Seq[Long] =
+    model.centroids.zipWithIndex.map { case (c, i) =>
+      var d = 0.0; var j = 0
+      val n = math.min(c.length, query.length)
+      while (j < n) { val t = query(j).toDouble - c(j); d += t * t; j += 1 }
+      (d, i)
+    }.sortBy { case (d, i) => (d, i) }.take(nprobe).map(_._2.toLong).toSeq
 }

@@ -708,16 +708,31 @@ object VectorQueries {
       .orderBy("label")
   }
 
-  /** IVF probe-pruned ANN (rows-only gate; exactness vs brute force is
-    * asserted in IvfIndexSpec with nprobe=lists). */
+  /** IVF probe-pruned ANN under the seeded zero-Lloyd coarse quantizer
+    * ([[IvfIndex.buildSeeded]]): the whole chain — codebook = 16 lowest-id
+    * vectors, squared-L2 argmin assignment (ties to the lower index),
+    * nprobe=8 probe choice, exact cosine top-10 inside the probed lists —
+    * is deterministic and SQL-expressible, so the row is FULLY
+    * oracle-checked (assignment, pruning, scores, and ranks), retiring the
+    * registry's last `no_oracle` entry (round-12 verdict #1). The trained
+    * MLlib coarse quantizer stays the quality path: IvfIndexSpec pins its
+    * full-probe exactness, v8/v13/v15/v17 bridge it, v19 pins its recall
+    * curve. Emits (vec_id, cluster_id, score, rank) — the verdict's
+    * suggested replayable shape. */
   def ivfKnn(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val q = queryVec(spark, dir)
-    val (indexed, model) = IvfIndex.build(
-      Tables.embeddings(spark, dir), "embedding", lists = 16)
-    IvfIndex.query(indexed, model, "embedding", "vec_id", q, k = 10, nprobe = 8,
-      where = col("vec_id") =!= 0)
-      .select(col("vec_id"), round(col("score"), 6).as("score"))
-      .orderBy(col("score").desc, col("vec_id"))
+    val (indexed, model) = IvfIndex.buildSeeded(
+      Tables.embeddings(spark, dir), "embedding", "vec_id", lists = 16)
+    val probed = IvfIndex.probeSeeded(model, q, nprobe = 8)
+    KnnSearch.topK(
+        indexed.filter(col("cluster_id").isin(probed: _*)),
+        "embedding", "vec_id", q, k = 10, where = col("vec_id") =!= 0)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("vec_id"))))
+      .select(col("vec_id"), col("cluster_id"),
+        round(col("score"), 6).as("score"), col("rank").cast("long").as("rank"))
+      .orderBy("rank")
   }
 
   /** The approximation-QUALITY gate for the v7 nprobe path, in-registry:
@@ -1085,13 +1100,15 @@ object VectorQueries {
     * query latency, not the per-run k-means build. */
   def ivfKnnPrepared(spark: SparkSession, dir: String): () => DataFrame = {
     val q = queryVec(spark, dir)
-    val (indexed, model) = IvfIndex.build(
-      Tables.embeddings(spark, dir), "embedding", lists = 16)
+    val (indexed, model) = IvfIndex.buildSeeded(
+      Tables.embeddings(spark, dir), "embedding", "vec_id", lists = 16)
     val cached = indexed.persist()
     cached.count()
+    val probed = IvfIndex.probeSeeded(model, q, nprobe = 8)
     () =>
-      IvfIndex.query(cached, model, "embedding", "vec_id", q, k = 10, nprobe = 8,
-        where = col("vec_id") =!= 0)
+      KnnSearch.topK(
+          cached.filter(col("cluster_id").isin(probed: _*)),
+          "embedding", "vec_id", q, k = 10, where = col("vec_id") =!= 0)
         .select(col("vec_id"), round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("vec_id"))
   }
@@ -1446,6 +1463,35 @@ object VectorQueries {
         |ORDER BY vec_id, j""".stripMargin,
     // full-probe IVF must reproduce the exact result
     "v8_ivf_exact" -> exactTop10,
+    // seeded zero-Lloyd IVF, replayed end-to-end: codebook = 16 lowest-id
+    // vectors, squared-L2 argmin assignment with ties to the lower index
+    // (the k1 fold: list_sum of a left-to-right list_transform matches the
+    // codegen kernel bit-for-bit), nprobe=8 probe choice by the same
+    // metric, exact cosine top-10 + rank inside the probed lists
+    "v7_ivf_knn" ->
+      """WITH cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+        |    embedding::DOUBLE[] AS cv
+        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |d AS (SELECT e.vec_id, cb.c,
+        |    list_sum(list_transform(range(64), j ->
+        |      (v[j+1]-cv[j+1])*(v[j+1]-cv[j+1]))) AS dist
+        |  FROM e, cb),
+        |asg AS (SELECT vec_id, c AS cluster_id FROM (
+        |    SELECT vec_id, c,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+        |    FROM d) WHERE rn = 1),
+        |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |pd AS (SELECT cb.c, list_sum(list_transform(range(64), j ->
+        |    (qv[j+1]-cv[j+1])*(qv[j+1]-cv[j+1]))) AS dist FROM cb, q),
+        |probe AS (SELECT c FROM pd ORDER BY dist, c LIMIT 8),
+        |hits AS (SELECT e.vec_id, asg.cluster_id,
+        |    list_cosine_similarity(v, (SELECT qv FROM q)) AS raw
+        |  FROM e JOIN asg USING (vec_id)
+        |  WHERE asg.cluster_id IN (SELECT c FROM probe) AND e.vec_id <> 0)
+        |SELECT vec_id, cluster_id, round(raw, 6) AS score,
+        |  row_number() OVER (ORDER BY raw DESC, vec_id) AS rank
+        |FROM hits ORDER BY raw DESC, vec_id LIMIT 10""".stripMargin,
     // the v12 PQ replay lifted to the multivector composition: sampled
     // codebook, argmin encode, TWO query LUT folds, per-label max + sum
     "v22_mv_pq_maxsim" ->

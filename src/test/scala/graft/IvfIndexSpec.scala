@@ -148,4 +148,40 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(mean >= 0.75,
       s"kpropn mean recall@10 = $mean (per-query: ${recalls.mkString(",")})")
   }
+
+  test("seeded zero-Lloyd build: full probe is exact; assignment is the " +
+    "brute-force argmin with ties to the lower index") {
+    val e = Tables.embeddings(spark, dir)
+    val q = VectorQueries.queryVec(spark, dir)
+    val (indexed, model) = IvfIndex.buildSeeded(e, "embedding", "vec_id", 8)
+    // centroids are literally the 8 lowest-id embeddings
+    val seeds = e.orderBy("vec_id").limit(8).select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq)
+    assert(model.centroids.map(_.toSeq).toSeq == seeds.toSeq)
+    // full probe == brute force (the v8 bridge holds for the seeded build)
+    val probedAll = IvfIndex.probeSeeded(model, q, 8)
+    val ivf = KnnSearch.topK(
+        indexed.filter(col("cluster_id").isin(probedAll: _*)),
+        "embedding", "vec_id", q, 10, col("vec_id") =!= 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val bf = KnnSearch.topK(e, "embedding", "vec_id", q, 10, col("vec_id") =!= 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(ivf == bf)
+    // assignment replays as an independent driver-side argmin
+    val got = indexed.select("vec_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = e.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    vecs.foreach { case (id, v) =>
+      val want = model.centroids.zipWithIndex.map { case (c, i) =>
+        var d = 0.0; var j = 0
+        while (j < c.length) { val t = v(j).toDouble - c(j); d += t * t; j += 1 }
+        (d, i)
+      }.minBy { case (d, i) => (d, i) }._2.toLong
+      assert(got(id) == want, s"vec $id assigned ${got(id)} want $want")
+    }
+    // probe order is deterministic and prefix-monotone in nprobe
+    assert(IvfIndex.probeSeeded(model, q, 3) ==
+      IvfIndex.probeSeeded(model, q, 8).take(3))
+  }
 }
