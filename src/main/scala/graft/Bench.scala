@@ -157,9 +157,19 @@ object Bench {
     // compile cost only partially transfers across input dirs (observed:
     // 17s cold / 6s cross-dir-warmed / 2s same-dir-warmed for t4).
     val warm = sfDir
+    // Optional args = query names to measure (local iteration helper; the
+    // driver's no-arg invocation measures the full headline list). Names
+    // are validated so a typo fails instead of silently timing nothing.
+    val sel: Seq[String] =
+      if (args.isEmpty) headline
+      else {
+        val bad = args.filterNot(headline.contains)
+        require(bad.isEmpty, s"not headline queries: ${bad.mkString(",")}")
+        headline.filter(args.contains)
+      }
     // Prepare phase: index builds (offline jobs at scale) run here, once.
     val prepared: Map[String, () => org.apache.spark.sql.DataFrame] =
-      preparedFactories.map { case (n, f) =>
+      preparedFactories.filter(kv => sel.contains(kv._1)).map { case (n, f) =>
         val t0 = System.nanoTime()
         val closure = f(spark, warm)
         System.err.println(f"[bench] prepare $n ${(System.nanoTime() - t0) / 1e9}%.1fs")
@@ -174,7 +184,7 @@ object Bench {
       prepared.get(name).map(_.apply())
         .getOrElse(SparkEntry.queries(name)(spark, sfDir))
         .write.mode("overwrite").format("noop").save()
-    headline.foreach { n =>
+    sel.foreach { n =>
       val t0 = System.nanoTime()
       try run(n)
       catch { case e: Throwable => System.err.println(s"[bench] warmup $n FAILED: $e") }
@@ -200,7 +210,7 @@ object Bench {
     // can see exactly which queries ran under load, not just box-level
     // before/after.
     val queryLoad = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val results = headline.map { name =>
+    val results = sel.map { name =>
       queryLoad(name) = loadavg1()
       val samples = scala.collection.mutable.ArrayBuffer[Double]()
       (1 to 3).foreach(_ => samples += measureOnce(name))

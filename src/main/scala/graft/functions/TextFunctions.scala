@@ -86,6 +86,35 @@ object text {
         .otherwise(array())
     }), 1)
 
+  /** All of [[word_shingles]]'s rungs in ONE kernel: array of
+    * (rung, gs) structs, value-identical per rung to `word_shingles(c, n)`,
+    * but the regex tokenize runs ONCE for the whole rung ladder instead of
+    * once per rung (t64's train scan paid 4× tokenization — the round-12
+    * verdict's named x1 constant; the dominant cost of a shingle pass is
+    * the normalize+split, not the window slide). `toks` is bound through
+    * the one-element-struct idiom, so every rung's window sweep reads the
+    * SAME materialized token array with O(1) field access.
+    *
+    * `distinct = false` skips the per-row `array_distinct` (a hash pass
+    * over every gram string): right when the consumer dedupes globally
+    * anyway (t64's train scan semi-joins then `.distinct()`s — per-row
+    * dedup there is pure overhead), wrong when per-doc distinct counts
+    * are the statistic (the eval side keeps the default). */
+  def word_shingles_multi(c: Column, ns: Seq[Int],
+                          distinct: Boolean = true): Column =
+    element_at(transform(array(struct(tokens(c).as("t"))), p => {
+      val toks = p.getField("t")
+      def dedup(gs: Column): Column = if (distinct) array_distinct(gs) else gs
+      array(ns.map { n =>
+        struct(lit(n.toLong).as("rung"),
+          when(size(toks) >= n,
+            dedup(transform(sequence(lit(0), size(toks) - n),
+              i => concat_ws(" ", (0 until n).map(j =>
+                element_at(toks, (i + lit(j + 1)).cast("int"))): _*))))
+            .otherwise(array().cast("array<string>")).as("gs"))
+      }: _*)
+    }), 1)
+
   /** 32-bit seeded shingle hash, Broder-style: one md5 per shingle; lane
     * `seed` combines the digest's two 4-byte halves as
     * `(h1 + seed·h2) mod 2^32`. Reproducible in any engine with md5, and

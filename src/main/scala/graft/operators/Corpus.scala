@@ -1381,35 +1381,89 @@ object Corpus {
     * one match — a binary-search-style lower bound on the longest
     * verbatim run, exact at the probed lengths.
     *
-    * Plan (the [[contaminationReport]] shape generalized by a rung
-    * dimension): the eval side is benchmark-sized — its distinct
-    * (rung, gram) set broadcasts; the train corpus is scanned ONCE,
-    * exploding all rung grams in one pass (the gram stream is |rungs|×
-    * the token stream, but map-side semi-joined so only MATCHED
-    * (rung, gram) rows are ever exchanged); one broadcast join back onto
-    * the per-doc gram table. Docs shorter than a rung report honest zeros
-    * for it (t38's convention), never drop. */
+    * Plan (round-13 rework of the [[contaminationReport]] shape): only the
+    * SHORTEST rung's gram stream sweeps the train corpus. Any train
+    * rung-n gram equal to an eval rung-n gram necessarily starts at a
+    * position whose leading min-rung gram is an eval min-rung gram (the
+    * eval gram set contains every window of every eval doc), so the
+    * min-rung stream semi-joined against the broadcast eval min-gram set
+    * yields CANDIDATE (doc, position)s — contamination-rate-sized by
+    * assumption — and the longer rungs' grams are built in-row only at
+    * those positions (candidate position lists broadcast back onto the
+    * candidate docs; non-candidate docs never tokenize twice). Candidates
+    * are then EXACTLY verified by the semi-join against the full eval
+    * (rung, gram) set, so the prefix filter affects cost, never results.
+    * The old plan built + probe-hashed |rungs|× the token stream in gram
+    * strings up to 32 tokens long — 4× the string material of the min
+    * rung for a stream that is almost entirely unmatched. Docs shorter
+    * than a rung report honest zeros for it (t38's convention), never
+    * drop. */
   def memorizationReport(train: DataFrame, eval_ : DataFrame,
                          idCol: String, textCol: String,
                          rungs: Seq[Int] = Seq(4, 8, 16, 32)): DataFrame = {
     require(rungs.nonEmpty && rungs.forall(_ >= 1) &&
       rungs.distinct.length == rungs.length,
       s"memorizationReport needs distinct rungs >= 1 (got $rungs)")
-    def rungGrams(df: DataFrame): Column = explode(array(rungs.map(n =>
-      struct(lit(n.toLong).as("rung"),
-        graft.functions.text.word_shingles(col(textCol), n).as("gs"))): _*))
+    val m = rungs.min
+    // the eval side is benchmark-sized: one tokenize for the whole ladder
+    // (the multi-rung kernel), per-doc distinct grams (the statistic)
     val evalG = eval_
-      .select(col(idCol).cast("long").as("eval_id"), rungGrams(eval_).as("rg"))
+      .select(col(idCol).cast("long").as("eval_id"),
+        explode(graft.functions.text.word_shingles_multi(
+          col(textCol), rungs)).as("rg"))
       .select(col("eval_id"), col("rg.rung").as("rung"),
         explode(col("rg.gs")).as("g"))
-    val trainHits = graft.Tables.scaled(
-        train.select(rungGrams(train).as("rg"))
-          .select(col("rg.rung").as("rung"), explode(col("rg.gs")).as("g")))
-      .join(broadcast(evalG.select("rung", "g").distinct()),
-        Seq("rung", "g"), "left_semi")
-      .distinct()
+    // Stage 1: the ONLY corpus-wide gram stream — the min rung, with
+    // positions (transform over sequence(0, L-m) is positional, so the
+    // gs index IS the token position); semi-join the broadcast eval
+    // min-gram set → candidate (doc, pos, gram)s
+    val mGrams = graft.Tables.scaled(
+        train.select(col(idCol).cast("long").as("tid"),
+          graft.functions.text.word_shingles_multi(
+              col(textCol), Seq(m), distinct = false)
+            .getItem(0).getField("gs").as("gs")))
+      .select(col("tid"), posexplode(col("gs")))
+      .toDF("tid", "pos", "g")
+    val cand = mGrams.join(
+      broadcast(evalG.filter(col("rung") === m.toLong)
+        .select("g").distinct()),
+      Seq("g"), "left_semi")
+    // Stage 2: EVERY rung's grams (the min rung included) rebuild in-row
+    // at candidate positions only — candidate position lists broadcast
+    // back onto the candidate docs (the inner join prunes everything
+    // else BEFORE the re-tokenize). Rebuilding the min rung here instead
+    // of reusing `cand` keeps the corpus-wide scan under exactly ONE
+    // subtree (the candPos broadcast): a second reference to `cand` has
+    // no exchange boundary to reuse, so the whole stage-1 scan would run
+    // twice (measured — it cost more than stage 2 saves). Inside the
+    // per-position lambdas only plain attributes are read (t, ps —
+    // already materialized), so the HOF interpreter pathology does not
+    // apply.
+    val candPos = cand.groupBy("tid")
+      .agg(sort_array(collect_set(col("pos"))).as("ps"))
+    val joined = train
+      .select(col(idCol).cast("long").as("tid"), col(textCol))
+      .join(broadcast(candPos), Seq("tid"))
+      .select(col("tid"), col("ps"),
+        graft.functions.text.tokens(col(textCol)).as("t"))
+    val candidates = graft.Tables.scaled(joined)
+      .select(explode(array(rungs.sorted.map { n =>
+        struct(lit(n.toLong).as("rung"),
+          transform(
+            filter(col("ps"), p => p <= size(col("t")) - n),
+            p => concat_ws(" ", (0 until n).map(j =>
+              element_at(col("t"), (p + lit(j + 1)).cast("int"))): _*))
+            .as("gs"))
+      }: _*)).as("rg"))
+      .select(col("rg.rung").as("rung"), explode(col("rg.gs")).as("g"))
+    // exact verification IS the per-rung join: the prefix filter is a
+    // necessary condition, never sufficient, and a candidate counts only
+    // where it equals a full eval (rung, gram) row — joining evalG
+    // directly against the distinct candidate set verifies and counts in
+    // one step (a separate semi-join "trainHits" stage would recompute
+    // evalG a third time for no extra pruning)
     val perRung = evalG
-      .join(broadcast(trainHits.withColumn("hit", lit(1L))),
+      .join(broadcast(candidates.distinct().withColumn("hit", lit(1L))),
         Seq("rung", "g"), "left")
       .groupBy("eval_id", "rung")
       .agg(count(lit(1)).as("n_grams"),

@@ -69,9 +69,15 @@ object CorpusQueries {
     * branch and the max logic discriminate. */
   def memorizationQ(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val tk = docs.select(col("doc_id"), text.tokens(col("text")).as("tk"))
-    val donors = tk.select((col("doc_id") - 1).as("doc_id"),
-      col("tk").as("dtk"))
+    // synthesis only reads eval docs (%50==0) and their donors (%50==1):
+    // tokenizing the WHOLE corpus here cost more than the operator's own
+    // train scan, and the eval_ frame re-computes on every reference
+    // inside the operator (4x) — filter before tokenize
+    val tk = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), text.tokens(col("text")).as("tk"))
+    val donors = docs.filter(col("doc_id") % 50 === 1)
+      .select((col("doc_id") - 1).as("doc_id"),
+        text.tokens(col("text")).as("dtk"))
     val uniq = transform(sequence(lit(0L), lit(7L)), j =>
       concat(lit("u"), col("doc_id").cast("string"), lit("x"),
         j.cast("string")))

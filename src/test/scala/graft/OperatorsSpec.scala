@@ -210,6 +210,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fast(3L)._1 == "und" && fast(4L)._1 == "und")
   }
 
+  test("word_shingles_multi equals per-rung word_shingles exactly (one tokenize)") {
+    import graft.functions.text
+    val rungs = Seq(4, 8, 16, 32)
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l m n o p"),   // 16 tokens: rungs 4/8/16
+      (2L, "x y z"),                              // shorter than every rung
+      (3L, ""),                                   // empty
+      (4L, "  Mixed   CASE  a b c d e f g h i j k l m n o p q r s t u v w x y z a2 b2 c2 d2 e2 f2")
+    ).toDF("doc_id", "text")
+    val multi = docs.select(col("doc_id"),
+        explode(text.word_shingles_multi(col("text"), rungs)).as("rg"))
+      .select(col("doc_id"), col("rg.rung"), col("rg.gs"))
+      .as[(Long, Long, Seq[String])].collect()
+      .map { case (d, r, gs) => (d, r) -> gs }.toMap
+    rungs.foreach { n =>
+      val single = docs.select(col("doc_id"),
+          text.word_shingles(col("text"), n).as("gs"))
+        .as[(Long, Seq[String])].collect().toMap
+      single.foreach { case (d, gs) =>
+        assert(multi((d, n.toLong)) == gs, s"doc $d rung $n diverges")
+      }
+    }
+  }
+
   test("migrateIngest: skip keeps existing rows, fail throws on conflict (migrate.py)") {
     import graft.operators.Mutations
     val existing = Seq((1L, "old one"), (2L, "old two")).toDF("doc_id", "text")
