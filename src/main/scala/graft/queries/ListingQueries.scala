@@ -38,8 +38,26 @@ object ListingQueries {
     "l12_listing_flexible" -> ((s, d) => listingFlexible(s, d)),
     "l13_projection" -> ((s, d) => listingProjection(s, d)),
     "l14_keyset_page" -> ((s, d) => keysetPage(s, d)),
-    "l15_total_count" -> ((s, d) => totalCounts(s, d))
+    "l15_total_count" -> ((s, d) => totalCounts(s, d)),
+    "l17_status_polling" -> ((s, d) => statusPollingQ(s, d))
   )
+
+  /** L9 status polling ([[graft.streaming.IngestPipeline.progressLadder]])
+    * over a deterministic ingest batch: the first 100 docs, chunked at the
+    * p1 configuration (200/40), with doc_id % 17 == 0 planted EMPTY (the
+    * t18/t37 planted-input convention) so the no-chunks arm — steps 4/5
+    * absent, terminal `no_content_extracted` — value-exercises beside the
+    * completed ladder. The oracle replays chunk counts with p1's chunk CTE
+    * and the ladder as a VALUES join. */
+  def statusPollingQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 100)
+      .withColumn("text",
+        when(col("doc_id") % 17 === 0, lit("")).otherwise(col("text")))
+    val chunks = graft.operators.Chunker.fixedChunks(
+      docs, "doc_id", "text", n = 200, overlap = 40)
+    graft.streaming.IngestPipeline.progressLadder(docs, chunks)
+      .orderBy("doc_id", "step")
+  }
 
   /** L3 oracle-gated: the listing's companion COUNT — every filtered page
     * the reference serves carries a total alongside has_more, computed
@@ -256,6 +274,33 @@ object ListingQueries {
       .orderBy("source")
 
   def oracles: Map[String, String] = Map(
+    // L9: the 6-step progress ladder + terminal status replayed — chunk
+    // counts via p1's chunk CTE, the ladder as a VALUES join, steps 4/5
+    // gated on n_chunks > 0 exactly like the worker's processed_chunks gate
+    "l17_status_polling" ->
+      """WITH d AS (SELECT doc_id, CASE WHEN doc_id % 17 = 0 THEN '' ELSE text END AS text
+        |           FROM documents WHERE doc_id < 100),
+        |ch AS (SELECT doc_id, count(*) AS n_chunks FROM (
+        |         SELECT doc_id FROM d, generate_series(1, 100000, 160) AS t(s)
+        |         WHERE s <= greatest(len(text) - 40, 1)
+        |           AND len(substr(text, s::INT, 200)) > 0) GROUP BY doc_id),
+        |st AS (SELECT d.doc_id, coalesce(ch.n_chunks, 0)::BIGINT AS n_chunks
+        |       FROM d LEFT JOIN ch USING (doc_id)),
+        |steps(step, step_name, percentage, needs) AS (VALUES
+        |  (1, 'Downloading file', 17, false), (2, 'Parsing file', 33, false),
+        |  (3, 'Splitting into chunks', 50, false), (4, 'Generating embeddings', 67, true),
+        |  (5, 'Storing chunks', 83, true), (6, 'Finalizing', 100, false)),
+        |ladder AS (
+        |  SELECT doc_id, step::BIGINT AS step, step_name,
+        |    percentage::BIGINT AS percentage, 'processing' AS status, n_chunks
+        |  FROM st, steps WHERE (NOT needs) OR n_chunks > 0
+        |  UNION ALL
+        |  SELECT doc_id, 7::BIGINT, 'terminal', 100::BIGINT,
+        |    CASE WHEN n_chunks > 0 THEN 'completed' ELSE 'no_content_extracted' END,
+        |    n_chunks
+        |  FROM st)
+        |SELECT doc_id, step, step_name, percentage, status, n_chunks
+        |FROM ladder ORDER BY doc_id, step""".stripMargin,
     // L3: totals re-derived from the raw table, the folder scope replayed
     // as exact-or-descendant path match on the synthesized folder_path
     "l15_total_count" ->

@@ -57,6 +57,7 @@ object VectorQueries {
     "v23_ann_recall" -> ((s, d) => annRecall(s, d)),
     "v24_ranking_metrics" -> ((s, d) => rankingMetricsQ(s, d)),
     "v26_rbo" -> ((s, d) => rboQ(s, d)),
+    "s12_embed_fallback" -> ((s, d) => embedFallbackQ(s, d)),
     "s8_e2e_quality" -> ((s, d) => e2eQuality(s, d)),
     "s9_e2e_quality_rerank" -> ((s, d) => e2eQualityRerank(s, d)),
     "s11_colpali_e2e_quality" -> ((s, d) => colpaliE2eQuality(s, d))
@@ -1188,6 +1189,38 @@ object VectorQueries {
       .orderBy(col("score").desc, col("doc_id"))
   }
 
+  /** E2's query-embed ZERO-VECTOR fallback in-registry (round-12 verdict
+    * #4b): the real wire client ([[graft.operators.HttpBatchEmbedder]])
+    * pointed at a dead endpoint in the serving path's fail-fast
+    * configuration (numRetries=0); `embedText` catches the connection
+    * refusal and returns the zero vector (`litellm_embedding.py:108-111`
+    * — embed_query degrades instead of erroring), and retrieval proceeds:
+    * every cosine against the zero query is exactly 0 (the kernel's
+    * zero-denominator contract), so the "top"-10 is the deterministic
+    * tie order — first 10 vec_ids at score 0, still k results, never a
+    * 500. The live arm runs beside it as the contrast (the v1 ranking).
+    * The require() pins that the zeros came from the FALLBACK, not from
+    * a server that answered zeros. */
+  def embedFallbackQ(spark: SparkSession, dir: String): DataFrame = {
+    val dead = graft.operators.HttpBatchEmbedder(
+      "http://127.0.0.1:1/embeddings", dim = 64,
+      numRetries = 0, timeoutSec = 1)
+    val fallbackVec = dead.embedText("what is the revenue trend")
+    require(fallbackVec.length == 64 && fallbackVec.forall(_ == 0f),
+      "dead-endpoint embedText must return the 64-dim zero vector")
+    val e = Tables.embeddings(spark, dir)
+    val fb = KnnSearch.topK(e, "embedding", "vec_id", fallbackVec, 10,
+        where = col("vec_id") =!= 0)
+      .withColumn("arm", lit("fallback"))
+    val live = KnnSearch.topK(e, "embedding", "vec_id",
+        queryVec(spark, dir), 10, where = col("vec_id") =!= 0)
+      .withColumn("arm", lit("live"))
+    fb.unionByName(live)
+      .select(col("arm"), col("vec_id"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("arm"), col("score").desc, col("vec_id"))
+  }
+
   private val qv = "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)"
 
   private val exactTop10 =
@@ -1463,6 +1496,20 @@ object VectorQueries {
         |ORDER BY vec_id, j""".stripMargin,
     // full-probe IVF must reproduce the exact result
     "v8_ivf_exact" -> exactTop10,
+    // E2 zero-vector fallback: the dead-embedder arm scores EVERY vector
+    // exactly 0 (zero-denominator cosine contract), so its top-10 is the
+    // tie order — first 10 vec_ids; the live arm is the v1 ranking
+    "s12_embed_fallback" ->
+      s"""WITH fb AS (SELECT 'fallback' AS arm, vec_id, 0.0 AS score
+         |  FROM embeddings WHERE vec_id <> 0 ORDER BY vec_id LIMIT 10),
+         |live AS (SELECT 'live' AS arm, vec_id,
+         |    round(list_cosine_similarity(embedding::DOUBLE[], $qv), 6) AS score
+         |  FROM embeddings WHERE vec_id <> 0
+         |  ORDER BY list_cosine_similarity(embedding::DOUBLE[], $qv) DESC, vec_id
+         |  LIMIT 10)
+         |SELECT arm, vec_id, score FROM fb
+         |UNION ALL SELECT arm, vec_id, score FROM live
+         |ORDER BY arm, score DESC, vec_id""".stripMargin,
     // seeded zero-Lloyd IVF, replayed end-to-end: codebook = 16 lowest-id
     // vectors, squared-L2 argmin assignment with ties to the lower index
     // (the k1 fold: list_sum of a left-to-right list_transform matches the

@@ -117,6 +117,45 @@ object IngestPipeline {
           .otherwise("no_content_extracted").as("status"))
   }
 
+  /** L9 status POLLING surface: the per-document 6-step progress ladder a
+    * `GET /documents/{id}/status` poll reads while ingestion runs —
+    * Downloading file → Parsing file → Splitting into chunks → Generating
+    * embeddings → Storing chunks → Finalizing, `status=processing` with
+    * `percentage = round(step/6·100)` at each rung
+    * (`ingestion_worker.py:478,546,675,931,1148,1241`; percentage formula
+    * `:175`), then the terminal row: `completed`, or the accept-but-mark
+    * `no_content_extracted` for docs that produced no chunks
+    * (`:880-905`). Steps 4 and 5 are emitted only for docs WITH chunks —
+    * the worker's `if processed_chunks` gate (`:931`) — so the ladder
+    * itself discriminates on pipeline outcome, not just doc presence.
+    * The percentage literals are computed ONCE in Scala and interpolated
+    * into both engines (the t60 convention — no cross-engine round()). */
+  def progressLadder(docs: DataFrame, chunks: DataFrame,
+                     cfg: Config = Config()): DataFrame = {
+    val totalSteps = 6
+    val steps = Seq(
+      (1, "Downloading file", false), (2, "Parsing file", false),
+      (3, "Splitting into chunks", false), (4, "Generating embeddings", true),
+      (5, "Storing chunks", true), (6, "Finalizing", false))
+    val stepRows = steps.map { case (n, nm, needsChunks) =>
+      struct(lit(n.toLong).as("step"), lit(nm).as("step_name"),
+        lit(math.round(n * 100.0 / totalSteps)).as("percentage"),
+        lit("processing").as("status"), lit(needsChunks).as("needs"))
+    }
+    statusRows(docs, chunks, cfg)
+      .select(col(cfg.idCol), col("n_chunks"),
+        explode(concat(
+          filter(array(stepRows: _*),
+            s => !s.getField("needs") || col("n_chunks") > 0),
+          array(struct(lit(7L).as("step"), lit("terminal").as("step_name"),
+            lit(100L).as("percentage"), col("status").as("status"),
+            lit(false).as("needs"))))).as("s"))
+      .select(col(cfg.idCol), col("s.step").as("step"),
+        col("s.step_name").as("step_name"),
+        col("s.percentage").as("percentage"), col("s.status").as("status"),
+        col("n_chunks"))
+  }
+
   /** Streaming ingest: watch `inputDir` for parquet document files, run the
     * batch pipeline per micro-batch, append chunk index + status tables.
     * Checkpointed -> exactly-once per file; idempotent per doc id. */

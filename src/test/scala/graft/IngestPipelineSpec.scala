@@ -46,6 +46,28 @@ class IngestPipelineSpec extends AnyFunSuite {
     assert(status(1L) == "completed" && status(3L) == "no_content_extracted")
   }
 
+  test("progressLadder: 6-step worker ladder; embed/store steps gated on " +
+    "chunks; terminal row carries the statusRows verdict") {
+    val docs = Seq((1L, "alpha beta gamma. " * 30), (2L, "")).toDF("doc_id", "text")
+    val chunks = IngestPipeline.processBatch(docs, cfg)
+    val rows = IngestPipeline.progressLadder(docs, chunks, cfg)
+      .select("doc_id", "step", "step_name", "percentage", "status")
+      .as[(Long, Long, String, Long, String)].collect()
+    val d1 = rows.filter(_._1 == 1L).sortBy(_._2)
+    // full ladder: 6 processing rungs + terminal completed
+    assert(d1.map(_._2).toSeq == (1L to 7L))
+    assert(d1.map(_._3).toSeq == Seq("Downloading file", "Parsing file",
+      "Splitting into chunks", "Generating embeddings", "Storing chunks",
+      "Finalizing", "terminal"))
+    // percentage = round(step/6*100), the worker's formula
+    assert(d1.map(_._4).toSeq == Seq(17L, 33L, 50L, 67L, 83L, 100L, 100L))
+    assert(d1.init.forall(_._5 == "processing") && d1.last._5 == "completed")
+    // chunk-less doc: steps 4/5 absent, terminal no_content_extracted
+    val d2 = rows.filter(_._1 == 2L).sortBy(_._2)
+    assert(d2.map(_._2).toSeq == Seq(1L, 2L, 3L, 6L, 7L))
+    assert(d2.last._5 == "no_content_extracted")
+  }
+
   test("streaming ingest is checkpointed exactly-once and idempotent per doc") {
     val root = Files.createTempDirectory("graft_stream").toString
     val (in, idxDir, stDir, ckpt) =
