@@ -97,12 +97,22 @@ object StreamBench {
   }
 
   /** Drive one stateful-streaming arm over the rate source for ~durSec,
-    * then summarize its progress events. */
+    * then summarize its progress events.
+    *
+    * Saturation drive (round-12 verdict #7, the paragraph arm's r12
+    * methodology applied to every arm): the rate source OFFERS 2× the
+    * claimed input rate, so backpressure keeps each micro-batch at full
+    * processing throttle and `mean_processed_rows_per_s` measures
+    * sustained CAPACITY, not compliance with the offered rate — an
+    * unsaturated stream's mean can only asymptote to its input rate from
+    * below. `saturated` is computed (mean ≥ claimed input), never
+    * asserted. */
   private def runStateful(spark: SparkSession, arm: String, durSec: Int,
                           rowsPerSec: Int, build: DataFrame => DataFrame,
                           outputMode: String): Unit = {
+    val offered = rowsPerSec * 2
     val src = spark.readStream.format("rate")
-      .option("rowsPerSecond", rowsPerSec)
+      .option("rowsPerSecond", offered)
       .option("numPartitions", 4).load()
     val q = build(src).writeStream.format("noop")
       .outputMode(outputMode)
@@ -125,7 +135,9 @@ object StreamBench {
     println(f"""{"arm":"$arm","rows":$rows,"wall_s":$wall%.1f,""" +
       f""""mean_processed_rows_per_s":$meanRate%.0f,""" +
       f""""batches":${progress.size},"state_rows":$stateRows,""" +
-      f""""state_bytes":$stateBytes,"input_rows_per_s":$rowsPerSec}""")
+      f""""state_bytes":$stateBytes,"input_rows_per_s":$rowsPerSec,""" +
+      f""""offered_rows_per_s":$offered,""" +
+      f""""saturated":${meanRate >= rowsPerSec}}""")
   }
 
   /** The foreachBatch paragraph-dedup arm: per micro-batch, dedup the

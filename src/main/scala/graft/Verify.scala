@@ -66,7 +66,16 @@ object Verify {
     // round-12 additions with scale-sensitive shapes: t64's train-corpus
     // rung semi-join (x64 3.6), ev6's char-gram folds (4.1), ev5's
     // recursive-DP oracle replay (3.7)
-    "t64_memorization", "ev6_chrf", "ev5_rouge_l")
+    "t64_memorization", "ev6_chrf", "ev5_rouge_l",
+    // round-13 additions (round-12 verdict #5): the remaining high-x64
+    // rows — n8's df-weighted term overlap (x64 5.6), t34's trained
+    // rank-order profiles, the r12 newcomers with x64 ratios ≥ 1.9 (t65
+    // soft-dedup weights, ev8 bootstrap cells, e20's per-user CUPED
+    // moments; e14 was already in the r11 block above), and the two new
+    // r13 rows (l17's chunk-count ladder, s12's fallback+live rankings)
+    "n8_more_like_this", "t34_langid_trained",
+    "t65_soft_dedup", "ev8_bootstrap", "e20_cuped",
+    "l17_status_polling", "s12_embed_fallback")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rest @ _*) = args
