@@ -541,4 +541,57 @@ object Evals {
     }.toDF("category", "n_labels", "marginal_ppm",
       "p_bar_ppm", "p_e_ppm", "kappa_ppm")
   }
+
+  /** Distinct-n generation-diversity report (Li et al. 2016, "A
+    * Diversity-Promoting Objective Function for Neural Conversation
+    * Models" §5 — distinct-1/distinct-2, THE standard mode-collapse
+    * readout for generated/synthetic corpora; every synthetic-data
+    * pipeline gates on it before the data is allowed near a trainer):
+    * per group (model, source, prompt bucket …) and per n-gram order,
+    *  - `total_grams` / `distinct_grams` — raw volumes;
+    *  - `distinct_ppm` = distinct·10⁶ div total (the distinct-n metric,
+    *    exact integer);
+    *  - `top_share_ppm` = (most frequent gram's count)·10⁶ div total —
+    *    the single-mode concentration a ratio of distincts can hide (a
+    *    corpus can have many distinct grams AND emit one of them half
+    *    the time).
+    * Groups with no order-n grams (every doc shorter than n) report
+    * honest zeros, never drop (t38's convention). All metrics are exact
+    * integer ppm — no float anywhere.
+    *
+    * 100 TB shape: the only corpus-sized exchange is the (group, n, gram)
+    * count groupBy — map-side combined, gram-keyed, the t16 class; the
+    * second aggregation reduces the gram-type table (vocabulary-bounded)
+    * into |groups|·|ns| rows. The gram stream is built by the multi-rung
+    * kernel: ONE tokenize per doc for the whole order ladder, per-row
+    * dedup skipped (counts are the statistic — dedup would change them). */
+  def genDiversity(df: DataFrame, groupCol: String, textCol: String,
+                   ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1) && ns.distinct.length == ns.length,
+      s"genDiversity needs distinct n-gram orders >= 1 (got $ns)")
+    val grams = graft.Tables.scaled(
+        df.select(col(groupCol).as("grp"),
+          explode(graft.functions.text.word_shingles_multi(
+            col(textCol), ns, distinct = false)).as("rg")))
+      .select(col("grp"), col("rg.rung").as("n"), explode(col("rg.gs")).as("g"))
+    val perGram = grams.groupBy("grp", "n", "g").agg(count(lit(1)).as("c"))
+    val perOrder = perGram.groupBy("grp", "n").agg(
+      sum(col("c")).as("total_grams"),
+      count(lit(1)).as("distinct_grams"),
+      max(col("c")).as("top_count"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val grid = df.select(col(groupCol).as("grp")).distinct()
+      .crossJoin(broadcast(ns.map(_.toLong).toDF("n")))
+    grid.join(perOrder, Seq("grp", "n"), "left")
+      .select(col("grp"), col("n"),
+        coalesce(col("total_grams"), lit(0L)).as("total_grams"),
+        coalesce(col("distinct_grams"), lit(0L)).as("distinct_grams"),
+        when(coalesce(col("total_grams"), lit(0L)) > 0,
+          expr("(distinct_grams * 1000000) div total_grams"))
+          .otherwise(0L).as("distinct_ppm"),
+        when(coalesce(col("total_grams"), lit(0L)) > 0,
+          expr("(top_count * 1000000) div total_grams"))
+          .otherwise(0L).as("top_share_ppm"))
+  }
 }

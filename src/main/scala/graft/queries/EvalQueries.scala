@@ -26,8 +26,20 @@ object EvalQueries {
     "ev5_rouge_l" -> ((s, d) => rougeLQ(s, d)),
     "ev6_chrf" -> ((s, d) => chrfQ(s, d)),
     "ev7_psi" -> ((s, d) => psiQ(s, d)),
-    "ev8_bootstrap" -> ((s, d) => bootstrapQ(s, d))
+    "ev8_bootstrap" -> ((s, d) => bootstrapQ(s, d)),
+    "ev9_gen_diversity" -> ((s, d) => genDiversityQ(s, d))
   )
+
+  /** [[graft.operators.Evals.genDiversity]] per `source` over the raw
+    * corpus at orders 1/2/3: distinct-n and top-gram-share in exact
+    * integer ppm — the synthetic-data mode-collapse gate. The word-soup
+    * corpus gives the metric real texture (distinct-1 ≈ 2% over a ~31-word
+    * vocabulary, distinct-3 ≈ 98%), so a gram-count bug moves values, not
+    * just shapes. */
+  def genDiversityQ(spark: SparkSession, dir: String): DataFrame =
+    Evals.genDiversity(Tables.documents(spark, dir)
+        .select(col("source"), col("text")), "source", "text")
+      .orderBy("grp", "n")
 
   /** [[graft.operators.Evals.poissonBootstrap]] of the corpus mean of
     * `n_chars` at B = 40 replicates: the CI brackets the true mean
@@ -422,6 +434,31 @@ object EvalQueries {
          |SELECT mg.cat AS category, mg.m AS n_labels,
          |  ((mg.m::HUGEINT * 1000000) // (sc.nn * 3))::BIGINT AS marginal_ppm,
          |  k.p_bar_ppm, k.p_e_ppm, k.kappa_ppm
-         |FROM marg mg, scal sc, kap k ORDER BY mg.cat""").stripMargin
+         |FROM marg mg, scal sc, kap k ORDER BY mg.cat""").stripMargin,
+
+    // distinct-n + top-gram-share per source: non-distinct gram streams
+    // (counts ARE the statistic), list-slice grams joined by spaces,
+    // exact integer ppm, zero-gram (grp, n) cells present with zeros
+    "ev9_gen_diversity" ->
+      ("""WITH nm AS (SELECT source, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+         |tk AS (SELECT source, list_filter(string_split(t, ' '), x -> len(x) > 0) AS tk FROM nm),
+         |ns AS (SELECT unnest([1, 2, 3]) AS n),
+         |g AS (SELECT source, ns.n, unnest(list_transform(range(greatest(len(tk) - ns.n + 1, 0)),
+         |        i -> array_to_string(tk[(i + 1):(i + ns.n)], ' '))) AS g
+         |      FROM tk, ns),
+         |pg AS (SELECT source, n, g, count(*) AS c FROM g GROUP BY 1, 2, 3),
+         |po AS (SELECT source, n, sum(c)::BIGINT AS total_grams,
+         |         count(*)::BIGINT AS distinct_grams, max(c) AS top_count
+         |       FROM pg GROUP BY 1, 2),
+         |grid AS (SELECT DISTINCT source, ns.n FROM documents, ns)
+         |SELECT grid.source AS grp, grid.n::BIGINT AS n,
+         |  coalesce(total_grams, 0) AS total_grams,
+         |  coalesce(distinct_grams, 0) AS distinct_grams,
+         |  CASE WHEN coalesce(total_grams, 0) > 0
+         |       THEN (distinct_grams * 1000000) // total_grams ELSE 0 END AS distinct_ppm,
+         |  CASE WHEN coalesce(total_grams, 0) > 0
+         |       THEN (top_count * 1000000) // total_grams ELSE 0 END AS top_share_ppm
+         |FROM grid LEFT JOIN po ON grid.source = po.source AND grid.n = po.n
+         |ORDER BY grp, n""").stripMargin
   )
 }

@@ -354,4 +354,23 @@ class EvalsSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().sortBy(_._1)
     assert(out.toSeq == Seq((0L, 500000L, 500000L), (1L, 750000L, 750000L)))
   }
+
+  test("genDiversity: hand-computed distinct-n and top-share; gram-less " +
+    "orders report zeros, never drop") {
+    val df = Seq(
+      ("A", "a a b"), ("A", "a b"), // 1g: 5 total / 2 distinct / top a=3
+      ("B", "x")                    // 1g only; no 2- or 3-grams
+    ).toDF("grp_in", "text")
+    val out = Evals.genDiversity(df, "grp_in", "text")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6)).toMap
+    assert(out.size == 6, "grid = 2 groups x 3 orders")
+    assert(out(("A", 1L)) == ((5L, 2L, 400000L, 600000L)))
+    // 2-grams of A: "a a","a b" + "a b" -> 3 total, 2 distinct, top 2
+    assert(out(("A", 2L)) == ((3L, 2L, 666666L, 666666L)))
+    assert(out(("A", 3L)) == ((1L, 1L, 1000000L, 1000000L)))
+    assert(out(("B", 1L)) == ((1L, 1L, 1000000L, 1000000L)))
+    assert(out(("B", 2L)) == ((0L, 0L, 0L, 0L)), "honest zeros")
+    assert(out(("B", 3L)) == ((0L, 0L, 0L, 0L)))
+  }
 }
