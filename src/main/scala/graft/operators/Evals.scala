@@ -542,6 +542,61 @@ object Evals {
       "p_bar_ppm", "p_e_ppm", "kappa_ppm")
   }
 
+  /** Answer↔context ATTRIBUTION / faithfulness report — the deterministic
+    * token-evidence layer under the LLM-judged RAGAS faithfulness score
+    * the reference evaluates with (`evaluations/hotpot_ragas_eval.py`:
+    * judge-scored faithfulness over (question, answer, contexts)); this is
+    * the label-free QC every RAG pipeline runs BEFORE paying for a judge:
+    * does the answer's text have evidence in the retrieved context at all?
+    * Per (answer tokens, context tokens) pair:
+    *  - `supported_toks` — multiplicity-clipped bag overlap (the ROUGE-1
+    *    numerator kernel): answer tokens with evidence in the context;
+    *  - `support_ppm`    — supported·10⁶ div |answer| (token support);
+    *  - `lcs` / `quote_ppm` — LCS(answer, context) and its ppm share:
+    *    ORDER-SENSITIVE span support; a bag overlap cannot tell a
+    *    quotation from a shuffle of context words (spec-demonstrated: a
+    *    REVERSED context slice keeps support_ppm = 10⁶ while quote_ppm
+    *    collapses), so the pair (support, quote) separates grounded
+    *    paraphrase from verbatim citation from word-salad reuse;
+    *  - `unsupported`    — |answer| − supported (the hallucinated-token
+    *    count a reviewer triages by);
+    *  - `verdict` at stated ppm thresholds on support_ppm:
+    *    supported / partial / hallucinated, with empty answers called out
+    *    as their own verdict instead of scoring 0.
+    * All metrics are exact integers (the LCS rides the codegen'd two-row
+    * DP kernel; every ppm is one integer division). MAP-ONLY — both sides
+    * of each pair live in the same row, zero shuffles at any corpus size. */
+  def attribution(pairs: DataFrame, idCol: String,
+                  ansCol: String, ctxCol: String,
+                  supportedPpm: Long = 800000L,
+                  partialPpm: Long = 400000L): DataFrame = {
+    require(supportedPpm >= partialPpm && partialPpm > 0,
+      s"attribution needs supportedPpm >= partialPpm > 0 " +
+        s"(got $supportedPpm / $partialPpm)")
+    pairs
+      .withColumn("ans_len", size(col(ansCol)).cast("long"))
+      .withColumn("ctx_len", size(col(ctxCol)).cast("long"))
+      .withColumn("supported_toks",
+        graft.functions.text.clipped_overlap(col(ansCol), col(ctxCol)))
+      .withColumn("lcs", graft.functions.GenEvalExpressions
+        .lcs_length(col(ansCol), col(ctxCol)))
+      .withColumn("support_ppm",
+        when(col("ans_len") > 0,
+          expr("(supported_toks * 1000000) div ans_len")).otherwise(0L))
+      .withColumn("quote_ppm",
+        when(col("ans_len") > 0,
+          expr("(lcs * 1000000) div ans_len")).otherwise(0L))
+      .withColumn("unsupported", col("ans_len") - col("supported_toks"))
+      .withColumn("verdict",
+        when(col("ans_len") === 0, "empty")
+          .when(col("support_ppm") >= supportedPpm, "supported")
+          .when(col("support_ppm") >= partialPpm, "partial")
+          .otherwise("hallucinated"))
+      .select(col(idCol), col("ans_len"), col("ctx_len"),
+        col("supported_toks"), col("lcs"), col("support_ppm"),
+        col("quote_ppm"), col("unsupported"), col("verdict"))
+  }
+
   /** Distinct-n generation-diversity report (Li et al. 2016, "A
     * Diversity-Promoting Objective Function for Neural Conversation
     * Models" §5 — distinct-1/distinct-2, THE standard mode-collapse

@@ -27,8 +27,40 @@ object EvalQueries {
     "ev6_chrf" -> ((s, d) => chrfQ(s, d)),
     "ev7_psi" -> ((s, d) => psiQ(s, d)),
     "ev8_bootstrap" -> ((s, d) => bootstrapQ(s, d)),
-    "ev9_gen_diversity" -> ((s, d) => genDiversityQ(s, d))
+    "ev9_gen_diversity" -> ((s, d) => genDiversityQ(s, d)),
+    "ev10_attribution" -> ((s, d) => attributionQ(s, d))
   )
+
+  /** [[graft.operators.Evals.attribution]] over planted (answer, context)
+    * pairs: context = the doc's first 40 tokens; the answer by doc_id % 4
+    * (pure integer construction, both engines):
+    *   0 → context tokens 7..18 verbatim (supported, quote = 10⁶);
+    *   1 → tokens 7..13 + five planted halu-tokens (support 583333 →
+    *       partial; quote tracks support);
+    *   2 → twelve planted tokens (support 0 → hallucinated);
+    *   3 → tokens 7..18 REVERSED (support 10⁶ → supported, but quote
+    *       collapses — the bag/order divergence the metric pair exists
+    *       for).
+    * Docs shorter than 40 tokens are excluded by the synthesis (the
+    * operator's own empty/short handling is spec-gated). */
+  def attributionQ(spark: SparkSession, dir: String): DataFrame = {
+    val tk = Tables.documents(spark, dir)
+      .select(col("doc_id"), text.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 40)
+    val planted = (n: Int) => transform(sequence(lit(0), lit(n - 1)),
+      j => concat(lit("halu"), col("doc_id").cast("string"),
+        lit("x"), j.cast("string")))
+    val pairs = tk
+      .withColumn("ctx", slice(col("tk"), 1, 40))
+      .withColumn("ans",
+        when(col("doc_id") % 4 === 0, slice(col("tk"), 7, 12))
+          .when(col("doc_id") % 4 === 1,
+            concat(slice(col("tk"), 7, 7), planted(5)))
+          .when(col("doc_id") % 4 === 2, planted(12))
+          .otherwise(reverse(slice(col("tk"), 7, 12))))
+    Evals.attribution(pairs, "doc_id", "ans", "ctx")
+      .orderBy("doc_id")
+  }
 
   /** [[graft.operators.Evals.genDiversity]] per `source` over the raw
     * corpus at orders 1/2/3: distinct-n and top-gram-share in exact
@@ -436,6 +468,69 @@ object EvalQueries {
          |  k.p_bar_ppm, k.p_e_ppm, k.kappa_ppm
          |FROM marg mg, scal sc, kap k ORDER BY mg.cat""").stripMargin,
 
+    // answer<->context attribution: clipped-bag support (inner-join
+    // overlap - least() SKIPS NULLs in both engines, so the no-match
+    // case must come from a LEFT JOIN back to the pair table, never
+    // from least's null handling), LCS quote share via the ev5
+    // doubly-recursive DP, exact integer ppm, verdicts at 800000/400000
+    "ev10_attribution" ->
+      ("""WITH RECURSIVE
+         |nm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
+         |tk AS (SELECT doc_id, list_filter(string_split(norm, ' '), t -> len(t) > 0) AS tk FROM nm),
+         |base AS MATERIALIZED (SELECT doc_id, list_slice(tk, 1, 40) AS ctx, tk FROM tk WHERE len(tk) >= 40),
+         |pl5 AS (SELECT doc_id, list_transform(range(5), j -> 'halu' || doc_id || 'x' || j) AS p FROM base),
+         |pl12 AS (SELECT doc_id, list_transform(range(12), j -> 'halu' || doc_id || 'x' || j) AS p FROM base),
+         |pair AS MATERIALIZED (
+         |  SELECT b.doc_id, b.ctx,
+         |    CASE WHEN b.doc_id % 4 = 0 THEN list_slice(b.tk, 7, 18)
+         |         WHEN b.doc_id % 4 = 1 THEN list_slice(b.tk, 7, 13) || p5.p
+         |         WHEN b.doc_id % 4 = 2 THEN p12.p
+         |         ELSE list_reverse(list_slice(b.tk, 7, 18)) END AS ans
+         |  FROM base b JOIN pl5 p5 USING (doc_id) JOIN pl12 p12 USING (doc_id)),
+         |pr AS MATERIALIZED (SELECT doc_id, ans, ctx, len(ans) AS cn, len(ctx) AS rm FROM pair),
+         |ac AS (SELECT doc_id, unnest(ans) AS tok FROM pr),
+         |acc AS (SELECT doc_id, tok, count(*) AS c FROM ac GROUP BY 1, 2),
+         |cc AS (SELECT doc_id, tok, count(*) AS c FROM (SELECT doc_id, unnest(ctx) AS tok FROM pr) GROUP BY 1, 2),
+         |ovi AS (SELECT acc.doc_id, sum(least(acc.c, cc.c)) AS m
+         |        FROM acc JOIN cc ON cc.doc_id = acc.doc_id AND cc.tok = acc.tok
+         |        GROUP BY acc.doc_id),
+         |ov AS (SELECT p.doc_id, coalesce(ovi.m, 0)::BIGINT AS m
+         |       FROM pr p LEFT JOIN ovi USING (doc_id)),
+         |dp AS (
+         |  SELECT doc_id, 1 AS i, 0 AS j,
+         |         list_transform(range(0, rm + 1), x -> 0::BIGINT) AS prev,
+         |         [0::BIGINT] AS cur
+         |  FROM pr WHERE cn > 0 AND rm > 0
+         |  UNION ALL
+         |  SELECT s.doc_id,
+         |    CASE WHEN s.j + 1 = p.rm AND s.i < p.cn THEN s.i + 1 ELSE s.i END,
+         |    CASE WHEN s.j + 1 = p.rm AND s.i < p.cn THEN 0 ELSE s.j + 1 END,
+         |    CASE WHEN s.j + 1 = p.rm AND s.i < p.cn
+         |         THEN list_append(s.cur, CASE WHEN p.ans[s.i] = p.ctx[s.j + 1]
+         |              THEN s.prev[s.j + 1] + 1 ELSE greatest(s.prev[s.j + 2], s.cur[s.j + 1]) END)
+         |         ELSE s.prev END,
+         |    CASE WHEN s.j + 1 = p.rm AND s.i < p.cn
+         |         THEN [0::BIGINT]
+         |         ELSE list_append(s.cur, CASE WHEN p.ans[s.i] = p.ctx[s.j + 1]
+         |              THEN s.prev[s.j + 1] + 1 ELSE greatest(s.prev[s.j + 2], s.cur[s.j + 1]) END) END
+         |  FROM dp s JOIN pr p USING (doc_id)
+         |  WHERE NOT (s.i = p.cn AND s.j = p.rm)),
+         |lcs AS (SELECT s.doc_id, s.cur[p.rm + 1] AS lcs
+         |        FROM dp s JOIN pr p USING (doc_id) WHERE s.i = p.cn AND s.j = p.rm),
+         |met AS (
+         |  SELECT p.doc_id, p.cn::BIGINT AS ans_len, p.rm::BIGINT AS ctx_len,
+         |    o.m AS supported_toks, l.lcs::BIGINT AS lcs,
+         |    CASE WHEN p.cn > 0 THEN (o.m * 1000000) // p.cn ELSE 0 END AS support_ppm,
+         |    CASE WHEN p.cn > 0 THEN (l.lcs * 1000000) // p.cn ELSE 0 END AS quote_ppm,
+         |    p.cn - o.m AS unsupported
+         |  FROM pr p JOIN ov o USING (doc_id) JOIN lcs l USING (doc_id))
+         |SELECT doc_id, ans_len, ctx_len, supported_toks, lcs, support_ppm, quote_ppm,
+         |  unsupported::BIGINT AS unsupported,
+         |  CASE WHEN ans_len = 0 THEN 'empty'
+         |       WHEN support_ppm >= 800000 THEN 'supported'
+         |       WHEN support_ppm >= 400000 THEN 'partial'
+         |       ELSE 'hallucinated' END AS verdict
+         |FROM met ORDER BY doc_id""").stripMargin,
     // distinct-n + top-gram-share per source: non-distinct gram streams
     // (counts ARE the statistic), list-slice grams joined by spaces,
     // exact integer ppm, zero-gram (grp, n) cells present with zeros

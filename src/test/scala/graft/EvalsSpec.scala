@@ -355,6 +355,38 @@ class EvalsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((0L, 500000L, 500000L), (1L, 750000L, 750000L)))
   }
 
+  test("attribution: hand-computed support/quote; reversal keeps bag " +
+    "support but collapses quote; empty answer gets its own verdict") {
+    import org.apache.spark.sql.functions.{col, split}
+    val ctx = "the cat sat on the mat today"
+    val pairs = Seq(
+      (1L, "cat sat on", ctx),              // verbatim slice: 3/3, lcs 3
+      (2L, "on sat cat", ctx),              // reversed: bag 3/3, lcs 1
+      (3L, "cat zz qq ww", ctx),            // 1/4 supported
+      (4L, "zz qq", ctx),                   // 0 supported
+      (5L, "", ctx),                        // empty answer
+      (6L, "the the the", ctx)              // clipping: ctx has 'the' x2
+    ).toDF("id", "a", "c")
+      .select(col("id"),
+        split(col("a"), " ").as("ans"), split(col("c"), " ").as("ctx"))
+      .withColumn("ans",
+        org.apache.spark.sql.functions.filter(col("ans"),
+          t => org.apache.spark.sql.functions.length(t) > 0))
+    val out = Evals.attribution(pairs, "id", "ans", "ctx")
+      .select("id", "supported_toks", "lcs", "support_ppm", "quote_ppm",
+        "unsupported", "verdict")
+      .as[(Long, Long, Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(out(1L) == ((3L, 3L, 1000000L, 1000000L, 0L, "supported")))
+    assert(out(2L) == ((3L, 1L, 1000000L, 333333L, 0L, "supported")),
+      "bag support survives a shuffle; quote_ppm exposes it")
+    assert(out(3L) == ((1L, 1L, 250000L, 250000L, 3L, "hallucinated")))
+    assert(out(4L) == ((0L, 0L, 0L, 0L, 2L, "hallucinated")))
+    assert(out(5L)._6 == "empty")
+    // clipping: answer 'the' x3 vs context 'the' x2 -> supported 2 of 3
+    assert(out(6L) == ((2L, 2L, 666666L, 666666L, 1L, "partial")))
+  }
+
   test("genDiversity: hand-computed distinct-n and top-share; gram-less " +
     "orders report zeros, never drop") {
     val df = Seq(
