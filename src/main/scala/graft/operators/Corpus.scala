@@ -1479,6 +1479,84 @@ object Corpus {
         coalesce(max(when(col("n_matched") > 0, col("rung"))).over(w), lit(0L)))
   }
 
+  /** Secret Sharer CANARY-EXPOSURE report (Carlini et al. 2019,
+    * "The Secret Sharer: Evaluating and Testing Unintended Memorization in
+    * Neural Networks" §4 — THE standard unintended-memorization audit:
+    * plant canary sequences into the training corpus at varying insertion
+    * counts, then rank each canary's model score among a candidate set of
+    * same-format never-inserted decoys; exposure = log₂|R| − log₂ rank).
+    * [[memorizationReport]] answers "is this eval text copied from
+    * train?"; this answers the complementary audit question "did the
+    * model memorize a PLANTED secret, and how does memorization grow with
+    * repetition?" — the probe run before shipping any model trained on
+    * data that may contain credentials/PII.
+    *
+    * The "model" is the corpus-trained add-one bigram LM
+    * ([[lmCrossEntropy]]'s tables — swap-in point for a real LM's
+    * scores), trained on `train` ONLY: candidates are scored against the
+    * model, never added to it (scoring text must not train on itself —
+    * the methodology line the Secret Sharer paper draws). Emits per
+    * candidate: bigram count, cross-entropy (4-dp display; ranking uses
+    * the raw value), and `rank` by (xent asc, id asc) — rank IS the
+    * exposure statistic (exposure = log₂(|R|/rank) is a monotone
+    * driver-side transform; emitting the exact integer rank keeps the
+    * row float-free where it matters). Unseen bigrams score ln(1/(c1+V))
+    * with c1 = 0 — the add-one floor — so decoys rank behind any
+    * actually-memorized canary, and ties among identical decoys resolve
+    * on candidate id.
+    *
+    * 100 TB shape: the LM tables are the t30 shape (map-side-combined,
+    * vocabulary-bounded outputs); the candidate set is REQUEST-sized
+    * (an audit ships dozens of canaries, not data), so scoring is a tiny
+    * stream joined against vocab-bounded tables + one scalar broadcast;
+    * the only corpus-sized work is the linear count pass. */
+  def canaryExposure(train: DataFrame, candidates: DataFrame,
+                     textCol: String, candIdCol: String,
+                     candTextCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = graft.Tables.scaled(
+      train.select(graft.functions.text.tokens(col(textCol)).as("tk")))
+    val uni = toks.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val bc = toks.filter(size(col("tk")) >= 2)
+      .select(explode(transform(
+        sequence(lit(0), size(col("tk")) - 2),
+        i => struct(element_at(col("tk"), i + 1).as("w1"),
+          element_at(col("tk"), i + 2).as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val cb = candidates
+      .select(col(candIdCol).cast("long").as("cand_id"),
+        graft.functions.text.tokens(col(candTextCol)).as("tk"))
+    val cbg = cb.filter(size(col("tk")) >= 2)
+      .select(col("cand_id"), explode(transform(
+        sequence(lit(0), size(col("tk")) - 2),
+        i => struct(i.cast("long").as("pos"),
+          element_at(col("tk"), i + 1).as("w1"),
+          element_at(col("tk"), i + 2).as("w2")))).as("b"))
+      .select(col("cand_id"), col("b.pos").as("pos"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val scored = cbg
+      .join(bc, Seq("w1", "w2"), "left")
+      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lnp", log(
+        (coalesce(col("c12"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("c1"), lit(0L)) + col("v"))))
+    val agg = scored.groupBy("cand_id").agg(
+      count(lit(1)).as("n_bigrams"),
+      aggregate(
+        sort_array(collect_list(struct(col("pos").as("k"), col("lnp").as("p")))),
+        lit(0.0), (acc, x) => acc + x.getField("p")).as("s"))
+      .withColumn("xent_raw", -col("s") / col("n_bigrams"))
+    cb.select(col("cand_id")).join(agg, Seq("cand_id"), "left")
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("xent_raw").asc_nulls_last, col("cand_id"))))
+      .select(col("cand_id"), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("xent_raw"), 4).as("xent"), col("rank").cast("long").as("rank"))
+  }
+
   /** DPO preference-pair assembly with quality gates — the
     * (prompt, chosen, rejected) construction every preference-tuning run
     * (DPO, Rafailov et al. 2023; RLHF reward-model data prep) performs

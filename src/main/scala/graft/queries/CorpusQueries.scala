@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.text
@@ -53,8 +53,39 @@ object CorpusQueries {
     "t58_sft_render" -> ((s, d) => sftRenderQ(s, d)),
     "t59_dpo_pairs" -> ((s, d) => dpoPairsQ(s, d)),
     "t61_contamination_report" -> ((s, d) => contaminationReportQ(s, d)),
-    "t64_memorization" -> ((s, d) => memorizationQ(s, d))
+    "t64_memorization" -> ((s, d) => memorizationQ(s, d)),
+    "t66_canary_exposure" -> ((s, d) => canaryExposureQ(s, d))
   )
+
+  /** [[graft.operators.Corpus.canaryExposure]] with PLANTED canaries
+    * (pure integer rule, both engines): canary k = the 4-token sequence
+    * `cnr{k}a cnr{k}b cnr{k}c cnr{k}d`; for k < 7 it is appended to the
+    * k+1 docs with doc_id % 64 == k and doc_id div 64 < k+1 (insertion
+    * ladder 1..7); candidates are ALL 64 canaries, so k ≥ 7 are
+    * never-inserted decoys. Expected physics, spec-gated: xent strictly
+    * decreases with insertion count (the memorization gradient exposure
+    * measures), every planted canary outranks every decoy, and identical
+    * decoys tie-break on candidate id. */
+  def canaryExposureQ(spark: SparkSession, dir: String): DataFrame = {
+    def ctext(k: Column): Column = {
+      val ks = k.cast("string")
+      concat_ws(" ",
+        concat(lit("cnr"), ks, lit("a")), concat(lit("cnr"), ks, lit("b")),
+        concat(lit("cnr"), ks, lit("c")), concat(lit("cnr"), ks, lit("d")))
+    }
+    val k = col("doc_id") % 64
+    val train = Tables.documents(spark, dir).withColumn("text",
+      when(k < 7 && expr("doc_id div 64") < k + 1,
+        concat(col("text"), lit(" "), ctext(k))).otherwise(col("text")))
+    val cands = spark.range(64)
+      .select(col("id").as("cand_id"), ctext(col("id")).as("ctext"))
+    Corpus.canaryExposure(train, cands, "text", "cand_id", "ctext")
+      .withColumn("n_inserted",
+        when(col("cand_id") < 7, col("cand_id") + 1).otherwise(0L))
+      .select(col("cand_id"), col("n_inserted"), col("n_bigrams"),
+        col("xent"), col("rank"))
+      .orderBy("cand_id")
+  }
 
   /** [[graft.operators.Corpus.memorizationReport]] over the t61 split with
     * PLANTED contamination (t18 convention — both engines construct the
@@ -927,6 +958,42 @@ object CorpusQueries {
     // probabilities, ln within-ulp across engines, per-doc sum folded in
     // POSITION order (list ORDER BY pos = the Spark sorted-struct fold),
     // 4-dp rounding absorbs the ulp
+    // Secret Sharer replay: planted-canary train counts (t30 add-one
+    // tables over the appended corpus), candidate bigrams scored with
+    // coalesce(c,0) left joins (unseen = add-one floor), position-
+    // ordered ln fold, rank on the raw xent (planted xents differ at
+    // O(1/V) -- far beyond ln ulp; identical decoys tie on cand_id)
+    "t66_canary_exposure" ->
+      """WITH tr AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 64 < 7 AND (doc_id // 64) < (doc_id % 64) + 1
+         |         THEN text || ' cnr' || (doc_id % 64) || 'a cnr' || (doc_id % 64) ||
+         |              'b cnr' || (doc_id % 64) || 'c cnr' || (doc_id % 64) || 'd'
+         |         ELSE text END AS text
+         |  FROM documents),
+         |nm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM tr),
+         |tk AS (SELECT doc_id, list_filter(string_split(norm, ' '), t -> len(t) > 0) AS tk FROM nm),
+         |u AS (SELECT unnest(tk) AS w FROM tk),
+         |uc AS (SELECT w, count(*) AS c1 FROM u GROUP BY w),
+         |vs AS (SELECT count(*) AS v FROM uc),
+         |bg AS (SELECT doc_id, unnest(range(greatest(len(tk) - 1, 0))) AS pos, tk FROM tk),
+         |b2 AS (SELECT doc_id, pos, tk[pos + 1] AS w1, tk[pos + 2] AS w2 FROM bg),
+         |bc AS (SELECT w1, w2, count(*) AS c12 FROM b2 GROUP BY w1, w2),
+         |cands AS (SELECT k AS cand_id,
+         |    ['cnr' || k || 'a', 'cnr' || k || 'b', 'cnr' || k || 'c', 'cnr' || k || 'd'] AS ctk
+         |  FROM range(64) t(k)),
+         |cb AS (SELECT cand_id, unnest(range(3)) AS pos, ctk FROM cands),
+         |c2 AS (SELECT cand_id, pos, ctk[pos + 1] AS w1, ctk[pos + 2] AS w2 FROM cb),
+         |sc AS (SELECT c2.cand_id, c2.pos,
+         |    ln((coalesce(bc.c12, 0) + 1.0) / (coalesce(uc.c1, 0) + vs.v)) AS lnp
+         |  FROM c2 LEFT JOIN bc USING (w1, w2) LEFT JOIN uc ON uc.w = c2.w1, vs),
+         |agg AS (SELECT cand_id, count(*) AS n_bigrams,
+         |    list_sum(list(lnp ORDER BY pos)) AS s FROM sc GROUP BY cand_id),
+         |rk AS (SELECT cand_id, n_bigrams, -s / n_bigrams AS xr FROM agg)
+         |SELECT cand_id::BIGINT AS cand_id,
+         |  (CASE WHEN cand_id < 7 THEN cand_id + 1 ELSE 0 END)::BIGINT AS n_inserted,
+         |  n_bigrams::BIGINT AS n_bigrams, round(xr, 4) AS xent,
+         |  (row_number() OVER (ORDER BY xr, cand_id))::BIGINT AS rank
+         |FROM rk ORDER BY cand_id""".stripMargin,
     "t30_lm_xent" ->
       s"""$toks,
          |u AS (SELECT unnest(tk) AS w FROM tk),

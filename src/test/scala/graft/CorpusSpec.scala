@@ -705,6 +705,39 @@ class CorpusSpec extends AnyFunSuite {
       "shingle-less eval docs report zeros, never drop")
   }
 
+  test("canaryExposure: xent falls with insertions, planted outrank decoys, " +
+    "decoys tie on id, and candidates are never trained on") {
+    val train = Seq(
+      (1L, "base words here ca cb"),         // canary A inserted twice,
+      (2L, "more base words ca cb"),         // canary B once
+      (3L, "other filler text cc cd")
+    ).toDF("doc_id", "text")
+    val cands = Seq(
+      (0L, "ca cb"),   // 2 insertions
+      (1L, "cc cd"),   // 1 insertion
+      (2L, "dx dy"),   // decoy
+      (3L, "dz dw")    // decoy (identical physics -> tie on id)
+    ).toDF("cand_id", "ctext")
+    val out = Corpus.canaryExposure(train, cands, "text", "cand_id", "ctext")
+      .select("cand_id", "n_bigrams", "xent", "rank")
+      .as[(Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // hand arithmetic: V = 11 distinct train tokens (base words here ca
+    // cb more other filler text cc cd); add-one bigram LM
+    // p(cb|ca) = (2+1)/(2+11); p(cd|cc) = (1+1)/(1+11); decoy = 1/(0+11)
+    assert(math.abs(out(0L)._2 - (-math.log(3.0 / 13))) < 5e-5)
+    assert(math.abs(out(1L)._2 - (-math.log(2.0 / 12))) < 5e-5)
+    assert(out(0L)._3 == 1L && out(1L)._3 == 2L,
+      "more insertions -> lower xent -> better rank")
+    assert(out(2L)._3 == 3L && out(3L)._3 == 4L,
+      "identical decoys tie-break on candidate id")
+    assert(out(2L)._2 == out(3L)._2, "decoy xents identical")
+    // methodology: scoring must not train on candidates - the decoy
+    // bigram is UNSEEN (add-one floor 1/(0+V)), which only holds if the
+    // candidate rows never entered the count tables
+    assert(math.abs(out(2L)._2 - (-math.log(1.0 / 11))) < 5e-5)
+  }
+
   test("memorizationReport: planted copy lengths bound max_matched_rung exactly") {
     // train = one 16-token doc; eval plants a full copy (matches through
     // rung 16, honestly has zero 32-grams), a 5-token run (rung 4 only),
