@@ -78,7 +78,9 @@ object Bench {
     "tr5_pl_strengths", "ev4_fleiss_kappa", "t63_dedup_recall",
     "s10_office_colpali", "ev5_rouge_l", "ev6_chrf", "t64_memorization",
     "ev7_psi", "e20_cuped", "v26_rbo", "ev8_bootstrap",
-    "s11_colpali_e2e_quality", "t65_soft_dedup")
+    "s11_colpali_e2e_quality", "t65_soft_dedup",
+    "ev9_gen_diversity", "ev10_attribution", "t66_canary_exposure",
+    "ev11_rank_corr", "ev12_auc")
   // v23_ann_recall is deliberately NOT a headliner: it is a QUALITY gate
   // (eight recall measurements, each paying an index-build arm the bench
   // already times individually via v12/v13/v15/v17/v22) — benching it

@@ -597,6 +597,114 @@ object Evals {
         col("quote_ppm"), col("unsupported"), col("verdict"))
   }
 
+  /** Rank-correlation report between two rankings of the SAME item set —
+    * Kendall/Spearman agreement per query, the classic complement of
+    * [[rbo]]: RBO compares possibly-disjoint top-k lists top-weighted;
+    * rank correlation asks "given the items the exact ranker chose, does
+    * the cheap ranker ORDER them the same way?" (Kendall 1938; Spearman
+    * 1904). The standard A/B readout for a quantizer/index swap.
+    *
+    * Input: one row per (id, item) with BOTH 1-based ranks — each a
+    * permutation of 1..n within the id (row_number ranks, no ties; a tie
+    * upstream must be broken by the caller's deterministic tiebreak).
+    * Output per id, all exact integers:
+    *  - `concordant` / `discordant` — pair counts (C + D = n(n−1)/2);
+    *  - `sum_d2` = Σ(ra−rb)², `footrule` = Σ|ra−rb| (Spearman's two
+    *    displacement statistics);
+    *  - `tau01_ppm` = C·10⁶ div (C+D) — the concordant-pair share,
+    *    = (τ+1)/2 · 10⁶ exactly (kept in [0, 10⁶] so no engine-specific
+    *    negative-division semantics can bite);
+    *  - `rho01_ppm` = 10⁶ − 3·Σd²·10⁶ div (n(n²−1)) = (ρ+1)/2 · 10⁶.
+    * Classic values recover as τ = 2·tau01 − 1, ρ = 2·rho01 − 1.
+    * Ids with n < 2 raise (both metrics undefined); the guard gates BOTH
+    * ppm columns so column pruning cannot skip it (the rbo lesson).
+    *
+    * 100 TB shape: the pair join is a self-equi-join on the id — |ids|·k²
+    * rows for top-k lists (k = 10 → 45 pairs/query), never corpus-sized;
+    * the displacement statistics are one map-side-combined per-id
+    * aggregation. The expensive part is producing the rankings under
+    * test, not comparing them. */
+  def rankCorr(ranks: DataFrame, idCol: String, itemCol: String,
+               rankACol: String, rankBCol: String): DataFrame = {
+    val r = ranks.select(col(idCol).as("__id"),
+      col(itemCol).as("__it"),
+      col(rankACol).cast("long").as("__ra"),
+      col(rankBCol).cast("long").as("__rb"))
+    val x = r.select(col("__id"), col("__it").as("__ix"),
+      col("__ra").as("__rax"), col("__rb").as("__rbx"))
+    val y = r.select(col("__id"), col("__it").as("__iy"),
+      col("__ra").as("__ray"), col("__rb").as("__rby"))
+    val pairs = x.join(y, Seq("__id")).filter(col("__ix") < col("__iy"))
+      .groupBy("__id").agg(
+        sum(when((col("__rax") - col("__ray")) *
+          (col("__rbx") - col("__rby")) > 0, 1L).otherwise(0L))
+          .as("concordant"),
+        sum(when((col("__rax") - col("__ray")) *
+          (col("__rbx") - col("__rby")) < 0, 1L).otherwise(0L))
+          .as("discordant"))
+    val disp = r.groupBy("__id").agg(
+      count(lit(1)).as("n"),
+      sum((col("__ra") - col("__rb")) * (col("__ra") - col("__rb")))
+        .as("sum_d2"),
+      sum(abs(col("__ra") - col("__rb"))).as("footrule"))
+    def guarded(out: Column): Column =
+      when(col("n") < 2, expr(
+        "raise_error('rankCorr needs >= 2 ranked items per id')"
+      ).cast("long")).otherwise(out)
+    // LEFT join: an id with a single item produces no pair rows at all;
+    // it must reach the n<2 guard and raise, not silently vanish.
+    disp.join(pairs, Seq("__id"), "left")
+      .withColumn("concordant", coalesce(col("concordant"), lit(0L)))
+      .withColumn("discordant", coalesce(col("discordant"), lit(0L)))
+      .select(col("__id").as(idCol), col("n"),
+        col("concordant"), col("discordant"),
+        col("sum_d2"), col("footrule"),
+        guarded(expr("(concordant * 1000000) div (concordant + discordant)"))
+          .as("tau01_ppm"),
+        guarded(lit(1000000L) -
+          expr("(3 * sum_d2 * 1000000) div (n * (n * n - 1))"))
+          .as("rho01_ppm"))
+  }
+
+  /** Exact ROC-AUC per group via the Mann–Whitney U rank-sum identity
+    * (Hanley & McNeil 1983: AUC = U/(n₊·n₋)) with the midrank tie
+    * convention — the binary-classifier QC readout for quality/toxicity/
+    * langid scorer swaps, computed in-engine over integer scores.
+    *
+    * Tie handling stays integral by doubling: 2U = Σ_s n₊(s)·(2·N₋(<s) +
+    * n₋(s)) — each tied (pos, neg) pair contributes exactly 1 to 2U, each
+    * won pair 2, so `u2` is an exact integer and `auc_ppm` = u2·10⁶ div
+    * (2·n₊·n₋). Groups with a single class emit NULL auc (undefined, the
+    * honest value — a monitor alarming on it can test for NULL; raising
+    * would make a legitimately all-negative slice a crash).
+    *
+    * 100 TB shape: one map-side-combined groupBy on (group, score) —
+    * bounded by |groups|·|score values|, never row count — then a window
+    * cumulative over the per-group score axis (each partition is one
+    * group's distinct scores) and one per-group reduce. No per-row window
+    * over the corpus, no sort of the raw rows. */
+  def aucReport(scored: DataFrame, groupCol: String, labelCol: String,
+                scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = scored.select(col(groupCol).as("grp"),
+        col(labelCol).cast("long").as("__pos"),
+        col(scoreCol).cast("long").as("__s"))
+      .groupBy("grp", "__s")
+      .agg(sum(col("__pos")).as("np"),
+        sum(lit(1L) - col("__pos")).as("nn"))
+    val w = Window.partitionBy("grp").orderBy(col("__s").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("cumnn", coalesce(sum(col("nn")).over(w), lit(0L)))
+      .groupBy("grp").agg(
+        sum(col("np")).as("n_pos"),
+        sum(col("nn")).as("n_neg"),
+        sum(col("np") * (lit(2L) * col("cumnn") + col("nn"))).as("u2"))
+      .select(col("grp"), col("n_pos"), col("n_neg"), col("u2"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          expr("(u2 * 1000000) div (2 * n_pos * n_neg)"))
+          .otherwise(lit(null).cast("long")).as("auc_ppm"))
+  }
+
   /** Distinct-n generation-diversity report (Li et al. 2016, "A
     * Diversity-Promoting Objective Function for Neural Conversation
     * Models" §5 — distinct-1/distinct-2, THE standard mode-collapse

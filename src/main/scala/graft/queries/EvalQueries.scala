@@ -28,8 +28,58 @@ object EvalQueries {
     "ev7_psi" -> ((s, d) => psiQ(s, d)),
     "ev8_bootstrap" -> ((s, d) => bootstrapQ(s, d)),
     "ev9_gen_diversity" -> ((s, d) => genDiversityQ(s, d)),
-    "ev10_attribution" -> ((s, d) => attributionQ(s, d))
+    "ev10_attribution" -> ((s, d) => attributionQ(s, d)),
+    "ev11_rank_corr" -> ((s, d) => rankCorrQ(s, d)),
+    "ev12_auc" -> ((s, d) => aucQ(s, d))
   )
+
+  /** [[graft.operators.Evals.rankCorr]] between the exact-cosine order
+    * and the binary-Hamming order OF THE SAME ITEMS — the v26 fixture
+    * (queries = vec_id < 20, corpus = the rest) restricted to the exact
+    * top-10, which the Hamming side then re-ranks: both sides are
+    * permutations of 1..10, so Kendall/Spearman are exactly defined.
+    * tau01 lands 0.36–0.78 at sf0.01 — real ordering disagreement from
+    * the sign-bit quantizer, not a vacuous 1.0. */
+  def rankCorrQ(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vec = graft.functions.vec
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        vec.binary_quantize(col("embedding")).as("qcode"))
+    val scored = e.filter(col("vec_id") >= 20)
+      .withColumn("code", vec.binary_quantize(col("embedding")))
+      .crossJoin(broadcast(queries))
+      .withColumn("cos", vec.cosine_sim(col("embedding"), col("qv")))
+      .withColumn("ham", vec.hamming(col("code"), col("qcode")))
+    val top = scored.withColumn("ra", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("ra") <= 10)
+    val ranks = top.withColumn("rb", row_number().over(
+      Window.partitionBy("query_id")
+        .orderBy(col("ham").asc, col("vec_id").asc)))
+    Evals.rankCorr(ranks, "query_id", "vec_id", "ra", "rb")
+      .orderBy("query_id")
+  }
+
+  /** [[graft.operators.Evals.aucReport]] per `lang` over md5-planted
+    * scores: 30% positives score uniform 50..99 after bucketing, negatives
+    * uniform 0..99 — analytic AUC ≈ 0.7475 with heavy tie mass (100 score
+    * buckets), so the midrank arithmetic is value-exercised, never just
+    * the separable case. */
+  def aucQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pos = (conv(substring(md5(concat(lit("lb:"), col("doc_id"))), 1, 6),
+      16, 10).cast("long") % 100 < 30).cast("long")
+    val u = conv(substring(md5(concat(lit("sc:"), col("doc_id"))), 1, 6),
+      16, 10).cast("long") % 1000000L
+    val scored = docs.select(col("lang"), pos.as("pos"), u.as("u"))
+      .withColumn("s",
+        when(col("pos") === 1, expr("(500000 + u % 500000) div 10000"))
+          .otherwise(expr("u div 10000")))
+    Evals.aucReport(scored, "lang", "pos", "s").orderBy("grp")
+  }
 
   /** [[graft.operators.Evals.attribution]] over planted (answer, context)
     * pairs: context = the doc's first 40 tokens; the answer by doc_id % 4
@@ -554,6 +604,66 @@ object EvalQueries {
          |  CASE WHEN coalesce(total_grams, 0) > 0
          |       THEN (top_count * 1000000) // total_grams ELSE 0 END AS top_share_ppm
          |FROM grid LEFT JOIN po ON grid.source = po.source AND grid.n = po.n
-         |ORDER BY grp, n""").stripMargin
+         |ORDER BY grp, n""").stripMargin,
+
+    // exact top-10 by cosine, re-ranked by Hamming (same item set both
+    // sides -> true permutations); pair self-join for C/D, per-query
+    // displacement agg; all-integer ppm with the (metric+1)/2 mapping
+    "ev11_rank_corr" ->
+      ("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, embedding AS qe
+         |           FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT vec_id, embedding::DOUBLE[] AS v, embedding AS e
+         |      FROM embeddings WHERE vec_id >= 20),
+         |s AS (SELECT query_id, c.vec_id,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY list_cosine_similarity(v, qv) DESC, c.vec_id) AS ra,
+         |        len(list_filter(range(len(e)), i ->
+         |          (e[i+1] > 0) <> (qe[i+1] > 0))) AS ham
+         |      FROM q, c),
+         |top AS (SELECT query_id, vec_id, ra, ham FROM s WHERE ra <= 10),
+         |rr AS (SELECT query_id, vec_id, ra,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY ham ASC, vec_id) AS rb
+         |       FROM top),
+         |pairs AS (
+         |  SELECT x.query_id,
+         |    sum(CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) > 0 THEN 1 ELSE 0 END)::BIGINT AS concordant,
+         |    sum(CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) < 0 THEN 1 ELSE 0 END)::BIGINT AS discordant
+         |  FROM rr x JOIN rr y ON x.query_id = y.query_id AND x.vec_id < y.vec_id
+         |  GROUP BY x.query_id),
+         |sp AS (SELECT query_id, count(*)::BIGINT AS n,
+         |         sum((ra - rb) * (ra - rb))::BIGINT AS sum_d2,
+         |         sum(abs(ra - rb))::BIGINT AS footrule
+         |       FROM rr GROUP BY query_id)
+         |SELECT sp.query_id, sp.n, p.concordant, p.discordant, sp.sum_d2, sp.footrule,
+         |  (p.concordant * 1000000) // (p.concordant + p.discordant) AS tau01_ppm,
+         |  1000000 - (3 * sp.sum_d2 * 1000000) // (sp.n * (sp.n * sp.n - 1)) AS rho01_ppm
+         |FROM sp JOIN pairs p USING (query_id) ORDER BY sp.query_id""").stripMargin,
+
+    // Mann-Whitney 2U over (lang, score-bucket) counts: cumulative
+    // strictly-below negatives per bucket, each tied pair contributes 1
+    // to 2U; single-class groups would emit NULL (none exist at any sf)
+    "ev12_auc" ->
+      ("""WITH sc AS (
+         |  SELECT lang,
+         |    CASE WHEN ('0x' || substr(md5('lb:' || doc_id), 1, 6))::BIGINT % 100 < 30
+         |         THEN 1 ELSE 0 END AS pos,
+         |    ('0x' || substr(md5('sc:' || doc_id), 1, 6))::BIGINT % 1000000 AS u
+         |  FROM documents),
+         |b AS (SELECT lang, pos,
+         |        CASE WHEN pos = 1 THEN (500000 + u % 500000) // 10000
+         |             ELSE u // 10000 END AS s
+         |      FROM sc),
+         |g AS (SELECT lang, s, sum(pos)::BIGINT AS np, sum(1 - pos)::BIGINT AS nn
+         |      FROM b GROUP BY 1, 2),
+         |c AS (SELECT lang, s, np, nn,
+         |        coalesce(sum(nn) OVER (PARTITION BY lang ORDER BY s
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cumnn
+         |      FROM g)
+         |SELECT lang AS grp, sum(np)::BIGINT AS n_pos, sum(nn)::BIGINT AS n_neg,
+         |  sum(np * (2 * cumnn + nn))::BIGINT AS u2,
+         |  (sum(np * (2 * cumnn + nn))::BIGINT * 1000000)
+         |    // (2 * sum(np)::BIGINT * sum(nn)::BIGINT) AS auc_ppm
+         |FROM c GROUP BY lang ORDER BY grp""").stripMargin
   )
 }

@@ -405,4 +405,50 @@ class EvalsSpec extends AnyFunSuite {
     assert(out(("B", 2L)) == ((0L, 0L, 0L, 0L)), "honest zeros")
     assert(out(("B", 3L)) == ((0L, 0L, 0L, 0L)))
   }
+
+  test("rankCorr: hand-computed Kendall/Spearman on a 4-permutation; " +
+    "identity and reversal hit the [0, 1e6] endpoints") {
+    // id 1: rb = (2,1,4,3) vs ra = (1,2,3,4): C=4 D=2 -> tau = 1/3,
+    // sum_d2 = 4 -> rho = 0.6; id 2 identity; id 3 full reversal.
+    val ranks = Seq(
+      (1L, 10L, 1L, 2L), (1L, 11L, 2L, 1L), (1L, 12L, 3L, 4L), (1L, 13L, 4L, 3L),
+      (2L, 10L, 1L, 1L), (2L, 11L, 2L, 2L),
+      (3L, 10L, 1L, 4L), (3L, 11L, 2L, 3L), (3L, 12L, 3L, 2L), (3L, 13L, 4L, 1L)
+    ).toDF("id", "item", "ra", "rb")
+    val out = Evals.rankCorr(ranks, "id", "item", "ra", "rb")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7, r._8))).toMap
+    assert(out(1L) == ((4L, 4L, 2L, 4L, 4L, 666666L, 800000L)))
+    assert(out(2L) == ((2L, 1L, 0L, 0L, 0L, 1000000L, 1000000L)))
+    assert(out(3L) == ((4L, 0L, 6L, 20L, 8L, 0L, 0L)),
+      "reversal: tau01 and rho01 both hit 0 exactly")
+  }
+
+  test("rankCorr: a single-item id raises (metrics undefined), even when " +
+    "only one ppm column survives projection") {
+    val ranks = Seq((1L, 10L, 1L, 1L)).toDF("id", "item", "ra", "rb")
+    val thrown = intercept[Exception] {
+      Evals.rankCorr(ranks, "id", "item", "ra", "rb")
+        .select("tau01_ppm").collect()
+    }
+    assert(thrown.getMessage.contains("rankCorr needs"))
+  }
+
+  test("aucReport: Mann-Whitney midranks by hand -- a tie contributes " +
+    "exactly half a win; single-class group reads NULL, never a number") {
+    // g: pos scores (3, 2), neg (1, 2): U = 3.5 -> 2U = 7, AUC = 0.875.
+    val scored = Seq(
+      ("g", 1L, 3L), ("g", 1L, 2L), ("g", 0L, 1L), ("g", 0L, 2L),
+      ("h", 1L, 5L), ("h", 0L, 1L), // separable: AUC = 1
+      ("i", 0L, 4L), ("i", 0L, 2L)  // no positives: undefined
+    ).toDF("grp_in", "lab", "score")
+    val out = Evals.aucReport(scored, "grp_in", "lab", "score")
+      .select("grp", "n_pos", "n_neg", "u2", "auc_ppm")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    assert(out("g") == ((2L, 2L, 7L, 875000L)))
+    assert(out("h") == ((1L, 1L, 2L, 1000000L)))
+    assert(out("i") == ((0L, 2L, 0L, -1L)), "NULL auc for one-class group")
+  }
 }
