@@ -1673,4 +1673,199 @@ object Corpus {
         floor(col("score") * lit(1000000.0)).cast("long").as("score_fp"),
         (col("label") === col("cls")).as("correct"))
   }
+
+  /** Flesch–Kincaid readability report (Kincaid et al. 1975; Flesch 1948)
+    * — the oldest quality-scoring feature in the text-curation toolbox,
+    * still a standard column in corpus quality cards beside t55's Gopher
+    * rules: grade level 0.39·(W/S) + 11.8·(Y/W) − 15.59 and reading ease
+    * 206.835 − 1.015·(W/S) − 84.6·(Y/W), both emitted as EXACT integer
+    * cross-multiplications over the common denominator S·W — fkgl_e4 =
+    * ⌊FKGL·10⁴⌋, fre_milli = ⌊FRE·10³⌋, clamped at 0 (negative grades
+    * mean "pre-kindergarten"; the raw W/S/Y integers are all emitted so
+    * nothing is lost to the clamp).
+    *
+    * Syllables use the classic vowel-run heuristic: maximal [aeiouy]+
+    * runs per word, minus one for a silent terminal 'e' (ends in 'e', not
+    * 'le', ≥ 2 runs), floor 1 — deterministic string arithmetic both
+    * engines replay. The caller supplies the words array and the
+    * SENTENCE count (real splits in production; the registry fixture
+    * derives them from a pure integer rule, the t18 convention).
+    *
+    * Word-less or sentence-less docs report zeros with verdict 'empty' —
+    * never dropped, never a division by zero.
+    *
+    * 100 TB shape: stateless map-only — per-row work bounded by doc
+    * length; the collapsed-run array is materialized ONCE per row and the
+    * per-word fold only reads lambda variables (the bind-once rule). */
+  def readability(docs: DataFrame, idCol: String, wordsCol: String,
+                  sentencesCol: String): DataFrame = {
+    val coll = transform(col(wordsCol),
+      wd => regexp_replace(wd, "[aeiouy]+", "V"))
+    val runs = transform(coll, r => (length(r) -
+      length(regexp_replace(r, "V", ""))).cast("long"))
+    val sylArr = zip_with(col(wordsCol), runs, (wd, rn) =>
+      greatest(rn - when(wd.endsWith("e") && !wd.endsWith("le") &&
+        rn >= 2, 1L).otherwise(0L), lit(1L)))
+    docs
+      .withColumn("words", size(col(wordsCol)).cast("long"))
+      .withColumn("sentences", col(sentencesCol).cast("long"))
+      .withColumn("syllables",
+        when(col("words") > 0,
+          aggregate(sylArr, lit(0L), (acc, s) => acc + s))
+          .otherwise(0L))
+      .withColumn("ok", col("words") > 0 && col("sentences") > 0)
+      .withColumn("fkgl_e4", when(col("ok"), expr(
+        "(greatest(39 * words * words + 1180 * syllables * sentences" +
+          " - 1559 * sentences * words, 0) * 100) div (sentences * words)"))
+        .otherwise(0L))
+      .withColumn("fre_milli", when(col("ok"), expr(
+        "greatest(206835 * sentences * words - 1015 * words * words" +
+          " - 84600 * syllables * sentences, 0) div (sentences * words)"))
+        .otherwise(0L))
+      .withColumn("verdict",
+        when(!col("ok"), "empty")
+          .when(col("fre_milli") >= 90000L, "very_easy")
+          .when(col("fre_milli") >= 70000L, "easy")
+          .when(col("fre_milli") >= 50000L, "standard")
+          .otherwise("difficult"))
+      .select(col(idCol), col("words"), col("sentences"), col("syllables"),
+        col("fkgl_e4"), col("fre_milli"), col("verdict"))
+  }
+
+  /** Zipf rank–frequency fit (Zipf 1949; Piantadosi 2014 review) — the
+    * corpus-health diagnostic read before trusting token statistics: the
+    * top-N type frequencies should fall on a ln f ≈ α·ln r + c line with
+    * α ≈ −1 for natural text; a synthetic or template-heavy corpus shows
+    * a flat head (this word-soup corpus: α ≈ −0.18) and a filtered
+    * corpus a broken tail. Emits the top-N (rank, word, freq) rows with
+    * the OLS fit in ln–ln space as constant columns: slope_fpm =
+    * ⌊α·10⁶⌋, intercept_fpm = ⌊c·10⁶⌋.
+    *
+    * Determinism: ranks are exact ((freq desc, word asc) total order);
+    * the four OLS sums fold the ≤ topN (x, y) = (ln r, ln f) points in
+    * RANK order via one sort_array fold each (the t30 discipline — ln of
+    * an integer is the one cross-engine-safe float primitive), and the
+    * closed form (n·Σxy − ΣxΣy)/(n·Σxx − (Σx)²) is one IEEE division of
+    * bit-identical doubles, floored at the end.
+    *
+    * 100 TB shape: one map-side-combined type-count groupBy (vocabulary-
+    * bounded exchange, the t38 class), a k-bounded top-N selection, and a
+    * topN-row fold — the fit never sees more than topN rows. Fewer than
+    * 2 distinct types raises (the fit is undefined). */
+  def zipfSlope(docs: DataFrame, textCol: String, topN: Int = 64): DataFrame = {
+    require(topN >= 2, s"zipfSlope needs topN >= 2 (got $topN)")
+    val cnt = graft.Tables.scaled(
+        docs.select(explode(text.tokens(col(textCol))).as("w")))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w").asc).limit(topN)
+    val ranked = cnt.withColumn("rank", row_number().over(
+      Window.orderBy(col("freq").desc, col("w").asc)))
+    val fit = ranked.agg(
+        count(lit(1)).cast("long").as("n"),
+        sort_array(collect_list(struct(col("rank").as("r"),
+          log(col("rank").cast("double")).as("x"),
+          log(col("freq").cast("double")).as("y")))).as("pts"))
+      .withColumn("sx", aggregate(col("pts"), lit(0.0),
+        (a, p) => a + p.getField("x")))
+      .withColumn("sy", aggregate(col("pts"), lit(0.0),
+        (a, p) => a + p.getField("y")))
+      .withColumn("sxy", aggregate(col("pts"), lit(0.0),
+        (a, p) => a + p.getField("x") * p.getField("y")))
+      .withColumn("sxx", aggregate(col("pts"), lit(0.0),
+        (a, p) => a + p.getField("x") * p.getField("x")))
+      .withColumn("slope", when(col("n") < 2, expr(
+        "raise_error('zipfSlope needs >= 2 distinct types')").cast("double"))
+        .otherwise((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))))
+      .select(
+        floor(col("slope") * lit(1000000.0)).cast("long").as("slope_fpm"),
+        floor(((col("sy") - col("slope") * col("sx")) / col("n")) *
+          lit(1000000.0)).cast("long").as("intercept_fpm"))
+    ranked.select(col("rank").cast("long"), col("w").as("word"), col("freq"))
+      .crossJoin(broadcast(fit))
+  }
+
+  /** Heaps-law vocabulary-growth curve (Heaps 1978; Egghe 2007) — the
+    * other corpus-health diagnostic: distinct types V against gram volume
+    * G over exponentially spaced corpus prefixes, with the local exponent
+    * β = ln(V_i/V_{i−1})/ln(G_i/G_{i−1}) per doubling (natural text:
+    * V ∝ G^β, β ≈ 0.4–0.6 for unigrams). Run over an n-gram ladder the
+    * three regimes separate: a closed vocabulary saturates (β → 0), long
+    * grams stay near-linear (β ≈ 1) — a corpus whose TRIGRAM curve
+    * saturates is template spam, the signal this diagnostic exists for.
+    *
+    * Prefixes: docs ranked by id, level i covers the first
+    * ⌈N/2^(levels−i)⌉ docs (level `levels` = all). A type's first level =
+    * the level of the first doc containing it (min over its occurrences),
+    * so per-level cumulative counts need no per-prefix rescans.
+    *
+    * Output per (n, level): `n_docs`, `grams` (instances), `types`
+    * (distinct), `beta_fpm` (0 at level 1 and wherever the ratio is
+    * degenerate). The one float is ln of a ratio of exact integers,
+    * floored fixed-point (t30 primitive).
+    *
+    * 100 TB shape: the doc-rank row_number is a range-partitioned sort of
+    * the DOC table (ids only — the diagnostic's one global exchange);
+    * grams flow through ONE tokenize into two map-side-combined groupBys
+    * — (n, gram) min-level (vocabulary-bounded, the t45 class) and
+    * (n, level) instance counts (levels-bounded); everything after runs
+    * on |ns|·levels rows. */
+  def heapsGrowth(docs: DataFrame, idCol: String, textCol: String,
+                  ns: Seq[Int] = Seq(1, 2, 3), levels: Int = 8): DataFrame = {
+    require(ns.nonEmpty && levels >= 1,
+      s"heapsGrowth needs grams orders and >= 1 level (got $ns / $levels)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val n = docs.agg(count(lit(1)).cast("long").as("__n"))
+    // rank IDS ONLY through the global window (8-byte rows), then
+    // equi-join the rank back — the text never crosses the sort
+    val rankOfId = docs.select(col(idCol).as("__id"))
+      .withColumn("__rank",
+        row_number().over(Window.orderBy(col("__id"))).cast("long"))
+    val ranked = docs.select(col(idCol).as("__id"), col(textCol).as("__t"))
+      .join(rankOfId, "__id")
+      .crossJoin(broadcast(n))
+    // smallest level whose prefix cap covers this doc's rank
+    val withLevel = ranked.withColumn("__ml", expr(
+      s"aggregate(sequence(1, $levels), CAST($levels + 1 AS BIGINT), " +
+        s"(acc, i) -> IF(acc <= $levels, acc, " +
+        s"IF(__rank <= IF(i = $levels, __n, " +
+        s"(__n + shiftleft(1L, $levels - i) - 1) div " +
+        s"shiftleft(1L, $levels - i)), CAST(i AS BIGINT), acc)))"))
+    val grams = graft.Tables.scaled(
+        withLevel.select(col("__ml"),
+          explode(text.word_shingles_multi(col("__t"), ns,
+            distinct = false)).as("rg")))
+      .select(col("__ml"), col("rg.rung").as("n"),
+        explode(col("rg.gs")).as("g"))
+    val inst = grams.groupBy("n", "__ml").agg(count(lit(1)).as("gi"))
+    val typ = grams.groupBy("n", "g").agg(min(col("__ml")).as("__ml"))
+      .groupBy("n", "__ml").agg(count(lit(1)).as("tc"))
+    val grid = ns.map(_.toLong).toDF("n")
+      .crossJoin((1 to levels).map(_.toLong).toDF("level"))
+      .crossJoin(broadcast(n))
+      .withColumn("n_docs", expr(
+        s"IF(level = $levels, __n, (__n + shiftleft(1L, $levels - level)" +
+          s" - 1) div shiftleft(1L, $levels - level))"))
+    val w = Window.partitionBy("n").orderBy("level")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid
+      .join(inst.withColumnRenamed("__ml", "level"), Seq("n", "level"), "left")
+      .join(typ.withColumnRenamed("__ml", "level"), Seq("n", "level"), "left")
+      .withColumn("grams", sum(coalesce(col("gi"), lit(0L))).over(w))
+      .withColumn("types", sum(coalesce(col("tc"), lit(0L))).over(w))
+    val lagW = Window.partitionBy("n").orderBy("level")
+    cum
+      .withColumn("pg", lag(col("grams"), 1).over(lagW))
+      .withColumn("pt", lag(col("types"), 1).over(lagW))
+      .withColumn("beta_fpm",
+        when(col("pt").isNull || col("pt") === 0 || col("pg") === 0 ||
+          col("grams") === col("pg") || col("types") === col("pt"), 0L)
+          .otherwise(floor(
+            (log(col("types").cast("double") / col("pt")) /
+              log(col("grams").cast("double") / col("pg"))) *
+              lit(1000000.0)).cast("long")))
+      .select(col("n"), col("level"), col("n_docs"), col("grams"),
+        col("types"), col("beta_fpm"))
+  }
 }

@@ -54,8 +54,49 @@ object CorpusQueries {
     "t59_dpo_pairs" -> ((s, d) => dpoPairsQ(s, d)),
     "t61_contamination_report" -> ((s, d) => contaminationReportQ(s, d)),
     "t64_memorization" -> ((s, d) => memorizationQ(s, d)),
-    "t66_canary_exposure" -> ((s, d) => canaryExposureQ(s, d))
+    "t66_canary_exposure" -> ((s, d) => canaryExposureQ(s, d)),
+    "t67_readability" -> ((s, d) => readabilityQ(s, d)),
+    "t68_zipf_slope" -> ((s, d) => zipfSlopeQ(s, d)),
+    "t69_heaps_growth" -> ((s, d) => heapsGrowthQ(s, d))
   )
+
+  /** [[graft.operators.Corpus.readability]] with PLANTED sentence counts
+    * (the t18 integer-rule convention — the corpus has no punctuation):
+    * a boundary follows token i iff (i + doc_id) % m == 0 with m = 7 +
+    * doc_id % 5, so S = ⌊(W+d)/m⌋ − ⌊d/m⌋ + [tail], closed-form in both
+    * engines. FRE spans 57.9–111.3 at sf0.01, populating very_easy/easy/
+    * standard — real verdict texture, not one bucket. */
+  def readabilityQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), text.tokens(col("text")).as("tk"))
+      .withColumn("m", lit(7L) + col("doc_id") % 5)
+      .withColumn("w", size(col("tk")).cast("long"))
+      .withColumn("sent", when(col("w") === 0, 0L).otherwise(
+        expr("(w + doc_id) div m - doc_id div m") +
+          when(expr("(w + doc_id) % m") =!= 0, 1L).otherwise(0L)))
+    graft.operators.Corpus.readability(docs, "doc_id", "tk", "sent")
+      .orderBy("doc_id")
+  }
+
+  /** [[graft.operators.Corpus.zipfSlope]] over the corpus: the word-soup
+    * head is deliberately FLAT (α ≈ −0.18, 30 near-uniform types + a rare
+    * tail) — exactly the broken-Zipf shape the diagnostic exists to
+    * expose on synthetic corpora; every (rank, freq) row plus the fold's
+    * floored fixed-point fit replays in the oracle. */
+  def zipfSlopeQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.zipfSlope(Tables.documents(spark, dir), "text")
+      .orderBy("rank")
+
+  /** [[graft.operators.Corpus.heapsGrowth]] at orders 1/2/3 over 8
+    * doubling prefixes: the three Heaps regimes separate cleanly at
+    * sf0.01 — unigrams saturate at the 31-type vocabulary (β → 0),
+    * bigrams decay 0.82 → 0.006, trigrams stay near-linear (0.99 →
+    * 0.67). A template-spam corpus would collapse the trigram curve —
+    * the signal under audit. */
+  def heapsGrowthQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.heapsGrowth(Tables.documents(spark, dir),
+      "doc_id", "text")
+      .orderBy("n", "level")
 
   /** [[graft.operators.Corpus.canaryExposure]] with PLANTED canaries
     * (pure integer rule, both engines): canary k = the 4-token sequence
@@ -1665,6 +1706,105 @@ object CorpusQueries {
          |       THEN ((10000 * pd.n_oov) // pd.n_tokens)::BIGINT
          |       ELSE 0 END AS oov_bp
          |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
-         |ORDER BY d.doc_id""".stripMargin
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // vowel-run syllables (silent-e rule), planted closed-form sentence
+    // counts, FK metrics as integer cross-multiplications clamped at 0
+    "t67_readability" ->
+      ("""WITH nm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+         |tk AS (SELECT doc_id, list_filter(string_split(t, ' '), x -> len(x) > 0) AS tk FROM nm),
+         |syl AS (
+         |  SELECT doc_id, len(tk)::BIGINT AS w,
+         |    coalesce(list_sum(list_transform(tk, wd ->
+         |      greatest(
+         |        len(regexp_replace(wd, '[aeiouy]+', 'V', 'g')) - len(replace(regexp_replace(wd, '[aeiouy]+', 'V', 'g'), 'V', ''))
+         |        - CASE WHEN wd LIKE '%e' AND wd NOT LIKE '%le'
+         |                AND len(regexp_replace(wd, '[aeiouy]+', 'V', 'g')) - len(replace(regexp_replace(wd, '[aeiouy]+', 'V', 'g'), 'V', '')) >= 2
+         |               THEN 1 ELSE 0 END,
+         |        1))), 0)::BIGINT AS y
+         |  FROM tk),
+         |sent AS (
+         |  SELECT doc_id, w, y,
+         |    CASE WHEN w = 0 THEN 0
+         |         ELSE (w + doc_id) // (7 + doc_id % 5) - doc_id // (7 + doc_id % 5)
+         |              + CASE WHEN (w + doc_id) % (7 + doc_id % 5) <> 0 THEN 1 ELSE 0 END END AS s
+         |  FROM syl),
+         |fk AS (
+         |  SELECT doc_id, w AS words, s AS sentences,
+         |    CASE WHEN w > 0 THEN y ELSE 0 END AS syllables,
+         |    CASE WHEN w > 0 AND s > 0
+         |         THEN (greatest(39 * w * w + 1180 * y * s - 1559 * s * w, 0) * 100) // (s * w)
+         |         ELSE 0 END AS fkgl_e4,
+         |    CASE WHEN w > 0 AND s > 0
+         |         THEN greatest(206835 * s * w - 1015 * w * w - 84600 * y * s, 0) // (s * w)
+         |         ELSE 0 END AS fre_milli,
+         |    (w > 0 AND s > 0) AS ok
+         |  FROM sent)
+         |SELECT doc_id, words, sentences, syllables, fkgl_e4, fre_milli,
+         |  CASE WHEN NOT ok THEN 'empty'
+         |       WHEN fre_milli >= 90000 THEN 'very_easy'
+         |       WHEN fre_milli >= 70000 THEN 'easy'
+         |       WHEN fre_milli >= 50000 THEN 'standard'
+         |       ELSE 'difficult' END AS verdict
+         |FROM fk ORDER BY doc_id""").stripMargin,
+
+    // top-64 type counts, rank-ordered ln-ln OLS via explicit left folds
+    // (0.0-seeded list_reduce == Spark aggregate), floored fixed point
+    "t68_zipf_slope" ->
+      ("""WITH nm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+         |tok AS (SELECT unnest(list_filter(string_split(t, ' '), x -> len(x) > 0)) AS w FROM nm),
+         |cnt AS (SELECT w, count(*)::BIGINT AS freq FROM tok GROUP BY w),
+         |top AS (SELECT w, freq, row_number() OVER (ORDER BY freq DESC, w) AS r
+         |        FROM cnt ORDER BY freq DESC, w LIMIT 64),
+         |lst AS (SELECT count(*)::BIGINT AS n,
+         |          list(ln(r::DOUBLE) ORDER BY r) AS xs,
+         |          list(ln(freq::DOUBLE) ORDER BY r) AS ys
+         |        FROM top),
+         |sums AS (SELECT n,
+         |    list_reduce([0.0::DOUBLE] || xs, (a, b) -> a + b) AS sx,
+         |    list_reduce([0.0::DOUBLE] || ys, (a, b) -> a + b) AS sy,
+         |    list_reduce([0.0::DOUBLE] || list_transform(range(len(xs)), i -> xs[i+1] * ys[i+1]), (a, b) -> a + b) AS sxy,
+         |    list_reduce([0.0::DOUBLE] || list_transform(xs, x -> x * x), (a, b) -> a + b) AS sxx
+         |  FROM lst),
+         |fit AS (SELECT
+         |    floor(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 1000000)::BIGINT AS slope_fpm,
+         |    floor(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n) * 1000000)::BIGINT AS intercept_fpm
+         |  FROM sums)
+         |SELECT t.r AS rank, t.w AS word, t.freq, f.slope_fpm, f.intercept_fpm
+         |FROM top t, fit f ORDER BY t.r""").stripMargin,
+
+    // doubling doc prefixes by rank, type first-level via min, per-level
+    // cumulative volumes, local Heaps exponent as floored ln-ratio
+    "t69_heaps_growth" ->
+      ("""WITH nm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+         |tk AS (SELECT doc_id, list_filter(string_split(t, ' '), x -> len(x) > 0) AS tk FROM nm),
+         |rk AS (SELECT doc_id, tk, row_number() OVER (ORDER BY doc_id) AS r FROM tk),
+         |nn AS (SELECT count(*)::BIGINT AS n FROM rk),
+         |lv AS (SELECT unnest(range(1, 9))::BIGINT AS level),
+         |thr AS (SELECT level, CASE WHEN level = 8 THEN n
+         |                          ELSE (n + (1 << (8 - level)) - 1) // (1 << (8 - level)) END AS cap
+         |        FROM lv, nn),
+         |dlev AS (SELECT r, tk, (SELECT min(level) FROM thr WHERE cap >= rk.r) AS ml FROM rk),
+         |ns AS (SELECT unnest([1, 2, 3]) AS n),
+         |g AS (SELECT dlev.ml, ns.n,
+         |        unnest(list_transform(range(greatest(len(tk) - ns.n + 1, 0)),
+         |          i -> array_to_string(tk[(i + 1):(i + ns.n)], ' '))) AS gm
+         |      FROM dlev, ns),
+         |inst AS (SELECT n, ml, count(*)::BIGINT AS gi FROM g GROUP BY 1, 2),
+         |typ AS (SELECT n, gm, min(ml) AS fl FROM g GROUP BY 1, 2),
+         |tcnt AS (SELECT n, fl AS ml, count(*)::BIGINT AS tc FROM typ GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT l.level, s.n,
+         |    (SELECT t2.cap FROM thr t2 WHERE t2.level = l.level) AS n_docs,
+         |    coalesce((SELECT sum(gi) FROM inst WHERE inst.n = s.n AND inst.ml <= l.level), 0)::BIGINT AS grams,
+         |    coalesce((SELECT sum(tc) FROM tcnt WHERE tcnt.n = s.n AND tcnt.ml <= l.level), 0)::BIGINT AS types
+         |  FROM lv l, ns s),
+         |bet AS (
+         |  SELECT c.*, p.grams AS pg, p.types AS pt
+         |  FROM cum c LEFT JOIN cum p ON p.n = c.n AND p.level = c.level - 1)
+         |SELECT n::BIGINT AS n, level, n_docs, grams, types,
+         |  CASE WHEN pt IS NULL OR pt = 0 OR pg = 0 OR grams = pg OR types = pt THEN 0
+         |       ELSE floor((ln(types::DOUBLE / pt) / ln(grams::DOUBLE / pg)) * 1000000)::BIGINT END AS beta_fpm
+         |FROM bet ORDER BY n, level""").stripMargin
   )
 }

@@ -763,4 +763,67 @@ class CorpusSpec extends AnyFunSuite {
     assert(out((102L, 4L)) == ((5L, 0L, 0L)))
     assert(out((102L, 32L)) == ((0L, 0L, 0L)))
   }
+
+  test("readability: hand syllables (silent-e, -le, y-vowel), exact FK " +
+    "cross-multiplications, negative-grade clamp, empty verdict") {
+    val docs = Seq(
+      // make=1 (silent e), apple=2 (-le keeps it), sky=1 (y), idea=2
+      (1L, Seq("make", "apple", "sky", "idea"), 2L),
+      (2L, Seq("strengths"), 1L), // FKGL = -3.4 -> clamped 0
+      (3L, Seq.empty[String], 0L) // no words -> 'empty'
+    ).toDF("id", "tk", "sent")
+    val out = Corpus.readability(docs, "id", "tk", "sent")
+      .as[(Long, Long, Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    // W=4 S=2 Y=6: FKGL = 0.39*2 + 11.8*1.5 - 15.59 = 2.89;
+    // FRE = 206.835 - 1.015*2 - 84.6*1.5 = 77.905
+    assert(out(1L) == ((4L, 2L, 6L, 28900L, 77905L, "easy")))
+    assert(out(2L)._4 == 0L, "negative grade clamps to 0")
+    assert(out(2L)._6 == "very_easy")
+    assert(out(3L) == ((0L, 0L, 0L, 0L, 0L, "empty")))
+  }
+
+  test("zipfSlope: rank order exact; fit equals the closed form replayed " +
+    "over the same ln points; single-type corpus raises") {
+    val docs = Seq("a a b", "a a b c").toDF("text")
+    val out = Corpus.zipfSlope(docs, "text", topN = 64)
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((1L, "a", 4L), (2L, "b", 2L), (3L, "c", 1L)))
+    val (xs, ys) = (Seq(1L, 2L, 3L).map(r => math.log(r.toDouble)),
+      Seq(4L, 2L, 1L).map(f => math.log(f.toDouble)))
+    val n = 3.0
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val sxx = xs.map(x => x * x).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(out.head._4 == math.floor(slope * 1e6).toLong)
+    assert(out.head._5 == math.floor((sy - slope * sx) / n * 1e6).toLong)
+    assert(out.head._4 < 0, "frequency falls with rank")
+    val thrown = intercept[Exception] {
+      Corpus.zipfSlope(Seq("a a a").toDF("text"), "text").collect()
+    }
+    assert(thrown.getMessage.contains("zipfSlope needs"))
+  }
+
+  test("heapsGrowth: hand prefix volumes and first-level types; beta " +
+    "equals the floored ln-ratio; saturated level reads beta 0") {
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "a d"), (4L, "e"))
+      .toDF("id", "text")
+    val out = Corpus.heapsGrowth(docs, "id", "text", ns = Seq(1), levels = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._2 -> ((r._3, r._4, r._5, r._6))).toMap
+    // level 1 = first ceil(4/2)=2 docs: 4 grams, types {a,b,c}
+    assert(out(1L) == ((2L, 4L, 3L, 0L)))
+    // level 2 = all: 7 grams, types {a,b,c,d,e}
+    val beta = math.floor(math.log(5.0 / 3) / math.log(7.0 / 4) * 1e6).toLong
+    assert(out(2L) == ((4L, 7L, 5L, beta)))
+    // a corpus repeating one doc saturates: types flat -> beta 0
+    val sat = Seq((1L, "x y"), (2L, "x y"), (3L, "x y"), (4L, "x y"))
+      .toDF("id", "text")
+    val so = Corpus.heapsGrowth(sat, "id", "text", ns = Seq(1), levels = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._2 -> r._6).toMap
+    assert(so(2L) == 0L, "no new types across the doubling -> beta 0")
+  }
 }
