@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Mergeable cardinality sketches — the distinct-count side of the sketch
+  * toolbox beside the count-min family (`SketchExpressions`, t22): at
+  * 100 TB "how many distinct URLs / users / n-grams" is a planning input
+  * (salt factors, dictionary sizing, dedup budgets) that an exact
+  * countDistinct answers only by shuffling the full key universe.
+  */
+object Sketches {
+
+  /** HyperLogLog cardinality report (Flajolet et al. 2007) with the
+    * linear-counting small-range correction (§4; Whang et al. 1990),
+    * m = 256 registers — relative error ≈ 1.04/√m ≈ 6.5%. Every step is
+    * replayable integer/string arithmetic:
+    *  - hash = md5("hll:" ‖ name ‖ ":" ‖ key): register = first 2 hex
+    *    digits (8 bits), w = next 13 hex digits (52 bits);
+    *  - ρ = 53 − bitlength(w) (w = 0 → 53): leading-zero rank via the
+    *    `bin` string — no float log anywhere;
+    *  - register state Mⱼ = max ρ — ONE map-side-combined groupBy over
+    *    (name, register): ≤ 256 cells per tracked column, the mergeable
+    *    sketch property (partition maxes combine losslessly);
+    *  - raw estimate αₘ·m²/Σ2^(−Mⱼ) computed EXACTLY: T = Σ2^(53−Mⱼ)
+    *    (≤ 2^61, a long), α as the exact rational 0.7213·m/(m + 1.079) =
+    *    1846528/2570790 for m = 256, so raw_est = ⌊(1846528·m²·2^53) div
+    *    (2570790·T)⌋ in decimal(38,0) — bit-exact in any engine;
+    *  - linear counting when raw_est ≤ 5m/2 and empty registers exist:
+    *    ⌊m·ln(m/V)⌋ — ln of a ratio of exact integers, the t30 float
+    *    primitive.
+    * Output per tracked column: `v_zero`, `t_sum`, `raw_est`, `est`,
+    * `exact`, `err_ppm` — the exact arm doubles as the rule-21 twin (its
+    * shuffle carries the distinct key universe; the sketch arm ships 256
+    * longs per column regardless of corpus size). Spark's native
+    * `approx_count_distinct` (HLL++) is the production shortcut; this
+    * operator pins the ALGORITHM so the oracle can replay every register.
+    *
+    * Input: (`nameCol`, `keyCol` string) — stack the tracked columns.
+    * Empty name groups read est = exact = 0, err 0. */
+  def hllCardinality(keyed: DataFrame, nameCol: String,
+                     keyCol: String): DataFrame = {
+    val m = 256
+    val alphaNum = 1846528L // 0.7213 * m * 10^4... exact: 7213 * m
+    val alphaDen = 2570790L // 10^4 * m + 10790
+    // numerator constant alphaNum * m^2 * 2^53 (exact BigInt, < 10^28)
+    val bigNum = BigInt(alphaNum) * m * m * (BigInt(1) << 53)
+    val h = md5(concat(lit("hll:"), col(nameCol), lit(":"), col(keyCol)))
+    val hashed = keyed.select(col(nameCol).as("col_name"), h.as("h"))
+      .select(col("col_name"),
+        conv(substring(col("h"), 1, 2), 16, 10).cast("long").as("reg"),
+        conv(substring(col("h"), 3, 13), 16, 10).cast("long").as("w"))
+      .withColumn("rho",
+        when(col("w") === 0, 53L).otherwise(lit(53L) - length(bin(col("w")))))
+    val regMax = hashed.groupBy("col_name", "reg")
+      .agg(max(col("rho")).as("mj"))
+    val spark = keyed.sparkSession
+    import spark.implicits._
+    val grid = keyed.select(col(nameCol).as("col_name")).distinct()
+      .crossJoin(broadcast((0 until m).map(_.toLong).toDF("reg")))
+    val agg = grid.join(regMax, Seq("col_name", "reg"), "left")
+      .withColumn("mj", coalesce(col("mj"), lit(0L)))
+      .groupBy("col_name").agg(
+        sum(expr("shiftleft(1L, cast(53 - mj as int))")).as("t_sum"),
+        sum(when(col("mj") === 0, 1L).otherwise(0L)).as("v_zero"))
+    val est = agg
+      .withColumn("raw_est", expr(
+        s"CAST('$bigNum' AS DECIMAL(38,0)) div " +
+          s"(CAST($alphaDen AS DECIMAL(38,0)) * t_sum)").cast("long"))
+      .withColumn("est",
+        when(col("raw_est") <= lit(5L * m / 2) && col("v_zero") > 0,
+          floor(lit(m.toDouble) *
+            log(lit(m.toDouble) / col("v_zero").cast("double")))
+            .cast("long"))
+          .otherwise(col("raw_est")))
+    val exact = keyed.groupBy(col(nameCol).as("col_name"))
+      .agg(countDistinct(col(keyCol)).as("exact"))
+    est.join(exact, Seq("col_name"))
+      .select(col("col_name"), col("v_zero"), col("t_sum"),
+        col("raw_est"), col("est"), col("exact"),
+        when(col("exact") > 0,
+          expr("(abs(est - exact) * 1000000) div exact"))
+          .otherwise(0L).as("err_ppm"))
+  }
+}

@@ -20,8 +20,26 @@ object RelationalQueries {
     "z1_zorder_layout" -> ((s, dir) => zorderLayout(s, dir)),
     "z2_hilbert_layout" -> ((s, dir) => hilbertLayout(s, dir)),
     "q3_rollup" -> ((s, dir) => rollupAgg(s, dir)),
-    "q4_skew_report" -> ((s, dir) => skewReportQ(s, dir))
+    "q4_skew_report" -> ((s, dir) => skewReportQ(s, dir)),
+    "q6_hll" -> ((s, dir) => hllQ(s, dir))
   )
+
+  /** [[graft.operators.Sketches.hllCardinality]] over three lineitem key
+    * columns spanning the sketch's regimes at sf0.01: l_orderkey (~15k
+    * distinct — raw HLL, err ≈ 4%), l_partkey (2k — raw, ≈ 5%),
+    * l_suppkey (100 — the linear-counting branch, ≈ 2%). Every register,
+    * both estimate branches, and the exact twin replay in the oracle. */
+  def hllQ(spark: SparkSession, dir: String): DataFrame = {
+    val li = graft.Tables.lineitem(spark, dir)
+    val keyed = li.select(lit("l_orderkey").as("col_name"),
+        col("l_orderkey").cast("string").as("k"))
+      .unionAll(li.select(lit("l_partkey").as("col_name"),
+        col("l_partkey").cast("string").as("k")))
+      .unionAll(li.select(lit("l_suppkey").as("col_name"),
+        col("l_suppkey").cast("string").as("k")))
+    graft.operators.Sketches.hllCardinality(keyed, "col_name", "k")
+      .orderBy("col_name")
+  }
 
   /** Join-key skew diagnostic over the events stream with a PLANTED hot
     * key (every user_id % 3 == 0 collapses to key 0 — one key carrying a
@@ -99,6 +117,47 @@ object RelationalQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    // full HLL replay: register maxes via bin-string bitlength, exact
+    // T = sum 2^(53-Mj) as BIGINT, raw estimate as one HUGEINT floor
+    // division with the exact rational alpha, LC branch via ln of an
+    // integer ratio; the exact twin is a plain count(DISTINCT)
+    "q6_hll" ->
+      ("""WITH keys AS (
+         |  SELECT 'l_orderkey' AS col_name, l_orderkey::VARCHAR AS k FROM lineitem
+         |  UNION ALL SELECT 'l_partkey', l_partkey::VARCHAR FROM lineitem
+         |  UNION ALL SELECT 'l_suppkey', l_suppkey::VARCHAR FROM lineitem),
+         |h AS (SELECT col_name, md5('hll:' || col_name || ':' || k) AS hx, k FROM keys),
+         |rw AS (SELECT col_name,
+         |         ('0x' || substr(hx, 1, 2))::BIGINT AS reg,
+         |         ('0x' || substr(hx, 3, 13))::BIGINT AS w
+         |       FROM h),
+         |regmax AS (SELECT col_name, reg,
+         |             max(CASE WHEN w = 0 THEN 53 ELSE 53 - len(bin(w)) END)::BIGINT AS mj
+         |           FROM rw GROUP BY 1, 2),
+         |grid AS (SELECT col_name, unnest(range(0, 256)) AS reg
+         |         FROM (SELECT DISTINCT col_name FROM keys)),
+         |fr AS (SELECT g.col_name, coalesce(r.mj, 0) AS mj
+         |       FROM grid g LEFT JOIN regmax r
+         |         ON g.col_name = r.col_name AND g.reg = r.reg),
+         |agg AS (SELECT col_name,
+         |          sum(1::BIGINT << (53 - mj)::INT)::BIGINT AS t_sum,
+         |          sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END)::BIGINT AS v_zero
+         |        FROM fr GROUP BY col_name),
+         |est AS (SELECT col_name, t_sum, v_zero,
+         |          ((1846528::HUGEINT * 256 * 256 * (1::HUGEINT << 53))
+         |            // (2570790::HUGEINT * t_sum))::BIGINT AS raw_est
+         |        FROM agg),
+         |fin AS (SELECT col_name, t_sum, v_zero, raw_est,
+         |          CASE WHEN raw_est <= 640 AND v_zero > 0
+         |               THEN floor(256 * ln(256.0 / v_zero))::BIGINT
+         |               ELSE raw_est END AS est
+         |        FROM est),
+         |ex AS (SELECT col_name, count(DISTINCT k)::BIGINT AS exact
+         |       FROM keys GROUP BY col_name)
+         |SELECT f.col_name, f.v_zero, f.t_sum, f.raw_est, f.est, e.exact,
+         |  CASE WHEN e.exact > 0 THEN (abs(f.est - e.exact) * 1000000) // e.exact
+         |       ELSE 0 END AS err_ppm
+         |FROM fin f JOIN ex e USING (col_name) ORDER BY f.col_name""").stripMargin,
     "q4_skew_report" ->
       """WITH e AS (SELECT CASE WHEN user_id % 3 = 0 THEN 0 ELSE user_id END AS ukey
         |           FROM events),
