@@ -286,4 +286,87 @@ object Mining {
       math.floor(g(i) * 1000000.0).toLong))
       .toDF("item", "n_lists", "n_wins", "strength_fp")
   }
+
+  /** Expected-score table for [[eloRatings]]: e_ppm(d) =
+    * ⌊10⁶/(1 + 10^(d/400))⌋ for the rating difference d = R_b − R_a
+    * clamped to [−800, 800], indexed d + 800. Emitted from ONE Scala
+    * function and interpolated verbatim into the oracle SQL (the t60
+    * coefficient convention — the sides cannot drift), so the float pow
+    * is evaluated exactly once, here; everything downstream is integer. */
+  def eloExpectedPpm(): Array[Long] =
+    Array.tabulate(1601) { i =>
+      val d = i - 800
+      math.floor(1000000.0 / (1.0 + math.pow(10.0, d / 400.0))).toLong
+    }
+
+  /** Online Elo ratings over an ORDERED match stream (Elo 1978; the
+    * LMSYS-arena leaderboard convention before its move to the
+    * order-free [[btStrengths]] fit — this operator is the sequential
+    * complement: path-dependent, recency-sensitive, the rating a live
+    * leaderboard actually shows between refits).
+    *
+    * Update per match, ALL integer arithmetic: d = clamp(R_b − R_a,
+    * ±800), E_a from [[eloExpectedPpm]], S_a ∈ {10⁶, 0}, Δ =
+    * (K·(S_a − E_a)) / 10⁶ (truncating division — Long `/`, Spark `div`
+    * and DuckDB `//` all truncate toward zero), R_a += Δ, R_b −= Δ
+    * (zero-sum). Output per item: `n_matches`, `wins`, `rating`,
+    * `rank` by (rating desc, item asc).
+    *
+    * Elo is INHERENTLY sequential — each update reads the ratings the
+    * previous match wrote — so this is a rule-17 driver replay with a
+    * `limit(cap+1)` ordered probe (the btStrengths guard): the driver
+    * never holds more than cap+1 match rows even on the failing path.
+    * Real arena panels are match-bounded — LMSYS publishes its Elo on
+    * ~10⁶ battles replayed on one machine, which is the default cap
+    * (10⁶ × 32-byte tuples ≈ 32 MB of driver heap, the documented
+    * bound); past the cap, refit with the order-free distributed
+    * [[btStrengths]]/[[plStrengths]] instead — that trade is the
+    * documented contract, not a scale gap. Duplicate order keys raise:
+    * an ambiguous replay order would make the path-dependent result
+    * nondeterministic. */
+  def eloRatings(matches: DataFrame, aCol: String, bCol: String,
+                 winACol: String, orderCol: String,
+                 k: Long = 32L, init: Long = 1000L,
+                 matchCap: Int = 1000000): DataFrame = {
+    require(k > 0 && matchCap >= 1, s"eloRatings: k > 0, cap >= 1")
+    val spark = matches.sparkSession
+    import spark.implicits._
+    val rows = matches.select(col(orderCol).cast("long").as("o"),
+        col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"),
+        col(winACol).cast("boolean").as("w"))
+      .filter(col("a") =!= col("b"))
+      .orderBy(col("o").asc)
+      .limit(matchCap + 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    require(rows.length <= matchCap, s"eloRatings: more than $matchCap " +
+      "matches - Elo's sequential replay is driver-bound by design; " +
+      "refit with the order-free btStrengths/plStrengths at this scale")
+    rows.iterator.sliding(2).withPartial(false).foreach { p =>
+      require(p(0)._1 != p(1)._1, s"eloRatings: duplicate order key " +
+        s"${p(0)._1} - the sequential replay would be nondeterministic")
+    }
+    val table = eloExpectedPpm()
+    val r = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(init)
+    val wins = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    val n = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    rows.foreach { case (_, a, b, winA) =>
+      val d = math.max(-800L, math.min(800L, r(b) - r(a)))
+      val ea = table((d + 800).toInt)
+      val s = if (winA) 1000000L else 0L
+      val delta = (k * (s - ea)) / 1000000L
+      r(a) = r(a) + delta
+      r(b) = r(b) - delta
+      n(a) += 1; n(b) += 1
+      wins(if (winA) a else b) += 1
+    }
+    val items = n.keys.toSeq.sorted
+    val rankOf = items.sortBy(i => (-r(i), i)).zipWithIndex
+      .map { case (i, x) => i -> (x + 1L) }.toMap
+    items.map(i => (i, n(i), wins(i), r(i), rankOf(i)))
+      .toDF("item", "n_matches", "wins", "rating", "rank_pos")
+  }
 }

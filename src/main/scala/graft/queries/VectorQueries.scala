@@ -47,6 +47,7 @@ object VectorQueries {
     "tr3_triplets" -> ((s, d) => tripletsQ(s, d)),
     "tr4_bt_strengths" -> ((s, d) => btStrengthsQ(s, d)),
     "tr5_pl_strengths" -> ((s, d) => plStrengthsQ(s, d)),
+    "tr6_elo" -> ((s, d) => eloQ(s, d)),
     "v25_abtt_projection" -> ((s, d) => abttProjectionQ(s, d)),
     "s1_search_docs" -> ((s, d) => searchDocs(s, d)),
     "s2_colpali_padding" -> ((s, d) => colpaliPadding(s, d)),
@@ -1251,6 +1252,28 @@ object VectorQueries {
       .orderBy("item")
   }
 
+  /** [[graft.operators.Mining.eloRatings]] over the tr4 match synthesis
+    * with its own md5 seed, replayed in doc_id order: 8 policies, winner
+    * rule 50 + 6·(b−a) plants a real ordering, K=32 from 1000. The
+    * ONLINE path is the point — ratings drift with match order (items 5/6
+    * swap ranks at sf0.01 where tr4's order-free fit would not), and the
+    * oracle replays every one of the ~437 sequential updates via a
+    * recursive CTE carrying the 8-rating list, with the expected-score
+    * table interpolated from [[graft.operators.Mining.eloExpectedPpm]]
+    * (t60 convention — the sides cannot drift). */
+  def eloQ(spark: SparkSession, dir: String): DataFrame = {
+    val m = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (col("doc_id") % 8).as("a"),
+        (expr("doc_id div 8") % 8).as("b"))
+      .filter(col("a") =!= col("b"))
+      .withColumn("r", conv(substring(md5(concat(lit("elo:"), col("doc_id"))),
+        1, 6), 16, 10).cast("long") % 100)
+      .withColumn("win_a", col("r") < lit(50) + lit(6) * (col("b") - col("a")))
+    graft.operators.Mining.eloRatings(m, "a", "b", "win_a", "doc_id")
+      .orderBy("item")
+  }
+
   /** [[graft.operators.Mining.plStrengths]] over synthesized 4-way
     * rankings: each doc ranks judges 0..3 by score md5%1000 + 120·item
     * (descending, ties to the lower item id) — the additive bias makes
@@ -1373,6 +1396,45 @@ object VectorQueries {
          |SELECT w.item, w.n_lists, w.n_wins,
          |  floor(rec.g[w.ix + 1] * 1000000.0)::BIGINT AS strength_fp
          |FROM rec, wins w WHERE rec.t = 20 ORDER BY w.item""").stripMargin,
+    // full sequential replay: one recursive-CTE chain over the doc_id-
+    // ordered matches carrying the 8-rating list; expected scores come
+    // from the SAME Scala-emitted table the engine uses (t60 convention);
+    // truncating // matches Long / and Spark div on negative deltas
+    "tr6_elo" -> {
+      val tab = graft.operators.Mining.eloExpectedPpm()
+        .mkString("[", ",", "]")
+      s"""WITH RECURSIVE
+         |et AS MATERIALIZED (SELECT $tab::BIGINT[] AS t),
+         |m AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY doc_id) AS i, a, b, win_a
+         |  FROM (SELECT doc_id, doc_id % 8 AS a, (doc_id // 8) % 8 AS b,
+         |          (('0x' || substr(md5('elo:' || doc_id), 1, 6))::BIGINT % 100)
+         |            < 50 + 6 * ((doc_id // 8) % 8 - doc_id % 8) AS win_a
+         |        FROM documents WHERE doc_id % 8 <> (doc_id // 8) % 8)),
+         |nm AS (SELECT count(*)::BIGINT AS n FROM m),
+         |st AS (
+         |  SELECT 0::BIGINT AS i, list_transform(range(8), x -> 1000::BIGINT) AS r
+         |  UNION ALL
+         |  SELECT st.i + 1,
+         |    list_transform(range(8), x ->
+         |      CASE WHEN x = mm.a THEN st.r[x + 1] + (32 * (CASE WHEN mm.win_a THEN 1000000 ELSE 0 END
+         |             - et.t[greatest(least(st.r[mm.b + 1] - st.r[mm.a + 1], 800), -800) + 801])) // 1000000
+         |           WHEN x = mm.b THEN st.r[x + 1] - (32 * (CASE WHEN mm.win_a THEN 1000000 ELSE 0 END
+         |             - et.t[greatest(least(st.r[mm.b + 1] - st.r[mm.a + 1], 800), -800) + 801])) // 1000000
+         |           ELSE st.r[x + 1] END)
+         |  FROM st, et, m mm, nm WHERE mm.i = st.i + 1 AND st.i < nm.n),
+         |fin AS (SELECT r FROM st, nm WHERE st.i = nm.n),
+         |wl AS (SELECT a AS item, sum(CASE WHEN win_a THEN 1 ELSE 0 END)::BIGINT AS w,
+         |              count(*)::BIGINT AS c FROM m GROUP BY a),
+         |wl2 AS (SELECT b AS item, sum(CASE WHEN NOT win_a THEN 1 ELSE 0 END)::BIGINT AS w,
+         |               count(*)::BIGINT AS c FROM m GROUP BY b),
+         |tot AS (SELECT item, sum(w)::BIGINT AS wins, sum(c)::BIGINT AS n_matches
+         |        FROM (SELECT * FROM wl UNION ALL SELECT * FROM wl2) GROUP BY item)
+         |SELECT t.item, t.n_matches, t.wins, f.r[t.item + 1] AS rating,
+         |  row_number() OVER (ORDER BY f.r[t.item + 1] DESC, t.item) AS rank_pos
+         |FROM tot t, fin f ORDER BY t.item""".stripMargin
+    },
+
     "tr4_bt_strengths" ->
       """WITH RECURSIVE c AS (SELECT doc_id, doc_id % 8 AS a, (doc_id // 8) % 8 AS b,
         |  ('0x' || substr(md5('bt:' || doc_id), 1, 6))::BIGINT % 100 AS r

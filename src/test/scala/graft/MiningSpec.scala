@@ -174,4 +174,62 @@ class MiningSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(3))).toMap
     assert(run(1) == run(7))
   }
+
+  test("eloExpectedPpm: hand-checkable anchors and monotonicity") {
+    val t = Mining.eloExpectedPpm()
+    assert(t.length == 1601)
+    assert(t(800) == 500000L, "equal ratings -> exactly 1/2")
+    assert(t(1600) == 9900L, "d=+800: 1e6/101 floored")
+    assert(t(0) == 990099L, "d=-800: 1e6*100/101 floored")
+    assert(t.sliding(2).forall(p => p(0) >= p(1)),
+      "expected score falls as the opponent's edge grows")
+  }
+
+  test("eloRatings: hand-replayed two-match sequence, zero-sum, " +
+    "win/match counts, rank order") {
+    val t = Mining.eloExpectedPpm()
+    val m = Seq((1L, 0L, 1L, true), (2L, 0L, 1L, true))
+      .toDF("ord", "a", "b", "win_a")
+    val out = Mining.eloRatings(m, "a", "b", "win_a", "ord")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // match 1: d=0, E=500000, delta = 32*500000/1e6 = 16 -> 1016/984
+    // match 2: d = 984-1016 = -32, E = t(768), delta2 by the same law
+    val d2 = (32L * (1000000L - t(768))) / 1000000L
+    assert(out(0L) == ((2L, 2L, 1016L + d2, 1L)))
+    assert(out(1L) == ((2L, 0L, 984L - d2, 2L)))
+    assert(out(0L)._3 + out(1L)._3 == 2000L, "zero-sum")
+  }
+
+  test("eloRatings: order DEPENDENCE is real (the online path tr4's " +
+    "order-free fit does not have); duplicate order keys raise; cap " +
+    "probe raises past matchCap") {
+    // same multiset of outcomes, different order -> different ratings:
+    // an early loss is avenged at low rating (big swing back), a late
+    // loss lands at high rating (small expected -> big deduction)
+    val w = Seq.tabulate(10)(i => ((i + 2).toLong, 0L, 1L, true))
+    val early = ((1L, 0L, 1L, false) +: w)
+      .toDF("ord", "a", "b", "win_a")
+    val late = (w :+ (20L, 0L, 1L, false))
+      .toDF("ord", "a", "b", "win_a")
+    def rating(df: org.apache.spark.sql.DataFrame): Long =
+      Mining.eloRatings(df, "a", "b", "win_a", "ord")
+        .filter(org.apache.spark.sql.functions.col("item") === 0L)
+        .head().getLong(3)
+    assert(rating(early) != rating(late),
+      "path dependence: same outcomes, different order, different Elo")
+    val dup = Seq((1L, 0L, 1L, true), (1L, 1L, 0L, true))
+      .toDF("ord", "a", "b", "win_a")
+    val e1 = intercept[Exception] {
+      Mining.eloRatings(dup, "a", "b", "win_a", "ord").collect()
+    }
+    assert(e1.getMessage.contains("duplicate order key"))
+    val e2 = intercept[Exception] {
+      Mining.eloRatings(
+        Seq((1L, 0L, 1L, true), (2L, 0L, 1L, true))
+          .toDF("ord", "a", "b", "win_a"),
+        "a", "b", "win_a", "ord", matchCap = 1).collect()
+    }
+    assert(e2.getMessage.contains("more than 1 matches"))
+  }
 }
