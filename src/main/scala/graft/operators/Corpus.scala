@@ -1868,4 +1868,50 @@ object Corpus {
       .select(col("n"), col("level"), col("n_docs"), col("grams"),
         col("types"), col("beta_fpm"))
   }
+
+  /** Tokenizer-fit (fertility) report per group — the compatibility
+    * audit run before committing a corpus to a tokenizer (Rust et al.
+    * 2021 "How Good is Your Tokenizer?"; the BLOOM/XGLM per-language
+    * fertility tables): high fertility on a language means its texts pay
+    * more sequence length per word — a data-mixture and cost input, not
+    * just a curiosity. Per group, all exact integers over the REAL
+    * greedy-merge tokenizer ([[graft.functions.BpeTokenizer]], the t25
+    * kernel — not the t8 regex estimate):
+    *  - `n_docs`, `n_words` (whitespace), `n_chars` (word chars, spaces
+    *    excluded), `n_tokens` (BPE);
+    *  - `fertility_ppm` = tokens·10⁶ div words (tokens per word);
+    *  - `chars_per_token_ppm` = chars·10⁶ div tokens (compression);
+    *  - `continuation_ppm` = (tokens − words)·10⁶ div tokens — the share
+    *    of non-word-initial subword pieces (every word is ≥ 1 token, so
+    *    tokens − words counts exactly the continuations).
+    * Word-less groups report honest zeros (t38 convention).
+    *
+    * 100 TB shape: the merges table rides the plan as a literal into the
+    * codegen'd encode kernel (map-only, per-row cost bounded by doc
+    * length), then ONE map-side-combined per-group aggregation of four
+    * longs — nothing corpus-sized is exchanged. */
+  def tokenizerFertility(docs: DataFrame, groupCol: String, textCol: String,
+      merges: Seq[(String, String)] =
+        graft.functions.BpeTokenizer.FixtureMerges): DataFrame = {
+    val words = text.tokens(col(textCol))
+    val per = graft.Tables.scaled(docs.select(col(groupCol).as("grp"),
+        size(words).cast("long").as("w"),
+        aggregate(words, lit(0L), (a, x) => a + length(x)).as("c"),
+        size(graft.functions.BpeTokenizer.bpe_encode(
+          lower(col(textCol)), merges)).cast("long").as("t")))
+      .groupBy("grp").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("w")).as("n_words"),
+        sum(col("c")).as("n_chars"),
+        sum(col("t")).as("n_tokens"))
+    per.select(col("grp"), col("n_docs"), col("n_words"), col("n_chars"),
+      col("n_tokens"),
+      when(col("n_words") > 0, expr("(n_tokens * 1000000) div n_words"))
+        .otherwise(0L).as("fertility_ppm"),
+      when(col("n_tokens") > 0, expr("(n_chars * 1000000) div n_tokens"))
+        .otherwise(0L).as("chars_per_token_ppm"),
+      when(col("n_tokens") > 0,
+        expr("((n_tokens - n_words) * 1000000) div n_tokens"))
+        .otherwise(0L).as("continuation_ppm"))
+  }
 }

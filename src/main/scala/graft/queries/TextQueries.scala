@@ -28,6 +28,7 @@ object TextQueries {
     "t49_fuzzy_match" -> ((s, d) => fuzzyMatchQ(s, d)),
     "t8_bpe_tokens" -> ((s, d) => bpeTokens(s, d)),
     "t25_bpe_encode" -> ((s, d) => bpeEncode(s, d)),
+    "t70_fertility" -> ((s, d) => fertilityQ(s, d)),
     "t60_wordpiece" -> ((s, d) => wordpieceQ(s, d)),
     "t9_lsh_keeplist" -> ((s, d) => lshKeepList(s, d)),
     "t17_components" -> ((s, d) => components(s, d)),
@@ -229,6 +230,24 @@ object TextQueries {
       .select(col("doc_id"), size(col("tokens")).cast("long").as("n_tokens"),
         md5(concat_ws("|", col("tokens"))).as("tok_md5"))
       .orderBy("doc_id")
+  }
+
+  /** [[graft.operators.Corpus.tokenizerFertility]] per `lang` over the
+    * t25 greedy-BPE kernel: per-language tokens-per-word, chars-per-token
+    * and continuation share — the data-mixture cost audit. Same replay
+    * bounds guard as t25 (the oracle unrolls every merge). */
+  def fertilityQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bounds = docs.select(
+      max(size(split(trim(lower(col("text"))), "\\s+"))),
+      max(array_max(transform(split(trim(lower(col("text"))), "\\s+"),
+        w => length(w)))))
+      .head()
+    require(bounds.getInt(0) <= 4000 && bounds.getInt(1) <= 41,
+      s"t70 oracle replays at most 4000 words/doc and 40 merges/word; " +
+        s"corpus has ${bounds.getInt(0)} words / ${bounds.getInt(1)} chars")
+    graft.operators.Corpus.tokenizerFertility(docs, "lang", "text")
+      .orderBy("grp")
   }
 
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
@@ -897,6 +916,47 @@ object TextQueries {
          |        FROM fin GROUP BY doc_id)
          |SELECT doc_id, n_tokens, md5(tok_str) AS tok_md5
          |FROM agg ORDER BY doc_id""".stripMargin
+    },
+    "t70_fertility" -> {
+      // the t25 greedy-merge replay aggregated per lang: token counts
+      // per word from the same CASE-chain recursion, words/chars from
+      // the token list, exact integer ppm ratios
+      val merges = graft.functions.BpeTokenizer.FixtureMerges
+      val caseExpr = merges.map { case (a, b) =>
+        s"WHEN position(' $a  $b ' IN toks) > 0 THEN replace(toks, ' $a  $b ', ' $a$b ')"
+      }.mkString("CASE ", " ", " ELSE toks END")
+      val anyExpr = merges.map { case (a, b) =>
+        s"position(' $a  $b ' IN toks) > 0"
+      }.mkString("(", " OR ", ")")
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, lang,
+         |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS words
+         |  FROM documents),
+         |w AS (SELECT doc_id, wi, words[wi] AS word
+         |      FROM d, generate_series(1, 4000) s(wi) WHERE wi <= len(words)),
+         |init AS (SELECT doc_id, wi,
+         |    ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS toks
+         |  FROM w),
+         |rec AS (
+         |  SELECT doc_id, wi, toks, 0 AS step FROM init
+         |  UNION ALL
+         |  SELECT doc_id, wi, $caseExpr AS toks, step + 1 FROM rec
+         |  WHERE step < 40 AND $anyExpr),
+         |fin AS (SELECT doc_id, wi, len(string_split(trim(toks), '  ')) AS nt
+         |        FROM rec WHERE NOT $anyExpr),
+         |perdoc AS (SELECT doc_id, sum(nt)::BIGINT AS t FROM fin GROUP BY doc_id),
+         |wc AS (SELECT doc_id, lang, len(words)::BIGINT AS w,
+         |         coalesce(list_sum(list_transform(words, x -> len(x))), 0)::BIGINT AS c
+         |       FROM d),
+         |per AS (SELECT wc.lang AS grp, count(*)::BIGINT AS n_docs,
+         |          sum(wc.w)::BIGINT AS n_words, sum(wc.c)::BIGINT AS n_chars,
+         |          sum(coalesce(pd.t, 0))::BIGINT AS n_tokens
+         |        FROM wc LEFT JOIN perdoc pd USING (doc_id) GROUP BY 1)
+         |SELECT grp, n_docs, n_words, n_chars, n_tokens,
+         |  CASE WHEN n_words > 0 THEN (n_tokens * 1000000) // n_words ELSE 0 END AS fertility_ppm,
+         |  CASE WHEN n_tokens > 0 THEN (n_chars * 1000000) // n_tokens ELSE 0 END AS chars_per_token_ppm,
+         |  CASE WHEN n_tokens > 0 THEN ((n_tokens - n_words) * 1000000) // n_tokens ELSE 0 END AS continuation_ppm
+         |FROM per ORDER BY grp""".stripMargin
     },
     "t8_bpe_tokens" ->
       s"""WITH n AS ($norm)

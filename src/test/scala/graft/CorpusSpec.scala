@@ -826,4 +826,17 @@ class CorpusSpec extends AnyFunSuite {
       .map(r => r._2 -> r._6).toMap
     assert(so(2L) == 0L, "no new types across the doubling -> beta 0")
   }
+
+  test("tokenizerFertility: hand counts under a one-merge table; " +
+    "word-less group reports honest zeros") {
+    val docs = Seq(("x", "ab cd"), ("y", "   "))
+      .toDF("grp_in", "text")
+    val out = Corpus.tokenizerFertility(docs, "grp_in", "text",
+        merges = Seq(("a", "b")))
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7, r._8))).toMap
+    // "ab" -> 1 token (merged), "cd" -> 2 tokens: W=2 C=4 T=3
+    assert(out("x") == ((1L, 2L, 4L, 3L, 1500000L, 1333333L, 333333L)))
+    assert(out("y") == ((1L, 0L, 0L, 0L, 0L, 0L, 0L)))
+  }
 }
