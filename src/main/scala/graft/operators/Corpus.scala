@@ -1914,4 +1914,44 @@ object Corpus {
         expr("((n_tokens - n_words) * 1000000) div n_tokens"))
         .otherwise(0L).as("continuation_ppm"))
   }
+
+  /** Weighted sampling WITHOUT replacement, the A-ES one-pass scheme
+    * (Efraimidis & Spirakis 2006): each row draws key = u^(1/w); the k
+    * largest keys are exactly a weight-proportional sample without
+    * replacement — the scheme behind every "sample 1M docs, quality-
+    * weighted" curation step that t14/t43's uniform/quota samplers can't
+    * express. Ranked equivalently by ln(u)/w (monotone; u ∈ (0,1) so
+    * both are negative and order-preserving), which keeps the draw in
+    * the t30 float discipline: u = (h+1)/1000001 with h = md5 % 10⁶ (the
+    * standard derandomization), key = ln(u)/w — one division, one ln,
+    * one division, bit-identical in any engine, ties broken by id.
+    *
+    * Output: the k selected rows as (`rank_pos`, id, `weight`,
+    * `key_fpb` = ⌊key·10⁹⌋ — fixed-point for the gate; ranking runs on
+    * the double). Non-positive weights raise through the key column
+    * itself (it is the sort key — Catalyst cannot prune the guard).
+    *
+    * 100 TB shape: stateless map to (key, id, w), then ONE
+    * TakeOrderedAndProject — per-partition k-bounded heaps merged on the
+    * driver (design rule 18), no global sort, no shuffle of the corpus;
+    * the final rank window runs on k rows. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, seed: String = "wrs"): DataFrame = {
+    require(k >= 1, s"weightedSample needs k >= 1 (got $k)")
+    val h = conv(substring(md5(concat(lit(seed + ":"), col(idCol))),
+      1, 6), 16, 10).cast("long") % 1000000L
+    val key = when(col(weightCol) <= 0, expr(
+      "raise_error('weightedSample: weights must be positive')")
+      .cast("double"))
+      .otherwise(log((h + 1).cast("double") / lit(1000001.0)) /
+        col(weightCol).cast("double"))
+    df.select(col(idCol).as("__id"),
+        col(weightCol).cast("long").as("weight"), key.as("__key"))
+      .orderBy(col("__key").desc, col("__id").asc)
+      .limit(k)
+      .withColumn("rank_pos", row_number().over(
+        Window.orderBy(col("__key").desc, col("__id").asc)).cast("long"))
+      .select(col("rank_pos"), col("__id").as(idCol), col("weight"),
+        floor(col("__key") * lit(1000000000.0)).cast("long").as("key_fpb"))
+  }
 }

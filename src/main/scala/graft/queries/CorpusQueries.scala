@@ -57,8 +57,18 @@ object CorpusQueries {
     "t66_canary_exposure" -> ((s, d) => canaryExposureQ(s, d)),
     "t67_readability" -> ((s, d) => readabilityQ(s, d)),
     "t68_zipf_slope" -> ((s, d) => zipfSlopeQ(s, d)),
-    "t69_heaps_growth" -> ((s, d) => heapsGrowthQ(s, d))
+    "t69_heaps_growth" -> ((s, d) => heapsGrowthQ(s, d)),
+    "t71_weighted_sample" -> ((s, d) => weightedSampleQ(s, d))
   )
+
+  /** [[graft.operators.Corpus.weightedSample]] of k = 50 docs weighted by
+    * n_chars: the picked slice skews long (mean weight ≈ 336 vs corpus
+    * ≈ 298 at sf0.01 — the weight bias is visible, not vacuous), every
+    * key and the whole ranking replay in the oracle. */
+  def weightedSampleQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.weightedSample(
+      Tables.documents(spark, dir), "doc_id", "n_chars", k = 50)
+      .orderBy("rank_pos")
 
   /** [[graft.operators.Corpus.readability]] with PLANTED sentence counts
     * (the t18 integer-rule convention — the corpus has no punctuation):
@@ -1805,6 +1815,20 @@ object CorpusQueries {
          |SELECT n::BIGINT AS n, level, n_docs, grams, types,
          |  CASE WHEN pt IS NULL OR pt = 0 OR pg = 0 OR grams = pg OR types = pt THEN 0
          |       ELSE floor((ln(types::DOUBLE / pt) / ln(grams::DOUBLE / pg)) * 1000000)::BIGINT END AS beta_fpm
-         |FROM bet ORDER BY n, level""").stripMargin
+         |FROM bet ORDER BY n, level""").stripMargin,
+
+    // A-ES replay: same md5 draw, same ln((h+1)/1000001)/w key, same
+    // (key desc, id) top-k; key_fpb is the floor of the identical double
+    "t71_weighted_sample" ->
+      ("""WITH h AS (SELECT doc_id, n_chars::BIGINT AS w,
+         |             ('0x' || substr(md5('wrs:' || doc_id), 1, 6))::BIGINT % 1000000 AS hv
+         |           FROM documents),
+         |k AS (SELECT doc_id, w, ln((hv + 1) / 1000001.0) / w AS key FROM h),
+         |top AS (SELECT doc_id, w, key,
+         |          row_number() OVER (ORDER BY key DESC, doc_id) AS rank_pos
+         |        FROM k ORDER BY key DESC, doc_id LIMIT 50)
+         |SELECT rank_pos, doc_id, w AS weight,
+         |  floor(key * 1000000000)::BIGINT AS key_fpb
+         |FROM top ORDER BY rank_pos""").stripMargin
   )
 }

@@ -839,4 +839,35 @@ class CorpusSpec extends AnyFunSuite {
     assert(out("x") == ((1L, 2L, 4L, 3L, 1500000L, 1333333L, 333333L)))
     assert(out("y") == ((1L, 0L, 0L, 0L, 0L, 0L, 0L)))
   }
+
+  test("weightedSample: equals an independent MessageDigest+ln replay; " +
+    "a giant weight is always picked; k >= n keeps everything; " +
+    "non-positive weight raises") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def keyOf(id: Long, w: Long): Double = {
+      val hex = md.digest(s"wrs:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.substring(0, 6), 16) % 1000000L
+      math.log((h + 1).toDouble / 1000001.0) / w
+    }
+    val rows = (1L to 30L).map(i => (i, if (i == 7L) 1000000L else 10L))
+    val expect = rows.sortBy { case (i, w) => (-keyOf(i, w), i) }.take(5)
+    val out = Corpus.weightedSample(rows.toDF("id", "w"), "id", "w", k = 5)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(r => (r._2, r._3)).toSeq == expect)
+    assert(out.map(_._2).contains(7L),
+      "a 100000x weight is effectively certain to be picked")
+    out.foreach { r =>
+      assert(r._4 == math.floor(keyOf(r._2, r._3) * 1e9).toLong,
+        "key_fpb equals the floored independent replay")
+    }
+    val all = Corpus.weightedSample(rows.toDF("id", "w"), "id", "w", k = 99)
+      .collect()
+    assert(all.length == 30, "k >= n keeps every row")
+    val bad = Seq((1L, 0L)).toDF("id", "w")
+    val thrown = intercept[Exception] {
+      Corpus.weightedSample(bad, "id", "w", k = 1).collect()
+    }
+    assert(thrown.getMessage.contains("weights must be positive"))
+  }
 }
