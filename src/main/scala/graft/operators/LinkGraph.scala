@@ -337,4 +337,95 @@ object LinkGraph {
     e.unpersist(); nodes.unpersist()
     state.select(col("node"), col("auth"), col("hub"))
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007, "Near linear
+    * time algorithm to detect community structures") over the UNDIRECTED
+    * view of `edges` — the community-detection seat beside the ranking
+    * fixed points (gr1–gr3): domain clusters for crawl curation, mirror
+    * farms, topic hubs. Labels start as the node's own id; each of the
+    * `iterations` SYNCHRONOUS rounds relabels every node to the MODE of
+    * its neighbors' previous labels, ties to the SMALLEST label (binary
+    * string order — identical in Spark, DuckDB, and the JVM for the
+    * ASCII node ids this runs on). Synchronous + deterministic tiebreak
+    * makes the whole evolution a pure function of the edge set — the
+    * known LPA oscillation on bipartite structures is accepted and
+    * pinned by the fixed iteration count (the async coin-flip variant
+    * trades determinism for convergence; wrong trade for an oracle-gated
+    * engine). A multigraph counts parallel edges multiply (`.distinct()`
+    * upstream for simple-graph semantics, as the registry query does).
+    *
+    * Output per node: `label` (community id after the last round) and
+    * `csize` (that community's node count). Isolated nodes cannot occur
+    * (every node comes off an edge).
+    *
+    * Execution split (the pageRank/hits probe, same rationale): under
+    * `driverEdgeCap` weighted edges the whole evolution replays
+    * driver-side in a hash map — bit-identical to the distributed loop
+    * by integer/string exactness; past the cap, the distributed loop
+    * runs per round ONE labels equi-join + one (node, label) count
+    * groupBy + one per-node argmin of struct(−count, label) — all
+    * map-side-combinable, nothing holistic, localCheckpoint per round
+    * (the gr1 discipline). */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iterations: Int = 5,
+                       driverEdgeCap: Int = 100000): DataFrame = {
+    require(iterations >= 1, s"labelPropagation needs iterations >= 1")
+    // labels ARE node ids and flow through string tiebreaks in three
+    // arms (driver map, struct argmin, oracle) — pin the type so the
+    // driver path's string replay matches the distributed schema
+    Seq(srcCol, dstCol).foreach { c =>
+      require(edges.schema(c).dataType ==
+        org.apache.spark.sql.types.StringType,
+        s"labelPropagation needs STRING node columns (got " +
+          s"${edges.schema(c).dataType} for $c)")
+    }
+    val e0 = widenedEdges(edges, srcCol, dstCol)
+    val und = e0.select(col("src").as("a"), col("dst").as("b"))
+      .union(e0.select(col("dst").as("a"), col("src").as("b")))
+    val probe = und.groupBy("a", "b").agg(count(lit(1)).as("__w"))
+      .limit(driverEdgeCap + 1).collect()
+    if (probe.length <= driverEdgeCap) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val adj = probe.map(r => (r.get(0).toString, r.get(1).toString,
+        r.getLong(2)))
+      val nodes = (adj.map(_._1) ++ adj.map(_._2)).distinct.sorted
+      var lab = nodes.map(v => v -> v).toMap
+      val byNode = adj.groupBy(_._1)
+      for (_ <- 1 to iterations) {
+        val prev = lab
+        lab = nodes.map { v =>
+          val cnt = scala.collection.mutable.Map.empty[String, Long]
+            .withDefaultValue(0L)
+          byNode.getOrElse(v, Array.empty[(String, String, Long)])
+            .foreach { case (_, b, w) => cnt(prev(b)) += w }
+          val best = cnt.toSeq.minBy { case (l, c) => (-c, l) }._1
+          v -> best
+        }.toMap
+      }
+      val sizes = lab.values.groupBy(identity).map { case (l, vs) =>
+        l -> vs.size.toLong
+      }
+      nodes.toSeq.map(v => (v, lab(v), sizes(lab(v))))
+        .toDF("node", "label", "csize")
+    } else {
+      val e = und.persist(StorageLevel.MEMORY_AND_DISK)
+      var labels = e.select(col("a").as("node")).distinct()
+        .withColumn("label", col("node")).localCheckpoint()
+      for (_ <- 1 to iterations) {
+        val prev = labels
+        val counts = e.join(prev.withColumnRenamed("node", "b"), "b")
+          .groupBy(col("a"), col("label")).agg(count(lit(1)).as("c"))
+        labels = counts.groupBy(col("a").as("node"))
+          .agg(min(struct((-col("c")).as("nc"), col("label").as("l")))
+            .as("m"))
+          .select(col("node"), col("m.l").as("label"))
+          .localCheckpoint()
+        prev.unpersist()
+      }
+      e.unpersist()
+      val sizes = labels.groupBy("label").agg(count(lit(1)).as("csize"))
+      labels.join(sizes, "label").select("node", "label", "csize")
+    }
+  }
 }

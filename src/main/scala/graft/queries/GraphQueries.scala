@@ -22,8 +22,18 @@ object GraphQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gr1_pagerank" -> ((s, d) => pagerank(s, d)),
     "gr2_pagerank_dense" -> ((s, d) => pagerankDense(s, d)),
-    "gr3_hits" -> ((s, d) => hitsQ(s, d))
+    "gr3_hits" -> ((s, d) => hitsQ(s, d)),
+    "gr4_lpa" -> ((s, d) => lpaQ(s, d))
   )
+
+  /** [[graft.operators.LinkGraph.labelPropagation]] over the same host
+    * graph, 5 synchronous rounds: communities with real size spread (the
+    * fixed 20×7 target universe draws hosts into shared sinks). The
+    * oracle unrolls every round — neighbor-mode with the smallest-label
+    * tiebreak — so one wrong vote anywhere relabels nodes. */
+  def lpaQ(spark: SparkSession, dir: String): DataFrame =
+    LinkGraph.labelPropagation(edges(spark, dir), "src", "dst", Iters)
+      .orderBy("node")
 
   /** Synthesized host-link edges: each doc's host links to two derived
     * hosts; self-loops dropped; simple graph (DISTINCT). */
@@ -169,9 +179,30 @@ object GraphQueries {
        |SELECT a.node, a.auth, h.hub FROM a$Iters a JOIN h$Iters h ON a.node = h.node
        |ORDER BY a.auth DESC, h.hub DESC, a.node""".stripMargin
 
+  /** One unrolled synchronous LPA round: counts of neighbor labels from
+    * the previous round, mode with smallest-label tiebreak. */
+  private def lpaStepSql(i: Int): String =
+    s"""c$i AS MATERIALIZED (SELECT u.a, p.label, count(*)::BIGINT AS c
+       |  FROM und u JOIN l${i - 1} p ON p.node = u.b GROUP BY u.a, p.label),
+       |l$i AS MATERIALIZED (SELECT a AS node, label FROM (
+       |  SELECT a, label,
+       |    row_number() OVER (PARTITION BY a ORDER BY c DESC, label ASC) AS rn
+       |  FROM c$i) WHERE rn = 1)""".stripMargin
+
+  private def lpaOracle(edgeCte: String): String =
+    s"""WITH ${edgeCte.replace("e AS (", "e AS MATERIALIZED (")},
+       |und AS MATERIALIZED (SELECT src AS a, dst AS b FROM e
+       |  UNION ALL SELECT dst, src FROM e),
+       |l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM und),
+       |${(1 to Iters).map(lpaStepSql).mkString(",\n")},
+       |sz AS (SELECT label, count(*)::BIGINT AS csize FROM l$Iters GROUP BY label)
+       |SELECT l.node, l.label, s.csize FROM l$Iters l JOIN sz s USING (label)
+       |ORDER BY l.node""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "gr1_pagerank" -> pagerankOracle(edgeSql),
     "gr2_pagerank_dense" -> pagerankOracle(denseEdgeSql),
-    "gr3_hits" -> hitsOracle(edgeSql)
+    "gr3_hits" -> hitsOracle(edgeSql),
+    "gr4_lpa" -> lpaOracle(edgeSql)
   )
 }

@@ -187,4 +187,35 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(driver == dist, "driver fit diverged from the distributed loop")
     assert(driver == hitsReference(mg, 5))
   }
+
+  test("labelPropagation: hand-traced sync rounds on a triangle+pendant; " +
+    "the pinned 2-cycle oscillation on an isolated pair; driver == " +
+    "distributed; non-string nodes rejected") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+      ("e", "f")).toDF("s", "t")
+    def run(iters: Int, cap: Int = 100000): Map[String, (String, Long)] =
+      LinkGraph.labelPropagation(edges, "s", "t", iters, cap)
+        .as[(String, String, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    // round 1: a->b (min of {b,c}), b->a, c->a (min of {b?..}: nbrs
+    // a,b,d labels a,b,d -> all count 1 -> a), d->c, e->f, f->e
+    // round 2: triangle+pendant all collapse to 'a'; the isolated pair
+    // SWAPS back — the known LPA bipartite 2-cycle, pinned by the fixed
+    // iteration count (odd iters -> swapped, even -> identity)
+    val two = run(2)
+    assert(Seq("a", "b", "c", "d").forall(two(_) == (("a", 4L))))
+    assert(two("e") == (("e", 1L)) && two("f") == (("f", 1L)))
+    val five = run(5)
+    assert(Seq("a", "b", "c", "d").forall(five(_) == (("a", 4L))))
+    assert(five("e") == (("f", 1L)) && five("f") == (("e", 1L)),
+      "odd rounds leave the pair mid-swap - determinism, pinned")
+    assert(run(5) == run(5, cap = 0),
+      "driver replay == distributed loop")
+    val bad = Seq((1L, 2L)).toDF("s", "t")
+    val thrown = intercept[IllegalArgumentException] {
+      LinkGraph.labelPropagation(bad, "s", "t", 2)
+    }
+    assert(thrown.getMessage.contains("STRING node columns"))
+  }
 }
