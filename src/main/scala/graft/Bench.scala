@@ -82,7 +82,8 @@ object Bench {
     "ev9_gen_diversity", "ev10_attribution", "t66_canary_exposure",
     "ev11_rank_corr", "ev12_auc",
     "t67_readability", "t68_zipf_slope", "t69_heaps_growth", "q6_hll",
-    "tr6_elo", "t70_fertility", "t71_weighted_sample", "gr4_lpa")
+    "tr6_elo", "t70_fertility", "t71_weighted_sample", "gr4_lpa",
+    "ev13_paired_perm")
   // v23_ann_recall is deliberately NOT a headliner: it is a QUALITY gate
   // (eight recall measurements, each paying an index-build arm the bench
   // already times individually via v12/v13/v15/v17/v22) — benching it

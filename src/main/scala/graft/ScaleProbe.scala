@@ -127,7 +127,8 @@ object ScaleProbe {
         "t65_soft_dedup", "ev9_gen_diversity", "ev10_attribution",
         "t66_canary_exposure", "ev11_rank_corr", "ev12_auc",
         "t67_readability", "t68_zipf_slope", "t69_heaps_growth", "q6_hll",
-        "tr6_elo", "t70_fertility", "t71_weighted_sample", "gr4_lpa")
+        "tr6_elo", "t70_fertility", "t71_weighted_sample", "gr4_lpa",
+        "ev13_paired_perm")
       // optional second arg: probe only the named queries (comma-separated) —
       // re-measuring one changed operator shouldn't cost the full heavy tail.
       // Unknown names fail loudly: a typo silently probing nothing (and still

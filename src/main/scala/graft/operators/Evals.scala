@@ -705,6 +705,53 @@ object Evals {
           .otherwise(lit(null).cast("long")).as("auc_ppm"))
   }
 
+  /** Paired permutation significance test (Fisher 1935; the paired
+    * randomization test sacrebleu/mteval run between two MT systems —
+    * Koehn 2004 popularized the bootstrap sibling): given per-item
+    * scores from systems A and B on the SAME items, is the mean
+    * difference real or exchange noise? Under H₀ the per-item deltas are
+    * sign-symmetric, so each of `b` replicates flips every delta's sign
+    * by an md5-derandomized fair coin and re-sums; the p-value is the
+    * add-one-smoothed share of replicates at least as extreme as the
+    * observed sum: p = (1 + #{r : |S_r| ≥ |S_obs|})/(b + 1) — the
+    * standard conservative estimator, never exactly 0.
+    *
+    * Everything is exact integers: deltas are integer scores, replicate
+    * sums are integer, the extremity comparison is integer, `p_ppm` =
+    * (1+extreme)·10⁶ div (b+1). Output is ONE row: `n_items`, `obs_sum`,
+    * `b`, `n_extreme`, `p_ppm`.
+    *
+    * 100 TB shape: the ev8 Poisson-bootstrap plan — a stateless map to
+    * deltas, a b-way explode of sign-flipped copies into a b-cell
+    * map-side-combined groupBy, then scalar comparisons on b rows.
+    * Nothing corpus-sized is exchanged; the coin is a pure function of
+    * (replicate, item) so no permutation table exists anywhere. */
+  def pairedPermTest(scored: DataFrame, idCol: String,
+                     aCol: String, bCol: String,
+                     b: Int = 200, seed: String = "perm"): DataFrame = {
+    require(b >= 1, s"pairedPermTest needs b >= 1 (got $b)")
+    val deltas = scored.select(col(idCol).as("__id"),
+      (col(aCol).cast("long") - col(bCol).cast("long")).as("__d"))
+    val obs = deltas.agg(sum(col("__d")).as("obs_sum"),
+      count(lit(1)).as("n_items"))
+    val flips = deltas
+      .select(col("__id"), col("__d"),
+        explode(sequence(lit(1), lit(b))).as("rep"))
+      .withColumn("sd", when(
+        conv(substring(md5(concat(lit(seed + ":"), col("rep"), lit(":"),
+          col("__id"))), 1, 6), 16, 10).cast("long") % 2 === 0,
+        col("__d")).otherwise(-col("__d")))
+      .groupBy("rep").agg(sum(col("sd")).as("s"))
+    flips.crossJoin(broadcast(obs))
+      .agg(first(col("n_items")).as("n_items"),
+        first(col("obs_sum")).as("obs_sum"),
+        count(lit(1)).as("b"),
+        sum(when(abs(col("s")) >= abs(col("obs_sum")), 1L).otherwise(0L))
+          .as("n_extreme"))
+      .select(col("n_items"), col("obs_sum"), col("b"), col("n_extreme"),
+        expr("((1 + n_extreme) * 1000000) div (b + 1)").as("p_ppm"))
+  }
+
   /** Distinct-n generation-diversity report (Li et al. 2016, "A
     * Diversity-Promoting Objective Function for Neural Conversation
     * Models" §5 — distinct-1/distinct-2, THE standard mode-collapse

@@ -30,8 +30,26 @@ object EvalQueries {
     "ev9_gen_diversity" -> ((s, d) => genDiversityQ(s, d)),
     "ev10_attribution" -> ((s, d) => attributionQ(s, d)),
     "ev11_rank_corr" -> ((s, d) => rankCorrQ(s, d)),
-    "ev12_auc" -> ((s, d) => aucQ(s, d))
+    "ev12_auc" -> ((s, d) => aucQ(s, d)),
+    "ev13_paired_perm" -> ((s, d) => pairedPermQ(s, d))
   )
+
+  /** [[graft.operators.Evals.pairedPermTest]] between two planted
+    * scorers on the same docs: B beats A by a small true shift (+55 on a
+    * 0..999 scale) — at sf0.01's n=500 the test lands in the contested
+    * zone (p ≈ 0.05–0.15), so the row pins a test that neither trivially
+    * accepts nor trivially rejects; all 200 sign-flip replicates replay
+    * exactly. */
+  def pairedPermQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def u(tag: String): Column =
+      conv(substring(md5(concat(lit(tag), col("doc_id"))), 1, 6),
+        16, 10).cast("long")
+    val scored = docs.select(col("doc_id"),
+      (u("pa:") % 1000).as("sa"),
+      (u("pb:") % 1000 + 55).as("sb"))
+    Evals.pairedPermTest(scored, "doc_id", "sa", "sb", b = 200)
+  }
 
   /** [[graft.operators.Evals.rankCorr]] between the exact-cosine order
     * and the binary-Hamming order OF THE SAME ITEMS — the v26 fixture
@@ -664,6 +682,27 @@ object EvalQueries {
          |  sum(np * (2 * cumnn + nn))::BIGINT AS u2,
          |  (sum(np * (2 * cumnn + nn))::BIGINT * 1000000)
          |    // (2 * sum(np)::BIGINT * sum(nn)::BIGINT) AS auc_ppm
-         |FROM c GROUP BY lang ORDER BY grp""").stripMargin
+         |FROM c GROUP BY lang ORDER BY grp""").stripMargin,
+
+    // sign-flip replay: same md5 coin per (rep, item), integer replicate
+    // sums, add-one-smoothed p as one integer division
+    "ev13_paired_perm" ->
+      ("""WITH d AS (
+         |  SELECT doc_id,
+         |    (('0x' || substr(md5('pa:' || doc_id), 1, 6))::BIGINT % 1000)
+         |    - (('0x' || substr(md5('pb:' || doc_id), 1, 6))::BIGINT % 1000 + 55) AS dd
+         |  FROM documents),
+         |obs AS (SELECT sum(dd)::BIGINT AS obs_sum, count(*)::BIGINT AS n_items FROM d),
+         |reps AS (SELECT unnest(range(1, 201)) AS rep),
+         |fl AS (SELECT r.rep,
+         |         sum(CASE WHEN ('0x' || substr(md5('perm:' || r.rep || ':' || d.doc_id), 1, 6))::BIGINT % 2 = 0
+         |                  THEN d.dd ELSE -d.dd END)::BIGINT AS s
+         |       FROM reps r, d GROUP BY r.rep),
+         |agg AS (SELECT count(*)::BIGINT AS b,
+         |          sum(CASE WHEN abs(s) >= abs((SELECT obs_sum FROM obs)) THEN 1 ELSE 0 END)::BIGINT AS n_extreme
+         |        FROM fl)
+         |SELECT o.n_items, o.obs_sum, a.b, a.n_extreme,
+         |  ((1 + a.n_extreme) * 1000000) // (a.b + 1) AS p_ppm
+         |FROM obs o, agg a""").stripMargin
   )
 }

@@ -451,4 +451,34 @@ class EvalsSpec extends AnyFunSuite {
     assert(out("h") == ((1L, 1L, 2L, 1000000L)))
     assert(out("i") == ((0L, 2L, 0L, -1L)), "NULL auc for one-class group")
   }
+
+  test("pairedPermTest: equals an independent MessageDigest sign-flip " +
+    "replay; identical systems read p = 1 exactly") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def coin(rep: Long, id: Long): Boolean = {
+      val hex = md.digest(s"perm:$rep:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 6), 16) % 2 == 0
+    }
+    val rows = (1L to 20L).map(i => (i, 100L + i * 3, 90L + i * 2))
+    val deltas = rows.map { case (i, a, b) => (i, a - b) }
+    val obs = deltas.map(_._2).sum
+    val b = 16
+    val ne = (1 to b).count { r =>
+      math.abs(deltas.map { case (i, d) =>
+        if (coin(r, i)) d else -d
+      }.sum) >= math.abs(obs)
+    }
+    val out = Evals.pairedPermTest(rows.toDF("id", "a", "b"),
+        "id", "a", "b", b = b)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(out == ((20L, obs, b.toLong, ne.toLong,
+      ((1L + ne) * 1000000L) / (b + 1))))
+    val same = Evals.pairedPermTest(
+        rows.map(r => (r._1, r._2, r._2)).toDF("id", "a", "b"),
+        "id", "a", "b", b = 8)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(same._2 == 0L && same._4 == 8L && same._5 == 1000000L,
+      "zero observed difference: every replicate is as extreme, p = 1")
+  }
 }
