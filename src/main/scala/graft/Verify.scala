@@ -75,7 +75,17 @@ object Verify {
     // r13 rows (l17's chunk-count ladder, s12's fallback+live rankings)
     "n8_more_like_this", "t34_langid_trained",
     "t65_soft_dedup", "ev8_bootstrap", "e20_cuped",
-    "l17_status_polling", "s12_embed_fallback")
+    "l17_status_polling", "s12_embed_fallback",
+    // round-13 session additions with x64 ratios ≥ ~1.8 or scale-
+    // sensitive replay shapes: q6's full-universe exact twin (x64 9.0),
+    // ev9's gram ladder (3.4), t69's prefix growth (3.4), ev13's 200-way
+    // flip cells (2.6), t70's merge replay (2.4), ev10's LCS DP (2.3),
+    // t67's syllable folds (2.1), t68/t66 (2.0), ev12's bucket cumsum
+    // (1.8), plus tr6's 4370-step sequential oracle chain (the replay
+    // depth, not the ratio, is what sf0.1 stresses)
+    "q6_hll", "ev9_gen_diversity", "t69_heaps_growth", "ev13_paired_perm",
+    "t70_fertility", "ev10_attribution", "t67_readability",
+    "t68_zipf_slope", "t66_canary_exposure", "ev12_auc", "tr6_elo")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rest @ _*) = args
