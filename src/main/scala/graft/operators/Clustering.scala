@@ -158,4 +158,94 @@ object Clustering {
       .drop("__dup")
   }
 
+  /** Deterministic DBSCAN (Ester et al. 1996) over a cosine-similarity
+    * neighborhood — the DENSITY seat of the clustering family: k-means
+    * (k1) forces every vector into a cell and SemDeDup (k2) prunes
+    * within cells, but neither answers "which vectors sit in NO dense
+    * region" — the outlier/noise call a curation pipeline uses to route
+    * low-density embeddings to review instead of a cluster.
+    *
+    * Definitions (the classic ones, similarity-flipped): neighbors =
+    * cosine > `simThreshold`; core ⟺ |N(v)| + 1 ≥ `minPts` (the point
+    * counts itself, the original paper's convention); clusters =
+    * connected components of the core-core graph (min-id labels, the
+    * t17 machinery — isolated cores form singleton clusters); border =
+    * non-core with ≥ 1 core neighbor, assigned the MINIMUM cluster id
+    * among its core neighbors (the deterministic tiebreak for the
+    * classic "first-discoverer" ambiguity); everything else is noise
+    * (cluster −1). Every decision is a comparison of exactly-replayed
+    * values, so the whole labeling is engine-independent.
+    *
+    * 100 TB shape: the quadratic candidate join here is the TEST-SCALE
+    * arm (one side `Tables.scaled`); at scale, feed the same pipeline
+    * from LSH-bucketed candidate pairs (v10) — DBSCAN's own semantics
+    * only ever read the pair list. Degrees are one map-side-combined
+    * groupBy; components run through [[Dedup.connectedComponents]]
+    * (single-task union-find under 1M edges, else O(log d) min-label
+    * rounds); border assignment is one more equi-join + min groupBy. */
+  def dbscan(vectors: DataFrame, idCol: String, vecCol: String,
+             simThreshold: Double, minPts: Int,
+             candidates: Option[DataFrame] = None): DataFrame = {
+    require(minPts >= 1, s"dbscan needs minPts >= 1 (got $minPts)")
+    val e = vectors.select(col(idCol).cast("long").as("__id"),
+      col(vecCol).as("__v"))
+    // candidate generation: exact all-pairs by default (the oracle-
+    // replayable TEST-scale arm), or a caller-supplied blocked pair list
+    // (id_a, id_b) — e.g. v10's LSH buckets — which this scores with the
+    // SAME exact cosine filter, so a candidate set that covers the true
+    // neighbor pairs yields the identical clustering (spec-pinned)
+    val rawPairs = candidates match {
+      case Some(c) => c.select(
+          col(c.columns(0)).cast("long").as("ia"),
+          col(c.columns(1)).cast("long").as("ib"))
+        .filter(col("ia") < col("ib"))
+        .join(e.select(col("__id").as("ia"), col("__v").as("va")), "ia")
+        .join(e.select(col("__id").as("ib"), col("__v").as("vb")), "ib")
+      case None => graft.Tables.scaled(e)
+        .select(col("__id").as("ia"), col("__v").as("va"))
+        .join(e.select(col("__id").as("ib"), col("__v").as("vb")),
+          col("ia") < col("ib"))
+    }
+    val pairs = rawPairs
+      .filter(vec.cosine_sim(col("va"), col("vb")) > simThreshold)
+      .select("ia", "ib")
+      // eager cut: the pair list is tiny but its quadratic join is not —
+      // three downstream consumers (degrees, core edges, border) must
+      // not each recompute it (out is lazy, so a persist/unpersist pair
+      // inside this function would silently do exactly that)
+      .localCheckpoint()
+    val und = pairs.union(pairs.select(col("ib").as("ia"),
+      col("ia").as("ib")))
+    val deg = e.select(col("__id"))
+      .join(und.groupBy(col("ia").as("__id"))
+        .agg(count(lit(1)).as("n_neighbors")), Seq("__id"), "left")
+      .withColumn("n_neighbors", coalesce(col("n_neighbors"), lit(0L)))
+      .withColumn("is_core", col("n_neighbors") + 1 >= minPts)
+    val coreIds = deg.filter(col("is_core")).select(col("__id"))
+    val coreEdges = pairs
+      .join(coreIds.withColumnRenamed("__id", "ia"), "ia", "left_semi")
+      .join(coreIds.withColumnRenamed("__id", "ib"), "ib", "left_semi")
+    val cc = Dedup.connectedComponents(coreEdges, "ia", "ib")
+    // every core gets a cluster: its component, or itself if isolated
+    val coreComp = coreIds
+      .join(cc.withColumnRenamed("id", "__id"), Seq("__id"), "left")
+      .select(col("__id"),
+        coalesce(col("component"), col("__id")).as("cluster"))
+    val borderMin = und
+      .join(coreComp.withColumnRenamed("__id", "ib"), "ib")
+      .groupBy(col("ia").as("__id"))
+      .agg(min(col("cluster")).as("bcluster"))
+    val out = deg
+      .join(coreComp.withColumnRenamed("cluster", "ccluster"),
+        Seq("__id"), "left")
+      .join(borderMin, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_neighbors"),
+        when(col("is_core"), "core")
+          .when(col("bcluster").isNotNull, "border")
+          .otherwise("noise").as("role"),
+        when(col("is_core"), col("ccluster"))
+          .when(col("bcluster").isNotNull, col("bcluster"))
+          .otherwise(lit(-1L)).as("cluster"))
+    out
+  }
 }

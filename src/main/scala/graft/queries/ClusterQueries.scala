@@ -21,8 +21,19 @@ object ClusterQueries {
     "k3_cluster_profile" -> ((s, d) => clusterProfile(s, d)),
     "k4_cluster_sample" -> ((s, d) => clusterSample(s, d)),
     "k5_incremental_assign" -> ((s, d) => incrementalAssign(s, d)),
-    "k6_cluster_quality" -> ((s, d) => clusterQuality(s, d))
+    "k6_cluster_quality" -> ((s, d) => clusterQuality(s, d)),
+    "k7_dbscan" -> ((s, d) => dbscanQ(s, d))
   )
+
+  /** [[graft.operators.Clustering.dbscan]] at cosine > 0.35, minPts 4:
+    * 47 cores in 19 clusters, 85 borders, 368 noise at sf0.01 — all four
+    * role/cluster decision paths populated. The oracle replays pairs,
+    * degrees, the core rule, min-id reachability (t17 pattern), and the
+    * min-cluster border tiebreak. */
+  def dbscanQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Clustering.dbscan(Tables.embeddings(spark, dir),
+      "vec_id", "embedding", simThreshold = 0.35, minPts = 4)
+      .orderBy("vec_id")
 
   /** Davies–Bouldin cluster-quality evaluation over the fitted Lloyd
     * clustering — the metric a curation pipeline reads before trusting
@@ -195,6 +206,42 @@ object ClusterQueries {
     lloyd.replace("FROM embeddings),", "FROM embeddings WHERE vec_id < 400),")
 
   def oracles: Map[String, String] = Map(
+    // pairs by the v3 cosine recipe; core = deg+1 >= minPts; clusters =
+    // min reachable core id (t17 reachability); border = min core-
+    // neighbor cluster; noise -1
+    "k7_dbscan" ->
+      ("""WITH RECURSIVE p AS MATERIALIZED (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id < b.vec_id
+         |    AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.35),
+         |und AS MATERIALIZED (SELECT ia AS a, ib AS b FROM p UNION ALL SELECT ib, ia FROM p),
+         |deg AS MATERIALIZED (
+         |  SELECT e.vec_id, coalesce(d.c, 0)::BIGINT AS nn
+         |  FROM embeddings e LEFT JOIN (SELECT a, count(*) AS c FROM und GROUP BY a) d
+         |    ON e.vec_id = d.a),
+         |core AS MATERIALIZED (SELECT vec_id FROM deg WHERE nn + 1 >= 4),
+         |ce AS MATERIALIZED (SELECT a, b FROM und
+         |  WHERE a IN (SELECT vec_id FROM core) AND b IN (SELECT vec_id FROM core)),
+         |reach AS (
+         |  SELECT vec_id AS node, vec_id AS r FROM core
+         |  UNION
+         |  SELECT rr.node, ce.b FROM reach rr JOIN ce ON ce.a = rr.r),
+         |comp AS MATERIALIZED (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+         |border AS MATERIALIZED (
+         |  SELECT u.a AS vec_id, min(c.cluster) AS bcluster
+         |  FROM und u JOIN comp c ON u.b = c.node
+         |  WHERE u.a NOT IN (SELECT vec_id FROM core)
+         |  GROUP BY u.a)
+         |SELECT d.vec_id, d.nn AS n_neighbors,
+         |  CASE WHEN cm.cluster IS NOT NULL THEN 'core'
+         |       WHEN bo.bcluster IS NOT NULL THEN 'border'
+         |       ELSE 'noise' END AS role,
+         |  coalesce(cm.cluster, bo.bcluster, -1)::BIGINT AS cluster
+         |FROM deg d
+         |LEFT JOIN comp cm ON cm.node = d.vec_id
+         |LEFT JOIN border bo ON bo.vec_id = d.vec_id
+         |ORDER BY d.vec_id""").stripMargin,
     // frozen-codebook incremental assign: old-slice Lloyd replay; the
     // incoming slice scores against the FINAL centroids (c2) with the
     // same argmin/tiebreak; drift profile = per (cluster, generation)

@@ -155,4 +155,37 @@ class ClusteringSpec extends AnyFunSuite {
     assert(math.abs(dij - 10.0) < 1e-9, s"centroid distance 10: $dij")
     assert(math.abs((s(0)._3 + s(1)._3) / dij - 0.2) < 1e-9, "DB ratio 0.2")
   }
+
+  test("dbscan: hand-planted chain + triangle at cos > 0.9, minPts 3 — " +
+    "isolated core self-clusters, borders attach, noise reads -1") {
+    // chain v1 - v2 - v3 (only v2 is core: the ends see one neighbor);
+    // v4 orthogonal noise; v5/v6/v7 a tight core triangle
+    val vs = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0.95f, 0.312f)), (3L, Seq(0.81f, 0.586f)),
+      (4L, Seq(0f, 1f)),
+      (5L, Seq(-1f, 0f)), (6L, Seq(-1f, 0.02f)), (7L, Seq(-0.99f, -0.02f))
+    ).toDF("vec_id", "embedding")
+    val out = Clustering.dbscan(vs, "vec_id", "embedding",
+        simThreshold = 0.9, minPts = 3)
+      .as[(Long, Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(2L) == ((2L, "core", 2L)),
+      "chain middle: core with NO core neighbor -> singleton cluster id 2")
+    assert(out(1L) == ((1L, "border", 2L)))
+    assert(out(3L) == ((1L, "border", 2L)))
+    assert(out(4L) == ((0L, "noise", -1L)))
+    Seq(5L, 6L, 7L).foreach { v =>
+      assert(out(v) == ((2L, "core", 5L)),
+        s"triangle member $v: core, min-id cluster 5")
+    }
+    // the scale arm: a covering candidate list (here: all pairs, as an
+    // LSH blocker would over-supply) reproduces the exact clustering
+    val cand = (1L to 7L).flatMap(a => (1L to 7L).map(b => (a, b)))
+      .filter(p => p._1 < p._2).toDF("id_a", "id_b")
+    val blocked = Clustering.dbscan(vs, "vec_id", "embedding",
+        simThreshold = 0.9, minPts = 3, candidates = Some(cand))
+      .as[(Long, Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(blocked == out, "covering candidates == exact all-pairs arm")
+  }
 }
