@@ -411,4 +411,59 @@ object Features {
         abs(col("n_users_a") - col("n_users_b")) * 10000 >
           (col("n_users_a") + col("n_users_b")) * srmTolBp)
   }
+
+  /** Two-sided CUSUM change detection (Page 1954) per key over an
+    * ordered integer reading stream — the SEQUENTIAL drift monitor
+    * beside [[psiReport]]'s two-window snapshot: PSI compares
+    * distributions you already chose to compare; CUSUM watches the
+    * stream and tells you WHEN the mean shifted (the classic SPC
+    * recursion S⁺_t = max(0, S⁺_{t−1} + (x_t − upperTarget)), alarm at
+    * S⁺ > h; mirrored with lowerTarget for downward shifts).
+    *
+    * The recursion is NOT window-expressible as written — but it has the
+    * exact prefix identity S⁺_t = P_t − min(0, min_{j<t} P_j) with
+    * P_t = Σ(x_i − upperTarget), so the whole trajectory computes as ONE
+    * per-key running sum + ONE running min — O(1) state per row, no
+    * sequential fold, no collected history (the e13 fold discipline made
+    * distributable). All integer: readings, prefixes, thresholds.
+    *
+    * Output per key: `n`, `max_sp`/`max_sn` (peak upper/lower CUSUM),
+    * `n_alarm_up`/`n_alarm_down` (rows above `h`), `first_up`/
+    * `first_down` (order key of the first alarm, NULL if never — the
+    * change-point estimate a responder acts on).
+    *
+    * 100 TB shape: one exchange on the key, two running window frames
+    * over it, one map-side-combined per-key reduce. A single giant key
+    * serializes its own partition (the stated window-keyed skew note —
+    * shard the key upstream if one stream dominates). */
+  def cusumReport(readings: DataFrame, keyCol: String, orderCol: String,
+                  valueCol: String, upperTarget: Long, lowerTarget: Long,
+                  h: Long): DataFrame = {
+    require(h > 0 && upperTarget >= lowerTarget,
+      s"cusumReport needs h > 0 and upperTarget >= lowerTarget " +
+        s"(got $h / $upperTarget / $lowerTarget)")
+    import org.apache.spark.sql.expressions.Window
+    val cum = Window.partitionBy("__k").orderBy(col("__o").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val before = Window.partitionBy("__k").orderBy(col("__o").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    readings.select(col(keyCol).as("__k"), col(orderCol).as("__o"),
+        col(valueCol).cast("long").as("__x"))
+      .withColumn("pu", sum(col("__x") - upperTarget).over(cum))
+      .withColumn("pd", sum(lit(lowerTarget) - col("__x")).over(cum))
+      .withColumn("sp", greatest(col("pu") -
+        least(coalesce(min(col("pu")).over(before), lit(0L)), lit(0L)),
+        lit(0L)))
+      .withColumn("sn", greatest(col("pd") -
+        least(coalesce(min(col("pd")).over(before), lit(0L)), lit(0L)),
+        lit(0L)))
+      .groupBy(col("__k").as(keyCol)).agg(
+        count(lit(1)).as("n"),
+        max(col("sp")).as("max_sp"),
+        max(col("sn")).as("max_sn"),
+        sum(when(col("sp") > h, 1L).otherwise(0L)).as("n_alarm_up"),
+        sum(when(col("sn") > h, 1L).otherwise(0L)).as("n_alarm_down"),
+        min(when(col("sp") > h, col("__o"))).as("first_up"),
+        min(when(col("sn") > h, col("__o"))).as("first_down"))
+  }
 }

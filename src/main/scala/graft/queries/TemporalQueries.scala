@@ -38,8 +38,31 @@ object TemporalQueries {
     "e18_rolling_anomaly" -> ((s, d) => rollingAnomalyQ(s, d)),
     "e19_ab_uplift" -> ((s, d) => abUpliftQ(s, d)),
     "e20_cuped" -> ((s, d) => cupedQ(s, d)),
+    "e21_cusum" -> ((s, d) => cusumQ(s, d)),
     "c5_texttile" -> ((s, d) => textTileQ(s, d))
   )
+
+  /** [[graft.operators.Features.cusumReport]] per event_type in event_id
+    * order, readings = floor(value·100) with PLANTED level shifts in the
+    * stream's second half (event_id ≥ 5000): 'error' +2500 (the upward
+    * monitor fires — 843 alarms from event 5824 at sf0.01), 'view' −2500
+    * (the downward monitor fires), the other three stay quiet under
+    * targets 6000/4000 and h = 200000 — both alarm branches and the
+    * quiet path all populated, change points localized within ~800
+    * events of the planted shift. */
+  def cusumQ(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.events(spark, dir).select(col("event_type"),
+        col("event_id"),
+        (floor(col("value") * 100).cast("long") +
+          when(col("event_type") === "error" && col("event_id") >= 5000,
+            2500L)
+            .when(col("event_type") === "view" && col("event_id") >= 5000,
+              -2500L)
+            .otherwise(0L)).as("reading"))
+    graft.operators.Features.cusumReport(r, "event_type", "event_id",
+        "reading", upperTarget = 6000L, lowerTarget = 4000L, h = 200000L)
+      .orderBy("event_type")
+  }
 
   /** [[graft.operators.Features.cuped]] over the event stream with the
     * month split at Jan 16 (pre-period covariate = each user's first-half
@@ -395,6 +418,36 @@ object TemporalQueries {
         |  (abs(sz.n_users_a - sz.n_users_b) * 10000
         |    > (sz.n_users_a + sz.n_users_b) * 500) AS srm_flag
         |FROM cv, sz ORDER BY cv.metric""".stripMargin,
+    // the prefix identity replay: S+ = P - min(0, min prefix-before),
+    // two running frames per key, alarms/first via conditional aggs
+    "e21_cusum" ->
+      ("""WITH r AS (
+         |  SELECT event_type, event_id,
+         |    floor(value * 100)::BIGINT
+         |      + CASE WHEN event_type = 'error' AND event_id >= 5000 THEN 2500
+         |             WHEN event_type = 'view' AND event_id >= 5000 THEN -2500
+         |             ELSE 0 END AS x
+         |  FROM events),
+         |p AS (SELECT event_type, event_id,
+         |        sum(x - 6000) OVER (PARTITION BY event_type ORDER BY event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS pu,
+         |        sum(4000 - x) OVER (PARTITION BY event_type ORDER BY event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS pd
+         |      FROM r),
+         |s AS (SELECT event_type, event_id,
+         |        greatest(pu - least(coalesce(min(pu) OVER (PARTITION BY event_type ORDER BY event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), 0), 0)::BIGINT AS sp,
+         |        greatest(pd - least(coalesce(min(pd) OVER (PARTITION BY event_type ORDER BY event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), 0), 0)::BIGINT AS sn
+         |      FROM p)
+         |SELECT event_type, count(*)::BIGINT AS n,
+         |  max(sp)::BIGINT AS max_sp, max(sn)::BIGINT AS max_sn,
+         |  sum(CASE WHEN sp > 200000 THEN 1 ELSE 0 END)::BIGINT AS n_alarm_up,
+         |  sum(CASE WHEN sn > 200000 THEN 1 ELSE 0 END)::BIGINT AS n_alarm_down,
+         |  min(CASE WHEN sp > 200000 THEN event_id END)::BIGINT AS first_up,
+         |  min(CASE WHEN sn > 200000 THEN event_id END)::BIGINT AS first_down
+         |FROM s GROUP BY event_type ORDER BY event_type""").stripMargin,
+
     // per-user fixed-point pre/post sums -> exact HUGEINT moments -> the
     // stated float chain (theta, pooled mean, adjustment, rho2), floored
     "e20_cuped" ->

@@ -238,4 +238,29 @@ class FeaturesSpec extends AnyFunSuite {
     assert(out(1).getAs[Long]("key") == 2L && out(2).getAs[Long]("key") == 3L,
       "tie on cnt breaks by key ascending")
   }
+
+  test("cusumReport: the prefix identity equals the hand-run Page " +
+    "recursion; alarms and first change point land where planted; the " +
+    "quiet direction stays at zero") {
+    // k: S+ by recursion over x-15: 0,0,10,20,30,25 -> alarms(>12) at
+    // orders 4,5,6; downward side strictly negative drift -> silent.
+    // m: downward shift fires S- = 0,0,5,10,15 -> one alarm at order 5.
+    val r = Seq(
+      ("k", 1L, 10L), ("k", 2L, 10L), ("k", 3L, 25L),
+      ("k", 4L, 25L), ("k", 5L, 25L), ("k", 6L, 10L),
+      ("m", 1L, 10L), ("m", 2L, 10L), ("m", 3L, 0L),
+      ("m", 4L, 0L), ("m", 5L, 0L)
+    ).toDF("key_in", "ord", "x")
+    val out = graft.operators.Features.cusumReport(r, "key_in", "ord", "x",
+        upperTarget = 15L, lowerTarget = 5L, h = 12L)
+      .collect().map(row => row.getString(0) -> row).toMap
+    val k = out("k")
+    assert((k.getLong(1), k.getLong(2), k.getLong(3), k.getLong(4),
+      k.getLong(5)) == ((6L, 30L, 0L, 3L, 0L)))
+    assert(k.getLong(6) == 4L, "first upward alarm at order 4")
+    assert(k.isNullAt(7), "no downward alarm -> NULL first_down")
+    val m = out("m")
+    assert((m.getLong(2), m.getLong(3), m.getLong(5), m.getLong(7)) ==
+      ((0L, 15L, 1L, 5L)), "downward stream: S- peaks at 15, S+ silent")
+  }
 }
