@@ -85,7 +85,12 @@ object Verify {
     // depth, not the ratio, is what sf0.1 stresses)
     "q6_hll", "ev9_gen_diversity", "t69_heaps_growth", "ev13_paired_perm",
     "t70_fertility", "ev10_attribution", "t67_readability",
-    "t68_zipf_slope", "t66_canary_exposure", "ev12_auc", "tr6_elo")
+    "t68_zipf_slope", "t66_canary_exposure", "ev12_auc", "tr6_elo",
+    // second-half r13 session additions: e21's five-key window
+    // serialization law (x64 15.0), k7's component/border chain over the
+    // 10x pair graph (the quadratic arm is sf-bounded and its oracle
+    // joins run ~1 s at sf0.1)
+    "e21_cusum", "k7_dbscan")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rest @ _*) = args
