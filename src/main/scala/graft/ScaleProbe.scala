@@ -196,7 +196,11 @@ object ScaleProbe {
         "k2_semdedup",
         // round 12: the two train-corpus gram-explode ops — their broadcast
         // semi-joins must degrade to spill, never to executor death
-        "t61_contamination_report", "t64_memorization")
+        "t61_contamination_report", "t64_memorization",
+        // round 13: the session's memory-heavy shapes — ev9/t69's gram-
+        // type exchanges and q6's exact countDistinct twin (the rule-21
+        // arm that carries the full key universe)
+        "ev9_gen_diversity", "t69_heaps_growth", "q6_hll")
       val picked = args.lift(1) match {
         case Some(list) =>
           val want = list.split(',').filter(_.nonEmpty).toSet
