@@ -187,6 +187,9 @@ object Clustering {
              simThreshold: Double, minPts: Int,
              candidates: Option[DataFrame] = None): DataFrame = {
     require(minPts >= 1, s"dbscan needs minPts >= 1 (got $minPts)")
+    // ids flow through cast('long') into the union-find / min-label
+    // components — a string id would cast to NULL silently
+    Guards.requireIntegral(vectors, idCol, "dbscan")
     val e = vectors.select(col(idCol).cast("long").as("__id"),
       col(vecCol).as("__v"))
     // candidate generation: exact all-pairs by default (the oracle-

@@ -1699,6 +1699,7 @@ object Corpus {
     * per-word fold only reads lambda variables (the bind-once rule). */
   def readability(docs: DataFrame, idCol: String, wordsCol: String,
                   sentencesCol: String): DataFrame = {
+    Guards.requireIntegral(docs, sentencesCol, "readability")
     val coll = transform(col(wordsCol),
       wd => regexp_replace(wd, "[aeiouy]+", "V"))
     val runs = transform(coll, r => (length(r) -
@@ -1938,6 +1939,10 @@ object Corpus {
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
                      k: Int, seed: String = "wrs"): DataFrame = {
     require(k >= 1, s"weightedSample needs k >= 1 (got $k)")
+    // the emitted weight column is cast('long'); fractional weights would
+    // RANK correctly (the key uses the raw double) but REPORT truncated —
+    // require integral so the output is never silently lossy
+    Guards.requireIntegral(df, weightCol, "weightedSample")
     val h = conv(substring(md5(concat(lit(seed + ":"), col(idCol))),
       1, 6), 16, 10).cast("long") % 1000000L
     val key = when(col(weightCol) <= 0, expr(

@@ -626,6 +626,8 @@ object Evals {
     * test, not comparing them. */
   def rankCorr(ranks: DataFrame, idCol: String, itemCol: String,
                rankACol: String, rankBCol: String): DataFrame = {
+    Guards.requireIntegral(ranks, rankACol, "rankCorr")
+    Guards.requireIntegral(ranks, rankBCol, "rankCorr")
     val r = ranks.select(col(idCol).as("__id"),
       col(itemCol).as("__it"),
       col(rankACol).cast("long").as("__ra"),
@@ -686,8 +688,17 @@ object Evals {
   def aucReport(scored: DataFrame, groupCol: String, labelCol: String,
                 scoreCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    Guards.requireIntegral(scored, labelCol, "aucReport",
+      acceptBoolean = true)
+    Guards.requireIntegral(scored, scoreCol, "aucReport")
     val g = scored.select(col(groupCol).as("grp"),
-        col(labelCol).cast("long").as("__pos"),
+        // a label outside {0,1} would silently corrupt BOTH class counts
+        // (sum(pos) and sum(1-pos)) — fail loudly instead
+        when(col(labelCol).cast("long").isin(0L, 1L),
+          col(labelCol).cast("long"))
+          .otherwise(expr(
+            "raise_error('aucReport: labels must be 0/1')").cast("long"))
+          .as("__pos"),
         col(scoreCol).cast("long").as("__s"))
       .groupBy("grp", "__s")
       .agg(sum(col("__pos")).as("np"),
@@ -730,6 +741,8 @@ object Evals {
                      aCol: String, bCol: String,
                      b: Int = 200, seed: String = "perm"): DataFrame = {
     require(b >= 1, s"pairedPermTest needs b >= 1 (got $b)")
+    Guards.requireIntegral(scored, aCol, "pairedPermTest")
+    Guards.requireIntegral(scored, bCol, "pairedPermTest")
     val deltas = scored.select(col(idCol).as("__id"),
       (col(aCol).cast("long") - col(bCol).cast("long")).as("__d"))
     val obs = deltas.agg(sum(col("__d")).as("obs_sum"),

@@ -442,6 +442,7 @@ object Features {
     require(h > 0 && upperTarget >= lowerTarget,
       s"cusumReport needs h > 0 and upperTarget >= lowerTarget " +
         s"(got $h / $upperTarget / $lowerTarget)")
+    Guards.requireIntegral(readings, valueCol, "cusumReport")
     import org.apache.spark.sql.expressions.Window
     val cum = Window.partitionBy("__k").orderBy(col("__o").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -329,6 +329,11 @@ object Mining {
                  k: Long = 32L, init: Long = 1000L,
                  matchCap: Int = 1000000): DataFrame = {
     require(k > 0 && matchCap >= 1, s"eloRatings: k > 0, cap >= 1")
+    // items and the order key all cast('long') into the driver replay —
+    // a string id would cast to NULL silently, a timestamp order key
+    // would truncate to seconds and manufacture duplicate-order failures
+    Seq(aCol, bCol, orderCol).foreach(
+      Guards.requireIntegral(matches, _, "eloRatings"))
     val spark = matches.sparkSession
     import spark.implicits._
     val rows = matches.select(col(orderCol).cast("long").as("o"),

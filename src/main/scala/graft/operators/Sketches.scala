@@ -40,6 +40,10 @@ object Sketches {
     * Empty name groups read est = exact = 0, err 0. */
   def hllCardinality(keyed: DataFrame, nameCol: String,
                      keyCol: String): DataFrame = {
+    // the key is md5'd through string concat: implicit number->string
+    // formatting (1 vs 1.0) is engine-specific, so the cast must be the
+    // caller's explicit, stated choice
+    Guards.requireString(keyed, keyCol, "hllCardinality")
     val m = 256
     val alphaNum = 1846528L // 0.7213 * m * 10^4... exact: 7213 * m
     val alphaDen = 2570790L // 10^4 * m + 10790

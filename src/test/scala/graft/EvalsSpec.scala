@@ -481,4 +481,29 @@ class EvalsSpec extends AnyFunSuite {
     assert(same._2 == 0L && same._4 == 8L && same._5 == 1000000L,
       "zero observed difference: every replicate is as extreme, p = 1")
   }
+
+  test("integral-input guards: fractional scores/deltas and out-of-domain " +
+    "labels fail loudly, never truncate (the poissonBootstrap rule)") {
+    val frac = Seq(("g", 1L, 0.7)).toDF("grp_in", "lab", "score")
+    val e1 = intercept[IllegalArgumentException] {
+      Evals.aucReport(frac, "grp_in", "lab", "score")
+    }
+    assert(e1.getMessage.contains("integral"))
+    val badLab = Seq(("g", 2L, 3L), ("g", 0L, 1L))
+      .toDF("grp_in", "lab", "score")
+    val e2 = intercept[Exception] {
+      Evals.aucReport(badLab, "grp_in", "lab", "score").collect()
+    }
+    assert(e2.getMessage.contains("labels must be 0/1"))
+    val e3 = intercept[IllegalArgumentException] {
+      Evals.pairedPermTest(Seq((1L, 0.5, 0.4)).toDF("id", "a", "b"),
+        "id", "a", "b")
+    }
+    assert(e3.getMessage.contains("integral"))
+    val e4 = intercept[IllegalArgumentException] {
+      Evals.rankCorr(Seq((1L, 10L, 1.0, 2.0)).toDF("id", "item", "ra", "rb"),
+        "id", "item", "ra", "rb")
+    }
+    assert(e4.getMessage.contains("integral"))
+  }
 }
