@@ -83,7 +83,7 @@ object Bench {
     "ev11_rank_corr", "ev12_auc",
     "t67_readability", "t68_zipf_slope", "t69_heaps_growth", "q6_hll",
     "tr6_elo", "t70_fertility", "t71_weighted_sample", "gr4_lpa",
-    "ev13_paired_perm", "e21_cusum")
+    "ev13_paired_perm", "e21_cusum", "n14_ql_dirichlet")
   // k7_dbscan is deliberately NOT a headliner (the v3 convention): its
   // registry arm scores exact all-pairs cosine — the oracle-replayable
   // TEST-scale candidate generator — which is quadratic by design; the

@@ -481,4 +481,82 @@ object FullText {
       .select(col("qt").as("token"), col("vterm").as("suggestion"),
         col("dist"), col("df"))
   }
+
+  /** Query-likelihood retrieval with Dirichlet-prior smoothing (Zhai &
+    * Lafferty 2001 — the language-modeling ranking family beside the
+    * probabilistic BM25/BM25F and the feedback RM3; Lucene's
+    * `LMDirichletSimilarity`):
+    *
+    *   score(Q, D) = Σ_w ln( (tf_{w,D} + μ·P(w|C)) / (|D| + μ) )
+    *
+    * computed by the standard hit-only decomposition so unseen query
+    * terms never explode the plan:
+    *
+    *   score = Σ_{hits} ln(1 + tf·|C|/(μ·cf_w))                 (part 1)
+    *         + Σ_w ln(μ·cf_w/|C|)  −  |Q|·ln(|D| + μ)     (parts 2 & 3)
+    *
+    * part 2 is a per-QUERY constant and part 3 depends only on doc
+    * length, so ONLY matching (doc, term) rows are ever exchanged — the
+    * n2 explode + In-filter discipline — yet every document in the
+    * corpus is scored (a doc with zero hits still ranks by its length
+    * prior, the property BM25's zero-for-missing scoring doesn't have).
+    *
+    * Determinism: every ln argument is a ratio of EXACT integers
+    * (μ, cf_w, |C|, tf, |D| — ln of integer ratios, the t30 primitive);
+    * part 1 folds per doc in TERM order (sort_array fold, the t57
+    * word-ordered discipline), part 2 folds the cf rows in term order on
+    * a one-row frame, and the score is emitted as ⌊score·10⁶⌋ with the
+    * (score_fp desc, doc_id) total order. A query term absent from the
+    * corpus raises loudly (its smoothed probability is 0 — the whole
+    * query would score −∞; the caller drops or respells it, the n10
+    * suggestion path).
+    *
+    * 100 TB shape: two vocab-bounded scalars (|C|, the 4-row cf table)
+    * + one hit-only explode groupBy (n2's exchange) + a k-bounded
+    * TakeOrdered. Nothing corpus-sized shuffles except the hit rows. */
+  def qlDirichlet(docs: DataFrame, idCol: String, textCol: String,
+                  terms: Seq[String], k: Int, mu: Long = 2000L): DataFrame = {
+    require(terms.nonEmpty && k >= 1 && mu >= 1,
+      s"qlDirichlet needs terms, k >= 1, mu >= 1 (got $terms / $k / $mu)")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      text.tokens(col(textCol)).as("tk"))
+    val lens = toks.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hits = toks.select(col("doc_id"), explode(col("tk")).as("term"))
+      .filter(col("term").isin(terms: _*))
+    val cfRows = hits.groupBy("term").agg(count(lit(1)).as("cf"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = terms.filterNot(cfRows.contains)
+    require(missing.isEmpty, s"qlDirichlet: query terms absent from the " +
+      s"corpus (smoothed probability 0 — the query would score -inf): " +
+      s"${missing.mkString(", ")}; drop or respell them (spellSuggest)")
+    val totC = lens.agg(sum(col("dl"))).head().getLong(0)
+    require(totC > 0, "qlDirichlet: empty corpus")
+    // part 2: per-query constant, folded in sorted-term order (driver —
+    // |Q| values, rule 17)
+    val qConst = terms.sorted.foldLeft(0.0)((a, t) =>
+      a + math.log(mu.toDouble * cfRows(t) / totC.toDouble))
+    val cfDf = broadcast(cfRows.toSeq.toDF("term", "cf"))
+    val tf = hits.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val part1 = tf.join(cfDf, "term")
+      .withColumn("w", log(lit(1.0) +
+        (col("tf") * totC).cast("double") /
+          (lit(mu) * col("cf")).cast("double")))
+      .groupBy("doc_id")
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("term").as("t"),
+          col("w").as("w")))),
+        lit(0.0), (a, x) => a + x.getField("w")).as("s1"),
+        count(lit(1)).as("n_hit_terms"))
+    lens.join(part1, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hit_terms"), lit(0L)).as("n_hit_terms"),
+        floor((coalesce(col("s1"), lit(0.0)) + lit(qConst) -
+          lit(terms.length.toDouble) *
+            log((col("dl") + mu).cast("double"))) * lit(1000000.0))
+          .cast("long").as("score_fp"))
+      .orderBy(col("score_fp").desc, col("doc_id").asc)
+      .limit(k)
+  }
 }

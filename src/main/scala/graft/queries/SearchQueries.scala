@@ -33,8 +33,19 @@ object SearchQueries {
     "n7_rm3_expand" -> ((s, d) => rm3Expand(s, d)),
     "n8_more_like_this" -> ((s, d) => moreLikeThis(s, d)),
     "n9_proximity" -> ((s, d) => proximity(s, d)),
-    "n10_spell_suggest" -> ((s, d) => spellSuggest(s, d))
+    "n10_spell_suggest" -> ((s, d) => spellSuggest(s, d)),
+    "n14_ql_dirichlet" -> ((s, d) => qlDirichletQ(s, d))
   )
+
+  /** [[graft.operators.FullText.qlDirichlet]] over the n2 terms at
+    * μ = 2000: the language-modeling ranking beside BM25 — every doc
+    * scores (zero-hit docs rank by their length prior), the top-10 is a
+    * genuinely different order from n2's (QL's length normalization is
+    * the Dirichlet prior, not b·dl/avgdl), and every ln argument is a
+    * ratio of exact integers the oracle refolds in the same term order. */
+  def qlDirichletQ(spark: SparkSession, dir: String): DataFrame =
+    FullText.qlDirichlet(Tables.documents(spark, dir), "doc_id", "text",
+      Terms, k = 10)
 
   /** Proximity search: all four query terms required, ranked by the
     * minimal token window covering them (then n_hits desc, doc_id) — the
@@ -326,6 +337,39 @@ object SearchQueries {
       s"""WITH ${bm25Sql(10)}
          |SELECT doc_id, round(score, 6) AS bm25, n_terms FROM sc
          |ORDER BY score DESC, doc_id""".stripMargin,
+    // the hit-only QL decomposition refolded: part-1 per-doc term-ordered
+    // ln fold, part-2 query constant as a term-ordered 0.0-seeded
+    // list_reduce, part-3 length prior; every ln arg a ratio of exact
+    // integer products in the engine's parenthesization
+    "n14_ql_dirichlet" ->
+      """WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |       FROM documents),
+        |tk AS (SELECT doc_id, list_filter(string_split(norm, ' '), t -> len(t) > 0) AS tk
+        |       FROM n),
+        |lens AS (SELECT doc_id, len(tk)::BIGINT AS dl FROM tk),
+        |tot AS (SELECT sum(dl)::BIGINT AS c FROM lens),
+        |tf AS (SELECT doc_id, t AS term, count(*)::BIGINT AS tf
+        |       FROM (SELECT doc_id, unnest(tk) AS t FROM tk)
+        |       WHERE t IN ('spark','vector','merge','stream') GROUP BY doc_id, t),
+        |cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM tf GROUP BY term),
+        |qc AS (SELECT list_reduce([0.0::DOUBLE] ||
+        |         list(ln((2000 * cf)::DOUBLE / (SELECT c FROM tot)::DOUBLE) ORDER BY term),
+        |         (a, b) -> a + b) AS qconst,
+        |       count(*) AS nq FROM cf),
+        |w AS (SELECT tf.doc_id, tf.term,
+        |        ln(1.0 + (tf.tf * (SELECT c FROM tot))::DOUBLE / (2000 * cf.cf)::DOUBLE) AS w
+        |      FROM tf JOIN cf USING (term)),
+        |p1 AS (SELECT doc_id,
+        |         list_reduce([0.0::DOUBLE] || list(w ORDER BY term), (a, b) -> a + b) AS s1,
+        |         count(*)::BIGINT AS n_hit_terms
+        |       FROM w GROUP BY doc_id),
+        |sc AS (SELECT lens.doc_id,
+        |         coalesce(p1.n_hit_terms, 0)::BIGINT AS n_hit_terms,
+        |         floor(((coalesce(p1.s1, 0.0::DOUBLE) + qc.qconst)
+        |           - 4.0::DOUBLE * ln((lens.dl + 2000)::DOUBLE)) * 1000000)::BIGINT AS score_fp
+        |       FROM lens LEFT JOIN p1 USING (doc_id), qc)
+        |SELECT doc_id, n_hit_terms, score_fp FROM sc
+        |ORDER BY score_fp DESC, doc_id LIMIT 10""".stripMargin,
     "n7_rm3_expand" ->
       s"""WITH ${bm25Sql(10)},
          |ex AS (SELECT t AS term FROM (

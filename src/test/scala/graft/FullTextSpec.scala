@@ -241,4 +241,33 @@ class FullTextSpec extends AnyFunSuite {
     // title weight dominates: one title hit outranks two body hits
     assert(out(1L) > out(2L))
   }
+
+  test("qlDirichlet: hand-computed Dirichlet scores via the hit-only " +
+    "decomposition; zero-hit docs still rank by the length prior; " +
+    "out-of-corpus query terms raise") {
+    import graft.operators.FullText
+    // |C| = 5, cf(apple) = 2, mu = 10:
+    // d1 "apple apple banana": ln((2 + 10*2/5)/(3+10)) = ln(6/13)
+    // d2 "banana cherry":      ln((0 + 4)/(2+10))      = ln(4/12)
+    val docs = Seq((1L, "apple apple banana"), (2L, "banana cherry"))
+      .toDF("doc_id", "text")
+    val out = FullText.qlDirichlet(docs, "doc_id", "text",
+        Seq("apple"), k = 10, mu = 10L)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // replay the engine's own float parenthesization
+    val q = math.log(10.0 * 2 / 5.0)
+    val s1 = math.log(1.0 + (2L * 5).toDouble / (10L * 2).toDouble)
+    val d1 = math.floor(((s1 + q) - 1.0 * math.log(13.0)) * 1e6).toLong
+    val d2 = math.floor(((0.0 + q) - 1.0 * math.log(12.0)) * 1e6).toLong
+    assert(out(1L) == ((1L, d1)))
+    assert(out(2L) == ((0L, d2)), "zero hits: ranked by the length prior")
+    assert(out(1L)._2 > out(2L)._2)
+    assert(math.abs(d1 / 1e6 - math.log(6.0 / 13)) < 1e-6,
+      "decomposition equals the textbook form")
+    val thrown = intercept[IllegalArgumentException] {
+      FullText.qlDirichlet(docs, "doc_id", "text", Seq("apple", "zzz"),
+        k = 5, mu = 10L)
+    }
+    assert(thrown.getMessage.contains("absent from the"))
+  }
 }
