@@ -90,7 +90,7 @@ object Verify {
     // serialization law (x64 15.0), k7's component/border chain over the
     // 10x pair graph (the quadratic arm is sf-bounded and its oracle
     // joins run ~1 s at sf0.1)
-    "e21_cusum", "k7_dbscan")
+    "e21_cusum", "k7_dbscan", "n14_ql_dirichlet")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rest @ _*) = args
