@@ -83,12 +83,13 @@ object Bench {
     "ev11_rank_corr", "ev12_auc",
     "t67_readability", "t68_zipf_slope", "t69_heaps_growth", "q6_hll",
     "tr6_elo", "t70_fertility", "t71_weighted_sample", "gr4_lpa",
-    "ev13_paired_perm", "e21_cusum", "n14_ql_dirichlet")
+    "ev13_paired_perm", "e21_cusum", "n14_ql_dirichlet",
+    "k8_dbscan_blocked", "e22_cusum_sharded")
   // k7_dbscan is deliberately NOT a headliner (the v3 convention): its
   // registry arm scores exact all-pairs cosine — the oracle-replayable
   // TEST-scale candidate generator — which is quadratic by design; the
-  // scale path feeds the same pipeline from v10's LSH-bucketed pairs,
-  // whose growth law the t4/t24 rows already measure.
+  // measured scale path is k8_dbscan_blocked (multi-probe IVF candidates,
+  // headlined above).
   // v23_ann_recall is deliberately NOT a headliner: it is a QUALITY gate
   // (eight recall measurements, each paying an index-build arm the bench
   // already times individually via v12/v13/v15/v17/v22) — benching it

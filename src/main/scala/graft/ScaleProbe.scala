@@ -128,7 +128,8 @@ object ScaleProbe {
         "t66_canary_exposure", "ev11_rank_corr", "ev12_auc",
         "t67_readability", "t68_zipf_slope", "t69_heaps_growth", "q6_hll",
         "tr6_elo", "t70_fertility", "t71_weighted_sample", "gr4_lpa",
-        "ev13_paired_perm", "e21_cusum", "n14_ql_dirichlet")
+        "ev13_paired_perm", "e21_cusum", "n14_ql_dirichlet",
+        "k8_dbscan_blocked", "e22_cusum_sharded")
       // optional second arg: probe only the named queries (comma-separated) —
       // re-measuring one changed operator shouldn't cost the full heavy tail.
       // Unknown names fail loudly: a typo silently probing nothing (and still
@@ -153,10 +154,17 @@ object ScaleProbe {
         val fn64: (SparkSession, String) => DataFrame =
           if (name == "k2_semdedup")
             (s, d) => graft.queries.ClusterQueries.semDedupAt(s, d, k = 512)
+          // k8 shares k2's k ∝ n contract — the blocking only prunes at
+          // constant cell size, so the x64 leg must scale k with the data
+          else if (name == "k8_dbscan_blocked")
+            (s, d) => graft.queries.ClusterQueries.dbscanBlockedAt(s, d, k = 512)
           else fn
         val t1x = timeQuery(fn, spark, base)
         val t64 = timeQuery(fn64, spark, s"$root/x64")
-        val note = if (name == "k2_semdedup") " [k scaled 8->512]" else ""
+        val note =
+          if (name == "k2_semdedup") " [k scaled 8->512]"
+          else if (name == "k8_dbscan_blocked") " [k scaled 8->512]"
+          else ""
         println(f"[scale] $name%-22s x1=$t1x%6.2fs x64=$t64%7.2fs " +
           f"ratio=${t64 / t1x}%.1f (data 64x)$note")
       }

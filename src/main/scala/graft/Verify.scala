@@ -90,7 +90,13 @@ object Verify {
     // serialization law (x64 15.0), k7's component/border chain over the
     // 10x pair graph (the quadratic arm is sf-bounded and its oracle
     // joins run ~1 s at sf0.1)
-    "e21_cusum", "k7_dbscan", "n14_ql_dirichlet")
+    "e21_cusum", "k7_dbscan", "n14_ql_dirichlet",
+    // round-14 additions: k8's blocked scale arm (Lloyd + probe window +
+    // co-membership replay — the fit shuffle and component chain are what
+    // sf0.1 stresses)
+    "k8_dbscan_blocked",
+    // e22: the sharded-CUSUM skew receipt (320-key window frames at sf0.1)
+    "e22_cusum_sharded")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rest @ _*) = args

@@ -302,6 +302,103 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** probe_centroids(Array[Float]) -> Array[Long]: indices of the `p`
+    * L2-nearest centroids in a BROADCAST codebook, ordered by
+    * (distance asc, index asc) — the multi-probe generalization of
+    * [[NearestCentroid]] (FAISS's IVF nprobe, applied to the CORPUS side:
+    * a point belongs to its p nearest inverted lists, so two points whose
+    * true neighborhood straddles a Voronoi boundary still meet in some
+    * shared list). Same shipping model as NearestCentroid: the codebook is
+    * a broadcast handle, plan size O(1) in k, one O(k·dim) compiled scan
+    * per row with a p-slot insertion (p is small — 2..8), distance
+    * accumulated left-to-right in doubles so the (d, i) order is
+    * bit-compatible with the oracle's `row_number() OVER (ORDER BY d, cid)
+    * <= p` window. */
+  case class ProbeCentroids(child: Expression,
+                            centroids: Broadcast[Array[Array[Double]]],
+                            p: Int)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    require(p >= 1, s"probe_centroids needs p >= 1 (got $p)")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "probe_centroids"
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+
+    override def nullSafeEval(v: Any): Any = {
+      val x = v.asInstanceOf[ArrayData]
+      val cbs = centroids.value
+      val m = math.min(p, cbs.length)
+      val bd = new Array[Double](m); val bi = new Array[Long](m)
+      var filled = 0; var c = 0
+      while (c < cbs.length) {
+        val cent = cbs(c)
+        val n = math.min(x.numElements(), cent.length)
+        var s = 0.0; var j = 0
+        while (j < n) {
+          val diff = x.getFloat(j).toDouble - cent(j)
+          s += diff * diff; j += 1
+        }
+        // strict < keeps the earlier (lower) index in front on exact ties —
+        // the oracle's (d, cid) window order
+        var pos = filled
+        while (pos > 0 && s < bd(pos - 1)) pos -= 1
+        if (pos < m) {
+          var q = math.min(filled, m - 1)
+          while (q > pos) { bd(q) = bd(q - 1); bi(q) = bi(q - 1); q -= 1 }
+          bd(pos) = s; bi(pos) = c.toLong
+          if (filled < m) filled += 1
+        }
+        c += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(if (filled == m) bi else bi.take(filled))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bcRef = ctx.addReferenceObj("centroidsBc", centroids,
+        classOf[Broadcast[Array[Array[Double]]]].getName)
+      val cbs = ctx.addMutableState("double[][]", "probeCodebook",
+        v => s"$v = (double[][]) $bcRef.value();")
+      nullSafeCodeGen(ctx, ev, v => {
+        val c = ctx.freshName("c"); val j = ctx.freshName("j")
+        val n = ctx.freshName("n"); val s = ctx.freshName("s")
+        val diff = ctx.freshName("diff"); val cent = ctx.freshName("cent")
+        val bd = ctx.freshName("bd"); val bi = ctx.freshName("bi")
+        val m = ctx.freshName("m"); val filled = ctx.freshName("filled")
+        val pos = ctx.freshName("pos"); val q = ctx.freshName("q")
+        val out = ctx.freshName("out")
+        s"""
+        int $m = java.lang.Math.min($p, $cbs.length);
+        double[] $bd = new double[$m]; long[] $bi = new long[$m];
+        int $filled = 0;
+        for (int $c = 0; $c < $cbs.length; $c++) {
+          double[] $cent = $cbs[$c];
+          int $n = java.lang.Math.min($v.numElements(), $cent.length);
+          double $s = 0.0;
+          for (int $j = 0; $j < $n; $j++) {
+            double $diff = (double) $v.getFloat($j) - $cent[$j];
+            $s += $diff * $diff;
+          }
+          int $pos = $filled;
+          while ($pos > 0 && $s < $bd[$pos - 1]) $pos--;
+          if ($pos < $m) {
+            for (int $q = java.lang.Math.min($filled, $m - 1); $q > $pos; $q--) {
+              $bd[$q] = $bd[$q - 1]; $bi[$q] = $bi[$q - 1];
+            }
+            $bd[$pos] = $s; $bi[$pos] = (long) $c;
+            if ($filled < $m) $filled++;
+          }
+        }
+        long[] $out = new long[$filled];
+        System.arraycopy($bi, 0, $out, 0, $filled);
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray($out);
+        """
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** max_sim_float(Array[Array[Float]] doc, Array[Array[Float]] query) ->
     * Double. ColPali scoring: sum over query vectors of max dot product
     * (`fast_multivector_store.py:504-607` exact rescoring). */
@@ -472,6 +569,8 @@ object vec {
   def max_sim_float(doc: Column, query: Column): Column = toCol(MaxSimFloat(toExpr(doc), toExpr(query)))
   def nearest_centroid(v: Column, centroids: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]): Column =
     toCol(NearestCentroid(toExpr(v), centroids))
+  def probe_centroids(v: Column, centroids: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]], p: Int): Column =
+    toCol(ProbeCentroids(toExpr(v), centroids, p))
   def jl_project(v: Column, outDims: Int, inDims: Int,
                  seed: String = "jl"): Column =
     toCol(JlProject(toExpr(v), outDims, inDims, seed))

@@ -158,6 +158,43 @@ object Clustering {
       .drop("__dup")
   }
 
+  /** Multi-probe IVF candidate-pair blocking — the measured scale feeder
+    * for [[dbscan]]'s `candidates` arm. Sign-block LSH (v10) is the wrong
+    * blocker at moderate thresholds (see the object scaladoc: qualifying
+    * pairs agree on only ~63% of coordinate signs, so sign buckets either
+    * lose recall or stop pruning); the answer that holds at 100 TB is the
+    * SemDeDup/IVF one — k ∝ n Voronoi cells — widened with FAISS-style
+    * multi-probe so near-boundary neighbor pairs still meet: each point
+    * joins its `probes` nearest inverted lists, candidates = distinct
+    * within-list pairs. Candidate volume is O(n · cellSize · probes²) —
+    * linear in n at constant cell size — and every step (the Lloyd fit,
+    * the (d, i)-ordered probe ranking, the co-membership join) is exactly
+    * replayable in the oracle. Recall is a measured property of
+    * (k, probes) on the corpus, not an assumption — the k8 registry row
+    * carries it.
+    *
+    * 100 TB shape: probing is the same broadcast-codebook narrow map as
+    * [[assign]] (no join); the membership exchange is (id, cid) pairs —
+    * two longs × probes per point; the self-join shuffles on cid with
+    * constant cell sizes. Nothing quadratic, nothing corpus-wide. */
+  def ivfCandidates(vectors: DataFrame, idCol: String, vecCol: String,
+                    k: Int, iters: Int, probes: Int): DataFrame = {
+    require(probes >= 1 && probes <= k,
+      s"ivfCandidates needs 1 <= probes <= k (got $probes / $k)")
+    Guards.requireIntegral(vectors, idCol, "ivfCandidates")
+    val model = fit(vectors, vecCol, idCol, k, iters)
+    val bc = model.codebook(vectors)
+    val memb = graft.Tables.scaled(
+        vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")))
+      .select(col("id"),
+        explode(vec.probe_centroids(col("v"), bc, probes)).as("cid"))
+    memb.as("a")
+      .join(memb.as("b"),
+        col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
   /** Deterministic DBSCAN (Ester et al. 1996) over a cosine-similarity
     * neighborhood — the DENSITY seat of the clustering family: k-means
     * (k1) forces every vector into a cell and SemDeDup (k2) prunes
@@ -198,10 +235,19 @@ object Clustering {
     // SAME exact cosine filter, so a candidate set that covers the true
     // neighbor pairs yields the identical clustering (spec-pinned)
     val rawPairs = candidates match {
+      // orientation-normalize + dedupe instead of filter(ia < ib): LSH
+      // multi-band blockers emit the same pair from several bands and in
+      // either order — a raw `ia < ib` filter would silently DROP
+      // (bigger, smaller) pairs and count band-duplicates multiply in
+      // the degree groupBy, changing the clustering. distinct() is cheap
+      // here (the list is blocked-pair-sized, not corpus-sized).
       case Some(c) => c.select(
-          col(c.columns(0)).cast("long").as("ia"),
-          col(c.columns(1)).cast("long").as("ib"))
-        .filter(col("ia") < col("ib"))
+          least(col(c.columns(0)).cast("long"),
+            col(c.columns(1)).cast("long")).as("ia"),
+          greatest(col(c.columns(0)).cast("long"),
+            col(c.columns(1)).cast("long")).as("ib"))
+        .filter(col("ia") < col("ib")) // self-pairs only
+        .distinct()
         .join(e.select(col("__id").as("ia"), col("__v").as("va")), "ia")
         .join(e.select(col("__id").as("ib"), col("__v").as("vb")), "ib")
       case None => graft.Tables.scaled(e)

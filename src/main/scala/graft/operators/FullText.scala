@@ -518,13 +518,28 @@ object FullText {
                   terms: Seq[String], k: Int, mu: Long = 2000L): DataFrame = {
     require(terms.nonEmpty && k >= 1 && mu >= 1,
       s"qlDirichlet needs terms, k >= 1, mu >= 1 (got $terms / $k / $mu)")
-    val toks = docs.select(col(idCol).as("doc_id"),
-      text.tokens(col(textCol)).as("tk"))
-    val lens = toks.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
+    // parts 2/3 sum per term OCCURRENCE but part 1's (doc, term) tf fold
+    // counts each matched term once — a duplicated query term would drop
+    // a copy of its hit contribution silently. Distinct terms is the
+    // contract (the memorizationReport / genDiversity convention).
+    require(terms.distinct.length == terms.length,
+      s"qlDirichlet: duplicate query terms (${terms.mkString(", ")}) — " +
+        "part 1 scores each (doc, term) once; dedupe the query")
+    // ONE tokenize pass: dl and the in-row hit sublist ride a single
+    // checkpointed per-doc frame (rows are (id, long, tiny array) — the
+    // token arrays themselves are never materialized), so the cf collect,
+    // the |C| sum, and the tf groupBy below are three cheap jobs over one
+    // materialization instead of three corpus re-tokenizations (the t62
+    // lineage lesson).
+    val perDoc = docs.select(col(idCol).as("doc_id"),
+        text.tokens(col(textCol)).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        filter(col("tk"), t => t.isInCollection(terms)).as("hit_tk"))
+      .localCheckpoint()
+    val lens = perDoc.select(col("doc_id"), col("dl"))
     val spark = docs.sparkSession
     import spark.implicits._
-    val hits = toks.select(col("doc_id"), explode(col("tk")).as("term"))
-      .filter(col("term").isin(terms: _*))
+    val hits = perDoc.select(col("doc_id"), explode(col("hit_tk")).as("term"))
     val cfRows = hits.groupBy("term").agg(count(lit(1)).as("cf"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val missing = terms.filterNot(cfRows.contains)

@@ -83,7 +83,12 @@ object Sketches {
       .select(col("col_name"), col("v_zero"), col("t_sum"),
         col("raw_est"), col("est"), col("exact"),
         when(col("exact") > 0,
-          expr("(abs(est - exact) * 1000000) div exact"))
+          // decimal(38,0) like raw_est: a long multiply wraps silently
+          // once |est - exact| exceeds ~9.2e12 (reachable at the stated
+          // 100 TB distinct-n-gram scale, and by raw_est on near-full
+          // registers) — an exact-arithmetic contract cannot overflow
+          expr("(cast(abs(est - exact) as decimal(38,0)) * 1000000) " +
+            "div exact").cast("long"))
           .otherwise(0L).as("err_ppm"))
   }
 }

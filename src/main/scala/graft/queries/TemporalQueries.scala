@@ -39,6 +39,7 @@ object TemporalQueries {
     "e19_ab_uplift" -> ((s, d) => abUpliftQ(s, d)),
     "e20_cuped" -> ((s, d) => cupedQ(s, d)),
     "e21_cusum" -> ((s, d) => cusumQ(s, d)),
+    "e22_cusum_sharded" -> ((s, d) => cusumShardedQ(s, d)),
     "c5_texttile" -> ((s, d) => textTileQ(s, d))
   )
 
@@ -62,6 +63,33 @@ object TemporalQueries {
     graft.operators.Features.cusumReport(r, "event_type", "event_id",
         "reading", upperTarget = 6000L, lowerTarget = 4000L, h = 200000L)
       .orderBy("event_type")
+  }
+
+  /** e21's PRODUCTION-KEY-SHAPE receipt (r13 verdict ask #3): the same
+    * two-sided CUSUM monitor keyed by metric × user-shard
+    * (event_type ‖ ':' ‖ user_id % 64 — 320 independent streams at
+    * sf0.01, ~31 events each) instead of the five-key fixture. e21's x64
+    * ratio 15.0 is the window-keyed skew law (five keys serialize onto
+    * five partitions); THIS row is the stated production shape — hundreds
+    * of keys spread the two running frames across every partition, and
+    * its own x64 ratio is the measured receipt that the adjudication was
+    * right. h = 20000 discriminates on the short streams: 114 up-only /
+    * 61 down-only / 26 both / 119 quiet keys — all verdict paths
+    * populated. */
+  def cusumShardedQ(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.events(spark, dir).select(
+        concat(col("event_type"), lit(":"),
+          (col("user_id") % 64).cast("string")).as("ckey"),
+        col("event_id"),
+        (floor(col("value") * 100).cast("long") +
+          when(col("event_type") === "error" && col("event_id") >= 5000,
+            2500L)
+            .when(col("event_type") === "view" && col("event_id") >= 5000,
+              -2500L)
+            .otherwise(0L)).as("reading"))
+    graft.operators.Features.cusumReport(r, "ckey", "event_id",
+        "reading", upperTarget = 6000L, lowerTarget = 4000L, h = 20000L)
+      .orderBy("ckey")
   }
 
   /** [[graft.operators.Features.cuped]] over the event stream with the
@@ -447,6 +475,36 @@ object TemporalQueries {
          |  min(CASE WHEN sp > 200000 THEN event_id END)::BIGINT AS first_up,
          |  min(CASE WHEN sn > 200000 THEN event_id END)::BIGINT AS first_down
          |FROM s GROUP BY event_type ORDER BY event_type""").stripMargin,
+    // the sharded variant: identical prefix-identity replay, key =
+    // event_type x user-shard, h = 20000
+    "e22_cusum_sharded" ->
+      ("""WITH r AS (
+         |  SELECT event_type || ':' || (user_id % 64)::VARCHAR AS ckey,
+         |    event_id,
+         |    floor(value * 100)::BIGINT
+         |      + CASE WHEN event_type = 'error' AND event_id >= 5000 THEN 2500
+         |             WHEN event_type = 'view' AND event_id >= 5000 THEN -2500
+         |             ELSE 0 END AS x
+         |  FROM events),
+         |p AS (SELECT ckey, event_id,
+         |        sum(x - 6000) OVER (PARTITION BY ckey ORDER BY event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS pu,
+         |        sum(4000 - x) OVER (PARTITION BY ckey ORDER BY event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS pd
+         |      FROM r),
+         |s AS (SELECT ckey, event_id,
+         |        greatest(pu - least(coalesce(min(pu) OVER (PARTITION BY ckey ORDER BY event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), 0), 0)::BIGINT AS sp,
+         |        greatest(pd - least(coalesce(min(pd) OVER (PARTITION BY ckey ORDER BY event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), 0), 0)::BIGINT AS sn
+         |      FROM p)
+         |SELECT ckey, count(*)::BIGINT AS n,
+         |  max(sp)::BIGINT AS max_sp, max(sn)::BIGINT AS max_sn,
+         |  sum(CASE WHEN sp > 20000 THEN 1 ELSE 0 END)::BIGINT AS n_alarm_up,
+         |  sum(CASE WHEN sn > 20000 THEN 1 ELSE 0 END)::BIGINT AS n_alarm_down,
+         |  min(CASE WHEN sp > 20000 THEN event_id END)::BIGINT AS first_up,
+         |  min(CASE WHEN sn > 20000 THEN event_id END)::BIGINT AS first_down
+         |FROM s GROUP BY ckey ORDER BY ckey""").stripMargin,
 
     // per-user fixed-point pre/post sums -> exact HUGEINT moments -> the
     // stated float chain (theta, pooled mean, adjustment, rho2), floored

@@ -187,5 +187,63 @@ class ClusteringSpec extends AnyFunSuite {
       .as[(Long, Long, String, Long)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     assert(blocked == out, "covering candidates == exact all-pairs arm")
+
+    // r13 ADVICE regression: an LSH-style blocker emits the same pair
+    // from several bands and in EITHER orientation — duplicates must not
+    // inflate degrees (wrongly promoting points to core) and
+    // (bigger, smaller) pairs must not be dropped. Feed every pair
+    // reversed AND duplicated: the clustering must be identical.
+    val messy = (1L to 7L).flatMap(a => (1L to 7L).map(b => (a, b)))
+      .filter(p => p._1 != p._2)
+    val dirty = (messy ++ messy ++ messy.map(p => (p._2, p._1)))
+      .toDF("id_a", "id_b")
+    val fromDirty = Clustering.dbscan(vs, "vec_id", "embedding",
+        simThreshold = 0.9, minPts = 3, candidates = Some(dirty))
+      .as[(Long, Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(fromDirty == out,
+      "duplicated/reversed candidates must normalize to the same clustering")
+  }
+
+  test("ivfCandidates: probes = k is a guaranteed covering (blocked dbscan " +
+    "== exact); probes = 1 cores are a subset (degree monotonicity)") {
+    // two tight triangles on opposite sides + one orthogonal outlier —
+    // Voronoi cells at k=2 separate the triangles cleanly
+    val vs = Seq(
+      (1L, Seq(1f, 0f, 0f)), (2L, Seq(0.99f, 0.1f, 0f)), (3L, Seq(0.99f, -0.1f, 0f)),
+      (4L, Seq(-1f, 0f, 0f)), (5L, Seq(-0.99f, 0.1f, 0f)), (6L, Seq(-0.99f, -0.1f, 0f)),
+      (7L, Seq(0f, 0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val exact = Clustering.dbscan(vs, "vec_id", "embedding",
+        simThreshold = 0.9, minPts = 3)
+      .as[(Long, Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(exact(1L)._2 == "core" && exact(4L)._2 == "core" &&
+      exact(7L)._2 == "noise" && exact(1L)._3 != exact(4L)._3,
+      s"fixture sanity: two separate core triangles + noise: $exact")
+    // probes = k: every point joins every list -> all pairs co-occur
+    val covering = Clustering.ivfCandidates(vs, "vec_id", "embedding",
+      k = 2, iters = 1, probes = 2)
+    val blocked = Clustering.dbscan(vs, "vec_id", "embedding",
+        simThreshold = 0.9, minPts = 3, candidates = Some(covering))
+      .as[(Long, Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(blocked == exact, "probes = k covering must reproduce exact dbscan")
+    // probes = 1: candidates are a subset of all pairs, so degrees can
+    // only drop — every blocked core must also be an exact core
+    val narrow = Clustering.ivfCandidates(vs, "vec_id", "embedding",
+      k = 2, iters = 1, probes = 1)
+    val narrowed = Clustering.dbscan(vs, "vec_id", "embedding",
+        simThreshold = 0.9, minPts = 3, candidates = Some(narrow))
+      .as[(Long, Long, String, Long)].collect()
+    narrowed.filter(_._3 == "core").foreach { r =>
+      assert(exact(r._1)._2 == "core",
+        s"blocked core ${r._1} is not an exact core — degrees inflated")
+      assert(r._2 <= exact(r._1)._1,
+        s"blocked degree of ${r._1} exceeds the exact degree")
+    }
+    // and on THIS fixture the two triangles are Voronoi-separated, so
+    // probes = 1 already recovers the exact clustering
+    assert(narrowed.map(r => r._1 -> ((r._2, r._3, r._4))).toMap == exact)
   }
 }

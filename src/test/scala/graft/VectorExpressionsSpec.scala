@@ -73,6 +73,43 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(ids == Seq(0L))
   }
 
+  test("probe_centroids: (d, i)-ordered top-p == sorting the full distance " +
+    "list; p > k truncates; exact ties keep the lower index first") {
+    val rnd = new scala.util.Random(23)
+    val dim = 8
+    val cents = Array.tabulate(6, dim)((c, j) =>
+      (rnd.nextDouble() * 2 - 1) * math.pow(10, (c + j) % 4))
+    val rows = Seq.tabulate(40)(i =>
+      (i.toLong, Array.tabulate(dim)(j => ((rnd.nextFloat() * 2 - 1) *
+        math.pow(10, (i + j) % 4)).toFloat)))
+    val df = rows.toDF("id", "v")
+    val bc = spark.sparkContext.broadcast(cents)
+    // independent reference: the same left-to-right double fold per
+    // centroid, ranked by (d, i) in plain Scala
+    def dists(v: Array[Float]): Seq[(Double, Int)] = cents.indices.map { c =>
+      var s = 0.0; var j = 0
+      while (j < dim) { val d = v(j).toDouble - cents(c)(j); s += d * d; j += 1 }
+      (s, c)
+    }
+    Seq(1, 3, 6).foreach { p =>
+      val got = df.select(col("id"), vec.probe_centroids(col("v"), bc, p))
+        .as[(Long, Seq[Long])].collect().toMap
+      rows.foreach { case (id, v) =>
+        val want = dists(v).sorted.take(p).map(_._2.toLong)
+        assert(got(id) == want, s"row $id p=$p: $got vs $want")
+      }
+    }
+    // p beyond k: all centroids, still ranked
+    val over = df.limit(1).select(vec.probe_centroids(col("v"), bc, 10))
+      .as[Seq[Long]].head()
+    assert(over.length == 6 && over.toSet == (0L until 6L).toSet)
+    // tie order: duplicate centroids -> the lower index leads
+    val twin = spark.sparkContext.broadcast(Array(cents(2), cents(2)))
+    val tied = df.select(vec.probe_centroids(col("v"), twin, 2))
+      .distinct().as[Seq[Long]].collect().toSeq
+    assert(tied == Seq(Seq(0L, 1L)))
+  }
+
   test("codegen'd expressions actually compile under CODEGEN_ONLY (no silent fallback)") {
     // a doGenCode bug normally degrades silently to interpreted eval;
     // forcing the codegen factory makes Janino errors FAIL the suite.
@@ -100,6 +137,7 @@ class VectorExpressionsSpec extends AnyFunSuite {
         vec.binary_quantize(col("a")).as("bq"),
         vec.hamming(vec.binary_quantize(col("a")), vec.binary_quantize(col("b"))).as("hd"),
         vec.nearest_centroid(col("a"), bc).getField("i").as("ci"),
+        vec.probe_centroids(col("a"), bc, 2).as("pc"),
         vec.jl_project(col("a"), 4, inDims = 4).as("jl"))
       val row = sel.head()
       // prove the projection survived to EXECUTION (not constant-folded):
@@ -116,7 +154,9 @@ class VectorExpressionsSpec extends AnyFunSuite {
       assert(row.getAs[Array[Byte]](2).nonEmpty)
       assert(row.getInt(3) >= 0)
       assert(row.getLong(4) == 0L, "centroid 0 is nearer to vector a")
-      assert(row.getSeq[Long](5).length == 4, "jl_project emits out_dims sums")
+      assert(row.getSeq[Long](5) == Seq(0L, 1L),
+        "probe_centroids ranks both centroids, nearest first")
+      assert(row.getSeq[Long](6).length == 4, "jl_project emits out_dims sums")
     }
   }
 
