@@ -95,8 +95,9 @@ object Verify {
     // co-membership replay — the fit shuffle and component chain are what
     // sf0.1 stresses)
     "k8_dbscan_blocked",
-    // e22: the sharded-CUSUM skew receipt (320-key window frames at sf0.1)
-    "e22_cusum_sharded")
+    // e22: the sharded-CUSUM skew receipt (320-key window frames at sf0.1);
+    // s13/l18: the r14 wire-fallback + requeue rows (l17/s12 parity)
+    "e22_cusum_sharded", "s13_colpali_fallback", "l18_requeue_ladder")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rest @ _*) = args

@@ -39,7 +39,8 @@ object ListingQueries {
     "l13_projection" -> ((s, d) => listingProjection(s, d)),
     "l14_keyset_page" -> ((s, d) => keysetPage(s, d)),
     "l15_total_count" -> ((s, d) => totalCounts(s, d)),
-    "l17_status_polling" -> ((s, d) => statusPollingQ(s, d))
+    "l17_status_polling" -> ((s, d) => statusPollingQ(s, d)),
+    "l18_requeue_ladder" -> ((s, d) => requeueLadderQ(s, d))
   )
 
   /** L9 status polling ([[graft.streaming.IngestPipeline.progressLadder]])
@@ -57,6 +58,29 @@ object ListingQueries {
       docs, "doc_id", "text", n = 200, overlap = 40)
     graft.streaming.IngestPipeline.progressLadder(docs, chunks)
       .orderBy("doc_id", "step")
+  }
+
+  /** S2's failure→requeue replay
+    * ([[graft.streaming.IngestPipeline.requeueLadder]], r13 verdict ask
+    * #5b) over the l17 batch: docs < 100 at the p1 chunk configuration
+    * (200/40), doc_id % 13 == 0 planted as the attempt-1 TRANSIENT
+    * failure (8 docs take the worker's exception path: status `failed` +
+    * error, nothing indexed), doc_id 0 ADDITIONALLY planted empty so its
+    * requeue lands on the accept-but-mark arm — all three terminal
+    * statuses populate across the two attempts. The requeue set derives
+    * from the status table (the retry endpoint reads failed ids back),
+    * and the oracle replays chunk counts with p1's chunk CTE plus both
+    * attempts' status rules. */
+  def requeueLadderQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 100)
+      .withColumn("text",
+        when(col("doc_id") === 0, lit("")).otherwise(col("text")))
+    graft.streaming.IngestPipeline.requeueLadder(docs,
+      failWhen = col("doc_id") % 13 === 0,
+      error = "planted transient parse failure",
+      chunker = d => graft.operators.Chunker.fixedChunks(
+        d, "doc_id", "text", n = 200, overlap = 40))
+      .orderBy("doc_id", "attempt")
   }
 
   /** L3 oracle-gated: the listing's companion COUNT — every filtered page
@@ -301,6 +325,34 @@ object ListingQueries {
         |  FROM st)
         |SELECT doc_id, step, step_name, percentage, status, n_chunks
         |FROM ladder ORDER BY doc_id, step""".stripMargin,
+    // S2: failure->requeue replay — p1's chunk CTE for counts; attempt 1
+    // fails the planted set (error string, 0 chunks), attempt 2 re-ingests
+    // exactly the failed ids with the normal status rules
+    "l18_requeue_ladder" ->
+      """WITH d AS (SELECT doc_id, CASE WHEN doc_id = 0 THEN '' ELSE text END AS text
+        |           FROM documents WHERE doc_id < 100),
+        |ch AS (SELECT doc_id, count(*) AS n_chunks FROM (
+        |         SELECT doc_id FROM d, generate_series(1, 100000, 160) AS t(s)
+        |         WHERE s <= greatest(len(text) - 40, 1)
+        |           AND len(substr(text, s::INT, 200)) > 0) GROUP BY doc_id),
+        |st AS (SELECT d.doc_id, coalesce(ch.n_chunks, 0)::BIGINT AS n_chunks
+        |       FROM d LEFT JOIN ch USING (doc_id)),
+        |a1 AS (SELECT doc_id, 1::BIGINT AS attempt,
+        |         CASE WHEN doc_id % 13 = 0 THEN 'failed'
+        |              WHEN n_chunks > 0 THEN 'completed'
+        |              ELSE 'no_content_extracted' END AS status,
+        |         CASE WHEN doc_id % 13 = 0
+        |              THEN 'planted transient parse failure' END AS error,
+        |         (CASE WHEN doc_id % 13 = 0 THEN 0 ELSE n_chunks END)::BIGINT AS n_chunks
+        |       FROM st),
+        |a2 AS (SELECT doc_id, 2::BIGINT AS attempt,
+        |         CASE WHEN n_chunks > 0 THEN 'completed'
+        |              ELSE 'no_content_extracted' END AS status,
+        |         NULL::VARCHAR AS error, n_chunks
+        |       FROM st WHERE doc_id % 13 = 0)
+        |SELECT doc_id, attempt, status, error, n_chunks FROM a1
+        |UNION ALL SELECT doc_id, attempt, status, error, n_chunks FROM a2
+        |ORDER BY doc_id, attempt""".stripMargin,
     // L3: totals re-derived from the raw table, the folder scope replayed
     // as exact-or-descendant path match on the synthesized folder_path
     "l15_total_count" ->

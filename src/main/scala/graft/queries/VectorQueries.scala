@@ -59,6 +59,7 @@ object VectorQueries {
     "v24_ranking_metrics" -> ((s, d) => rankingMetricsQ(s, d)),
     "v26_rbo" -> ((s, d) => rboQ(s, d)),
     "s12_embed_fallback" -> ((s, d) => embedFallbackQ(s, d)),
+    "s13_colpali_fallback" -> ((s, d) => colpaliFallbackQ(s, d)),
     "s8_e2e_quality" -> ((s, d) => e2eQuality(s, d)),
     "s9_e2e_quality_rerank" -> ((s, d) => e2eQualityRerank(s, d)),
     "s11_colpali_e2e_quality" -> ((s, d) => colpaliE2eQuality(s, d))
@@ -1222,6 +1223,45 @@ object VectorQueries {
       .orderBy(col("arm"), col("score").desc, col("vec_id"))
   }
 
+  /** E3/E4's wire path oracle-pinned (r13 verdict ask #5a — the s12
+    * pattern lifted to the multivector client): the REAL
+    * [[graft.operators.HttpMultiVectorEmbedder]] pointed at a dead
+    * endpoint in the serving path's fail-fast configuration
+    * (numRetries=0). BOTH query modalities are driven — `embedTextMulti`
+    * (E3, the text wire path) and `embedImageMulti` (E4, the image/base64
+    * wire path; `colpali_api_embedding_model.py:75-380`) — and both
+    * degrade to the EMPTY multivector, the serving analog of E2's zero
+    * vector. Retrieval then proceeds: MaxSim against an empty query
+    * multivector scores every document exactly 0.0 (the kernel's
+    * empty-side contract), so the "top"-5 is the deterministic tie order
+    * — labels 0..4 at 0.0, still k results, never a 500. The live arm
+    * (the v5 MaxSim ranking against label 0) runs beside it as the
+    * contrast. The require()s pin that the empties came from the
+    * FALLBACK, not from a server that answered empties. */
+  def colpaliFallbackQ(spark: SparkSession, dir: String): DataFrame = {
+    val dead = graft.operators.HttpMultiVectorEmbedder(
+      "http://127.0.0.1:1/embeddings", dim = 64,
+      numRetries = 0, timeoutSec = 1)
+    val fbText = dead.embedTextMulti("what is the revenue trend")
+    require(fbText.isEmpty,
+      "dead-endpoint embedTextMulti must degrade to the empty multivector")
+    val fbImg = dead.embedImageMulti(S11Pages.queryPng(0))
+    require(fbImg.isEmpty,
+      "dead-endpoint embedImageMulti must degrade to the empty multivector")
+    val mv = labelMultivectors(spark, dir)
+    val qf: Seq[Seq[Float]] = fbText.map(_.toSeq).toSeq
+    val fb = mv.select(lit("fallback").as("arm"),
+        col("label").cast("long").as("label"),
+        round(vec.max_sim_float(col("vecs"), typedLit(qf)), 4).as("maxsim"))
+      .orderBy(col("maxsim").desc, col("label")).limit(5)
+    val q = mv.filter(col("label") === 0).select(col("vecs").as("qvecs"))
+    val live = mv.crossJoin(broadcast(q))
+      .select(lit("live").as("arm"), col("label").cast("long").as("label"),
+        round(vec.max_sim_float(col("vecs"), col("qvecs")), 4).as("maxsim"))
+      .orderBy(col("maxsim").desc, col("label")).limit(5)
+    fb.unionByName(live).orderBy("arm", "label")
+  }
+
   private val qv = "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)"
 
   private val exactTop10 =
@@ -1572,6 +1612,23 @@ object VectorQueries {
          |SELECT arm, vec_id, score FROM fb
          |UNION ALL SELECT arm, vec_id, score FROM live
          |ORDER BY arm, score DESC, vec_id""".stripMargin,
+    // E3/E4 empty-multivector fallback: MaxSim vs an empty query = 0.0
+    // for every label (tie order = first 5 labels); live arm = v5's
+    // MaxSim ranking against label 0, top-5 by (rounded maxsim, label)
+    "s13_colpali_fallback" ->
+      """WITH mv AS (SELECT label, list(embedding::DOUBLE[] ORDER BY vec_id) AS vecs
+        |            FROM embeddings GROUP BY label),
+        |fb AS (SELECT 'fallback' AS arm, label::BIGINT AS label,
+        |         0.0::DOUBLE AS maxsim
+        |       FROM mv ORDER BY label LIMIT 5),
+        |live AS (SELECT 'live' AS arm, a.label::BIGINT AS label,
+        |    round(list_sum(list_transform(q.vecs, qv ->
+        |      list_max(list_transform(a.vecs, dv -> list_dot_product(qv, dv))))), 4) AS maxsim
+        |  FROM mv a, (SELECT vecs FROM mv WHERE label = 0) q
+        |  ORDER BY maxsim DESC, a.label LIMIT 5)
+        |SELECT arm, label, maxsim FROM fb
+        |UNION ALL SELECT arm, label, maxsim FROM live
+        |ORDER BY arm, label""".stripMargin,
     // seeded zero-Lloyd IVF, replayed end-to-end: codebook = 16 lowest-id
     // vectors, squared-L2 argmin assignment with ties to the lower index
     // (the k1 fold: list_sum of a left-to-right list_transform matches the

@@ -156,6 +156,43 @@ object IngestPipeline {
         col("n_chunks"))
   }
 
+  /** S2's failure→requeue semantics, replayable (r13 verdict ask #5b):
+    * the worker's processing→failed transition
+    * (`ingestion_worker.py:733-749` — on exception, write status
+    * `failed` + the error string and STOP: nothing is indexed for that
+    * document) followed by the retry endpoint's re-ingest
+    * (`routes/ingest.py:272`). `failWhen` marks the documents whose
+    * (transient) failure fires on attempt 1 — the planted-input
+    * convention standing in for a raised parse/embed exception, which the
+    * reference catches PER DOCUMENT because each runs as its own queue
+    * job. The requeue set is then derived FROM THE STATUS TABLE (the
+    * retry endpoint reads failed ids back from the DB — not from the
+    * original cause, which is gone by retry time), and attempt 2 runs the
+    * normal pipeline: `completed`, or the accept-but-mark
+    * `no_content_extracted` — re-ingest is idempotent per doc id
+    * (the `external_id` upsert), so the at-least-once queue is safe.
+    * Output: one status row per (document, attempt). */
+  def requeueLadder(docs: DataFrame, failWhen: org.apache.spark.sql.Column,
+                    error: String, chunker: DataFrame => DataFrame,
+                    cfg: Config = Config()): DataFrame = {
+    val ok1 = docs.filter(!failWhen)
+    val a1ok = statusRows(ok1, chunker(ok1), cfg)
+      .select(col(cfg.idCol), lit(1L).as("attempt"), col("status"),
+        lit(null).cast("string").as("error"), col("n_chunks"))
+    val a1fail = docs.filter(failWhen)
+      .select(col(cfg.idCol), lit(1L).as("attempt"),
+        lit("failed").as("status"), lit(error).as("error"),
+        lit(0L).as("n_chunks"))
+    val statusTable = a1ok.unionByName(a1fail)
+    val requeued = docs.join(
+      statusTable.filter(col("status") === "failed").select(cfg.idCol),
+      Seq(cfg.idCol), "left_semi")
+    val a2 = statusRows(requeued, chunker(requeued), cfg)
+      .select(col(cfg.idCol), lit(2L).as("attempt"), col("status"),
+        lit(null).cast("string").as("error"), col("n_chunks"))
+    statusTable.unionByName(a2)
+  }
+
   /** Streaming ingest: watch `inputDir` for parquet document files, run the
     * batch pipeline per micro-batch, append chunk index + status tables.
     * Checkpointed -> exactly-once per file; idempotent per doc id. */

@@ -68,6 +68,33 @@ class IngestPipelineSpec extends AnyFunSuite {
     assert(d2.last._5 == "no_content_extracted")
   }
 
+  test("requeueLadder: attempt 1 fails the planted set (error carried, " +
+    "nothing chunked), requeue derives from the status table, attempt 2 " +
+    "completes or accept-but-marks") {
+    val docs = Seq(
+      (1L, "alpha beta gamma. " * 30), // clean: completes on attempt 1
+      (2L, "delta epsilon. " * 30),    // planted transient: fails, retries ok
+      (3L, "")                          // planted transient AND empty: retry
+                                        // lands on accept-but-mark
+    ).toDF("doc_id", "text")
+    val rows = IngestPipeline.requeueLadder(docs,
+        failWhen = col("doc_id") >= 2, error = "boom",
+        chunker = d => IngestPipeline.processBatch(d, cfg), cfg)
+      .select("doc_id", "attempt", "status", "error", "n_chunks")
+      .as[(Long, Long, String, Option[String], Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(rows.size == 5, s"3 attempt-1 rows + 2 requeues: $rows")
+    assert(rows((1L, 1L))._1 == "completed" && rows((1L, 1L))._2.isEmpty &&
+      rows((1L, 1L))._3 > 0)
+    // the worker's exception path: failed + error, NOTHING indexed
+    assert(rows((2L, 1L)) == (("failed", Some("boom"), 0L)))
+    assert(rows((3L, 1L)) == (("failed", Some("boom"), 0L)))
+    // attempt 2 = the normal rules on exactly the failed ids
+    assert(rows((2L, 2L))._1 == "completed" && rows((2L, 2L))._3 > 0)
+    assert(rows((3L, 2L)) == (("no_content_extracted", None, 0L)))
+    assert(!rows.contains((1L, 2L)), "a completed doc is never requeued")
+  }
+
   test("streaming ingest is checkpointed exactly-once and idempotent per doc") {
     val root = Files.createTempDirectory("graft_stream").toString
     val (in, idxDir, stDir, ckpt) =
