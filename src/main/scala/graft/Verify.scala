@@ -97,7 +97,10 @@ object Verify {
     "k8_dbscan_blocked",
     // e22: the sharded-CUSUM skew receipt (320-key window frames at sf0.1);
     // s13/l18: the r14 wire-fallback + requeue rows (l17/s12 parity)
-    "e22_cusum_sharded", "s13_colpali_fallback", "l18_requeue_ladder")
+    "e22_cusum_sharded", "s13_colpali_fallback", "l18_requeue_ladder",
+    // ev14: distinct-score ECDF cells at 10x scores; e23: the day-grid
+    // decomposition over the 10x event stream
+    "ev14_ks_test", "e23_seasonal")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rest @ _*) = args

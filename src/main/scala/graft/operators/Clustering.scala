@@ -173,12 +173,27 @@ object Clustering {
     * (k, probes) on the corpus, not an assumption — the k8 registry row
     * carries it.
     *
+    * Emits the pairs scoring cosine STRICTLY above `simThreshold` — the
+    * same comparison [[dbscan]] applies, so feeding these as candidates
+    * re-verifies only survivor-sized work. Scoring INSIDE the
+    * co-membership join is the load-bearing plan choice (the k2/semDedup
+    * shape): vectors ride the membership rows (n·probes rows, one vector
+    * each — the only vector exchange), the within-list pair stream exists
+    * only IN FLIGHT through the codegen'd cosine filter, and `distinct`
+    * (multi-probe pairs co-occur in up to `probes` shared lists) runs on
+    * the surviving neighbor pairs, never the raw candidate volume. The
+    * first cut of this function distinct'ed the RAW pairs and let dbscan
+    * re-join vectors onto all of them — two candidate-volume-sized
+    * exchanges that measured 172 s at x64 where this shape is linear.
+    *
     * 100 TB shape: probing is the same broadcast-codebook narrow map as
-    * [[assign]] (no join); the membership exchange is (id, cid) pairs —
-    * two longs × probes per point; the self-join shuffles on cid with
-    * constant cell sizes. Nothing quadratic, nothing corpus-wide. */
+    * [[assign]]; the cid join shuffles n·probes vector rows into
+    * constant-size cells; candidate cosine work is O(n·cellSize·probes²)
+    * compute, exchanged only after the threshold filter. Nothing
+    * quadratic, nothing corpus-wide. */
   def ivfCandidates(vectors: DataFrame, idCol: String, vecCol: String,
-                    k: Int, iters: Int, probes: Int): DataFrame = {
+                    k: Int, iters: Int, probes: Int,
+                    simThreshold: Double): DataFrame = {
     require(probes >= 1 && probes <= k,
       s"ivfCandidates needs 1 <= probes <= k (got $probes / $k)")
     Guards.requireIntegral(vectors, idCol, "ivfCandidates")
@@ -186,11 +201,12 @@ object Clustering {
     val bc = model.codebook(vectors)
     val memb = graft.Tables.scaled(
         vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")))
-      .select(col("id"),
+      .select(col("id"), col("v"),
         explode(vec.probe_centroids(col("v"), bc, probes)).as("cid"))
     memb.as("a")
       .join(memb.as("b"),
         col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+      .filter(vec.cosine_sim(col("a.v"), col("b.v")) > simThreshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
   }

@@ -299,6 +299,80 @@ object Features {
     perBin.crossJoin(broadcast(total))
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift test between a REFERENCE and a
+    * CURRENT score window — the BINLESS companion to [[psiReport]]:
+    * PSI reads drift through `bins` chosen cells (coarse shifts within a
+    * bin are invisible and the floor clamp adds bias on sparse bins); KS
+    * is the distribution-free supremum statistic
+    * D = sup_x |F_ref(x) − F_cur(x)| with an exact finite-sample form —
+    * the classic two-sample test (Kolmogorov 1933, Smirnov 1939) every
+    * monitoring stack runs when it cannot justify a binning.
+    *
+    * Exactness discipline: scores are integers, so the ECDFs step only at
+    * distinct score values; with c1(x) = #ref ≤ x, c2(x) = #cur ≤ x,
+    * D = max_x |c1(x)·n2 − c2(x)·n1| / (n1·n2) — the numerator is EXACT
+    * integer arithmetic carried in decimal(38,0) (c·n at 10¹⁰-row windows
+    * passes a long only barely; the e20/q6 convention), the max and its
+    * arg (lowest score achieving it, the change-location diagnostic) are
+    * integer comparisons, and `d_ppm` = ⌊d_num·10⁶ / (n1·n2)⌋ by integer
+    * division. The ONLY floats are the stated verdict line: crit_ppm =
+    * ⌊c(α)·√((n1+n2)/(n1·n2))·10⁶⌋ with c(0.05) = 1.3581 (the classic
+    * large-sample critical coefficient) — √ of a ratio of exact integers
+    * (IEEE sqrt is correctly rounded; the t30 primitive) times a shared
+    * literal, floored — so `shifted` = d_ppm > crit_ppm replays
+    * bit-for-bit in any engine.
+    *
+    * 100 TB shape: ONE map-side-combined groupBy per window into
+    * score-cardinality-bounded cells (the ev12 state law: bounded by
+    * distinct scores, never rows), one cells-sized full-outer join + one
+    * running-sum window over those cells, a one-row max. An empty window
+    * raises loudly through the output columns (the psiReport guard). */
+  def ksReport(ref: DataFrame, cur: DataFrame, scoreCol: String): DataFrame = {
+    Guards.requireIntegral(ref, scoreCol, "ksReport")
+    Guards.requireIntegral(cur, scoreCol, "ksReport")
+    import org.apache.spark.sql.expressions.Window
+    def cells(df: DataFrame, name: String): DataFrame = df
+      .select(col(scoreCol).cast("long").as("s"))
+      .groupBy("s").agg(count(lit(1)).as(name))
+    val joined = cells(ref, "a").join(cells(cur, "b"), Seq("s"), "full_outer")
+      .select(col("s"), coalesce(col("a"), lit(0L)).as("a"),
+        coalesce(col("b"), lit(0L)).as("b"))
+    val tot = joined.agg(sum("a").as("__n1"), sum("b").as("__n2"))
+    val w = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def guarded(t: String, win: String): Column =
+      when(coalesce(col(t), lit(0L)) <= 0L,
+        raise_error(lit(s"ksReport: $win score window is empty - the " +
+          "ECDF is undefined; fix the upstream feed")).cast("long"))
+        .otherwise(col(t))
+    val cum = joined.crossJoin(broadcast(tot))
+      .withColumn("n1", guarded("__n1", "reference"))
+      .withColumn("n2", guarded("__n2", "current"))
+      .withColumn("c1", sum(col("a")).over(w))
+      .withColumn("c2", sum(col("b")).over(w))
+      .withColumn("d_num",
+        abs(col("c1").cast("decimal(38,0)") * col("n2") -
+          col("c2").cast("decimal(38,0)") * col("n1")))
+    // max D with the LOWEST achieving score (lexicographic struct max on
+    // (d_num, -s) — a deterministic argmax without a second pass)
+    val top = cum.agg(
+      max(struct(col("d_num"), (-col("s")).as("neg_s"))).as("m"),
+      first(col("n1")).as("n_ref"), first(col("n2")).as("n_cur"))
+    top.select(
+        col("n_ref"), col("n_cur"),
+        col("m.d_num").cast("decimal(38,0)").as("__dn"),
+        (-col("m.neg_s")).as("ks_at"))
+      .withColumn("d_ppm", expr(
+        "cast((__dn * 1000000) div (cast(n_ref as decimal(38,0)) * n_cur) " +
+          "as long)"))
+      .withColumn("crit_ppm", floor(lit(1.3581) *
+        sqrt((col("n_ref") + col("n_cur")).cast("double") /
+          (col("n_ref").cast("double") * col("n_cur").cast("double"))) *
+        lit(1000000.0)).cast("long"))
+      .withColumn("shifted", col("d_ppm") > col("crit_ppm"))
+      .select("n_ref", "n_cur", "ks_at", "d_ppm", "crit_ppm", "shifted")
+  }
+
   /** Shared md5 50/50 arm assignment — a pure function of the user id
     * (the t21/t36 derandomization), recomputed inline wherever needed so
     * NO user→arm table ever materializes (see [[abUplift]]'s plan note). */
@@ -410,6 +484,75 @@ object Features {
       .withColumn("srm_flag",
         abs(col("n_users_a") - col("n_users_b")) * 10000 >
           (col("n_users_a") + col("n_users_b")) * srmTolBp)
+  }
+
+  /** Classical seasonal decomposition per key over a daily series —
+    * X = trend + seasonal + residual (the textbook moving-average method;
+    * Persons 1919 lineage, the pre-STL decomposition every monitoring
+    * stack starts from): the DESEASONALIZER in front of this family's
+    * drift monitors ([[ksReport]]/[[psiReport]] compare distributions,
+    * e21's CUSUM watches a mean, e18's z-scores assume a stable baseline
+    * — all of them false-alarm on a weekly rhythm unless it is removed
+    * first; the residual column here is the honest input to them).
+    *
+    * Method, all exact integers: values enter as floor(value·100)
+    * (the cuped fixed-point discipline) summed per (key, day) — a missing
+    * day is an explicit x=0 grid row, not a silently skipped window slot;
+    * trend = centered `period`-day moving average, kept in milli units as
+    * (Σwindow · 1000) div period and defined ONLY where the full window
+    * exists (edges stay NULL — honest, the e12 convention); seasonal =
+    * per-phase (epoch-day mod period) integer mean of the detrended
+    * series, re-centered to sum≈zero by subtracting the phase-mean (div
+    * truncation stated — all three engines truncate toward zero alike);
+    * residual = detrended − seasonal. No floats anywhere.
+    *
+    * 100 TB shape: ONE map-side-combined (key, day) rollup is the only
+    * corpus-sized exchange; the grid is keys × span (bounded), the
+    * windows run per key over day counts (span-bounded state), the phase
+    * table is keys × period cells. `period` must be odd (the centered MA;
+    * even periods need the 2×m-MA — out of scope, stated). */
+  def seasonalDecompose(df: DataFrame, keyCol: String, tsCol: String,
+                        valueCol: String, period: Int = 7): DataFrame = {
+    require(period >= 3 && period % 2 == 1,
+      s"seasonalDecompose needs an odd period >= 3 (got $period)")
+    import org.apache.spark.sql.expressions.Window
+    val half = (period - 1) / 2
+    val daily = df.select(col(keyCol).as("__k"),
+        to_date(col(tsCol)).as("d"),
+        floor(col(valueCol) * 100).cast("long").as("xc"))
+      .groupBy("__k", "d").agg(sum("xc").as("x"))
+    // span bounds are two driver scalars (rule 17)
+    val b = daily.agg(min("d").cast("string"), max("d").cast("string")).head()
+    require(!b.isNullAt(0), "seasonalDecompose: empty input")
+    val (lo, hi) = (b.getString(0), b.getString(1))
+    val grid = daily.select("__k").distinct()
+      .withColumn("d", explode(expr(
+        s"sequence(to_date('$lo'), to_date('$hi'), interval 1 day)")))
+    val s = grid.join(daily, Seq("__k", "d"), "left")
+      .select(col("__k"), col("d"),
+        datediff(col("d"), lit("1970-01-01")).cast("long").as("di"),
+        coalesce(col("x"), lit(0L)).as("x"))
+    val w = Window.partitionBy("__k").orderBy("di")
+      .rowsBetween(-half, half)
+    val tr = s
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .withColumn("__s", sum("x").over(w))
+      .withColumn("trend_milli",
+        when(col("__cnt") === period, expr(s"(__s * 1000) div $period")))
+    val dt = tr
+      .withColumn("phase", expr(s"di % $period"))
+      .withColumn("detr", col("x") * 1000 - col("trend_milli"))
+    val sr = dt.filter(col("detr").isNotNull)
+      .groupBy("__k", "phase")
+      .agg(expr("sum(detr) div count(detr)").as("s_raw"))
+    val sa = sr.join(sr.groupBy("__k")
+        .agg(expr(s"sum(s_raw) div $period").as("__m")), "__k")
+      .select(col("__k"), col("phase"),
+        (col("s_raw") - col("__m")).as("seasonal_milli"))
+    dt.join(sa, Seq("__k", "phase"))
+      .select(col("__k").as(keyCol), col("d").cast("string").as("day"),
+        col("x").as("x_centi"), col("trend_milli"), col("seasonal_milli"),
+        (col("detr") - col("seasonal_milli")).as("resid_milli"))
   }
 
   /** Two-sided CUSUM change detection (Page 1954) per key over an

@@ -52,7 +52,7 @@ object ClusterQueries {
   def dbscanBlockedAt(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val cand = Clustering.ivfCandidates(e, "vec_id", "embedding",
-      k, Iters, probes = 2)
+      k, Iters, probes = 2, simThreshold = 0.35)
     Clustering.dbscan(e, "vec_id", "embedding", simThreshold = 0.35,
       minPts = 4, candidates = Some(cand)).orderBy("vec_id")
   }

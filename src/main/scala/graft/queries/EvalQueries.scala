@@ -26,6 +26,7 @@ object EvalQueries {
     "ev5_rouge_l" -> ((s, d) => rougeLQ(s, d)),
     "ev6_chrf" -> ((s, d) => chrfQ(s, d)),
     "ev7_psi" -> ((s, d) => psiQ(s, d)),
+    "ev14_ks_test" -> ((s, d) => ksQ(s, d)),
     "ev8_bootstrap" -> ((s, d) => bootstrapQ(s, d)),
     "ev9_gen_diversity" -> ((s, d) => genDiversityQ(s, d)),
     "ev10_attribution" -> ((s, d) => attributionQ(s, d)),
@@ -167,6 +168,31 @@ object EvalQueries {
       .select(expr("(u * u) div 1000000").as("score"))
     graft.operators.Features.psiReport(ref, cur, "score", bins = 10)
       .orderBy("bin")
+  }
+
+  /** [[graft.operators.Features.ksReport]] on TWO pairs sharing ev7's
+    * md5-uniform reference window (even doc ids): the `shifted_pair`
+    * reuses ev7's genuinely shifted current window (u²/10⁶ — mass pushed
+    * low; d_ppm 328000 ≫ crit 121472 at sf0.01, the monitor FIRES) and
+    * the `stable_pair` compares the same uniform law on the odd ids
+    * (d_ppm 100000 < crit — stays quiet), so both verdict branches of the
+    * binless drift test discriminate on this corpus. */
+  def ksQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val u = conv(substring(md5(concat(lit("ks:"), col("doc_id"))), 1, 6),
+      16, 10).cast("long") % 1000000L
+    val scored = docs.select(col("doc_id"), u.as("u"))
+    val ref = scored.filter(col("doc_id") % 2 === 0)
+      .select(col("u").as("score"))
+    val curShift = scored.filter(col("doc_id") % 2 === 1)
+      .select(expr("(u * u) div 1000000").as("score"))
+    val curSame = scored.filter(col("doc_id") % 2 === 1)
+      .select(col("u").as("score"))
+    graft.operators.Features.ksReport(ref, curShift, "score")
+      .select(lit("shifted_pair").as("pair"), col("*"))
+      .unionByName(graft.operators.Features.ksReport(ref, curSame, "score")
+        .select(lit("stable_pair").as("pair"), col("*")))
+      .orderBy("pair")
   }
 
   /** [[graft.operators.Evals.fleissKappa]] over a synthesized 3-judge
@@ -345,6 +371,46 @@ object EvalQueries {
          |  ci.lo::BIGINT AS ci_lo_fp, ci.hi::BIGINT AS ci_hi_fp
          |FROM rk r, ci ORDER BY replicate""").stripMargin,
 
+    // the binless KS replay: per-pair distinct-score cells, running ECDF
+    // counts, exact decimal(38,0) D numerator, struct-max argmax via
+    // ORDER BY (d_num DESC, s) LIMIT 1, the one stated sqrt float line
+    "ev14_ks_test" ->
+      ("""WITH sc AS (SELECT doc_id,
+    ('0x' || substr(md5('ks:' || doc_id), 1, 6))::BIGINT % 1000000 AS u
+  FROM documents),
+r AS (SELECT u AS s FROM sc WHERE doc_id % 2 = 0),
+cs AS (SELECT (u * u) // 1000000 AS s FROM sc WHERE doc_id % 2 = 1),
+cu AS (SELECT u AS s FROM sc WHERE doc_id % 2 = 1),
+ra AS (SELECT s, count(*) AS a FROM r GROUP BY s),
+csb AS (SELECT s, count(*) AS b FROM cs GROUP BY s),
+cub AS (SELECT s, count(*) AS b FROM cu GROUP BY s),
+js AS (SELECT coalesce(ra.s, csb.s) AS s, coalesce(a, 0)::BIGINT AS a,
+        coalesce(b, 0)::BIGINT AS b FROM ra FULL JOIN csb ON ra.s = csb.s),
+ju AS (SELECT coalesce(ra.s, cub.s) AS s, coalesce(a, 0)::BIGINT AS a,
+        coalesce(b, 0)::BIGINT AS b FROM ra FULL JOIN cub ON ra.s = cub.s),
+cums AS (SELECT s,
+        sum(a) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS c1,
+        sum(b) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS c2,
+        (SELECT sum(a) FROM js)::BIGINT AS n1, (SELECT sum(b) FROM js)::BIGINT AS n2
+      FROM js),
+cumu AS (SELECT s,
+        sum(a) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS c1,
+        sum(b) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS c2,
+        (SELECT sum(a) FROM ju)::BIGINT AS n1, (SELECT sum(b) FROM ju)::BIGINT AS n2
+      FROM ju),
+tops AS (SELECT 'shifted_pair' AS pair, n1, n2, s,
+        abs(c1::DECIMAL(38,0) * n2 - c2::DECIMAL(38,0) * n1) AS d_num
+      FROM cums ORDER BY d_num DESC, s LIMIT 1),
+topu AS (SELECT 'stable_pair' AS pair, n1, n2, s,
+        abs(c1::DECIMAL(38,0) * n2 - c2::DECIMAL(38,0) * n1) AS d_num
+      FROM cumu ORDER BY d_num DESC, s LIMIT 1),
+u AS (SELECT * FROM tops UNION ALL SELECT * FROM topu)
+SELECT pair, n1 AS n_ref, n2 AS n_cur, s AS ks_at,
+  ((d_num * 1000000) // (n1::DECIMAL(38,0) * n2))::BIGINT AS d_ppm,
+  floor(1.3581::DOUBLE * sqrt((n1+n2)::DOUBLE / (n1::DOUBLE * n2::DOUBLE)) * 1000000.0)::BIGINT AS crit_ppm,
+  ((d_num * 1000000) // (n1::DECIMAL(38,0) * n2))::BIGINT >
+    floor(1.3581::DOUBLE * sqrt((n1+n2)::DOUBLE / (n1::DOUBLE * n2::DOUBLE)) * 1000000.0)::BIGINT AS shifted
+FROM u ORDER BY pair""").stripMargin,
     // exact-integer bin shares (1-ppm empty-bin clamp) + the one ln float,
     // both windows' synthesis and the whole quantization chain replayed
     "ev7_psi" ->

@@ -40,6 +40,7 @@ object TemporalQueries {
     "e20_cuped" -> ((s, d) => cupedQ(s, d)),
     "e21_cusum" -> ((s, d) => cusumQ(s, d)),
     "e22_cusum_sharded" -> ((s, d) => cusumShardedQ(s, d)),
+    "e23_seasonal" -> ((s, d) => seasonalQ(s, d)),
     "c5_texttile" -> ((s, d) => textTileQ(s, d))
   )
 
@@ -91,6 +92,20 @@ object TemporalQueries {
         "reading", upperTarget = 6000L, lowerTarget = 4000L, h = 20000L)
       .orderBy("ckey")
   }
+
+  /** [[graft.operators.Features.seasonalDecompose]] of the daily value
+    * series per event_type at period 7 — the weekly deseasonalizer in
+    * front of this family's monitors (a weekly rhythm false-alarms e18's
+    * z-scores and e21's CUSUM unless removed first). 30 days × 5 types at
+    * sf0.01: 150 rows, 6 NULL-trend edge rows per type (the honest
+    * no-full-window contract), 7 distinct seasonal indices per type. The
+    * corpus carries only weak weekly structure, so the row pins the
+    * decomposition ARITHMETIC (the t34 convention — quality of the
+    * seasonal fit is the planted-fixture spec's job). */
+  def seasonalQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Features.seasonalDecompose(Tables.events(spark, dir),
+        "event_type", "ts", "value", period = 7)
+      .orderBy("event_type", "day")
 
   /** [[graft.operators.Features.cuped]] over the event stream with the
     * month split at Jan 16 (pre-period covariate = each user's first-half
@@ -505,6 +520,44 @@ object TemporalQueries {
          |  min(CASE WHEN sp > 20000 THEN event_id END)::BIGINT AS first_up,
          |  min(CASE WHEN sn > 20000 THEN event_id END)::BIGINT AS first_down
          |FROM s GROUP BY ckey ORDER BY ckey""").stripMargin,
+    // classical decomposition replay: (key, day) fixed-point rollup onto
+    // an explicit day grid (missing day = x 0), centered 7-MA in milli
+    // via integer div, phase = epoch-day mod 7, per-phase detrended means
+    // re-centered, residual = detr - seasonal; NULL edges preserved
+    "e23_seasonal" ->
+      ("""WITH daily AS (
+         |  SELECT event_type, ts::DATE AS d,
+         |    sum(floor(value * 100)::BIGINT)::BIGINT AS x
+         |  FROM events GROUP BY 1, 2),
+         |b AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+         |grid AS (
+         |  SELECT k.event_type, (b.lo + g.i * INTERVAL 1 DAY)::DATE AS d
+         |  FROM (SELECT DISTINCT event_type FROM events) k, b, range(366) g(i)
+         |  WHERE (b.lo + g.i * INTERVAL 1 DAY)::DATE <= b.hi),
+         |s AS (SELECT grid.event_type, grid.d,
+         |        (grid.d - DATE '1970-01-01')::BIGINT AS di,
+         |        coalesce(daily.x, 0)::BIGINT AS x
+         |      FROM grid LEFT JOIN daily
+         |        ON grid.event_type = daily.event_type AND grid.d = daily.d),
+         |tr AS (SELECT event_type, d, di, x,
+         |        (CASE WHEN count(*) OVER w = 7
+         |             THEN (sum(x) OVER w * 1000) // 7 END)::BIGINT AS trend_milli
+         |      FROM s
+         |      WINDOW w AS (PARTITION BY event_type ORDER BY di
+         |        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         |dt AS (SELECT *, di % 7 AS phase, x * 1000 - trend_milli AS detr FROM tr),
+         |sr AS (SELECT event_type, phase,
+         |        (sum(detr) // count(detr))::BIGINT AS s_raw
+         |      FROM dt WHERE detr IS NOT NULL GROUP BY 1, 2),
+         |ctr AS (SELECT event_type, (sum(s_raw) // 7)::BIGINT AS mean_s
+         |        FROM sr GROUP BY 1),
+         |sa AS (SELECT sr.event_type, sr.phase, (s_raw - mean_s)::BIGINT AS seasonal_milli
+         |       FROM sr JOIN ctr USING (event_type))
+         |SELECT dt.event_type, dt.d::VARCHAR AS day, dt.x AS x_centi,
+         |  dt.trend_milli, sa.seasonal_milli,
+         |  (dt.detr - sa.seasonal_milli)::BIGINT AS resid_milli
+         |FROM dt JOIN sa ON dt.event_type = sa.event_type AND dt.phase = sa.phase
+         |ORDER BY dt.event_type, dt.d""").stripMargin,
 
     // per-user fixed-point pre/post sums -> exact HUGEINT moments -> the
     // stated float chain (theta, pooled mean, adjustment, rho2), floored

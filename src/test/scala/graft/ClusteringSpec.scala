@@ -223,7 +223,7 @@ class ClusteringSpec extends AnyFunSuite {
       s"fixture sanity: two separate core triangles + noise: $exact")
     // probes = k: every point joins every list -> all pairs co-occur
     val covering = Clustering.ivfCandidates(vs, "vec_id", "embedding",
-      k = 2, iters = 1, probes = 2)
+      k = 2, iters = 1, probes = 2, simThreshold = 0.9)
     val blocked = Clustering.dbscan(vs, "vec_id", "embedding",
         simThreshold = 0.9, minPts = 3, candidates = Some(covering))
       .as[(Long, Long, String, Long)].collect()
@@ -232,7 +232,7 @@ class ClusteringSpec extends AnyFunSuite {
     // probes = 1: candidates are a subset of all pairs, so degrees can
     // only drop — every blocked core must also be an exact core
     val narrow = Clustering.ivfCandidates(vs, "vec_id", "embedding",
-      k = 2, iters = 1, probes = 1)
+      k = 2, iters = 1, probes = 1, simThreshold = 0.9)
     val narrowed = Clustering.dbscan(vs, "vec_id", "embedding",
         simThreshold = 0.9, minPts = 3, candidates = Some(narrow))
       .as[(Long, Long, String, Long)].collect()

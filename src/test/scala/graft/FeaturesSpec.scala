@@ -173,6 +173,73 @@ class FeaturesSpec extends AnyFunSuite {
     assert(bins.toSeq == Seq(0L, 1L))
   }
 
+  test("ksReport: hand-computed D numerator, argmax location, critical " +
+    "line, identical-windows zero, and the loud empty-window failure") {
+    // ref = {1,2,3}, cur = {2,3,4,4}: c1 = 1,2,3,3; c2 = 0,1,2,4 over
+    // distinct scores 1..4 -> d_num = |c1*4 - c2*3| = 4,5,6,0 -> max 6
+    // at s=3; D = 6/12 = 0.5 -> 500000 ppm
+    val ref = Seq(1L, 2L, 3L).toDF("score")
+    val cur = Seq(2L, 3L, 4L, 4L).toDF("score")
+    val r = Features.ksReport(ref, cur, "score")
+      .as[(Long, Long, Long, Long, Long, Boolean)].head()
+    val crit = math.floor(1.3581 *
+      math.sqrt((3L + 4L).toDouble / (3L.toDouble * 4L.toDouble)) *
+      1000000.0).toLong
+    assert(r == ((3L, 4L, 3L, 500000L, crit, 500000L > crit)),
+      s"got $r (crit $crit)")
+    // identical windows: D = 0, never shifted
+    val same = Features.ksReport(ref, ref, "score")
+      .select("d_ppm", "shifted").as[(Long, Boolean)].head()
+    assert(same == ((0L, false)))
+    // empty current window raises loudly through the output columns
+    val err = intercept[Exception] {
+      Features.ksReport(ref, cur.filter($"score" > 99), "score").collect()
+    }
+    assert(err.getMessage.contains("window is empty"),
+      s"wrong failure: ${err.getMessage}")
+  }
+
+  test("seasonalDecompose: a planted exact weekly signal decomposes to " +
+    "zero residuals, NULL edges, and the exact phase indices") {
+    import java.sql.Timestamp
+    // 21 days, one event per day, value = 10 + phase so x = 1000 + 100*p
+    // centi exactly; every full 7-window mean is 1300 -> trend 1300000
+    // milli, seasonal(p) = 100000*p - 300000 (mean-centred), residual 0
+    val days = (1 to 21).map(d => java.time.LocalDate.of(2024, 1, d))
+    val rows = days.map { d =>
+      val p = (d.toEpochDay % 7).toInt
+      ("m", Timestamp.valueOf(d.atStartOfDay()), 10.0 + p)
+    }
+    val out = Features.seasonalDecompose(rows.toDF("k", "ts", "v"),
+        "k", "ts", "v", period = 7)
+      .select("day", "x_centi", "trend_milli", "seasonal_milli", "resid_milli")
+      .as[(String, Long, Option[Long], Long, Option[Long])].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    assert(out.size == 21)
+    days.foreach { d =>
+      val p = (d.toEpochDay % 7).toInt
+      val (x, t, s, r) = out(d.toString)
+      assert(x == 1000L + 100L * p, s"$d x")
+      assert(s == 100000L * p - 300000L, s"$d seasonal")
+      val interior = d.getDayOfMonth >= 4 && d.getDayOfMonth <= 18
+      if (interior) assert(t.contains(1300000L) && r.contains(0L),
+        s"$d interior: trend/resid ($t, $r)")
+      else assert(t.isEmpty && r.isEmpty, s"$d edge must be NULL")
+    }
+    // a MISSING day becomes an explicit x = 0 grid row, not a skipped
+    // window slot
+    val gappy = rows.filterNot(_._2.toString.startsWith("2024-01-10"))
+    val g = Features.seasonalDecompose(gappy.toDF("k", "ts", "v"),
+        "k", "ts", "v", period = 7)
+      .select("day", "x_centi").as[(String, Long)].collect().toMap
+    assert(g.size == 21 && g("2024-01-10") == 0L)
+    // even periods are out of scope, loudly
+    assertThrows[IllegalArgumentException] {
+      Features.seasonalDecompose(rows.toDF("k", "ts", "v"), "k", "ts", "v",
+        period = 6)
+    }
+  }
+
   test("cuped: mirrored-arithmetic fixture exact; adjustment moves toward the pooled mean") {
     import java.sql.Timestamp
     def arm(u: Long): String = {
