@@ -578,7 +578,10 @@ object Features {
     * 100 TB shape: one exchange on the key, two running window frames
     * over it, one map-side-combined per-key reduce. A single giant key
     * serializes its own partition (the stated window-keyed skew note —
-    * shard the key upstream if one stream dominates). */
+    * shard the key upstream if one stream dominates; the e22 registry row
+    * measures the sharded shape). The ONLINE arm is
+    * [[graft.streaming.StreamingCusum]] — the same identity as O(1)
+    * keyed state, rebuild-equivalent per micro-batch. */
   def cusumReport(readings: DataFrame, keyCol: String, orderCol: String,
                   valueCol: String, upperTarget: Long, lowerTarget: Long,
                   h: Long): DataFrame = {
