@@ -22,6 +22,9 @@ import org.apache.spark.sql.streaming.Trigger
   *  - scene_cuts: [[streaming.StreamingSceneCuts]] — state is one
   *    (ts, hash, ok) per video (~17 B); decode is map-only before the
   *    stateful stage, so state traffic is 8-byte fingerprints.
+  *  - cusum: [[streaming.StreamingCusum]] — the online SPC monitor;
+  *    state is eleven longs per key (prefixes, minima, alarm accounting;
+  *    O(1) in history length, grows only with key cardinality).
   *  - paragraph_dedup: the foreachBatch arm
   *    ([[operators.Dedup.paragraphDedupAgainst]] + index delta) — state
   *    is the ownership INDEX table: one row per distinct paragraph
@@ -29,13 +32,14 @@ import org.apache.spark.sql.streaming.Trigger
   *    ~1/3 duplicate ratio shows index rows < paragraph rows).
   *
   * Usage: runMain graft.StreamBench [durationSecPerArm] [arms-csv] —
-  * defaults to 12 s and all four arms. Prints one JSON line per arm;
+  * defaults to 12 s and all five arms. Prints one JSON line per arm;
   * redirect to STREAMBENCH_r{N}.json.
   */
 object StreamBench {
 
   private val allArms =
-    Seq("context_windows", "changelog", "scene_cuts", "paragraph_dedup")
+    Seq("context_windows", "changelog", "scene_cuts", "cusum",
+      "paragraph_dedup")
 
   def main(args: Array[String]): Unit = {
     val durSec = args.headOption.map(_.toInt).getOrElse(12)
@@ -91,6 +95,20 @@ object StreamBench {
         streaming.StreamingSceneCuts.sceneCuts(
           frames, "video_id", "ts", "bytes", maxHamming = 3)
       }, outputMode = "append")
+
+    if (arms("cusum"))
+    runStateful(spark, "cusum", durSec, rowsPerSec = 50000,
+      build = src => {
+        // the e22 production key shape: hundreds of streams; readings sit
+        // mostly inside the dead band so the state path, not the alarm
+        // print path, is what the throughput measures
+        val readings = src.select(
+          (col("value") % 320).cast("string").as("key"),
+          col("value").as("event_id"),
+          (col("value") % 1000).as("reading"))
+        streaming.StreamingCusum.cusum(readings, "key", "event_id",
+          "reading", upperTarget = 600L, lowerTarget = 400L, h = 5000L)
+      }, outputMode = "update")
 
     if (arms("paragraph_dedup")) runParagraphDedup(spark, durSec)
     spark.stop()
