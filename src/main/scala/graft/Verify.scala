@@ -100,7 +100,9 @@ object Verify {
     "e22_cusum_sharded", "s13_colpali_fallback", "l18_requeue_ladder",
     // ev14: distinct-score ECDF cells at 10x scores; e23: the day-grid
     // decomposition over the 10x event stream
-    "ev14_ks_test", "e23_seasonal")
+    "ev14_ks_test", "e23_seasonal",
+    // gr5: the peel DEPTH grows with the corpus (10 rounds at sf0.1)
+    "gr5_kcore")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rest @ _*) = args

@@ -23,8 +23,33 @@ object GraphQueries {
     "gr1_pagerank" -> ((s, d) => pagerank(s, d)),
     "gr2_pagerank_dense" -> ((s, d) => pagerankDense(s, d)),
     "gr3_hits" -> ((s, d) => hitsQ(s, d)),
-    "gr4_lpa" -> ((s, d) => lpaQ(s, d))
+    "gr4_lpa" -> ((s, d) => lpaQ(s, d)),
+    "gr5_kcore" -> ((s, d) => kcoreQ(s, d))
   )
+
+  /** [[graft.operators.LinkGraph.kcore]] at k = 2 over a PLANTED
+    * tree + ring graph (the t18 convention — the gr1 host graph is
+    * degree-uniform, so its cores are vacuous: everything or nothing):
+    * tree edges (doc_id, doc_id div 2) peel one onion layer per round
+    * (each round removes the current leaves — layers halve: 250/125/…/8
+    * at sf0.01, 6 rounds; 10 rounds at sf0.1 — the peel DEPTH grows with
+    * the corpus, which is what the heavy gate stresses), and the ring
+    * over nodes 0..7 is the unique surviving 2-core (every member keeps
+    * ≥ 2 in-set neighbors). The oracle unrolls 16 synchronized peel
+    * rounds — over-unrolling is SAFE because the k-core is a unique
+    * removal-order-independent fixed point (extra rounds are no-ops),
+    * the property that distinguishes this from the gr1/gr3/gr4 class
+    * where iteration count is part of the semantics. */
+  def kcoreQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tree = docs.filter(col("doc_id") >= 1)
+      .select(col("doc_id").as("src"), expr("doc_id div 2").as("dst"))
+    val ring = docs.filter(col("doc_id") < 8)
+      .select(col("doc_id").as("src"),
+        ((col("doc_id") + 1) % 8).as("dst"))
+    LinkGraph.kcore(tree.union(ring), "src", "dst", k = 2)
+      .orderBy("node")
+  }
 
   /** [[graft.operators.LinkGraph.labelPropagation]] over the same host
     * graph, 5 synchronous rounds: communities with real size spread (the
@@ -199,7 +224,155 @@ object GraphQueries {
        |SELECT l.node, l.label, s.csize FROM l$Iters l JOIN sz s USING (label)
        |ORDER BY l.node""".stripMargin
 
+  /** 16 unrolled synchronous peel rounds (covers the sf0.1 depth of 10
+    * with margin; extra rounds are no-ops at the unique fixed point). */
+  private val kcoreOracle: String =
+    """WITH simple AS MATERIALIZED (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT doc_id AS src, doc_id // 2 AS dst FROM documents WHERE doc_id >= 1
+      |    UNION ALL
+      |    SELECT doc_id, (doc_id + 1) % 8 FROM documents WHERE doc_id < 8) t
+      |  WHERE src <> dst),
+      |u0 AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+      |  SELECT src AS a, dst AS b FROM simple UNION ALL SELECT dst, src FROM simple)),
+      |n0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM u0),
+      |d1 AS MATERIALIZED (SELECT n.node, coalesce(c.c, 0)::BIGINT AS d
+      |  FROM n0 n LEFT JOIN (SELECT a, count(*)::BIGINT AS c FROM u0 GROUP BY a) c
+      |  ON n.node = c.a),
+      |p1 AS MATERIALIZED (SELECT node, 1::BIGINT AS peel_round FROM d1 WHERE d < 2),
+      |n1 AS MATERIALIZED (SELECT node FROM d1 WHERE d >= 2),
+      |u1 AS MATERIALIZED (SELECT u.a, u.b FROM u0 u
+      |  JOIN n1 x ON u.a = x.node JOIN n1 y ON u.b = y.node),
+      |d2 AS MATERIALIZED (SELECT n.node, coalesce(c.c, 0)::BIGINT AS d
+      |  FROM n1 n LEFT JOIN (SELECT a, count(*)::BIGINT AS c FROM u1 GROUP BY a) c
+      |  ON n.node = c.a),
+      |p2 AS MATERIALIZED (SELECT node, 2::BIGINT AS peel_round FROM d2 WHERE d < 2),
+      |n2 AS MATERIALIZED (SELECT node FROM d2 WHERE d >= 2),
+      |u2 AS MATERIALIZED (SELECT u.a, u.b FROM u1 u
+      |  JOIN n2 x ON u.a = x.node JOIN n2 y ON u.b = y.node),
+      |d3 AS MATERIALIZED (SELECT n.node, coalesce(c.c, 0)::BIGINT AS d
+      |  FROM n2 n LEFT JOIN (SELECT a, count(*)::BIGINT AS c FROM u2 GROUP BY a) c
+      |  ON n.node = c.a),
+      |p3 AS MATERIALIZED (SELECT node, 3::BIGINT AS peel_round FROM d3 WHERE d < 2),
+      |n3 AS MATERIALIZED (SELECT node FROM d3 WHERE d >= 2),
+      |u3 AS MATERIALIZED (SELECT u.a, u.b FROM u2 u
+      |  JOIN n3 x ON u.a = x.node JOIN n3 y ON u.b = y.node),
+      |d4 AS MATERIALIZED (SELECT n.node, coalesce(c.c, 0)::BIGINT AS d
+      |  FROM n3 n LEFT JOIN (SELECT a, count(*)::BIGINT AS c FROM u3 GROUP BY a) c
+      |  ON n.node = c.a),
+      |p4 AS MATERIALIZED (SELECT node, 4::BIGINT AS peel_round FROM d4 WHERE d < 2),
+      |n4 AS MATERIALIZED (SELECT node FROM d4 WHERE d >= 2),
+      |u4 AS MATERIALIZED (SELECT u.a, u.b FROM u3 u
+      |  JOIN n4 x ON u.a = x.node JOIN n4 y ON u.b = y.node),
+      |d5 AS MATERIALIZED (SELECT n.node, coalesce(c.c, 0)::BIGINT AS d
+      |  FROM n4 n LEFT JOIN (SELECT a, count(*)::BIGINT AS c FROM u4 GROUP BY a) c
+      |  ON n.node = c.a),
+      |p5 AS MATERIALIZED (SELECT node, 5::BIGINT AS peel_round FROM d5 WHERE d < 2),
+      |n5 AS MATERIALIZED (SELECT node FROM d5 WHERE d >= 2),
+      |u5 AS MATERIALIZED (SELECT u.a, u.b FROM u4 u
+      |  JOIN n5 x ON u.a = x.node JOIN n5 y ON u.b = y.node),
+      |d6 AS MATERIALIZED (SELECT n.node, coalesce(c.c, 0)::BIGINT AS d
+      |  FROM n5 n LEFT JOIN (SELECT a, count(*)::BIGINT AS c FROM u5 GROUP BY a) c
+      |  ON n.node = c.a),
+      |p6 AS MATERIALIZED (SELECT node, 6::BIGINT AS peel_round FROM d6 WHERE d < 2),
+      |n6 AS MATERIALIZED (SELECT node FROM d6 WHERE d >= 2),
+      |u6 AS MATERIALIZED (SELECT u.a, u.b FROM u5 u
+      |  JOIN n6 x ON u.a = x.node JOIN n6 y ON u.b = y.node),
+      |d7 AS MATERIALIZED (SELECT n.node, coalesce(c.c, 0)::BIGINT AS d
+      |  FROM n6 n LEFT JOIN (SELECT a, count(*)::BIGINT AS c FROM u6 GROUP BY a) c
+      |  ON n.node = c.a),
+      |p7 AS MATERIALIZED (SELECT node, 7::BIGINT AS peel_round FROM d7 WHERE d < 2),
+      |n7 AS MATERIALIZED (SELECT node FROM d7 WHERE d >= 2),
+      |u7 AS MATERIALIZED (SELECT u.a, u.b FROM u6 u
+      |  JOIN n7 x ON u.a = x.node JOIN n7 y ON u.b = y.node),
+      |d8 AS MATERIALIZED (SELECT n.node, coalesce(c.c, 0)::BIGINT AS d
+      |  FROM n7 n LEFT JOIN (SELECT a, count(*)::BIGINT AS c FROM u7 GROUP BY a) c
+      |  ON n.node = c.a),
+      |p8 AS MATERIALIZED (SELECT node, 8::BIGINT AS peel_round FROM d8 WHERE d < 2),
+      |n8 AS MATERIALIZED (SELECT node FROM d8 WHERE d >= 2),
+      |u8 AS MATERIALIZED (SELECT u.a, u.b FROM u7 u
+      |  JOIN n8 x ON u.a = x.node JOIN n8 y ON u.b = y.node),
+      |d9 AS MATERIALIZED (SELECT n.node, coalesce(c.c, 0)::BIGINT AS d
+      |  FROM n8 n LEFT JOIN (SELECT a, count(*)::BIGINT AS c FROM u8 GROUP BY a) c
+      |  ON n.node = c.a),
+      |p9 AS MATERIALIZED (SELECT node, 9::BIGINT AS peel_round FROM d9 WHERE d < 2),
+      |n9 AS MATERIALIZED (SELECT node FROM d9 WHERE d >= 2),
+      |u9 AS MATERIALIZED (SELECT u.a, u.b FROM u8 u
+      |  JOIN n9 x ON u.a = x.node JOIN n9 y ON u.b = y.node),
+      |d10 AS MATERIALIZED (SELECT n.node, coalesce(c.c, 0)::BIGINT AS d
+      |  FROM n9 n LEFT JOIN (SELECT a, count(*)::BIGINT AS c FROM u9 GROUP BY a) c
+      |  ON n.node = c.a),
+      |p10 AS MATERIALIZED (SELECT node, 10::BIGINT AS peel_round FROM d10 WHERE d < 2),
+      |n10 AS MATERIALIZED (SELECT node FROM d10 WHERE d >= 2),
+      |u10 AS MATERIALIZED (SELECT u.a, u.b FROM u9 u
+      |  JOIN n10 x ON u.a = x.node JOIN n10 y ON u.b = y.node),
+      |d11 AS MATERIALIZED (SELECT n.node, coalesce(c.c, 0)::BIGINT AS d
+      |  FROM n10 n LEFT JOIN (SELECT a, count(*)::BIGINT AS c FROM u10 GROUP BY a) c
+      |  ON n.node = c.a),
+      |p11 AS MATERIALIZED (SELECT node, 11::BIGINT AS peel_round FROM d11 WHERE d < 2),
+      |n11 AS MATERIALIZED (SELECT node FROM d11 WHERE d >= 2),
+      |u11 AS MATERIALIZED (SELECT u.a, u.b FROM u10 u
+      |  JOIN n11 x ON u.a = x.node JOIN n11 y ON u.b = y.node),
+      |d12 AS MATERIALIZED (SELECT n.node, coalesce(c.c, 0)::BIGINT AS d
+      |  FROM n11 n LEFT JOIN (SELECT a, count(*)::BIGINT AS c FROM u11 GROUP BY a) c
+      |  ON n.node = c.a),
+      |p12 AS MATERIALIZED (SELECT node, 12::BIGINT AS peel_round FROM d12 WHERE d < 2),
+      |n12 AS MATERIALIZED (SELECT node FROM d12 WHERE d >= 2),
+      |u12 AS MATERIALIZED (SELECT u.a, u.b FROM u11 u
+      |  JOIN n12 x ON u.a = x.node JOIN n12 y ON u.b = y.node),
+      |d13 AS MATERIALIZED (SELECT n.node, coalesce(c.c, 0)::BIGINT AS d
+      |  FROM n12 n LEFT JOIN (SELECT a, count(*)::BIGINT AS c FROM u12 GROUP BY a) c
+      |  ON n.node = c.a),
+      |p13 AS MATERIALIZED (SELECT node, 13::BIGINT AS peel_round FROM d13 WHERE d < 2),
+      |n13 AS MATERIALIZED (SELECT node FROM d13 WHERE d >= 2),
+      |u13 AS MATERIALIZED (SELECT u.a, u.b FROM u12 u
+      |  JOIN n13 x ON u.a = x.node JOIN n13 y ON u.b = y.node),
+      |d14 AS MATERIALIZED (SELECT n.node, coalesce(c.c, 0)::BIGINT AS d
+      |  FROM n13 n LEFT JOIN (SELECT a, count(*)::BIGINT AS c FROM u13 GROUP BY a) c
+      |  ON n.node = c.a),
+      |p14 AS MATERIALIZED (SELECT node, 14::BIGINT AS peel_round FROM d14 WHERE d < 2),
+      |n14 AS MATERIALIZED (SELECT node FROM d14 WHERE d >= 2),
+      |u14 AS MATERIALIZED (SELECT u.a, u.b FROM u13 u
+      |  JOIN n14 x ON u.a = x.node JOIN n14 y ON u.b = y.node),
+      |d15 AS MATERIALIZED (SELECT n.node, coalesce(c.c, 0)::BIGINT AS d
+      |  FROM n14 n LEFT JOIN (SELECT a, count(*)::BIGINT AS c FROM u14 GROUP BY a) c
+      |  ON n.node = c.a),
+      |p15 AS MATERIALIZED (SELECT node, 15::BIGINT AS peel_round FROM d15 WHERE d < 2),
+      |n15 AS MATERIALIZED (SELECT node FROM d15 WHERE d >= 2),
+      |u15 AS MATERIALIZED (SELECT u.a, u.b FROM u14 u
+      |  JOIN n15 x ON u.a = x.node JOIN n15 y ON u.b = y.node),
+      |d16 AS MATERIALIZED (SELECT n.node, coalesce(c.c, 0)::BIGINT AS d
+      |  FROM n15 n LEFT JOIN (SELECT a, count(*)::BIGINT AS c FROM u15 GROUP BY a) c
+      |  ON n.node = c.a),
+      |p16 AS MATERIALIZED (SELECT node, 16::BIGINT AS peel_round FROM d16 WHERE d < 2),
+      |n16 AS MATERIALIZED (SELECT node FROM d16 WHERE d >= 2),
+      |u16 AS MATERIALIZED (SELECT u.a, u.b FROM u15 u
+      |  JOIN n16 x ON u.a = x.node JOIN n16 y ON u.b = y.node),
+      |peel AS MATERIALIZED (SELECT node, peel_round FROM p1
+      |UNION ALL SELECT node, peel_round FROM p2
+      |UNION ALL SELECT node, peel_round FROM p3
+      |UNION ALL SELECT node, peel_round FROM p4
+      |UNION ALL SELECT node, peel_round FROM p5
+      |UNION ALL SELECT node, peel_round FROM p6
+      |UNION ALL SELECT node, peel_round FROM p7
+      |UNION ALL SELECT node, peel_round FROM p8
+      |UNION ALL SELECT node, peel_round FROM p9
+      |UNION ALL SELECT node, peel_round FROM p10
+      |UNION ALL SELECT node, peel_round FROM p11
+      |UNION ALL SELECT node, peel_round FROM p12
+      |UNION ALL SELECT node, peel_round FROM p13
+      |UNION ALL SELECT node, peel_round FROM p14
+      |UNION ALL SELECT node, peel_round FROM p15
+      |UNION ALL SELECT node, peel_round FROM p16),
+      |cd AS MATERIALIZED (SELECT a AS node, count(*)::BIGINT AS core_deg
+      |  FROM u16 GROUP BY a)
+      |SELECT n0.node, peel.peel_round,
+      |  (peel.peel_round IS NULL) AS in_core, cd.core_deg
+      |FROM n0 LEFT JOIN peel USING (node) LEFT JOIN cd USING (node)
+      |ORDER BY n0.node""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "gr5_kcore" -> kcoreOracle,
     "gr1_pagerank" -> pagerankOracle(edgeSql),
     "gr2_pagerank_dense" -> pagerankOracle(denseEdgeSql),
     "gr3_hits" -> hitsOracle(edgeSql),

@@ -218,4 +218,36 @@ class LinkGraphSpec extends AnyFunSuite {
     }
     assert(thrown.getMessage.contains("STRING node columns"))
   }
+
+  test("kcore: path peels layer by layer, triangle survives as the 2-core; " +
+    "dirty input normalizes; the round guard is loud") {
+    // path 1-2-3-4 (ends peel round 1, middle round 2) + triangle 10-11-12
+    // (the unique 2-core, degree 2 within); dirty input: duplicate +
+    // reversed edges and a self-loop (node 5) that must vanish entirely
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 11L), (11L, 10L), (11L, 12L), (12L, 10L),
+      (5L, 5L)
+    ).toDF("src", "dst")
+    val out = graft.operators.LinkGraph.kcore(edges, "src", "dst", k = 2)
+      .as[(Long, Option[Long], Boolean, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 10L, 11L, 12L),
+      "self-loop-only node 5 has no simple edges and is not a graph node")
+    assert(out(1L) == ((Some(1L), false, None)), "path end peels round 1")
+    assert(out(4L) == ((Some(1L), false, None)))
+    assert(out(2L) == ((Some(2L), false, None)), "exposed middle peels round 2")
+    assert(out(3L) == ((Some(2L), false, None)))
+    Seq(10L, 11L, 12L).foreach { n =>
+      assert(out(n) == ((None, true, Some(2L))),
+        s"triangle member $n: in-core at degree 2")
+    }
+    // the runaway guard raises instead of looping
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.LinkGraph.kcore(
+        Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst"),
+        "src", "dst", k = 2, maxRounds = 1).collect()
+    }
+    assert(err.getMessage.contains("did not converge"))
+  }
 }
