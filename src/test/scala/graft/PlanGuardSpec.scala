@@ -488,4 +488,29 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"t62 degraded to cartesian:\n$p")
     assert(p.contains("HashAggregate"), s"t62 lost the aggregation shape:\n$p")
   }
+
+  test("k8_dbscan_blocked: blocking stays equi-shaped — the co-membership " +
+    "join keys on the probed list id, never all-pairs") {
+    val p = executedPlan("k8_dbscan_blocked")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"blocked dbscan degraded to an all-pairs shape:\n$p")
+  }
+
+  test("ev14_ks_test: distinct-score cells are partial-aggregated; no joins " +
+    "beyond the cells-sized outer join") {
+    val p = executedPlan("ev14_ks_test")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"cell counts must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"KS must never cross rows:\n$p")
+  }
+
+  test("e23_seasonal: the daily rollup is the only corpus exchange and is " +
+    "partial-aggregated; grid/seasonal joins stay bounded") {
+    val p = executedPlan("e23_seasonal")
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      s"daily rollup must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"grid construction must not cross-join the corpus:\n$p")
+  }
 }
