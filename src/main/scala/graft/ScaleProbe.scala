@@ -209,7 +209,12 @@ object ScaleProbe {
         // round 13: the session's memory-heavy shapes — ev9/t69's gram-
         // type exchanges and q6's exact countDistinct twin (the rule-21
         // arm that carries the full key universe)
-        "ev9_gen_diversity", "t69_heaps_growth", "q6_hll")
+        "ev9_gen_diversity", "t69_heaps_growth", "q6_hll",
+        // round 14: k8's fit value-shuffle + co-membership cosine join —
+        // the session's heaviest new exchange shape (k scaled to 512 on
+        // the x64 data like the probe leg — the k2 contract; fixed-k at
+        // 64x data would time the misconfiguration, not the operator)
+        "k8_dbscan_blocked")
       val picked = args.lift(1) match {
         case Some(list) =>
           val want = list.split(',').filter(_.nonEmpty).toSet
@@ -224,6 +229,8 @@ object ScaleProbe {
         val fn: (SparkSession, String) => DataFrame =
           if (name == "k2_semdedup")
             (s, d) => graft.queries.ClusterQueries.semDedupAt(s, d, k = 512)
+          else if (name == "k8_dbscan_blocked")
+            (s, d) => graft.queries.ClusterQueries.dbscanBlockedAt(s, d, k = 512)
           else SparkEntry.queries(name)
         val t0 = System.nanoTime()
         val outcome =
