@@ -765,6 +765,56 @@ object Evals {
         expr("((1 + n_extreme) * 1000000) div (b + 1)").as("p_ppm"))
   }
 
+  /** Benjamini–Hochberg FDR step-up (Benjamini–Hochberg 1995, JRSS B
+    * 57(1) — THE multiple-testing correction for metric batteries: an
+    * experiment readout or eval sweep tests dozens of metrics at once,
+    * and at α=0.05 a 25-metric battery fires ~1.2 false alarms per run
+    * uncorrected; BH controls the expected FALSE-DISCOVERY fraction
+    * among the rejections instead of the family-wise never-one-error
+    * Bonferroni pays too much power for).
+    *
+    * Semantics: rank tests by p ascending (tiebreak: test id — a total
+    * order), m = battery size; reject every rank ≤ r* where r* is the
+    * LARGEST r with p_(r)·m ≤ r·α (the step-up: a rank may be rejected
+    * even when its own threshold fails, because a later rank passed).
+    * All arithmetic is exact integer ppm — `crit_ppm` = floor(r·α/m) is
+    * the displayed per-rank threshold; the decision compares the
+    * un-floored products. The p-range guard rides the rank's sort key
+    * (the t71 discipline) so column pruning cannot skip it.
+    *
+    * 100 TB shape: the exchange carries m (test, p) pairs — BATTERY-
+    * sized, never corpus-sized (the corpus work lives in producing each
+    * p-value upstream, e.g. [[pairedPermTest]] per metric). The step-up
+    * scan is the rule-22 spelling: `ok`'s running max over DESCENDING
+    * rank — O(1) per row, no self-join, no unbounded-FOLLOWING frame.
+    * Both windows are deliberately single-partition: BH is a GLOBAL
+    * order statistic over the battery, and m is small by construction. */
+  def fdrBh(tests: DataFrame, testCol: String, pCol: String,
+            alphaPpm: Long = 50000L): DataFrame = {
+    require(alphaPpm >= 1 && alphaPpm <= 1000000,
+      s"fdrBh needs alphaPpm in [1, 1e6] (got $alphaPpm)")
+    Guards.requireIntegral(tests, pCol, "fdrBh")
+    import org.apache.spark.sql.expressions.Window
+    val guardedP = when(col(pCol).cast("long").between(0L, 1000000L),
+      col(pCol).cast("long")).otherwise(raise_error(concat(
+      lit(s"fdrBh: $pCol out of [0, 1e6] ppm: "), col(pCol).cast("string"))))
+    val m = tests.agg(count(lit(1)).as("m"))
+    val ranked = tests
+      .select(col(testCol), guardedP.as("p_ppm"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("p_ppm"), col(testCol))))
+      .crossJoin(broadcast(m))
+    ranked
+      .withColumn("__ok",
+        when(col("p_ppm") * col("m") <= col("rank") * lit(alphaPpm), 1L)
+          .otherwise(0L))
+      .withColumn("rejected",
+        max(col("__ok")).over(Window.orderBy(col("rank").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) === 1L)
+      .select(col(testCol), col("p_ppm"), col("rank"), col("m"),
+        expr(s"(rank * ${alphaPpm}L) div m").as("crit_ppm"), col("rejected"))
+  }
+
   /** Distinct-n generation-diversity report (Li et al. 2016, "A
     * Diversity-Promoting Objective Function for Neural Conversation
     * Models" §5 — distinct-1/distinct-2, THE standard mode-collapse

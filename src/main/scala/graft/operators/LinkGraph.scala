@@ -429,6 +429,154 @@ object LinkGraph {
     }
   }
 
+  /** Triangle counting + local clustering coefficient by degree-ordered
+    * orientation (Schank–Wagner 2005 forward/compact; the MapReduce
+    * formulation is Suri–Vassilvitskii 2011, "Counting triangles and the
+    * curse of the last reducer") — the cohesion MICRO-structure seat
+    * beside gr5's k-core macro-structure: a host whose neighbors link to
+    * each other (high clustering) is an organic community; link farms
+    * show star patterns (many edges, no triangles).
+    *
+    * Semantics: undirected simple graph (self-loops dropped, parallel
+    * edges collapsed). Every edge {a,b} is oriented from the smaller to
+    * the larger endpoint under the total order (degree, node) — a DAG, so
+    * each triangle {u,v,w} is found EXACTLY once: at its unique lowest
+    * corner u, as the wedge (v,w) closed by the oriented edge v→w.
+    * Output per node: `degree` (simple undirected), `tri_count` (number
+    * of triangles containing the node — each found triangle credits all
+    * three corners), and `lcc_ppm` = floor(2·tri·10⁶ / (d·(d−1))), the
+    * local clustering coefficient in exact integer parts-per-million
+    * (NULL when d < 2, where the coefficient is undefined). No floats,
+    * no tiebreaks — bit-identical on any partitioning.
+    *
+    * 100 TB shape: the orientation IS the hub mitigation — a hub's edges
+    * point INTO it, so its out-degree (wedge fan-out) stays bounded by
+    * the arboricity ordering: Σ C(outdeg,2) ≤ O(m^1.5) on any graph and
+    * O(m·a) on arboricity-a graphs, vs the unoriented Σ C(deg,2) which
+    * the last-reducer paper shows dying on the first celebrity node. The
+    * plan is: one map-side-combined degree groupBy, two equi-joins
+    * (wedge build on the shared low corner, closure probe on (v,w)), one
+    * 3-way corner explode into a map-side-combined count — no caps, no
+    * driver state, no iteration. */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val simple = widenedEdges(edges, srcCol, dstCol)
+      .filter(col("src") =!= col("dst")).distinct()
+    val und = simple
+      .union(simple.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint() // consumed by deg, wedges, and output
+    val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    // (degree, node) total order: orient each undirected edge low -> high.
+    val ord = und
+      .join(deg.select(col("node").as("src"), col("deg").as("dsrc")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("ddst")), "dst")
+      .filter(col("dsrc") < col("ddst") ||
+        (col("dsrc") === col("ddst") && col("src") < col("dst")))
+      .select(col("src"), col("dst"), col("ddst"))
+      .localCheckpoint() // consumed by the wedge self-join AND the probe
+    // Wedges through the low corner: (v, w) with v before w in the order.
+    val wedges = ord.select(col("src"), col("dst").as("v"), col("ddst").as("dv"))
+      .join(ord.select(col("src"), col("dst").as("w"), col("ddst").as("dw")),
+        "src")
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+      .select(col("src").as("u"), col("v"), col("w"))
+    val tris = wedges.join(
+      ord.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+    val perNode = tris.select(col("u").as("node"))
+      .union(tris.select(col("v").as("node")))
+      .union(tris.select(col("w").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("tri_count"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg").as("degree"),
+        coalesce(col("tri_count"), lit(0L)).as("tri_count"),
+        when(col("deg") >= 2,
+          idiv(coalesce(col("tri_count"), lit(0L)) * lit(2000000L),
+            col("deg") * (col("deg") - 1))).as("lcc_ppm"))
+  }
+
+  /** Neighborhood-overlap link prediction (Liben-Nowell–Kleinberg 2003)
+    * over non-adjacent node pairs: common-neighbor count, Jaccard overlap
+    * in exact ppm, and the Resource-Allocation index (Zhou–Lü–Zhang 2009,
+    * EPJ B 71: RA = Σ_{u ∈ CN} 1/deg(u)) — chosen over Adamic–Adar
+    * precisely because 1/d is EXACT in scaled-integer arithmetic where
+    * 1/ln d would put a non-correctly-rounded transcendental on the
+    * decision path (the rule-13 parity discipline; RA also outperforms AA
+    * in the original study). Scores are order-free integer sums, so the
+    * result is bit-identical on any partitioning and replays in SQL.
+    *
+    * Semantics: undirected simple graph; candidates are unordered pairs
+    * (v, w), v < w, at distance exactly 2 (≥1 common neighbor, no edge);
+    * `ra_scaled` = Σ floor(scale/deg(u)) over common neighbors u;
+    * `jaccard_ppm` = floor(cn·10⁶ / (deg v + deg w − cn)). Top
+    * `topK` pairs by (ra_scaled, cn, v, w) — a total order.
+    *
+    * 100 TB shape: wedge fan-out is quadratic in the CENTER degree and —
+    * unlike [[triangles]] — cannot be oriented away (every common
+    * neighbor must witness its pair), so ultra-hubs are excluded as
+    * centers by `maxCenterDegree`: the standard practice (a
+    * celebrity node's 10⁸ followers are not evidence any two of them
+    * should link — hub-mediated CN is the noise the RA denominator
+    * down-weights anyway, and the cap removes only centers whose RA
+    * contribution is ≤ scale/maxCenterDegree per pair). The cap is LOUD:
+    * [[linkPredictDroppedHubs]] is the audit of what was dropped, and the
+    * registry row runs with every fixture node under the cap. Plan: one
+    * degree groupBy, one cap semi-join, one equi-self-join on the center,
+    * one map-side-combined (v,w) aggregation, one anti-join against the
+    * edge set, one k-bounded TakeOrdered — no driver state. */
+  def linkPredict(edges: DataFrame, srcCol: String, dstCol: String,
+                  topK: Int, maxCenterDegree: Int = 4096,
+                  scale: Long = 1000000L): DataFrame = {
+    require(topK >= 1, s"linkPredict needs topK >= 1 (got $topK)")
+    require(maxCenterDegree >= 2,
+      s"linkPredict needs maxCenterDegree >= 2 (got $maxCenterDegree)")
+    require(scale >= 1L, s"linkPredict needs scale >= 1 (got $scale)")
+    val simple = widenedEdges(edges, srcCol, dstCol)
+      .filter(col("src") =!= col("dst")).distinct()
+    val und = simple
+      .union(simple.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint() // consumed by deg, wedges, anti-join
+    val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val centers = deg.filter(col("deg") <= maxCenterDegree)
+    // adjacency rows (center u, neighbor x) with the center's RA term.
+    val adj = und
+      .join(centers.select(col("node").as("src"),
+        idiv(lit(scale), col("deg")).as("ra_term")), Seq("src"), "inner")
+    val pairs = adj.select(col("src"), col("dst").as("v"), col("ra_term"))
+      .join(adj.select(col("src"), col("dst").as("w")), "src")
+      .filter(col("v") < col("w"))
+      .groupBy(col("v"), col("w"))
+      .agg(count(lit(1)).as("cn"),
+        sum(col("ra_term").cast("decimal(38,0)")).as("ra"))
+    val nonAdj = pairs.join(
+      und.select(col("src").as("v"), col("dst").as("w")),
+      Seq("v", "w"), "left_anti")
+    nonAdj
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .join(deg.select(col("node").as("w"), col("deg").as("dw")), "w")
+      .select(col("v"), col("w"), col("cn"),
+        idiv(col("cn") * lit(1000000L), col("dv") + col("dw") - col("cn"))
+          .as("jaccard_ppm"),
+        col("ra").cast("long").as("ra_scaled"))
+      .orderBy(col("ra_scaled").desc, col("cn").desc, col("v"), col("w"))
+      .limit(topK)
+  }
+
+  /** The [[linkPredict]] cap audit (the no-silent-caps discipline, the
+    * t48 `fuzzyStopBlocks` convention): nodes excluded as wedge centers
+    * by `maxCenterDegree`, with their degrees — empty means every common
+    * neighbor was enumerated and the scores are exact. */
+  def linkPredictDroppedHubs(edges: DataFrame, srcCol: String,
+                             dstCol: String,
+                             maxCenterDegree: Int): DataFrame = {
+    val simple = widenedEdges(edges, srcCol, dstCol)
+      .filter(col("src") =!= col("dst")).distinct()
+    val und = simple
+      .union(simple.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    und.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") > maxCenterDegree)
+  }
+
   /** k-core decomposition by synchronous peeling (Seidman 1983; the
     * Batagelj–Zaveršnik peel lifted to rounds) — the graph-curation seat
     * the rank family (gr1/gr2 PageRank, gr3 HITS, gr4 LPA) doesn't fill:

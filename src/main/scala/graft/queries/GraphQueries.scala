@@ -24,8 +24,38 @@ object GraphQueries {
     "gr2_pagerank_dense" -> ((s, d) => pagerankDense(s, d)),
     "gr3_hits" -> ((s, d) => hitsQ(s, d)),
     "gr4_lpa" -> ((s, d) => lpaQ(s, d)),
-    "gr5_kcore" -> ((s, d) => kcoreQ(s, d))
+    "gr5_kcore" -> ((s, d) => kcoreQ(s, d)),
+    "gr6_triangles" -> ((s, d) => trianglesQ(s, d)),
+    "gr7_link_predict" -> ((s, d) => linkPredictQ(s, d))
   )
+
+  /** Ancestry edges with PLANTED triangles (gr5's tree alone is
+    * triangle-free): parent links (i, i div 2) for i ≥ 2 plus grandparent
+    * links (i, i div 4) for i ≥ 4 close one triangle {i, i÷2, i÷4} per
+    * doc — triangles grow linearly with the corpus, degrees vary 1..8,
+    * and the clustering coefficient takes a real spread of values. */
+  private def triangleEdges(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    docs.filter(col("doc_id") >= 2)
+      .select(col("doc_id").as("src"), expr("doc_id div 2").as("dst"))
+      .union(docs.filter(col("doc_id") >= 4)
+        .select(col("doc_id").as("src"), expr("doc_id div 4").as("dst")))
+  }
+
+  /** [[graft.operators.LinkGraph.triangles]] over the planted ancestry
+    * graph — per-node triangle counts and exact-ppm local clustering. */
+  def trianglesQ(spark: SparkSession, dir: String): DataFrame =
+    LinkGraph.triangles(triangleEdges(spark, dir), "src", "dst")
+      .orderBy("node")
+
+  /** [[graft.operators.LinkGraph.linkPredict]] over the same graph:
+    * top-1000 distance-2 pairs by Resource-Allocation score (sibling
+    * pairs share {parent, grandparent} and surface first). Every fixture
+    * degree is ≤ 8, far under the hub cap, so the scores are exact over
+    * the full wedge set (the audit frame is spec-asserted empty). */
+  def linkPredictQ(spark: SparkSession, dir: String): DataFrame =
+    LinkGraph.linkPredict(triangleEdges(spark, dir), "src", "dst",
+      topK = 1000)
 
   /** [[graft.operators.LinkGraph.kcore]] at k = 2 over a PLANTED
     * tree + ring graph (the t18 convention — the gr1 host graph is
@@ -371,8 +401,67 @@ object GraphQueries {
       |FROM n0 LEFT JOIN peel USING (node) LEFT JOIN cd USING (node)
       |ORDER BY n0.node""".stripMargin
 
+  /** Shared CTE prefix for the gr6/gr7 oracles: the planted ancestry
+    * edges, simple-graph normalization, both-direction expansion, and
+    * exact degrees. */
+  private val triangleBaseSql: String =
+    """raw AS (
+      |  SELECT doc_id AS src, doc_id // 2 AS dst FROM documents WHERE doc_id >= 2
+      |  UNION ALL
+      |  SELECT doc_id, doc_id // 4 FROM documents WHERE doc_id >= 4),
+      |simple AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+      |und AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+      |  SELECT src AS a, dst AS b FROM simple UNION ALL SELECT dst, src FROM simple)),
+      |deg AS MATERIALIZED (SELECT a AS node, count(*)::BIGINT AS deg FROM und GROUP BY a)""".stripMargin
+
+  /** Degree-ordered orientation, wedge build, closure probe, 3-corner
+    * credit — the same exact-integer steps as the engine. */
+  private val trianglesOracle: String =
+    s"""WITH $triangleBaseSql,
+       |ord_e AS MATERIALIZED (
+       |  SELECT u.a AS src, u.b AS dst, dd.deg AS ddst
+       |  FROM und u JOIN deg ds ON u.a = ds.node JOIN deg dd ON u.b = dd.node
+       |  WHERE (ds.deg < dd.deg) OR (ds.deg = dd.deg AND u.a < u.b)),
+       |tris AS MATERIALIZED (
+       |  SELECT w.u, w.v, w.w FROM (
+       |    SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
+       |    FROM ord_e o1 JOIN ord_e o2 ON o1.src = o2.src
+       |    WHERE (o1.ddst < o2.ddst) OR (o1.ddst = o2.ddst AND o1.dst < o2.dst)) w
+       |  JOIN ord_e e ON w.v = e.src AND w.w = e.dst),
+       |tc AS (SELECT node, count(*)::BIGINT AS tri_count FROM (
+       |  SELECT u AS node FROM tris UNION ALL SELECT v FROM tris
+       |  UNION ALL SELECT w FROM tris) GROUP BY node)
+       |SELECT d.node, d.deg AS degree,
+       |  coalesce(tc.tri_count, 0)::BIGINT AS tri_count,
+       |  (CASE WHEN d.deg >= 2 THEN
+       |     (coalesce(tc.tri_count, 0) * 2000000) // (d.deg * (d.deg - 1))
+       |   END)::BIGINT AS lcc_ppm
+       |FROM deg d LEFT JOIN tc USING (node) ORDER BY d.node""".stripMargin
+
+  /** Wedge aggregation + adjacency anti-join + exact-ppm/scaled scores,
+    * cut by the same (ra, cn, v, w) total order. */
+  private val linkPredictOracle: String =
+    s"""WITH $triangleBaseSql,
+       |adj AS MATERIALIZED (
+       |  SELECT u.a AS src, u.b AS dst, (1000000 // c.deg)::BIGINT AS ra_term
+       |  FROM und u JOIN deg c ON u.a = c.node WHERE c.deg <= 4096),
+       |pairs AS MATERIALIZED (
+       |  SELECT a1.dst AS v, a2.dst AS w, count(*)::BIGINT AS cn,
+       |         sum(a1.ra_term::HUGEINT) AS ra
+       |  FROM adj a1 JOIN adj a2 ON a1.src = a2.src
+       |  WHERE a1.dst < a2.dst GROUP BY a1.dst, a2.dst),
+       |nonadj AS (SELECT p.* FROM pairs p
+       |  LEFT JOIN und e ON p.v = e.a AND p.w = e.b WHERE e.a IS NULL)
+       |SELECT n.v, n.w, n.cn,
+       |  (n.cn * 1000000) // (dv.deg + dw.deg - n.cn) AS jaccard_ppm,
+       |  n.ra::BIGINT AS ra_scaled
+       |FROM nonadj n JOIN deg dv ON n.v = dv.node JOIN deg dw ON n.w = dw.node
+       |ORDER BY ra_scaled DESC, cn DESC, v, w LIMIT 1000""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "gr5_kcore" -> kcoreOracle,
+    "gr6_triangles" -> trianglesOracle,
+    "gr7_link_predict" -> linkPredictOracle,
     "gr1_pagerank" -> pagerankOracle(edgeSql),
     "gr2_pagerank_dense" -> pagerankOracle(denseEdgeSql),
     "gr3_hits" -> hitsOracle(edgeSql),

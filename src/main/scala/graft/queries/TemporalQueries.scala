@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -41,8 +41,66 @@ object TemporalQueries {
     "e21_cusum" -> ((s, d) => cusumQ(s, d)),
     "e22_cusum_sharded" -> ((s, d) => cusumShardedQ(s, d)),
     "e23_seasonal" -> ((s, d) => seasonalQ(s, d)),
+    "e24_fdr_bh" -> ((s, d) => fdrQ(s, d)),
     "c5_texttile" -> ((s, d) => textTileQ(s, d))
   )
+
+  /** [[graft.operators.Evals.fdrBh]] over a 25-metric battery
+    * (event_type × user-shard), each metric's p-value from the ev13
+    * sign-flip permutation kernel run PER GROUP in one dataflow:
+    * per-(metric, user) integer deltas with planted per-metric shifts
+    * (md5(metric) % 4 routes ~¼ of metrics to a strong −300 shift that
+    * pins p at the 1/201 floor, ~¼ to a weak −120 shift that lands
+    * borderline, half to null) — so the step-up boundary is genuinely
+    * exercised: strong metrics reject, nulls survive, and the weak tier
+    * splits on the rank-dependent threshold. The battery-sized BH
+    * windows ride 25 rows; the corpus-sized work is the one 200-way
+    * flip explode into a (metric, rep) map-side-combined groupBy (the
+    * ev8/ev13 cell law — 5,000 cells at any corpus size). */
+  def fdrQ(spark: SparkSession, dir: String): DataFrame = {
+    def h(parts: Column*): Column =
+      conv(substring(md5(concat(parts: _*)), 1, 6), 16, 10).cast("long")
+    val items = Tables.events(spark, dir)
+      .select(concat(col("event_type"), lit("_m"),
+          pmod(col("user_id"), lit(5))).as("metric"),
+        col("user_id").as("item"))
+      .distinct()
+    val deltas = items.withColumn("shift",
+        when(h(lit("ms:"), col("metric")) % 4 === 0, 300L)
+          .when(h(lit("ms:"), col("metric")) % 4 === 1, 120L)
+          .otherwise(0L))
+      .select(col("metric"), col("item"),
+        (h(lit("fa:"), col("metric"), lit(":"), col("item")) % 1000
+          - h(lit("fb:"), col("metric"), lit(":"), col("item")) % 1000
+          - col("shift")).as("dd"))
+    val obs = deltas.groupBy("metric")
+      .agg(sum(col("dd")).as("obs_sum"), count(lit(1)).as("n_items"))
+    // 25 rows, two consumers (the BH ranking and the stats join-back):
+    // localCheckpoint so the corpus-sized flip dataflow runs once (rule 14)
+    val pvals = deltas
+      .select(col("metric"), col("item"), col("dd"),
+        explode(sequence(lit(1), lit(200))).as("rep"))
+      .withColumn("sd", when(
+        h(lit("fp:"), col("rep"), lit(":"), col("metric"), lit(":"),
+          col("item")) % 2 === 0, col("dd")).otherwise(-col("dd")))
+      .groupBy("metric", "rep").agg(sum(col("sd")).as("s"))
+      .join(broadcast(obs), "metric")
+      .groupBy("metric")
+      .agg(first(col("n_items")).as("n_items"),
+        first(col("obs_sum")).as("obs_sum"),
+        count(lit(1)).as("b"),
+        sum(when(abs(col("s")) >= abs(col("obs_sum")), 1L).otherwise(0L))
+          .as("n_extreme"))
+      .select(col("metric"), col("n_items"), col("obs_sum"),
+        expr("((1 + n_extreme) * 1000000) div (b + 1)").as("p_ppm"))
+      .localCheckpoint()
+    graft.operators.Evals.fdrBh(pvals.select("metric", "p_ppm"),
+        "metric", "p_ppm", alphaPpm = 50000L)
+      .join(broadcast(pvals.select("metric", "n_items", "obs_sum")), "metric")
+      .select(col("metric"), col("n_items"), col("obs_sum"), col("p_ppm"),
+        col("rank"), col("m"), col("crit_ppm"), col("rejected"))
+      .orderBy("rank")
+  }
 
   /** [[graft.operators.Features.cusumReport]] per event_type in event_id
     * order, readings = floor(value·100) with PLANTED level shifts in the
@@ -558,6 +616,43 @@ object TemporalQueries {
          |  (dt.detr - sa.seasonal_milli)::BIGINT AS resid_milli
          |FROM dt JOIN sa ON dt.event_type = sa.event_type AND dt.phase = sa.phase
          |ORDER BY dt.event_type, dt.d""").stripMargin,
+    // per-metric ev13 sign-flip p-values (same md5 coins), then the BH
+    // step-up replayed: rank by (p, metric), ok = un-floored product
+    // compare, rejected = ok's running max over DESCENDING rank
+    "e24_fdr_bh" ->
+      ("""WITH items AS (
+         |  SELECT DISTINCT event_type || '_m' || (user_id % 5) AS metric,
+         |         user_id AS item
+         |  FROM events),
+         |d AS (SELECT metric, item,
+         |    (('0x' || substr(md5('fa:' || metric || ':' || item), 1, 6))::BIGINT % 1000)
+         |    - (('0x' || substr(md5('fb:' || metric || ':' || item), 1, 6))::BIGINT % 1000)
+         |    - (CASE (('0x' || substr(md5('ms:' || metric), 1, 6))::BIGINT % 4)
+         |         WHEN 0 THEN 300 WHEN 1 THEN 120 ELSE 0 END) AS dd
+         |  FROM items),
+         |obs AS (SELECT metric, sum(dd)::BIGINT AS obs_sum,
+         |          count(*)::BIGINT AS n_items FROM d GROUP BY metric),
+         |fl AS (SELECT d.metric, r.rep,
+         |         sum(CASE WHEN ('0x' || substr(md5('fp:' || r.rep || ':' || d.metric || ':' || d.item), 1, 6))::BIGINT % 2 = 0
+         |                  THEN d.dd ELSE -d.dd END)::BIGINT AS s
+         |       FROM (SELECT unnest(range(1, 201)) AS rep) r, d
+         |       GROUP BY d.metric, r.rep),
+         |pv AS (SELECT f.metric, o.n_items, o.obs_sum,
+         |         ((1 + sum(CASE WHEN abs(f.s) >= abs(o.obs_sum) THEN 1 ELSE 0 END))
+         |          * 1000000) // (count(*) + 1) AS p_ppm
+         |       FROM fl f JOIN obs o USING (metric)
+         |       GROUP BY f.metric, o.n_items, o.obs_sum),
+         |mm AS (SELECT count(*)::BIGINT AS m FROM pv),
+         |rk AS (SELECT *, row_number() OVER (ORDER BY p_ppm, metric) AS rank FROM pv)
+         |SELECT metric, n_items, obs_sum, p_ppm, rank::BIGINT AS rank,
+         |  (SELECT m FROM mm) AS m,
+         |  (rank * 50000) // (SELECT m FROM mm) AS crit_ppm,
+         |  (max(CASE WHEN p_ppm * (SELECT m FROM mm) <= rank * 50000
+         |            THEN 1 ELSE 0 END)
+         |     OVER (ORDER BY rank DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1)
+         |    AS rejected
+         |FROM rk ORDER BY rank""").stripMargin,
 
     // per-user fixed-point pre/post sums -> exact HUGEINT moments -> the
     // stated float chain (theta, pooled mean, adjustment, rho2), floored

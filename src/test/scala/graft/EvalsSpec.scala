@@ -506,4 +506,40 @@ class EvalsSpec extends AnyFunSuite {
     }
     assert(e4.getMessage.contains("integral"))
   }
+
+  test("fdrBh: hand-computed step-up boundary; the signature " +
+    "reject-via-later-rank behavior; range guard is loud") {
+    import spark.implicits._
+    // m=6, alpha 0.05: un-floored compares p·6 vs r·50000 — ranks 1-4 pass
+    // (30000·6 = 180000 <= 200000), rank 5 fails (200000·6 > 250000)
+    val battery = Seq(("t1", 1000L), ("t2", 10000L), ("t3", 20000L),
+      ("t4", 30000L), ("t5", 200000L), ("t6", 900000L)).toDF("test", "p_ppm")
+    val out = graft.operators.Evals.fdrBh(battery, "test", "p_ppm")
+      .as[(String, Long, Int, Long, Long, Boolean)].collect().sortBy(_._3)
+    assert(out.map(r => (r._1, r._3, r._5, r._6)).toSeq == Seq(
+      ("t1", 1, 8333L, true), ("t2", 2, 16666L, true),
+      ("t3", 3, 25000L, true), ("t4", 4, 33333L, true),
+      ("t5", 5, 41666L, false), ("t6", 6, 50000L, false)))
+    assert(out.forall(_._4 == 6L))
+    // step-up signature: every rank fails its OWN threshold except the
+    // last, and the last rescues all of them (Bonferroni/step-down would
+    // reject none)
+    val su = Seq(("a", 40000L), ("b", 41000L), ("c", 42000L))
+      .toDF("test", "p_ppm")
+    val suOut = graft.operators.Evals.fdrBh(su, "test", "p_ppm")
+      .as[(String, Long, Int, Long, Long, Boolean)].collect()
+    assert(suOut.forall(_._6), "42000*3 <= 3*50000 rescues ranks 1 and 2")
+    // same battery, worst p nudged past its threshold: nothing rejects
+    val none = Seq(("a", 40000L), ("b", 41000L), ("c", 900000L))
+      .toDF("test", "p_ppm")
+    assert(graft.operators.Evals.fdrBh(none, "test", "p_ppm")
+      .filter(org.apache.spark.sql.functions.col("rejected")).count() == 0L,
+      "40000*3 > 1*50000 and no later rank rescues")
+    val bad = intercept[Exception] {
+      graft.operators.Evals.fdrBh(
+        Seq(("a", 2000000L)).toDF("test", "p_ppm"), "test", "p_ppm")
+        .collect()
+    }
+    assert(bad.getMessage.contains("out of [0, 1e6]"))
+  }
 }

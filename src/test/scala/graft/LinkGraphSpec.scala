@@ -250,4 +250,69 @@ class LinkGraphSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("did not converge"))
   }
+
+  // two shared-edge triangles (abc, bcd) + pendant e off d — every
+  // count/coefficient below is hand arithmetic on this 5-node graph:
+  // deg a=2 b=3 c=3 d=3 e=1; tri a=1 b=2 c=2 d=1 e=0
+  private val triG = Seq(
+    ("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d"), ("d", "e"))
+
+  test("triangles: hand-counted corners and exact-ppm clustering; dirty " +
+    "input normalizes; partitioning-invariant") {
+    val dirty = (triG ++ Seq(("b", "a"), ("a", "b"), ("e", "e"))).toDF("s", "t")
+    val out = graft.operators.LinkGraph.triangles(dirty, "s", "t")
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out == Map(
+      "a" -> ((2L, 1L, Some(1000000L))), // 2·1e6/(2·1)
+      "b" -> ((3L, 2L, Some(666666L))),  // 4e6/6 floored
+      "c" -> ((3L, 2L, Some(666666L))),
+      "d" -> ((3L, 1L, Some(333333L))),  // 2e6/6 floored
+      "e" -> ((1L, 0L, None))))          // undefined below degree 2
+    val p7 = graft.operators.LinkGraph
+      .triangles(triG.toDF("s", "t").repartition(7), "s", "t")
+      .as[(String, Long, Long, Option[Long])].collect().sortBy(_._1)
+    assert(p7.map(r => r._1 -> ((r._2, r._3, r._4))).toMap == out,
+      "bit-identical on a different partitioning")
+    // a star has wedges but zero triangles
+    val star = Seq(("h", "x"), ("h", "y"), ("h", "z")).toDF("s", "t")
+    val starOut = graft.operators.LinkGraph.triangles(star, "s", "t")
+      .as[(String, Long, Long, Option[Long])].collect()
+    assert(starOut.forall(_._3 == 0L))
+    assert(starOut.find(_._1 == "h").get._4.contains(0L),
+      "hub coefficient is defined and exactly 0")
+  }
+
+  test("linkPredict: hand-scored distance-2 pairs in RA order; the topK " +
+    "cut respects the total order; the hub cap is loud via the audit") {
+    val edges = triG.toDF("s", "t")
+    val out = graft.operators.LinkGraph
+      .linkPredict(edges, "s", "t", topK = 10)
+      .as[(String, String, Long, Long, Long)].collect()
+    // (a,d): CN {b,c}, ra 333333+333333, jacc 2e6/(2+3-2)
+    // (b,e)/(c,e): CN {d}, ra 333333, jacc 1e6/(3+1-1); tie broken by v
+    assert(out.toSeq == Seq(
+      ("a", "d", 2L, 666666L, 666666L),
+      ("b", "e", 1L, 333333L, 333333L),
+      ("c", "e", 1L, 333333L, 333333L)))
+    val top2 = graft.operators.LinkGraph
+      .linkPredict(edges, "s", "t", topK = 2)
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(top2.toSeq == out.toSeq.take(2), "the cut follows the total order")
+    // cap at degree 2: b/c/d (degree 3) stop being wedge centers — the
+    // only surviving center a has adjacent neighbors, so no candidates
+    val capped = graft.operators.LinkGraph
+      .linkPredict(edges, "s", "t", topK = 10, maxCenterDegree = 2)
+    assert(capped.count() == 0L)
+    val dropped = graft.operators.LinkGraph
+      .linkPredictDroppedHubs(edges, "s", "t", maxCenterDegree = 2)
+      .as[(String, Long)].collect().sortBy(_._1)
+    assert(dropped.toSeq == Seq(("b", 3L), ("c", 3L), ("d", 3L)),
+      "the audit names every excluded hub with its degree")
+    // the gr7 registry configuration keeps every fixture node under the
+    // cap — scores there are exact over the full wedge set
+    assert(graft.operators.LinkGraph
+      .linkPredictDroppedHubs(edges, "s", "t", maxCenterDegree = 4096)
+      .count() == 0L)
+  }
 }
