@@ -373,6 +373,116 @@ object Features {
       .select("n_ref", "n_cur", "ks_at", "d_ppm", "crit_ppm", "shifted")
   }
 
+  /** Pearson χ² critical values at α = 0.05, df 1..30 (the standard
+    * table, e.g. NIST/SEMATECH e-Handbook §1.3.6.7.4), in micro units —
+    * a bounded plan literal (rule 16 applies to MODEL-sized constants;
+    * a 30-entry published table is PQ-class bounded-by-construction). */
+  private val Chi2Crit05Micro: Seq[Long] = Seq(
+    3841000L, 5991000L, 7815000L, 9488000L, 11070000L, 12592000L,
+    14067000L, 15507000L, 16919000L, 18307000L, 19675000L, 21026000L,
+    22362000L, 23685000L, 24996000L, 26296000L, 27587000L, 28869000L,
+    30144000L, 31410000L, 32671000L, 33924000L, 35172000L, 36415000L,
+    37652000L, 38885000L, 40113000L, 41337000L, 42557000L, 43773000L)
+
+  /** Pearson χ² drift test between a REFERENCE and a CURRENT window of a
+    * CATEGORICAL feature (Pearson 1900) — the seat [[ksReport]] cannot
+    * fill: KS needs an ordered score, a χ² goodness-of-fit reads drift
+    * on event types, sources, languages, device classes. Expected counts
+    * are the reference shares scaled to the current window.
+    *
+    * Exactness discipline: with integer counts (o = current, Rc =
+    * reference per cell; Rt, Ct = window totals), the classic algebraic
+    * form χ² = Σ o²·Rt/(Rc·Ct) − Ct keeps every intermediate a product
+    * of THREE counts (vs the (o·Rt − Rc·Ct)² form whose square doubles
+    * the magnitude) — each term is floored to micro units per cell and
+    * summed order-free in decimal(38,0); the statistic is an ≤|cells|
+    * micro underestimate, identically in both engines. Categories UNSEEN
+    * in the reference make the statistic infinite under the textbook
+    * form; they are the strongest drift evidence there is, so they are
+    * reported (`new_cats`, `new_mass`), EXCLUDED from the sum with the
+    * exact −2Σo+Σe correction (= −Ct + 2·new_mass), and force
+    * `drifted` = true. The verdict compares against the published
+    * α=0.05 critical value for df = (reference categories − 1) — a
+    * 30-entry literal table, df out of range raises loudly, as do empty
+    * windows and window totals past 10¹⁰ rows (the decimal(38,0)
+    * headroom bound: o²·Rt·10⁶ ≤ 10²⁰·10¹⁰·10⁶ = 10³⁶ — drift windows
+    * are time-sliced samples, not whole corpora; the q6 err_ppm lesson
+    * applied BEFORE the overflow ships).
+    *
+    * 100 TB shape: ONE map-side-combined groupBy per window into
+    * category-bounded cells, one cells-sized outer join, a one-row
+    * aggregate — the ev12/ev14 state law (bounded by distinct
+    * categories, never rows). */
+  def chi2Report(ref: DataFrame, cur: DataFrame, catCol: String): DataFrame = {
+    def cells(df: DataFrame, name: String): DataFrame = df
+      .select(col(catCol).cast("string").as("cat"))
+      .groupBy("cat").agg(count(lit(1)).as(name))
+    val joined = cells(ref, "a").join(cells(cur, "b"), Seq("cat"), "full_outer")
+      .select(col("cat"), coalesce(col("a"), lit(0L)).as("a"),
+        coalesce(col("b"), lit(0L)).as("b"))
+    val tot = joined.agg(sum("a").as("__rt"), sum("b").as("__ct"),
+      sum(when(col("a") > 0, 1L).otherwise(0L)).as("__kref"),
+      sum(when(col("a") === 0L, 1L).otherwise(0L)).as("__knew"),
+      sum(when(col("a") === 0L, col("b")).otherwise(0L)).as("__nmass"))
+    def winGuard(t: String, win: String): Column =
+      when(coalesce(col(t), lit(0L)).between(1L, 10000000000L), col(t))
+        .otherwise(raise_error(concat(lit(s"chi2Report: $win window " +
+          s"count "), coalesce(col(t), lit(0L)).cast("string"),
+          lit(" outside [1, 1e10] - empty windows have no distribution " +
+            "and larger ones exceed the exact-arithmetic headroom; " +
+            "time-slice the window"))).cast("long"))
+    // per-cell floor division lands in a LONG (Spark's IntegralDivide):
+    // the window bound alone leaves a=1 pathological cells able to
+    // overflow it (q ≤ Ct·Rt·10⁶ = 10²⁶), so the quotient is range-
+    // checked EXACTLY in decimal before dividing — a loud raise, never a
+    // silent wrap (the q6 err_ppm lesson)
+    val terms = joined.filter(col("a") > 0).crossJoin(broadcast(tot))
+      .agg(sum(expr(
+        """CASE WHEN __ct <= 0 OR __rt <= 0
+          |THEN raise_error('chi2Report: empty window - no distribution to
+          | test; fix the upstream feed')
+          |WHEN cast(b as decimal(38,0)) * b * __rt * 1000000 >
+          |  cast(a as decimal(38,0)) * __ct * 9000000000000000000
+          |THEN raise_error(concat('chi2Report: cell term past long range',
+          |  ' (ref count ', a, ' vs current ', b, ') - the reference',
+          |  ' window barely covers a category the current window is',
+          |  ' concentrated in; widen or resample the reference'))
+          |ELSE (cast(b as decimal(38,0)) * b * __rt * 1000000)
+          |  div (cast(a as decimal(38,0)) * __ct) END""".stripMargin))
+        .as("__sum"))
+    terms.crossJoin(broadcast(tot))
+      .select(
+        winGuard("__rt", "reference").as("n_ref"),
+        winGuard("__ct", "current").as("n_cur"),
+        col("__kref").as("cats_ref"), col("__knew").as("new_cats"),
+        col("__nmass").as("new_mass"),
+        when((col("__kref") - 1).between(1L, Chi2Crit05Micro.size.toLong),
+          col("__kref") - 1)
+          .otherwise(raise_error(concat(
+            lit("chi2Report: df "), (col("__kref") - 1).cast("string"),
+            lit(s" outside [1, ${Chi2Crit05Micro.size}] - a one-category " +
+              "reference has no test, and the critical table stops at " +
+              "30 (bucket the long tail)"))).cast("long")).as("df"),
+        {
+          val dec = col("__sum").cast("decimal(38,0)")
+            .minus(col("__ct").cast("decimal(38,0)") * 1000000L)
+            .plus(col("__nmass").cast("decimal(38,0)") * 2000000L)
+          when(abs(dec) < lit(9000000000000000000L).cast("decimal(38,0)"),
+            dec.cast("long"))
+            .otherwise(raise_error(lit("chi2Report: statistic past long " +
+              "range - the windows are not remotely the same " +
+              "distribution; no exact figure is needed to act on that"))
+              .cast("long")).as("chi2_micro")
+        })
+      .withColumn("crit_micro",
+        element_at(array(Chi2Crit05Micro.map(lit): _*),
+          col("df").cast("int")))
+      .withColumn("drifted",
+        col("chi2_micro") > col("crit_micro") || col("new_cats") > 0L)
+      .select("n_ref", "n_cur", "cats_ref", "new_cats", "new_mass", "df",
+        "chi2_micro", "crit_micro", "drifted")
+  }
+
   /** Shared md5 50/50 arm assignment — a pure function of the user id
     * (the t21/t36 derandomization), recomputed inline wherever needed so
     * NO user→arm table ever materializes (see [[abUplift]]'s plan note). */

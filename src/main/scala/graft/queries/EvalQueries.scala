@@ -27,6 +27,7 @@ object EvalQueries {
     "ev6_chrf" -> ((s, d) => chrfQ(s, d)),
     "ev7_psi" -> ((s, d) => psiQ(s, d)),
     "ev14_ks_test" -> ((s, d) => ksQ(s, d)),
+    "ev15_chi2_drift" -> ((s, d) => chi2Q(s, d)),
     "ev8_bootstrap" -> ((s, d) => bootstrapQ(s, d)),
     "ev9_gen_diversity" -> ((s, d) => genDiversityQ(s, d)),
     "ev10_attribution" -> ((s, d) => attributionQ(s, d)),
@@ -34,6 +35,39 @@ object EvalQueries {
     "ev12_auc" -> ((s, d) => aucQ(s, d)),
     "ev13_paired_perm" -> ((s, d) => pairedPermQ(s, d))
   )
+
+  /** [[graft.operators.Features.chi2Report]] on two CATEGORICAL features
+    * over the even/odd event-id window split — ev14's KS reads ordered
+    * scores, this reads types: the `event_type` arm plants a real
+    * proportion shift (md5 routes ~30% of the current window's 'view'
+    * events to 'click' — category SET unchanged, so the χ² itself must
+    * catch it: drifted), the `hash_shard` arm compares a synthesized
+    * md5 8-shard across the same split (a TRUE null by construction —
+    * the t18 name-the-rule convention; user_id % 8 was tried first and
+    * is genuinely parity-correlated in the fixture data, χ² 22.7: the
+    * generator's user draw isn't id-independent — so the null arm is
+    * derived where the null actually holds, the ev13 fixture-replanting
+    * discipline; χ² 8.4 / 12.8 at sf0.01 / sf0.1 under crit 14.07).
+    * Both verdict paths in one row pair, every term exact integer. */
+  def chi2Q(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val ref = ev.filter(col("event_id") % 2 === 0)
+    val cur = ev.filter(col("event_id") % 2 === 1)
+    val remap = conv(substring(md5(concat(lit("cd:"), col("event_id"))),
+      1, 6), 16, 10).cast("long") % 10 < 3
+    val refT = ref.select(col("event_type").as("cat"))
+    val curT = cur.select(when(col("event_type") === "view" && remap,
+      lit("click")).otherwise(col("event_type")).as("cat"))
+    def shard(df: DataFrame) = df.select(
+      (conv(substring(md5(concat(lit("q2:"), col("event_id"))), 1, 6),
+        16, 10).cast("long") % 8).cast("string").as("cat"))
+    graft.operators.Features.chi2Report(refT, curT, "cat")
+      .select(lit("event_type").as("feature"), col("*"))
+      .unionByName(graft.operators.Features.chi2Report(shard(ref),
+        shard(cur), "cat")
+        .select(lit("hash_shard").as("feature"), col("*")))
+      .orderBy("feature")
+  }
 
   /** [[graft.operators.Evals.pairedPermTest]] between two planted
     * scorers on the same docs: B beats A by a small true shift (+55 on a
@@ -411,6 +445,54 @@ SELECT pair, n1 AS n_ref, n2 AS n_cur, s AS ks_at,
   ((d_num * 1000000) // (n1::DECIMAL(38,0) * n2))::BIGINT >
     floor(1.3581::DOUBLE * sqrt((n1+n2)::DOUBLE / (n1::DOUBLE * n2::DOUBLE)) * 1000000.0)::BIGINT AS shifted
 FROM u ORDER BY pair""").stripMargin,
+    // χ² replay: per-window category counts, per-cell floored
+    // o²·Rt·10⁶ // (Rc·Ct) in HUGEINT, the −Ct + 2·new_mass correction,
+    // published df critical table, OR'd new-category verdict
+    "ev15_chi2_drift" ->
+      ("""WITH r AS (SELECT event_type AS cat, user_id FROM events WHERE event_id % 2 = 0),
+c AS (SELECT CASE WHEN event_type = 'view'
+         AND ('0x' || substr(md5('cd:' || event_id), 1, 6))::BIGINT % 10 < 3
+       THEN 'click' ELSE event_type END AS cat, user_id
+  FROM events WHERE event_id % 2 = 1),
+ru AS (SELECT (('0x' || substr(md5('q2:' || event_id), 1, 6))::BIGINT % 8)::VARCHAR AS cat
+  FROM events WHERE event_id % 2 = 0),
+cu AS (SELECT (('0x' || substr(md5('q2:' || event_id), 1, 6))::BIGINT % 8)::VARCHAR AS cat
+  FROM events WHERE event_id % 2 = 1),
+f AS (
+  SELECT 'event_type' AS feature, cat, 1 AS win FROM r
+  UNION ALL SELECT 'event_type', cat, 2 FROM c
+  UNION ALL SELECT 'hash_shard', cat, 1 FROM ru
+  UNION ALL SELECT 'hash_shard', cat, 2 FROM cu),
+cells AS (SELECT feature, cat,
+    sum(CASE WHEN win = 1 THEN 1 ELSE 0 END)::BIGINT AS a,
+    sum(CASE WHEN win = 2 THEN 1 ELSE 0 END)::BIGINT AS b
+  FROM f GROUP BY feature, cat),
+tot AS (SELECT feature, sum(a)::BIGINT AS rt, sum(b)::BIGINT AS ct,
+    sum(CASE WHEN a > 0 THEN 1 ELSE 0 END)::BIGINT AS kref,
+    sum(CASE WHEN a = 0 THEN 1 ELSE 0 END)::BIGINT AS knew,
+    sum(CASE WHEN a = 0 THEN b ELSE 0 END)::BIGINT AS nmass
+  FROM cells GROUP BY feature),
+s AS (SELECT cells.feature,
+    sum((cells.b::HUGEINT * cells.b * tot.rt * 1000000)
+        // (cells.a::HUGEINT * tot.ct))::HUGEINT AS tsum
+  FROM cells JOIN tot USING (feature) WHERE cells.a > 0
+  GROUP BY cells.feature),
+fin AS (SELECT tot.feature, tot.rt AS n_ref, tot.ct AS n_cur,
+    tot.kref AS cats_ref, tot.knew AS new_cats, tot.nmass AS new_mass,
+    (tot.kref - 1)::BIGINT AS df,
+    (s.tsum - tot.ct::HUGEINT * 1000000
+       + tot.nmass::HUGEINT * 2000000)::BIGINT AS chi2_micro,
+    list_extract([3841000, 5991000, 7815000, 9488000, 11070000, 12592000,
+      14067000, 15507000, 16919000, 18307000, 19675000, 21026000,
+      22362000, 23685000, 24996000, 26296000, 27587000, 28869000,
+      30144000, 31410000, 32671000, 33924000, 35172000, 36415000,
+      37652000, 38885000, 40113000, 41337000, 42557000, 43773000],
+      (tot.kref - 1)::INT)::BIGINT AS crit_micro
+  FROM tot JOIN s USING (feature))
+SELECT feature, n_ref, n_cur, cats_ref, new_cats, new_mass, df,
+  chi2_micro, crit_micro,
+  (chi2_micro > crit_micro OR new_cats > 0) AS drifted
+FROM fin ORDER BY feature""").stripMargin,
     // exact-integer bin shares (1-ppm empty-bin clamp) + the one ln float,
     // both windows' synthesis and the whole quantization chain replayed
     "ev7_psi" ->

@@ -330,4 +330,49 @@ class FeaturesSpec extends AnyFunSuite {
     assert((m.getLong(2), m.getLong(3), m.getLong(5), m.getLong(7)) ==
       ((0L, 15L, 1L, 5L)), "downward stream: S- peaks at 15, S+ silent")
   }
+
+  test("chi2Report: hand-computed statistic, identical-window zero, " +
+    "new-category verdict, loud empty-window and df guards") {
+    def win(cats: (String, Int)*) =
+      cats.flatMap { case (c, n) => Seq.fill(n)(c) }.toDF("cat")
+    // ref x8 y2 vs cur x4 y6: (4-8)^2/8 + (6-2)^2/2 = 2 + 8 = 10 exactly
+    val drifted = graft.operators.Features
+      .chi2Report(win("x" -> 8, "y" -> 2), win("x" -> 4, "y" -> 6), "cat")
+      .collect().head
+    assert((drifted.getLong(0), drifted.getLong(1), drifted.getLong(2),
+      drifted.getLong(3), drifted.getLong(5), drifted.getLong(6),
+      drifted.getLong(7), drifted.getBoolean(8)) ==
+      ((10L, 10L, 2L, 0L, 1L, 10000000L, 3841000L, true)),
+      "chi2_micro 10e6 vs df=1 crit 3.841e6: drifted")
+    // identical windows: statistic exactly 0 (no floor loss here), quiet
+    val quiet = graft.operators.Features
+      .chi2Report(win("x" -> 8, "y" -> 2), win("x" -> 8, "y" -> 2), "cat")
+      .collect().head
+    assert(quiet.getLong(6) == 0L && !quiet.getBoolean(8))
+    // a category unseen in ref forces the verdict regardless of the sum
+    val newCat = graft.operators.Features
+      .chi2Report(win("x" -> 8, "y" -> 2), win("x" -> 4, "y" -> 2, "z" -> 4),
+        "cat").collect().head
+    assert((newCat.getLong(3), newCat.getLong(4), newCat.getLong(6),
+      newCat.getBoolean(8)) == ((1L, 4L, 2000000L, true)),
+      "new_cats=1, new_mass=4, exact -Ct+2·new_mass correction, drifted")
+    val empty = intercept[Exception] {
+      graft.operators.Features
+        .chi2Report(win("x" -> 8), win("x" -> 1)
+          .filter(org.apache.spark.sql.functions.col("cat") === "q"),
+          "cat").collect()
+    }
+    assert(empty.getMessage.contains("empty window"))
+    val df0 = intercept[Exception] {
+      graft.operators.Features
+        .chi2Report(win("x" -> 8), win("x" -> 8), "cat").collect()
+    }
+    assert(df0.getMessage.contains("one-category reference has no test"))
+    val dfBig = intercept[Exception] {
+      val many = (1 to 40).map(i => s"c$i" -> 2)
+      graft.operators.Features
+        .chi2Report(win(many: _*), win(many: _*), "cat").collect()
+    }
+    assert(dfBig.getMessage.contains("critical table stops at 30"))
+  }
 }
