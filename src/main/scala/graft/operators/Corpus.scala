@@ -708,6 +708,49 @@ object Corpus {
       .withColumn("scrubbed", scrubbed)
   }
 
+  /** k-anonymity / l-diversity audit over quasi-identifier columns
+    * (Sweeney 2002, IJUFKS 10(5); Machanavajjhala et al. 2007, TKDD 1(1))
+    * — the STRUCTURED privacy gate beside [[piiScrub]]'s free-text masks:
+    * scrubbing emails out of the text does nothing when the metadata
+    * columns (source, language, length bucket, geo, device …) jointly
+    * re-identify the author; a release pipeline audits the quasi-
+    * identifier EQUIVALENCE CLASSES and suppresses the small ones.
+    *
+    * Semantics: one row per equivalence class (the distinct QI tuple,
+    * NULL a class value like any other) with `class_size`, `l_distinct`
+    * (distinct sensitive values — NULLs don't count as a value, so an
+    * all-NULL-sensitive class reads 0 and suppresses), exact
+    * `reident_risk_ppm` = ⌊10⁶/size⌋ (the prosecutor-model worst-case
+    * re-identification probability), the two named properties, and the
+    * standard `action`: keep iff k-anonymous AND l-diverse (suppression,
+    * the baseline mechanism — generalization ladders are a policy layer
+    * above this audit).
+    *
+    * 100 TB shape: the size count is ONE map-side-combined groupBy on
+    * the QI key; l_distinct is the standard two-phase distinct whose
+    * exchange is bounded by distinct (QI, sensitive) COMBOS, never rows
+    * (the t45 distinct-profile law); output is classes-sized. No
+    * windows, no joins, no driver state. */
+  def kAnonymityAudit(df: DataFrame, qiCols: Seq[String],
+                      sensitiveCol: String, k: Int, l: Int): DataFrame = {
+    require(qiCols.nonEmpty, "kAnonymityAudit needs at least one " +
+      "quasi-identifier column")
+    require(k >= 2, s"kAnonymityAudit needs k >= 2 (got $k; k=1 is " +
+      "vacuously true of every class)")
+    require(l >= 2, s"kAnonymityAudit needs l >= 2 (got $l; l=1 is " +
+      "vacuously true of any class with a sensitive value)")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("l_distinct"))
+      .select(qiCols.map(col) ++ Seq(
+        col("class_size"), col("l_distinct"),
+        expr("1000000 div class_size").as("reident_risk_ppm"),
+        (col("class_size") >= k).as("k_anonymous"),
+        (col("l_distinct") >= l).as("l_diverse"),
+        when(col("class_size") >= k && col("l_distinct") >= l,
+          lit("keep")).otherwise(lit("suppress")).as("action")): _*)
+  }
+
   /** Corpus-trained bigram-LM cross-entropy scoring — the CCNet quality
     * filter shape (Wenzek et al. 2020, arXiv:1911.00359: score every doc by
     * LM perplexity, keep the low-perplexity head). The LM here is trained on

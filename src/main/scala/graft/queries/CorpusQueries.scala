@@ -58,8 +58,25 @@ object CorpusQueries {
     "t67_readability" -> ((s, d) => readabilityQ(s, d)),
     "t68_zipf_slope" -> ((s, d) => zipfSlopeQ(s, d)),
     "t69_heaps_growth" -> ((s, d) => heapsGrowthQ(s, d)),
-    "t71_weighted_sample" -> ((s, d) => weightedSampleQ(s, d))
+    "t71_weighted_sample" -> ((s, d) => weightedSampleQ(s, d)),
+    "t72_k_anonymity" -> ((s, d) => kAnonymityQ(s, d))
   )
+
+  /** [[graft.operators.Corpus.kAnonymityAudit]] with QI = (source, lang,
+    * 256-char length bucket) and a synthesized md5 author id (50 values,
+    * the named rule — a UGC corpus's author column) as the sensitive
+    * attribute, k = 5 / l = 3: 194 equivalence classes at sf0.01 with a
+    * real size spread (singletons through 11), 164 suppressed — both
+    * actions, both property combinations populated. */
+  def kAnonymityQ(spark: SparkSession, dir: String): DataFrame = {
+    val qi = Tables.documents(spark, dir).select(
+      col("source"), col("lang"), expr("n_chars div 256").as("len_bucket"),
+      (conv(substring(md5(concat(lit("au:"), col("doc_id"))), 1, 6),
+        16, 10).cast("long") % 50).as("author"))
+    Corpus.kAnonymityAudit(qi, Seq("source", "lang", "len_bucket"),
+        "author", k = 5, l = 3)
+      .orderBy("source", "lang", "len_bucket")
+  }
 
   /** [[graft.operators.Corpus.weightedSample]] of k = 50 docs weighted by
     * n_chars: the picked slice skews long (mean weight ≈ 336 vs corpus
@@ -1829,6 +1846,23 @@ object CorpusQueries {
          |        FROM k ORDER BY key DESC, doc_id LIMIT 50)
          |SELECT rank_pos, doc_id, w AS weight,
          |  floor(key * 1000000000)::BIGINT AS key_fpb
-         |FROM top ORDER BY rank_pos""").stripMargin
+         |FROM top ORDER BY rank_pos""").stripMargin,
+
+    // equivalence classes on the QI tuple, distinct-sensitive count,
+    // exact worst-case risk, k/l properties, keep/suppress action
+    "t72_k_anonymity" ->
+      ("""WITH qi AS (
+         |  SELECT source, lang, n_chars // 256 AS len_bucket,
+         |    ('0x' || substr(md5('au:' || doc_id), 1, 6))::BIGINT % 50 AS author
+         |  FROM documents),
+         |c AS (SELECT source, lang, len_bucket, count(*)::BIGINT AS class_size,
+         |        count(DISTINCT author)::BIGINT AS l_distinct
+         |      FROM qi GROUP BY 1, 2, 3)
+         |SELECT source, lang, len_bucket, class_size, l_distinct,
+         |  1000000 // class_size AS reident_risk_ppm,
+         |  class_size >= 5 AS k_anonymous, l_distinct >= 3 AS l_diverse,
+         |  CASE WHEN class_size >= 5 AND l_distinct >= 3 THEN 'keep'
+         |       ELSE 'suppress' END AS action
+         |FROM c ORDER BY 1, 2, 3""").stripMargin
   )
 }

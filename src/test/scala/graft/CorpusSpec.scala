@@ -870,4 +870,34 @@ class CorpusSpec extends AnyFunSuite {
     }
     assert(thrown.getMessage.contains("weights must be positive"))
   }
+
+  test("kAnonymityAudit: hand-computed classes; all-NULL-sensitive class " +
+    "suppresses; vacuous parameters are rejected") {
+    val rows = Seq(
+      ("A", Some(1L)), ("A", Some(1L)), ("A", Some(2L)), ("A", Some(3L)),
+      ("A", Some(3L)), ("A", Some(4L)),         // size 6, 4 distinct: keep
+      ("B", Some(7L)), ("B", Some(7L)), ("B", Some(7L)), // size 3: too small
+      ("C", None), ("C", None), ("C", None), ("C", None), ("C", None)
+    ).toDF("qi", "author")                      // C: size 5, 0 distinct
+    val out = Corpus.kAnonymityAudit(rows, Seq("qi"), "author", k = 5, l = 3)
+      .as[(String, Long, Long, Long, Boolean, Boolean, String)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("A") == (("A", 6L, 4L, 166666L, true, true, "keep")))
+    assert(out("B") == (("B", 3L, 1L, 333333L, false, false, "suppress")))
+    assert(out("C") == (("C", 5L, 0L, 200000L, true, false, "suppress")),
+      "k-anonymous but sensitive-homogeneous (NULLs are not a value): " +
+        "l-diversity is exactly what catches this class")
+    val e1 = intercept[IllegalArgumentException] {
+      Corpus.kAnonymityAudit(rows, Seq("qi"), "author", k = 1, l = 3)
+    }
+    assert(e1.getMessage.contains("k=1 is"))
+    val e2 = intercept[IllegalArgumentException] {
+      Corpus.kAnonymityAudit(rows, Seq("qi"), "author", k = 5, l = 1)
+    }
+    assert(e2.getMessage.contains("l=1 is"))
+    val e3 = intercept[IllegalArgumentException] {
+      Corpus.kAnonymityAudit(rows, Seq.empty, "author", k = 5, l = 3)
+    }
+    assert(e3.getMessage.contains("at least one"))
+  }
 }
