@@ -574,4 +574,100 @@ object FullText {
       .orderBy(col("score_fp").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** Classic vector-space cosine ranking in the SMART lnc.ltc weighting
+    * (Salton–Buckley 1988; Manning–Raghavan–Schütze IIR §6.4.3 — the
+    * third ranking paradigm beside BM25's probabilistic-relevance family
+    * (n2/n13) and the language-model family (n14): document vectors are
+    * log-tf with COSINE normalization and no idf (lnc), query vectors
+    * are log-tf · idf (ltc), score = the normalized dot product. The
+    * property the others lack: doc weights are QUERY-INDEPENDENT, so
+    * the normalized vectors are a precomputable index artifact and a
+    * score is a pure dot product at serve time).
+    *
+    * Determinism: w_d = 1 + ln(tf), w_q = ln(N/df) (ln of integer
+    * ratios, the t30 primitive; squares spelled x·x, never pow — rule
+    * 13); the doc norm folds (1+ln tf)² over the doc's DISTINCT terms in
+    * ascending term order via ONE in-row pass over the sorted token
+    * array (a struct-accumulator run-length fold — no per-doc histogram
+    * is ever materialized or shuffled), the per-doc score folds hit
+    * terms in term order (the n14 discipline), and the output is
+    * ⌊cosine·10⁶⌋ under the (score_fp desc, doc_id) total order. Query
+    * terms absent from the corpus contribute nothing (idf undefined —
+    * the standard VSM behavior, unlike n14's loud −∞).
+    *
+    * 100 TB shape: the doc-norm pass is MAP-ONLY (the one thing that
+    * looks corpus-sized — the per-doc term histogram — never leaves the
+    * row); the only corpus-sized exchange is n2's hit-only explode
+    * groupBy. df/idf/query-norm come from a second LEAN tokenize pass
+    * (no norm fold) whose ≤|Q|-row result is localCheckpoint()ed and
+    * consumed by both the broadcast scoring join and the query-norm
+    * aggregate (the n14 lineage discipline — the alternative df window
+    * over the hit table would leave the query norm re-executing the
+    * expensive norm-fold scan); the cut is a k-bounded TakeOrdered. */
+  def tfidfVsm(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty && k >= 1,
+      s"tfidfVsm needs terms and k >= 1 (got $terms / $k)")
+    require(terms.distinct.length == terms.length,
+      s"tfidfVsm: duplicate query terms (${terms.mkString(", ")}) — " +
+        "ltc weights score each term once; dedupe the query")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      text.tokens(col(textCol)).as("tk"))
+    // in-row run-length fold over the sorted tokens: acc = (prev token,
+    // current run length, Σ(1+ln run)² over CLOSED runs); finish closes
+    // the last run. Distinct terms are visited in ascending order, so
+    // the oracle's list_sum(... ORDER BY term) replays the fold exactly.
+    def sq(c: Column): Column = { val v = lit(1.0) + log(c.cast("double")); v * v }
+    val normExpr = {
+      val folded = aggregate(
+        sort_array(col("tk")),
+        struct(lit("").as("p"), lit(0L).as("n"), lit(0.0).as("s")),
+        (st, tok) => struct(
+          tok.as("p"),
+          when(tok === st.getField("p"), st.getField("n") + 1L)
+            .otherwise(lit(1L)).as("n"),
+          (st.getField("s") + when(tok === st.getField("p"), lit(0.0))
+            .otherwise(when(st.getField("n") > 0L, sq(st.getField("n")))
+              .otherwise(lit(0.0)))).as("s")),
+        st => st.getField("s") + when(st.getField("n") > 0L,
+          sq(st.getField("n"))).otherwise(lit(0.0)))
+      sqrt(folded)
+    }
+    val tf = toks.select(col("doc_id"), normExpr.as("norm_d"),
+        explode(col("tk")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "norm_d", "term").agg(count(lit(1)).as("tf"))
+    // lean second pass: df + N with no norm fold in the lineage; ≤|Q|+1
+    // rows checkpointed for two consumers (scoring join + query norm)
+    val global = toks.agg(count(lit(1)).as("n_docs"))
+    val dfT = toks.select(col("doc_id"), explode(col("tk")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(global))
+      .withColumn("wq", log(col("n_docs").cast("double") / col("df")))
+      .localCheckpoint()
+    val qNorm = dfT
+      .agg(coalesce(sqrt(aggregate(
+        sort_array(collect_list(struct(col("term").as("t"),
+          col("wq").as("q")))),
+        lit(0.0), (a, x) => a + x.getField("q") * x.getField("q"))),
+        lit(0.0)).as("norm_q"))
+    val weighted = tf.join(broadcast(dfT.select(col("term"), col("wq"))), "term")
+      .withColumn("w", (lit(1.0) + log(col("tf").cast("double"))) * col("wq"))
+    weighted
+      .groupBy("doc_id", "norm_d")
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("term").as("t"),
+          col("w").as("w")))),
+        lit(0.0), (a, x) => a + x.getField("w")).as("s"),
+        count(lit(1)).as("n_terms"))
+      .crossJoin(broadcast(qNorm))
+      .select(col("doc_id"), col("n_terms"),
+        floor((col("s") / (col("norm_d") * col("norm_q"))) * lit(1000000.0))
+          .cast("long").as("score_fp"))
+      .orderBy(col("score_fp").desc, col("doc_id").asc)
+      .limit(k)
+  }
 }

@@ -34,8 +34,18 @@ object SearchQueries {
     "n8_more_like_this" -> ((s, d) => moreLikeThis(s, d)),
     "n9_proximity" -> ((s, d) => proximity(s, d)),
     "n10_spell_suggest" -> ((s, d) => spellSuggest(s, d)),
-    "n14_ql_dirichlet" -> ((s, d) => qlDirichletQ(s, d))
+    "n14_ql_dirichlet" -> ((s, d) => qlDirichletQ(s, d)),
+    "n15_tfidf_vsm" -> ((s, d) => tfidfVsmQ(s, d))
   )
+
+  /** [[graft.operators.FullText.tfidfVsm]] top-10 on the shared 4-term
+    * query — the SMART lnc.ltc cosine seat beside BM25 (n2), BM25F
+    * (n13), and Dirichlet QL (n14): same corpus, same terms, the third
+    * ranking paradigm, so the four rows together are a comparable
+    * ranking-function panel. */
+  def tfidfVsmQ(spark: SparkSession, dir: String): DataFrame =
+    FullText.tfidfVsm(Tables.documents(spark, dir), "doc_id", "text",
+      Terms, k = 10)
 
   /** [[graft.operators.FullText.qlDirichlet]] over the n2 terms at
     * μ = 2000: the language-modeling ranking beside BM25 — every doc
@@ -341,6 +351,37 @@ object SearchQueries {
     // ln fold, part-2 query constant as a term-ordered 0.0-seeded
     // list_reduce, part-3 length prior; every ln arg a ratio of exact
     // integer products in the engine's parenthesization
+    // lnc.ltc replay: in-row norm fold == per-(doc,term) group fold in
+    // ascending term order (list_sum ORDER BY term == Spark's left fold),
+    // squares spelled x*x, one floored fixed-point division at the end
+    "n15_tfidf_vsm" ->
+      """WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |       FROM documents),
+        |tk AS (SELECT doc_id, list_filter(string_split(norm, ' '), t -> len(t) > 0) AS tk
+        |       FROM n),
+        |tfall AS (SELECT doc_id, t AS term, count(*)::BIGINT AS c
+        |          FROM (SELECT doc_id, unnest(tk) AS t FROM tk) GROUP BY doc_id, t),
+        |nrm AS (SELECT doc_id,
+        |          sqrt(list_sum(list((1.0 + ln(c::DOUBLE)) * (1.0 + ln(c::DOUBLE))
+        |            ORDER BY term))) AS nd
+        |        FROM tfall GROUP BY doc_id),
+        |tf AS (SELECT doc_id, term, c AS tf FROM tfall
+        |       WHERE term IN ('spark','vector','merge','stream')),
+        |g AS (SELECT count(*)::BIGINT AS n_docs FROM tk),
+        |dfq AS (SELECT term, count(*)::BIGINT AS df
+        |        FROM (SELECT DISTINCT doc_id, term FROM tf) GROUP BY term),
+        |wqt AS (SELECT term, ln((SELECT n_docs FROM g)::DOUBLE / df) AS wq FROM dfq),
+        |qn AS (SELECT sqrt(list_sum(list(wq * wq ORDER BY term))) AS nq FROM wqt),
+        |w AS (SELECT tf.doc_id, tf.term, (1.0 + ln(tf.tf::DOUBLE)) * wqt.wq AS w
+        |      FROM tf JOIN wqt USING (term)),
+        |sc AS (SELECT doc_id, list_sum(list(w ORDER BY term)) AS s,
+        |         count(*)::BIGINT AS n_terms
+        |       FROM w GROUP BY doc_id)
+        |SELECT sc.doc_id, sc.n_terms,
+        |  floor((sc.s / (nrm.nd * (SELECT nq FROM qn))) * 1000000)::BIGINT AS score_fp
+        |FROM sc JOIN nrm USING (doc_id)
+        |ORDER BY score_fp DESC, doc_id LIMIT 10""".stripMargin,
+
     "n14_ql_dirichlet" ->
       """WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
         |       FROM documents),

@@ -270,4 +270,41 @@ class FullTextSpec extends AnyFunSuite {
     }
     assert(thrown.getMessage.contains("absent from the"))
   }
+
+  test("tfidfVsm: hand-replayed lnc.ltc cosine; zero-hit docs absent; " +
+    "out-of-corpus terms contribute nothing; duplicate terms raise") {
+    import graft.operators.FullText
+    val docs = Seq(
+      (1L, "apple apple banana"), // hits apple(2): lnc = 1+ln2
+      (2L, "banana banana"),      // no hits: absent from the ranking
+      (3L, "cherry apple")        // hits apple(1), cherry(1)
+    ).toDF("doc_id", "text")
+    def run(terms: Seq[String]) =
+      FullText.tfidfVsm(docs, "doc_id", "text", terms, k = 10)
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    val out = run(Seq("apple", "cherry"))
+    // engine float parenthesization replayed independently:
+    def sq(x: Double) = x * x
+    val n1 = math.sqrt(sq(1 + math.log(2.0)) + sq(1 + math.log(1.0)))
+    val n3 = math.sqrt(sq(1.0) + sq(1.0)) // two tf=1 terms
+    val wqA = math.log(3.0 / 2) // df(apple)=2 of N=3
+    val wqC = math.log(3.0 / 1)
+    val nq = math.sqrt(wqA * wqA + wqC * wqC)
+    val s1 = (1 + math.log(2.0)) * wqA
+    val s3 = (1.0 + math.log(1.0)) * wqA + (1.0 + math.log(1.0)) * wqC
+    val f1 = math.floor(s1 / (n1 * nq) * 1e6).toLong
+    val f3 = math.floor(s3 / (n3 * nq) * 1e6).toLong
+    assert(out == Map(1L -> ((1L, f1)), 3L -> ((2L, f3))),
+      "hand cosine replay; the hit-less d2 is absent (VSM scores 0)")
+    assert(out(3L)._2 > out(1L)._2,
+      "the rarer term + flatter doc vector wins the cosine")
+    // an absent term has no df row: neither weights nor the query norm
+    // move, so every score is unchanged
+    assert(run(Seq("apple", "cherry", "durian")) == out)
+    val dup = intercept[IllegalArgumentException] {
+      FullText.tfidfVsm(docs, "doc_id", "text", Seq("apple", "apple"), 5)
+    }
+    assert(dup.getMessage.contains("duplicate query terms"))
+  }
 }
