@@ -373,6 +373,61 @@ object Features {
       .select("n_ref", "n_cur", "ks_at", "d_ppm", "crit_ppm", "shifted")
   }
 
+  /** Per-key sample autocorrelation function at lags 1..maxLag
+    * (Box–Jenkins 1970 §2.1 — the periodicity/persistence diagnostic in
+    * front of this family's monitors: a strong lag-7 ACF says "weekly
+    * rhythm, deseasonalize with e23 before e18/e21 read the residuals";
+    * a slowly-decaying ACF says the series is trending and a level
+    * monitor will false-alarm).
+    *
+    * Input contract: a per-key REGULARLY-INDEXED series — `tCol` is a
+    * dense integer index (ranks, grid ticks: exactly what e7/e14's
+    * resamplers emit), because lag-k pairing is positional; gaps simply
+    * produce fewer pairs and `n_pairs` reports it honestly.
+    *
+    * Exactness: with μ = S/n rational, both the lag covariance and the
+    * variance are scaled by n²: num_k = Σ(n·x_t − S)(n·x_{t+k} − S),
+    * den = Σ(n·x_t − S)² — EXACT integers in decimal(38,0), order-free
+    * sums. |num| ≤ den (Cauchy–Schwarz), so the emitted
+    * `acf01_ppm` = ⌊(num+den)·10⁶ / (2·den)⌋ — the ev11 (ρ+1)/2 ∈ [0,1]
+    * mapping — keeps every division non-negative where raw-ρ floor
+    * division would split on engine negative-division semantics.
+    * A constant series (den = 0) reads honest NULL, never a number.
+    *
+    * 100 TB shape: one map-side-combined (key) stats groupBy, a
+    * keys-bounded broadcast back, one (key, t+lag) equi-self-join whose
+    * left side carries the maxLag explode (n·maxLag 24-byte rows), and
+    * two map-side-combined (key[, lag]) aggregations. Key cardinality
+    * bounds nothing here — no windows, no per-key serialization: the
+    * join and the sums distribute by (key, t). */
+  def acfReport(series: DataFrame, keyCol: String, tCol: String,
+                valCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"acfReport needs maxLag >= 1 (got $maxLag)")
+    Guards.requireIntegral(series, tCol, "acfReport")
+    Guards.requireIntegral(series, valCol, "acfReport")
+    val r = series.select(col(keyCol).as("k"), col(tCol).cast("long").as("t"),
+      col(valCol).cast("long").as("x"))
+    val stats = r.groupBy("k").agg(sum(col("x")).cast("decimal(38,0)")
+      .as("s"), count(lit(1)).as("n"))
+    val dev = r.join(broadcast(stats), "k")
+      .select(col("k"), col("t"),
+        (col("n").cast("decimal(38,0)") * col("x") - col("s")).as("d"))
+    val den = dev.groupBy("k")
+      .agg(sum(col("d") * col("d")).as("den"), count(lit(1)).as("n"))
+    val pairs = dev
+      .select(col("k"), col("t"), col("d"),
+        explode(sequence(lit(1), lit(maxLag))).as("lag"))
+      .withColumn("t2", col("t") + col("lag"))
+      .join(dev.select(col("k"), col("t").as("t2"), col("d").as("d2")),
+        Seq("k", "t2"))
+      .groupBy("k", "lag")
+      .agg(sum(col("d") * col("d2")).as("num"), count(lit(1)).as("n_pairs"))
+    pairs.join(broadcast(den), "k")
+      .select(col("k").as(keyCol), col("lag"), col("n"), col("n_pairs"),
+        when(col("den") > 0,
+          expr("((num + den) * 1000000) div (2 * den)")).as("acf01_ppm"))
+  }
+
   /** Pearson χ² critical values at α = 0.05, df 1..30 (the standard
     * table, e.g. NIST/SEMATECH e-Handbook §1.3.6.7.4), in micro units —
     * a bounded plan literal (rule 16 applies to MODEL-sized constants;

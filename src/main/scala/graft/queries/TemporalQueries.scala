@@ -42,8 +42,29 @@ object TemporalQueries {
     "e22_cusum_sharded" -> ((s, d) => cusumShardedQ(s, d)),
     "e23_seasonal" -> ((s, d) => seasonalQ(s, d)),
     "e24_fdr_bh" -> ((s, d) => fdrQ(s, d)),
+    "e25_acf" -> ((s, d) => acfQ(s, d)),
     "c5_texttile" -> ((s, d) => textTileQ(s, d))
   )
+
+  /** [[graft.operators.Features.acfReport]] at lags 1..6 per event_type
+    * over the rank-indexed value series with a PLANTED ±7500-centi
+    * period-6 square wave riding the real readings (noise σ ≈ 4910
+    * centi, so the wave carries ~70% of the variance — the t18
+    * named-rule convention): the ACF pattern is the square-wave
+    * signature scaled by the variance share — strongly positive at lag
+    * 6 (acf01 ≈ 0.85·10⁶), strongly negative at lag 3 (≈ 0.15·10⁶),
+    * ±ρ/3 texture at the other lags — every lag discriminating, both
+    * signs populated. */
+  def acfQ(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.events(spark, dir)
+      .withColumn("t", row_number().over(
+        Window.partitionBy("event_type").orderBy("event_id")).cast("long"))
+      .select(col("event_type"), col("t"),
+        (floor(col("value") * 100).cast("long") +
+          when(pmod(col("t"), lit(6)) < 3, 7500L).otherwise(-7500L)).as("x"))
+    graft.operators.Features.acfReport(r, "event_type", "t", "x", maxLag = 6)
+      .orderBy("event_type", "lag")
+  }
 
   /** [[graft.operators.Evals.fdrBh]] over a 25-metric battery
     * (event_type × user-shard), each metric's p-value from the ev13
@@ -616,6 +637,34 @@ object TemporalQueries {
          |  (dt.detr - sa.seasonal_milli)::BIGINT AS resid_milli
          |FROM dt JOIN sa ON dt.event_type = sa.event_type AND dt.phase = sa.phase
          |ORDER BY dt.event_type, dt.d""").stripMargin,
+    // rank the series per key, plant the period-6 square wave, replay
+    // the n²-scaled exact covariance/variance sums in HUGEINT and the
+    // non-negative (rho+1)/2 ppm mapping
+    "e25_acf" ->
+      ("""WITH r AS (
+         |  SELECT event_type AS k,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS t,
+         |    value FROM events),
+         |s AS (SELECT k, t,
+         |        (floor(value * 100)::BIGINT +
+         |         CASE WHEN t % 6 < 3 THEN 7500 ELSE -7500 END) AS x
+         |      FROM r),
+         |st AS (SELECT k, sum(x)::HUGEINT AS sm, count(*)::BIGINT AS n FROM s GROUP BY k),
+         |dev AS (SELECT s.k, s.t, (st.n::HUGEINT * s.x - st.sm) AS d
+         |        FROM s JOIN st USING (k)),
+         |den AS (SELECT k, sum(d * d)::HUGEINT AS den, count(*)::BIGINT AS n
+         |        FROM dev GROUP BY k),
+         |lags AS (SELECT unnest(range(1, 7)) AS lag),
+         |pr AS (SELECT a.k, l.lag, sum(a.d * b.d)::HUGEINT AS num,
+         |         count(*)::BIGINT AS n_pairs
+         |       FROM dev a JOIN lags l ON true
+         |       JOIN dev b ON a.k = b.k AND b.t = a.t + l.lag
+         |       GROUP BY a.k, l.lag)
+         |SELECT pr.k AS event_type, pr.lag::BIGINT AS lag, den.n, pr.n_pairs,
+         |  (CASE WHEN den.den > 0
+         |        THEN ((pr.num + den.den) * 1000000) // (2 * den.den) END)::BIGINT
+         |    AS acf01_ppm
+         |FROM pr JOIN den USING (k) ORDER BY event_type, lag""").stripMargin,
     // per-metric ev13 sign-flip p-values (same md5 coins), then the BH
     // step-up replayed: rank by (p, metric), ok = un-floored product
     // compare, rejected = ok's running max over DESCENDING rank

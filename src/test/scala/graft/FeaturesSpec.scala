@@ -331,6 +331,41 @@ class FeaturesSpec extends AnyFunSuite {
       ((0L, 15L, 1L, 5L)), "downward stream: S- peaks at 15, S+ silent")
   }
 
+  test("acfReport: hand-computed n²-scaled covariance ratios; gap " +
+    "honesty via n_pairs; constant series reads NULL; guards are loud") {
+    // x = [2,4,6,8]: S=20, n=4, dev = n·x−S = [−12,−4,4,12], den = 320
+    // lag1 num = 48−16+48 = 80 → (80+320)·1e6/640 = 625000
+    // lag2 num = −48−48 = −96 → (320−96)·1e6/640 = 350000
+    val s = Seq(("a", 1L, 2L), ("a", 2L, 4L), ("a", 3L, 6L), ("a", 4L, 8L))
+      .toDF("k", "t", "x")
+    val out = graft.operators.Features.acfReport(s, "k", "t", "x", maxLag = 2)
+      .as[(String, Int, Long, Long, Option[Long])].collect()
+      .map(r => r._2 -> ((r._3, r._4, r._5))).toMap
+    assert(out == Map(1 -> ((4L, 3L, Some(625000L))),
+      2 -> ((4L, 2L, Some(350000L)))))
+    // a gap at t=3 drops exactly the pairs that touch it
+    val gap = Seq(("a", 1L, 2L), ("a", 2L, 4L), ("a", 4L, 8L))
+      .toDF("k", "t", "x")
+    val g = graft.operators.Features.acfReport(gap, "k", "t", "x", 1)
+      .as[(String, Int, Long, Long, Option[Long])].collect().head
+    assert(g._3 == 3L && g._4 == 1L, "one surviving lag-1 pair")
+    // constant series: variance 0, ACF undefined
+    val const = Seq(("a", 1L, 5L), ("a", 2L, 5L), ("a", 3L, 5L))
+      .toDF("k", "t", "x")
+    val c = graft.operators.Features.acfReport(const, "k", "t", "x", 1)
+      .as[(String, Int, Long, Long, Option[Long])].collect().head
+    assert(c._5.isEmpty, "den = 0 reads honest NULL")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.Features.acfReport(s, "k", "t", "x", 0)
+    }
+    assert(e1.getMessage.contains("maxLag >= 1"))
+    val e2 = intercept[Exception] {
+      graft.operators.Features.acfReport(
+        Seq(("a", 1L, 0.5)).toDF("k", "t", "x"), "k", "t", "x", 1)
+    }
+    assert(e2.getMessage.contains("integral"))
+  }
+
   test("chi2Report: hand-computed statistic, identical-window zero, " +
     "new-category verdict, loud empty-window and df guards") {
     def win(cats: (String, Int)*) =
