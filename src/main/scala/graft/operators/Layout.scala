@@ -116,4 +116,62 @@ object Layout {
       .agg(count(lit(1)).as("n_rows"),
         min(aCol).as("a_min"), max(aCol).as("a_max"),
         min(bCol).as("b_min"), max(bCol).as("b_max"))
+
+  /** Small-file compaction PLANNER over a table's file-stats listing —
+    * the lake-maintenance job every 100 TB parquet/Delta deployment
+    * schedules (Delta OPTIMIZE, Iceberg rewrite_data_files): streaming
+    * ingest and point upserts (u1/u6/p8's write paths) leave partitions
+    * littered with KB-scale files whose per-file open/footer cost
+    * dominates scans; the planner decides WHICH files merge into WHICH
+    * rewrite groups, per partition, without touching data.
+    *
+    * Semantics: files under `smallBytes` are candidates; candidates
+    * FFD-pack (the [[Corpus.packFfd]] kernel — 11/9·OPT utilization,
+    * sort (bytes desc, id)) into `targetBytes` rewrite groups per
+    * partition; a group that ends up holding ONE file is a pointless
+    * rewrite and reverts to keep (the Delta/Iceberg minFileCount=2
+    * convention). Output per file: action ∈ {keep, compact}, the
+    * rewrite group id, and the group's file-count/byte totals (NULL on
+    * keeps) — all exact integers.
+    *
+    * 100 TB shape: the input is the FILE LISTING (≈ one row per 100 MB
+    * of table — a 100 TB table lists ~10⁶ rows), per-partition file
+    * lists collect into one task each (packFfd's stated contract — a
+    * partition's listing is bounded by the same ops reality that makes
+    * compaction necessary), and the group rollup is one map-side-
+    * combined (part, grp) groupBy. The plan is data-free: executing it
+    * is the caller's rewrite job. */
+  def compactionPlan(files: DataFrame, partCol: String, fileCol: String,
+                     sizeCol: String, targetBytes: Long,
+                     smallBytes: Long): DataFrame = {
+    require(targetBytes >= 1, s"compactionPlan needs targetBytes >= 1 " +
+      s"(got $targetBytes)")
+    require(smallBytes >= 1 && smallBytes <= targetBytes,
+      s"compactionPlan needs 1 <= smallBytes <= targetBytes (got " +
+        s"$smallBytes vs $targetBytes) - a 'small' file larger than the " +
+        "rewrite target would plan pointless self-rewrites")
+    Guards.requireIntegral(files, sizeCol, "compactionPlan")
+    val f = files.select(col(partCol).as("part"), col(fileCol).as("file_id"),
+      col(sizeCol).cast("long").as("bytes"))
+    val packed = Corpus.packFfd(f.filter(col("bytes") < smallBytes),
+        "file_id", "part", col("bytes"), targetBytes)
+      .select(col("shard").as("part"), col("id").as("file_id"),
+        col("len").as("bytes"), col("bin").as("grp"))
+      .localCheckpoint() // two consumers (rollup + plan rows); group-sized
+    val groups = packed.groupBy("part", "grp")
+      .agg(count(lit(1)).as("group_files"), sum(col("bytes")).as("group_bytes"))
+    val planned = packed.join(groups, Seq("part", "grp"))
+      .select(col("part"), col("file_id"), col("bytes"),
+        when(col("group_files") >= 2, lit("compact")).otherwise(lit("keep"))
+          .as("action"),
+        when(col("group_files") >= 2, col("grp")).as("grp"),
+        when(col("group_files") >= 2, col("group_files")).as("group_files"),
+        when(col("group_files") >= 2, col("group_bytes")).as("group_bytes"))
+    f.filter(col("bytes") >= smallBytes)
+      .select(col("part"), col("file_id"), col("bytes"),
+        lit("keep").as("action"), lit(null).cast("long").as("grp"),
+        lit(null).cast("long").as("group_files"),
+        lit(null).cast("long").as("group_bytes"))
+      .unionByName(planned)
+  }
 }

@@ -20,8 +20,28 @@ object MutationQueries {
     "u5_scd2" -> ((s, d) => scd2(s, d)),
     "u6_changelog_apply" -> ((s, d) => changelogApply(s, d)),
     "u7_time_travel" -> ((s, d) => timeTravel(s, d)),
+    "u8_compaction_plan" -> ((s, d) => compactionPlan(s, d)),
     "t50_snapshot_diff" -> ((s, d) => snapshotDiff(s, d))
   )
+
+  /** [[graft.operators.Layout.compactionPlan]] over a synthesized file
+    * listing (the named rule: one file per doc, bytes = n_chars·40 +
+    * md5 jitter, every 17th file ×40 into the already-compacted tier):
+    * per source partition, KB-scale ingest files FFD-pack into 200 KB
+    * rewrite groups (threshold 100 KB) — at sf0.01 the 20 partitions
+    * plan 2–3 groups each, the ×40 tier keeps, and small partitions'
+    * singleton groups revert to keep (all paths populated). */
+  def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val files = Tables.documents(spark, dir).select(
+      col("source"), col("doc_id").as("file_id"),
+      ((col("n_chars") * 40 +
+        conv(substring(md5(concat(lit("fb:"), col("doc_id"))), 1, 6),
+          16, 10).cast("long") % 20000) *
+        when(col("doc_id") % 17 === 0, 40L).otherwise(1L)).as("bytes"))
+    graft.operators.Layout.compactionPlan(files, "source", "file_id",
+        "bytes", targetBytes = 200000L, smallBytes = 100000L)
+      .orderBy("part", "file_id")
+  }
 
   /** Snapshot diff on a simulated next crawl (the u6 modulo fixture
     * style): %7 keys vanish, surviving %5 keys change text, %50 keys
@@ -220,6 +240,57 @@ object MutationQueries {
     // each snapshot computed by DIRECT sequential application of the two
     // update waves (upsert semantics), never via interval logic - the
     // engine's interval reads must land on exactly these states
+    // the t44 recursive-CTE FFD replay per partition over the small-file
+    // candidates, then the singleton-group keep reversion and the big-file
+    // keep union
+    "u8_compaction_plan" ->
+      """WITH RECURSIVE fl AS (
+        |  SELECT source AS part, doc_id AS file_id,
+        |    ((n_chars * 40 + ('0x' || substr(md5('fb:' || doc_id), 1, 6))::BIGINT % 20000)
+        |     * (CASE WHEN doc_id % 17 = 0 THEN 40 ELSE 1 END))::BIGINT AS bytes
+        |  FROM documents),
+        |small AS (SELECT * FROM fl WHERE bytes < 100000),
+        |ord AS (SELECT part, file_id, bytes,
+        |    row_number() OVER (PARTITION BY part ORDER BY bytes DESC, file_id) AS rn
+        |  FROM small),
+        |cnt AS (SELECT part, count(*)::BIGINT AS n FROM ord GROUP BY part),
+        |rec(part, i, loads, assigns) AS (
+        |  SELECT part, 0::BIGINT, []::BIGINT[], []::BIGINT[] FROM cnt
+        |  UNION ALL
+        |  SELECT r.part, r.i + 1,
+        |    CASE WHEN o.bytes <= 200000 AND coalesce(list_position(
+        |           list_transform(r.loads, l -> l + o.bytes <= 200000), true), 0) > 0
+        |      THEN list_transform(range(1, len(r.loads) + 1), j ->
+        |        CASE WHEN j = list_position(
+        |               list_transform(r.loads, l -> l + o.bytes <= 200000), true)
+        |          THEN r.loads[j] + o.bytes ELSE r.loads[j] END)
+        |      ELSE list_append(r.loads, o.bytes) END,
+        |    list_append(r.assigns,
+        |      CASE WHEN o.bytes <= 200000 AND coalesce(list_position(
+        |             list_transform(r.loads, l -> l + o.bytes <= 200000), true), 0) > 0
+        |        THEN list_position(
+        |               list_transform(r.loads, l -> l + o.bytes <= 200000), true) - 1
+        |        ELSE len(r.loads) END)
+        |  FROM rec r JOIN ord o ON o.part = r.part AND o.rn = r.i + 1),
+        |asg AS (SELECT o.part, o.file_id, o.bytes, f.assigns[o.rn]::BIGINT AS grp
+        |  FROM ord o JOIN (SELECT r.part, r.assigns FROM rec r JOIN cnt c
+        |                   ON r.part = c.part AND r.i = c.n) f
+        |  ON o.part = f.part),
+        |gs AS (SELECT part, grp, count(*)::BIGINT AS gf, sum(bytes)::BIGINT AS gb
+        |       FROM asg GROUP BY 1, 2),
+        |planned AS (SELECT a.part, a.file_id, a.bytes,
+        |    CASE WHEN g.gf >= 2 THEN 'compact' ELSE 'keep' END AS action,
+        |    CASE WHEN g.gf >= 2 THEN a.grp END AS grp,
+        |    CASE WHEN g.gf >= 2 THEN g.gf END AS group_files,
+        |    CASE WHEN g.gf >= 2 THEN g.gb END AS group_bytes
+        |  FROM asg a JOIN gs g ON a.part = g.part AND a.grp = g.grp),
+        |big AS (SELECT part, file_id, bytes, 'keep' AS action,
+        |    NULL::BIGINT AS grp, NULL::BIGINT AS group_files,
+        |    NULL::BIGINT AS group_bytes
+        |  FROM fl WHERE bytes >= 100000)
+        |SELECT * FROM (SELECT * FROM planned UNION ALL SELECT * FROM big)
+        |ORDER BY part, file_id""".stripMargin,
+
     "u7_time_travel" ->
       """WITH cust AS (SELECT c_custkey, c_name, c_mktsegment FROM customer),
         |upd1 AS (

@@ -120,4 +120,38 @@ class LayoutSpec extends AnyFunSuite {
       assert(out._2.nonEmpty)
     }
   }
+
+  test("compactionPlan: hand-traced FFD groups; singleton group reverts " +
+    "to keep; big files keep with NULL group; guards are loud") {
+    val files = Seq(
+      // p1, threshold 100 / target 120: FFD desc = 90→b0, 80→b1,
+      // 30→b0 (120), 25→b1 (105) — two 2-file rewrite groups
+      ("p1", 1L, 90L), ("p1", 2L, 80L), ("p1", 3L, 30L), ("p1", 4L, 25L),
+      ("p2", 5L, 60L),   // alone in its bin: pointless rewrite, keeps
+      ("p1", 6L, 150L)   // already compacted tier
+    ).toDF("part", "file_id", "bytes")
+    val out = graft.operators.Layout
+      .compactionPlan(files, "part", "file_id", "bytes",
+        targetBytes = 120L, smallBytes = 100L)
+      .as[(String, Long, Long, String, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._2 -> r).toMap
+    assert(out(1L) == (("p1", 1L, 90L, "compact", Some(0L), Some(2L), Some(120L))))
+    assert(out(3L) == (("p1", 3L, 30L, "compact", Some(0L), Some(2L), Some(120L))))
+    assert(out(2L) == (("p1", 2L, 80L, "compact", Some(1L), Some(2L), Some(105L))))
+    assert(out(4L) == (("p1", 4L, 25L, "compact", Some(1L), Some(2L), Some(105L))))
+    assert(out(5L) == (("p2", 5L, 60L, "keep", None, None, None)),
+      "singleton rewrite group reverted to keep")
+    assert(out(6L) == (("p1", 6L, 150L, "keep", None, None, None)))
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.Layout.compactionPlan(files, "part", "file_id",
+        "bytes", targetBytes = 100L, smallBytes = 200L)
+    }
+    assert(e1.getMessage.contains("smallBytes <= targetBytes"))
+    val e2 = intercept[Exception] {
+      graft.operators.Layout.compactionPlan(
+        Seq(("p", 1L, 0.5)).toDF("part", "file_id", "bytes"),
+        "part", "file_id", "bytes", 120L, 100L)
+    }
+    assert(e2.getMessage.contains("integral"))
+  }
 }
