@@ -542,6 +542,83 @@ object Evals {
       "p_bar_ppm", "p_e_ppm", "kappa_ppm")
   }
 
+  /** Krippendorff's α for nominal data (Krippendorff 1970/2004 §11) —
+    * the inter-rater agreement seat [[fleissKappa]] loudly REFUSES:
+    * ragged panels. Real LLM-judge ensembles are ragged by construction
+    * (judges time out, get routed, or abstain), and Fleiss' κ is only
+    * defined at a constant rater count; α handles any mix of panel
+    * sizes by pairing values within items — items with a single rating
+    * are unpairable and excluded (reported as `n_dropped`, the standard
+    * treatment).
+    *
+    * Exactness: with n_u ratings and q_u = Σ_c n_uc² per item,
+    * α = 1 − (N−1)·Σ_u[(n_u²−q_u)/(n_u−1)] / (N² − Σ_c n_c²) over the
+    * pairable items (the coincidence-matrix identity). The per-item
+    * fractions sum EXACTLY over a common denominator Π(n_g−1) taken
+    * over the DISTINCT panel sizes g (driver BigInt, the fleissKappa
+    * convention; the oracle replays the same fold in HUGEINT), with a
+    * loud guard at Π ≤ 10¹⁵ — the exact-rational replay bound (panels
+    * with more distinct sizes: bucket raters; the statistic is about
+    * agreement, not panel-size diversity). All outputs are floored ppm
+    * of exact rationals; a single-category panel (D_e = 0) raises with
+    * the statistics, never divides by zero. α < 0 (worse than chance)
+    * emits as a negative ppm — floorDiv floors identically in both
+    * engines.
+    *
+    * 100 TB shape: two map-side-combined groupBys ((item, cat) counts →
+    * per-item reduction), a distinct-panel-size rollup collected under
+    * rule 17 (≤ distinct sizes rows), one category-marginal aggregation
+    * — the ev4 plan with one extra bounded rollup. */
+  def krippendorffAlpha(labels: DataFrame, itemCol: String,
+                        catCol: String): DataFrame = {
+    val spark = labels.sparkSession
+    import spark.implicits._
+    val ic = labels
+      .groupBy(col(itemCol).as("__it"), col(catCol).cast("long").as("category"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // three consumers: per-item, marginals, sizes
+    val perItem = ic.groupBy("__it")
+      .agg(sum(col("c")).as("n"), sum(expr("c * c")).as("q"))
+    val pairable = perItem.filter(col("n") >= 2).localCheckpoint()
+    val nDropped = perItem.filter(col("n") < 2).count()
+    val groups = pairable.groupBy("n")
+      .agg(count(lit(1)).as("cnt"), sum(col("q")).as("sq"))
+      .orderBy("n").as[(Long, Long, Long)].collect()
+    require(groups.nonEmpty,
+      "krippendorffAlpha: no item has >= 2 ratings - nothing is pairable")
+    val marg = ic.join(pairable.select("__it"), "__it")
+      .groupBy("category").agg(sum(col("c")).as("m"))
+      .orderBy("category").as[(Long, Long)].collect()
+    val den = groups.map(g => BigInt(g._1 - 1)).product
+    require(den <= BigInt("1000000000000000"),
+      s"krippendorffAlpha: the product of distinct (panel size - 1) " +
+        s"values is $den > 1e15 - past the exact-rational replay bound; " +
+        "bucket rater counts")
+    val num = groups.map { case (n, cnt, sq) =>
+      (BigInt(cnt) * n * n - sq) * (den / (n - 1))
+    }.sum
+    val bigN = groups.map(g => BigInt(g._1) * g._2).sum
+    val m2 = marg.map(m => BigInt(m._2) * m._2).sum
+    val eNum = bigN * bigN - m2
+    require(eNum > 0,
+      "krippendorffAlpha: alpha undefined - expected disagreement is 0 " +
+        "(every pairable rating is one category); the panel carries no " +
+        "agreement signal")
+    def floorDiv(a: BigInt, b: BigInt): Long = {
+      val q = a / b
+      (if (a % b != 0 && (a < 0) != (b < 0)) q - 1 else q).toLong
+    }
+    val alphaPpm = floorDiv((den * eNum - (bigN - 1) * num) * 1000000,
+      den * eNum)
+    val doPpm = floorDiv(num * 1000000, den * bigN)
+    val dePpm = floorDiv(eNum * 1000000, bigN * (bigN - 1))
+    marg.toSeq.map { case (cat, m) =>
+      (cat, m, floorDiv(BigInt(m) * 1000000, bigN), bigN.toLong, nDropped,
+        doPpm, dePpm, alphaPpm)
+    }.toDF("category", "n_labels", "marginal_ppm", "n_pairable",
+      "n_dropped", "d_o_ppm", "d_e_ppm", "alpha_ppm")
+  }
+
   /** Answer↔context ATTRIBUTION / faithfulness report — the deterministic
     * token-evidence layer under the LLM-judged RAGAS faithfulness score
     * the reference evaluates with (`evaluations/hotpot_ragas_eval.py`:

@@ -28,6 +28,7 @@ object EvalQueries {
     "ev7_psi" -> ((s, d) => psiQ(s, d)),
     "ev14_ks_test" -> ((s, d) => ksQ(s, d)),
     "ev15_chi2_drift" -> ((s, d) => chi2Q(s, d)),
+    "ev16_krippendorff" -> ((s, d) => krippQ(s, d)),
     "ev8_bootstrap" -> ((s, d) => bootstrapQ(s, d)),
     "ev9_gen_diversity" -> ((s, d) => genDiversityQ(s, d)),
     "ev10_attribution" -> ((s, d) => attributionQ(s, d)),
@@ -35,6 +36,27 @@ object EvalQueries {
     "ev12_auc" -> ((s, d) => aucQ(s, d)),
     "ev13_paired_perm" -> ((s, d) => pairedPermQ(s, d))
   )
+
+  /** [[graft.operators.Evals.krippendorffAlpha]] over a RAGGED judge
+    * panel — the fixture ev4's Fleiss κ rejects by design: item i gets
+    * 1 + i%3 ratings (singles are unpairable and dropped — the α
+    * treatment the constant-rater statistic has no answer for), each
+    * rating md5-routed 70% to the item's gold category, else noise —
+    * the ev4 panel texture, so α lands in the same genuinely-corrected
+    * mid range rather than a trivial extreme. */
+  def krippQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def h(tag: String): Column =
+      conv(substring(md5(concat(lit(tag), col("doc_id"), lit(":"),
+        col("j"))), 1, 6), 16, 10).cast("long")
+    val lab = docs
+      .select(col("doc_id"),
+        explode(expr("sequence(1, cast(1 + doc_id % 3 as int))")).as("j"))
+      .select(col("doc_id"),
+        when(h("kj:") % 10 < 7, pmod(col("doc_id"), lit(4)))
+          .otherwise(h("kn:") % 4).as("category"))
+    Evals.krippendorffAlpha(lab, "doc_id", "category").orderBy("category")
+  }
 
   /** [[graft.operators.Features.chi2Report]] on two CATEGORICAL features
     * over the even/odd event-id window split — ev14's KS reads ordered
@@ -445,6 +467,47 @@ SELECT pair, n1 AS n_ref, n2 AS n_cur, s AS ks_at,
   ((d_num * 1000000) // (n1::DECIMAL(38,0) * n2))::BIGINT >
     floor(1.3581::DOUBLE * sqrt((n1+n2)::DOUBLE / (n1::DOUBLE * n2::DOUBLE)) * 1000000.0)::BIGINT AS shifted
 FROM u ORDER BY pair""").stripMargin,
+    // α replay: ragged ratings, unpairable singles dropped, the per-item
+    // fraction sum folded over distinct panel sizes by a recursive
+    // (num, den) CTE in HUGEINT — the same rational Spark's driver BigInt
+    // builds over the Π(n_g−1) common denominator
+    "ev16_krippendorff" ->
+      ("""WITH RECURSIVE lab AS (
+         |  SELECT doc_id AS it, j,
+         |    CASE WHEN ('0x' || substr(md5('kj:' || doc_id || ':' || j), 1, 6))::BIGINT % 10 < 7
+         |         THEN doc_id % 4
+         |         ELSE ('0x' || substr(md5('kn:' || doc_id || ':' || j), 1, 6))::BIGINT % 4 END AS category
+         |  FROM documents, (SELECT unnest(range(1, 4)) AS j) js
+         |  WHERE j <= 1 + doc_id % 3),
+         |ic AS (SELECT it, category, count(*)::BIGINT AS c FROM lab GROUP BY 1, 2),
+         |pi AS (SELECT it, sum(c)::BIGINT AS n, sum(c * c)::BIGINT AS q FROM ic GROUP BY it),
+         |pair AS (SELECT * FROM pi WHERE n >= 2),
+         |go AS (SELECT n, cnt, sq, row_number() OVER (ORDER BY n) AS rn FROM (
+         |  SELECT n, count(*)::BIGINT AS cnt, sum(q)::BIGINT AS sq FROM pair GROUP BY n)),
+         |gc AS (SELECT count(*)::BIGINT AS gn FROM go),
+         |fr(i, num, den) AS (
+         |  SELECT 0::BIGINT, 0::HUGEINT, 1::HUGEINT
+         |  UNION ALL
+         |  SELECT fr.i + 1,
+         |    fr.num * (g.n - 1) + (g.cnt * g.n * g.n - g.sq) * fr.den,
+         |    fr.den * (g.n - 1)
+         |  FROM fr JOIN go g ON g.rn = fr.i + 1),
+         |fin AS (SELECT num, den FROM fr WHERE i = (SELECT gn FROM gc)),
+         |marg AS (SELECT ic.category, sum(ic.c)::BIGINT AS m
+         |         FROM ic JOIN pair USING (it) GROUP BY 1),
+         |tot AS (SELECT sum(n)::HUGEINT AS nn FROM pair),
+         |mm AS (SELECT sum(m::HUGEINT * m)::HUGEINT AS m2 FROM marg),
+         |dr AS (SELECT count(*)::BIGINT AS nd FROM pi WHERE n < 2),
+         |sc AS (SELECT f.num, f.den, t.nn, (t.nn * t.nn - m.m2) AS en
+         |       FROM fin f, tot t, mm m)
+         |SELECT g.category, g.m AS n_labels,
+         |  ((g.m::HUGEINT * 1000000) // sc.nn)::BIGINT AS marginal_ppm,
+         |  sc.nn::BIGINT AS n_pairable, (SELECT nd FROM dr) AS n_dropped,
+         |  ((sc.num * 1000000) // (sc.den * sc.nn))::BIGINT AS d_o_ppm,
+         |  ((sc.en * 1000000) // (sc.nn * (sc.nn - 1)))::BIGINT AS d_e_ppm,
+         |  (((sc.den * sc.en - (sc.nn - 1) * sc.num) * 1000000)
+         |     // (sc.den * sc.en))::BIGINT AS alpha_ppm
+         |FROM marg g, sc ORDER BY g.category""").stripMargin,
     // χ² replay: per-window category counts, per-cell floored
     // o²·Rt·10⁶ // (Rc·Ct) in HUGEINT, the −Ct + 2·new_mass correction,
     // published df critical table, OR'd new-category verdict

@@ -507,6 +507,43 @@ class EvalsSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("integral"))
   }
 
+  test("krippendorffAlpha: hand-computed ragged fixture; single-rating " +
+    "items drop; negative alpha floors identically; guards are loud") {
+    import spark.implicits._
+    // u1 [1,1] agrees, u2 [1,2] splits, u3 [2,2,2] agrees, u4 [3] drops:
+    // N=7, Σd_u = 2, D_e num = 49−(9+16) = 24 → α = 1 − 6·2/24 = 0.5
+    val lab = Seq(("u1", 1L), ("u1", 1L), ("u2", 1L), ("u2", 2L),
+      ("u3", 2L), ("u3", 2L), ("u3", 2L), ("u4", 3L)).toDF("it", "cat")
+    val out = graft.operators.Evals.krippendorffAlpha(lab, "it", "cat")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1L, 2L), "category 3 is unpairable-only")
+    assert(out(1L) == ((1L, 3L, 428571L, 7L, 1L, 285714L, 571428L, 500000L)))
+    assert(out(2L)._2 == 4L && out(2L)._8 == 500000L)
+    // perfect systematic disagreement: α = −0.5, floored consistently
+    val neg = Seq(("a", 1L), ("a", 2L), ("b", 2L), ("b", 1L)).toDF("it", "cat")
+    assert(graft.operators.Evals.krippendorffAlpha(neg, "it", "cat")
+      .select("alpha_ppm").distinct().as[Long].collect().toSeq ==
+      Seq(-500000L))
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.Evals.krippendorffAlpha(
+        Seq(("a", 1L), ("a", 1L)).toDF("it", "cat"), "it", "cat")
+    }
+    assert(e1.getMessage.contains("expected disagreement is 0"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Evals.krippendorffAlpha(
+        Seq(("a", 1L), ("b", 2L)).toDF("it", "cat"), "it", "cat")
+    }
+    assert(e2.getMessage.contains("nothing is pairable"))
+    // 60 distinct panel sizes: Π(n−1) = 60! blows the replay bound
+    val wide = (1 to 60).flatMap(i =>
+      (0 to i).map(j => (s"w$i", (j % 3).toLong))).toDF("it", "cat")
+    val e3 = intercept[IllegalArgumentException] {
+      graft.operators.Evals.krippendorffAlpha(wide, "it", "cat")
+    }
+    assert(e3.getMessage.contains("exact-rational replay bound"))
+  }
+
   test("fdrBh: hand-computed step-up boundary; the signature " +
     "reject-via-later-rank behavior; range guard is loud") {
     import spark.implicits._
