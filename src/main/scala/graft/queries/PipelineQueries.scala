@@ -39,6 +39,7 @@ object PipelineQueries {
     "m5_image_dhash" -> ((s, d) => imageNearDups(s, d)),
     "m11_image_keeplist" -> ((s, d) => imageKeepList(s, d)),
     "m6_audio_activity" -> ((s, d) => audioActivity(s, d)),
+    "m12_loudness" -> ((s, d) => loudnessQ(s, d)),
     "m7_multimodal_curation" -> ((s, d) => multimodalCuration(s, d)),
     "m8_scene_cuts" -> ((s, d) => sceneCutsQ(s, d)),
     "m9_scene_cuts_dense" -> ((s, d) => sceneCutsDense(s, d)),
@@ -709,6 +710,53 @@ object PipelineQueries {
       bb.putShort(1); bb.putShort(1)         // PCM, mono
       bb.putInt(rate); bb.putInt(rate * 2)   // byte rate
       bb.putShort(2); bb.putShort(16)        // block align, bits
+      bb.putInt(0x61746164); bb.putInt(dataLen)
+      var s = 0
+      while (s < n) {
+        val a = if ((s / rate) % 2 == 1) 0 else amp
+        bb.putShort((if ((s / 4) % 2 == 0) a else -a).toShort)
+        s += 1
+      }
+      bb.array()
+    }
+
+  /** [[graft.operators.AudioCodec.clipLoudness]] over the m6 WAV shape
+    * with a HOT amplitude rule (amp = min((id%50)·800, 32767) — the
+    * named rule: the ×20 tier drives ids with id%50 ≥ 41 into digital
+    * full scale): targetRms 12000 populates every path at sf0.01 —
+    * silent (amp 0), clipped (full-scale tier), ok, capped gain (the
+    * low-RMS 1-active-of-3-seconds clips want ×26, the 20000-milli cap
+    * holds them), uncapped gain. The oracle computes every statistic
+    * analytically from the wave rule (the m6 convention — DuckDB
+    * cannot parse WAV, and doesn't need to: the fixture IS the
+    * specification). */
+  def loudnessQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id")).as[Long]
+    val withBytes = docs.map(id => (id, loudWav(id))).toDF("doc_id", "bytes")
+    graft.operators.AudioCodec
+      .clipLoudness(withBytes, "doc_id", "bytes", targetRms = 12000L)
+      .orderBy("id")
+  }
+
+  /** The m12 fixture: squareWav's container with the hot amplitude rule
+    * (and the same %11 junk plants format-gated out). */
+  private def loudWav(id: Long): Array[Byte] =
+    if (id % 11 == 0) s"junk-not-a-wav-$id".getBytes("UTF-8")
+    else {
+      val rate = 8000
+      val nSec = (id % 3).toInt + 1
+      val amp = math.min((id % 50) * 800, 32767L).toInt
+      val n = rate * nSec
+      val dataLen = n * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(0x46464952); bb.putInt(36 + dataLen); bb.putInt(0x45564157)
+      bb.putInt(0x20746d66); bb.putInt(16)
+      bb.putShort(1); bb.putShort(1)
+      bb.putInt(rate); bb.putInt(rate * 2)
+      bb.putShort(2); bb.putShort(16)
       bb.putInt(0x61746164); bb.putInt(dataLen)
       var s = 0
       while (s < n) {
@@ -1402,6 +1450,26 @@ object PipelineQueries {
         |SELECT doc_id AS id, win::BIGINT AS win, amp::BIGINT AS mean_abs,
         |  amp < 100 AS is_silence
         |FROM m ORDER BY id, win""".stripMargin,
+    // analytic replay of the hot-amplitude wave rule: active seconds,
+    // exact sum-of-squares, integer-div-then-IEEE-sqrt RMS, the clip
+    // tier at >= 32735, the capped normalizer gain, verdict precedence
+    "m12_loudness" ->
+      """WITH d AS (SELECT doc_id, (doc_id % 3 + 1)::BIGINT AS nsec,
+        |    least((doc_id % 50) * 800, 32767)::BIGINT AS amp
+        |  FROM documents WHERE doc_id < 200 AND doc_id % 11 <> 0),
+        |s AS (SELECT doc_id, nsec * 8000 AS total,
+        |        ((nsec + 1) // 2) * 8000 AS act, amp FROM d),
+        |c AS (SELECT doc_id, total, amp,
+        |    floor(sqrt(((act * amp * amp) // total)::DOUBLE))::BIGINT AS rms,
+        |    (CASE WHEN amp >= 32735 THEN act ELSE 0 END)::BIGINT AS n_clipped
+        |  FROM s)
+        |SELECT doc_id AS id, total AS n_samples, rms, amp AS peak, n_clipped,
+        |  (CASE WHEN rms >= 50 THEN least(12000000 // rms, 20000) END)::BIGINT
+        |    AS gain_milli,
+        |  CASE WHEN rms < 50 THEN 'silent'
+        |       WHEN n_clipped * 10000 >= 10 * total THEN 'clipped'
+        |       ELSE 'ok' END AS verdict
+        |FROM c ORDER BY id""".stripMargin,
     // m5's hash synthesis + the t17 recursive-reachability pattern, with
     // singletons (no edges) keeping themselves via the left join
     "m11_image_keeplist" ->

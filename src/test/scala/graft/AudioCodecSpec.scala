@@ -69,4 +69,31 @@ class AudioCodecSpec extends AnyFunSuite {
       (1L, 0L, 100L, false), (1L, 1L, 0L, true),
       (2L, 0L, 125L, false)))
   }
+
+  test("clipLoudness: hand-computed RMS/peak/clip; silence gets NULL " +
+    "gain; junk drops; parameter guard is loud") {
+    import spark.implicits._
+    // [1000,-1000,32767,0]: sum v^2 = 2e6 + 32767^2 = 1075676289, div 4 =
+    // 268919072, rms = floor(sqrt) = 16398; 1 of 4 points clipped
+    // (2500 bp >= 10)
+    val rows = Seq(
+      (1L, wav16(8000, 1, Seq[Short](1000, -1000, 32767, 0))),
+      (2L, wav16(8000, 1, Seq[Short](0, 0, 0, 0))),
+      (3L, "not-audio".getBytes("UTF-8"))
+    ).toDF("id", "bytes")
+    val out = graft.operators.AudioCodec
+      .clipLoudness(rows, "id", "bytes", targetRms = 8000L)
+      .as[(Long, Long, Long, Long, Long, Option[Long], String)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1L, 2L), "junk contributes no rows")
+    assert(out(1L) == ((1L, 4L, 16398L, 32767L, 1L, Some(487L), "clipped")),
+      "rms floor, peak, clip count, gain = 8000*1000 div 16398")
+    assert(out(2L) == ((2L, 4L, 0L, 0L, 0L, None, "silent")),
+      "zero RMS: silent, nothing to normalize")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.AudioCodec.clipLoudness(rows, "id", "bytes",
+        maxGainMilli = 1L)
+    }
+    assert(e.getMessage.contains("maxGainMilli>=1000"))
+  }
 }
