@@ -102,7 +102,20 @@ object Verify {
     // decomposition over the 10x event stream
     "ev14_ks_test", "e23_seasonal",
     // gr5: the peel DEPTH grows with the corpus (10 rounds at sf0.1)
-    "gr5_kcore")
+    "gr5_kcore",
+    // round-14 second-session additions whose inputs scale with the
+    // corpus: the two graph rows (triangle/wedge volume grows linearly,
+    // the link-prediction cut exercises a genuinely contested top-1000
+    // at 10x candidates), n15's float-chain norms over 10x tokens, e25's
+    // decimal covariance sums over 10x series, ev16's ragged-panel
+    // rationals over 10x items, e24's 10x-item permutation battery,
+    // ev15's 10x windows, t72's 10x equivalence classes, u8's 10x file
+    // listing through the recursive-CTE FFD replay. (m12 stays out: its
+    // fixture pins doc_id < 200 at any sf — the m10 fixed-budget
+    // convention.)
+    "gr6_triangles", "gr7_link_predict", "n15_tfidf_vsm", "e25_acf",
+    "ev16_krippendorff", "e24_fdr_bh", "ev15_chi2_drift",
+    "t72_k_anonymity", "u8_compaction_plan")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rest @ _*) = args
