@@ -25,6 +25,10 @@ import org.apache.spark.sql.streaming.Trigger
   *  - cusum: [[streaming.StreamingCusum]] — the online SPC monitor;
   *    state is eleven longs per key (prefixes, minima, alarm accounting;
   *    O(1) in history length, grows only with key cardinality).
+  *  - ewma: [[streaming.StreamingEwma]] — the per-key fixed-point fold;
+  *    state is one (n, scaled value) pair per key (O(1) in history,
+  *    grows only with key cardinality — the cusum law with two longs
+  *    instead of eleven).
   *  - paragraph_dedup: the foreachBatch arm
   *    ([[operators.Dedup.paragraphDedupAgainst]] + index delta) — state
   *    is the ownership INDEX table: one row per distinct paragraph
@@ -38,7 +42,7 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamBench {
 
   private val allArms =
-    Seq("context_windows", "changelog", "scene_cuts", "cusum",
+    Seq("context_windows", "changelog", "scene_cuts", "cusum", "ewma",
       "paragraph_dedup")
 
   def main(args: Array[String]): Unit = {
@@ -108,6 +112,19 @@ object StreamBench {
           (col("value") % 1000).as("reading"))
         streaming.StreamingCusum.cusum(readings, "key", "event_id",
           "reading", upperTarget = 600L, lowerTarget = 400L, h = 5000L)
+      }, outputMode = "update")
+
+    if (arms("ewma"))
+    runStateful(spark, "ewma", durSec, rowsPerSec = 50000,
+      build = src => {
+        // the e22/cusum-arm key shape (hundreds of independent series);
+        // the fold's per-key state is two longs
+        val readings = src.select(
+          (col("value") % 320).as("key"),
+          col("timestamp").as("ts"),
+          col("value").as("id"),
+          (col("value") % 1000).cast("double").as("v"))
+        streaming.StreamingEwma.ewma(readings, "key", "ts", "id", "v")
       }, outputMode = "update")
 
     if (arms("paragraph_dedup")) runParagraphDedup(spark, durSec)
