@@ -115,7 +115,10 @@ object Verify {
     // convention.)
     "gr6_triangles", "gr7_link_predict", "n15_tfidf_vsm", "e25_acf",
     "ev16_krippendorff", "e24_fdr_bh", "ev15_chi2_drift",
-    "t72_k_anonymity", "u8_compaction_plan")
+    "t72_k_anonymity", "u8_compaction_plan",
+    // and the batch-2 additions: gr8's 10x moment sums, ev17's 10x
+    // contingency, e26's 10x digit windows
+    "gr8_assortativity", "ev17_mcnemar", "e26_benford")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rest @ _*) = args

@@ -842,6 +842,55 @@ object Evals {
         expr("((1 + n_extreme) * 1000000) div (b + 1)").as("p_ppm"))
   }
 
+  /** McNemar's test on paired binary outcomes (McNemar 1947; the
+    * Edwards continuity-corrected χ² form) — the system-comparison
+    * seat for ACCURACY-style evals that [[pairedPermTest]]'s continuous
+    * deltas overserve: two classifiers/scorers judged right/wrong on
+    * the SAME items; only the DISCORDANT pairs carry information
+    * (items both get right or both get wrong say nothing about which
+    * is better), and χ² = (|n10−n01|−1)²/(n10+n01) against the df=1
+    * critical value is the standard exact-enough decision at any
+    * realistic discordance count.
+    *
+    * Exactness: outcomes are {0,1} integers (runtime-raised otherwise,
+    * the aucReport convention), the statistic is one integer expression
+    * in micro units, and zero discordance reads honest NULL with its
+    * own verdict (the test is undefined — the systems never disagreed).
+    * `verdict` ∈ {a_better, b_better, no_significant_difference,
+    * no_discordance} — direction from the discordant majority, claimed
+    * only past the critical value.
+    *
+    * 100 TB shape: ONE map-side-combined aggregate over the pair
+    * stream; nothing else exists. */
+  def mcnemar(outcomes: DataFrame, idCol: String, aCol: String,
+              bCol: String): DataFrame = {
+    Guards.requireIntegral(outcomes, aCol, "mcnemar")
+    Guards.requireIntegral(outcomes, bCol, "mcnemar")
+    def bit(c: String): Column =
+      when(col(c).cast("long").isin(0L, 1L), col(c).cast("long"))
+        .otherwise(raise_error(concat(
+          lit(s"mcnemar: $c must be 0/1, got "), col(c).cast("string")))
+          .cast("long"))
+    val agg = outcomes.agg(
+      count(lit(1)).as("n"),
+      sum(bit(aCol) * bit(bCol)).as("both_right"),
+      sum((lit(1L) - bit(aCol)) * (lit(1L) - bit(bCol))).as("both_wrong"),
+      sum(bit(aCol) * (lit(1L) - bit(bCol))).as("a_only"),
+      sum((lit(1L) - bit(aCol)) * bit(bCol)).as("b_only"))
+    agg.select(col("n"), col("both_right"), col("both_wrong"),
+        col("a_only"), col("b_only"),
+        when(col("a_only") + col("b_only") > 0, expr(
+          "((abs(a_only - b_only) - 1) * (abs(a_only - b_only) - 1)" +
+            " * 1000000) div (a_only + b_only)")).as("chi2_micro"),
+        lit(3841000L).as("crit_micro"))
+      .withColumn("verdict",
+        when(col("chi2_micro").isNull, "no_discordance")
+          .when(col("chi2_micro") <= lit(3841000L),
+            "no_significant_difference")
+          .when(col("a_only") > col("b_only"), "a_better")
+          .otherwise("b_better"))
+  }
+
   /** Benjamini–Hochberg FDR step-up (Benjamini–Hochberg 1995, JRSS B
     * 57(1) — THE multiple-testing correction for metric batteries: an
     * experiment readout or eval sweep tests dozens of metrics at once,

@@ -428,6 +428,79 @@ object Features {
           expr("((num + den) * 1000000) div (2 * den)")).as("acf01_ppm"))
   }
 
+  /** Benford first-digit expected shares, ⌊log10(1+1/d)·10⁶⌋ for
+    * d = 1..9 (they sum to 999,995 — the five missing ppm are the nine
+    * floors; published constants, a bounded literal). */
+  private val BenfordPpm: Seq[Long] = Seq(301029L, 176091L, 124938L,
+    96910L, 79181L, 66946L, 57991L, 51152L, 45757L)
+
+  /** Benford first-digit conformance audit (Newcomb 1881 / Benford 1938;
+    * Nigrini 1996 is the fraud-audit canon) — the metric-integrity
+    * check for columns that SHOULD span magnitudes (transaction values,
+    * byte sizes, durations): organically-generated multiplicative data
+    * follows log10(1+1/d); fabricated, clipped, or unit-mangled feeds
+    * show flat or spiked first digits, and this audit is routinely the
+    * first thing that catches a synthetic-data generator or a broken
+    * upstream scaler.
+    *
+    * Semantics: positive integral values only — zeros/negatives have no
+    * first digit and are COUNTED (`n_skipped`), never silently dropped;
+    * the first digit comes from the decimal string (exact in any
+    * engine; a float log10 would put a non-correctly-rounded op on a
+    * boundary decision). Per digit 1..9 (honest zero rows for absent
+    * digits): observed count and ppm, the expected ppm literal, and the
+    * exact micro χ² contribution ⌊(o·10⁶ − n·e)²/(n·e)⌋; the verdict
+    * compares Σ against the published df=8 α=0.05 critical value.
+    * Empty or over-bound windows raise loudly (the ev15 window
+    * discipline: n ≤ 10¹⁰ keeps every intermediate exact).
+    *
+    * 100 TB shape: ONE map-side-combined groupBy into ≤10 cells; the
+    * ≤10-row counts frame is localCheckpoint()ed for its two consumers
+    * (totals + per-digit join). */
+  def benfordReport(values: DataFrame, valCol: String): DataFrame = {
+    Guards.requireIntegral(values, valCol, "benfordReport")
+    val spark = values.sparkSession
+    import spark.implicits._
+    val counts = values.select(col(valCol).cast("long").as("x"))
+      .select(when(col("x") >= 1L,
+        substring(col("x").cast("string"), 1, 1).cast("int"))
+        .otherwise(0).as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("o"))
+      .localCheckpoint()
+    val tot = counts.agg(
+      sum(when(col("digit") > 0, col("o")).otherwise(0L)).as("__n"),
+      sum(when(col("digit") === 0, col("o")).otherwise(0L)).as("n_skipped"))
+    val digits = BenfordPpm.zipWithIndex
+      .map { case (e, i) => (i + 1, e) }.toDF("digit", "expected_ppm")
+    val per = digits
+      .join(counts.filter(col("digit") > 0), Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("o"), lit(0L)).as("observed"),
+        col("expected_ppm"))
+      .crossJoin(broadcast(tot))
+      .withColumn("n",
+        when(col("__n").between(1L, 10000000000L), col("__n"))
+          .otherwise(raise_error(concat(lit("benfordReport: positive-value "
+            + "count "), col("__n").cast("string"),
+            lit(" outside [1, 1e10] - no distribution to audit, or past "
+              + "the exact-arithmetic headroom; sample the window")))
+            .cast("long")))
+      .withColumn("observed_ppm", expr("(observed * 1000000) div n"))
+      .withColumn("contrib_micro", expr(
+        "cast(((cast(observed as decimal(38,0)) * 1000000 - " +
+          "cast(n as decimal(38,0)) * expected_ppm) * " +
+          "(cast(observed as decimal(38,0)) * 1000000 - " +
+          "cast(n as decimal(38,0)) * expected_ppm)) " +
+          "div (cast(n as decimal(38,0)) * expected_ppm) as long)"))
+      .localCheckpoint() // two consumers: the χ² total and the output rows
+    val chi = per.agg(sum(col("contrib_micro")).as("chi2_micro"))
+    per.crossJoin(broadcast(chi))
+      .select(col("digit"), col("observed"), col("observed_ppm"),
+        col("expected_ppm"), col("contrib_micro"), col("n"),
+        col("n_skipped"), col("chi2_micro"),
+        lit(15507000L).as("crit_micro"),
+        (col("chi2_micro") <= 15507000L).as("conformant"))
+  }
+
   /** Pearson χ² critical values at α = 0.05, df 1..30 (the standard
     * table, e.g. NIST/SEMATECH e-Handbook §1.3.6.7.4), in micro units —
     * a bounded plan literal (rule 16 applies to MODEL-sized constants;

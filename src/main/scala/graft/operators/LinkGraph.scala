@@ -561,6 +561,63 @@ object LinkGraph {
       .limit(topK)
   }
 
+  /** Degree assortativity (Newman 2002, PRL 89.208701 — the Pearson
+    * correlation of endpoint degrees over edges): the one-number
+    * mixing diagnostic that separates social-graph topology (r > 0,
+    * hubs link hubs) from web/infrastructure topology (r < 0, hubs link
+    * leaves) — for a crawl graph it reads whether link mass flows
+    * hub-to-hub (directory rings, link farms) or hub-to-leaf (organic
+    * content), the structural prior gr1's rank and gr6's clustering
+    * don't capture.
+    *
+    * Semantics: undirected simple graph; each edge contributes BOTH
+    * orientations to the sum (the standard symmetric treatment), so
+    * with M = 2m directed rows, x = deg(src), y = deg(dst):
+    * r = (M·Σxy − Σx·Σy) / √(M·Σx²−(Σx)²)·√(M·Σy²−(Σy)²) — and by
+    * symmetry the two variance factors are equal. Every sum is an EXACT
+    * decimal(38,0) integer; the only floats are the stated final line
+    * (cast the three exact integers to double, two correctly-rounded
+    * sqrts, one division, ⌊·10⁶⌋ — the t68 OLS discipline: identical
+    * IEEE ops in a stated order replay bit-for-bit). A degree-regular
+    * graph (variance 0) reads honest NULL. Output one row: node/edge
+    * counts, the exact moment sums, `assort_fpm`.
+    *
+    * 100 TB shape: one map-side-combined degree groupBy, one edges-
+    * sized equi-join of degrees onto both endpoints, ONE one-row
+    * moment aggregate — no windows, no iteration, no driver state. */
+  def assortativity(edges: DataFrame, srcCol: String,
+                    dstCol: String): DataFrame = {
+    val simple = widenedEdges(edges, srcCol, dstCol)
+      .filter(col("src") =!= col("dst")).distinct()
+    val und = simple
+      .union(simple.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint() // consumed by deg and the moment join
+    val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val xy = und
+      .join(deg.select(col("node").as("src"), col("deg").as("x")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("y")), "dst")
+    val mom = xy.agg(
+      count(lit(1)).as("m2"),
+      sum(col("x").cast("decimal(38,0)")).as("sx"),
+      sum((col("x").cast("decimal(38,0)") * col("x"))).as("sxx"),
+      sum((col("x").cast("decimal(38,0)") * col("y"))).as("sxy"))
+    mom.select(
+      expr("m2 div 2").as("n_edges"),
+      (expr("cast(m2 as decimal(38,0))") * col("sxy") - col("sx") * col("sx"))
+        .as("cov_num"),
+      (expr("cast(m2 as decimal(38,0))") * col("sxx") - col("sx") * col("sx"))
+        .as("var_num"))
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
+      // the moment numerators stay decimal(38,0): at 10¹⁰ edges they
+      // pass a long by eight orders (the q6 err_ppm lesson)
+      .select(col("n_nodes"), col("n_edges"), col("cov_num"), col("var_num"),
+        when(col("var_num") > 0, floor(
+          col("cov_num").cast("double") /
+            (sqrt(col("var_num").cast("double")) *
+             sqrt(col("var_num").cast("double"))) * lit(1000000.0))
+          .cast("long")).as("assort_fpm"))
+  }
+
   /** The [[linkPredict]] cap audit (the no-silent-caps discipline, the
     * t48 `fuzzyStopBlocks` convention): nodes excluded as wedge centers
     * by `maxCenterDegree`, with their degrees — empty means every common

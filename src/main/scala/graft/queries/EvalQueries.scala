@@ -29,6 +29,7 @@ object EvalQueries {
     "ev14_ks_test" -> ((s, d) => ksQ(s, d)),
     "ev15_chi2_drift" -> ((s, d) => chi2Q(s, d)),
     "ev16_krippendorff" -> ((s, d) => krippQ(s, d)),
+    "ev17_mcnemar" -> ((s, d) => mcnemarQ(s, d)),
     "ev8_bootstrap" -> ((s, d) => bootstrapQ(s, d)),
     "ev9_gen_diversity" -> ((s, d) => genDiversityQ(s, d)),
     "ev10_attribution" -> ((s, d) => attributionQ(s, d)),
@@ -36,6 +37,29 @@ object EvalQueries {
     "ev12_auc" -> ((s, d) => aucQ(s, d)),
     "ev13_paired_perm" -> ((s, d) => pairedPermQ(s, d))
   )
+
+  /** [[graft.operators.Evals.mcnemar]] on two planted pairings against
+    * the same 80%-right baseline A: an independent 70%-right B (a real
+    * 10-point accuracy gap — the discordant split is lopsided and the
+    * test fires) and an independent equal-accuracy B2 (same marginal
+    * rate, so the discordant pairs split near-evenly and the test
+    * correctly refuses) — both verdict directions of the
+    * paired-accuracy question in one row pair. */
+  def mcnemarQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def h(tag: String): Column =
+      conv(substring(md5(concat(lit(tag), col("doc_id"))), 1, 6),
+        16, 10).cast("long")
+    val scored = docs.select(col("doc_id"),
+      (h("ma:") % 100 < 80).cast("long").as("a"),
+      (h("mb:") % 100 < 70).cast("long").as("b"),
+      (h("mc:") % 100 < 80).cast("long").as("b2"))
+    Evals.mcnemar(scored, "doc_id", "a", "b")
+      .select(lit("a_vs_b").as("pair"), col("*"))
+      .unionByName(Evals.mcnemar(scored, "doc_id", "a", "b2")
+        .select(lit("a_vs_b2").as("pair"), col("*")))
+      .orderBy("pair")
+  }
 
   /** [[graft.operators.Evals.krippendorffAlpha]] over a RAGGED judge
     * panel — the fixture ev4's Fleiss κ rejects by design: item i gets
@@ -467,6 +491,37 @@ SELECT pair, n1 AS n_ref, n2 AS n_cur, s AS ks_at,
   ((d_num * 1000000) // (n1::DECIMAL(38,0) * n2))::BIGINT >
     floor(1.3581::DOUBLE * sqrt((n1+n2)::DOUBLE / (n1::DOUBLE * n2::DOUBLE)) * 1000000.0)::BIGINT AS shifted
 FROM u ORDER BY pair""").stripMargin,
+    // the contingency cells as integer products, the continuity-corrected
+    // statistic as one integer expression, verdict precedence replayed
+    "ev17_mcnemar" ->
+      ("""WITH s AS (SELECT doc_id,
+         |    CASE WHEN ('0x' || substr(md5('ma:' || doc_id), 1, 6))::BIGINT % 100 < 80
+         |         THEN 1 ELSE 0 END AS a,
+         |    CASE WHEN ('0x' || substr(md5('mb:' || doc_id), 1, 6))::BIGINT % 100 < 70
+         |         THEN 1 ELSE 0 END AS b,
+         |    CASE WHEN ('0x' || substr(md5('mc:' || doc_id), 1, 6))::BIGINT % 100 < 80
+         |         THEN 1 ELSE 0 END AS b2
+         |  FROM documents),
+         |p AS (SELECT 'a_vs_b' AS pair, a, b FROM s
+         |      UNION ALL SELECT 'a_vs_b2', a, b2 FROM s),
+         |g AS (SELECT pair, count(*)::BIGINT AS n,
+         |        sum(a * b)::BIGINT AS both_right,
+         |        sum((1 - a) * (1 - b))::BIGINT AS both_wrong,
+         |        sum(a * (1 - b))::BIGINT AS a_only,
+         |        sum((1 - a) * b)::BIGINT AS b_only
+         |      FROM p GROUP BY pair)
+         |SELECT pair, n, both_right, both_wrong, a_only, b_only,
+         |  (CASE WHEN a_only + b_only > 0 THEN
+         |     ((abs(a_only - b_only) - 1) * (abs(a_only - b_only) - 1)
+         |      * 1000000) // (a_only + b_only) END)::BIGINT AS chi2_micro,
+         |  3841000::BIGINT AS crit_micro,
+         |  CASE WHEN a_only + b_only = 0 THEN 'no_discordance'
+         |       WHEN ((abs(a_only - b_only) - 1) * (abs(a_only - b_only) - 1)
+         |             * 1000000) // (a_only + b_only) <= 3841000
+         |            THEN 'no_significant_difference'
+         |       WHEN a_only > b_only THEN 'a_better'
+         |       ELSE 'b_better' END AS verdict
+         |FROM g ORDER BY pair""").stripMargin,
     // α replay: ragged ratings, unpairable singles dropped, the per-item
     // fraction sum folded over distinct panel sizes by a recursive
     // (num, den) CTE in HUGEINT — the same rational Spark's driver BigInt

@@ -26,8 +26,17 @@ object GraphQueries {
     "gr4_lpa" -> ((s, d) => lpaQ(s, d)),
     "gr5_kcore" -> ((s, d) => kcoreQ(s, d)),
     "gr6_triangles" -> ((s, d) => trianglesQ(s, d)),
-    "gr7_link_predict" -> ((s, d) => linkPredictQ(s, d))
+    "gr7_link_predict" -> ((s, d) => linkPredictQ(s, d)),
+    "gr8_assortativity" -> ((s, d) => assortativityQ(s, d))
   )
+
+  /** [[graft.operators.LinkGraph.assortativity]] over the ancestry
+    * graph — hubs (high-degree inner nodes) link leaves, the
+    * infrastructure signature: r lands negative (−0.052 at sf0.01),
+    * the direction a crawl curator reads as "content flows hub→leaf,
+    * not a directory ring". */
+  def assortativityQ(spark: SparkSession, dir: String): DataFrame =
+    LinkGraph.assortativity(triangleEdges(spark, dir), "src", "dst")
 
   /** Ancestry edges with PLANTED triangles (gr5's tree alone is
     * triangle-free): parent links (i, i div 2) for i ≥ 2 plus grandparent
@@ -458,10 +467,32 @@ object GraphQueries {
        |FROM nonadj n JOIN deg dv ON n.v = dv.node JOIN deg dw ON n.w = dw.node
        |ORDER BY ra_scaled DESC, cn DESC, v, w LIMIT 1000""".stripMargin
 
+  /** Exact HUGEINT moment sums over both edge orientations, then the
+    * stated double line: two correctly-rounded sqrts, one division,
+    * ⌊·10⁶⌋. */
+  private val assortativityOracle: String =
+    s"""WITH $triangleBaseSql,
+       |xy AS (SELECT dx.deg AS x, dy.deg AS y
+       |  FROM und u JOIN deg dx ON u.a = dx.node JOIN deg dy ON u.b = dy.node),
+       |mom AS (SELECT count(*)::HUGEINT AS m2, sum(x)::HUGEINT AS sx,
+       |    sum(x::HUGEINT * x)::HUGEINT AS sxx,
+       |    sum(x::HUGEINT * y)::HUGEINT AS sxy FROM xy),
+       |nn AS (SELECT count(*)::BIGINT AS n_nodes FROM deg)
+       |SELECT nn.n_nodes, (mom.m2 // 2)::BIGINT AS n_edges,
+       |  (mom.m2 * mom.sxy - mom.sx * mom.sx) AS cov_num,
+       |  (mom.m2 * mom.sxx - mom.sx * mom.sx) AS var_num,
+       |  (CASE WHEN (mom.m2 * mom.sxx - mom.sx * mom.sx) > 0 THEN
+       |     floor((mom.m2 * mom.sxy - mom.sx * mom.sx)::DOUBLE /
+       |       (sqrt((mom.m2 * mom.sxx - mom.sx * mom.sx)::DOUBLE) *
+       |        sqrt((mom.m2 * mom.sxx - mom.sx * mom.sx)::DOUBLE)) * 1000000)
+       |   END)::BIGINT AS assort_fpm
+       |FROM mom, nn""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "gr5_kcore" -> kcoreOracle,
     "gr6_triangles" -> trianglesOracle,
     "gr7_link_predict" -> linkPredictOracle,
+    "gr8_assortativity" -> assortativityOracle,
     "gr1_pagerank" -> pagerankOracle(edgeSql),
     "gr2_pagerank_dense" -> pagerankOracle(denseEdgeSql),
     "gr3_hits" -> hitsOracle(edgeSql),

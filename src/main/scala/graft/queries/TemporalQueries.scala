@@ -43,8 +43,31 @@ object TemporalQueries {
     "e23_seasonal" -> ((s, d) => seasonalQ(s, d)),
     "e24_fdr_bh" -> ((s, d) => fdrQ(s, d)),
     "e25_acf" -> ((s, d) => acfQ(s, d)),
+    "e26_benford" -> ((s, d) => benfordQ(s, d)),
     "c5_texttile" -> ((s, d) => textTileQ(s, d))
   )
+
+  /** [[graft.operators.Features.benfordReport]] on two value feeds:
+    * the real centi-value stream (exponential-ish magnitudes — closer
+    * to Benford than anything uniform, but a 10⁴-sample χ² still
+    * resolves its deviation: non-conformant with a moderate statistic)
+    * and a planted UNIFORM 4-digit feed (every first digit ≈ 1/9 — the
+    * flat-digit fabrication signature, χ² two orders larger). The
+    * spec pins the conformant branch on an exact Benford multinomial;
+    * here the discriminating TEXTURE between organic and fabricated is
+    * the demonstration. */
+  def benfordQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val organic = ev.select(floor(col("value") * 100).cast("long").as("x"))
+    val uniform = ev.select(
+      (conv(substring(md5(concat(lit("bf:"), col("event_id"))), 1, 6),
+        16, 10).cast("long") % 9000 + 1000).as("x"))
+    graft.operators.Features.benfordReport(organic, "x")
+      .select(lit("value_centi").as("feature"), col("*"))
+      .unionByName(graft.operators.Features.benfordReport(uniform, "x")
+        .select(lit("uniform_4digit").as("feature"), col("*")))
+      .orderBy("feature", "digit")
+  }
 
   /** [[graft.operators.Features.acfReport]] at lags 1..6 per event_type
     * over the rank-indexed value series with a PLANTED ±7500-centi
@@ -637,6 +660,42 @@ object TemporalQueries {
          |  (dt.detr - sa.seasonal_milli)::BIGINT AS resid_milli
          |FROM dt JOIN sa ON dt.event_type = sa.event_type AND dt.phase = sa.phase
          |ORDER BY dt.event_type, dt.d""").stripMargin,
+    // first digit from the decimal string (never a float log10), honest
+    // zero digit rows, exact micro contributions, the df=8 verdict
+    "e26_benford" ->
+      ("""WITH v AS (
+         |  SELECT 'value_centi' AS feature, floor(value * 100)::BIGINT AS x FROM events
+         |  UNION ALL
+         |  SELECT 'uniform_4digit',
+         |    ('0x' || substr(md5('bf:' || event_id), 1, 6))::BIGINT % 9000 + 1000
+         |  FROM events),
+         |cnt AS (SELECT feature,
+         |    CASE WHEN x >= 1 THEN substr(x::VARCHAR, 1, 1)::INT ELSE 0 END AS digit,
+         |    count(*)::BIGINT AS o
+         |  FROM v GROUP BY 1, 2),
+         |tot AS (SELECT feature,
+         |    sum(CASE WHEN digit > 0 THEN o ELSE 0 END)::BIGINT AS n,
+         |    sum(CASE WHEN digit = 0 THEN o ELSE 0 END)::BIGINT AS n_skipped
+         |  FROM cnt GROUP BY feature),
+         |dg AS (SELECT unnest(range(1, 10))::INT AS digit,
+         |    unnest([301029, 176091, 124938, 96910, 79181, 66946, 57991,
+         |            51152, 45757])::BIGINT AS expected_ppm),
+         |per AS (SELECT t.feature, dg.digit, coalesce(c.o, 0)::BIGINT AS observed,
+         |    dg.expected_ppm, t.n, t.n_skipped,
+         |    ((coalesce(c.o, 0)::HUGEINT * 1000000 - t.n::HUGEINT * dg.expected_ppm)
+         |     * (coalesce(c.o, 0)::HUGEINT * 1000000 - t.n::HUGEINT * dg.expected_ppm)
+         |     // (t.n::HUGEINT * dg.expected_ppm))::BIGINT AS contrib_micro
+         |  FROM tot t CROSS JOIN dg
+         |  LEFT JOIN cnt c ON c.feature = t.feature AND c.digit = dg.digit),
+         |chi AS (SELECT feature, sum(contrib_micro)::BIGINT AS chi2_micro
+         |        FROM per GROUP BY feature)
+         |SELECT per.feature, per.digit, per.observed,
+         |  (per.observed * 1000000) // per.n AS observed_ppm,
+         |  per.expected_ppm, per.contrib_micro, per.n, per.n_skipped,
+         |  chi.chi2_micro, 15507000::BIGINT AS crit_micro,
+         |  chi.chi2_micro <= 15507000 AS conformant
+         |FROM per JOIN chi USING (feature)
+         |ORDER BY per.feature, per.digit""").stripMargin,
     // rank the series per key, plant the period-6 square wave, replay
     // the n²-scaled exact covariance/variance sums in HUGEINT and the
     // non-negative (rho+1)/2 ppm mapping

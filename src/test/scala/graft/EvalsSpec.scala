@@ -507,6 +507,34 @@ class EvalsSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("integral"))
   }
 
+  test("mcnemar: hand-computed contingency + corrected statistic; " +
+    "direction only past the critical value; no-discordance NULL; " +
+    "non-binary outcomes raise") {
+    import spark.implicits._
+    def run(pairs: Seq[(Long, Long)]) = graft.operators.Evals.mcnemar(
+      pairs.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+        .toDF("id", "a", "b"), "id", "a", "b")
+      .as[(Long, Long, Long, Long, Long, Option[Long], Long, String)]
+      .collect().head
+    // both_right 2, a_only 6, b_only 1, both_wrong 1:
+    // χ² = (|6−1|−1)²·1e6 / 7 = 16e6/7 = 2285714 — under 3.841: refuse
+    val weak = run(Seq((1L, 1L), (1L, 1L), (1L, 0L), (1L, 0L), (1L, 0L),
+      (1L, 0L), (1L, 0L), (1L, 0L), (0L, 1L), (0L, 0L)))
+    assert(weak == ((10L, 2L, 1L, 6L, 1L, Some(2285714L), 3841000L,
+      "no_significant_difference")))
+    // a_only 15 vs b_only 1: (|15−1|−1)²·1e6/16 = 169e6/16 = 10562500 —
+    // fires, a_better
+    val strong = run(Seq.fill(15)((1L, 0L)) :+ ((0L, 1L)))
+    assert(strong._6.contains(10562500L) && strong._8 == "a_better")
+    val tied = run(Seq((1L, 1L), (0L, 0L)))
+    assert(tied._6.isEmpty && tied._8 == "no_discordance")
+    val bad = intercept[Exception] {
+      graft.operators.Evals.mcnemar(
+        Seq((1L, 2L, 1L)).toDF("id", "a", "b"), "id", "a", "b").collect()
+    }
+    assert(bad.getMessage.contains("must be 0/1"))
+  }
+
   test("krippendorffAlpha: hand-computed ragged fixture; single-rating " +
     "items drop; negative alpha floors identically; guards are loud") {
     import spark.implicits._

@@ -331,6 +331,42 @@ class FeaturesSpec extends AnyFunSuite {
       ((0L, 15L, 1L, 5L)), "downward stream: S- peaks at 15, S+ silent")
   }
 
+  test("benfordReport: a near-Benford multinomial conforms, a flat one " +
+    "rejects; zeros/negatives counted as skipped; guards are loud") {
+    import spark.implicits._
+    def vals(counts: Seq[(Long, Int)], extra: Seq[Long] = Nil) =
+      (counts.flatMap { case (v, c) => Seq.fill(c)(v) } ++ extra).toDF("x")
+    // first-digit histogram [30,18,12,10,8,7,6,5,4] over n=100 tracks
+    // log10(1+1/d) closely: chi2 lands ~0.15 (150k micro), well under
+    // the df=8 critical 15.507
+    val good = graft.operators.Features.benfordReport(
+      vals(Seq(1L -> 30, 2L -> 18, 3L -> 12, 4L -> 10, 5L -> 8, 6L -> 7,
+        7L -> 6, 8L -> 5, 9L -> 4)), "x").collect()
+    assert(good.forall(_.getBoolean(9)), "near-Benford: conformant")
+    assert(good.map(_.getInt(0)).sorted.toSeq == (1 to 9),
+      "one row per digit")
+    // flat digits: the fabrication signature
+    val flat = graft.operators.Features.benfordReport(
+      vals((1L to 9L).map(_ -> 12)), "x").collect()
+    assert(flat.forall(!_.getBoolean(9)), "uniform digits: rejected")
+    // multi-digit values take their DECIMAL first digit; skips counted
+    val skip = graft.operators.Features.benfordReport(
+      vals(Seq(9000L -> 5, 123L -> 5), extra = Seq(0L, -7L)), "x")
+      .collect()
+    assert(skip.forall(_.getLong(6) == 2L), "two skipped values")
+    assert(skip.find(_.getInt(0) == 9).get.getLong(1) == 5L &&
+      skip.find(_.getInt(0) == 1).get.getLong(1) == 5L)
+    val empty = intercept[Exception] {
+      graft.operators.Features.benfordReport(vals(Nil, Seq(0L)), "x")
+        .collect()
+    }
+    assert(empty.getMessage.contains("no distribution to audit"))
+    val frac = intercept[Exception] {
+      graft.operators.Features.benfordReport(Seq(1.5).toDF("x"), "x")
+    }
+    assert(frac.getMessage.contains("integral"))
+  }
+
   test("acfReport: hand-computed n²-scaled covariance ratios; gap " +
     "honesty via n_pairs; constant series reads NULL; guards are loud") {
     // x = [2,4,6,8]: S=20, n=4, dev = n·x−S = [−12,−4,4,12], den = 320

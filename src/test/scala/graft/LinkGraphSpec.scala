@@ -315,4 +315,26 @@ class LinkGraphSpec extends AnyFunSuite {
       .linkPredictDroppedHubs(edges, "s", "t", maxCenterDegree = 4096)
       .count() == 0L)
   }
+
+  test("assortativity: star is exactly -1; regular graph reads NULL; " +
+    "triangle+pendant matches the hand moment arithmetic") {
+    def run(edges: Seq[(String, String)]) =
+      graft.operators.LinkGraph
+        .assortativity(edges.toDF("s", "t"), "s", "t")
+        .as[(Long, Long, BigDecimal, BigDecimal, Option[Long])]
+        .collect().head
+    val star = run(Seq(("h", "a"), ("h", "b"), ("h", "c")))
+    assert(star._1 == 4L && star._2 == 3L &&
+      star._5.contains(-1000000L), "perfect hub->leaf mixing")
+    val cycle = run(Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")))
+    assert(cycle._5.isEmpty, "degree-regular: variance 0, r undefined")
+    // triangle abc + pendant d on b: M=8, Σx=18, Σxx=44, Σxy=38 →
+    // cov = −20, var = 28, r = −5/7 → floor(−714285.71…) = −714286
+    val tp = run(Seq(("a", "b"), ("a", "c"), ("b", "c"), ("b", "d")))
+    assert(tp._3 == BigDecimal(-20) && tp._4 == BigDecimal(28))
+    assert(tp._5.contains(
+      math.floor(-20.0 / (math.sqrt(28.0) * math.sqrt(28.0)) * 1e6).toLong),
+      "the stated IEEE chain, replayed independently")
+    assert(tp._5.contains(-714286L))
+  }
 }
