@@ -118,7 +118,9 @@ object Verify {
     "t72_k_anonymity", "u8_compaction_plan",
     // and the batch-2 additions: gr8's 10x moment sums, ev17's 10x
     // contingency, e26's 10x digit windows
-    "gr8_assortativity", "ev17_mcnemar", "e26_benford")
+    "gr8_assortativity", "ev17_mcnemar", "e26_benford",
+    // gr9: BFS depth grows with the corpus (~7 rounds at sf0.1)
+    "gr9_seed_distance")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rest @ _*) = args

@@ -561,6 +561,60 @@ object LinkGraph {
       .limit(topK)
   }
 
+  /** Multi-source BFS seed distance (the crawl-frontier depth prior:
+    * Common-Crawl-style curation scores a page by its hop distance from
+    * a trusted seed list — near-seed pages are link-endorsed, deep
+    * tendrils are where spam lives; the same operator labels "steps
+    * from the whitelist" for any directed reachability question).
+    *
+    * Semantics: DIRECTED hops along (src → dst) from the seed set (an
+    * undirected question passes the pre-unioned reversed edges); seed
+    * rows absent from the graph's node set contribute nothing; output
+    * per graph node: `dist` (0 for seeds, NULL for unreachable) and
+    * `reached`. Distances are a unique fixed point (min hop count), so
+    * the oracle may over-unroll rounds safely — the kcore property.
+    *
+    * 100 TB shape: per round ONE frontier semi-join against the edge
+    * set + one anti-join against the settled set, both equi-key; the
+    * settled/frontier frames are localCheckpoint()ed per round (the
+    * kcore discipline); rounds = eccentricity of the seed set (log-like
+    * on web graphs — shortcut edges halve tree depth); driver holds
+    * per-round counts only (rule 17). `maxRounds` is a loud runaway
+    * guard. */
+  def seedDistance(edges: DataFrame, srcCol: String, dstCol: String,
+                   seeds: DataFrame, seedCol: String,
+                   maxRounds: Int = 64): DataFrame = {
+    require(maxRounds >= 1, s"seedDistance needs maxRounds >= 1 (got $maxRounds)")
+    val e = widenedEdges(edges, srcCol, dstCol)
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val nodeType = nodes.schema.head.dataType
+    var settled = nodes
+      .join(seeds.select(col(seedCol).cast(nodeType).as("node")).distinct(),
+        Seq("node"), "left_semi")
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = settled.select("node")
+    var round = 1
+    while (!frontier.isEmpty) {
+      require(round <= maxRounds,
+        s"seedDistance did not settle within $maxRounds rounds - the " +
+          "seed eccentricity exceeds the guard; raise maxRounds deliberately")
+      val next = e
+        .join(frontier.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        .select(col("dst").as("node")).distinct()
+        .join(settled.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint()
+      settled = settled
+        .unionByName(next.withColumn("dist", lit(round.toLong)))
+        .localCheckpoint()
+      frontier = next
+      round += 1
+    }
+    nodes.join(settled, Seq("node"), "left")
+      .select(col("node"), col("dist"), col("dist").isNotNull.as("reached"))
+  }
+
   /** Degree assortativity (Newman 2002, PRL 89.208701 — the Pearson
     * correlation of endpoint degrees over edges): the one-number
     * mixing diagnostic that separates social-graph topology (r > 0,

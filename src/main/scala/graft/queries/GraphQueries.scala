@@ -27,8 +27,30 @@ object GraphQueries {
     "gr5_kcore" -> ((s, d) => kcoreQ(s, d)),
     "gr6_triangles" -> ((s, d) => trianglesQ(s, d)),
     "gr7_link_predict" -> ((s, d) => linkPredictQ(s, d)),
-    "gr8_assortativity" -> ((s, d) => assortativityQ(s, d))
+    "gr8_assortativity" -> ((s, d) => assortativityQ(s, d)),
+    "gr9_seed_distance" -> ((s, d) => seedDistanceQ(s, d))
   )
+
+  /** [[graft.operators.LinkGraph.seedDistance]] from seeds {0, 1} over
+    * the DOWNWARD ancestry graph (parent→child + grandparent→child —
+    * the shortcut edges halve the tree depth, so dist(i) ≈
+    * ⌈log₂(i)/2⌉: a real 0..5-hop spread at sf0.01) plus a PLANTED
+    * detached 8-ring that stays NULL/unreached; seed 0 is absent from
+    * the graph's node set and contributes nothing (the stated
+    * contract), so the whole frontier grows from node 1. */
+  def seedDistanceQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val down = docs.filter(col("doc_id") >= 2)
+      .select(expr("doc_id div 2").as("src"), col("doc_id").as("dst"))
+      .union(docs.filter(col("doc_id") >= 4)
+        .select(expr("doc_id div 4").as("src"), col("doc_id").as("dst")))
+    val ring = docs.select(
+      (lit(1000000000L) + pmod(col("doc_id"), lit(8))).as("src"),
+      (lit(1000000000L) + pmod(col("doc_id") + 1, lit(8))).as("dst"))
+    val seeds = spark.range(2).select(col("id").as("seed"))
+    LinkGraph.seedDistance(down.union(ring), "src", "dst", seeds, "seed")
+      .orderBy("node")
+  }
 
   /** [[graft.operators.LinkGraph.assortativity]] over the ancestry
     * graph — hubs (high-degree inner nodes) link leaves, the
@@ -488,8 +510,37 @@ object GraphQueries {
        |   END)::BIGINT AS assort_fpm
        |FROM mom, nn""".stripMargin
 
+  /** One unrolled BFS round: the frontier's unseen out-neighbors join
+    * the settled set at distance i. */
+  private def bfsStepSql(i: Int): String =
+    s"""n$i AS MATERIALIZED (SELECT DISTINCT e.dst AS node
+       |  FROM e JOIN f${i - 1} f ON e.src = f.node
+       |  WHERE e.dst NOT IN (SELECT node FROM r${i - 1})),
+       |r$i AS MATERIALIZED (SELECT node, d FROM r${i - 1}
+       |  UNION ALL SELECT node, $i::BIGINT FROM n$i),
+       |f$i AS MATERIALIZED (SELECT node FROM n$i)""".stripMargin
+
+  /** 16 unrolled rounds (sf0.1 needs ~7; min-hop distances are a unique
+    * fixed point, so over-unrolling is safe — the kcore property). */
+  private val seedDistanceOracle: String =
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |  SELECT doc_id // 2 AS src, doc_id AS dst FROM documents WHERE doc_id >= 2
+       |  UNION ALL
+       |  SELECT doc_id // 4, doc_id FROM documents WHERE doc_id >= 4
+       |  UNION ALL
+       |  SELECT 1000000000 + (doc_id % 8), 1000000000 + ((doc_id + 1) % 8)
+       |  FROM documents) t
+       |  WHERE src <> dst),
+       |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |r0 AS MATERIALIZED (SELECT node, 0::BIGINT AS d FROM nodes WHERE node IN (0, 1)),
+       |f0 AS MATERIALIZED (SELECT node FROM r0),
+       |${(1 to 16).map(bfsStepSql).mkString(",\n")}
+       |SELECT n.node, r.d AS dist, r.d IS NOT NULL AS reached
+       |FROM nodes n LEFT JOIN r16 r USING (node) ORDER BY n.node""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "gr5_kcore" -> kcoreOracle,
+    "gr9_seed_distance" -> seedDistanceOracle,
     "gr6_triangles" -> trianglesOracle,
     "gr7_link_predict" -> linkPredictOracle,
     "gr8_assortativity" -> assortativityOracle,

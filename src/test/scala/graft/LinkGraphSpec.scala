@@ -316,6 +316,27 @@ class LinkGraphSpec extends AnyFunSuite {
       .count() == 0L)
   }
 
+  test("seedDistance: shortcut wins the min-hop race; detached component " +
+    "reads NULL; absent seeds contribute nothing; runaway guard is loud") {
+    val edges = Seq(("s", "a"), ("a", "b"), ("b", "c"), ("s", "b"),
+      ("x", "y")).toDF("f", "t")
+    val seeds = Seq("s", "q").toDF("seed") // q is not a graph node
+    val out = graft.operators.LinkGraph
+      .seedDistance(edges, "f", "t", seeds, "seed")
+      .as[(String, Option[Long], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(
+      "s" -> ((Some(0L), true)), "a" -> ((Some(1L), true)),
+      "b" -> ((Some(1L), true)), // via the shortcut, not the 2-hop path
+      "c" -> ((Some(2L), true)),
+      "x" -> ((None, false)), "y" -> ((None, false))))
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.LinkGraph.seedDistance(edges, "f", "t",
+        Seq("s").toDF("seed"), "seed", maxRounds = 1)
+    }
+    assert(err.getMessage.contains("did not settle"))
+  }
+
   test("assortativity: star is exactly -1; regular graph reads NULL; " +
     "triangle+pendant matches the hand moment arithmetic") {
     def run(edges: Seq[(String, String)]) =
