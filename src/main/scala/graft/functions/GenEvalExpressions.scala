@@ -223,4 +223,53 @@ object GenEvalExpressions {
 
   def chrf_stats(cand: Column, ref: Column): Column =
     toCol(ChrfStats(toExpr(cand), toExpr(ref)))
+
+  /** Squared SMART-lnc document norm: Σ_t (1 + ln tf_t)² over the token
+    * array's term histogram, folded in ASCENDING TERM ORDER (binary
+    * UTF8 compare — the same order DuckDB's `list(... ORDER BY term)`
+    * replays), summed left-to-right from 0.0, ln via StrictMath (what
+    * Spark's own `log` evaluates, so the kernel is bit-identical to the
+    * sort_array run-length HOF fold it replaces — n15's first draft,
+    * which evaluated interpreted with per-element boxing, the ev1
+    * pathology). One HashMap pass + one sort of the DISTINCT terms
+    * (vocabulary-per-doc-sized, not token-sized). */
+  def lncNormSq(toks: ArrayData): Double = {
+    val n = toks.numElements()
+    if (n == 0) return 0.0
+    val counts = new java.util.HashMap[UTF8String, Integer](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = toks.getUTF8String(i)
+      val c = counts.get(s)
+      counts.put(s, if (c == null) 1 else c + 1)
+      i += 1
+    }
+    val terms = counts.keySet().toArray(new Array[UTF8String](counts.size()))
+    java.util.Arrays.sort(terms.asInstanceOf[Array[Object]])
+    var acc = 0.0; var j = 0
+    while (j < terms.length) {
+      val w = 1.0 + StrictMath.log(counts.get(terms(j)).doubleValue())
+      acc += w * w
+      j += 1
+    }
+    acc
+  }
+
+  case class LncNormSq(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with ImplicitCastInputTypes {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "lnc_norm_sq"
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+    override def nullSafeEval(a: Any): Any =
+      lncNormSq(a.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => s"""
+        ${ev.value} = graft.functions.GenEvalExpressions.lncNormSq($a);
+        """)
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  def lnc_norm_sq(toks: Column): Column = toCol(LncNormSq(toExpr(toks)))
 }

@@ -614,26 +614,13 @@ object FullText {
         "ltc weights score each term once; dedupe the query")
     val toks = docs.select(col(idCol).as("doc_id"),
       text.tokens(col(textCol)).as("tk"))
-    // in-row run-length fold over the sorted tokens: acc = (prev token,
-    // current run length, Σ(1+ln run)² over CLOSED runs); finish closes
-    // the last run. Distinct terms are visited in ascending order, so
-    // the oracle's list_sum(... ORDER BY term) replays the fold exactly.
-    def sq(c: Column): Column = { val v = lit(1.0) + log(c.cast("double")); v * v }
-    val normExpr = {
-      val folded = aggregate(
-        sort_array(col("tk")),
-        struct(lit("").as("p"), lit(0L).as("n"), lit(0.0).as("s")),
-        (st, tok) => struct(
-          tok.as("p"),
-          when(tok === st.getField("p"), st.getField("n") + 1L)
-            .otherwise(lit(1L)).as("n"),
-          (st.getField("s") + when(tok === st.getField("p"), lit(0.0))
-            .otherwise(when(st.getField("n") > 0L, sq(st.getField("n")))
-              .otherwise(lit(0.0)))).as("s")),
-        st => st.getField("s") + when(st.getField("n") > 0L,
-          sq(st.getField("n"))).otherwise(lit(0.0)))
-      sqrt(folded)
-    }
+    // the codegen'd static kernel: one histogram pass + an ascending-
+    // term fold of (1+ln tf)² — bit-identical to the sort_array
+    // run-length HOF fold it replaces (first draft; HOFs evaluate
+    // interpreted with per-element boxing — the ev1 pathology), and the
+    // oracle's list_sum(... ORDER BY term) replays the same order
+    val normExpr = sqrt(graft.functions.GenEvalExpressions
+      .lnc_norm_sq(col("tk")))
     val tf = toks.select(col("doc_id"), normExpr.as("norm_d"),
         explode(col("tk")).as("term"))
       .filter(col("term").isin(terms: _*))
