@@ -120,7 +120,9 @@ object Verify {
     // contingency, e26's 10x digit windows
     "gr8_assortativity", "ev17_mcnemar", "e26_benford",
     // gr9: BFS depth grows with the corpus (~7 rounds at sf0.1)
-    "gr9_seed_distance")
+    "gr9_seed_distance",
+    // k9: four full Lloyd fits + oracle replays at 10x vectors
+    "k9_elbow")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rest @ _*) = args

@@ -139,6 +139,60 @@ object Clustering {
     Model(cen)
   }
 
+  /** Elbow (model-selection) report over a k ladder — the "which k?"
+    * decision in FRONT of this family's consumers (k2's SemDeDup quota,
+    * k4's cluster sampling, v7's IVF lists all take k as given; someone
+    * has to pick it): fit the replayable seeded Lloyd at each candidate
+    * k, read the inertia curve, and mark the knee by the MAXIMUM SECOND
+    * DIFFERENCE of inertia over the (geometric) ladder — the simplest
+    * published curvature heuristic (Thorndike 1953 lineage), chosen here
+    * over kneedle/ratio rules because it is pure integer SUBTRACTION:
+    * no division ever touches the decision, so the argmax is exact and
+    * total-ordered (tiebreak: smaller k — prefer the cheaper model).
+    *
+    * Exactness: inertia = Σ floor(dist²·10⁶) per point — the squared
+    * assign distance is a deterministic double (the k1-gated property),
+    * the floor makes each term an integer, and the sum is order-free.
+    * `drop_fp` = inertia_{prev} − inertia_k (NULL at the first k);
+    * `curvature_fp` = drop_k − drop_next (NULL at the ends); `chosen`
+    * marks the curvature argmax. Inertia can RISE under fixed iters +
+    * seeded init (more seeds ≠ better fit after 2 steps); negative
+    * drops simply rank low — no clamping, the arithmetic stays honest.
+    *
+    * 100 TB shape: |ks| sequential Lloyd fits (each the k1 cost — the
+    * clustering IS the job, the k2 timing convention) + one floor-sum
+    * scan per k; the ladder decision runs on |ks| driver rows (rule
+    * 17). */
+  def elbowReport(df: DataFrame, vecCol: String, idCol: String,
+                  ks: Seq[Int], iters: Int): DataFrame = {
+    require(ks.size >= 3, s"elbowReport needs >= 3 candidate ks for a " +
+      s"second difference (got $ks)")
+    require(ks == ks.sorted && ks.distinct == ks && ks.head >= 1,
+      s"elbowReport needs a sorted, distinct, positive k ladder (got $ks)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val inertia = ks.map { k =>
+      val model = fit(df, vecCol, idCol, k, iters)
+      val s = assign(df, vecCol, model)
+        .agg(sum(floor(col("dist") * 1000000.0).cast("long")))
+        .head().getLong(0)
+      model.destroy()
+      k -> s
+    }
+    val drops = inertia.indices.map { i =>
+      if (i == 0) None else Some(inertia(i - 1)._2 - inertia(i)._2)
+    }
+    val curv = inertia.indices.map { i =>
+      if (i == 0 || i == inertia.size - 1) None
+      else Some(drops(i).get - drops(i + 1).get)
+    }
+    val best = curv.zipWithIndex.collect { case (Some(c), i) => (c, i) }
+      .minBy { case (c, i) => (-c, ks(i)) }._2
+    inertia.indices.map { i =>
+      (ks(i).toLong, inertia(i)._2, drops(i), curv(i), i == best)
+    }.toDF("k", "inertia_fp", "drop_fp", "curvature_fp", "chosen")
+  }
+
   /** SemDeDup keep/drop decision: a row is a semantic duplicate iff some
     * LOWER-id row in the same cluster has cosine >= `threshold` to it
     * (deterministic min-id keeper, same policy as [[Dedup.lshKeepList]];

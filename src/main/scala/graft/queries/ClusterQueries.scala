@@ -23,8 +23,23 @@ object ClusterQueries {
     "k5_incremental_assign" -> ((s, d) => incrementalAssign(s, d)),
     "k6_cluster_quality" -> ((s, d) => clusterQuality(s, d)),
     "k7_dbscan" -> ((s, d) => dbscanQ(s, d)),
-    "k8_dbscan_blocked" -> ((s, d) => dbscanBlockedAt(s, d, K))
+    "k8_dbscan_blocked" -> ((s, d) => dbscanBlockedAt(s, d, K)),
+    "k9_elbow" -> ((s, d) => elbowQ(s, d))
   )
+
+  /** [[graft.operators.Clustering.elbowReport]] over the 2/4/8/16
+    * ladder (iters = 2, the registry Lloyd convention): at sf0.01 the
+    * inertia curve reads 491.8/481.6/467.2/447.8 (·10⁶ fp) with GROWING
+    * drops — the md5-synthesized embeddings have no real cluster
+    * structure, so the curve is the convex no-elbow null and the rule
+    * honestly picks the least-negative curvature (k=4); a genuinely
+    * clustered corpus bends the curve the other way (the spec plants
+    * one and the rule finds the true k). Every one of the four fits
+    * replays in full in the oracle (the k1 chain, once per k). */
+  def elbowQ(spark: SparkSession, dir: String): DataFrame =
+    Clustering.elbowReport(Tables.embeddings(spark, dir), "embedding",
+        "vec_id", ks = Seq(2, 4, 8, 16), iters = Iters)
+      .orderBy("k")
 
   /** [[graft.operators.Clustering.dbscan]] at cosine > 0.35, minPts 4:
     * 47 cores in 19 clusters, 85 borders, 368 noise at sf0.01 — all four
@@ -222,6 +237,47 @@ object ClusterQueries {
       |         SELECT vec_id, cid, d, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) rn
       |         FROM d2) WHERE rn = 1)""".stripMargin
 
+  /** Parametric Lloyd chain for the k9 ladder: the `lloyd` CTE text with
+    * LIMIT k and suffixed CTE names, sharing one `e` corpus CTE. */
+  private def lloydChain(k: Int, s: String): String =
+    s"""init$s AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+       |         FROM e ORDER BY vec_id LIMIT $k),
+       |d0$s AS (SELECT e.vec_id, init$s.cid,
+       |         list_sum(list_transform(range(64), j ->
+       |           (e.v[j+1]-init$s.cv[j+1])*(e.v[j+1]-init$s.cv[j+1]))) AS d
+       |       FROM e, init$s),
+       |a0$s AS (SELECT vec_id, cid FROM (
+       |         SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) rn
+       |         FROM d0$s) WHERE rn = 1),
+       |m1$s AS (SELECT a0$s.cid, j,
+       |         list_sum(list(e.v[j+1] ORDER BY e.vec_id)) / count(*) AS m
+       |       FROM a0$s JOIN e USING (vec_id), range(64) t(j) GROUP BY a0$s.cid, j),
+       |c1$s AS (SELECT init$s.cid, coalesce(mm.cv, init$s.cv) AS cv FROM init$s
+       |       LEFT JOIN (SELECT cid, list(m ORDER BY j) AS cv FROM m1$s GROUP BY cid) mm
+       |       USING (cid)),
+       |d1$s AS (SELECT e.vec_id, c1$s.cid,
+       |         list_sum(list_transform(range(64), j ->
+       |           (e.v[j+1]-c1$s.cv[j+1])*(e.v[j+1]-c1$s.cv[j+1]))) AS d
+       |       FROM e, c1$s),
+       |a1$s AS (SELECT vec_id, cid FROM (
+       |         SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) rn
+       |         FROM d1$s) WHERE rn = 1),
+       |m2$s AS (SELECT a1$s.cid, j,
+       |         list_sum(list(e.v[j+1] ORDER BY e.vec_id)) / count(*) AS m
+       |       FROM a1$s JOIN e USING (vec_id), range(64) t(j) GROUP BY a1$s.cid, j),
+       |c2$s AS (SELECT init$s.cid, coalesce(mm.cv, init$s.cv) AS cv FROM init$s
+       |       LEFT JOIN (SELECT cid, list(m ORDER BY j) AS cv FROM m2$s GROUP BY cid) mm
+       |       USING (cid)),
+       |d2$s AS (SELECT e.vec_id, c2$s.cid,
+       |         list_sum(list_transform(range(64), j ->
+       |           (e.v[j+1]-c2$s.cv[j+1])*(e.v[j+1]-c2$s.cv[j+1]))) AS d
+       |       FROM e, c2$s),
+       |a2$s AS (SELECT vec_id, cid, d FROM (
+       |         SELECT vec_id, cid, d, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) rn
+       |         FROM d2$s) WHERE rn = 1),
+       |in$s AS (SELECT $k::BIGINT AS k, sum(floor(d * 1000000))::BIGINT AS inertia_fp
+       |       FROM a2$s)""".stripMargin
+
   /** The Lloyd replay refit to the OLD slice only (k5's frozen codebook):
     * same CTE chain, corpus CTE filtered. */
   private val lloydOld =
@@ -377,6 +433,23 @@ object ClusterQueries {
     "k3_cluster_profile" ->
       s"""$lloyd
          |SELECT cid AS cluster_id, count(*) AS size, round(avg(d), 6) AS avg_dist
-         |FROM a2 GROUP BY cid ORDER BY cid""".stripMargin
+         |FROM a2 GROUP BY cid ORDER BY cid""".stripMargin,
+    // four full Lloyd replays (one per ladder k), floored inertia sums,
+    // lag/lead drops + second difference, argmax by (curvature, k)
+    "k9_elbow" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |${Seq(2, 4, 8, 16).map(k => lloydChain(k, s"k$k")).mkString(",\n")},
+         |curve AS (SELECT * FROM ink2 UNION ALL SELECT * FROM ink4
+         |          UNION ALL SELECT * FROM ink8 UNION ALL SELECT * FROM ink16),
+         |dd AS (SELECT k, inertia_fp,
+         |         lag(inertia_fp) OVER w - inertia_fp AS drop_fp
+         |       FROM curve WINDOW w AS (ORDER BY k)),
+         |cv AS (SELECT k, inertia_fp, drop_fp,
+         |         drop_fp - lead(drop_fp) OVER (ORDER BY k) AS curvature_fp
+         |       FROM dd)
+         |SELECT k, inertia_fp, drop_fp, curvature_fp,
+         |  (row_number() OVER (ORDER BY curvature_fp DESC NULLS LAST, k) = 1)
+         |    AS chosen
+         |FROM cv ORDER BY k""".stripMargin
   )
 }

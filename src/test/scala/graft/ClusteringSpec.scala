@@ -246,4 +246,37 @@ class ClusteringSpec extends AnyFunSuite {
     // probes = 1 already recovers the exact clustering
     assert(narrowed.map(r => r._1 -> ((r._2, r._3, r._4))).toMap == exact)
   }
+
+  test("elbowReport: a genuinely 4-clustered corpus bends the curve at " +
+    "k=4 and the second-difference rule finds it; ladder guards raise") {
+    // 4 tight planted blobs at square corners, ids interleaved so the
+    // k lowest-id seeds spread one-per-blob
+    val pts = (0L until 40L).map { i =>
+      val c = (i % 4).toInt
+      val (cx, cy) = Seq((0f, 0f), (10f, 0f), (0f, 10f), (10f, 10f))(c)
+      (i, Array(cx + 0.01f * (i / 4), cy - 0.01f * (i / 4)))
+    }.toDF("vec_id", "embedding")
+    val out = graft.operators.Clustering
+      .elbowReport(pts, "embedding", "vec_id", ks = Seq(2, 4, 8), iters = 2)
+      .as[(Long, Long, Option[Long], Option[Long], Boolean)]
+      .collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(2L, 4L, 8L))
+    val byK = out.map(r => r._1 -> r).toMap
+    assert(byK(4L)._5, "the knee sits at the true cluster count")
+    assert(!byK(2L)._5 && !byK(8L)._5)
+    assert(byK(4L)._3.get > 100 * byK(8L)._3.get,
+      "the k=2->4 drop dwarfs the k=4->8 drop: a real elbow")
+    assert(byK(4L)._2 < byK(2L)._2 / 100,
+      "at the true k the blobs collapse to near-zero inertia")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.Clustering.elbowReport(pts, "embedding", "vec_id",
+        ks = Seq(4, 2, 8), iters = 2)
+    }
+    assert(e1.getMessage.contains("sorted, distinct, positive"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Clustering.elbowReport(pts, "embedding", "vec_id",
+        ks = Seq(2, 4), iters = 2)
+    }
+    assert(e2.getMessage.contains(">= 3 candidate ks"))
+  }
 }
