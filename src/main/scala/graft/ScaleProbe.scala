@@ -218,7 +218,11 @@ object ScaleProbe {
         // the session's heaviest new exchange shape (k scaled to 512 on
         // the x64 data like the probe leg — the k2 contract; fixed-k at
         // 64x data would time the misconfiguration, not the operator)
-        "k8_dbscan_blocked")
+        "k8_dbscan_blocked",
+        // round-14 second session: e25's five-key window sort (1.28M rows
+        // per partition at x64 — the keyed-sort spill candidate) + its
+        // lag-explode join; gr6's wedge self-join over the 64x graph
+        "e25_acf", "gr6_triangles")
       val picked = args.lift(1) match {
         case Some(list) =>
           val want = list.split(',').filter(_.nonEmpty).toSet
