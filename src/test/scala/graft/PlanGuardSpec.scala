@@ -513,4 +513,57 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       s"grid construction must not cross-join the corpus:\n$p")
   }
+
+  test("gr6_triangles: orientation, wedge build, and closure probe all " +
+    "stay equi-shaped — the whole point of degree ordering") {
+    val p = executedPlan("gr6_triangles")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle counting degraded to an all-pairs shape:\n$p")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"the corner-credit count must map-side combine:\n$p")
+  }
+
+  test("gr7_link_predict: the wedge aggregation map-side combines and the " +
+    "cut is a top-k heap, never a global sort") {
+    val p = executedPlan("gr7_link_predict")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"link prediction degraded to an all-pairs shape:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the topK cut must be a bounded heap:\n$p")
+  }
+
+  test("n15_tfidf_vsm: the norm kernel rides the scan (no norm exchange), " +
+    "the hit groupBy partial-aggregates, the cut is a top-k heap") {
+    val p = executedPlan("n15_tfidf_vsm")
+    assert(p.contains("lnc_norm_sq"),
+      s"the codegen'd norm kernel must be in-plan (not a HOF rewrite):\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the k cut must be a bounded heap:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"scoring must never cross rows:\n$p")
+  }
+
+  test("e25_acf: the lag pairing is an equi-join on (key, t+lag); stats " +
+    "and moments partial-aggregate") {
+    val p = executedPlan("e25_acf")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"lag pairing degraded to a range/all-pairs shape:\n$p")
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      s"the covariance sums must map-side combine:\n$p")
+  }
+
+  test("e24_fdr_bh: the corpus-sized flip dataflow runs ONCE behind the " +
+    "stage cut; the battery windows never touch corpus-sized rows") {
+    // the 25-row p-value table is localCheckpoint()ed (rule 14 — it has
+    // two consumers), so the registered query's executed plan must START
+    // from the cut, not re-derive the 200-way explode per consumer
+    val p = executedPlan("e24_fdr_bh")
+    assert(p.contains("Scan ExistingRDD"),
+      s"stage cut missing - the flip dataflow re-executes per consumer:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the battery join must never cross rows:\n$p")
+  }
 }
