@@ -25,6 +25,9 @@ import org.apache.spark.sql.streaming.Trigger
   *  - cusum: [[streaming.StreamingCusum]] — the online SPC monitor;
   *    state is eleven longs per key (prefixes, minima, alarm accounting;
   *    O(1) in history length, grows only with key cardinality).
+  *  - funnel: [[streaming.StreamingFunnel]] — per-user step attainment;
+  *    state is one long per funnel step per user (grows with the USER
+  *    universe, never with event volume).
   *  - ewma: [[streaming.StreamingEwma]] — the per-key fixed-point fold;
   *    state is one (n, scaled value) pair per key (O(1) in history,
   *    grows only with key cardinality — the cusum law with two longs
@@ -43,7 +46,7 @@ object StreamBench {
 
   private val allArms =
     Seq("context_windows", "changelog", "scene_cuts", "cusum", "ewma",
-      "paragraph_dedup")
+      "funnel", "paragraph_dedup")
 
   def main(args: Array[String]): Unit = {
     val durSec = args.headOption.map(_.toInt).getOrElse(12)
@@ -126,6 +129,22 @@ object StreamBench {
           (col("value") % 1000).cast("double").as("v"))
         streaming.StreamingEwma.ewma(readings, "key", "ts", "id", "v")
       }, outputMode = "update")
+
+    if (arms("funnel"))
+    runStateful(spark, "funnel", durSec, rowsPerSec = 50000,
+      build = src => {
+        // 100k-user universe, md5-less deterministic step routing: most
+        // rows are views, a slice clicks, a sliver purchases — the state
+        // path (per-user step array) is what the throughput measures
+        val ev = src.select(
+          pmod(col("value"), lit(100000)).as("user"),
+          when(pmod(col("value"), lit(20)) === 0, "purchase")
+            .when(pmod(col("value"), lit(5)) === 0, "click")
+            .otherwise("view").as("etype"),
+          col("timestamp").as("ts"))
+        streaming.StreamingFunnel.attainments(ev, "user", "etype", "ts",
+          steps = Seq("view", "click", "purchase"), windowSec = 3600L)
+      }, outputMode = "append")
 
     if (arms("paragraph_dedup")) runParagraphDedup(spark, durSec)
     spark.stop()
