@@ -122,7 +122,9 @@ object Verify {
     // gr9: BFS depth grows with the corpus (~7 rounds at sf0.1)
     "gr9_seed_distance",
     // k9: four full Lloyd fits + oracle replays at 10x vectors
-    "k9_elbow")
+    "k9_elbow",
+    // gr10: 10x edge self-join; e27: the full e23 chain at 10x events
+    "gr10_reciprocity", "e27_seasonal_strength")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rest @ _*) = args

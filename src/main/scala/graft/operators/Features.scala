@@ -428,6 +428,53 @@ object Features {
           expr("((num + den) * 1000000) div (2 * den)")).as("acf01_ppm"))
   }
 
+  /** Seasonal-strength diagnostic over a [[seasonalDecompose]] output
+    * (Wang–Smyth–Hyndman 2006; the FPP3 §4.3 / tsfeatures `feat_stl`
+    * definition): F_s = max(0, 1 − Var(R)/Var(S+R)) per key — the
+    * one-number answer to "does deseasonalizing this series matter?"
+    * that decides whether e18/e21's monitors read raw values or e23's
+    * residual column. F_s near 0: the seasonal component explains
+    * nothing, skip the decomposition; near 1: monitors on raw values
+    * will false-alarm weekly.
+    *
+    * Exactness: the decomposition's components are exact integer milli
+    * values; both variances are n²-scaled integer sums (the e25
+    * discipline — var_num(X) = n·Σx² − (Σx)², decimal(38,0), the n²
+    * factors cancel in the ratio), rows with NULL trend (the honest MA
+    * edges) are excluded from BOTH, and
+    * `strength_ppm` = max(0, ⌊(var_sr − var_r)·10⁶ / var_sr⌋) — one
+    * floored integer division, clamped at the F_s floor. A key whose
+    * deseasonalized series is constant (var_sr = 0) reads honest NULL.
+    * `seasonal` = strength ≥ 640000 (the tsfeatures-lineage 0.64
+    * convention for "strongly seasonal").
+    *
+    * 100 TB shape: ONE map-side-combined per-key moment aggregate over
+    * the decomposition's (keys × days)-bounded output — nothing
+    * corpus-sized exists at this layer (the corpus work is e23's). */
+  def seasonalStrength(decomp: DataFrame, keyCol: String): DataFrame = {
+    val d = decomp
+      .filter(col("trend_milli").isNotNull)
+      .select(col(keyCol).as("k"), col("resid_milli").as("r"),
+        (col("seasonal_milli") + col("resid_milli")).as("sr"))
+    d.groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        sum(col("r").cast("decimal(38,0)")).as("s_r"),
+        sum(col("r").cast("decimal(38,0)") * col("r")).as("s_rr"),
+        sum(col("sr").cast("decimal(38,0)")).as("s_sr"),
+        sum(col("sr").cast("decimal(38,0)") * col("sr")).as("s_srsr"))
+      .select(col("k").as(keyCol), col("n"),
+        (expr("cast(n as decimal(38,0))") * col("s_rr")
+          - col("s_r") * col("s_r")).as("var_r_num"),
+        (expr("cast(n as decimal(38,0))") * col("s_srsr")
+          - col("s_sr") * col("s_sr")).as("var_sr_num"))
+      .withColumn("strength_ppm",
+        when(col("var_sr_num") > 0, greatest(lit(0L),
+          expr("((var_sr_num - var_r_num) * 1000000) div var_sr_num"))))
+      .withColumn("seasonal",
+        when(col("strength_ppm").isNotNull,
+          col("strength_ppm") >= 640000L))
+  }
+
   /** Benford first-digit expected shares, ⌊log10(1+1/d)·10⁶⌋ for
     * d = 1..9 (they sum to 999,995 — the five missing ppm are the nine
     * floors; published constants, a bounded literal). */

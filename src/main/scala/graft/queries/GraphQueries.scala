@@ -28,8 +28,23 @@ object GraphQueries {
     "gr6_triangles" -> ((s, d) => trianglesQ(s, d)),
     "gr7_link_predict" -> ((s, d) => linkPredictQ(s, d)),
     "gr8_assortativity" -> ((s, d) => assortativityQ(s, d)),
-    "gr9_seed_distance" -> ((s, d) => seedDistanceQ(s, d))
+    "gr9_seed_distance" -> ((s, d) => seedDistanceQ(s, d)),
+    "gr10_reciprocity" -> ((s, d) => reciprocityQ(s, d))
   )
+
+  /** [[graft.operators.LinkGraph.reciprocity]] over the ancestry graph
+    * with a PLANTED link-exchange slice (every doc_id % 5 == 0 child
+    * links BACK to its parent — the named rule): the mutual pairs read
+    * 18.1% reciprocity at sf0.01 (198 of 1093 directed edges) against
+    * the tree's natural 0 — the anomaly signature the diagnostic exists
+    * to flag. */
+  def reciprocityQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val back = docs.filter(col("doc_id") >= 2 && col("doc_id") % 5 === 0)
+      .select(expr("doc_id div 2").as("src"), col("doc_id").as("dst"))
+    LinkGraph.reciprocity(triangleEdges(spark, dir).union(back),
+      "src", "dst")
+  }
 
   /** [[graft.operators.LinkGraph.seedDistance]] from seeds {0, 1} over
     * the DOWNWARD ancestry graph (parent→child + grandparent→child —
@@ -538,9 +553,27 @@ object GraphQueries {
        |SELECT n.node, r.d AS dist, r.d IS NOT NULL AS reached
        |FROM nodes n LEFT JOIN r16 r USING (node) ORDER BY n.node""".stripMargin
 
+  private val reciprocityOracle: String =
+    """WITH raw AS (
+      |  SELECT doc_id AS src, doc_id // 2 AS dst FROM documents WHERE doc_id >= 2
+      |  UNION ALL
+      |  SELECT doc_id, doc_id // 4 FROM documents WHERE doc_id >= 4
+      |  UNION ALL
+      |  SELECT doc_id // 2, doc_id FROM documents
+      |  WHERE doc_id >= 2 AND doc_id % 5 = 0),
+      |simple AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+      |r AS (SELECT count(*)::BIGINT AS n_reciprocal FROM simple a
+      |      WHERE EXISTS (SELECT 1 FROM simple b
+      |                    WHERE b.src = a.dst AND b.dst = a.src)),
+      |n AS (SELECT count(*)::BIGINT AS n_edges FROM simple)
+      |SELECT n.n_edges, r.n_reciprocal,
+      |  (r.n_reciprocal * 1000000) // n.n_edges AS recip_ppm
+      |FROM n, r""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "gr5_kcore" -> kcoreOracle,
     "gr9_seed_distance" -> seedDistanceOracle,
+    "gr10_reciprocity" -> reciprocityOracle,
     "gr6_triangles" -> trianglesOracle,
     "gr7_link_predict" -> linkPredictOracle,
     "gr8_assortativity" -> assortativityOracle,

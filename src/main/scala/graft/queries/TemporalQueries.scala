@@ -44,8 +44,32 @@ object TemporalQueries {
     "e24_fdr_bh" -> ((s, d) => fdrQ(s, d)),
     "e25_acf" -> ((s, d) => acfQ(s, d)),
     "e26_benford" -> ((s, d) => benfordQ(s, d)),
+    "e27_seasonal_strength" -> ((s, d) => seasonalStrengthQ(s, d)),
     "c5_texttile" -> ((s, d) => textTileQ(s, d))
   )
+
+  /** [[graft.operators.Features.seasonalStrength]] over ONE e23
+    * decomposition of ten keys: the five raw event streams (no weekly
+    * rhythm in the generator — strength reads near 0, the "skip the
+    * deseasonalizer" verdict) unioned with five `_w`-suffixed PLANTED
+    * arms (+500 per event on epoch-day-phase-0 — the named rule; the
+    * weekly spike dominates the daily rollup and strength reads near
+    * 10⁶: strongly seasonal). Both verdicts from one dataflow, the
+    * whole decomposition replayed underneath. */
+  def seasonalStrengthQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val planted = ev.select(
+      concat(col("event_type"), lit("_w")).as("event_type"), col("ts"),
+      (col("value") + when(
+        pmod(datediff(col("ts").cast("date"),
+          to_date(lit("1970-01-01"))), lit(7)) === 0, 500.0)
+        .otherwise(0.0)).as("value"))
+    val src = ev.select("event_type", "ts", "value").unionByName(planted)
+    graft.operators.Features.seasonalStrength(
+      graft.operators.Features.seasonalDecompose(src, "event_type", "ts",
+        "value", period = 7), "event_type")
+      .orderBy("event_type")
+  }
 
   /** [[graft.operators.Features.benfordReport]] on two value feeds:
     * the real centi-value stream (exponential-ish magnitudes — closer
@@ -660,6 +684,66 @@ object TemporalQueries {
          |  (dt.detr - sa.seasonal_milli)::BIGINT AS resid_milli
          |FROM dt JOIN sa ON dt.event_type = sa.event_type AND dt.phase = sa.phase
          |ORDER BY dt.event_type, dt.d""").stripMargin,
+    // the full e23 chain over the raw+planted union, then per-key
+    // n²-scaled variances of resid and seasonal+resid over non-null-
+    // trend rows, one floored clamped division, the 0.64 verdict
+    "e27_seasonal_strength" ->
+      ("""WITH src AS (
+         |  SELECT event_type, ts, value FROM events
+         |  UNION ALL
+         |  SELECT event_type || '_w', ts,
+         |    value + CASE WHEN (ts::DATE - DATE '1970-01-01') % 7 = 0
+         |                 THEN 500.0 ELSE 0.0 END
+         |  FROM events),
+         |daily AS (
+         |  SELECT event_type, ts::DATE AS d,
+         |    sum(floor(value * 100)::BIGINT)::BIGINT AS x
+         |  FROM src GROUP BY 1, 2),
+         |b AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+         |grid AS (
+         |  SELECT k.event_type, (b.lo + g.i * INTERVAL 1 DAY)::DATE AS d
+         |  FROM (SELECT DISTINCT event_type FROM src) k, b, range(366) g(i)
+         |  WHERE (b.lo + g.i * INTERVAL 1 DAY)::DATE <= b.hi),
+         |s AS (SELECT grid.event_type, grid.d,
+         |        (grid.d - DATE '1970-01-01')::BIGINT AS di,
+         |        coalesce(daily.x, 0)::BIGINT AS x
+         |      FROM grid LEFT JOIN daily
+         |        ON grid.event_type = daily.event_type AND grid.d = daily.d),
+         |tr AS (SELECT event_type, d, di, x,
+         |        (CASE WHEN count(*) OVER w = 7
+         |             THEN (sum(x) OVER w * 1000) // 7 END)::BIGINT AS trend_milli
+         |      FROM s
+         |      WINDOW w AS (PARTITION BY event_type ORDER BY di
+         |        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         |dt AS (SELECT *, di % 7 AS phase, x * 1000 - trend_milli AS detr FROM tr),
+         |sr AS (SELECT event_type, phase,
+         |        (sum(detr) // count(detr))::BIGINT AS s_raw
+         |      FROM dt WHERE detr IS NOT NULL GROUP BY 1, 2),
+         |ctr AS (SELECT event_type, (sum(s_raw) // 7)::BIGINT AS mean_s
+         |        FROM sr GROUP BY 1),
+         |sa AS (SELECT sr.event_type, sr.phase, (s_raw - mean_s)::BIGINT AS seasonal_milli
+         |       FROM sr JOIN ctr USING (event_type)),
+         |comp AS (SELECT dt.event_type,
+         |    (dt.detr - sa.seasonal_milli)::BIGINT AS r,
+         |    dt.detr::BIGINT AS srv
+         |  FROM dt JOIN sa ON dt.event_type = sa.event_type AND dt.phase = sa.phase
+         |  WHERE dt.trend_milli IS NOT NULL),
+         |v AS (SELECT event_type, count(*)::BIGINT AS n,
+         |    (count(*)::HUGEINT * sum(r::HUGEINT * r) - sum(r)::HUGEINT * sum(r)::HUGEINT)
+         |      AS var_r_num,
+         |    (count(*)::HUGEINT * sum(srv::HUGEINT * srv) - sum(srv)::HUGEINT * sum(srv)::HUGEINT)
+         |      AS var_sr_num
+         |  FROM comp GROUP BY event_type)
+         |SELECT event_type, n, var_r_num, var_sr_num,
+         |  (CASE WHEN var_sr_num > 0 THEN
+         |     greatest(0, ((var_sr_num - var_r_num) * 1000000) // var_sr_num)
+         |   END)::BIGINT AS strength_ppm,
+         |  CASE WHEN var_sr_num > 0 THEN
+         |    (CASE WHEN var_sr_num > 0 THEN
+         |       greatest(0, ((var_sr_num - var_r_num) * 1000000) // var_sr_num)
+         |     END) >= 640000
+         |  END AS seasonal
+         |FROM v ORDER BY event_type""").stripMargin,
     // first digit from the decimal string (never a float log10), honest
     // zero digit rows, exact micro contributions, the df=8 verdict
     "e26_benford" ->

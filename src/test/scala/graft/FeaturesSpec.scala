@@ -331,6 +331,45 @@ class FeaturesSpec extends AnyFunSuite {
       ((0L, 15L, 1L, 5L)), "downward stream: S- peaks at 15, S+ silent")
   }
 
+  test("seasonalStrength: hand variances; anti-correlated residual clamps " +
+    "at 0; constant deseasonalized series reads NULL; MA edges excluded") {
+    import spark.implicits._
+    def decomp(rows: Seq[(String, Option[Long], Long, Long)]) =
+      rows.toDF("k", "trend_milli", "seasonal_milli", "resid_milli")
+    // S=[1,−1], R=[5,−5]: var_sr_num = 2·72 = 144, var_r_num = 2·50 = 100
+    // → floor(44e6/144) = 305555
+    val out = graft.operators.Features.seasonalStrength(decomp(Seq(
+      ("a", Some(1L), 1L, 5L), ("a", Some(1L), -1L, -5L),
+      // S=[1,−1], R=[−2,2]: sr=[−1,1] — var_r > var_sr, clamps to 0
+      ("b", Some(1L), 1L, -2L), ("b", Some(1L), -1L, 2L),
+      // constant sr: var_sr = 0 → NULL
+      ("c", Some(1L), 3L, -3L), ("c", Some(1L), 3L, -3L),
+      // d: only NULL-trend rows → excluded entirely, no output row
+      ("d", None, 9L, 9L))), "k")
+      .as[(String, Long, BigDecimal, BigDecimal, Option[Long], Option[Boolean])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set("a", "b", "c"), "edge-only keys drop")
+    assert(out("a") == (("a", 2L, BigDecimal(100), BigDecimal(144),
+      Some(305555L), Some(false))))
+    assert(out("b")._5.contains(0L) && out("b")._6.contains(false),
+      "anti-correlated residual clamps at the F_s floor")
+    assert(out("c")._5.isEmpty && out("c")._6.isEmpty,
+      "zero deseasonalized variance: honest NULL")
+    // a perfect weekly signal through the REAL decomposition: residuals
+    // vanish, strength reads exactly 1e6
+    val days = (0 until 28).map { i =>
+      ("w", java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(1970, 1, 1).plusDays(i).atStartOfDay()),
+        (10 + (i % 7)).toDouble / 100.0)
+    }.toDF("k", "ts", "v")
+    val full = graft.operators.Features.seasonalStrength(
+      graft.operators.Features.seasonalDecompose(days, "k", "ts", "v", 7),
+      "k").as[(String, Long, BigDecimal, BigDecimal, Option[Long],
+        Option[Boolean])].collect().head
+    assert(full._5.contains(1000000L) && full._6.contains(true),
+      "exact weekly signal: zero residual, strength exactly 1")
+  }
+
   test("benfordReport: a near-Benford multinomial conforms, a flat one " +
     "rejects; zeros/negatives counted as skipped; guards are loud") {
     import spark.implicits._

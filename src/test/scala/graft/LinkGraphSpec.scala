@@ -337,6 +337,26 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(err.getMessage.contains("did not settle"))
   }
 
+  test("reciprocity: mutual pairs count twice; a pure DAG reads 0; " +
+    "duplicates collapse; the empty graph raises") {
+    // a<->b mutual, b->c one-way, duplicate + self-loop noise
+    val edges = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("b", "c"),
+      ("c", "c")).toDF("s", "t")
+    val out = graft.operators.LinkGraph.reciprocity(edges, "s", "t")
+      .as[(Long, Long, Long)].collect().head
+    assert(out == ((3L, 2L, 666666L)),
+      "3 simple edges, the mutual pair contributes 2: 2e6/3 floored")
+    val dag = graft.operators.LinkGraph.reciprocity(
+      Seq(("a", "b"), ("b", "c")).toDF("s", "t"), "s", "t")
+      .as[(Long, Long, Long)].collect().head
+    assert(dag == ((2L, 0L, 0L)))
+    val err = intercept[Exception] {
+      graft.operators.LinkGraph.reciprocity(
+        Seq(("a", "a")).toDF("s", "t"), "s", "t").collect()
+    }
+    assert(err.getMessage.contains("empty graph"))
+  }
+
   test("assortativity: star is exactly -1; regular graph reads NULL; " +
     "triangle+pendant matches the hand moment arithmetic") {
     def run(edges: Seq[(String, String)]) =
