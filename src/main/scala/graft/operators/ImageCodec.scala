@@ -167,6 +167,33 @@ object ImageCodec {
     cell
   }
 
+  /** 256-bin luma histogram from raw encoded bytes (the same ITU-R 601-2
+    * 16.16 fixed-point luma as [[dHash]]/[[isBlank]] — on grayscale
+    * pixels it is the pixel value exactly); None when undecodable. One
+    * pixel pass, all integer. */
+  def lumaHistogram(bytes: Array[Byte]): Option[Array[Long]] = {
+    val img =
+      if (bytes == null || bytes.isEmpty) null
+      else
+        try ImageIO.read(new ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+    if (img == null || img.getWidth == 0 || img.getHeight == 0) return None
+    val h = new Array[Long](256)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val l = (((rgb >> 16) & 0xff) * 19595 + ((rgb >> 8) & 0xff) * 38470 +
+          (rgb & 0xff) * 7471) >> 16
+        h(l) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    Some(h)
+  }
+
   /** [[lumaCells]] from raw encoded bytes; None when undecodable. */
   def lumaGrid(bytes: Array[Byte], cols: Int, rows: Int): Option[Array[Long]] = {
     if (bytes == null || bytes.isEmpty) return None

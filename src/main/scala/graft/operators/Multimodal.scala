@@ -233,6 +233,56 @@ object Multimodal {
     }(enc)
   }
 
+  /** Luma-entropy low-information image gate (the LAION-style "image
+    * complexity" filter beside [[ImageCodec.isBlank]]'s blankness test:
+    * blankness catches the EMPTY page, entropy catches the nearly-empty
+    * one — solid fills, two-tone logos, flat gradients that waste a
+    * vision-model's training step without being blank). Shannon entropy
+    * of the 256-bin ITU-R 601-2 luma histogram, in nats:
+    * H = ln(n) − Σ c·ln(c)/n, the c·ln(c) terms folded in ascending BIN
+    * order from 0.0 (0·ln 0 skipped as 0 — the convention), ln of exact
+    * integer counts (the t30 primitive), one stated subtraction/division
+    * chain, ⌊H·10⁶⌋. `low_info` at the stated threshold (default
+    * 2·10⁶ nats ≈ e² ≈ 7.4 effective luma levels — well under any
+    * natural photograph, well over any flat fill). Undecodable bytes
+    * contribute no rows (the m6/m12 format-gate contract).
+    *
+    * 100 TB shape: one mapPartitions decode pass, one integer histogram
+    * + one 256-term fold per image, no shuffle. */
+  def imageEntropy(images: DataFrame, idCol: String, bytesCol: String,
+                   lowInfoMicro: Long = 2000000L): DataFrame = {
+    require(lowInfoMicro >= 0, s"imageEntropy needs lowInfoMicro >= 0 " +
+      s"(got $lowInfoMicro)")
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("n_pixels", LongType, nullable = false),
+      StructField("n_levels", LongType, nullable = false),
+      StructField("entropy_micro", LongType, nullable = false),
+      StructField("low_info", BooleanType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    val idIdx = images.schema.fieldIndex(idCol)
+    val bIdx = images.schema.fieldIndex(bytesCol)
+    images.mapPartitions { rows =>
+      rows.flatMap { r =>
+        ImageCodec.lumaHistogram(r.getAs[Array[Byte]](bIdx)).map { h =>
+          var n = 0L; var levels = 0L
+          var i = 0
+          while (i < 256) { if (h(i) > 0) { n += h(i); levels += 1 }; i += 1 }
+          var s = 0.0
+          i = 0
+          while (i < 256) {
+            if (h(i) > 0) s += h(i).toDouble * StrictMath.log(h(i).toDouble)
+            i += 1
+          }
+          val ent = math.floor(
+            (StrictMath.log(n.toDouble) - s / n.toDouble) * 1000000.0).toLong
+          Row(r.getLong(idIdx), n, levels, ent, ent < lowInfoMicro)
+        }.iterator
+      }
+    }(enc)
+  }
+
   /** Shot/scene-boundary detection over sampled video frames — the
     * curation signal that segments a video corpus into shots before
     * per-shot sampling/captioning (and the cheap dedup unit: one frame per

@@ -40,6 +40,7 @@ object PipelineQueries {
     "m11_image_keeplist" -> ((s, d) => imageKeepList(s, d)),
     "m6_audio_activity" -> ((s, d) => audioActivity(s, d)),
     "m12_loudness" -> ((s, d) => loudnessQ(s, d)),
+    "m13_image_entropy" -> ((s, d) => imageEntropyQ(s, d)),
     "m7_multimodal_curation" -> ((s, d) => multimodalCuration(s, d)),
     "m8_scene_cuts" -> ((s, d) => sceneCutsQ(s, d)),
     "m9_scene_cuts_dense" -> ((s, d) => sceneCutsDense(s, d)),
@@ -739,6 +740,48 @@ object PipelineQueries {
       .clipLoudness(withBytes, "doc_id", "bytes", targetRms = 12000L)
       .orderBy("id")
   }
+
+  /** [[graft.operators.Multimodal.imageEntropy]] over REAL 16×16 PNGs
+    * whose gray levels follow the named rule luma(x,y) = ((x + 16y +
+    * id) % L)·(256/L) with L ∈ {1, 4, 16, 256} by id%4 — L divides 256,
+    * so every level appears exactly 256/L times and the histogram (and
+    * therefore the entire ln fold) is ANALYTIC: entropy = ln(L) nats
+    * exactly, spanning flat-fill 0 through two-tone-ish 1.39 (both
+    * low_info) to 2.77 and the full-range 5.55 (both pass) — every
+    * verdict path populated across the ladder, the real decode + ITU-R
+    * luma on the Spark side, the m6/m12 fixture-is-the-specification
+    * oracle convention underneath (incl. the %11 junk plants). */
+  def imageEntropyQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id")).as[Long]
+    val imgs = docs.map(id => (id, levelsPng(id))).toDF("doc_id", "bytes")
+    graft.operators.Multimodal.imageEntropy(imgs, "doc_id", "bytes")
+      .orderBy("id")
+  }
+
+  /** The m13 fixture: real PNG, gray pixels on the L-level rule. */
+  private def levelsPng(id: Long): Array[Byte] =
+    if (id % 11 == 0) s"junk-not-an-image-$id".getBytes("UTF-8")
+    else {
+      val levels = Seq(1, 4, 16, 256)((id % 4).toInt)
+      val step = 256 / levels
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 16) {
+        var x = 0
+        while (x < 16) {
+          val v = (((x + 16 * y + id) % levels) * step).toInt
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
 
   /** The m12 fixture: squareWav's container with the hot amplitude rule
     * (and the same %11 junk plants format-gated out). */
@@ -1450,6 +1493,24 @@ object PipelineQueries {
         |SELECT doc_id AS id, win::BIGINT AS win, amp::BIGINT AS mean_abs,
         |  amp < 100 AS is_silence
         |FROM m ORDER BY id, win""".stripMargin,
+    // analytic histogram (L divides 256: each level appears 256/L times);
+    // the c·ln(c) fold replayed as a list_sum over the L equal terms IN
+    // ORDER (repeated addition, never a multiply — float sums of equal
+    // terms still round step by step), then the stated H chain
+    "m13_image_entropy" ->
+      """WITH d AS (SELECT doc_id,
+        |    (CASE (doc_id % 4) WHEN 0 THEN 1 WHEN 1 THEN 4
+        |          WHEN 2 THEN 16 ELSE 256 END)::BIGINT AS lv
+        |  FROM documents WHERE doc_id < 200 AND doc_id % 11 <> 0),
+        |e AS (SELECT doc_id, lv,
+        |    floor((ln(256.0) -
+        |      list_sum(list_transform(range(lv), i ->
+        |        ((256 // lv)::DOUBLE) * ln((256 // lv)::DOUBLE))) / 256.0)
+        |      * 1000000)::BIGINT AS entropy_micro
+        |  FROM d)
+        |SELECT doc_id AS id, 256::BIGINT AS n_pixels, lv AS n_levels,
+        |  entropy_micro, entropy_micro < 2000000 AS low_info
+        |FROM e ORDER BY id""".stripMargin,
     // analytic replay of the hot-amplitude wave rule: active seconds,
     // exact sum-of-squares, integer-div-then-IEEE-sqrt RMS, the clip
     // tier at >= 32735, the capped normalizer gain, verdict precedence

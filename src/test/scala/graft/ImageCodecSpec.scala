@@ -162,4 +162,41 @@ class ImageCodecSpec extends AnyFunSuite {
       (2L, 64, 64, false, true),
       (3L, -1, -1, false, false)))
   }
+
+  test("imageEntropy: two-tone reads exactly ln 2; flat fill reads 0 and " +
+    "low_info; junk drops; the float chain replays independently") {
+    import spark.implicits._
+    def gray(vs: Seq[Int], w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var i = 0
+      while (i < w * h) {
+        val v = vs(i % vs.size)
+        img.setRGB(i % w, i / w, (v << 16) | (v << 8) | v); i += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, gray(Seq(0, 200), 8, 8)),   // 32/32 two-tone: H = ln 2
+      (2L, gray(Seq(77), 8, 8)),       // flat: H = 0
+      (3L, "junk".getBytes("UTF-8"))
+    ).toDF("id", "bytes")
+    val out = graft.operators.Multimodal
+      .imageEntropy(rows, "id", "bytes")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1L, 2L), "junk contributes no rows")
+    // independent replay of the stated chain: two equal 32·ln32 terms
+    val s = { val t = 32.0 * StrictMath.log(32.0); t + t }
+    val expect = math.floor(
+      (StrictMath.log(64.0) - s / 64.0) * 1e6).toLong
+    assert(out(1L) == ((1L, 64L, 2L, expect, true)) && expect == 693147L,
+      "two-tone: exactly ln 2 nats, under the 2.0 threshold")
+    assert(out(2L) == ((2L, 64L, 1L, 0L, true)), "flat fill: zero entropy")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Multimodal.imageEntropy(rows, "id", "bytes",
+        lowInfoMicro = -1L)
+    }
+    assert(e.getMessage.contains("lowInfoMicro >= 0"))
+  }
 }
