@@ -59,6 +59,21 @@ def main():
             continue
         try:
             oracle_rel = con.sql(oracles[name])
+            # int128-class output ban (r14's e24/e27/gr8: HUGEINT/wide-
+            # decimal columns canonicalize differently across the driver's
+            # engines, so a CORRECT answer fails the hash) — the DuckDB
+            # mirror of Verify.assertDriverSafe's DecimalType(>18) wall
+            wide = [(c, t) for c, t in zip(oracle_rel.columns,
+                                           map(str, oracle_rel.types))
+                    if t in ("HUGEINT", "UHUGEINT")
+                    or (t.startswith("DECIMAL(")
+                        and int(t.split("(")[1].split(",")[0]) > 18)]
+            if wide:
+                print(f"FAIL {name}: int128-class oracle output columns "
+                      f"{wide} - cast to BIGINT (bounded), a ratio, or "
+                      f"VARCHAR on BOTH sides")
+                n_fail += 1
+                continue
             ocols = sorted(oracle_rel.columns)
             orows = canon(con.sql(
                 f"SELECT {', '.join(ocols)} FROM oracle_rel").fetchall())

@@ -11,7 +11,17 @@ object Verify {
     * therefore be scalar-only at the top level — a kernel that naturally
     * emits an array registers its unnested (id, pos, value) shape
     * instead (what v18 now does). Maps/structs hit the same wall, so
-    * they are banned alongside. */
+    * they are banned alongside.
+    *
+    * Wide decimals are the round-14 extension of the same wall: the
+    * driver canonicalizes int128-class values (decimal(38,0) on the
+    * Spark side, HUGEINT on DuckDB's) differently from their exact
+    * decimal string, so a query emitting one passes rows+schema and
+    * fails the hash with a correct answer (r14's e24/e27/gr8). Exact
+    * wide-decimal arithmetic stays INSIDE operators; outputs cross this
+    * wall as int64 ([[graft.operators.Guards.loudInt64]]), a bounded
+    * ratio, or an explicit string. scripts/check.py enforces the mirror
+    * ban on every oracle's DuckDB output types. */
   def assertDriverSafe(name: String,
                        schema: org.apache.spark.sql.types.StructType): Unit =
     schema.fields.foreach { f =>
@@ -24,6 +34,14 @@ object Verify {
               s"${f.dataType.simpleString}: the driver's pandas " +
               "canonicalizer cannot sort non-scalar cells - register an " +
               "unnested scalar shape (e.g. posexplode to (id, pos, value))")
+        case d: org.apache.spark.sql.types.DecimalType if d.precision > 18 =>
+          throw new IllegalStateException(
+            s"registered query $name column '${f.name}' is " +
+              s"${f.dataType.simpleString}: int128-class values " +
+              "canonicalize differently across the driver's engines " +
+              "(r14's e24/e27/gr8 hash-reds) - keep wide-decimal " +
+              "arithmetic internal and emit int64 (Guards.loudInt64), " +
+              "a bounded ratio, or an explicit string")
         case _ => ()
       }
     }

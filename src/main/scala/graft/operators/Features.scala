@@ -446,7 +446,12 @@ object Features {
     * floored integer division, clamped at the F_s floor. A key whose
     * deseasonalized series is constant (var_sr = 0) reads honest NULL.
     * `seasonal` = strength ≥ 640000 (the tsfeatures-lineage 0.64
-    * convention for "strongly seasonal").
+    * convention for "strongly seasonal"). The raw numerators are NOT
+    * emitted (they reach ~10²¹ — int128-class values the cross-engine
+    * canonicalizers disagree on, the r14 driver-gate lesson); the
+    * unclamped diagnostic is `var_ratio_ppm` = ⌊var_r·10⁶/var_sr⌋, a
+    * bounded exact integer that still resolves how anti-seasonal a
+    * clamped-to-0 series is.
     *
     * 100 TB shape: ONE map-side-combined per-key moment aggregate over
     * the decomposition's (keys × days)-bounded output — nothing
@@ -467,12 +472,27 @@ object Features {
           - col("s_r") * col("s_r")).as("var_r_num"),
         (expr("cast(n as decimal(38,0))") * col("s_srsr")
           - col("s_sr") * col("s_sr")).as("var_sr_num"))
+      // the n²-scaled numerators reach ~10²¹ at gate scale — int128-class
+      // values that canonicalize differently across engines (the r14
+      // driver-gate lesson), so they stay INTERNAL; the emitted diagnostic
+      // is the bounded exact ratio ⌊var_r·10⁶/var_sr⌋ (the residual share
+      // of the deseasonalized variance — 10⁶−strength before the clamp,
+      // and it keeps resolving HOW anti-seasonal a series is after
+      // strength clamps at 0). Loud on the astronomically-skewed case
+      // instead of Spark's silent null-on-overflow.
+      .withColumn("var_ratio_ppm",
+        when(col("var_sr_num") > 0, coalesce(
+          expr("(var_r_num * 1000000) div var_sr_num"),
+          raise_error(concat(
+            lit("seasonalStrength: var_ratio_ppm exceeds int64 for key "),
+            col(keyCol).cast("string"))).cast("long"))))
       .withColumn("strength_ppm",
         when(col("var_sr_num") > 0, greatest(lit(0L),
           expr("((var_sr_num - var_r_num) * 1000000) div var_sr_num"))))
       .withColumn("seasonal",
         when(col("strength_ppm").isNotNull,
           col("strength_ppm") >= 640000L))
+      .drop("var_r_num", "var_sr_num")
   }
 
   /** Benford first-digit expected shares, ⌊log10(1+1/d)·10⁶⌋ for

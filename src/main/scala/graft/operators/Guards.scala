@@ -29,6 +29,23 @@ object Guards {
           "floor(value*1e6); a silent cast('long') would truncate)")
     }
 
+  /** Exact wide-decimal value → int64, loudly (the r14 e24/e27/gr8
+    * lesson): registry outputs must be int64-class — engines stringify
+    * int128/decimal(38,0) differently, so an uncast wide column passes
+    * rows+schema and fails the driver's hash. An operator that computes
+    * in decimal(38,0) for exactness emits through this guard — in range
+    * it is a plain cast; out of range it RAISES with the value in the
+    * message instead of Spark's silent non-ANSI null-on-overflow. */
+  def loudInt64(c: org.apache.spark.sql.Column, op: String,
+                what: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    when(abs(c) <= lit(new java.math.BigDecimal(Long.MaxValue)),
+      c.cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"$op: $what exceeds int64 (widen the fixed-point scale or "
+          + "emit a bounded ratio instead): "), c.cast("string"))))
+  }
+
   /** The column must be a string — operators that md5/concat a key or
     * propagate it as a label would otherwise depend on each engine's
     * number→string formatting (1 vs 1.0), a silent cross-engine drift. */

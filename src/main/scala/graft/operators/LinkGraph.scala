@@ -665,7 +665,11 @@ object LinkGraph {
     * sqrts, one division, ⌊·10⁶⌋ — the t68 OLS discipline: identical
     * IEEE ops in a stated order replay bit-for-bit). A degree-regular
     * graph (variance 0) reads honest NULL. Output one row: node/edge
-    * counts, the exact moment sums, `assort_fpm`.
+    * counts, the exact moment sums, `assort_fpm`. The moment sums are
+    * emitted as int64 behind [[Guards.loudInt64]] — internal arithmetic
+    * stays decimal(38,0), but int128-class OUTPUT columns canonicalize
+    * differently across engines (the r14 driver-gate lesson), so out of
+    * int64 range the operator raises instead of emitting a wide column.
     *
     * 100 TB shape: one map-side-combined degree groupBy, one edges-
     * sized equi-join of degrees onto both endpoints, ONE one-row
@@ -693,9 +697,17 @@ object LinkGraph {
       (expr("cast(m2 as decimal(38,0))") * col("sxx") - col("sx") * col("sx"))
         .as("var_num"))
       .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
-      // the moment numerators stay decimal(38,0): at 10¹⁰ edges they
-      // pass a long by eight orders (the q6 err_ppm lesson)
-      .select(col("n_nodes"), col("n_edges"), col("cov_num"), col("var_num"),
+      // the moment numerators are exact decimal(38,0) INTERNALLY, but the
+      // emitted columns are int64 behind a loud overflow guard: the r14
+      // driver gate proved int128-class output columns canonicalize
+      // differently across engines (the e24/e27/gr8 hash-red class), so
+      // the output contract is BIGINT-or-raise — at 10¹⁰ edges the guard
+      // fires instead of silently nulling (the q6 err_ppm lesson, loud)
+      .select(col("n_nodes"), col("n_edges"),
+        Guards.loudInt64(col("cov_num"), "assortativity", "cov_num")
+          .as("cov_num"),
+        Guards.loudInt64(col("var_num"), "assortativity", "var_num")
+          .as("var_num"),
         when(col("var_num") > 0, floor(
           col("cov_num").cast("double") /
             (sqrt(col("var_num").cast("double")) *

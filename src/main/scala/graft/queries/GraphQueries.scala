@@ -506,7 +506,10 @@ object GraphQueries {
 
   /** Exact HUGEINT moment sums over both edge orientations, then the
     * stated double line: two correctly-rounded sqrts, one division,
-    * ⌊·10⁶⌋. */
+    * ⌊·10⁶⌋. The numerators are emitted ::BIGINT — the int64 output
+    * contract (r14: uncast HUGEINT columns hash-diverge in the driver's
+    * canonicalizer); DuckDB's cast raises loudly on overflow, matching
+    * the Spark side's [[graft.operators.Guards.loudInt64]]. */
   private val assortativityOracle: String =
     s"""WITH $triangleBaseSql,
        |xy AS (SELECT dx.deg AS x, dy.deg AS y
@@ -516,8 +519,8 @@ object GraphQueries {
        |    sum(x::HUGEINT * y)::HUGEINT AS sxy FROM xy),
        |nn AS (SELECT count(*)::BIGINT AS n_nodes FROM deg)
        |SELECT nn.n_nodes, (mom.m2 // 2)::BIGINT AS n_edges,
-       |  (mom.m2 * mom.sxy - mom.sx * mom.sx) AS cov_num,
-       |  (mom.m2 * mom.sxx - mom.sx * mom.sx) AS var_num,
+       |  (mom.m2 * mom.sxy - mom.sx * mom.sx)::BIGINT AS cov_num,
+       |  (mom.m2 * mom.sxx - mom.sx * mom.sx)::BIGINT AS var_num,
        |  (CASE WHEN (mom.m2 * mom.sxx - mom.sx * mom.sx) > 0 THEN
        |     floor((mom.m2 * mom.sxy - mom.sx * mom.sx)::DOUBLE /
        |       (sqrt((mom.m2 * mom.sxx - mom.sx * mom.sx)::DOUBLE) *

@@ -734,7 +734,10 @@ object TemporalQueries {
          |    (count(*)::HUGEINT * sum(srv::HUGEINT * srv) - sum(srv)::HUGEINT * sum(srv)::HUGEINT)
          |      AS var_sr_num
          |  FROM comp GROUP BY event_type)
-         |SELECT event_type, n, var_r_num, var_sr_num,
+         |SELECT event_type, n,
+         |  (CASE WHEN var_sr_num > 0 THEN
+         |     (var_r_num * 1000000) // var_sr_num
+         |   END)::BIGINT AS var_ratio_ppm,
          |  (CASE WHEN var_sr_num > 0 THEN
          |     greatest(0, ((var_sr_num - var_r_num) * 1000000) // var_sr_num)
          |   END)::BIGINT AS strength_ppm,
@@ -836,7 +839,8 @@ object TemporalQueries {
          |       GROUP BY f.metric, o.n_items, o.obs_sum),
          |mm AS (SELECT count(*)::BIGINT AS m FROM pv),
          |rk AS (SELECT *, row_number() OVER (ORDER BY p_ppm, metric) AS rank FROM pv)
-         |SELECT metric, n_items, obs_sum, p_ppm, rank::BIGINT AS rank,
+         |SELECT metric, n_items, obs_sum, p_ppm::BIGINT AS p_ppm,
+         |  rank::BIGINT AS rank,
          |  (SELECT m FROM mm) AS m,
          |  (rank * 50000) // (SELECT m FROM mm) AS crit_ppm,
          |  (max(CASE WHEN p_ppm * (SELECT m FROM mm) <= rank * 50000

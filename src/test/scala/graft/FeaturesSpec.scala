@@ -337,23 +337,26 @@ class FeaturesSpec extends AnyFunSuite {
     def decomp(rows: Seq[(String, Option[Long], Long, Long)]) =
       rows.toDF("k", "trend_milli", "seasonal_milli", "resid_milli")
     // S=[1,−1], R=[5,−5]: var_sr_num = 2·72 = 144, var_r_num = 2·50 = 100
-    // → floor(44e6/144) = 305555
+    // → strength floor(44e6/144) = 305555, ratio floor(100e6/144) = 694444
     val out = graft.operators.Features.seasonalStrength(decomp(Seq(
       ("a", Some(1L), 1L, 5L), ("a", Some(1L), -1L, -5L),
-      // S=[1,−1], R=[−2,2]: sr=[−1,1] — var_r > var_sr, clamps to 0
+      // S=[1,−1], R=[−2,2]: sr=[−1,1] — var_r_num=16, var_sr_num=4:
+      // strength clamps to 0 while the UNCLAMPED ratio reads 4e6 (how
+      // anti-seasonal the clamp hid)
       ("b", Some(1L), 1L, -2L), ("b", Some(1L), -1L, 2L),
       // constant sr: var_sr = 0 → NULL
       ("c", Some(1L), 3L, -3L), ("c", Some(1L), 3L, -3L),
       // d: only NULL-trend rows → excluded entirely, no output row
       ("d", None, 9L, 9L))), "k")
-      .as[(String, Long, BigDecimal, BigDecimal, Option[Long], Option[Boolean])]
+      .as[(String, Long, Option[Long], Option[Long], Option[Boolean])]
       .collect().map(r => r._1 -> r).toMap
     assert(out.keySet == Set("a", "b", "c"), "edge-only keys drop")
-    assert(out("a") == (("a", 2L, BigDecimal(100), BigDecimal(144),
+    assert(out("a") == (("a", 2L, Some(694444L),
       Some(305555L), Some(false))))
-    assert(out("b")._5.contains(0L) && out("b")._6.contains(false),
-      "anti-correlated residual clamps at the F_s floor")
-    assert(out("c")._5.isEmpty && out("c")._6.isEmpty,
+    assert(out("b")._3.contains(4000000L) && out("b")._4.contains(0L) &&
+      out("b")._5.contains(false),
+      "anti-correlated residual clamps at the F_s floor; ratio unclamped")
+    assert(out("c")._3.isEmpty && out("c")._4.isEmpty && out("c")._5.isEmpty,
       "zero deseasonalized variance: honest NULL")
     // a perfect weekly signal through the REAL decomposition: residuals
     // vanish, strength reads exactly 1e6
@@ -364,9 +367,10 @@ class FeaturesSpec extends AnyFunSuite {
     }.toDF("k", "ts", "v")
     val full = graft.operators.Features.seasonalStrength(
       graft.operators.Features.seasonalDecompose(days, "k", "ts", "v", 7),
-      "k").as[(String, Long, BigDecimal, BigDecimal, Option[Long],
-        Option[Boolean])].collect().head
-    assert(full._5.contains(1000000L) && full._6.contains(true),
+      "k").as[(String, Long, Option[Long], Option[Long], Option[Boolean])]
+      .collect().head
+    assert(full._3.contains(0L) && full._4.contains(1000000L) &&
+      full._5.contains(true),
       "exact weekly signal: zero residual, strength exactly 1")
   }
 

@@ -362,7 +362,7 @@ class LinkGraphSpec extends AnyFunSuite {
     def run(edges: Seq[(String, String)]) =
       graft.operators.LinkGraph
         .assortativity(edges.toDF("s", "t"), "s", "t")
-        .as[(Long, Long, BigDecimal, BigDecimal, Option[Long])]
+        .as[(Long, Long, Long, Long, Option[Long])]
         .collect().head
     val star = run(Seq(("h", "a"), ("h", "b"), ("h", "c")))
     assert(star._1 == 4L && star._2 == 3L &&
@@ -372,7 +372,8 @@ class LinkGraphSpec extends AnyFunSuite {
     // triangle abc + pendant d on b: M=8, Σx=18, Σxx=44, Σxy=38 →
     // cov = −20, var = 28, r = −5/7 → floor(−714285.71…) = −714286
     val tp = run(Seq(("a", "b"), ("a", "c"), ("b", "c"), ("b", "d")))
-    assert(tp._3 == BigDecimal(-20) && tp._4 == BigDecimal(28))
+    assert(tp._3 == -20L && tp._4 == 28L,
+      "numerators emit as int64 (the loudInt64 output contract)")
     assert(tp._5.contains(
       math.floor(-20.0 / (math.sqrt(28.0) * math.sqrt(28.0)) * 1e6).toLong),
       "the stated IEEE chain, replayed independently")

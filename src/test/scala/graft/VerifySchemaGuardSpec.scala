@@ -27,6 +27,23 @@ class VerifySchemaGuardSpec extends AnyFunSuite {
       StructField("t", TimestampType), StructField("f", BooleanType))))
   }
 
+  test("wide decimals are rejected; int64-safe decimals pass (r14's " +
+    "e24/e27/gr8 canonicalization wall)") {
+    // precision <= 18 fits the driver's int64 fast path - allowed
+    Verify.assertDriverSafe("ok_narrow", StructType(Seq(
+      StructField("x", DecimalType(18, 0)), StructField("y", DecimalType(10, 2)))))
+    for (dt <- Seq(DecimalType(38, 0), DecimalType(19, 0), DecimalType(38, 6))) {
+      val e = intercept[IllegalStateException] {
+        Verify.assertDriverSafe("wide_query", StructType(Seq(
+          StructField("id", LongType), StructField("moment", dt))))
+      }
+      assert(e.getMessage.contains("wide_query") &&
+        e.getMessage.contains("moment") &&
+        e.getMessage.contains("int128"),
+        s"error must name the query, column, and class: ${e.getMessage}")
+    }
+  }
+
   test("array, map, and struct top-level columns are rejected by name") {
     for (dt <- Seq(ArrayType(LongType), MapType(StringType, LongType),
                    StructType(Seq(StructField("x", LongType))))) {
