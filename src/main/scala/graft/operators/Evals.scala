@@ -858,10 +858,14 @@ object Evals {
     * own verdict (the test is undefined — the systems never disagreed).
     * `verdict` ∈ {a_better, b_better, no_significant_difference,
     * no_discordance} — direction from the discordant majority, claimed
-    * only past the critical value.
+    * only past the critical value. `idCol` is the PAIRING KEY and its
+    * uniqueness is asserted loudly: a duplicated item id counts one
+    * item's disagreement twice, silently inflating the discordance the
+    * whole test rests on (dedupe or aggregate per item upstream).
     *
     * 100 TB shape: ONE map-side-combined aggregate over the pair
-    * stream; nothing else exists. */
+    * stream (the distinct-id integrity check rides the same aggregate
+    * as a count(distinct) expand); nothing else exists. */
   def mcnemar(outcomes: DataFrame, idCol: String, aCol: String,
               bCol: String): DataFrame = {
     Guards.requireIntegral(outcomes, aCol, "mcnemar")
@@ -872,11 +876,21 @@ object Evals {
           lit(s"mcnemar: $c must be 0/1, got "), col(c).cast("string")))
           .cast("long"))
     val agg = outcomes.agg(
-      count(lit(1)).as("n"),
+      count(lit(1)).as("__n_rows"),
+      countDistinct(col(idCol)).as("__n_ids"),
       sum(bit(aCol) * bit(bCol)).as("both_right"),
       sum((lit(1L) - bit(aCol)) * (lit(1L) - bit(bCol))).as("both_wrong"),
       sum(bit(aCol) * (lit(1L) - bit(bCol))).as("a_only"),
       sum((lit(1L) - bit(aCol)) * bit(bCol)).as("b_only"))
+      .withColumn("n",
+        when(col("__n_rows") === col("__n_ids"), col("__n_rows"))
+          .otherwise(raise_error(concat(
+            lit(s"mcnemar: duplicate '$idCol' values ("),
+            col("__n_rows").cast("string"), lit(" rows, "),
+            col("__n_ids").cast("string"),
+            lit(" distinct ids) - each item must be paired exactly " +
+              "once; dedupe or aggregate per item upstream")))
+            .cast("long")))
     agg.select(col("n"), col("both_right"), col("both_wrong"),
         col("a_only"), col("b_only"),
         when(col("a_only") + col("b_only") > 0, expr(

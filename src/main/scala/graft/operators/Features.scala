@@ -615,6 +615,11 @@ object Features {
     val joined = cells(ref, "a").join(cells(cur, "b"), Seq("cat"), "full_outer")
       .select(col("cat"), coalesce(col("a"), lit(0L)).as("a"),
         coalesce(col("b"), lit(0L)).as("b"))
+      // cells-bounded, three downstream consumers (tot's agg, the terms
+      // fold, and tot again via the final crossJoin): checkpoint so each
+      // window's corpus-sized groupBy runs ONCE (the benfordReport
+      // two-consumer discipline; without it the scan re-executes ~3x)
+      .localCheckpoint()
     val tot = joined.agg(sum("a").as("__rt"), sum("b").as("__ct"),
       sum(when(col("a") > 0, 1L).otherwise(0L)).as("__kref"),
       sum(when(col("a") === 0L, 1L).otherwise(0L)).as("__knew"),

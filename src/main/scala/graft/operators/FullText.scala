@@ -651,8 +651,19 @@ object FullText {
         lit(0.0), (a, x) => a + x.getField("w")).as("s"),
         count(lit(1)).as("n_terms"))
       .crossJoin(broadcast(qNorm))
+      // norm_q = 0 with scored rows present means EVERY query term
+      // appears in every document (all ltc idf weights ln(N/df) = 0):
+      // the ratio would be 0/0 = NaN, which Spark's floor→long silently
+      // zeroes while DuckDB errors — a silent-zero ranking and an
+      // engine/oracle divergence. Raise loudly instead (the qlDirichlet
+      // convention). norm_d needs no guard: a scored doc has ≥ 1 matched
+      // token, so its lnc fold is ≥ 1.
       .select(col("doc_id"), col("n_terms"),
-        floor((col("s") / (col("norm_d") * col("norm_q"))) * lit(1000000.0))
+        floor((col("s") / (col("norm_d") *
+          when(col("norm_q") > 0, col("norm_q")).otherwise(raise_error(
+            lit("tfidfVsm: query norm is 0 - every query term appears " +
+              "in every document, ltc weights cannot rank; drop " +
+              "stopword-like terms"))))) * lit(1000000.0))
           .cast("long").as("score_fp"))
       .orderBy(col("score_fp").desc, col("doc_id").asc)
       .limit(k)

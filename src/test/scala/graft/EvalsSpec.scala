@@ -533,6 +533,14 @@ class EvalsSpec extends AnyFunSuite {
         Seq((1L, 2L, 1L)).toDF("id", "a", "b"), "id", "a", "b").collect()
     }
     assert(bad.getMessage.contains("must be 0/1"))
+    // the pairing key is asserted unique: a duplicated item would count
+    // one disagreement twice and silently inflate the discordance
+    val dup = intercept[Exception] {
+      graft.operators.Evals.mcnemar(
+        Seq((1L, 1L, 0L), (1L, 1L, 0L), (2L, 0L, 1L))
+          .toDF("id", "a", "b"), "id", "a", "b").collect()
+    }
+    assert(dup.getMessage.contains("duplicate 'id'"))
   }
 
   test("krippendorffAlpha: hand-computed ragged fixture; single-rating " +
