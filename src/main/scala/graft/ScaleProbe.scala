@@ -135,7 +135,8 @@ object ScaleProbe {
         "e25_acf", "u8_compaction_plan", "ev16_krippendorff",
         "m12_loudness", "gr8_assortativity", "ev17_mcnemar", "e26_benford",
         "gr9_seed_distance", "k9_elbow",
-        "gr10_reciprocity", "e27_seasonal_strength", "m13_image_entropy")
+        "gr10_reciprocity", "e27_seasonal_strength", "m13_image_entropy",
+        "ev18_mann_whitney", "e28_holt_winters")
       // optional second arg: probe only the named queries (comma-separated) —
       // re-measuring one changed operator shouldn't cost the full heavy tail.
       // Unknown names fail loudly: a typo silently probing nothing (and still

@@ -49,4 +49,23 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** In-band negative-control corpus tag (the v23 fixture-version
+    * convention, generalized — r14 verdict ask #4): a one-row, one-column
+    * frame `fixture: BIGINT` = Σ over documents of a 24-bit md5 hash of
+    * `doc_id:text`. `documents` keeps its row COUNT across the small
+    * scale factors but its TEXT is regenerated per sf, so queries that
+    * synthesize their inputs from doc_ids/fixed rules alone — and would
+    * otherwise compute identical output on the wrong-sf control data —
+    * crossJoin(broadcast(this)) into their output; the wrong-sf check
+    * then flips red AT THE TAG COLUMN, naming data-mismatch as the
+    * cause. Order-independent exact-integer arithmetic (sum of bounded
+    * longs: ≤ 2²⁴·|docs|, int64-safe past 10¹² docs), so partitioning
+    * cannot move it. The oracle twin is [[graft.queries.OracleTag.sql]]. */
+  def corpusTag(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    documents(spark, dir).agg(
+      sum(conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+        col("text"))), 1, 6), 16, 10).cast("long")).as("fixture"))
+  }
 }

@@ -142,7 +142,13 @@ object Verify {
     // k9: four full Lloyd fits + oracle replays at 10x vectors
     "k9_elbow",
     // gr10: 10x edge self-join; e27: the full e23 chain at 10x events
-    "gr10_reciprocity", "e27_seasonal_strength")
+    "gr10_reciprocity", "e27_seasonal_strength",
+    // ev18: (pair, value) cell table and tie spectrum grow with the 10x
+    // event stream; the z float line rides 10x-magnitude exact integers
+    "ev18_mann_whitney",
+    // e28: the daily rollup is corpus-sized and the 10x stream widens the
+    // recursion's value magnitudes through every truncating division
+    "e28_holt_winters")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rest @ _*) = args

@@ -272,4 +272,109 @@ object GenEvalExpressions {
   }
 
   def lnc_norm_sq(toks: Column): Column = toCol(LncNormSq(toExpr(toks)))
+
+  /** Key-ordered IEEE double summation over a collected
+    * array<struct<k, p: double>> — the static kernel behind
+    * [[ordered_sum]], replacing the repo's most common interpreted-HOF
+    * shape `aggregate(sort_array(collect_list(struct(k, p))), 0.0,
+    * (a, x) => a + x.p)` (the n15 lesson, generalized: HOF lambdas
+    * evaluate interpreted with per-element boxing; this is one compiled
+    * JVM pass per row). The sort mirrors sort_array's struct ordering
+    * exactly — lexicographic (k, then p), with java.lang compare
+    * semantics for doubles — so the summation ORDER, and therefore the
+    * bit pattern the oracles replay via `list_sum(... ORDER BY k)`, is
+    * unchanged. Any null element or null field returns null, matching
+    * the HOF's null-propagating fold. keyKind: 0 = long-backed (long/
+    * int/short/byte), 1 = string, 2 = double. */
+  def orderedSum(arr: ArrayData, keyKind: Int): java.lang.Double = {
+    val n = arr.numElements()
+    if (n == 0) return java.lang.Double.valueOf(0.0)
+    val ks = new Array[Any](n)
+    val ps = new Array[Double](n)
+    val idx = new Array[Integer](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val row = arr.getStruct(i, 2)
+      if (row.isNullAt(0) || row.isNullAt(1)) return null
+      ks(i) = keyKind match {
+        case 0 => row.getLong(0)
+        case 1 => row.getUTF8String(0)
+        case _ => row.getDouble(0)
+      }
+      ps(i) = row.getDouble(1)
+      idx(i) = Integer.valueOf(i)
+      i += 1
+    }
+    java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
+      override def compare(a: Integer, b: Integer): Int = {
+        val c = keyKind match {
+          case 0 => java.lang.Long.compare(ks(a).asInstanceOf[Long],
+            ks(b).asInstanceOf[Long])
+          case 1 => ks(a).asInstanceOf[UTF8String]
+            .compareTo(ks(b).asInstanceOf[UTF8String])
+          case _ => java.lang.Double.compare(ks(a).asInstanceOf[Double],
+            ks(b).asInstanceOf[Double])
+        }
+        if (c != 0) c else java.lang.Double.compare(ps(a), ps(b))
+      }
+    })
+    var s = 0.0
+    var j = 0
+    while (j < n) { s += ps(idx(j)); j += 1 }
+    java.lang.Double.valueOf(s)
+  }
+
+  case class OrderedSum(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    private lazy val keyKind: Int = child.dataType match {
+      case ArrayType(StructType(fields), _) => fields(0).dataType match {
+        case LongType | IntegerType | ShortType | ByteType => 0
+        case StringType => 1
+        case DoubleType => 2
+        case other => throw new IllegalArgumentException(
+          s"ordered_sum: unsupported key type ${other.simpleString}")
+      }
+      case other => throw new IllegalArgumentException(
+        s"ordered_sum needs array<struct<k, p: double>>, got " +
+          other.simpleString)
+    }
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StructType(fields), _)
+          if fields.length == 2 && fields(1).dataType == DoubleType &&
+            (fields(0).dataType match {
+              case LongType | IntegerType | ShortType | ByteType |
+                   StringType | DoubleType => true
+              case _ => false
+            }) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"ordered_sum needs array<struct<orderableKey, double>>, " +
+              s"got ${other.simpleString}")
+      }
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "ordered_sum"
+    override def nullSafeEval(a: Any): Any =
+      orderedSum(a.asInstanceOf[ArrayData], keyKind)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val resultTerm = ctx.freshName("orderedSum")
+      nullSafeCodeGen(ctx, ev, a => s"""
+        java.lang.Double $resultTerm =
+          graft.functions.GenEvalExpressions.orderedSum($a, $keyKind);
+        if ($resultTerm == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $resultTerm.doubleValue(); }
+        """)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** Σ p over the array's structs in (k, p)-ascending order — a drop-in
+    * for `aggregate(sort_array(collect_list(struct(k, p))), 0.0,
+    * (a, x) => a + x.p)` with identical ordering and IEEE adds. */
+  def ordered_sum(pairs: Column): Column = toCol(OrderedSum(toExpr(pairs)))
 }

@@ -125,10 +125,9 @@ object Clustering {
         .select(col("cluster_id"), col(idCol).as("__mid"), posexplode(col(vecCol)))
         .groupBy("cluster_id", "pos")
         .agg(
-          aggregate(
-            sort_array(collect_list(struct(col("__mid").as("k"),
-              col("col").cast("double").as("v")))),
-            lit(0.0), (acc, x) => acc + x.getField("v")).as("s"),
+          graft.functions.GenEvalExpressions.ordered_sum(
+            collect_list(struct(col("__mid").as("k"),
+              col("col").cast("double").as("v")))).as("s"),
           count(lit(1)).as("c"))
         .collect()
       step.destroy() // the action is done; this iteration's codebook block is dead

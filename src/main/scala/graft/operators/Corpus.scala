@@ -772,8 +772,13 @@ object Corpus {
     * caller's 4-dp rounding; t30's oracle mirrors with
     * `list_sum(list(lnp ORDER BY pos))`). */
   def lmCrossEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // ONE tokenize pass (the n14 lineage discipline): toks has THREE
+    // consumers (unigram counts, the bigram stream, the doc-roster join)
+    // and the bigram stream itself fans out to counts + scoring — without
+    // the stage cut the tokenizer re-runs 4x per call
     val toks = graft.Tables.scaled(df.select(col(idCol).cast("long").as("id"),
       graft.functions.text.tokens(col(textCol)).as("tk")))
+      .localCheckpoint()
     val uni = toks.select(explode(col("tk")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
     val vocab = uni.agg(count(lit(1)).as("v"))
@@ -791,9 +796,9 @@ object Corpus {
       .withColumn("lnp", log((col("c12") + lit(1.0)) / (col("c1") + col("v"))))
     val agg = scored.groupBy("id").agg(
       count(lit(1)).as("n_bigrams"),
-      aggregate(
-        sort_array(collect_list(struct(col("pos").as("k"), col("lnp").as("p")))),
-        lit(0.0), (acc, x) => acc + x.getField("p")).as("s"))
+      graft.functions.GenEvalExpressions.ordered_sum(
+        collect_list(struct(col("pos").as("k"), col("lnp").as("p"))))
+        .as("s"))
     toks.join(agg, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
@@ -829,8 +834,13 @@ object Corpus {
                     discount: Double = 0.75): DataFrame = {
     require(discount > 0 && discount < 1,
       s"kneserNeyXent needs discount in (0,1) (got $discount)")
+    // ONE tokenize pass (the n14 lineage discipline): the bigram stream
+    // fans out to the count tables AND the scoring join, and the doc
+    // roster reads toks again — without the stage cut the tokenizer
+    // re-runs 3x per call (the r14 t51 bench regression's fixed cost)
     val toks = graft.Tables.scaled(df.select(col(idCol).cast("long").as("id"),
       graft.functions.text.tokens(col(textCol)).as("tk")))
+      .localCheckpoint()
     val bg = toks.filter(size(col("tk")) >= 2)
       .select(col("id"), explode(transform(
         sequence(lit(0), size(col("tk")) - 2),
@@ -855,9 +865,9 @@ object Corpus {
           (d * col("n1fw") / col("c1")) * (col("n1bw") / col("bt"))))
     val agg = scored.groupBy("id").agg(
       count(lit(1)).as("n_bigrams"),
-      aggregate(
-        sort_array(collect_list(struct(col("pos").as("k"), col("lnp").as("p")))),
-        lit(0.0), (acc, x) => acc + x.getField("p")).as("s"))
+      graft.functions.GenEvalExpressions.ordered_sum(
+        collect_list(struct(col("pos").as("k"), col("lnp").as("p"))))
+        .as("s"))
     toks.join(agg, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
@@ -953,9 +963,9 @@ object Corpus {
           - log((coalesce(col("cr"), lit(0L)) + lit(1.0)) / (col("tr") + m)))
     val agg = scored.groupBy("id").agg(
       count(lit(1)).as("n_grams"),
-      aggregate(
-        sort_array(collect_list(struct(col("pos").as("k"), col("lnr").as("p")))),
-        lit(0.0), (acc, x) => acc + x.getField("p")).as("s"))
+      graft.functions.GenEvalExpressions.ordered_sum(
+        collect_list(struct(col("pos").as("k"), col("lnr").as("p"))))
+        .as("s"))
     // u in (0,1]: 24 md5 hex bits + 1 over 2^24+1 — same digest-driven
     // derandomization as shuffleShards; -ln(-ln u) is the Gumbel quantile.
     val u = (conv(substring(md5(concat(lit(seed), lit(":"),
@@ -1589,9 +1599,9 @@ object Corpus {
           (coalesce(col("c1"), lit(0L)) + col("v"))))
     val agg = scored.groupBy("cand_id").agg(
       count(lit(1)).as("n_bigrams"),
-      aggregate(
-        sort_array(collect_list(struct(col("pos").as("k"), col("lnp").as("p")))),
-        lit(0.0), (acc, x) => acc + x.getField("p")).as("s"))
+      graft.functions.GenEvalExpressions.ordered_sum(
+        collect_list(struct(col("pos").as("k"), col("lnp").as("p"))))
+        .as("s"))
       .withColumn("xent_raw", -col("s") / col("n_bigrams"))
     cb.select(col("cand_id")).join(agg, Seq("cand_id"), "left")
       .withColumn("rank", row_number().over(
@@ -1700,10 +1710,10 @@ object Corpus {
     val perClass = scored.groupBy("id", "cls").agg(
       first(col("n_c")).as("n_c"), first(col("n_docs")).as("n_docs"),
       sum(col("n")).as("n_tokens"),
-      aggregate(
-        sort_array(collect_list(struct(col("w").as("k"),
-          (col("n") * col("lnp")).as("p")))),
-        lit(0.0), (acc, x) => acc + x.getField("p")).as("s"))
+      graft.functions.GenEvalExpressions.ordered_sum(
+        collect_list(struct(col("w").as("k"),
+          (col("n") * col("lnp")).as("p"))))
+        .as("s"))
       .withColumn("score",
         log(col("n_c").cast("double") / col("n_docs").cast("double")) +
           col("s"))

@@ -821,27 +821,35 @@ object Features {
     * windows run per key over day counts (span-bounded state), the phase
     * table is keys × period cells. `period` must be odd (the centered MA;
     * even periods need the 2×m-MA — out of scope, stated). */
+  /** Shared zero-filled per-key daily grid (the e23 rollup): ONE
+    * map-side-combined (key, day) groupBy is the only corpus-sized
+    * exchange; span bounds are two driver scalars (rule 17); missing
+    * days are explicit x=0 rows, never silently skipped slots. */
+  private def dailyGrid(df: DataFrame, keyCol: String, tsCol: String,
+                        valueCol: String, op: String): DataFrame = {
+    val daily = df.select(col(keyCol).as("__k"),
+        to_date(col(tsCol)).as("d"),
+        floor(col(valueCol) * 100).cast("long").as("xc"))
+      .groupBy("__k", "d").agg(sum("xc").as("x"))
+    val b = daily.agg(min("d").cast("string"), max("d").cast("string")).head()
+    require(!b.isNullAt(0), s"$op: empty input")
+    val (lo, hi) = (b.getString(0), b.getString(1))
+    val grid = daily.select("__k").distinct()
+      .withColumn("d", explode(expr(
+        s"sequence(to_date('$lo'), to_date('$hi'), interval 1 day)")))
+    grid.join(daily, Seq("__k", "d"), "left")
+      .select(col("__k"), col("d"),
+        datediff(col("d"), lit("1970-01-01")).cast("long").as("di"),
+        coalesce(col("x"), lit(0L)).as("x"))
+  }
+
   def seasonalDecompose(df: DataFrame, keyCol: String, tsCol: String,
                         valueCol: String, period: Int = 7): DataFrame = {
     require(period >= 3 && period % 2 == 1,
       s"seasonalDecompose needs an odd period >= 3 (got $period)")
     import org.apache.spark.sql.expressions.Window
     val half = (period - 1) / 2
-    val daily = df.select(col(keyCol).as("__k"),
-        to_date(col(tsCol)).as("d"),
-        floor(col(valueCol) * 100).cast("long").as("xc"))
-      .groupBy("__k", "d").agg(sum("xc").as("x"))
-    // span bounds are two driver scalars (rule 17)
-    val b = daily.agg(min("d").cast("string"), max("d").cast("string")).head()
-    require(!b.isNullAt(0), "seasonalDecompose: empty input")
-    val (lo, hi) = (b.getString(0), b.getString(1))
-    val grid = daily.select("__k").distinct()
-      .withColumn("d", explode(expr(
-        s"sequence(to_date('$lo'), to_date('$hi'), interval 1 day)")))
-    val s = grid.join(daily, Seq("__k", "d"), "left")
-      .select(col("__k"), col("d"),
-        datediff(col("d"), lit("1970-01-01")).cast("long").as("di"),
-        coalesce(col("x"), lit(0L)).as("x"))
+    val s = dailyGrid(df, keyCol, tsCol, valueCol, "seasonalDecompose")
     val w = Window.partitionBy("__k").orderBy("di")
       .rowsBetween(-half, half)
     val tr = s
@@ -863,6 +871,47 @@ object Features {
       .select(col("__k").as(keyCol), col("d").cast("string").as("day"),
         col("x").as("x_centi"), col("trend_milli"), col("seasonal_milli"),
         (col("detr") - col("seasonal_milli")).as("resid_milli"))
+  }
+
+  /** Additive Holt–Winters triple exponential smoothing per key over the
+    * daily grid (Winters 1960; FPP3 §8.3) — the FORECASTING seat beside
+    * [[seasonalDecompose]]'s retrospective split: e23 explains a series
+    * you already have; this emits the one-step-ahead expectation and its
+    * residual as the stream arrives, which is the baseline every
+    * volume/latency monitor actually wants (alarm on resid, not on the
+    * raw value, and the weekly rhythm stops paging — feed `resid_milli`
+    * to [[cusumReport]]/e18 exactly like e23's residual column).
+    *
+    * Semantics and exactness live in
+    * [[graft.functions.ForecastExpressions]]: ppm smoothing weights,
+    * milli fixed-point states, truncating division, the stated
+    * first-season init, honest NULLs on the seed rows, loud 10¹²
+    * bounds. The smoothing defaults (α=.3, β=.05, γ=.2 in ppm) are the
+    * conventional monitoring-range constants, overridable per call.
+    *
+    * 100 TB shape: the corpus-sized work IS [[dailyGrid]]'s one
+    * map-side-combined rollup; the recursion then runs as one compiled
+    * JVM pass per key over the (keys × span)-bounded grid via
+    * collect_list — per-key state is the series itself (the e23 law),
+    * never corpus rows. No window, no interpreted fold, no driver loop. */
+  def holtWinters(df: DataFrame, keyCol: String, tsCol: String,
+                  valueCol: String, period: Int = 7,
+                  alphaPpm: Long = 300000L, betaPpm: Long = 50000L,
+                  gammaPpm: Long = 200000L): DataFrame = {
+    val g = dailyGrid(df, keyCol, tsCol, valueCol, "holtWinters")
+      .groupBy("__k")
+      .agg(collect_list(struct(col("di"), col("x"))).as("__grid"))
+      .select(col("__k"), posexplode(
+        graft.functions.ForecastExpressions.holt_winters(
+          col("__grid"), alphaPpm, betaPpm, gammaPpm, period)))
+    g.select(col("__k").as(keyCol),
+      expr("cast(date_add(date'1970-01-01', cast(col.di as int)) as string)")
+        .as("day"),
+      col("col.x_centi").as("x_centi"),
+      col("col.fc_milli").as("fc_milli"),
+      col("col.resid_milli").as("resid_milli"),
+      col("col.level_milli").as("level_milli"),
+      col("col.trend_milli").as("trend_milli"))
   }
 
   /** Two-sided CUSUM change detection (Page 1954) per key over an

@@ -559,10 +559,9 @@ object FullText {
         (col("tf") * totC).cast("double") /
           (lit(mu) * col("cf")).cast("double")))
       .groupBy("doc_id")
-      .agg(aggregate(
-        sort_array(collect_list(struct(col("term").as("t"),
-          col("w").as("w")))),
-        lit(0.0), (a, x) => a + x.getField("w")).as("s1"),
+      .agg(graft.functions.GenEvalExpressions.ordered_sum(
+        collect_list(struct(col("term").as("t"),
+          col("w").as("w")))).as("s1"),
         count(lit(1)).as("n_hit_terms"))
     lens.join(part1, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -645,10 +644,9 @@ object FullText {
       .withColumn("w", (lit(1.0) + log(col("tf").cast("double"))) * col("wq"))
     weighted
       .groupBy("doc_id", "norm_d")
-      .agg(aggregate(
-        sort_array(collect_list(struct(col("term").as("t"),
-          col("w").as("w")))),
-        lit(0.0), (a, x) => a + x.getField("w")).as("s"),
+      .agg(graft.functions.GenEvalExpressions.ordered_sum(
+        collect_list(struct(col("term").as("t"),
+          col("w").as("w")))).as("s"),
         count(lit(1)).as("n_terms"))
       .crossJoin(broadcast(qNorm))
       // norm_q = 0 with scored rows present means EVERY query term

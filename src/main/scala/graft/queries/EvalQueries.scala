@@ -35,8 +35,32 @@ object EvalQueries {
     "ev10_attribution" -> ((s, d) => attributionQ(s, d)),
     "ev11_rank_corr" -> ((s, d) => rankCorrQ(s, d)),
     "ev12_auc" -> ((s, d) => aucQ(s, d)),
-    "ev13_paired_perm" -> ((s, d) => pairedPermQ(s, d))
+    "ev13_paired_perm" -> ((s, d) => pairedPermQ(s, d)),
+    "ev18_mann_whitney" -> ((s, d) => mannWhitneyQ(s, d))
   )
+
+  /** [[graft.operators.Evals.mannWhitney]] on two planted arm splits of
+    * the events value stream (md5 fair coin on event_id — the t21/t36
+    * derandomization): `shifted_pair` gives arm A +500 centi (a tenth of
+    * the heavy-tailed spread — invisible to the eye, z ≈ +8 to the rank
+    * test: a_high) and `null_pair` compares the identical distribution
+    * under the same split (|z| < 1.96: no_significant_shift) — both
+    * verdict branches discriminate on this corpus, the ev14/ev15
+    * two-arm texture. Values are exact centi fixed-point; ties are real
+    * (~6.4k distinct values over 10⁴ events at sf0.01, so the midrank
+    * and tie-cube terms are exercised, not vacuous). */
+  def mannWhitneyQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val a = (conv(substring(md5(concat(lit("mw:"), col("event_id"))), 1, 6),
+      16, 10).cast("long") % 2).as("is_a")
+    val base = ev.select(a, floor(col("value") * 100).cast("long").as("v"))
+    val shifted = base.select(lit("shifted_pair").as("pair"), col("is_a"),
+      (col("v") + when(col("is_a") === 1L, 500L).otherwise(0L)).as("v"))
+    val nullp = base.select(lit("null_pair").as("pair"), col("is_a"),
+      col("v"))
+    Evals.mannWhitney(shifted.unionByName(nullp), "pair", "is_a", "v")
+      .orderBy("pair")
+  }
 
   /** [[graft.operators.Evals.mcnemar]] on two planted pairings against
     * the same 80%-right baseline A: an independent 70%-right B (a real
@@ -969,6 +993,62 @@ FROM fin ORDER BY feature""").stripMargin,
          |        FROM fl)
          |SELECT o.n_items, o.obs_sum, a.b, a.n_extreme,
          |  ((1 + a.n_extreme) * 1000000) // (a.b + 1) AS p_ppm
-         |FROM obs o, agg a""").stripMargin
+         |FROM obs o, agg a""").stripMargin,
+
+    // (pair, value) counts -> per-pair cumulative-below window over the
+    // distinct-value axis -> exact 2U/mu2/tie-cube integers -> the stated
+    // float line (two casts, divide, sqrt, divide, floor(z*1000)); the
+    // int128 variance numerator stays INSIDE the CASE, never emitted
+    "ev18_mann_whitney" ->
+      ("""WITH s AS (
+         |  SELECT 'shifted_pair' AS pair,
+         |    ('0x' || substr(md5('mw:' || event_id), 1, 6))::BIGINT % 2 AS a,
+         |    floor(value * 100)::BIGINT +
+         |      (CASE WHEN ('0x' || substr(md5('mw:' || event_id), 1, 6))::BIGINT % 2 = 1
+         |            THEN 500 ELSE 0 END) AS v
+         |  FROM events
+         |  UNION ALL
+         |  SELECT 'null_pair',
+         |    ('0x' || substr(md5('mw:' || event_id), 1, 6))::BIGINT % 2,
+         |    floor(value * 100)::BIGINT
+         |  FROM events),
+         |g AS (SELECT pair, v, sum(a)::BIGINT AS na,
+         |        sum(1 - a)::BIGINT AS nb
+         |      FROM s GROUP BY 1, 2),
+         |c AS (SELECT *, coalesce(sum(nb) OVER (PARTITION BY pair ORDER BY v
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cumnb
+         |      FROM g),
+         |r AS (SELECT pair, sum(na)::BIGINT AS n_a, sum(nb)::BIGINT AS n_b,
+         |        sum(na * (2 * cumnb + nb))::BIGINT AS u2,
+         |        sum((na + nb) * (na + nb) * (na + nb) - (na + nb))::BIGINT
+         |          AS tie_cubes
+         |      FROM c GROUP BY pair),
+         |f AS (SELECT *, n_a + n_b AS n, n_a * n_b AS mu2 FROM r)
+         |SELECT pair, n_a, n_b, u2, mu2, tie_cubes,
+         |  (CASE WHEN (n_a::HUGEINT * n_b) *
+         |         (n::HUGEINT * n * n - n - tie_cubes) > 0 THEN
+         |     floor(((u2 - mu2)::DOUBLE / 2.0) /
+         |       sqrt(((n_a::HUGEINT * n_b) *
+         |             (n::HUGEINT * n * n - n - tie_cubes))::DOUBLE /
+         |            (12::BIGINT * n * (n - 1))::DOUBLE) * 1000.0)
+         |   END)::BIGINT AS z_milli,
+         |  (CASE WHEN (n_a::HUGEINT * n_b) *
+         |         (n::HUGEINT * n * n - n - tie_cubes) <= 0 THEN 'degenerate'
+         |   WHEN abs((CASE WHEN (n_a::HUGEINT * n_b) *
+         |         (n::HUGEINT * n * n - n - tie_cubes) > 0 THEN
+         |     floor(((u2 - mu2)::DOUBLE / 2.0) /
+         |       sqrt(((n_a::HUGEINT * n_b) *
+         |             (n::HUGEINT * n * n - n - tie_cubes))::DOUBLE /
+         |            (12::BIGINT * n * (n - 1))::DOUBLE) * 1000.0)
+         |   END)::BIGINT) < 1960 THEN 'no_significant_shift'
+         |   WHEN (CASE WHEN (n_a::HUGEINT * n_b) *
+         |         (n::HUGEINT * n * n - n - tie_cubes) > 0 THEN
+         |     floor(((u2 - mu2)::DOUBLE / 2.0) /
+         |       sqrt(((n_a::HUGEINT * n_b) *
+         |             (n::HUGEINT * n * n - n - tie_cubes))::DOUBLE /
+         |            (12::BIGINT * n * (n - 1))::DOUBLE) * 1000.0)
+         |   END)::BIGINT >= 1960 THEN 'a_high'
+         |   ELSE 'b_high' END) AS verdict
+         |FROM f ORDER BY pair""").stripMargin
   )
 }

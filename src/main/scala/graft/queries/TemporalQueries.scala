@@ -45,6 +45,7 @@ object TemporalQueries {
     "e25_acf" -> ((s, d) => acfQ(s, d)),
     "e26_benford" -> ((s, d) => benfordQ(s, d)),
     "e27_seasonal_strength" -> ((s, d) => seasonalStrengthQ(s, d)),
+    "e28_holt_winters" -> ((s, d) => holtWintersQ(s, d)),
     "c5_texttile" -> ((s, d) => textTileQ(s, d))
   )
 
@@ -69,6 +70,29 @@ object TemporalQueries {
       graft.operators.Features.seasonalDecompose(src, "event_type", "ts",
         "value", period = 7), "event_type")
       .orderBy("event_type")
+  }
+
+  /** [[graft.operators.Features.holtWinters]] over the same raw+planted
+    * union as e27 (five raw event-type streams + their '_w' twins with
+    * the +500 epoch-day-phase-0 weekly spike): the '_w' arms' seasonal
+    * vector ABSORBS the spike — after the burn-in the spike-day
+    * residuals on event_type_w sit in the same band as the raw arm's,
+    * which is precisely the monitor-baseline property the operator
+    * exists for (a raw-value monitor would page weekly). The whole
+    * level/trend/seasonal recursion replays in the oracle's recursive
+    * CTE — one wrong truncation in any of ~3600 steps flips the row. */
+  def holtWintersQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val planted = ev.select(
+      concat(col("event_type"), lit("_w")).as("event_type"), col("ts"),
+      (col("value") + when(
+        pmod(datediff(col("ts").cast("date"),
+          to_date(lit("1970-01-01"))), lit(7)) === 0, 500.0)
+        .otherwise(0.0)).as("value"))
+    val src = ev.select("event_type", "ts", "value").unionByName(planted)
+    graft.operators.Features.holtWinters(src, "event_type", "ts", "value",
+        period = 7)
+      .orderBy("event_type", "day")
   }
 
   /** [[graft.operators.Features.benfordReport]] on two value feeds:
@@ -747,6 +771,93 @@ object TemporalQueries {
          |     END) >= 640000
          |  END AS seasonal
          |FROM v ORDER BY event_type""").stripMargin,
+
+    // the full smoothing recursion replayed as a recursive CTE: state =
+    // (l, b, s0..s6) per key, one row per day step, lateral aliases
+    // carry sp/fc/nl through each SELECT; every division `//` truncates
+    // toward zero exactly like the kernel's long `/`; seed season rows
+    // re-emitted as the honest-NULL edge
+    "e28_holt_winters" ->
+      ("""WITH RECURSIVE src AS (
+         |  SELECT event_type, ts, value FROM events
+         |  UNION ALL
+         |  SELECT event_type || '_w', ts,
+         |    value + CASE WHEN (ts::DATE - DATE '1970-01-01') % 7 = 0
+         |                 THEN 500.0 ELSE 0.0 END
+         |  FROM events),
+         |daily AS (
+         |  SELECT event_type, ts::DATE AS d,
+         |    sum(floor(value * 100)::BIGINT)::BIGINT AS x
+         |  FROM src GROUP BY 1, 2),
+         |bnd AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+         |grid AS (
+         |  SELECT k.event_type, (bnd.lo + g.i * INTERVAL 1 DAY)::DATE AS d,
+         |         g.i::BIGINT AS t
+         |  FROM (SELECT DISTINCT event_type FROM src) k, bnd, range(400) g(i)
+         |  WHERE (bnd.lo + g.i * INTERVAL 1 DAY)::DATE <= bnd.hi),
+         |s AS (SELECT grid.event_type, grid.d, grid.t,
+         |        coalesce(daily.x, 0)::BIGINT * 1000 AS xm
+         |      FROM grid LEFT JOIN daily
+         |        ON grid.event_type = daily.event_type AND grid.d = daily.d),
+         |seed AS (SELECT event_type,
+         |          ((sum(xm) FILTER (WHERE t < 7))::BIGINT // 7) AS l0
+         |        FROM s GROUP BY event_type),
+         |init AS (SELECT sd.event_type, sd.l0,
+         |    (max(CASE WHEN t = 0 THEN xm END) - sd.l0)::BIGINT AS s0,
+         |    (max(CASE WHEN t = 1 THEN xm END) - sd.l0)::BIGINT AS s1,
+         |    (max(CASE WHEN t = 2 THEN xm END) - sd.l0)::BIGINT AS s2,
+         |    (max(CASE WHEN t = 3 THEN xm END) - sd.l0)::BIGINT AS s3,
+         |    (max(CASE WHEN t = 4 THEN xm END) - sd.l0)::BIGINT AS s4,
+         |    (max(CASE WHEN t = 5 THEN xm END) - sd.l0)::BIGINT AS s5,
+         |    (max(CASE WHEN t = 6 THEN xm END) - sd.l0)::BIGINT AS s6
+         |  FROM s JOIN seed sd USING (event_type) WHERE t < 7
+         |  GROUP BY sd.event_type, sd.l0),
+         |rec AS (
+         |  SELECT event_type, 6::BIGINT AS t,
+         |    NULL::BIGINT AS xm, NULL::BIGINT AS fc, NULL::BIGINT AS resid,
+         |    l0 AS l, 0::BIGINT AS b, s0, s1, s2, s3, s4, s5, s6
+         |  FROM init
+         |  UNION ALL
+         |  SELECT r.event_type, q.t, q.xm,
+         |    -- lateral aliases MUST NOT collide with rec's own column
+         |    -- names (an unqualified 'fc' resolves to r.fc - the
+         |    -- PREVIOUS row's value, NULL at t=7 - not the alias)
+         |    r.l + r.b + (CASE q.t % 7
+         |      WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2
+         |      WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5
+         |      ELSE r.s6 END) AS fc_,
+         |    q.xm - fc_ AS resid_,
+         |    ((300000 * (q.xm - (fc_ - r.l - r.b))
+         |      + 700000 * (r.l + r.b)) // 1000000)::BIGINT AS nl_,
+         |    ((50000 * (nl_ - r.l) + 950000 * r.b) // 1000000)::BIGINT AS nb_,
+         |    CASE WHEN q.t % 7 = 0 THEN ((200000 * (q.xm - r.l - r.b)
+         |      + 800000 * r.s0) // 1000000)::BIGINT ELSE r.s0 END,
+         |    CASE WHEN q.t % 7 = 1 THEN ((200000 * (q.xm - r.l - r.b)
+         |      + 800000 * r.s1) // 1000000)::BIGINT ELSE r.s1 END,
+         |    CASE WHEN q.t % 7 = 2 THEN ((200000 * (q.xm - r.l - r.b)
+         |      + 800000 * r.s2) // 1000000)::BIGINT ELSE r.s2 END,
+         |    CASE WHEN q.t % 7 = 3 THEN ((200000 * (q.xm - r.l - r.b)
+         |      + 800000 * r.s3) // 1000000)::BIGINT ELSE r.s3 END,
+         |    CASE WHEN q.t % 7 = 4 THEN ((200000 * (q.xm - r.l - r.b)
+         |      + 800000 * r.s4) // 1000000)::BIGINT ELSE r.s4 END,
+         |    CASE WHEN q.t % 7 = 5 THEN ((200000 * (q.xm - r.l - r.b)
+         |      + 800000 * r.s5) // 1000000)::BIGINT ELSE r.s5 END,
+         |    CASE WHEN q.t % 7 = 6 THEN ((200000 * (q.xm - r.l - r.b)
+         |      + 800000 * r.s6) // 1000000)::BIGINT ELSE r.s6 END
+         |  FROM rec r JOIN s q
+         |    ON q.event_type = r.event_type AND q.t = r.t + 1)
+         |SELECT s.event_type, s.d::VARCHAR AS day, (s.xm // 1000) AS x_centi,
+         |  NULL::BIGINT AS fc_milli, NULL::BIGINT AS resid_milli,
+         |  NULL::BIGINT AS level_milli, NULL::BIGINT AS trend_milli
+         |FROM s WHERE s.t < 7
+         |UNION ALL
+         |SELECT r.event_type, s.d::VARCHAR, (r.xm // 1000),
+         |  r.fc, r.resid, r.l, r.b
+         |FROM rec r JOIN s
+         |  ON s.event_type = r.event_type AND s.t = r.t
+         |WHERE r.t >= 7
+         |ORDER BY event_type, day""").stripMargin,
+
     // first digit from the decimal string (never a float log10), honest
     // zero digit rows, exact micro contributions, the df=8 verdict
     "e26_benford" ->

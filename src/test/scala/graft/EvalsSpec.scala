@@ -543,6 +543,56 @@ class EvalsSpec extends AnyFunSuite {
     assert(dup.getMessage.contains("duplicate 'id'"))
   }
 
+  test("mannWhitney: hand-computed 2U/ties on a midrank fixture; clean " +
+    "separation fires with direction both ways; all-tied degenerates; " +
+    "guards are loud") {
+    import spark.implicits._
+    def run(rows: Seq[(String, Long, Long)]) =
+      graft.operators.Evals.mannWhitney(
+        rows.toDF("grp", "a", "v"), "grp", "a", "v")
+        .as[(String, Long, Long, Long, Long, Long, Option[Long], String)]
+        .collect().map(r => r._1 -> r).toMap
+    // A={1,3,3}, B={2,3}: pairwise A-wins 2, ties 2 -> 2U=6; mu2=6;
+    // tie group t=3 at v=3 -> T=24; var_num=6*(120-24)=576, den=240,
+    // z = 0/sqrt(2.4) = 0
+    val out = run(Seq(("g", 1L, 1L), ("g", 1L, 3L), ("g", 1L, 3L),
+      ("g", 0L, 2L), ("g", 0L, 3L)))
+    assert(out("g") == (("g", 3L, 2L, 6L, 6L, 24L, Some(0L),
+      "no_significant_shift")))
+    // 20 vs 20 cleanly separated: 2U=2*400=800, mu2=400, T=0,
+    // z = 200/sqrt(400*(64000-40)/(12*40*39)) = 200/sqrt(400*63960/18720)
+    val hi = (1L to 20L).map(i => ("s", 1L, 100L + i)) ++
+      (1L to 20L).map(i => ("s", 0L, i))
+    val his = run(hi)
+    assert(his("s")._4 == 800L && his("s")._5 == 400L &&
+      his("s")._8 == "a_high" && his("s")._7.exists(_ > 1960L))
+    // mirrored: B dominates
+    val lo = run(hi.map { case (g, a, v) => (g, 1L - a, v) })
+    assert(lo("s")._8 == "b_high" && lo("s")._7.exists(_ < -1960L))
+    // symmetric z: the mirrored statistic is the exact negation shifted
+    // by floor (floor(-x) = -floor(x)-1 off lattice)
+    assert(his("s")._7.get + lo("s")._7.get == -1L)
+    // every value tied across both samples: variance 0, honest NULL
+    val deg = run(Seq(("d", 1L, 7L), ("d", 0L, 7L), ("d", 1L, 7L)))
+    assert(deg("d")._7.isEmpty && deg("d")._8 == "degenerate")
+    // single-class group (all A): mu2 = 0, var 0 -> degenerate, not crash
+    val one = run(Seq(("o", 1L, 1L), ("o", 1L, 2L)))
+    assert(one("o")._8 == "degenerate")
+    val badMark = intercept[Exception] {
+      run(Seq(("x", 2L, 1L), ("x", 0L, 2L)))
+    }
+    assert(badMark.getMessage.contains("0/1"))
+    val tiny = intercept[Exception] {
+      run(Seq(("t", 1L, 5L)))
+    }
+    assert(tiny.getMessage.contains("outside [2, 1e6]"))
+    val frac = intercept[Exception] {
+      graft.operators.Evals.mannWhitney(
+        Seq(("f", 1L, 0.5)).toDF("grp", "a", "v"), "grp", "a", "v")
+    }
+    assert(frac.getMessage.contains("integral"))
+  }
+
   test("krippendorffAlpha: hand-computed ragged fixture; single-rating " +
     "items drop; negative alpha floors identically; guards are loud") {
     import spark.implicits._

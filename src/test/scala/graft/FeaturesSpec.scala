@@ -374,6 +374,55 @@ class FeaturesSpec extends AnyFunSuite {
       "exact weekly signal: zero residual, strength exactly 1")
   }
 
+  test("holtWinters: hand-replayed recursion at period 2 (every state " +
+    "step); seed rows honest NULL; gap days zero-fill; guards are loud") {
+    import spark.implicits._
+    def day(i: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(1970, 1, 1).plusDays(i).atStartOfDay())
+    // m=2, α=.5, β=0, γ=.5; x(centi) = 10,30,20,40,10:
+    // l0=20000m b0=0 s=[-10000,10000]
+    // t=2: fc=10000 resid=10000 -> l=25000 s0=-5000
+    // t=3: fc=35000 resid=5000  -> l=27500 s1=12500
+    // t=4: fc=22500 resid=-12500 -> l=21250 s0=-11250
+    val df = Seq((0, 0.1), (1, 0.3), (2, 0.2), (3, 0.4), (4, 0.1))
+      .map { case (i, v) => ("k", day(i), v) }.toDF("k", "ts", "v")
+    val out = graft.operators.Features.holtWinters(df, "k", "ts", "v",
+        period = 2, alphaPpm = 500000L, betaPpm = 0L, gammaPpm = 500000L)
+      .orderBy("day")
+      .as[(String, String, Long, Option[Long], Option[Long], Option[Long],
+        Option[Long])].collect()
+    assert(out.length == 5)
+    assert(out(0) == (("k", "1970-01-01", 10L, None, None, None, None)) &&
+      out(1)._4.isEmpty, "seed season rows are honest NULLs")
+    assert(out(2) == (("k", "1970-01-03", 20L, Some(10000L), Some(10000L),
+      Some(25000L), Some(0L))))
+    assert(out(3) == (("k", "1970-01-04", 40L, Some(35000L), Some(5000L),
+      Some(27500L), Some(0L))))
+    assert(out(4) == (("k", "1970-01-05", 10L, Some(22500L), Some(-12500L),
+      Some(21250L), Some(0L))))
+    // a skipped calendar day becomes an explicit x=0 grid row
+    val gap = graft.operators.Features.holtWinters(
+      Seq(("g", day(0), 0.1), ("g", day(2), 0.1)).toDF("k", "ts", "v"),
+      "k", "ts", "v", period = 2)
+      .orderBy("day").as[(String, String, Long, Option[Long], Option[Long],
+        Option[Long], Option[Long])].collect()
+    assert(gap.map(_._3).toSeq == Seq(10L, 0L, 10L))
+    // span not exceeding the seed season: no model, loud
+    val tiny = intercept[Exception] {
+      graft.operators.Features.holtWinters(
+        Seq(("t", day(0), 0.1), ("t", day(1), 0.1)).toDF("k", "ts", "v"),
+        "k", "ts", "v", period = 2).collect()
+    }
+    assert(tiny.getMessage.contains("seed season IS the model init"))
+    // fixed-point headroom: |milli| past 1e12 raises, never wraps
+    val big = intercept[Exception] {
+      graft.operators.Features.holtWinters(
+        (0 to 2).map(i => ("b", day(i), 2e10)).toDF("k", "ts", "v"),
+        "k", "ts", "v", period = 2).collect()
+    }
+    assert(big.getMessage.contains("past 1e12"))
+  }
+
   test("benfordReport: a near-Benford multinomial conforms, a flat one " +
     "rejects; zeros/negatives counted as skipped; guards are loud") {
     import spark.implicits._

@@ -21,9 +21,24 @@ class PlanGuardSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   private def executedPlan(name: String): String = {
-    val df = SparkEntry.queries(name)(spark, dir)
+    // baseQueries: the operator's own plan, without the in-band control
+    // tag's one-row broadcast crossJoin (SparkEntry.controlTagged) that
+    // would trip the join-free/map-only assertions with boilerplate
+    val df = SparkEntry.baseQueries(name)(spark, dir)
     df.collect() // AQE finalizes the plan only on execution
     df.queryExecution.executedPlan.toString
+  }
+
+  test("control tag rides a one-row BROADCAST crossJoin (never a shuffle) " +
+    "and every controlTagged name exists in the registry") {
+    assert((SparkEntry.controlTagged -- SparkEntry.baseQueries.keySet).isEmpty,
+      "controlTagged names must be registered queries")
+    val df = SparkEntry.queries("gr8_assortativity")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"tag crossJoin must broadcast its one-row side:\n$p")
+    assert(df.columns.last == "fixture", "tag column appended last")
   }
 
   test("q2_join3: the 25-row nation dim is broadcast; no nested-loop joins") {
