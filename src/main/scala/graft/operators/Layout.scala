@@ -174,4 +174,74 @@ object Layout {
         lit(null).cast("long").as("group_bytes"))
       .unionByName(planned)
   }
+
+  /** Orphan/expired file GC PLANNER — the lake-maintenance sibling of
+    * [[compactionPlan]] (Delta VACUUM, Iceberg expire_snapshots +
+    * remove_orphan_files): u1/u6's copy-on-write upserts and p8's
+    * re-embed rewrites never delete the files they supersede — they move
+    * them to a tombstone log for time travel — and failed/zombie writers
+    * leave files NO manifest ever referenced. Both classes grow without
+    * bound until a planner decides what is safe to delete; deciding
+    * WRONG in one direction deletes a time-travel window or a
+    * concurrent writer's in-flight file, in the other it leaks storage
+    * forever.
+    *
+    * Inputs: the physical `listing` (file, bytes, modified_s), the live
+    * `manifest` (files the current snapshot references), and the
+    * `tombstones` log (file, removed_s). Verdict per file, all epochs
+    * exact integer seconds:
+    *  - `live`      — listed ∧ in manifest: keep (manifest wins even
+    *                  over a stray tombstone — a file re-added by a
+    *                  later snapshot is live, the Delta re-add rule);
+    *  - `expired`   — tombstoned, removed_s ≤ cutoff: DELETE (the
+    *                  retention window has passed);
+    *  - `retained`  — tombstoned, removed_s > cutoff: keep (time
+    *                  travel still reaches it);
+    *  - `orphan`    — in neither log, modified_s ≤ cutoff: DELETE;
+    *  - `grace`     — in neither log, modified_s > cutoff: keep (an
+    *                  in-flight writer's file looks orphaned until its
+    *                  commit lands — VACUUM's modification-time grace);
+    *  - `missing`   — in the MANIFEST but not on disk: emitted as a
+    *                  loud row (bytes NULL, never deletable) — the
+    *                  corruption signal a silent anti-join would eat.
+    * `reclaim` is the single boolean a deletion job acts on (named so —
+    * `delete` is a SQL reserved word and the gate interpolates column
+    * names unquoted); reclaimed bytes = Σ bytes over reclaim rows.
+    *
+    * 100 TB shape: the inputs are LISTING-sized (≈ one row per 100 MB
+    * of table, ~10⁶ rows at 100 TB — the u8 argument) and the whole
+    * plan is two file-keyed equi full-outer joins + one projection: no
+    * data files are read, no window, nothing corpus-sized. */
+  def gcPlan(listing: DataFrame, manifest: DataFrame,
+             tombstones: DataFrame, fileCol: String, sizeCol: String,
+             modifiedCol: String, removedCol: String,
+             cutoffEpochS: Long): DataFrame = {
+    Guards.requireIntegral(listing, sizeCol, "gcPlan")
+    Guards.requireIntegral(listing, modifiedCol, "gcPlan")
+    Guards.requireIntegral(tombstones, removedCol, "gcPlan")
+    val l = listing.select(col(fileCol).as("file_id"),
+      col(sizeCol).cast("long").as("bytes"),
+      col(modifiedCol).cast("long").as("modified_s"))
+    // a real log carries duplicate actions: manifest entries collapse,
+    // the LATEST remove action wins (both stated) — without this the
+    // file-keyed joins would fan plan rows out per duplicate
+    val m = manifest.select(col(fileCol).as("file_id")).distinct()
+      .withColumn("__live", lit(1L))
+    val t = tombstones.select(col(fileCol).as("file_id"),
+        col(removedCol).cast("long").as("removed_s"))
+      .groupBy("file_id").agg(max(col("removed_s")).as("removed_s"))
+    l.join(m, Seq("file_id"), "full_outer")
+      .join(t, Seq("file_id"), "left")
+      .select(col("file_id"), col("bytes"), col("modified_s"),
+        col("removed_s"),
+        when(col("bytes").isNull, "missing")
+          .when(col("__live") === 1L, "live")
+          .when(col("removed_s").isNotNull &&
+            col("removed_s") <= cutoffEpochS, "expired")
+          .when(col("removed_s").isNotNull, "retained")
+          .when(col("modified_s") <= cutoffEpochS, "orphan")
+          .otherwise("grace").as("status"))
+      .withColumn("reclaim",
+        col("status").isin("expired", "orphan"))
+  }
 }

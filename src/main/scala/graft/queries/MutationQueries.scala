@@ -21,6 +21,7 @@ object MutationQueries {
     "u6_changelog_apply" -> ((s, d) => changelogApply(s, d)),
     "u7_time_travel" -> ((s, d) => timeTravel(s, d)),
     "u8_compaction_plan" -> ((s, d) => compactionPlan(s, d)),
+    "u9_gc_plan" -> ((s, d) => gcPlanQ(s, d)),
     "t50_snapshot_diff" -> ((s, d) => snapshotDiff(s, d))
   )
 
@@ -41,6 +42,42 @@ object MutationQueries {
     graft.operators.Layout.compactionPlan(files, "source", "file_id",
         "bytes", targetBytes = 200000L, smallBytes = 100000L)
       .orderBy("part", "file_id")
+  }
+
+  /** [[graft.operators.Layout.gcPlan]] over a synthesized lake state
+    * (every rule named, the u6 modulo-fixture style; epochs exact
+    * integer seconds, cutoff 10⁶):
+    *  - listing = docs %11 ≠ 0 (file_id = doc_id, bytes = n_chars·40 —
+    *    n_chars varies per sf, so the wrong-sf control flips without a
+    *    tag) + zombie-writer leftovers for %7 = 0 (file_id + 10⁶,
+    *    modified 999000 + (doc_id % 3)·1000 — straddles the cutoff, so
+    *    orphan AND grace both populate);
+    *  - manifest = docs %3 ≠ 0 — its %11 = 0 members are listed-missing
+    *    corruption plants;
+    *  - tombstones = docs %3 = 0 (removed 990000 + doc_id·40 — expired
+    *    below doc 250, retained above) PLUS %10 = 0 docs, whose %3 ≠ 0
+    *    members are ALSO in the manifest — the re-add rule: manifest
+    *    wins, they stay live despite the stray tombstone. */
+  def gcPlanQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val listing = docs.filter(col("doc_id") % 11 =!= 0).select(
+        col("doc_id").as("file_id"), (col("n_chars") * 40).as("bytes"),
+        (lit(900000L) + col("doc_id")).as("modified_s"))
+      .unionByName(docs.filter(col("doc_id") % 7 === 0).select(
+        (col("doc_id") + 1000000L).as("file_id"),
+        (col("n_chars") * 7).as("bytes"),
+        (lit(999000L) + pmod(col("doc_id"), lit(3)) * 1000).as("modified_s")))
+    val manifest = docs.filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id").as("file_id"))
+    val tombstones = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id").as("file_id"),
+        (lit(990000L) + col("doc_id") * 40).as("removed_s"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("file_id"), lit(995000L).as("removed_s")))
+    graft.operators.Layout.gcPlan(listing, manifest, tombstones,
+        "file_id", "bytes", "modified_s", "removed_s",
+        cutoffEpochS = 1000000L)
+      .orderBy("file_id", "status")
   }
 
   /** Snapshot diff on a simulated next crawl (the u6 modulo fixture
@@ -243,6 +280,45 @@ object MutationQueries {
     // the t44 recursive-CTE FFD replay per partition over the small-file
     // candidates, then the singleton-group keep reversion and the big-file
     // keep union
+    // the three synthesized logs (named modulo rules), duplicate actions
+    // collapsed exactly as the operator states (distinct manifest, max
+    // removed_s), then the verdict CASE and the reclaim projection
+    "u9_gc_plan" ->
+      """WITH listing AS (
+        |  SELECT doc_id AS file_id, (n_chars * 40)::BIGINT AS bytes,
+        |    (900000 + doc_id)::BIGINT AS modified_s
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, (n_chars * 7)::BIGINT,
+        |    (999000 + (doc_id % 3) * 1000)::BIGINT
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |manifest AS (SELECT DISTINCT doc_id AS file_id FROM documents
+        |  WHERE doc_id % 3 <> 0),
+        |tomb AS (SELECT file_id, max(removed_s)::BIGINT AS removed_s FROM (
+        |    SELECT doc_id AS file_id,
+        |      (990000 + doc_id * 40)::BIGINT AS removed_s
+        |    FROM documents WHERE doc_id % 3 = 0
+        |    UNION ALL
+        |    SELECT doc_id, 995000::BIGINT FROM documents
+        |    WHERE doc_id % 10 = 0) GROUP BY file_id),
+        |j AS (
+        |  SELECT coalesce(l.file_id, m.file_id) AS file_id, l.bytes,
+        |    l.modified_s, t.removed_s,
+        |    m.file_id IS NOT NULL AS in_manifest
+        |  FROM listing l FULL JOIN manifest m ON l.file_id = m.file_id
+        |  LEFT JOIN tomb t ON coalesce(l.file_id, m.file_id) = t.file_id),
+        |v AS (SELECT file_id, bytes, modified_s, removed_s,
+        |    CASE WHEN bytes IS NULL THEN 'missing'
+        |         WHEN in_manifest THEN 'live'
+        |         WHEN removed_s IS NOT NULL AND removed_s <= 1000000
+        |           THEN 'expired'
+        |         WHEN removed_s IS NOT NULL THEN 'retained'
+        |         WHEN modified_s <= 1000000 THEN 'orphan'
+        |         ELSE 'grace' END AS status
+        |  FROM j)
+        |SELECT *, status IN ('expired', 'orphan') AS reclaim
+        |FROM v ORDER BY file_id, status""".stripMargin,
+
     "u8_compaction_plan" ->
       """WITH RECURSIVE fl AS (
         |  SELECT source AS part, doc_id AS file_id,

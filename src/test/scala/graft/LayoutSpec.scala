@@ -154,4 +154,42 @@ class LayoutSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("integral"))
   }
+
+  test("gcPlan: all six statuses by hand; manifest wins over a stray " +
+    "tombstone (re-add); duplicate actions collapse; only expired+orphan " +
+    "reclaim") {
+    // cutoff = 100. Files:
+    //  1 live (listed+manifest), 2 expired (tomb 90), 3 retained (tomb
+    //  110), 4 orphan (no logs, modified 80), 5 grace (modified 120),
+    //  6 missing (manifest only), 7 re-add (manifest + stray tomb 50 ->
+    //  live), 8 duplicate tombs (40, 110) -> latest wins -> retained
+    val listing = Seq((1L, 10L, 50L), (2L, 20L, 50L), (3L, 30L, 50L),
+      (4L, 40L, 80L), (5L, 50L, 120L), (7L, 70L, 50L), (8L, 80L, 50L))
+      .toDF("file_id", "bytes", "modified_s")
+    val manifest = Seq(1L, 6L, 7L, 1L).toDF("file_id") // dup 1 collapses
+    val tombs = Seq((2L, 90L), (3L, 110L), (7L, 50L), (8L, 40L),
+      (8L, 110L)).toDF("file_id", "removed_s")
+    val out = graft.operators.Layout.gcPlan(listing, manifest, tombs,
+        "file_id", "bytes", "modified_s", "removed_s", cutoffEpochS = 100L)
+      .as[(Long, Option[Long], Option[Long], Option[Long], String, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out.size == 8, "one plan row per listed-or-manifest file")
+    assert(out(1L)._5 == "live" && !out(1L)._6)
+    assert(out(2L)._5 == "expired" && out(2L)._6)
+    assert(out(3L)._5 == "retained" && !out(3L)._6)
+    assert(out(4L)._5 == "orphan" && out(4L)._6)
+    assert(out(5L)._5 == "grace" && !out(5L)._6)
+    assert(out(6L) == ((6L, None, None, None, "missing", false)),
+      "manifest corruption surfaces as a loud undeletable row")
+    assert(out(7L)._5 == "live" && !out(7L)._6,
+      "re-added file stays live despite the stray tombstone")
+    assert(out(8L)._4.contains(110L) && out(8L)._5 == "retained",
+      "latest remove action wins")
+    val bad = intercept[Exception] {
+      graft.operators.Layout.gcPlan(
+        Seq((1L, 0.5, 1L)).toDF("file_id", "bytes", "modified_s"),
+        manifest, tombs, "file_id", "bytes", "modified_s", "removed_s", 1L)
+    }
+    assert(bad.getMessage.contains("integral"))
+  }
 }
