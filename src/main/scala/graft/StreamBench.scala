@@ -32,6 +32,10 @@ import org.apache.spark.sql.streaming.Trigger
   *    state is one (n, scaled value) pair per key (O(1) in history,
   *    grows only with key cardinality — the cusum law with two longs
   *    instead of eleven).
+  *  - holt_winters: [[streaming.StreamingHoltWinters]] — the online
+  *    forecaster; state is the MODEL per key (level, trend, the period
+  *    seasonal indices — 3 + period longs, O(1) in history length, the
+  *    cusum law again).
   *  - paragraph_dedup: the foreachBatch arm
   *    ([[operators.Dedup.paragraphDedupAgainst]] + index delta) — state
   *    is the ownership INDEX table: one row per distinct paragraph
@@ -46,7 +50,7 @@ object StreamBench {
 
   private val allArms =
     Seq("context_windows", "changelog", "scene_cuts", "cusum", "ewma",
-      "funnel", "paragraph_dedup")
+      "funnel", "holt_winters", "paragraph_dedup")
 
   def main(args: Array[String]): Unit = {
     val durSec = args.headOption.map(_.toInt).getOrElse(12)
@@ -145,6 +149,20 @@ object StreamBench {
         streaming.StreamingFunnel.attainments(ev, "user", "etype", "ts",
           steps = Seq("view", "click", "purchase"), windowSec = 3600L)
       }, outputMode = "append")
+
+    if (arms("holt_winters"))
+    runStateful(spark, "holt_winters", durSec, rowsPerSec = 50000,
+      build = src => {
+        // 320 keyed daily series: `value div 320` hands each key a DENSE
+        // consecutive day index off the rate source's monotone values,
+        // so the operator's loud gap contract holds while every row
+        // exercises the full level/trend/seasonal update path
+        val days = src.select(
+          (col("value") % 320).cast("string").as("key"),
+          expr("value div 320").as("di"),
+          (col("value") % 1000).as("x"))
+        streaming.StreamingHoltWinters.forecast(days, "key", "di", "x")
+      }, outputMode = "update")
 
     if (arms("paragraph_dedup")) runParagraphDedup(spark, durSec)
     spark.stop()
