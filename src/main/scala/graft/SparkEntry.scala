@@ -20,7 +20,7 @@ object SparkEntry {
     // graph panel: edges are doc_id arithmetic
     "gr1_pagerank", "gr2_pagerank_dense", "gr3_hits", "gr4_lpa",
     "gr5_kcore", "gr6_triangles", "gr7_link_predict", "gr8_assortativity",
-    "gr9_seed_distance", "gr10_reciprocity",
+    "gr9_seed_distance", "gr10_reciprocity", "gr11_ppr",
     // media: synthesized binary fixtures keyed by doc_id
     "m3_blank_pages", "m5_image_dhash", "m6_audio_activity",
     "m8_scene_cuts", "m9_scene_cuts_dense", "m11_image_keeplist",

@@ -148,7 +148,9 @@ object Verify {
     "ev18_mann_whitney",
     // e28: the daily rollup is corpus-sized and the 10x stream widens the
     // recursion's value magnitudes through every truncating division
-    "e28_holt_winters")
+    "e28_holt_winters",
+    // gr11: the seeded fixed point over the corpus-growing ancestry graph
+    "gr11_ppr")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rest @ _*) = args

@@ -646,6 +646,167 @@ object LinkGraph {
       .select(col("node"), col("dist"), col("dist").isNotNull.as("reached"))
   }
 
+  /** Personalized PageRank (Page et al. 1999 §6; Jeh & Widom 2003's
+    * "Scaling Personalized Web Search" is the canonical treatment) —
+    * [[pageRank]] with the teleport mass concentrated on a SEED set
+    * instead of spread uniformly: rank localizes around the seeds, which
+    * turns the global-endorsement score into a RELATEDNESS score. The
+    * crawl-curation reads: "expand the corpus from these trusted hosts"
+    * (seeded frontier prioritization, gr9's hop count weighted by link
+    * mass) and "which documents are topically near this cluster" —
+    * the graph-side sibling of the embedding neighborhoods the v-family
+    * ranks.
+    *
+    * Exact fixed-point integer semantics, the gr1 contract: rank units
+    * of 1/`scale`, damped update `(d·x) div 100`, dangling mass
+    * teleports BACK TO THE SEEDS (the standard personalized choice —
+    * uniform redistribution would leak relatedness mass to the whole
+    * graph): rank'(v) = [v∈S]·((100−d)·scale div 100) div |S|
+    * + (d·(Σ_{u→v} rank(u) div outdeg(u) + [v∈S]·(dang div |S|))) div
+    * 100, seeded rank₀ = [v∈S]·(scale div |S|). Seeds absent from the
+    * edge set still teleport (they join the node universe as dangling
+    * nodes); the seed frame is request-sized BY DEFINITION (a
+    * personalization vector is a query, not a corpus) and is collected
+    * under a loud `seedCap` probe — rule 17's bounded-driver-state
+    * contract, the seedDistance seat.
+    *
+    * 100 TB shape = [[pageRank]]'s: the same driver-replay split under
+    * `driverEdgeCap` (exact integer algebra makes the replay
+    * bit-identical), and past it the same per-iteration ONE equi-shuffle
+    * (ranks ⋈ edges on src, map-side-combined groupBy dst) + one-row
+    * dangling broadcast, with the seed flag riding the node frame as a
+    * broadcast semi-join — no new exchange. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame, seedCol: String,
+                           iterations: Int, dampingPct: Int = 85,
+                           scale: Long = 1000000000000L,
+                           driverEdgeCap: Int = 100000,
+                           seedCap: Int = 100000): DataFrame = {
+    require(iterations >= 1,
+      s"personalizedPageRank needs iterations>=1 (got $iterations)")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"personalizedPageRank needs dampingPct in [0,100] (got $dampingPct)")
+    require(scale >= 1000 && scale <= Long.MaxValue / 100,
+      s"personalizedPageRank needs scale in [1e3, Long.Max/100] " +
+        s"(got $scale)")
+    val e0 = widenedEdges(edges, srcCol, dstCol)
+    val nodeType = e0.schema.head.dataType
+    val seedRows = seeds.select(col(seedCol).cast(nodeType).as("s"))
+      .distinct().limit(seedCap + 1).collect()
+    require(seedRows.nonEmpty,
+      "personalizedPageRank: empty seed set - the personalization vector " +
+        "IS the query")
+    require(seedRows.length <= seedCap,
+      s"personalizedPageRank: > $seedCap seeds - a personalization " +
+        "vector is request-sized by definition; a corpus-sized 'seed set' " +
+        "is plain pageRank")
+    val seedSet: Set[Any] = seedRows.map(_.get(0)).toSet
+    val probe = e0.groupBy("src", "dst").agg(count(lit(1)).as("__w"))
+      .limit(driverEdgeCap + 1).collect()
+    if (probe.length <= driverEdgeCap)
+      pprDriver(edges.sparkSession, nodeType,
+        probe.map(r => (r.get(0), r.get(1), r.getLong(2))), seedSet,
+        iterations, dampingPct, scale)
+    else pprDistributed(e0, seedSet, iterations, dampingPct, scale)
+  }
+
+  /** Rule-17 replay of the personalized fixed point — value-identical to
+    * [[pprDistributed]] by the same exact-integer-algebra argument as
+    * [[pageRankDriver]]. */
+  private def pprDriver(spark: org.apache.spark.sql.SparkSession,
+                        nodeType: org.apache.spark.sql.types.DataType,
+                        es: Array[(Any, Any, Long)], seedSet: Set[Any],
+                        iterations: Int, dampingPct: Int,
+                        scale: Long): DataFrame = {
+    val nodes: Array[Any] =
+      (es.map(_._1) ++ es.map(_._2) ++ seedSet.toSeq).distinct
+    val nS = seedSet.size.toLong
+    val outdeg: Map[Any, Long] =
+      es.groupBy(_._1).map { case (u, g) => u -> g.map(_._3).sum }
+        .withDefaultValue(0L)
+    val baseSeed = ((100L - dampingPct) * scale / 100L) / nS
+    var rank: Map[Any, Long] = nodes.map(v =>
+      v -> (if (seedSet(v)) scale / nS else 0L)).toMap
+    for (_ <- 1 to iterations) {
+      val contribs: Map[Any, Long] = es
+        .filter { case (u, _, _) => outdeg(u) > 0 }
+        .groupBy(_._2).map { case (v, g) =>
+          v -> g.map { case (u, _, w) => w * (rank(u) / outdeg(u)) }.sum }
+      val dang = nodes.iterator
+        .filter(v => outdeg(v) == 0).map(rank).sum
+      rank = nodes.map { v =>
+        val seedPart = if (seedSet(v)) baseSeed else 0L
+        val tele = if (seedSet(v)) dang / nS else 0L
+        v -> (seedPart + (dampingPct.toLong *
+          (contribs.getOrElse(v, 0L) + tele)) / 100L)
+      }.toMap
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", nodeType, nullable = true),
+      org.apache.spark.sql.types.StructField("outdeg",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("in_seed",
+        org.apache.spark.sql.types.BooleanType, nullable = false),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(nodes.map(v =>
+        org.apache.spark.sql.Row(v, outdeg(v), seedSet(v), rank(v))): _*)
+    spark.createDataFrame(rows, schema)
+  }
+
+  private def pprDistributed(e0: DataFrame, seedSet: Set[Any],
+                             iterations: Int, dampingPct: Int,
+                             scale: Long): DataFrame = {
+    val spark = e0.sparkSession
+    val e = e0.persist(StorageLevel.MEMORY_AND_DISK)
+    val nodeType = e0.schema.head.dataType
+    val seedDf = {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", nodeType)))
+      spark.createDataFrame(java.util.Arrays.asList(
+        seedSet.toSeq.map(org.apache.spark.sql.Row(_)): _*), schema)
+    }
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).union(seedDf.select("node"))
+      .distinct()
+    val deg = nodes
+      .join(e.groupBy("src").agg(count(lit(1)).as("__d")),
+        nodes("node") === col("src"), "left")
+      .join(broadcast(seedDf.withColumn("__s", lit(true))), Seq("node"),
+        "left")
+      .select(col("node"), coalesce(col("__d"), lit(0L)).as("outdeg"),
+        coalesce(col("__s"), lit(false)).as("in_seed"))
+    val nS = seedSet.size.toLong
+    val baseSeed = ((100L - dampingPct) * scale / 100L) / nS
+    var ranks = deg.withColumn("rank",
+      when(col("in_seed"), lit(scale / nS)).otherwise(lit(0L)))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val prev = ranks
+      val contribs = ranks.where(col("outdeg") > 0)
+        .join(e, ranks("node") === e("src"))
+        .groupBy(col("dst"))
+        .agg(sum(idiv(col("rank"), col("outdeg"))).as("__c"))
+      val dangling = ranks.agg(coalesce(sum(
+        when(col("outdeg") === 0, col("rank"))), lit(0L)).as("__dang"))
+      ranks = ranks.select(col("node"), col("outdeg"), col("in_seed"))
+        .join(contribs, col("node") === col("dst"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"), col("outdeg"), col("in_seed"),
+          (when(col("in_seed"), lit(baseSeed)).otherwise(lit(0L)) +
+            idiv(lit(dampingPct.toLong) *
+              (coalesce(col("__c"), lit(0L)) +
+                when(col("in_seed"), idiv(col("__dang"), lit(nS)))
+                  .otherwise(lit(0L))),
+              lit(100L))).as("rank"))
+        .localCheckpoint()
+      prev.unpersist()
+    }
+    e.unpersist()
+    ranks
+  }
+
   /** Degree assortativity (Newman 2002, PRL 89.208701 — the Pearson
     * correlation of endpoint degrees over edges): the one-number
     * mixing diagnostic that separates social-graph topology (r > 0,

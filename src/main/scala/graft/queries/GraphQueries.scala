@@ -29,8 +29,36 @@ object GraphQueries {
     "gr7_link_predict" -> ((s, d) => linkPredictQ(s, d)),
     "gr8_assortativity" -> ((s, d) => assortativityQ(s, d)),
     "gr9_seed_distance" -> ((s, d) => seedDistanceQ(s, d)),
-    "gr10_reciprocity" -> ((s, d) => reciprocityQ(s, d))
+    "gr10_reciprocity" -> ((s, d) => reciprocityQ(s, d)),
+    "gr11_ppr" -> ((s, d) => pprQ(s, d))
   )
+
+  /** [[graft.operators.LinkGraph.personalizedPageRank]] from seeds
+    * {1, 2000000001} over gr9's downward ancestry graph (+ the detached
+    * 8-ring): rank LOCALIZES — node 1's subtree holds essentially all
+    * the mass while the ring (unreachable from any seed) reads exactly
+    * 0 at every member, the property that separates this from gr1's
+    * global score; seed 2000000001 is absent from the edge set entirely
+    * and exercises the isolated-seed path (it joins the node universe
+    * as a dangling node and keeps re-teleporting its own mass). Five
+    * iterations, d = 0.85, the gr1 fixed-point units; the oracle
+    * unrolls every iteration. */
+  def pprQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val down = docs.filter(col("doc_id") >= 2)
+      .select(expr("doc_id div 2").as("src"), col("doc_id").as("dst"))
+      .union(docs.filter(col("doc_id") >= 4)
+        .select(expr("doc_id div 4").as("src"), col("doc_id").as("dst")))
+    val ring = docs.select(
+      (lit(1000000000L) + pmod(col("doc_id"), lit(8))).as("src"),
+      (lit(1000000000L) + pmod(col("doc_id") + 1, lit(8))).as("dst"))
+    val seeds = Seq(1L, 2000000001L).toDF("seed")
+    LinkGraph.personalizedPageRank(
+        down.union(ring).filter(col("src") =!= col("dst")).distinct(),
+        "src", "dst", seeds, "seed", Iters, DampPct, Scale)
+      .orderBy(col("rank").desc, col("node"))
+  }
 
   /** [[graft.operators.LinkGraph.reciprocity]] over the ancestry graph
     * with a PLANTED link-exchange slice (every doc_id % 5 == 0 child
@@ -573,7 +601,52 @@ object GraphQueries {
       |  (r.n_reciprocal * 1000000) // n.n_edges AS recip_ppm
       |FROM n, r""".stripMargin
 
+  /** One unrolled personalized step: contributions exactly as gr1's
+    * stepSql; the teleport term ((100−d)·scale and the dangling total)
+    * lands ONLY on seed rows, divided by |S| = 2. */
+  private def pprStepSql(i: Int): String = {
+    val p = s"pr${i - 1}"
+    s"""pr$i AS (
+       |  SELECT d.node, d.outdeg, d.in_seed,
+       |    ((CASE WHEN d.in_seed
+       |        THEN (((${100 - DampPct} * $Scale) // 100) // 2) ELSE 0 END)
+       |     + ($DampPct * (coalesce(c.s, 0)
+       |        + CASE WHEN d.in_seed THEN
+       |            (SELECT coalesce(sum(CASE WHEN outdeg = 0 THEN rank END), 0)
+       |             FROM $p) // 2 ELSE 0 END)) // 100)::BIGINT AS rank
+       |  FROM $p d
+       |  LEFT JOIN (SELECT e.dst, sum(r.rank // r.outdeg)::BIGINT AS s
+       |             FROM e JOIN $p r ON e.src = r.node WHERE r.outdeg > 0
+       |             GROUP BY e.dst) c
+       |  ON d.node = c.dst)""".stripMargin
+  }
+
+  private val pprOracle: String =
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |  SELECT doc_id // 2 AS src, doc_id AS dst FROM documents WHERE doc_id >= 2
+       |  UNION ALL
+       |  SELECT doc_id // 4, doc_id FROM documents WHERE doc_id >= 4
+       |  UNION ALL
+       |  SELECT 1000000000 + (doc_id % 8), 1000000000 + ((doc_id + 1) % 8)
+       |  FROM documents) t
+       |  WHERE src <> dst),
+       |seeds AS (SELECT unnest([1, 2000000001]) AS node),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e
+       |  UNION SELECT node FROM seeds),
+       |deg AS (SELECT n.node, coalesce(d.c, 0)::BIGINT AS outdeg,
+       |    n.node IN (SELECT node FROM seeds) AS in_seed
+       |  FROM nodes n
+       |  LEFT JOIN (SELECT src, count(*)::BIGINT AS c FROM e GROUP BY src) d
+       |  ON n.node = d.src),
+       |pr0 AS (SELECT node, outdeg, in_seed,
+       |  (CASE WHEN in_seed THEN $Scale // 2 ELSE 0 END)::BIGINT AS rank
+       |  FROM deg),
+       |${(1 to Iters).map(pprStepSql).mkString(",\n")}
+       |SELECT node, outdeg, in_seed, rank FROM pr$Iters
+       |ORDER BY rank DESC, node""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "gr11_ppr" -> pprOracle,
     "gr5_kcore" -> kcoreOracle,
     "gr9_seed_distance" -> seedDistanceOracle,
     "gr10_reciprocity" -> reciprocityOracle,

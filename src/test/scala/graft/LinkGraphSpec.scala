@@ -357,6 +357,51 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(err.getMessage.contains("empty graph"))
   }
 
+  test("personalizedPageRank: hand-replayed two-node teleport cycle; " +
+    "mass localizes at the seeds; unreachable components read exactly 0; " +
+    "isolated seed keeps teleporting; driver == distributed; guards loud") {
+    def run(edges: Seq[(String, String)], seeds: Seq[String], iters: Int,
+            cap: Int = 100000) =
+      graft.operators.LinkGraph.personalizedPageRank(
+        edges.toDF("s", "d"), "s", "d", seeds.toDF("seed"), "seed",
+        iters, dampingPct = 50, scale = 1000000L, driverEdgeCap = cap)
+        .as[(String, Long, Boolean, Long)]
+        .collect().map(r => r._1 -> r).toMap
+    // a<->b, seed {a}, d=.5, scale=1e6: r0=(1e6,0);
+    // iter1: a = 5e5 + 0 = 5e5, b = 0 + 5e5 = 5e5
+    // iter2: a = 5e5 + 2.5e5 = 7.5e5, b = 2.5e5
+    val two = run(Seq("a" -> "b", "b" -> "a"), Seq("a"), 2)
+    assert(two("a") == (("a", 1L, true, 750000L)))
+    assert(two("b") == (("b", 1L, false, 250000L)))
+    // detached component: c<->d never receives seed mass — exactly 0
+    val det = run(Seq("a" -> "b", "b" -> "a", "c" -> "d", "d" -> "c"),
+      Seq("a"), 5)
+    assert(det("c")._4 == 0L && det("d")._4 == 0L,
+      "unreachable mass is exactly zero, the localization property")
+    // isolated seed z (absent from the edge set): joins as a dangling
+    // node; its mass teleports back to the 2-seed set each round
+    val iso = run(Seq("a" -> "b", "b" -> "a"), Seq("a", "z"), 3)
+    assert(iso.contains("z") && iso("z")._2 == 0L && iso("z")._3)
+    assert(iso("z")._4 > 0L, "isolated seed keeps teleport mass")
+    // driver replay == distributed loop, bit for bit
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "c",
+      "d" -> "a")
+    assert(run(edges, Seq("a", "d"), 4) == run(edges, Seq("a", "d"), 4,
+      cap = 0), "driver fit diverged from the distributed loop")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.LinkGraph.personalizedPageRank(
+        Seq(("a", "b")).toDF("s", "d"), "s", "d",
+        Seq.empty[String].toDF("seed"), "seed", 2)
+    }
+    assert(e1.getMessage.contains("empty seed set"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.LinkGraph.personalizedPageRank(
+        Seq(("a", "b")).toDF("s", "d"), "s", "d",
+        Seq("a", "b").toDF("seed"), "seed", 2, seedCap = 1)
+    }
+    assert(e2.getMessage.contains("request-sized"))
+  }
+
   test("assortativity: star is exactly -1; regular graph reads NULL; " +
     "triangle+pendant matches the hand moment arithmetic") {
     def run(edges: Seq[(String, String)]) =
