@@ -31,8 +31,14 @@ import org.apache.spark.sql.types._
   * seeded (stated, the FPP3-simplified init) from the first season:
   * l₀ = (Σ_{t<m} 1000·x_t) quot m, b₀ = 0, s_t = 1000·x_t − l₀; the
   * first m rows emit NULL forecast/residual/state (the pre-model edge,
-  * e23's honest-NULL convention). |1000·x| and every state are bounded
-  * loudly at 10¹² so α·X stays an exact long (10⁶·10¹² < 2⁶³). */
+  * e23's honest-NULL convention). Inputs are bounded loudly at
+  * |1000·x| ≤ 10¹⁵; the per-step ppm PRODUCTS run in BigInt (this layer
+  * is (keys × days)-bounded — the e23 law — so the boxing cost is
+  * nothing, and a long-only α·X would cap the daily magnitude at
+  * ~2·10¹², which real x64-scale rollups exceed), with every stored
+  * state back in an exact long (bounded by the input magnitude:
+  * level/seasonal are damped combinations of the x's, trend of their
+  * deltas). */
 object ForecastExpressions {
 
   def holtWinters(arr: ArrayData, alphaPpm: Long, betaPpm: Long,
@@ -52,9 +58,9 @@ object ForecastExpressions {
           "fills gaps with explicit zeros, a null upstream is a bug")
       di(i) = row.getLong(0)
       val x = Math.multiplyExact(row.getLong(1), 1000L)
-      require(math.abs(x) <= 1000000000000L,
-        s"holt_winters: |milli value| $x past 1e12 - exceeds the exact " +
-          "long headroom of the ppm smoothing products; rescale upstream")
+      require(math.abs(x) <= 1000000000000000L,
+        s"holt_winters: |milli value| $x past 1e15 - exceeds the exact " +
+          "arithmetic headroom; rescale upstream")
       xm(i) = x
       i += 1
     }
@@ -62,12 +68,10 @@ object ForecastExpressions {
       override def compare(a: Integer, b: Integer): Int =
         java.lang.Long.compare(di(a), di(b))
     })
-    def bounded(v: Long, what: String): Long = {
-      require(math.abs(v) <= 1000000000000L,
-        s"holt_winters: |$what| $v past 1e12 - the smoothing state " +
-          "diverged beyond the exact-arithmetic bound; rescale upstream")
-      v
-    }
+    // (w·a + (10**6−w)·b) quot 10**6 with BigInt intermediates: BigInteger
+    // division truncates toward zero, matching Spark div / DuckDB //
+    def mix(w: Long, a: Long, b: Long): Long =
+      ((BigInt(w) * a + BigInt(1000000L - w) * b) / 1000000L).toLong
     val m = period
     var l = 0L
     var t = 0
@@ -87,16 +91,11 @@ object ForecastExpressions {
     while (t < n) {
       val x = xm(idx(t))
       val p = t % m
-      val fc = bounded(l + b + s(p), "forecast")
+      val fc = l + b + s(p)
       val resid = x - fc
-      val nl = bounded(
-        (alphaPpm * (x - s(p)) + (1000000L - alphaPpm) * (l + b)) / 1000000L,
-        "level")
-      val nb = bounded(
-        (betaPpm * (nl - l) + (1000000L - betaPpm) * b) / 1000000L, "trend")
-      s(p) = bounded(
-        (gammaPpm * (x - l - b) + (1000000L - gammaPpm) * s(p)) / 1000000L,
-        "seasonal")
+      val nl = mix(alphaPpm, x - s(p), l + b)
+      val nb = mix(betaPpm, nl - l, b)
+      s(p) = mix(gammaPpm, x - l - b, s(p))
       l = nl
       b = nb
       out(t) = new GenericInternalRow(

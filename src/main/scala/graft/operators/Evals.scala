@@ -1029,10 +1029,13 @@ object Evals {
     * ⌊z·10³⌋ — identical IEEE ops in a stated order, the t68 OLS
     * discipline. A window with every value tied (variance 0) reads
     * honest NULL z and verdict 'degenerate'; direction is claimed only
-    * past |z| ≥ 1.96 (α = 0.05 two-sided). Window totals past 10⁶ raise
-    * loudly (n³−n stays int64-exact under that bound — the ev15
-    * window-discipline: drift/uplift windows are time-sliced samples,
-    * not whole corpora).
+    * past |z| ≥ 1.96 (α = 0.05 two-sided). Window totals past 3·10⁹
+    * raise loudly — the bound under which 2U and E[2U] = n_A·n_B stay
+    * exact longs (n_A·n_B ≤ 2.25·10¹⁸); the tie-cube sum has no such
+    * bound (a fully-tied window cubes n), so it accumulates in
+    * decimal(38,0) and emits through [[Guards.loudInt64]] — in the
+    * pathological near-fully-tied case the emit raises instead of
+    * wrapping (the ev15 window discipline, split per term).
     *
     * 100 TB shape: ONE map-side-combined groupBy on (group, value) —
     * bounded by |groups|·|distinct values|, never row count — then the
@@ -1060,24 +1063,26 @@ object Evals {
         sum(col("na")).as("n_a"),
         sum(col("nb")).as("n_b"),
         sum(col("na") * (lit(2L) * col("cumnb") + col("nb"))).as("u2"),
-        sum((col("na") + col("nb")) * (col("na") + col("nb"))
-          * (col("na") + col("nb")) - (col("na") + col("nb")))
-          .as("tie_cubes"))
+        sum((col("na") + col("nb")).cast("decimal(38,0)")
+          * (col("na") + col("nb")) * (col("na") + col("nb"))
+          - (col("na") + col("nb"))).as("__tie_cubes"))
       .withColumn("n",
-        when((col("n_a") + col("n_b")).between(2L, 1000000L),
+        when((col("n_a") + col("n_b")).between(2L, 3000000000L),
           col("n_a") + col("n_b"))
           .otherwise(expr("raise_error(concat('mannWhitney: window total ',"
-            + "cast(n_a + n_b as string), ' outside [2, 1e6] - empty/"
-            + "degenerate windows have no test and larger ones exceed the "
-            + "int64 tie-cube headroom; time-slice the window'))")
+            + "cast(n_a + n_b as string), ' outside [2, 3e9] - empty/"
+            + "degenerate windows have no test and larger ones push 2U "
+            + "past an exact long; time-slice the window'))")
             .cast("long")))
       .withColumn("mu2", col("n_a") * col("n_b"))
+      .withColumn("tie_cubes",
+        Guards.loudInt64(col("__tie_cubes"), "mannWhitney", "tie_cubes"))
       // var_num is int128-class: build it in decimal, use it in the float
       // line, NEVER emit it (the r14 wall)
       .withColumn("__var_num",
         (col("n_a") * col("n_b")).cast("decimal(38,0)") *
           (col("n").cast("decimal(38,0)") * col("n") * col("n")
-            - col("n") - col("tie_cubes")))
+            - col("n") - col("__tie_cubes")))
       .withColumn("__var_den",
         lit(12L) * col("n") * (col("n") - lit(1L)))
       .withColumn("z_milli",

@@ -19,7 +19,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
   * first season accumulates — 3 + period longs. Updates run the batch
   * kernel's EXACT integer recursion (ppm weights, milli fixed point,
   * truncating division, the stated first-season init, the same loud
-  * 10¹² bounds), so after any prefix of days the emitted rows equal the
+  * 10¹⁵ input bound with BigInt step products), so after any prefix of days the emitted rows equal the
   * batch operator's over that prefix (rebuild equivalence,
   * StreamingHoltWintersSpec-gated). Seed-season days emit the batch
   * operator's honest NULLs.
@@ -61,11 +61,14 @@ object StreamingHoltWinters {
           // drags the enclosing scope into the task and fails
           // serialization
           def chk(v: Long, what: String): Long = {
-            require(math.abs(v) <= 1000000000000L,
-              s"StreamingHoltWinters: |$what| $v past 1e12 - exceeds the " +
-                "exact long headroom; rescale upstream")
+            require(math.abs(v) <= 1000000000000000L,
+              s"StreamingHoltWinters: |$what| $v past 1e15 - exceeds the " +
+                "exact arithmetic headroom; rescale upstream")
             v
           }
+          // the batch kernel's BigInt-intermediate ppm mix (truncating)
+          def mix(w: Long, a: Long, b: Long): Long =
+            ((BigInt(w) * a + BigInt(1000000L - w) * b) / 1000000L).toLong
           var s = state.getOption.getOrElse(
             State(0L, Long.MinValue, 0L, 0L, Vector.fill(period)(0L),
               Vector.empty))
@@ -92,14 +95,11 @@ object StreamingHoltWinters {
                 full.map(_ - l0).toVector, Vector.empty)
             } else {
               val p = (s.t % period).toInt
-              val fc = chk(s.l + s.b + s.s(p), "forecast")
+              val fc = s.l + s.b + s.s(p)
               val resid = xm - fc
-              val nl = chk((alphaPpm * (xm - s.s(p)) +
-                (1000000L - alphaPpm) * (s.l + s.b)) / 1000000L, "level")
-              val nb = chk((betaPpm * (nl - s.l) +
-                (1000000L - betaPpm) * s.b) / 1000000L, "trend")
-              val ns = chk((gammaPpm * (xm - s.l - s.b) +
-                (1000000L - gammaPpm) * s.s(p)) / 1000000L, "seasonal")
+              val nl = mix(alphaPpm, xm - s.s(p), s.l + s.b)
+              val nb = mix(betaPpm, nl - s.l, s.b)
+              val ns = mix(gammaPpm, xm - s.l - s.b, s.s(p))
               out += ((key, di, x, Some(fc), Some(resid), Some(nl),
                 Some(nb)))
               s = State(s.t + 1, di, nl, nb, s.s.updated(p, ns),

@@ -585,7 +585,7 @@ class EvalsSpec extends AnyFunSuite {
     val tiny = intercept[Exception] {
       run(Seq(("t", 1L, 5L)))
     }
-    assert(tiny.getMessage.contains("outside [2, 1e6]"))
+    assert(tiny.getMessage.contains("outside [2, 3e9]"))
     val frac = intercept[Exception] {
       graft.operators.Evals.mannWhitney(
         Seq(("f", 1L, 0.5)).toDF("grp", "a", "v"), "grp", "a", "v")

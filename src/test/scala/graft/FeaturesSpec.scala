@@ -420,7 +420,7 @@ class FeaturesSpec extends AnyFunSuite {
         (0 to 2).map(i => ("b", day(i), 2e10)).toDF("k", "ts", "v"),
         "k", "ts", "v", period = 2).collect()
     }
-    assert(big.getMessage.contains("past 1e12"))
+    assert(big.getMessage.contains("past 1e15"))
   }
 
   test("benfordReport: a near-Benford multinomial conforms, a flat one " +
