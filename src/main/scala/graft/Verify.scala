@@ -150,7 +150,10 @@ object Verify {
     // recursion's value magnitudes through every truncating division
     "e28_holt_winters",
     // gr11: the seeded fixed point over the corpus-growing ancestry graph
-    "gr11_ppr")
+    "gr11_ppr",
+    // e29: one conditional-moment pass over the 10x sample stream; the
+    // Welch float line rides 10x-magnitude exact moments
+    "e29_tost")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rest @ _*) = args

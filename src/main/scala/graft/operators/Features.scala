@@ -758,6 +758,96 @@ object Features {
         "mean_adj_fp", "theta_fp", "var_reduction_bp")
   }
 
+  /** TOST equivalence / non-inferiority readout (Schuirmann 1987, the
+    * two-one-sided-tests procedure; Wellek 2010 is the book) — the
+    * DEPLOYMENT decision e19/e20 cannot give: an uplift test failing to
+    * reject "no difference" is NOT evidence of equivalence (absence of
+    * evidence), while every model/infra swap actually ships on "B is no
+    * worse than A by more than δ". TOST inverts the burden: H₀ is
+    * |μ_B − μ_A| ≥ δ, rejected only when BOTH one-sided statistics
+    * clear the bar — z₁ = (Δ+δ)/se > zα AND z₂ = (δ−Δ)/se > zα
+    * (α = 0.05 one-sided, zα = 1.645; the large-sample normal form,
+    * stated — per-arm n in the thousands is the regime this report is
+    * for, and it keeps the verdict line engine-replayable where a
+    * t-quantile would not be).
+    *
+    * Exactness: per-arm moments n, Σx, Σx² accumulate exact
+    * (decimal(38,0) — Σx² at 10¹² rows passes a long, the e20
+    * discipline) in ONE conditional aggregate (the mcnemar single-pass
+    * shape); arm means emit as exact integer milli ((Σx·1000) div n);
+    * the ONLY floats are the stated verdict line — Welch
+    * se² = s²_A/n_A + s²_B/n_B with each s² = (n·Σx²−(Σx)²) cast to
+    * double over n·(n−1), one add, one correctly-rounded sqrt, two
+    * divisions, ⌊·10³⌋ (the t68 chain). Degenerate windows (an arm
+    * with < 2 samples, or zero pooled variance) read honest NULL z
+    * with verdict 'degenerate'; `equivalent` is claimed ONLY when
+    * min(z₁, z₂) ≥ 1645 milli.
+    *
+    * 100 TB shape: ONE map-side-combined aggregate over the sample
+    * stream into a |groups|-row frame; nothing else exists (the
+    * mcnemar law). */
+  def tostEquivalence(scored: DataFrame, groupCol: String,
+                      sampleCol: String, valueCol: String,
+                      marginMilli: Long): DataFrame = {
+    require(marginMilli >= 1,
+      s"tostEquivalence needs a positive equivalence margin " +
+        s"(got $marginMilli milli) - with no margin there is no " +
+        "equivalence hypothesis to test")
+    Guards.requireIntegral(scored, sampleCol, "tostEquivalence",
+      acceptBoolean = true)
+    Guards.requireIntegral(scored, valueCol, "tostEquivalence")
+    val a = when(col(sampleCol).cast("long").isin(0L, 1L),
+      col(sampleCol).cast("long"))
+      .otherwise(expr(
+        "raise_error('tostEquivalence: sample marker must be 0/1 (1 = A)')")
+        .cast("long"))
+    val g = scored.select(col(groupCol).as("grp"), a.as("__a"),
+        col(valueCol).cast("long").as("__v"))
+      .groupBy("grp").agg(
+        sum(col("__a")).as("n_a"),
+        sum(lit(1L) - col("__a")).as("n_b"),
+        sum(when(col("__a") === 1L, col("__v").cast("decimal(38,0)"))
+          .otherwise(lit(0L))).as("__sa"),
+        sum(when(col("__a") === 0L, col("__v").cast("decimal(38,0)"))
+          .otherwise(lit(0L))).as("__sb"),
+        sum(when(col("__a") === 1L,
+          col("__v").cast("decimal(38,0)") * col("__v"))
+          .otherwise(lit(0L))).as("__saa"),
+        sum(when(col("__a") === 0L,
+          col("__v").cast("decimal(38,0)") * col("__v"))
+          .otherwise(lit(0L))).as("__sbb"))
+    val se = sqrt(
+      expr("cast(n_a * __saa - __sa * __sa as double)") /
+        (col("n_a").cast("double") * (col("n_a") - 1).cast("double") *
+          col("n_a").cast("double")) +
+      expr("cast(n_b * __sbb - __sb * __sb as double)") /
+        (col("n_b").cast("double") * (col("n_b") - 1).cast("double") *
+          col("n_b").cast("double")))
+    val delta = expr("cast(__sb as double) / cast(n_b as double)") -
+      expr("cast(__sa as double) / cast(n_a as double)")
+    g.withColumn("__ok",
+        col("n_a") >= 2 && col("n_b") >= 2 &&
+          (expr("n_a * __saa - __sa * __sa") > 0 ||
+            expr("n_b * __sbb - __sb * __sb") > 0))
+      .withColumn("mean_a_milli", expr("(__sa * 1000) div n_a"))
+      .withColumn("mean_b_milli", expr("(__sb * 1000) div n_b"))
+      .withColumn("z_lower_milli", when(col("__ok"),
+        floor((delta + lit(marginMilli.toDouble / 1000.0)) / se
+          * lit(1000.0)).cast("long")))
+      .withColumn("z_upper_milli", when(col("__ok"),
+        floor((lit(marginMilli.toDouble / 1000.0) - delta) / se
+          * lit(1000.0)).cast("long")))
+      .withColumn("verdict",
+        when(!col("__ok"), "degenerate")
+          .when(least(col("z_lower_milli"), col("z_upper_milli")) >= 1645L,
+            "equivalent")
+          .otherwise("not_equivalent"))
+      .select(col("grp").as(groupCol), col("n_a"), col("n_b"),
+        col("mean_a_milli"), col("mean_b_milli"),
+        lit(marginMilli).as("margin_milli"),
+        col("z_lower_milli"), col("z_upper_milli"), col("verdict"))
+  }
+
   /** A/B experiment readout over an event stream: md5-derandomized 50/50
     * user assignment (the t21/t36 bucketing discipline — assignment is a
     * pure function of the user id, reproducible by any engine), per-event-

@@ -46,6 +46,7 @@ object TemporalQueries {
     "e26_benford" -> ((s, d) => benfordQ(s, d)),
     "e27_seasonal_strength" -> ((s, d) => seasonalStrengthQ(s, d)),
     "e28_holt_winters" -> ((s, d) => holtWintersQ(s, d)),
+    "e29_tost" -> ((s, d) => tostQ(s, d)),
     "c5_texttile" -> ((s, d) => textTileQ(s, d))
   )
 
@@ -93,6 +94,28 @@ object TemporalQueries {
     graft.operators.Features.holtWinters(src, "event_type", "ts", "value",
         period = 7)
       .orderBy("event_type", "day")
+  }
+
+  /** [[graft.operators.Features.tostEquivalence]] on two planted swaps
+    * of the events value stream (md5 arm split on event_id, margin
+    * δ = 300 centi ≈ 6% of the mean — a realistic "no worse than"
+    * bar): `swap_ok` compares the identical distribution (Δ ≈ 0,
+    * se ≈ 100 centi at sf0.01 → both one-sided z ≈ +3: EQUIVALENT —
+    * the verdict a failed-to-reject uplift test cannot license) and
+    * `swap_regressed` gives arm B +500 centi (past the margin: z_upper
+    * ≈ −2, NOT equivalent) — both branches discriminate, the ev18
+    * two-arm texture. Exact centi fixed-point; means exact milli. */
+  def tostQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val a = (conv(substring(md5(concat(lit("to:"), col("event_id"))), 1, 6),
+      16, 10).cast("long") % 2).as("is_a")
+    val base = ev.select(a, floor(col("value") * 100).cast("long").as("v"))
+    val ok = base.select(lit("swap_ok").as("pair"), col("is_a"), col("v"))
+    val reg = base.select(lit("swap_regressed").as("pair"), col("is_a"),
+      (col("v") + when(col("is_a") === 0L, 500L).otherwise(0L)).as("v"))
+    graft.operators.Features.tostEquivalence(ok.unionByName(reg),
+        "pair", "is_a", "v", marginMilli = 300000L)
+      .orderBy("pair")
   }
 
   /** [[graft.operators.Features.benfordReport]] on two value feeds:
@@ -857,6 +880,59 @@ object TemporalQueries {
          |  ON s.event_type = r.event_type AND s.t = r.t
          |WHERE r.t >= 7
          |ORDER BY event_type, day""").stripMargin,
+
+    // one conditional-moment pass -> exact milli means -> the stated
+    // Welch float line (two decimal->double casts per variance, one add,
+    // sqrt, two divisions, floor(z*1000)); lateral aliases carry
+    // se2/delta/ok; both one-sided statistics must clear 1.645
+    "e29_tost" ->
+      ("""WITH s AS (
+         |  SELECT 'swap_ok' AS pair,
+         |    ('0x' || substr(md5('to:' || event_id), 1, 6))::BIGINT % 2 AS a,
+         |    floor(value * 100)::BIGINT AS v
+         |  FROM events
+         |  UNION ALL
+         |  SELECT 'swap_regressed',
+         |    ('0x' || substr(md5('to:' || event_id), 1, 6))::BIGINT % 2,
+         |    floor(value * 100)::BIGINT +
+         |      (CASE WHEN ('0x' || substr(md5('to:' || event_id), 1, 6))::BIGINT % 2 = 0
+         |            THEN 500 ELSE 0 END)
+         |  FROM events),
+         |g AS (SELECT pair, sum(a)::BIGINT AS n_a, sum(1 - a)::BIGINT AS n_b,
+         |        sum(CASE WHEN a = 1 THEN v::HUGEINT ELSE 0 END) AS sa,
+         |        sum(CASE WHEN a = 0 THEN v::HUGEINT ELSE 0 END) AS sb,
+         |        sum(CASE WHEN a = 1 THEN v::HUGEINT * v ELSE 0 END) AS saa,
+         |        sum(CASE WHEN a = 0 THEN v::HUGEINT * v ELSE 0 END) AS sbb
+         |      FROM s GROUP BY pair),
+         |f AS (SELECT *,
+         |    (cast(n_a * saa - sa * sa AS DOUBLE) /
+         |       (n_a::DOUBLE * (n_a - 1) * n_a)
+         |     + cast(n_b * sbb - sb * sb AS DOUBLE) /
+         |       (n_b::DOUBLE * (n_b - 1) * n_b)) AS se2,
+         |    (cast(sb AS DOUBLE) / cast(n_b AS DOUBLE)
+         |     - cast(sa AS DOUBLE) / cast(n_a AS DOUBLE)) AS delta,
+         |    (n_a >= 2 AND n_b >= 2 AND
+         |     (n_a * saa - sa * sa > 0 OR n_b * sbb - sb * sb > 0)) AS ok
+         |  FROM g)
+         |SELECT pair, n_a, n_b,
+         |  ((sa * 1000) // n_a)::BIGINT AS mean_a_milli,
+         |  ((sb * 1000) // n_b)::BIGINT AS mean_b_milli,
+         |  300000::BIGINT AS margin_milli,
+         |  (CASE WHEN ok THEN
+         |     floor((delta + 300.0) / sqrt(se2) * 1000.0) END)::BIGINT
+         |    AS z_lower_milli,
+         |  (CASE WHEN ok THEN
+         |     floor((300.0 - delta) / sqrt(se2) * 1000.0) END)::BIGINT
+         |    AS z_upper_milli,
+         |  CASE WHEN NOT ok THEN 'degenerate'
+         |       WHEN least(
+         |         (CASE WHEN ok THEN
+         |            floor((delta + 300.0) / sqrt(se2) * 1000.0) END)::BIGINT,
+         |         (CASE WHEN ok THEN
+         |            floor((300.0 - delta) / sqrt(se2) * 1000.0) END)::BIGINT)
+         |         >= 1645 THEN 'equivalent'
+         |       ELSE 'not_equivalent' END AS verdict
+         |FROM f ORDER BY pair""").stripMargin,
 
     // first digit from the decimal string (never a float log10), honest
     // zero digit rows, exact micro contributions, the df=8 verdict

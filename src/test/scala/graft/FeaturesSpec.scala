@@ -143,6 +143,50 @@ class FeaturesSpec extends AnyFunSuite {
       (math.abs(nA - nB) * 10000L > (nA + nB) * 500L))
   }
 
+  test("tostEquivalence: hand-replayed Welch chain; equivalence claimed " +
+    "only when BOTH one-sided z clear 1.645; degenerate honesty; guards") {
+    import spark.implicits._
+    def run(rows: Seq[(String, Long, Long)], margin: Long) =
+      graft.operators.Features.tostEquivalence(
+        rows.toDF("grp", "a", "v"), "grp", "a", "v", margin)
+        .as[(String, Long, Long, Long, Long, Long, Option[Long],
+          Option[Long], String)].collect().map(r => r._1 -> r).toMap
+    // A=[10,20], B=[12,22], margin 5: means 15/17, each s2/n = 25,
+    // se = sqrt(50); z_lo = 7/7.0711 = 0.9899 -> 989, z_up = 3/7.0711
+    // -> 424: inconclusive at n=2 (the burden-of-proof property: a
+    // failed uplift test would READ as "no difference" here)
+    val small = run(Seq(("g", 1L, 10L), ("g", 1L, 20L),
+      ("g", 0L, 12L), ("g", 0L, 22L)), 5000L)
+    assert(small("g") == (("g", 2L, 2L, 15000L, 17000L, 5000L,
+      Some(989L), Some(424L), "not_equivalent")))
+    // same per-point spread at n=100/arm: se shrinks ~7x, both sides
+    // clear the bar -> equivalent
+    val big = (0 until 100).flatMap(i => Seq(
+      ("g", 1L, if (i % 2 == 0) 10L else 20L),
+      ("g", 0L, if (i % 2 == 0) 10L else 20L)))
+    val eq = run(big, 5000L)
+    assert(eq("g")._9 == "equivalent" &&
+      eq("g")._7 == eq("g")._8, "zero delta: symmetric z")
+    assert(eq("g")._7.exists(_ >= 1645L))
+    // zero variance in BOTH arms: no se, honest degenerate (never a
+    // divide-by-zero infinity smuggled through floor)
+    val deg = run(Seq(("d", 1L, 7L), ("d", 1L, 7L),
+      ("d", 0L, 7L), ("d", 0L, 7L)), 1000L)
+    assert(deg("d")._7.isEmpty && deg("d")._9 == "degenerate")
+    // a one-sample arm is degenerate, not a crash
+    val one = run(Seq(("o", 1L, 1L), ("o", 1L, 2L), ("o", 0L, 3L)), 1000L)
+    assert(one("o")._9 == "degenerate")
+    val badM = intercept[IllegalArgumentException] {
+      graft.operators.Features.tostEquivalence(
+        Seq(("x", 1L, 1L)).toDF("grp", "a", "v"), "grp", "a", "v", 0L)
+    }
+    assert(badM.getMessage.contains("positive equivalence margin"))
+    val badA = intercept[Exception] {
+      run(Seq(("x", 2L, 1L), ("x", 0L, 2L)), 1000L)
+    }
+    assert(badA.getMessage.contains("0/1"))
+  }
+
   test("psiReport: hand-computed contributions; empty-bin clamp; identical windows read zero") {
     // bins=2: ref splits 1/1, cur lands entirely in bin 0 — bin 1 empties
     // on the current side and must take the 1-ppm clamp, not divide by 0
