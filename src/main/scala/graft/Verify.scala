@@ -153,7 +153,9 @@ object Verify {
     "gr11_ppr",
     // e29: one conditional-moment pass over the 10x sample stream; the
     // Welch float line rides 10x-magnitude exact moments
-    "e29_tost")
+    "e29_tost",
+    // u9: the synthesized lake logs scale with the corpus (x64 3.5)
+    "u9_gc_plan")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rest @ _*) = args
