@@ -361,6 +361,92 @@ object Multimodal {
       .distinct()
   }
 
+  /** VIDEO-level near-duplicate detection — the re-upload/re-encode
+    * dedup pass for the video modality (the video sibling of
+    * [[imageNearDups]], and the multimodal-curation seat m7/m11 leave
+    * open: a video corpus's duplicate mass is whole VIDEOS — mirrors,
+    * re-encodes, watermarked re-uploads — not stray frames): two videos
+    * are near-dups when their rank-aligned sampled-frame fingerprints
+    * match (per-frame dHash Hamming ≤ `maxHamming`) on at least
+    * `minMatchPpm` of the frames. Alignment is BY RANK over the shared
+    * sampling grid (the m2 fixed-rate convention: re-encodes of one
+    * video sample the same timeline); candidates must agree on frame
+    * COUNT (a re-encode keeps duration — stated; clipped/trimmed
+    * variants are a different operator's problem).
+    *
+    * Scale shape: pixels are touched ONCE, map-only (the
+    * [[imageDHashes]] mapPartitions); undecodable frames drop from the
+    * signature (the m5 rule — dedup cannot judge what it cannot see).
+    * Candidate generation is the m5 pigeonhole ON THE FIRST FRAME: a
+    * matching pair's rank-1 hashes differ ≤ maxHamming ≤ 3 bits, so
+    * they agree on one of the 4 16-bit blocks — the join is equi on
+    * (block, value, n_frames), never all-pairs over videos. The verify
+    * stage joins candidates back to BOTH signatures on (video, rank) —
+    * per-pair cost is |frames|, map-side-combined into one row. Chance
+    * block collisions reach verify (8-byte rows), score their honest
+    * low match_ppm, and emit is_dup = false — the candidate audit rides
+    * the output rather than being silently filtered. Output:
+    * (video_a, video_b, n_frames, n_matched, match_ppm, is_dup). */
+  def videoNearDups(frames: DataFrame, videoCol: String, tsCol: String,
+                    bytesCol: String, maxHamming: Int = 3,
+                    minMatchPpm: Long = 800000L): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit first-frame blocking is pigeonhole-complete only to " +
+        s"Hamming 3 (got $maxHamming)")
+    require(minMatchPpm >= 1 && minMatchPpm <= 1000000,
+      s"videoNearDups needs minMatchPpm in [1, 1e6] (got $minMatchPpm)")
+    val schema = StructType(Seq(
+      StructField("vid", LongType, nullable = false),
+      StructField("ts", LongType, nullable = false),
+      StructField("dhash", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val vIdx = frames.schema.fieldIndex(videoCol)
+    val tIdx = frames.schema.fieldIndex(tsCol)
+    val bIdx = frames.schema.fieldIndex(bytesCol)
+    val hashed = frames.mapPartitions { rows =>
+      rows.flatMap { r =>
+        ImageCodec.dHash(r.getAs[Array[Byte]](bIdx))
+          .map(h => Row(r.getLong(vIdx), r.getLong(tIdx), h)).iterator
+      }
+    }(enc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vid").orderBy("ts")
+    // signature table: one decode of the corpus, four consumers (counts,
+    // the two block-join sides, the two verify sides) — stage-cut
+    val sig = hashed
+      .withColumn("rank", row_number().over(w))
+      .withColumn("n_frames",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("vid")))
+      .localCheckpoint()
+    val firstBlk = sig.filter(col("rank") === 1)
+      .select(col("vid"), col("n_frames"), col("dhash"),
+        explode(sequence(lit(0), lit(3))).as("block_idx"))
+      .withColumn("blk", expr("shiftright(dhash, 16 * block_idx) & 65535"))
+    val a = firstBlk.as("a"); val b = firstBlk.as("b")
+    val cand = a.join(b,
+        col("a.block_idx") === col("b.block_idx") &&
+          col("a.blk") === col("b.blk") &&
+          col("a.n_frames") === col("b.n_frames") &&
+          col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("va"), col("b.vid").as("vb"),
+        col("a.n_frames").as("n_frames"))
+      .distinct()
+    cand
+      .join(sig.select(col("vid").as("va"), col("rank"),
+        col("dhash").as("ha")), Seq("va"))
+      .join(sig.select(col("vid").as("vb"), col("rank"),
+        col("dhash").as("hb")), Seq("vb", "rank"))
+      .groupBy("va", "vb", "n_frames")
+      .agg(sum(when(
+        bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxHamming, 1L)
+        .otherwise(0L)).as("n_matched"))
+      .select(col("va").as("video_a"), col("vb").as("video_b"),
+        col("n_frames"), col("n_matched"),
+        expr("(n_matched * 1000000) div n_frames").as("match_ppm"))
+      .withColumn("is_dup", col("match_ppm") >= minMatchPpm)
+  }
+
   private def blockKeys(hashes: DataFrame): DataFrame = hashes
     .select(col("id"), col("dhash"),
       explode(sequence(lit(0), lit(3))).as("block_idx"))

@@ -43,6 +43,7 @@ object PipelineQueries {
     "m13_image_entropy" -> ((s, d) => imageEntropyQ(s, d)),
     "m7_multimodal_curation" -> ((s, d) => multimodalCuration(s, d)),
     "m8_scene_cuts" -> ((s, d) => sceneCutsQ(s, d)),
+    "m14_video_neardup" -> ((s, d) => videoNearDupsQ(s, d)),
     "m9_scene_cuts_dense" -> ((s, d) => sceneCutsDense(s, d)),
     "m10_caption_frames" -> ((s, d) => captionFrames(s, d)),
     "r1_rerank" -> ((s, d) => rerank(s, d)),
@@ -627,6 +628,40 @@ object PipelineQueries {
         col("asof_ts").as("frame_ts"),
         col("asof_frame_hash").as("frame_hash"))
       .orderBy("video_id", "seg_number")
+  }
+
+  /** [[graft.operators.Multimodal.videoNearDups]] over synthesized
+    * re-upload triples (every rule named): videos = doc_id < 180 in
+    * groups g = id div 3 of three uploads each, g%4+4 frames at ts = f;
+    * frame hashes h(f) = md5₆₀("vg:g:f") perturbed per upload slot —
+    * slot 0 exact, slot 1 flips ONE bit per frame (a re-encode's
+    * jitter: per-frame Hamming 1 → MATCHES), slot 2 flips the SAME ten
+    * bits of block 3 in every frame (blocks 0–2 still agree, so it IS
+    * a first-frame candidate, but per-frame Hamming 10 ≫ 3 → is_dup
+    * false — the planted candidate-audit negative). Every group emits
+    * its (0,1) dup pair and two audited non-dup candidates; chance
+    * 16-bit collisions across groups add deterministic extras the
+    * oracle replays identically. */
+  def videoNearDupsQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vids = Tables.documents(spark, dir).filter(col("doc_id") < 180)
+      .select(col("doc_id")).as[Long]
+    val frames = vids.flatMap { id =>
+      val g = id / 3
+      val n = (g % 4 + 4).toInt
+      (0 until n).map { f =>
+        val base = md5Hash60(s"vg:$g:$f")
+        val h = (id % 3) match {
+          case 0 => base
+          case 1 => base ^ (1L << (f % 60).toInt)
+          case _ => base ^ (1023L << 48)
+        }
+        (id, f.toLong, staircaseFromHash(h))
+      }
+    }.toDF("video_id", "ts", "bytes")
+    Multimodal.videoNearDups(frames, "video_id", "ts", "bytes",
+        maxHamming = 3, minMatchPpm = 800000L)
+      .orderBy("video_a", "video_b")
   }
 
   /** The m5 fixture: a 9x8 staircase PNG whose dHash is
@@ -1557,6 +1592,36 @@ object PipelineQueries {
         |  (coalesce(comp.keep, h.doc_id) <> h.doc_id) AS is_dup
         |FROM h LEFT JOIN comp ON comp.id = h.doc_id
         |ORDER BY id""".stripMargin,
+    "m14_video_neardup" ->
+      """WITH v AS (SELECT doc_id AS id, doc_id // 3 AS g FROM documents
+        |  WHERE doc_id < 180),
+        |f0 AS (SELECT id, g, s AS f FROM v, generate_series(0, 10) t(s)
+        |       WHERE s < (g % 4 + 4)),
+        |h AS (SELECT id, f, (g % 4 + 4)::BIGINT AS n,
+        |    CASE WHEN id % 3 = 0 THEN base
+        |         WHEN id % 3 = 1 THEN xor(base, 1::BIGINT << (f % 60)::INT)
+        |         ELSE xor(base, 1023::BIGINT << 48) END AS dh
+        |  FROM (SELECT *,
+        |    ('0x' || substr(md5('vg:' || g || ':' || f), 1, 15))::BIGINT AS base
+        |    FROM f0)),
+        |frst AS (SELECT id, n, dh FROM h WHERE f = 0),
+        |blk AS (SELECT id, n, bi, (dh >> (16 * bi)::INT) & 65535 AS b
+        |        FROM frst, generate_series(0, 3) t(bi)),
+        |cand AS (SELECT DISTINCT a.id AS va, b.id AS vb, a.n
+        |         FROM blk a JOIN blk b
+        |         ON a.bi = b.bi AND a.b = b.b AND a.n = b.n AND a.id < b.id),
+        |ver AS (SELECT c.va, c.vb, c.n,
+        |          sum(CASE WHEN bit_count(xor(ha.dh, hb.dh)) <= 3
+        |              THEN 1 ELSE 0 END)::BIGINT AS n_matched
+        |        FROM cand c
+        |        JOIN h ha ON ha.id = c.va
+        |        JOIN h hb ON hb.id = c.vb AND hb.f = ha.f
+        |        GROUP BY c.va, c.vb, c.n)
+        |SELECT va AS video_a, vb AS video_b, n AS n_frames, n_matched,
+        |  (n_matched * 1000000) // n AS match_ppm,
+        |  ((n_matched * 1000000) // n) >= 800000 AS is_dup
+        |FROM ver ORDER BY video_a, video_b""".stripMargin,
+
     "m5_image_dhash" ->
       """WITH d AS (SELECT doc_id,
         |    ('0x' || substr(md5('g:' || (doc_id % 5)), 1, 15))::BIGINT AS base

@@ -73,4 +73,52 @@ class SceneCutsSpec extends AnyFunSuite {
     assert(out(2)._3.isEmpty && !out(2)._4,
       "transition FROM a junk frame is unjudgeable, not a cut")
   }
+  test("videoNearDups: exact re-upload matches on every frame; 1-bit " +
+    "jitter still matches; a hard-different video with a shared block " +
+    "emits an audited non-dup; frame-count mismatch never a candidate; " +
+    "undecodable frames drop from the signature") {
+    // videos: 10 = original (3 frames), 11 = 1-bit-nudged re-encode,
+    // 12 = hard-different content but SAME first-frame lower blocks
+    // (flipTop flips ~32 bits spread over blocks -> may or may not
+    // collide; instead 12 reuses frame 0 verbatim so blocks agree, and
+    // hard-flips frames 1..2 -> match 1/3 < 80%), 13 = only 2 frames
+    // (same content as 10 -> still never a candidate), 14 = 10's twin
+    // with a junk middle frame (signature shrinks to 2 frames -> count
+    // mismatch with 10, no candidacy)
+    val f0 = png(flipTop = false)
+    val f0n = png(flipTop = false, nudge = true)
+    val fX = png(flipTop = true)
+    val frames = Seq(
+      (10L, 0L, f0), (10L, 1L, f0), (10L, 2L, f0),
+      (11L, 0L, f0n), (11L, 1L, f0n), (11L, 2L, f0n),
+      (12L, 0L, f0), (12L, 1L, fX), (12L, 2L, fX),
+      (13L, 0L, f0), (13L, 1L, f0),
+      (14L, 0L, f0), (14L, 1L, Array[Byte](9, 9)), (14L, 2L, f0)
+    ).toDF("video_id", "ts", "bytes")
+    val out = Multimodal.videoNearDups(frames, "video_id", "ts", "bytes",
+        maxHamming = 3, minMatchPpm = 800000L)
+      .as[(Long, Long, Long, Long, Long, Boolean)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(out.contains((10L, 11L)), "jittered re-encode is a candidate")
+    assert(out((10L, 11L)) == ((10L, 11L, 3L, 3L, 1000000L, true)),
+      s"every frame matches within 1 bit: ${out((10L, 11L))}")
+    assert(out.contains((10L, 12L)) && !out((10L, 12L))._6,
+      "shared-first-frame different video: audited non-dup candidate")
+    assert(out((10L, 12L))._4 == 1L && out((10L, 12L))._5 == 333333L)
+    // 13 and 14 both carry 2-frame signatures of the same content (14's
+    // junk middle frame DROPPED from its signature) - they pair with
+    // each other, and NEITHER pairs with the 3-frame videos: the count
+    // gate refuses cross-length alignment rather than faking it
+    assert(out((13L, 14L)) == ((13L, 14L, 2L, 2L, 1000000L, true)))
+    assert(!out.keySet.exists(k =>
+      (Set(k._1, k._2) & Set(13L, 14L)).nonEmpty &&
+        (Set(k._1, k._2) & Set(10L, 11L, 12L)).nonEmpty),
+      "frame-count mismatch is never a candidate")
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.videoNearDups(frames, "video_id", "ts", "bytes",
+        maxHamming = 9)
+    }
+    assert(e.getMessage.contains("pigeonhole"))
+  }
+
 }
