@@ -1037,6 +1037,11 @@ object Evals {
     * pathological near-fully-tied case the emit raises instead of
     * wrapping (the ev15 window discipline, split per term).
     *
+    * Beside the verdict rides Cliff's δ (Cliff 1993, exact integer ppm
+    * from the same 2U/mu2 integers): at production sample sizes nearly
+    * everything is "significant" — δ = P(A>B) − P(A<B) says whether the
+    * shift is big enough for anyone to care.
+    *
     * 100 TB shape: ONE map-side-combined groupBy on (group, value) —
     * bounded by |groups|·|distinct values|, never row count — then the
     * ev12 per-group cumulative window over each group's distinct-value
@@ -1090,12 +1095,24 @@ object Evals {
           ((col("u2") - col("mu2")).cast("double") / lit(2.0)) /
             sqrt(col("__var_num").cast("double") /
               col("__var_den").cast("double")) * lit(1000.0)).cast("long")))
+      // Cliff's delta (Cliff 1993) rides the same integers for free:
+      // δ = (#(a>b) − #(a<b))/(n_A·n_B) = (2U − n_A·n_B)/(n_A·n_B) —
+      // the EFFECT SIZE beside the z verdict (at 10⁶ samples a 0.01-δ
+      // shift is "significant"; δ says whether anyone should care).
+      // Exact integer ppm, truncation toward zero engine-agreed; NULL
+      // for single-class groups (no pairs to compare).
+      .withColumn("cliffs_delta_ppm",
+        when(col("mu2") > 0,
+          // (u2−mu2)·10⁶ reaches ~2.25·10²⁴ at the 3·10⁹ window bound —
+          // the multiply rides decimal, the bounded quotient is a long
+          expr("((cast(u2 as decimal(38,0)) - mu2) * 1000000) div mu2")))
       .withColumn("verdict",
         when(col("z_milli").isNull, "degenerate")
           .when(abs(col("z_milli")) < 1960L, "no_significant_shift")
           .when(col("z_milli") >= 1960L, "a_high")
           .otherwise("b_high"))
       .select(col("grp").as(groupCol), col("n_a"), col("n_b"), col("u2"),
-        col("mu2"), col("tie_cubes"), col("z_milli"), col("verdict"))
+        col("mu2"), col("tie_cubes"), col("cliffs_delta_ppm"),
+        col("z_milli"), col("verdict"))
   }
 }

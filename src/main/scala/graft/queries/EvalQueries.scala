@@ -1025,6 +1025,9 @@ FROM fin ORDER BY feature""").stripMargin,
          |      FROM c GROUP BY pair),
          |f AS (SELECT *, n_a + n_b AS n, n_a * n_b AS mu2 FROM r)
          |SELECT pair, n_a, n_b, u2, mu2, tie_cubes,
+         |  (CASE WHEN mu2 > 0 THEN
+         |     ((u2::HUGEINT - mu2) * 1000000) // mu2 END)::BIGINT
+         |    AS cliffs_delta_ppm,
          |  (CASE WHEN (n_a::HUGEINT * n_b) *
          |         (n::HUGEINT * n * n - n - tie_cubes) > 0 THEN
          |     floor(((u2 - mu2)::DOUBLE / 2.0) /

@@ -550,34 +550,40 @@ class EvalsSpec extends AnyFunSuite {
     def run(rows: Seq[(String, Long, Long)]) =
       graft.operators.Evals.mannWhitney(
         rows.toDF("grp", "a", "v"), "grp", "a", "v")
-        .as[(String, Long, Long, Long, Long, Long, Option[Long], String)]
+        .as[(String, Long, Long, Long, Long, Long, Option[Long],
+          Option[Long], String)]
         .collect().map(r => r._1 -> r).toMap
     // A={1,3,3}, B={2,3}: pairwise A-wins 2, ties 2 -> 2U=6; mu2=6;
     // tie group t=3 at v=3 -> T=24; var_num=6*(120-24)=576, den=240,
     // z = 0/sqrt(2.4) = 0
     val out = run(Seq(("g", 1L, 1L), ("g", 1L, 3L), ("g", 1L, 3L),
       ("g", 0L, 2L), ("g", 0L, 3L)))
-    assert(out("g") == (("g", 3L, 2L, 6L, 6L, 24L, Some(0L),
-      "no_significant_shift")))
+    assert(out("g") == (("g", 3L, 2L, 6L, 6L, 24L, Some(0L), Some(0L),
+      "no_significant_shift")), s"got: ${out("g")}")
     // 20 vs 20 cleanly separated: 2U=2*400=800, mu2=400, T=0,
     // z = 200/sqrt(400*(64000-40)/(12*40*39)) = 200/sqrt(400*63960/18720)
     val hi = (1L to 20L).map(i => ("s", 1L, 100L + i)) ++
       (1L to 20L).map(i => ("s", 0L, i))
     val his = run(hi)
     assert(his("s")._4 == 800L && his("s")._5 == 400L &&
-      his("s")._8 == "a_high" && his("s")._7.exists(_ > 1960L))
+      his("s")._9 == "a_high" && his("s")._8.exists(_ > 1960L))
+    assert(his("s")._7.contains(1000000L),
+      "clean separation: Cliff's delta exactly +1")
     // mirrored: B dominates
     val lo = run(hi.map { case (g, a, v) => (g, 1L - a, v) })
-    assert(lo("s")._8 == "b_high" && lo("s")._7.exists(_ < -1960L))
+    assert(lo("s")._9 == "b_high" && lo("s")._8.exists(_ < -1960L))
+    assert(lo("s")._7.contains(-1000000L))
     // symmetric z: the mirrored statistic is the exact negation shifted
     // by floor (floor(-x) = -floor(x)-1 off lattice)
-    assert(his("s")._7.get + lo("s")._7.get == -1L)
-    // every value tied across both samples: variance 0, honest NULL
+    assert(his("s")._8.get + lo("s")._8.get == -1L)
+    // every value tied across both samples: variance 0, honest NULL z,
+    // but delta is still defined (all pairs tie -> exactly 0)
     val deg = run(Seq(("d", 1L, 7L), ("d", 0L, 7L), ("d", 1L, 7L)))
-    assert(deg("d")._7.isEmpty && deg("d")._8 == "degenerate")
-    // single-class group (all A): mu2 = 0, var 0 -> degenerate, not crash
+    assert(deg("d")._8.isEmpty && deg("d")._9 == "degenerate" &&
+      deg("d")._7.contains(0L))
+    // single-class group (all A): mu2 = 0 -> no pairs, delta NULL too
     val one = run(Seq(("o", 1L, 1L), ("o", 1L, 2L)))
-    assert(one("o")._8 == "degenerate")
+    assert(one("o")._9 == "degenerate" && one("o")._7.isEmpty)
     val badMark = intercept[Exception] {
       run(Seq(("x", 2L, 1L), ("x", 0L, 2L)))
     }
