@@ -155,7 +155,10 @@ object Verify {
     // Welch float line rides 10x-magnitude exact moments
     "e29_tost",
     // u9: the synthesized lake logs scale with the corpus (x64 3.5)
-    "u9_gc_plan")
+    "u9_gc_plan",
+    // e30: the daily rollup is corpus-sized; the 10x stream widens the
+    // sign-pair magnitudes and the tie spectrum
+    "e30_mann_kendall")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rest @ _*) = args

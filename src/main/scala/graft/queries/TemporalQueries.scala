@@ -47,6 +47,7 @@ object TemporalQueries {
     "e27_seasonal_strength" -> ((s, d) => seasonalStrengthQ(s, d)),
     "e28_holt_winters" -> ((s, d) => holtWintersQ(s, d)),
     "e29_tost" -> ((s, d) => tostQ(s, d)),
+    "e30_mann_kendall" -> ((s, d) => mannKendallQ(s, d)),
     "c5_texttile" -> ((s, d) => textTileQ(s, d))
   )
 
@@ -116,6 +117,32 @@ object TemporalQueries {
     graft.operators.Features.tostEquivalence(ok.unionByName(reg),
         "pair", "is_a", "v", marginMilli = 300000L)
       .orderBy("pair")
+  }
+
+  /** [[graft.operators.Features.mannKendall]] over the raw five
+    * event-type daily streams plus planted '_up' / '_dn' drift twins
+    * whose per-event value is REPLACED by ±(epoch_day − 19700) — the
+    * named rule. The first cut ADDED a per-day drift to the raw value
+    * and read no_trend everywhere: a drift ∝ absolute epoch day
+    * multiplies the daily EVENT-COUNT noise by ~19,731 (sum(d) =
+    * c(d)·(mean + d·δ)), so the series order followed c(d), not the
+    * plant — a real lesson in planting trends under count-varying
+    * rollups. The replace form's sums c(d)·(d−19700)·100 are
+    * count-jittered but trend-dominated: S ≈ +300 of 435 pairs,
+    * z ≈ ±5.4, verdicts pin trending_up / trending_down while the raw
+    * arms read the generator's honest no_trend. */
+  def mannKendallQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val dd = datediff(col("ts").cast("date"), to_date(lit("1970-01-01")))
+      .cast("double") - 19700.0
+    def arm(suffix: String, v: Column) = ev.select(
+      concat(col("event_type"), lit(suffix)).as("event_type"),
+      col("ts"), v.as("value"))
+    val src = ev.select("event_type", "ts", "value")
+      .unionByName(arm("_up", dd))
+      .unionByName(arm("_dn", -dd))
+    graft.operators.Features.mannKendall(src, "event_type", "ts", "value")
+      .orderBy("event_type")
   }
 
   /** [[graft.operators.Features.benfordReport]] on two value feeds:
@@ -880,6 +907,62 @@ object TemporalQueries {
          |  ON s.event_type = r.event_type AND s.t = r.t
          |WHERE r.t >= 7
          |ORDER BY event_type, day""").stripMargin,
+
+    // daily grid -> (key, di<dj) pair join -> exact sign sum + tie term
+    // -> the textbook continuity-corrected z, floored at milli
+    "e30_mann_kendall" ->
+      ("""WITH src AS (
+         |  SELECT event_type, ts, value FROM events
+         |  UNION ALL
+         |  SELECT event_type || '_up', ts,
+         |    ((ts::DATE - DATE '1970-01-01') - 19700)::DOUBLE FROM events
+         |  UNION ALL
+         |  SELECT event_type || '_dn', ts,
+         |    -(((ts::DATE - DATE '1970-01-01') - 19700)::DOUBLE) FROM events),
+         |daily AS (
+         |  SELECT event_type, ts::DATE AS d,
+         |    sum(floor(value * 100)::BIGINT)::BIGINT AS x
+         |  FROM src GROUP BY 1, 2),
+         |b AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+         |grid AS (
+         |  SELECT k.event_type, (b.lo + g.i * INTERVAL 1 DAY)::DATE AS d
+         |  FROM (SELECT DISTINCT event_type FROM src) k, b, range(400) g(i)
+         |  WHERE (b.lo + g.i * INTERVAL 1 DAY)::DATE <= b.hi),
+         |s AS (SELECT grid.event_type,
+         |        (grid.d - DATE '1970-01-01')::BIGINT AS di,
+         |        coalesce(daily.x, 0)::BIGINT AS x
+         |      FROM grid LEFT JOIN daily
+         |        ON grid.event_type = daily.event_type AND grid.d = daily.d),
+         |pr AS (SELECT a.event_type,
+         |        sum(sign(b.x - a.x))::BIGINT AS s_stat
+         |      FROM s a JOIN s b
+         |        ON a.event_type = b.event_type AND a.di < b.di
+         |      GROUP BY a.event_type),
+         |ti AS (SELECT event_type,
+         |        sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie_term,
+         |        sum(t)::BIGINT AS n_days
+         |      FROM (SELECT event_type, x, count(*)::BIGINT AS t
+         |            FROM s GROUP BY 1, 2) GROUP BY event_type),
+         |f AS (SELECT p.event_type, t.n_days, p.s_stat, t.tie_term,
+         |        (t.n_days * (t.n_days - 1) * (2 * t.n_days + 5)
+         |         - t.tie_term)::BIGINT AS var18
+         |      FROM pr p JOIN ti t USING (event_type))
+         |SELECT event_type, n_days, s_stat, tie_term,
+         |  (CASE WHEN var18 > 0 THEN
+         |     floor((s_stat::DOUBLE - sign(s_stat::DOUBLE))
+         |           / sqrt(var18::DOUBLE / 18.0) * 1000.0) END)::BIGINT
+         |    AS z_milli,
+         |  CASE WHEN var18 <= 0 THEN 'degenerate'
+         |       WHEN abs((CASE WHEN var18 > 0 THEN
+         |           floor((s_stat::DOUBLE - sign(s_stat::DOUBLE))
+         |                 / sqrt(var18::DOUBLE / 18.0) * 1000.0) END)::BIGINT)
+         |            < 1960 THEN 'no_trend'
+         |       WHEN (CASE WHEN var18 > 0 THEN
+         |           floor((s_stat::DOUBLE - sign(s_stat::DOUBLE))
+         |                 / sqrt(var18::DOUBLE / 18.0) * 1000.0) END)::BIGINT
+         |            >= 1960 THEN 'trending_up'
+         |       ELSE 'trending_down' END AS verdict
+         |FROM f ORDER BY event_type""").stripMargin,
 
     // one conditional-moment pass -> exact milli means -> the stated
     // Welch float line (two decimal->double casts per variance, one add,

@@ -143,6 +143,41 @@ class FeaturesSpec extends AnyFunSuite {
       (math.abs(nA - nB) * 10000L > (nA + nB) * 500L))
   }
 
+  test("mannKendall: hand-computed S/ties/z on monotone, reversed, " +
+    "constant, and mixed series; gap days zero-fill into the pair set") {
+    import spark.implicits._
+    def day(i: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(1970, 1, 1).plusDays(i).atStartOfDay())
+    def run(rows: Seq[(String, Int, Double)]) =
+      graft.operators.Features.mannKendall(
+        rows.map { case (k, i, v) => (k, day(i), v) }.toDF("k", "ts", "v"),
+        "k", "ts", "v")
+        .as[(String, Long, Long, Long, Option[Long], String)]
+        .collect().map(r => r._1 -> r).toMap
+    // [1..5]: S = 10, T = 0, var18 = 5·4·15 = 300,
+    // z = (10−1)/sqrt(300/18) = 2.2045 -> 2204
+    val out = run(
+      (0 until 5).map(i => ("up", i, (i + 1) / 100.0)) ++
+      (0 until 5).map(i => ("dn", i, (5 - i) / 100.0)) ++
+      (0 until 5).map(i => ("ct", i, 0.07)))
+    assert(out("up") == (("up", 5L, 10L, 0L, Some(2204L), "trending_up")))
+    assert(out("dn") == (("dn", 5L, -10L, 0L, Some(-2205L),
+      "trending_down")), s"floor(-2204.5) = -2205: ${out("dn")}")
+    // constant: T = n(n-1)(2n+5) exactly cancels var18 -> degenerate
+    assert(out("ct")._4 == 300L && out("ct")._5.isEmpty &&
+      out("ct")._6 == "degenerate")
+    // [1,3,2] in its own run (the grid spans the GLOBAL min..max across
+    // keys - the e23 shared-grid law, asserted above by ct's n=5):
+    // S = 1, the continuity correction zeroes it -> z = 0
+    val mx = run(Seq(("mx", 0, 0.01), ("mx", 1, 0.03), ("mx", 2, 0.02)))
+    assert(mx("mx") == (("mx", 3L, 1L, 0L, Some(0L), "no_trend")))
+    // a skipped day zero-fills: [5, (0), 6] -> x = [5,0,6]:
+    // S = sign(0-5)+sign(6-5)+sign(6-0) = 1
+    val gap = run(Seq(("g", 0, 0.05), ("g", 2, 0.06)))
+    assert(gap("g")._2 == 3L && gap("g")._3 == 1L,
+      s"gap day joined the pair set: ${gap("g")}")
+  }
+
   test("tostEquivalence: hand-replayed Welch chain; equivalence claimed " +
     "only when BOTH one-sided z clear 1.645; degenerate honesty; guards") {
     import spark.implicits._
