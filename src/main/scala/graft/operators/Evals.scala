@@ -878,12 +878,20 @@ object Evals {
     val agg = outcomes.agg(
       count(lit(1)).as("__n_rows"),
       countDistinct(col(idCol)).as("__n_ids"),
+      // countDistinct ignores NULLs — count them separately so a null
+      // pairing key is named as such, not misreported as a duplicate
+      sum(when(col(idCol).isNull, 1L).otherwise(0L)).as("__n_null_ids"),
       sum(bit(aCol) * bit(bCol)).as("both_right"),
       sum((lit(1L) - bit(aCol)) * (lit(1L) - bit(bCol))).as("both_wrong"),
       sum(bit(aCol) * (lit(1L) - bit(bCol))).as("a_only"),
       sum((lit(1L) - bit(aCol)) * bit(bCol)).as("b_only"))
       .withColumn("n",
-        when(col("__n_rows") === col("__n_ids"), col("__n_rows"))
+        when(col("__n_null_ids") > 0, raise_error(concat(
+          lit(s"mcnemar: NULL '$idCol' pairing key on "),
+          col("__n_null_ids").cast("string"),
+          lit(" rows - every item needs a non-null id; " +
+            "fix the join/extraction upstream"))).cast("long"))
+          .when(col("__n_rows") === col("__n_ids"), col("__n_rows"))
           .otherwise(raise_error(concat(
             lit(s"mcnemar: duplicate '$idCol' values ("),
             col("__n_rows").cast("string"), lit(" rows, "),

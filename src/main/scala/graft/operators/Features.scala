@@ -539,7 +539,12 @@ object Features {
     val zRaw = (col("s_stat").cast("double") -
       signum(col("s_stat").cast("double"))) /
       sqrt(col("__var18").cast("double") / lit(18.0))
-    pairs.join(ties, Seq("__k"))
+    // ties is the anchor: a one-day global span has NO di<dj pairs, so
+    // pairs is empty — a left join (s_stat coalesced to 0) keeps every
+    // key and lets var18 = 0 deliver the promised 'degenerate' verdict
+    // instead of silently dropping the corpus
+    ties.join(pairs, Seq("__k"), "left")
+      .withColumn("s_stat", coalesce(col("s_stat"), lit(0L)))
       .withColumn("__var18",
         col("n_days") * (col("n_days") - 1L) *
           (lit(2L) * col("n_days") + 5L) - col("tie_term"))

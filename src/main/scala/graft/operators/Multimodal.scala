@@ -377,10 +377,15 @@ object Multimodal {
     * Scale shape: pixels are touched ONCE, map-only (the
     * [[imageDHashes]] mapPartitions); undecodable frames drop from the
     * signature (the m5 rule — dedup cannot judge what it cannot see).
-    * Candidate generation is the m5 pigeonhole ON THE FIRST FRAME: a
-    * matching pair's rank-1 hashes differ ≤ maxHamming ≤ 3 bits, so
-    * they agree on one of the 4 16-bit blocks — the join is equi on
-    * (block, value, n_frames), never all-pairs over videos. The verify
+    * Candidate generation is the m5 pigeonhole ON EVERY RANK: a true
+    * dup pair has ≥ ceil(minMatchPpm·n/1e6) ≥ 1 ranks whose hashes
+    * differ ≤ maxHamming ≤ 3 bits, and at any such rank the pair
+    * agrees on one of the 4 16-bit blocks — so the equi-join on
+    * (rank, block, value, n_frames) is pigeonhole-complete for EVERY
+    * minMatchPpm ≥ 1, including dups whose first frame alone differs
+    * (intro cards, encoder keyframe artifacts). It is never all-pairs
+    * over videos, and dedupes candidate pairs before verify; blocking
+    * rows are 4·|frames| — linear in the input. The verify
     * stage joins candidates back to BOTH signatures on (video, rank) —
     * per-pair cost is |frames|, map-side-combined into one row. Chance
     * block collisions reach verify (8-byte rows), score their honest
@@ -419,13 +424,14 @@ object Multimodal {
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy("vid")))
       .localCheckpoint()
-    val firstBlk = sig.filter(col("rank") === 1)
-      .select(col("vid"), col("n_frames"), col("dhash"),
+    val rankBlk = sig
+      .select(col("vid"), col("n_frames"), col("rank"), col("dhash"),
         explode(sequence(lit(0), lit(3))).as("block_idx"))
       .withColumn("blk", expr("shiftright(dhash, 16 * block_idx) & 65535"))
-    val a = firstBlk.as("a"); val b = firstBlk.as("b")
+    val a = rankBlk.as("a"); val b = rankBlk.as("b")
     val cand = a.join(b,
-        col("a.block_idx") === col("b.block_idx") &&
+        col("a.rank") === col("b.rank") &&
+          col("a.block_idx") === col("b.block_idx") &&
           col("a.blk") === col("b.blk") &&
           col("a.n_frames") === col("b.n_frames") &&
           col("a.vid") < col("b.vid"))

@@ -636,8 +636,8 @@ object PipelineQueries {
     * frame hashes h(f) = md5₆₀("vg:g:f") perturbed per upload slot —
     * slot 0 exact, slot 1 flips ONE bit per frame (a re-encode's
     * jitter: per-frame Hamming 1 → MATCHES), slot 2 flips the SAME ten
-    * bits of block 3 in every frame (blocks 0–2 still agree, so it IS
-    * a first-frame candidate, but per-frame Hamming 10 ≫ 3 → is_dup
+    * bits of block 3 in every frame (blocks 0–2 still agree at every
+    * rank, so it IS a candidate, but per-frame Hamming 10 ≫ 3 → is_dup
     * false — the planted candidate-audit negative). Every group emits
     * its (0,1) dup pair and two audited non-dup candidates; chance
     * 16-bit collisions across groups add deterministic extras the
@@ -1604,12 +1604,12 @@ object PipelineQueries {
         |  FROM (SELECT *,
         |    ('0x' || substr(md5('vg:' || g || ':' || f), 1, 15))::BIGINT AS base
         |    FROM f0)),
-        |frst AS (SELECT id, n, dh FROM h WHERE f = 0),
-        |blk AS (SELECT id, n, bi, (dh >> (16 * bi)::INT) & 65535 AS b
-        |        FROM frst, generate_series(0, 3) t(bi)),
+        |blk AS (SELECT id, n, f, bi, (dh >> (16 * bi)::INT) & 65535 AS b
+        |        FROM h, generate_series(0, 3) t(bi)),
         |cand AS (SELECT DISTINCT a.id AS va, b.id AS vb, a.n
         |         FROM blk a JOIN blk b
-        |         ON a.bi = b.bi AND a.b = b.b AND a.n = b.n AND a.id < b.id),
+        |         ON a.f = b.f AND a.bi = b.bi AND a.b = b.b AND a.n = b.n
+        |           AND a.id < b.id),
         |ver AS (SELECT c.va, c.vb, c.n,
         |          sum(CASE WHEN bit_count(xor(ha.dh, hb.dh)) <= 3
         |              THEN 1 ELSE 0 END)::BIGINT AS n_matched

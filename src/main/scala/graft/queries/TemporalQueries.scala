@@ -844,7 +844,10 @@ object TemporalQueries {
          |  SELECT k.event_type, (bnd.lo + g.i * INTERVAL 1 DAY)::DATE AS d,
          |         g.i::BIGINT AS t
          |  FROM (SELECT DISTINCT event_type FROM src) k, bnd, range(400) g(i)
-         |  WHERE (bnd.lo + g.i * INTERVAL 1 DAY)::DATE <= bnd.hi),
+         |  WHERE (bnd.lo + g.i * INTERVAL 1 DAY)::DATE <= bnd.hi
+         |    AND (CASE WHEN bnd.hi - bnd.lo >= 400
+         |         THEN error('e28 oracle grid capped at 400 days; span='
+         |           || (bnd.hi - bnd.lo)) ELSE true END)),
          |s AS (SELECT grid.event_type, grid.d, grid.t,
          |        coalesce(daily.x, 0)::BIGINT * 1000 AS xm
          |      FROM grid LEFT JOIN daily
@@ -877,23 +880,28 @@ object TemporalQueries {
          |      WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5
          |      ELSE r.s6 END) AS fc_,
          |    q.xm - fc_ AS resid_,
-         |    ((300000 * (q.xm - (fc_ - r.l - r.b))
-         |      + 700000 * (r.l + r.b)) // 1000000)::BIGINT AS nl_,
-         |    ((50000 * (nl_ - r.l) + 950000 * r.b) // 1000000)::BIGINT AS nb_,
-         |    CASE WHEN q.t % 7 = 0 THEN ((200000 * (q.xm - r.l - r.b)
-         |      + 800000 * r.s0) // 1000000)::BIGINT ELSE r.s0 END,
-         |    CASE WHEN q.t % 7 = 1 THEN ((200000 * (q.xm - r.l - r.b)
-         |      + 800000 * r.s1) // 1000000)::BIGINT ELSE r.s1 END,
-         |    CASE WHEN q.t % 7 = 2 THEN ((200000 * (q.xm - r.l - r.b)
-         |      + 800000 * r.s2) // 1000000)::BIGINT ELSE r.s2 END,
-         |    CASE WHEN q.t % 7 = 3 THEN ((200000 * (q.xm - r.l - r.b)
-         |      + 800000 * r.s3) // 1000000)::BIGINT ELSE r.s3 END,
-         |    CASE WHEN q.t % 7 = 4 THEN ((200000 * (q.xm - r.l - r.b)
-         |      + 800000 * r.s4) // 1000000)::BIGINT ELSE r.s4 END,
-         |    CASE WHEN q.t % 7 = 5 THEN ((200000 * (q.xm - r.l - r.b)
-         |      + 800000 * r.s5) // 1000000)::BIGINT ELSE r.s5 END,
-         |    CASE WHEN q.t % 7 = 6 THEN ((200000 * (q.xm - r.l - r.b)
-         |      + 800000 * r.s6) // 1000000)::BIGINT ELSE r.s6 END
+         |    -- mix products widen to HUGEINT (300000 * xm overflows
+         |    -- BIGINT past |xm| ~ 3e13; the Spark kernel's BigInt path
+         |    -- supports the stated 1e15 bound) then narrow ::BIGINT
+         |    -- AFTER the // 1000000, which is back in int64 range
+         |    ((300000::HUGEINT * (q.xm - (fc_ - r.l - r.b))
+         |      + 700000::HUGEINT * (r.l + r.b)) // 1000000)::BIGINT AS nl_,
+         |    ((50000::HUGEINT * (nl_ - r.l)
+         |      + 950000::HUGEINT * r.b) // 1000000)::BIGINT AS nb_,
+         |    CASE WHEN q.t % 7 = 0 THEN ((200000::HUGEINT * (q.xm - r.l - r.b)
+         |      + 800000::HUGEINT * r.s0) // 1000000)::BIGINT ELSE r.s0 END,
+         |    CASE WHEN q.t % 7 = 1 THEN ((200000::HUGEINT * (q.xm - r.l - r.b)
+         |      + 800000::HUGEINT * r.s1) // 1000000)::BIGINT ELSE r.s1 END,
+         |    CASE WHEN q.t % 7 = 2 THEN ((200000::HUGEINT * (q.xm - r.l - r.b)
+         |      + 800000::HUGEINT * r.s2) // 1000000)::BIGINT ELSE r.s2 END,
+         |    CASE WHEN q.t % 7 = 3 THEN ((200000::HUGEINT * (q.xm - r.l - r.b)
+         |      + 800000::HUGEINT * r.s3) // 1000000)::BIGINT ELSE r.s3 END,
+         |    CASE WHEN q.t % 7 = 4 THEN ((200000::HUGEINT * (q.xm - r.l - r.b)
+         |      + 800000::HUGEINT * r.s4) // 1000000)::BIGINT ELSE r.s4 END,
+         |    CASE WHEN q.t % 7 = 5 THEN ((200000::HUGEINT * (q.xm - r.l - r.b)
+         |      + 800000::HUGEINT * r.s5) // 1000000)::BIGINT ELSE r.s5 END,
+         |    CASE WHEN q.t % 7 = 6 THEN ((200000::HUGEINT * (q.xm - r.l - r.b)
+         |      + 800000::HUGEINT * r.s6) // 1000000)::BIGINT ELSE r.s6 END
          |  FROM rec r JOIN s q
          |    ON q.event_type = r.event_type AND q.t = r.t + 1)
          |SELECT s.event_type, s.d::VARCHAR AS day, (s.xm // 1000) AS x_centi,
@@ -927,7 +935,10 @@ object TemporalQueries {
          |grid AS (
          |  SELECT k.event_type, (b.lo + g.i * INTERVAL 1 DAY)::DATE AS d
          |  FROM (SELECT DISTINCT event_type FROM src) k, b, range(400) g(i)
-         |  WHERE (b.lo + g.i * INTERVAL 1 DAY)::DATE <= b.hi),
+         |  WHERE (b.lo + g.i * INTERVAL 1 DAY)::DATE <= b.hi
+         |    AND (CASE WHEN b.hi - b.lo >= 400
+         |         THEN error('e30 oracle grid capped at 400 days; span='
+         |           || (b.hi - b.lo)) ELSE true END)),
          |s AS (SELECT grid.event_type,
          |        (grid.d - DATE '1970-01-01')::BIGINT AS di,
          |        coalesce(daily.x, 0)::BIGINT AS x
@@ -943,10 +954,11 @@ object TemporalQueries {
          |        sum(t)::BIGINT AS n_days
          |      FROM (SELECT event_type, x, count(*)::BIGINT AS t
          |            FROM s GROUP BY 1, 2) GROUP BY event_type),
-         |f AS (SELECT p.event_type, t.n_days, p.s_stat, t.tie_term,
+         |f AS (SELECT t.event_type, t.n_days,
+         |        coalesce(p.s_stat, 0)::BIGINT AS s_stat, t.tie_term,
          |        (t.n_days * (t.n_days - 1) * (2 * t.n_days + 5)
          |         - t.tie_term)::BIGINT AS var18
-         |      FROM pr p JOIN ti t USING (event_type))
+         |      FROM ti t LEFT JOIN pr p USING (event_type))
          |SELECT event_type, n_days, s_stat, tie_term,
          |  (CASE WHEN var18 > 0 THEN
          |     floor((s_stat::DOUBLE - sign(s_stat::DOUBLE))

@@ -14,6 +14,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
   * that rollup's job, and a di gap here raises loudly rather than
   * silently mis-phasing every subsequent seasonal index).
   *
+  * CONTRACT — the upstream rollup must emit the SHARED GLOBAL-SPAN
+  * zero-filled grid for every key (the batch operator's dailyGrid
+  * convention: all keys start at the corpus-wide min day, zero-filled),
+  * not merely gap-free per-key days. A key whose stream starts later
+  * than the global min day seeds its season from its own first arriving
+  * day, mis-aligning seed and seasonal phase versus the batch replay —
+  * the per-key gap check above cannot see a missing PREFIX. Rebuild
+  * equivalence with [[graft.operators.Features.holtWinters]] holds
+  * exactly under this contract (StreamingHoltWintersSpec gates both the
+  * equivalence and a late-start key against the batch grid).
+  *
   * State per key is the MODEL, independent of history length: level,
   * trend, the period seasonal indices, and the seed buffer while the
   * first season accumulates — 3 + period longs. Updates run the batch

@@ -541,6 +541,16 @@ class EvalsSpec extends AnyFunSuite {
           .toDF("id", "a", "b"), "id", "a", "b").collect()
     }
     assert(dup.getMessage.contains("duplicate 'id'"))
+    // a NULL pairing key is named as such — countDistinct skips NULLs,
+    // so without the dedicated check a unique-but-null id would trip
+    // the duplicate raise with a misleading message
+    val nul = intercept[Exception] {
+      graft.operators.Evals.mcnemar(
+        Seq((Some(1L), 1L, 0L), (None, 0L, 1L), (Some(3L), 1L, 1L))
+          .toDF("id", "a", "b"), "id", "a", "b").collect()
+    }
+    assert(nul.getMessage.contains("NULL 'id' pairing key"),
+      s"null key must be named, got: ${nul.getMessage.take(120)}")
   }
 
   test("mannWhitney: hand-computed 2U/ties on a midrank fixture; clean " +

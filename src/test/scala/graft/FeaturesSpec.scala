@@ -176,6 +176,12 @@ class FeaturesSpec extends AnyFunSuite {
     val gap = run(Seq(("g", 0, 0.05), ("g", 2, 0.06)))
     assert(gap("g")._2 == 3L && gap("g")._3 == 1L,
       s"gap day joined the pair set: ${gap("g")}")
+    // one-day global span: zero di<dj pairs exist, so the pair
+    // aggregate is EMPTY — the key must still emit the promised
+    // degenerate row (s=0, var18 = 1·0·7 − T = 0), not vanish
+    val one = run(Seq(("solo", 0, 0.42)))
+    assert(one("solo") == (("solo", 1L, 0L, 0L, None, "degenerate")),
+      s"single-day span keeps the key: ${one.get("solo")}")
   }
 
   test("tostEquivalence: hand-replayed Welch chain; equivalence claimed " +

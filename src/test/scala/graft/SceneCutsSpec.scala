@@ -121,4 +121,26 @@ class SceneCutsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("pigeonhole"))
   }
 
+  test("videoNearDups: a dup whose FIRST frame alone is hard-different " +
+    "(intro card) is still found — blocking is per-rank, not first-frame") {
+    // 20 = original (5 frames), 21 = same content but frame 0 replaced
+    // by a hard-different intro card (~32-bit dHash distance >> 3).
+    // Frames 1..4 match exactly -> 4/5 = 800000 ppm >= threshold: a
+    // true dup that first-frame-only blocking would silently miss.
+    val f0 = png(flipTop = false)
+    val fX = png(flipTop = true)
+    val frames = Seq(
+      (20L, 0L, f0), (20L, 1L, f0), (20L, 2L, f0), (20L, 3L, f0), (20L, 4L, f0),
+      (21L, 0L, fX), (21L, 1L, f0), (21L, 2L, f0), (21L, 3L, f0), (21L, 4L, f0)
+    ).toDF("video_id", "ts", "bytes")
+    val out = Multimodal.videoNearDups(frames, "video_id", "ts", "bytes",
+        maxHamming = 3, minMatchPpm = 800000L)
+      .as[(Long, Long, Long, Long, Long, Boolean)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(out.contains((20L, 21L)),
+      "intro-card variant must be a candidate via ranks 2..5")
+    assert(out((20L, 21L)) == ((20L, 21L, 5L, 4L, 800000L, true)),
+      s"4/5 frames match -> dup: ${out((20L, 21L))}")
+  }
+
 }

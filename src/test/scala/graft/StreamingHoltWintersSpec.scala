@@ -80,6 +80,45 @@ class StreamingHoltWintersSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late-start key under the global-span contract: the upstream " +
+    "rollup zero-fills the key back to the corpus-wide min day, and " +
+    "rebuild equivalence holds for it exactly") {
+    // key "a" spans days 0..8; key "late" has real events only from day
+    // 4 — the batch dailyGrid zero-fills "late" on days 0..3, so the
+    // compliant streaming rollup must emit those zeros too (the
+    // scaladoc contract). Feeding them proves seed/phase alignment.
+    val lateVals = Seq(0.60, 0.20, 0.50, 0.10, 0.40)
+    val raw = (vals("a").zipWithIndex.map { case (v, i) => ("a", day(i), v) }
+      ++ lateVals.zipWithIndex.map { case (v, i) => ("late", day(i + 4), v) })
+      .toDF("k", "ts", "v")
+    val batch = graft.operators.Features
+      .holtWinters(raw, "k", "ts", "v", period = 2)
+      .select(col("k"),
+        datediff(col("day"), lit("1970-01-01")).cast("long").as("di"),
+        col("x_centi"), col("fc_milli"), col("resid_milli"),
+        col("level_milli"), col("trend_milli"))
+      .as[Row7].collect().toSet
+    val streamIn = (0 until 9).flatMap { i =>
+      Seq(("a", i.toLong, math.floor(vals("a")(i) * 100).toLong),
+        ("late", i.toLong,
+          if (i < 4) 0L else math.floor(lateVals(i - 4) * 100).toLong))
+    }
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Long)]
+    val q = StreamingHoltWinters.forecast(
+        input.toDF().toDF("k", "di", "x"), "k", "di", "x", period = 2)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("hw_late").start()
+    try {
+      input.addData(streamIn: _*)
+      q.processAllAvailable()
+      val got = spark.table("hw_late").as[Row7].collect().toSet
+      assert(got == batch, "global-span zero-filled late key matches batch")
+      assert(batch.exists(r => r._1 == "late" && r._4.nonEmpty),
+        "fixture sanity: the late key is past seeding")
+    } finally q.stop()
+  }
+
   test("a day gap raises loudly instead of mis-phasing the season") {
     val e = intercept[Exception] {
       StreamingHoltWinters.forecast(
