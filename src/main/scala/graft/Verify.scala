@@ -158,7 +158,11 @@ object Verify {
     "u9_gc_plan",
     // e30: the daily rollup is corpus-sized; the 10x stream widens the
     // sign-pair magnitudes and the tie spectrum
-    "e30_mann_kendall")
+    "e30_mann_kendall",
+    // t73: the hashed-gram count build and centroid sums ride the 10x
+    // token stream (x64 ratio 10.1); more docs also means real bucket
+    // saturation in the 256-dim model
+    "t73_linear_classifier")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rest @ _*) = args

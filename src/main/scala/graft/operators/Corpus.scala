@@ -1727,6 +1727,107 @@ object Corpus {
         (col("label") === col("cls")).as("correct"))
   }
 
+  /** Trained LINEAR (fastText-class) text classifier — the hashed
+    * bag-of-n-grams + mean-pooling + linear-layer architecture of Joulin
+    * et al. 2016 ("Bag of Tricks for Efficient Text Classification"),
+    * the classifier CCNet/RefinedWeb/LLaMA-style pipelines actually gate
+    * quality and domain on (reference analog: the quality-gate role of
+    * `core/services/ingestion`'s scoring stage; [[nbClassifier]] is the
+    * probabilistic seat, this is the embedding-space one, and it
+    * completes the t30/t35 CCNet shape). Trained in-engine on the
+    * labeled seed slice (id % seedMod == 0), scoring every other doc.
+    *
+    * Architecture, exactly: features are word UNIGRAMS plus adjacent
+    * word BIGRAMS (fastText's wordNgrams=2), hashed into `buckets`
+    * dimensions by the md5 hashing trick (fastText's hash bucket,
+    * replayable in any engine); a document's vector is its mean-pooled
+    * bag — here the exact ppm fixed point w_db = (cnt_db·10⁶) div L_d
+    * over its L_d grams; the linear layer is trained CLOSED-FORM as
+    * per-class mean centroids c_cb = (Σ_{d∈c} w_db) div n_c (the
+    * least-squares-optimal prototype scorer for this pooling — one
+    * groupBy, no SGD schedule to replay), and the class score is the
+    * dot product Σ_b w_db·c_cb. Every quantity is an exact integer:
+    * w ≤ 10⁶, c ≤ 10⁶, per-doc distinct buckets ≤ `buckets`, so
+    * |score| ≤ buckets·10¹² — int64-safe through buckets ~10⁴.
+    * Prediction = argmax with label-asc tie-break; margin = top1 − top2
+    * (NULL when only one class trained). Token-less documents are not
+    * classifiable and are omitted (the nbClassifier convention).
+    *
+    * 100 TB shape: the only corpus-sized exchanges are the (doc, bucket)
+    * count groupBy (map-side combined; gram explode is map-only before
+    * it) and the final per-doc argmax window (hash-partitioned on the
+    * doc id). The model is (classes × buckets)-bounded — broadcast into
+    * scoring, never shuffled with the corpus; the seed centroid build is
+    * one map-side-combined groupBy over the seed slice. */
+  def linearClassifier(df: DataFrame, idCol: String, textCol: String,
+                       labelCol: String, seedMod: Int = 10,
+                       buckets: Int = 256): DataFrame = {
+    require(seedMod >= 2, s"seedMod >= 2 (got $seedMod)")
+    require(buckets >= 2 && buckets <= 10000,
+      s"buckets in [2, 1e4] keeps the dot product int64-safe and the " +
+        s"model broadcastable (got $buckets)")
+    // grams = unigrams ++ adjacent bigrams, with the tokenize BOUND ONCE
+    // through the one-element-struct idiom (the ARCHITECTURE HOF rule:
+    // projection collapse inlines tokens(text) into an interpreted
+    // lambda, re-running the regex split per gram position — jstack'd
+    // at 10.9 s/sf0.1 before the bind, 1.1 s after)
+    def grams(txt: String) = element_at(transform(array(struct(
+        graft.functions.text.tokens(col(txt)).as("t"))), p => {
+      val toks = p.getField("t")
+      concat(toks,
+        when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1),
+            i => concat_ws(" ", element_at(toks, i.cast("int")),
+              element_at(toks, (i + lit(1)).cast("int")))))
+          .otherwise(array().cast("array<string>")))
+    }), 1)
+    // repartition BEFORE the gram compute (scaled() fans the single-row-
+    // group scan out; the exchange boundary also stops projection
+    // collapse from dragging the tokenize back into one task)
+    val base = graft.Tables.scaled(df.select(
+        col(idCol).cast("long").as("id"), col(labelCol).as("label"),
+        col(textCol).as("__txt")))
+      .select(col("id"), col("label"), grams("__txt").as("gr"))
+      .withColumn("n_grams", size(col("gr")).cast("long"))
+      .filter(col("n_grams") > 0)
+    // one gram-explode/hash/count pass, four consumers (class sizes,
+    // centroids, scoring, the output's doc roster) — stage-cut so the
+    // corpus-sized tokenize+md5 work runs once, not once per branch
+    val wt = base.select(col("id"), col("label"), col("n_grams"),
+        explode(col("gr")).as("g"))
+      .withColumn("b",
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long") % buckets)
+      .groupBy("id", "label", "n_grams", "b")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("w", expr("(c * 1000000) div n_grams"))
+      .localCheckpoint()
+    val seed = wt.filter(col("id") % seedMod === 0)
+    val rest = wt.filter(col("id") % seedMod =!= 0)
+    val nc = seed.groupBy(col("label").as("cls"))
+      .agg(countDistinct(col("id")).as("n_c"))
+    val cen = seed.groupBy(col("label").as("cls"), col("b"))
+      .agg(sum(col("w")).as("sw"))
+      .join(nc, "cls")
+      .select(col("cls"), col("b"), expr("sw div n_c").as("cb"))
+    val classes = nc.select("cls")
+    val scored = rest.crossJoin(broadcast(classes))
+      .join(broadcast(cen), Seq("cls", "b"), "left")
+      .groupBy("id", "cls")
+      .agg(sum(col("w") * coalesce(col("cb"), lit(0L))).as("score"))
+    val w = Window.partitionBy("id")
+      .orderBy(col("score").desc, col("cls").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .withColumn("s2", lead(col("score"), 1).over(w))
+      .filter(col("rn") === 1)
+      .join(rest.select(col("id"), col("label"), col("n_grams")).distinct(),
+        "id")
+      .select(col("id"), col("label"), col("cls").as("pred"),
+        col("n_grams"), col("score"),
+        (col("score") - col("s2")).as("margin"),
+        (col("label") === col("cls")).as("correct"))
+  }
+
   /** Flesch–Kincaid readability report (Kincaid et al. 1975; Flesch 1948)
     * — the oldest quality-scoring feature in the text-curation toolbox,
     * still a standard column in corpus quality cards beside t55's Gopher

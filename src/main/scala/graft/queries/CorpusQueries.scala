@@ -59,7 +59,8 @@ object CorpusQueries {
     "t68_zipf_slope" -> ((s, d) => zipfSlopeQ(s, d)),
     "t69_heaps_growth" -> ((s, d) => heapsGrowthQ(s, d)),
     "t71_weighted_sample" -> ((s, d) => weightedSampleQ(s, d)),
-    "t72_k_anonymity" -> ((s, d) => kAnonymityQ(s, d))
+    "t72_k_anonymity" -> ((s, d) => kAnonymityQ(s, d)),
+    "t73_linear_classifier" -> ((s, d) => linearClassifierQ(s, d))
   )
 
   /** [[graft.operators.Corpus.kAnonymityAudit]] with QI = (source, lang,
@@ -276,6 +277,20 @@ object CorpusQueries {
         "lang", seedMod = 10)
       .select(col("id").as("doc_id"), col("label").as("lang"), col("pred"),
         col("n_tokens"), col("score_fp"), col("correct"))
+      .orderBy("doc_id")
+
+  /** Trained linear (fastText-class) classifier over lang labels — the
+    * t57 fixture convention: trained on the doc_id%10 seed slice,
+    * scoring the other docs, hashed unigram+bigram features in 256
+    * buckets. The corpus lang signal is weak on purpose (accuracy is a
+    * fixture property); the CLASSIFIER's quality is pinned by
+    * CorpusSpec's planted-vocabulary fixture, and this row pins the
+    * full hash→pool→train→dot→argmax replay in exact integers. */
+  def linearClassifierQ(spark: SparkSession, dir: String): DataFrame =
+    Corpus.linearClassifier(Tables.documents(spark, dir), "doc_id", "text",
+        "lang", seedMod = 10, buckets = 256)
+      .select(col("id").as("doc_id"), col("label").as("lang"), col("pred"),
+        col("n_grams"), col("score"), col("margin"), col("correct"))
       .orderBy("doc_id")
 
   /** Planted C4-structure synthesis (t18/t37 convention): lines of
@@ -1500,6 +1515,51 @@ object CorpusQueries {
          |  (r.lang = b.cls) AS correct
          |FROM best b JOIN rest r USING (doc_id) WHERE rn = 1
          |ORDER BY b.doc_id""".stripMargin,
+    // full replay of the fastText-class linear classifier: hashed
+    // unigram+bigram bag -> ppm mean pooling -> closed-form per-class
+    // centroids on the seed slice -> integer dot product -> argmax.
+    // Every value is an exact integer; sums cast ::BIGINT before the
+    // truncating div so DuckDB's HUGEINT sum never reaches the output.
+    "t73_linear_classifier" ->
+      s"""$toks,
+         |g AS (SELECT doc_id, lang, list_concat(tk,
+         |    CASE WHEN len(tk) >= 2
+         |         THEN list_transform(range(len(tk) - 1),
+         |                i -> tk[i + 1] || ' ' || tk[i + 2])
+         |         ELSE [] END) AS gr FROM tk),
+         |ng AS (SELECT doc_id, lang, len(gr)::BIGINT AS n_grams, gr
+         |       FROM g WHERE len(gr) > 0),
+         |db AS (SELECT doc_id, lang, n_grams,
+         |         ('0x' || substr(md5(w), 1, 15))::BIGINT % 256 AS b,
+         |         count(*)::BIGINT AS c
+         |       FROM (SELECT doc_id, lang, n_grams, unnest(gr) AS w FROM ng)
+         |       GROUP BY 1, 2, 3, 4),
+         |wt AS (SELECT doc_id, lang, n_grams, b,
+         |         (c * 1000000) // n_grams AS w FROM db),
+         |sd AS (SELECT * FROM wt WHERE doc_id % 10 = 0),
+         |rest AS (SELECT * FROM wt WHERE doc_id % 10 <> 0),
+         |nc AS (SELECT lang AS cls, count(DISTINCT doc_id)::BIGINT AS n_c
+         |       FROM sd GROUP BY 1),
+         |cen AS (SELECT sd.lang AS cls, sd.b,
+         |          (sum(sd.w)::BIGINT // any_value(nc.n_c)) AS cb
+         |        FROM sd JOIN nc ON nc.cls = sd.lang GROUP BY 1, 2),
+         |sc AS (SELECT r.doc_id, cl.cls,
+         |         sum(r.w * coalesce(cen.cb, 0))::BIGINT AS score
+         |       FROM rest r CROSS JOIN (SELECT cls FROM nc) cl
+         |       LEFT JOIN cen ON cen.cls = cl.cls AND cen.b = r.b
+         |       GROUP BY 1, 2),
+         |best AS (SELECT *,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, cls) AS rn,
+         |    lead(score) OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, cls) AS s2
+         |  FROM sc)
+         |SELECT b.doc_id, r.lang, b.cls AS pred, r.n_grams, b.score,
+         |  (b.score - b.s2)::BIGINT AS margin, (r.lang = b.cls) AS correct
+         |FROM best b
+         |JOIN (SELECT DISTINCT doc_id, lang, n_grams FROM rest) r
+         |  USING (doc_id)
+         |WHERE rn = 1 ORDER BY b.doc_id""".stripMargin,
     // full replay: planted C4 line structure (lockstep with c4Synth), then
     // the measure half reads raw ctext only — per-line rule tallies with
     // stated precedence, page verdict, md5 of the surviving lines.

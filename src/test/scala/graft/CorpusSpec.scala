@@ -623,6 +623,62 @@ class CorpusSpec extends AnyFunSuite {
     assert(r3.getAs[Long]("n_tokens") == 10L)
   }
 
+  test("linearClassifier: planted separable vocab classifies perfectly; " +
+    "exact integer score, margin, and centroid replay") {
+    // same split fixture as nbClassifier: 3 classes, disjoint vocab,
+    // ids 0..59, seed slice = 2 docs/class. A 10-word doc has 19 grams
+    // (10 unigrams + 9 'w w' bigrams); the 6 distinct grams land in 6
+    // DISTINCT md5 buckets (precomputed: 251/235/123/108/41/18 of 256),
+    // so cross-class dot products are exactly 0 and the in-class score
+    // is w_uni^2 + w_bi^2 with w = (cnt*1e6) div 19 — every step exact.
+    val vocabByCls = Seq("alpha", "beta", "gamma")
+    val docs = (0L until 60L).map { i =>
+      val c = (i % 3).toInt
+      (i, s"c$c", (1 to 10).map(_ => vocabByCls(c)).mkString(" "))
+    }.toDF("doc_id", "label", "text")
+    val rows = Corpus.linearClassifier(docs, "doc_id", "text", "label")
+      .collect()
+    assert(rows.length == 54, "6 seed docs must be excluded from scoring")
+    assert(rows.forall(_.getAs[Boolean]("correct")),
+      "separable vocab must classify 100%")
+    val wUni = 10L * 1000000L / 19L  // 526315
+    val wBi = 9L * 1000000L / 19L    // 473684
+    val expected = wUni * wUni + wBi * wBi  // 501384011081
+    val r3 = rows.find(_.getLong(0) == 3L).get
+    assert(r3.getAs[Long]("score") == expected,
+      s"got ${r3.getAs[Long]("score")}, want $expected")
+    assert(r3.getAs[Long]("margin") == expected,
+      "wrong classes score exactly 0, so margin == score")
+    assert(r3.getAs[Long]("n_grams") == 19L)
+    // fixture premise check: the 6 grams really do hash to distinct
+    // buckets under the operator's md5 rule
+    def bucket(g: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        .substring(0, 15), 16) % 256
+    val bks = Seq("alpha", "beta", "gamma",
+      "alpha alpha", "beta beta", "gamma gamma").map(bucket)
+    assert(bks.distinct.size == 6, s"fixture premise: $bks")
+    // single-token doc: no bigrams, 1 gram; OOV text scores 0 for every
+    // class -> deterministic label-asc argmax with margin 0
+    val oov = Corpus.linearClassifier(
+      (0L until 60L).map { i =>
+        (i, s"c${i % 3}", if (i == 3L) "zzz" else "alpha")
+      }.toDF("doc_id", "label", "text"), "doc_id", "text", "label")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(oov(3L).getAs[String]("pred") == "c0" &&
+      oov(3L).getAs[Long]("score") == 0L &&
+      oov(3L).getAs[Long]("margin") == 0L,
+      s"OOV doc: all-zero scores, label-asc tie-break: ${oov(3L)}")
+    assert(oov(4L).getAs[Long]("n_grams") == 1L,
+      "single-token doc has one gram (no bigrams)")
+    val e = intercept[IllegalArgumentException] {
+      Corpus.linearClassifier(docs, "doc_id", "text", "label",
+        buckets = 100000)
+    }
+    assert(e.getMessage.contains("buckets"))
+  }
+
   test("sftRender: exact ChatML bytes and hand-computed mask bounds") {
     val docs = Seq((1L, "hello there", "hi", "bye", "see you later"))
       .toDF("doc_id", "u1", "a1", "u2", "a2")
