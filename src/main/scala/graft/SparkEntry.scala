@@ -25,6 +25,7 @@ object SparkEntry {
     "m3_blank_pages", "m5_image_dhash", "m6_audio_activity",
     "m8_scene_cuts", "m9_scene_cuts_dense", "m11_image_keeplist",
     "m12_loudness", "m13_image_entropy", "m14_video_neardup",
+    "m15_audio_neardup",
     // evals: judge/label/score tables derived from id hashes
     "ev2_calibration", "ev3_pass_at_k", "ev4_fleiss_kappa", "ev7_psi",
     "ev13_paired_perm", "ev14_ks_test", "ev16_krippendorff", "ev17_mcnemar",

@@ -159,6 +159,9 @@ object Verify {
     // e30: the daily rollup is corpus-sized; the 10x stream widens the
     // sign-pair magnitudes and the tie spectrum
     "e30_mann_kendall",
+    // m15: the m14 law — fixed clip budget, but the sf0.1 leg re-proves
+    // the analytic-envelope oracle against 10x-regenerated doc rows
+    "m15_audio_neardup",
     // t73: the hashed-gram count build and centroid sums ride the 10x
     // token stream (x64 ratio 10.1); more docs also means real bucket
     // saturation in the 256-dim model

@@ -206,4 +206,108 @@ object AudioCodec {
       }
     }(enc)
   }
+
+  /** CLIP-level audio near-duplicate detection — the audio seat of the
+    * modality-dedup family (image [[Multimodal.imageNearDups]] m5/m11,
+    * video [[Multimodal.videoNearDups]] m14): an audio corpus's duplicate
+    * mass is re-uploaded/re-encoded whole clips, and the cheapest robust
+    * clip signature is the ENERGY-ENVELOPE DELTA fingerprint — bit i set
+    * iff window i+1's mean-abs energy exceeds window i's — the sign-of-
+    * energy-difference construction at the core of Haitsma & Kalker 2002
+    * ("A Highly Robust Audio Fingerprint System", §3: their bits are
+    * energy-difference signs across time×frequency bands; this is the
+    * time-axis row of that matrix, computable in exact integers with no
+    * FFT, which keeps the whole fingerprint engine-replayable). Gain
+    * changes that preserve the envelope's ORDER (the common re-encode)
+    * leave every bit intact; re-encoder jitter flips isolated bits and
+    * stays within `maxHamming`.
+    *
+    * Per decodable clip with ≥ `windows` samples: the clip is cut into
+    * `windows` equal sub-windows on the exact integer grid
+    * [k·n div W, (k+1)·n div W), the per-window mean-abs energy is the
+    * m6 integer statistic, and the fingerprint packs the `windows−1`
+    * delta bits into one long (W = 61 by default → 60 bits, the m5
+    * hash-width convention that keeps every bit oracle-addressable).
+    * Undecodable or too-short clips contribute no rows (the m6 format-
+    * gate contract). Matching requires equal `n_samples` (a re-encode
+    * keeps duration — the m14 count gate) and Hamming ≤ `maxHamming`;
+    * candidates come from the m5 4×16-bit block pigeonhole (complete to
+    * Hamming 3), never an all-pairs join. Output: (id_a, id_b,
+    * n_samples, hamming) for verified pairs.
+    *
+    * 100 TB shape: PCM is touched ONCE, map-only; the block join is equi
+    * on (block, value, n_samples); verify is bit_count on two longs. */
+  def audioNearDups(audio: DataFrame, idCol: String, bytesCol: String,
+                    windows: Int = 61, maxHamming: Int = 3): DataFrame = {
+    require(windows >= 17 && windows <= 64,
+      s"audioNearDups needs windows in [17, 64]: 16 bits minimum for the " +
+        s"block pigeonhole to discriminate, 63 delta bits maximum to fit " +
+        s"one long (got $windows)")
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit blocking is pigeonhole-complete only to Hamming 3 " +
+        s"(got $maxHamming)")
+    import org.apache.spark.sql.functions._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("fp", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(schema)
+    val idIdx = audio.schema.fieldIndex(idCol)
+    val bIdx = audio.schema.fieldIndex(bytesCol)
+    val sig = audio.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](bIdx)
+        parseWav(bytes).iterator.filter(_.nSamples >= windows).map { info =>
+          val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+          val env = new Array[Long](windows)
+          var k = 0
+          while (k < windows) {
+            val start = k * info.nSamples / windows
+            val end = (k + 1) * info.nSamples / windows
+            var sum = 0L
+            var s = start
+            while (s < end) {
+              var c = 0
+              while (c < info.channels) {
+                val v: Int =
+                  if (info.bitsPerSample == 16)
+                    bb.getShort(info.dataOffset +
+                      ((s * info.channels + c) * 2).toInt).toInt
+                  else (bytes(info.dataOffset +
+                    (s * info.channels + c).toInt) & 0xff) - 128
+                sum += math.abs(v)
+                c += 1
+              }
+              s += 1
+            }
+            val cnt = (end - start) * info.channels
+            env(k) = if (cnt == 0) 0L else sum / cnt
+            k += 1
+          }
+          var fp = 0L
+          var i = 0
+          while (i < windows - 1) {
+            if (env(i + 1) > env(i)) fp |= (1L << i)
+            i += 1
+          }
+          Row(r.getLong(idIdx), info.nSamples, fp)
+        }
+      }
+    }(enc).localCheckpoint() // one decode, two block sides + two verifies
+    val blk = sig.select(col("id"), col("n_samples"), col("fp"),
+        explode(sequence(lit(0), lit(3))).as("block_idx"))
+      .withColumn("blk", expr("shiftright(fp, 16 * block_idx) & 65535"))
+    val a = blk.as("a"); val b = blk.as("b")
+    a.join(b,
+        col("a.block_idx") === col("b.block_idx") &&
+          col("a.blk") === col("b.blk") &&
+          col("a.n_samples") === col("b.n_samples") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n_samples").as("n_samples"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 }

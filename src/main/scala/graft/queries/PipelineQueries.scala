@@ -44,6 +44,7 @@ object PipelineQueries {
     "m7_multimodal_curation" -> ((s, d) => multimodalCuration(s, d)),
     "m8_scene_cuts" -> ((s, d) => sceneCutsQ(s, d)),
     "m14_video_neardup" -> ((s, d) => videoNearDupsQ(s, d)),
+    "m15_audio_neardup" -> ((s, d) => audioNearDupsQ(s, d)),
     "m9_scene_cuts_dense" -> ((s, d) => sceneCutsDense(s, d)),
     "m10_caption_frames" -> ((s, d) => captionFrames(s, d)),
     "r1_rerank" -> ((s, d) => rerank(s, d)),
@@ -663,6 +664,63 @@ object PipelineQueries {
         maxHamming = 3, minMatchPpm = 800000L)
       .orderBy("video_a", "video_b")
   }
+
+  /** [[graft.operators.AudioCodec.audioNearDups]] over synthesized
+    * re-upload triples (every rule named, the m14 convention): clips =
+    * doc_id < 180 minus the %11 junk tier (format-gated on both sides),
+    * groups g = id div 3; per-group duration class S = 32·(g%3+1)
+    * samples per sub-window × 61 windows (8 kHz mono 16-bit). Window k's
+    * amplitude is 1000 + 500·bit_k of the group's 60-bit md5 word
+    * (window 60 fixed at 1000), square-wave ±A alternating every 4
+    * samples so mean-abs = A EXACTLY and the whole envelope — hence the
+    * whole fingerprint — is analytic (the m6 rule: DuckDB cannot parse
+    * WAV and doesn't need to, the fixture IS the specification).
+    * Upload slots: 0 = exact, 1 = ONE amplitude bit flipped (g%60 —
+    * perturbs ≤ 2 delta bits: a re-encode's jitter → MATCHES), 2 = a
+    * different md5 word entirely (envelope uncorrelated, expected
+    * Hamming ≫ 3 → never a dup; chance block collisions surface as
+    * audited high-Hamming candidates the filter drops on both sides). */
+  def audioNearDupsQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val clips = Tables.documents(spark, dir).filter(col("doc_id") < 180)
+      .select(col("doc_id")).as[Long]
+      .map(id => (id, envelopeWav(id))).toDF("clip_id", "bytes")
+    graft.operators.AudioCodec
+      .audioNearDups(clips, "clip_id", "bytes", windows = 61, maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** The m15 fixture WAV: 61 sub-windows of S = 32·(g%3+1) samples, the
+    * per-window square wave described on [[audioNearDupsQ]]. */
+  private def envelopeWav(id: Long): Array[Byte] =
+    if (id % 11 == 0) s"junk-not-a-wav-$id".getBytes("UTF-8")
+    else {
+      val g = id / 3
+      val sWin = 32 * ((g % 3).toInt + 1)
+      val bits = (id % 3) match {
+        case 0 => md5Hash60(s"ag:$g")
+        case 1 => md5Hash60(s"ag:$g") ^ (1L << (g % 60).toInt)
+        case _ => md5Hash60(s"agx:$g")
+      }
+      val n = 61 * sWin
+      val dataLen = n * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(0x46464952); bb.putInt(36 + dataLen); bb.putInt(0x45564157)
+      bb.putInt(0x20746d66); bb.putInt(16)
+      bb.putShort(1); bb.putShort(1)
+      bb.putInt(8000); bb.putInt(16000)
+      bb.putShort(2); bb.putShort(16)
+      bb.putInt(0x61746164); bb.putInt(dataLen)
+      var s = 0
+      while (s < n) {
+        val k = s / sWin
+        val amp = 1000 + (if (k <= 59 && ((bits >> k) & 1L) == 1L) 500 else 0)
+        bb.putShort((if ((s / 4) % 2 == 0) amp else -amp).toShort)
+        s += 1
+      }
+      bb.array()
+    }
 
   /** The m5 fixture: a 9x8 staircase PNG whose dHash is
     * `base(id % 5) XOR (id % 7 == 0 ? 1 << (id % 60) : 0)` — see
@@ -1621,6 +1679,39 @@ object PipelineQueries {
         |  (n_matched * 1000000) // n AS match_ppm,
         |  ((n_matched * 1000000) // n) >= 800000 AS is_dup
         |FROM ver ORDER BY video_a, video_b""".stripMargin,
+
+    // analytic envelope replay (the m6 convention): amplitude bits from
+    // the group md5 word, fp bit i = (NOT bit_i) AND bit_{i+1} — the
+    // delta-sign of the 1000/1500 two-level envelope; then the m5 block
+    // pigeonhole + bit_count verify
+    "m15_audio_neardup" ->
+      """WITH v AS (SELECT doc_id AS id, doc_id // 3 AS g FROM documents
+        |  WHERE doc_id < 180 AND doc_id % 11 <> 0),
+        |h AS (SELECT id, g, (32 * (g % 3 + 1))::BIGINT AS s,
+        |    CASE WHEN id % 3 = 0 THEN base
+        |         WHEN id % 3 = 1 THEN xor(base, 1::BIGINT << (g % 60)::INT)
+        |         ELSE ('0x' || substr(md5('agx:' || g), 1, 15))::BIGINT
+        |    END AS bits
+        |  FROM (SELECT *,
+        |    ('0x' || substr(md5('ag:' || g), 1, 15))::BIGINT AS base
+        |    FROM v)),
+        |f AS (SELECT h.id, (61 * h.s)::BIGINT AS n_samples,
+        |    sum(CASE WHEN ((h.bits >> i.i::INT) & 1) = 0
+        |              AND ((h.bits >> (i.i + 1)::INT) & 1) = 1
+        |         THEN (1::BIGINT << i.i::INT) ELSE 0 END)::BIGINT AS fp
+        |  FROM h, generate_series(0, 58) i(i) GROUP BY 1, 2),
+        |blk AS (SELECT id, n_samples, fp, bi,
+        |    (fp >> (16 * bi)::INT) & 65535 AS b
+        |  FROM f, generate_series(0, 3) t(bi)),
+        |cand AS (SELECT DISTINCT a.id AS ia, b.id AS ib,
+        |    a.n_samples, a.fp AS fa, b.fp AS fb
+        |  FROM blk a JOIN blk b
+        |  ON a.bi = b.bi AND a.b = b.b AND a.n_samples = b.n_samples
+        |    AND a.id < b.id)
+        |SELECT ia AS id_a, ib AS id_b, n_samples,
+        |  bit_count(xor(fa, fb))::BIGINT AS hamming
+        |FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "m5_image_dhash" ->
       """WITH d AS (SELECT doc_id,

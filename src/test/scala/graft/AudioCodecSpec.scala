@@ -96,4 +96,50 @@ class AudioCodecSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("maxGainMilli>=1000"))
   }
+
+  test("audioNearDups: gain-invariant exact match, 1-window jitter within " +
+    "Hamming, duration gate, envelope inversion rejected at verify, junk " +
+    "dropped; hand-computed fingerprints") {
+    import spark.implicits._
+    // 17 windows of 4 samples each (68 samples); square wave +-A per
+    // window so mean-abs == A exactly. Alternating envelope
+    // [100,200,100,...] -> fp bits at even i -> 0x5555.
+    def envWav(amps: Seq[Int], sPerWin: Int = 4): Array[Byte] =
+      wav16(8000, 1, amps.zipWithIndex.flatMap { case (a, k) =>
+        (0 until sPerWin).map { j =>
+          val s = k * sPerWin + j
+          (if ((s / 4) % 2 == 0) a else -a).toShort
+        }
+      })
+    val alt = (0 until 17).map(k => if (k % 2 == 0) 100 else 200)
+    val inv = alt.map(a => if (a == 100) 200 else 100)
+    val jit = alt.updated(5, 90) // flips fp bits 4 and 5 -> Hamming 2
+    val clips = Seq(
+      (1L, envWav(alt)),
+      (2L, envWav(alt.map(_ * 2))),       // gain x2: same ORDER, same fp
+      (3L, envWav(jit)),
+      (4L, envWav(alt, sPerWin = 8)),     // same fp, different duration
+      (5L, "junk-bytes".getBytes("UTF-8")),
+      (6L, envWav(inv))                   // fp 0xAAAA: candidate via the
+                                          // zero upper blocks, Hamming 16
+    ).toDF("clip_id", "bytes")
+    val out = AudioCodec.audioNearDups(clips, "clip_id", "bytes",
+        windows = 17, maxHamming = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(out.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"exactly the gain twin and the jitter pair match: ${out.keySet}")
+    assert(out((1L, 2L)) == ((1L, 2L, 68L, 0L)),
+      "gain preserves envelope ORDER -> identical fingerprint")
+    assert(out((1L, 3L)) == ((1L, 3L, 68L, 2L)),
+      s"one perturbed window flips exactly bits 4 and 5: ${out((1L, 3L))}")
+    val e = intercept[IllegalArgumentException] {
+      AudioCodec.audioNearDups(clips, "clip_id", "bytes", windows = 16)
+    }
+    assert(e.getMessage.contains("windows"))
+    val e2 = intercept[IllegalArgumentException] {
+      AudioCodec.audioNearDups(clips, "clip_id", "bytes", maxHamming = 4)
+    }
+    assert(e2.getMessage.contains("pigeonhole"))
+  }
 }
