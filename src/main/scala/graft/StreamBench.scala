@@ -50,7 +50,7 @@ object StreamBench {
 
   private val allArms =
     Seq("context_windows", "changelog", "scene_cuts", "cusum", "ewma",
-      "funnel", "holt_winters", "paragraph_dedup")
+      "funnel", "holt_winters", "hdr_quantiles", "paragraph_dedup")
 
   def main(args: Array[String]): Unit = {
     val durSec = args.headOption.map(_.toInt).getOrElse(12)
@@ -162,6 +162,18 @@ object StreamBench {
           expr("value div 320").as("di"),
           (col("value") % 1000).as("x"))
         streaming.StreamingHoltWinters.forecast(days, "key", "di", "x")
+      }, outputMode = "update")
+
+    if (arms("hdr_quantiles"))
+    runStateful(spark, "hdr_quantiles", durSec, rowsPerSec = 50000,
+      build = src => {
+        // 320 keyed latency-ish series; v spreads over six orders of
+        // magnitude so every row exercises the log-linear bucket path
+        // and each batch re-reads three quantiles per touched key
+        val vals = src.select(
+          (col("value") % 320).cast("string").as("key"),
+          expr("(value * value) % 1000000").as("v"))
+        streaming.StreamingHdrQuantiles.quantiles(vals, "key", "v")
       }, outputMode = "update")
 
     if (arms("paragraph_dedup")) runParagraphDedup(spark, durSec)

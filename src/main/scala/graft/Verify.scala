@@ -159,6 +159,9 @@ object Verify {
     // e30: the daily rollup is corpus-sized; the 10x stream widens the
     // sign-pair magnitudes and the tie spectrum
     "e30_mann_kendall",
+    // q7: the bucket rollup rides the full 10x lineitem scan and the 10x
+    // value stream populates more log-linear cells per key
+    "q7_hdr_quantiles",
     // m15: the m14 law — fixed clip budget, but the sf0.1 leg re-proves
     // the analytic-envelope oracle against 10x-regenerated doc rows
     "m15_audio_neardup",

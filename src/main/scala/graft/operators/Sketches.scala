@@ -91,4 +91,79 @@ object Sketches {
             "div exact").cast("long"))
           .otherwise(0L).as("err_ppm"))
   }
+
+  /** MERGEABLE quantile sketch — HDR-histogram bucketing (Tene,
+    * HdrHistogram; the log-linear bucket family t-digest/DDSketch also
+    * belong to, chosen here because its buckets are pure INTEGER BIT
+    * ARITHMETIC and therefore replayable in any engine): the 100 TB
+    * percentile path beside t20's exact nearest-rank percentiles, whose
+    * shuffle carries the full value universe. At scale "p99 latency per
+    * service" is a sketch job: per-partition bucket counts merge by
+    * addition (the mergeable property — same law as HLL register maxes),
+    * and the only corpus-sized exchange is a map-side-combined
+    * (key, bucket) count rollup bounded by the bucket universe, never by
+    * the data.
+    *
+    * Bucketing, exactly: for v ≥ 0 and precision p (`precisionBits`),
+    * e = max(0, bitlen(v) − p) with bitlen via the `bin` string (the
+    * q6 spelling — no float log near a boundary), m = v >> e. Values
+    * below 2^p are EXACT (e = 0); above, m holds the top p bits of v —
+    * bucket width 2^e, relative error < 2^(1−p) (p = 7 → < 1.6%).
+    * Bucket order (e asc, m asc) IS value order: within e, m ascends;
+    * across e, ranges are disjoint and ascending (max lo at e is
+    * (2^p−1)·2^e < 2^(p+e) = min lo at e+1).
+    *
+    * Quantile read-out: nearest-rank r = ⌈q·n/100⌉ as the exact integer
+    * (q·n + 99) div 100; the answer bucket is the first (in value
+    * order) with cumulative ≥ r — selected relationally as
+    * cum ≥ r ∧ cum − c < r, no rank window. Emitted estimate is the
+    * bucket's LOWER BOUND m·2^e (a guaranteed ≤-the-true-value floor)
+    * with `max_err` = 2^e − 1 riding beside it — the honest-bound
+    * convention. Negative values raise loudly (HDR buckets are for
+    * magnitudes; shift the domain upstream).
+    *
+    * 100 TB shape: one map-side-combined (key, e, m) count groupBy; the
+    * per-key bucket table is bounded by (64−p)·2^(p−1)+2^p cells
+    * (~3.8k at p = 7), so the cumulative window and the quantile
+    * selection run on sketch-sized rows. The streaming arm
+    * ([[graft.streaming.StreamingHdrQuantiles]]) carries the SAME
+    * bucket map as keyed state — bounded, rebuild-equivalent. */
+  def hdrQuantiles(df: DataFrame, keyCol: String, valueCol: String,
+                   precisionBits: Int = 7,
+                   quantilesPct: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(precisionBits >= 2 && precisionBits <= 20,
+      s"hdrQuantiles needs precisionBits in [2, 20] (got $precisionBits)")
+    require(quantilesPct.nonEmpty &&
+      quantilesPct.forall(q => q >= 1 && q <= 100),
+      s"hdrQuantiles needs quantiles in [1, 100] (got $quantilesPct)")
+    Guards.requireIntegral(df, valueCol, "hdrQuantiles")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qdf = quantilesPct.map(_.toLong).toDF("q_pct")
+    val p = precisionBits
+    val checked = when(col(valueCol).cast("long") < 0, raise_error(concat(
+        lit(s"hdrQuantiles: negative $valueCol "),
+        col(valueCol).cast("string"),
+        lit(" - HDR buckets cover magnitudes; shift the domain upstream")))
+        .cast("long"))
+      .otherwise(col(valueCol).cast("long"))
+    val c = df.select(col(keyCol).as("__k"), checked.as("v"))
+      .withColumn("e",
+        greatest(lit(0L), length(bin(col("v"))).cast("long") - p))
+      .withColumn("m", expr("shiftright(v, cast(e as int))"))
+      .groupBy("__k", "e", "m").agg(count(lit(1)).as("c"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("__k")
+    val wCum = org.apache.spark.sql.expressions.Window.partitionBy("__k")
+      .orderBy("e", "m")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    c.withColumn("n", sum(col("c")).over(wAll))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .crossJoin(broadcast(qdf))
+      .withColumn("r", expr("(q_pct * n + 99) div 100"))
+      .filter(col("cum") >= col("r") && col("cum") - col("c") < col("r"))
+      .select(col("__k").as(keyCol), col("q_pct"), col("n"),
+        expr("shiftleft(m, cast(e as int))").as("est"),
+        expr("shiftleft(1L, cast(e as int)) - 1").as("max_err"))
+  }
 }

@@ -21,8 +21,22 @@ object RelationalQueries {
     "z2_hilbert_layout" -> ((s, dir) => hilbertLayout(s, dir)),
     "q3_rollup" -> ((s, dir) => rollupAgg(s, dir)),
     "q4_skew_report" -> ((s, dir) => skewReportQ(s, dir)),
-    "q6_hll" -> ((s, dir) => hllQ(s, dir))
+    "q6_hll" -> ((s, dir) => hllQ(s, dir)),
+    "q7_hdr_quantiles" -> ((s, dir) => hdrQuantilesQ(s, dir))
   )
+
+  /** [[graft.operators.Sketches.hdrQuantiles]] over lineitem price cents
+    * keyed by return flag — three keys × p50/p90/p99 with a real value
+    * spread (cents span ~90k..10.5M at sf0.01, so every bucket rides the
+    * log-linear branch and max_err is a genuine 2^e−1, not zero). The
+    * spec pins the error bound against exact nearest-rank percentiles;
+    * this row pins the full bucket→cumulative→read-out replay. */
+  def hdrQuantilesQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.hdrQuantiles(
+        Tables.lineitem(spark, dir).select(col("l_returnflag"),
+          floor(col("l_extendedprice") * 100).cast("long").as("cents")),
+        "l_returnflag", "cents")
+      .orderBy("l_returnflag", "q_pct")
 
   /** [[graft.operators.Sketches.hllCardinality]] over three lineitem key
     * columns spanning the sketch's regimes at sf0.01: l_orderkey (~15k
@@ -117,6 +131,27 @@ object RelationalQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    // full HDR-sketch replay: bucket (e, m) via bin-string bitlength +
+    // integer shifts, map-side count rollup, value-ordered cumulative,
+    // nearest-rank read-out selected relationally (cum>=r AND cum-c<r)
+    "q7_hdr_quantiles" ->
+      """WITH src AS (SELECT l_returnflag AS k,
+        |    floor(l_extendedprice * 100)::BIGINT AS v FROM lineitem),
+        |b AS (SELECT k, v,
+        |    greatest(0, length(bin(v)) - 7)::BIGINT AS e FROM src),
+        |bm AS (SELECT k, e, (v >> e::INT)::BIGINT AS m FROM b),
+        |c AS (SELECT k, e, m, count(*)::BIGINT AS c FROM bm GROUP BY 1, 2, 3),
+        |t AS (SELECT *, sum(c) OVER (PARTITION BY k)::BIGINT AS n,
+        |    sum(c) OVER (PARTITION BY k ORDER BY e, m)::BIGINT AS cum
+        |  FROM c),
+        |q AS (SELECT t.*, qq.q,
+        |    ((qq.q * t.n + 99) // 100)::BIGINT AS r
+        |  FROM t, (VALUES (50), (90), (99)) qq(q))
+        |SELECT k AS l_returnflag, q::BIGINT AS q_pct, n,
+        |  (m << e::INT)::BIGINT AS est,
+        |  ((1::BIGINT << e::INT) - 1)::BIGINT AS max_err
+        |FROM q WHERE cum >= r AND cum - c < r
+        |ORDER BY l_returnflag, q_pct""".stripMargin,
     // full HLL replay: register maxes via bin-string bitlength, exact
     // T = sum 2^(53-Mj) as BIGINT, raw estimate as one HUGEINT floor
     // division with the exact rational alpha, LC branch via ln of an

@@ -80,4 +80,50 @@ class SketchesSpec extends AnyFunSuite {
     val (_, _, _, e, exact, _) = run(keys)
     assert(math.abs(e - exact) <= 1, s"LC est $e vs exact $exact")
   }
+
+  test("hdrQuantiles: hand-computed buckets at p=3; nearest-rank read-out; " +
+    "error-bound law against exact percentiles; guards are loud") {
+    // key a = [1..10], p=3: v<8 exact (e=0); 8,9 -> bucket (e=1,m=4),
+    // 10 -> (1,5). n=10. p50 r=5 -> (0,5): est 5 err 0 (exact branch);
+    // p90 r=9 -> (1,4): est 8 err 1 (true 9 inside [8,9]);
+    // p99 r=10 -> (1,5): est 10 err 1.
+    val out = Sketches.hdrQuantiles(
+        (1L to 10L).map(("a", _)).toDF("k", "v"), "k", "v",
+        precisionBits = 3)
+      .as[(String, Long, Long, Long, Long)]
+      .collect().map(r => r._2 -> r).toMap
+    assert(out(50L) == (("a", 50L, 10L, 5L, 0L)), s"p50: ${out(50L)}")
+    assert(out(90L) == (("a", 90L, 10L, 8L, 1L)), s"p90: ${out(90L)}")
+    assert(out(99L) == (("a", 99L, 10L, 10L, 1L)), s"p99: ${out(99L)}")
+    // bound law on a spread fixture: est <= exact nearest-rank <= est+err
+    // for every (key, q) at the registry's p=7
+    val vals = (0 until 500).map(i =>
+      (s"k${i % 3}", (i.toLong * i * 7919 + 13) % 1000003))
+    val got = Sketches.hdrQuantiles(vals.toDF("k", "v"), "k", "v")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.length == 9, "3 keys x 3 quantiles")
+    got.foreach { case (k, q, n, est, err) =>
+      val sorted = vals.filter(_._1 == k).map(_._2).sorted
+      assert(n == sorted.length)
+      val r = ((q * n + 99) / 100).toInt
+      val exact = sorted(r - 1)
+      assert(est <= exact && exact <= est + err,
+        s"($k, p$q): est $est exact $exact err $err")
+    }
+    val neg = intercept[Exception] {
+      Sketches.hdrQuantiles(Seq(("a", -1L)).toDF("k", "v"), "k", "v")
+        .collect()
+    }
+    assert(neg.getMessage.contains("negative"))
+    val e1 = intercept[IllegalArgumentException] {
+      Sketches.hdrQuantiles(Seq(("a", 1L)).toDF("k", "v"), "k", "v",
+        precisionBits = 1)
+    }
+    assert(e1.getMessage.contains("precisionBits"))
+    val e2 = intercept[IllegalArgumentException] {
+      Sketches.hdrQuantiles(Seq(("a", 1L)).toDF("k", "v"), "k", "v",
+        quantilesPct = Seq(0))
+    }
+    assert(e2.getMessage.contains("quantiles"))
+  }
 }
