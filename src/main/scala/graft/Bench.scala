@@ -218,8 +218,14 @@ object Bench {
     // within ~1.15x of the round's best observed anchor or re-run on a
     // fresh boot) and (b) the intra-run drift (anchor_drift = median
     // last/first) that previously needed git archaeology across boots.
-    val anchorNames = Seq("q1_agg", "q2_join3", "e3_window_agg")
-      .filter(sel.contains)
+    // m9 is the ALLOCATION-RATE anchor (r16 lesson, committed receipt in
+    // BENCH_r16_supplementary_degraded.json): the box's late-session
+    // degradation mode hits allocation-heavy rows ~3× (PNG decode, float
+    // vectors) while scan anchors stay flat — q1 alone cannot veto a
+    // degraded boot, m9 can (0.75 s band vs 2.4 s degraded).
+    val anchorNames =
+      Seq("q1_agg", "q2_join3", "e3_window_agg", "m9_scene_cuts_dense")
+        .filter(sel.contains)
     def median3(name: String): Double = {
       val s = (1 to 3).map(_ => {
         val t0 = System.nanoTime()
