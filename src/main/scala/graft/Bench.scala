@@ -93,7 +93,8 @@ object Bench {
     "gr10_reciprocity", "e27_seasonal_strength", "m13_image_entropy",
     "ev18_mann_whitney", "e28_holt_winters", "u9_gc_plan", "gr11_ppr",
     "e29_tost", "m14_video_neardup", "e30_mann_kendall",
-    "t73_linear_classifier", "m15_audio_neardup", "q7_hdr_quantiles")
+    "t73_linear_classifier", "m15_audio_neardup", "q7_hdr_quantiles",
+    "ev19_ragas")
   // k7_dbscan is deliberately NOT a headliner (the v3 convention): its
   // registry arm scores exact all-pairs cosine — the oracle-replayable
   // TEST-scale candidate generator — which is quadratic by design; the
@@ -230,7 +231,10 @@ object Bench {
       val s = (1 to 3).map(_ => {
         val t0 = System.nanoTime()
         try { run(name); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 }
+        catch { case e: Throwable =>
+          // a -1 anchor in the committed artifact must be traceable: print
+          // the failure like measureOnce does (r16 advice)
+          System.err.println(s"[bench] anchor $name FAILED: $e"); -1.0 }
       }).filter(_ >= 0).sorted
       if (s.isEmpty) -1.0 else s(s.size / 2)
     }
@@ -268,8 +272,11 @@ object Bench {
       // remeasure while contended OR while failures left fewer than 3 good
       // samples (2 fails + 1 success must not ship a single-sample median
       // indistinguishable from a clean 3-run measurement); all-failed stops
-      // immediately — rerunning a permanently broken query is waste
-      while (ok.nonEmpty && (ok.size < 3 || spread > 2.0) && extra < 4) {
+      // immediately — rerunning a permanently broken query is waste.
+      // Trigger at 1.5x (r16 verdict #4: the r16 artifact shipped
+      // worst_spread 1.89 with extra_runs 0 — the old 2.0x threshold sat
+      // above every observed spread, so the machinery never fired).
+      while (ok.nonEmpty && (ok.size < 3 || spread > 1.5) && extra < 4) {
         System.err.println(f"[bench] REMEASURE $name spread $spread%.1fx " +
           f"good ${ok.size}/${samples.size} (loadavg ${loadavg()})")
         samples += measureOnce(name); extra += 1; extraRuns += 1
@@ -277,7 +284,7 @@ object Bench {
       val b = best3
       val median = if (b.isEmpty) -1.0 else b(b.size / 2)
       val mn = if (b.isEmpty) -1.0 else b.head
-      if (spread > 2.0)
+      if (spread > 1.5)
         System.err.println(f"[bench] CONTENTION? $name median $median%.2fs is " +
           f"$spread%.1fx its min $mn%.2fs after $extra remeasures — box under load")
       System.err.println(f"[bench] $name median $median%.2fs min $mn%.2fs " +
@@ -312,11 +319,16 @@ object Bench {
     val total = okResults.map(_._2).sum
     val totalMin = okResults.map(_._3).sum
     val failed = results.count(_._3 <= 0)
-    val worstSpread =
-      okResults.map { case (_, med, mn, _, _) => med / mn }.foldLeft(1.0)(math.max)
-    if (worstSpread > 2.0)
+    // name the worst-spread row (r16 verdict #4): a 1.89x spread median is
+    // soft evidence — the artifact must say WHICH query carried it so the
+    // reader can check it against the volatile-band list
+    val (worstSpreadQuery, worstSpread) =
+      okResults.map { case (k, med, mn, _, _) => (k, med / mn) }
+        .foldLeft(("", 1.0))((a, b) => if (b._2 > a._2) b else a)
+    if (worstSpread > 1.5)
       System.err.println(f"[bench] CONTENTION? worst per-query median/min spread " +
-        f"$worstSpread%.1fx survived remeasuring — treat totals as upper bounds")
+        f"$worstSpread%.1fx ($worstSpreadQuery) survived remeasuring — treat " +
+        "totals as upper bounds")
     def medianOf(xs: Seq[Double]): Double =
       if (xs.isEmpty) -1.0 else { val s = xs.sorted; s(s.size / 2) }
     val anchorsJson = anchorNames.map { n =>
@@ -355,11 +367,23 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] prev-bench parse failed: $e"); None }
     }.getOrElse("")
+    // The driver's capture truncates long stdout: BENCH_r{14,15,16}.json all
+    // shipped parsed:null because the only machine-readable line was the
+    // full ~190-query map (far past any sane line cap). Fix (r16 verdict
+    // #2): emit a SLIM self-contained summary line first AND repeat it
+    // last, with the full map line in between — whichever end of the
+    // stream the driver keeps, it contains one complete parseable JSON
+    // object carrying the headline number and the boot-quality evidence.
+    val prevAdj = prevCmp.split(",").find(_.startsWith("\"median_ratio_vs_prev_adjusted\""))
+      .map(s => "," + s).getOrElse("")
+    val slim = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","boot_anchor":$bootAnchor%.3f,"anchor_drift":$anchorDrift%.3f,"anchors":$anchorsJson,"worst_spread":$worstSpread%.2f,"worst_spread_query":"$worstSpreadQuery","extra_runs":$extraRuns,"failed_queries":$failed,"contaminated":$contaminated$prevAdj}"""
+    println(slim)
     // timing_basis makes the artifact self-describing across methodology
     // changes: "noop_sink_v2" = every query timed to a noop-format sink
     // (count() let Catalyst prune projection-final operators and
     // under-measured them — r5 artifacts are on that older basis).
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing_basis":"noop_sink_v2","anchors":$anchorsJson,"boot_anchor":$bootAnchor%.3f,"anchor_drift":$anchorDrift%.3f,$prevCmp"queries":$qs,"sf":"$sfDir","base_runs":3,"stat":"median_fastest3","queries_min":$mins,"query_runs":$runs,"sample_failures":$sampleFails,"total_min":$totalMin%.3f,"worst_spread":$worstSpread%.2f,"extra_runs":$extraRuns,"failed_queries":$failed,"contaminated":$contaminated,"idle_gate_expired":$gateExpired,"query_loadavg":$qLoadJson,"loadavg_at_start":"$loadAtStart","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing_basis":"noop_sink_v2","anchors":$anchorsJson,"boot_anchor":$bootAnchor%.3f,"anchor_drift":$anchorDrift%.3f,$prevCmp"queries":$qs,"sf":"$sfDir","base_runs":3,"stat":"median_fastest3","queries_min":$mins,"query_runs":$runs,"sample_failures":$sampleFails,"total_min":$totalMin%.3f,"worst_spread":$worstSpread%.2f,"worst_spread_query":"$worstSpreadQuery","extra_runs":$extraRuns,"failed_queries":$failed,"contaminated":$contaminated,"idle_gate_expired":$gateExpired,"query_loadavg":$qLoadJson,"loadavg_at_start":"$loadAtStart","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}""")
+    println(slim)
     spark.stop()
   }
 }

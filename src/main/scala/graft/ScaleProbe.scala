@@ -138,7 +138,8 @@ object ScaleProbe {
         "gr10_reciprocity", "e27_seasonal_strength", "m13_image_entropy",
         "ev18_mann_whitney", "e28_holt_winters", "u9_gc_plan", "gr11_ppr",
         "e29_tost", "m14_video_neardup", "e30_mann_kendall",
-        "t73_linear_classifier", "m15_audio_neardup", "q7_hdr_quantiles")
+        "t73_linear_classifier", "m15_audio_neardup", "q7_hdr_quantiles",
+        "ev19_ragas")
       // optional second arg: probe only the named queries (comma-separated) —
       // re-measuring one changed operator shouldn't cost the full heavy tail.
       // Unknown names fail loudly: a typo silently probing nothing (and still

@@ -169,10 +169,13 @@ object StreamBench {
       build = src => {
         // 320 keyed latency-ish series; v spreads over six orders of
         // magnitude so every row exercises the log-linear bucket path
-        // and each batch re-reads three quantiles per touched key
+        // and each batch re-reads three quantiles per touched key.
+        // squared from the bounded residue: value*value overflows long
+        // once value passes ~3.04e9 (~17 h soak at 50k rows/s), wrapping
+        // negative and tripping the operator's negative-value guard
         val vals = src.select(
           (col("value") % 320).cast("string").as("key"),
-          expr("(value * value) % 1000000").as("v"))
+          expr("((value % 1000000) * (value % 1000000)) % 1000000").as("v"))
         streaming.StreamingHdrQuantiles.quantiles(vals, "key", "v")
       }, outputMode = "update")
 

@@ -32,18 +32,27 @@ object TagAb {
     val anchor = (1 to 3).map(_ => time(SparkEntry.queries("q1_agg")))
       .sorted.apply(1)
     args.foreach { n =>
-      require(SparkEntry.baseQueries.contains(n), s"unknown query $n")
-      val tagged = SparkEntry.queries(n)
-      val base = SparkEntry.baseQueries(n)
-      time(tagged); time(base) // warm both plans
-      val readings = (1 to 3).flatMap { _ =>
-        Seq("tagged" -> time(tagged), "base" -> time(base))
+      // one throwing query must not drop the remaining A/B rows, and a
+      // zero base median must not emit Infinity/NaN (invalid JSON) —
+      // r16 advice
+      try {
+        require(SparkEntry.baseQueries.contains(n), s"unknown query $n")
+        val tagged = SparkEntry.queries(n)
+        val base = SparkEntry.baseQueries(n)
+        time(tagged); time(base) // warm both plans
+        val readings = (1 to 3).flatMap { _ =>
+          Seq("tagged" -> time(tagged), "base" -> time(base))
+        }
+        val rj = readings.map { case (k, v) =>
+          f"""{"arm":"$k","sec":$v%.3f}""" }.mkString("[", ",", "]")
+        val medT = readings.collect { case ("tagged", v) => v }.sorted.apply(1)
+        val medB = readings.collect { case ("base", v) => v }.sorted.apply(1)
+        val ratio = if (medB > 0) medT / medB else -1.0
+        println(f"""{"query":"$n","commit":"$commit","boot_anchor":$anchor%.3f,"readings":$rj,"median_tagged":$medT%.3f,"median_base":$medB%.3f,"tag_overhead_ratio":$ratio%.3f}""")
+      } catch { case e: Throwable =>
+        System.err.println(s"[tagab] $n FAILED: $e")
+        println(s"""{"query":"$n","commit":"$commit","error":"${e.getClass.getSimpleName}"}""")
       }
-      val rj = readings.map { case (k, v) =>
-        f"""{"arm":"$k","sec":$v%.3f}""" }.mkString("[", ",", "]")
-      val medT = readings.collect { case ("tagged", v) => v }.sorted.apply(1)
-      val medB = readings.collect { case ("base", v) => v }.sorted.apply(1)
-      println(f"""{"query":"$n","commit":"$commit","boot_anchor":$anchor%.3f,"readings":$rj,"median_tagged":$medT%.3f,"median_base":$medB%.3f,"tag_overhead_ratio":${medT / medB}%.3f}""")
     }
     spark.stop()
   }

@@ -27,6 +27,10 @@ object text {
   /** Whitespace token count (`fast_ops.py:257-263`). */
   def token_count(c: Column): Column = size(tokens(c))
 
+  /** Distinct normalized tokens — the set granularity the rerank overlap
+    * and the RAGAS-shape claim/evidence checks share. */
+  def distinctTokens(c: Column): Column = array_distinct(tokens(c))
+
   /** BPE-ish subword token estimate: greedy regex chunking — letter runs in
     * <=4-char pieces, digit runs in <=3, one token per other non-space char —
     * approximates a BPE vocabulary's granularity closely enough for

@@ -1809,7 +1809,18 @@ object Corpus {
       .agg(sum(col("w")).as("sw"))
       .join(nc, "cls")
       .select(col("cls"), col("b"), expr("sw div n_c").as("cb"))
-    val classes = nc.select("cls")
+    // Raise loudly when the seed slice trained ZERO classes (the
+    // nbClassifier/mcnemar convention, r16 advice): a bad seedMod or id
+    // domain must read as "no model", never as "no docs". The guard row
+    // exists only when the trained-class count is 0, so the broadcast
+    // build itself raises before any scoring runs; on healthy input the
+    // union branch contributes zero rows and one tiny count agg.
+    val classes = nc.select("cls").union(
+      nc.agg(count(lit(1)).as("__n_cls")).filter(col("__n_cls") === 0)
+        .select(raise_error(lit(s"linearClassifier: seed slice (id % " +
+          s"$seedMod == 0) trained zero classes — empty MODEL, not an " +
+          "empty corpus; check seedMod against the id domain"))
+          .cast(nc.schema.head.dataType).as("cls")))
     val scored = rest.crossJoin(broadcast(classes))
       .join(broadcast(cen), Seq("cls", "b"), "left")
       .groupBy("id", "cls")

@@ -62,7 +62,8 @@ object VectorQueries {
     "s13_colpali_fallback" -> ((s, d) => colpaliFallbackQ(s, d)),
     "s8_e2e_quality" -> ((s, d) => e2eQuality(s, d)),
     "s9_e2e_quality_rerank" -> ((s, d) => e2eQualityRerank(s, d)),
-    "s11_colpali_e2e_quality" -> ((s, d) => colpaliE2eQuality(s, d))
+    "s11_colpali_e2e_quality" -> ((s, d) => colpaliE2eQuality(s, d)),
+    "ev19_ragas" -> ((s, d) => ragasEvalQ(s, d))
   )
 
   /** Planted page/query images for [[colpaliE2eQuality]] — 16×16 px of
@@ -233,6 +234,64 @@ object VectorQueries {
         round(col("recall_at_k"), 6).as("recall_at_k"),
         round(col("mrr"), 6).as("mrr"),
         round(col("ndcg_at_k"), 6).as("ndcg_at_k"))
+      .orderBy("query_id")
+  }
+
+  /** RAGAS-shape retrieval eval over the s8 golden fixture
+    * ([[graft.operators.Evals.ragasReport]]): the deterministic analog of
+    * the reference's `evaluations/hotpot_ragas_eval.py` run — retrieve
+    * contexts for each golden question through the serving stack, then
+    * score context_precision@10 (rank-weighted, exact-integer ppm) and
+    * token-overlap faithfulness of the planted answer (the doc's first
+    * 120 chars) against the union of retrieved chunk texts.
+    *
+    * Retrieval is the dispatcher's dense plan shape (filter → cosine →
+    * TakeOrderedAndProject) on the same chunk table as s8, with the
+    * TOTAL (score desc, doc, chunk) order of the multivector arm: RAGAS
+    * contexts are CHUNK texts, so within-doc ties must order
+    * deterministically (s8 may leave them to doc-level pooling; a
+    * chunk-level eval cannot). Sub-81-char docs plant an empty question
+    * that embeds to the zero vector and scores 0.0 everywhere (the s8
+    * rule), exercising the all-ties rank path and low-faithfulness rows;
+    * longer docs recall their own chunks and score high — both metric
+    * regimes are value-covered. */
+  def ragasEvalQ(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 100)
+    val embedder = graft.operators.HashEmbedder(dim = 64, normalize = false)
+    val chunks = graft.operators.Chunker.fixedChunks(
+      docs, "doc_id", "text", n = 200, overlap = 40)
+    val table = embedder.embed(chunks, "chunk", "embedding")
+      .select(col("doc_id").as("document_id"), col("chunk_number"),
+        col("chunk").as("content"), col("embedding"))
+      .localCheckpoint()
+    val golden = docs.filter(col("doc_id") < 10)
+      .select(col("doc_id"), substring(col("text"), 81, 80).as("qtext"))
+      .collect().sortBy(_.getLong(0))
+    val perQuery = golden.map { r =>
+      val qVec = embedder.embedText(r.getString(1))
+      table.withColumn("score",
+          graft.operators.KnnSearch.cosineTo(col("embedding"), qVec))
+        .orderBy(col("score").desc, col("document_id"), col("chunk_number"))
+        .limit(10)
+        .withColumn("query_id", lit(r.getLong(0)))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("document_id"), col("chunk_number"))
+    val contexts = perQuery.withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("rank"),
+        col("document_id").as("id"), col("content"))
+    val qmeta = docs.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"),
+        col("lang").as("__ql"), col("source").as("__qs"))
+    val rel = docs.select(col("doc_id").as("id"), col("lang"), col("source"))
+      .join(broadcast(qmeta),
+        col("lang") === col("__ql") && col("source") === col("__qs"))
+      .select("query_id", "id")
+    val answers = docs.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"),
+        substring(col("text"), 1, 120).as("answer"))
+    graft.operators.Evals.ragasReport(contexts, rel, answers, k = 10)
       .orderBy("query_id")
   }
 
@@ -2321,7 +2380,93 @@ object VectorQueries {
         |  round(hits / ideal, 6) AS recall_at_k,
         |  round(coalesce(1.0 / fr, 0.0), 6) AS mrr,
         |  round(dcg / idcg, 6) AS ndcg_at_k
-        |FROM f ORDER BY query_id""".stripMargin
+        |FROM f ORDER BY query_id""".stripMargin,
+    // s8's retrieval replay cut at CHUNK level on the total (score desc,
+    // doc, chunk) order, then the RAGAS pair: context_precision@10 via
+    // the lcm(1..10)=2520 exact-integer rank weights, faithfulness via
+    // distinct-normalized-token evidence of the planted answer
+    // (substr(text,1,120)) in the union of retrieved chunk texts
+    "ev19_ragas" ->
+      """WITH docs AS (SELECT doc_id, text, lang, source FROM documents WHERE doc_id < 100),
+        |ch AS (
+        |  SELECT doc_id, (s - 1) // 160 AS chunk_number, substr(text, s::INT, 200) AS chunk
+        |  FROM docs, generate_series(1, 100000, 160) AS t(s)
+        |  WHERE s <= greatest(len(text) - 40, 1)
+        |    AND len(substr(text, s::INT, 200)) > 0),
+        |cb AS (
+        |  SELECT doc_id, chunk_number,
+        |    ('0x' || substr(md5('42:' || tok), 1, 4))::BIGINT % 64 AS idx,
+        |    sum(CASE WHEN ('0x' || substr(md5('42:' || tok), 5, 2))::BIGINT % 2 = 0
+        |             THEN 1 ELSE -1 END) AS s
+        |  FROM ch, unnest(list_filter(string_split_regex(lower(chunk), '\s+'), t -> len(t) > 0)) AS u(tok)
+        |  GROUP BY doc_id, chunk_number, idx),
+        |q AS (SELECT doc_id AS query_id, substr(text, 81, 80) AS qtext FROM docs WHERE doc_id < 10),
+        |qb AS (
+        |  SELECT query_id,
+        |    ('0x' || substr(md5('42:' || tok), 1, 4))::BIGINT % 64 AS idx,
+        |    sum(CASE WHEN ('0x' || substr(md5('42:' || tok), 5, 2))::BIGINT % 2 = 0
+        |             THEN 1 ELSE -1 END) AS s
+        |  FROM q, unnest(list_filter(string_split_regex(lower(qtext), '\s+'), t -> len(t) > 0)) AS u(tok)
+        |  GROUP BY query_id, idx),
+        |qn AS (SELECT query_id, sum(s * s) AS nq FROM qb GROUP BY query_id),
+        |cn AS (SELECT doc_id, chunk_number, sum(s * s) AS nc FROM cb GROUP BY doc_id, chunk_number),
+        |dots AS (
+        |  SELECT qb.query_id, cb.doc_id, cb.chunk_number, sum(qb.s * cb.s) AS dot
+        |  FROM qb JOIN cb ON qb.idx = cb.idx
+        |  GROUP BY 1, 2, 3),
+        |scored AS (
+        |  SELECT q.query_id, cn.doc_id, cn.chunk_number,
+        |    CASE WHEN sqrt(coalesce(qn.nq, 0)::DOUBLE) * sqrt(cn.nc::DOUBLE) = 0 THEN 0.0
+        |         ELSE coalesce(dots.dot, 0)::DOUBLE / (sqrt(qn.nq::DOUBLE) * sqrt(cn.nc::DOUBLE))
+        |    END AS score
+        |  FROM q LEFT JOIN qn ON q.query_id = qn.query_id
+        |  CROSS JOIN cn
+        |  LEFT JOIN dots ON dots.query_id = q.query_id
+        |    AND dots.doc_id = cn.doc_id AND dots.chunk_number = cn.chunk_number),
+        |r10 AS (
+        |  SELECT query_id, doc_id, chunk_number, rank FROM (
+        |    SELECT query_id, doc_id, chunk_number,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY score DESC, doc_id, chunk_number) AS rank
+        |    FROM scored) WHERE rank <= 10),
+        |rel AS (
+        |  SELECT q2.query_id, d.doc_id AS id
+        |  FROM (SELECT doc_id AS query_id, lang, source FROM docs WHERE doc_id < 10) q2
+        |  JOIN docs d ON d.lang = q2.lang AND d.source = q2.source),
+        |rv AS (
+        |  SELECT r.query_id, r.rank, r.doc_id, r.chunk_number,
+        |    CASE WHEN rel.id IS NOT NULL THEN 1 ELSE 0 END AS relv
+        |  FROM r10 r LEFT JOIN rel ON r.query_id = rel.query_id AND r.doc_id = rel.id),
+        |cum AS (SELECT *, sum(relv) OVER (PARTITION BY query_id ORDER BY rank) AS cum_hits FROM rv),
+        |cp AS (SELECT query_id, count(*)::BIGINT AS n_contexts, sum(relv)::BIGINT AS rel_in_k,
+        |         sum(relv * cum_hits * (2520 // rank))::BIGINT AS num
+        |       FROM cum GROUP BY query_id),
+        |ans AS (SELECT doc_id AS query_id, substr(text, 1, 120) AS answer FROM docs WHERE doc_id < 10),
+        |claims AS (SELECT query_id,
+        |    unnest(list_distinct(list_filter(
+        |      string_split(trim(regexp_replace(lower(answer), '\s+', ' ', 'g')), ' '),
+        |      t -> len(t) > 0))) AS tok FROM ans),
+        |ctok AS (SELECT DISTINCT r.query_id, u.tok
+        |  FROM r10 r JOIN ch ON ch.doc_id = r.doc_id AND ch.chunk_number = r.chunk_number,
+        |  unnest(list_filter(
+        |    string_split(trim(regexp_replace(lower(ch.chunk), '\s+', ' ', 'g')), ' '),
+        |    t -> len(t) > 0)) AS u(tok)),
+        |ncl AS (SELECT query_id, count(*)::BIGINT AS n_claims FROM claims GROUP BY query_id),
+        |sup AS (SELECT c.query_id, count(x.tok)::BIGINT AS n_supported
+        |  FROM claims c LEFT JOIN ctok x
+        |    ON c.query_id = x.query_id AND c.tok = x.tok
+        |  GROUP BY c.query_id)
+        |SELECT cp.query_id, n_contexts, rel_in_k,
+        |  (CASE WHEN rel_in_k > 0 THEN (num * 1000000) // (2520 * rel_in_k)
+        |        ELSE 0 END)::BIGINT AS context_precision_ppm,
+        |  coalesce(n_claims, 0)::BIGINT AS n_claims,
+        |  coalesce(n_supported, 0)::BIGINT AS n_supported,
+        |  (CASE WHEN coalesce(n_claims, 0) > 0
+        |        THEN (n_supported * 1000000) // n_claims
+        |        ELSE 0 END)::BIGINT AS faithfulness_ppm
+        |FROM cp LEFT JOIN ncl ON cp.query_id = ncl.query_id
+        |LEFT JOIN sup ON cp.query_id = sup.query_id
+        |ORDER BY cp.query_id""".stripMargin
   )
 
   /** Shared s2/s3 oracle prefix: chunk-table synthesis, MaxSim scoring

@@ -677,6 +677,15 @@ class CorpusSpec extends AnyFunSuite {
         buckets = 100000)
     }
     assert(e.getMessage.contains("buckets"))
+    // zero trained classes must raise (empty MODEL, not empty corpus):
+    // all ids odd -> the id % 2 == 0 seed slice is empty
+    val oddDocs = Seq((1L, "c0", "alpha"), (3L, "c1", "beta"))
+      .toDF("doc_id", "label", "text")
+    val e2 = intercept[Exception] {
+      Corpus.linearClassifier(oddDocs, "doc_id", "text", "label",
+        seedMod = 2).collect()
+    }
+    assert(e2.getMessage.contains("zero classes"), s"got: ${e2.getMessage}")
   }
 
   test("sftRender: exact ChatML bytes and hand-computed mask bounds") {

@@ -681,4 +681,36 @@ class EvalsSpec extends AnyFunSuite {
     }
     assert(bad.getMessage.contains("out of [0, 1e6]"))
   }
+
+  test("ragasReport: hand-computed context precision (lcm weights) and " +
+    "token-overlap faithfulness; beyond-k contexts ignored; zero branches") {
+    // query 1 at k=5: relevant at ranks 1, 3, 4 ->
+    // CP = (1/1 + 2/3 + 3/4) / 3 = 29/36; with L = lcm(1..5) = 60 the
+    // exact terms are 1*1*60 + 1*2*20 + 1*3*15 = 145, so
+    // cp_ppm = 145e6 div (60*3) = 805555. A rank-6 relevant context must
+    // NOT count (rank > k). Faithfulness: claims {the, cat, sat}; the
+    // contexts carry "the" and "cat" (case/whitespace-normalized) but
+    // never "sat" -> 2*1e6 div 3 = 666666.
+    val contexts = Seq(
+      (1L, 1, 100L, "The  cat"), (1L, 2, 200L, "dog"),
+      (1L, 3, 101L, "THE"), (1L, 4, 102L, "mat mat"),
+      (1L, 5, 201L, "bird"), (1L, 6, 103L, "sat"),
+      (2L, 1, 300L, "x y z"), (2L, 2, 301L, "w")
+    ).toDF("query_id", "rank", "id", "content")
+    val relevant = Seq((1L, 100L), (1L, 101L), (1L, 102L), (1L, 103L),
+      (2L, 999L)).toDF("query_id", "id")
+    val answers = Seq((1L, "the CAT sat"), (2L, "  ")).toDF("query_id", "answer")
+    val out = Evals.ragasReport(contexts, relevant, answers, k = 5)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 5L, 3L, 805555L, 3L, 2L, 666666L)),
+      s"got ${out(1L)}")
+    // query 2: zero relevant in k -> cp 0 with rel_in_k 0; blank answer
+    // -> zero claims -> faithfulness 0 with n_claims 0
+    assert(out(2L) == ((2L, 2L, 0L, 0L, 0L, 0L, 0L)), s"got ${out(2L)}")
+    val bad = intercept[IllegalArgumentException] {
+      Evals.ragasReport(contexts, relevant, answers, k = 21)
+    }
+    assert(bad.getMessage.contains("1<=k<=20"))
+  }
 }
