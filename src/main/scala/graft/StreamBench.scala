@@ -41,6 +41,15 @@ import org.apache.spark.sql.streaming.Trigger
   *    is the ownership INDEX table: one row per distinct paragraph
   *    (grows with novelty, not with ingest volume; the bench's planted
   *    ~1/3 duplicate ratio shows index rows < paragraph rows).
+  *  - ivf_assign: k5's frozen-centroid incremental IVF maintenance —
+  *    the 100 TB production INGEST path ([[operators.Clustering.assign]]
+  *    under a codebook fit once, offline): every arriving vector is
+  *    assigned to its inverted list by the codegen'd argmin (map-only;
+  *    the codebook is a broadcast) and the per-list row/distance stats
+  *    are the keyed state — the bookkeeping the index store's append
+  *    path maintains for probe planning and compaction. State rows are
+  *    bounded by the CENTROID count (k = 8 here), never by ingest
+  *    volume — the strongest growth law of any arm.
   *
   * Usage: runMain graft.StreamBench [durationSecPerArm] [arms-csv] —
   * defaults to 12 s and all five arms. Prints one JSON line per arm;
@@ -50,7 +59,8 @@ object StreamBench {
 
   private val allArms =
     Seq("context_windows", "changelog", "scene_cuts", "cusum", "ewma",
-      "funnel", "holt_winters", "hdr_quantiles", "paragraph_dedup")
+      "funnel", "holt_winters", "hdr_quantiles", "ivf_assign",
+      "paragraph_dedup")
 
   def main(args: Array[String]): Unit = {
     val durSec = args.headOption.map(_.toInt).getOrElse(12)
@@ -177,6 +187,30 @@ object StreamBench {
           (col("value") % 320).cast("string").as("key"),
           expr("((value % 1000000) * (value % 1000000)) % 1000000").as("v"))
         streaming.StreamingHdrQuantiles.quantiles(vals, "key", "v")
+      }, outputMode = "update")
+
+    if (arms("ivf_assign"))
+    runStateful(spark, "ivf_assign", durSec, rowsPerSec = 50000,
+      build = src => {
+        // frozen codebook fit ONCE before the stream starts (the offline
+        // index job of the k5 production shape — batch jobs here never
+        // enter streaming progress), on 400 static vectors drawn from the
+        // SAME synthesis rule as the stream so assignment genuinely
+        // spreads over all 8 lists; the measured path is the codegen'd
+        // broadcast argmin + the centroid-keyed stats aggregation
+        val rule: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+          v => transform(sequence(lit(0), lit(63)),
+            j => ((((v % 997L) * 31L + j * 17L) % 997L) / lit(997.0))
+              .cast("float"))
+        val staticVecs = spark.range(400)
+          .select(col("id").as("vec_id"), rule(col("id")).as("v"))
+        val model = graft.operators.Clustering.fit(
+          staticVecs, "v", "vec_id", k = 8, iters = 2)
+        val vecs = src.select(rule(col("value")).as("v"))
+        graft.operators.Clustering.assign(vecs, "v", model)
+          .groupBy("cluster_id")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(floor(col("dist") * 1e6).cast("long")).as("dist_fp_sum"))
       }, outputMode = "update")
 
     if (arms("paragraph_dedup")) runParagraphDedup(spark, durSec)
