@@ -168,7 +168,11 @@ object Verify {
     // t73: the hashed-gram count build and centroid sums ride the 10x
     // token stream (x64 ratio 10.1); more docs also means real bucket
     // saturation in the 256-dim model
-    "t73_linear_classifier")
+    "t73_linear_classifier",
+    // ev19: the chunk/embed scan under the fixed 10-query fixture is
+    // corpus-sized (x64 2.4); the sf0.1 leg re-proves the retrieval
+    // replay + CP/faithfulness folds over 10x chunk tables
+    "ev19_ragas")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rest @ _*) = args
