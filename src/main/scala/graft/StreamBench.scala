@@ -117,6 +117,30 @@ object StreamBench {
           frames, "video_id", "ts", "bytes", maxHamming = 3)
       }, outputMode = "append")
 
+    if (arms("ivf_assign"))
+    runStateful(spark, "ivf_assign", durSec, rowsPerSec = 50000,
+      build = src => {
+        // frozen codebook fit ONCE before the stream starts (the offline
+        // index job of the k5 production shape — batch jobs here never
+        // enter streaming progress), on 400 static vectors drawn from the
+        // SAME synthesis rule as the stream so assignment genuinely
+        // spreads over all 8 lists; the measured path is the codegen'd
+        // broadcast argmin + the centroid-keyed stats aggregation
+        val rule: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+          v => transform(sequence(lit(0), lit(63)),
+            j => ((((v % 997L) * 31L + j * 17L) % 997L) / lit(997.0))
+              .cast("float"))
+        val staticVecs = spark.range(400)
+          .select(col("id").as("vec_id"), rule(col("id")).as("v"))
+        val model = graft.operators.Clustering.fit(
+          staticVecs, "v", "vec_id", k = 8, iters = 2)
+        val vecs = src.select(rule(col("value")).as("v"))
+        graft.operators.Clustering.assign(vecs, "v", model)
+          .groupBy("cluster_id")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(floor(col("dist") * 1e6).cast("long")).as("dist_fp_sum"))
+      }, outputMode = "update")
+
     if (arms("cusum"))
     runStateful(spark, "cusum", durSec, rowsPerSec = 50000,
       build = src => {
@@ -187,30 +211,6 @@ object StreamBench {
           (col("value") % 320).cast("string").as("key"),
           expr("((value % 1000000) * (value % 1000000)) % 1000000").as("v"))
         streaming.StreamingHdrQuantiles.quantiles(vals, "key", "v")
-      }, outputMode = "update")
-
-    if (arms("ivf_assign"))
-    runStateful(spark, "ivf_assign", durSec, rowsPerSec = 50000,
-      build = src => {
-        // frozen codebook fit ONCE before the stream starts (the offline
-        // index job of the k5 production shape — batch jobs here never
-        // enter streaming progress), on 400 static vectors drawn from the
-        // SAME synthesis rule as the stream so assignment genuinely
-        // spreads over all 8 lists; the measured path is the codegen'd
-        // broadcast argmin + the centroid-keyed stats aggregation
-        val rule: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-          v => transform(sequence(lit(0), lit(63)),
-            j => ((((v % 997L) * 31L + j * 17L) % 997L) / lit(997.0))
-              .cast("float"))
-        val staticVecs = spark.range(400)
-          .select(col("id").as("vec_id"), rule(col("id")).as("v"))
-        val model = graft.operators.Clustering.fit(
-          staticVecs, "v", "vec_id", k = 8, iters = 2)
-        val vecs = src.select(rule(col("value")).as("v"))
-        graft.operators.Clustering.assign(vecs, "v", model)
-          .groupBy("cluster_id")
-          .agg(count(lit(1)).as("n_rows"),
-            sum(floor(col("dist") * 1e6).cast("long")).as("dist_fp_sum"))
       }, outputMode = "update")
 
     if (arms("paragraph_dedup")) runParagraphDedup(spark, durSec)
