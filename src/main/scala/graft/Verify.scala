@@ -172,7 +172,11 @@ object Verify {
     // ev19: the chunk/embed scan under the fixed 10-query fixture is
     // corpus-sized (x64 2.4); the sf0.1 leg re-proves the retrieval
     // replay + CP/faithfulness folds over 10x chunk tables
-    "ev19_ragas")
+    "ev19_ragas",
+    // ev20: the planting grid is tokenize-the-corpus-sized (x64 3.6) and
+    // the 10x mention tables widen every confusion cell the oracle
+    // replays set-distinct
+    "ev20_er_f1")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rest @ _*) = args

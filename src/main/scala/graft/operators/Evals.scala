@@ -752,6 +752,72 @@ object Evals {
         col("faithfulness_ppm"))
   }
 
+  /** Entity/relation EXTRACTION scoring — the deterministic metric layer
+    * under the reference's SciER knowledge-graph evaluation
+    * (`evaluations/Science graphs (SciER)/README.md`: model-extracted
+    * entities and relations judged against gold annotations; the metric
+    * conventions are the public SemEval/SciER strict-vs-relaxed matching
+    * family, Segura-Bedmar et al. 2013). Four match modes, one report row
+    * each, P/R/F1 as EXACT integer ppm (F1 = 2·TP·10⁶ div (|gold|+|pred|)
+    * — the harmonic mean collapses to one integer division over set
+    * sizes):
+    *  - `entity_strict`   — (doc, span, type) must all match;
+    *  - `entity_boundary` — (doc, span) matches, type forgiven (the
+    *    relaxed mode that separates boundary errors from typing errors);
+    *  - `relation_strict` — (doc, head span, tail span, type);
+    *  - `relation_unlabeled` — spans only (the RE analog of boundary).
+    * Set semantics throughout (mentions deduplicate before counting — a
+    * prediction repeated ten times is one prediction, the SemEval rule).
+    * Spans are token-index intervals [s, e]; invalid spans (s < 0 or
+    * e < s) raise loudly through the count column (the aucReport
+    * convention), never score.
+    *
+    * Inputs: entity frames (doc_id, s, e, etype), relation frames
+    * (doc_id, hs, he, ts, te, rtype).
+    *
+    * 100 TB shape: per mode, two map-side-combined DISTINCTs over the
+    * mention tables plus one hash semi-join on the composite key — the
+    * mention tables are extraction OUTPUTS (orders of magnitude under
+    * the text), every exchange is mention-sized, and the final report is
+    * four one-row aggregates crossed together. Nothing corpus-sized
+    * shuffles. */
+  def erExtractionReport(goldEnt: DataFrame, predEnt: DataFrame,
+                         goldRel: DataFrame, predRel: DataFrame): DataFrame = {
+    def guardSpan(df: DataFrame, s: String, e: String): DataFrame =
+      df.withColumn(s,
+        when(col(s) >= 0 && col(s) <= col(e), col(s)).otherwise(raise_error(
+          concat(lit(s"erExtractionReport: invalid span [$s, $e] = ["),
+            col(s), lit(", "), col(e), lit("]"))).cast("long")))
+    def score(mode: String, g: DataFrame, p: DataFrame,
+              keys: Seq[String]): DataFrame = {
+      val gd = g.select(keys.map(col): _*).distinct()
+      val pd = p.select(keys.map(col): _*).distinct()
+      val tp = pd.join(gd, keys, "left_semi")
+      gd.agg(count(lit(1)).as("n_gold"))
+        .crossJoin(pd.agg(count(lit(1)).as("n_pred")))
+        .crossJoin(tp.agg(count(lit(1)).as("tp")))
+        .select(lit(mode).as("match_mode"), col("n_gold"), col("n_pred"),
+          col("tp"),
+          when(col("n_pred") > 0, expr("(tp * 1000000) div n_pred"))
+            .otherwise(0L).as("precision_ppm"),
+          when(col("n_gold") > 0, expr("(tp * 1000000) div n_gold"))
+            .otherwise(0L).as("recall_ppm"),
+          when(col("n_gold") + col("n_pred") > 0,
+            expr("(2 * tp * 1000000) div (n_gold + n_pred)"))
+            .otherwise(0L).as("f1_ppm"))
+    }
+    val ge = guardSpan(goldEnt, "s", "e")
+    val pe = guardSpan(predEnt, "s", "e")
+    val gr = guardSpan(guardSpan(goldRel, "hs", "he"), "ts", "te")
+    val pr = guardSpan(guardSpan(predRel, "hs", "he"), "ts", "te")
+    score("entity_strict", ge, pe, Seq("doc_id", "s", "e", "etype"))
+      .unionByName(score("entity_boundary", ge, pe, Seq("doc_id", "s", "e")))
+      .unionByName(score("relation_strict", gr, pr,
+        Seq("doc_id", "hs", "he", "ts", "te", "rtype")))
+      .unionByName(score("relation_unlabeled", gr, pr,
+        Seq("doc_id", "hs", "he", "ts", "te")))
+  }
+
   /** Rank-correlation report between two rankings of the SAME item set —
     * Kendall/Spearman agreement per query, the classic complement of
     * [[rbo]]: RBO compares possibly-disjoint top-k lists top-weighted;

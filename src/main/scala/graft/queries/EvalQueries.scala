@@ -36,8 +36,75 @@ object EvalQueries {
     "ev11_rank_corr" -> ((s, d) => rankCorrQ(s, d)),
     "ev12_auc" -> ((s, d) => aucQ(s, d)),
     "ev13_paired_perm" -> ((s, d) => pairedPermQ(s, d)),
-    "ev18_mann_whitney" -> ((s, d) => mannWhitneyQ(s, d))
+    "ev18_mann_whitney" -> ((s, d) => mannWhitneyQ(s, d)),
+    "ev20_er_f1" -> ((s, d) => erF1Q(s, d))
   )
+
+  /** [[graft.operators.Evals.erExtractionReport]] over a planted
+    * extraction run — the deterministic metric seat under the reference's
+    * SciER graph evaluation (`evaluations/Science graphs (SciER)/`: an
+    * LLM extracts entities/relations, gold annotations score them; here
+    * BOTH sides derive from `documents` by pure integer rules so the
+    * metric arithmetic is value-checked engine-independently).
+    *
+    * Gold: over each doc's first min(n_tokens, 24) 0-based positions p,
+    * an entity at every (doc_id + p) % 5 == 0 with single-token span
+    * [p, p] and type T((doc_id+p)%3); relations link CONSECUTIVE gold
+    * entities with type R((doc_id+hs+ts)%2). Predictions corrupt gold by
+    * disjoint rules so every confusion cell is populated: entities drop
+    * at %7==0 (FN), widen their span at %13==2 (boundary+strict miss),
+    * flip type at %11==3 (strict miss, boundary HIT — the cell that
+    * separates the two modes), and add spurious mentions at %9==1 on
+    * non-gold positions (FP); relations drop at (doc_id+hs+ts)%4==0 and
+    * flip type at %5==1 (unlabeled hit, strict miss). Token counts come
+    * from the corpus text, so the wrong-sf control flips naturally. */
+  def erF1Q(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        text.token_count(col("text")).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), least(col("n"), lit(24L)) - 1)).as("p"))
+    val gold = pos.filter((col("doc_id") + col("p")) % 5 === 0)
+      .select(col("doc_id"), col("p").as("s"), col("p").as("e"),
+        concat(lit("T"), ((col("doc_id") + col("p")) % 3).cast("string"))
+          .as("etype"))
+    val predKept = gold.filter((col("doc_id") + col("s")) % 7 =!= 0)
+      .select(col("doc_id"), col("s"),
+        when((col("doc_id") + col("s")) % 13 === 2, col("s") + 1)
+          .otherwise(col("e")).as("e"),
+        when((col("doc_id") + col("s")) % 11 === 3,
+          concat(lit("T"), ((col("doc_id") + col("s") + 1) % 3).cast("string")))
+          .otherwise(col("etype")).as("etype"))
+    val spurious = pos
+      .filter((col("doc_id") + col("p")) % 9 === 1 &&
+        (col("doc_id") + col("p")) % 5 =!= 0)
+      .select(col("doc_id"), col("p").as("s"), col("p").as("e"),
+        concat(lit("T"), ((col("doc_id") + col("p")) % 3).cast("string"))
+          .as("etype"))
+    val pred = predKept.unionByName(spurious)
+    val w = Window.partitionBy("doc_id").orderBy("s")
+    val goldRel = gold
+      .withColumn("ts", lead(col("s"), 1).over(w))
+      .withColumn("te", lead(col("e"), 1).over(w))
+      .filter(col("ts").isNotNull)
+      .select(col("doc_id"), col("s").as("hs"), col("e").as("he"),
+        col("ts"), col("te"),
+        concat(lit("R"),
+          ((col("doc_id") + col("s") + col("ts")) % 2).cast("string"))
+          .as("rtype"))
+    val predRel = goldRel
+      .filter((col("doc_id") + col("hs") + col("ts")) % 4 =!= 0)
+      .select(col("doc_id"), col("hs"), col("he"), col("ts"), col("te"),
+        when((col("doc_id") + col("hs") + col("ts")) % 5 === 1,
+          concat(lit("R"),
+            (lit(1L) - (col("doc_id") + col("hs") + col("ts")) % 2)
+              .cast("string")))
+          .otherwise(col("rtype")).as("rtype"))
+    Evals.erExtractionReport(gold, pred, goldRel, predRel)
+      .orderBy("match_mode")
+  }
 
   /** [[graft.operators.Evals.mannWhitney]] on two planted arm splits of
     * the events value stream (md5 fair coin on event_id — the t21/t36
@@ -1052,6 +1119,83 @@ FROM fin ORDER BY feature""").stripMargin,
          |            (12::BIGINT * n * (n - 1))::DOUBLE) * 1000.0)
          |   END)::BIGINT >= 1960 THEN 'a_high'
          |   ELSE 'b_high' END) AS verdict
-         |FROM f ORDER BY pair""").stripMargin
+         |FROM f ORDER BY pair""").stripMargin,
+    // full planting replay: token counts -> position grid -> gold/pred
+    // entity+relation synthesis (identical corruption rules) -> per-mode
+    // set-distinct TP joins -> integer ppm P/R/F1
+    "ev20_er_f1" ->
+      """WITH d AS (
+        |  SELECT doc_id, len(list_filter(
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |    t -> len(t) > 0))::BIGINT AS n
+        |  FROM documents),
+        |pos AS (SELECT doc_id, unnest(range(least(n, 24))) AS p
+        |        FROM d WHERE n > 0),
+        |g AS (SELECT doc_id, p AS s, p AS e,
+        |        'T' || ((doc_id + p) % 3) AS etype
+        |      FROM pos WHERE (doc_id + p) % 5 = 0),
+        |pk AS (SELECT doc_id, s,
+        |        CASE WHEN (doc_id + s) % 13 = 2 THEN s + 1 ELSE e END AS e,
+        |        CASE WHEN (doc_id + s) % 11 = 3
+        |             THEN 'T' || ((doc_id + s + 1) % 3) ELSE etype END AS etype
+        |       FROM g WHERE (doc_id + s) % 7 <> 0),
+        |sp AS (SELECT doc_id, p AS s, p AS e,
+        |        'T' || ((doc_id + p) % 3) AS etype
+        |       FROM pos WHERE (doc_id + p) % 9 = 1 AND (doc_id + p) % 5 <> 0),
+        |pe AS (SELECT * FROM pk UNION ALL SELECT * FROM sp),
+        |grl AS (SELECT doc_id, s AS hs, e AS he,
+        |          lead(s) OVER w AS ts, lead(e) OVER w AS te
+        |        FROM g WINDOW w AS (PARTITION BY doc_id ORDER BY s)),
+        |gr AS (SELECT doc_id, hs, he, ts, te,
+        |         'R' || ((doc_id + hs + ts) % 2) AS rtype
+        |       FROM grl WHERE ts IS NOT NULL),
+        |pr AS (SELECT doc_id, hs, he, ts, te,
+        |         CASE WHEN (doc_id + hs + ts) % 5 = 1
+        |              THEN 'R' || (1 - (doc_id + hs + ts) % 2)
+        |              ELSE rtype END AS rtype
+        |       FROM gr WHERE (doc_id + hs + ts) % 4 <> 0),
+        |es AS (
+        |  SELECT 'entity_strict' AS match_mode,
+        |    (SELECT count(*) FROM (SELECT DISTINCT doc_id, s, e, etype FROM g)) AS n_gold,
+        |    (SELECT count(*) FROM (SELECT DISTINCT doc_id, s, e, etype FROM pe)) AS n_pred,
+        |    (SELECT count(*) FROM (SELECT DISTINCT doc_id, s, e, etype FROM pe)
+        |       t WHERE EXISTS (SELECT 1 FROM g
+        |         WHERE g.doc_id = t.doc_id AND g.s = t.s AND g.e = t.e
+        |           AND g.etype = t.etype)) AS tp),
+        |eb AS (
+        |  SELECT 'entity_boundary' AS match_mode,
+        |    (SELECT count(*) FROM (SELECT DISTINCT doc_id, s, e FROM g)) AS n_gold,
+        |    (SELECT count(*) FROM (SELECT DISTINCT doc_id, s, e FROM pe)) AS n_pred,
+        |    (SELECT count(*) FROM (SELECT DISTINCT doc_id, s, e FROM pe)
+        |       t WHERE EXISTS (SELECT 1 FROM g
+        |         WHERE g.doc_id = t.doc_id AND g.s = t.s AND g.e = t.e)) AS tp),
+        |rs AS (
+        |  SELECT 'relation_strict' AS match_mode,
+        |    (SELECT count(*) FROM (SELECT DISTINCT doc_id, hs, he, ts, te, rtype FROM gr)) AS n_gold,
+        |    (SELECT count(*) FROM (SELECT DISTINCT doc_id, hs, he, ts, te, rtype FROM pr)) AS n_pred,
+        |    (SELECT count(*) FROM (SELECT DISTINCT doc_id, hs, he, ts, te, rtype FROM pr)
+        |       t WHERE EXISTS (SELECT 1 FROM gr
+        |         WHERE gr.doc_id = t.doc_id AND gr.hs = t.hs AND gr.he = t.he
+        |           AND gr.ts = t.ts AND gr.te = t.te AND gr.rtype = t.rtype)) AS tp),
+        |ru AS (
+        |  SELECT 'relation_unlabeled' AS match_mode,
+        |    (SELECT count(*) FROM (SELECT DISTINCT doc_id, hs, he, ts, te FROM gr)) AS n_gold,
+        |    (SELECT count(*) FROM (SELECT DISTINCT doc_id, hs, he, ts, te FROM pr)) AS n_pred,
+        |    (SELECT count(*) FROM (SELECT DISTINCT doc_id, hs, he, ts, te FROM pr)
+        |       t WHERE EXISTS (SELECT 1 FROM gr
+        |         WHERE gr.doc_id = t.doc_id AND gr.hs = t.hs AND gr.he = t.he
+        |           AND gr.ts = t.ts AND gr.te = t.te)) AS tp),
+        |u AS (SELECT * FROM es UNION ALL SELECT * FROM eb
+        |      UNION ALL SELECT * FROM rs UNION ALL SELECT * FROM ru)
+        |SELECT match_mode, n_gold::BIGINT AS n_gold, n_pred::BIGINT AS n_pred,
+        |  tp::BIGINT AS tp,
+        |  (CASE WHEN n_pred > 0 THEN (tp * 1000000) // n_pred ELSE 0 END)::BIGINT
+        |    AS precision_ppm,
+        |  (CASE WHEN n_gold > 0 THEN (tp * 1000000) // n_gold ELSE 0 END)::BIGINT
+        |    AS recall_ppm,
+        |  (CASE WHEN n_gold + n_pred > 0
+        |        THEN (2 * tp * 1000000) // (n_gold + n_pred) ELSE 0 END)::BIGINT
+        |    AS f1_ppm
+        |FROM u ORDER BY match_mode""".stripMargin
   )
 }

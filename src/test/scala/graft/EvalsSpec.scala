@@ -713,4 +713,44 @@ class EvalsSpec extends AnyFunSuite {
     }
     assert(bad.getMessage.contains("1<=k<=20"))
   }
+
+  test("erExtractionReport: hand-computed strict/boundary/unlabeled cells; " +
+    "set semantics dedupe repeated predictions; invalid span raises") {
+    // gold: spans {0, 2, 5}; pred: 0 exact (strict TP), 2 with flipped
+    // type (boundary-only TP), 7 spurious (FP), 5 dropped (FN) — plus the
+    // exact-TP tuple REPEATED, which set semantics must count once
+    val goldE = Seq((1L, 0L, 0L, "A"), (1L, 2L, 2L, "B"), (1L, 5L, 5L, "A"))
+      .toDF("doc_id", "s", "e", "etype")
+    val predE = Seq((1L, 0L, 0L, "A"), (1L, 0L, 0L, "A"),
+      (1L, 2L, 2L, "X"), (1L, 7L, 7L, "A"))
+      .toDF("doc_id", "s", "e", "etype")
+    // gold relations chain the gold entities; pred keeps the first with a
+    // flipped type (unlabeled-only TP) and drops the second
+    val goldR = Seq((1L, 0L, 0L, 2L, 2L, "R0"), (1L, 2L, 2L, 5L, 5L, "R1"))
+      .toDF("doc_id", "hs", "he", "ts", "te", "rtype")
+    val predR = Seq((1L, 0L, 0L, 2L, 2L, "R1"))
+      .toDF("doc_id", "hs", "he", "ts", "te", "rtype")
+    val out = Evals.erExtractionReport(goldE, predE, goldR, predR)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // strict: tp=1 of gold 3 / pred 3 (dedup!) -> all three metrics 1/3
+    assert(out("entity_strict") ==
+      (("entity_strict", 3L, 3L, 1L, 333333L, 333333L, 333333L)),
+      s"got ${out("entity_strict")}")
+    // boundary forgives the type flip: tp=2 -> 2/3 everywhere
+    assert(out("entity_boundary") ==
+      (("entity_boundary", 3L, 3L, 2L, 666666L, 666666L, 666666L)))
+    // relation strict: the flipped type kills the only prediction
+    assert(out("relation_strict") ==
+      (("relation_strict", 2L, 1L, 0L, 0L, 0L, 0L)))
+    // unlabeled: spans match -> P=1, R=1/2, F1=2/3
+    assert(out("relation_unlabeled") ==
+      (("relation_unlabeled", 2L, 1L, 1L, 1000000L, 500000L, 666666L)))
+    val bad = intercept[Exception] {
+      Evals.erExtractionReport(
+        Seq((1L, 3L, 1L, "A")).toDF("doc_id", "s", "e", "etype"), predE,
+        goldR, predR).collect()
+    }
+    assert(bad.getMessage.contains("invalid span"), bad.getMessage)
+  }
 }
