@@ -94,7 +94,7 @@ object Bench {
     "ev18_mann_whitney", "e28_holt_winters", "u9_gc_plan", "gr11_ppr",
     "e29_tost", "m14_video_neardup", "e30_mann_kendall",
     "t73_linear_classifier", "m15_audio_neardup", "q7_hdr_quantiles",
-    "ev19_ragas", "ev20_er_f1")
+    "ev19_ragas", "ev20_er_f1", "q9_kmv_overlap", "t74_containment")
   // k7_dbscan is deliberately NOT a headliner (the v3 convention): its
   // registry arm scores exact all-pairs cosine — the oracle-replayable
   // TEST-scale candidate generator — which is quadratic by design; the

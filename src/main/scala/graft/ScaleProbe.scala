@@ -139,7 +139,7 @@ object ScaleProbe {
         "ev18_mann_whitney", "e28_holt_winters", "u9_gc_plan", "gr11_ppr",
         "e29_tost", "m14_video_neardup", "e30_mann_kendall",
         "t73_linear_classifier", "m15_audio_neardup", "q7_hdr_quantiles",
-        "ev19_ragas", "ev20_er_f1")
+        "ev19_ragas", "ev20_er_f1", "q9_kmv_overlap", "t74_containment")
       // optional second arg: probe only the named queries (comma-separated) —
       // re-measuring one changed operator shouldn't cost the full heavy tail.
       // Unknown names fail loudly: a typo silently probing nothing (and still

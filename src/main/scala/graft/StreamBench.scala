@@ -41,6 +41,10 @@ import org.apache.spark.sql.streaming.Trigger
   *    is the ownership INDEX table: one row per distinct paragraph
   *    (grows with novelty, not with ingest volume; the bench's planted
   *    ~1/3 duplicate ratio shows index rows < paragraph rows).
+  *  - kmv_distinct: [[streaming.StreamingKmv]] — the online bottom-k
+  *    distinct sketch; state is the sketch itself (k = 256 longs per
+  *    corpus, 8 corpora here), and once saturated most rows take the
+  *    cheap reject path — the crawl-monitor steady state.
   *  - ivf_assign: k5's frozen-centroid incremental IVF maintenance —
   *    the 100 TB production INGEST path ([[operators.Clustering.assign]]
   *    under a codebook fit once, offline): every arriving vector is
@@ -59,8 +63,8 @@ object StreamBench {
 
   private val allArms =
     Seq("context_windows", "changelog", "scene_cuts", "cusum", "ewma",
-      "funnel", "holt_winters", "hdr_quantiles", "ivf_assign",
-      "paragraph_dedup")
+      "funnel", "holt_winters", "hdr_quantiles", "kmv_distinct",
+      "ivf_assign", "paragraph_dedup")
 
   def main(args: Array[String]): Unit = {
     val durSec = args.headOption.map(_.toInt).getOrElse(12)
@@ -211,6 +215,20 @@ object StreamBench {
           (col("value") % 320).cast("string").as("key"),
           expr("((value % 1000000) * (value % 1000000)) % 1000000").as("v"))
         streaming.StreamingHdrQuantiles.quantiles(vals, "key", "v")
+      }, outputMode = "update")
+
+    if (arms("kmv_distinct"))
+    runStateful(spark, "kmv_distinct", durSec, rowsPerSec = 50000,
+      build = src => {
+        // 8 corpus sources with an unbounded distinct-key universe: the
+        // sketches saturate within the first batches, after which most
+        // rows take the cheap reject path (hash > current kth) — the
+        // realistic steady state of a crawl monitor. State rows = the
+        // corpus count (8), each state k=256 longs, regardless of volume
+        val keys = src.select(
+          concat(lit("src"), pmod(col("value"), lit(8))).as("corpus"),
+          concat(lit("u"), col("value").cast("string")).as("key"))
+        streaming.StreamingKmv.distinctEstimate(keys, "corpus", "key")
       }, outputMode = "update")
 
     if (arms("paragraph_dedup")) runParagraphDedup(spark, durSec)

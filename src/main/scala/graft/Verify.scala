@@ -176,7 +176,15 @@ object Verify {
     // ev20: the planting grid is tokenize-the-corpus-sized (x64 3.6) and
     // the 10x mention tables widen every confusion cell the oracle
     // replays set-distinct
-    "ev20_er_f1")
+    "ev20_er_f1",
+    // q9: the shingle scan + distinct-hash rollup are corpus-sized
+    // (x64 5.7); the 10x gram universe moves every sketch kth and both
+    // exact twins
+    "q9_kmv_overlap",
+    // t74: shingle scan, df rollup, and the sample x index candidate
+    // join all ride the corpus (x64 16.1); the 10x doc set multiplies
+    // the planted quote corpus and the natural subset pairs
+    "t74_containment")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rest @ _*) = args

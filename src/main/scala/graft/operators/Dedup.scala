@@ -243,6 +243,93 @@ object Dedup {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** ASYMMETRIC containment near-dup pairs — the quote/subset detector
+    * the symmetric family (MinHash t4/t9, SimHash t5, Jaccard t7)
+    * structurally misses: a 40-token quote inside a 4000-token document
+    * has containment |A∩B|/|A| = 1.0 but Jaccard ≈ 0.01, far under any
+    * dedup threshold, and MinHash banding keys on the UNION's minima so
+    * the pair never collides. Detecting "this doc is mostly contained in
+    * that one" is the decontamination / quote-dedup / license-text
+    * primitive (the LSH-Ensemble problem — Zhu et al., VLDB 2016 — here
+    * solved with the direct sample+index shape instead of
+    * per-size-partition MinHash, because the exact verify is affordable
+    * on candidates).
+    *
+    * Candidate generation, linear end to end:
+    *  1. distinct word-`shingleWords`-gram shingles per doc, hashed to
+    *     60 bits (md5 prefix — the q9 spelling, oracle-replayable);
+    *  2. shingles with document frequency > `dfCap` are dropped from
+    *     BOTH the sample and the index — a shingle shared by half the
+    *     corpus is boilerplate, not a containment signal, and its index
+    *     posting list would be a quadratic hot key (the t40
+    *     stop-fingerprint / fuzzyPairs maxBlock discipline). The cap is
+    *     a stated recall trade: a doc whose every shingle is hot
+    *     generates no candidates (route such docs through exactGroups);
+    *  3. each doc's SAMPLE = its `sampleM` smallest rare shingle hashes
+    *     (bottom-m — deterministic, and uniform over the doc's rare
+    *     shingles by the hash's uniformity, the KMV law);
+    *  4. candidates = sample ⋈ rare-shingle inverted index on h
+    *     (small ≠ big), kept when hits ≥ half the doc's OWN sample size
+    *     — a doc ≥ `thresholdPpm`-contained in another matches most of
+    *     its sample by Markov's bound, so the majority cut keeps recall
+    *     while bounding candidates by sampleM · dfCap per doc;
+    *  5. exact verify on candidates only: n_shared over the FULL
+    *     distinct-shingle sets (hot shingles included — the cap prunes
+    *     candidates, never the statistic), containment as exact ppm.
+    *
+    * 100 TB shape: the corpus-sized exchanges are the distinct
+    * (id, shingle-hash) rollup, the df count, and the sample/index
+    * equi-join whose per-key fan-out is capped by dfCap; the verify join
+    * touches candidate pairs only. Never all-pairs.
+    *
+    * Output: (small_id, big_id, n_small, n_shared, containment_ppm ≥
+    * `thresholdPpm`), both directions possible (containment is
+    * asymmetric; exact dups emit both). */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleWords: Int = 3, sampleM: Int = 8,
+                       dfCap: Int = 50,
+                       thresholdPpm: Long = 800000L): DataFrame = {
+    require(shingleWords >= 1 && shingleWords <= 8,
+      s"containmentPairs needs shingleWords in [1, 8] (got $shingleWords)")
+    require(sampleM >= 2 && sampleM <= 256,
+      s"containmentPairs needs sampleM in [2, 256] (got $sampleM)")
+    require(dfCap >= 2,
+      s"containmentPairs needs dfCap >= 2 (got $dfCap)")
+    require(thresholdPpm >= 1 && thresholdPpm <= 1000000,
+      s"containmentPairs needs thresholdPpm in [1, 1e6] (got $thresholdPpm)")
+    import org.apache.spark.sql.expressions.Window
+    val hh = graft.Tables.scaled(
+      df.select(col(idCol).cast("long").as("id"),
+        explode(text.word_shingles(col(textCol), shingleWords)).as("g")))
+      .select(col("id"),
+        conv(substring(md5(concat(lit("cnt:"), col("g"))), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    val sz = hh.groupBy("id").agg(count(lit(1)).as("n_small"))
+    val dfc = hh.groupBy("h").agg(count(lit(1)).as("df"))
+    val rare = hh.join(dfc.filter(col("df") <= dfCap), Seq("h"))
+      .select("id", "h")
+    val samp = rare
+      .withColumn("rk", row_number().over(Window.partitionBy("id").orderBy("h")))
+      .filter(col("rk") <= sampleM).select("id", "h")
+    val sampSz = samp.groupBy("id").agg(count(lit(1)).as("m_sz"))
+    val cand = samp.select(col("id").as("small_id"), col("h"))
+      .join(rare.select(col("id").as("big_id"), col("h")), Seq("h"))
+      .filter(col("small_id") =!= col("big_id"))
+      .groupBy("small_id", "big_id").agg(count(lit(1)).as("hits"))
+      .join(sampSz.select(col("id").as("small_id"), col("m_sz")), Seq("small_id"))
+      .filter(col("hits") * 2 >= col("m_sz"))
+      .select("small_id", "big_id")
+    cand
+      .join(hh.select(col("id").as("small_id"), col("h")), Seq("small_id"))
+      .join(hh.select(col("id").as("big_id"), col("h")), Seq("big_id", "h"))
+      .groupBy("small_id", "big_id").agg(count(lit(1)).as("n_shared"))
+      .join(sz.select(col("id").as("small_id"), col("n_small")), Seq("small_id"))
+      .withColumn("containment_ppm",
+        expr("(n_shared * 1000000) div n_small"))
+      .filter(col("containment_ppm") >= thresholdPpm)
+      .select("small_id", "big_id", "n_small", "n_shared", "containment_ppm")
+  }
+
   /** Embedding near-dup pairs, LSH-bucketed (the scale path; brute-force
     * cosine over all pairs is the oracle view). Blocking: the sign pattern
     * of the vector's components, split into `blocks` contiguous slices —

@@ -92,6 +92,130 @@ object Sketches {
           .otherwise(0L).as("err_ppm"))
   }
 
+  /** KMV (k-minimum-values / bottom-k) distinct sketch with cross-corpus
+    * OVERLAP estimation (Bar-Yossef et al. 2002; Beyer et al. 2007's
+    * unbiased (k−1)·M/h₍ₖ₎ estimator) — the "compare two crawls without
+    * joining them" primitive: at 100 TB, |A ∩ B| between two corpus
+    * snapshots (yesterday's crawl vs today's, source X vs source Y)
+    * costs an exact engine a join of two full key universes; the KMV
+    * answer ships k longs per corpus and merges sketch-side.
+    *
+    * Every step is replayable integer arithmetic:
+    *  - h = first 15 hex digits of md5("kmv:" ‖ key) — a 60-bit integer
+    *    in M = 2^60; the salt must NOT vary by corpus (the same key has
+    *    to collide across corpora for intersection to exist);
+    *  - per-corpus sketch = the k smallest DISTINCT h. Computed in two
+    *    rank levels so no window partition is corpus-sized: rank ≤ k
+    *    within (corpus, h mod 64) — 64 bounded partitions — then rank
+    *    ≤ k within corpus over the ≤ 64·k survivors. Identical to the
+    *    single-level bottom-k (every global top-k element survives its
+    *    salt bucket's cut; spec-gated);
+    *  - distinct estimate: sketch exhaustive (|S| < k) → |S| exactly;
+    *    else ⌊(k−1)·2^60 / h₍ₖ₎⌋ — the numerator exceeds int64 at
+    *    k = 256, so the division runs in decimal(38,0) (the q6 idiom);
+    *  - per corpus pair (a < b): merged sketch = k smallest of
+    *    S_a ∪ S_b (the mergeable property — a union's KMV is the
+    *    bottom-k of the sketch union, no data revisit), K = |merged|,
+    *    ρ = |{v ∈ merged : v ∈ S_a ∧ v ∈ S_b}|; union_est from K/h₍ₖ₎
+    *    as above, inter_est = ⌊ρ·union_est / K⌋, Jaccard ≈ ρ/K as
+    *    exact ppm. Relative error ~1/√k ≈ 6% at k = 256;
+    *  - exact twins ride beside every estimate (`n_*_exact`,
+    *    `union_exact`, `inter_exact`, `jaccard_exact_ppm`,
+    *    `err_union_ppm`): the exact arm is the rule-21 twin whose
+    *    inter-corpus key join is precisely the 100 TB cost the sketch
+    *    exists to avoid.
+    *
+    * 100 TB shape: one map-side-combined distinct over (corpus, h);
+    * bottom-k windows over salt-bounded partitions (output ≤ 64·k rows
+    * per corpus); everything downstream of the sketch is O(pairs · k).
+    * The streaming arm ([[graft.streaming.StreamingKmv]]) carries the
+    * SAME bottom-k set as keyed state — bounded by k, rebuild-equivalent.
+    *
+    * Input: (`corpusCol`, `keyCol` string) stacked rows, duplicates fine.
+    * Output: one row per corpus pair (a < b, lexicographic). */
+  def kmvOverlap(keyed: DataFrame, corpusCol: String, keyCol: String,
+                 k: Int = 256): DataFrame = {
+    require(k >= 16 && k <= 4096, s"kmvOverlap needs k in [16, 4096] (got $k)")
+    Guards.requireString(keyed, keyCol, "kmvOverlap")
+    val spark = keyed.sparkSession
+    // (k-1) * 2^60 — exceeds int64 for k > 8, so decimal(38,0) div
+    val bigNum = BigInt(k - 1) * (BigInt(1) << 60)
+    // `div` (floor division), NOT divide+cast (which ROUNDS half-up)
+    val estOf = (cntName: String, kthName: String) =>
+      when(col(cntName) < k, col(cntName)).otherwise(
+        expr(s"CAST('$bigNum' AS DECIMAL(38,0)) div $kthName").cast("long"))
+    import org.apache.spark.sql.expressions.Window
+    val src = keyed.select(col(corpusCol).as("corpus"), col(keyCol).as("key"))
+    val dh = src
+      .select(col("corpus"),
+        conv(substring(md5(concat(lit("kmv:"), col("key"))), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .groupBy("corpus", "h").agg(count(lit(1)).as("__c")).drop("__c")
+    val lvl1 = Window.partitionBy(col("corpus"), pmod(col("h"), lit(64L)))
+      .orderBy("h")
+    val lvl2 = Window.partitionBy("corpus").orderBy("h")
+    val sk = dh
+      .withColumn("r1", row_number().over(lvl1)).filter(col("r1") <= k)
+      .withColumn("rk", row_number().over(lvl2)).filter(col("rk") <= k)
+      .select("corpus", "h")
+    val per = sk.groupBy("corpus")
+      .agg(count(lit(1)).as("sk_n"), max("h").as("kth"))
+      .withColumn("est", estOf("sk_n", "kth"))
+    val corpora = sk.select("corpus").distinct()
+    val pairs = corpora.select(col("corpus").as("ca"))
+      .join(broadcast(corpora.select(col("corpus").as("cb"))),
+        col("ca") < col("cb"))
+    // merged union sketch per pair: membership flags survive the re-rank
+    val uv = pairs.join(sk, sk("corpus") === col("ca") || sk("corpus") === col("cb"))
+      .groupBy("ca", "cb", "h")
+      .agg(max(when(col("corpus") === col("ca"), 1L).otherwise(0L)).as("in_a"),
+        max(when(col("corpus") === col("cb"), 1L).otherwise(0L)).as("in_b"))
+    val mu = uv
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("ca", "cb").orderBy("h")))
+      .filter(col("rk") <= k)
+    val uagg = mu.groupBy("ca", "cb")
+      .agg(count(lit(1)).as("kk"), max("h").as("kth_u"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
+          .as("rho"))
+      .withColumn("union_est", estOf("kk", "kth_u"))
+    // exact twins: the inter-corpus distinct-key join the sketch avoids
+    val dk = src.groupBy("corpus", "key").agg(count(lit(1)).as("__c"))
+      .drop("__c")
+    val exact = dk.groupBy("corpus").agg(count(lit(1)).as("n_exact"))
+    val exInter = pairs
+      .join(dk.select(col("corpus").as("__ca"), col("key")),
+        col("__ca") === col("ca"))
+      .join(dk.select(col("corpus").as("__cb"), col("key")),
+        Seq("key"))
+      .filter(col("__cb") === col("cb"))
+      .groupBy("ca", "cb").agg(count(lit(1)).as("inter_exact"))
+    uagg
+      .join(per.select(col("corpus").as("ca"), col("est").as("n_a_est")), Seq("ca"))
+      .join(per.select(col("corpus").as("cb"), col("est").as("n_b_est")), Seq("cb"))
+      .join(exact.select(col("corpus").as("ca"), col("n_exact").as("n_a_exact")), Seq("ca"))
+      .join(exact.select(col("corpus").as("cb"), col("n_exact").as("n_b_exact")), Seq("cb"))
+      .join(exInter, Seq("ca", "cb"), "left")
+      .withColumn("inter_exact", coalesce(col("inter_exact"), lit(0L)))
+      .withColumn("union_exact",
+        col("n_a_exact") + col("n_b_exact") - col("inter_exact"))
+      .select(col("ca").as("corpus_a"), col("cb").as("corpus_b"),
+        lit(k.toLong).as("k"),
+        col("n_a_est"), col("n_a_exact"), col("n_b_est"), col("n_b_exact"),
+        col("union_est"), col("union_exact"),
+        // rho·union_est can pass int64 at extreme estimates — exact
+        // decimal like every other wide product in this file
+        expr("(cast(rho as decimal(38,0)) * union_est) div kk").cast("long")
+          .as("inter_est"),
+        col("inter_exact"),
+        expr("(rho * 1000000) div kk").as("jaccard_est_ppm"),
+        expr("(cast(inter_exact as decimal(38,0)) * 1000000) " +
+          "div (n_a_exact + n_b_exact - inter_exact)").cast("long")
+          .as("jaccard_exact_ppm"),
+        expr("(cast(abs(union_est - union_exact) as decimal(38,0)) * 1000000) " +
+          "div union_exact").cast("long").as("err_union_ppm"))
+  }
+
   /** MERGEABLE quantile sketch — HDR-histogram bucketing (Tene,
     * HdrHistogram; the log-linear bucket family t-digest/DDSketch also
     * belong to, chosen here because its buckets are pure INTEGER BIT

@@ -22,8 +22,24 @@ object RelationalQueries {
     "q3_rollup" -> ((s, dir) => rollupAgg(s, dir)),
     "q4_skew_report" -> ((s, dir) => skewReportQ(s, dir)),
     "q6_hll" -> ((s, dir) => hllQ(s, dir)),
-    "q7_hdr_quantiles" -> ((s, dir) => hdrQuantilesQ(s, dir))
+    "q7_hdr_quantiles" -> ((s, dir) => hdrQuantilesQ(s, dir)),
+    "q9_kmv_overlap" -> ((s, dir) => kmvOverlapQ(s, dir))
   )
+
+  /** [[graft.operators.Sketches.kmvOverlap]] over word-3-gram shingles of
+    * documents split into three corpus snapshots by doc_id mod 3 —
+    * ~10k distinct grams per snapshot at sf0.01, so every per-corpus and
+    * union sketch rides the ESTIMATION branch (kth-value division), not
+    * the exhaustive one, and the three pair rows carry genuine non-zero
+    * overlap (the synthetic vocabulary is small, so snapshots share
+    * grams). The exact twins in the same row are the oracle's anchor. */
+  def kmvOverlapQ(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir).select(
+      concat(lit("c"), pmod(col("doc_id"), lit(3))).as("corpus"),
+      explode(graft.functions.text.word_shingles(col("text"), 3)).as("gram"))
+    graft.operators.Sketches.kmvOverlap(grams, "corpus", "gram", k = 256)
+      .orderBy("corpus_a", "corpus_b")
+  }
 
   /** [[graft.operators.Sketches.hdrQuantiles]] over lineitem price cents
     * keyed by return flag — three keys × p50/p90/p99 with a real value
@@ -131,6 +147,84 @@ object RelationalQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    // full KMV replay: 60-bit hash from md5 hex, per-corpus bottom-k over
+    // distinct hashes (single-level — equivalent to the operator's salted
+    // two-level, spec-gated), (k-1)*2^60 // kth estimates in HUGEINT,
+    // merged-union re-rank with membership flags, exact twins via the
+    // distinct-gram join
+    "q9_kmv_overlap" ->
+      """WITH nn AS (SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |tkk AS (SELECT doc_id,
+        |    list_filter(string_split(norm, ' '), t -> len(t) > 0) AS tk
+        |  FROM nn),
+        |g AS (SELECT 'c' || (doc_id % 3) AS corpus,
+        |    unnest(list_distinct(list_transform(range(1, len(tk) - 1),
+        |      i -> array_to_string(tk[i:i+2], ' ')))) AS gram
+        |  FROM tkk WHERE len(tk) >= 3),
+        |dg AS (SELECT DISTINCT corpus, gram FROM g),
+        |dh AS (SELECT DISTINCT corpus,
+        |    ('0x' || substr(md5('kmv:' || gram), 1, 15))::BIGINT AS h
+        |  FROM dg),
+        |sk AS (SELECT corpus, h FROM (
+        |    SELECT corpus, h,
+        |      row_number() OVER (PARTITION BY corpus ORDER BY h) AS rk
+        |    FROM dh) WHERE rk <= 256),
+        |per AS (SELECT corpus, count(*)::BIGINT AS sk_n, max(h) AS kth
+        |  FROM sk GROUP BY corpus),
+        |perest AS (SELECT corpus,
+        |    CASE WHEN sk_n < 256 THEN sk_n
+        |         ELSE ((255::HUGEINT * (1::HUGEINT << 60)) // kth)::BIGINT
+        |    END AS est
+        |  FROM per),
+        |pairs AS (SELECT a.corpus AS ca, b.corpus AS cb
+        |  FROM (SELECT DISTINCT corpus FROM sk) a
+        |  JOIN (SELECT DISTINCT corpus FROM sk) b ON a.corpus < b.corpus),
+        |uv AS (SELECT p.ca, p.cb, s.h,
+        |    max(CASE WHEN s.corpus = p.ca THEN 1 ELSE 0 END) AS in_a,
+        |    max(CASE WHEN s.corpus = p.cb THEN 1 ELSE 0 END) AS in_b
+        |  FROM pairs p JOIN sk s ON s.corpus = p.ca OR s.corpus = p.cb
+        |  GROUP BY 1, 2, 3),
+        |mu AS (SELECT * FROM (
+        |    SELECT uv.*, row_number() OVER (PARTITION BY ca, cb ORDER BY h) AS rk
+        |    FROM uv) WHERE rk <= 256),
+        |uagg AS (SELECT ca, cb, count(*)::BIGINT AS kk, max(h) AS kth_u,
+        |    sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)::BIGINT AS rho
+        |  FROM mu GROUP BY 1, 2),
+        |uest AS (SELECT ca, cb, kk, rho,
+        |    CASE WHEN kk < 256 THEN kk
+        |         ELSE ((255::HUGEINT * (1::HUGEINT << 60)) // kth_u)::BIGINT
+        |    END AS union_est
+        |  FROM uagg),
+        |ex AS (SELECT corpus, count(*)::BIGINT AS n_exact FROM dg GROUP BY corpus),
+        |xi AS (SELECT p.ca, p.cb, count(*)::BIGINT AS inter_exact
+        |  FROM pairs p
+        |  JOIN dg a ON a.corpus = p.ca
+        |  JOIN dg b ON b.corpus = p.cb AND b.gram = a.gram
+        |  GROUP BY 1, 2)
+        |SELECT u.ca AS corpus_a, u.cb AS corpus_b, 256::BIGINT AS k,
+        |  ea.est AS n_a_est, xa.n_exact AS n_a_exact,
+        |  eb.est AS n_b_est, xb.n_exact AS n_b_exact,
+        |  u.union_est,
+        |  (xa.n_exact + xb.n_exact - coalesce(xi.inter_exact, 0)) AS union_exact,
+        |  ((u.rho::HUGEINT * u.union_est) // u.kk)::BIGINT AS inter_est,
+        |  coalesce(xi.inter_exact, 0) AS inter_exact,
+        |  ((u.rho * 1000000) // u.kk)::BIGINT AS jaccard_est_ppm,
+        |  ((coalesce(xi.inter_exact, 0)::HUGEINT * 1000000)
+        |    // (xa.n_exact + xb.n_exact - coalesce(xi.inter_exact, 0)))::BIGINT
+        |    AS jaccard_exact_ppm,
+        |  ((abs(u.union_est - (xa.n_exact + xb.n_exact - coalesce(xi.inter_exact, 0)))::HUGEINT
+        |      * 1000000)
+        |    // (xa.n_exact + xb.n_exact - coalesce(xi.inter_exact, 0)))::BIGINT
+        |    AS err_union_ppm
+        |FROM uest u
+        |JOIN perest ea ON ea.corpus = u.ca
+        |JOIN perest eb ON eb.corpus = u.cb
+        |JOIN ex xa ON xa.corpus = u.ca
+        |JOIN ex xb ON xb.corpus = u.cb
+        |LEFT JOIN xi ON xi.ca = u.ca AND xi.cb = u.cb
+        |ORDER BY corpus_a, corpus_b""".stripMargin,
     // full HDR-sketch replay: bucket (e, m) via bin-string bitlength +
     // integer shifts, map-side count rollup, value-ordered cumulative,
     // nearest-rank read-out selected relationally (cum>=r AND cum-c<r)

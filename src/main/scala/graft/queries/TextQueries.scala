@@ -24,6 +24,7 @@ object TextQueries {
     "t5_simhash" -> ((s, d) => simhash(s, d)),
     "t6_simhash_neardups" -> ((s, d) => simhashNearDups(s, d)),
     "t7_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
+    "t74_containment" -> ((s, d) => containmentQ(s, d)),
     "t48_fuzzy_pairs" -> ((s, d) => fuzzyPairsQ(s, d)),
     "t49_fuzzy_match" -> ((s, d) => fuzzyMatchQ(s, d)),
     "t8_bpe_tokens" -> ((s, d) => bpeTokens(s, d)),
@@ -349,6 +350,30 @@ object TextQueries {
     Dedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
       shingleSize = 5, threshold = 0.2, maxId = Some(150L))
       .orderBy("id_a", "id_b")
+
+  /** [[graft.operators.Dedup.containmentPairs]] over documents plus a
+    * PLANTED quote corpus: every 10th doc with ≥ 40 tokens contributes a
+    * 36-token mid-document slice (tokens 5..40, id = doc_id + 100000) —
+    * a subset-duplicate whose Jaccard against its source is far below
+    * any dedup threshold but whose containment is ~1.0. The expected
+    * rows are the quote→source hits at ≥ 0.8 containment PLUS the
+    * corpus's natural subset pairs (the synthetic vocabulary makes some
+    * short docs genuinely contained in long ones — pairs the symmetric
+    * t4/t7 rows never emit). */
+  def containmentQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.text
+    val docs = Tables.documents(spark, dir)
+    val quotes = docs
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        array_join(slice(text.tokens(col("text")), 5, 36), " ").as("text"),
+        size(text.tokens(col("text"))).as("__n"))
+      .filter(col("doc_id") % 10 === 0 && col("__n") >= 40)
+      .drop("__n")
+    val corpus = docs.select(col("doc_id"), col("text")).unionAll(quotes)
+    Dedup.containmentPairs(corpus, "doc_id", "text",
+        shingleWords = 3, sampleM = 8, dfCap = 50, thresholdPpm = 800000L)
+      .orderBy("small_id", "big_id")
+  }
 
   /** Bench-only factory: the corpus band index is an offline build at scale
     * (written partitioned by band_key); the closure times the per-batch
@@ -847,6 +872,52 @@ object TextQueries {
          |  AND len(list_intersect(a.blocks, c.blocks)) > 0
          |  AND bit_count(xor(a.s, c.s)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
+    // full containment replay: planted 36-token quote corpus, word-3-gram
+    // 60-bit md5 hashes, df-capped rare set, bottom-8 sample per doc,
+    // sample x index candidate join with the majority cut, exact verify
+    // over the full shingle sets, integer ppm threshold
+    "t74_containment" ->
+      """WITH nn AS (SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |tkk AS (SELECT doc_id,
+        |    list_filter(string_split(norm, ' '), t -> len(t) > 0) AS tk
+        |  FROM nn),
+        |corpus AS (
+        |  SELECT doc_id AS id, tk FROM tkk
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS id, tk[5:40] AS tk FROM tkk
+        |  WHERE doc_id % 10 = 0 AND len(tk) >= 40),
+        |sh AS (SELECT id, unnest(list_distinct(list_transform(range(1, len(tk) - 1),
+        |    i -> array_to_string(tk[i:i+2], ' ')))) AS g
+        |  FROM corpus WHERE len(tk) >= 3),
+        |hh AS (SELECT id,
+        |    ('0x' || substr(md5('cnt:' || g), 1, 15))::BIGINT AS h
+        |  FROM sh),
+        |sz AS (SELECT id, count(*)::BIGINT AS n_sh FROM hh GROUP BY id),
+        |dfc AS (SELECT h, count(*)::BIGINT AS df FROM hh GROUP BY h),
+        |rare AS (SELECT hh.id, hh.h FROM hh JOIN dfc USING (h)
+        |  WHERE dfc.df <= 50),
+        |samp AS (SELECT id, h FROM (
+        |    SELECT id, h, row_number() OVER (PARTITION BY id ORDER BY h) AS rk
+        |    FROM rare) WHERE rk <= 8),
+        |ssz AS (SELECT id, count(*)::BIGINT AS m_sz FROM samp GROUP BY id),
+        |cand AS (SELECT s.id AS small_id, r.id AS big_id, count(*)::BIGINT AS hits
+        |  FROM samp s JOIN rare r ON s.h = r.h AND s.id <> r.id
+        |  GROUP BY 1, 2),
+        |cand2 AS (SELECT c.small_id, c.big_id
+        |  FROM cand c JOIN ssz ON ssz.id = c.small_id
+        |  WHERE c.hits * 2 >= ssz.m_sz),
+        |ver AS (SELECT c.small_id, c.big_id, count(*)::BIGINT AS n_shared
+        |  FROM cand2 c
+        |  JOIN hh a ON a.id = c.small_id
+        |  JOIN hh b ON b.id = c.big_id AND b.h = a.h
+        |  GROUP BY 1, 2)
+        |SELECT v.small_id, v.big_id, sz.n_sh AS n_small, v.n_shared,
+        |  ((v.n_shared * 1000000) // sz.n_sh)::BIGINT AS containment_ppm
+        |FROM ver v JOIN sz ON sz.id = v.small_id
+        |WHERE (v.n_shared * 1000000) // sz.n_sh >= 800000
+        |ORDER BY small_id, big_id""".stripMargin,
     "t7_ngram_jaccard" ->
       s"""WITH n AS ($norm),
          |sh AS (SELECT doc_id,

@@ -377,4 +377,44 @@ class DedupSpec extends AnyFunSuite {
     assert(lo._6 > 300000L, s"recall collapsed: $lo")
     assert(hi._5 >= lo._5, s"precision did not improve with the threshold: $out")
   }
+
+  test("containmentPairs: a planted prefix-subset doc reads containment " +
+    "1.0 toward its superset while the reverse direction is cut by the " +
+    "threshold — the asymmetry Jaccard rows cannot express") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // 8 3-gram shingles, all inside doc 2
+      (2L, "a b c d e f g h i j k l m n o p q r s t"), // 18 shingles
+      (3L, "zz yy xx ww vv uu tt ss rr qq") // unrelated
+    ).toDF("id", "text")
+    val out = operators.Dedup.containmentPairs(docs, "id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq((1L, 2L, 8L, 8L, 1000000L)),
+      s"hand-computed: doc1's 8 shingles ⊆ doc2's 18; (2,1) reads " +
+        s"8/18 = 444444 ppm < 800000 and doc3 shares nothing — got " +
+        s"${out.toSeq}")
+    // Jaccard of the planted pair is 8/18 = 0.44 — under the t7-style
+    // 0.5+ dup thresholds; the containment row is the only detector
+  }
+
+  test("containmentPairs: a boilerplate shingle hotter than dfCap is " +
+    "dropped from sample AND index — hot-only docs emit no candidates " +
+    "(the stated recall trade), and guards are loud") {
+    import spark.implicits._
+    // five identical 4-token docs: every shingle has df 5 > dfCap 2, so
+    // the rare set is empty — no candidates, no quadratic hot-key join
+    val hot = (10L to 14L).map(i => (i, "x y z w")).toDF("id", "text")
+    val out = operators.Dedup.containmentPairs(hot, "id", "text",
+      dfCap = 2)
+    assert(out.count() == 0L, "hot-only corpus must emit nothing")
+    val bad = intercept[IllegalArgumentException] {
+      operators.Dedup.containmentPairs(hot, "id", "text",
+        thresholdPpm = 0L)
+    }
+    assert(bad.getMessage.contains("thresholdPpm"))
+    val badM = intercept[IllegalArgumentException] {
+      operators.Dedup.containmentPairs(hot, "id", "text", sampleM = 1)
+    }
+    assert(badM.getMessage.contains("sampleM"))
+  }
 }

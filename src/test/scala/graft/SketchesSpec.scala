@@ -126,4 +126,99 @@ class SketchesSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("quantiles"))
   }
+
+  /** 60-bit KMV hash of a key — the operator's md5 prefix arithmetic. */
+  private def kmvHash(key: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"kmv:$key".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Pure-Scala single-level bottom-k replay of the full pair estimate —
+    * also the two-level == single-level equivalence gate (the operator
+    * ranks within 64 salt buckets first; a global top-k element always
+    * survives its bucket's cut, so the results must be identical). */
+  private def kmvReplay(a: Seq[String], b: Seq[String],
+                        k: Int): (Long, Long, Long, Long, Long, Long, Long) = {
+    val big = BigInt(k - 1) * (BigInt(1) << 60)
+    def est(sk: Vector[Long]): Long =
+      if (sk.length < k) sk.length.toLong else (big / sk.max).toLong
+    val sa = a.distinct.map(kmvHash).sorted.take(k).toVector
+    val sb = b.distinct.map(kmvHash).sorted.take(k).toVector
+    val merged = (sa ++ sb).distinct.sorted.take(k).toVector
+    val rho = merged.count(h => sa.contains(h) && sb.contains(h)).toLong
+    val kk = merged.length.toLong
+    val uEst = est(merged)
+    (est(sa), est(sb), uEst, rho * uEst / kk, rho * 1000000L / kk,
+      kk, rho)
+  }
+
+  private def runKmv(rows: Seq[(String, String)], k: Int) =
+    Sketches.kmvOverlap(rows.toDF("corpus", "key"), "corpus", "key", k)
+      .as[(String, String, Long, Long, Long, Long, Long, Long, Long,
+        Long, Long, Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2))
+
+  test("kmvOverlap: exhaustive branch is exact — hand-computed 10/10/5 " +
+    "overlap at k=16 reads its true sizes and zero union error") {
+    val a = (1 to 10).map(i => ("a", s"x$i"))
+    val b = (6 to 15).map(i => ("b", s"x$i"))
+    val out = runKmv(a ++ b, k = 16)
+    assert(out.length == 1)
+    val r = out.head
+    // (ca cb k naE naX nbE nbX uE uX iE iX jE jX err)
+    assert(r == (("a", "b", 16L, 10L, 10L, 10L, 10L, 15L, 15L, 5L, 5L,
+      333333L, 333333L, 0L)), s"got $r")
+  }
+
+  test("kmvOverlap: estimation branch == independent MessageDigest " +
+    "bottom-k replay (also the two-level rank equivalence gate), and " +
+    "duplication-invariant") {
+    val a = (1 to 400).map(i => ("A", s"ka$i")) ++
+      (1 to 100).map(i => ("A", s"shared$i"))
+    val b = (1 to 200).map(i => ("B", s"kb$i")) ++
+      (1 to 100).map(i => ("B", s"shared$i"))
+    val (naE, nbE, uE, iE, jE, _, _) =
+      kmvReplay(a.map(_._2), b.map(_._2), 16)
+    val out = runKmv(a ++ b, k = 16)
+    assert(out.length == 1)
+    val r = out.head
+    assert((r._4, r._6, r._8, r._10, r._12) == ((naE, nbE, uE, iE, jE)),
+      s"replay ($naE,$nbE,$uE,$iE,$jE) vs $r")
+    assert((r._5, r._7, r._9, r._11) == ((500L, 300L, 700L, 100L)),
+      "exact twins: |A|=500, |B|=300, union 700, inter 100")
+    assert(r._13 == 100L * 1000000L / 700L, "exact jaccard ppm")
+    val dup = runKmv(a ++ b ++ a ++ b, k = 16)
+    assert(dup.toSeq == out.toSeq, "bottom-k of distinct hashes: " +
+      "duplicate rows change nothing")
+  }
+
+  test("kmvOverlap: three corpora emit all three ordered pairs; guards " +
+    "are loud") {
+    val rows = for (c <- Seq("c0", "c1", "c2"); i <- 1 to 30)
+      yield (c, s"$c-$i")
+    val shared = (1 to 10).flatMap(i =>
+      Seq(("c0", s"s$i"), ("c1", s"s$i"), ("c2", s"s$i")))
+    // k=128 keeps even the pairwise unions (70 distinct) exhaustive —
+    // at k=64 a 70-key union correctly rides the estimation branch
+    val out = runKmv(rows ++ shared, k = 128)
+    assert(out.map(r => (r._1, r._2)).toSeq ==
+      Seq(("c0", "c1"), ("c0", "c2"), ("c1", "c2")))
+    out.foreach { r =>
+      assert((r._5, r._7, r._11) == ((40L, 40L, 10L)),
+        s"exhaustive twins per pair: $r")
+      assert(r._10 == 10L && r._9 == 70L, s"exact branch estimates: $r")
+    }
+    val badK = intercept[IllegalArgumentException] {
+      Sketches.kmvOverlap(Seq(("a", "x")).toDF("corpus", "key"),
+        "corpus", "key", k = 8)
+    }
+    assert(badK.getMessage.contains("k in [16, 4096]"))
+    val badType = intercept[IllegalArgumentException] {
+      Sketches.kmvOverlap(Seq(("a", 1L)).toDF("corpus", "key"),
+        "corpus", "key")
+    }
+    assert(badType.getMessage.toLowerCase.contains("string"))
+  }
 }
