@@ -555,6 +555,107 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)
   }
+
+  /** Static kernel behind [[PqEncode]]: per subspace i, the 0-based index
+    * of the L2-nearest codebook centroid, distances accumulated
+    * left-to-right in doubles, FIRST index on ties — value-identical to
+    * the r16 HOF formulation `array_position(dists, array_min(dists)) - 1`
+    * over `aggregate(zip_with(sub, cent, (a,b) -> (a-b)*(a-b)), 0.0, +)`
+    * (a strict-less scan keeps the earliest minimum, which is exactly the
+    * first position of the min value). The HOF version re-evaluated the
+    * sub-vector slice (and the full-vector double cast behind it) once per
+    * CENTROID per subspace in the interpreter — the documented
+    * higher-order-function pathology, m·k = 128 re-slices per row. */
+  def pqEncodeKernel(v: ArrayData, cb: Array[Array[Array[Double]]],
+                     isFloat: Boolean): ArrayData = {
+    val m = cb.length
+    val codes = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      val cents = cb(i)
+      val dsub = cents(0).length
+      val base = i * dsub
+      var bestD = 0.0; var bestC = 0; var first = true
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        var s = 0.0; var j = 0
+        while (j < dsub) {
+          val a = if (isFloat) v.getFloat(base + j).toDouble
+                  else v.getDouble(base + j)
+          val d = a - cent(j)
+          s += d * d; j += 1
+        }
+        if (first || s < bestD) { first = false; bestD = s; bestC = c }
+        c += 1
+      }
+      codes(i) = bestC
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(codes)
+  }
+
+  /** pq_encode(vec) -> Array[Int]: PQ code per subspace against a codebook
+    * shipped as a referenced object (plan size O(1) in m·k·dsub). Accepts
+    * float or double input arrays — the cast-to-double happens inside the
+    * compiled loop, mirroring the old `transform(vec, x -> double(x))`. */
+  case class PqEncode(child: Expression,
+                      codebooks: Array[Array[Array[Double]]])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "pq_encode"
+    private def isFloat: Boolean = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+
+    override def nullSafeEval(v: Any): Any =
+      pqEncodeKernel(v.asInstanceOf[ArrayData], codebooks, isFloat)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cbRef = ctx.addReferenceObj("pqCodebooks", codebooks, "double[][][]")
+      nullSafeCodeGen(ctx, ev, a => s"""
+        ${ev.value} = graft.functions.VectorExpressions.pqEncodeKernel($a, $cbRef, $isFloat);
+        """)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** Static kernel behind [[PqAdcScore]]: Σ_i lut[i·k + code_i], summed
+    * left-to-right from 0.0 — value-identical to the r16
+    * `aggregate(zip_with(code, sequence, (c,i) -> element_at(lut, ...)),
+    * 0.0, +)` interpreted formulation. */
+  def pqAdcKernel(codes: ArrayData, lut: Array[Double], k: Int): Double = {
+    val m = codes.numElements()
+    var s = 0.0; var i = 0
+    while (i < m) { s += lut(i * k + codes.getInt(i)); i += 1 }
+    s
+  }
+
+  /** pq_adc_score(pq_code) -> Double: ADC lookup-table score of a code
+    * array against a query LUT shipped as a referenced object. */
+  case class PqAdcScore(child: Expression, lut: Array[Double], k: Int)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "pq_adc_score"
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(IntegerType))
+
+    override def nullSafeEval(v: Any): Any =
+      pqAdcKernel(v.asInstanceOf[ArrayData], lut, k)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val lutRef = ctx.addReferenceObj("pqLut", lut, "double[]")
+      nullSafeCodeGen(ctx, ev, a => s"""
+        ${ev.value} = graft.functions.VectorExpressions.pqAdcKernel($a, $lutRef, $k);
+        """)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
 }
 
 /** Column-API wrappers + SQL registration for the vector expressions. */
@@ -574,6 +675,10 @@ object vec {
   def jl_project(v: Column, outDims: Int, inDims: Int,
                  seed: String = "jl"): Column =
     toCol(JlProject(toExpr(v), outDims, inDims, seed))
+  def pq_encode(v: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    toCol(PqEncode(toExpr(v), codebooks))
+  def pq_adc_score(codes: Column, lut: Array[Double], k: Int): Column =
+    toCol(PqAdcScore(toExpr(codes), lut, k))
 
   /** pgvector cosine score mapping: score = 1 - distance/2 with distance =
     * 1 - cosine -> score = (1 + cosine) / 2 (`pgvector_store.py:499`). */

@@ -170,13 +170,28 @@ object Clustering {
       s"elbowReport needs a sorted, distinct, positive k ladder (got $ks)")
     val spark = df.sparkSession
     import spark.implicits._
-    val inertia = ks.map { k =>
-      val model = fit(df, vecCol, idCol, k, iters)
-      val s = assign(df, vecCol, model)
-        .agg(sum(floor(col("dist") * 1000000.0).cast("long")))
-        .head().getLong(0)
-      model.destroy()
-      k -> s
+    // The |ks| ladders are INDEPENDENT fits — run them as concurrent driver
+    // jobs (r17 optimization round; guide §2.6 "overlap independent jobs"):
+    // each ladder is a chain of small sequential Lloyd actions whose
+    // stragglers leave most cores idle, and FIFO scheduling back-fills the
+    // idle capacity with the next ladder's tasks. Same fits, same actions,
+    // same per-k results — only the wall-clock overlap changes (measured:
+    // 32 sequential driver jobs before).
+    val inertia = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(ks.size)
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      try Await.result(Future.sequence(ks.map { k => Future {
+        val model = fit(df, vecCol, idCol, k, iters)
+        val s = assign(df, vecCol, model)
+          .agg(sum(floor(col("dist") * 1000000.0).cast("long")))
+          .head().getLong(0)
+        model.destroy()
+        k -> s
+      }}), Duration.Inf)
+      finally pool.shutdown()
     }
     val drops = inertia.indices.map { i =>
       if (i == 0) None else Some(inertia(i - 1)._2 - inertia(i)._2)

@@ -1693,8 +1693,14 @@ object Corpus {
       graft.functions.text.tokens(col(textCol)).as("tk")))
     val seed = base.filter(col("id") % seedMod === 0)
     val rest = base.filter(col("id") % seedMod =!= 0)
+    // Stage cut (rule 14, r17 optimization round): the class×word count
+    // table feeds the class totals, the vocabulary size, AND the scoring
+    // join — three evaluations of the seed-slice tokenize + explode
+    // without it. (classes × vocab)-bounded — model-sized, the t73 wt
+    // convention.
     val cnt = seed.select(col("label").as("cls"), explode(col("tk")).as("w"))
       .groupBy("cls", "w").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val tot = cnt.groupBy("cls").agg(sum("c").as("tot"))
     val vocab = cnt.select("w").distinct().agg(count(lit(1)).as("v"))
     val prior = seed.groupBy(col("label").as("cls"))
@@ -2004,8 +2010,18 @@ object Corpus {
             distinct = false)).as("rg")))
       .select(col("__ml"), col("rg.rung").as("n"),
         explode(col("rg.gs")).as("g"))
-    val inst = grams.groupBy("n", "__ml").agg(count(lit(1)).as("gi"))
-    val typ = grams.groupBy("n", "g").agg(min(col("__ml")).as("__ml"))
+    // One corpus pass instead of two (r17 optimization round): the gram
+    // stream previously fed the instance count AND the type count as two
+    // separate aggregations, re-running the tokenize + 3-rung shingle
+    // explode per consumer (measured: 14 parquet scans in the r17 `before`
+    // plan). Both statistics derive from one map-side-combined rollup to
+    // (rung, gram, level) — types-sized, so the stage cut materializes the
+    // survivor set, never the n-x-corpus gram stream (the t26 caution).
+    // gi = Σ_g cnt ≡ count(*) per (n, level); tc unchanged.
+    val gml = grams.groupBy("n", "g", "__ml").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val inst = gml.groupBy("n", "__ml").agg(sum(col("cnt")).as("gi"))
+    val typ = gml.groupBy("n", "g").agg(min(col("__ml")).as("__ml"))
       .groupBy("n", "__ml").agg(count(lit(1)).as("tc"))
     val grid = ns.map(_.toLong).toDF("n")
       .crossJoin((1 to levels).map(_.toLong).toDF("level"))

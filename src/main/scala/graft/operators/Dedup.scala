@@ -174,8 +174,15 @@ object Dedup {
     // operator's contract ([[minhashLshKeepList]] is the linear-output
     // form) — but the quadratic part is now generate-and-stream, never
     // sort/hash state.
+    // Stage cut (rule 14, r17 optimization round): the signature table
+    // feeds the rep rollup AND four member-expansion references (two sides
+    // of `within`, two of `cross`) — five evaluations of the tokenize +
+    // numHashes md5 lanes without it. Compact (id + 16 longs + one md5 per
+    // doc, far smaller than the text) — the signature table IS what a
+    // scale run writes between the fingerprint and match passes.
     val members = filteredSigs(df, idCol, textCol, shingleSize, numHashes)
       .withColumn("sig_key", md5(concat_ws(",", col("sig").cast("array<string>"))))
+      .localCheckpoint()
     val reps = members.groupBy("sig_key")
       .agg(min(struct(col("id"), col("sig"))).as("r"))
       .select(col("sig_key"), col("r.id").as("id"), col("r.sig").as("sig"))
@@ -298,19 +305,31 @@ object Dedup {
     require(thresholdPpm >= 1 && thresholdPpm <= 1000000,
       s"containmentPairs needs thresholdPpm in [1, 1e6] (got $thresholdPpm)")
     import org.apache.spark.sql.expressions.Window
+    // Stage cuts (rule 14, r17 optimization round): the tokenize + shingle +
+    // md5 stream feeds FIVE consumers (sz, dfc, rare, and both verify-join
+    // sides), and `rare`/`samp` each feed two more — without the cuts the
+    // corpus-wide shingle scan executed up to 9x per run (measured: 36
+    // parquet scans in the r17 `before` plan; the t74 row was the bench's
+    // slowest at 4.1 s). `hh` is 16 bytes/shingle — the same order as the
+    // input text, i.e. the "write stage outputs between curation passes"
+    // size a 100 TB run checkpoints anyway; `rare` and `samp` are strictly
+    // smaller (df-capped / bottom-m).
     val hh = graft.Tables.scaled(
       df.select(col(idCol).cast("long").as("id"),
         explode(text.word_shingles(col(textCol), shingleWords)).as("g")))
       .select(col("id"),
         conv(substring(md5(concat(lit("cnt:"), col("g"))), 1, 15), 16, 10)
           .cast("long").as("h"))
+      .localCheckpoint()
     val sz = hh.groupBy("id").agg(count(lit(1)).as("n_small"))
     val dfc = hh.groupBy("h").agg(count(lit(1)).as("df"))
     val rare = hh.join(dfc.filter(col("df") <= dfCap), Seq("h"))
       .select("id", "h")
+      .localCheckpoint()
     val samp = rare
       .withColumn("rk", row_number().over(Window.partitionBy("id").orderBy("h")))
       .filter(col("rk") <= sampleM).select("id", "h")
+      .localCheckpoint()
     val sampSz = samp.groupBy("id").agg(count(lit(1)).as("m_sz"))
     val cand = samp.select(col("id").as("small_id"), col("h"))
       .join(rare.select(col("id").as("big_id"), col("h")), Seq("h"))

@@ -94,32 +94,25 @@ object PqIndex {
   }
 
   /** Adds `pq_code` (array<int>, length m): per subspace, the index of the
-    * L2-nearest centroid, first-index tiebreak (`array_position` of the
-    * min). Pure collection expressions in double arithmetic with fixed
-    * fold order — engine-replayable. */
-  def encode(df: DataFrame, vecCol: String, model: Model): DataFrame = {
-    val cb = model.codebookLit
-    val dsub = model.dsub
-    val vecD = transform(col(vecCol), x => x.cast("double"))
-    val codes = transform(sequence(lit(0), lit(model.m - 1)), i => {
-      val sub = slice(vecD, i * dsub + 1, lit(dsub))
-      val dists = transform(element_at(cb, i + 1), cent =>
-        aggregate(zip_with(sub, cent, (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x))
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    })
-    df.withColumn("pq_code", codes)
-  }
+    * L2-nearest centroid, first-index tiebreak, distances folded
+    * left-to-right in double — engine-replayable (the oracle mirrors the
+    * same arithmetic in SQL). Runs as the codegen'd
+    * [[graft.functions.VectorExpressions.PqEncode]] kernel (r17
+    * optimization round): the previous collection-expression formulation
+    * was value-identical but interpreted, and the HOF interpreter
+    * re-evaluated the sub-vector slice per centroid — m·k = 128 re-slices
+    * of the row's vector where the kernel does one compiled scan. */
+  def encode(df: DataFrame, vecCol: String, model: Model): DataFrame =
+    df.withColumn("pq_code",
+      graft.functions.vec.pq_encode(col(vecCol),
+        model.codebooks.map(_.map(_.map(_.toDouble)))))
 
   /** ADC score of a `pq_code` column against a query LUT: m lookups into
-    * the broadcast-literal table, summed left-to-right. */
-  def adcScore(codeCol: Column, lutFlat: Array[Double], k: Int): Column = {
-    val lut = typedLit(lutFlat.toSeq)
-    aggregate(
-      zip_with(codeCol, sequence(lit(0), lit(lutFlat.length / k - 1)),
-        (code, i) => element_at(lut, i * k + code + 1)),
-      lit(0.0), (acc, x) => acc + x)
-  }
+    * the table, summed left-to-right from 0.0. Codegen'd kernel
+    * ([[graft.functions.VectorExpressions.PqAdcScore]]); the LUT ships as
+    * a referenced object, not a plan literal. */
+  def adcScore(codeCol: Column, lutFlat: Array[Double], k: Int): Column =
+    graft.functions.vec.pq_adc_score(codeCol, lutFlat, k)
 
   /** Approximate top-n by ADC dot-product (ties → smaller id first). The
     * two-phase pattern reranks these candidates with exact scores. */

@@ -154,10 +154,18 @@ object Sketches {
     val lvl1 = Window.partitionBy(col("corpus"), pmod(col("h"), lit(64L)))
       .orderBy("h")
     val lvl2 = Window.partitionBy("corpus").orderBy("h")
+    // Stage cut (rule 14, r17 optimization round): the sketch feeds THREE
+    // consumers (per-corpus stats, the corpora list, the pair-merge), each
+    // of which would otherwise re-run the full key scan + md5 + distinct +
+    // two bottom-k windows (measured: 22 parquet scans / 78 Exchanges in
+    // the r17 `before` plan). The sketch is ≤ k rows per corpus — exactly
+    // the bounded state the KMV law exists to give you, so materializing
+    // it is free at any corpus size.
     val sk = dh
       .withColumn("r1", row_number().over(lvl1)).filter(col("r1") <= k)
       .withColumn("rk", row_number().over(lvl2)).filter(col("rk") <= k)
       .select("corpus", "h")
+      .localCheckpoint()
     val per = sk.groupBy("corpus")
       .agg(count(lit(1)).as("sk_n"), max("h").as("kth"))
       .withColumn("est", estOf("sk_n", "kth"))
@@ -179,9 +187,14 @@ object Sketches {
         sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
           .as("rho"))
       .withColumn("union_est", estOf("kk", "kth_u"))
-    // exact twins: the inter-corpus distinct-key join the sketch avoids
+    // exact twins: the inter-corpus distinct-key join the sketch avoids.
+    // Stage cut: `dk` feeds the per-corpus exact counts AND both sides of
+    // the intersection self-join — three evaluations of the distinct
+    // rollup without it. Distinct (corpus, key) is the survivor-sized
+    // output a real run materializes before a self-join anyway.
     val dk = src.groupBy("corpus", "key").agg(count(lit(1)).as("__c"))
       .drop("__c")
+      .localCheckpoint()
     val exact = dk.groupBy("corpus").agg(count(lit(1)).as("n_exact"))
     val exInter = pairs
       .join(dk.select(col("corpus").as("__ca"), col("key")),

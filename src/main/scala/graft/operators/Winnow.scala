@@ -82,8 +82,15 @@ object Winnow {
                  minShared: Int = 2, maxDocFreq: Int = 50): DataFrame = {
     require(minShared >= 1, s"matchPairs needs minShared>=1 (got $minShared)")
     require(maxDocFreq >= 2, s"matchPairs needs maxDocFreq>=2 (got $maxDocFreq)")
+    // Stage cut (rule 14, r17 optimization round): the distinct fingerprint
+    // set feeds the doc-frequency rollup AND both sides of the pair
+    // self-join — three evaluations of the normalize + winnow scan without
+    // it. This table IS [[fingerprintIndex]], the thing a scale run writes
+    // to storage once; survivor-sized (≈ chars/w fingerprints per doc,
+    // deduped).
     val fps = fingerprints(df, idCol, textCol, k, w)
       .select(col(idCol).as("id"), col("fp")).distinct()
+      .localCheckpoint()
     val rare = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
       .where(col("__df") >= 2 && col("__df") <= maxDocFreq)
       .select("fp")

@@ -73,6 +73,9 @@ object TextQueries {
           col("k") === 0 || (i.cast("long") + 1L + col("k") * 3L) % 9 =!= 0))
           .as("text"))
       .where(length(col("text")) >= 5)
+      // stage cut (rule 14): the synthesized mutated corpus feeds the LSH
+      // pass AND the truth counts — two token-filter rebuilds without it
+      .localCheckpoint()
     val pairs = Dedup.minhashLshPairs(mut, "doc_id", "text",
       shingleSize = 5, numHashes = 16, bands = 4, minEst = 0.0)
     val truth = mut

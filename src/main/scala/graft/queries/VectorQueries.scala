@@ -531,9 +531,15 @@ object VectorQueries {
     val q = queryVec(spark, dir)
     val (indexed, ivf) = IvfIndex.build(e, "embedding", lists = 16)
     val centLit = typedLit(ivf.centroids.map(_.toSeq).toSeq)
+    // Stage cut (rule 14, r17 optimization round): the residual table feeds
+    // the codebook sampling collect AND the encode pass — without the cut
+    // each consumer re-runs the MLlib assign + residual zip over the corpus.
+    // An offline IVF-PQ index build materializes residuals between the
+    // coarse-assign and encode passes at any scale.
     val resid = indexed.withColumn("__resid",
       zip_with(col("embedding"), element_at(centLit, col("cluster_id") + 1),
         (a, b) => a - b))
+      .localCheckpoint()
     val pq = PqIndex.sampledModel(resid, "__resid", "vec_id", m = 8, k = 16)
     val enc = PqIndex.encode(resid, "__resid", pq)
     val qDotC = ivf.centroids.map { c =>
