@@ -86,9 +86,14 @@ object BpeTrainer {
         val (l, r, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((step, l, r, f))
         val prev = words
+        // LAZY checkpoint (r17 optimization round): the rewritten vocab
+        // materializes inside the NEXT step's stats job instead of paying a
+        // dedicated materialization job per merge — halves the ladder's
+        // driver-job count (2 jobs/step -> 1) while keeping the same O(1)
+        // lineage depth and the same per-step arithmetic.
         words = words
           .withColumn("sym", replace(col("sym"), lit(s" $l  $r "), lit(s" $l$r ")))
-          .localCheckpoint()
+          .localCheckpoint(false)
         prev.unpersist()
         step += 1
       }

@@ -779,8 +779,13 @@ object Corpus {
     val toks = graft.Tables.scaled(df.select(col(idCol).cast("long").as("id"),
       graft.functions.text.tokens(col(textCol)).as("tk")))
       .localCheckpoint()
+    // r17 optimization round, two more rule-14 cuts below the toks one:
+    // `uni` (vocab-bounded) feeds the vocab count AND the scoring join;
+    // `bg` (1x corpus tokens) feeds the bigram counts AND the scoring
+    // stream - each reference re-ran the interpreted bigram-struct explode.
     val uni = toks.select(explode(col("tk")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
+      .localCheckpoint()
     val vocab = uni.agg(count(lit(1)).as("v"))
     val bg = toks.filter(size(col("tk")) >= 2)
       .select(col("id"), explode(transform(
@@ -789,6 +794,7 @@ object Corpus {
           element_at(col("tk"), i + 1).as("w1"),
           element_at(col("tk"), i + 2).as("w2")))).as("b"))
       .select(col("id"), col("b.pos").as("pos"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .localCheckpoint()
     val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val scored = bg.join(bc, Seq("w1", "w2"))
       .join(uni.withColumnRenamed("w", "w1"), "w1")
@@ -849,7 +855,14 @@ object Corpus {
           element_at(col("tk"), i + 2).as("w2")))).as("b"))
       .select(col("id"), col("b.pos").as("pos"),
         col("b.w1").as("w1"), col("b.w2").as("w2"))
+      // rule-14 cut (r17): the bigram stream feeds the type counts AND the
+      // scoring join - two interpreted struct-explode passes without it
+      .localCheckpoint()
     val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      // rule-14 cut (r17): the TYPE table (bigram-type-bounded) feeds the
+      // forward/backward/total tables AND the scoring join - four rollup
+      // re-evaluations without it
+      .localCheckpoint()
     // forward table: context total + distinct-continuation count, both off
     // the TYPE table (bounded), not the token stream
     val fw = bc.groupBy("w1")
@@ -948,6 +961,11 @@ object Corpus {
       .select(col("id"), col("is_target"), col("e.pos").as("pos"),
         (conv(substring(md5(col("e.g")), 1, 6), 16, 10).cast("long")
           % buckets).as("b"))
+      // rule-14 cut (r17): the hashed gram stream feeds the two model
+      // count tables, the totals AND the scoring pass — four tokenize+md5
+      // evaluations without it; materialized rows are compact
+      // (id, bool, pos, bucket)
+      .localCheckpoint()
     val ct = grams.filter(col("is_target")).groupBy("b").agg(count(lit(1)).as("ct"))
     val cr = grams.filter(!col("is_target")).groupBy("b").agg(count(lit(1)).as("cr"))
     val tot = grams.agg(

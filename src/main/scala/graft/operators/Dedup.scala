@@ -829,8 +829,16 @@ object Dedup {
     * paragraph stream, linear in corpus size. */
   def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
                      paras: Column => Column, sep: String = " "): DataFrame = {
-    val base = paraBase(docs, idCol, textCol, paras)
-    val pe = paraExplode(base)
+    // Stage cuts (rule 14, r17 optimization round), batch arm only (the
+    // incremental arm composes per micro-batch and keeps the helpers
+    // pure): `base` feeds the explode AND the survivor assembly, `pe`
+    // feeds the ownership rollup AND the keep-filter join — without the
+    // cuts the paragraph split ran 3x and the explode+md5 2x per run.
+    // Both are 1x-corpus stage outputs (the split corpus / the hashed
+    // paragraph stream), the between-passes materialization a scale run
+    // writes anyway.
+    val base = paraBase(docs, idCol, textCol, paras).localCheckpoint()
+    val pe = paraExplode(base).localCheckpoint()
     assembleSurvivors(base, pe.join(paraOwnership(pe), "h")
       .filter(col("id") === col("oid") && col("idx") === col("oidx")), sep)
   }
@@ -981,15 +989,22 @@ object Dedup {
       .filter(length(col("norm")) >= shingleSize)
     val sigs = base.withColumn("sig",
       text.minhash_signature_fast(col("norm"), numHashes, shingleSize))
+    // Stage cuts (rule 14, r17 optimization round): `gsig` is |groups|
+    // rows but each evaluation re-runs the 16-lane minhash over the whole
+    // corpus — and the pair join reads it twice; `shingles` (distinct
+    // group-shingle hashes, the overlap index a scale run materializes)
+    // feeds the sizes rollup AND both sides of the intersection self-join.
     val gsig = sigs.select(col("grp"), posexplode(col("sig")).as(Seq("pos", "v")))
       .groupBy("grp", "pos").agg(min("v").as("v"))
       .groupBy("grp").agg(
         transform(array_sort(collect_list(struct(col("pos"), col("v")))),
           s => s.getField("v")).as("sig"))
+      .localCheckpoint()
     val shingles = base.select(col("grp"), explode(expr(
         s"transform(sequence(1, length(norm) - ${shingleSize - 1}), " +
           s"i -> substring(norm, i, $shingleSize))")).as("sh"))
       .select(col("grp"), md5(col("sh")).as("h")).distinct()
+      .localCheckpoint()
     val sizes = shingles.groupBy("grp").agg(count(lit(1)).as("n"))
     val inter = shingles.as("x").join(shingles.as("y"),
         col("x.h") === col("y.h") && col("x.grp") < col("y.grp"))

@@ -409,9 +409,14 @@ object Features {
       col(valCol).cast("long").as("x"))
     val stats = r.groupBy("k").agg(sum(col("x")).cast("decimal(38,0)")
       .as("s"), count(lit(1)).as("n"))
+    // Stage cut (rule 14, r17 optimization round): the deviation table
+    // feeds the denominator rollup AND both sides of the lag self-join —
+    // three evaluations of the upstream series (for e25 that includes a
+    // per-key rank window) without it. Series-sized (k, t, d) rows.
     val dev = r.join(broadcast(stats), "k")
       .select(col("k"), col("t"),
         (col("n").cast("decimal(38,0)") * col("x") - col("s")).as("d"))
+      .localCheckpoint()
     val den = dev.groupBy("k")
       .agg(sum(col("d") * col("d")).as("den"), count(lit(1)).as("n"))
     val pairs = dev

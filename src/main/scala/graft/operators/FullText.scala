@@ -620,16 +620,17 @@ object FullText {
     // oracle's list_sum(... ORDER BY term) replays the same order
     val normExpr = sqrt(graft.functions.GenEvalExpressions
       .lnc_norm_sq(col("tk")))
+    // (docs × |Q|)-bounded after the term filter — checkpointed (r17) so
+    // the df rollup derives from it instead of a second tokenize+explode
+    // pass over the corpus (tf has exactly one row per matching
+    // (doc, term), so count-per-term IS the document frequency)
     val tf = toks.select(col("doc_id"), normExpr.as("norm_d"),
         explode(col("tk")).as("term"))
       .filter(col("term").isin(terms: _*))
       .groupBy("doc_id", "norm_d", "term").agg(count(lit(1)).as("tf"))
-    // lean second pass: df + N with no norm fold in the lineage; ≤|Q|+1
-    // rows checkpointed for two consumers (scoring join + query norm)
+      .localCheckpoint()
     val global = toks.agg(count(lit(1)).as("n_docs"))
-    val dfT = toks.select(col("doc_id"), explode(col("tk")).as("term"))
-      .filter(col("term").isin(terms: _*))
-      .distinct()
+    val dfT = tf
       .groupBy("term").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(global))
       .withColumn("wq", log(col("n_docs").cast("double") / col("df")))

@@ -56,11 +56,19 @@ object Sketches {
         conv(substring(col("h"), 3, 13), 16, 10).cast("long").as("w"))
       .withColumn("rho",
         when(col("w") === 0, 53L).otherwise(lit(53L) - length(bin(col("w")))))
+    // Stage cut (rule 14, r17 optimization round): registers are
+    // m·|names|-bounded — THE sketch law — and feed both the register grid
+    // and the estimate fold. The name list derives from the registers, not
+    // from a third full scan of `keyed` (every name with >= 1 input row
+    // owns >= 1 register, so the sets are identical): the input stream is
+    // now scanned exactly twice — once hashed into registers, once for the
+    // exact twin — instead of three times.
     val regMax = hashed.groupBy("col_name", "reg")
       .agg(max(col("rho")).as("mj"))
+      .localCheckpoint()
     val spark = keyed.sparkSession
     import spark.implicits._
-    val grid = keyed.select(col(nameCol).as("col_name")).distinct()
+    val grid = regMax.select("col_name").distinct()
       .crossJoin(broadcast((0 until m).map(_.toLong).toDF("reg")))
     val agg = grid.join(regMax, Seq("col_name", "reg"), "left")
       .withColumn("mj", coalesce(col("mj"), lit(0L)))

@@ -66,6 +66,10 @@ object EvalQueries {
       .filter(col("n") > 0)
       .select(col("doc_id"),
         explode(sequence(lit(0L), least(col("n"), lit(24L)) - 1)).as("p"))
+      // stage cut (rule 14): every gold/pred/relation table derives from
+      // this <= 24-rows-per-doc position grid, and the report joins them
+      // repeatedly — without the cut each reference re-ran the tokenize
+      .localCheckpoint()
     val gold = pos.filter((col("doc_id") + col("p")) % 5 === 0)
       .select(col("doc_id"), col("p").as("s"), col("p").as("e"),
         concat(lit("T"), ((col("doc_id") + col("p")) % 3).cast("string"))
