@@ -377,4 +377,53 @@ object GenEvalExpressions {
     * for `aggregate(sort_array(collect_list(struct(k, p))), 0.0,
     * (a, x) => a + x.p)` with identical ordering and IEEE adds. */
   def ordered_sum(pairs: Column): Column = toCol(OrderedSum(toExpr(pairs)))
+
+  /** One-pass token statistics over an array<string> (r17 optimization
+    * round): n = size, nd = |distinct|, top = max multiplicity, chars =
+    * Σ length(token) in CHARACTERS (Spark `length` semantics). Replaces
+    * the interpreted-HOF formulation in [[graft.operators.Corpus
+    * .repetitionMetrics]] whose `top` fold was O(n·distinct) boxed
+    * comparisons per row (for each distinct token, a full filter pass) —
+    * value-identical: same UTF8String equality, same long arithmetic,
+    * empty array → all zeros, null array → null struct (the caller
+    * coalesces exactly as before). */
+  def tokenStats(a: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = a.numElements()
+    val counts = new java.util.HashMap[UTF8String, Long]()
+    var chars = 0L
+    var top = 0L
+    var i = 0
+    while (i < n) {
+      val t = a.getUTF8String(i)
+      chars += t.numChars()
+      val c = counts.getOrDefault(t, 0L) + 1L
+      counts.put(t, c)
+      if (c > top) top = c
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, counts.size.toLong, top, chars))
+  }
+
+  case class TokenStats(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with ImplicitCastInputTypes {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n", LongType, nullable = false),
+      StructField("nd", LongType, nullable = false),
+      StructField("top", LongType, nullable = false),
+      StructField("chars", LongType, nullable = false)))
+    override def prettyName: String = "token_stats"
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+    override def nullSafeEval(a: Any): Any =
+      tokenStats(a.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => s"""
+        ${ev.value} = graft.functions.GenEvalExpressions.tokenStats($a);
+        """)
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  def token_stats(toks: Column): Column = toCol(TokenStats(toExpr(toks)))
 }

@@ -267,10 +267,15 @@ object Clustering {
     Guards.requireIntegral(vectors, idCol, "ivfCandidates")
     val model = fit(vectors, vecCol, idCol, k, iters)
     val bc = model.codebook(vectors)
+    // rule-14 cut (r17): the probe-membership table feeds both sides of
+    // the candidate self-join — two multi-probe assignment passes over the
+    // corpus without it (the materialized rows are the probes-x-corpus
+    // inverted-list layout an IVF index stores anyway)
     val memb = graft.Tables.scaled(
         vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")))
       .select(col("id"), col("v"),
         explode(vec.probe_centroids(col("v"), bc, probes)).as("cid"))
+      .localCheckpoint()
     memb.as("a")
       .join(memb.as("b"),
         col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))

@@ -47,12 +47,15 @@ object Corpus {
       df.select(col(idCol).cast("long").as("id"), col(textCol).as("t")))
       .select(col("id"), toks.as("tk"),
         text.word_shingles(col("t"), ngram).as("sh"))
-    val n = size(col("tk")).cast("long")
-    val nd = size(array_distinct(col("tk"))).cast("long")
-    val top = coalesce(
-      aggregate(array_distinct(col("tk")), lit(0L),
-        (acc, t) => greatest(acc, size(filter(col("tk"), x => x === t)).cast("long"))),
-      lit(0L))
+    // One compiled pass per row (r17 optimization round): the previous
+    // `top` fold was an interpreted HOF doing a full filter scan per
+    // DISTINCT token — O(n·distinct) boxed comparisons per document; the
+    // token_stats kernel computes n/nd/top/chars in one O(n) hash pass
+    // with identical UTF8String equality and long arithmetic.
+    val st = graft.functions.GenEvalExpressions.token_stats(col("tk"))
+    val n = st.getField("n")
+    val nd = st.getField("nd")
+    val top = coalesce(st.getField("top"), lit(0L))
     withToks.select(
       col("id"),
       n.as("n_tokens"),
@@ -60,7 +63,7 @@ object Corpus {
       greatest(n - (ngram - 1), lit(0L)).as("n_ngrams"),
       size(col("sh")).cast("long").as("n_distinct_ngrams"),
       top.as("top_token_count"),
-      aggregate(col("tk"), lit(0L), (acc, t) => acc + length(t)).as("sum_token_chars"),
+      st.getField("chars").as("sum_token_chars"),
       (top * 20 <= n * 3 && nd * 2 >= n).as("keep"))
   }
 

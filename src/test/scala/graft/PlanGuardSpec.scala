@@ -549,11 +549,17 @@ class PlanGuardSpec extends AnyFunSuite {
       s"the topK cut must be a bounded heap:\n$p")
   }
 
-  test("n15_tfidf_vsm: the norm kernel rides the scan (no norm exchange), " +
-    "the hit groupBy partial-aggregates, the cut is a top-k heap") {
+  test("n15_tfidf_vsm: the tf table is stage-cut (r17 — df derives from it, " +
+    "no second tokenize pass), the cut is a top-k heap") {
+    // the lnc_norm_sq kernel now runs INSIDE the checkpointed tf stage
+    // (r17: tf is localCheckpoint()ed so the df rollup derives from it
+    // instead of re-tokenizing the corpus), so the registered query's
+    // executed plan starts from the cut and the kernel name is no longer
+    // visible here — its value-identity is gated by R17KernelSpec and the
+    // n15 oracle row instead.
     val p = executedPlan("n15_tfidf_vsm")
-    assert(p.contains("lnc_norm_sq"),
-      s"the codegen'd norm kernel must be in-plan (not a HOF rewrite):\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"stage cut missing - the tf table re-executes per consumer:\n$p")
     assert(p.contains("TakeOrderedAndProject"),
       s"the k cut must be a bounded heap:\n$p")
     assert(!p.contains("CartesianProduct"),
