@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout through RAW (no "[info] " logger prefix):
+// the driver machine-parses Bench's one-line JSON from stdout, and sbt's
+// default logger prefix defeated that parse for 8 straight rounds
+// (BENCH_r10..r17 all shipped parsed:null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

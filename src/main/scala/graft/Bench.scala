@@ -378,12 +378,25 @@ object Bench {
       .map(s => "," + s).getOrElse("")
     val slim = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","boot_anchor":$bootAnchor%.3f,"anchor_drift":$anchorDrift%.3f,"anchors":$anchorsJson,"worst_spread":$worstSpread%.2f,"worst_spread_query":"$worstSpreadQuery","extra_runs":$extraRuns,"failed_queries":$failed,"contaminated":$contaminated$prevAdj}"""
     println(slim)
+    // Belt-and-braces for the driver's stdout capture (parsed:null in
+    // BENCH_r10..r17): the full machine line is ALSO written to a file, so
+    // a consumer that loses stdout (truncation, logger prefixes) can read
+    // the identical JSON from disk. Path overridable for local iteration.
+    val summaryPath =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY", "bench_summary.json")
     // timing_basis makes the artifact self-describing across methodology
     // changes: "noop_sink_v2" = every query timed to a noop-format sink
     // (count() let Catalyst prune projection-final operators and
     // under-measured them — r5 artifacts are on that older basis).
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing_basis":"noop_sink_v2","anchors":$anchorsJson,"boot_anchor":$bootAnchor%.3f,"anchor_drift":$anchorDrift%.3f,$prevCmp"queries":$qs,"sf":"$sfDir","base_runs":3,"stat":"median_fastest3","queries_min":$mins,"query_runs":$runs,"sample_failures":$sampleFails,"total_min":$totalMin%.3f,"worst_spread":$worstSpread%.2f,"worst_spread_query":"$worstSpreadQuery","extra_runs":$extraRuns,"failed_queries":$failed,"contaminated":$contaminated,"idle_gate_expired":$gateExpired,"query_loadavg":$qLoadJson,"loadavg_at_start":"$loadAtStart","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}""")
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing_basis":"noop_sink_v2","anchors":$anchorsJson,"boot_anchor":$bootAnchor%.3f,"anchor_drift":$anchorDrift%.3f,$prevCmp"queries":$qs,"sf":"$sfDir","base_runs":3,"stat":"median_fastest3","queries_min":$mins,"query_runs":$runs,"sample_failures":$sampleFails,"total_min":$totalMin%.3f,"worst_spread":$worstSpread%.2f,"worst_spread_query":"$worstSpreadQuery","extra_runs":$extraRuns,"failed_queries":$failed,"contaminated":$contaminated,"idle_gate_expired":$gateExpired,"query_loadavg":$qLoadJson,"loadavg_at_start":"$loadAtStart","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}"""
+    println(full)
     println(slim)
+    try {
+      val w = new java.io.PrintWriter(new java.io.File(summaryPath))
+      try { w.println(slim); w.println(full) } finally w.close()
+      System.err.println(s"[bench] summary written to $summaryPath")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] summary file write failed: $e") }
     spark.stop()
   }
 }

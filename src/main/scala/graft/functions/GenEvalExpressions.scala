@@ -393,16 +393,28 @@ object GenEvalExpressions {
     var chars = 0L
     var top = 0L
     var i = 0
+    var nulls = 0
     while (i < n) {
-      val t = a.getUTF8String(i)
-      chars += t.numChars()
-      val c = counts.getOrDefault(t, 0L) + 1L
-      counts.put(t, c)
-      if (c > top) top = c
+      // null tokens (impossible from the repo's tokenizers — regex split
+      // never yields null elements — but possible from arbitrary callers):
+      // count toward n and once toward nd like the replaced HOF's
+      // size/array_distinct did, never toward top (x === null filtered to
+      // nothing there), and contribute 0 chars instead of the old fold's
+      // null-poisoning — the struct stays non-nullable and the kernel
+      // cannot NPE (r17 advisor finding).
+      if (a.isNullAt(i)) { nulls += 1 }
+      else {
+        val t = a.getUTF8String(i)
+        chars += t.numChars()
+        val c = counts.getOrDefault(t, 0L) + 1L
+        counts.put(t, c)
+        if (c > top) top = c
+      }
       i += 1
     }
+    val nd = counts.size.toLong + (if (nulls > 0) 1L else 0L)
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](n.toLong, counts.size.toLong, top, chars))
+      Array[Any](n.toLong, nd, top, chars))
   }
 
   case class TokenStats(child: Expression)

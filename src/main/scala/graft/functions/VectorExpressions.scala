@@ -605,6 +605,19 @@ object VectorExpressions {
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def prettyName: String = "pq_encode"
+    // Fail fast at analysis on anything but array<float>/array<double>
+    // (r17 advisor finding: the kernel reads raw 8-byte slots, so an
+    // array<int>/array<long> child — which the old HOF silently cast —
+    // would read garbage; callers must cast explicitly).
+    override def checkInputDataTypes():
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case t =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"pq_encode needs array<float> or array<double> input, got ${t.catalogString}")
+      }
     private def isFloat: Boolean = child.dataType match {
       case ArrayType(FloatType, _) => true
       case _ => false

@@ -158,10 +158,11 @@ object Clustering {
     * seeded init (more seeds ≠ better fit after 2 steps); negative
     * drops simply rank low — no clamping, the arithmetic stays honest.
     *
-    * 100 TB shape: |ks| sequential Lloyd fits (each the k1 cost — the
-    * clustering IS the job, the k2 timing convention) + one floor-sum
-    * scan per k; the ladder decision runs on |ks| driver rows (rule
-    * 17). */
+    * 100 TB shape: |ks| independent Lloyd fits run as CONCURRENT driver
+    * jobs, at most 3 in flight (guide §2.6: enough to back-fill each
+    * action's straggler tail, not so many that job chains fight for
+    * executors) + one floor-sum scan per k; the ladder decision runs on
+    * |ks| driver rows (rule 17). */
   def elbowReport(df: DataFrame, vecCol: String, idCol: String,
                   ks: Seq[Int], iters: Int): DataFrame = {
     require(ks.size >= 3, s"elbowReport needs >= 3 candidate ks for a " +
@@ -180,7 +181,12 @@ object Clustering {
     val inertia = {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(ks.size)
+      // Cap concurrency at 3 (guide §2.6; r17 advisor finding): an
+      // adversarially long ladder must not spawn one driver thread + job
+      // chain per k. shutdownNow on exit so a failed fit does not leave
+      // sibling ladders running while the exception propagates.
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(ks.size, 3))
       implicit val ec: ExecutionContext =
         ExecutionContext.fromExecutorService(pool)
       try Await.result(Future.sequence(ks.map { k => Future {
@@ -191,7 +197,7 @@ object Clustering {
         model.destroy()
         k -> s
       }}), Duration.Inf)
-      finally pool.shutdown()
+      finally pool.shutdownNow()
     }
     val drops = inertia.indices.map { i =>
       if (i == 0) None else Some(inertia(i - 1)._2 - inertia(i)._2)

@@ -180,9 +180,9 @@ object Dedup {
     // numHashes md5 lanes without it. Compact (id + 16 longs + one md5 per
     // doc, far smaller than the text) — the signature table IS what a
     // scale run writes between the fingerprint and match passes.
-    val members = filteredSigs(df, idCol, textCol, shingleSize, numHashes)
-      .withColumn("sig_key", md5(concat_ws(",", col("sig").cast("array<string>"))))
-      .localCheckpoint()
+    val members = graft.StageCut(filteredSigs(df, idCol, textCol, shingleSize, numHashes)
+      .withColumn("sig_key", md5(concat_ws(",", col("sig").cast("array<string>")))),
+      "minhashLsh.members")
     val reps = members.groupBy("sig_key")
       .agg(min(struct(col("id"), col("sig"))).as("r"))
       .select(col("sig_key"), col("r.id").as("id"), col("r.sig").as("sig"))
@@ -314,13 +314,12 @@ object Dedup {
     // input text, i.e. the "write stage outputs between curation passes"
     // size a 100 TB run checkpoints anyway; `rare` and `samp` are strictly
     // smaller (df-capped / bottom-m).
-    val hh = graft.Tables.scaled(
+    val hh = graft.StageCut(graft.Tables.scaled(
       df.select(col(idCol).cast("long").as("id"),
         explode(text.word_shingles(col(textCol), shingleWords)).as("g")))
       .select(col("id"),
         conv(substring(md5(concat(lit("cnt:"), col("g"))), 1, 15), 16, 10)
-          .cast("long").as("h"))
-      .localCheckpoint()
+          .cast("long").as("h")), "containment.hh")
     val sz = hh.groupBy("id").agg(count(lit(1)).as("n_small"))
     val dfc = hh.groupBy("h").agg(count(lit(1)).as("df"))
     val rare = hh.join(dfc.filter(col("df") <= dfCap), Seq("h"))
@@ -837,8 +836,9 @@ object Dedup {
     // Both are 1x-corpus stage outputs (the split corpus / the hashed
     // paragraph stream), the between-passes materialization a scale run
     // writes anyway.
-    val base = paraBase(docs, idCol, textCol, paras).localCheckpoint()
-    val pe = paraExplode(base).localCheckpoint()
+    val base = graft.StageCut(paraBase(docs, idCol, textCol, paras),
+      "paragraphDedup.base")
+    val pe = graft.StageCut(paraExplode(base), "paragraphDedup.pe")
     assembleSurvivors(base, pe.join(paraOwnership(pe), "h")
       .filter(col("id") === col("oid") && col("idx") === col("oidx")), sep)
   }

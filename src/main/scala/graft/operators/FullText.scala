@@ -624,11 +624,11 @@ object FullText {
     // the df rollup derives from it instead of a second tokenize+explode
     // pass over the corpus (tf has exactly one row per matching
     // (doc, term), so count-per-term IS the document frequency)
-    val tf = toks.select(col("doc_id"), normExpr.as("norm_d"),
+    val tf = graft.StageCut(toks.select(col("doc_id"), normExpr.as("norm_d"),
         explode(col("tk")).as("term"))
       .filter(col("term").isin(terms: _*))
-      .groupBy("doc_id", "norm_d", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .groupBy("doc_id", "norm_d", "term").agg(count(lit(1)).as("tf")),
+      "tfidfVsm.tf")
     val global = toks.agg(count(lit(1)).as("n_docs"))
     val dfT = tf
       .groupBy("term").agg(count(lit(1)).as("df"))

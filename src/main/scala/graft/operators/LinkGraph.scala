@@ -912,9 +912,16 @@ object LinkGraph {
     * value integer-exact, no tiebreaks anywhere.
     *
     * 100 TB shape: per round ONE map-side-combined degree groupBy + two
-    * semi-joins of the shrinking edge set against the survivor nodes;
-    * node and edge frontiers are localCheckpoint()ed per round (O(1)
-    * lineage, the connectedComponents discipline); rounds grow with the
+    * semi-joins of the shrinking edge set against the survivor nodes.
+    * Exactly ONE eager checkpoint job per round (r18 optimization; guide
+    * §2.4/§1.2): the node-sized degree table `deg` is the round's only
+    * materialization — the convergence test, the peeled slice, and the
+    * survivor set are all cheap filters over it — and the shrunk edge
+    * frontier is checkpointed LAZILY (the t41 pattern), so the next
+    * round's degree job materializes it instead of paying a second job.
+    * (Previously: drop + nodes + cur were three eager checkpoints, with
+    * the degree aggregation computed twice.) Lineage stays O(1) per
+    * round (the connectedComponents discipline); rounds grow with the
     * graph's degeneracy ordering depth (log-like on tree-ish tendrils),
     * and the work per round SHRINKS with the surviving graph. Driver
     * holds counts only (rule 17). `maxRounds` is a loud runaway guard. */
@@ -936,21 +943,32 @@ object LinkGraph {
       require(round <= maxRounds,
         s"kcore did not converge within $maxRounds rounds - the graph's " +
           "peel depth exceeds the guard; raise maxRounds deliberately")
-      val deg = nodes.join(
-          cur.groupBy(col("src").as("node")).agg(count(lit(1)).as("__d")),
-          Seq("node"), "left")
-        .withColumn("__d", coalesce(col("__d"), lit(0L)))
+      // The round's ONE job: the node-sized degree table is checkpointed
+      // LAZILY and the convergence count's action materializes it (the
+      // t41 pattern — the count computes deg's full RDD, checkpointing it,
+      // then counts the filtered rows on top; RDD-level checkpoints are
+      // opaque to column pruning, so the materialized rows are complete).
+      // This job also executes the previous round's lazy edge cut. drop /
+      // nodes are filters over the checkpoint — no second degree
+      // aggregation, no separate isEmpty job.
+      // degree via union+groupBy instead of nodes⋈counts (one exchange,
+      // no join): every survivor appears in the union with weight 0, so
+      // zero-degree nodes emerge with __d = 0 — value-identical to the
+      // left join + coalesce, and cur's src ⊆ nodes by the semi-joins.
+      val deg = cur.select(col("src").as("node"), lit(1L).as("__w"))
+        .union(nodes.select(col("node"), lit(0L).as("__w")))
+        .groupBy("node").agg(sum(col("__w")).as("__d"))
+        .localCheckpoint(false)
       val drop = deg.filter(col("__d") < k)
         .select(col("node"), lit(round.toLong).as("peel_round"))
-        .localCheckpoint()
-      if (drop.isEmpty) done = true
+      if (drop.count() == 0L) done = true
       else {
         peeled :+= drop
-        nodes = deg.filter(col("__d") >= k).select("node").localCheckpoint()
+        nodes = deg.filter(col("__d") >= k).select("node")
         cur = cur
           .join(nodes.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
           .join(nodes.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
-          .localCheckpoint()
+          .localCheckpoint(false)
         round += 1
       }
     }

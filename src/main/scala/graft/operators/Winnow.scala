@@ -88,9 +88,9 @@ object Winnow {
     // it. This table IS [[fingerprintIndex]], the thing a scale run writes
     // to storage once; survivor-sized (≈ chars/w fingerprints per doc,
     // deduped).
-    val fps = fingerprints(df, idCol, textCol, k, w)
-      .select(col(idCol).as("id"), col("fp")).distinct()
-      .localCheckpoint()
+    val fps = graft.StageCut(fingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol).as("id"), col("fp")).distinct(),
+      "winnow.fps")
     val rare = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
       .where(col("__df") >= 2 && col("__df") <= maxDocFreq)
       .select("fp")

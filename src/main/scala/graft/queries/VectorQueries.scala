@@ -245,9 +245,10 @@ object VectorQueries {
     * token-overlap faithfulness of the planted answer (the doc's first
     * 120 chars) against the union of retrieved chunk texts.
     *
-    * Retrieval is the dispatcher's dense plan shape (filter → cosine →
-    * TakeOrderedAndProject) on the same chunk table as s8, with the
-    * TOTAL (score desc, doc, chunk) order of the multivector arm: RAGAS
+    * Retrieval is one keyed top-k pass (broadcast query vectors → cosine
+    * → bounded-heap top-10 per query; r18: replaced 10 per-query
+    * TakeOrdered branches, same rows) on the same chunk table as s8, with
+    * the TOTAL (score desc, doc, chunk) order of the multivector arm: RAGAS
     * contexts are CHUNK texts, so within-doc ties must order
     * deterministically (s8 may leave them to doc-level pooling; a
     * chunk-level eval cannot). Sub-81-char docs plant an empty question
@@ -256,7 +257,6 @@ object VectorQueries {
     * longer docs recall their own chunks and score high — both metric
     * regimes are value-covered. */
   def ragasEvalQ(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir).filter(col("doc_id") < 100)
     val embedder = graft.operators.HashEmbedder(dim = 64, normalize = false)
     val chunks = graft.operators.Chunker.fixedChunks(
@@ -268,19 +268,40 @@ object VectorQueries {
     val golden = docs.filter(col("doc_id") < 10)
       .select(col("doc_id"), substring(col("text"), 81, 80).as("qtext"))
       .collect().sortBy(_.getLong(0))
-    val perQuery = golden.map { r =>
-      val qVec = embedder.embedText(r.getString(1))
-      table.withColumn("score",
-          graft.operators.KnnSearch.cosineTo(col("embedding"), qVec))
-        .orderBy(col("score").desc, col("document_id"), col("chunk_number"))
-        .limit(10)
-        .withColumn("query_id", lit(r.getLong(0)))
-    }.reduce(_ unionByName _)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("document_id"), col("chunk_number"))
-    val contexts = perQuery.withColumn("rank", row_number().over(w))
+    // ONE keyed top-k pass over the chunk table replaces the 10 per-query
+    // TakeOrdered branches (r17 verdict ask #4; guide §2.3/§2.4): the 10
+    // query vectors broadcast onto a single scan, and the bounded heap
+    // aggregate keeps each query's top-10 with map-side partials — the
+    // checkpointed table is scanned once for scoring (plus one cheap
+    // content re-attach of the ≤100 surviving keys) instead of 10 times.
+    // Value-identical: cosine_sim(embedding, qv) is the same expression
+    // cosineTo built over a literal, and the heap's (score desc, id asc)
+    // order under the packed id (document_id << 32 | chunk_number; both
+    // nonneg, chunk_number < 2^32) IS the branches' total
+    // (score desc, document_id, chunk_number) order.
+    import spark.implicits._
+    val qdf = golden.toSeq
+      .map(r => (r.getLong(0), embedder.embedText(r.getString(1))))
+      .toDF("query_id", "qv")
+    val hits = table
+      .join(broadcast(qdf))
+      .withColumn("score",
+        graft.functions.vec.cosine_sim(col("embedding"), col("qv")))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAggregate.top_k(col("score"),
+        shiftleft(col("document_id"), 32) + col("chunk_number"), 10).as("hits"))
+      .select(col("query_id"), posexplode(col("hits")).as(Seq("rank", "hit")))
+      .select(col("query_id"), (col("rank") + 1).as("rank"),
+        shiftright(col("hit.id"), 32).as("document_id"),
+        col("hit.id").bitwiseAND(lit(4294967295L)).cast("int").as("chunk_number"))
+    // contexts is ≤ |queries|·k = 100 rows with TWO consumers inside
+    // ragasReport (the precision chain and the faithfulness token chain):
+    // checkpoint the bounded seam so the retrieval dataflow runs once.
+    val contexts = table.select("document_id", "chunk_number", "content")
+      .join(broadcast(hits), Seq("document_id", "chunk_number"))
       .select(col("query_id"), col("rank"),
         col("document_id").as("id"), col("content"))
+      .localCheckpoint()
     val qmeta = docs.filter(col("doc_id") < 10)
       .select(col("doc_id").as("query_id"),
         col("lang").as("__ql"), col("source").as("__qs"))

@@ -550,20 +550,29 @@ class PlanGuardSpec extends AnyFunSuite {
   }
 
   test("n15_tfidf_vsm: the tf table is stage-cut (r17 — df derives from it, " +
-    "no second tokenize pass), the cut is a top-k heap") {
-    // the lnc_norm_sq kernel now runs INSIDE the checkpointed tf stage
-    // (r17: tf is localCheckpoint()ed so the df rollup derives from it
-    // instead of re-tokenizing the corpus), so the registered query's
-    // executed plan starts from the cut and the kernel name is no longer
-    // visible here — its value-identity is gated by R17KernelSpec and the
-    // n15 oracle row instead.
-    val p = executedPlan("n15_tfidf_vsm")
-    assert(p.contains("Scan ExistingRDD"),
-      s"stage cut missing - the tf table re-executes per consumer:\n$p")
-    assert(p.contains("TakeOrderedAndProject"),
-      s"the k cut must be a bounded heap:\n$p")
-    assert(!p.contains("CartesianProduct"),
-      s"scoring must never cross rows:\n$p")
+    "no second tokenize pass), the cut is a top-k heap, and the lnc_norm_sq " +
+    "kernel executes inside the cut stage") {
+    // the lnc_norm_sq kernel runs INSIDE the checkpointed tf stage, so the
+    // registered query's executed plan starts from the cut and the kernel
+    // is invisible there (r17 advisor finding: 'Scan ExistingRDD' alone
+    // does not gate the kernel) — the StageCut recorder captures the
+    // PRE-cut plan of the tf seam so this guard can assert on it.
+    spark.conf.set("spark.graft.stageCut.record", "true")
+    try {
+      graft.StageCut.recorded.clear()
+      val p = executedPlan("n15_tfidf_vsm")
+      assert(p.contains("Scan ExistingRDD"),
+        s"stage cut missing - the tf table re-executes per consumer:\n$p")
+      assert(p.contains("TakeOrderedAndProject"),
+        s"the k cut must be a bounded heap:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"scoring must never cross rows:\n$p")
+      val tfPlan = graft.StageCut.recorded.get("tfidfVsm.tf")
+      assert(tfPlan != null, "the tf seam did not record its pre-cut plan")
+      assert(tfPlan.contains("lnc_norm_sq"),
+        s"the norm kernel must execute inside the tf stage (not a HOF " +
+          s"rewrite):\n$tfPlan")
+    } finally spark.conf.set("spark.graft.stageCut.record", "false")
   }
 
   test("e25_acf: the lag pairing is an equi-join on (key, t+lag); stats " +
