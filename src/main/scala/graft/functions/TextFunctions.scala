@@ -56,48 +56,43 @@ object text {
 
   /** Distinct character n-grams of the normalized text.
     *
-    * Cost note (round 12): `norm` is BOUND ONCE through a one-element
-    * struct transform before the per-position lambda reads it. The HOF
-    * interpreter re-evaluates any outer expression referenced inside a
-    * lambda on EVERY step (the measured ev1 pathology — ARCHITECTURE
-    * "Higher-order-function interpreter pathology"), so the previous
-    * direct reference re-ran the full regex normalize of the document
-    * once PER GRAM POSITION. Output is value-identical. */
+    * r18: the bind-once HOF composition (round 12) became the compiled
+    * [[NgramExpressions.CharNgrams]] kernel — the HOF still evaluated
+    * INTERPRETED per gram position (boxed Substring + a sequence index
+    * array per row; t34's trigram pass measured ~30 s of task time at
+    * sf0.1). Value-identical including the null case: the old
+    * `when(...).otherwise(array())` yielded an EMPTY array on null text,
+    * reproduced here by coalescing to "". R18KernelSpec gates equality. */
   def char_shingles(c: Column, n: Int): Column =
-    element_at(transform(array(struct(normalize(c).as("s"))), p => {
-      val norm = p.getField("s")
-      when(length(norm) >= n,
-        array_distinct(transform(sequence(lit(1), length(norm) - (n - 1)),
-          i => norm.substr(i, lit(n)))))
-        .otherwise(array())
-    }), 1)
+    NgramExpressions.char_ngrams(coalesce(normalize(c), lit("")), n,
+      distinct = true)
+
+  /** All character n-grams in window order (duplicates kept) — the
+    * per-position gram stream langIdTrained counts; same kernel as
+    * [[char_shingles]] without the distinct pass. */
+  def char_ngrams_all(normalized: Column, n: Int): Column =
+    NgramExpressions.char_ngrams(coalesce(normalized, lit("")), n,
+      distinct = false)
 
   /** Distinct word n-grams (space-joined) over the token array.
     *
-    * Cost note (round 12): same bind-once cure as [[char_shingles]] — the
-    * direct `toks` reference re-ran the regex tokenize once per shingle
-    * position (t61's train-corpus pass was ~6× slower than this plan);
-    * the gram join is an unrolled element_at chain instead of
-    * slice+concat_ws (no per-gram ArrayData copy — the ev1 kernel
-    * lesson). Output is value-identical. */
+    * r18: the bind-once HOF composition became the compiled
+    * [[NgramExpressions.WordShingles]] kernel (same rationale and
+    * equality gate as [[char_shingles]]; `UTF8String.concatWs` performs
+    * the identical null-skipping space join `concat_ws` did). Null text
+    * still yields an empty array (tokens(null) coalesced to []). */
   def word_shingles(c: Column, n: Int): Column =
-    element_at(transform(array(struct(tokens(c).as("t"))), p => {
-      val toks = p.getField("t")
-      when(size(toks) >= n,
-        array_distinct(transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", (0 until n).map(j =>
-            element_at(toks, (i + lit(j + 1)).cast("int"))): _*))))
-        .otherwise(array())
-    }), 1)
+    NgramExpressions.word_shingles_k(
+      coalesce(tokens(c), array().cast("array<string>")), n, distinct = true)
 
   /** All of [[word_shingles]]'s rungs in ONE kernel: array of
     * (rung, gs) structs, value-identical per rung to `word_shingles(c, n)`,
     * but the regex tokenize runs ONCE for the whole rung ladder instead of
     * once per rung (t64's train scan paid 4× tokenization — the round-12
     * verdict's named x1 constant; the dominant cost of a shingle pass is
-    * the normalize+split, not the window slide). `toks` is bound through
-    * the one-element-struct idiom, so every rung's window sweep reads the
-    * SAME materialized token array with O(1) field access.
+    * the normalize+split, not the window slide). r18: the rung sweep is
+    * the compiled [[NgramExpressions.WordShinglesMulti]] kernel — one
+    * token-array extraction feeds every rung's window loop.
     *
     * `distinct = false` skips the per-row `array_distinct` (a hash pass
     * over every gram string): right when the consumer dedupes globally
@@ -106,28 +101,29 @@ object text {
     * are the statistic (the eval side keeps the default). */
   def word_shingles_multi(c: Column, ns: Seq[Int],
                           distinct: Boolean = true): Column =
-    element_at(transform(array(struct(tokens(c).as("t"))), p => {
-      val toks = p.getField("t")
-      def dedup(gs: Column): Column = if (distinct) array_distinct(gs) else gs
-      array(ns.map { n =>
-        struct(lit(n.toLong).as("rung"),
-          when(size(toks) >= n,
-            dedup(transform(sequence(lit(0), size(toks) - n),
-              i => concat_ws(" ", (0 until n).map(j =>
-                element_at(toks, (i + lit(j + 1)).cast("int"))): _*))))
-            .otherwise(array().cast("array<string>")).as("gs"))
-      }: _*)
-    }), 1)
+    NgramExpressions.word_shingles_multi_k(
+      coalesce(tokens(c), array().cast("array<string>")), ns, distinct)
 
   /** 32-bit seeded shingle hash, Broder-style: one md5 per shingle; lane
     * `seed` combines the digest's two 4-byte halves as
     * `(h1 + seed·h2) mod 2^32`. Reproducible in any engine with md5, and
-    * 16× less hashing than seed-prefixed digests at k=16. */
-  def shingle_hash(seed: Column, shingle: Column): Column = {
-    val h1 = conv(substring(md5(shingle), 1, 8), 16, 10).cast("long")
-    val h2 = conv(substring(md5(shingle), 9, 8), 16, 10).cast("long")
-    (h1 + seed.cast("long") * h2).bitwiseAND(lit(4294967295L))
-  }
+    * 16× less hashing than seed-prefixed digests at k=16. r18: compiled
+    * kernel — the conv/substring Column form digested the shingle twice
+    * and hex-string-parsed both halves (R18KernelSpec gates equality). */
+  def shingle_hash(seed: Column, shingle: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      TextHashExpressions.ShingleHash(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(seed.cast("long")),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(shingle)))
+
+  /** Unsigned value of md5-hex digits [start, start+len) — the compiled
+    * form of the engine-wide `conv(substring(md5(s), start, len), 16,
+    * 10)::long` idiom (r18; R18KernelSpec gates equality, len ≤ 15). */
+  def md5_prefix_long(s: Column, startHex: Int, lenHex: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      TextHashExpressions.Md5PrefixLong(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(s),
+        startHex, lenHex))
 
   /** MinHash signature: k independent permutations approximated by k
     * combinatorial hash lanes; element i = min over shingles of hash_i (the

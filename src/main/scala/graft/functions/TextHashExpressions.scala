@@ -194,4 +194,89 @@ object TextHashExpressions {
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
+
+  private val threadMd5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** Unsigned value of md5-hex digits [startHex, startHex+lenHex) of the
+    * digest of `s` — the compiled form of the engine-wide
+    * `conv(substring(md5(s), startHex, lenHex), 16, 10)::long` idiom
+    * (r18 optimization round): the Column form materializes the 32-char
+    * hex string and base-16-parses a substring PER ROW; this reads the
+    * nibbles straight off the binary digest. lenHex ≤ 15 keeps the value
+    * under 2^60 — exactly the range where conv's long cast was lossless,
+    * which is why every oracle-pinned hash in the repo uses ≤ 15 digits. */
+  def md5PrefixSlice(s: UTF8String, startHex: Int, lenHex: Int): Long = {
+    val md = threadMd5.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var i = startHex - 1
+    val end = startHex - 1 + lenHex
+    while (i < end) {
+      val b = d(i >> 1)
+      val nib = if ((i & 1) == 0) (b >> 4) & 0xf else b & 0xf
+      v = (v << 4) | nib
+      i += 1
+    }
+    v
+  }
+
+  case class Md5PrefixLong(child: Expression, startHex: Int, lenHex: Int)
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+    require(startHex >= 1 && lenHex >= 1 && startHex - 1 + lenHex <= 32 &&
+      lenHex <= 15,
+      s"md5_prefix_long needs 1-based hex range within the 32-char digest " +
+        s"and <= 15 digits (got start=$startHex len=$lenHex)")
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "md5_prefix_long"
+    override def nullSafeEval(v: Any): Any =
+      md5PrefixSlice(v.asInstanceOf[UTF8String], startHex, lenHex)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, s => s"""
+        ${ev.value} = graft.functions.TextHashExpressions.md5PrefixSlice($s, $startHex, $lenHex);
+        """)
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** Broder-lane shingle hash from ONE digest: (h1 + seed·h2) mod 2^32
+    * with h1 = hex digits 1-8, h2 = digits 9-16 — the compiled form of
+    * [[graft.functions.text.shingle_hash]], which digested the shingle
+    * TWICE (once per conv half) and built the hex string both times. */
+  def shingleHashSlice(seed: Long, shingle: UTF8String): Long = {
+    val md = threadMd5.get()
+    md.reset()
+    val d = md.digest(shingle.getBytes)
+    val h1 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    val h2 = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    (h1 + seed * h2) & 0xffffffffL
+  }
+
+  case class ShingleHash(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(LongType, StringType)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "shingle_hash_k"
+    override def nullSafeEval(seed: Any, sh: Any): Any =
+      shingleHashSlice(seed.asInstanceOf[Long], sh.asInstanceOf[UTF8String])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        ${ev.value} = graft.functions.TextHashExpressions.shingleHashSlice($a, $b);
+        """)
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
 }

@@ -1034,9 +1034,10 @@ object Corpus {
       col(idCol).cast("long").as("id"), col(labelCol).as("label"),
       isSeed.as("is_seed"), text.normalize(col(textCol)).as("norm")))
       .filter(length(col("norm")) >= n)
+    // r18: compiled per-position gram kernel — the interpreted
+    // transform+substr sweep was ~30 s of task time at sf0.1 (OptProbe)
     val grams = base.select(col("id"), col("label"), col("is_seed"),
-      explode(transform(sequence(lit(1), length(col("norm")) - (n - 1)),
-        i => col("norm").substr(i, lit(n)))).as("gram"))
+      explode(text.char_ngrams_all(col("norm"), n)).as("gram"))
     // salted two-phase top-profileK (the heavyHitters pattern): a plain
     // partitionBy(label) window funnels the whole per-label gram table
     // through |labels| sort tasks — char-n-gram space is charset^n-bounded
@@ -1053,23 +1054,45 @@ object Corpus {
       .filter(col("lrank") <= profileK)
       .select("label", "gram", "lrank")
     val labels = profile.select(col("label").as("pred")).distinct()
-    val docProf = grams.filter(!col("is_seed"))
-      .groupBy("id", "gram").agg(count(lit(1)).as("c"))
-      .withColumn("drank", row_number().over(
-        Window.partitionBy("id").orderBy(col("c").desc, col("gram"))))
-      .filter(col("drank") <= docM)
-      .select("id", "gram", "drank")
-    val scored = docProf
-      .crossJoin(broadcast(labels))
-      .join(broadcast(profile),
-        col("pred") === profile("label") && docProf("gram") === profile("gram"),
-        "left")
-      .groupBy("id", "pred")
-      .agg(sum(when(col("lrank").isNull, profileK.toLong)
-        .otherwise(abs(col("drank") - col("lrank")).cast("long"))).as("dist"))
-    scored.groupBy("id")
-      .agg(min(struct(col("dist"), col("pred"))).as("b"))
-      .select(col("id"), col("b.pred").as("pred"), col("b.dist").as("dist"))
+    // r18: the per-doc top-docM profile is computed IN-ROW by the
+    // top_grams kernel — the dataflow form shuffled and window-sorted the
+    // full eval-slice gram stream (~100M rows at sf0.1, ~35 s task time)
+    // to keep 50 rows per doc; a doc's grams live in its own row, so the
+    // count + bounded heap need no exchange (R18KernelSpec gates equality
+    // against the groupBy+window formulation).
+    val docProf = base.filter(!col("is_seed"))
+      .select(col("id"),
+        explode(graft.functions.NgramExpressions.top_grams(col("norm"), n,
+          docM)).as("tg"))
+      .select(col("id"), col("tg.gram").as("gram"), col("tg.drank").as("drank"))
+    // r18: score on MATCHED (gram ∈ profile) rows only instead of
+    // crossJoin-ing every label onto every doc gram (guide §3.3 — the
+    // cross join multiplied the 2.7M-row doc-profile stream by |labels|).
+    // dist(id, pred) = Σ_g [g ∈ prof ? |drank−lrank| : K]
+    //               = K·n_id − Σ_matched (K − |drank−lrank|),
+    // and every matched gram reduces dist by ≥ 1 (|drank−lrank| ≤ K−1),
+    // so a pred with ANY match strictly beats every zero-match pred —
+    // the argmin over matched preds is the argmin over all preds, with
+    // the min label as the all-unmatched fallback (dist = K·n_id, every
+    // pred tied, pred-asc tiebreak). Value-identical to the crossJoin
+    // formulation; the t34 oracle replays the full cross form.
+    val K = profileK.toLong
+    val nid = docProf.groupBy("id").agg(count(lit(1)).as("__nid"))
+    val best = docProf
+      .join(broadcast(profile), Seq("gram"))
+      .select(col("id"), col("label").as("pred"),
+        (lit(K) - abs(col("drank") - col("lrank")).cast("long")).as("__red"))
+      .groupBy("id", "pred").agg(sum(col("__red")).as("__r"))
+      .groupBy("id")
+      .agg(min(struct((-col("__r")).as("nr"), col("pred"))).as("b"))
+      .select(col("id"), col("b.pred").as("pred"), col("b.nr").as("nr"))
+    nid
+      .join(best, Seq("id"), "left")
+      .crossJoin(broadcast(labels.agg(min(col("pred")).as("__minl"))))
+      .select(col("id"),
+        coalesce(col("pred"), col("__minl")).as("pred"),
+        coalesce(lit(K) * col("__nid") + col("nr"),
+          lit(K) * col("__nid")).as("dist"))
   }
 
   /** CCNet perplexity buckets — the pipeline's FINAL partitioning step
@@ -1185,8 +1208,9 @@ object Corpus {
     val toks = df.select(col(idCol).cast("long").as("id"),
         posexplode(graft.functions.text.tokens(col(textCol))).as(Seq("pos", "tok")))
       .withColumn("masked",
-        conv(substring(md5(concat(lit("sc:"), col("id"), lit(":"), col("pos"))),
-          1, 8), 16, 10).cast("long") % 10000 < noiseBp)
+        graft.functions.text.md5_prefix_long(
+          concat(lit("sc:"), col("id"), lit(":"), col("pos")),
+          1, 8) % 10000 < noiseBp)
     val w = Window.partitionBy("id").orderBy("pos")
     val spans = toks
       .withColumn("__start",
@@ -1823,7 +1847,7 @@ object Corpus {
     val wt = base.select(col("id"), col("label"), col("n_grams"),
         explode(col("gr")).as("g"))
       .withColumn("b",
-        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long") % buckets)
+        graft.functions.text.md5_prefix_long(col("g"), 1, 15) % buckets)
       .groupBy("id", "label", "n_grams", "b")
       .agg(count(lit(1)).as("c"))
       .withColumn("w", expr("(c * 1000000) div n_grams"))

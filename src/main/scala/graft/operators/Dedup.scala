@@ -318,8 +318,8 @@ object Dedup {
       df.select(col(idCol).cast("long").as("id"),
         explode(text.word_shingles(col(textCol), shingleWords)).as("g")))
       .select(col("id"),
-        conv(substring(md5(concat(lit("cnt:"), col("g"))), 1, 15), 16, 10)
-          .cast("long").as("h")), "containment.hh")
+        graft.functions.text.md5_prefix_long(
+          concat(lit("cnt:"), col("g")), 1, 15).as("h")), "containment.hh")
     val sz = hh.groupBy("id").agg(count(lit(1)).as("n_small"))
     val dfc = hh.groupBy("h").agg(count(lit(1)).as("df"))
     val rare = hh.join(dfc.filter(col("df") <= dfCap), Seq("h"))

@@ -267,7 +267,13 @@ object Evals {
       .foldRight(lit(poissonPpmThresholds.length.toLong)) {
         case ((t, i), acc) => when(u < t, i.toLong).otherwise(acc)
       }
+    // pin the replicate stream's parallelism (r18): same rationale as
+    // pairedPermTest's flip repartition — the b-way explode inherits the
+    // (often AQE-coalesced or single-file) upstream partitioning, and the
+    // per-replicate md5 draw then runs nearly single-task.
     val perRep = df
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col(idCol))
       .select(col(idCol), col(valueCol).cast("long").as("__x"),
         explode(sequence(lit(1L), lit(b.toLong))).as("replicate"))
       .withColumn("__w", w)
@@ -968,7 +974,16 @@ object Evals {
       (col(aCol).cast("long") - col(bCol).cast("long")).as("__d"))
     val obs = deltas.agg(sum(col("__d")).as("obs_sum"),
       count(lit(1)).as("n_items"))
+    // pin the flip stream's parallelism (r18, guide §2.5/§8): the b-way
+    // explode multiplies rows but not partitions, and AQE sizes the
+    // upstream read on PRE-explosion bytes — measured single-task md5
+    // streams (e24's pathology). Repartitioning the compact 1× deltas by
+    // the deterministic item key costs 1/b-th of the stream it spreads;
+    // count from the session's shuffle parallelism, never a constant.
     val flips = deltas
+      .repartition(
+        deltas.sparkSession.sessionState.conf.numShufflePartitions,
+        col("__id"))
       .select(col("__id"), col("__d"),
         explode(sequence(lit(1), lit(b))).as("rep"))
       .withColumn("sd", when(

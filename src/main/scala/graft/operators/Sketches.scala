@@ -156,8 +156,8 @@ object Sketches {
     val src = keyed.select(col(corpusCol).as("corpus"), col(keyCol).as("key"))
     val dh = src
       .select(col("corpus"),
-        conv(substring(md5(concat(lit("kmv:"), col("key"))), 1, 15), 16, 10)
-          .cast("long").as("h"))
+        graft.functions.text.md5_prefix_long(
+          concat(lit("kmv:"), col("key")), 1, 15).as("h"))
       .groupBy("corpus", "h").agg(count(lit(1)).as("__c")).drop("__c")
     val lvl1 = Window.partitionBy(col("corpus"), pmod(col("h"), lit(64L)))
       .orderBy("h")

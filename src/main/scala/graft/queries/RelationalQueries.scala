@@ -61,6 +61,9 @@ object RelationalQueries {
     * both estimate branches, and the exact twin replay in the oracle. */
   def hllQ(spark: SparkSession, dir: String): DataFrame = {
     val li = graft.Tables.lineitem(spark, dir)
+    // (r18 probe: wrapping this union in Tables.scaled measured WORSE —
+    // 2.44 → 3.65 s — the keyless repartition's sort+shuffle of 1.8M rows
+    // costs more than the 3-task scan limit does; left as-is)
     val keyed = li.select(lit("l_orderkey").as("col_name"),
         col("l_orderkey").cast("string").as("k"))
       .unionAll(li.select(lit("l_partkey").as("col_name"),

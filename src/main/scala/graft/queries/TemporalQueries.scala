@@ -207,6 +207,9 @@ object TemporalQueries {
           pmod(col("user_id"), lit(5))).as("metric"),
         col("user_id").as("item"))
       .distinct()
+    // |metric × item|-bounded (7,500 rows at sf0.1) with two consumers
+    // (the observed-stat rollup and the flip stream): checkpointed so the
+    // corpus scan + distinct run once (rule 14)
     val deltas = items.withColumn("shift",
         when(h(lit("ms:"), col("metric")) % 4 === 0, 300L)
           .when(h(lit("ms:"), col("metric")) % 4 === 1, 120L)
@@ -215,11 +218,24 @@ object TemporalQueries {
         (h(lit("fa:"), col("metric"), lit(":"), col("item")) % 1000
           - h(lit("fb:"), col("metric"), lit(":"), col("item")) % 1000
           - col("shift")).as("dd"))
+      .localCheckpoint()
     val obs = deltas.groupBy("metric")
       .agg(sum(col("dd")).as("obs_sum"), count(lit(1)).as("n_items"))
     // 25 rows, two consumers (the BH ranking and the stats join-back):
     // localCheckpoint so the corpus-sized flip dataflow runs once (rule 14)
+    // The 200-way flip explode multiplies ROWS but not partitions, and AQE
+    // sizes the upstream shuffle read on PRE-explosion bytes — measured:
+    // the whole 1.5M-md5 flip stream ran on ONE task (probe, r18; the md5
+    // chain is ~0.7 µs/row, so the single-core stream carried ~1 s of the
+    // query). The key must DIFFER from the upstream grouping or Catalyst
+    // collapses this into the distinct's ENSURE_REQUIREMENTS exchange,
+    // which AQE coalesces right back to 1 partition; `item` alone keeps it
+    // a REPARTITION_BY_NUM exchange AQE must preserve. Partition count
+    // from the session's shuffle parallelism, never a constant (scale-
+    // adaptive); the key is deterministic (guide §2.5).
     val pvals = deltas
+      .repartition(deltas.sparkSession.sessionState.conf.numShufflePartitions,
+        col("item"))
       .select(col("metric"), col("item"), col("dd"),
         explode(sequence(lit(1), lit(200))).as("rep"))
       .withColumn("sd", when(
