@@ -63,14 +63,29 @@ object BpeTrainer {
     * plus the initial word-frequency aggregation (word table
     * localCheckpoint()ed per step — the rewrite chain must not re-derive
     * N replaces against the corpus each iteration). */
-  def train(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+            driverWordCap: Int = 100000): DataFrame = {
     require(numMerges >= 1, s"train needs numMerges>=1 (got $numMerges)")
     val spark = df.sparkSession
-    var words = graft.Tables.scaled(df.select(col(textCol).as("__t")))
+    val wordTable = graft.Tables.scaled(df.select(col(textCol).as("__t")))
       .select(explode(text.tokens(col("__t"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .select(spaced(col("w")).as("sym"), col("cnt"))
-      .localCheckpoint()
+    // the pageRank/hits execution split (rule 17, applied r18): the merge
+    // ladder runs on the BOUNDED word table, and under the cap the whole
+    // N-step fixed point replays DRIVER-SIDE after the one corpus-sized
+    // aggregation — exact integer counts + binary-UTF8 tiebreaks make the
+    // replay bit-identical to the distributed loop (BpeTrainerSpec gates
+    // it), which otherwise pays ~1 driver job of pure latency per merge
+    // (measured: the 30-rung ladder over sf0.1's 31-word vocabulary was
+    // ~3 s of job scheduling for microseconds of arithmetic). Past the
+    // cap — a real corpus vocabulary — the distributed ladder runs as
+    // before.
+    val probe = wordTable.limit(driverWordCap + 1).collect()
+    if (probe.length <= driverWordCap)
+      return trainDriver(spark,
+        probe.map(r => (r.getString(0), r.getLong(1))), numMerges)
+    var words = wordTable.localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 1
     var done = false
@@ -99,6 +114,66 @@ object BpeTrainer {
       }
     }
     words.unpersist()
+    import spark.implicits._
+    merges.toSeq.toDF("step", "left", "right", "freq")
+      .select(col("step").cast("long"), col("left"), col("right"), col("freq"))
+  }
+
+  /** Rule-17 driver replay of the merge ladder over the collected word
+    * table — value-identical to the distributed loop by exactness:
+    *  - trim/split replicate Spark's `split(trim(sym), " +")` (trim strips
+    *    0x20 only; the trimmed spaced form has no leading/trailing runs,
+    *    so neither engine sees empty symbols);
+    *  - pair counts are exact long sums (order-free);
+    *  - the argmax tiebreak compares UTF-8 BYTES (UTF8String.compareTo),
+    *    never UTF-16 chars — Java String ordering diverges from binary
+    *    UTF-8 order for non-BMP codepoints;
+    *  - the rewrite is Java String.replace — the same left-to-right
+    *    non-overlapping literal replace as UTF8String.replace. */
+  private def trainDriver(spark: org.apache.spark.sql.SparkSession,
+                          table: Array[(String, Long)],
+                          numMerges: Int): DataFrame = {
+    def trimSpaces(s: String): String = {
+      var a = 0; var b = s.length
+      while (a < b && s.charAt(a) == ' ') a += 1
+      while (b > a && s.charAt(b - 1) == ' ') b -= 1
+      s.substring(a, b)
+    }
+    def byteLt(a: String, b: String): Boolean =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+    var words = table
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= numMerges && !done) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      words.foreach { case (sym, cnt) =>
+        val syms = trimSpaces(sym).split(" +")
+        var i = 0
+        while (i < syms.length - 1) {
+          counts.merge((syms(i), syms(i + 1)), cnt, (a, b) => a + b)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        var best: ((String, String), Long) = null
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val c = (e.getKey, e.getValue)
+          if (best == null || c._2 > best._2 ||
+            (c._2 == best._2 && (byteLt(c._1._1, best._1._1) ||
+              (c._1._1 == best._1._1 && byteLt(c._1._2, best._1._2)))))
+            best = c
+        }
+        val ((l, r), f) = best
+        merges += ((step, l, r, f))
+        words = words.map { case (s, c) => (s.replace(s" $l  $r ", s" $l$r "), c) }
+        step += 1
+      }
+    }
     import spark.implicits._
     merges.toSeq.toDF("step", "left", "right", "freq")
       .select(col("step").cast("long"), col("left"), col("right"), col("freq"))

@@ -783,6 +783,9 @@ object CorpusQueries {
     * gates the seams — which rows flow between stages and the verdict
     * precedence (oov before passage_dup; kept docs report repaired/clean). */
   def curationV2(spark: SparkSession, dir: String): DataFrame = {
+    // (r18 probe: Tables.scaled in front of the repair measured FLAT-to-
+    // worse in an interleaved A/B — the 633 ms serial repair cut is only
+    // ~20% of the row and the round-robin sort+shuffle eats the gain)
     val docs = Tables.documents(spark, dir).withColumn("ctext",
       when(pmod(col("doc_id"), lit(5)) === 0, concat(lit(MojiBad), col("text")))
         .otherwise(col("text")))

@@ -129,8 +129,13 @@ object VectorQueries {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val emb = graft.operators.HashMultiVectorEmbedder(dim = 16)
-    val chunks = Tables.documents(spark, dir).filter(col("doc_id") < 100)
-      .select("doc_id").as[Long]
+    // the rendered+embedded page table is built ONCE (the s8 chunk-index
+    // convention, applied r18): fan the 100-doc id set out of its single
+    // scan task before the per-row PNG render+embed, and checkpoint so the
+    // ten dispatcher plans scan the table instead of replaying the render
+    val chunks = graft.Tables.scaled(
+        Tables.documents(spark, dir).filter(col("doc_id") < 100)
+          .select("doc_id")).as[Long]
       .flatMap { d =>
         (0 until (1 + d % 2).toInt).map { p =>
           val png = S11Pages.pagePng(d, p)
@@ -140,6 +145,7 @@ object VectorQueries {
         }
       }.toDF("document_id", "chunk_number", "content", "mv")
       .withColumn("metadata", map(lit("is_image"), lit("true")))
+      .localCheckpoint()
     val table = graft.GraftService.ChunkTable(chunks)
     val perQuery = (0 until 10).map { g =>
       val req = graft.GraftService.RetrieveRequest("", k = 10,

@@ -59,6 +59,21 @@ class BpeTrainerSpec extends AnyFunSuite {
     assert(train(corpus, 10) == reference(corpus, 10))
   }
 
+  test("driver replay == distributed ladder (r18 rule-17 split)") {
+    // driverWordCap=0 forces the distributed path; default takes the
+    // driver replay — both must produce the identical merge table,
+    // including on symbol runs and tie-heavy corpora
+    val corpus = Seq("low low low low low", "aaaa aaaa bb bb",
+      "newest newest newest", "ab ab ba ba ab", "widest widest")
+    val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val driver = BpeTrainer.train(df, "text", 12)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    val dist = BpeTrainer.train(df, "text", 12, driverWordCap = 0)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(driver == dist)
+  }
+
   test("symbol runs merge leftmost-pairwise (aaaa → aa+aa, not aa+a+a)") {
     // 'aaaa' x3 forces merge1=(a,a) f=9; if runs merged wrong, step 2
     // would see pair (aa,a) instead of (aa,aa)
