@@ -349,8 +349,14 @@ object Bench {
     val curMed = results.map { case (k, med, _, _, _) => k -> med }.toMap
     val prevCmp: String = sys.env.get("SPARK_GRAFT_PREV_BENCH").flatMap { p =>
       try {
+        // the file may hold several JSON lines (bench_summary.json writes
+        // slim + full); parse the last line that carries a queries map
+        val src = scala.io.Source.fromFile(p)
+        val line = try src.getLines().filter(_.contains("\"queries\""))
+          .foldLeft("")((_, l) => l) finally src.close()
         val node = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(new java.io.File(p))
+          .readTree(if (line.nonEmpty) line
+            else scala.io.Source.fromFile(p).mkString)
         val q = node.get("queries")
         val ratios = curMed.toSeq.collect {
           case (k, cur) if cur > 0 && q.has(k) && q.get(k).asDouble > 0 =>

@@ -181,12 +181,15 @@ object Clustering {
     val inertia = {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
-      // Cap concurrency at 3 (guide §2.6; r17 advisor finding): an
+      // Cap concurrency at 4 (guide §2.6; r17 advisor finding): an
       // adversarially long ladder must not spawn one driver thread + job
-      // chain per k. shutdownNow on exit so a failed fit does not leave
-      // sibling ladders running while the exception propagates.
+      // chain per k. 4, not the guide's 2-3, because k9's standard ladder
+      // IS 4 rungs — a cap of 3 serialized its 4th ladder and measurably
+      // regressed the row (0.84 -> 1.49 s in the r18 run-2 bench).
+      // shutdownNow on exit so a failed fit does not leave sibling
+      // ladders running while the exception propagates.
       val pool = java.util.concurrent.Executors
-        .newFixedThreadPool(math.min(ks.size, 3))
+        .newFixedThreadPool(math.min(ks.size, 4))
       implicit val ec: ExecutionContext =
         ExecutionContext.fromExecutorService(pool)
       try Await.result(Future.sequence(ks.map { k => Future {
